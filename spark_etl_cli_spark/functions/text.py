@@ -1,0 +1,138 @@
+"""Text-analysis column functions for large-scale corpus pipelines.
+
+All pure built-in-function compositions (JVM-side, codegen'd): no
+Python UDFs anywhere, so these run at full whole-stage-codegen speed
+over 100 TB of documents. Each has deterministic cross-engine semantics
+so a DuckDB oracle can verify it.
+
+Capabilities (north-star extensions beyond the reference, per
+SURVEY.md §2d north-star list): tokenization/counting, quality
+scoring, language ID (stopword heuristic), document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the heuristic language ID.
+# Chosen to be regex-safe and language-distinctive.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "nicht", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "las", "que", "es"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+
+def normalize_ws(text: Column) -> Column:
+    """Collapse whitespace runs and trim — canonical text form."""
+    return F.trim(F.regexp_replace(text, r"\s+", " "))
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank strings)."""
+    norm = normalize_ws(text)
+    return F.when(F.length(norm) == 0, F.lit(0)).otherwise(
+        F.size(F.split(norm, " "))
+    ).cast("bigint")
+
+
+def tokens(text: Column) -> Column:
+    """Lower-cased whitespace tokens of the normalized text."""
+    return F.split(F.lower(normalize_ws(text)), " ")
+
+
+def char_ngrams(text: Column, n: int) -> Column:
+    """Array of character n-grams (for shingle-based dedup)."""
+    norm = F.lower(normalize_ws(text))
+    # sequence of start offsets 1..len-n+1, substring per offset
+    return F.expr(
+        f"transform(sequence(1, greatest(length({_sql(norm)}) - {n} + 1, 0)), "
+        f"i -> substring({_sql(norm)}, i, {n}))"
+    )
+
+
+def _sql(col: Column) -> str:
+    # Column → SQL text usable inside F.expr (internal helper).
+    return col._jc.toString()  # noqa: SLF001
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Array of distinct k-word shingles, joined with single spaces."""
+    toks = tokens(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    clean = F.regexp_replace(text, r"[A-Za-z0-9 ]", "")
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+        F.length(clean).cast("double") / F.length(text).cast("double")
+    )
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are common-English stopwords."""
+    sw = stopwords or ["the", "a", "an", "and", "of", "to", "in", "is", "it"]
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(sw)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(toks).cast("double")
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: favors mid-length docs with
+    low punctuation noise and a natural stopword rate.
+
+    score = 0.4*length_score + 0.3*(1-punct_ratio) + 0.3*stopword_presence
+    with length_score = min(n_tokens, 100)/100.
+    """
+    ntok = token_count(text)
+    length_score = F.least(ntok, F.lit(100)).cast("double") / F.lit(100.0)
+    sw = stopword_ratio(text)
+    sw_presence = F.least(sw * F.lit(5.0), F.lit(1.0))
+    return (
+        F.lit(0.4) * length_score
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio(text))
+        + F.lit(0.3) * sw_presence
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-token hit count per candidate language."""
+    toks = tokens(text)
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: language with the most marker hits;
+    deterministic tie-break on language code; 'und' when no hits."""
+    scores = lang_scores(text)
+    pairs = F.array(
+        *[
+            F.struct(score.cast("bigint").alias("hits"), F.lit(lang).alias("lang"))
+            for lang, score in sorted(scores.items())
+        ]
+    )
+    best = F.array_max(F.filter(pairs, lambda p: p["hits"] > 0))
+    # array_max on struct: max by hits then lang — ties pick the
+    # lexicographically largest lang; invert lang for asc tie-break is
+    # overkill here, document the tie rule instead.
+    return F.when(best.isNull(), F.lit("und")).otherwise(best["lang"])
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the lower-cased,
+    whitespace-normalized text (portable across engines)."""
+    return F.md5(F.encode(F.lower(normalize_ws(text)), "UTF-8"))

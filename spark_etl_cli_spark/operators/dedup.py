@@ -1,0 +1,252 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, each with an explicit scale story (the point of this
+module — these run over 100 TB document corpora):
+
+- **exact** — md5-of-normalized-text → groupBy hash. One shuffle on the
+  hash; map-side partial agg makes the reduce side tiny.
+- **ngram-jaccard** — distinct word shingles → self-join on shingle →
+  Jaccard from co-occurrence counts. The shingle join is the standard
+  inverted-index trick: cost ~ sum over shingles of df², bounded by
+  frequency-capping hot shingles (``max_shingle_freq``) the way common
+  tokens are dropped from inverted indexes.
+- **minhash-LSH** — k independent min-hashes (xxhash64 with per-index
+  salt), banded; candidate pairs = equi-join on (band, band-signature).
+  Linear in corpus size, the at-scale default.
+- **simhash** — 64-bit bit-vote fingerprint from token hashes; near-dups
+  bucket by fingerprint bands.
+- **embedding cosine** — see operators/similarity.py.
+
+All built-in-function compositions — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_etl_cli_spark.functions.text import fingerprint, word_shingles
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row per exact (normalized) text; survivor = min id.
+
+    Returns the deduplicated rows. Aggregating on the md5 fingerprint
+    instead of the full text keeps shuffle payloads at 32 bytes/row.
+    """
+    with_fp = df.withColumn("__fp", fingerprint(F.col(text_col)))
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        with_fp.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+def exact_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fingerprint → (survivor id, group size); one hash-agg shuffle."""
+    return (
+        df.select(
+            fingerprint(F.col(text_col)).alias("fp"), F.col(id_col).alias("id")
+        )
+        .groupBy("fp")
+        .agg(
+            F.min("id").cast("bigint").alias("keep_id"),
+            F.count("*").cast("bigint").alias("group_size"),
+        )
+    )
+
+
+def shingle_pairs_jaccard(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs by exact Jaccard over k-word shingles.
+
+    Emits (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+
+    Plan shape: explode distinct shingles (one narrow stage) → optional
+    hot-shingle cap (drop shingles appearing in > max_shingle_freq docs;
+    they contribute little to Jaccard but dominate join cost) →
+    self-equi-join on shingle (one shuffle) → pair-count agg (one
+    shuffle) → join back per-doc sizes (broadcastable aggregate).
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), k).alias("shingles"),
+    )
+    sizes = shingled.select(
+        "id", F.size("shingles").cast("bigint").alias("n_shingles")
+    )
+    exploded = shingled.select("id", F.explode("shingles").alias("shingle"))
+
+    if max_shingle_freq is not None:
+        freq = exploded.groupBy("shingle").agg(F.count("*").alias("df"))
+        exploded = (
+            exploded.join(freq.filter(F.col("df") <= max_shingle_freq), "shingle")
+            .select("id", "shingle")
+        )
+
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    co = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").cast("bigint").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    out = (
+        co.join(sa, F.col("id_a") == F.col("sa.id"))
+        .join(sb, F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, array<long> minhash signature) via salted xxhash64 min-fold.
+
+    Each of the ``num_hashes`` functions is ``xxhash64(shingle, salt_i)``;
+    the signature component is the min over the document's shingles —
+    computed with ``F.transform``+``F.array_min`` entirely in codegen,
+    no shuffle at all (per-row work).
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("sh"), lambda s, i=i: F.xxhash64(s, F.lit(i)))
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return shingled.select("id", F.array(*sig_cols).alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    rows-per-band = num_hashes/bands; two docs collide when any band's
+    sub-signature matches exactly. Join key is (band_idx, band_hash) so
+    the shuffle is uniformly spread across bands; no quadratic blowup
+    outside genuinely-identical buckets. Returns distinct (id_a, id_b),
+    id_a < id_b, plus estimated jaccard (signature agreement rate).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    banded = sigs.select(
+        "id",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("signature")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            F.col("a.signature"),
+                            F.col("b.signature"),
+                            lambda x, y: (x == y).cast("int"),
+                        ),
+                        lambda v: v == 1,
+                    )
+                ).cast("double")
+                / F.lit(float(num_hashes))
+            ).alias("est_jaccard"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
+    )
+    return pairs
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash fingerprint per document.
+
+    Classic bit-vote: each distinct token hashes to 64 bits; each bit
+    position accumulates +1/-1 votes across tokens; the fingerprint bit
+    is 1 where the vote is positive. Expressed as explode → groupBy(id)
+    with 64 conditional sums (one shuffle, map-side combined).
+    """
+    from spark_etl_cli_spark.functions.text import tokens
+
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(h >> {i}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    voted = tok.groupBy("id").agg(*votes)
+    # assemble via shiftleft (wraps at bit 63 in Java long semantics —
+    # deterministic, and a fingerprint only needs stable bits)
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        acc = acc + F.when(
+            F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    fp = voted.select("id", acc.alias("simhash"))
+    return fp

@@ -1,0 +1,116 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Pattern for 100 TB image/audio/video pipelines on Spark: the media
+payload is an opaque ``binary`` column riding next to typed metadata;
+decode / feature-extraction runs as Arrow-batched ``mapInPandas`` so
+each Python worker touches a whole batch of payloads at once, and the
+schema contract is explicit up front (Catalyst can still prune/push the
+metadata columns because they are ordinary columns).
+
+The actual codec step is STUBBED in this environment (no PIL/ffmpeg in
+the container): ``decode_image`` raises ``NotImplementedError`` unless
+``fake=True``, in which case a deterministic fake decoder produces
+(width, height, mean_luma) from a hash of the bytes — which makes the
+Spark-side plumbing (schema, batching, partitioning) fully testable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+
+def attach_binary_payload(
+    df: DataFrame, id_col: str, kind: str, payload_col: str
+) -> DataFrame:
+    """Normalize an arbitrary frame into the media schema."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.col(payload_col).cast("binary").alias("payload"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, float]:
+    """Deterministic stand-in for an image codec: derives (w, h, luma)
+    from the payload digest. Replaces PIL/libvips in this container."""
+    d = hashlib.sha256(payload or b"").digest()
+    width = 64 + d[0]
+    height = 64 + d[1]
+    mean_luma = d[2] / 255.0
+    return width, height, mean_luma
+
+
+IMAGE_FEATURES_SCHEMA = "media_id long, width int, height int, mean_luma double, n_bytes long"
+
+
+def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Extract per-image features via Arrow-batched ``mapInPandas``.
+
+    Real decode (PIL/turbojpeg) is not available in this container —
+    pass ``fake=True`` to use the deterministic stub; otherwise this
+    raises NotImplementedError at plan execution time.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image decoding requires PIL/libvips (not in container); "
+                    "pass fake=True for the deterministic stub"
+                )
+            feats = pdf["payload"].map(lambda b: _fake_decode(bytes(b or b"")))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "mean_luma": [f[2] for f in feats],
+                    "n_bytes": pdf["payload"].map(lambda b: len(b or b"")),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n: int = 10, fake: bool = False) -> DataFrame:
+    """Video frame sampling stub: emits (media_id, frame_idx) rows.
+
+    Real frame extraction needs ffmpeg; the fake variant derives a
+    deterministic frame count from payload size so downstream operators
+    (explode → per-frame features) are exercised for real.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real video decoding requires ffmpeg (not in container); "
+                    "pass fake=True for the deterministic stub"
+                )
+            rows = {"media_id": [], "frame_idx": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n_frames = (len(payload or b"") % 100) + 1
+                for i in range(0, n_frames, every_n):
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(i)
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, "media_id long, frame_idx int"
+    )

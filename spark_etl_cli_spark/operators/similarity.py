@@ -1,0 +1,223 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, matching how ANN is actually deployed on Spark:
+
+- **brute-force top-k** — broadcast the (small) query set, compute
+  cosine against every corpus vector with ``zip_with``/``aggregate``
+  (codegen, no UDF), rank per query with a window. Exact; cost is
+  |queries| × |corpus| FLOPs spread across executors. The right
+  baseline, and often the right answer when queries fit in a broadcast.
+- **LSH-bucketed (random hyperplane)** — SimHash-style signature from
+  ``sign(v · h_i)`` for d deterministic hyperplanes; candidates =
+  bucket-equi-join on band sub-signatures, then exact re-rank of
+  candidates only. Linear scan → hash join; this is the 100 TB path.
+  Hyperplanes are generated from a seeded xxhash64 so the whole plan
+  stays deterministic and JVM-side.
+
+- **cosine near-duplicate pairs** — all pairs above a threshold via the
+  same LSH bucketing (embedding-based dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_etl_cli_spark.functions.vectors import cosine, dot
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, cosine_sim, rank). Self-matches
+    (same id) are excluded. Ties broken by neighbor id for determinism.
+    """
+    qid = query_id_col or id_col
+    q = queries.select(
+        F.col(qid).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qvec"), F.col("__cvec")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane from a hash mix.
+
+    Driver-side generation (tiny: dim floats), seeded — no RNG state,
+    reproducible across runs/clusters.
+    """
+    vals = []
+    for j in range(dim):
+        # xorshift-style integer mix, mapped to [-1, 1)
+        x = (plane_idx * 1_000_003 + j * 7_919 + 12_345) & 0xFFFFFFFF
+        x ^= (x >> 13)
+        x = (x * 0x5BD1E995) & 0xFFFFFFFF
+        x ^= (x >> 15)
+        vals.append((x / 2**31) - 1.0)
+    return vals
+
+
+def rp_signature(
+    df: DataFrame, vec_col: str, num_planes: int = 16, dim: int | None = None
+) -> DataFrame:
+    """Append an array<int> random-hyperplane sign signature."""
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = first["d"] if first else 0
+    bits = []
+    for p in range(num_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
+        bits.append((dot(F.col(vec_col), plane) >= 0).cast("int"))
+    return df.withColumn("__sig", F.array(*bits))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Approximate top-k: candidates from band-bucket collisions, exact
+    cosine re-rank of candidates only.
+
+    Recall is tunable via (num_planes, bands); cost is driven by bucket
+    occupancy instead of |corpus|×|queries|.
+    """
+    rows_per_band = num_planes // bands
+    first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = first["d"] if first else 0
+
+    def banded(df: DataFrame, side: str) -> DataFrame:
+        sig = rp_signature(
+            df.select(F.col(id_col).alias(f"{side}_id"), F.col(vec_col).alias(f"__{side}vec")),
+            f"__{side}vec",
+            num_planes,
+            dim,
+        )
+        return sig.select(
+            f"{side}_id",
+            f"__{side}vec",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[F.col("__sig")[b * rows_per_band + r] for r in range(rows_per_band)],
+                                F.lit(b),
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(f"{side}_id", f"__{side}vec", "bb.band", "bb.bucket")
+
+    cb = banded(corpus, "neighbor")
+    qb = banded(queries, "query")
+    cands = (
+        cb.join(F.broadcast(qb), ["band", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "__queryvec", "__neighborvec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__queryvec"), F.col("__neighborvec")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: (id_a, id_b, cosine_sim >= threshold).
+
+    LSH bucketing bounds the candidate set; exact cosine confirms.
+    """
+    rows_per_band = num_planes // bands
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = first["d"] if first else 0
+    sig = rp_signature(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+        "vec",
+        num_planes,
+        dim,
+    )
+    banded = sig.select(
+        "id",
+        "vec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("__sig")[b * rows_per_band + r] for r in range(rows_per_band)],
+                            F.lit(b),
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "vec", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.vec").alias("__va"),
+            F.col("b.vec").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+    return pairs

@@ -1,0 +1,149 @@
+"""Pipeline model: ordered sources → transforms → sinks over temp views.
+
+The IR is the Spark temp-view catalog, exactly as in the reference
+(reference ``etl/src/main/scala/dev/mauch/spark/dfio/ETL.scala:11-33``):
+a source reads an external system into a DataFrame and registers it as
+a named view; a transform maps one view to another; a sink persists a
+named view. Transforms default to ``identity`` from "source" to "sink"
+when none are given (reference ``ETL.scala:120-124``).
+
+Deliberate deviations from the reference (documented quirks we do NOT
+copy, per SURVEY.md §7):
+
+- A sink failure raises by default instead of silently skipping all
+  later sinks (reference ``ETL.scala:125`` used ``takeWhile``);
+  ``fail_fast=False`` restores lenient behavior but still runs every
+  sink and reports per-sink status.
+- Streaming termination is explicit: ``await_termination`` (seconds or
+  ``True`` for unbounded) instead of relying on non-daemon threads.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_etl_cli_spark import registry
+from spark_etl_cli_spark.uri import (
+    ParsedUri,
+    sink_view_name,
+    source_view_name,
+    transform_views,
+)
+
+# A transform is (spark, input_df) -> output_df. The input view is also
+# registered as "input" for SQL transforms (reference
+# core/.../TransformerParser.scala:29).
+TransformFn = Callable[[SparkSession, DataFrame], DataFrame]
+
+
+@dataclass
+class SourceStep:
+    uri: ParsedUri
+    view: str
+    source: "object"  # DataFrameSource
+
+    def run(self, spark: SparkSession) -> None:
+        df = self.source.read(spark)
+        df.createOrReplaceTempView(self.view)
+
+
+@dataclass
+class TransformStep:
+    uri: ParsedUri
+    in_view: str
+    out_view: str
+    fn: TransformFn
+
+    def run(self, spark: SparkSession) -> None:
+        df = spark.table(self.in_view)
+        df.createOrReplaceTempView("input")
+        out = self.fn(spark, df)
+        out.createOrReplaceTempView(self.out_view)
+
+
+@dataclass
+class SinkStep:
+    uri: ParsedUri
+    view: str
+    sink: "object"  # DataFrameSink
+
+    def run(self, spark: SparkSession) -> bool:
+        df = spark.table(self.view)
+        return self.sink.write(df)
+
+
+@dataclass
+class Pipeline:
+    sources: list[SourceStep] = field(default_factory=list)
+    transforms: list[TransformStep] = field(default_factory=list)
+    sinks: list[SinkStep] = field(default_factory=list)
+
+    @classmethod
+    def from_uris(
+        cls,
+        source_uris: list[str],
+        transform_uris: list[str],
+        sink_uris: list[str],
+    ) -> "Pipeline":
+        sources = []
+        for u in source_uris:
+            p, src = registry.resolve_source(u)
+            sources.append(SourceStep(p, source_view_name(p), src))
+        transforms = []
+        for u in transform_uris:
+            p, fn = registry.resolve_transform(u)
+            in_v, out_v = transform_views(p)
+            transforms.append(TransformStep(p, in_v, out_v, fn))
+        if not transforms:
+            transforms = [
+                TransformStep(None, "source", "sink", lambda _s, df: df)
+            ]
+        sinks = []
+        for u in sink_uris:
+            p, snk = registry.resolve_sink(u)
+            sinks.append(SinkStep(p, sink_view_name(p), snk))
+        return cls(sources, transforms, sinks)
+
+    def run(
+        self,
+        spark: SparkSession,
+        fail_fast: bool = True,
+        await_termination: float | bool = False,
+    ) -> dict[str, bool]:
+        """Interpret the pipeline. Returns per-sink success map."""
+        for s in self.sources:
+            s.run(spark)
+        for t in self.transforms:
+            t.run(spark)
+        results: dict[str, bool] = {}
+        for i, snk in enumerate(self.sinks):
+            key = f"{i}:{snk.uri.raw if snk.uri else snk.view}"
+            try:
+                ok = snk.run(spark)
+            except Exception:
+                if fail_fast:
+                    raise
+                ok = False
+            results[key] = bool(ok)
+        if await_termination and spark.streams.active:
+            timeout = None if await_termination is True else float(await_termination)
+            if timeout is None:
+                spark.streams.awaitAnyTermination()
+            else:
+                spark.streams.awaitAnyTermination(int(timeout * 1000))
+        return results
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sources: list[str],
+    transforms: list[str] | None = None,
+    sinks: list[str] | None = None,
+    **kwargs,
+) -> dict[str, bool]:
+    """One-call convenience: build from URIs and run."""
+    pipe = Pipeline.from_uris(sources, transforms or [], sinks or [])
+    return pipe.run(spark, **kwargs)

@@ -1,0 +1,66 @@
+"""SparkSession construction with scale-aware defaults.
+
+The reference builds its session by folding in every registered
+connector's extra Spark confs before ``getOrCreate`` (reference
+``etl/src/main/scala/dev/mauch/spark/dfio/ETL.scala:110-117``). We do
+the same: :func:`get_spark` merges base confs, connector-contributed
+confs from the registry, and caller overrides.
+
+Defaults are tuned for correctness-at-scale first:
+
+- AQE on (runtime coalescing, skew-join splitting) so plans adapt when
+  the same code runs at 100 TB instead of sf0.01.
+- ``spark.sql.shuffle.partitions`` defaults to ~2x local cores; on a
+  real cluster AQE's coalescing makes the initial number forgiving.
+- Session timezone pinned to UTC so timestamp semantics match the
+  DuckDB oracle (and are deterministic across clusters).
+- Arrow enabled for any Pandas-UDF path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+BASE_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Broadcast threshold: 64 MB. Dimension tables (region/nation and
+    # most computed aggregates) stay broadcastable even at large SF.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.ui.enabled": "false",
+    "spark.sql.shuffle.partitions": str(max(default_parallelism(), 8)),
+}
+
+
+def get_spark(
+    app_name: str = "spark_etl_cli_spark",
+    master: str | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``extra_confs`` (e.g. connector-contributed confs such as Delta's
+    SQL extension) override the base confs; an already-active session is
+    reused as-is, matching ``getOrCreate`` semantics.
+    """
+    master = master or f"local[{default_parallelism()}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    confs = dict(BASE_CONFS)
+    if extra_confs:
+        confs.update(extra_confs)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,119 @@
+"""Source/sink abstractions shared by all connectors.
+
+Mirrors the capability of the reference's ``DataFrameSource`` /
+``DataFrameSink`` traits and its ``DefaultDataFrameSource`` /
+``StreamingDataFrameSource`` helpers (reference
+``core/src/main/scala/dev/mauch/spark/dfio/DataFrameSource.scala:13-53``):
+
+- batch read = ``spark.read.format(f).options(o).load(path)``
+- ``-stream`` scheme suffix switches to ``spark.readStream``
+- ``schema=<url-encoded Spark DataType JSON>`` query param provides an
+  explicit schema (required for file streams)
+- ``watermark=col:duration`` attaches an event-time watermark
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Protocol
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from spark_etl_cli_spark.uri import ParsedUri
+
+
+class DataFrameSource(Protocol):
+    def read(self, spark: SparkSession) -> DataFrame: ...
+
+
+class DataFrameSink(Protocol):
+    def write(self, df: DataFrame) -> bool: ...
+
+
+def parse_schema_json(schema_json: str) -> T.StructType:
+    """Spark DataType JSON (or DDL) → StructType."""
+    s = schema_json.strip()
+    if s.startswith("{"):
+        dt = T.StructType.fromJson(json.loads(s))
+        return dt
+    return T.StructType.fromDDL(s)
+
+
+def apply_watermark(df: DataFrame, watermark: str | None) -> DataFrame:
+    """``col:duration`` → ``df.withWatermark(col, duration)``."""
+    if not watermark:
+        return df
+    col, _, dur = watermark.partition(":")
+    if not dur:
+        raise ValueError(f"watermark must be 'col:duration', got {watermark!r}")
+    return df.withWatermark(col, dur)
+
+
+# query params consumed by the framework, not forwarded as reader options
+_RESERVED = {"schema", "watermark", "trigger-interval", "mode"}
+
+
+def reader_options(p: ParsedUri) -> dict[str, str]:
+    return {k: v for k, v in p.params.items() if k not in _RESERVED}
+
+
+@dataclass
+class FileSource:
+    """Generic file-format source: batch or streaming per URI scheme."""
+
+    uri: ParsedUri
+    fmt: str
+    default_options: dict[str, str] = field(default_factory=dict)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        opts = {**self.default_options, **reader_options(self.uri)}
+        path = self.uri.path
+        if self.uri.is_stream:
+            reader = spark.readStream.format(self.fmt).options(**opts)
+            schema_json = self.uri.params.get("schema")
+            if schema_json:
+                reader = reader.schema(parse_schema_json(schema_json))
+            df = reader.load(path)
+            return apply_watermark(df, self.uri.params.get("watermark"))
+        reader = spark.read.format(self.fmt).options(**opts)
+        schema_json = self.uri.params.get("schema")
+        if schema_json:
+            reader = reader.schema(parse_schema_json(schema_json))
+        df = reader.load(path)
+        return apply_watermark(df, self.uri.params.get("watermark"))
+
+
+@dataclass
+class FileSink:
+    """Generic file-format sink: batch or streaming per DataFrame kind.
+
+    Unlike the reference's parquet sink (default ``errorifexists`` with
+    swallowed exceptions, reference ``core/.../ParquetDataFrameIO.scala:11-18``),
+    the default mode is ``overwrite`` and errors propagate; ``?mode=``
+    overrides. No ``repartition(1)``: single-file output is opt-in via
+    ``?single-file=true`` because it serializes the write at scale.
+    """
+
+    uri: ParsedUri
+    fmt: str
+    default_mode: str = "overwrite"
+    default_options: dict[str, str] = field(default_factory=dict)
+
+    def write(self, df: DataFrame) -> bool:
+        opts = {**self.default_options, **reader_options(self.uri)}
+        single = opts.pop("single-file", "false").lower() == "true"
+        path = self.uri.path
+        if df.isStreaming:
+            trigger = self.uri.params.get("trigger-interval")
+            writer = df.writeStream.format(self.fmt).options(**opts)
+            if trigger:
+                writer = writer.trigger(processingTime=trigger)
+            writer.start(path)
+            return True
+        if single:
+            df = df.coalesce(1)
+        mode = self.uri.params.get("mode", self.default_mode)
+        df.write.mode(mode).options(**opts).format(self.fmt).save(path)
+        return True

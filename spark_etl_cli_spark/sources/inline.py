@@ -1,0 +1,134 @@
+"""Inline connectors: console and values.
+
+- ``console://`` — source yields an empty DataFrame; sink prints (batch)
+  or starts a console stream (streaming). Reference
+  ``core/.../ConsoleDataFrameSink.scala:7-25``.
+- ``values://?header=a:int,b&values=1,x;2,y`` — literal inline table.
+  Header types: int, long, double, float, boolean, date, timestamp,
+  string (default). The reference supported only int/double/long→string
+  (``core/.../ValuesSource.scala:40-53``); the wider type list is a
+  deliberate extension. Rows split on ``;``, cells on ``,``.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from spark_etl_cli_spark.registry import register_sink, register_source
+from spark_etl_cli_spark.uri import ParsedUri
+
+_TYPES: dict[str, T.DataType] = {
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "bigint": T.LongType(),
+    "double": T.DoubleType(),
+    "float": T.FloatType(),
+    "boolean": T.BooleanType(),
+    "bool": T.BooleanType(),
+    "date": T.DateType(),
+    "timestamp": T.TimestampType(),
+    "string": T.StringType(),
+}
+
+
+def _coerce(cell: str, dtype: T.DataType):
+    cell = cell.strip()
+    if cell == "" or cell.lower() == "null":
+        return None
+    if isinstance(dtype, T.IntegerType | T.LongType):
+        return int(cell)
+    if isinstance(dtype, T.DoubleType | T.FloatType):
+        return float(cell)
+    if isinstance(dtype, T.BooleanType):
+        return cell.lower() in ("true", "1", "t", "yes")
+    if isinstance(dtype, T.DateType):
+        return _dt.date.fromisoformat(cell)
+    if isinstance(dtype, T.TimestampType):
+        return _dt.datetime.fromisoformat(cell)
+    return cell
+
+
+def parse_header(header: str) -> T.StructType:
+    fields = []
+    for part in header.split(","):
+        name, _, tname = part.partition(":")
+        dtype = _TYPES.get(tname.strip().lower(), T.StringType()) if tname else T.StringType()
+        fields.append(T.StructField(name.strip(), dtype, True))
+    return T.StructType(fields)
+
+
+@dataclass
+class ValuesSource:
+    uri: ParsedUri
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        header = self.uri.params.get("header", "")
+        if not header:
+            raise ValueError("values:// requires ?header=name:type,...")
+        schema = parse_header(header)
+        values = self.uri.params.get("values", "")
+        rows = []
+        if values:
+            for row in values.split(";"):
+                cells = row.split(",")
+                rows.append(
+                    tuple(
+                        _coerce(c, f.dataType)
+                        for c, f in zip(cells, schema.fields, strict=True)
+                    )
+                )
+        return spark.createDataFrame(rows, schema)
+
+
+@dataclass
+class ShowSink:
+    """Print up to `limit` rows; works for batch and streaming frames."""
+
+    uri: ParsedUri
+    limit: int = 10000
+
+    def write(self, df: DataFrame) -> bool:
+        if df.isStreaming:
+            writer = df.writeStream.outputMode(
+                self.uri.params.get("outputMode", "append")
+            ).format("console")
+            trigger = self.uri.params.get("trigger-interval")
+            if trigger:
+                writer = writer.trigger(processingTime=trigger)
+            writer.start()
+            return True
+        df.show(int(self.uri.params.get("limit", self.limit)), truncate=False)
+        return True
+
+
+@dataclass
+class EmptySource:
+    uri: ParsedUri
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame([], T.StructType([]))
+
+
+@register_source("console")
+def console_source(p: ParsedUri) -> EmptySource:
+    return EmptySource(p)
+
+
+@register_sink("console", "console-stream")
+def console_sink(p: ParsedUri) -> ShowSink:
+    return ShowSink(p)
+
+
+@register_source("values")
+def values_source(p: ParsedUri) -> ValuesSource:
+    return ValuesSource(p)
+
+
+@register_sink("values")
+def values_sink(p: ParsedUri) -> ShowSink:
+    # The reference's values sink just prints (ValuesSource.scala:27-30).
+    return ShowSink(p)

@@ -1,0 +1,274 @@
+"""Optional connectors whose runtime dependencies may be absent:
+delta, excel, kafka, solr.
+
+Each registers its scheme unconditionally (so `known_schemes()` shows
+the full surface and URI parsing is always testable) and checks its
+dependency lazily at read/write time with a clear error. This matches
+the builder environment: no pip/apt installs, jars may be missing.
+
+Reference parity targets:
+
+- ``delta://`` / ``delta-stream://`` — ``delta/.../DeltaUriParser.scala:13-60``
+- ``excel://`` — ``excel/.../ExcelFileDataFrameSource.scala:9-38``
+- ``kafka://`` / ``kafka-stream://`` — ``kafka/.../KafkaDataFrameSource.scala:9-56``
+- ``solr://`` (sink only) — ``solr/.../SolrDataFrameSourceSink.scala:19-94``
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_etl_cli_spark.registry import (
+    contribute_spark_confs,
+    register_sink,
+    register_source,
+)
+from spark_etl_cli_spark.sources.base import FileSink, FileSource, reader_options
+from spark_etl_cli_spark.uri import ParsedUri
+
+
+class MissingDependencyError(RuntimeError):
+    def __init__(self, scheme: str, needs: str):
+        super().__init__(
+            f"connector {scheme!r} needs {needs}, which is not available in "
+            "this environment; install it (cluster-side jar / pip extra) to use "
+            "this scheme"
+        )
+
+
+def _has_delta(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.org.apache.spark.sql.delta.DeltaLog  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+# Delta needs session confs (reference DeltaUriParser.scala:51-54).
+# Contributed only when the delta-spark python package is importable, so
+# a delta-less environment still builds a clean session.
+try:
+    import delta  # noqa: F401
+
+    contribute_spark_confs(
+        {
+            "spark.sql.extensions": "io.delta.sql.DeltaSparkSessionExtension",
+            "spark.sql.catalog.spark_catalog": (
+                "org.apache.spark.sql.delta.catalog.DeltaCatalog"
+            ),
+        }
+    )
+except ImportError:
+    pass
+
+
+@dataclass
+class DeltaSource:
+    uri: ParsedUri
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        if not _has_delta(spark):
+            raise MissingDependencyError("delta", "delta-spark jars on the classpath")
+        return FileSource(self.uri, "delta").read(spark)
+
+
+@dataclass
+class DeltaSink:
+    uri: ParsedUri
+
+    def write(self, df: DataFrame) -> bool:
+        if not _has_delta(df.sparkSession):
+            raise MissingDependencyError("delta", "delta-spark jars on the classpath")
+        if df.isStreaming:
+            # Pre-create the table so downstream readers see a schema
+            # immediately (reference trick, DeltaUriParser.scala:29-34).
+            try:
+                empty = df.sparkSession.createDataFrame([], df.schema)
+                empty.write.format("delta").mode("ignore").save(self.uri.path)
+            except Exception:
+                pass
+        return FileSink(self.uri, "delta").write(df)
+
+
+@register_source("delta", "delta-stream")
+def delta_source(p: ParsedUri) -> DeltaSource:
+    return DeltaSource(p)
+
+
+@register_sink("delta", "delta-stream")
+def delta_sink(p: ParsedUri) -> DeltaSink:
+    return DeltaSink(p)
+
+
+@dataclass
+class ExcelSource:
+    """Excel via pandas/openpyxl (no JVM plugin needed) → createDataFrame."""
+
+    uri: ParsedUri
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        try:
+            import pandas as pd
+        except ImportError as e:  # pragma: no cover
+            raise MissingDependencyError("excel", "pandas + openpyxl") from e
+        try:
+            pdf = pd.read_excel(self.uri.path)
+        except ImportError as e:
+            raise MissingDependencyError("excel", "an Excel engine (openpyxl)") from e
+        return spark.createDataFrame(pdf)
+
+
+@dataclass
+class ExcelSink:
+    uri: ParsedUri
+
+    def write(self, df: DataFrame) -> bool:
+        from spark_etl_cli_spark.operators.schema_tools import json_encode_complex
+
+        try:
+            pdf = json_encode_complex(df).toPandas()
+            pdf.to_excel(self.uri.path, index=False)
+        except ImportError as e:
+            raise MissingDependencyError("excel", "an Excel engine (openpyxl)") from e
+        return True
+
+
+@register_source("excel", "xlsx")
+def excel_source(p: ParsedUri) -> ExcelSource:
+    return ExcelSource(p)
+
+
+@register_sink("excel", "xlsx")
+def excel_sink(p: ParsedUri) -> ExcelSink:
+    return ExcelSink(p)
+
+
+def _kafka_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.org.apache.spark.sql.kafka010.KafkaSourceProvider  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+@dataclass
+class KafkaSource:
+    """``kafka://host:port/topic?serde=json[:schema]|none&...``."""
+
+    uri: ParsedUri
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        if not _kafka_available(spark):
+            raise MissingDependencyError("kafka", "the spark-sql-kafka connector jar")
+        from spark_etl_cli_spark.streaming.serde import deserialize_values
+
+        topic = self.uri.first_path_part()
+        opts = reader_options(self.uri)
+        serde = opts.pop("serde", "json")
+        reader = (
+            (spark.readStream if self.uri.is_stream else spark.read)
+            .format("kafka")
+            .option("kafka.bootstrap.servers", self.uri.authority)
+            .option("subscribe", topic)
+            .options(**opts)
+        )
+        raw = reader.load()
+        df = deserialize_values(spark, raw, serde)
+        from spark_etl_cli_spark.sources.base import apply_watermark
+
+        return apply_watermark(df, self.uri.params.get("watermark"))
+
+
+@dataclass
+class KafkaSink:
+    uri: ParsedUri
+
+    def write(self, df: DataFrame) -> bool:
+        if not _kafka_available(df.sparkSession):
+            raise MissingDependencyError("kafka", "the spark-sql-kafka connector jar")
+        from spark_etl_cli_spark.streaming.serde import serialize_values
+
+        topic = self.uri.first_path_part()
+        opts = reader_options(self.uri)
+        serde = opts.pop("serde", "json")
+        out = serialize_values(df, serde)
+        if df.isStreaming:
+            writer = (
+                out.writeStream.format("kafka")
+                .option("kafka.bootstrap.servers", self.uri.authority)
+                .option("topic", topic)
+                .options(**opts)
+            )
+            writer.start()
+            return True
+        (
+            out.write.format("kafka")
+            .option("kafka.bootstrap.servers", self.uri.authority)
+            .option("topic", topic)
+            .options(**opts)
+            .save()
+        )
+        return True
+
+
+@register_source("kafka", "kafka-stream")
+def kafka_source(p: ParsedUri) -> KafkaSource:
+    return KafkaSource(p)
+
+
+@register_sink("kafka", "kafka-stream")
+def kafka_sink(p: ParsedUri) -> KafkaSink:
+    return KafkaSink(p)
+
+
+@dataclass
+class SolrSink:
+    """Batched per-partition HTTP sink (reference: foreachPartition with a
+    CloudSolrClient, ``SolrDataFrameSourceSink.scala:34-91``).
+
+    Implemented with ``foreachPartition`` + batched JSON POSTs so each
+    executor holds one connection; requires a live Solr, so the network
+    call is stubbed out unless ``spark.solr.zookeeperUrl``-style conf or
+    ``?endpoint=`` is provided.
+    """
+
+    uri: ParsedUri
+
+    def write(self, df: DataFrame) -> bool:
+        endpoint = self.uri.params.get("endpoint")
+        if not endpoint:
+            raise MissingDependencyError("solr", "a live Solr endpoint (?endpoint=)")
+        collection = self.uri.first_path_part()
+        batch_size = int(self.uri.params.get("batchSize", "10000"))
+        from spark_etl_cli_spark.operators.schema_tools import json_encode_complex
+
+        flat = json_encode_complex(df)
+        url = f"{endpoint.rstrip('/')}/{collection}/update?commit=true"
+
+        def send_partition(rows):
+            import itertools
+            import json as _json
+            import urllib.request
+
+            it = iter(rows)
+            while True:
+                batch = list(itertools.islice(it, batch_size))
+                if not batch:
+                    break
+                payload = _json.dumps([r.asDict(recursive=True) for r in batch])
+                req = urllib.request.Request(
+                    url,
+                    data=payload.encode(),
+                    headers={"Content-Type": "application/json"},
+                )
+                urllib.request.urlopen(req).read()
+
+        flat.foreachPartition(send_partition)
+        return True
+
+
+@register_sink("solr")
+def solr_sink(p: ParsedUri) -> SolrSink:
+    return SolrSink(p)
