@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs every registered query once (warm session), times each end-to-end
+(plan + execute + collect-to-count), and prints ONE JSON line:
+
+  {"metric": "total_query_sec", "value": N, "unit": "sec",
+   "queries": {"q01_pricing_summary": sec, ...}, "sf": "..."}
+
+Env:
+  SPARK_GRAFT_SF_DIR  data dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default: all cores)
+  BENCH_QUERIES       comma-separated subset of query names
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import __spark_entry__ as entrymod
+    from spark_etl_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    queries = entrymod.queries()
+    subset = os.environ.get("BENCH_QUERIES")
+    names = [n for n in subset.split(",") if n] if subset else list(queries)
+
+    # Warm up the JVM/codegen path once so q1 isn't charged session-start
+    # costs; the driver measures steady-state throughput.
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = queries[name](spark, sf_dir)
+        # count() forces full execution without driver-side row transfer
+        # dominating the measurement for wide results.
+        df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
