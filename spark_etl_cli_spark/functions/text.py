@@ -60,12 +60,20 @@ def _sql(col: Column) -> str:
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Array of distinct k-word shingles, joined with single spaces."""
+    """Array of distinct k-word shingles, joined with single spaces.
+
+    Guarded for short docs: Spark's ``sequence(1, 0)`` counts *down*
+    ([1, 0]) and ``slice(_, 0, _)`` then throws, so docs with fewer than
+    k tokens return an empty array explicitly.
+    """
     toks = tokens(text)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        F.when(F.size(toks) >= k, shingles).otherwise(
+            F.array().cast("array<string>")
         )
     )
 

@@ -77,7 +77,9 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
         x ^= (x >> 13)
         x = (x * 0x5BD1E995) & 0xFFFFFFFF
         x ^= (x >> 15)
-        vals.append((x / 2**31) - 1.0)
+        # round to 6 decimals: keeps SQL-literal twins of these planes
+        # short while leaving the LSH distribution unchanged
+        vals.append(round((x / 2**31) - 1.0, 6))
     return vals
 
 
@@ -93,6 +95,37 @@ def rp_signature(
         plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
         bits.append((dot(F.col(vec_col), plane) >= 0).cast("int"))
     return df.withColumn("__sig", F.array(*bits))
+
+
+def _band_bucket(b: int, rows_per_band: int):
+    """Integer bucket key for band ``b``: the band's sign bits packed
+    into a long (bit r = sig[b*rpb + r]). Exactly as collision-uniform
+    as hashing the bits, and — unlike a hash — replicable in ANSI SQL,
+    so the DuckDB oracle can verify the whole LSH plan end to end."""
+    acc = F.lit(0).cast("long")
+    for r in range(rows_per_band):
+        acc = acc + F.col("__sig")[b * rows_per_band + r].cast("long") * F.lit(
+            1 << r
+        ).cast("long")
+    return acc
+
+
+def _explode_bands(sig: DataFrame, bands: int, rows_per_band: int, keep: list[str]) -> DataFrame:
+    """(keep..., band, bucket) — one row per (row, band)."""
+    return sig.select(
+        *keep,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _band_bucket(b, rows_per_band).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(*keep, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
 def lsh_topk(
@@ -121,24 +154,7 @@ def lsh_topk(
             num_planes,
             dim,
         )
-        return sig.select(
-            f"{side}_id",
-            f"__{side}vec",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.xxhash64(
-                                *[F.col("__sig")[b * rows_per_band + r] for r in range(rows_per_band)],
-                                F.lit(b),
-                            ).alias("bucket"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bb"),
-        ).select(f"{side}_id", f"__{side}vec", "bb.band", "bb.bucket")
+        return _explode_bands(sig, bands, rows_per_band, [f"{side}_id", f"__{side}vec"])
 
     cb = banded(corpus, "neighbor")
     qb = banded(queries, "query")
@@ -183,24 +199,7 @@ def cosine_dup_pairs(
         num_planes,
         dim,
     )
-    banded = sig.select(
-        "id",
-        "vec",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("__sig")[b * rows_per_band + r] for r in range(rows_per_band)],
-                            F.lit(b),
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "vec", "bb.band", "bb.bucket")
+    banded = _explode_bands(sig, bands, rows_per_band, ["id", "vec"])
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

@@ -1,10 +1,10 @@
 """Import every query module so the registry is fully populated."""
 
-from spark_etl_cli_spark.plans import relational  # noqa: F401
-
-# populated in later milestones:
-for _mod in ("textops", "vectorops", "streamops"):
-    try:
-        __import__(f"spark_etl_cli_spark.plans.{_mod}")
-    except ImportError:
-        pass
+from spark_etl_cli_spark.plans import (  # noqa: F401
+    mmops,
+    pipelineops,
+    relational,
+    streamops,
+    textops,
+    vectorops,
+)

@@ -1,0 +1,203 @@
+"""Structured Streaming query coverage over the ``events`` table.
+
+Each query runs a genuine streaming pipeline — ``readStream`` file
+source → stateful transformation → memory sink — driven to completion
+with an ``availableNow`` trigger, then returns the materialized result
+as a batch DataFrame so the driver's oracle compare applies. With
+availableNow over a static dir the stream processes everything in one
+epoch, so watermarks drop nothing and the results equal the batch
+semantics the DuckDB oracles express.
+
+Covered: tumbling windows, sliding windows, session windows (gap-based)
+and a stream-stream interval join with watermarks on both sides — the
+same shape as the reference's flagship streaming test (reference
+``etl/src/test/scala/dev/mauch/spark/dfio/ETLTest.scala:143-157,174-177``).
+
+Timestamp discipline: events.parquet carries TIMESTAMP(NANOS); the
+stream schema reads it as LONG and converts with ``timestamp_micros(ns
+div 1000)`` (floor), matching DuckDB's ns→µs truncation. Outputs carry
+epoch-second BIGINTs, never raw timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spark_etl_cli_spark.plans.registry import bcount, query
+
+EVENTS_LONG_TS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (legacy nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a streaming DataFrame with a proper timestamp."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_LONG_TS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def run_to_table(df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Drive a streaming DataFrame to completion into a memory sink."""
+    spark = df.sparkSession
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _epoch(col) -> F.Column:
+    return F.unix_timestamp(col).cast("bigint")
+
+
+# --- q50: tumbling 1h windowed aggregation ------------------------------
+@query(
+    "q50_stream_tumbling",
+    oracle="""
+    SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           MAX(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q50_stream_tumbling(spark, sf_dir):
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    # streaming aggs can't COUNT(DISTINCT ...); size(collect_set()) is
+    # the supported exact equivalent (state = the set, bounded per window)
+    agg = ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        bcount("n"),
+        F.size(F.collect_set("user_id")).cast("bigint").alias("n_users"),
+        F.max("value").alias("max_value"),
+    )
+    res = run_to_table(agg, "q50_tumbling", "complete")
+    return res.select(
+        _epoch(F.col("w.start")).alias("window_start"),
+        "event_type",
+        "n",
+        "n_users",
+        "max_value",
+    )
+
+
+# --- q51: sliding 1h window, 30m slide ----------------------------------
+@query(
+    "q51_stream_sliding",
+    oracle="""
+    WITH b AS (
+      SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800 AS b30, *
+      FROM events
+    ),
+    w AS (
+      SELECT b30 - off * 1800 AS window_start, event_type, user_id
+      FROM b CROSS JOIN (SELECT unnest([0, 1]) AS off)
+    )
+    SELECT window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM w GROUP BY 1, 2
+    """,
+)
+def q51_stream_sliding(spark, sf_dir):
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(
+        F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+    ).agg(bcount("n"))
+    res = run_to_table(agg, "q51_sliding", "complete")
+    return res.select(
+        _epoch(F.col("w.start")).alias("window_start"), "event_type", "n"
+    )
+
+
+# --- q52: session windows (10-minute gap) --------------------------------
+@query(
+    "q52_stream_sessions",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       IS NULL THEN 1
+                  WHEN ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       + INTERVAL 10 MINUTE THEN 1
+                  ELSE 0 END AS brk
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM o
+    )
+    SELECT user_id,
+           CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id, grp
+    """,
+)
+def q52_stream_sessions(spark, sf_dir):
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "30 minutes")
+    agg = ev.groupBy(
+        F.session_window("ts", "10 minutes").alias("w"), "user_id"
+    ).agg(bcount("n_events"))
+    res = run_to_table(agg, "q52_sessions", "complete")
+    return res.select(
+        "user_id",
+        _epoch(F.col("w.start")).alias("session_start"),
+        "n_events",
+    )
+
+
+# --- q53: stream-stream interval join (watermarked both sides) ----------
+# The reference's flagship streaming shape: equi key + time-interval
+# predicate across two watermarked streams.
+@query(
+    "q53_stream_interval_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts
+    """,
+)
+def q53_stream_interval_join(spark, sf_dir):
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("p_ts") <= F.col("c_ts")),
+    ).select("click_id", "purchase_id")
+    return run_to_table(joined, "q53_join", "append")

@@ -1,0 +1,326 @@
+"""Text-analysis + deduplication query coverage over ``documents``.
+
+North-star extensions beyond the reference (SURVEY.md §2d): token
+counting, quality scoring, language ID, fingerprinting, exact dedup,
+n-gram Jaccard near-dup, MinHash-LSH and SimHash (the at-scale paths).
+
+Oracle discipline: every Spark expression here has a character-for-
+character DuckDB twin (same normalization regex, same token split, same
+arithmetic order) so value hashes match bit-for-bit. The two xxhash64-
+based queries (MinHash, SimHash) have no ANSI-SQL twin — they are
+registered without oracles (driver records the weaker rows-only check)
+and their *semantics* are cross-checked by the exact-Jaccard query and
+the pytest suite instead.
+
+Since the synthetic corpus has no exact duplicates, the dedup queries
+derive a dup-bearing input inline: docs with ``doc_id < 100`` are
+re-appended under ``doc_id + 100000`` with tab/space noise injected, so
+normalization + dedup do observable work in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_etl_cli_spark.functions.text import (
+    LANG_MARKERS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from spark_etl_cli_spark.operators.dedup import (
+    dedup_exact,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    shingle_pairs_jaccard,
+    simhash,
+)
+from spark_etl_cli_spark.plans.registry import SQL_DAVG, bcount, query, t
+
+# --- DuckDB twins of functions/text.py (shared fragments) --------------
+SQL_NORM = r"trim(regexp_replace(text, '\s+', ' ', 'g'))"
+SQL_TOKENS = f"string_split(lower({SQL_NORM}), ' ')"
+SQL_NTOK = (
+    f"CAST(CASE WHEN length({SQL_NORM}) = 0 THEN 0 "
+    f"ELSE len({SQL_TOKENS}) END AS BIGINT)"
+)
+SQL_FP = f"md5(lower({SQL_NORM}))"
+_STOPWORDS = "'the','a','an','and','of','to','in','is','it'"
+SQL_PUNCT = (
+    "CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+    "CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)"
+    " / CAST(length(text) AS DOUBLE) END"
+)
+SQL_SW = (
+    f"CASE WHEN len({SQL_TOKENS}) = 0 THEN 0.0 ELSE "
+    f"CAST(len(list_filter({SQL_TOKENS}, tk -> tk IN ({_STOPWORDS}))) AS DOUBLE)"
+    f" / CAST(len({SQL_TOKENS}) AS DOUBLE) END"
+)
+SQL_QUALITY = (
+    f"0.4 * (CAST(least({SQL_NTOK}, 100) AS DOUBLE) / 100.0) "
+    f"+ 0.3 * (1.0 - {SQL_PUNCT}) "
+    f"+ 0.3 * least(({SQL_SW}) * 5.0, 1.0)"
+)
+
+# lang_id twin: hits per language; max by (hits, lang) with the
+# lexicographically-largest language winning ties (= Spark's array_max
+# over (hits, lang) structs), 'und' when no marker hits at all.
+_hits = {
+    lang: f"len(list_filter({SQL_TOKENS}, tk -> tk IN "
+    f"({', '.join(repr(m) for m in markers)})))"
+    for lang, markers in LANG_MARKERS.items()
+}
+_mx = f"greatest({', '.join(_hits.values())})"
+SQL_LANG_ID = (
+    f"CASE WHEN {_mx} = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN {_hits[lang]} = {_mx} THEN '{lang}'"
+        for lang in sorted(_hits, reverse=True)
+    )
+    + " END"
+)
+
+# dup-bearing input: originals ∪ whitespace-noised copies of doc_id<100
+SQL_DOCS_WITH_DUPS = """
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         regexp_replace(text, ' ', chr(9) || ' ', 'g') AS text,
+         'dupsrc' AS source
+  FROM documents WHERE doc_id < 100
+"""
+
+
+def docs_with_dups(spark, sf_dir):
+    """Spark twin of SQL_DOCS_WITH_DUPS."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    noisy = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.regexp_replace("text", " ", "\t ").alias("text"),
+            F.lit("dupsrc").alias("source"),
+        )
+    )
+    return d.unionByName(noisy)
+
+
+# --- q30: token statistics per source ---------------------------------
+@query(
+    "q30_token_stats",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM({SQL_NTOK}) AS BIGINT) AS total_tokens,
+           CAST(MAX({SQL_NTOK}) AS BIGINT) AS max_tokens,
+           {SQL_DAVG(SQL_NTOK, "avg_tokens", 0)}
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q30_token_stats(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    ntok = token_count(F.col("text"))
+    return d.groupBy("source").agg(
+        bcount("n_docs"),
+        F.sum(ntok).cast("bigint").alias("total_tokens"),
+        F.max(ntok).cast("bigint").alias("max_tokens"),
+        (
+            F.sum(ntok.cast("decimal(18,0)")).cast("double") / F.count(F.lit(1))
+        ).alias("avg_tokens"),
+    )
+
+
+# --- q31: per-document quality scores (no cross-row float agg) ---------
+@query(
+    "q31_quality_scores",
+    oracle=f"""
+    SELECT doc_id, {SQL_NTOK} AS n_tokens, {SQL_QUALITY} AS quality
+    FROM documents
+    """,
+)
+def q31_quality_scores(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+# --- q32: heuristic language ID vs. labeled lang ------------------------
+@query(
+    "q32_language_id",
+    oracle=f"""
+    SELECT lang, {SQL_LANG_ID} AS detected,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q32_language_id(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy(
+        "lang", lang_id(F.col("text")).alias("detected")
+    ).agg(bcount("n_docs"))
+
+
+# --- q33: exact-dup fingerprint groups ----------------------------------
+# One hash-agg shuffle on the 32-byte md5; at 100 TB the map-side
+# combine collapses each partition to its distinct fingerprints first.
+@query(
+    "q33_exact_dup_groups",
+    oracle=f"""
+    WITH docs AS ({SQL_DOCS_WITH_DUPS})
+    SELECT {SQL_FP} AS fp,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS group_size
+    FROM docs GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def q33_exact_dup_groups(spark, sf_dir):
+    return exact_dup_groups(docs_with_dups(spark, sf_dir)).filter(
+        F.col("group_size") > 1
+    )
+
+
+# --- q34: exact dedup — survivor counts per source ----------------------
+@query(
+    "q34_dedup_survivors",
+    oracle=f"""
+    WITH docs AS ({SQL_DOCS_WITH_DUPS}),
+    ranked AS (
+      SELECT source, ROW_NUMBER() OVER (
+        PARTITION BY {SQL_FP} ORDER BY doc_id) AS rn
+      FROM docs
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM ranked WHERE rn = 1 GROUP BY source
+    """,
+)
+def q34_dedup_survivors(spark, sf_dir):
+    return (
+        dedup_exact(docs_with_dups(spark, sf_dir))
+        .groupBy("source")
+        .agg(bcount("n_docs"))
+    )
+
+
+# --- q35: exact n-gram Jaccard near-dup pairs ---------------------------
+# Inverted-index self-join on 3-word shingles with a hot-shingle cap
+# (df <= 1000); the DuckDB twin replicates shingling, cap, and the
+# intersection/union arithmetic exactly.
+@query(
+    "q35_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(tk) - 2, 0)),
+               i -> array_to_string(tk[i:i+2], ' '))) AS s
+      FROM (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents)
+    ),
+    ex0 AS (SELECT id, unnest(s) AS shingle FROM sh),
+    freq AS (SELECT shingle, COUNT(*) AS df FROM ex0 GROUP BY 1),
+    ex AS (SELECT id, ex0.shingle FROM ex0
+           JOIN freq ON ex0.shingle = freq.shingle AND freq.df <= 1000),
+    co AS (
+      SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT id, CAST(len(s) AS BIGINT) AS n FROM sh)
+    SELECT id_a, id_b,
+           CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+    FROM co JOIN sz sa ON id_a = sa.id JOIN sz sb ON id_b = sb.id
+    WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
+    """,
+)
+def q35_jaccard_pairs(spark, sf_dir):
+    return shingle_pairs_jaccard(
+        t(spark, sf_dir, "documents"), k=3, threshold=0.5, max_shingle_freq=1000
+    )
+
+
+# --- q36: MinHash-LSH candidate pairs (no ANSI oracle: xxhash64) --------
+# The linear-scale dedup path: banded minhash signatures; the rows-only
+# driver check covers execution, q35 covers the semantics it bounds.
+@query("q36_minhash_lsh_pairs")
+def q36_minhash_lsh_pairs(spark, sf_dir):
+    return (
+        minhash_lsh_pairs(
+            t(spark, sf_dir, "documents"), num_hashes=32, bands=8, shingle_k=3
+        )
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# --- q37: SimHash near-dup pairs (no ANSI oracle: xxhash64) -------------
+# 64-bit fingerprints → 4x16-bit band buckets → hamming<=8 confirm.
+@query("q37_simhash_pairs")
+def q37_simhash_pairs(spark, sf_dir):
+    fp = simhash(t(spark, sf_dir, "documents"))
+    banded = fp.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("simhash", b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bucket"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= 8)
+    )
+
+
+# --- q38: document fingerprint join (provenance lookup shape) -----------
+@query(
+    "q38_fingerprint_lookup",
+    oracle=f"""
+    WITH docs AS ({SQL_DOCS_WITH_DUPS}),
+    fps AS (SELECT doc_id, {SQL_FP} AS fp, source FROM docs)
+    SELECT a.fp AS fp, CAST(a.doc_id AS BIGINT) AS orig_id,
+           CAST(b.doc_id AS BIGINT) AS dup_id
+    FROM fps a JOIN fps b ON a.fp = b.fp AND b.source = 'dupsrc'
+    WHERE a.source <> 'dupsrc'
+    """,
+)
+def q38_fingerprint_lookup(spark, sf_dir):
+    docs = docs_with_dups(spark, sf_dir)
+    fps = docs.select(
+        "doc_id", fingerprint(F.col("text")).alias("fp"), "source"
+    )
+    a = fps.filter(F.col("source") != "dupsrc").alias("a")
+    b = fps.filter(F.col("source") == "dupsrc").alias("b")
+    return a.join(b, F.col("a.fp") == F.col("b.fp")).select(
+        F.col("a.fp").alias("fp"),
+        F.col("a.doc_id").cast("bigint").alias("orig_id"),
+        F.col("b.doc_id").cast("bigint").alias("dup_id"),
+    )

@@ -1,0 +1,211 @@
+"""Similarity-search query coverage over ``embeddings`` (array<float>).
+
+North-star extensions (SURVEY.md §2d): exact brute-force cosine top-k,
+random-hyperplane LSH top-k (the 100 TB path), embedding near-dup
+pairs, and a kNN label-vote classifier shape.
+
+Every query here is oracle-verified, including the LSH ones: the
+bucketing uses sign-bit-packed integers (operators/similarity.py) and
+deterministic hyperplanes, so the DuckDB twin replicates the *entire*
+approximate plan — candidates, re-rank, and output — bit for bit. Dot
+products are sequential left-folds over doubles in both engines, which
+makes even the floating-point cosine values hash-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_etl_cli_spark.operators.similarity import (
+    _hyperplane,
+    brute_force_topk,
+    cosine_dup_pairs,
+    lsh_topk,
+)
+from spark_etl_cli_spark.plans.registry import bcount, query, t
+
+DIM = 64  # embeddings.parquet vector width (all SFs)
+
+
+# --- DuckDB twins of functions/vectors.py ------------------------------
+def _sql_dot(a: str, b: str) -> str:
+    # operands parenthesized: `x::DOUBLE[][i]` is a parse error in DuckDB
+    return (
+        f"list_sum(list_transform(range(1, len(({a})) + 1), "
+        f"i -> CAST(({a})[i] AS DOUBLE) * CAST(({b})[i] AS DOUBLE)))"
+    )
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"({_sql_dot(a, b)} / "
+        f"(sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})))"
+    )
+
+
+def _sql_plane(p: int) -> str:
+    return "[" + ", ".join(repr(v) for v in _hyperplane(DIM, p)) + "]::DOUBLE[]"
+
+
+def _sql_sig(vec: str, num_planes: int) -> str:
+    """List of sign bits, one per hyperplane — twin of rp_signature."""
+    bits = ", ".join(
+        f"CASE WHEN {_sql_dot(vec, _sql_plane(p))} >= 0 THEN 1 ELSE 0 END"
+        for p in range(num_planes)
+    )
+    return f"[{bits}]"
+
+
+def _sql_banded(src: str, id_expr: str, num_planes: int, bands: int) -> str:
+    """CTE body producing (id, v, band, bucket) — twin of _explode_bands.
+
+    ``src`` must provide columns (``{id_expr}``, ``v`` vector, ``sig``).
+    """
+    rpb = num_planes // bands
+    selects = []
+    for b in range(bands):
+        bucket = " + ".join(
+            f"sig[{b * rpb + r + 1}] * {1 << r}" for r in range(rpb)
+        )
+        selects.append(
+            f"SELECT {id_expr}, v, {b} AS band, "
+            f"CAST({bucket} AS BIGINT) AS bucket FROM {src}"
+        )
+    return " UNION ALL ".join(selects)
+
+
+# --- q40: exact brute-force cosine top-k --------------------------------
+# Corpus×queries cross product with the query side broadcast; ranking by
+# per-query window. Exact ANN baseline; at 100 TB the broadcast keeps
+# the corpus scan shuffle-free and TakeOrdered never materializes the
+# full score matrix.
+@query(
+    "q40_ann_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         s AS (SELECT query_id, neighbor_id,
+                      {_sql_cos("qv", "cv")} AS cosine_sim
+               FROM c CROSS JOIN q WHERE neighbor_id <> query_id)
+    SELECT query_id, neighbor_id, cosine_sim,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+          FROM s)
+    WHERE rnk <= 5
+    """,
+)
+def q40_ann_bruteforce(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        corpus=e, queries=e.filter(F.col("vec_id") < 10), k=5
+    )
+
+
+# --- q41: LSH-bucketed approximate top-k --------------------------------
+# The scale path: sign-bit band buckets bound the candidate set; exact
+# cosine re-ranks candidates only. The oracle replicates the bucketing,
+# so this verifies the approximation itself, not just row counts.
+@query(
+    "q41_ann_lsh",
+    oracle=f"""
+    WITH c0 AS (SELECT vec_id AS id, embedding AS v,
+                       {_sql_sig("embedding", 16)} AS sig FROM embeddings),
+         q0 AS (SELECT * FROM c0 WHERE id < 10),
+         cb AS ({_sql_banded("c0", "id", 16, 4)}),
+         qb AS ({_sql_banded("q0", "id", 16, 4)}),
+         cand AS (
+           SELECT DISTINCT qb.id AS query_id, cb.id AS neighbor_id,
+                  qb.v AS qv, cb.v AS cv
+           FROM cb JOIN qb ON cb.band = qb.band AND cb.bucket = qb.bucket
+           WHERE cb.id <> qb.id
+         ),
+         s AS (SELECT query_id, neighbor_id,
+                      {_sql_cos("qv", "cv")} AS cosine_sim FROM cand)
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+          FROM s)
+    WHERE rnk <= 5
+    """,
+)
+def q41_ann_lsh(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    return lsh_topk(
+        corpus=e,
+        queries=e.filter(F.col("vec_id") < 10),
+        k=5,
+        num_planes=16,
+        bands=4,
+    )
+
+
+# --- q42: embedding near-duplicate pairs --------------------------------
+# LSH-bucketed all-pairs with exact-cosine confirmation (embedding-based
+# dedup). Threshold 0.3 is calibrated to the synthetic corpus (max pair
+# sim ~0.51) so the query does observable work.
+@query(
+    "q42_cosine_dup_pairs",
+    oracle=f"""
+    WITH c0 AS (SELECT vec_id AS id, embedding AS v,
+                       {_sql_sig("embedding", 16)} AS sig FROM embeddings),
+         cb AS ({_sql_banded("c0", "id", 16, 4)}),
+         cand AS (
+           SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.v AS va, b.v AS vb
+           FROM cb a JOIN cb b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+         )
+    SELECT id_a, id_b, cosine_sim FROM (
+      SELECT id_a, id_b, {_sql_cos("va", "vb")} AS cosine_sim FROM cand)
+    WHERE cosine_sim >= 0.3
+    """,
+)
+def q42_cosine_dup_pairs(spark, sf_dir):
+    return cosine_dup_pairs(
+        t(spark, sf_dir, "embeddings"), threshold=0.3, num_planes=16, bands=4
+    )
+
+
+# --- q43: kNN label vote (classification shape) -------------------------
+# Top-5 exact neighbors per query, majority label with smallest-label
+# tie-break — the standard "label my new data by similarity" pipeline.
+@query(
+    "q43_knn_label_vote",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 50),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label
+               FROM embeddings),
+         s AS (SELECT query_id, neighbor_id, label,
+                      {_sql_cos("qv", "cv")} AS cosine_sim
+               FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+         top AS (SELECT * FROM (
+                   SELECT *, ROW_NUMBER() OVER (
+                     PARTITION BY query_id
+                     ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+                   FROM s) WHERE rnk <= 5),
+         votes AS (SELECT query_id, label, COUNT(*) AS n
+                   FROM top GROUP BY 1, 2)
+    SELECT query_id, CAST(label AS INT) AS pred_label
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY n DESC, label) AS vr
+          FROM votes)
+    WHERE vr = 1
+    """,
+)
+def q43_knn_label_vote(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "embeddings")
+    labels = e.select(F.col("vec_id").alias("neighbor_id"), "label")
+    top = brute_force_topk(
+        corpus=e, queries=e.filter(F.col("vec_id") < 50), k=5
+    ).join(labels, "neighbor_id")
+    votes = top.groupBy("query_id", "label").agg(bcount("n"))
+    w = W.partitionBy("query_id").orderBy(F.col("n").desc(), F.col("label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(w))
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("label").cast("int").alias("pred_label"))
+    )
