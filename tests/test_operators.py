@@ -1,0 +1,109 @@
+"""Operator semantics: as-of join, dedup family, similarity."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from spark_etl_cli_spark.operators.asof import asof_join
+from spark_etl_cli_spark.operators.dedup import (
+    dedup_exact,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    shingle_pairs_jaccard,
+    simhash,
+)
+from spark_etl_cli_spark.operators.similarity import brute_force_topk
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_inclusive(spark):
+    quotes = spark.createDataFrame(
+        [
+            Row(sym="A", qts=ts("2024-01-01T10:00:00"), px=100.0),
+            Row(sym="A", qts=ts("2024-01-01T10:05:00"), px=101.0),
+            Row(sym="B", qts=ts("2024-01-01T10:01:00"), px=50.0),
+        ]
+    )
+    trades = spark.createDataFrame(
+        [
+            Row(sym="A", tts=ts("2024-01-01T10:04:59"), qty=1),  # -> 100
+            Row(sym="A", tts=ts("2024-01-01T10:05:00"), qty=2),  # -> 101 (inclusive)
+            Row(sym="B", tts=ts("2024-01-01T10:00:00"), qty=3),  # -> no match
+        ]
+    )
+    out = asof_join(
+        trades, quotes, key_cols=["sym"], left_ts="tts", right_ts="qts",
+        right_payload=["px"],
+    )
+    got = {(r.sym, r.qty): r.px for r in out.collect()}
+    assert got == {("A", 1): 100.0, ("A", 2): 101.0, ("B", 3): None}
+    assert out.count() == trades.count()  # never explodes rows
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="THE  Quick  Brown fox jumps over the lazy dog"),
+            Row(doc_id=3, text="completely different content about spark engines"),
+            Row(doc_id=4, text="the quick brown fox jumps over the lazy cat"),
+        ]
+    )
+
+
+def test_dedup_exact_normalizes(spark, docs):
+    # 1 and 2 differ only in case/whitespace -> one survivor (min id)
+    out = dedup_exact(docs)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [1, 3, 4]
+    groups = {r.keep_id: r.group_size for r in exact_dup_groups(docs).collect()}
+    assert groups[1] == 2
+
+
+def test_jaccard_pairs(spark, docs):
+    pairs = shingle_pairs_jaccard(docs, k=3, threshold=0.5).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert got[(1, 2)] == 1.0  # identical after normalization
+    assert (1, 4) in got  # near-dup shares most shingles
+    assert (1, 3) not in got
+
+
+def test_minhash_identical_docs_same_signature(spark, docs):
+    sigs = {r.id: r.signature for r in minhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.est_jaccard
+             for r in minhash_lsh_pairs(docs).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) not in pairs
+
+
+def test_simhash_properties(spark, docs):
+    fps = {r.id: r.simhash for r in simhash(docs).collect()}
+    assert fps[1] == fps[2]  # same token set -> same fingerprint
+    h14 = bin(fps[1] ^ fps[4]).count("1")
+    h13 = bin(fps[1] ^ fps[3]).count("1")
+    assert h14 < h13  # near-dup closer in hamming space than unrelated
+
+
+def test_brute_force_topk(spark):
+    vecs = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0]),
+            Row(vec_id=2, embedding=[0.9, 0.1]),
+            Row(vec_id=3, embedding=[0.0, 1.0]),
+        ]
+    )
+    out = brute_force_topk(vecs, vecs.filter(F.col("vec_id") == 1), k=2)
+    rows = sorted((r.rank, r.neighbor_id) for r in out.collect())
+    assert rows == [(1, 2), (2, 3)]  # 2 is most similar to 1

@@ -1,0 +1,73 @@
+"""Pipeline interpretation over temp views (reference ETL.scala:11-33)."""
+
+import pytest
+
+from spark_etl_cli_spark.pipeline import run_pipeline
+
+
+def test_values_to_sql_to_memory(spark):
+    res = run_pipeline(
+        spark,
+        sources=["people+values://?header=id:long,name,age:int&values=1,ann,34;2,bo,55;3,cy,19"],
+        transforms=[
+            "people+adults+sql://SELECT name FROM people WHERE age >= 21 ORDER BY name"
+        ],
+        sinks=["adults+memory://adults_out"],
+    )
+    assert all(res.values())
+    rows = [r.name for r in spark.table("adults_out").collect()]
+    assert rows == ["ann", "bo"]
+
+
+def test_default_identity_transform(spark):
+    # no transforms: view "source" is registered as "sink" unchanged
+    run_pipeline(
+        spark,
+        sources=["values://?header=a:int&values=7"],
+        sinks=["memory://identity_out"],
+    )
+    assert spark.table("identity_out").collect()[0].a == 7
+
+
+def test_input_view_alias(spark):
+    # the transform's input is also registered as "input" (reference
+    # TransformerParser.scala:29)
+    run_pipeline(
+        spark,
+        sources=["src+values://?header=x:int&values=5"],
+        transforms=["src+out+sql://SELECT x * 2 AS y FROM input"],
+        sinks=["out+memory://alias_out"],
+    )
+    assert spark.table("alias_out").collect()[0].y == 10
+
+
+def test_unknown_scheme_raises(spark):
+    with pytest.raises(Exception, match="nope"):
+        run_pipeline(spark, sources=["nope://x"])
+
+
+def test_sink_failure_fail_fast(spark, tmp_path):
+    with pytest.raises(Exception):
+        run_pipeline(
+            spark,
+            sources=["values://?header=a:int&values=1"],
+            sinks=[f"source+text://{tmp_path}/missing_dir_is_fine.csv?mode=errorifexists"]
+            * 2,  # second write to same path errors under errorifexists
+        )
+
+
+def test_sink_failure_lenient(spark, tmp_path):
+    out = f"{tmp_path}/lenient.csv"
+    res = run_pipeline(
+        spark,
+        sources=["values://?header=a:int&values=1"],
+        sinks=[
+            f"source+text://{out}?mode=errorifexists",
+            f"source+text://{out}?mode=errorifexists",  # fails: exists
+            "source+memory://lenient_out",  # still runs (no takeWhile abort)
+        ],
+        fail_fast=False,
+    )
+    vals = list(res.values())
+    assert vals[0] is True and vals[1] is False and vals[2] is True
+    assert spark.table("lenient_out").count() == 1

@@ -1,0 +1,93 @@
+"""File connector round-trips and the values/view/memory connectors."""
+
+import pytest
+from pyspark.sql import Row
+
+from spark_etl_cli_spark.pipeline import run_pipeline
+from spark_etl_cli_spark.registry import known_schemes
+
+
+def test_registry_covers_reference_schemes():
+    # every scheme family the reference ships (SURVEY.md §2a/2b)
+    known = known_schemes()
+    assert {"console", "values", "text", "parquet", "delta", "avro",
+            "excel", "hive", "kafka", "solr"} <= set(known["sinks"])
+    assert {"kafka-stream", "delta-stream", "avro-stream"} <= set(known["sources"])
+    assert {"identity", "sql", "sql-file", "flatten", "flatten-explode",
+            "diff"} <= set(known["transforms"])
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "json", "orc", "csv"])
+def test_file_round_trip(spark, tmp_path, fmt):
+    path = f"{tmp_path}/out.{fmt}"
+    run_pipeline(
+        spark,
+        sources=["t+values://?header=id:long,name&values=1,ann;2,bo"],
+        sinks=[f"t+{fmt}://{path}"],
+    )
+    run_pipeline(spark, sources=[f"back+{fmt}://{path}"])
+    back = spark.table("back")
+    got = sorted((int(r.id), r.name) for r in back.collect())
+    assert got == [(1, "ann"), (2, "bo")]
+
+
+def test_tsv_delimiter_from_extension(spark, tmp_path):
+    path = f"{tmp_path}/data.tsv"
+    run_pipeline(
+        spark,
+        sources=["t+values://?header=a,b&values=x,y"],
+        sinks=[f"t+text://{path}?single-file=true"],
+    )
+    import glob
+
+    files = glob.glob(f"{path}/part*")
+    assert len(files) == 1
+    content = open(files[0]).read()
+    assert "x\ty" in content
+
+
+def test_csv_nested_cols_jsonified(spark, tmp_path):
+    df = spark.createDataFrame([Row(id=1, s=Row(a=5), arr=[1, 2])])
+    df.createOrReplaceTempView("nested_src")
+    path = f"{tmp_path}/nested.csv"
+    run_pipeline(
+        spark,
+        sources=["nested_src+view://nested_src"],
+        sinks=[f"nested_src+csv://{path}"],
+    )
+    run_pipeline(spark, sources=[f"back2+csv://{path}"])
+    r = spark.table("back2").collect()[0]
+    assert r.s == '{"a":5}' and r.arr == "[1,2]"
+
+
+def test_values_types(spark):
+    run_pipeline(
+        spark,
+        sources=[
+            "v+values://?header=i:int,l:long,d:double,b:boolean,dt:date,s"
+            "&values=1,2,1.5,true,2024-01-31,hi"
+        ],
+        sinks=["v+memory://typed_out"],
+    )
+    r = spark.table("typed_out").collect()[0]
+    assert (r.i, r.l, r.d, r.b, str(r.dt), r.s) == (1, 2, 1.5, True, "2024-01-31", "hi")
+    types = dict(spark.table("typed_out").dtypes)
+    assert types == {"i": "int", "l": "bigint", "d": "double",
+                     "b": "boolean", "dt": "date", "s": "string"}
+
+
+def test_streaming_file_source_available_now(spark, tmp_path):
+    # write a parquet dir, stream it back through the pipeline into a
+    # memory sink driven by availableNow
+    src = f"{tmp_path}/stream_src"
+    spark.createDataFrame([Row(k=i) for i in range(10)]).write.parquet(src)
+    schema = "k BIGINT"
+    run_pipeline(
+        spark,
+        sources=[f"s+parquet-stream://{src}?schema={schema}"],
+        sinks=["s+memory-stream://stream_out?trigger-interval=availableNow"],
+    )
+    for q in spark.streams.active:
+        q.awaitTermination(30)
+    assert spark.table("stream_out").count() == 10
+    assert not any(q.isActive for q in spark.streams.active)

@@ -1,0 +1,116 @@
+"""Structural transforms: flatten, flatten-explode, diff (N/I/D/C)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from spark_etl_cli_spark.operators.diff import (
+    DiffFailedError,
+    apply_diff_handling,
+    diff,
+)
+from spark_etl_cli_spark.operators.schema_tools import (
+    flatten,
+    flatten_explode,
+    json_encode_complex,
+)
+
+
+@pytest.fixture()
+def nested(spark):
+    return spark.createDataFrame(
+        [
+            Row(id=1, info=Row(name="a", geo=Row(lat=1.0, lon=2.0)), tags=["x", "y"]),
+            Row(id=2, info=Row(name="b", geo=Row(lat=3.0, lon=4.0)), tags=["z"]),
+        ]
+    )
+
+
+def test_flatten_structs_only(nested):
+    out = flatten(nested)
+    assert set(out.columns) == {"id", "info_name", "info_geo_lat", "info_geo_lon", "tags"}
+    row = {r.id: r for r in out.collect()}
+    assert row[1].info_geo_lat == 1.0
+    assert row[2].info_name == "b"
+    # arrays untouched by flatten (reference TransformerParser.scala:34-58)
+    assert row[1].tags == ["x", "y"]
+
+
+def test_flatten_explode(nested):
+    out = flatten_explode(nested)
+    # structs flattened AND arrays exploded to one row per element
+    assert out.count() == 3
+    assert set(out.columns) == {"id", "info_name", "info_geo_lat", "info_geo_lon", "tags"}
+    tags = sorted(r.tags for r in out.filter(F.col("id") == 1).collect())
+    assert tags == ["x", "y"]
+
+
+def test_flatten_explode_array_of_struct(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, items=[Row(sku="s1", qty=2), Row(sku="s2", qty=3)])]
+    )
+    out = flatten_explode(df)
+    assert out.count() == 2
+    assert {"items_sku", "items_qty"} <= set(out.columns)
+    assert sorted(r.items_qty for r in out.collect()) == [2, 3]
+
+
+def test_json_encode_complex(spark):
+    df = spark.createDataFrame([Row(id=1, s=Row(a=1), arr=[1, 2])])
+    out = json_encode_complex(df)
+    types = dict(out.dtypes)
+    assert types["s"] == "string" and types["arr"] == "string"
+    r = out.collect()[0]
+    assert r.s == '{"a":1}' and r.arr == "[1,2]"
+
+
+@pytest.fixture()
+def diff_pair(spark):
+    left = spark.createDataFrame(
+        [Row(k=1, v="same"), Row(k=2, v="old"), Row(k=3, v="gone")]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, v="same"), Row(k=2, v="new"), Row(k=4, v="added")]
+    )
+    return left, right
+
+
+def test_diff_nidc(diff_pair):
+    left, right = diff_pair
+    out = {r.k: r for r in diff(left, right, ["k"]).collect()}
+    assert out[1].diff == "N" and out[1].left_v == "same"
+    assert out[2].diff == "C" and (out[2].left_v, out[2].right_v) == ("old", "new")
+    assert out[3].diff == "D" and out[3].right_v is None
+    assert out[4].diff == "I" and out[4].left_v is None
+
+
+def test_diff_ignore_cols(spark):
+    left = spark.createDataFrame([Row(k=1, v="a", noise="x")])
+    right = spark.createDataFrame([Row(k=1, v="a", noise="y")])
+    assert diff(left, right, ["k"], ignore_cols=["noise"]).collect()[0].diff == "N"
+    assert diff(left, right, ["k"]).collect()[0].diff == "C"
+
+
+def test_diff_null_safe_compare(spark):
+    left = spark.createDataFrame([(1, None), (2, "x")], "k int, v string")
+    right = spark.createDataFrame([(1, None), (2, None)], "k int, v string")
+    out = {r.k: r.diff for r in diff(left, right, ["k"]).collect()}
+    assert out == {1: "N", 2: "C"}
+
+
+def test_diff_handle_filter_and_fail(diff_pair):
+    left, right = diff_pair
+    d = diff(left, right, ["k"])
+    assert apply_diff_handling(d, "filter").count() == 3  # C, D, I
+    with pytest.raises(DiffFailedError):
+        apply_diff_handling(d, "fail")
+    same = diff(left, left, ["k"])
+    assert apply_diff_handling(same, "fail").count() == 3  # no raise
+
+
+def test_diff_requires_id_cols(diff_pair):
+    left, right = diff_pair
+    with pytest.raises(ValueError):
+        diff(left, right, [])
+    with pytest.raises(ValueError):
+        diff(left, right, ["missing"])
