@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from spark_etl_cli_spark.functions.text import fingerprint, word_shingles
+from spark_etl_cli_spark.operators.util import fan_out
 
 
 def dedup_exact(
@@ -79,7 +80,7 @@ def shingle_pairs_jaccard(
     self-equi-join on shingle (one shuffle) → pair-count agg (one
     shuffle) → join back per-doc sizes (broadcastable aggregate).
     """
-    shingled = df.select(
+    shingled = fan_out(df).select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), k).alias("shingles"),
     )
@@ -134,7 +135,7 @@ def minhash_signatures(
     computed with ``F.transform``+``F.array_min`` entirely in codegen,
     no shuffle at all (per-row work).
     """
-    shingled = df.select(
+    shingled = fan_out(df).select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
     ).filter(F.size("sh") > 0)
@@ -230,7 +231,7 @@ def simhash(
     """
     from spark_etl_cli_spark.functions.text import tokens
 
-    tok = df.select(
+    tok = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from spark_etl_cli_spark.functions.vectors import cosine, dot
+from spark_etl_cli_spark.operators.util import fan_out
 
 
 def brute_force_topk(
@@ -43,7 +44,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(qid).alias("query_id"), F.col(vec_col).alias("__qvec")
     )
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
     )
     scored = (
@@ -136,16 +137,20 @@ def lsh_topk(
     vec_col: str = "embedding",
     num_planes: int = 16,
     bands: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates from band-bucket collisions, exact
     cosine re-rank of candidates only.
 
     Recall is tunable via (num_planes, bands); cost is driven by bucket
-    occupancy instead of |corpus|×|queries|.
+    occupancy instead of |corpus|×|queries|. Pass ``dim`` to skip the
+    schema-probe job when the vector width is known.
     """
     rows_per_band = num_planes // bands
-    first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = first["d"] if first else 0
+    if dim is None:
+        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = first["d"] if first else 0
+    corpus = fan_out(corpus)
 
     def banded(df: DataFrame, side: str) -> DataFrame:
         sig = rp_signature(
@@ -185,14 +190,17 @@ def cosine_dup_pairs(
     vec_col: str = "embedding",
     num_planes: int = 16,
     bands: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: (id_a, id_b, cosine_sim >= threshold).
 
     LSH bucketing bounds the candidate set; exact cosine confirms.
     """
     rows_per_band = num_planes // bands
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = first["d"] if first else 0
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = first["d"] if first else 0
+    df = fan_out(df)
     sig = rp_signature(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
         "vec",

@@ -20,6 +20,7 @@ from spark_etl_cli_spark.operators.multimodal import (
     decode_image_features,
     sample_frames,
 )
+from spark_etl_cli_spark.operators.util import fan_out
 from spark_etl_cli_spark.plans.registry import query, t
 
 # d[i] = i-th byte of sha256(payload), as int (payload = UTF-8 text)
@@ -29,11 +30,9 @@ def _sql_digest_byte(i: int) -> str:
 
 def _media(spark, sf_dir):
     """documents → media frame: payload = UTF-8 bytes of the text."""
-    d = (
-        t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 200)
-        .withColumn("payload", F.encode("text", "UTF-8"))
-    )
+    d = fan_out(
+        t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ).withColumn("payload", F.encode("text", "UTF-8"))
     return attach_binary_payload(d, id_col="doc_id", kind="image", payload_col="payload")
 
 

@@ -138,6 +138,7 @@ def q41_ann_lsh(spark, sf_dir):
         k=5,
         num_planes=16,
         bands=4,
+        dim=DIM,
     )
 
 
@@ -163,7 +164,8 @@ def q41_ann_lsh(spark, sf_dir):
 )
 def q42_cosine_dup_pairs(spark, sf_dir):
     return cosine_dup_pairs(
-        t(spark, sf_dir, "embeddings"), threshold=0.3, num_planes=16, bands=4
+        t(spark, sf_dir, "embeddings"), threshold=0.3, num_planes=16, bands=4,
+        dim=DIM,
     )
 
 
