@@ -1,0 +1,85 @@
+"""Physical-plan quality gates.
+
+Correctness tests say the answer is right; these say the PLAN is the
+one that survives a 100x scale-up: filters and projections reach the
+parquet scan, small dimensions broadcast, aggregations combine
+map-side before shuffling, and top-k never globally sorts.
+"""
+
+import pytest
+
+import __spark_entry__ as entry
+
+from tests.conftest import SF_DIR
+
+
+def plan_of(spark, name: str, execute: bool = False) -> str:
+    df = entry.queries()[name](spark, SF_DIR)
+    if execute:
+        # AQE reports isFinalPlan=false (no codegen annotations) until
+        # THIS query execution runs (count() would spawn a fresh one)
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_pushdown(spark):
+    plan = plan_of(spark, "q02_filter_pushdown")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # pruned scan: only the 4 projected + 2 filter columns are read
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "l_orderkey" in scan and "l_comment" not in scan and "l_tax" not in scan
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = plan_of(spark, "q05_local_supplier_volume")
+    # every join in the 6-table tree is hash-based; none degrade to
+    # nested-loop, and nation/region ride broadcasts
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_aggregate_is_partial_then_final(spark):
+    plan = plan_of(spark, "q01_pricing_summary")
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topk_plans_as_take_ordered(spark):
+    plan = plan_of(spark, "q03_shipping_priority")
+    assert "TakeOrderedAndProject" in plan  # no global Sort for LIMIT k
+    assert "\nSort " not in plan
+
+
+def test_semi_join_for_exists(spark):
+    plan = plan_of(spark, "q04_order_priority")
+    assert "LeftSemi" in plan
+
+
+def test_anti_join_for_not_exists(spark):
+    plan = plan_of(spark, "q07_customers_without_orders")
+    assert "LeftAnti" in plan
+
+
+def test_interval_join_is_hash_not_nested_loop(spark):
+    # equi key keeps the range predicate inside a hash join
+    plan = plan_of(spark, "q27_interval_join")
+    assert "Join" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_single_shuffle_no_join_node(spark):
+    # the as-of is union+window: no join operator, exactly one exchange
+    # over the key columns
+    plan = plan_of(spark, "q26_asof_join")
+    assert "Join" not in plan.replace("RunningWindowFunction", "")
+    assert "WindowExec" in plan or "Window" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q01_pricing_summary", "q05_local_supplier_volume", "q30_token_stats"],
+)
+def test_whole_stage_codegen_active(spark, name):
+    plan = plan_of(spark, name, execute=True)
+    # codegen'd operators carry the "*(stageId)" marker in the final plan
+    assert "WholeStageCodegen" in plan or "*(1)" in plan
