@@ -63,6 +63,119 @@ def flatten_explode_transform(p: ParsedUri) -> TransformFn:
     return lambda spark, df: flatten_explode(df)
 
 
+def _csv_param(p: ParsedUri, key: str, default: str = "") -> list[str]:
+    return [c for c in p.params.get(key, default).split(",") if c]
+
+
+@register_transform("dedup")
+def dedup_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+dedup://?mode=exact|minhash|simhash|jaccard&text-col=text&id-col=doc_id``.
+
+    North-star operator surface (SURVEY.md §2d): ``exact`` keeps one row
+    per normalized text; the other modes emit candidate near-dup pairs.
+    """
+    mode = p.params.get("mode", "exact")
+    text_col = p.params.get("text-col", "text")
+    id_col = p.params.get("id-col", "doc_id")
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators import dedup as D
+
+        if mode == "exact":
+            return D.dedup_exact(df, text_col, id_col)
+        if mode == "minhash":
+            return D.minhash_lsh_pairs(
+                df,
+                text_col,
+                id_col,
+                num_hashes=int(p.params.get("num-hashes", "32")),
+                bands=int(p.params.get("bands", "8")),
+            )
+        if mode == "jaccard":
+            return D.shingle_pairs_jaccard(
+                df,
+                text_col,
+                id_col,
+                threshold=float(p.params.get("threshold", "0.5")),
+            )
+        if mode == "simhash":
+            return D.simhash(df, text_col, id_col)
+        raise ValueError(f"unknown dedup mode {mode!r}")
+
+    return run
+
+
+@register_transform("asof")
+def asof_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+asof://rightView?key=sym&left-ts=ts&right-ts=ts``.
+
+    Nearest-prior join of the input view against another registered view
+    (single-shuffle union+window plan, operators/asof.py).
+    """
+    other_view = p.path.lstrip("/") or p.authority
+    keys = _csv_param(p, "key")
+    left_ts = p.params.get("left-ts", "ts")
+    right_ts = p.params.get("right-ts", "ts")
+    payload = _csv_param(p, "payload") or None
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators.asof import asof_join
+
+        return asof_join(df, spark.table(other_view), keys, left_ts, right_ts, payload)
+
+    return run
+
+
+@register_transform("text-metrics")
+def text_metrics_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+text-metrics://?text-col=text`` — append token_count,
+    quality_score, lang_id, and fingerprint columns (all codegen'd)."""
+    text_col = p.params.get("text-col", "text")
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from spark_etl_cli_spark.functions import text as X
+
+        c = F.col(text_col)
+        return df.withColumns(
+            {
+                "token_count": X.token_count(c),
+                "quality_score": X.quality_score(c),
+                "lang_id": X.lang_id(c),
+                "fingerprint": X.fingerprint(c),
+            }
+        )
+
+    return run
+
+
+@register_transform("similarity")
+def similarity_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+similarity://queriesView?k=10&mode=brute|lsh&id-col=vec_id&vec-col=embedding``.
+
+    Top-k cosine neighbors of each row in ``queriesView`` against the
+    input view as corpus.
+    """
+    queries_view = p.path.lstrip("/") or p.authority
+    k = int(p.params.get("k", "10"))
+    mode = p.params.get("mode", "brute")
+    id_col = p.params.get("id-col", "vec_id")
+    vec_col = p.params.get("vec-col", "embedding")
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators import similarity as S
+
+        q = spark.table(queries_view)
+        if mode == "brute":
+            return S.brute_force_topk(df, q, k, id_col, vec_col)
+        if mode == "lsh":
+            return S.lsh_topk(df, q, k, id_col, vec_col)
+        raise ValueError(f"unknown similarity mode {mode!r}")
+
+    return run
+
+
 @register_transform("diff")
 def diff_transform(p: ParsedUri) -> TransformFn:
     """``in+out+diff://otherView?id=a,b&ignore=c&handleDifferences=filter|fail``.

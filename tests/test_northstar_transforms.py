@@ -1,0 +1,97 @@
+"""North-star operators exposed as URI transforms (dedup/asof/
+text-metrics/similarity) and the kafka serde expressions."""
+
+from pyspark.sql import Row
+
+from spark_etl_cli_spark.pipeline import run_pipeline
+from spark_etl_cli_spark.streaming.serde import deserialize_values, serialize_values
+
+
+def test_dedup_transform_exact(spark):
+    spark.createDataFrame(
+        [Row(doc_id=1, text="a b c"), Row(doc_id=2, text="A  b C"), Row(doc_id=3, text="x")]
+    ).createOrReplaceTempView("nd_docs")
+    run_pipeline(
+        spark,
+        sources=["nd_docs+view://nd_docs"],
+        transforms=["nd_docs+nd_out+dedup://?mode=exact"],
+        sinks=["nd_out+memory://nd_exact"],
+    )
+    assert sorted(r.doc_id for r in spark.table("nd_exact").collect()) == [1, 3]
+
+
+def test_asof_transform(spark):
+    spark.createDataFrame(
+        [Row(k="a", ts=10, px=1.0), Row(k="a", ts=20, px=2.0)]
+    ).createOrReplaceTempView("nd_quotes")
+    spark.createDataFrame(
+        [Row(k="a", ts=15, qty=5)]
+    ).createOrReplaceTempView("nd_trades")
+    run_pipeline(
+        spark,
+        sources=["nd_trades+view://nd_trades"],
+        transforms=[
+            "nd_trades+nd_joined+asof://nd_quotes?key=k&left-ts=ts&right-ts=ts&payload=px"
+        ],
+        sinks=["nd_joined+memory://nd_asof"],
+    )
+    assert spark.table("nd_asof").collect()[0].px == 1.0
+
+
+def test_text_metrics_transform(spark):
+    spark.createDataFrame(
+        [Row(doc_id=1, text="the quick brown fox and the dog")]
+    ).createOrReplaceTempView("nd_tm_docs")
+    run_pipeline(
+        spark,
+        sources=["nd_tm_docs+view://nd_tm_docs"],
+        transforms=["nd_tm_docs+nd_tm+text-metrics://"],
+        sinks=["nd_tm+memory://nd_metrics"],
+    )
+    r = spark.table("nd_metrics").collect()[0]
+    assert r.token_count == 7 and r.lang_id == "en" and len(r.fingerprint) == 32
+    assert 0.0 <= r.quality_score <= 1.0
+
+
+def test_similarity_transform(spark):
+    spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0]),
+            Row(vec_id=2, embedding=[0.9, 0.1]),
+            Row(vec_id=3, embedding=[0.0, 1.0]),
+        ]
+    ).createOrReplaceTempView("nd_vecs")
+    spark.sql("SELECT * FROM nd_vecs WHERE vec_id = 1").createOrReplaceTempView("nd_qs")
+    run_pipeline(
+        spark,
+        sources=["nd_vecs+view://nd_vecs"],
+        transforms=["nd_vecs+nd_nn+similarity://nd_qs?k=1"],
+        sinks=["nd_nn+memory://nd_sim"],
+    )
+    rows = spark.table("nd_sim").collect()
+    assert len(rows) == 1 and rows[0].neighbor_id == 2
+
+
+def test_json_serde_round_trip(spark):
+    df = spark.createDataFrame([Row(id=1, name="ann"), Row(id=2, name="bo")])
+    wire = serialize_values(df, "json")
+    assert wire.columns == ["value"]
+    back = deserialize_values(
+        spark, wire, "json:id BIGINT, name STRING"
+    )
+    got = sorted((r.id, r.name) for r in back.collect())
+    assert got == [(1, "ann"), (2, "bo")]
+
+
+def test_json_serde_schemaless_inference(spark):
+    df = spark.createDataFrame([Row(id=1, name="ann")])
+    wire = serialize_values(df, "json")
+    back = deserialize_values(spark, wire, "json")
+    assert sorted(back.columns) == ["id", "name"]
+    assert back.collect()[0].name == "ann"
+
+
+def test_none_serde_passthrough(spark):
+    df = spark.createDataFrame([Row(value=bytearray(b"raw"))])
+    assert serialize_values(df, "none") is df
+    assert deserialize_values(spark, df, "none") is df
