@@ -807,3 +807,78 @@ def q27_interval_join(spark, sf_dir):
         .groupBy("o_orderstatus")
         .agg(bcount("n_items"), dsum(F.col("l_extendedprice"), "sum_price"))
     )
+
+
+# --- q28: salted aggregation (skew mitigation, oracle = plain agg) -------
+# o_orderstatus has only 3 values — a worst-case hot grouping key. The
+# salted two-phase plan spreads each key over 16 reducers; the oracle is
+# the UNSALTED aggregation, proving the rewrite is exact.
+@query(
+    "q28_salted_agg",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {SQL_DSUM("o_totalprice", "sum_price")},
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q28_salted_agg(spark, sf_dir):
+    from spark_etl_cli_spark.operators.skew import salted_agg
+
+    o = t(spark, sf_dir, "orders").withColumn(
+        "__price_dec", F.col("o_totalprice").cast(DEC)
+    )
+    out = salted_agg(
+        o,
+        keys=["o_orderstatus"],
+        aggs={
+            "n_orders": ("o_orderkey", "count"),
+            "sum_price_dec": ("__price_dec", "sum"),
+            "max_price": ("o_totalprice", "max"),
+        },
+        salt_from="o_orderkey",
+        buckets=16,
+    )
+    return out.select(
+        "o_orderstatus",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("sum_price_dec").cast("double").alias("sum_price"),
+        "max_price",
+    )
+
+
+# --- q29: salted join (skew mitigation, oracle = plain join) -------------
+# Joining fact rows to a 3-row status dimension: every fact row shares
+# one of 3 keys. Salting the fact side and replicating the dimension
+# spreads the probe across 16x more tasks; results must equal the plain
+# join exactly.
+@query(
+    "q29_salted_join",
+    oracle=f"""
+    WITH dim AS (
+      SELECT 'O' AS st, 'open' AS label UNION ALL
+      SELECT 'F', 'finished' UNION ALL
+      SELECT 'P', 'pending'
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {SQL_DSUM("o_totalprice", "sum_price")}
+    FROM orders JOIN dim ON o_orderstatus = st
+    GROUP BY label
+    """,
+)
+def q29_salted_join(spark, sf_dir):
+    from spark_etl_cli_spark.operators.skew import salted_join
+
+    o = t(spark, sf_dir, "orders")
+    dim = spark.createDataFrame(
+        [("O", "open"), ("F", "finished"), ("P", "pending")],
+        "o_orderstatus string, label string",
+    )
+    joined = salted_join(
+        o, dim, on=["o_orderstatus"], salt_from="o_orderkey", buckets=16
+    )
+    return joined.groupBy("label").agg(
+        bcount("n"), dsum(F.col("o_totalprice"), "sum_price")
+    )

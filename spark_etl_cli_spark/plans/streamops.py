@@ -201,3 +201,26 @@ def q53_stream_interval_join(spark, sf_dir):
         & (F.col("p_ts") <= F.col("c_ts")),
     ).select("click_id", "purchase_id")
     return run_to_table(joined, "q53_join", "append")
+
+
+# --- q54: arbitrary stateful op (applyInPandasWithState) -----------------
+# Custom per-key accumulator state — the operator class Spark's built-in
+# aggregations can't express (streaming/stateful.py). Under availableNow
+# the running values equal the batch aggregate, which the oracle states.
+@query(
+    "q54_stream_stateful",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(floor(epoch(MIN(ts))) AS BIGINT) AS first_epoch,
+           CAST(floor(epoch(MAX(ts))) AS BIGINT) AS last_epoch,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def q54_stream_stateful(spark, sf_dir):
+    from spark_etl_cli_spark.streaming.stateful import running_user_stats
+
+    ev = stream_events(spark, sf_dir)
+    out = running_user_stats(ev.select("user_id", "ts", "event_type"))
+    return run_to_table(out, "q54_stateful", "update")
