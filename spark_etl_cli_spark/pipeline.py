@@ -97,14 +97,19 @@ class Pipeline:
             p, fn = registry.resolve_transform(u)
             in_v, out_v = transform_views(p)
             transforms.append(TransformStep(p, in_v, out_v, fn))
-        if not transforms:
-            transforms = [
-                TransformStep(None, "source", "sink", lambda _s, df: df)
-            ]
         sinks = []
         for u in sink_uris:
             p, snk = registry.resolve_sink(u)
             sinks.append(SinkStep(p, sink_view_name(p), snk))
+        if not transforms and any(s.view == "sink" for s in sinks):
+            # reference default (ETL.scala:120-124): bridge the default
+            # source view to the default sink view. Only needed when an
+            # unnamed sink actually reads "sink" — unconditionally adding
+            # it would break fully-named pipelines that never register a
+            # "source" view.
+            transforms = [
+                TransformStep(None, "source", "sink", lambda _s, df: df)
+            ]
         return cls(sources, transforms, sinks)
 
     def run(

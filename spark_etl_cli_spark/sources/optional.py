@@ -38,12 +38,18 @@ class MissingDependencyError(RuntimeError):
         )
 
 
-def _has_delta(spark: SparkSession) -> bool:
+def _jvm_class_exists(spark: SparkSession, fqcn: str) -> bool:
+    # a plain `spark._jvm.foo.Bar` access never fails (py4j resolves it
+    # lazily to a JavaPackage); Class.forName is a real classpath probe
     try:
-        spark._jvm.org.apache.spark.sql.delta.DeltaLog  # noqa: SLF001
+        spark._jvm.java.lang.Class.forName(fqcn)  # noqa: SLF001
         return True
     except Exception:
         return False
+
+
+def _has_delta(spark: SparkSession) -> bool:
+    return _jvm_class_exists(spark, "org.apache.spark.sql.delta.DeltaLog")
 
 
 # Delta needs session confs (reference DeltaUriParser.scala:51-54).
@@ -146,11 +152,9 @@ def excel_sink(p: ParsedUri) -> ExcelSink:
 
 
 def _kafka_available(spark: SparkSession) -> bool:
-    try:
-        spark._jvm.org.apache.spark.sql.kafka010.KafkaSourceProvider  # noqa: SLF001
-        return True
-    except Exception:
-        return False
+    return _jvm_class_exists(
+        spark, "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+    )
 
 
 @dataclass
