@@ -1,6 +1,7 @@
 """Import every query module so the registry is fully populated."""
 
 from spark_etl_cli_spark.plans import (  # noqa: F401
+    funcops,
     mmops,
     pipelineops,
     relational,

@@ -1,0 +1,152 @@
+"""Scalar-function family + Python-UDF-surface coverage.
+
+Rounds out the SURVEY.md §2d matrix: array functions, map functions,
+regexp, math, and the PySpark UDF surface (Arrow-vectorized pandas_udf
+and a Python UDTF via LATERAL). The engine's design rule stands — no
+Python in measured hot paths — q73/q74 exist to prove the *surface*
+works and is oracle-checkable, not as the recommended formulation
+(q73's oracle-identical q30 does the same work fully codegen'd).
+
+Float discipline for math functions: only IEEE-exact ops appear in
+outputs (sqrt, abs, floor, integer pow) — transcendentals (ln/exp) are
+libm-dependent and may differ by 1 ulp between JVM and DuckDB.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from spark_etl_cli_spark.plans.registry import bcount, query, t
+from spark_etl_cli_spark.plans.textops import SQL_NTOK, SQL_TOKENS
+
+
+# --- q70: array function family -----------------------------------------
+@query(
+    "q70_array_functions",
+    oracle="""
+    SELECT o_custkey,
+           list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+           CAST(len(list_distinct(list(o_orderstatus))) AS INT) AS n_statuses,
+           list_contains(list(o_orderstatus), 'F') AS has_finished
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def q70_array_functions(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    statuses = F.array_sort(F.collect_set("o_orderstatus"))
+    return o.groupBy("o_custkey").agg(
+        statuses.alias("statuses"),
+        F.size(statuses).cast("int").alias("n_statuses"),
+        F.array_contains(F.collect_list("o_orderstatus"), "F").alias("has_finished"),
+    )
+
+
+# --- q71: map + JSON function family ------------------------------------
+@query(
+    "q71_map_functions",
+    oracle="""
+    SELECT event_id,
+           json_keys(props) AS prop_keys,
+           CAST(props->>'$.k' AS BIGINT) AS k_val,
+           CAST(props->>'$.k' AS BIGINT) % 10 AS k_mod
+    FROM events WHERE event_id < 2000
+    """,
+)
+def q71_map_functions(spark, sf_dir):
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    m = F.from_json("props", "map<string,bigint>")
+    return e.select(
+        "event_id",
+        F.map_keys(m).alias("prop_keys"),
+        F.element_at(m, "k").alias("k_val"),
+        (F.element_at(m, "k") % 10).alias("k_mod"),
+    )
+
+
+# --- q72: regexp + exact-math family ------------------------------------
+@query(
+    "q72_regexp_math",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_brand, '#(\\d+)', 1) AS brand_num,
+           sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt,
+           abs(p_size - 25) AS size_dist,
+           CAST(floor(p_retailprice / 100) AS BIGINT) AS price_bucket,
+           CAST(p_partkey % 7 AS BIGINT) AS key_mod
+    FROM part
+    """,
+)
+def q72_regexp_math(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"#(\d+)", 1).alias("brand_num"),
+        F.sqrt(F.col("p_size").cast("double")).alias("size_sqrt"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        F.floor(F.col("p_retailprice") / 100).cast("bigint").alias("price_bucket"),
+        F.pmod("p_partkey", F.lit(7)).cast("bigint").alias("key_mod"),
+    )
+
+
+# --- q73: Arrow-vectorized pandas_udf (surface parity) -------------------
+@query(
+    "q73_pandas_udf_tokens",
+    oracle=f"""
+    SELECT source,
+           CAST(SUM({SQL_NTOK}) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def q73_pandas_udf_tokens(spark, sf_dir):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def py_token_count(texts: pd.Series) -> pd.Series:
+        def n(s):
+            s2 = re.sub(r"\s+", " ", s or "").strip()
+            return 0 if s2 == "" else len(s2.split(" "))
+
+        return texts.map(n)
+
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(py_token_count(F.col("text"))).cast("bigint").alias("total_tokens")
+    )
+
+
+# --- q74: Python UDTF via LATERAL (surface parity) -----------------------
+@query(
+    "q74_udtf_token_explode",
+    oracle=f"""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest({SQL_TOKENS}) AS token
+          FROM documents WHERE doc_id < 50)
+    GROUP BY token
+    """,
+)
+def q74_udtf_token_explode(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string")
+    class TokenEmit:
+        def eval(self, text: str):
+            s = re.sub(r"\s+", " ", text or "").strip().lower()
+            if s:
+                for tok in s.split(" "):
+                    yield (tok,)
+
+    spark.udtf.register("q74_token_emit", TokenEmit)
+    t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).createOrReplaceTempView(
+        "q74_docs"
+    )
+    return spark.sql(
+        """
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+        FROM q74_docs, LATERAL q74_token_emit(text)
+        GROUP BY token
+        """
+    )
