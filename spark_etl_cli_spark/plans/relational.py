@@ -882,3 +882,136 @@ def q29_salted_join(spark, sf_dir):
     return joined.groupBy("label").agg(
         bcount("n"), dsum(F.col("o_totalprice"), "sum_price")
     )
+
+
+# --- q31..: more canonical TPC-H shapes ---------------------------------
+# (numbered q8x to avoid colliding with textops q3x)
+
+
+# --- q80: left outer join + null-aware count (TPC-H Q13 shape) -----------
+# Distribution of customers by order count INCLUDING zero-order
+# customers — the shape that catches inner-vs-outer and count(col)-vs-
+# count(*) mistakes.
+@query(
+    "q80_customer_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def q80_customer_distribution(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(bcount("custdist"))
+
+
+# --- q81: global-avg scalar subquery + anti join (TPC-H Q22 shape) -------
+@query(
+    "q81_global_sales_opportunity",
+    oracle=f"""
+    WITH avg_bal AS (
+      SELECT {SQL_DAVG("c_acctbal", "ab")} FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           {SQL_DSUM("c_acctbal", "totacctbal")}
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) <= 2
+    GROUP BY c_nationkey
+    """,
+)
+def q81_global_sales_opportunity(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(davg(F.col("c_acctbal"), "ab"))
+    )
+    rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("ab"))
+    counts = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    few = (
+        rich.join(counts, F.col("c_custkey") == F.col("k"), "left_outer")
+        .filter(F.coalesce(F.col("__n"), F.lit(0)) <= 2)
+    )
+    return few.groupBy("c_nationkey").agg(
+        bcount("numcust"), dsum(F.col("c_acctbal"), "totacctbal")
+    )
+
+
+# --- q82: full outer join + coalesce (reconciliation shape) --------------
+@query(
+    "q82_full_outer_reconciliation",
+    oracle=f"""
+    WITH cust_rev AS (
+      SELECT o_custkey AS k, {SQL_DSUM("o_totalprice", "order_total")}
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+    ),
+    cust_ret AS (
+      SELECT o_custkey AS k, {SQL_DSUM("o_totalprice", "open_total")}
+      FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+    )
+    SELECT COALESCE(a.k, b.k) AS custkey,
+           COALESCE(order_total, 0.0) AS order_total,
+           COALESCE(open_total, 0.0) AS open_total
+    FROM cust_rev a FULL OUTER JOIN cust_ret b ON a.k = b.k
+    """,
+)
+def q82_full_outer_reconciliation(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    fin = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(dsum(F.col("o_totalprice"), "order_total"))
+    )
+    opn = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("k2"))
+        .agg(dsum(F.col("o_totalprice"), "open_total"))
+    )
+    joined = fin.join(opn, F.col("k") == F.col("k2"), "full_outer")
+    return joined.select(
+        F.coalesce(F.col("k"), F.col("k2")).alias("custkey"),
+        F.coalesce("order_total", F.lit(0.0)).alias("order_total"),
+        F.coalesce("open_total", F.lit(0.0)).alias("open_total"),
+    )
+
+
+# --- q83: min-cost-supplier correlated subquery (TPC-H Q2 shape) ---------
+@query(
+    "q83_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+      SELECT p_partkey, s_suppkey, s_name, s_acctbal,
+             MIN(s_acctbal) OVER (PARTITION BY p_partkey) AS min_bal
+      FROM part JOIN supplier ON p_partkey % 100 = s_suppkey % 100
+      WHERE p_size < 10
+    )
+    SELECT p_partkey, s_suppkey, s_name, s_acctbal
+    FROM costs WHERE s_acctbal = min_bal
+    """,
+)
+def q83_min_cost_supplier(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    s = t(spark, sf_dir, "supplier")
+    joined = p.join(s, F.col("p_partkey") % 100 == F.col("s_suppkey") % 100)
+    w = W.partitionBy("p_partkey")
+    return (
+        joined.withColumn("__min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("__min_bal"))
+        .select("p_partkey", "s_suppkey", "s_name", "s_acctbal")
+    )
