@@ -1015,3 +1015,48 @@ def q83_min_cost_supplier(spark, sf_dir):
         .filter(F.col("s_acctbal") == F.col("__min_bal"))
         .select("p_partkey", "s_suppkey", "s_name", "s_acctbal")
     )
+
+
+# --- q84: forward as-of join with tolerance ------------------------------
+# For each click, the NEXT purchase by the same user within 2 hours —
+# forward direction + tolerance over the same single-shuffle
+# union+window plan as q26. DuckDB verifies with native ASOF (<=).
+@query(
+    "q84_asof_forward_tolerance",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           CASE WHEN p.ts <= c.ts + INTERVAL 2 HOUR
+                THEN p.event_id END AS next_purchase_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+)
+def q84_asof_forward_tolerance(spark, sf_dir):
+    from spark_etl_cli_spark.operators.asof import asof_join
+
+    # events.ts arrives as LONG nanos (nanosAsLong); interval tolerance
+    # needs a real timestamp — convert at µs precision like DuckDB does
+    e = t(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        key_cols=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["event_id"],
+        direction="forward",
+        tolerance="2 hours",
+    )
+    return joined.select(
+        F.col("event_id").alias("click_id"),
+        F.col("event_id_right").alias("next_purchase_id"),
+    )

@@ -107,3 +107,51 @@ def test_brute_force_topk(spark):
     out = brute_force_topk(vecs, vecs.filter(F.col("vec_id") == 1), k=2)
     rows = sorted((r.rank, r.neighbor_id) for r in out.collect())
     assert rows == [(1, 2), (2, 3)]  # 2 is most similar to 1
+
+
+def test_asof_join_forward(spark):
+    quotes = spark.createDataFrame(
+        [
+            Row(sym="A", qts=ts("2024-01-01T10:00:00"), px=100.0),
+            Row(sym="A", qts=ts("2024-01-01T10:05:00"), px=101.0),
+        ]
+    )
+    trades = spark.createDataFrame(
+        [
+            Row(sym="A", tts=ts("2024-01-01T09:59:00"), qty=1),  # -> 100
+            Row(sym="A", tts=ts("2024-01-01T10:00:00"), qty=2),  # -> 100 (inclusive)
+            Row(sym="A", tts=ts("2024-01-01T10:06:00"), qty=3),  # -> no later quote
+        ]
+    )
+    out = asof_join(
+        trades, quotes, ["sym"], "tts", "qts", ["px"], direction="forward"
+    )
+    got = {r.qty: r.px for r in out.collect()}
+    assert got == {1: 100.0, 2: 100.0, 3: None}
+
+
+def test_asof_join_tolerance(spark):
+    quotes = spark.createDataFrame(
+        [Row(sym="A", qts=ts("2024-01-01T10:00:00"), px=100.0)]
+    )
+    trades = spark.createDataFrame(
+        [
+            Row(sym="A", tts=ts("2024-01-01T10:04:00"), qty=1),  # within 5 min
+            Row(sym="A", tts=ts("2024-01-01T10:30:00"), qty=2),  # too far
+        ]
+    )
+    out = asof_join(
+        trades, quotes, ["sym"], "tts", "qts", ["px"], tolerance="5 minutes"
+    )
+    got = {r.qty: r.px for r in out.collect()}
+    assert got == {1: 100.0, 2: None}
+
+
+def test_asof_join_numeric_tolerance(spark):
+    right = spark.createDataFrame([Row(k="a", ts=100, v="x")])
+    left = spark.createDataFrame(
+        [Row(k="a", ts=105, q=1), Row(k="a", ts=300, q=2)]
+    )
+    out = asof_join(left, right, ["k"], "ts", "ts", ["v"], tolerance=50)
+    got = {r.q: r.v for r in out.collect()}
+    assert got == {1: "x", 2: None}
