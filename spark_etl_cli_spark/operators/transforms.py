@@ -176,6 +176,52 @@ def similarity_transform(p: ParsedUri) -> TransformFn:
     return run
 
 
+@register_transform("repartition")
+def repartition_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+repartition://?n=64&by=a,b`` — explicit data-layout
+    control: hash-partition on columns (co-locates later joins/aggs on
+    the same keys) and/or set the partition count."""
+    n = p.params.get("n")
+    by = _csv_param(p, "by")
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        cols = [F.col(c) for c in by]
+        if n and cols:
+            return df.repartition(int(n), *cols)
+        if cols:
+            return df.repartition(*cols)
+        if n:
+            return df.repartition(int(n))
+        return df.repartition()
+
+    return run
+
+
+@register_transform("coalesce")
+def coalesce_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+coalesce://?n=8`` — shrink partition count without a
+    shuffle (output-file control)."""
+    n = int(p.params.get("n", "1"))
+    return lambda spark, df: df.coalesce(n)
+
+
+@register_transform("cache")
+def cache_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+cache://[?storage=MEMORY_AND_DISK]`` — persist a view
+    consumed by multiple later transforms/sinks so it computes once."""
+    level_name = p.params.get("storage", "MEMORY_AND_DISK")
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from pyspark import StorageLevel
+
+        level = getattr(StorageLevel, level_name)
+        return df.persist(level)
+
+    return run
+
+
 @register_transform("diff")
 def diff_transform(p: ParsedUri) -> TransformFn:
     """``in+out+diff://otherView?id=a,b&ignore=c&handleDifferences=filter|fail``.

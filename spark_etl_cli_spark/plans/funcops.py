@@ -150,3 +150,37 @@ def q74_udtf_token_explode(spark, sf_dir):
         GROUP BY token
         """
     )
+
+
+# --- q75: sketch aggregates, self-validating ------------------------------
+# approx_count_distinct (HLL++) and percentile_approx values are
+# implementation-specific, so the oracle can't compare them directly.
+# Instead the query emits exact values plus BOOLEAN bounds checks the
+# sketches must satisfy (HLL++ rsd default 0.05 -> a 15% band is ~3 sigma;
+# the approximate percentile must fall inside the true p40..p60 range).
+# The oracle states the exact values and TRUE for every bound.
+@query(
+    "q75_sketch_aggregates",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+           TRUE AS approx_within_15pct,
+           TRUE AS p50_within_band
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q75_sketch_aggregates(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    exact = F.countDistinct("o_custkey").cast("bigint")
+    approx = F.approx_count_distinct("o_custkey")
+    p_approx = F.percentile_approx("o_totalprice", 0.5)
+    p40 = F.expr("percentile(o_totalprice, 0.40)")
+    p60 = F.expr("percentile(o_totalprice, 0.60)")
+    return o.groupBy("o_orderpriority").agg(
+        exact.alias("n_exact"),
+        (
+            F.abs(approx - exact) <= exact * F.lit(0.15)
+        ).alias("approx_within_15pct"),
+        ((p_approx >= p40) & (p_approx <= p60)).alias("p50_within_band"),
+    )

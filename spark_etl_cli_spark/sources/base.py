@@ -52,7 +52,8 @@ def apply_watermark(df: DataFrame, watermark: str | None) -> DataFrame:
 
 
 # query params consumed by the framework, not forwarded as reader options
-_RESERVED = {"schema", "watermark", "trigger-interval", "mode"}
+_RESERVED = {"schema", "watermark", "trigger-interval", "mode",
+             "partition-by", "sort-by"}
 
 
 def reader_options(p: ParsedUri) -> dict[str, str]:
@@ -94,6 +95,13 @@ class FileSink:
     the default mode is ``overwrite`` and errors propagate; ``?mode=``
     overrides. No ``repartition(1)``: single-file output is opt-in via
     ``?single-file=true`` because it serializes the write at scale.
+
+    Data-layout params for scale-aware writes:
+
+    - ``?partition-by=a,b`` — hive-style partitioned output (readers
+      prune partitions on those columns)
+    - ``?sort-by=a,b`` — sortWithinPartitions before writing, so column
+      stores get clustered row groups (min/max skipping)
     """
 
     uri: ParsedUri
@@ -105,15 +113,26 @@ class FileSink:
         opts = {**self.default_options, **reader_options(self.uri)}
         single = opts.pop("single-file", "false").lower() == "true"
         path = self.uri.path
+        partition_by = [
+            c for c in self.uri.params.get("partition-by", "").split(",") if c
+        ]
+        sort_by = [c for c in self.uri.params.get("sort-by", "").split(",") if c]
         if df.isStreaming:
             trigger = self.uri.params.get("trigger-interval")
             writer = df.writeStream.format(self.fmt).options(**opts)
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
             if trigger:
                 writer = writer.trigger(processingTime=trigger)
             writer.start(path)
             return True
         if single:
             df = df.coalesce(1)
+        if sort_by:
+            df = df.sortWithinPartitions(*sort_by)
         mode = self.uri.params.get("mode", self.default_mode)
-        df.write.mode(mode).options(**opts).format(self.fmt).save(path)
+        writer = df.write.mode(mode).options(**opts).format(self.fmt)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(path)
         return True

@@ -91,3 +91,40 @@ def test_streaming_file_source_available_now(spark, tmp_path):
         q.awaitTermination(30)
     assert spark.table("stream_out").count() == 10
     assert not any(q.isActive for q in spark.streams.active)
+
+
+def test_partitioned_sorted_write(spark, tmp_path):
+    path = f"{tmp_path}/part_out"
+    run_pipeline(
+        spark,
+        sources=["t+values://?header=k,v:int&values=a,1;b,2;a,3;b,4"],
+        sinks=[f"t+parquet://{path}?partition-by=k&sort-by=v"],
+    )
+    import os
+
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("k="))
+    assert dirs == ["k=a", "k=b"]
+    back = spark.read.parquet(path)
+    assert back.count() == 4
+    # partition pruning: reading one partition value scans only that dir
+    pruned = back.filter("k = 'a'")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(k" in plan
+
+
+def test_repartition_coalesce_cache_transforms(spark):
+    run_pipeline(
+        spark,
+        sources=["t+values://?header=a:int&values=1;2;3;4"],
+        transforms=[
+            "t+wide+repartition://?n=8",
+            "wide+narrow+coalesce://?n=2",
+            "narrow+cached+cache://",
+        ],
+        sinks=["cached+memory://layout_out"],
+    )
+    out = spark.table("layout_out")
+    assert out.count() == 4
+    assert spark.table("narrow").rdd.getNumPartitions() == 2
+    assert spark.table("wide").rdd.getNumPartitions() == 8
+    spark.table("cached").unpersist()
