@@ -88,6 +88,9 @@ def shingle_pairs_jaccard(
         "id", F.size("shingles").cast("bigint").alias("n_shingles")
     )
     exploded = shingled.select("id", F.explode("shingles").alias("shingle"))
+    # NOT persisted: measured at sf0.1, caching the posting list costs
+    # more (serial materialization + cache-scan losing codegen fusion)
+    # than recomputing the shingling per consumer
 
     if max_shingle_freq is not None:
         freq = exploded.groupBy("shingle").agg(F.count("*").alias("df"))

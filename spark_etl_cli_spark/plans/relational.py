@@ -1060,3 +1060,78 @@ def q84_asof_forward_tolerance(spark, sf_dir):
         F.col("event_id").alias("click_id"),
         F.col("event_id_right").alias("next_purchase_id"),
     )
+
+
+# --- q85: RANGE frame window (30-day trailing sum) ------------------------
+# rangeBetween needs a numeric order key to stay engine-portable: both
+# sides order by epoch seconds and the frame is 2592000s preceding.
+@query(
+    "q85_range_frame",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_30d
+    FROM orders
+    """,
+)
+def q85_range_frame(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders").withColumn(
+        "__ep", F.unix_timestamp("o_orderdate").cast("bigint")
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("__ep")
+        .rangeBetween(-2592000, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias(
+            "trailing_30d"
+        ),
+    )
+
+
+# --- q86: analytic window function family ---------------------------------
+# ntile / percent_rank / cume_dist / first_value / last_value / dense_rank
+# over a UNIQUE total order (date, key) so tie-dependent functions are
+# deterministic in both engines.
+@query(
+    "q86_analytic_windows",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           first_value(o_orderkey) OVER w AS first_key,
+           last_value(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_key,
+           CAST(dense_rank() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderpriority
+           ) AS BIGINT) AS prio_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q86_analytic_windows(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    w_prio = W.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w_full).alias("last_key"),
+        F.dense_rank().over(w_prio).cast("bigint").alias("prio_rank"),
+    )

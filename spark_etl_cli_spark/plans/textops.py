@@ -36,6 +36,7 @@ from spark_etl_cli_spark.operators.dedup import (
     shingle_pairs_jaccard,
     simhash,
 )
+from spark_etl_cli_spark.operators.util import fan_out
 from spark_etl_cli_spark.plans.registry import SQL_DAVG, bcount, query, t
 
 # --- DuckDB twins of functions/text.py (shared fragments) --------------
@@ -142,7 +143,7 @@ def q30_token_stats(spark, sf_dir):
     """,
 )
 def q31_quality_scores(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    d = fan_out(t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
@@ -161,7 +162,7 @@ def q31_quality_scores(spark, sf_dir):
     """,
 )
 def q32_language_id(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    d = fan_out(t(spark, sf_dir, "documents"))
     return d.groupBy(
         "lang", lang_id(F.col("text")).alias("detected")
     ).agg(bcount("n_docs"))
