@@ -144,3 +144,49 @@ def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the lower-cased,
     whitespace-normalized text (portable across engines)."""
     return F.md5(F.encode(F.lower(normalize_ws(text)), "UTF-8"))
+
+
+def winnow_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
+    """MOSS-style winnowing fingerprints (Schleimer et al., SIGMOD'03).
+
+    Hash every character k-gram, slide a window of ``w`` consecutive
+    hashes, keep each window's minimum, return the distinct minima —
+    the classic local-fingerprint scheme whose guarantee is: any shared
+    substring of length >= k+w-1 yields at least one shared fingerprint.
+
+    The k-gram hash is the first 15 hex chars of md5 (60 bits) rather
+    than xxhash64, so the whole pipeline is replicable in ANSI SQL for
+    the oracle. All array ops (sequence/transform/slice/min/distinct)
+    are codegen'd built-ins — no shuffle, no UDF.
+    """
+    norm = F.lower(normalize_ws(text))
+    n_grams = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(0))
+    gram_hashes = F.when(n_grams <= 0, F.array().cast("array<long>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+            lambda i: F.conv(
+                F.md5(norm.substr(i, F.lit(k))).substr(1, 15), 16, 10
+            ).cast("long"),
+        )
+    )
+    n_windows = F.size(gram_hashes) - F.lit(w - 1)
+    # sliding min as a zip_with fold over w shifted slices. The naive
+    # transform(sequence, i -> array_min(slice(grams, i, w))) form
+    # re-evaluates the whole gram-hash array inside every lambda call
+    # (no CSE across higher-order-function lambdas) — O(n*w*n) md5s;
+    # this shape evaluates it O(w) times per row.
+    shifted = [
+        F.slice(gram_hashes, i + 1, F.greatest(n_windows, F.lit(1)))
+        for i in range(w)
+    ]
+    folded = shifted[0]
+    for s in shifted[1:]:
+        folded = F.zip_with(folded, s, lambda x, y: F.least(x, y))
+    windows_min = F.when(
+        n_windows <= 0,
+        # short doc: a single window over whatever grams exist
+        F.when(F.size(gram_hashes) > 0, F.array(F.array_min(gram_hashes))).otherwise(
+            F.array().cast("array<long>")
+        ),
+    ).otherwise(folded)
+    return F.array_sort(F.array_distinct(windows_min))

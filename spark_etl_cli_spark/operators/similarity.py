@@ -228,3 +228,73 @@ def cosine_dup_pairs(
         .filter(F.col("cosine_sim") >= threshold)
     )
     return pairs
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse quantize, probe, re-rank.
+
+    The inverted-file pattern: assign every corpus vector to its nearest
+    centroid (one narrow pass against a broadcast centroid set), have
+    each query probe its ``nprobe`` nearest centroids, and exactly
+    re-rank only the vectors in the probed cells. At 100 TB the corpus
+    scan is shuffle-free (centroids broadcast) and the candidate join is
+    an equi-join on cluster id.
+
+    Centroids here are the corpus rows with ``id < n_centroids`` — a
+    deterministic, training-free coarse quantizer (production systems
+    train k-means; the plan shape is identical, and determinism is what
+    makes the DuckDB oracle able to verify the whole approximate plan).
+    """
+    cents = (
+        corpus.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("__cent"))
+    )
+
+    def assign(df: DataFrame, side: str, keep_top: int) -> DataFrame:
+        sim = (
+            df.select(F.col(id_col).alias(f"{side}_id"), F.col(vec_col).alias(f"__{side}vec"))
+            .crossJoin(F.broadcast(cents))
+            .select(
+                f"{side}_id",
+                f"__{side}vec",
+                "cid",
+                cosine(F.col(f"__{side}vec"), F.col("__cent")).alias("__csim"),
+            )
+        )
+        w = Window.partitionBy(f"{side}_id").orderBy(
+            F.col("__csim").desc(), F.col("cid").asc()
+        )
+        return (
+            sim.withColumn("__cr", F.row_number().over(w))
+            .filter(F.col("__cr") <= keep_top)
+            .select(f"{side}_id", f"__{side}vec", "cid")
+        )
+
+    corpus_cells = assign(fan_out(corpus), "neighbor", 1)
+    query_probes = assign(queries, "query", nprobe)
+    cands = (
+        corpus_cells.join(F.broadcast(query_probes), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "__queryvec", "__neighborvec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__queryvec"), F.col("__neighborvec")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

@@ -325,3 +325,74 @@ def q38_fingerprint_lookup(spark, sf_dir):
         F.col("a.doc_id").cast("bigint").alias("orig_id"),
         F.col("b.doc_id").cast("bigint").alias("dup_id"),
     )
+
+
+# --- q39: winnowing fingerprints (MOSS, Schleimer et al. SIGMOD'03) ------
+# Rolling k-gram hashes -> window minima -> distinct local fingerprints.
+# Shared substrings of length >= k+w-1 guarantee shared fingerprints, so
+# the dup-pair join below finds the injected whitespace-noise copies.
+# The oracle replicates hashing (md5-prefix), windowing, and the pair
+# join exactly; grams are materialized once per row in a CTE (inlining
+# the list into the window lambda makes DuckDB recompute it per window).
+
+
+@query(
+    "q39_winnow_dup_pairs",
+    oracle=f"""
+    WITH docs0 AS ({SQL_DOCS_WITH_DUPS}),
+    docs AS (SELECT * FROM docs0 WHERE doc_id < 1000 OR doc_id >= 100000),
+    g AS (
+      SELECT doc_id AS id,
+             CASE WHEN length(lower({SQL_NORM})) - 4 <= 0
+                  THEN CAST([] AS BIGINT[])
+                  ELSE list_transform(
+                    generate_series(1, length(lower({SQL_NORM})) - 4),
+                    i -> CAST(('0x' || substr(md5(substr(lower({SQL_NORM}), i, 5)), 1, 15))
+                         AS BIGINT))
+             END AS grams
+      FROM docs
+    ),
+    wn AS (
+      SELECT id,
+             CASE WHEN len(grams) = 0 THEN CAST([] AS BIGINT[])
+                  WHEN len(grams) - 3 <= 0 THEN [list_min(grams)]
+                  ELSE list_transform(generate_series(1, len(grams) - 3),
+                                      i -> list_min(grams[i:i+3]))
+             END AS mins
+      FROM g
+    ),
+    fps AS (SELECT id, unnest(list_distinct(mins)) AS fp FROM wn),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_fps
+      FROM fps a JOIN fps b ON a.fp = b.fp
+      WHERE a.id < 100000 AND b.id >= 100000
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, shared_fps FROM pairs WHERE shared_fps >= 50
+    """,
+)
+def q39_winnow_dup_pairs(spark, sf_dir):
+    from spark_etl_cli_spark.functions.text import winnow_fingerprints
+
+    docs = fan_out(
+        docs_with_dups(spark, sf_dir).filter(
+            (F.col("doc_id") < 1000) | (F.col("doc_id") >= 100000)
+        )
+    )
+    fps = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(winnow_fingerprints(F.col("text"), k=5, w=4)).alias("fp"),
+    )
+    # asymmetric: originals x noised copies only. The synthetic corpus
+    # has a ~30-word vocabulary, so an all-pairs fingerprint join would
+    # produce 100k+ spurious matches; the realistic query is "which
+    # originals does each incoming doc plagiarize".
+    a = fps.filter(F.col("id") < 100000).alias("a")
+    b = fps.filter(F.col("id") >= 100000).alias("b")
+    return (
+        a.join(b, F.col("a.fp") == F.col("b.fp"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 50)
+    )

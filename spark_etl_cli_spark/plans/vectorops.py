@@ -211,3 +211,54 @@ def q43_knn_label_vote(spark, sf_dir):
         .filter(F.col("vr") == 1)
         .select("query_id", F.col("label").cast("int").alias("pred_label"))
     )
+
+
+# --- q46: IVF approximate top-k ------------------------------------------
+# Coarse-quantize to 16 deterministic centroids, probe the 4 nearest
+# cells per query, exact re-rank within cells. The oracle replicates
+# assignment, probing, and re-rank — verifying the IVF plan end to end.
+@query(
+    "q46_ann_ivf",
+    oracle=f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding AS cent
+                   FROM embeddings WHERE vec_id < 16),
+         corpus AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+         casn AS (
+           SELECT id, v, cid FROM (
+             SELECT id, v, cid, ROW_NUMBER() OVER (
+               PARTITION BY id ORDER BY {_sql_cos("v", "cent")} DESC, cid) AS cr
+             FROM corpus CROSS JOIN cents) WHERE cr <= 1
+         ),
+         qasn AS (
+           SELECT id, v, cid FROM (
+             SELECT id, v, cid, ROW_NUMBER() OVER (
+               PARTITION BY id ORDER BY {_sql_cos("v", "cent")} DESC, cid) AS cr
+             FROM (SELECT * FROM corpus WHERE id < 10) q CROSS JOIN cents)
+           WHERE cr <= 4
+         ),
+         cand AS (
+           SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id,
+                  q.v AS qv, c.v AS cv
+           FROM casn c JOIN qasn q ON c.cid = q.cid
+           WHERE c.id <> q.id
+         ),
+         s AS (SELECT query_id, neighbor_id,
+                      {_sql_cos("qv", "cv")} AS cosine_sim FROM cand)
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+          FROM s)
+    WHERE rnk <= 5
+    """,
+)
+def q46_ann_ivf(spark, sf_dir):
+    from spark_etl_cli_spark.operators.similarity import ivf_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        corpus=e,
+        queries=e.filter(F.col("vec_id") < 10),
+        k=5,
+        n_centroids=16,
+        nprobe=4,
+    )

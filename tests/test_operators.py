@@ -155,3 +155,44 @@ def test_asof_join_numeric_tolerance(spark):
     out = asof_join(left, right, ["k"], "ts", "ts", ["v"], tolerance=50)
     got = {r.q: r.v for r in out.collect()}
     assert got == {1: "x", 2: None}
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    # shared substring of length >= k+w-1 (=8) must share a fingerprint
+    from spark_etl_cli_spark.functions.text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="abcdefghij unique tail one"),
+            Row(doc_id=2, text="prefix two abcdefghij"),
+            Row(doc_id=3, text="zzzzzzzzzzzzzzz"),
+        ]
+    )
+    fps = {
+        r.doc_id: set(r.fp)
+        for r in df.select(
+            "doc_id", winnow_fingerprints(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert fps[1] & fps[2]  # share 'abcdefghij'
+    assert not (fps[1] & fps[3])
+
+
+def test_ivf_topk_matches_brute_force_with_full_probe(spark):
+    # probing every cell makes IVF exact -> must equal brute force
+    from spark_etl_cli_spark.operators.similarity import ivf_topk
+
+    vecs = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float((i * 7) % 13), float((i * 3) % 5), 1.0])
+         for i in range(40)]
+    )
+    qs = vecs.filter(F.col("vec_id") < 3)
+    bf = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in brute_force_topk(vecs, qs, k=3).collect()
+    }
+    ivf = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_topk(vecs, qs, k=3, n_centroids=4, nprobe=4).collect()
+    }
+    assert ivf == bf
