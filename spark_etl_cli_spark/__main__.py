@@ -32,6 +32,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--list-schemes", action="store_true")
     ap.add_argument("--lenient", action="store_true", help="don't fail fast on sink errors")
+    ap.add_argument(
+        "--explain",
+        action="store_true",
+        help="print each sink view's physical plan before writing",
+    )
     args = ap.parse_args(argv)
 
     from spark_etl_cli_spark import registry
@@ -45,6 +50,14 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(master=args.master, extra_confs=registry.registered_spark_confs())
     pipe = Pipeline.from_uris(args.source, args.transform, args.sink)
+    if args.explain:
+        for s in pipe.sources:
+            s.run(spark)
+        for tr in pipe.transforms:
+            tr.run(spark)
+        for snk in pipe.sinks:
+            print(f"=== plan for sink view {snk.view!r} ===")
+            spark.table(snk.view).explain("formatted")
     results = pipe.run(
         spark,
         fail_fast=not args.lenient,

@@ -224,3 +224,24 @@ def q54_stream_stateful(spark, sf_dir):
     ev = stream_events(spark, sf_dir)
     out = running_user_stats(ev.select("user_id", "ts", "event_type"))
     return run_to_table(out, "q54_stateful", "update")
+
+
+# --- q55: streaming deduplication (dropDuplicates + watermark) -----------
+# The stream reads events twice (self-union = every row duplicated) and
+# streaming dropDuplicates restores exactly-once per event_id — state
+# bounded by the watermark. Oracle = per-type distinct counts.
+@query(
+    "q55_stream_dedup",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q55_stream_dedup(spark, sf_dir):
+    ev = stream_events(spark, sf_dir).select("event_id", "event_type", "ts")
+    doubled = ev.unionByName(stream_events(spark, sf_dir).select(
+        "event_id", "event_type", "ts"
+    ))
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(bcount("n"))
+    return run_to_table(agg, "q55_dedup", "complete")
