@@ -52,17 +52,40 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def run_to_table(df: DataFrame, name: str, output_mode: str) -> DataFrame:
-    """Drive a streaming DataFrame to completion into a memory sink."""
+# Spark disables AQE for stateful streaming, so the shuffle-partition
+# count is taken literally as the number of state-store partitions —
+# every micro-batch pays a per-partition state commit. Unlike batch
+# (where AQE coalesces), this MUST be sized to state volume explicitly:
+# ≈ executors x cores on a cluster, small for the sf0.1 backfill here.
+STREAM_SHUFFLE_PARTITIONS = 8
+
+
+def run_to_table(
+    df: DataFrame,
+    name: str,
+    output_mode: str,
+    shuffle_partitions: int = STREAM_SHUFFLE_PARTITIONS,
+) -> DataFrame:
+    """Drive a streaming DataFrame to completion into a memory sink.
+
+    The shuffle-partition conf is scoped to the stream's lifetime (it is
+    captured at ``start()``); the session value is restored afterwards so
+    batch queries keep their own sizing.
+    """
     spark = df.sparkSession
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
