@@ -222,6 +222,78 @@ def minhash_lsh_pairs(
     return pairs
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list.
+
+    Returns ``(id, component)`` for every vertex appearing in
+    ``edges``, with ``component`` = the minimum vertex id reachable.
+    This is the clustering step of near-duplicate removal: LSH/Jaccard
+    emits candidate *pairs*; components turn pairs into dup *groups*
+    so one survivor per group can be kept.
+
+    Algorithm: iterative minimum-label propagation. Each round every
+    vertex takes ``min(own label, min over neighbors' labels)`` — one
+    shuffle join + one aggregation per round — until no label changes.
+    Rounds needed = graph diameter; near-dup graphs are shallow (dup
+    clusters are dense), so this converges in a handful of rounds. For
+    adversarially deep graphs the drop-in scale upgrade is alternating
+    large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"), whose per-round join shape is identical
+    but converges in O(log n) rounds.
+
+    The driver loop is control plane only (one ``count()`` per round
+    for the convergence test); all data stays distributed.
+    ``localCheckpoint`` truncates lineage each round so plan size and
+    task serialization stay O(1) in the iteration count.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # init: comp = min(self, direct neighbors) — saves one full round
+    labels = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("mb"))
+        .select(F.col("a").alias("id"), F.least("a", "mb").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(F.col("id").alias("b"), F.col("comp").alias("bcomp")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("bcomp").alias("nmin"))
+            .select(F.col("a").alias("id"), "nmin")
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least("comp", F.coalesce("nmin", "comp")).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.select("id", F.col("comp").alias("old")), "id")
+            .filter(F.col("comp") < F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:

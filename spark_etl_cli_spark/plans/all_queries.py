@@ -1,11 +1,13 @@
 """Import every query module so the registry is fully populated."""
 
 from spark_etl_cli_spark.plans import (  # noqa: F401
+    corpusops,
     funcops,
     mmops,
     pipelineops,
     relational,
     streamops,
+    subqueries,
     textops,
     vectorops,
 )

@@ -1,0 +1,392 @@
+"""Corpus-curation query coverage: the operations a large-scale
+training-data pipeline runs between raw crawl and tokenizer.
+
+Covered here (extending textops.py's dedup/fingerprint family):
+
+- **q47** near-dup *clustering*: LSH/Jaccard emits pairs; connected
+  components (operators/dedup.py) turns pairs into dup groups — the
+  step that makes "keep one survivor per group" well-defined. Oracle
+  is a DuckDB ``WITH RECURSIVE`` reachability query.
+- **q48** deterministic stratified sampling: md5-bucket per doc,
+  per-source sampling rate — reproducible (re-runs select the same
+  rows), shuffle-free, and exactly replicated by the oracle.
+- **q49** quality-filter funnel (Gopher/C4-style): successive
+  length / punctuation / stopword gates with per-source survivor
+  counts at each stage.
+- **q76** PII redaction: regex e-mail/phone scrub with per-doc
+  redaction counts (PII is injected deterministically first — the
+  synthetic corpus has none).
+- **q77** per-source top terms (stopword-filtered term frequencies,
+  windowed top-k).
+- **q78** term rarity: tf x corpus-size / document-frequency scoring,
+  most-distinctive term per document (tf-idf shape with exact
+  integer-ratio arithmetic so the oracle hash-matches).
+- **q79** batch sessionization of the events stream (gap-based, the
+  batch twin of streaming q52).
+
+All pure built-in-function plans: one shuffle per groupBy/window, no
+Python UDFs, no driver-side data movement (q47's convergence loop
+moves only a changed-row count per round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from spark_etl_cli_spark.functions.text import (
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
+from spark_etl_cli_spark.operators.dedup import (
+    connected_components,
+    shingle_pairs_jaccard,
+)
+from spark_etl_cli_spark.operators.util import fan_out
+from spark_etl_cli_spark.plans.registry import bcount, query, t
+from spark_etl_cli_spark.plans.textops import (
+    _STOPWORDS,
+    SQL_NTOK,
+    SQL_PUNCT,
+    SQL_SW,
+    SQL_TOKENS,
+)
+
+STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is", "it"]
+
+# q47 caps the corpus at doc_id < 2000 (full corpus at sf<=0.01) so the
+# quadratic-ish shingle self-join stays bounded in the bench; the
+# components algorithm itself is linear per round.
+_Q47_CAP = 2000
+
+# --- q47: near-dup clusters via connected components --------------------
+# Spark side: shingle-Jaccard pairs -> iterative min-label propagation.
+# DuckDB side: the same pair query + WITH RECURSIVE reachability, so
+# the oracle verifies the clustering itself, not just row counts.
+_Q47_PAIRS = f"""
+    sh AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(tk) - 2, 0)),
+               i -> array_to_string(tk[i:i+2], ' '))) AS s
+      FROM (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents
+            WHERE doc_id < {_Q47_CAP})
+    ),
+    ex0 AS (SELECT id, unnest(s) AS shingle FROM sh),
+    freq AS (SELECT shingle, COUNT(*) AS df FROM ex0 GROUP BY 1),
+    ex AS (SELECT id, ex0.shingle FROM ex0
+           JOIN freq ON ex0.shingle = freq.shingle AND freq.df <= 1000),
+    co AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT id, len(s) AS n FROM sh),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM co JOIN sz sa ON id_a = sa.id JOIN sz sb ON id_b = sb.id
+      WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE)
+            >= 0.5
+    )
+"""
+
+
+@query(
+    "q47_dup_components",
+    oracle=f"""
+    WITH RECURSIVE {_Q47_PAIRS},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.id, edges.dst
+      FROM reach JOIN edges ON edges.src = reach.r
+    )
+    SELECT CAST(id AS BIGINT) AS id, CAST(MIN(r) AS BIGINT) AS component
+    FROM reach GROUP BY id
+    """,
+)
+def q47_dup_components(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < _Q47_CAP)
+    pairs = shingle_pairs_jaccard(
+        docs, k=3, threshold=0.5, max_shingle_freq=1000
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comps = connected_components(edges)
+    return comps.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("comp").cast("bigint").alias("component"),
+    )
+
+
+# --- q48: deterministic stratified sampling ------------------------------
+# Bucket = first 8 hex digits of md5(doc_id) mod 100; keep when bucket
+# < the source's rate. Hash-gated sampling is the scale idiom: no
+# shuffle, no RNG state, identical selection on re-runs and across
+# engines (vs. Bernoulli sample(), which is neither reproducible
+# cross-engine nor stable under repartitioning).
+_SQL_BUCKET = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"
+)
+_SQL_RATE = "5 * (1 + CAST(substr(source, 4) AS INT) % 10)"
+
+
+@query(
+    "q48_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, source, CAST({_SQL_BUCKET} AS BIGINT) AS bucket
+    FROM documents
+    WHERE {_SQL_BUCKET} < {_SQL_RATE}
+    """,
+)
+def q48_stratified_sample(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    rate = F.lit(5) * (
+        F.lit(1) + F.substring("source", 4, 8).cast("int") % 10
+    )
+    return (
+        d.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < rate)
+        .select("doc_id", "source", "bucket")
+    )
+
+
+# --- q49: quality-filter funnel (Gopher/C4-style gates) ------------------
+# Each stage is the previous stage AND one more gate; per-source counts
+# show where documents die. One map-side-combined aggregation.
+@query(
+    "q49_quality_funnel",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN {SQL_NTOK} BETWEEN 5 AND 1000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+           CAST(SUM(CASE WHEN {SQL_NTOK} BETWEEN 5 AND 1000
+                     AND {SQL_PUNCT} <= 0.3
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_punct_ok,
+           CAST(SUM(CASE WHEN {SQL_NTOK} BETWEEN 5 AND 1000
+                     AND {SQL_PUNCT} <= 0.3 AND {SQL_SW} >= 0.01
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q49_quality_funnel(spark, sf_dir):
+    d = fan_out(t(spark, sf_dir, "documents"))
+    txt = F.col("text")
+    len_ok = token_count(txt).between(5, 1000)
+    punct_ok = len_ok & (punct_ratio(txt) <= 0.3)
+    quality = punct_ok & (stopword_ratio(txt) >= 0.01)
+
+    def gate(cond, alias):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(alias)
+
+    return d.groupBy("source").agg(
+        bcount("n_total"),
+        gate(len_ok, "n_len_ok"),
+        gate(punct_ok, "n_punct_ok"),
+        gate(quality, "n_quality"),
+    )
+
+
+# --- q76: PII redaction ---------------------------------------------------
+# The corpus carries no PII, so a deterministic injector appends
+# synthetic e-mail/phone strings first; the scrubber then counts and
+# replaces them. Regexes are chosen to parse identically under Java
+# regex (Spark) and RE2 (DuckDB).
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+_SQL_PII_TEXT = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' and admin@example.org' ELSE '' END"
+    " || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+@query(
+    "q76_pii_redaction",
+    oracle=f"""
+    WITH pii AS (SELECT doc_id, {_SQL_PII_TEXT} AS txt FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(txt, '{_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(txt, '{_PHONE_RE}')) AS BIGINT)
+             AS n_phones,
+           CAST(length(regexp_replace(regexp_replace(
+                 txt, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                 '{_PHONE_RE}', '[PHONE]', 'g')) AS BIGINT)
+             AS redacted_len
+    FROM pii
+    """,
+)
+def q76_pii_redaction(spark, sf_dir):
+    d = fan_out(t(spark, sf_dir, "documents"))
+    txt = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" and admin@example.org"))
+        .otherwise(F.lit("")),
+        F.lit(" call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(txt, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(txt, F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(txt, F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.length(redacted).cast("bigint").alias("redacted_len"),
+    )
+
+
+# --- q77: per-source top terms -------------------------------------------
+# explode -> stopword filter -> (source, token) count -> windowed top-5.
+# The token-count agg is map-side combined; the window partitions by
+# source, so the final shuffle carries only distinct (source, token).
+@query(
+    "q77_top_terms",
+    oracle=f"""
+    WITH tok AS (SELECT source, unnest({SQL_TOKENS}) AS token
+                 FROM documents),
+    f AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM tok WHERE token NOT IN ({_STOPWORDS}) GROUP BY 1, 2),
+    r AS (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY source ORDER BY cnt DESC, token) AS rk FROM f)
+    SELECT source, token, cnt, CAST(rk AS INT) AS rk
+    FROM r WHERE rk <= 5
+    """,
+)
+def q77_top_terms(spark, sf_dir):
+    d = fan_out(t(spark, sf_dir, "documents"))
+    tok = d.select(
+        "source", F.explode(tokens(F.col("text"))).alias("token")
+    ).filter(~F.col("token").isin(STOPWORDS))
+    counts = tok.groupBy("source", "token").agg(bcount("cnt"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("cnt").desc(), F.col("token")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("source", "token", "cnt", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+# --- q78: most-distinctive term per document (tf-idf shape) --------------
+# rarity = tf * n_docs / df: integer products and one double division,
+# so the score is bit-identical across engines (unlike log-based idf).
+@query(
+    "q78_term_rarity",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({SQL_TOKENS}) AS token
+                 FROM documents),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+    df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    s AS (SELECT doc_id, token,
+                 CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS rarity
+          FROM tf JOIN df USING (token) CROSS JOIN nd)
+    SELECT doc_id, token, rarity
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY rarity DESC, token) AS rk FROM s)
+    WHERE rk = 1
+    """,
+)
+def q78_term_rarity(spark, sf_dir):
+    d = fan_out(t(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(bcount("tf"))
+    df = tf.groupBy("token").agg(bcount("df"))
+    nd = d.agg(bcount("n_docs"))
+    s = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "token",
+            (
+                (F.col("tf") * F.col("n_docs")).cast("double")
+                / F.col("df").cast("double")
+            ).alias("rarity"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("rarity").desc(), F.col("token")
+    )
+    return (
+        s.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "token", "rarity")
+    )
+
+
+# --- q79: batch sessionization of the event stream -----------------------
+# Gap-based sessions (10 min) via lag + running sum — the batch twin of
+# streaming q52 (same oracle family), plus per-session dwell time.
+@query(
+    "q79_batch_sessions",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN ts >= lag(ts) OVER w + INTERVAL 10 MINUTE THEN 1
+                  ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM o
+    )
+    SELECT user_id,
+           CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(floor(epoch(MAX(ts))) - floor(epoch(MIN(ts))) AS BIGINT)
+             AS duration_s
+    FROM g GROUP BY user_id, grp
+    """,
+)
+def q79_batch_sessions(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") >= F.lag("ts").over(w) + F.expr("INTERVAL 10 MINUTES")),
+        1,
+    ).otherwise(0)
+    grp = F.sum(brk).over(
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    epoch = F.unix_timestamp("ts").cast("bigint")
+    return (
+        ev.withColumn("grp", grp)
+        .groupBy("user_id", "grp")
+        .agg(
+            F.min(epoch).alias("session_start"),
+            bcount("n_events"),
+            (F.max(epoch) - F.min(epoch)).cast("bigint").alias("duration_s"),
+        )
+        .select("user_id", "session_start", "n_events", "duration_s")
+    )

@@ -268,3 +268,33 @@ def q55_stream_dedup(spark, sf_dir):
     deduped = doubled.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
     agg = deduped.groupBy("event_type").agg(bcount("n"))
     return run_to_table(agg, "q55_dedup", "complete")
+
+
+# --- q56: stream-static join (enrichment) --------------------------------
+# The standard streaming-enrichment shape: a watermarked event stream
+# joined to a static dimension (customer) that Spark re-plans as a
+# broadcast per micro-batch. Aggregates stay count/distinct/max-only so
+# the oracle hash is float-agg-free.
+@query(
+    "q56_stream_static_join",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           MAX(value) AS max_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1
+    """,
+)
+def q56_stream_static_join(spark, sf_dir):
+    from spark_etl_cli_spark.plans.registry import t
+
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    dim = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        bcount("n_events"),
+        F.size(F.collect_set("user_id")).cast("bigint").alias("n_users"),
+        F.max("value").alias("max_value"),
+    )
+    return run_to_table(agg, "q56_stream_static", "complete")

@@ -262,3 +262,88 @@ def q46_ann_ivf(spark, sf_dir):
         n_centroids=16,
         nprobe=4,
     )
+
+
+# --- q63: per-dimension embedding statistics ------------------------------
+# Feature-normalization stats (the pass before whitening/scaling a
+# training set): posexplode to (dim, value), aggregate per dimension.
+# Values are scaled to integer micro-units *before* summing, so the
+# cross-row aggregation is exact integer math — bit-identical across
+# engines and row orders (a raw double sum would be neither).
+@query(
+    "q63_embedding_dim_stats",
+    oracle="""
+    WITH x AS (
+      SELECT unnest(list_transform(generate_series(1, len(embedding)),
+               i -> struct_pack(d := i - 1,
+                                m := CAST(floor(CAST(embedding[i] AS DOUBLE)
+                                     * 1000000) AS BIGINT)))) AS u
+      FROM embeddings
+    )
+    SELECT CAST(u.d AS INT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(u.m) AS BIGINT) AS sum_micros,
+           CAST(MIN(u.m) AS BIGINT) AS min_micros,
+           CAST(MAX(u.m) AS BIGINT) AS max_micros
+    FROM x GROUP BY 1
+    """,
+)
+def q63_embedding_dim_stats(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    micros = F.floor(F.col("val").cast("double") * 1000000).cast("bigint")
+    return (
+        e.select(F.posexplode("embedding").alias("dim", "val"))
+        .select(F.col("dim").cast("int").alias("dim"), micros.alias("m"))
+        .groupBy("dim")
+        .agg(
+            bcount("n"),
+            F.sum("m").cast("bigint").alias("sum_micros"),
+            F.min("m").cast("bigint").alias("min_micros"),
+            F.max("m").cast("bigint").alias("max_micros"),
+        )
+    )
+
+
+# --- q64: int8 scalar quantization ----------------------------------------
+# The storage/bandwidth path for ANN at scale: per-vector max-abs scale,
+# floor(v / scale * 127) per element. All per-element arithmetic (no
+# cross-row float aggregation), identical double ops in both engines.
+@query(
+    "q64_vector_quantize",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             embedding,
+             list_max(list_transform(embedding,
+                      e -> abs(CAST(e AS DOUBLE)))) AS maxabs
+      FROM embeddings
+    )
+    SELECT vec_id,
+           list_transform(embedding,
+             e -> CASE WHEN maxabs = 0 THEN 0
+                  ELSE CAST(floor(CAST(e AS DOUBLE) / maxabs * 127) AS INT)
+                  END) AS q,
+           CAST(floor(maxabs * 1000000) AS BIGINT) AS scale_micros
+    FROM s
+    """,
+)
+def q64_vector_quantize(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    maxabs = F.array_max(
+        F.transform(F.col("embedding"), lambda v: F.abs(v.cast("double")))
+    )
+    quant = F.transform(
+        F.col("embedding"),
+        lambda v: F.when(F.col("maxabs") == 0, F.lit(0)).otherwise(
+            F.floor(v.cast("double") / F.col("maxabs") * 127).cast("int")
+        ),
+    )
+    return (
+        e.withColumn("maxabs", maxabs)
+        .select(
+            "vec_id",
+            quant.alias("q"),
+            F.floor(F.col("maxabs") * 1000000).cast("bigint")
+            .alias("scale_micros"),
+        )
+    )
