@@ -291,7 +291,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    return labels
+    return labels.select("id", F.col("comp").alias("component"))
 
 
 def simhash(

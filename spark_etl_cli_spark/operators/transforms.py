@@ -239,3 +239,144 @@ def diff_transform(p: ParsedUri) -> TransformFn:
         return apply_diff_handling(diff(df, right, id_cols, ignore), handle)
 
     return run
+
+
+@register_transform("components")
+def components_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+components://?src=id_a&dst=id_b&max-iter=25``.
+
+    Connected components over an edge-list view (e.g. the pair output
+    of ``dedup://?mode=minhash``): emits (id, component) so dedup can
+    keep one survivor per *group*, not just per pair.
+    """
+    src = p.params.get("src", "id_a")
+    dst = p.params.get("dst", "id_b")
+    max_iter = int(p.params.get("max-iter", "25"))
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators.dedup import connected_components
+
+        return connected_components(df, src, dst, max_iter)
+
+    return run
+
+
+@register_transform("sample")
+def sample_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+sample://?rate=10&id-col=doc_id[&by=source&rates=src0:5,src1:10]``.
+
+    Deterministic hash sampling: keep rows whose md5-bucket (of the id
+    column, mod 100) falls below the rate. Reproducible across runs,
+    engines, and repartitioning — unlike Bernoulli ``df.sample``.
+    Optional ``by``/``rates`` give per-stratum rates (fallback
+    ``rate`` for unlisted strata).
+    """
+    rate = int(p.params.get("rate", "10"))
+    id_col = p.params.get("id-col", "doc_id")
+    by = p.params.get("by")
+    rates = dict(
+        kv.split(":", 1) for kv in p.params.get("rates", "").split(",") if ":" in kv
+    )
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        bucket = (
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % 100
+        )
+        limit = F.lit(rate)
+        if by and rates:
+            expr = F.lit(rate)
+            for stratum, r in rates.items():
+                expr = F.when(F.col(by) == stratum, F.lit(int(r))).otherwise(expr)
+            limit = expr
+        return df.filter(bucket < limit)
+
+    return run
+
+
+@register_transform("quality-filter")
+def quality_filter_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+quality-filter://?text-col=text&min-tokens=5&max-tokens=1000&max-punct=0.3&min-stopword=0.01``.
+
+    Gopher/C4-style document gates (the filter twin of the q49 funnel):
+    keeps rows passing all thresholds; all gates codegen'd.
+    """
+    text_col = p.params.get("text-col", "text")
+    min_tok = int(p.params.get("min-tokens", "5"))
+    max_tok = int(p.params.get("max-tokens", "1000"))
+    max_punct = float(p.params.get("max-punct", "0.3"))
+    min_sw = float(p.params.get("min-stopword", "0.01"))
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from spark_etl_cli_spark.functions import text as X
+
+        c = F.col(text_col)
+        return df.filter(
+            X.token_count(c).between(min_tok, max_tok)
+            & (X.punct_ratio(c) <= max_punct)
+            & (X.stopword_ratio(c) >= min_sw)
+        )
+
+    return run
+
+
+@register_transform("pii-scrub")
+def pii_scrub_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+pii-scrub://?text-col=text`` — replace e-mail/phone
+    patterns with [EMAIL]/[PHONE] markers in place."""
+    text_col = p.params.get("text-col", "text")
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from spark_etl_cli_spark.plans.corpusops import _EMAIL_RE, _PHONE_RE
+
+        scrubbed = F.regexp_replace(
+            F.regexp_replace(F.col(text_col), _EMAIL_RE, "[EMAIL]"),
+            _PHONE_RE,
+            "[PHONE]",
+        )
+        return df.withColumn(text_col, scrubbed)
+
+    return run
+
+
+@register_transform("sessionize")
+def sessionize_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+sessionize://?key=user_id&ts-col=ts&gap=600[&order=event_id]``.
+
+    Gap-based batch sessionization: appends a ``session_id`` column
+    (``<key>-<n>`` per key). One window shuffle on the key.
+    """
+    key = p.params.get("key", "user_id")
+    ts_col = p.params.get("ts-col", "ts")
+    gap = int(p.params.get("gap", "600"))
+    order = [c for c in p.params.get("order", "").split(",") if c]
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        ob = [F.col(ts_col), *[F.col(c) for c in order]]
+        w = Window.partitionBy(key).orderBy(*ob)
+        brk = F.when(
+            F.lag(ts_col).over(w).isNull()
+            | (
+                F.col(ts_col).cast("long")
+                >= F.lag(F.col(ts_col).cast("long")).over(w) + gap
+            ),
+            1,
+        ).otherwise(0)
+        grp = F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumn(
+            "session_id", F.concat_ws("-", F.col(key).cast("string"), grp)
+        )
+
+    return run

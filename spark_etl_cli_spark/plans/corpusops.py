@@ -120,7 +120,7 @@ def q47_dup_components(spark, sf_dir):
     comps = connected_components(edges)
     return comps.select(
         F.col("id").cast("bigint").alias("id"),
-        F.col("comp").cast("bigint").alias("component"),
+        F.col("component").cast("bigint").alias("component"),
     )
 
 

@@ -71,6 +71,11 @@ class FileSource:
     def read(self, spark: SparkSession) -> DataFrame:
         opts = {**self.default_options, **reader_options(self.uri)}
         path = self.uri.path
+        if self.fmt == "parquet":
+            # TIMESTAMP(NANOS) parquet columns (e.g. the synthetic
+            # events table) are otherwise rejected by the vectorized
+            # reader; surfaced as LONG nanoseconds instead.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         if self.uri.is_stream:
             reader = spark.readStream.format(self.fmt).options(**opts)
             schema_json = self.uri.params.get("schema")

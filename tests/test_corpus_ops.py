@@ -13,7 +13,7 @@ def test_connected_components_chain_and_pair(spark):
     from spark_etl_cli_spark.operators.dedup import connected_components
 
     got = {
-        (r["id"], r["comp"])
+        (r["id"], r["component"])
         for r in connected_components(edges).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
@@ -27,8 +27,8 @@ def test_connected_components_merges_via_bridge(spark):
     from spark_etl_cli_spark.operators.dedup import connected_components
 
     comps = connected_components(edges)
-    assert comps.select("comp").distinct().count() == 1
-    assert comps.agg(F.min("comp")).first()[0] == 5
+    assert comps.select("component").distinct().count() == 1
+    assert comps.agg(F.min("component")).first()[0] == 5
 
 
 def test_quantize_zero_vector_guard(spark):
@@ -68,3 +68,45 @@ def test_stratified_sample_rates(spark):
     rb = {(r["doc_id"], r["bucket"]) for r in b.collect()}
     assert ra == rb
     assert all(0 <= bkt < 100 for _, bkt in ra)
+
+
+def test_quality_filter_and_sample_transforms(spark):
+    from spark_etl_cli_spark.registry import resolve_transform
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    _, qf = resolve_transform("quality-filter://?min-tokens=5&max-punct=0.3")
+    kept = qf(spark, docs)
+    assert 0 < kept.count() <= docs.count()
+
+    _, smp = resolve_transform("sample://?rate=20&id-col=doc_id")
+    sampled = smp(spark, docs)
+    n, total = sampled.count(), docs.count()
+    assert 0 < n < total
+    # deterministic: second run identical
+    assert smp(spark, docs).count() == n
+
+
+def test_pii_scrub_transform(spark):
+    from spark_etl_cli_spark.registry import resolve_transform
+
+    df = spark.createDataFrame(
+        [(1, "mail me at bob@example.com or +1-555-0199 ok")],
+        ["id", "text"],
+    )
+    _, scrub = resolve_transform("pii-scrub://")
+    out = scrub(spark, df).first()["text"]
+    assert out == "mail me at [EMAIL] or [PHONE] ok"
+
+
+def test_sessionize_transform_gap(spark):
+    from spark_etl_cli_spark.registry import resolve_transform
+
+    df = spark.createDataFrame(
+        [(1, 100, "a"), (1, 200, "b"), (1, 10000, "c"), (2, 100, "d")],
+        ["user_id", "ts", "event_id"],
+    )
+    _, sess = resolve_transform("sessionize://?key=user_id&ts-col=ts&gap=600&order=event_id")
+    out = {r["event_id"]: r["session_id"] for r in sess(spark, df).collect()}
+    assert out["a"] == out["b"]          # within gap
+    assert out["a"] != out["c"]          # beyond gap -> new session
+    assert out["d"].startswith("2-")     # per-key sessions
