@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from spark_etl_cli_spark.plans.registry import bcount, query, t
+from spark_etl_cli_spark.plans.registry import dec as dec2
 from spark_etl_cli_spark.plans.textops import SQL_NTOK, SQL_TOKENS
 
 
@@ -183,4 +184,90 @@ def q75_sketch_aggregates(spark, sf_dir):
             F.abs(approx - exact) <= exact * F.lit(0.15)
         ).alias("approx_within_15pct"),
         ((p_approx >= p40) & (p_approx <= p60)).alias("p50_within_band"),
+    )
+
+
+# --- q90: arg-extremum aggregates (max_by / min_by) -----------------------
+# "Which row holds the group's extreme value" without a window pass —
+# single map-side-combined aggregation. Tie-breaks are made explicit
+# with a fixed-width composite ordering key (value then key), since
+# both engines' arg-extremum is otherwise nondeterministic on ties.
+_SQL_ORD = (
+    "lpad(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+    " AS VARCHAR), 14, '0') || '-' ||"
+    " lpad(CAST(o_orderkey AS VARCHAR), 12, '0')"
+)
+
+
+@query(
+    "q90_arg_extremes",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(arg_max(o_orderkey, {_SQL_ORD}) AS BIGINT) AS top_order,
+           CAST(arg_min(o_orderkey, {_SQL_ORD}) AS BIGINT) AS bottom_order,
+           MAX(o_totalprice) AS top_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q90_arg_extremes(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    ord_key = F.concat_ws(
+        "-",
+        F.lpad(
+            (dec2(F.col("o_totalprice")) * 100).cast("bigint").cast("string"),
+            14,
+            "0",
+        ),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+    )
+    return (
+        o.withColumn("__ord", ord_key)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", F.col("__ord")).cast("bigint")
+            .alias("top_order"),
+            F.min_by("o_orderkey", F.col("__ord")).cast("bigint")
+            .alias("bottom_order"),
+            F.max("o_totalprice").alias("top_price"),
+        )
+    )
+
+
+# --- q57: latest-record compaction (upsert/CDC read shape) ----------------
+# One surviving row per (user_id, event_type): the event with the
+# greatest (ts, event_id). The same single-agg arg-max plan compacts a
+# changelog into current state at 100 TB — no window, no second pass.
+_SQL_EV_ORD = (
+    "lpad(CAST(epoch_ns(ts) AS VARCHAR), 20, '0') || '-' ||"
+    " lpad(CAST(event_id AS VARCHAR), 12, '0')"
+)
+
+
+@query(
+    "q57_latest_per_key",
+    oracle=f"""
+    SELECT user_id, event_type,
+           CAST(arg_max(event_id, {_SQL_EV_ORD}) AS BIGINT) AS last_event_id,
+           arg_max(value, {_SQL_EV_ORD}) AS last_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q57_latest_per_key(spark, sf_dir):
+    # ts arrives as LONG nanoseconds (legacy nanosAsLong read)
+    ev = t(spark, sf_dir, "events")
+    ord_key = F.concat_ws(
+        "-",
+        F.lpad(F.col("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.withColumn("__ord", ord_key)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.max_by("event_id", F.col("__ord")).cast("bigint")
+            .alias("last_event_id"),
+            F.max_by("value", F.col("__ord")).alias("last_value"),
+        )
     )
