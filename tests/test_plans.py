@@ -83,3 +83,35 @@ def test_whole_stage_codegen_active(spark, name):
     plan = plan_of(spark, name, execute=True)
     # codegen'd operators carry the "*(stageId)" marker in the final plan
     assert "WholeStageCodegen" in plan or "*(1)" in plan
+
+
+def test_q87_decorrelates_to_semi_and_anti(spark):
+    plan = plan_of(spark, "q87_waiting_suppliers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan  # LIMIT 20 never global-sorts
+    assert "CartesianProduct" not in plan
+
+
+def test_q88_dims_broadcast_filter_pushed(spark):
+    plan = plan_of(spark, "q88_nation_year_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the p_name LIKE filter reaches the part scan, not post-join
+    assert "PushedFilters" in plan and "StringContains(p_name,red)" in plan
+
+
+def test_q48_sample_is_scan_plus_filter_only(spark):
+    plan = plan_of(spark, "q48_stratified_sample")
+    assert "Exchange" not in plan  # hash-gate sampling must not shuffle
+    assert "FileScan parquet" in plan
+
+
+def test_q57_compaction_is_single_aggregate(spark):
+    plan = plan_of(spark, "q57_latest_per_key")
+    # arg-max compaction: partial + final agg, no window operator
+    assert plan.count("HashAggregate") >= 2 or "SortAggregate" in plan
+    assert "Window" not in plan
+
+
+def test_q78_scalar_count_broadcast(spark):
+    plan = plan_of(spark, "q78_term_rarity")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -1,0 +1,99 @@
+"""Structured Streaming semantics tests: late-data drops across
+checkpointed restarts, and the foreachBatch sink path.
+
+The oracle-gate queries (q50-q56) prove streaming results equal batch
+semantics when nothing is late; these tests pin the *streaming-only*
+behaviors — watermark state recovery from a checkpoint and per-batch
+custom sinks — which no batch oracle can express.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SCHEMA = "id long, ts timestamp"
+
+
+def _write(spark, path: str, rows: list[tuple[int, str]]) -> None:
+    df = spark.createDataFrame(
+        [(i, ts) for i, ts in rows], "id long, ts string"
+    ).select("id", F.to_timestamp("ts").alias("ts"))
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def _run(spark, src: str, ckpt: str, out: str):
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    # file sink: append-only and checkpoint-recoverable (memory sink
+    # cannot resume from a checkpoint)
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    return spark.read.parquet(out), dropped
+
+
+def test_watermark_drops_late_rows_across_restart(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    # run 1, two files -> two micro-batches: the second advances the
+    # watermark to 10:50 and flushes every window ending before it
+    _write(spark, src, [(1, "2024-01-01 10:00:30"), (2, "2024-01-01 10:04:00")])
+    _write(spark, src, [(3, "2024-01-01 11:00:00")])
+    out1, dropped1 = _run(spark, src, ckpt, out)
+    wins1 = {(r["ws"].hour, r["ws"].minute): r["n"] for r in out1.collect()}
+    assert wins1[(10, 0)] == 2  # [10:00,10:05) closed with both rows
+    assert dropped1 == 0
+
+    # run 2, same checkpoint: a row at 10:01 is behind the recovered
+    # watermark -> dropped by the state store, not double-counted
+    _write(spark, src, [(4, "2024-01-01 10:01:00"), (5, "2024-01-01 11:30:00")])
+    out2, dropped2 = _run(spark, src, ckpt, out)
+    assert dropped2 == 1
+    rows2 = [r for r in out2.collect() if (r["ws"].hour, r["ws"].minute) == (10, 0)]
+    assert len(rows2) == 1 and rows2[0]["n"] == 2  # never re-emitted/recounted
+
+
+def test_foreach_batch_sink(spark, tmp_path):
+    src = str(tmp_path / "fbsrc")
+    _write(spark, src, [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:01:00")])
+    _write(spark, src, [(3, "2024-01-01 10:02:00")])
+
+    seen: list[tuple[int, int]] = []
+
+    def handle(df, epoch_id: int):
+        seen.append((epoch_id, df.count()))
+
+    q = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(seen) == 2  # one invocation per micro-batch
+    assert sum(n for _, n in seen) == 3
