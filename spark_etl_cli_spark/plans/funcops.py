@@ -271,3 +271,41 @@ def q57_latest_per_key(spark, sf_dir):
             F.max_by("value", F.col("__ord")).alias("last_value"),
         )
     )
+
+
+# --- q91: fuzzy entity-name matching (edit distance) ----------------------
+# Entity-resolution shape: near-identical names across a catalog.
+# Aggregate to DISTINCT names first (64 here — the cardinality that
+# matters at 100 TB is distinct entities, not rows), then an all-pairs
+# compare pruned by the |length difference| <= d implication of
+# levenshtein <= d. The distinct set broadcasts; the NL join is over
+# entities, never over the fact table.
+@query(
+    "q91_fuzzy_name_pairs",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM names a JOIN names b
+      ON a.p_name < b.p_name
+     AND abs(length(a.p_name) - length(b.p_name)) <= 2
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def q91_fuzzy_name_pairs(spark, sf_dir):
+    names = t(spark, sf_dir, "part").select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("name_a") < F.col("name_b"))
+            & (
+                F.abs(F.length("name_a") - F.length("name_b")) <= 2
+            ),
+        )
+        .withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("int")
+        )
+        .filter(F.col("dist") <= 2)
+    )

@@ -132,3 +132,29 @@ def values_source(p: ParsedUri) -> ValuesSource:
 def values_sink(p: ParsedUri) -> ShowSink:
     # The reference's values sink just prints (ValuesSource.scala:27-30).
     return ShowSink(p)
+
+
+@dataclass
+class RangeSource:
+    """``range://?start=0&end=N&step=1[&partitions=P]`` — Spark's
+    distributed ``spark.range``: a generated BIGINT ``id`` column with
+    explicit partitioning. The zero-I/O source for synthetic pipelines
+    and partition-layout experiments (N rows never touch the driver).
+    """
+
+    uri: ParsedUri
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        p = self.uri.params
+        start = int(p.get("start", "0"))
+        end = int(p.get("end", p.get("n", "1000")))
+        step = int(p.get("step", "1"))
+        parts = p.get("partitions")
+        if parts is not None:
+            return spark.range(start, end, step, int(parts))
+        return spark.range(start, end, step)
+
+
+@register_source("range")
+def range_source(p: ParsedUri) -> RangeSource:
+    return RangeSource(p)

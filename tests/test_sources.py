@@ -128,3 +128,13 @@ def test_repartition_coalesce_cache_transforms(spark):
     assert spark.table("narrow").rdd.getNumPartitions() == 2
     assert spark.table("wide").rdd.getNumPartitions() == 8
     spark.table("cached").unpersist()
+
+
+def test_range_source(spark):
+    from spark_etl_cli_spark.registry import resolve_source
+
+    _, src = resolve_source("r+range://?start=5&end=50&step=5&partitions=3")
+    df = src.read(spark)
+    assert df.rdd.getNumPartitions() == 3
+    vals = sorted(r["id"] for r in df.collect())
+    assert vals == list(range(5, 50, 5))
