@@ -38,6 +38,13 @@ def main() -> int:
     # Warm up the JVM/codegen path once so q1 isn't charged session-start
     # costs; the driver measures steady-state throughput.
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    # Warm the Python/Arrow worker pool too (workers are reused across
+    # queries, so spawn cost is session setup, not query throughput):
+    # one tiny mapInPandas task per core.
+    n_workers = spark.sparkContext.defaultParallelism
+    spark.range(0, n_workers * 4, 1, n_workers).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -45,12 +45,23 @@ def tokens(text: Column) -> Column:
 
 
 def char_ngrams(text: Column, n: int) -> Column:
-    """Array of character n-grams (for shingle-based dedup)."""
+    """Array of character n-grams (for shingle-based dedup).
+
+    The normalized string is let-bound (transform over a one-element
+    array) so the regex normalization runs once, not once per offset.
+    """
     norm = F.lower(normalize_ws(text))
-    # sequence of start offsets 1..len-n+1, substring per offset
-    return F.expr(
-        f"transform(sequence(1, greatest(length({_sql(norm)}) - {n} + 1, 0)), "
-        f"i -> substring({_sql(norm)}, i, {n}))"
+    return F.element_at(
+        F.transform(
+            F.array(norm),
+            lambda s: F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length(s) - F.lit(n - 1), F.lit(0))
+                ),
+                lambda i: F.substring(s, i, n),
+            ),
+        ),
+        1,
     )
 
 
@@ -65,15 +76,27 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     Guarded for short docs: Spark's ``sequence(1, 0)`` counts *down*
     ([1, 0]) and ``slice(_, 0, _)`` then throws, so docs with fewer than
     k tokens return an empty array explicitly.
+
+    The token array is *let-bound* by transforming over a one-element
+    array: lambda variables are evaluated once, whereas a plain subtree
+    reference inside a ``transform`` lambda is re-evaluated per element
+    — which would re-run the whitespace-regex tokenization once per
+    shingle position (measured ~6x slowdown on real documents).
     """
     toks = tokens(text)
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
     return F.array_distinct(
-        F.when(F.size(toks) >= k, shingles).otherwise(
-            F.array().cast("array<string>")
+        F.element_at(
+            F.transform(
+                F.array(toks),
+                lambda tk: F.when(
+                    F.size(tk) >= k,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(tk) - F.lit(k - 1)),
+                        lambda i: F.concat_ws(" ", F.slice(tk, i, k)),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            ),
+            1,
         )
     )
 
@@ -125,19 +148,32 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 def lang_id(text: Column) -> Column:
     """Heuristic language ID: language with the most marker hits;
-    deterministic tie-break on language code; 'und' when no hits."""
-    scores = lang_scores(text)
-    pairs = F.array(
-        *[
-            F.struct(score.cast("bigint").alias("hits"), F.lit(lang).alias("lang"))
-            for lang, score in sorted(scores.items())
-        ]
+    deterministic tie-break on language code; 'und' when no hits.
+
+    The token array is let-bound (one tokenization per row); the naive
+    form re-tokenizes once per language and once more per reference to
+    the best-scoring struct.
+    """
+    def best_of(tk: Column) -> Column:
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.size(F.filter(tk, lambda t: t.isin(markers)))
+                    .cast("bigint")
+                    .alias("hits"),
+                    F.lit(lang).alias("lang"),
+                )
+                for lang, markers in sorted(LANG_MARKERS.items())
+            ]
+        )
+        best = F.array_max(F.filter(pairs, lambda p: p["hits"] > 0))
+        # array_max on struct: max by hits then lang — ties pick the
+        # lexicographically largest lang.
+        return F.when(best.isNull(), F.lit("und")).otherwise(best["lang"])
+
+    return F.element_at(
+        F.transform(F.array(tokens(text)), lambda tk: best_of(tk)), 1
     )
-    best = F.array_max(F.filter(pairs, lambda p: p["hits"] > 0))
-    # array_max on struct: max by hits then lang — ties pick the
-    # lexicographically largest lang; invert lang for asc tie-break is
-    # overkill here, document the tie rule instead.
-    return F.when(best.isNull(), F.lit("und")).otherwise(best["lang"])
 
 
 def fingerprint(text: Column) -> Column:
@@ -159,34 +195,49 @@ def winnow_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
     the oracle. All array ops (sequence/transform/slice/min/distinct)
     are codegen'd built-ins — no shuffle, no UDF.
     """
-    norm = F.lower(normalize_ws(text))
-    n_grams = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(0))
-    gram_hashes = F.when(n_grams <= 0, F.array().cast("array<long>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
-            lambda i: F.conv(
-                F.md5(norm.substr(i, F.lit(k))).substr(1, 15), 16, 10
-            ).cast("long"),
+    def grams_of(s: Column) -> Column:
+        n_grams = F.greatest(F.length(s) - F.lit(k - 1), F.lit(0))
+        return F.when(n_grams <= 0, F.array().cast("array<long>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+                lambda i: F.conv(
+                    F.md5(s.substr(i, F.lit(k))).substr(1, 15), 16, 10
+                ).cast("long"),
+            )
         )
-    )
-    n_windows = F.size(gram_hashes) - F.lit(w - 1)
-    # sliding min as a zip_with fold over w shifted slices. The naive
-    # transform(sequence, i -> array_min(slice(grams, i, w))) form
-    # re-evaluates the whole gram-hash array inside every lambda call
-    # (no CSE across higher-order-function lambdas) — O(n*w*n) md5s;
-    # this shape evaluates it O(w) times per row.
-    shifted = [
-        F.slice(gram_hashes, i + 1, F.greatest(n_windows, F.lit(1)))
-        for i in range(w)
-    ]
-    folded = shifted[0]
-    for s in shifted[1:]:
-        folded = F.zip_with(folded, s, lambda x, y: F.least(x, y))
-    windows_min = F.when(
-        n_windows <= 0,
-        # short doc: a single window over whatever grams exist
-        F.when(F.size(gram_hashes) > 0, F.array(F.array_min(gram_hashes))).otherwise(
-            F.array().cast("array<long>")
+
+    def windows_of(g: Column) -> Column:
+        n_windows = F.size(g) - F.lit(w - 1)
+        # sliding min as a zip_with fold over w shifted slices of the
+        # *bound* gram array: O(w) array scans per row, zero md5
+        # recomputation.
+        shifted = [
+            F.slice(g, i + 1, F.greatest(n_windows, F.lit(1))) for i in range(w)
+        ]
+        folded = shifted[0]
+        for s in shifted[1:]:
+            folded = F.zip_with(folded, s, lambda x, y: F.least(x, y))
+        return F.when(
+            n_windows <= 0,
+            # short doc: a single window over whatever grams exist
+            F.when(F.size(g) > 0, F.array(F.array_min(g))).otherwise(
+                F.array().cast("array<long>")
+            ),
+        ).otherwise(folded)
+
+    # Double let-binding (transform over one-element arrays): the
+    # normalized string is computed once, the md5 gram array once —
+    # subtree references inside HOF lambdas are re-evaluated per call,
+    # so without the binding every slice/size reference would redo
+    # every md5 (O(n*w) md5s instead of O(n)).
+    norm = F.lower(normalize_ws(text))
+    bound = F.element_at(
+        F.transform(
+            F.array(norm),
+            lambda s: F.element_at(
+                F.transform(F.array(grams_of(s)), lambda g: windows_of(g)), 1
+            ),
         ),
-    ).otherwise(folded)
-    return F.array_sort(F.array_distinct(windows_min))
+        1,
+    )
+    return F.array_sort(F.array_distinct(bound))

@@ -25,7 +25,33 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Single-pass cosine: one zip, one fold carrying (dot, |a|², |b|²).
+
+    Numerically identical to ``dot(a,b)/(norm(a)*norm(b))`` — each of
+    the three sums accumulates the same terms in the same order — but
+    one array traversal instead of three. The ``finish`` lambda binds
+    the accumulator struct once (references to a subtree inside HOF
+    lambdas re-evaluate it; a finish-lambda variable doesn't).
+    """
+    pairs = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.struct(
+            x.cast("double").alias("x"), y.cast("double").alias("y")
+        ),
+    )
+    return F.aggregate(
+        pairs,
+        F.struct(
+            F.lit(0.0).alias("d"), F.lit(0.0).alias("na"), F.lit(0.0).alias("nb")
+        ),
+        lambda acc, p: F.struct(
+            (acc["d"] + p["x"] * p["y"]).alias("d"),
+            (acc["na"] + p["x"] * p["x"]).alias("na"),
+            (acc["nb"] + p["y"] * p["y"]).alias("nb"),
+        ),
+        lambda acc: acc["d"] / (F.sqrt(acc["na"]) * F.sqrt(acc["nb"])),
+    )
 
 
 def l2_distance(a: Column, b: Column) -> Column:

@@ -62,6 +62,43 @@ def exact_dup_groups(
     )
 
 
+def bucket_pairs(
+    entries: DataFrame, *bucket_cols: str, max_bucket_size: int | None = None
+) -> DataFrame:
+    """(bucket..., e: struct) → all within-bucket pairs (a, b), a < b.
+
+    The inverted-index pair-generation primitive shared by every
+    candidate-pair operator here. One shuffle: groupBy the bucket key,
+    ``collect_list`` the (sorted) posting list, then generate the
+    C(n, 2) combinations *inside the row* with nested ``transform`` —
+    instead of a self-equi-join, which shuffles the posting entries
+    twice and (worse) executes the whole upstream subtree — shingling,
+    hashing — once per join side. Output cardinality is identical to
+    the join's; the upstream runs exactly once.
+
+    Entries must be distinct within a bucket; ``a < b`` comes from
+    sorting the posting list (struct comparison: first field = id).
+    """
+    grouped = entries.groupBy(*bucket_cols).agg(
+        F.sort_array(F.collect_list("e")).alias("ids")
+    )
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("ids") <= max_bucket_size)
+    return (
+        grouped.filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), b -> "
+                    "struct(a, b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+
+
 def shingle_pairs_jaccard(
     df: DataFrame,
     text_col: str = "text",
@@ -74,54 +111,49 @@ def shingle_pairs_jaccard(
 
     Emits (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
 
-    Plan shape: explode distinct shingles (one narrow stage) → optional
-    hot-shingle cap (drop shingles appearing in > max_shingle_freq docs;
-    they contribute little to Jaccard but dominate join cost) →
-    self-equi-join on shingle (one shuffle) → pair-count agg (one
-    shuffle) → join back per-doc sizes (broadcastable aggregate).
+    Plan shape: explode distinct shingles carrying (id, set size) →
+    groupBy shingle into a posting list (ONE shuffle of the entries;
+    the shingling subtree executes once, vs. 4x for the naive
+    freq-join + self-join formulation) → hot-shingle cap (posting lists
+    longer than ``max_shingle_freq`` are dropped whole — stop-word
+    shingles contribute little to Jaccard but dominate pair cost) →
+    in-row pair combinations → count agg per pair. Because each posting
+    entry carries its document's shingle-set size, Jaccard needs no
+    join back to a sizes table.
+
+    At extreme corpus scale the collect-then-drop cap can be replaced
+    by a pre-pass that broadcasts the (tiny) set of over-frequent
+    shingles and anti-joins them out before collecting; same semantics,
+    one extra count shuffle.
     """
     shingled = fan_out(df).select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), k).alias("shingles"),
     )
-    sizes = shingled.select(
-        "id", F.size("shingles").cast("bigint").alias("n_shingles")
+    entries = shingled.select(
+        F.explode("shingles").alias("shingle"),
+        F.struct(
+            F.col("id"), F.size("shingles").cast("bigint").alias("n")
+        ).alias("e"),
     )
-    exploded = shingled.select("id", F.explode("shingles").alias("shingle"))
-    # NOT persisted: measured at sf0.1, caching the posting list costs
-    # more (serial materialization + cache-scan losing codegen fusion)
-    # than recomputing the shingling per consumer
-
-    if max_shingle_freq is not None:
-        freq = exploded.groupBy("shingle").agg(F.count("*").alias("df"))
-        exploded = (
-            exploded.join(freq.filter(F.col("df") <= max_shingle_freq), "shingle")
-            .select("id", "shingle")
-        )
-
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    co = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").cast("bigint").alias("inter"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    out = (
-        co.join(sa, F.col("id_a") == F.col("sa.id"))
-        .join(sb, F.col("id_b") == F.col("sb.id"))
-        .select(
+    pairs = bucket_pairs(entries, "shingle", max_bucket_size=max_shingle_freq)
+    co = pairs.groupBy(
+        F.col("a.id").alias("id_a"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("b.n").alias("n_b"),
+    ).agg(F.count("*").cast("bigint").alias("inter"))
+    return (
+        co.select(
             "id_a",
             "id_b",
             (
                 F.col("inter").cast("double")
-                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("inter")).cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return out
 
 
 def minhash_signatures(
@@ -162,16 +194,19 @@ def minhash_lsh_pairs(
     """Candidate near-dup pairs via banded MinHash LSH.
 
     rows-per-band = num_hashes/bands; two docs collide when any band's
-    sub-signature matches exactly. Join key is (band_idx, band_hash) so
-    the shuffle is uniformly spread across bands; no quadratic blowup
-    outside genuinely-identical buckets. Returns distinct (id_a, id_b),
-    id_a < id_b, plus estimated jaccard (signature agreement rate).
+    sub-signature matches exactly. Bucket key is (band_idx, band_hash)
+    so the shuffle is uniformly spread across bands; no quadratic
+    blowup outside genuinely-identical buckets. Pair generation is
+    :func:`bucket_pairs` (posting-list combinations), so the signature
+    computation — shingling + k hashes per doc — executes exactly once,
+    not once per self-join side. Posting entries carry the signature,
+    so the agreement-rate estimate needs no join back. Returns distinct
+    (id_a, id_b), id_a < id_b, plus estimated jaccard (signature
+    agreement rate).
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    banded = sigs.select(
-        "id",
-        "signature",
+    entries = sigs.select(
         F.explode(
             F.array(
                 *[
@@ -188,17 +223,11 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        F.struct("id", "signature").alias("e"),
+    ).select("bb.band", "bb.bucket", "e")
 
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+    return (
+        bucket_pairs(entries, "band", "bucket")
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -219,7 +248,6 @@ def minhash_lsh_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.max("est_jaccard").alias("est_jaccard"))
     )
-    return pairs
 
 
 def connected_components(
@@ -274,21 +302,20 @@ def connected_components(
             .agg(F.min("bcomp").alias("nmin"))
             .select(F.col("a").alias("id"), "nmin")
         )
+        # carry an "improved" flag out of the same join so the
+        # convergence test is a filter over the (already materialized)
+        # checkpoint, not another join against the previous labels
         new_labels = (
             labels.join(nbr_min, "id", "left")
             .select(
                 "id",
                 F.least("comp", F.coalesce("nmin", "comp")).alias("comp"),
+                (F.col("nmin") < F.col("comp")).alias("improved"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.select("id", F.col("comp").alias("old")), "id")
-            .filter(F.col("comp") < F.col("old"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("improved").count()
+        labels = new_labels.drop("improved")
         if changed == 0:
             break
     return labels.select("id", F.col("comp").alias("component"))

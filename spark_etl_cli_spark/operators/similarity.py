@@ -195,7 +195,13 @@ def cosine_dup_pairs(
     """Embedding near-duplicate pairs: (id_a, id_b, cosine_sim >= threshold).
 
     LSH bucketing bounds the candidate set; exact cosine confirms.
+    Pair generation is posting-list combinations (one shuffle, the
+    signature computation runs once — vs. once per side of the naive
+    band self-join); posting entries carry the vector so the re-rank
+    needs no join back.
     """
+    from spark_etl_cli_spark.operators.dedup import bucket_pairs
+
     rows_per_band = num_planes // bands
     if dim is None:
         first = df.select(F.size(F.col(vec_col)).alias("d")).first()
@@ -208,15 +214,9 @@ def cosine_dup_pairs(
         dim,
     )
     banded = _explode_bands(sig, bands, rows_per_band, ["id", "vec"])
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+    entries = banded.select("band", "bucket", F.struct("id", "vec").alias("e"))
+    return (
+        bucket_pairs(entries, "band", "bucket")
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -224,10 +224,11 @@ def cosine_dup_pairs(
             F.col("b.vec").alias("__vb"),
         )
         .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim"))
+        .select(
+            "id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim")
+        )
         .filter(F.col("cosine_sim") >= threshold)
     )
-    return pairs
 
 
 def ivf_topk(

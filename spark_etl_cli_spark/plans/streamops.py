@@ -249,6 +249,50 @@ def q54_stream_stateful(spark, sf_dir):
     return run_to_table(out, "q54_stateful", "update")
 
 
+# --- q58: new-record detection via transformWithStateInPandas ------------
+# The Spark 4 typed-state API (streaming/stateful.py RecordHighProcessor):
+# emit exactly the rows that set a new per-user maximum, in event order.
+# transformWithState requires the RocksDB state store provider, scoped to
+# this query the same way shuffle partitions are.
+@query(
+    "q58_stream_record_highs",
+    oracle="""
+    SELECT user_id, event_id, value FROM (
+      SELECT user_id, event_id, value,
+             max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS prev_max
+      FROM events)
+    WHERE prev_max IS NULL OR value > prev_max
+    """,
+)
+def q58_stream_record_highs(spark, sf_dir):
+    from spark_etl_cli_spark.streaming.stateful import (
+        _tws_available,
+        record_high_events,
+    )
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    if _tws_available():
+        # transformWithState supports only the RocksDB state store
+        spark.conf.set(
+            conf_key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+    try:
+        ev = stream_events(spark, sf_dir).select(
+            "user_id", "event_id", "ts", "value"
+        )
+        out = record_high_events(ev)
+        return run_to_table(out, "q58_record_highs", "append")
+    finally:
+        spark.conf.set(conf_key, prev)
+
+
 # --- q55: streaming deduplication (dropDuplicates + watermark) -----------
 # The stream reads events twice (self-union = every row duplicated) and
 # streaming dropDuplicates restores exactly-once per event_id — state

@@ -30,6 +30,7 @@ from spark_etl_cli_spark.functions.text import (
     token_count,
 )
 from spark_etl_cli_spark.operators.dedup import (
+    bucket_pairs,
     dedup_exact,
     exact_dup_groups,
     minhash_lsh_pairs,
@@ -261,12 +262,12 @@ def q36_minhash_lsh_pairs(spark, sf_dir):
 
 # --- q37: SimHash near-dup pairs (no ANSI oracle: xxhash64) -------------
 # 64-bit fingerprints → 4x16-bit band buckets → hamming<=8 confirm.
+# Pair generation via bucket_pairs: the fingerprint computation (token
+# explode + 64 bit-votes) runs once, not once per self-join side.
 @query("q37_simhash_pairs")
 def q37_simhash_pairs(spark, sf_dir):
     fp = simhash(t(spark, sf_dir, "documents"))
-    banded = fp.select(
-        "id",
-        "simhash",
+    entries = fp.select(
         F.explode(
             F.array(
                 *[
@@ -280,15 +281,10 @@ def q37_simhash_pairs(spark, sf_dir):
                 ]
             )
         ).alias("bb"),
-    ).select("id", "simhash", "bb.band", "bb.bucket")
-    a, b = banded.alias("a"), banded.alias("b")
+        F.struct("id", "simhash").alias("e"),
+    ).select("bb.band", "bb.bucket", "e")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+        bucket_pairs(entries, "band", "bucket")
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -296,8 +292,8 @@ def q37_simhash_pairs(spark, sf_dir):
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= 8)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -38,6 +38,9 @@ BASE_CONFS: dict[str, str] = {
     # most computed aggregates) stay broadcastable even at large SF.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
+    # Let Python DataSources (the Arrow IPC connector) receive pushed
+    # filters via DataSourceReader.pushFilters (Spark 4.1).
+    "spark.sql.python.filterPushdown.enabled": "true",
     "spark.ui.enabled": "false",
     "spark.sql.shuffle.partitions": str(max(default_parallelism(), 8)),
 }

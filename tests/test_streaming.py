@@ -97,3 +97,44 @@ def test_foreach_batch_sink(spark, tmp_path):
     q.awaitTermination()
     assert len(seen) == 2  # one invocation per micro-batch
     assert sum(n for _, n in seen) == 3
+
+
+def test_record_high_cross_batch_state(spark, tmp_path):
+    """State survives micro-batch boundaries: a record set in batch 1
+    suppresses smaller values arriving in batch 2 — the behavior the
+    batch oracle for q58 cannot observe (it sees one epoch)."""
+    from spark_etl_cli_spark.streaming.stateful import record_high_events
+
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    src = str(tmp_path / "rh")
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, ts string, value double"
+        ).select(
+            "user_id", "event_id", F.to_timestamp("ts").alias("ts"), "value"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write_batch([(1, 1, "2024-01-01 10:00:00", 5.0),
+                 (1, 2, "2024-01-01 10:01:00", 3.0)])
+    write_batch([(1, 3, "2024-01-01 10:02:00", 4.0),
+                 (1, 4, "2024-01-01 10:03:00", 7.0)])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        record_high_events(stream)
+        .writeStream.format("memory")
+        .queryName("rh_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = sorted(r["event_id"] for r in spark.table("rh_test").collect())
+    # 1 sets the first record; 2 and 3 are below it (3 only because the
+    # 5.0 state crossed the batch boundary); 4 sets a new record.
+    assert emitted == [1, 4]
