@@ -309,3 +309,56 @@ def q91_fuzzy_name_pairs(spark, sf_dir):
         )
         .filter(F.col("dist") <= 2)
     )
+
+
+# --- q92: SCD2 history build from a changelog -----------------------------
+# The slowly-changing-dimension type-2 shape every warehouse ETL needs:
+# collapse consecutive equal states per key, emit validity intervals
+# [valid_from, valid_to) with NULL valid_to for the current state.
+# Change detection = lag over (ts, event_id); interval close = lead over
+# the change rows only. Two window passes over ONE shuffle (same
+# partitioning key, Spark reuses the exchange).
+@query(
+    "q92_scd2_intervals",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, event_type, ts,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_id, event_type, ts FROM c
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id,
+           CAST(event_id AS BIGINT) AS change_id,
+           event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS valid_from,
+           CAST(floor(epoch(lead(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)))
+                AS BIGINT) AS valid_to
+    FROM changes
+    """,
+)
+def q92_scd2_intervals(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    )
+    return changes.select(
+        "user_id",
+        F.col("event_id").cast("bigint").alias("change_id"),
+        "event_type",
+        F.unix_timestamp("ts").cast("bigint").alias("valid_from"),
+        F.unix_timestamp(F.lead("ts").over(w)).cast("bigint").alias("valid_to"),
+    )

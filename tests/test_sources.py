@@ -138,3 +138,27 @@ def test_range_source(spark):
     assert df.rdd.getNumPartitions() == 3
     vals = sorted(r["id"] for r in df.collect())
     assert vals == list(range(5, 50, 5))
+
+
+def test_jdbc_roundtrip_derby(spark, tmp_path):
+    """Embedded-Derby round-trip: overwrite write, plain read, and a
+    range-partitioned parallel read (the at-scale JDBC shape)."""
+    from spark_etl_cli_spark.registry import resolve_sink, resolve_source
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    df = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
+    _, sink = resolve_sink(f"t+jdbc:///T1?url={url}")
+    assert sink.write(df) is True
+
+    _, src = resolve_source(f"t+jdbc:///T1?url={url}")
+    back = src.read(spark)
+    assert back.count() == 100
+    assert sorted(r["k"] for r in back.collect()) == list(range(100))
+
+    _, psrc = resolve_source(
+        f"t+jdbc:///T1?url={url}&partitionColumn=k"
+        "&lowerBound=0&upperBound=100&numPartitions=4"
+    )
+    pdf = psrc.read(spark)
+    assert pdf.rdd.getNumPartitions() == 4
+    assert pdf.count() == 100
