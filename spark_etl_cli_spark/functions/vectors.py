@@ -54,6 +54,37 @@ def cosine(a: Column, b: Column) -> Column:
     )
 
 
+def unit(v: Column) -> Column:
+    """v / ||v|| — normalize once so downstream similarity is one dot.
+
+    Cosine between unit vectors is a single fold per pair instead of
+    three (dot + two norms): the cheap-per-row / cheap-per-pair split
+    that matters when candidates ≫ rows. Both the vector and its norm
+    are let-bound (transform over one-element arrays) so the norm fold
+    runs once, not once per element.
+    """
+    vd = _as_double(v)
+    return F.element_at(
+        F.transform(
+            F.array(vd),
+            lambda vv: F.element_at(
+                F.transform(
+                    F.array(
+                        F.sqrt(
+                            F.aggregate(
+                                vv, F.lit(0.0), lambda acc, x: acc + x * x
+                            )
+                        )
+                    ),
+                    lambda nn: F.transform(vv, lambda x: x / nn),
+                ),
+                1,
+            ),
+        ),
+        1,
+    )
+
+
 def l2_distance(a: Column, b: Column) -> Column:
     diffs = F.zip_with(_as_double(a), _as_double(b), lambda x, y: (x - y) * (x - y))
     return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x))

