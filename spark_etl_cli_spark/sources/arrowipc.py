@@ -42,6 +42,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -163,6 +164,60 @@ class _ArrowIPCReader(DataSourceReader):
                     yield batch
 
 
+class _ArrowIPCStreamReader(DataSourceStreamReader):
+    """Micro-batch reader over an append-only directory of IPC files.
+
+    Files are atomic units (an IPC file is complete once its footer is
+    written): an offset is the set of files fully processed, so the
+    reader is robust to part-file names that don't sort in arrival
+    order (the batch writer names parts by uuid). Each new file fans
+    out to batch-range partitions exactly like the batch reader.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("arrowipc stream reader requires a path")
+        self.batches_per_task = int(options.get("batches-per-task", "8"))
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def latestOffset(self) -> dict:
+        return {"files": [os.path.basename(f) for f in _list_ipc_files(self.path)]}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        import pyarrow as pa
+
+        new = sorted(set(end.get("files", [])) - set(start.get("files", [])))
+        parts: list[_BatchRange] = []
+        for name in new:
+            f = os.path.join(self.path, name)
+            if not os.path.exists(f):
+                continue
+            with pa.memory_map(f, "r") as mm:
+                n = pa.ipc.open_file(mm).num_record_batches
+            step = max(1, self.batches_per_task)
+            for s in range(0, n, step):
+                parts.append(_BatchRange(f, s, min(s + step, n)))
+        return parts or [_BatchRange("", 0, 0)]
+
+    def read(self, partition: _BatchRange):
+        import pyarrow as pa
+
+        if not partition.file:
+            return
+        with pa.memory_map(partition.file, "r") as mm:
+            reader = pa.ipc.open_file(mm)
+            for i in range(partition.start, partition.end):
+                batch = reader.get_batch(i)
+                if batch.num_rows:
+                    yield batch
+
+    def commit(self, end: dict) -> None:
+        return None
+
+
 @dataclass
 class _WroteFile(WriterCommitMessage):
     path: str
@@ -240,6 +295,9 @@ class ArrowIPCDataSource(DataSource):
     def reader(self, schema: StructType) -> _ArrowIPCReader:
         return _ArrowIPCReader(dict(self.options), schema)
 
+    def streamReader(self, schema: StructType) -> _ArrowIPCStreamReader:
+        return _ArrowIPCStreamReader(dict(self.options))
+
     def writer(self, schema: StructType, overwrite: bool) -> _ArrowIPCWriter:
         path = self.options.get("path")
         if overwrite and path and os.path.isdir(path):
@@ -264,16 +322,27 @@ def _ensure_registered(spark: SparkSession) -> None:
 
 @dataclass
 class ArrowIPCSource:
-    """``arrow:///path[?batches-per-task=N]`` — dir, glob, or single file."""
+    """``arrow:///path[?batches-per-task=N]`` — dir, glob, or single file.
+
+    ``arrow-stream://`` switches to micro-batch streaming over an
+    append-only directory (``?watermark=col:dur`` supported); the
+    schema comes from the first file's footer, no ``?schema=`` needed.
+    """
 
     uri: ParsedUri
 
     def read(self, spark: SparkSession) -> DataFrame:
+        from spark_etl_cli_spark.sources.base import apply_watermark
+
         _ensure_registered(spark)
-        reader = spark.read.format(_FORMAT_NAME)
+        reader = (
+            spark.readStream if self.uri.is_stream else spark.read
+        ).format(_FORMAT_NAME)
         for k, v in self.uri.params.items():
-            reader = reader.option(k, v)
-        return reader.load(self.uri.path)
+            if k not in ("watermark", "schema"):
+                reader = reader.option(k, v)
+        df = reader.load(self.uri.path)
+        return apply_watermark(df, self.uri.params.get("watermark"))
 
 
 @dataclass
@@ -289,7 +358,7 @@ class ArrowIPCSink:
         return True
 
 
-@register_source("arrow", "feather")
+@register_source("arrow", "feather", "arrow-stream", "feather-stream")
 def arrow_source(p: ParsedUri) -> ArrowIPCSource:
     return ArrowIPCSource(p)
 

@@ -81,3 +81,43 @@ def test_arrow_empty_dataframe_roundtrip(spark, tmp_path):
     back = src.read(spark)
     assert back.count() == 0
     assert [f.name for f in back.schema.fields] == ["k"]
+
+
+def test_arrow_stream_microbatches(spark, tmp_path):
+    """arrow-stream://: files already present are batch 0; files
+    appearing later arrive in subsequent micro-batches (offset = set of
+    processed files, robust to non-sorted part names)."""
+    src = str(tmp_path / "stream")
+    os.makedirs(src)
+    _write_ipc(os.path.join(src, "b-first.arrow"), 2, 5)
+
+    _, s = resolve_source(f"s+arrow-stream://{src}")
+    stream = s.read(spark)
+    assert stream.isStreaming
+
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("arrow_stream_t")
+        .outputMode("append")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.table("arrow_stream_t").count() == 10:
+                break
+            time.sleep(0.3)
+        assert spark.table("arrow_stream_t").count() == 10
+
+        # "a-second" sorts BEFORE the already-processed file on purpose
+        _write_ipc(os.path.join(src, "a-second.arrow"), 1, 7)
+        while time.time() < deadline:
+            if spark.table("arrow_stream_t").count() == 17:
+                break
+            time.sleep(0.3)
+        assert spark.table("arrow_stream_t").count() == 17
+    finally:
+        q.stop()
