@@ -296,18 +296,19 @@ def q91_fuzzy_name_pairs(spark, sf_dir):
     names = t(spark, sf_dir, "part").select("p_name").distinct()
     a = names.select(F.col("p_name").alias("name_a"))
     b = names.select(F.col("p_name").alias("name_b"))
+    # The levenshtein bound lives IN the join condition, explicitly
+    # after the cheap predicates: a post-join .filter would be pushed
+    # into the condition anyway — but ANDed in *front*, so the ~ns
+    # ordering/length prunes would never short-circuit the ~µs edit
+    # distance. Conjunct order is preserved as written here.
     return (
         a.join(
             F.broadcast(b),
             (F.col("name_a") < F.col("name_b"))
-            & (
-                F.abs(F.length("name_a") - F.length("name_b")) <= 2
-            ),
+            & (F.abs(F.length("name_a") - F.length("name_b")) <= 2)
+            & (F.levenshtein("name_a", "name_b") <= 2),
         )
-        .withColumn(
-            "dist", F.levenshtein("name_a", "name_b").cast("int")
-        )
-        .filter(F.col("dist") <= 2)
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("int"))
     )
 
 
@@ -390,4 +391,58 @@ def q93_variant_extract(spark, sf_dir):
         bcount("n"),
         F.sum(k).cast("bigint").alias("sum_k"),
         F.count(F.when(k >= 50, F.lit(1))).cast("bigint").alias("n_high"),
+    )
+
+
+# --- q94: mergeable HLL sketches (partial build + union rollup) -----------
+# The cluster-scale distinct-count pattern: build per-group HLL sketch
+# BUFFERS (hll_sketch_agg), then roll them up by merging buffers
+# (hll_union_agg) — never re-scanning rows. This is what feeds
+# incremental/cube distinct counts at 100 TB: partials are small,
+# mergeable, and shippable. Sketch bytes are implementation-specific,
+# so (as q75) the oracle states exact values and TRUE for the bound
+# each estimate must satisfy.
+@query(
+    "q94_hll_union_rollup",
+    oracle="""
+    WITH per_seg AS (
+      SELECT c_mktsegment, c_nationkey,
+             COUNT(DISTINCT c_custkey) AS nd
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           CAST((SELECT COUNT(DISTINCT c_custkey) FROM customer c2
+                 WHERE c2.c_mktsegment = per_seg.c_mktsegment) AS BIGINT)
+             AS nd_exact,
+           TRUE AS est_within_10pct
+    FROM per_seg
+    GROUP BY c_mktsegment
+    """,
+)
+def q94_hll_union_rollup(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    # stage 1: one sketch buffer per (segment, nation)
+    per_nation = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sketch"),
+    )
+    # stage 2: merge buffers up to segment level — rows never re-read
+    rolled = per_nation.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_nations"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"),
+    )
+    exact = c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_custkey").cast("bigint").alias("nd_exact")
+    )
+    return (
+        rolled.join(exact, "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "n_nations",
+            "nd_exact",
+            (
+                F.abs(F.col("est") - F.col("nd_exact"))
+                <= F.col("nd_exact") * F.lit(0.10)
+            ).alias("est_within_10pct"),
+        )
     )

@@ -115,3 +115,31 @@ def test_q57_compaction_is_single_aggregate(spark):
 def test_q78_scalar_count_broadcast(spark):
     plan = plan_of(spark, "q78_term_rarity")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q91_fuzzy_pairs_broadcast_with_length_prune(spark):
+    plan = plan_of(spark, "q91_fuzzy_name_pairs")
+    # distinct-names side broadcasts; in the join condition the cheap
+    # ordering + length prunes precede the expensive edit distance, so
+    # conjunct short-circuiting skips levenshtein for most pairs
+    assert "BroadcastNestedLoopJoin" in plan
+    join_line = next(
+        l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l
+    )
+    assert join_line.index("length") < join_line.index("levenshtein")
+
+
+def test_q92_scd2_windows_share_one_exchange(spark):
+    plan = plan_of(spark, "q92_scd2_intervals")
+    # lag (change detect) and lead (interval close) partition the same
+    # way: one shuffle, the second window reuses the distribution
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert plan.count("Window") >= 2
+
+
+def test_q94_rollup_merges_sketches_not_rows(spark):
+    plan = plan_of(spark, "q94_hll_union_rollup")
+    # stage-2 aggregates union sketch BUFFERS; customer is scanned for
+    # the sketch build + the exact-side check, never a third time
+    assert "hll_union_agg" in plan
+    assert plan.count("FileScan parquet") == 2
