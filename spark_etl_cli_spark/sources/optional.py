@@ -108,36 +108,88 @@ def delta_sink(p: ParsedUri) -> DeltaSink:
     return DeltaSink(p)
 
 
+def _infer_column(values: list) -> str:
+    """inferSchema=true twin (reference ExcelFileDataFrameSource.scala:13):
+    all-int → long, numeric → double, all-bool → boolean, else string."""
+    non_null = [v for v in values if v is not None]
+    if non_null and all(isinstance(v, bool) for v in non_null):
+        return "boolean"
+    if non_null and all(
+        isinstance(v, int) and not isinstance(v, bool) for v in non_null
+    ):
+        return "long"
+    if non_null and all(
+        isinstance(v, (int, float)) and not isinstance(v, bool) for v in non_null
+    ):
+        return "double"
+    return "string"
+
+
 @dataclass
 class ExcelSource:
-    """Excel via pandas/openpyxl (no JVM plugin needed) → createDataFrame."""
+    """Excel source: pandas/openpyxl when installed, else the built-in
+    stdlib codec (sources/xlsx_lite.py) — the connector always works."""
 
     uri: ParsedUri
 
     def read(self, spark: SparkSession) -> DataFrame:
         try:
             import pandas as pd
-        except ImportError as e:  # pragma: no cover
-            raise MissingDependencyError("excel", "pandas + openpyxl") from e
-        try:
+
             pdf = pd.read_excel(self.uri.path)
-        except ImportError as e:
-            raise MissingDependencyError("excel", "an Excel engine (openpyxl)") from e
-        return spark.createDataFrame(pdf)
+            return spark.createDataFrame(pdf)
+        except ImportError:
+            pass  # no Excel engine — use the stdlib codec
+        from spark_etl_cli_spark.sources.xlsx_lite import read_xlsx
+
+        header, rows = read_xlsx(self.uri.path)
+        infer = self.uri.params.get("inferSchema", "true").lower() == "true"
+        if infer:
+            types = [
+                _infer_column([r[i] for r in rows]) for i in range(len(header))
+            ]
+            cast = {
+                "long": lambda v: int(v) if v is not None else None,
+                "double": lambda v: float(v) if v is not None else None,
+                "boolean": lambda v: v,
+                "string": lambda v: str(v) if v is not None else None,
+            }
+            rows = [
+                [cast[t](v) for t, v in zip(types, r)] for r in rows
+            ]
+        else:
+            types = ["string"] * len(header)
+            rows = [[None if v is None else str(v) for v in r] for r in rows]
+        schema = ", ".join(f"`{h}` {t}" for h, t in zip(header, types))
+        return spark.createDataFrame(rows, schema)
 
 
 @dataclass
 class ExcelSink:
+    """Excel sink: single driver-side file by nature (the reference
+    forces ``repartition(1)`` too, ExcelFileDataFrameSource.scala:23) —
+    collect is the honest cost model for this format."""
+
     uri: ParsedUri
 
     def write(self, df: DataFrame) -> bool:
         from spark_etl_cli_spark.operators.schema_tools import json_encode_complex
 
+        flat = json_encode_complex(df)
         try:
-            pdf = json_encode_complex(df).toPandas()
-            pdf.to_excel(self.uri.path, index=False)
-        except ImportError as e:
-            raise MissingDependencyError("excel", "an Excel engine (openpyxl)") from e
+            import pandas as pd  # noqa: F401
+
+            flat.toPandas().to_excel(self.uri.path, index=False)
+            return True
+        except ImportError:
+            pass
+        from spark_etl_cli_spark.sources.xlsx_lite import write_xlsx
+
+        write_xlsx(
+            self.uri.path,
+            list(flat.columns),
+            [tuple(row) for row in flat.collect()],
+        )
         return True
 
 

@@ -56,13 +56,17 @@ def test_table_sink_aligns_columns_on_append(spark):
     assert got == [(1, "a"), (2, "b")]
 
 
-def test_excel_without_engine_raises_clearly(spark, tmp_path):
-    with pytest.raises(MissingDependencyError, match="excel"):
-        run_pipeline(
-            spark,
-            sources=["v+values://?header=a:int&values=1"],
-            sinks=[f"v+excel://{tmp_path}/out.xlsx"],
-        )
+def test_excel_pipeline_works_without_engine(spark, tmp_path):
+    # excel no longer needs openpyxl: the stdlib SpreadsheetML codec
+    # (sources/xlsx_lite.py) backs the connector everywhere
+    run_pipeline(
+        spark,
+        sources=["v+values://?header=a:int&values=1"],
+        sinks=[f"v+excel://{tmp_path}/out.xlsx"],
+    )
+    from spark_etl_cli_spark.sources.xlsx_lite import read_xlsx
+
+    assert read_xlsx(f"{tmp_path}/out.xlsx") == (["a"], [[1]])
 
 
 def test_delta_without_jars_raises_clearly(spark, tmp_path):
@@ -86,3 +90,56 @@ def test_solr_without_endpoint_raises_clearly(spark):
             sources=["v+values://?header=a:int&values=1"],
             sinks=["v+solr://collection1"],
         )
+
+
+def test_excel_roundtrip_stdlib_codec(spark, tmp_path):
+    """excel:// works with no Excel engine installed: the stdlib
+    SpreadsheetML codec writes and reads the file, and inferSchema
+    recovers long/double/boolean/string column types."""
+    from spark_etl_cli_spark.registry import resolve_sink, resolve_source
+
+    path = str(tmp_path / "t.xlsx")
+    df = spark.createDataFrame(
+        [(1, 1.5, True, "a & <b>"), (2, 2.5, False, None)],
+        "k long, x double, flag boolean, s string",
+    )
+    _, sink = resolve_sink(f"e+excel://{path}")
+    assert sink.write(df) is True
+
+    _, src = resolve_source(f"e+excel://{path}")
+    back = src.read(spark)
+    assert [f.simpleString() for f in back.schema.fields] == [
+        "k:bigint", "x:double", "flag:boolean", "s:string",
+    ]
+    rows = {r["k"]: r for r in back.collect()}
+    assert rows[1]["s"] == "a & <b>" and rows[1]["flag"] is True
+    assert rows[2]["s"] is None and rows[2]["x"] == 2.5
+
+
+def test_excel_shared_strings_parse(tmp_path):
+    """Files from other producers use sharedStrings; the codec reads
+    them (our writer emits inline strings only)."""
+    import zipfile
+    from spark_etl_cli_spark.sources import xlsx_lite as xl
+
+    path = str(tmp_path / "ss.xlsx")
+    xl.write_xlsx(path, ["a"], [("x",)])
+    # splice in a sharedStrings part + a cell referencing it
+    with zipfile.ZipFile(path) as z:
+        parts = {n: z.read(n) for n in z.namelist()}
+    sheet = parts["xl/worksheets/sheet1.xml"].decode()
+    sheet = sheet.replace(
+        "</sheetData>",
+        '<row r="3"><c r="A3" t="s"><v>0</v></c></row></sheetData>',
+    )
+    parts["xl/worksheets/sheet1.xml"] = sheet.encode()
+    parts["xl/sharedStrings.xml"] = (
+        b'<?xml version="1.0"?><sst xmlns="%b"><si><t>shared!</t></si></sst>'
+        % xl._NS.encode()
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        for n, b in parts.items():
+            z.writestr(n, b)
+    header, rows = xl.read_xlsx(path)
+    assert header == ["a"]
+    assert rows == [["x"], ["shared!"]]  # empty row 2 skipped
