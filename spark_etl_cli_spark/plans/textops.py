@@ -392,3 +392,146 @@ def q39_winnow_dup_pairs(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
         .filter(F.col("shared_fps") >= 50)
     )
+
+
+# --- q95: BPE-style pre-tokenizer counts ----------------------------------
+# The GPT-2-family pre-tokenizer shape, reduced to the subset Java and
+# RE2 regex engines treat identically (letter runs / digit runs /
+# punctuation runs, each with an optional leading space; no lookahead).
+# This is the "how many tokens will the tokenizer see" estimator that
+# budget-filters documents before a real BPE pass.
+_BPE_PAT = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+@query(
+    "q95_bpe_token_count",
+    oracle=f"""
+    SELECT source,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPE_PAT}'))) AS BIGINT)
+             AS total_bpe_tokens,
+           CAST(MAX(len(regexp_extract_all(text, '{_BPE_PAT}'))) AS BIGINT)
+             AS max_bpe_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def q95_bpe_token_count(spark, sf_dir):
+    d = fan_out(t(spark, sf_dir, "documents"))
+    ntok = F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0)))
+    return d.groupBy("source").agg(
+        F.sum(ntok).cast("bigint").alias("total_bpe_tokens"),
+        F.max(ntok).cast("bigint").alias("max_bpe_tokens"),
+    )
+
+
+# --- q96: overlapping document chunking -----------------------------------
+# Context-window preparation: split each document into word chunks of
+# CHUNK tokens with STRIDE overlap (chunk i starts at token i*STRIDE).
+# Per-row explode — no shuffle at all; the chunk text is rebuilt with
+# single spaces so both engines agree byte-for-byte.
+_CHUNK, _STRIDE = 64, 48
+
+
+@query(
+    "q96_doc_chunking",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
+    spans AS (
+      SELECT doc_id,
+             unnest(generate_series(0,
+               CAST(greatest(ceil((len(tk) - {_CHUNK}) / {_STRIDE}.0), 0)
+                    AS BIGINT))) AS chunk_idx,
+             tk
+      FROM toks WHERE len(tk) > 0
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(tk[chunk_idx * {_STRIDE} + 1 :
+                     chunk_idx * {_STRIDE} + {_CHUNK}]) AS BIGINT)
+             AS chunk_tokens,
+           array_to_string(tk[chunk_idx * {_STRIDE} + 1 :
+                              chunk_idx * {_STRIDE} + {_CHUNK}], ' ')
+             AS chunk_text
+    FROM spans
+    """,
+)
+def q96_doc_chunking(spark, sf_dir):
+    from spark_etl_cli_spark.functions.text import tokens
+
+    d = fan_out(t(spark, sf_dir, "documents"))
+    tk = d.select("doc_id", tokens(F.col("text")).alias("tk")).filter(
+        F.size("tk") > 0
+    )
+    n_chunks = F.greatest(
+        F.ceil((F.size("tk") - F.lit(_CHUNK)) / F.lit(float(_STRIDE))),
+        F.lit(0),
+    ).cast("bigint")
+    chunked = tk.select(
+        "doc_id",
+        "tk",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks)).alias(
+            "chunk_idx"
+        ),
+    )
+    piece = F.slice(
+        F.col("tk"), (F.col("chunk_idx") * _STRIDE + 1).cast("int"), _CHUNK
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(piece).cast("bigint").alias("chunk_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
+# --- q97: greedy sequence packing -----------------------------------------
+# Pack documents into training sequences of <= SEQ tokens by running
+# token count, per source (the partition key keeps packing sequential
+# work distributed: each source packs independently, no global order).
+# seq = floor((cumsum - ntok) / SEQ) — deterministic in (source, doc_id)
+# order in both engines.
+_SEQ = 2048
+
+
+@query(
+    "q97_sequence_packing",
+    oracle=f"""
+    WITH n AS (
+      SELECT source, doc_id, {SQL_NTOK} AS ntok FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, ntok,
+             SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+      FROM n
+    )
+    SELECT source, CAST((cum - ntok) // {_SEQ} AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS seq_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM c
+    GROUP BY 1, 2
+    """,
+)
+def q97_sequence_packing(spark, sf_dir):
+    from pyspark.sql import Window
+    from spark_etl_cli_spark.functions.text import token_count
+
+    d = t(spark, sf_dir, "documents")
+    n = d.select(
+        "source", "doc_id", token_count(F.col("text")).alias("ntok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = n.withColumn("cum", F.sum("ntok").over(w))
+    seq = F.floor((F.col("cum") - F.col("ntok")) / F.lit(_SEQ)).cast("bigint")
+    return (
+        c.withColumn("seq_id", seq)
+        .groupBy("source", "seq_id")
+        .agg(
+            bcount("n_docs"),
+            F.sum("ntok").cast("bigint").alias("seq_tokens"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+    )

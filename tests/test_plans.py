@@ -143,3 +143,17 @@ def test_q94_rollup_merges_sketches_not_rows(spark):
     # the sketch build + the exact-side check, never a third time
     assert "hll_union_agg" in plan
     assert plan.count("FileScan parquet") == 2
+
+
+def test_q96_chunking_is_shuffle_free(spark):
+    plan = plan_of(spark, "q96_doc_chunking")
+    # per-row explode: the only exchange is the fan-out round-robin;
+    # no hash shuffle anywhere
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_q97_packing_agg_reuses_window_partitioning(spark):
+    plan = plan_of(spark, "q97_sequence_packing")
+    # the cumsum window partitions by source; the (source, seq_id)
+    # aggregate is satisfied by that distribution — exactly one shuffle
+    assert plan.count("Exchange hashpartitioning") == 1
