@@ -380,3 +380,43 @@ def sessionize_transform(p: ParsedUri) -> TransformFn:
         )
 
     return run
+
+
+@register_transform("chunk")
+def chunk_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+chunk://?chunk-tokens=64&stride=48&text-col=text&id-col=doc_id``.
+
+    Overlapping context-window chunks (operators/chunking.py) — per-row
+    explode, no shuffle.
+    """
+    text_col = p.params.get("text-col", "text")
+    id_col = p.params.get("id-col", "doc_id")
+    chunk_tokens = int(p.params.get("chunk-tokens", "64"))
+    stride = int(p.params.get("stride", "48"))
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators.chunking import chunk_documents
+
+        return chunk_documents(df, text_col, id_col, chunk_tokens, stride)
+
+    return run
+
+
+@register_transform("pack")
+def pack_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+pack://?seq-tokens=2048&partition-col=source&text-col=text&id-col=doc_id``.
+
+    Greedy sequence packing: appends (ntok, seq_id) so a downstream
+    groupBy(partition-col, seq_id) materializes training sequences.
+    """
+    text_col = p.params.get("text-col", "text")
+    id_col = p.params.get("id-col", "doc_id")
+    partition_col = p.params.get("partition-col", "source")
+    seq_tokens = int(p.params.get("seq-tokens", "2048"))
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators.chunking import pack_sequences
+
+        return pack_sequences(df, text_col, id_col, partition_col, seq_tokens)
+
+    return run

@@ -454,31 +454,10 @@ _CHUNK, _STRIDE = 64, 48
     """,
 )
 def q96_doc_chunking(spark, sf_dir):
-    from spark_etl_cli_spark.functions.text import tokens
+    from spark_etl_cli_spark.operators.chunking import chunk_documents
 
-    d = fan_out(t(spark, sf_dir, "documents"))
-    tk = d.select("doc_id", tokens(F.col("text")).alias("tk")).filter(
-        F.size("tk") > 0
-    )
-    n_chunks = F.greatest(
-        F.ceil((F.size("tk") - F.lit(_CHUNK)) / F.lit(float(_STRIDE))),
-        F.lit(0),
-    ).cast("bigint")
-    chunked = tk.select(
-        "doc_id",
-        "tk",
-        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks)).alias(
-            "chunk_idx"
-        ),
-    )
-    piece = F.slice(
-        F.col("tk"), (F.col("chunk_idx") * _STRIDE + 1).cast("int"), _CHUNK
-    )
-    return chunked.select(
-        "doc_id",
-        F.col("chunk_idx").cast("int").alias("chunk_idx"),
-        F.size(piece).cast("bigint").alias("chunk_tokens"),
-        F.concat_ws(" ", piece).alias("chunk_text"),
+    return chunk_documents(
+        t(spark, sf_dir, "documents"), chunk_tokens=_CHUNK, stride=_STRIDE
     )
 
 
@@ -512,26 +491,13 @@ _SEQ = 2048
     """,
 )
 def q97_sequence_packing(spark, sf_dir):
-    from pyspark.sql import Window
-    from spark_etl_cli_spark.functions.text import token_count
+    from spark_etl_cli_spark.operators.chunking import pack_sequences
 
-    d = t(spark, sf_dir, "documents")
-    n = d.select(
-        "source", "doc_id", token_count(F.col("text")).alias("ntok")
+    packed = pack_sequences(
+        t(spark, sf_dir, "documents"), seq_tokens=_SEQ
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c = n.withColumn("cum", F.sum("ntok").over(w))
-    seq = F.floor((F.col("cum") - F.col("ntok")) / F.lit(_SEQ)).cast("bigint")
-    return (
-        c.withColumn("seq_id", seq)
-        .groupBy("source", "seq_id")
-        .agg(
-            bcount("n_docs"),
-            F.sum("ntok").cast("bigint").alias("seq_tokens"),
-            F.min("doc_id").cast("bigint").alias("first_doc"),
-        )
+    return packed.groupBy("source", "seq_id").agg(
+        bcount("n_docs"),
+        F.sum("ntok").cast("bigint").alias("seq_tokens"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
     )

@@ -95,3 +95,34 @@ def test_none_serde_passthrough(spark):
     df = spark.createDataFrame([Row(value=bytearray(b"raw"))])
     assert serialize_values(df, "none") is df
     assert deserialize_values(spark, df, "none") is df
+
+
+def test_chunk_and_pack_transforms(spark, tmp_path):
+    from spark_etl_cli_spark.pipeline import run_pipeline
+
+    run_pipeline(
+        spark,
+        sources=[
+            "d+values://?header=doc_id:long,text,source"
+            "&values=1,alpha beta gamma delta epsilon,s1;"
+            "2,one two three,s1;3,single,s2"
+        ],
+        transforms=[
+            "d+c+chunk://?chunk-tokens=3&stride=2",
+            "d+p+pack://?seq-tokens=4",
+        ],
+        sinks=[],
+    )
+    chunks = {
+        (r["doc_id"], r["chunk_idx"]): r["chunk_text"]
+        for r in spark.table("c").collect()
+    }
+    # doc 1: 5 tokens, windows @0 and @2 (ceil((5-3)/2)=1 -> idx 0..1)
+    assert chunks[(1, 0)] == "alpha beta gamma"
+    assert chunks[(1, 1)] == "gamma delta epsilon"
+    assert chunks[(3, 0)] == "single"
+
+    packed = {r["doc_id"]: r["seq_id"] for r in spark.table("p").collect()}
+    # s1: doc1 (5 tokens) fills seq 0 past capacity; doc2 starts at
+    # cum-ntok=5 -> seq 1. s2 packs independently from zero.
+    assert packed[1] == 0 and packed[2] == 1 and packed[3] == 0
