@@ -126,3 +126,50 @@ def test_chunk_and_pack_transforms(spark, tmp_path):
     # s1: doc1 (5 tokens) fills seq 0 past capacity; doc2 starts at
     # cum-ntok=5 -> seq 1. s2 packs independently from zero.
     assert packed[1] == 0 and packed[2] == 1 and packed[3] == 0
+
+
+def test_confluent_header_strip_expression(spark):
+    """The 5-byte Confluent wire prefix (magic 0x00 + 4-byte schema id)
+    is removed by the same substring expression avro-registry uses —
+    testable without the spark-avro jar."""
+    from pyspark.sql import functions as F
+
+    payload = b"\x00\x00\x00\x00\x07avro-body"
+    df = spark.createDataFrame([(payload,)], "value binary")
+    out = df.select(
+        F.expr("substring(value, 6, length(value) - 5)").alias("v")
+    ).collect()
+    assert bytes(out[0]["v"]) == b"avro-body"
+
+
+def test_registry_fetch_latest_rest_contract():
+    """_registry_fetch_latest speaks the Schema Registry REST protocol
+    (GET /subjects/<topic>-value/versions/latest) — served locally."""
+    import http.server
+    import json as _json
+    import threading
+
+    from spark_etl_cli_spark.streaming.serde import _registry_fetch_latest
+
+    schema = '{"type":"record","name":"r","fields":[{"name":"a","type":"long"}]}'
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            assert self.path == "/subjects/t1-value/versions/latest"
+            body = _json.dumps({"id": 7, "version": 3, "schema": schema})
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body.encode())
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        got = _registry_fetch_latest(f"http://127.0.0.1:{srv.server_port}", "t1-value")
+        assert got == schema
+    finally:
+        srv.shutdown()
