@@ -9,5 +9,6 @@ from spark_etl_cli_spark.plans import (  # noqa: F401
     streamops,
     subqueries,
     textops,
+    tpch_extra,
     vectorops,
 )

@@ -29,6 +29,12 @@ def default_parallelism() -> int:
 
 
 BASE_CONFS: dict[str, str] = {
+    # In local mode the driver JVM hosts every executor thread; the 1g
+    # default thrashes GC with 32 cores of Tungsten pages (observed:
+    # GCLocker retries + TaskMemoryManager allocation failures turning
+    # a 2 s scan into 30 s+). Sized for the test box; on a real cluster
+    # this is a no-op for executors, which get their own sizing.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
