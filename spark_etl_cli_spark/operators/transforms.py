@@ -420,3 +420,99 @@ def pack_transform(p: ParsedUri) -> TransformFn:
         return pack_sequences(df, text_col, id_col, partition_col, seq_tokens)
 
     return run
+
+
+@register_transform("merge")
+def merge_transform(p: ParsedUri) -> TransformFn:
+    """``base+out+merge://changesView?keys=id&seq-col=ts&op-col=op&delete-op=D``.
+
+    SCD1 changelog MERGE: the input view is the snapshot, the URI path
+    names the changelog view; per key the highest-seq change wins and
+    tombstone ops delete (operators/maintenance.py — one shuffle,
+    union+window, no base-vs-changes join).
+    """
+    changes_view = p.path.lstrip("/") or p.authority
+    keys = _csv_param(p, "keys")
+    seq_cols = _csv_param(p, "seq-col", "ts")
+    op_col = p.params.get("op-col")
+    delete_op = p.params.get("delete-op", "D")
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators.maintenance import merge_changelog
+
+        return merge_changelog(
+            df, spark.table(changes_view), keys, seq_cols, op_col, delete_op
+        )
+
+    return run
+
+
+@register_transform("gapfill")
+def gapfill_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+gapfill://?keys=k&date-col=day&value-cols=total``.
+
+    Densify per-key daily series (sequence+explode spine) and
+    forward-fill ``<col>_filled`` values (operators/maintenance.py).
+    """
+    keys = _csv_param(p, "keys")
+    date_col = p.params.get("date-col", "day")
+    value_cols = _csv_param(p, "value-cols")
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators.maintenance import gap_fill
+
+        return gap_fill(df, keys, date_col, value_cols)
+
+    return run
+
+
+@register_transform("expect")
+def expect_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+expect://?not-null=a,b&unique=a,b;c&accepted=col:v1|v2&positive=c&fk=col->view.parent&mode=audit``.
+
+    Declarative data-quality checks -> (check, violations) audit rows
+    (operators/maintenance.py). ``mode=fail`` raises if any check has
+    violations (the reference's diff ``handleDifferences=fail`` pattern,
+    DiffTransformerParser.scala:47-60, applied to constraints).
+    """
+    not_null = _csv_param(p, "not-null")
+    unique = [
+        [c for c in group.split(",") if c]
+        for group in p.params.get("unique", "").split(";")
+        if group
+    ]
+    accepted: dict[str, list[str]] = {}
+    for spec in p.params.get("accepted", "").split(";"):
+        if spec and ":" in spec:
+            col, vals = spec.split(":", 1)
+            accepted[col] = vals.split("|")
+    positive = _csv_param(p, "positive")
+    fks: list[tuple[str, str, str]] = []
+    for spec in p.params.get("fk", "").split(";"):
+        if spec and "->" in spec:
+            child, parent = spec.split("->", 1)
+            view, pcol = parent.rsplit(".", 1)
+            fks.append((child, view, pcol))
+    mode = p.params.get("mode", "audit")
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators.maintenance import expectations
+
+        audit = expectations(
+            df,
+            not_null=not_null,
+            unique=unique,
+            accepted=accepted,
+            positive=positive,
+            foreign_keys=[(c, spark.table(v), pc) for c, v, pc in fks],
+        )
+        if mode == "fail":
+            bad = audit.filter("violations > 0").collect()
+            if bad:
+                raise ValueError(
+                    "expectations failed: "
+                    + "; ".join(f"{r['check']}={r['violations']}" for r in bad)
+                )
+        return audit
+
+    return run

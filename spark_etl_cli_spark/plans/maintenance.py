@@ -1,0 +1,188 @@
+"""Table-maintenance query shapes: date-spine gap fill + forward fill,
+changelog MERGE (upsert/delete), and a declarative data-quality audit.
+
+These exercise operators/maintenance.py end-to-end against DuckDB:
+
+- **q100** densifies a per-customer daily order series (sequence+explode
+  spine, one row per key/day) and forward-fills with
+  ``last(..., ignorenulls)``; DuckDB verifies with ``generate_series`` +
+  ``LAST_VALUE(... IGNORE NULLS)``.
+- **q101** treats events as a changelog over a snapshot: latest state per
+  user before a cutoff is the base, later events are upserts with
+  ``error`` events as tombstones. One union+window shuffle (no
+  base-vs-changes join); DuckDB verifies with QUALIFY + FULL JOIN.
+- **q102** runs the expectations audit (not-null / accepted values /
+  positive / uniqueness / two foreign keys) over orders+lineitem in one
+  conditional-aggregate pass per table plus anti-join FK probes.
+
+Determinism: day totals go through exact decimal sums; merge winners are
+picked by (ts, event_id) so ties are impossible; balances are copied, not
+recomputed. Timestamps: Spark reads events.ts as nanosecond BIGINT
+(legacy nanosAsLong), so the cutoff literal is epoch-nanos on the Spark
+side and a TIMESTAMP literal in DuckDB — both at 2024-01-21T00:00:00Z.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_etl_cli_spark.plans.registry import SQL_DSUM, dsum, query, t
+
+# 2024-01-21T00:00:00Z — epoch seconds 1_705_795_200, as nanos for the
+# BIGINT event timestamps Spark sees.
+_CUTOFF_NANOS = 1_705_795_200 * 1_000_000_000
+_CUTOFF_SQL = "TIMESTAMP '2024-01-21 00:00:00'"
+
+
+@query(
+    "q100_gap_fill_ffill",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_custkey,
+             CAST(o_orderdate AS DATE) AS day,
+             {SQL_DSUM("o_totalprice", "day_total")}
+      FROM orders WHERE o_custkey % 100 = 0
+      GROUP BY 1, 2),
+    span AS (
+      SELECT o_custkey, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+    spine AS (
+      SELECT o_custkey,
+             CAST(UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+                                         CAST(d1 AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span)
+    SELECT s.o_custkey, s.day, d.day_total,
+           LAST_VALUE(d.day_total IGNORE NULLS) OVER (
+             PARTITION BY s.o_custkey ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS day_total_filled
+    FROM spine s LEFT JOIN daily d
+      ON s.o_custkey = d.o_custkey AND s.day = d.day
+    """,
+)
+def q100_gap_fill_ffill(spark, sf_dir):
+    from spark_etl_cli_spark.operators.maintenance import gap_fill
+
+    daily = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 100 == 0)
+        .groupBy("o_custkey", F.to_date("o_orderdate").alias("day"))
+        .agg(dsum(F.col("o_totalprice"), "day_total"))
+    )
+    return gap_fill(daily, ["o_custkey"], "day", ["day_total"])
+
+
+@query(
+    "q101_changelog_merge",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, value AS balance, event_id AS last_event_id
+      FROM events WHERE ts < {_CUTOFF_SQL}
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1),
+    latest_change AS (
+      SELECT user_id, value AS balance, event_id AS last_event_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM events WHERE ts >= {_CUTOFF_SQL}
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1)
+    SELECT COALESCE(c.user_id, b.user_id) AS user_id,
+           CASE WHEN c.user_id IS NULL THEN b.balance ELSE c.balance END
+             AS balance,
+           CASE WHEN c.user_id IS NULL THEN b.last_event_id
+                ELSE c.last_event_id END AS last_event_id,
+           CASE WHEN c.user_id IS NULL THEN 'base' ELSE 'change' END AS src
+    FROM base b FULL JOIN latest_change c ON b.user_id = c.user_id
+    WHERE COALESCE(c.op, 'U') <> 'D'
+    """,
+)
+def q101_changelog_merge(spark, sf_dir):
+    from spark_etl_cli_spark.operators.maintenance import merge_changelog
+
+    e = t(spark, sf_dir, "events")  # ts: BIGINT nanos
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    base = (
+        e.filter(F.col("ts") < _CUTOFF_NANOS)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .select(
+            "user_id",
+            F.col("value").alias("balance"),
+            F.col("event_id").alias("last_event_id"),
+        )
+    )
+    changes = e.filter(F.col("ts") >= _CUTOFF_NANOS).select(
+        "user_id",
+        F.col("value").alias("balance"),
+        F.col("event_id").alias("last_event_id"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    return merge_changelog(
+        base, changes, ["user_id"], seq_cols=["ts", "event_id"], op_col="op"
+    )
+
+
+@query(
+    "q102_data_quality_audit",
+    oracle="""
+    SELECT 'not_null:o_custkey' AS "check",
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'accepted:o_orderstatus',
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                          OR o_orderstatus NOT IN ('O', 'F', 'P')
+                     THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'positive:o_totalprice',
+           CAST(SUM(CASE WHEN o_totalprice IS NULL OR NOT (o_totalprice > 0)
+                     THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique:o_orderkey', CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+    FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey
+          HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'fk:o_custkey->c_custkey', CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    WHERE o_custkey IS NOT NULL
+      AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+    UNION ALL
+    SELECT 'positive:l_quantity',
+           CAST(SUM(CASE WHEN l_quantity IS NULL OR NOT (l_quantity > 0)
+                     THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'fk:l_orderkey->o_orderkey', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    WHERE l_orderkey IS NOT NULL
+      AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    """,
+)
+def q102_data_quality_audit(spark, sf_dir):
+    from spark_etl_cli_spark.operators.maintenance import expectations
+
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    c = t(spark, sf_dir, "customer")
+    order_audit = expectations(
+        o,
+        not_null=["o_custkey"],
+        unique=[["o_orderkey"]],
+        accepted={"o_orderstatus": ["O", "F", "P"]},
+        positive=["o_totalprice"],
+        foreign_keys=[("o_custkey", c, "c_custkey")],
+    )
+    li_audit = expectations(
+        li,
+        positive=["l_quantity"],
+        foreign_keys=[("l_orderkey", o, "o_orderkey")],
+    )
+    return order_audit.unionByName(li_audit)
