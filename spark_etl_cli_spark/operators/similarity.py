@@ -151,22 +151,43 @@ def _band_bucket(b: int, rows_per_band: int):
     return acc
 
 
-def _explode_bands(sig: DataFrame, bands: int, rows_per_band: int, keep: list[str]) -> DataFrame:
-    """(keep..., band, bucket) — one row per (row, band)."""
+def _explode_bands(
+    sig: DataFrame,
+    bands: int,
+    rows_per_band: int,
+    keep: list[str],
+    carry_buckets: bool = False,
+) -> DataFrame:
+    """(keep..., band, bucket[, buckets]) — one row per (row, band).
+
+    With ``carry_buckets`` each banded row also carries the full
+    per-band bucket array (``bands`` longs), which lets pair generation
+    emit each colliding pair in its FIRST matching band only (see
+    ``_first_band_match``) instead of deduplicating afterwards.
+    """
+    buckets = F.array(*[_band_bucket(b, rows_per_band) for b in range(bands)])
+    sig = sig.withColumn("buckets", buckets)
+    extra = ["buckets"] if carry_buckets else []
     return sig.select(
         *keep,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        _band_bucket(b, rows_per_band).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(*keep, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        *extra,
+        F.posexplode("buckets").alias("band", "bucket"),
+    )
+
+
+def _first_band_match(a_buckets, b_buckets, band):
+    """True iff ``band`` is the first band where the two bucket arrays
+    collide. Standard banded-LSH dedup-at-source: a pair colliding in
+    several bands would otherwise surface once per band, forcing a
+    ``dropDuplicates`` exchange downstream — which, when rows carry
+    vector payloads, shuffles O(pairs · dim) bytes. Comparing the two
+    ``bands``-element arrays in the join condition costs a few
+    comparisons per candidate and removes that shuffle entirely.
+    (``array_position`` is 1-based; band is 0-based.)"""
+    return (
+        F.array_position(F.zip_with(a_buckets, b_buckets, lambda x, y: x == y), True)
+        == band + 1
+    )
 
 
 def lsh_topk(
@@ -201,15 +222,22 @@ def lsh_topk(
             num_planes,
             dim,
         ).withColumn(f"__{side}vec", unit(F.col(f"__{side}vec")))
-        return _explode_bands(sig, bands, rows_per_band, [f"{side}_id", f"__{side}vec"])
+        return _explode_bands(
+            sig, bands, rows_per_band, [f"{side}_id", f"__{side}vec"],
+            carry_buckets=True,
+        ).withColumnsRenamed({"buckets": f"__{side}buckets"})
 
     cb = banded(corpus, "neighbor")
     qb = banded(queries, "query")
     cands = (
         cb.join(F.broadcast(qb), ["band", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .filter(
+            _first_band_match(
+                F.col("__neighborbuckets"), F.col("__querybuckets"), F.col("band")
+            )
+        )
         .select("query_id", "neighbor_id", "__queryvec", "__neighborvec")
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cands.select(
         "query_id",
@@ -247,6 +275,11 @@ def cosine_dup_pairs(
     recompute the join implies is num_planes dot products per row —
     noise next to the pair volume. `bucket_pairs` stays the right
     choice when entries are small (ids, set sizes, packed signatures).
+
+    Cross-band duplicates are suppressed AT THE SOURCE: each side
+    carries its per-band bucket array and the join keeps a pair only in
+    the first band where the arrays collide (``_first_band_match``), so
+    no ``dropDuplicates`` exchange ever moves vector payloads.
     """
     rows_per_band = num_planes // bands
     if dim is None:
@@ -260,7 +293,8 @@ def cosine_dup_pairs(
         dim,
     )
     banded = _explode_bands(
-        sig.withColumn("vec", unit(F.col("vec"))), bands, rows_per_band, ["id", "vec"]
+        sig.withColumn("vec", unit(F.col("vec"))), bands, rows_per_band, ["id", "vec"],
+        carry_buckets=True,
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -271,15 +305,13 @@ def cosine_dup_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        .filter(
+            _first_band_match(F.col("a.buckets"), F.col("b.buckets"), F.col("a.band"))
+        )
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.vec").alias("__va"),
-            F.col("b.vec").alias("__vb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-        .select(
-            "id_a", "id_b", _dot_unit(F.col("__va"), F.col("__vb")).alias("cosine_sim")
+            _dot_unit(F.col("a.vec"), F.col("b.vec")).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
