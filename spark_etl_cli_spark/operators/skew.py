@@ -84,5 +84,15 @@ def salted_join(
     s = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
     )
-    out = b.join(s, on=[*on, "__salt"], how=how)
+    # Pin a shuffle-hash join built from the SMALL side. Left to stats,
+    # Spark will happily broadcast the *big* side when the small side
+    # comes from createDataFrame (unknown size) and the big side's scan
+    # estimate is under the broadcast threshold — observed BuildLeft on
+    # the fact table, which inverts at real scale (broadcasting the big
+    # side = driver OOM). A salted join exists precisely because the
+    # small side is to be shuffled+replicated, so say so in the plan:
+    # both sides hash-partition on (key, salt) — the hot key spreads
+    # across ``buckets`` reducers — and the replicated small side is
+    # the build side. No sort, no broadcast of either side.
+    out = b.join(s.hint("shuffle_hash"), on=[*on, "__salt"], how=how)
     return out.drop("__salt")
