@@ -370,11 +370,14 @@ def ivf_topk(
 
     corpus_cells = assign(fan_out(corpus), "neighbor", 1)
     query_probes = assign(queries, "query", nprobe)
+    # (query_id, neighbor_id) is already unique: every corpus vector
+    # lives in exactly ONE cell (keep_top=1) and a query probes each of
+    # its nprobe cells once — so no dedup exchange is needed (one
+    # previously sat here, shuffling both carried vectors for nothing).
     cands = (
         corpus_cells.join(F.broadcast(query_probes), "cid")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", "__queryvec", "__neighborvec")
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cands.select(
         "query_id",
