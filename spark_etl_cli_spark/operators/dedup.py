@@ -65,7 +65,10 @@ def exact_dup_groups(
 
 
 def bucket_pairs(
-    entries: DataFrame, *bucket_cols: str, max_bucket_size: int | None = None
+    entries: DataFrame,
+    *bucket_cols: str,
+    max_bucket_size: int | None = None,
+    keep_buckets: bool = False,
 ) -> DataFrame:
     """(bucket..., e: struct) → all within-bucket pairs (a, b), a < b.
 
@@ -80,24 +83,30 @@ def bucket_pairs(
 
     Entries must be distinct within a bucket; ``a < b`` comes from
     sorting the posting list (struct comparison: first field = id).
+    ``keep_buckets`` carries the bucket key columns on each pair row —
+    callers whose entries collide in several buckets use it to keep a
+    pair only in its first matching bucket instead of deduplicating
+    through another exchange.
     """
     grouped = entries.groupBy(*bucket_cols).agg(
         F.sort_array(F.collect_list("e")).alias("ids")
     )
     if max_bucket_size is not None:
         grouped = grouped.filter(F.size("ids") <= max_bucket_size)
+    keep = list(bucket_cols) if keep_buckets else []
     return (
         grouped.filter(F.size("ids") >= 2)
         .select(
+            *keep,
             F.explode(
                 F.expr(
                     "flatten(transform(ids, (a, i) -> "
                     "transform(slice(ids, i + 2, size(ids)), b -> "
                     "struct(a, b))))"
                 )
-            ).alias("p")
+            ).alias("p"),
         )
-        .select("p.a", "p.b")
+        .select(*keep, "p.a", "p.b")
     )
 
 

@@ -283,17 +283,31 @@ def q37_simhash_pairs(spark, sf_dir):
         ).alias("bb"),
         F.struct("id", "simhash").alias("e"),
     ).select("bb.band", "bb.bucket", "e")
+    # A pair whose fingerprints agree on several 16-bit bands surfaces
+    # once per band; keep it only in the FIRST matching band — the
+    # band slices come from the carried fingerprints, so the dedup is
+    # three bit-tests instead of a (id_a, id_b) exchange.
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+
+    def slice_ne(b: int):
+        return (
+            F.shiftrightunsigned(xor, b * 16).bitwiseAND(F.lit(0xFFFF)) != 0
+        )
+
+    first_match = F.when(F.col("band") == 0, F.lit(True)).otherwise(
+        F.when(F.col("band") == 1, slice_ne(0))
+        .when(F.col("band") == 2, slice_ne(0) & slice_ne(1))
+        .otherwise(slice_ne(0) & slice_ne(1) & slice_ne(2))
+    )
     return (
-        bucket_pairs(entries, "band", "bucket")
+        bucket_pairs(entries, "band", "bucket", keep_buckets=True)
+        .filter(first_match)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            F.bit_count(xor).alias("hamming"),
         )
         .filter(F.col("hamming") <= 8)
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 
