@@ -230,6 +230,11 @@ def minhash_lsh_pairs(
     so the agreement-rate estimate needs no join back. Returns distinct
     (id_a, id_b), id_a < id_b, plus estimated jaccard (signature
     agreement rate).
+
+    A pair agreeing on several band sub-signatures surfaces once per
+    band; it is kept only where the carried signatures' FIRST agreeing
+    band equals the pair's band — sub-signature slice comparisons on
+    data already in the row — so no (id_a, id_b) dedup exchange runs.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
@@ -253,8 +258,24 @@ def minhash_lsh_pairs(
         F.struct("id", "signature").alias("e"),
     ).select("bb.band", "bb.bucket", "e")
 
+    def band_agrees(bb):
+        return F.slice(F.col("a.signature"), bb * rows_per_band + 1, rows_per_band) == F.slice(
+            F.col("b.signature"), bb * rows_per_band + 1, rows_per_band
+        )
+
+    first_band = (
+        F.array_position(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bb: band_agrees(bb),
+            ),
+            True,
+        )
+        - 1
+    )
     return (
-        bucket_pairs(entries, "band", "bucket")
+        bucket_pairs(entries, "band", "bucket", keep_buckets=True)
+        .filter(first_band == F.col("band"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -272,8 +293,6 @@ def minhash_lsh_pairs(
                 / F.lit(float(num_hashes))
             ).alias("est_jaccard"),
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.max("est_jaccard").alias("est_jaccard"))
     )
 
 
