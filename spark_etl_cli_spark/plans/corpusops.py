@@ -45,7 +45,7 @@ from spark_etl_cli_spark.operators.dedup import (
     shingle_pairs_jaccard,
 )
 from spark_etl_cli_spark.operators.util import fan_out
-from spark_etl_cli_spark.plans.registry import bcount, query, t
+from spark_etl_cli_spark.plans.registry import bcount, events, query, t
 from spark_etl_cli_spark.plans.textops import (
     _STOPWORDS,
     SQL_NTOK,
@@ -363,11 +363,7 @@ def q78_term_rarity(spark, sf_dir):
     """,
 )
 def q79_batch_sessions(spark, sf_dir):
-    ev = t(spark, sf_dir, "events").select(
-        "user_id",
-        "event_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-    )
+    ev = events(spark, sf_dir).select("user_id", "event_id", "ts")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     brk = F.when(
         F.lag("ts").over(w).isNull()

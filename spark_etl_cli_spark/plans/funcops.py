@@ -19,7 +19,7 @@ import re
 import pandas as pd
 from pyspark.sql import functions as F
 
-from spark_etl_cli_spark.plans.registry import bcount, query, t
+from spark_etl_cli_spark.plans.registry import bcount, events, query, t
 from spark_etl_cli_spark.plans.registry import dec as dec2
 from spark_etl_cli_spark.plans.textops import SQL_NTOK, SQL_TOKENS
 
@@ -255,11 +255,12 @@ _SQL_EV_ORD = (
     """,
 )
 def q57_latest_per_key(spark, sf_dir):
-    # ts arrives as LONG nanoseconds (legacy nanosAsLong read)
-    ev = t(spark, sf_dir, "events")
+    # ordering key = zero-padded epoch-nanos, matching the oracle's
+    # epoch_ns(ts) (µs-precision data, so *1000 is exact)
+    ev = events(spark, sf_dir)
     ord_key = F.concat_ws(
         "-",
-        F.lpad(F.col("ts").cast("string"), 20, "0"),
+        F.lpad((F.unix_micros("ts") * 1000).cast("string"), 20, "0"),
         F.lpad(F.col("event_id").cast("string"), 12, "0"),
     )
     return (
@@ -345,11 +346,8 @@ def q91_fuzzy_name_pairs(spark, sf_dir):
 def q92_scd2_intervals(spark, sf_dir):
     from pyspark.sql import Window
 
-    ev = t(spark, sf_dir, "events").select(
-        "user_id",
-        "event_id",
-        "event_type",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+    ev = events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "ts"
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(

@@ -17,9 +17,9 @@ These exercise operators/maintenance.py end-to-end against DuckDB:
 
 Determinism: day totals go through exact decimal sums; merge winners are
 picked by (ts, event_id) so ties are impossible; balances are copied, not
-recomputed. Timestamps: Spark reads events.ts as nanosecond BIGINT
-(legacy nanosAsLong), so the cutoff literal is epoch-nanos on the Spark
-side and a TIMESTAMP literal in DuckDB — both at 2024-01-21T00:00:00Z.
+recomputed. The changelog cutoff is the same 2024-01-21T00:00:00Z
+timestamp literal on both engines (events.ts normalized via
+``registry.events``; Spark session TZ is UTC).
 """
 
 from __future__ import annotations
@@ -27,11 +27,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from spark_etl_cli_spark.plans.registry import SQL_DSUM, dsum, query, t
+from spark_etl_cli_spark.plans.registry import SQL_DSUM, dsum, events, query, t
 
-# 2024-01-21T00:00:00Z — epoch seconds 1_705_795_200, as nanos for the
-# BIGINT event timestamps Spark sees.
-_CUTOFF_NANOS = 1_705_795_200 * 1_000_000_000
+_CUTOFF_TS = F.to_timestamp(F.lit("2024-01-21 00:00:00"))
 _CUTOFF_SQL = "TIMESTAMP '2024-01-21 00:00:00'"
 
 
@@ -100,12 +98,12 @@ def q100_gap_fill_ffill(spark, sf_dir):
 def q101_changelog_merge(spark, sf_dir):
     from spark_etl_cli_spark.operators.maintenance import merge_changelog
 
-    e = t(spark, sf_dir, "events")  # ts: BIGINT nanos
+    e = events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
     base = (
-        e.filter(F.col("ts") < _CUTOFF_NANOS)
+        e.filter(F.col("ts") < _CUTOFF_TS)
         .withColumn("__rn", F.row_number().over(w))
         .filter("__rn = 1")
         .select(
@@ -114,7 +112,7 @@ def q101_changelog_merge(spark, sf_dir):
             F.col("event_id").alias("last_event_id"),
         )
     )
-    changes = e.filter(F.col("ts") >= _CUTOFF_NANOS).select(
+    changes = e.filter(F.col("ts") >= _CUTOFF_TS).select(
         "user_id",
         F.col("value").alias("balance"),
         F.col("event_id").alias("last_event_id"),

@@ -41,13 +41,31 @@ def query(name: str, oracle: str | None = None):
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one of the synthetic tables from a scale-factor dir.
 
-    events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    parquet reader rejects; the legacy conf reads it as LONG nanoseconds
-    (runtime-settable, harmless for the other tables). Event-time
-    queries convert with ``timestamp_micros(ts div 1000)`` when needed.
+    The legacy nanosAsLong conf keeps TIMESTAMP(NANOS) fixture
+    generations readable (as LONG nanoseconds); it is a no-op for
+    µs-precision data. Event-time queries should load events via
+    :func:`events`, which normalizes ``ts`` across generations.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table with ``ts`` normalized to TimestampType (UTC).
+
+    Fixture generations differ in the physical type of ``ts``:
+    TIMESTAMP(NANOS) arrives as LONG nanoseconds (legacy conf in
+    :func:`t`), TIMESTAMP(MICROS) as TIMESTAMP_NTZ. Both become the
+    session-tz TimestampType (session TZ is pinned UTC, so the NTZ cast
+    is wall-clock identity and epochs match the DuckDB oracle).
+    """
+    df = t(spark, sf_dir, "events")
+    dt = dict(df.dtypes)["ts"]
+    if dt in ("bigint", "long"):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt != "timestamp":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def dsum(col, alias: str, scale: int = 4):

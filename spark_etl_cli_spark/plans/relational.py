@@ -30,6 +30,7 @@ from spark_etl_cli_spark.plans.registry import (
     davg,
     dec,
     dsum,
+    events,
     query,
     rev_col,
     t,
@@ -759,7 +760,7 @@ def q25_case_buckets(spark, sf_dir):
 def q26_asof_join(spark, sf_dir):
     from spark_etl_cli_spark.operators.asof import asof_join
 
-    e = t(spark, sf_dir, "events")
+    e = events(spark, sf_dir)
     clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
@@ -1035,11 +1036,8 @@ def q83_min_cost_supplier(spark, sf_dir):
 def q84_asof_forward_tolerance(spark, sf_dir):
     from spark_etl_cli_spark.operators.asof import asof_join
 
-    # events.ts arrives as LONG nanos (nanosAsLong); interval tolerance
-    # needs a real timestamp — convert at µs precision like DuckDB does
-    e = t(spark, sf_dir, "events").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    # interval tolerance needs a real timestamp column
+    e = events(spark, sf_dir)
     clicks = e.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )

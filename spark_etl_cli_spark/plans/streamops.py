@@ -13,9 +13,10 @@ and a stream-stream interval join with watermarks on both sides — the
 same shape as the reference's flagship streaming test (reference
 ``etl/src/test/scala/dev/mauch/spark/dfio/ETLTest.scala:143-157,174-177``).
 
-Timestamp discipline: events.parquet carries TIMESTAMP(NANOS); the
-stream schema reads it as LONG and converts with ``timestamp_micros(ns
-div 1000)`` (floor), matching DuckDB's ns→µs truncation. Outputs carry
+Timestamp discipline: events.parquet carries µs-precision naive
+timestamps; the stream schema reads ``ts`` as TIMESTAMP_NTZ and casts to
+the session-tz TimestampType (session TZ pinned UTC, so the cast is
+wall-clock identity — matching the DuckDB oracle). Outputs carry
 epoch-second BIGINTs, never raw timestamps.
 """
 
@@ -27,10 +28,10 @@ from pyspark.sql import types as T
 
 from spark_etl_cli_spark.plans.registry import bcount, query
 
-EVENTS_LONG_TS_SCHEMA = T.StructType(
+EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (legacy nanosAsLong)
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -41,15 +42,12 @@ EVENTS_LONG_TS_SCHEMA = T.StructType(
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a streaming DataFrame with a proper timestamp."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(EVENTS_LONG_TS_SCHEMA)
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # Spark disables AQE for stateful streaming, so the shuffle-partition
