@@ -3,6 +3,7 @@
 from spark_etl_cli_spark.plans import (  # noqa: F401
     corpusops,
     funcops,
+    joinops,
     maintenance,
     mmops,
     pipelineops,

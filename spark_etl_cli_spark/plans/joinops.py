@@ -1,0 +1,111 @@
+"""Join-acceleration query shapes: bloom semi-join pruning and the
+bin-packed pure range join (operators/joins.py), oracle-checked.
+
+Both oracles are *exact* joins: bloom pruning has no false negatives
+(so prune + join ≡ join), and binning is a lossless decomposition of
+the BETWEEN predicate — the approximation/acceleration machinery must
+therefore be invisible in the results, which is precisely what the
+DuckDB compare verifies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_etl_cli_spark.plans.registry import (
+    SQL_DSUM,
+    bcount,
+    dsum,
+    query,
+    t,
+)
+
+# --- q103: bloom-filter semi-join pruning --------------------------------
+# The runtime-filter pattern made explicit: customers in one market
+# segment are ~20% of the table; a 2 MiB-capped bloom filter over their
+# keys prunes non-matching orders BEFORE the join shuffle. At 100 TB
+# this is the difference between shuffling the whole fact table and
+# shuffling ~segment share + fpp of it.
+@query(
+    "q103_bloom_prune_join",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {SQL_DSUM("o_totalprice", "sum_price")}
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY 1
+    """,
+)
+def q103_bloom_prune_join(spark, sf_dir):
+    from spark_etl_cli_spark.operators.joins import bloom_semi_prune
+
+    dim = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    pruned = bloom_semi_prune(
+        t(spark, sf_dir, "orders"),
+        dim,
+        fact_key="o_custkey",
+        dim_key="c_custkey",
+        fpp=0.01,
+    )
+    return (
+        pruned.join(dim, pruned.o_custkey == dim.c_custkey)
+        .groupBy("o_orderpriority")
+        .agg(bcount("n_orders"), dsum(F.col("o_totalprice"), "sum_price"))
+    )
+
+
+# --- q104: pure range join via interval binning ---------------------------
+# No equi key anywhere: lineitem ship dates against ~80 monthly promo
+# windows ([month+4d, month+24d], from orders). Spark would plan the
+# raw BETWEEN join as a nested loop; range_join_binned's 16-day bins
+# turn it into a hash join (plan gate asserts no BNLJ/cartesian even
+# with broadcast disabled).
+@query(
+    "q104_pure_range_join",
+    oracle=f"""
+    WITH iv AS (
+      SELECT DISTINCT
+             CAST(date_trunc('month', o_orderdate) + INTERVAL 4 DAY
+                  AS DATE) AS lo_date,
+             CAST(date_trunc('month', o_orderdate) + INTERVAL 24 DAY
+                  AS DATE) AS hi_date
+      FROM orders)
+    SELECT lo_date AS period_start,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {SQL_DSUM("l_extendedprice", "sum_price")}
+    FROM lineitem JOIN iv
+      ON CAST(l_shipdate AS DATE) BETWEEN lo_date AND hi_date
+    GROUP BY 1
+    """,
+)
+def q104_pure_range_join(spark, sf_dir):
+    from spark_etl_cli_spark.operators.joins import range_join_binned
+
+    epoch = F.lit("1970-01-01").cast("date")
+    iv = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.trunc(F.col("o_orderdate").cast("date"), "month").alias("m")
+        )
+        .distinct()
+        .select(
+            F.date_add("m", 4).alias("lo_date"),
+            F.datediff(F.date_add("m", 4), epoch).alias("lo_d"),
+            F.datediff(F.date_add("m", 24), epoch).alias("hi_d"),
+        )
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        F.datediff(F.col("l_shipdate").cast("date"), epoch).alias("ship_d"),
+        "l_extendedprice",
+    )
+    joined = range_join_binned(
+        li, iv, point_col="ship_d", lo_col="lo_d", hi_col="hi_d", bin_width=16
+    )
+    return joined.groupBy(F.col("lo_date").alias("period_start")).agg(
+        bcount("n_items"), dsum(F.col("l_extendedprice"), "sum_price")
+    )

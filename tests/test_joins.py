@@ -1,0 +1,91 @@
+"""Join-acceleration operators: bloom semi-prune, binned range join."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from spark_etl_cli_spark.operators.joins import (
+    bloom_params,
+    bloom_semi_prune,
+    range_join_binned,
+)
+
+
+def test_bloom_params_sizing():
+    n_bits, n_hashes = bloom_params(1000, 0.01)
+    assert n_bits % 64 == 0
+    assert 1 <= n_hashes <= 8
+    # fpp=1% needs ~9.6 bits/item
+    assert 8 * 1000 <= n_bits <= 16 * 1000
+    # cap holds for absurd sizes
+    assert bloom_params(10**12, 0.0001)[0] <= 1 << 24
+
+
+def test_bloom_prune_no_false_negatives_and_prunes(spark):
+    fact = spark.range(0, 5000).select(
+        (F.col("id") % 1000).alias("k"), F.col("id").alias("v")
+    )
+    keys = spark.range(0, 100).select((F.col("id") * 7).alias("dk"))
+    pruned = bloom_semi_prune(fact, keys, "k", "dk", expected_items=100)
+    n_fact, n_pruned = fact.count(), pruned.count()
+    # matching keys: multiples of 7 < 700 → 100 dim keys, but k < 1000
+    exact = fact.join(keys, fact.k == keys.dk, "left_semi")
+    # every truly-matching row survives pruning
+    assert exact.exceptAll(
+        pruned.join(keys, pruned.k == keys.dk, "left_semi")
+    ).count() == 0
+    assert pruned.join(keys, pruned.k == keys.dk).count() == exact.count() * 1
+    # and pruning removed the bulk of the non-matching volume
+    assert n_pruned < n_fact / 2
+
+
+def test_bloom_prune_empty_keys_prunes_everything(spark):
+    fact = spark.range(0, 100).select(F.col("id").alias("k"))
+    keys = spark.range(0, 10).filter("id < 0").select(F.col("id").alias("k"))
+    assert bloom_semi_prune(fact, keys, "k", expected_items=1).count() == 0
+
+
+def test_range_join_binned_matches_naive(spark):
+    pts = spark.range(0, 500).select(F.col("id").alias("p"))
+    iv = spark.createDataFrame(
+        [
+            Row(lo=10, hi=25, tag="a"),   # within one bin pair
+            Row(lo=90, hi=210, tag="b"),  # spans many bins
+            Row(lo=300, hi=300, tag="c"),  # degenerate single point
+            Row(lo=400, hi=399, tag="d"),  # empty (lo > hi) — dropped
+            Row(lo=480, hi=600, tag="e"),  # overhangs the point domain
+        ]
+    )
+    out = range_join_binned(pts, iv, "p", "lo", "hi", bin_width=16)
+    naive = pts.join(iv, (pts.p >= iv.lo) & (pts.p <= iv.hi))
+    assert out.count() == naive.count()
+    assert out.select("p", "tag").exceptAll(naive.select("p", "tag")).count() == 0
+    assert out.filter("tag = 'd'").count() == 0
+    assert out.filter("tag = 'c'").count() == 1
+
+
+def test_range_join_binned_plans_hash_join_not_nested_loop(spark):
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pts = spark.range(0, 1000).select(F.col("id").alias("p"))
+        iv = spark.range(0, 50).select(
+            (F.col("id") * 20).alias("lo"), (F.col("id") * 20 + 30).alias("hi")
+        )
+        plan = range_join_binned(
+            pts, iv, "p", "lo", "hi", bin_width=32
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_range_join_binned_rejects_column_collision(spark):
+    pts = spark.range(0, 10).select(F.col("id").alias("p"), F.lit(1).alias("lo"))
+    iv = spark.range(0, 2).select(F.col("id").alias("lo"), (F.col("id") + 5).alias("hi"))
+    try:
+        range_join_binned(pts, iv, "p", "lo", "hi", bin_width=4)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass

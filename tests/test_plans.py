@@ -157,3 +157,25 @@ def test_q97_packing_agg_reuses_window_partitioning(spark):
     # the cumsum window partitions by source; the (source, seq_id)
     # aggregate is satisfied by that distribution — exactly one shuffle
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q103_bloom_probe_filters_before_join(spark):
+    plan = plan_of(spark, "q103_bloom_prune_join")
+    # the probe (xxhash64 bit tests) must run as a Filter on the fact
+    # scan side, and the final dim join must broadcast
+    assert "__bf_probe" not in plan  # no leaked helper columns
+    assert "xxhash64" in plan
+    assert "BroadcastHashJoin" in plan
+    # orders scan reads only the three needed columns
+    scan = next(l for l in plan.splitlines()
+                if "FileScan parquet" in l and "orders" in l)
+    assert "o_orderstatus" not in scan and "o_orderdate" not in scan
+
+
+def test_q104_range_join_is_hash_join(spark):
+    plan = plan_of(spark, "q104_pure_range_join")
+    assert "CartesianProduct" not in plan
+    # the bin equi-key gives Catalyst a hash-joinable shape; with the
+    # interval side tiny it broadcasts — never a nested loop over rows
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
