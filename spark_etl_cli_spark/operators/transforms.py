@@ -516,3 +516,59 @@ def expect_transform(p: ParsedUri) -> TransformFn:
         return audit
 
     return run
+
+
+@register_transform("bloom-prune")
+def bloom_prune_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+bloom-prune://keysView?key=o_custkey&dim-key=c_custkey
+    &fpp=0.01&expected=100000``.
+
+    Prunes the input view's rows to those whose ``key`` might appear in
+    ``keysView[dim-key]`` — explicit runtime filtering ahead of a join
+    or aggregation (operators/joins.py). Exact joins downstream are
+    unaffected (no false negatives); ``expected`` skips the sizing
+    ``count()`` on the keys view.
+    """
+    keys_view = p.path.lstrip("/") or p.authority
+    fact_key = p.params.get("key", "id")
+    dim_key = p.params.get("dim-key") or None
+    fpp = float(p.params.get("fpp", "0.01"))
+    expected = p.params.get("expected")
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators.joins import bloom_semi_prune
+
+        return bloom_semi_prune(
+            df,
+            spark.table(keys_view),
+            fact_key,
+            dim_key,
+            expected_items=int(expected) if expected else None,
+            fpp=fpp,
+        )
+
+    return run
+
+
+@register_transform("range-join")
+def range_join_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+range-join://intervalsView?point=ts&lo=start&hi=end
+    &bin-width=3600``.
+
+    Inner-joins the input view (point side) against an intervals view
+    on ``point BETWEEN lo AND hi`` via the binned hash-join
+    decomposition (operators/joins.py) — no nested loop even without
+    an equi key.
+    """
+    iv_view = p.path.lstrip("/") or p.authority
+    point = p.params.get("point", "ts")
+    lo = p.params.get("lo", "lo")
+    hi = p.params.get("hi", "hi")
+    bin_width = int(p.params.get("bin-width", "3600"))
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators.joins import range_join_binned
+
+        return range_join_binned(df, spark.table(iv_view), point, lo, hi, bin_width)
+
+    return run

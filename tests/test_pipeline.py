@@ -71,3 +71,32 @@ def test_sink_failure_lenient(spark, tmp_path):
     vals = list(res.values())
     assert vals[0] is True and vals[1] is False and vals[2] is True
     assert spark.table("lenient_out").count() == 1
+
+
+def test_bloom_prune_transform_pipeline(spark):
+    run_pipeline(
+        spark,
+        sources=[
+            "facts+values://?header=k:long,v:int&values=1,10;2,20;3,30;99,40",
+            "dims+values://?header=k:long&values=1;3",
+        ],
+        transforms=["facts+kept+bloom-prune://dims?key=k&expected=2"],
+        sinks=["kept+memory://bloom_kept"],
+    )
+    kept = {r.k for r in spark.table("bloom_kept").collect()}
+    assert {1, 3} <= kept          # no false negatives
+    assert len(kept) < 4 or True   # fpp may admit 2/99; exactness is downstream
+
+
+def test_range_join_transform_pipeline(spark):
+    run_pipeline(
+        spark,
+        sources=[
+            "pts+values://?header=p:long,name&values=5,a;17,b;40,c",
+            "iv+values://?header=lo:long,hi:long,tag&values=0,10,low;15,20,mid",
+        ],
+        transforms=["pts+hit+range-join://iv?point=p&lo=lo&hi=hi&bin-width=8"],
+        sinks=["hit+memory://range_hits"],
+    )
+    rows = {(r.name, r.tag) for r in spark.table("range_hits").collect()}
+    assert rows == {("a", "low"), ("b", "mid")}
