@@ -572,3 +572,25 @@ def range_join_transform(p: ParsedUri) -> TransformFn:
         return range_join_binned(df, spark.table(iv_view), point, lo, hi, bin_width)
 
     return run
+
+
+@register_transform("assign-ids")
+def assign_ids_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+assign-ids://?order=date,id&id-col=seq_id&partitions=N``.
+
+    Dense 0-based sequential ids in ``order`` order via the two-pass
+    range-partition scheme (operators/ids.py) — never a single-partition
+    global window.
+    """
+    order = _csv_param(p, "order")
+    id_col = p.params.get("id-col", "seq_id")
+    partitions = p.params.get("partitions")
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators.ids import assign_sequential_ids
+
+        return assign_sequential_ids(
+            df, order, id_col, int(partitions) if partitions else None
+        )
+
+    return run

@@ -109,3 +109,26 @@ def q104_pure_range_join(spark, sf_dir):
     return joined.groupBy(F.col("lo_date").alias("period_start")).agg(
         bcount("n_items"), dsum(F.col("l_extendedprice"), "sum_price")
     )
+
+
+# --- q105: distributed dense sequential ids --------------------------------
+# The scalable replacement for row_number() over a global ORDER BY
+# (which Spark plans into a single partition): range-partition + per-
+# partition offsets (operators/ids.py). Oracle = the very window the
+# operator refuses to run, exact because (o_orderdate, o_orderkey) is
+# a total order.
+@query(
+    "q105_sequential_ids",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) - 1
+                AS BIGINT) AS seq_id
+    FROM orders
+    """,
+)
+def q105_sequential_ids(spark, sf_dir):
+    from spark_etl_cli_spark.operators.ids import assign_sequential_ids
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    with_ids = assign_sequential_ids(o, ["o_orderdate", "o_orderkey"])
+    return with_ids.select("o_orderkey", "seq_id")

@@ -89,3 +89,41 @@ def test_range_join_binned_rejects_column_collision(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_assign_sequential_ids_dense_and_ordered(spark):
+    from spark_etl_cli_spark.operators.ids import assign_sequential_ids
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000).select(
+        (999 - F.col("id")).alias("k"), (F.col("id") % 7).alias("grp")
+    )
+    out = assign_sequential_ids(df, ["k"], num_partitions=8)
+    rows = out.orderBy("k").collect()
+    # dense 0..N-1, and id order == k order
+    assert [r.seq_id for r in rows] == list(range(1000))
+    assert rows[0].k == 0 and rows[-1].k == 999
+
+
+def test_assign_sequential_ids_requires_order(spark):
+    from spark_etl_cli_spark.operators.ids import assign_sequential_ids
+
+    try:
+        assign_sequential_ids(spark.range(3), [])
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_assign_ids_transform_pipeline(spark):
+    from spark_etl_cli_spark.pipeline import run_pipeline
+
+    run_pipeline(
+        spark,
+        sources=["v+values://?header=x:int&values=30;10;20"],
+        transforms=["v+w+assign-ids://?order=x&id-col=rk&partitions=2"],
+        sinks=["w+memory://ids_out"],
+    )
+    got = {(r.x, r.rk) for r in spark.table("ids_out").collect()}
+    assert got == {(10, 0), (20, 1), (30, 2)}
