@@ -17,6 +17,14 @@ Reproduced behaviors:
 - ``?partitionCols=a,b`` actually partitions the write (the reference
   parsed but ignored it — ``HiveDataFrameSource.scala:48-52``; fixed
   deliberately, noted in SURVEY §7 quirks).
+
+Beyond the reference: ``?bucket-by=a,b&buckets=N[&sort-by=c]`` writes a
+bucketed (optionally sorted) table. Recurring joins/aggregations on the
+bucket key then skip their shuffle entirely when bucket specs line up
+(verified by tests/test_bucketing.py) — at 100 TB, pre-bucketing both
+sides of a hot join is the single biggest shuffle saving available.
+Bucketing requires ``saveAsTable`` (a catalog table), which is why it
+lives here and not on the path-based file sinks.
 """
 
 from __future__ import annotations
@@ -55,12 +63,26 @@ class TableSink:
         partition_cols = [
             c for c in self.uri.params.get("partitionCols", "").split(",") if c
         ]
+        bucket_by = [
+            c for c in self.uri.params.get("bucket-by", "").split(",") if c
+        ]
+        sort_by = [c for c in self.uri.params.get("sort-by", "").split(",") if c]
         if spark.catalog.tableExists(name):
             target_cols = [f.name for f in spark.table(name).schema.fields]
             df = df.select(*target_cols)
         writer = df.write.mode(mode)
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
+        if bucket_by:
+            n_buckets = int(self.uri.params.get("buckets", "8"))
+            writer = writer.bucketBy(n_buckets, *bucket_by)
+            if sort_by:
+                writer = writer.sortBy(*sort_by)
+        elif sort_by:
+            df = df.sortWithinPartitions(*sort_by)
+            writer = df.write.mode(mode)
+            if partition_cols:
+                writer = writer.partitionBy(*partition_cols)
         writer.saveAsTable(name)
         return True
 

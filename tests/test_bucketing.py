@@ -65,3 +65,31 @@ def test_unbucketed_join_shuffles_for_contrast(spark, bucketed):
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
+
+
+def test_table_sink_bucketed_write_joins_without_shuffle(spark, tmp_path):
+    from spark_etl_cli_spark.pipeline import run_pipeline
+
+    run_pipeline(
+        spark,
+        sources=["a+values://?header=k:long,v:int&values=1,10;2,20;3,30"],
+        sinks=["a+table://uri_bucketed_a?mode=overwrite&bucket-by=k&buckets=4&sort-by=k"],
+    )
+    run_pipeline(
+        spark,
+        sources=["b+values://?header=k:long,w:int&values=1,7;3,9"],
+        sinks=["b+table://uri_bucketed_b?mode=overwrite&bucket-by=k&buckets=4&sort-by=k"],
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("uri_bucketed_a").join(
+            spark.table("uri_bucketed_b"), "k"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == 2
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
