@@ -594,3 +594,25 @@ def assign_ids_transform(p: ParsedUri) -> TransformFn:
         )
 
     return run
+
+
+@register_transform("zorder")
+def zorder_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+zorder://?by=a,b&bits=10&partitions=N``.
+
+    Totally orders the view by the z-value (Morton interleave) of the
+    given columns (operators/zorder.py) so a following file sink writes
+    row groups clustered in every listed dimension.
+    """
+    by = _csv_param(p, "by")
+    bits = int(p.params.get("bits", "10"))
+    partitions = p.params.get("partitions")
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators.zorder import zorder_sort
+
+        return zorder_sort(
+            df, by, bits, int(partitions) if partitions else None
+        )
+
+    return run

@@ -132,3 +132,43 @@ def q105_sequential_ids(spark, sf_dir):
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     with_ids = assign_sequential_ids(o, ["o_orderdate", "o_orderkey"])
     return with_ids.select("o_orderkey", "seq_id")
+
+
+# --- q106: z-order interleave (multi-dimensional clustering key) ----------
+# The clustering key behind OPTIMIZE ZORDER BY, bit-exact across
+# engines: interleave (o_custkey % 1024, order-day % 1024) into one
+# BIGINT. operators/zorder.py sorts by this to cluster row groups in
+# both dimensions; the oracle recomputes the interleave in DuckDB
+# integer arithmetic.
+def _z_sql(x: str, y: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x}) >> {i}) & 1) << {2 * i}")
+        terms.append(f"((({y}) >> {i}) & 1) << {2 * i + 1}")
+    return " + ".join(f"({t})" for t in terms)
+
+
+_Q106_X = "o_custkey % 1024"
+_Q106_Y = "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 1024"
+
+
+@query(
+    "q106_zorder_key",
+    oracle=f"""
+    SELECT o_orderkey,
+           CAST({_z_sql(_Q106_X, _Q106_Y, 10)} AS BIGINT) AS zv
+    FROM orders
+    """,
+)
+def q106_zorder_key(spark, sf_dir):
+    from spark_etl_cli_spark.operators.zorder import z_value
+
+    o = t(spark, sf_dir, "orders")
+    x = F.pmod(F.col("o_custkey"), F.lit(1024))
+    y = F.pmod(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ),
+        F.lit(1024),
+    )
+    return o.select("o_orderkey", z_value([x, y], 10).alias("zv"))

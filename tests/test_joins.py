@@ -127,3 +127,42 @@ def test_assign_ids_transform_pipeline(spark):
     )
     got = {(r.x, r.rk) for r in spark.table("ids_out").collect()}
     assert got == {(10, 0), (20, 1), (30, 2)}
+
+
+def test_z_value_interleaves_bits(spark):
+    from spark_etl_cli_spark.operators.zorder import z_value
+
+    df = spark.createDataFrame([Row(x=3, y=1)])
+    # x=0b11, y=0b01 -> z bits: x0@0, y0@1, x1@2, y1@3 = 1+2+4+0 = 7
+    assert df.select(z_value([F.col("x"), F.col("y")], 2).alias("z")).head().z == 7
+    # capacity guard
+    try:
+        z_value([F.col("x")] * 8, bits=8)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_zorder_sort_preserves_rows_and_clusters(spark):
+    from spark_etl_cli_spark.operators.zorder import zorder_sort
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 50).alias("a"), (F.col("id") % 37).alias("b"),
+        F.col("id").alias("v"),
+    )
+    out = zorder_sort(df, ["a", "b"], bits=6, num_partitions=4)
+    assert out.columns == ["a", "b", "v"]
+    assert out.count() == 1000
+    assert out.exceptAll(df).count() == 0
+
+
+def test_zorder_transform_pipeline(spark):
+    from spark_etl_cli_spark.pipeline import run_pipeline
+
+    run_pipeline(
+        spark,
+        sources=["v+values://?header=a:int,b:int&values=9,1;0,0;5,5;1,9"],
+        transforms=["v+w+zorder://?by=a,b&bits=4&partitions=1"],
+        sinks=["w+memory://z_out"],
+    )
+    assert spark.table("z_out").count() == 4
