@@ -616,3 +616,22 @@ def zorder_transform(p: ParsedUri) -> TransformFn:
         )
 
     return run
+
+
+@register_transform("rebalance")
+def rebalance_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+rebalance://[?by=a,b]``.
+
+    AQE rebalance hint: the runtime splits oversized shuffle partitions
+    and coalesces undersized ones toward
+    ``spark.sql.adaptive.advisoryPartitionSizeInBytes`` — the idiom for
+    evenly sized output files without hand-picking a repartition count
+    (and, unlike ``repartition(n)``, skew-safe: a hot key is split).
+    Optional ``by`` columns hash-distribute before balancing.
+    """
+    by = _csv_param(p, "by")
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        return df.hint("rebalance", *by) if by else df.hint("rebalance")
+
+    return run

@@ -100,3 +100,24 @@ def test_range_join_transform_pipeline(spark):
     )
     rows = {(r.name, r.tag) for r in spark.table("range_hits").collect()}
     assert rows == {("a", "low"), ("b", "mid")}
+
+
+def test_rebalance_transform_pipeline(spark):
+    run_pipeline(
+        spark,
+        sources=["v+values://?header=k:long&values=1;2;3;4;5"],
+        transforms=["v+w+rebalance://?by=k"],
+        sinks=["w+memory://rb_out"],
+    )
+    assert spark.table("rb_out").count() == 5
+    # the hint must survive into the optimized plan as a rebalance node
+    from pyspark.sql import functions as F
+
+    from spark_etl_cli_spark.registry import resolve_transform
+
+    _, fn = resolve_transform("rebalance://?by=k")
+    df = fn(spark, spark.range(10).select(F.col("id").alias("k")))
+    assert (
+        "RebalancePartitions"
+        in df._jdf.queryExecution().optimizedPlan().toString()
+    )
