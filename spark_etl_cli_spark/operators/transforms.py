@@ -635,3 +635,22 @@ def rebalance_transform(p: ParsedUri) -> TransformFn:
         return df.hint("rebalance", *by) if by else df.hint("rebalance")
 
     return run
+
+
+@register_transform("checksum")
+def checksum_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+checksum://?cols=a,b,c&by=grp``.
+
+    Order-insensitive reconciliation checksum per group
+    (operators/checksum.py): run on both systems, compare the tiny
+    results, drill into mismatched groups with ``diff://``.
+    """
+    cols = _csv_param(p, "cols")
+    by = _csv_param(p, "by") or None
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators.checksum import table_checksum
+
+        return table_checksum(df, cols or df.columns, by)
+
+    return run

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from spark_etl_cli_spark.operators.checksum import checksum_sql
 from spark_etl_cli_spark.plans.registry import (
     SQL_DSUM,
     bcount,
@@ -172,3 +173,29 @@ def q106_zorder_key(spark, sf_dir):
         F.lit(1024),
     )
     return o.select("o_orderkey", z_value([x, y], 10).alias("zv"))
+
+
+# --- q107: order-insensitive reconciliation checksum ----------------------
+# Cross-system table compare without moving data: 60-bit md5 row hashes
+# summed exactly (decimal/HUGEINT) and folded by 2^61-1 — associative
+# and commutative, so partitioning and engine cannot change it. The
+# oracle recomputes the identical arithmetic in DuckDB.
+@query(
+    "q107_table_checksum",
+    oracle=checksum_sql(
+        ["o_orderkey", "o_orderstatus", "o_custkey", "o_day"],
+        "(SELECT *, CAST(o_orderdate AS DATE) AS o_day FROM orders)",
+        group_by=["o_orderpriority"],
+    ),
+)
+def q107_table_checksum(spark, sf_dir):
+    from spark_etl_cli_spark.operators.checksum import table_checksum
+
+    o = t(spark, sf_dir, "orders").withColumn(
+        "o_day", F.col("o_orderdate").cast("date")
+    )
+    return table_checksum(
+        o,
+        ["o_orderkey", "o_orderstatus", "o_custkey", "o_day"],
+        group_by=["o_orderpriority"],
+    )

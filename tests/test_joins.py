@@ -205,3 +205,20 @@ def test_zorder_layout_narrows_per_file_stats(spark, tmp_path):
     # all clustering on `a`
     assert z_spread["b"] < lin_spread["b"] / 2
     assert z_spread["a"] < 64 * 0.7
+
+
+def test_table_checksum_order_and_partition_invariant(spark):
+    from spark_etl_cli_spark.operators.checksum import table_checksum
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("g")
+    )
+    a = table_checksum(df.repartition(13), ["k", "g"], ["g"])
+    b = table_checksum(df.orderBy(F.desc("k")).coalesce(1), ["k", "g"], ["g"])
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # a single changed row changes its group's checksum
+    tampered = df.withColumn(
+        "k", F.when(F.col("k") == 250, F.lit(9999)).otherwise(F.col("k"))
+    )
+    c = table_checksum(tampered, ["k", "g"], ["g"])
+    assert sorted(map(tuple, a.collect())) != sorted(map(tuple, c.collect()))
