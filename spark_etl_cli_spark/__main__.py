@@ -37,6 +37,11 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="print each sink view's physical plan before writing",
     )
+    ap.add_argument(
+        "--observe",
+        action="store_true",
+        help="report per-sink row counts (rides the write job; no extra pass)",
+    )
     args = ap.parse_args(argv)
 
     from spark_etl_cli_spark import registry
@@ -62,10 +67,16 @@ def main(argv: list[str] | None = None) -> int:
         spark,
         fail_fast=not args.lenient,
         await_termination=args.await_termination or False,
+        observe=args.observe,
     )
     ok = all(results.values()) if results else True
     for key, success in results.items():
-        print(f"{'Write successful' if success else 'Writing to sink failed'}: {key}")
+        line = f"{'Write successful' if success else 'Writing to sink failed'}: {key}"
+        if args.observe:
+            m = pipe.metrics.get(key)
+            if m:
+                line += " " + " ".join(f"[{k}={v}]" for k, v in sorted(m.items()))
+        print(line)
     return 0 if ok else 1
 
 

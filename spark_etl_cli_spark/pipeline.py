@@ -70,9 +70,30 @@ class SinkStep:
     view: str
     sink: "object"  # DataFrameSink
 
-    def run(self, spark: SparkSession) -> bool:
-        df = spark.table(self.view)
+    def run(self, spark: SparkSession, df: DataFrame | None = None) -> bool:
+        if df is None:
+            df = spark.table(self.view)
         return self.sink.write(df)
+
+
+def _observed_metrics(obs) -> dict | None:
+    """Non-blocking read of an Observation's metrics.
+
+    ``Observation.get`` blocks until an action computes the observed
+    plan — which never happens for lazy sinks (``memory://`` just
+    registers a view) or row-limited ones (``console://`` shows a
+    prefix). ``getOrEmpty`` (public JVM API) returns an empty map in
+    those cases; report None instead of hanging the pipeline.
+    """
+    try:
+        # getOrEmpty returns a (scala) Map — only probe emptiness on
+        # the JVM side; once metrics exist, the public .get is
+        # non-blocking.
+        if obs._jo.getOrEmpty().isEmpty():
+            return None
+        return dict(obs.get)
+    except Exception:
+        return None
 
 
 @dataclass
@@ -117,22 +138,41 @@ class Pipeline:
         spark: SparkSession,
         fail_fast: bool = True,
         await_termination: float | bool = False,
+        observe: bool = False,
     ) -> dict[str, bool]:
-        """Interpret the pipeline. Returns per-sink success map."""
+        """Interpret the pipeline. Returns per-sink success map.
+
+        ``observe=True`` attaches a Spark ``Observation`` (row count)
+        to every batch sink's frame — metrics ride the write job
+        itself, zero extra passes — and stores the per-sink results in
+        ``self.metrics`` (None for sinks whose write runs no full
+        action, e.g. ``memory://``).
+        """
         for s in self.sources:
             s.run(spark)
         for t in self.transforms:
             t.run(spark)
         results: dict[str, bool] = {}
+        self.metrics: dict[str, dict | None] = {}
         for i, snk in enumerate(self.sinks):
             key = f"{i}:{snk.uri.raw if snk.uri else snk.view}"
+            obs = None
+            df = spark.table(snk.view)
+            if observe and not df.isStreaming:
+                from pyspark.sql import Observation
+                from pyspark.sql import functions as F
+
+                obs = Observation()
+                df = df.observe(obs, F.count(F.lit(1)).alias("rows_written"))
             try:
-                ok = snk.run(spark)
+                ok = snk.run(spark, df)
             except Exception:
                 if fail_fast:
                     raise
                 ok = False
             results[key] = bool(ok)
+            if observe:
+                self.metrics[key] = _observed_metrics(obs) if obs else None
         if await_termination and spark.streams.active:
             timeout = None if await_termination is True else float(await_termination)
             if timeout is None:

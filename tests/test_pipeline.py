@@ -121,3 +121,18 @@ def test_rebalance_transform_pipeline(spark):
         "RebalancePartitions"
         in df._jdf.queryExecution().optimizedPlan().toString()
     )
+
+
+def test_observe_reports_rows_written(spark, tmp_path):
+    from spark_etl_cli_spark.pipeline import Pipeline
+
+    pipe = Pipeline.from_uris(
+        ["v+values://?header=x:int&values=1;2;3;4"],
+        ["v+w+sql://SELECT x FROM v WHERE x > 1"],
+        [f"w+parquet://{tmp_path}/obs_out", "w+memory://obs_mem"],
+    )
+    res = pipe.run(spark, observe=True)
+    assert all(res.values())
+    by_key = {k.split(":", 1)[0]: v for k, v in pipe.metrics.items()}
+    assert by_key["0"] == {"rows_written": 3}   # parquet: full action
+    assert by_key["1"] is None                  # memory: lazy, no action
