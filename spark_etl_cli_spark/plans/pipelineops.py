@@ -105,3 +105,84 @@ def q62_pipeline_diff(spark, sf_dir):
         .groupBy("diff")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+# --- q108: end-to-end corpus pipeline through the URI engine --------------
+# The full training-data preparation chain as ONE pipeline — noisy-dup
+# injection (sql://) → Gopher-style quality gates (quality-filter://) →
+# exact dedup, min-id survivor (dedup://?mode=exact) → greedy sequence
+# packing (sql:// cumsum) — with a single DuckDB oracle verifying the
+# composition end to end. Every stage is deterministic, so the whole
+# chain is ANSI-expressible even though it runs through four transform
+# URIs and three operators.
+_Q108_SEQ = 2048
+
+
+def _q108_oracle() -> str:
+    from spark_etl_cli_spark.plans.textops import (
+        SQL_DOCS_WITH_DUPS,
+        SQL_FP,
+        SQL_NTOK,
+        SQL_PUNCT,
+        SQL_SW,
+    )
+
+    return f"""
+    WITH docs AS ({SQL_DOCS_WITH_DUPS}),
+    q AS (
+      SELECT doc_id, text, source FROM docs
+      WHERE {SQL_NTOK} BETWEEN 5 AND 1000
+        AND {SQL_PUNCT} <= 0.3 AND {SQL_SW} >= 0.01
+    ),
+    d AS (
+      SELECT doc_id, text, source FROM q
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY {SQL_FP}
+                                 ORDER BY doc_id) = 1
+    ),
+    c AS (
+      SELECT source, doc_id, {SQL_NTOK} AS ntok,
+             SUM({SQL_NTOK}) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d
+    )
+    SELECT source, CAST((cum - ntok) // {_Q108_SEQ} AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS seq_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM c GROUP BY 1, 2
+    """
+
+
+@query("q108_corpus_pipeline", oracle=_q108_oracle())
+def q108_corpus_pipeline(spark, sf_dir):
+    ntok_sql = (
+        "CASE WHEN length(trim(regexp_replace(text, '\\\\s+', ' '))) = 0 "
+        "THEN 0 ELSE size(split(trim(regexp_replace(text, '\\\\s+', ' ')), "
+        "' ')) END"
+    )
+    run_pipeline(
+        spark,
+        sources=[f"p108_docs+parquet://{sf_dir}/documents.parquet"],
+        transforms=[
+            # noisy-dup injection (the Spark twin of SQL_DOCS_WITH_DUPS)
+            "p108_docs+p108_dups+sql://"
+            "SELECT doc_id, text, source FROM p108_docs "
+            "UNION ALL "
+            "SELECT doc_id + 100000 AS doc_id, "
+            "regexp_replace(text, ' ', concat(char(9), ' ')) AS text, "
+            "'dupsrc' AS source FROM p108_docs WHERE doc_id < 100",
+            "p108_dups+p108_clean+quality-filter://"
+            "?min-tokens=5&max-tokens=1000&max-punct=0.3&min-stopword=0.01",
+            "p108_clean+p108_uniq+dedup://?mode=exact",
+            "p108_uniq+p108_packed+sql://"
+            f"SELECT source, CAST((cum - ntok) DIV {_Q108_SEQ} AS BIGINT) "
+            "AS seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(ntok) AS BIGINT) AS seq_tokens, "
+            "CAST(MIN(doc_id) AS BIGINT) AS first_doc FROM ("
+            f"  SELECT source, doc_id, {ntok_sql} AS ntok, "
+            f"  SUM({ntok_sql}) OVER (PARTITION BY source ORDER BY doc_id "
+            "   ROWS UNBOUNDED PRECEDING) AS cum FROM p108_uniq"
+            ") GROUP BY 1, 2",
+        ],
+    )
+    return spark.table("p108_packed")
