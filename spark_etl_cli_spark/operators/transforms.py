@@ -243,20 +243,28 @@ def diff_transform(p: ParsedUri) -> TransformFn:
 
 @register_transform("components")
 def components_transform(p: ParsedUri) -> TransformFn:
-    """``in+out+components://?src=id_a&dst=id_b&max-iter=25``.
+    """``in+out+components://?src=id_a&dst=id_b&max-iter=25&algo=minlabel|star``.
 
     Connected components over an edge-list view (e.g. the pair output
     of ``dedup://?mode=minhash``): emits (id, component) so dedup can
-    keep one survivor per *group*, not just per pair.
+    keep one survivor per *group*, not just per pair. ``algo=minlabel``
+    (default) converges in diameter-many 1-shuffle rounds — right for
+    shallow dup clusters; ``algo=star`` (large-star/small-star) takes
+    O(log²) heavier rounds — right for deep or unknown-diameter graphs.
     """
     src = p.params.get("src", "id_a")
     dst = p.params.get("dst", "id_b")
     max_iter = int(p.params.get("max-iter", "25"))
+    algo = p.params.get("algo", "minlabel")
 
     def run(spark: SparkSession, df: DataFrame) -> DataFrame:
-        from spark_etl_cli_spark.operators.dedup import connected_components
+        from spark_etl_cli_spark.operators import dedup as D
 
-        return connected_components(df, src, dst, max_iter)
+        if algo == "star":
+            return D.connected_components_star(df, src, dst, max_iter)
+        if algo == "minlabel":
+            return D.connected_components(df, src, dst, max_iter)
+        raise ValueError(f"unknown components algo {algo!r}")
 
     return run
 

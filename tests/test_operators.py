@@ -196,3 +196,48 @@ def test_ivf_topk_matches_brute_force_with_full_probe(spark):
         for r in ivf_topk(vecs, qs, k=3, n_centroids=4, nprobe=4).collect()
     }
     assert ivf == bf
+
+
+def _cc_dict(df):
+    return {r.id: r.component for r in df.collect()}
+
+
+def test_star_components_match_min_label_on_random_graph(spark):
+    import random
+
+    from spark_etl_cli_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    assert _cc_dict(connected_components_star(df)) == _cc_dict(
+        connected_components(df)
+    )
+
+
+def test_star_components_deep_chain_converges(spark):
+    from spark_etl_cli_spark.operators.dedup import connected_components_star
+
+    n = 64  # diameter 64 — min-label would need ~64 rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["src", "dst"]
+    )
+    out = _cc_dict(connected_components_star(chain, max_iter=12))
+    assert set(out.values()) == {0}
+    assert len(out) == n + 1
+
+
+def test_star_components_disjoint_cliques(spark):
+    from spark_etl_cli_spark.operators.dedup import connected_components_star
+
+    edges = [(a, b) for base in (0, 100, 200)
+             for a in range(base, base + 5) for b in range(a + 1, base + 5)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = _cc_dict(connected_components_star(df))
+    assert set(out.values()) == {0, 100, 200}
+    for node, comp in out.items():
+        assert comp == (node // 100) * 100
