@@ -179,3 +179,26 @@ def test_q104_range_join_is_hash_join(spark):
     # interval side tiny it broadcasts — never a nested loop over rows
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_q105_ids_never_use_global_window(spark):
+    plan = plan_of(spark, "q105_sequential_ids")
+    # the whole point: no Window node anywhere (a global-ORDER-BY
+    # row_number would single-partition); ids ride range partitioning
+    # + an Arrow-batched map
+    assert "Window" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_q106_zorder_key_is_pure_projection(spark):
+    plan = plan_of(spark, "q106_zorder_key")
+    # bit interleave = scan + project, nothing else
+    assert "Exchange" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_q107_checksum_single_agg_pass(spark):
+    plan = plan_of(spark, "q107_table_checksum")
+    # partial + final hash aggregate over one scan; one shuffle total
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1

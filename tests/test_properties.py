@@ -98,3 +98,80 @@ def test_diff_set_algebra_invariants(spark, lrows, rrows):
             assert row[DIFF_COL] == "N"
         else:
             assert row[DIFF_COL] == "C"
+
+
+# --- bloom filter: no false negatives, ever -------------------------------
+bloom_keys = st.lists(st.integers(-(10**9), 10**9), min_size=1, max_size=40)
+
+
+@pytest.mark.slow
+@given(dim=bloom_keys, extra=bloom_keys, fpp=st.sampled_from([0.01, 0.1]))
+@SET
+def test_bloom_prune_never_drops_true_matches(spark, dim, extra, fpp):
+    from spark_etl_cli_spark.operators.joins import bloom_semi_prune
+
+    dim_df = spark.createDataFrame([(k,) for k in dim], ["dk"])
+    fact_df = spark.createDataFrame([(k,) for k in dim + extra], ["k"])
+    pruned = bloom_semi_prune(
+        fact_df, dim_df, "k", "dk", expected_items=len(dim), fpp=fpp
+    )
+    kept = {r.k for r in pruned.collect()}
+    assert set(dim) <= kept  # every true key survives
+
+
+# --- checksum: multiset semantics ----------------------------------------
+rows_strat = st.lists(
+    st.tuples(st.integers(0, 50), st.sampled_from(["x", "y", ""])),
+    min_size=1,
+    max_size=25,
+)
+
+
+@pytest.mark.slow
+@given(rows=rows_strat, seed=st.integers(0, 5))
+@SET
+def test_checksum_is_permutation_invariant_and_injective_ish(spark, rows, seed):
+    import random
+
+    from spark_etl_cli_spark.operators.checksum import table_checksum
+
+    shuffled = rows[:]
+    random.Random(seed).shuffle(shuffled)
+    a = spark.createDataFrame(rows, ["k", "s"])
+    b = spark.createDataFrame(shuffled, ["k", "s"])
+    ca = table_checksum(a, ["k", "s"]).head()
+    cb = table_checksum(b, ["k", "s"]).head()
+    assert (ca.n_rows, ca.checksum) == (cb.n_rows, cb.checksum)
+    # dropping one row must change the digest (n_rows catches it too,
+    # but the checksum alone must differ: hashes are nonzero w.h.p.)
+    if len(rows) > 1:
+        cc = table_checksum(
+            spark.createDataFrame(rows[1:], ["k", "s"]), ["k", "s"]
+        ).head()
+        assert (cc.n_rows, cc.checksum) != (ca.n_rows, ca.checksum)
+
+
+# --- z-value: injective on the scaled domain ------------------------------
+zpoints = st.lists(
+    st.tuples(st.integers(0, 255), st.integers(0, 255)),
+    min_size=1,
+    max_size=30,
+    unique=True,
+)
+
+
+@pytest.mark.slow
+@given(pts=zpoints)
+@SET
+def test_z_value_bijective_on_domain(spark, pts):
+    from spark_etl_cli_spark.operators.zorder import z_value
+
+    df = spark.createDataFrame(pts, ["x", "y"])
+    out = df.select("x", "y", z_value([F.col("x"), F.col("y")], 8).alias("z"))
+    rows = out.collect()
+    assert len({r.z for r in rows}) == len(pts)  # distinct in -> distinct out
+    # reconstructible: deinterleave equals the inputs
+    for r in rows:
+        x = sum(((r.z >> (2 * i)) & 1) << i for i in range(8))
+        y = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(8))
+        assert (x, y) == (r.x, r.y)
