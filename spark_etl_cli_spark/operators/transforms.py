@@ -662,3 +662,21 @@ def checksum_transform(p: ParsedUri) -> TransformFn:
         return table_checksum(df, cols or df.columns, by)
 
     return run
+
+
+@register_transform("profile")
+def profile_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+profile://[?cols=a,b]``.
+
+    One-pass column profile (operators/profile.py): long-form
+    (column, n_rows, n_nonnull, n_distinct) for discovery before
+    declaring ``expect://`` rules.
+    """
+    cols = _csv_param(p, "cols") or None
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators.profile import profile_columns
+
+        return profile_columns(df, cols)
+
+    return run

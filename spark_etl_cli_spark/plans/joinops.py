@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from spark_etl_cli_spark.operators.checksum import checksum_sql
+from spark_etl_cli_spark.operators.profile import profile_sql
 from spark_etl_cli_spark.plans.registry import (
     SQL_DSUM,
     bcount,
@@ -198,4 +199,27 @@ def q107_table_checksum(spark, sf_dir):
         o,
         ["o_orderkey", "o_orderstatus", "o_custkey", "o_day"],
         group_by=["o_orderpriority"],
+    )
+
+
+# --- q109: one-pass column profiling --------------------------------------
+# Discovery twin of the q102 expectations audit: null rates and exact
+# cardinalities for six orders columns in a single aggregation pass
+# (one Expand + two-stage agg — not six jobs). Long-form output keeps
+# the schema independent of the profiled table.
+@query(
+    "q109_column_profile",
+    oracle=profile_sql(
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"],
+        "orders",
+    ),
+)
+def q109_column_profile(spark, sf_dir):
+    from spark_etl_cli_spark.operators.profile import profile_columns
+
+    return profile_columns(
+        t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"],
     )

@@ -136,3 +136,16 @@ def test_observe_reports_rows_written(spark, tmp_path):
     by_key = {k.split(":", 1)[0]: v for k, v in pipe.metrics.items()}
     assert by_key["0"] == {"rows_written": 3}   # parquet: full action
     assert by_key["1"] is None                  # memory: lazy, no action
+
+
+def test_profile_transform_pipeline(spark):
+    run_pipeline(
+        spark,
+        sources=["v+values://?header=a:int,b&values=1,x;2,x;2,"],
+        transforms=["v+w+profile://"],
+        sinks=["w+memory://prof_out"],
+    )
+    got = {r.column: (r.n_rows, r.n_nonnull, r.n_distinct)
+           for r in spark.table("prof_out").collect()}
+    assert got["a"] == (3, 3, 2)
+    assert got["b"] == (3, 2, 1)  # empty cell -> null in values://? or ''
