@@ -223,3 +223,71 @@ def q109_column_profile(spark, sf_dir):
         ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
          "o_orderdate", "o_orderpriority"],
     )
+
+
+# --- q110: vocabulary encoding (text -> token-id arrays) ------------------
+# The last hop before tensors: build a deterministic top-500 vocab
+# (count desc, token tie-break), broadcast-join it against position-
+# exploded tokens, reassemble per-document id arrays in order. The
+# oracle rebuilds the identical vocab and arrays in DuckDB (list(...
+# ORDER BY ordinal)), so the encoding — ids, order, unk handling — is
+# verified element-for-element.
+_Q110_V = 500
+
+
+def _q110_oracle() -> str:
+    from spark_etl_cli_spark.plans.textops import SQL_TOKENS
+
+    return f"""
+    WITH tk AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
+    tok AS (
+      SELECT doc_id, tk[i] AS token, i
+      FROM tk, unnest(generate_series(1, greatest(len(tk), 1))) AS s(i)
+      WHERE len(tk) >= i AND tk[i] <> ''
+    ),
+    cnt AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1),
+    top AS (SELECT token, c FROM cnt ORDER BY c DESC, token LIMIT {_Q110_V}),
+    vocab AS (
+      SELECT token,
+             ROW_NUMBER() OVER (ORDER BY c DESC, token) - 1 AS tid
+      FROM top
+    ),
+    enc AS (
+      SELECT t.doc_id, t.i,
+             CAST(COALESCE(v.tid, -1) AS BIGINT) AS tid
+      FROM tok t LEFT JOIN vocab v USING (token)
+    ),
+    agg AS (
+      SELECT doc_id, list(tid ORDER BY i) AS token_ids
+      FROM enc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.token_ids, CAST([] AS BIGINT[])) AS token_ids,
+           CAST(COALESCE(len(a.token_ids), 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(len(list_filter(a.token_ids, x -> x = -1)), 0)
+                AS BIGINT) AS n_unk
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@query("q110_vocab_encode", oracle=_q110_oracle())
+def q110_vocab_encode(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from spark_etl_cli_spark.functions.text import tokens
+    from spark_etl_cli_spark.operators.encoding import vocab_encode
+
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("token")).filter(
+        "token <> ''"
+    )
+    cnt = tok.groupBy("token").agg(F.count("*").alias("c"))
+    # global window over the LIMITed 500-row frame only — a dim build,
+    # not a data-path sort
+    w = Window.orderBy(F.desc("c"), "token")
+    vocab = (
+        cnt.orderBy(F.desc("c"), "token")
+        .limit(_Q110_V)
+        .withColumn("token_id", F.row_number().over(w) - 1)
+    )
+    return vocab_encode(d, vocab)

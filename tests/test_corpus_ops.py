@@ -110,3 +110,27 @@ def test_sessionize_transform_gap(spark):
     assert out["a"] == out["b"]          # within gap
     assert out["a"] != out["c"]          # beyond gap -> new session
     assert out["d"].startswith("2-")     # per-key sessions
+
+
+def test_vocab_encode_order_unk_and_empty(spark):
+    from pyspark.sql import Row
+
+    from pyspark.sql import functions as F
+
+    from spark_etl_cli_spark.operators.encoding import vocab_encode
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="red blue red green"),
+            Row(doc_id=2, text="   "),
+            Row(doc_id=3, text="BLUE red"),
+        ]
+    )
+    vocab = spark.createDataFrame(
+        [Row(token="red", token_id=0), Row(token="blue", token_id=1)]
+    )
+    out = {r.doc_id: r for r in vocab_encode(docs, vocab).collect()}
+    assert out[1].token_ids == [0, 1, 0, -1]   # green -> unk, order kept
+    assert out[1].n_tokens == 4 and out[1].n_unk == 1
+    assert out[2].token_ids == [] and out[2].n_tokens == 0
+    assert out[3].token_ids == [1, 0]          # lower-cased before lookup
