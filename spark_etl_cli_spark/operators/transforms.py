@@ -680,3 +680,29 @@ def profile_transform(p: ParsedUri) -> TransformFn:
         return profile_columns(df, cols)
 
     return run
+
+
+@register_transform("encode")
+def encode_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+encode://vocabView?text-col=text&id-col=doc_id
+    &token-col=token&token-id-col=token_id&unk=-1``.
+
+    Vocabulary encoding (operators/encoding.py): per-document token-id
+    arrays via a broadcast vocab join; unknowns encode as ``unk``.
+    """
+    vocab_view = p.path.lstrip("/") or p.authority
+    text_col = p.params.get("text-col", "text")
+    id_col = p.params.get("id-col", "doc_id")
+    token_col = p.params.get("token-col", "token")
+    tid_col = p.params.get("token-id-col", "token_id")
+    unk = int(p.params.get("unk", "-1"))
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators.encoding import vocab_encode
+
+        return vocab_encode(
+            df, spark.table(vocab_view), text_col, id_col, token_col,
+            tid_col, unk,
+        )
+
+    return run
