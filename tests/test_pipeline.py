@@ -149,3 +149,25 @@ def test_profile_transform_pipeline(spark):
            for r in spark.table("prof_out").collect()}
     assert got["a"] == (3, 3, 2)
     assert got["b"] == (3, 2, 1)  # empty cell -> null in values://? or ''
+
+
+def test_sql_file_transform(spark, tmp_path):
+    qf = tmp_path / "q.sql"
+    qf.write_text("SELECT x * 10 AS y FROM sfv")
+    run_pipeline(
+        spark,
+        sources=["sfv+values://?header=x:int&values=4"],
+        transforms=[f"sfv+sfo+sql-file://{qf}"],
+        sinks=["sfo+memory://sqlfile_out"],
+    )
+    assert spark.table("sqlfile_out").collect()[0].y == 40
+
+
+def test_console_source_is_empty_frame(spark):
+    # reference semantics: console source reads an empty DataFrame
+    # (ConsoleDataFrameSink.scala:7-25)
+    from spark_etl_cli_spark.registry import resolve_source
+
+    _, src = resolve_source("console://")
+    df = src.read(spark)
+    assert df.count() == 0
