@@ -29,8 +29,13 @@ from pyspark.sql.window import Window
 
 from spark_etl_cli_spark.plans.registry import SQL_DSUM, dsum, events, query, t
 
-_CUTOFF_TS = F.to_timestamp(F.lit("2024-01-21 00:00:00"))
 _CUTOFF_SQL = "TIMESTAMP '2024-01-21 00:00:00'"
+
+
+def _cutoff_ts():
+    # built lazily: Column construction needs an active SparkContext, and
+    # this module must stay importable before the session exists
+    return F.to_timestamp(F.lit("2024-01-21 00:00:00"))
 
 
 @query(
@@ -102,8 +107,9 @@ def q101_changelog_merge(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
+    cutoff = _cutoff_ts()
     base = (
-        e.filter(F.col("ts") < _CUTOFF_TS)
+        e.filter(F.col("ts") < cutoff)
         .withColumn("__rn", F.row_number().over(w))
         .filter("__rn = 1")
         .select(
@@ -112,7 +118,7 @@ def q101_changelog_merge(spark, sf_dir):
             F.col("event_id").alias("last_event_id"),
         )
     )
-    changes = e.filter(F.col("ts") >= _CUTOFF_TS).select(
+    changes = e.filter(F.col("ts") >= cutoff).select(
         "user_id",
         F.col("value").alias("balance"),
         F.col("event_id").alias("last_event_id"),
