@@ -706,3 +706,74 @@ def encode_transform(p: ParsedUri) -> TransformFn:
         )
 
     return run
+
+
+@register_transform("decontaminate")
+def decontaminate_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+decontaminate://benchView?n=8&min-shared=1&id-col=doc_id
+    &text-col=text[&pairs=true]``.
+
+    Drops input docs sharing >= ``min-shared`` word n-grams with any doc
+    in the benchmark view (operators/retrieval.py) — the train/test
+    contamination scrub. With ``pairs=true`` it instead emits the
+    (train_doc_id, bench_doc_id, n_shared) collision report for audit.
+    """
+    bench_view = p.path.lstrip("/") or p.authority
+    n = int(p.params.get("n", "8"))
+    min_shared = int(p.params.get("min-shared", "1"))
+    id_col = p.params.get("id-col", "doc_id")
+    text_col = p.params.get("text-col", "text")
+    pairs = p.params.get("pairs", "false").lower() == "true"
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators.retrieval import (
+            contamination_pairs,
+            decontaminate,
+        )
+
+        bench = spark.table(bench_view)
+        if pairs:
+            return contamination_pairs(
+                df, bench, n=n, id_col=id_col, text_col=text_col
+            )
+        return decontaminate(
+            df, bench, n=n, min_shared=min_shared,
+            id_col=id_col, text_col=text_col,
+        )
+
+    return run
+
+
+@register_transform("bm25")
+def bm25_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+bm25://term1,term2,...?k1=1.2&b=0.75&id-col=doc_id
+    &text-col=text[&top-k=20]``.
+
+    BM25 relevance of every doc against a fixed query-term bag
+    (operators/retrieval.py); optional ``top-k`` keeps the best k with
+    a deterministic id tie-break.
+    """
+    terms = [t for t in (p.path.lstrip("/") or p.authority).split(",") if t]
+    if not terms:
+        raise ValueError("bm25:// needs at least one query term")
+    k1 = float(p.params.get("k1", "1.2"))
+    b = float(p.params.get("b", "0.75"))
+    id_col = p.params.get("id-col", "doc_id")
+    text_col = p.params.get("text-col", "text")
+    top_k = p.params.get("top-k")
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from spark_etl_cli_spark.operators.retrieval import bm25_scores
+
+        scored = bm25_scores(
+            df, terms, k1=k1, b=b, id_col=id_col, text_col=text_col
+        )
+        if top_k:
+            scored = scored.orderBy(
+                F.col("score").desc(), F.col(id_col)
+            ).limit(int(top_k))
+        return scored
+
+    return run

@@ -8,6 +8,7 @@ from spark_etl_cli_spark.plans import (  # noqa: F401
     mmops,
     pipelineops,
     relational,
+    retrieval,
     streamops,
     subqueries,
     textops,

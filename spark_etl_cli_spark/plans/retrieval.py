@@ -1,0 +1,219 @@
+"""Corpus-hygiene + retrieval + exact-statistics query coverage.
+
+- **q111** runs the train/test decontamination probe: benchmark docs are
+  the ``doc_id % 97 = 0`` slice, the training corpus is everything else
+  plus four deliberately leaked benchmark copies (prefixed with one
+  token so they are *not* exact duplicates — only the n-gram collision
+  test can find them). Shared-8-gram pairs must match DuckDB exactly.
+- **q112** scores every document against a fixed query-term bag with
+  BM25 (rational idf — no ``ln``, see operators/retrieval.py) and
+  returns the top 20 with a doc_id tie-break.
+- **q113** computes per-group Pearson correlation + covariance from
+  exact decimal moment sums (single map-side-combined pass; the only
+  floating-point steps are correctly-rounded double ops mirrored
+  verbatim in the oracle — including IEEE-754 sqrt, which is exact).
+- **q114** buckets documents into power-of-two token-length classes and
+  reports padding efficiency — the batch-shape statistic behind
+  length-grouped training batches.
+
+Scale notes: q111 shuffles 16-hex-char hashes only and broadcasts the
+benchmark side; q112 is one narrow pass + a broadcast of a 1-row stats
+relation; q113 is a pure partial-aggregate (no second pass for the
+mean); q114 is a single map-side-combined aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_etl_cli_spark.operators.retrieval import bm25_scores, bm25_sql, contamination_pairs
+from spark_etl_cli_spark.operators.util import fan_out
+from spark_etl_cli_spark.plans.registry import bcount, dec, query, t
+from spark_etl_cli_spark.plans.textops import SQL_NTOK, SQL_TOKENS
+
+# --- q111: train/test decontamination (8-gram collision) -----------------
+_SQL_BENCH = "SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0"
+_SQL_TRAIN = f"""
+  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, 'intro ' || text AS text
+  FROM ({_SQL_BENCH}) WHERE doc_id < 300
+"""
+
+
+def _sql_grams(src_sql: str, out_id: str) -> str:
+    # distinct 8-gram 64-bit hashes per doc (mirror of _gram_hashes)
+    return f"""
+    SELECT DISTINCT doc_id AS {out_id},
+           substr(md5(array_to_string(tk[i : i + 7], ' ')), 1, 16) AS h
+    FROM (SELECT doc_id, {SQL_TOKENS} AS tk FROM ({src_sql})),
+         UNNEST(generate_series(1, len(tk) - 7)) AS s(i)
+    """
+
+
+@query(
+    "q111_decontamination",
+    oracle=f"""
+    WITH tg AS ({_sql_grams(_SQL_TRAIN, "train_doc_id")}),
+         bg AS ({_sql_grams(_SQL_BENCH, "bench_doc_id")})
+    SELECT train_doc_id, bench_doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM tg JOIN bg USING (h)
+    GROUP BY 1, 2
+    """,
+)
+def q111_decontamination(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    leaked = bench.filter(F.col("doc_id") < 300).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.lit("intro "), F.col("text")).alias("text"),
+    )
+    train = d.filter(F.col("doc_id") % 97 != 0).unionByName(leaked)
+    return contamination_pairs(fan_out(train), bench, n=8)
+
+
+# --- q112: BM25 top-20 for a fixed query-term bag ------------------------
+_BM25_TERMS = ["join", "hash", "vector"]
+
+
+@query(
+    "q112_bm25_topk",
+    oracle=f"""
+    SELECT doc_id, dl, score
+    FROM ({bm25_sql("documents", _BM25_TERMS)})
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q112_bm25_topk(spark, sf_dir):
+    d = fan_out(t(spark, sf_dir, "documents"))
+    return (
+        bm25_scores(d, _BM25_TERMS)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# --- q113: exact-moment Pearson correlation per group --------------------
+# Moment sums stay in scale-0 integer centi-units (DECIMAL(38,0) /
+# HUGEINT) so the only float conversion is a single correctly-rounded
+# int -> double — bit-identical across engines, unlike casting a
+# scale-4 decimal (DuckDB divides by 10^scale *after* an int128->double
+# conversion: two roundings, observed 1-ulp drift). Correlation is
+# invariant under the x100 scaling; covariance is rescaled by the
+# exactly-representable constant 1e4 at the end.
+@query(
+    "q113_corr_stats",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_quantity AS DECIMAL(10,2)) * 100 AS BIGINT) AS qc,
+             CAST(CAST(l_extendedprice AS DECIMAL(10,2)) * 100 AS BIGINT) AS pc
+      FROM lineitem),
+    m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(qc AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(pc AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(qc * qc AS HUGEINT)) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(qc * pc AS HUGEINT)) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(pc * pc AS HUGEINT)) AS DOUBLE) AS syy
+      FROM c GROUP BY 1)
+    SELECT l_returnflag, n,
+           ((CAST(n AS DOUBLE) * sxy) - (sx * sy))
+             / (sqrt((CAST(n AS DOUBLE) * sxx) - (sx * sx))
+                * sqrt((CAST(n AS DOUBLE) * syy) - (sy * sy)))
+             AS corr_qty_price,
+           (((CAST(n AS DOUBLE) * sxy) - (sx * sy))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / 10000.0
+             AS cov_qty_price
+    FROM m
+    """,
+)
+def q113_corr_stats(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    c = li.select(
+        "l_returnflag",
+        (dec(F.col("l_quantity")) * 100).cast("long").alias("qc"),
+        (dec(F.col("l_extendedprice")) * 100).cast("long").alias("pc"),
+    )
+
+    def isum(expr, alias):
+        return F.sum(expr.cast("decimal(38,0)")).cast("double").alias(alias)
+
+    m = c.groupBy("l_returnflag").agg(
+        bcount("n"),
+        isum(F.col("qc"), "sx"),
+        isum(F.col("pc"), "sy"),
+        isum(F.col("qc") * F.col("qc"), "sxx"),
+        isum(F.col("qc") * F.col("pc"), "sxy"),
+        isum(F.col("pc") * F.col("pc"), "syy"),
+    )
+    n_d = F.col("n").cast("double")
+    num = (n_d * F.col("sxy")) - (F.col("sx") * F.col("sy"))
+    den = F.sqrt((n_d * F.col("sxx")) - (F.col("sx") * F.col("sx"))) * F.sqrt(
+        (n_d * F.col("syy")) - (F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        (num / den).alias("corr_qty_price"),
+        ((num / (n_d * n_d)) / F.lit(10000.0)).alias("cov_qty_price"),
+    )
+
+
+# --- q114: power-of-two length buckets + padding efficiency --------------
+_BUCKETS = [16, 32, 64, 128, 256, 512, 1024]
+
+
+def _sql_bucket(ntok: str) -> str:
+    return (
+        "CASE "
+        + " ".join(f"WHEN {ntok} <= {b} THEN {b}" for b in _BUCKETS)
+        + " ELSE 2048 END"
+    )
+
+
+@query(
+    "q114_length_buckets",
+    oracle=f"""
+    WITH d AS (SELECT {_sql_bucket(SQL_NTOK)} AS bucket, {SQL_NTOK} AS ntok
+               FROM documents)
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+           CAST(SUM(GREATEST(bucket - ntok, 0)) AS BIGINT) AS total_pad,
+           CAST(SUM(ntok) AS DOUBLE)
+             / CAST(COUNT(*) * bucket AS DOUBLE) AS fill_ratio
+    FROM d GROUP BY bucket
+    """,
+)
+def q114_length_buckets(spark, sf_dir):
+    from spark_etl_cli_spark.functions.text import token_count
+
+    d = t(spark, sf_dir, "documents")
+    ntok = token_count(F.col("text"))
+    bucket = F.lit(2048)
+    for b in reversed(_BUCKETS):
+        bucket = F.when(ntok <= b, F.lit(b)).otherwise(bucket)
+    agg = (
+        d.select(bucket.cast("int").alias("bucket"), ntok.alias("ntok"))
+        .groupBy("bucket")
+        .agg(
+            bcount("n_docs"),
+            F.sum("ntok").cast("bigint").alias("total_tokens"),
+            F.sum(F.greatest(F.col("bucket") - F.col("ntok"), F.lit(0)))
+            .cast("bigint")
+            .alias("total_pad"),
+        )
+    )
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "total_tokens",
+        "total_pad",
+        (
+            F.col("total_tokens").cast("double")
+            / (F.col("n_docs") * F.col("bucket")).cast("double")
+        ).alias("fill_ratio"),
+    )

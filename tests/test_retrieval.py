@@ -1,0 +1,118 @@
+"""Unit tests for retrieval/hygiene operators (decontamination, BM25)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_etl_cli_spark.operators.retrieval import (
+    bm25_scores,
+    contamination_pairs,
+    decontaminate,
+)
+
+
+@pytest.fixture()
+def corpus(spark):
+    # bench doc 100 leaks into train as doc 3 (one token prepended);
+    # docs 1/2 share nothing 4-gram-sized with the benchmark.
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, "one two three four five six seven eight nine"),
+        (2, "red green blue cyan magenta yellow black white"),
+        (3, "intro " + bench_text),
+    ]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, bench_text)], "doc_id long, text string"
+    )
+    return train, bench
+
+
+def test_contamination_pairs_finds_leak(corpus):
+    train, bench = corpus
+    pairs = contamination_pairs(train, bench, n=4).collect()
+    assert len(pairs) == 1
+    row = pairs[0]
+    # 8 tokens + 1 prefix -> positions 2..6 of the leak align with the
+    # benchmark's five distinct 4-grams
+    assert (row["train_doc_id"], row["bench_doc_id"]) == (3, 100)
+    assert row["n_shared"] == 5
+
+
+def test_contamination_pairs_short_docs_no_crash(spark):
+    train = spark.createDataFrame([(1, "too short")], "doc_id long, text string")
+    bench = spark.createDataFrame([(2, "also tiny")], "doc_id long, text string")
+    assert contamination_pairs(train, bench, n=4).count() == 0
+
+
+def test_decontaminate_drops_only_leaked(corpus):
+    train, bench = corpus
+    kept = decontaminate(train, bench, n=4)
+    assert sorted(r["doc_id"] for r in kept.select("doc_id").collect()) == [1, 2]
+
+
+def test_bm25_ranks_term_matches_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "join join join hash"),
+            (2, "join hash other words here now"),
+            (3, "nothing relevant at all in here"),
+        ],
+        "doc_id long, text string",
+    )
+    scored = {r["doc_id"]: r["score"] for r in bm25_scores(docs, ["join", "hash"]).collect()}
+    assert scored[1] > scored[2] > scored[3]
+    assert scored[3] == 0.0  # tf=0 for every term -> zero numerator
+
+
+def test_bm25_plan_has_no_python_udf(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = bm25_scores(docs, ["a"])._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_contamination_broadcast_plan(spark):
+    # the benchmark side must arrive via a broadcast exchange
+    train = spark.createDataFrame([(1, "a b c d e f g h i")], "doc_id long, text string")
+    bench = spark.createDataFrame([(2, "a b c d e f g h i")], "doc_id long, text string")
+    plan = (
+        contamination_pairs(train, bench, n=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_decontaminate_and_bm25_transforms(spark):
+    from pyspark.sql import Row
+
+    from spark_etl_cli_spark.pipeline import run_pipeline
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    spark.createDataFrame(
+        [
+            Row(doc_id=1, text="one two three four five six seven eight"),
+            Row(doc_id=3, text="intro " + bench_text),
+        ]
+    ).createOrReplaceTempView("rt_train")
+    spark.createDataFrame(
+        [Row(doc_id=100, text=bench_text)]
+    ).createOrReplaceTempView("rt_bench")
+    run_pipeline(
+        spark,
+        sources=["rt_train+view://rt_train"],
+        transforms=["rt_train+rt_clean+decontaminate://rt_bench?n=4"],
+        sinks=["rt_clean+memory://rt_out"],
+    )
+    assert [r.doc_id for r in spark.table("rt_out").collect()] == [1]
+
+    run_pipeline(
+        spark,
+        sources=["rt_train+view://rt_train"],
+        transforms=["rt_train+rt_scored+bm25://one,two?top-k=1"],
+        sinks=["rt_scored+memory://rt_bm25"],
+    )
+    top = spark.table("rt_bm25").collect()
+    assert len(top) == 1 and top[0].doc_id == 1 and top[0].score > 0
