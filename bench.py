@@ -47,13 +47,18 @@ def main() -> int:
     ).count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         t0 = time.time()
-        df = queries[name](spark, sf_dir)
-        # count() forces full execution without driver-side row transfer
-        # dominating the measurement for wide results.
-        df.count()
-        timings[name] = round(time.time() - t0, 3)
+        try:
+            df = queries[name](spark, sf_dir)
+            # count() forces full execution without driver-side row
+            # transfer dominating the measurement for wide results.
+            df.count()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # one bad query must not lose the run
+            timings[name] = round(time.time() - t0, 3)
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -64,6 +69,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_dir,
+                **({"errors": errors} if errors else {}),
             }
         )
     )

@@ -777,3 +777,34 @@ def bm25_transform(p: ParsedUri) -> TransformFn:
         return scored
 
     return run
+
+
+@register_transform("mixture")
+def mixture_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+mixture://?weights=src0:2.5,src1:0.3&default=1
+    &source-col=source&id-col=doc_id&epoch-col=epoch``.
+
+    Epoch-weighted corpus mixing (operators/mixture.py): each row is
+    repeated floor(w) times plus a deterministic md5-bucket-gated extra
+    copy for frac(w) of rows; weight 0 drops the source.
+    """
+    raw = p.params.get("weights", "")
+    weights: dict[str, float] = {}
+    for part in raw.split(","):
+        if part:
+            src, _, w = part.partition(":")
+            weights[src] = float(w or "1")
+    default = float(p.params.get("default", "1"))
+    source_col = p.params.get("source-col", "source")
+    id_col = p.params.get("id-col", "doc_id")
+    epoch_col = p.params.get("epoch-col", "epoch")
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators.mixture import epoch_upsample
+
+        return epoch_upsample(
+            df, weights, default=default, source_col=source_col,
+            id_col=id_col, epoch_col=epoch_col,
+        )
+
+    return run

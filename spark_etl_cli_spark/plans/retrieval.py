@@ -217,3 +217,94 @@ def q114_length_buckets(spark, sf_dir):
             / (F.col("n_docs") * F.col("bucket")).cast("double")
         ).alias("fill_ratio"),
     )
+
+
+# --- q115: exact type-7 group quantiles via rank arithmetic --------------
+# percentile_approx can't cross-verify and exact PERCENTILE()/
+# quantile_cont() interpolate with engine-specific op order, so the
+# interpolation is spelled out: p = q*(n-1), value = x_lo + (x_hi -
+# x_lo)*frac — every double op explicit and mirrored. One window pass
+# (rank + count per group), one aggregation; raw parquet doubles are
+# compared bit-for-bit so no decimal casts are needed.
+_QUANTILES = [("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p95", 0.95)]
+
+
+def _sql_qcols() -> str:
+    parts = []
+    for name, q in _QUANTILES:
+        p = f"({q!r} * CAST(n - 1 AS DOUBLE))"
+        lo = f"MAX(CASE WHEN rn - 1 = CAST(floor({p}) AS BIGINT) THEN x END)"
+        hi = f"MAX(CASE WHEN rn - 1 = CAST(ceil({p}) AS BIGINT) THEN x END)"
+        frac = f"MAX({p} - floor({p}))"
+        parts.append(f"({lo} + (({hi} - {lo}) * {frac})) AS {name}")
+    return ",\n           ".join(parts)
+
+
+@query(
+    "q115_group_quantiles",
+    oracle=f"""
+    WITH r AS (
+      SELECT l_returnflag AS g, l_extendedprice AS x,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+      FROM lineitem)
+    SELECT g AS l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+           {_sql_qcols()}
+    FROM r GROUP BY g
+    """,
+)
+def q115_group_quantiles(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("x")
+    )
+    wr = Window.partitionBy("g").orderBy("x")
+    r = li.select(
+        "g",
+        "x",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("g"))
+        .cast("bigint")
+        .alias("n"),
+    )
+    aggs = [F.max("n").cast("bigint").alias("n")]
+    for name, q in _QUANTILES:
+        p = F.lit(q) * (F.col("n") - 1).cast("double")
+        lo = F.max(F.when(F.col("rn") - 1 == F.floor(p), F.col("x")))
+        hi = F.max(F.when(F.col("rn") - 1 == F.ceil(p), F.col("x")))
+        frac = p - F.floor(p).cast("double")
+        aggs.append((lo + ((hi - lo) * F.max(frac))).alias(name))
+    return (
+        r.groupBy("g")
+        .agg(*aggs)
+        .select(F.col("g").alias("l_returnflag"), "n", *[n for n, _ in _QUANTILES])
+    )
+
+
+# --- q116: epoch-weighted mixture upsampling ------------------------------
+# "3.5 epochs of src0, 0.3 of src1, 1 of the rest": floor(w) full
+# copies + an md5-bucket-gated extra copy for frac(w) of rows. No
+# shuffle; the oracle replays the same integer bucket math.
+_MIX_WEIGHTS = {"src0": 2.5, "src1": 0.3, "src2": 0.0}
+
+
+@query(
+    "q116_mixture_upsample",
+    oracle=(
+        lambda: __import__(
+            "spark_etl_cli_spark.operators.mixture", fromlist=["epoch_upsample_sql"]
+        ).epoch_upsample_sql(
+            "(SELECT doc_id, source FROM documents)",
+            _MIX_WEIGHTS,
+            columns="doc_id, source",
+        )
+    )(),
+)
+def q116_mixture_upsample(spark, sf_dir):
+    from spark_etl_cli_spark.operators.mixture import epoch_upsample
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return epoch_upsample(d, _MIX_WEIGHTS)

@@ -202,3 +202,32 @@ def test_q107_checksum_single_agg_pass(spark):
     # partial + final hash aggregate over one scan; one shuffle total
     assert plan.count("FileScan parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q111_decontamination_broadcasts_benchmark(spark):
+    plan = plan_of(spark, "q111_decontamination")
+    # the benchmark n-gram side must broadcast (eval sets are tiny next
+    # to a training corpus) and only 64-bit hash prefixes ever shuffle
+    assert "BroadcastHashJoin" in plan
+    # documents scan never reads the unused columns
+    scan = next(l for l in plan.splitlines()
+                if "FileScan parquet" in l and "documents" in l)
+    assert "lang" not in scan and "source" not in scan
+
+
+def test_q112_bm25_single_pass_stats_broadcast(spark):
+    plan = plan_of(spark, "q112_bm25_topk")
+    # corpus stats (one row) must broadcast back over the per-doc side,
+    # and top-k must be TakeOrderedAndProject, not a global Sort
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q113_corr_is_one_partial_agg_pass(spark):
+    plan = plan_of(spark, "q113_corr_stats")
+    # single aggregation over lineitem: map-side partial + final, one
+    # shuffle keyed on l_returnflag, no joins, no second scan
+    assert plan.count("FileScan parquet") == 1
+    assert "partial" in plan  # HashAggregate(..., functions=[partial_...])
+    assert "Join" not in plan

@@ -116,3 +116,45 @@ def test_decontaminate_and_bm25_transforms(spark):
     )
     top = spark.table("rt_bm25").collect()
     assert len(top) == 1 and top[0].doc_id == 1 and top[0].score > 0
+
+
+def test_epoch_upsample_copy_counts(spark):
+    from spark_etl_cli_spark.operators.mixture import epoch_upsample, id_bucket
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "heavy") for i in range(20)] + [(i + 100, "drop") for i in range(5)],
+        "doc_id long, source string",
+    )
+    out = epoch_upsample(df, {"heavy": 2.5, "drop": 0.0})
+    rows = out.groupBy("doc_id").count().collect()
+    # dropped source gone entirely
+    assert all(r["doc_id"] < 100 for r in rows)
+    # every heavy doc appears 2 or 3 times; bucket<50 decides the extra
+    buckets = {
+        r["doc_id"]: r["b"]
+        for r in df.filter("source = 'heavy'")
+        .select("doc_id", id_bucket(F.col("doc_id")).alias("b"))
+        .collect()
+    }
+    for r in rows:
+        expected = 3 if buckets[r["doc_id"]] < 50 else 2
+        assert r["count"] == expected
+
+
+def test_mixture_transform_pipeline(spark):
+    from pyspark.sql import Row
+
+    from spark_etl_cli_spark.pipeline import run_pipeline
+
+    spark.createDataFrame(
+        [Row(doc_id=1, source="a"), Row(doc_id=2, source="b")]
+    ).createOrReplaceTempView("mx_docs")
+    run_pipeline(
+        spark,
+        sources=["mx_docs+view://mx_docs"],
+        transforms=["mx_docs+mx_out+mixture://?weights=a:2.0,b:0.0"],
+        sinks=["mx_out+memory://mx_mem"],
+    )
+    got = [(r.doc_id, r.epoch) for r in spark.table("mx_mem").collect()]
+    assert sorted(got) == [(1, 1), (1, 2)]
