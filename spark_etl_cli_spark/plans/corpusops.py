@@ -48,10 +48,12 @@ from spark_etl_cli_spark.operators.util import fan_out
 from spark_etl_cli_spark.plans.registry import bcount, events, query, t
 from spark_etl_cli_spark.plans.textops import (
     _STOPWORDS,
+    SQL_DOCS_WITH_DUPS,
     SQL_NTOK,
     SQL_PUNCT,
     SQL_SW,
     SQL_TOKENS,
+    docs_with_dups,
 )
 
 STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is", "it"]
@@ -385,4 +387,122 @@ def q79_batch_sessions(spark, sf_dir):
             (F.max(epoch) - F.min(epoch)).cast("bigint").alias("duration_s"),
         )
         .select("user_id", "session_start", "n_events", "duration_s")
+    )
+
+
+# --- q117: hourly OHLC bars (time-series downsampling) -------------------
+# One window sort per (user, hour) yields rank + count; open/close are
+# conditional-agg picks at rn=1 / rn=cnt (no arithmetic on the doubles,
+# so values are exact bit-copies in both engines). rn_desc is derived
+# from the count instead of a second opposite-order window — a single
+# sort, which is the shape that matters when a day of ticks is 100 GB.
+@query(
+    "q117_ohlc_bars",
+    oracle="""
+    WITH r AS (
+      SELECT user_id,
+             CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour,
+             value,
+             ROW_NUMBER() OVER w AS rn,
+             COUNT(*) OVER (PARTITION BY user_id,
+                            date_trunc('hour', ts)) AS cnt
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, date_trunc('hour', ts)
+                   ORDER BY ts, event_id))
+    SELECT user_id, hour,
+           MAX(CASE WHEN rn = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn = cnt THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks
+    FROM r GROUP BY 1, 2
+    """,
+)
+def q117_ohlc_bars(spark, sf_dir):
+    ev = events(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+    hour_ts = F.date_trunc("hour", F.col("ts"))
+    w = Window.partitionBy("user_id", hour_ts).orderBy("ts", "event_id")
+    wc = Window.partitionBy("user_id", hour_ts)
+    r = ev.select(
+        "user_id",
+        F.unix_timestamp(hour_ts).cast("bigint").alias("hour"),
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    return r.groupBy("user_id", "hour").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn") == F.col("cnt"), F.col("value"))).alias("close"),
+        bcount("n_ticks"),
+    )
+
+
+# --- q118: cross-document boilerplate span detection ---------------------
+# C4/CCNet-style hygiene: split each doc into non-overlapping 10-token
+# chunks, hash them, and count how many of a doc's chunks also appear
+# in other documents. Only 64-bit hash prefixes shuffle; the noised
+# duplicate corpus guarantees observable boilerplate (normalization
+# makes copies chunk-identical).
+_CHUNK_W = 10
+
+
+@query(
+    "q118_boilerplate_chunks",
+    oracle=f"""
+    WITH docs AS ({SQL_DOCS_WITH_DUPS}),
+    ch AS (
+      SELECT doc_id,
+             substr(md5(array_to_string(tk[i : i + {_CHUNK_W - 1}], ' ')),
+                    1, 16) AS h
+      FROM (SELECT doc_id, {SQL_TOKENS} AS tk FROM docs),
+           UNNEST(generate_series(1, len(tk) - {_CHUNK_W - 1}, {_CHUNK_W}))
+             AS s(i)),
+    freq AS (
+      SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+      FROM ch GROUP BY 1)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boilerplate
+    FROM ch JOIN freq USING (h)
+    GROUP BY 1
+    """,
+)
+def q118_boilerplate_chunks(spark, sf_dir):
+    from spark_etl_cli_spark.functions.text import tokens
+
+    d = fan_out(docs_with_dups(spark, sf_dir))
+    tk = tokens(F.col("text"))
+    grams = F.element_at(
+        F.transform(
+            F.array(tk),
+            lambda a: F.when(
+                F.size(a) >= _CHUNK_W,
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.size(a) - F.lit(_CHUNK_W - 1), F.lit(_CHUNK_W)
+                    ),
+                    lambda i: F.substring(
+                        F.md5(F.concat_ws(" ", F.slice(a, i, _CHUNK_W))), 1, 16
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ),
+        1,
+    )
+    ch = d.select("doc_id", F.explode(grams).alias("h"))
+    freq = ch.groupBy("h").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("nd")
+    )
+    return (
+        ch.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            bcount("n_chunks"),
+            F.sum((F.col("nd") >= 2).cast("int"))
+            .cast("bigint")
+            .alias("n_boilerplate"),
+        )
     )
