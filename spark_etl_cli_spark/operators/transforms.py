@@ -808,3 +808,24 @@ def mixture_transform(p: ParsedUri) -> TransformFn:
         )
 
     return run
+
+
+@register_transform("kmeans")
+def kmeans_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+kmeans://?k=8&iters=2&id-col=vec_id&vec-col=embedding``.
+
+    Deterministic fixed-iteration Lloyd k-means
+    (operators/clustering.py); emits per-(cluster, dim) statistics of
+    the final update. Centroids are driver-resident (k x dim doubles).
+    """
+    k = int(p.params.get("k", "8"))
+    iters = int(p.params.get("iters", "2"))
+    id_col = p.params.get("id-col", "vec_id")
+    vec_col = p.params.get("vec-col", "embedding")
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators.clustering import kmeans_lloyd
+
+        return kmeans_lloyd(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+
+    return run

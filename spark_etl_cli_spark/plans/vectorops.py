@@ -363,3 +363,23 @@ def q64_vector_quantize(spark, sf_dir):
             .alias("scale_micros"),
         )
     )
+
+
+# --- q119: deterministic 2-round Lloyd k-means ----------------------------
+# The iterative-algorithm showcase (operators/clustering.py): centroids
+# live on the driver (k x 64 doubles), each round is one assignment
+# pass against broadcast centroid literals + one exact integer
+# micro-unit update aggregation. Oracle replays both rounds in SQL.
+@query(
+    "q119_kmeans_lloyd",
+    oracle=(
+        lambda: __import__(
+            "spark_etl_cli_spark.operators.clustering", fromlist=["kmeans_sql"]
+        ).kmeans_sql("embeddings", k=8, iters=2, dim=DIM)
+    )(),
+)
+def q119_kmeans_lloyd(spark, sf_dir):
+    from spark_etl_cli_spark.operators.clustering import kmeans_lloyd
+
+    e = t(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(e, k=8, iters=2)

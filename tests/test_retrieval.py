@@ -158,3 +158,24 @@ def test_mixture_transform_pipeline(spark):
     )
     got = [(r.doc_id, r.epoch) for r in spark.table("mx_mem").collect()]
     assert sorted(got) == [(1, 1), (1, 2)]
+
+
+def test_kmeans_lloyd_two_separated_clusters(spark):
+    from spark_etl_cli_spark.operators.clustering import kmeans_lloyd
+
+    # ids 0/1 seed the two centroids; the far group converges onto (10, 10)
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [10.0, 10.0]),
+        (2, [0.5, 0.5]),
+        (3, [10.5, 9.5]),
+        (4, [9.5, 10.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_lloyd(df, k=2, iters=2)
+    stats = {(r.cluster_id, r.dim): r for r in out.collect()}
+    assert stats[(0, 0)].n_points == 2  # vectors 0 and 2
+    assert stats[(1, 0)].n_points == 3  # vectors 1, 3, 4
+    # cluster 1 mean per dim = (10 + 10.5 + 9.5) / 3 = 10 in micro units
+    assert abs(stats[(1, 0)].mean_micro - 10_000_000) < 2
+    assert abs(stats[(1, 1)].mean_micro - 10_000_000) < 2
