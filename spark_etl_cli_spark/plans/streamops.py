@@ -340,3 +340,29 @@ def q56_stream_static_join(spark, sf_dir):
         F.max("value").alias("max_value"),
     )
     return run_to_table(agg, "q56_stream_static", "complete")
+
+
+# --- q120: dropDuplicatesWithinWatermark ----------------------------------
+# The Spark 3.5+ bounded-state dedup: unlike q55's dropDuplicates
+# (which keys state forever within the query), WithinWatermark expires
+# each key's state once the watermark passes its event time — the only
+# dedup that survives an unbounded stream of *new* keys. Same doubled
+# input and oracle as q55: every duplicate arrives at the same event
+# time, well inside the watermark delay.
+@query(
+    "q120_stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q120_stream_dedup_within_watermark(spark, sf_dir):
+    ev = stream_events(spark, sf_dir).select("event_id", "event_type", "ts")
+    doubled = ev.unionByName(
+        stream_events(spark, sf_dir).select("event_id", "event_type", "ts")
+    )
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(bcount("n"))
+    return run_to_table(agg, "q120_dedup_ww", "complete")
