@@ -829,3 +829,22 @@ def kmeans_transform(p: ParsedUri) -> TransformFn:
         return kmeans_lloyd(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
 
     return run
+
+
+@register_transform("watermark")
+def watermark_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+watermark://col:duration`` (e.g. ``watermark://ts:30 minutes``).
+
+    Applies an event-time watermark mid-pipeline — needed when the
+    event-time column only becomes a TIMESTAMP after a transform (e.g.
+    a cast from TIMESTAMP_NTZ or epoch), so the source-level
+    ``?watermark=`` param can't be used.
+    """
+    spec = p.path.lstrip("/") or p.authority
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.sources.base import apply_watermark
+
+        return apply_watermark(df, spec)
+
+    return run

@@ -51,6 +51,22 @@ def apply_watermark(df: DataFrame, watermark: str | None) -> DataFrame:
     return df.withWatermark(col, dur)
 
 
+def apply_trigger(writer, trigger: str | None):
+    """``?trigger-interval=`` → writeStream trigger.
+
+    ``availableNow``/``available-now`` drains the backlog and stops
+    (the deterministic-test + backfill trigger), ``once`` is the legacy
+    single-batch form, anything else is a processing-time interval.
+    """
+    if not trigger:
+        return writer
+    if trigger in ("availableNow", "available-now"):
+        return writer.trigger(availableNow=True)
+    if trigger == "once":
+        return writer.trigger(once=True)
+    return writer.trigger(processingTime=trigger)
+
+
 # query params consumed by the framework, not forwarded as reader options
 _RESERVED = {"schema", "watermark", "trigger-interval", "mode",
              "partition-by", "sort-by"}
@@ -123,12 +139,10 @@ class FileSink:
         ]
         sort_by = [c for c in self.uri.params.get("sort-by", "").split(",") if c]
         if df.isStreaming:
-            trigger = self.uri.params.get("trigger-interval")
             writer = df.writeStream.format(self.fmt).options(**opts)
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
-            if trigger:
-                writer = writer.trigger(processingTime=trigger)
+            writer = apply_trigger(writer, self.uri.params.get("trigger-interval"))
             writer.start(path)
             return True
         if single:

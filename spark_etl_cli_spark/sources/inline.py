@@ -96,9 +96,9 @@ class ShowSink:
             writer = df.writeStream.outputMode(
                 self.uri.params.get("outputMode", "append")
             ).format("console")
-            trigger = self.uri.params.get("trigger-interval")
-            if trigger:
-                writer = writer.trigger(processingTime=trigger)
+            from spark_etl_cli_spark.sources.base import apply_trigger
+
+            writer = apply_trigger(writer, self.uri.params.get("trigger-interval"))
             writer.start()
             return True
         df.show(int(self.uri.params.get("limit", self.limit)), truncate=False)

@@ -38,11 +38,9 @@ class MemorySink:
             .queryName(name)
             .outputMode(self.uri.params.get("outputMode", "append"))
         )
-        trigger = self.uri.params.get("trigger-interval")
-        if trigger == "availableNow":
-            writer = writer.trigger(availableNow=True)
-        elif trigger:
-            writer = writer.trigger(processingTime=trigger)
+        from spark_etl_cli_spark.sources.base import apply_trigger
+
+        writer = apply_trigger(writer, self.uri.params.get("trigger-interval"))
         writer.start()
         return True
 

@@ -138,3 +138,37 @@ def test_record_high_cross_batch_state(spark, tmp_path):
     # 1 sets the first record; 2 and 3 are below it (3 only because the
     # 5.0 state crossed the batch boundary); 4 sets a new record.
     assert emitted == [1, 4]
+
+
+def test_watermark_transform_and_filesink_available_now(spark, tmp_path):
+    # NTZ event time cast mid-pipeline, watermark:// applied after the
+    # cast, windowed agg, parquet stream sink driven by availableNow
+    from pyspark.sql import Row
+
+    from spark_etl_cli_spark.pipeline import run_pipeline
+
+    src = f"{tmp_path}/wm_src"
+    spark.createDataFrame(
+        [Row(k=i, ts=f"2024-01-01 00:{i:02d}:00") for i in range(30)]
+    ).write.parquet(src)
+    out = f"{tmp_path}/wm_out"
+    run_pipeline(
+        spark,
+        sources=[f"s+parquet-stream://{src}?schema=k BIGINT, ts STRING"],
+        transforms=[
+            "s+cast+sql://SELECT k, CAST(ts AS TIMESTAMP) AS ts FROM s",
+            "cast+wm+watermark://ts:5 minutes",
+            "wm+agg+sql://SELECT window(ts, '10 minutes') AS w, COUNT(*) AS n FROM wm GROUP BY 1",
+            "agg+flat+sql://SELECT w.start AS ws, n FROM agg",
+        ],
+        sinks=[
+            f"flat+parquet-stream://{out}?checkpointLocation={tmp_path}/ckpt"
+            "&trigger-interval=availableNow"
+        ],
+    )
+    for q in spark.streams.active:
+        q.awaitTermination(60)
+    got = spark.read.parquet(out)
+    # windows 00:00 and 00:10 are sealed by the watermark; 00:20 is held
+    assert got.count() == 2
+    assert got.agg({"n": "sum"}).first()[0] == 20
