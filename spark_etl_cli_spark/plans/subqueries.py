@@ -188,3 +188,33 @@ def q89_above_avg_parts(spark, sf_dir):
             F.max("p_retailprice").alias("max_price"),
         )
     )
+
+
+# --- q121: recursive CTE (Spark 4 WITH RECURSIVE) -------------------------
+# Hierarchy walk as a linear recursion: every supplier climbs a
+# synthetic org chart (manager = floor(key / 10)) to the root,
+# accumulating depth and a path checksum. The IDENTICAL SQL text runs
+# on both engines — Spark 4's recursive-CTE planner (UnionLoop) against
+# DuckDB's — so this also pins parser/semantics parity for the
+# recursion feature itself. Division goes through floor(x / 10.0): both
+# engines' `/` differ on int operands (double vs double), but the
+# explicit double form is identical.
+_Q121_SQL = """
+    WITH RECURSIVE chain AS (
+      SELECT s_suppkey AS leaf, s_suppkey AS node, 0 AS depth FROM supplier
+      UNION ALL
+      SELECT leaf, CAST(floor(node / 10.0) AS BIGINT) AS node,
+             depth + 1 AS depth
+      FROM chain WHERE node > 0
+    )
+    SELECT leaf AS s_suppkey,
+           CAST(MAX(depth) AS INT) AS hops_to_root,
+           CAST(SUM(node) AS BIGINT) AS path_sum
+    FROM chain GROUP BY leaf
+"""
+
+
+@query("q121_recursive_hierarchy", oracle=_Q121_SQL)
+def q121_recursive_hierarchy(spark, sf_dir):
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(_Q121_SQL)
