@@ -114,3 +114,40 @@ def sample_frames(df: DataFrame, every_n: int = 10, fake: bool = False) -> DataF
     return df.select("media_id", "payload").mapInPandas(
         run, "media_id long, frame_idx int"
     )
+
+
+RESIZED_SCHEMA = "media_id long, payload binary, width int, height int"
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, fake: bool = False
+) -> DataFrame:
+    """Batch image resize via ``mapInPandas`` — binary in, binary out.
+
+    The payload round-trip (Arrow binary columns both directions) is the
+    part that matters for pipeline plumbing; the pixel work itself needs
+    PIL/libvips. The fake variant re-frames the original bytes with a
+    12-byte deterministic header (magic + target dims) so tests can
+    verify the payload actually passed through Python and back.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resizing requires PIL/libvips (not in "
+                    "container); pass fake=True for the deterministic stub"
+                )
+            header = b"RSZ0" + width.to_bytes(4, "big") + height.to_bytes(4, "big")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["payload"].map(
+                        lambda b: header + bytes(b or b"")
+                    ),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, RESIZED_SCHEMA)

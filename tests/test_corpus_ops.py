@@ -134,3 +134,20 @@ def test_vocab_encode_order_unk_and_empty(spark):
     assert out[1].n_tokens == 4 and out[1].n_unk == 1
     assert out[2].token_ids == [] and out[2].n_tokens == 0
     assert out[3].token_ids == [1, 0]          # lower-cased before lookup
+
+
+def test_resize_images_payload_roundtrip(spark):
+    from spark_etl_cli_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"imgbytes")), (2, bytearray(b""))],
+        "id long, raw binary",
+    )
+    media = attach_binary_payload(df, "id", "image", "raw")
+    out = {r.media_id: r for r in resize_images(media, 224, 224, fake=True).collect()}
+    assert bytes(out[1].payload) == b"RSZ0" + (224).to_bytes(4, "big") * 2 + b"imgbytes"
+    assert out[1].width == 224 and out[2].height == 224
+    assert bytes(out[2].payload).endswith((224).to_bytes(4, "big"))
