@@ -67,6 +67,27 @@ def apply_trigger(writer, trigger: str | None):
     return writer.trigger(processingTime=trigger)
 
 
+def stream_via_foreach_batch(df: DataFrame, write_batch, uri: ParsedUri) -> bool:
+    """Bridge a batch-only sink into Structured Streaming.
+
+    ``foreachBatch`` hands each micro-batch to the sink's ordinary batch
+    writer — the standard Spark answer for sinks without a native
+    streaming implementation (JDBC, Excel, ...). Honors
+    ``?checkpointLocation=`` and ``?trigger-interval=`` like native
+    streaming sinks. Exactly-once depends on the downstream system;
+    per-batch idempotence (e.g. keyed upserts) is the sink's concern.
+    """
+    writer = df.writeStream.foreachBatch(
+        lambda batch_df, _epoch_id: write_batch(batch_df)
+    )
+    ckpt = uri.params.get("checkpointLocation")
+    if ckpt:
+        writer = writer.option("checkpointLocation", ckpt)
+    writer = apply_trigger(writer, uri.params.get("trigger-interval"))
+    writer.start()
+    return True
+
+
 # query params consumed by the framework, not forwarded as reader options
 _RESERVED = {"schema", "watermark", "trigger-interval", "mode",
              "partition-by", "sort-by"}

@@ -55,9 +55,22 @@ class JdbcSink:
     uri: ParsedUri
 
     def write(self, df: DataFrame) -> bool:
+        if df.isStreaming:
+            # batch-only Spark sink -> per-micro-batch writes; default
+            # append (per-batch overwrite would clobber prior batches)
+            from spark_etl_cli_spark.sources.base import stream_via_foreach_batch
+
+            return stream_via_foreach_batch(
+                df, lambda b: self._write_batch(b, default_mode="append"),
+                self.uri,
+            )
+        return self._write_batch(df, default_mode="overwrite")
+
+    def _write_batch(self, df: DataFrame, default_mode: str) -> bool:
         opts = _jdbc_options(self.uri)
-        mode = self.uri.params.get("mode", "overwrite")
-        opts.pop("mode", None)
+        mode = self.uri.params.get("mode", default_mode)
+        for k in ("mode", "checkpointLocation", "trigger-interval"):
+            opts.pop(k, None)
         df.write.format("jdbc").options(**opts).mode(mode).save()
         return True
 

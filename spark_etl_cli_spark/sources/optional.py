@@ -173,6 +173,10 @@ class ExcelSink:
     uri: ParsedUri
 
     def write(self, df: DataFrame) -> bool:
+        if df.isStreaming:
+            from spark_etl_cli_spark.sources.base import stream_via_foreach_batch
+
+            return stream_via_foreach_batch(df, self.write, self.uri)
         from spark_etl_cli_spark.operators.schema_tools import json_encode_complex
 
         flat = json_encode_complex(df)
@@ -293,6 +297,10 @@ class SolrSink:
     uri: ParsedUri
 
     def write(self, df: DataFrame) -> bool:
+        if df.isStreaming:
+            from spark_etl_cli_spark.sources.base import stream_via_foreach_batch
+
+            return stream_via_foreach_batch(df, self.write, self.uri)
         endpoint = self.uri.params.get("endpoint")
         if not endpoint:
             raise MissingDependencyError("solr", "a live Solr endpoint (?endpoint=)")

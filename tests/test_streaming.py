@@ -172,3 +172,27 @@ def test_watermark_transform_and_filesink_available_now(spark, tmp_path):
     # windows 00:00 and 00:10 are sealed by the watermark; 00:20 is held
     assert got.count() == 2
     assert got.agg({"n": "sum"}).first()[0] == 20
+
+
+def test_streaming_into_jdbc_via_foreach_batch(spark, tmp_path):
+    # batch-only sink (JDBC/Derby) fed by a stream: the foreachBatch
+    # bridge appends each micro-batch through the ordinary batch writer
+    from pyspark.sql import Row
+
+    from spark_etl_cli_spark.pipeline import run_pipeline
+
+    src = f"{tmp_path}/fb_src"
+    spark.createDataFrame([Row(k=i) for i in range(12)]).write.parquet(src)
+    url = f"jdbc:derby:{tmp_path}/fbdb;create=true"
+    run_pipeline(
+        spark,
+        sources=[f"s+parquet-stream://{src}?schema=k BIGINT"],
+        sinks=[
+            f"s+jdbc:///STREAMED?url={url}&checkpointLocation={tmp_path}/fb_ckpt"
+            "&trigger-interval=availableNow"
+        ],
+    )
+    for q in spark.streams.active:
+        q.awaitTermination(60)
+    back = spark.read.format("jdbc").options(url=url, dbtable="STREAMED").load()
+    assert back.count() == 12
