@@ -175,3 +175,68 @@ def test_z_value_bijective_on_domain(spark, pts):
         x = sum(((r.z >> (2 * i)) & 1) << i for i in range(8))
         y = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(8))
         assert (x, y) == (r.x, r.y)
+
+
+# --- q115-style rank-arithmetic quantiles vs numpy ------------------------
+values_strategy = st.lists(
+    st.floats(-1e6, 1e6, allow_nan=False, width=32), min_size=1, max_size=40
+)
+
+
+@pytest.mark.slow
+@given(vals=values_strategy)
+@SET
+def test_rank_quantiles_match_numpy_linear(spark, vals):
+    import numpy as np
+
+    from spark_etl_cli_spark.plans.retrieval import _QUANTILES
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in vals], "x double"
+    ).withColumn("g", F.lit("all"))
+    from pyspark.sql.window import Window
+
+    wr = Window.partitionBy("g").orderBy("x")
+    r = df.select(
+        "g", "x",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("g")).cast("bigint").alias("n"),
+    )
+    aggs = []
+    for name, q in _QUANTILES:
+        p = F.lit(q) * (F.col("n") - 1).cast("double")
+        lo = F.max(F.when(F.col("rn") - 1 == F.floor(p), F.col("x")))
+        hi = F.max(F.when(F.col("rn") - 1 == F.ceil(p), F.col("x")))
+        frac = p - F.floor(p).cast("double")
+        aggs.append((lo + ((hi - lo) * F.max(frac))).alias(name))
+    got = r.groupBy("g").agg(*aggs).first()
+    arr = np.array([float(v) for v in vals], dtype="float64")
+    for name, q in _QUANTILES:
+        expected = float(np.percentile(arr, q * 100, method="linear"))
+        assert got[name] == pytest.approx(expected, rel=1e-12, abs=1e-9)
+
+
+# --- mixture upsampling: copy counts are exactly the bucket-gated ones ----
+weight_strategy = st.floats(0, 4).map(lambda w: round(w, 2))
+
+
+@pytest.mark.slow
+@given(w=weight_strategy)
+@SET
+def test_epoch_upsample_total_copies(spark, w):
+    from spark_etl_cli_spark.operators.mixture import (
+        _split_weight,
+        epoch_upsample,
+        id_bucket,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "s") for i in range(40)], "doc_id long, source string"
+    )
+    base, pct = _split_weight(w)
+    buckets = {
+        r["doc_id"]: r["b"]
+        for r in df.select("doc_id", id_bucket(F.col("doc_id")).alias("b")).collect()
+    }
+    expected = sum(base + (1 if buckets[i] < pct else 0) for i in range(40))
+    assert epoch_upsample(df, {"s": w}).count() == expected
