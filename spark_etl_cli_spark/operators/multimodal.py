@@ -151,3 +151,45 @@ def resize_images(
             )
 
     return df.select("media_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, sample_rate int, duration_s double, rms double, n_bytes long"
+)
+
+
+def decode_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Per-clip audio features via Arrow-batched ``mapInPandas``.
+
+    Real decode (soundfile/librosa) is not in this container; the fake
+    variant derives (sample_rate, duration, rms) deterministically from
+    the payload digest so the batch plumbing is exercised for real.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real audio decoding requires soundfile/librosa (not in "
+                    "container); pass fake=True for the deterministic stub"
+                )
+
+            def feats(b):
+                d = hashlib.sha256(bytes(b or b"")).digest()
+                rate = (8000, 16000, 22050, 44100)[d[3] % 4]
+                duration = 1.0 + d[4] / 16.0
+                rms = d[5] / 255.0
+                return rate, duration, rms
+
+            rows = [feats(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": [r[0] for r in rows],
+                    "duration_s": [r[1] for r in rows],
+                    "rms": [r[2] for r in rows],
+                    "n_bytes": pdf["payload"].map(lambda b: len(b or b"")),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, AUDIO_FEATURES_SCHEMA)

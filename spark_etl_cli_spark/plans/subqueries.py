@@ -218,3 +218,25 @@ _Q121_SQL = """
 def q121_recursive_hierarchy(spark, sf_dir):
     t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
     return spark.sql(_Q121_SQL)
+
+
+# --- q122: correlated LATERAL subquery with LIMIT -------------------------
+# Top-2 orders per customer expressed as a lateral join rather than a
+# window — the same SQL text parses and runs on both engines. Spark
+# decorrelates this to a ranked join under the hood; the unique
+# o_orderkey tie-break keeps the LIMIT deterministic.
+_Q122_SQL = """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    WHERE c.c_custkey % 10 = 0
+"""
+
+
+@query("q122_lateral_topn", oracle=_Q122_SQL)
+def q122_lateral_topn(spark, sf_dir):
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q122_SQL)

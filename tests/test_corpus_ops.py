@@ -151,3 +151,24 @@ def test_resize_images_payload_roundtrip(spark):
     assert bytes(out[1].payload) == b"RSZ0" + (224).to_bytes(4, "big") * 2 + b"imgbytes"
     assert out[1].width == 224 and out[2].height == 224
     assert bytes(out[2].payload).endswith((224).to_bytes(4, "big"))
+
+
+def test_decode_audio_features_deterministic(spark):
+    from spark_etl_cli_spark.operators.multimodal import (
+        attach_binary_payload,
+        decode_audio_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"clip-a")), (2, bytearray(b"clip-a")), (3, bytearray(b"clip-b"))],
+        "id long, raw binary",
+    )
+    media = attach_binary_payload(df, "id", "audio", "raw")
+    out = {r.media_id: r for r in decode_audio_features(media, fake=True).collect()}
+    # identical payloads -> identical features; valid ranges
+    assert (out[1].sample_rate, out[1].duration_s, out[1].rms) == (
+        out[2].sample_rate, out[2].duration_s, out[2].rms,
+    )
+    assert out[3].n_bytes == 6
+    assert out[1].sample_rate in (8000, 16000, 22050, 44100)
+    assert 0.0 <= out[1].rms <= 1.0
