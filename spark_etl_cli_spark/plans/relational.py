@@ -1133,3 +1133,24 @@ def q86_analytic_windows(spark, sf_dir):
         F.last("o_orderkey").over(w_full).alias("last_key"),
         F.dense_rank().over(w_prio).cast("bigint").alias("prio_rank"),
     )
+
+
+# --- q123: GROUPING() disambiguation over CUBE ---------------------------
+# Subtotal rows and genuine-NULL groups are indistinguishable without
+# GROUPING(); the gid is composed from individual GROUPING() bits
+# (portable — Spark's and DuckDB's native GROUPING_ID() bit orders are
+# not guaranteed to agree). Identical SQL text on both engines.
+_Q123_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT)
+             AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@query("q123_grouping_id", oracle=_Q123_SQL)
+def q123_grouping_id(spark, sf_dir):
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q123_SQL)
