@@ -38,6 +38,19 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+def pin_session(spark: SparkSession) -> None:
+    """Runtime confs every query depends on, set defensively.
+
+    The driver's correctness gate builds its OWN SparkSession; if that
+    session's timezone isn't UTC, every epoch/date cast would shift
+    against the (UTC-naive) DuckDB oracle. Both confs are
+    runtime-settable, so pinning here makes the query library correct
+    under any host session, not just ours (session.py).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one of the synthetic tables from a scale-factor dir.
 
@@ -46,7 +59,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     µs-precision data. Event-time queries should load events via
     :func:`events`, which normalizes ``ts`` across generations.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    pin_session(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

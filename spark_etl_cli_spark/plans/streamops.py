@@ -42,6 +42,9 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a streaming DataFrame with a proper timestamp."""
+    from spark_etl_cli_spark.plans.registry import pin_session
+
+    pin_session(spark)  # NTZ->LTZ cast below is TZ-sensitive
     raw = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
