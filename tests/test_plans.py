@@ -231,3 +231,26 @@ def test_q113_corr_is_one_partial_agg_pass(spark):
     assert plan.count("FileScan parquet") == 1
     assert "partial" in plan  # HashAggregate(..., functions=[partial_...])
     assert "Join" not in plan
+
+
+def test_q117_ohlc_single_sort(spark):
+    plan = plan_of(spark, "q117_ohlc_bars")
+    # rank + partition count share one window sort; close-pick via
+    # rn = cnt instead of a second opposite-order sort
+    assert plan.count("Sort ") == 1
+    assert "partial_max" in plan  # final agg still combines map-side
+
+
+def test_q121_recursion_plans_as_union_loop(spark):
+    plan = plan_of(spark, "q121_recursive_hierarchy")
+    assert "UnionLoop" in plan
+    assert "partial_max" in plan or "partial_sum" in plan
+
+
+def test_q122_lateral_decorrelates_to_hash_join(spark):
+    plan = plan_of(spark, "q122_lateral_topn")
+    # correlated LATERAL LIMIT must become a ranked hash join, never a
+    # per-customer nested loop
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
