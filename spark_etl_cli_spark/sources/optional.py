@@ -76,6 +76,15 @@ class DeltaSource:
 
     def read(self, spark: SparkSession) -> DataFrame:
         if not _has_delta(spark):
+            # engine-free fallback: replay the public transaction-log
+            # protocol (sources/delta_lite.py). Batch only.
+            from spark_etl_cli_spark.sources.delta_lite import (
+                is_delta_table,
+                read_delta_lite,
+            )
+
+            if not self.uri.is_stream and is_delta_table(self.uri.path):
+                return read_delta_lite(spark, self.uri.path)
             raise MissingDependencyError("delta", "delta-spark jars on the classpath")
         return FileSource(self.uri, "delta").read(spark)
 

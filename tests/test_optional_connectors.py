@@ -143,3 +143,68 @@ def test_excel_shared_strings_parse(tmp_path):
     header, rows = xl.read_xlsx(path)
     assert header == ["a"]
     assert rows == [["x"], ["shared!"]]  # empty row 2 skipped
+
+
+def _write_fake_delta_table(path, spark):
+    """Hand-craft a protocol-conformant Delta table: two partitioned data
+    files, one later removed, plus a column added via a second add."""
+    import json as _json
+    import os
+
+    os.makedirs(f"{path}/_delta_log")
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "part", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+    data_schema = "k long"
+    spark.createDataFrame([(1,), (2,)], data_schema).coalesce(1).write.parquet(f"{path}/tmp_a")
+    spark.createDataFrame([(3,)], data_schema).coalesce(1).write.parquet(f"{path}/tmp_b")
+    spark.createDataFrame([(9,)], data_schema).coalesce(1).write.parquet(f"{path}/tmp_dead")
+    import glob
+    import shutil
+
+    files = {}
+    for tag in ("a", "b", "dead"):
+        src = glob.glob(f"{path}/tmp_{tag}/part-*.parquet")[0]
+        dst = f"part={tag}/f_{tag}.parquet"
+        os.makedirs(f"{path}/part={tag}", exist_ok=True)
+        shutil.move(src, f"{path}/{dst}")
+        shutil.rmtree(f"{path}/tmp_{tag}")
+        files[tag] = dst
+
+    def add(tag):
+        return {"add": {"path": files[tag], "partitionValues": {"part": tag},
+                        "size": 1, "modificationTime": 0, "dataChange": True}}
+
+    log0 = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "t1", "format": {"provider": "parquet"},
+                      "schemaString": _json.dumps(schema),
+                      "partitionColumns": ["part"], "configuration": {}}},
+        add("a"), add("dead"),
+    ]
+    log1 = [
+        add("b"),
+        {"remove": {"path": files["dead"], "dataChange": True}},
+    ]
+    for v, actions in ((0, log0), (1, log1)):
+        with open(f"{path}/_delta_log/{v:020d}.json", "w") as fh:
+            fh.writelines(_json.dumps(a) + "\n" for a in actions)
+
+
+def test_delta_lite_log_replay_read(spark, tmp_path):
+    from spark_etl_cli_spark.pipeline import run_pipeline
+
+    table = f"{tmp_path}/dl"
+    _write_fake_delta_table(table, spark)
+    run_pipeline(
+        spark,
+        sources=[f"d+delta://{table}"],
+        sinks=["d+memory://dl_out"],
+    )
+    got = {(r.k, r.part) for r in spark.table("dl_out").collect()}
+    # the removed file's row (9, dead) must NOT appear
+    assert got == {(1, "a"), (2, "a"), (3, "b")}
