@@ -61,14 +61,28 @@ def _read_checkpoint(spark: SparkSession, log_dir: str) -> tuple[int, list[dict]
     return version, adds, meta
 
 
-def _replay(spark: SparkSession, table_path: str) -> tuple[list[dict], dict]:
+def _replay(
+    spark: SparkSession, table_path: str, version_as_of: int | None = None
+) -> tuple[list[dict], dict]:
     log_dir = _log_dir(table_path)
-    cp_version, adds, meta = _read_checkpoint(spark, log_dir)
+    if version_as_of is None:
+        cp_version, adds, meta = _read_checkpoint(spark, log_dir)
+    else:
+        # time travel: replay from scratch up to the requested version
+        # (checkpoints may postdate it, so they can't be used)
+        cp_version, adds, meta = -1, [], None
     active: dict[str, dict] = {a["path"]: a for a in adds}
     commits = sorted(
         f for f in os.listdir(log_dir)
         if f.endswith(".json") and f[:20].isdigit() and int(f[:20]) > cp_version
+        and (version_as_of is None or int(f[:20]) <= version_as_of)
     )
+    if version_as_of is not None and (
+        not commits or int(commits[-1][:20]) < version_as_of
+    ):
+        raise ValueError(
+            f"versionAsOf={version_as_of} not found in {log_dir}"
+        )
     for fname in commits:
         with open(os.path.join(log_dir, fname)) as fh:
             for line in fh:
@@ -95,9 +109,12 @@ def _replay(spark: SparkSession, table_path: str) -> tuple[list[dict], dict]:
     return list(active.values()), meta
 
 
-def read_delta_lite(spark: SparkSession, table_path: str) -> DataFrame:
-    """Current-snapshot batch read of a Delta table via log replay."""
-    adds, meta = _replay(spark, table_path)
+def read_delta_lite(
+    spark: SparkSession, table_path: str, version_as_of: int | None = None
+) -> DataFrame:
+    """Batch read of a Delta table snapshot via log replay; pass
+    ``version_as_of`` for time travel to an earlier version."""
+    adds, meta = _replay(spark, table_path, version_as_of)
     full_schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = meta.get("partitionColumns") or []
     data_schema = T.StructType(

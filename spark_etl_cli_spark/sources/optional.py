@@ -84,7 +84,11 @@ class DeltaSource:
             )
 
             if not self.uri.is_stream and is_delta_table(self.uri.path):
-                return read_delta_lite(spark, self.uri.path)
+                v = self.uri.params.get("versionAsOf")
+                return read_delta_lite(
+                    spark, self.uri.path,
+                    version_as_of=int(v) if v is not None else None,
+                )
             raise MissingDependencyError("delta", "delta-spark jars on the classpath")
         return FileSource(self.uri, "delta").read(spark)
 

@@ -208,3 +208,19 @@ def test_delta_lite_log_replay_read(spark, tmp_path):
     got = {(r.k, r.part) for r in spark.table("dl_out").collect()}
     # the removed file's row (9, dead) must NOT appear
     assert got == {(1, "a"), (2, "a"), (3, "b")}
+
+
+def test_delta_lite_time_travel(spark, tmp_path):
+    from spark_etl_cli_spark.sources.delta_lite import read_delta_lite
+
+    table = f"{tmp_path}/dl_tt"
+    _write_fake_delta_table(table, spark)
+    # version 0: adds a + dead (before the remove and before b)
+    v0 = {(r.k, r.part) for r in read_delta_lite(spark, table, 0).collect()}
+    assert v0 == {(1, "a"), (2, "a"), (9, "dead")}
+    v1 = {(r.k, r.part) for r in read_delta_lite(spark, table, 1).collect()}
+    assert v1 == {(1, "a"), (2, "a"), (3, "b")}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="versionAsOf=7"):
+        read_delta_lite(spark, table, 7)
