@@ -101,8 +101,15 @@ def main() -> int:
             continue
         spark_t = time.time() - t0
         if name not in oracles:
+            probe = srows[0] if srows else ()
+            arr = [
+                scols[i]
+                for i, v in enumerate(probe)
+                if isinstance(v, (list, dict, set))
+            ]
+            note = f" ARRAY-COLS={arr}" if arr else ""
             print(f"OK*   {name}: rows={len(srows)} cols={scols} "
-                  f"({spark_t:.1f}s) [no oracle — rows-only]")
+                  f"({spark_t:.1f}s) [no oracle — rows-only]{note}")
             continue
         try:
             res = con.execute(oracles[name])
@@ -115,6 +122,20 @@ def main() -> int:
                 return 1
             continue
         problems = []
+        # The driver canonicalizes via pandas sort_values, which cannot
+        # hash list/dict cells — any array/map-typed output column is a
+        # guaranteed red row there, even if values match. Flag locally.
+        probe = srows[0] if srows else ()
+        bad_cols = [
+            scols[i]
+            for i, v in enumerate(probe)
+            if isinstance(v, (list, dict, set))
+        ]
+        if bad_cols:
+            problems.append(
+                f"array/map-typed output cols {bad_cols} "
+                "(driver canonicalizer cannot hash these — stringify)"
+            )
         if len(srows) != len(orows):
             problems.append(f"row count {len(srows)} != {len(orows)}")
         if sorted(scols) != sorted(ocols):

@@ -25,11 +25,16 @@ from spark_etl_cli_spark.plans.textops import SQL_NTOK, SQL_TOKENS
 
 
 # --- q70: array function family -----------------------------------------
+# The array machinery (collect_set/array_sort/size/array_contains) runs
+# for real; the oracle-facing `statuses` column is array_join'd to a
+# scalar because the driver's canonicalizer (pandas sort_values) cannot
+# hash list cells (round-1 red row).
 @query(
     "q70_array_functions",
     oracle="""
     SELECT o_custkey,
-           list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+           array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+             AS statuses,
            CAST(len(list_distinct(list(o_orderstatus))) AS INT) AS n_statuses,
            list_contains(list(o_orderstatus), 'F') AS has_finished
     FROM orders
@@ -40,18 +45,21 @@ def q70_array_functions(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     statuses = F.array_sort(F.collect_set("o_orderstatus"))
     return o.groupBy("o_custkey").agg(
-        statuses.alias("statuses"),
+        F.array_join(statuses, ",").alias("statuses"),
         F.size(statuses).cast("int").alias("n_statuses"),
         F.array_contains(F.collect_list("o_orderstatus"), "F").alias("has_finished"),
     )
 
 
 # --- q71: map + JSON function family ------------------------------------
+# map_keys order is parse-order in Spark but unspecified across
+# engines, so the oracle-facing key list is sorted and joined to a
+# scalar (same canonicalizer constraint as q70).
 @query(
     "q71_map_functions",
     oracle="""
     SELECT event_id,
-           json_keys(props) AS prop_keys,
+           array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
            CAST(props->>'$.k' AS BIGINT) AS k_val,
            CAST(props->>'$.k' AS BIGINT) % 10 AS k_mod
     FROM events WHERE event_id < 2000
@@ -62,7 +70,7 @@ def q71_map_functions(spark, sf_dir):
     m = F.from_json("props", "map<string,bigint>")
     return e.select(
         "event_id",
-        F.map_keys(m).alias("prop_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("prop_keys"),
         F.element_at(m, "k").alias("k_val"),
         (F.element_at(m, "k") % 10).alias("k_mod"),
     )

@@ -262,7 +262,9 @@ def _q110_oracle() -> str:
       FROM enc GROUP BY doc_id
     )
     SELECT d.doc_id,
-           COALESCE(a.token_ids, CAST([] AS BIGINT[])) AS token_ids,
+           array_to_string(list_transform(
+             COALESCE(a.token_ids, CAST([] AS BIGINT[])),
+             x -> CAST(x AS VARCHAR)), ',') AS token_ids,
            CAST(COALESCE(len(a.token_ids), 0) AS BIGINT) AS n_tokens,
            CAST(COALESCE(len(list_filter(a.token_ids, x -> x = -1)), 0)
                 AS BIGINT) AS n_unk
@@ -290,4 +292,12 @@ def q110_vocab_encode(spark, sf_dir):
         .limit(_Q110_V)
         .withColumn("token_id", F.row_number().over(w) - 1)
     )
-    return vocab_encode(d, vocab)
+    # The operator returns real array<long> token_ids; the oracle-facing
+    # column is stringified because the driver's canonicalizer cannot
+    # hash list cells (round-1 red row).
+    return vocab_encode(d, vocab).withColumn(
+        "token_ids",
+        F.array_join(
+            F.transform("token_ids", lambda x: x.cast("string")), ","
+        ),
+    )
