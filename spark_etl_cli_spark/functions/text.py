@@ -193,6 +193,19 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.encode(F.lower(normalize_ws(text)), "UTF-8"))
 
 
+def md5_long(col: Column, salt: Column | None = None) -> Column:
+    """Oracle-replicable 60-bit hash: first 15 hex chars of md5 → long.
+
+    The cross-engine twin of ``xxhash64`` — DuckDB computes the same
+    value as ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``. With a
+    ``salt`` the input becomes ``x || '#' || salt`` on both sides,
+    giving a family of independent hash functions (MinHash salts).
+    60 bits always fit a signed long, so no sign games are needed.
+    """
+    s = col if salt is None else F.concat(col, F.lit("#"), salt.cast("string"))
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
 def winnow_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
     """MOSS-style winnowing fingerprints (Schleimer et al., SIGMOD'03).
 

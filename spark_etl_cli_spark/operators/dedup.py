@@ -173,6 +173,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_k: int = 3,
+    hash_fn=None,
 ) -> DataFrame:
     """(id, array<long> minhash signature) via salted xxhash64 min-fold.
 
@@ -186,7 +187,13 @@ def minhash_signatures(
     columns each allocated a transformed copy of the shingle array;
     one fused fold measured ~2x on the 5k-doc corpus). No shuffle at
     all: per-row work the scan pipeline absorbs.
+
+    ``hash_fn(shingle, salt)`` defaults to ``xxhash64`` (the at-scale
+    choice); pass :func:`~spark_etl_cli_spark.functions.text.md5_long`
+    to get signatures an ANSI-SQL oracle can replay exactly.
     """
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     shingled = fan_out(df).select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
@@ -201,7 +208,7 @@ def minhash_signatures(
             lambda shv: F.transform(
                 F.sequence(F.lit(0), F.lit(num_hashes - 1)),
                 lambda i: F.aggregate(
-                    shv, max_long, lambda m, s: F.least(m, F.xxhash64(s, i))
+                    shv, max_long, lambda m, s: F.least(m, hash_fn(s, i))
                 ),
             ),
         ),
@@ -217,6 +224,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 3,
+    hash_fn=None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
@@ -237,7 +245,9 @@ def minhash_lsh_pairs(
     data already in the row — so no (id_a, id_b) dedup exchange runs.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, hash_fn=hash_fn
+    )
     entries = sigs.select(
         F.explode(
             F.array(
@@ -373,6 +383,7 @@ def simhash(
     id_col: str = "doc_id",
     bits: int = 64,
     shingle_k: int = 3,
+    hash_fn=None,
 ) -> DataFrame:
     """64-bit SimHash fingerprint per document.
 
@@ -408,7 +419,9 @@ def simhash(
     powers = [(1 << i) if i < 63 else -(1 << 63) for i in range(bits)]
     zero = F.lit(0).cast("long")
     features = word_shingles(F.col(text_col), k=shingle_k)
-    hashes = F.transform(features, lambda tk: F.xxhash64(tk))
+    if hash_fn is None:
+        hash_fn = F.xxhash64
+    hashes = F.transform(features, lambda tk: hash_fn(tk))
 
     def bit_vote(power: int):
         def fold(acc, h):

@@ -6,11 +6,12 @@ n-gram Jaccard near-dup, MinHash-LSH and SimHash (the at-scale paths).
 
 Oracle discipline: every Spark expression here has a character-for-
 character DuckDB twin (same normalization regex, same token split, same
-arithmetic order) so value hashes match bit-for-bit. The two xxhash64-
-based queries (MinHash, SimHash) have no ANSI-SQL twin — they are
-registered without oracles (driver records the weaker rows-only check)
-and their *semantics* are cross-checked by the exact-Jaccard query and
-the pytest suite instead.
+arithmetic order) so value hashes match bit-for-bit. MinHash and
+SimHash achieve this by running the query-layer variants on the
+``md5_long`` hash family (``functions/text.py``) — 60-bit md5-prefix
+hashes DuckDB replays exactly — while the operators default to
+``xxhash64`` for production use; the pair sets are then brute-force
+recomputed in the oracle (quadratic is fine at oracle scale).
 
 Since the synthetic corpus has no exact duplicates, the dedup queries
 derive a dup-bearing input inline: docs with ``doc_id < 100`` are
@@ -246,27 +247,111 @@ def q35_jaccard_pairs(spark, sf_dir):
     )
 
 
-# --- q36: MinHash-LSH candidate pairs (no ANSI oracle: xxhash64) --------
-# The linear-scale dedup path: banded minhash signatures; the rows-only
-# driver check covers execution, q35 covers the semantics it bounds.
-@query("q36_minhash_lsh_pairs")
+# --- q36: MinHash-LSH candidate pairs (md5-replayable oracle) -----------
+# The linear-scale dedup path: banded minhash signatures. The query
+# uses the md5_long hash family (functions/text.py) instead of the
+# operator's default xxhash64 precisely so the DuckDB oracle can replay
+# the identical signatures; the oracle then brute-forces all pairs
+# (fine at sf0.01) and keeps those agreeing on >= 1 of the 8 bands with
+# signature agreement >= 0.5 — exactly the set the banded bucket join
+# emits, since equal band sub-signatures <=> same bucket and the
+# first-agreeing-band filter only dedups multi-band collisions.
+_SQL_SH3 = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len(tk) - 2, 0)), "
+    "i -> array_to_string(tk[i:i+2], ' ')))"
+)
+_SQL_MD5H = (
+    "CAST(('0x' || substr(md5(x || '#' || CAST(i AS VARCHAR)), 1, 15)) "
+    "AS BIGINT)"
+)
+
+
+@query(
+    "q36_minhash_lsh_pairs",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
+    sh AS (SELECT doc_id AS id, {_SQL_SH3} AS s FROM tk),
+    sig AS (
+      SELECT id,
+             list_transform(generate_series(0, 31),
+               i -> list_min(list_transform(s, x -> {_SQL_MD5H}))) AS sig
+      FROM sh WHERE len(s) > 0
+    ),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(len(list_filter(generate_series(1, 32),
+                      i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 32.0
+               AS est_jaccard,
+             len(list_filter(generate_series(0, 7),
+                 bb -> a.sig[bb*4+1:bb*4+4] = b.sig[bb*4+1:bb*4+4])) > 0
+               AS band_hit
+      FROM sig a JOIN sig b ON a.id < b.id
+    )
+    SELECT id_a, id_b, est_jaccard
+    FROM cand WHERE band_hit AND est_jaccard >= 0.5
+    """,
+)
 def q36_minhash_lsh_pairs(spark, sf_dir):
+    from spark_etl_cli_spark.functions.text import md5_long
+
     return (
         minhash_lsh_pairs(
-            t(spark, sf_dir, "documents"), num_hashes=32, bands=8, shingle_k=3
+            t(spark, sf_dir, "documents"),
+            num_hashes=32,
+            bands=8,
+            shingle_k=3,
+            hash_fn=md5_long,
         )
         .filter(F.col("est_jaccard") >= 0.5)
         .select("id_a", "id_b", "est_jaccard")
     )
 
 
-# --- q37: SimHash near-dup pairs (no ANSI oracle: xxhash64) -------------
-# 64-bit fingerprints → 4x16-bit band buckets → hamming<=8 confirm.
-# Pair generation via bucket_pairs: the fingerprint computation (token
-# explode + 64 bit-votes) runs once, not once per self-join side.
-@query("q37_simhash_pairs")
+# --- q37: SimHash near-dup pairs (md5-replayable oracle) ----------------
+# Fingerprints → 4x16-bit band buckets → hamming<=8 confirm. Pair
+# generation via bucket_pairs: the fingerprint computation (token
+# explode + bit-votes) runs once, not once per self-join side. As q36,
+# the query passes hash_fn=md5_long so DuckDB can replay the identical
+# bit-vote fingerprints (60 effective bits — md5_long's range — so the
+# top nibble is always 0 and plain arithmetic shifts are exact); the
+# oracle brute-forces pairs and applies the same band-agreement +
+# hamming gate.
+@query(
+    "q37_simhash_pairs",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
+    sh AS (SELECT doc_id AS id, {_SQL_SH3} AS s FROM tk),
+    hs AS (
+      SELECT id,
+             list_transform(s,
+               x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS hs
+      FROM sh WHERE len(s) > 0
+    ),
+    fp AS (
+      SELECT id,
+             CAST(list_sum(list_transform(generate_series(0, 59),
+               i -> CASE WHEN 2 * len(list_filter(hs,
+                              h -> ((h >> i) & 1) = 1)) > len(hs)
+                         THEN (CAST(1 AS BIGINT) << i)
+                         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp
+      FROM hs
+    ),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming,
+             len(list_filter(generate_series(0, 3),
+                 bb -> ((a.fp >> (bb*16)) & 65535)
+                     = ((b.fp >> (bb*16)) & 65535))) > 0 AS band_hit
+      FROM fp a JOIN fp b ON a.id < b.id
+    )
+    SELECT id_a, id_b, hamming FROM cand WHERE band_hit AND hamming <= 8
+    """,
+)
 def q37_simhash_pairs(spark, sf_dir):
-    fp = simhash(t(spark, sf_dir, "documents"))
+    from spark_etl_cli_spark.functions.text import md5_long
+
+    fp = simhash(t(spark, sf_dir, "documents"), hash_fn=md5_long)
     entries = fp.select(
         F.explode(
             F.array(
