@@ -248,7 +248,7 @@ class KafkaSource:
             .options(**opts)
         )
         raw = reader.load()
-        df = deserialize_values(spark, raw, serde)
+        df = deserialize_values(spark, raw, serde, topic=topic)
         from spark_etl_cli_spark.sources.base import apply_watermark
 
         return apply_watermark(df, self.uri.params.get("watermark"))
@@ -266,7 +266,7 @@ class KafkaSink:
         topic = self.uri.first_path_part()
         opts = reader_options(self.uri)
         serde = opts.pop("serde", "json")
-        out = serialize_values(df, serde)
+        out = serialize_values(df, serde, topic=topic)
         if df.isStreaming:
             writer = (
                 out.writeStream.format("kafka")

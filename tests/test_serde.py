@@ -1,0 +1,168 @@
+"""Kafka serde unit tests: conf harvest, registry subject/auth, wire format.
+
+No broker or avro jar in the container, so registry fetches and
+from_avro/to_avro are monkeypatched; what IS tested for real is the
+logic the round-1 review flagged: the subject string built from the
+topic, Basic-auth header propagation, session-conf harvesting
+(reference ``KafkaDataFrameSource.scala:20-23``), and the Confluent
+5-byte frame header on serialize.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+import spark_etl_cli_spark.streaming.serde as serde_mod
+from spark_etl_cli_spark.streaming.serde import (
+    deserialize_values,
+    harvest_serde_conf,
+    resolve_serde,
+    serialize_values,
+)
+
+REG_CONFS = [
+    "spark.kafka.schema.registry.url",
+    "spark.kafka.schema.registry.basic.auth.user.info",
+    "spark.kafka.schema.file.path",
+    "spark.kafka.schema.resource.path",
+]
+
+
+@pytest.fixture
+def clean_confs(spark):
+    yield
+    for key in REG_CONFS:
+        spark.conf.unset(key)
+
+
+def test_harvest_strips_spark_kafka_prefix(spark, clean_confs):
+    spark.conf.set("spark.kafka.schema.registry.url", "http://reg:8081")
+    spark.conf.set(
+        "spark.kafka.schema.registry.basic.auth.user.info", "user:pw"
+    )
+    conf = harvest_serde_conf(spark)
+    assert conf["schema.registry.url"] == "http://reg:8081"
+    assert conf["schema.registry.basic.auth.user.info"] == "user:pw"
+
+
+def test_resolve_bare_avro_prefers_registry(spark, clean_confs):
+    spark.conf.set("spark.kafka.schema.registry.url", "http://reg:8081")
+    assert resolve_serde(spark, "avro") == "avro-registry:http://reg:8081"
+    # explicit spec always wins
+    assert resolve_serde(spark, "avro:/tmp/x.avsc") == "avro:/tmp/x.avsc"
+    assert resolve_serde(spark, "json") == "json"
+
+
+def test_resolve_bare_avro_falls_back_to_file_conf(spark, clean_confs, tmp_path):
+    schema_file = tmp_path / "s.avsc"
+    schema_file.write_text('{"type": "string"}')
+    spark.conf.set("spark.kafka.schema.file.path", str(schema_file))
+    assert resolve_serde(spark, "avro") == f"avro:{schema_file}"
+
+
+def test_resolve_resource_path_reads_schema_inline(spark, clean_confs, tmp_path):
+    schema_file = tmp_path / "r.avsc"
+    schema_file.write_text('{"type": "int"}')
+    spark.conf.set("spark.kafka.schema.resource.path", str(schema_file))
+    assert resolve_serde(spark, "avro") == 'avro:{"type": "int"}'
+
+
+class _FakeResponse(io.BytesIO):
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+def test_registry_fetch_builds_subject_url_and_auth(monkeypatch):
+    seen = {}
+
+    def fake_urlopen(req):
+        seen["url"] = req.full_url
+        seen["auth"] = req.get_header("Authorization")
+        return _FakeResponse(
+            json.dumps({"id": 7, "schema": '{"type": "string"}'}).encode()
+        )
+
+    import urllib.request
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    sid, schema = serde_mod._registry_fetch_latest(
+        "http://reg:8081", "events-value", auth="user:pw"
+    )
+    assert sid == 7 and schema == '{"type": "string"}'
+    assert seen["url"] == "http://reg:8081/subjects/events-value/versions/latest"
+    expected = "Basic " + base64.b64encode(b"user:pw").decode()
+    assert seen["auth"] == expected
+
+
+def test_registry_fetch_honors_url_userinfo(monkeypatch):
+    seen = {}
+
+    def fake_urlopen(req):
+        seen["url"] = req.full_url
+        seen["auth"] = req.get_header("Authorization")
+        return _FakeResponse(json.dumps({"id": 1, "schema": "{}"}).encode())
+
+    import urllib.request
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    serde_mod._registry_fetch_latest("http://u:p@reg:8081/", "t-value")
+    assert seen["url"] == "http://reg:8081/subjects/t-value/versions/latest"
+    assert seen["auth"] == "Basic " + base64.b64encode(b"u:p").decode()
+
+
+def test_deserialize_registry_uses_topic_subject(spark, monkeypatch):
+    """Round-1 bug: the kafka source called deserialize_values without
+    topic=, producing subject 'None-value'. Locks the fix in."""
+    seen = {}
+
+    def fake_fetch(url, subject, auth=None):
+        seen["subject"] = subject
+        seen["url"] = url
+        return 3, '{"type": "record"}'
+
+    monkeypatch.setattr(serde_mod, "_registry_fetch_latest", fake_fetch)
+    import pyspark.sql.avro.functions as avro_fns
+
+    monkeypatch.setattr(
+        avro_fns,
+        "from_avro",
+        lambda col, schema: F.struct(F.lit(1).alias("a")),
+    )
+    raw = spark.createDataFrame([(b"\x00\x00\x00\x00\x03xx",)], "value binary")
+    out = deserialize_values(
+        spark, raw, "avro-registry:http://reg:8081", topic="events"
+    )
+    assert seen["subject"] == "events-value"
+    assert out.collect()[0].a == 1
+
+
+def test_serialize_registry_prepends_confluent_header(spark, monkeypatch):
+    monkeypatch.setattr(
+        serde_mod,
+        "_registry_fetch_latest",
+        lambda url, subject, auth=None: (7, '{"type": "record"}'),
+    )
+    import pyspark.sql.avro.functions as avro_fns
+
+    monkeypatch.setattr(
+        avro_fns, "to_avro", lambda col, schema: F.lit(b"PAYLOAD")
+    )
+    df = spark.createDataFrame([(1,)], "x int")
+    out = serialize_values(df, "avro-registry:http://reg:8081", topic="t")
+    value = bytes(out.collect()[0].value)
+    assert value == bytes([0, 0, 0, 0, 7]) + b"PAYLOAD"
+
+
+def test_json_serde_roundtrip_unchanged(spark):
+    df = spark.createDataFrame([(1, "a")], "id int, name string")
+    ser = serialize_values(df, "json")
+    row = ser.collect()[0]
+    assert json.loads(row.value) == {"id": 1, "name": "a"}
