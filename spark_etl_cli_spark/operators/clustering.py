@@ -60,10 +60,13 @@ def kmeans_lloyd(
         F.col(id_col).alias("__id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
     )
-    init = (
-        pts.filter(F.col("__id") < k).orderBy("__id").select("__id", "__v").collect()
-    )
+    # Seed = the k lowest-id vectors (LIMIT after sort, so any id
+    # domain works — filter(id < k) would under-seed when ids don't
+    # start near 0; mirrored by ORDER BY id LIMIT k in kmeans_sql).
+    init = pts.orderBy("__id").limit(k).select("__id", "__v").collect()
     cents: dict[int, list[float]] = {int(r["__id"]): list(r["__v"]) for r in init}
+    if not cents:
+        raise ValueError("kmeans_lloyd: input has no vectors to seed from")
 
     def update(assigned: DataFrame) -> DataFrame:
         return (
@@ -144,7 +147,7 @@ def kmeans_sql(
       SELECT {id_col}, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
       FROM {table_expr})""",
         f"""c0 AS (SELECT {id_col} AS cl, v AS cv FROM pts
-               WHERE {id_col} < {k})""",
+               ORDER BY {id_col} LIMIT {k})""",
     ]
     for it in range(iters):
         csrc = f"c{it}"

@@ -86,10 +86,13 @@ def epoch_upsample_sql(
         " THEN 1 ELSE 0 END"
         for src, w in sorted(weights.items())
     )
-    copies = (
-        f"CASE {cases} ELSE {base_d} + CASE WHEN ({bucket}) < {pct_d} "
-        "THEN 1 ELSE 0 END END"
+    default_expr = (
+        f"{base_d} + CASE WHEN ({bucket}) < {pct_d} THEN 1 ELSE 0 END"
     )
+    # no WHEN branches (weights={}) would make "CASE ELSE ... END"
+    # invalid SQL, while the Spark path happily applies the default to
+    # every row — emit just the default expression in that case
+    copies = f"CASE {cases} ELSE {default_expr} END" if cases else default_expr
     return f"""
     SELECT {columns}, CAST(UNNEST(generate_series(1, n_copies)) AS INT)
              AS {epoch_col}

@@ -44,6 +44,12 @@ BASE_CONFS: dict[str, str] = {
     # most computed aggregates) stay broadcastable even at large SF.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
+    # TIMESTAMP(NANOS) parquet columns (the synthetic events table's
+    # older generations) are rejected by the vectorized reader unless
+    # surfaced as LONG nanoseconds. Session-build conf, not a per-read
+    # mutation: runtime-settable, but setting it inside a source's
+    # read() mutated shared session state as a side effect.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Let Python DataSources (the Arrow IPC connector) receive pushed
     # filters via DataSourceReader.pushFilters (Spark 4.1).
     "spark.sql.python.filterPushdown.enabled": "true",

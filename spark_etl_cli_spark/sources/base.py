@@ -106,13 +106,11 @@ class FileSource:
     default_options: dict[str, str] = field(default_factory=dict)
 
     def read(self, spark: SparkSession) -> DataFrame:
+        # nanosAsLong for TIMESTAMP(NANOS) parquet lives in the session
+        # build (session.py BASE_CONFS), not here: a per-read conf.set
+        # mutated shared session state as a side effect.
         opts = {**self.default_options, **reader_options(self.uri)}
         path = self.uri.path
-        if self.fmt == "parquet":
-            # TIMESTAMP(NANOS) parquet columns (e.g. the synthetic
-            # events table) are otherwise rejected by the vectorized
-            # reader; surfaced as LONG nanoseconds instead.
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         if self.uri.is_stream:
             reader = spark.readStream.format(self.fmt).options(**opts)
             schema_json = self.uri.params.get("schema")

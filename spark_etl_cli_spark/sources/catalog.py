@@ -58,6 +58,12 @@ class TableSink:
         name = _table_name(self.uri)
         spark = df.sparkSession
         if df.isEmpty():
+            # Deliberate reference parity (HiveDataFrameSource.scala:22):
+            # empty input skips the write AND reports False, so a
+            # fail_fast pipeline treats "nothing arrived" as a failed
+            # sink rather than silently creating/leaving an empty
+            # table. Callers who want skip-is-ok run with
+            # fail_fast=False (see test_table_sink_skips_empty_input).
             return False
         mode = self.uri.params.get("mode", "append")
         partition_cols = [

@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 import os
 from typing import Any
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -92,9 +93,14 @@ def _replay(
                 if "metaData" in action:
                     meta = action["metaData"]
                 elif "add" in action:
-                    active[action["add"]["path"]] = action["add"]
+                    # the log stores paths RFC 2396 URL-encoded
+                    # (spaces, '=' in partition dirs, ...); decode so
+                    # add/remove keys agree and filesystem joins work
+                    add = dict(action["add"])
+                    add["path"] = unquote(add["path"])
+                    active[add["path"]] = add
                 elif "remove" in action:
-                    active.pop(action["remove"]["path"], None)
+                    active.pop(unquote(action["remove"]["path"]), None)
                 elif "protocol" in action:
                     pr = action["protocol"]
                     if int(pr.get("minReaderVersion", 1)) > 2:

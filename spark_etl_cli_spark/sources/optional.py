@@ -16,6 +16,7 @@ Reference parity targets:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -181,7 +182,10 @@ class ExcelSource:
 class ExcelSink:
     """Excel sink: single driver-side file by nature (the reference
     forces ``repartition(1)`` too, ExcelFileDataFrameSource.scala:23) —
-    collect is the honest cost model for this format."""
+    collect is the honest cost model for this format. Writes through
+    the stdlib SpreadsheetML codec (xlsx_lite) so streaming appends can
+    read the file back; pandas' to_excel can't append and needs an
+    engine this container doesn't ship."""
 
     uri: ParsedUri
 
@@ -189,24 +193,27 @@ class ExcelSink:
         if df.isStreaming:
             from spark_etl_cli_spark.sources.base import stream_via_foreach_batch
 
-            return stream_via_foreach_batch(df, self.write, self.uri)
+            # Each micro-batch APPENDS (the batch writer rewrites the
+            # whole file, so per-batch write() would keep only the last
+            # batch's rows — last-write-wins data loss on any stream
+            # that spans >1 micro-batch).
+            return stream_via_foreach_batch(
+                df, lambda batch: self._write_batch(batch, append=True), self.uri
+            )
+        return self._write_batch(df, append=False)
+
+    def _write_batch(self, df: DataFrame, append: bool) -> bool:
         from spark_etl_cli_spark.operators.schema_tools import json_encode_complex
+        from spark_etl_cli_spark.sources.xlsx_lite import read_xlsx, write_xlsx
 
         flat = json_encode_complex(df)
-        try:
-            import pandas as pd  # noqa: F401
-
-            flat.toPandas().to_excel(self.uri.path, index=False)
-            return True
-        except ImportError:
-            pass
-        from spark_etl_cli_spark.sources.xlsx_lite import write_xlsx
-
-        write_xlsx(
-            self.uri.path,
-            list(flat.columns),
-            [tuple(row) for row in flat.collect()],
-        )
+        header = list(flat.columns)
+        rows = [tuple(row) for row in flat.collect()]
+        if append and os.path.exists(self.uri.path):
+            old_header, old_rows = read_xlsx(self.uri.path)
+            if old_header == header:
+                rows = old_rows + rows
+        write_xlsx(self.uri.path, header, rows)
         return True
 
 

@@ -17,8 +17,9 @@ def test_query_and_oracle_keys_consistent():
     assert len(q) >= 40
     # every oracle belongs to a declared query
     assert set(o) <= set(q)
-    # non-SQL-expressible exceptions are known and few
-    assert set(q) - set(o) == {"q36_minhash_lsh_pairs", "q37_simhash_pairs"}
+    # every registered query has a DuckDB oracle (q36/q37 gained
+    # md5-replayable oracles in round 2 — keep it that way)
+    assert set(q) - set(o) == set()
 
 
 def test_each_query_is_callable_signature():

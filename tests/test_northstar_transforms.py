@@ -169,7 +169,9 @@ def test_registry_fetch_latest_rest_contract():
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     try:
-        got = _registry_fetch_latest(f"http://127.0.0.1:{srv.server_port}", "t1-value")
-        assert got == schema
+        sid, got = _registry_fetch_latest(
+            f"http://127.0.0.1:{srv.server_port}", "t1-value"
+        )
+        assert sid == 7 and got == schema
     finally:
         srv.shutdown()

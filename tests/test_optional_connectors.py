@@ -224,3 +224,80 @@ def test_delta_lite_time_travel(spark, tmp_path):
 
     with _pt.raises(ValueError, match="versionAsOf=7"):
         read_delta_lite(spark, table, 7)
+
+
+def test_delta_lite_url_encoded_paths(spark, tmp_path):
+    """ADVICE round 1: the Delta log stores file paths URL-encoded
+    (RFC 2396); add/remove must decode before joining/popping."""
+    import json as _json
+    import os as _os
+
+    from spark_etl_cli_spark.sources.delta_lite import read_delta_lite
+
+    table = f"{tmp_path}/dl_enc"
+    _os.makedirs(f"{table}/_delta_log")
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "part", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+    import glob as _glob
+    import shutil as _shutil
+
+    files = {}
+    for tag, val in (("live", 1), ("dead", 9)):
+        spark.createDataFrame([(val,)], "k long").coalesce(1).write.parquet(
+            f"{table}/tmp_{tag}"
+        )
+        src = _glob.glob(f"{table}/tmp_{tag}/part-*.parquet")[0]
+        # partition value with a space -> %20 in the logged path
+        _os.makedirs(f"{table}/part=x {tag}", exist_ok=True)
+        _shutil.move(src, f"{table}/part=x {tag}/f.parquet")
+        _shutil.rmtree(f"{table}/tmp_{tag}")
+        files[tag] = f"part=x%20{tag}/f.parquet"
+
+    def add(tag):
+        return {"add": {"path": files[tag],
+                        "partitionValues": {"part": f"x {tag}"},
+                        "size": 1, "modificationTime": 0, "dataChange": True}}
+
+    log0 = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "t2", "format": {"provider": "parquet"},
+                      "schemaString": _json.dumps(schema),
+                      "partitionColumns": ["part"], "configuration": {}}},
+        add("live"), add("dead"),
+    ]
+    log1 = [{"remove": {"path": files["dead"], "dataChange": True}}]
+    for v, actions in ((0, log0), (1, log1)):
+        with open(f"{table}/_delta_log/{v:020d}.json", "w") as fh:
+            fh.writelines(_json.dumps(a) + "\n" for a in actions)
+
+    got = {(r.k, r.part) for r in read_delta_lite(spark, table).collect()}
+    assert got == {(1, "x live")}
+
+
+def test_excel_sink_appends_across_micro_batches(spark, tmp_path):
+    """ADVICE round 1: per-batch rewrite kept only the last micro-batch
+    (last-write-wins loss); streaming batches must accumulate."""
+    from spark_etl_cli_spark.sources.optional import ExcelSink
+    from spark_etl_cli_spark.sources.xlsx_lite import read_xlsx
+    from spark_etl_cli_spark.uri import parse_uri
+
+    path = f"{tmp_path}/stream.xlsx"
+    sink = ExcelSink(parse_uri(f"v+excel://{path}"))
+    b1 = spark.createDataFrame([(1, "a")], "id bigint, name string")
+    b2 = spark.createDataFrame([(2, "b")], "id bigint, name string")
+    # simulate what stream_via_foreach_batch now does per micro-batch
+    sink._write_batch(b1, append=True)
+    sink._write_batch(b2, append=True)
+    header, rows = read_xlsx(path)
+    assert header == ["id", "name"]
+    assert sorted(tuple(r) for r in rows) == [(1, "a"), (2, "b")]
+
+    # batch mode still overwrites
+    sink._write_batch(b2, append=False)
+    _, rows = read_xlsx(path)
+    assert [tuple(r) for r in rows] == [(2, "b")]

@@ -179,3 +179,56 @@ def test_kmeans_lloyd_two_separated_clusters(spark):
     # cluster 1 mean per dim = (10 + 10.5 + 9.5) / 3 = 10 in micro units
     assert abs(stats[(1, 0)].mean_micro - 10_000_000) < 2
     assert abs(stats[(1, 1)].mean_micro - 10_000_000) < 2
+
+
+def test_kmeans_seeds_from_lowest_ids_any_domain(spark):
+    """ADVICE round 1: filter(id < k) under-seeded when the id domain
+    doesn't start near 0. Seeding is ORDER BY id LIMIT k now."""
+    from spark_etl_cli_spark.operators.clustering import kmeans_lloyd
+
+    rows = [
+        (1000, [0.0, 0.0]),
+        (1001, [10.0, 10.0]),
+        (1002, [0.5, 0.5]),
+        (1003, [10.5, 9.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_lloyd(df, k=2, iters=1).collect()
+    # seeds are vec_ids 1000 and 1001; every point lands on one of them
+    assert {r.cluster_id for r in out} == {1000, 1001}
+    n_by_cluster = {r.cluster_id: r.n_points for r in out if r.dim == 0}
+    assert n_by_cluster == {1000: 2, 1001: 2}
+
+
+def test_kmeans_empty_input_raises_clearly(spark):
+    import pytest
+
+    from spark_etl_cli_spark.operators.clustering import kmeans_lloyd
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="no vectors"):
+        kmeans_lloyd(df, k=2, iters=1)
+
+
+def test_epoch_upsample_sql_empty_weights_is_valid_sql(spark):
+    """ADVICE round 1: weights={} emitted 'CASE ELSE ... END' (invalid);
+    the twin must stay executable and match the Spark path."""
+    import duckdb
+
+    from spark_etl_cli_spark.operators.mixture import (
+        epoch_upsample,
+        epoch_upsample_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs AS SELECT * FROM (VALUES "
+        "(1, 'a'), (2, 'b'), (3, 'a')) t(doc_id, source)"
+    )
+    sql = epoch_upsample_sql("docs", {}, default=2.0)
+    oracle = con.execute(sql).fetchall()
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "doc_id long, source string"
+    )
+    got = epoch_upsample(df, {}, default=2.0).collect()
+    assert len(oracle) == len(got) == 6  # every row exactly twice
