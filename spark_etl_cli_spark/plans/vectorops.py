@@ -335,10 +335,10 @@ def q63_embedding_dim_stats(spark, sf_dir):
       FROM embeddings
     )
     SELECT vec_id,
-           list_transform(embedding,
-             e -> CASE WHEN maxabs = 0 THEN 0
+           array_to_string(list_transform(embedding,
+             e -> CAST(CASE WHEN maxabs = 0 THEN 0
                   ELSE CAST(floor(CAST(e AS DOUBLE) / maxabs * 127) AS INT)
-                  END) AS q,
+                  END AS VARCHAR)), ',') AS q,
            CAST(floor(maxabs * 1000000) AS BIGINT) AS scale_micros
     FROM s
     """,
@@ -354,11 +354,15 @@ def q64_vector_quantize(spark, sf_dir):
             F.floor(v.cast("double") / F.col("maxabs") * 127).cast("int")
         ),
     )
+    # oracle-facing q is stringified (driver canonicalizer cannot hash
+    # list cells); the int8 array itself is the operator's real output
     return (
         e.withColumn("maxabs", maxabs)
         .select(
             "vec_id",
-            quant.alias("q"),
+            F.array_join(
+                F.transform(quant, lambda x: x.cast("string")), ","
+            ).alias("q"),
             F.floor(F.col("maxabs") * 1000000).cast("bigint")
             .alias("scale_micros"),
         )
