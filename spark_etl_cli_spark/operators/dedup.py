@@ -174,6 +174,7 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_k: int = 3,
     hash_fn=None,
+    base_hash=None,
 ) -> DataFrame:
     """(id, array<long> minhash signature) via salted xxhash64 min-fold.
 
@@ -191,6 +192,15 @@ def minhash_signatures(
     ``hash_fn(shingle, salt)`` defaults to ``xxhash64`` (the at-scale
     choice); pass :func:`~spark_etl_cli_spark.functions.text.md5_long`
     to get signatures an ANSI-SQL oracle can replay exactly.
+
+    ``base_hash(shingle) -> long`` switches to the affine family
+    ``h_i = (a_i * base + b_i) mod p``
+    (:func:`~spark_etl_cli_spark.functions.text.affine_minhash_constants`):
+    ONE base hash per shingle plus ``num_hashes`` multiply-add-mods,
+    instead of ``num_hashes`` full hashes per shingle. With an
+    oracle-replicable base (``md5_long28``) this keeps the SQL-twin
+    property at ~1/30th the cost — cryptographic-hash count no longer
+    scales with signature width. Takes precedence over ``hash_fn``.
     """
     if hash_fn is None:
         hash_fn = F.xxhash64
@@ -202,18 +212,49 @@ def minhash_signatures(
     # let-bind the shingle array: CollapseProject inlines single-use
     # aliases into the consuming projection, which would re-run the
     # shingling subtree once per salt inside the sequence lambda.
-    signature = F.element_at(
-        F.transform(
-            F.array(F.col("sh")),
-            lambda shv: F.transform(
-                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-                lambda i: F.aggregate(
-                    shv, max_long, lambda m, s: F.least(m, hash_fn(s, i))
+    if base_hash is not None:
+        from spark_etl_cli_spark.functions.text import affine_minhash_constants
+
+        ca, cb, p = affine_minhash_constants(num_hashes)
+        ab = F.array(
+            *[
+                F.struct(
+                    F.lit(a).cast("long").alias("a"),
+                    F.lit(b).cast("long").alias("b"),
+                )
+                for a, b in zip(ca, cb)
+            ]
+        )
+        mod = F.lit(p).cast("long")
+        signature = F.element_at(
+            F.transform(
+                # let-bind the BASE-HASH array (not the raw shingles):
+                # each affine member folds over already-hashed longs.
+                F.array(F.transform(F.col("sh"), base_hash)),
+                lambda hbv: F.transform(
+                    ab,
+                    lambda c: F.aggregate(
+                        hbv,
+                        max_long,
+                        lambda m, h: F.least(m, (c["a"] * h + c["b"]) % mod),
+                    ),
                 ),
             ),
-        ),
-        1,
-    )
+            1,
+        )
+    else:
+        signature = F.element_at(
+            F.transform(
+                F.array(F.col("sh")),
+                lambda shv: F.transform(
+                    F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                    lambda i: F.aggregate(
+                        shv, max_long, lambda m, s: F.least(m, hash_fn(s, i))
+                    ),
+                ),
+            ),
+            1,
+        )
     return shingled.select("id", signature.alias("signature"))
 
 
@@ -225,6 +266,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_k: int = 3,
     hash_fn=None,
+    base_hash=None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
@@ -246,7 +288,8 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
-        df, text_col, id_col, num_hashes, shingle_k, hash_fn=hash_fn
+        df, text_col, id_col, num_hashes, shingle_k,
+        hash_fn=hash_fn, base_hash=base_hash,
     )
     entries = sigs.select(
         F.explode(

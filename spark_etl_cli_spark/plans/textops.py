@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from spark_etl_cli_spark.functions.text import (
     LANG_MARKERS,
+    affine_minhash_constants,
     fingerprint,
     lang_id,
     quality_score,
@@ -249,22 +250,26 @@ def q35_jaccard_pairs(spark, sf_dir):
 
 # --- q36: MinHash-LSH candidate pairs (md5-replayable oracle) -----------
 # The linear-scale dedup path: banded minhash signatures. The query
-# uses the md5_long hash family (functions/text.py) instead of the
-# operator's default xxhash64 precisely so the DuckDB oracle can replay
-# the identical signatures; the oracle then brute-forces all pairs
-# (fine at sf0.01) and keeps those agreeing on >= 1 of the 8 bands with
-# signature agreement >= 0.5 — exactly the set the banded bucket join
-# emits, since equal band sub-signatures <=> same bucket and the
-# first-agreeing-band filter only dedups multi-band collisions.
+# runs the operator in affine-family mode (functions/text.py:
+# base = md5_long28(shingle) once per shingle, then
+# h_i = (a_i*base + b_i) mod 2^31-1) precisely so the DuckDB oracle can
+# replay the identical signatures from the same integer constants; the
+# oracle then brute-forces all pairs (fine at sf0.01) and keeps those
+# agreeing on >= 1 of the 8 bands with signature agreement >= 0.5 —
+# exactly the set the banded bucket join emits, since equal band
+# sub-signatures <=> same bucket and the first-agreeing-band filter
+# only dedups multi-band collisions. (The first formulation salted a
+# full md5 per (shingle, salt) — 32 md5s/shingle — and benched ~8x
+# slower at sf0.1; the affine family is the classic Broder'97 shape.)
 _SQL_SH3 = (
     "list_distinct(list_transform("
     "generate_series(1, greatest(len(tk) - 2, 0)), "
     "i -> array_to_string(tk[i:i+2], ' ')))"
 )
-_SQL_MD5H = (
-    "CAST(('0x' || substr(md5(x || '#' || CAST(i AS VARCHAR)), 1, 15)) "
-    "AS BIGINT)"
-)
+_MH_A, _MH_B, _MH_P = affine_minhash_constants(32)
+_SQL_MH_A = "list_value(" + ",".join(str(a) for a in _MH_A) + ")"
+_SQL_MH_B = "list_value(" + ",".join(str(b) for b in _MH_B) + ")"
+_SQL_BASE28 = "CAST(('0x' || substr(md5(x), 1, 7)) AS BIGINT)"
 
 
 @query(
@@ -272,11 +277,16 @@ _SQL_MD5H = (
     oracle=f"""
     WITH tk AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
     sh AS (SELECT doc_id AS id, {_SQL_SH3} AS s FROM tk),
+    hb AS (
+      SELECT id, list_transform(s, x -> {_SQL_BASE28}) AS hb
+      FROM sh WHERE len(s) > 0
+    ),
     sig AS (
       SELECT id,
-             list_transform(generate_series(0, 31),
-               i -> list_min(list_transform(s, x -> {_SQL_MD5H}))) AS sig
-      FROM sh WHERE len(s) > 0
+             list_transform(generate_series(1, 32),
+               i -> list_min(list_transform(hb,
+                 h -> ({_SQL_MH_A}[i] * h + {_SQL_MH_B}[i]) % {_MH_P}))) AS sig
+      FROM hb
     ),
     cand AS (
       SELECT a.id AS id_a, b.id AS id_b,
@@ -293,7 +303,7 @@ _SQL_MD5H = (
     """,
 )
 def q36_minhash_lsh_pairs(spark, sf_dir):
-    from spark_etl_cli_spark.functions.text import md5_long
+    from spark_etl_cli_spark.functions.text import md5_long28
 
     return (
         minhash_lsh_pairs(
@@ -301,7 +311,7 @@ def q36_minhash_lsh_pairs(spark, sf_dir):
             num_hashes=32,
             bands=8,
             shingle_k=3,
-            hash_fn=md5_long,
+            base_hash=md5_long28,
         )
         .filter(F.col("est_jaccard") >= 0.5)
         .select("id_a", "id_b", "est_jaccard")
