@@ -216,15 +216,13 @@ def minhash_signatures(
         from spark_etl_cli_spark.functions.text import affine_minhash_constants
 
         ca, cb, p = affine_minhash_constants(num_hashes)
-        ab = F.array(
-            *[
-                F.struct(
-                    F.lit(a).cast("long").alias("a"),
-                    F.lit(b).cast("long").alias("b"),
-                )
-                for a, b in zip(ca, cb)
-            ]
-        )
+        # (a_i, b_i) as TWO array<bigint> Literal nodes, not an array of
+        # 2*num_hashes per-element literal structs: foldable Literals are
+        # a constant reference in the generated code, CreateArray/
+        # CreateStruct children each emit (and Janino-compile) their own
+        # codegen. Same long arithmetic, byte-identical signatures.
+        arr_a = F.lit([int(a) for a in ca])
+        arr_b = F.lit([int(b) for b in cb])
         mod = F.lit(p).cast("long")
         signature = F.element_at(
             F.transform(
@@ -232,11 +230,18 @@ def minhash_signatures(
                 # each affine member folds over already-hashed longs.
                 F.array(F.transform(F.col("sh"), base_hash)),
                 lambda hbv: F.transform(
-                    ab,
-                    lambda c: F.aggregate(
+                    F.sequence(F.lit(1), F.lit(num_hashes)),
+                    lambda i: F.aggregate(
                         hbv,
                         max_long,
-                        lambda m, h: F.least(m, (c["a"] * h + c["b"]) % mod),
+                        lambda m, h: F.least(
+                            m,
+                            (
+                                F.element_at(arr_a, i.cast("int")) * h
+                                + F.element_at(arr_b, i.cast("int"))
+                            )
+                            % mod,
+                        ),
                     ),
                 ),
             ),
