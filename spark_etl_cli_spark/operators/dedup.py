@@ -176,18 +176,24 @@ def minhash_signatures(
     hash_fn=None,
     base_hash=None,
 ) -> DataFrame:
-    """(id, array<long> minhash signature) via salted xxhash64 min-fold.
+    """(id, array<long> minhash signature): explode + codegen min-aggs.
 
     Each of the ``num_hashes`` functions is ``xxhash64(shingle, salt_i)``;
     the signature component is the min over the document's shingles.
-    The whole signature is ONE nested-HOF expression —
-    ``transform(sequence(0, k-1), i -> aggregate(sh, MAX_LONG,
-    (m, s) -> least(m, xxhash64(s, i))))`` — so the shingle array is
-    consumed by a single projection with no per-hash intermediate
-    arrays (the previous k separate ``array_min(transform(...))``
-    columns each allocated a transformed copy of the shingle array;
-    one fused fold measured ~2x on the 5k-doc corpus). No shuffle at
-    all: per-row work the scan pipeline absorbs.
+    Shape: explode distinct shingles → ``num_hashes`` scalar hash
+    columns → ``groupBy(id)`` with ``num_hashes`` ``min`` aggregates →
+    assemble the array. Every hash and min runs inside whole-stage
+    codegen (HashAggregateExec on long mins), and map-side partial
+    aggregation collapses the exchange to ~one 32-long partial row per
+    (doc, partition) — the shuffle carries signatures, not shingles.
+
+    A previous formulation kept everything per-row with nested
+    higher-order functions (``transform(sequence(..), i ->
+    aggregate(sh, ..))``) to avoid the exchange entirely — but Spark
+    evaluates HOF lambdas interpreted, per element: at 32 hashes x ~100
+    shingles it measured 3.6s (xxhash) / 8.2s (md5 base) for 5k docs
+    on local[32], vs ~0.5s for this shape. The interpreted-eval tax
+    scales with the data; the partial-agg exchange does not.
 
     ``hash_fn(shingle, salt)`` defaults to ``xxhash64`` (the at-scale
     choice); pass :func:`~spark_etl_cli_spark.functions.text.md5_long`
@@ -199,68 +205,43 @@ def minhash_signatures(
     ONE base hash per shingle plus ``num_hashes`` multiply-add-mods,
     instead of ``num_hashes`` full hashes per shingle. With an
     oracle-replicable base (``md5_long28``) this keeps the SQL-twin
-    property at ~1/30th the cost — cryptographic-hash count no longer
-    scales with signature width. Takes precedence over ``hash_fn``.
+    property — cryptographic-hash count no longer scales with
+    signature width. Takes precedence over ``hash_fn``.
     """
     if hash_fn is None:
         hash_fn = F.xxhash64
-    shingled = fan_out(df).select(
+    exploded = fan_out(df).select(
         F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_k).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    max_long = F.lit((1 << 63) - 1).cast("long")
-    # let-bind the shingle array: CollapseProject inlines single-use
-    # aliases into the consuming projection, which would re-run the
-    # shingling subtree once per salt inside the sequence lambda.
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("s"),
+    )
     if base_hash is not None:
         from spark_etl_cli_spark.functions.text import affine_minhash_constants
 
         ca, cb, p = affine_minhash_constants(num_hashes)
-        # (a_i, b_i) as TWO array<bigint> Literal nodes, not an array of
-        # 2*num_hashes per-element literal structs: foldable Literals are
-        # a constant reference in the generated code, CreateArray/
-        # CreateStruct children each emit (and Janino-compile) their own
-        # codegen. Same long arithmetic, byte-identical signatures.
-        arr_a = F.lit([int(a) for a in ca])
-        arr_b = F.lit([int(b) for b in cb])
         mod = F.lit(p).cast("long")
-        signature = F.element_at(
-            F.transform(
-                # let-bind the BASE-HASH array (not the raw shingles):
-                # each affine member folds over already-hashed longs.
-                F.array(F.transform(F.col("sh"), base_hash)),
-                lambda hbv: F.transform(
-                    F.sequence(F.lit(1), F.lit(num_hashes)),
-                    lambda i: F.aggregate(
-                        hbv,
-                        max_long,
-                        lambda m, h: F.least(
-                            m,
-                            (
-                                F.element_at(arr_a, i.cast("int")) * h
-                                + F.element_at(arr_b, i.cast("int"))
-                            )
-                            % mod,
-                        ),
-                    ),
-                ),
-            ),
-            1,
-        )
+        hashed = exploded.select("id", base_hash(F.col("s")).alias("h"))
+        mins = [
+            F.min(
+                (F.lit(int(ca[i])) * F.col("h") + F.lit(int(cb[i]))) % mod
+            ).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
     else:
-        signature = F.element_at(
-            F.transform(
-                F.array(F.col("sh")),
-                lambda shv: F.transform(
-                    F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-                    lambda i: F.aggregate(
-                        shv, max_long, lambda m, s: F.least(m, hash_fn(s, i))
-                    ),
-                ),
+        hashed = exploded
+        mins = [
+            F.min(hash_fn(F.col("s"), F.lit(i))).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+    return (
+        hashed.groupBy("id")
+        .agg(*mins)
+        .select(
+            "id",
+            F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias(
+                "signature"
             ),
-            1,
         )
-    return shingled.select("id", signature.alias("signature"))
+    )
 
 
 def minhash_lsh_pairs(
@@ -450,55 +431,52 @@ def simhash(
     (Charikar simhash as deployed in Manku et al., WWW'07) hash
     shingles, not bags of words.
 
-    Entirely per-row, NO shuffle: the explode → groupBy(id) formulation
-    would move |shingles| rows through an exchange; this is a pure
-    projection the scan pipeline absorbs. Per bit position the vote is
-    a *scalar* ``aggregate`` fold over the let-bound hash array
-    (``h & 2^i != 0`` avoids variable shifts, which Spark's shift
-    functions don't take as columns): 64 independent Long counters, no
-    per-element array allocation. The previous formulation folded a
-    64-int vote vector with ``zip_with``, which allocates two
-    64-element arrays per shingle — ~500k short-lived arrays on the
-    5k-doc corpus — and was ~4x slower cold (GC + a far larger codegen
-    unit). Bit 63's power is Long.MIN_VALUE, so packing wraps exactly
-    like ``shiftleft(1L, 63)`` arithmetic — fingerprints are
-    bit-identical across both formulations.
+    Shape: explode distinct shingles → one hash column → ``groupBy(id)``
+    with ``bits`` conditional-sum vote counters + a feature count —
+    all inside whole-stage codegen (HashAggregateExec over longs), with
+    map-side partial aggregation collapsing the exchange to ~one
+    64-long partial row per (doc, partition). The fingerprint is then
+    packed from the vote counts in a scalar projection. (``h & 2^i
+    != 0`` avoids variable shifts, which Spark's shift functions don't
+    take as columns.)
+
+    A previous formulation kept everything per-row with scalar
+    ``aggregate`` folds over the hash array to avoid the exchange —
+    but Spark evaluates HOF lambdas interpreted, per element: 64 bits
+    x ~100 shingles measured ~11s for 5k docs at sf0.1 vs well under
+    1s for this shape. Partial aggregation means the exchange carries
+    vote vectors, not shingles, so the trade holds at corpus scale.
+    Bit 63's power is Long.MIN_VALUE, so packing wraps exactly like
+    ``shiftleft(1L, 63)`` arithmetic — fingerprints are bit-identical
+    across both formulations.
     """
     powers = [(1 << i) if i < 63 else -(1 << 63) for i in range(bits)]
     zero = F.lit(0).cast("long")
-    features = word_shingles(F.col(text_col), k=shingle_k)
     if hash_fn is None:
         hash_fn = F.xxhash64
-    hashes = F.transform(features, lambda tk: hash_fn(tk))
-
-    def bit_vote(power: int):
-        def fold(acc, h):
-            return acc + F.when(
-                h.bitwiseAND(F.lit(power)) != 0, F.lit(1)
-            ).otherwise(F.lit(0))
-
-        return fold
-
-    def packed_from(hs):
-        # hs is let-bound: the shingle+hash subtree evaluates once per
-        # row, not once per bit position.
-        n = F.size(hs)
-        terms = [
-            F.when(
-                F.aggregate(hs, F.lit(0), bit_vote(p)) * 2 > n,
-                F.lit(p).cast("long"),
-            ).otherwise(zero)
-            for p in powers
-        ]
-        return reduce(lambda a, b: a + b, terms)
-
-    packed = F.element_at(F.transform(F.array(hashes), packed_from), 1)
-    # explode+groupBy dropped feature-less docs; keep that contract
-    return (
-        fan_out(df)
-        .filter(F.size(features) > 0)
-        .select(F.col(id_col).alias("id"), packed.alias("simhash"))
+    exploded = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), k=shingle_k)).alias("s"),
     )
+    hashed = exploded.select("id", hash_fn(F.col("s")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(p)) != 0, F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias(f"v{i}")
+        for i, p in enumerate(powers)
+    ]
+    counted = hashed.groupBy("id").agg(F.count("*").alias("n"), *votes)
+    terms = [
+        F.when(
+            F.col(f"v{i}") * 2 > F.col("n"), F.lit(p).cast("long")
+        ).otherwise(zero)
+        for i, p in enumerate(powers)
+    ]
+    packed = reduce(lambda a, b: a + b, terms)
+    # explode drops feature-less docs, preserving the prior contract
+    return counted.select("id", packed.alias("simhash"))
 
 
 def connected_components_star(
