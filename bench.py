@@ -24,6 +24,16 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
+def _sf_number(sf_dir: str) -> float | str:
+    name = Path(sf_dir).name
+    if name.startswith("sf"):
+        try:
+            return float(name[2:])
+        except ValueError:
+            pass
+    return sf_dir
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -67,7 +77,10 @@ def main() -> int:
             "value": total,
             "unit": "sec",
             "queries": timings,
-            "sf": sf_dir,
+            # numeric scale factor parsed from the dir name ("sf0.1"),
+            # with the dir itself alongside for traceability
+            "sf": _sf_number(sf_dir),
+            "sf_dir": sf_dir,
             # q29 deliberately forgoes the broadcast plan to exercise
             # the salted-join rewrite; it is expected to be slow here.
             "notes": {"q29_salted_join": "salting demo, not the optimal local plan"},

@@ -392,3 +392,84 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+) -> DataFrame:
+    """SemDeDup-style cluster-scoped embedding dedup (Abbas et al. 2023).
+
+    The all-pairs cosine matrix is intractable at corpus scale; SemDeDup
+    bounds it by clustering first and only comparing WITHIN a cluster:
+    a vector is a semantic duplicate if a lower-id vector in its cluster
+    is within ``threshold`` cosine. Returns one row per input vector:
+    ``(id, cluster_id, is_dup)`` — survivors are the ``is_dup = false``
+    rows.
+
+    Shapes, by stage:
+
+    - **assignment** — broadcast the ``n_clusters`` centroid set (the
+      lowest-id vectors: deterministic, training-free, same coarse
+      quantizer as :func:`ivf_topk`) against unit-normalized vectors,
+      then ``max_by`` per id. The cross-join emits each id's k centroid
+      rows contiguously in one partition, so partial aggregation
+      collapses them map-side — the exchange carries ONE row per
+      vector, not k.
+    - **pairs** — self-join on cluster id with ``id_a < id_b`` (the
+      vector-payload trade argued at :func:`cosine_dup_pairs`: posting
+      lists would materialize O(cluster² * dim) in a row). Each vector
+      is in exactly one cluster, so no cross-bucket dedup is needed.
+    - **verdict** — distinct higher-id endpoints of threshold-passing
+      pairs, left-joined back (ids only — vectors never shuffle twice).
+
+    Cluster population is data-dependent; pathological corpora
+    (everything in one cell) degrade toward all-pairs, which is a
+    property of the algorithm, not the plan — production deployments
+    size ``n_clusters`` ~ sqrt(corpus) to bound cells.
+    """
+    cents = df.filter(F.col(id_col) < n_clusters).select(
+        F.col(id_col).alias("cid"), unit(F.col(vec_col)).alias("__cent")
+    )
+    scored = (
+        fan_out(df)
+        .select(F.col(id_col).alias("id"), unit(F.col(vec_col)).alias("__v"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "id",
+            "__v",
+            "cid",
+            _dot_unit(F.col("__v"), F.col("__cent")).alias("__csim"),
+        )
+    )
+    asn = scored.groupBy("id").agg(
+        F.max_by(
+            F.col("cid"), F.struct(F.col("__csim"), (-F.col("cid")).alias("t"))
+        ).alias("cid"),
+        F.first("__v").alias("__v"),  # identical across the k rows
+    )
+    a, b = asn.alias("a"), asn.alias("b")
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(
+            _dot_unit(F.col("a.__v"), F.col("b.__v")) >= F.lit(threshold)
+        )
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        asn.join(dups, "id", "left")
+        .select(
+            F.col("id"),
+            F.col("cid").cast("bigint").alias("cluster_id"),
+            F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
+        )
+    )

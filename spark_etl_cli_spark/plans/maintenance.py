@@ -190,3 +190,61 @@ def q102_data_quality_audit(spark, sf_dir):
         foreign_keys=[("l_orderkey", o, "o_orderkey")],
     )
     return order_audit.unionByName(li_audit)
+
+
+# --- q128: mergeable partial-aggregate states (incremental rollup) -------
+# The incremental-pipeline primitive: yesterday's partials + today's
+# partials merge into the exact full-history aggregate, because every
+# state is algebraic (sum/count/min/max merge by sum/sum/min/max —
+# averages only at finalize). Here the "increments" are the two
+# o_orderkey parity slices of orders; the oracle is the direct
+# one-shot aggregate, so a green row PROVES merge(partial(A),
+# partial(B)) == aggregate(A union B) — the property that lets a 100 TB
+# history roll forward daily without ever rescanning it.
+#
+# Both aggregation levels are codegen hash-aggs with map-side partial
+# aggregation; money sums stay DECIMAL(18,4) end-to-end (exact,
+# associative — the reason the merged double equals the one-shot
+# double bit-for-bit) and only finalize to DOUBLE.
+@query(
+    "q128_state_merge_rollup",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(*) AS avg_price,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders GROUP BY 1
+    """,
+)
+def q128_state_merge_rollup(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.pmod(F.col("o_orderkey"), F.lit(2)).alias("increment"),
+        F.col("o_totalprice"),
+    )
+    partials = o.groupBy("increment", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("s_count"),
+        F.sum(F.col("o_totalprice").cast(T.DecimalType(18, 4))).alias("s_sum"),
+        F.min("o_totalprice").alias("s_min"),
+        F.max("o_totalprice").alias("s_max"),
+    )
+    merged = partials.groupBy("o_orderpriority").agg(
+        F.sum("s_count").cast("bigint").alias("n_orders"),
+        F.sum("s_sum").alias("m_sum"),
+        F.min("s_min").alias("m_min"),
+        F.max("s_max").alias("m_max"),
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("m_sum").cast("double").alias("total_price"),
+        (F.col("m_sum").cast("double") / F.col("n_orders")).alias("avg_price"),
+        F.col("m_min").cast("double").alias("min_price"),
+        F.col("m_max").cast("double").alias("max_price"),
+    )

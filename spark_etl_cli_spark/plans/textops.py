@@ -610,3 +610,136 @@ def q97_sequence_packing(spark, sf_dir):
         F.sum("ntok").cast("bigint").alias("seq_tokens"),
         F.min("doc_id").cast("bigint").alias("first_doc"),
     )
+
+
+# --- q126: within-document repetition signals ----------------------------
+# The Gopher-style repetition gates (Rae et al. 2021 §A1.1) rephrased
+# for a whitespace corpus: distinct-token ratio, the fraction of
+# bigram instances taken by the single most frequent bigram, and the
+# fraction of trigram instances whose trigram occurs more than once in
+# the document. High repetition => machine-generated / boilerplate.
+#
+# Shape: one ordered n-gram construction per size (a per-row HOF
+# projection; n-grams must preserve order and multiplicity, so
+# word_shingles' distinct is NOT reused), explode, then two-level
+# codegen hash-aggs on (doc_id, gram) -> doc_id with map-side partial
+# aggregation — the exchanges carry per-doc gram histograms, not raw
+# grams. Ratios are double divisions of exact BIGINTs.
+def _sql_grams(n: int) -> str:
+    joined = " || ' ' || ".join(f"tk[i+{j}]" for j in range(n))
+    return (
+        f"list_transform(generate_series(1, greatest(len(tk) - {n - 1}, 0)),"
+        f" i -> {joined})"
+    )
+
+
+def _spark_grams(tk, n: int):
+    return F.when(
+        F.size(tk) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@query(
+    "q126_repetition_signals",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
+    tok AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct
+      FROM tk
+    ),
+    bi AS (
+      SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest({_sql_grams(2)}) AS g FROM tk)
+      GROUP BY 1, 2
+    ),
+    bid AS (
+      SELECT doc_id, MAX(c) AS top_bi, SUM(c) AS n_bi FROM bi GROUP BY 1
+    ),
+    tri AS (
+      SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest({_sql_grams(3)}) AS g FROM tk)
+      GROUP BY 1, 2
+    ),
+    trid AS (
+      SELECT doc_id,
+             SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_tri,
+             SUM(c) AS n_tri
+      FROM tri GROUP BY 1
+    )
+    SELECT t.doc_id,
+           t.n_tokens,
+           CAST(t.n_distinct AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)
+             AS distinct_ratio,
+           CAST(COALESCE(b.top_bi, 0) AS DOUBLE)
+             / CAST(GREATEST(COALESCE(b.n_bi, 0), 1) AS DOUBLE)
+             AS top_bigram_frac,
+           CAST(COALESCE(r.dup_tri, 0) AS DOUBLE)
+             / CAST(GREATEST(COALESCE(r.n_tri, 0), 1) AS DOUBLE)
+             AS dup_trigram_frac
+    FROM tok t
+    LEFT JOIN bid b USING (doc_id)
+    LEFT JOIN trid r USING (doc_id)
+    """,
+)
+def q126_repetition_signals(spark, sf_dir):
+    from spark_etl_cli_spark.functions.text import tokens
+
+    d = fan_out(t(spark, sf_dir, "documents"))
+    tk = d.select("doc_id", tokens(F.col("text")).alias("tk"))
+    tok = tk.select(
+        "doc_id",
+        F.size("tk").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("tk")).cast("bigint").alias("n_distinct"),
+    )
+
+    def gram_stats(n: int, aggs):
+        return (
+            tk.select(
+                "doc_id", F.explode(_spark_grams(F.col("tk"), n)).alias("g")
+            )
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .groupBy("doc_id")
+            .agg(*aggs)
+        )
+
+    bid = gram_stats(
+        2, [F.max("c").alias("top_bi"), F.sum("c").alias("n_bi")]
+    )
+    trid = gram_stats(
+        3,
+        [
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+                "dup_tri"
+            ),
+            F.sum("c").alias("n_tri"),
+        ],
+    )
+    return (
+        tok.join(bid, "doc_id", "left")
+        .join(trid, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("n_distinct").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("distinct_ratio"),
+            (
+                F.coalesce(F.col("top_bi"), F.lit(0)).cast("double")
+                / F.greatest(F.coalesce(F.col("n_bi"), F.lit(0)), F.lit(1))
+                .cast("double")
+            ).alias("top_bigram_frac"),
+            (
+                F.coalesce(F.col("dup_tri"), F.lit(0)).cast("double")
+                / F.greatest(F.coalesce(F.col("n_tri"), F.lit(0)), F.lit(1))
+                .cast("double")
+            ).alias("dup_trigram_frac"),
+        )
+    )

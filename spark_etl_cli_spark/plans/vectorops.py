@@ -387,3 +387,41 @@ def q119_kmeans_lloyd(spark, sf_dir):
 
     e = t(spark, sf_dir, "embeddings")
     return kmeans_lloyd(e, k=8, iters=2)
+
+
+# --- q127: SemDeDup cluster-scoped embedding dedup -----------------------
+# The scale answer to q42's global near-dup pass: cluster first
+# (deterministic lowest-id coarse quantizer, as q46), compare only
+# within a cluster, mark every vector that has a lower-id clustermate
+# within the cosine threshold. The oracle replays assignment, pair
+# generation, and verdict — the entire approximate algorithm, not just
+# the output shape.
+@query(
+    "q127_semantic_dedup",
+    oracle=f"""
+    WITH cents AS (SELECT vec_id AS cid, {_sql_unit("embedding")} AS cent
+                   FROM embeddings WHERE vec_id < 16),
+         corpus AS (SELECT vec_id AS id, {_sql_unit("embedding")} AS v
+                    FROM embeddings),
+         asn AS (
+           SELECT id, v, cid FROM (
+             SELECT id, v, cid, ROW_NUMBER() OVER (
+               PARTITION BY id ORDER BY {_sql_dotn("v", "cent")} DESC, cid) AS cr
+             FROM corpus CROSS JOIN cents) WHERE cr <= 1
+         ),
+         dups AS (
+           SELECT DISTINCT b.id
+           FROM asn a JOIN asn b ON a.cid = b.cid AND a.id < b.id
+           WHERE {_sql_dotn("a.v", "b.v")} >= 0.3
+         )
+    SELECT a.id AS vec_id, CAST(a.cid AS BIGINT) AS cluster_id,
+           (d.id IS NOT NULL) AS is_dup
+    FROM asn a LEFT JOIN dups d ON a.id = d.id
+    """,
+)
+def q127_semantic_dedup(spark, sf_dir):
+    from spark_etl_cli_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        t(spark, sf_dir, "embeddings"), threshold=0.3, n_clusters=16
+    ).withColumnRenamed("id", "vec_id")

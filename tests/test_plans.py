@@ -254,3 +254,52 @@ def test_q122_lateral_decorrelates_to_hash_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def _unique_exchanges(plan: str, key: str) -> int:
+    # AQE's toString prints the Final Plan followed by the Initial
+    # Plan; count exchanges in the final section only
+    final = plan.split("== Initial Plan ==")[0]
+    return sum(
+        1
+        for line in final.splitlines()
+        if "Exchange hashpartitioning(" + key in line and "Reused" not in line
+    )
+
+
+def test_q124_funnel_single_user_exchange(spark):
+    # three stacked step-window mins + the per-user reduction must all
+    # ride ONE user_id exchange — the single-shuffle funnel shape
+    plan = plan_of(spark, "q124_funnel_conversion", execute=True)
+    assert _unique_exchanges(plan, "user_id") == 1
+    assert plan.count("Window") >= 3
+
+
+def test_q125_retention_partial_aggs(spark):
+    plan = plan_of(spark, "q125_retention_cohorts", execute=True)
+    # first-event agg and the cohort-cell rollup both combine map-side
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q126_repetition_no_python(spark):
+    plan = plan_of(spark, "q126_repetition_signals", execute=True)
+    # pure built-in pipeline: no Python evaluation anywhere
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_q127_semantic_dedup_broadcasts_centroids(spark):
+    plan = plan_of(spark, "q127_semantic_dedup", execute=True)
+    # the only nested-loop join is the centroid broadcast (k rows);
+    # cluster-scoped pair generation must be a hash/merge equi-join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_q128_state_merge_two_codegen_agg_levels(spark):
+    plan = plan_of(spark, "q128_state_merge_rollup", execute=True)
+    # both levels are hash aggregates with map-side combine; decimal
+    # sums keep the merge exact
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") >= 4
