@@ -241,3 +241,46 @@ def test_star_components_disjoint_cliques(spark):
     assert set(out.values()) == {0, 100, 200}
     for node, comp in out.items():
         assert comp == (node // 100) * 100
+
+
+def test_semantic_dedup_marks_lower_id_survivor(spark):
+    from spark_etl_cli_spark.operators.similarity import semantic_dedup
+
+    # centroids = ids 0,1 (x-axis, y-axis); ids 2,3 near x, id 4 near y
+    vecs = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0]),
+            Row(vec_id=1, embedding=[0.0, 1.0]),
+            Row(vec_id=2, embedding=[0.99, 0.01]),
+            Row(vec_id=3, embedding=[0.98, 0.02]),
+            Row(vec_id=4, embedding=[0.01, 0.99]),
+        ]
+    )
+    out = {
+        r.id: (r.cluster_id, r.is_dup)
+        for r in semantic_dedup(vecs, threshold=0.9, n_clusters=2).collect()
+    }
+    # cluster 0 holds {0, 2, 3}: 0 survives, 2 and 3 are dups of it
+    assert out[0] == (0, False)
+    assert out[2] == (0, True) and out[3] == (0, True)
+    # cluster 1 holds {1, 4}: 1 survives, 4 dups
+    assert out[1] == (1, False) and out[4] == (1, True)
+    # cross-cluster near-orthogonal vectors never compared
+    assert len(out) == 5
+
+
+def test_semantic_dedup_threshold_gates_pairs(spark):
+    from spark_etl_cli_spark.operators.similarity import semantic_dedup
+
+    vecs = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0]),
+            Row(vec_id=1, embedding=[0.0, 1.0]),
+            Row(vec_id=5, embedding=[0.8, 0.6]),  # cos 0.8 to centroid 0
+        ]
+    )
+    out = {
+        r.id: r.is_dup
+        for r in semantic_dedup(vecs, threshold=0.99, n_clusters=2).collect()
+    }
+    assert out[5] is False  # within cluster but below threshold
