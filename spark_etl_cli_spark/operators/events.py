@@ -1,0 +1,115 @@
+"""Event-stream analytics operators: ordered funnels, retention cohorts.
+
+Generalizations of the q124/q125 plan shapes (plans/eventops.py) into
+reusable operators with URI-transform surfaces (operators/transforms.py).
+Scale shapes:
+
+- :func:`funnel_steps` — ONE exchange on the user key shared by all
+  step windows and the per-user reduction; the rollup is an
+  n-steps-row aggregate.
+- :func:`retention_cohorts` — first-event aggregation + cohort-cell
+  distinct, both with map-side partial aggregation; the user-key join
+  broadcasts when the user dimension is small and co-partitions with
+  the first aggregation's exchange otherwise (AQE decides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# a Monday; (d - EPOCH_MONDAY) % 7 is the weekday index in any engine
+EPOCH_MONDAY = "1970-01-05"
+
+
+def funnel_steps(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel: each step's event strictly after the previous.
+
+    Returns one row per step: (step, step_idx, n_users, conv_rate)
+    where conv_rate is relative to step 1. A user counts for step k
+    only if their earliest step-k event is strictly later than their
+    earliest *qualifying* step-(k-1) event — the textbook ordered
+    funnel, not independent per-type counts.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    w = Window.partitionBy(user_col)
+    cur = df.select(user_col, type_col, ts_col)
+    prev_col = None
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == step
+        if prev_col is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev_col))
+        col = f"__s{i}"
+        cur = cur.withColumn(col, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev_col = col
+    per_user = cur.groupBy(user_col).agg(
+        *[F.max(f"__s{i}").alias(f"__s{i}") for i in range(len(steps))]
+    )
+    counts = per_user.agg(
+        *[
+            F.count(f"__s{i}").cast("bigint").alias(f"__n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(step).alias("step"),
+                F.lit(i + 1).cast("bigint").alias("step_idx"),
+                F.col(f"__n{i}").alias("n_users"),
+            )
+            for i, step in enumerate(steps)
+        ]
+    )
+    return counts.select(F.col("__n0"), F.explode(rows).alias("s")).select(
+        "s.step",
+        "s.step_idx",
+        "s.n_users",
+        (F.col("s.n_users").cast("double") / F.col("__n0").cast("double")).alias(
+            "conv_rate"
+        ),
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(cohort_week, week_offset, n_active) distinct-user retention matrix.
+
+    cohort_week is the Monday of the week of the user's first event,
+    computed with plain day arithmetic from the 1970-01-05 epoch Monday
+    (no ``date_trunc('week')`` — week-start conventions differ across
+    engines/locales; integer arithmetic doesn't).
+    """
+    ev = df.select(user_col, F.col(ts_col).cast("date").alias("__d"))
+    monday = F.lit(EPOCH_MONDAY).cast("date")
+    first = ev.groupBy(user_col).agg(F.min("__d").alias("__cd"))
+    cohorts = first.select(
+        user_col,
+        F.date_sub(
+            F.col("__cd"), F.pmod(F.datediff(F.col("__cd"), monday), F.lit(7))
+        ).alias("cohort_week"),
+    )
+    cells = (
+        ev.join(cohorts, user_col)
+        .select(
+            "cohort_week",
+            F.floor(F.datediff(F.col("__d"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+            user_col,
+        )
+        .distinct()
+    )
+    return cells.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active")
+    )

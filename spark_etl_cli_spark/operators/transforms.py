@@ -100,6 +100,16 @@ def dedup_transform(p: ParsedUri) -> TransformFn:
             )
         if mode == "simhash":
             return D.simhash(df, text_col, id_col)
+        if mode == "semdedup":
+            from spark_etl_cli_spark.operators.similarity import semantic_dedup
+
+            return semantic_dedup(
+                df,
+                threshold=float(p.params.get("threshold", "0.95")),
+                id_col=p.params.get("id-col", "vec_id"),
+                vec_col=p.params.get("vec-col", "embedding"),
+                n_clusters=int(p.params.get("clusters", "16")),
+            )
         raise ValueError(f"unknown dedup mode {mode!r}")
 
     return run
@@ -846,5 +856,46 @@ def watermark_transform(p: ParsedUri) -> TransformFn:
         from spark_etl_cli_spark.sources.base import apply_watermark
 
         return apply_watermark(df, spec)
+
+    return run
+
+
+@register_transform("funnel")
+def funnel_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+funnel://?steps=view,click,purchase&user-col=u&ts-col=ts``.
+
+    Ordered funnel conversion over an event view (operators/events.py):
+    one row per step with user counts and conversion rate vs step 1.
+    Step k counts a user only when their earliest step-k event falls
+    strictly after their earliest qualifying step-(k-1) event.
+    """
+    steps = _csv_param(p, "steps")
+    user_col = p.params.get("user-col", "user_id")
+    type_col = p.params.get("type-col", "event_type")
+    ts_col = p.params.get("ts-col", "ts")
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators.events import funnel_steps
+
+        return funnel_steps(df, steps, user_col, type_col, ts_col)
+
+    return run
+
+
+@register_transform("retention")
+def retention_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+retention://?user-col=user_id&ts-col=ts``.
+
+    Weekly retention cohort matrix (operators/events.py): cohort =
+    Monday of the user's first-event week, one row per (cohort_week,
+    week_offset) with distinct active users.
+    """
+    user_col = p.params.get("user-col", "user_id")
+    ts_col = p.params.get("ts-col", "ts")
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators.events import retention_cohorts
+
+        return retention_cohorts(df, user_col, ts_col)
 
     return run

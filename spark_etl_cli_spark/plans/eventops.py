@@ -27,10 +27,7 @@ engines regardless of locale/week-start conventions.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
-from pyspark.sql import functions as F
-
-from spark_etl_cli_spark.plans.registry import bcount, events, query
+from spark_etl_cli_spark.plans.registry import events, query
 
 # --- q124: ordered funnel conversion --------------------------------------
 # Step k counts a user only if their earliest step-k event is strictly
@@ -68,69 +65,14 @@ from spark_etl_cli_spark.plans.registry import bcount, events, query
     """,
 )
 def q124_funnel_conversion(spark, sf_dir):
-    ev = events(spark, sf_dir).select("user_id", "event_type", "ts")
-    w = Window.partitionBy("user_id")
-    # Three stacked projections over ONE partitioning: each step's
-    # window min references the previous step's column, and Catalyst
-    # reuses the user_id Exchange across all three Window operators.
-    v_ts = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
-    step1 = ev.withColumn("v_ts", v_ts)
-    c_ts = F.min(
-        F.when(
-            (F.col("event_type") == "click") & (F.col("ts") > F.col("v_ts")),
-            F.col("ts"),
-        )
-    ).over(w)
-    step2 = step1.withColumn("c_ts", c_ts)
-    p_ts = F.min(
-        F.when(
-            (F.col("event_type") == "purchase")
-            & (F.col("ts") > F.col("c_ts")),
-            F.col("ts"),
-        )
-    ).over(w)
-    per_user = (
-        step2.withColumn("p_ts", p_ts)
-        .groupBy("user_id")
-        .agg(
-            F.max("v_ts").alias("v_ts"),
-            F.max("c_ts").alias("c_ts"),
-            F.max("p_ts").alias("p_ts"),
-        )
-    )
-    counts = per_user.agg(
-        F.count("v_ts").cast("bigint").alias("n_view"),
-        F.count("c_ts").cast("bigint").alias("n_click"),
-        F.count("p_ts").cast("bigint").alias("n_purchase"),
-    )
-    steps = F.array(
-        F.struct(
-            F.lit("view").alias("step"),
-            F.lit(1).cast("bigint").alias("step_idx"),
-            F.col("n_view").alias("n_users"),
-        ),
-        F.struct(
-            F.lit("click").alias("step"),
-            F.lit(2).cast("bigint").alias("step_idx"),
-            F.col("n_click").alias("n_users"),
-        ),
-        F.struct(
-            F.lit("purchase").alias("step"),
-            F.lit(3).cast("bigint").alias("step_idx"),
-            F.col("n_purchase").alias("n_users"),
-        ),
-    )
-    return (
-        counts.select(F.col("n_view"), F.explode(steps).alias("s"))
-        .select(
-            "s.step",
-            "s.step_idx",
-            "s.n_users",
-            (
-                F.col("s.n_users").cast("double")
-                / F.col("n_view").cast("double")
-            ).alias("conv_rate"),
-        )
+    from spark_etl_cli_spark.operators.events import funnel_steps
+
+    # Stacked step-window mins over ONE user_id partitioning: each
+    # step's window references the previous step's column, and Catalyst
+    # reuses the single Exchange across all step Windows (operator
+    # docstring + test_plans gate).
+    return funnel_steps(
+        events(spark, sf_dir), steps=["view", "click", "purchase"]
     )
 
 
@@ -169,30 +111,9 @@ _EPOCH_MONDAY = "1970-01-05"
     """,
 )
 def q125_retention_cohorts(spark, sf_dir):
-    ev = events(spark, sf_dir).select(
-        "user_id", F.col("ts").cast("date").alias("d")
-    )
-    monday_epoch = F.lit(_EPOCH_MONDAY).cast("date")
-    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
-    cohorts = first.select(
-        "user_id",
-        F.date_sub(
-            F.col("cohort_date"),
-            F.pmod(F.datediff(F.col("cohort_date"), monday_epoch), F.lit(7)),
-        ).alias("cohort_week"),
-    )
-    # user_id join is co-partitioned with the first-event exchange; the
-    # distinct's partial aggregation collapses per-user repeat activity
-    # map-side before the (cohort, offset) rollup.
-    cells = (
-        ev.join(cohorts, "user_id")
-        .select(
-            "cohort_week",
-            F.floor(F.datediff(F.col("d"), F.col("cohort_week")) / 7)
-            .cast("bigint")
-            .alias("week_offset"),
-            "user_id",
-        )
-        .distinct()
-    )
-    return cells.groupBy("cohort_week", "week_offset").agg(bcount("n_active"))
+    from spark_etl_cli_spark.operators.events import retention_cohorts
+
+    # The user_id join co-partitions with the first-event exchange (or
+    # broadcasts when the user dim is small — AQE decides); the cell
+    # distinct collapses per-user repeat activity map-side.
+    return retention_cohorts(events(spark, sf_dir))

@@ -175,3 +175,67 @@ def test_registry_fetch_latest_rest_contract():
         assert sid == 7 and got == schema
     finally:
         srv.shutdown()
+
+
+def test_funnel_transform(spark):
+    from datetime import datetime as DT
+
+    spark.createDataFrame(
+        [
+            Row(user_id=1, event_type="view", ts=DT(2024, 1, 1, 10)),
+            Row(user_id=1, event_type="click", ts=DT(2024, 1, 1, 11)),
+            Row(user_id=1, event_type="purchase", ts=DT(2024, 1, 1, 12)),
+            # user 2 clicked BEFORE viewing: not an ordered conversion
+            Row(user_id=2, event_type="click", ts=DT(2024, 1, 1, 9)),
+            Row(user_id=2, event_type="view", ts=DT(2024, 1, 1, 10)),
+        ]
+    ).createOrReplaceTempView("nd_ev")
+    run_pipeline(
+        spark,
+        sources=["nd_ev+view://nd_ev"],
+        transforms=["nd_ev+nd_fn+funnel://?steps=view,click,purchase"],
+        sinks=["nd_fn+memory://nd_funnel"],
+    )
+    out = {r.step: r.n_users for r in spark.table("nd_funnel").collect()}
+    assert out == {"view": 2, "click": 1, "purchase": 1}
+
+
+def test_retention_transform(spark):
+    from datetime import datetime as DT
+
+    spark.createDataFrame(
+        [
+            Row(user_id=1, ts=DT(2024, 1, 1)),   # Monday — cohort week
+            Row(user_id=1, ts=DT(2024, 1, 10)),  # next week → offset 1
+            Row(user_id=2, ts=DT(2024, 1, 3)),   # same cohort week
+        ]
+    ).createOrReplaceTempView("nd_ret_ev")
+    run_pipeline(
+        spark,
+        sources=["nd_ret_ev+view://nd_ret_ev"],
+        transforms=["nd_ret_ev+nd_rt+retention://"],
+        sinks=["nd_rt+memory://nd_ret"],
+    )
+    rows = {
+        (r.cohort_week.isoformat(), r.week_offset): r.n_active
+        for r in spark.table("nd_ret").collect()
+    }
+    assert rows == {("2024-01-01", 0): 2, ("2024-01-01", 1): 1}
+
+
+def test_dedup_transform_semdedup(spark):
+    spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0]),
+            Row(vec_id=1, embedding=[0.0, 1.0]),
+            Row(vec_id=2, embedding=[0.99, 0.01]),
+        ]
+    ).createOrReplaceTempView("nd_vecs")
+    run_pipeline(
+        spark,
+        sources=["nd_vecs+view://nd_vecs"],
+        transforms=["nd_vecs+nd_sd+dedup://?mode=semdedup&threshold=0.9&clusters=2"],
+        sinks=["nd_sd+memory://nd_semdedup"],
+    )
+    out = {r.id: r.is_dup for r in spark.table("nd_semdedup").collect()}
+    assert out == {0: False, 1: False, 2: True}
