@@ -8,8 +8,10 @@ and ``metaData`` (schema + partition columns). Replaying the log yields
 the current snapshot's file list — which plain ``spark.read.parquet``
 can then scan. That makes ``delta://`` READS work without the
 delta-spark jars (mirroring the stdlib SpreadsheetML fallback of the
-excel connector, sources/xlsx_lite.py); writes still need the real
-commit protocol and stay gated.
+excel connector, sources/xlsx_lite.py). BATCH WRITES work engine-free
+too (:func:`write_delta_lite`: parquet data files + a JSON commit with
+add/remove actions, O_EXCL version reservation); streaming writes
+still need delta-spark's LogStore for exactly-once semantics.
 
 Supported: JSON commits, ``_last_checkpoint`` + single-file parquet
 checkpoints, partition columns (restored from ``partitionValues`` with
@@ -139,7 +141,13 @@ def read_delta_lite(
             os.path.join(table_path, a["path"])
         )
     parts: list[DataFrame] = []
-    for key, paths in sorted(groups.items()):
+    # nulls-last deterministic order; plain sorted() throws on a None
+    # partition value (NULL partitions are legal in the protocol)
+    ordered = sorted(
+        groups.items(),
+        key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
+    )
+    for key, paths in ordered:
         df = spark.read.schema(data_schema).parquet(*paths)
         for col, raw in zip(part_cols, key):
             typ = full_schema[col].dataType
@@ -153,3 +161,165 @@ def read_delta_lite(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --- engine-free WRITER ---------------------------------------------------
+# The commit side of the same public protocol: write the data files as
+# plain parquet, then append one JSON commit whose add/remove actions
+# describe the change. Good for single-writer local/posix use — the
+# version-reservation uses O_CREAT|O_EXCL, which is atomic on POSIX but
+# is NOT the multi-writer LogStore protocol real Delta uses on object
+# stores; concurrent writers on S3-like storage still need delta-spark.
+
+
+def _next_version(log_dir: str) -> int:
+    versions = [
+        int(f[:20])
+        for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[:20].isdigit()
+    ]
+    return (max(versions) + 1) if versions else 0
+
+
+def _collect_written_files(
+    tmp_dir: str, table_path: str, part_cols: list[str]
+) -> list[dict]:
+    """Move parquet files written under ``tmp_dir`` into the table dir
+    (keeping partition subdirs) and return their add actions."""
+    import shutil
+    import uuid
+    from urllib.parse import quote
+
+    adds: list[dict] = []
+    for root, _dirs, files in os.walk(tmp_dir):
+        rel_dir = os.path.relpath(root, tmp_dir)
+        segs = [] if rel_dir == "." else rel_dir.split(os.sep)
+        pvals: dict[str, str | None] = {}
+        for seg in segs:
+            if "=" not in seg:
+                continue
+            k, v = seg.split("=", 1)
+            pvals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+        for fname in files:
+            if not fname.endswith(".parquet") or fname.startswith("_"):
+                continue
+            new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
+            rel_path = os.path.join(*segs, new_name) if segs else new_name
+            dst = os.path.join(table_path, rel_path)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.move(os.path.join(root, fname), dst)
+            # the log stores RFC 2396 URL-encoded relative paths
+            log_path = "/".join(
+                quote(s, safe="=") if "=" in s else quote(s)
+                for s in rel_path.split(os.sep)
+            )
+            adds.append(
+                {
+                    "path": log_path,
+                    "partitionValues": {c: pvals.get(c) for c in part_cols},
+                    "size": os.path.getsize(dst),
+                    "modificationTime": int(os.path.getmtime(dst) * 1000),
+                    "dataChange": True,
+                }
+            )
+    return adds
+
+
+def write_delta_lite(
+    df: DataFrame,
+    table_path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Engine-free Delta write: parquet data files + one JSON commit.
+
+    ``mode`` is ``append`` or ``overwrite`` (overwrite removes every
+    active file in the same commit — the protocol's atomic
+    replace-table shape). Creating a new table writes the protocol +
+    metaData actions in commit 0; appends to an existing table reuse
+    its schema's partition columns (``partition_by`` must match).
+    """
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    spark = df.sparkSession
+    log_dir = _log_dir(table_path)
+    exists = os.path.isdir(log_dir)
+    meta = None
+    removes: list[dict] = []
+    if exists:
+        active, meta = _replay(spark, table_path)
+        part_cols = meta.get("partitionColumns") or []
+        if partition_by and list(partition_by) != list(part_cols):
+            raise ValueError(
+                f"partition_by={partition_by} != table partitioning {part_cols}"
+            )
+        if mode == "overwrite":
+            removes = [a["path"] for a in active]
+    else:
+        part_cols = list(partition_by or [])
+
+    tmp_dir = tempfile.mkdtemp(prefix="delta_lite_write_")
+    try:
+        writer = df.write.mode("overwrite")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(tmp_dir)
+        os.makedirs(table_path, exist_ok=True)
+        adds = _collect_written_files(tmp_dir, table_path, part_cols)
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = []
+    if not exists:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": df.schema.json(),
+                    "partitionColumns": part_cols,
+                    "configuration": {},
+                    "createdTime": now_ms,
+                }
+            }
+        )
+    from urllib.parse import quote
+
+    for path in removes:
+        actions.append(
+            {
+                "remove": {
+                    "path": quote(path, safe="/="),
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    for add in adds:
+        actions.append({"add": add})
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "WRITE",
+                "operationParameters": {"mode": mode.upper()},
+            }
+        }
+    )
+
+    os.makedirs(log_dir, exist_ok=True)
+    version = _next_version(log_dir) if exists else 0
+    commit_path = os.path.join(log_dir, f"{version:020d}.json")
+    # O_EXCL: the commit either claims this version or fails loudly —
+    # never silently overwrites a concurrent writer's commit
+    fd = os.open(commit_path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+    with os.fdopen(fd, "w") as fh:
+        for action in actions:
+            fh.write(json.dumps(action) + "\n")

@@ -100,6 +100,27 @@ class DeltaSink:
 
     def write(self, df: DataFrame) -> bool:
         if not _has_delta(df.sparkSession):
+            # no delta-spark: batch writes go through the engine-free
+            # protocol writer (sources/delta_lite.py) — parquet data
+            # files + a JSON commit. Streaming still needs the jars
+            # (exactly-once sinks require the real LogStore).
+            if not df.isStreaming:
+                from spark_etl_cli_spark.sources.delta_lite import (
+                    write_delta_lite,
+                )
+
+                mode = self.uri.params.get(
+                    "mode", self.uri.params.get("write-mode", "append")
+                )
+                parts = [
+                    c
+                    for c in self.uri.params.get("partitionCols", "").split(",")
+                    if c
+                ]
+                write_delta_lite(
+                    df, self.uri.path, mode=mode, partition_by=parts or None
+                )
+                return True
             raise MissingDependencyError("delta", "delta-spark jars on the classpath")
         if df.isStreaming:
             # Pre-create the table so downstream readers see a schema

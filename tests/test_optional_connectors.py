@@ -69,13 +69,20 @@ def test_excel_pipeline_works_without_engine(spark, tmp_path):
     assert read_xlsx(f"{tmp_path}/out.xlsx") == (["a"], [[1]])
 
 
-def test_delta_without_jars_raises_clearly(spark, tmp_path):
-    with pytest.raises(MissingDependencyError, match="delta"):
-        run_pipeline(
-            spark,
-            sources=["v+values://?header=a:int&values=1"],
-            sinks=[f"v+delta://{tmp_path}/dt"],
-        )
+def test_delta_batch_write_works_engine_free(spark, tmp_path):
+    # batch writes fall back to the protocol writer (delta_lite); only
+    # STREAMING delta sinks still require the jars (real LogStore)
+    run_pipeline(
+        spark,
+        sources=["v+values://?header=a:int&values=1;2"],
+        sinks=[f"v+delta://{tmp_path}/dt"],
+    )
+    run_pipeline(
+        spark,
+        sources=[f"d+delta://{tmp_path}/dt"],
+        sinks=["d+memory://dt_roundtrip"],
+    )
+    assert sorted(r.a for r in spark.table("dt_roundtrip").collect()) == [1, 2]
 
 
 def test_kafka_without_jars_raises_clearly(spark):
@@ -301,3 +308,73 @@ def test_excel_sink_appends_across_micro_batches(spark, tmp_path):
     sink._write_batch(b2, append=False)
     _, rows = read_xlsx(path)
     assert [tuple(r) for r in rows] == [(2, "b")]
+
+
+def test_delta_lite_write_append_overwrite_roundtrip(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from spark_etl_cli_spark.sources.delta_lite import (
+        read_delta_lite,
+        write_delta_lite,
+    )
+
+    table = f"{tmp_path}/dlw"
+    df1 = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")])
+    write_delta_lite(df1, table, mode="append")
+    df2 = spark.createDataFrame([Row(k=3, v="c")])
+    write_delta_lite(df2, table, mode="append")
+    got = {(r.k, r.v) for r in read_delta_lite(spark, table).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+    # time travel still sees the first commit alone
+    v0 = {(r.k, r.v) for r in read_delta_lite(spark, table, 0).collect()}
+    assert v0 == {(1, "a"), (2, "b")}
+    # overwrite removes every active file in one commit
+    df3 = spark.createDataFrame([Row(k=9, v="z")])
+    write_delta_lite(df3, table, mode="overwrite")
+    got = {(r.k, r.v) for r in read_delta_lite(spark, table).collect()}
+    assert got == {(9, "z")}
+
+
+def test_delta_lite_write_partitioned(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from spark_etl_cli_spark.sources.delta_lite import (
+        read_delta_lite,
+        write_delta_lite,
+    )
+
+    table = f"{tmp_path}/dlp"
+    df = spark.createDataFrame(
+        [Row(k=1, part="a b"), Row(k=2, part="c=d"), Row(k=3, part=None)]
+    )
+    write_delta_lite(df, table, mode="append", partition_by=["part"])
+    got = {(r.k, r.part) for r in read_delta_lite(spark, table).collect()}
+    assert got == {(1, "a b"), (2, "c=d"), (3, None)}
+    # mismatched partitioning on append is refused
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="partition_by"):
+        write_delta_lite(df, table, mode="append", partition_by=["k"])
+
+
+def test_delta_lite_write_commit_is_protocol_shaped(spark, tmp_path):
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import Row
+
+    from spark_etl_cli_spark.sources.delta_lite import write_delta_lite
+
+    table = f"{tmp_path}/dls"
+    write_delta_lite(spark.createDataFrame([Row(a=1)]), table)
+    log = f"{table}/_delta_log/{0:020d}.json"
+    actions = [
+        _json.loads(line) for line in open(log) if line.strip()
+    ]
+    kinds = [next(iter(a)) for a in actions]
+    assert kinds[0] == "protocol" and "metaData" in kinds and "add" in kinds
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    assert meta["format"]["provider"] == "parquet"
+    add = next(a["add"] for a in actions if "add" in a)
+    assert _os.path.exists(f"{table}/{add['path']}")
+    assert add["dataChange"] is True and add["size"] > 0
