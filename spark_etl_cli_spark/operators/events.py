@@ -68,13 +68,16 @@ def funnel_steps(
             for i, step in enumerate(steps)
         ]
     )
+    # conv_rate is NULL (not an ANSI divide-by-zero) when nobody
+    # reached step 1 — found by the hypothesis reference test
     return counts.select(F.col("__n0"), F.explode(rows).alias("s")).select(
         "s.step",
         "s.step_idx",
         "s.n_users",
-        (F.col("s.n_users").cast("double") / F.col("__n0").cast("double")).alias(
-            "conv_rate"
-        ),
+        F.when(
+            F.col("__n0") > 0,
+            F.col("s.n_users").cast("double") / F.col("__n0").cast("double"),
+        ).alias("conv_rate"),
     )
 
 

@@ -240,3 +240,92 @@ def test_epoch_upsample_total_copies(spark, w):
     }
     expected = sum(base + (1 if buckets[i] < pct else 0) for i in range(40))
     assert epoch_upsample(df, {"s": w}).count() == expected
+
+
+# --- funnel / retention vs pure-Python references ------------------------
+
+funnel_events = st.lists(
+    st.tuples(
+        st.integers(0, 3),                      # user
+        st.sampled_from(["view", "click", "purchase", "noise"]),
+        st.integers(0, 20),                     # ts
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _ref_funnel(rows, steps):
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, et, ts in rows:
+        by_user[u].append((et, ts))
+    counts = [0] * len(steps)
+    for evs in by_user.values():
+        prev = None
+        for i, s in enumerate(steps):
+            cand = [
+                ts
+                for (et, ts) in evs
+                if et == s and (prev is None or ts > prev)
+            ]
+            if not cand:
+                break
+            prev = min(cand)
+            counts[i] += 1
+    return counts
+
+
+@pytest.mark.slow
+@given(rows=funnel_events)
+@SET
+def test_funnel_matches_python_reference(spark, rows):
+    from spark_etl_cli_spark.operators.events import funnel_steps
+
+    steps = ["view", "click", "purchase"]
+    df = spark.createDataFrame(
+        [(u, et, ts) for u, et, ts in rows],
+        "user_id long, event_type string, ts long",
+    )
+    out = {
+        r.step: r.n_users for r in funnel_steps(df, steps).collect()
+    }
+    expected = _ref_funnel(rows, steps)
+    assert [out[s] for s in steps] == expected
+
+
+retention_events = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 27)),  # user, day offset
+    min_size=1,
+    max_size=20,
+)
+
+
+@pytest.mark.slow
+@given(rows=retention_events)
+@SET
+def test_retention_matches_python_reference(spark, rows):
+    import datetime as dt
+    from collections import defaultdict
+
+    from spark_etl_cli_spark.operators.events import retention_cohorts
+
+    base = dt.date(2024, 1, 1)
+    data = [(u, base + dt.timedelta(days=d)) for u, d in rows]
+    df = spark.createDataFrame(data, "user_id long, ts date")
+
+    first = {}
+    for u, d in data:
+        first[u] = min(first.get(u, d), d)
+    epoch_monday = dt.date(1970, 1, 5)
+    expected = defaultdict(set)
+    for u, d in data:
+        cd = first[u]
+        cw = cd - dt.timedelta(days=(cd - epoch_monday).days % 7)
+        expected[(cw, (d - cw).days // 7)].add(u)
+    got = {
+        (r.cohort_week, r.week_offset): r.n_active
+        for r in retention_cohorts(df).collect()
+    }
+    assert got == {k: len(v) for k, v in expected.items()}
