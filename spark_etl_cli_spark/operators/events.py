@@ -22,6 +22,37 @@ from pyspark.sql import functions as F
 EPOCH_MONDAY = "1970-01-05"
 
 
+def funnel_user_times(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One row per user with each step's earliest qualifying timestamp.
+
+    Columns ``__s0..__s{n-1}`` hold the greedy min-chain: step k's
+    earliest event strictly after step k-1's chosen time (NULL once the
+    chain breaks). All step windows and the per-user reduction share
+    ONE ``user_col`` exchange.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    w = Window.partitionBy(user_col)
+    cur = df.select(user_col, type_col, ts_col)
+    prev_col = None
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == step
+        if prev_col is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev_col))
+        col = f"__s{i}"
+        cur = cur.withColumn(col, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev_col = col
+    return cur.groupBy(user_col).agg(
+        *[F.max(f"__s{i}").alias(f"__s{i}") for i in range(len(steps))]
+    )
+
+
 def funnel_steps(
     df: DataFrame,
     steps: list[str],
@@ -37,21 +68,7 @@ def funnel_steps(
     earliest *qualifying* step-(k-1) event — the textbook ordered
     funnel, not independent per-type counts.
     """
-    if not steps:
-        raise ValueError("funnel needs at least one step")
-    w = Window.partitionBy(user_col)
-    cur = df.select(user_col, type_col, ts_col)
-    prev_col = None
-    for i, step in enumerate(steps):
-        cond = F.col(type_col) == step
-        if prev_col is not None:
-            cond = cond & (F.col(ts_col) > F.col(prev_col))
-        col = f"__s{i}"
-        cur = cur.withColumn(col, F.min(F.when(cond, F.col(ts_col))).over(w))
-        prev_col = col
-    per_user = cur.groupBy(user_col).agg(
-        *[F.max(f"__s{i}").alias(f"__s{i}") for i in range(len(steps))]
-    )
+    per_user = funnel_user_times(df, steps, user_col, type_col, ts_col)
     counts = per_user.agg(
         *[
             F.count(f"__s{i}").cast("bigint").alias(f"__n{i}")
@@ -115,4 +132,42 @@ def retention_cohorts(
     )
     return cells.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_active")
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """First-order Markov transition counts between consecutive events.
+
+    Returns (from_type, to_type, n, prob) where prob is row-normalized
+    per from_type. One exchange: the per-user lead window; the
+    (from, to) rollup and the per-from normalization then operate on a
+    |types|²-row frame, so the share window over the aggregate is a
+    dim-sized sort, not a data-path one. Pass ``order_cols`` (e.g. an
+    event id) to break timestamp ties deterministically.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        df.select(
+            user_col,
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    total = F.sum("n").over(Window.partitionBy("from_type"))
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / total.cast("double")).alias("prob"),
     )

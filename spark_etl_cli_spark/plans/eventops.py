@@ -117,3 +117,104 @@ def q125_retention_cohorts(spark, sf_dir):
     # broadcasts when the user dim is small — AQE decides); the cell
     # distinct collapses per-user repeat activity map-side.
     return retention_cohorts(events(spark, sf_dir))
+
+
+# --- q129: first-order event transition matrix ---------------------------
+# The Markov-chain view of the event stream: counts + row-normalized
+# probabilities of consecutive (from -> to) transitions per user,
+# ordered by (ts, event_id) so timestamp ties can't flip the lead.
+@query(
+    "q129_transition_matrix",
+    oracle="""
+    WITH p AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    c AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
+    FROM c
+    """,
+)
+def q129_transition_matrix(spark, sf_dir):
+    from spark_etl_cli_spark.operators.events import transition_matrix
+
+    return transition_matrix(
+        events(spark, sf_dir), order_cols=["event_id"]
+    )
+
+
+# --- q130: funnel time-to-convert statistics ------------------------------
+# Composition of the q124 chain with exact latency stats: for each
+# adjacent step pair, seconds between the chain timestamps —
+# count / mean / min / max, all integer-second arithmetic (epoch
+# BIGINTs; the mean is exact-int-sum / count in DOUBLE), so the values
+# hash-match the oracle bit-for-bit. Same single user_id exchange as
+# q124; the per-pair rollup is a 2-row aggregate.
+@query(
+    "q130_funnel_latency",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS s0 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS s1
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.s0 GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS s2
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.s1 GROUP BY 1
+    ),
+    d AS (
+      SELECT 'view->click' AS hop, CAST(1 AS BIGINT) AS hop_idx,
+             CAST(floor(epoch(c.s1)) - floor(epoch(v.s0)) AS BIGINT) AS dt
+      FROM v JOIN c USING (user_id)
+      UNION ALL
+      SELECT 'click->purchase', CAST(2 AS BIGINT),
+             CAST(floor(epoch(p.s2)) - floor(epoch(c.s1)) AS BIGINT)
+      FROM c JOIN p USING (user_id)
+    )
+    SELECT hop, hop_idx, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(dt) AS DOUBLE) / COUNT(*) AS mean_s,
+           CAST(MIN(dt) AS BIGINT) AS min_s,
+           CAST(MAX(dt) AS BIGINT) AS max_s
+    FROM d GROUP BY 1, 2
+    """,
+)
+def q130_funnel_latency(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from spark_etl_cli_spark.operators.events import funnel_user_times
+
+    steps = ["view", "click", "purchase"]
+    per_user = funnel_user_times(events(spark, sf_dir), steps)
+    hops = []
+    for i in range(len(steps) - 1):
+        dt = (
+            F.unix_timestamp(f"__s{i + 1}") - F.unix_timestamp(f"__s{i}")
+        ).cast("bigint")
+        hops.append(
+            per_user.filter(F.col(f"__s{i + 1}").isNotNull()).select(
+                F.lit(f"{steps[i]}->{steps[i + 1]}").alias("hop"),
+                F.lit(i + 1).cast("bigint").alias("hop_idx"),
+                dt.alias("dt"),
+            )
+        )
+    union = hops[0]
+    for h in hops[1:]:
+        union = union.unionByName(h)
+    return union.groupBy("hop", "hop_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        (F.sum("dt").cast("double") / F.count(F.lit(1))).alias("mean_s"),
+        F.min("dt").cast("bigint").alias("min_s"),
+        F.max("dt").cast("bigint").alias("max_s"),
+    )
