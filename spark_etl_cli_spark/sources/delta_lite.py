@@ -58,7 +58,11 @@ def _read_checkpoint(spark: SparkSession, log_dir: str) -> tuple[int, list[dict]
     for r in rows:
         d = r.asDict(recursive=True)
         if d.get("add"):
-            adds.append(d["add"])
+            # checkpoint paths are RFC 2396 URL-encoded like commit
+            # add actions; decode so remove keys and fs joins agree
+            add = dict(d["add"])
+            add["path"] = unquote(add["path"])
+            adds.append(add)
         if d.get("metaData") and d["metaData"].get("id"):
             meta = d["metaData"]
     return version, adds, meta
@@ -323,3 +327,150 @@ def write_delta_lite(
     with os.fdopen(fd, "w") as fh:
         for action in actions:
             fh.write(json.dumps(action) + "\n")
+    # bound replay cost on long histories: checkpoint every N commits
+    if version > 0 and (version + 1) % CHECKPOINT_INTERVAL == 0:
+        write_checkpoint(spark, table_path)
+
+
+# --- checkpointing --------------------------------------------------------
+# Log replay is O(commits); the protocol bounds it with periodic parquet
+# checkpoints holding the full active state. The writer emits one every
+# ``interval`` commits using the documented single-file checkpoint
+# schema (top-level protocol/metaData/add/remove structs, one action
+# per row) + ``_last_checkpoint``, so the reader's fast path — and real
+# Delta's — resumes from the checkpoint and replays only the tail.
+
+CHECKPOINT_INTERVAL = 10
+
+
+def _checkpoint_schema(_: None = None) -> T.StructType:
+    add_struct = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField(
+                "partitionValues", T.MapType(T.StringType(), T.StringType())
+            ),
+            T.StructField("size", T.LongType()),
+            T.StructField("modificationTime", T.LongType()),
+            T.StructField("dataChange", T.BooleanType()),
+        ]
+    )
+    return T.StructType(
+        [
+            T.StructField(
+                "protocol",
+                T.StructType(
+                    [
+                        T.StructField("minReaderVersion", T.IntegerType()),
+                        T.StructField("minWriterVersion", T.IntegerType()),
+                    ]
+                ),
+            ),
+            T.StructField(
+                "metaData",
+                T.StructType(
+                    [
+                        T.StructField("id", T.StringType()),
+                        T.StructField(
+                            "format",
+                            T.StructType(
+                                [
+                                    T.StructField("provider", T.StringType()),
+                                    T.StructField(
+                                        "options",
+                                        T.MapType(
+                                            T.StringType(), T.StringType()
+                                        ),
+                                    ),
+                                ]
+                            ),
+                        ),
+                        T.StructField("schemaString", T.StringType()),
+                        T.StructField(
+                            "partitionColumns", T.ArrayType(T.StringType())
+                        ),
+                        T.StructField(
+                            "configuration",
+                            T.MapType(T.StringType(), T.StringType()),
+                        ),
+                        T.StructField("createdTime", T.LongType()),
+                    ]
+                ),
+            ),
+            T.StructField("add", add_struct),
+        ]
+    )
+
+
+def write_checkpoint(spark: SparkSession, table_path: str) -> int:
+    """Materialize the current snapshot as a single-file checkpoint.
+
+    Returns the checkpointed version. Subsequent reads replay from it
+    instead of from commit 0.
+    """
+    log_dir = _log_dir(table_path)
+    adds, meta = _replay(spark, table_path)
+    versions = [
+        int(f[:20])
+        for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[:20].isdigit()
+    ]
+    if not versions:
+        raise ValueError(f"no commits under {log_dir}")
+    version = max(versions)
+    rows = [
+        {
+            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+            "metaData": None,
+            "add": None,
+        },
+        {
+            "protocol": None,
+            "metaData": {
+                "id": meta["id"],
+                "format": meta.get(
+                    "format", {"provider": "parquet", "options": {}}
+                ),
+                "schemaString": meta["schemaString"],
+                "partitionColumns": meta.get("partitionColumns") or [],
+                "configuration": meta.get("configuration") or {},
+                "createdTime": meta.get("createdTime"),
+            },
+            "add": None,
+        },
+    ]
+    from urllib.parse import quote
+
+    for a in adds:
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": {
+                    "path": quote(a["path"], safe="/="),
+                    "partitionValues": a.get("partitionValues") or {},
+                    "size": a.get("size"),
+                    "modificationTime": a.get("modificationTime"),
+                    "dataChange": False,
+                },
+            }
+        )
+    cp_df = spark.createDataFrame(rows, _checkpoint_schema())
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="delta_lite_cp_")
+    try:
+        cp_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f
+            for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dst = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": version, "size": len(rows)}, fh)
+    return version

@@ -378,3 +378,54 @@ def test_delta_lite_write_commit_is_protocol_shaped(spark, tmp_path):
     add = next(a["add"] for a in actions if "add" in a)
     assert _os.path.exists(f"{table}/{add['path']}")
     assert add["dataChange"] is True and add["size"] > 0
+
+
+def test_delta_lite_checkpoint_roundtrip(spark, tmp_path):
+    import os as _os
+
+    from pyspark.sql import Row
+
+    from spark_etl_cli_spark.sources.delta_lite import (
+        read_delta_lite,
+        write_checkpoint,
+        write_delta_lite,
+    )
+
+    table = f"{tmp_path}/dlc"
+    for i in range(3):
+        write_delta_lite(
+            spark.createDataFrame([Row(k=i)]), table, mode="append"
+        )
+    v = write_checkpoint(spark, table)
+    assert v == 2
+    assert _os.path.exists(f"{table}/_delta_log/{v:020d}.checkpoint.parquet")
+    assert _os.path.exists(f"{table}/_delta_log/_last_checkpoint")
+    # reads resume from the checkpoint and still see everything
+    got = sorted(r.k for r in read_delta_lite(spark, table).collect())
+    assert got == [0, 1, 2]
+    # appends after the checkpoint replay as the tail
+    write_delta_lite(spark.createDataFrame([Row(k=9)]), table, mode="append")
+    got = sorted(r.k for r in read_delta_lite(spark, table).collect())
+    assert got == [0, 1, 2, 9]
+    # time travel replays JSON commits from scratch, ignoring checkpoints
+    v1 = sorted(r.k for r in read_delta_lite(spark, table, 1).collect())
+    assert v1 == [0, 1]
+
+
+def test_delta_lite_auto_checkpoint_interval(spark, tmp_path, monkeypatch):
+    import os as _os
+
+    from pyspark.sql import Row
+
+    import spark_etl_cli_spark.sources.delta_lite as dl
+
+    monkeypatch.setattr(dl, "CHECKPOINT_INTERVAL", 4)
+    table = f"{tmp_path}/dla"
+    for i in range(4):
+        dl.write_delta_lite(
+            spark.createDataFrame([Row(k=i)]), table, mode="append"
+        )
+    # version 3 is the 4th commit → auto-checkpointed
+    assert _os.path.exists(f"{table}/_delta_log/{3:020d}.checkpoint.parquet")
+    got = sorted(r.k for r in dl.read_delta_lite(spark, table).collect())
+    assert got == [0, 1, 2, 3]
