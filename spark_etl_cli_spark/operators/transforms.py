@@ -899,3 +899,25 @@ def retention_transform(p: ParsedUri) -> TransformFn:
         return retention_cohorts(df, user_col, ts_col)
 
     return run
+
+
+@register_transform("transitions")
+def transitions_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+transitions://?user-col=user_id&type-col=event_type&ts-col=ts&order=event_id``.
+
+    First-order Markov transition matrix of consecutive events per user
+    (operators/events.py): (from_type, to_type, n, prob), prob
+    row-normalized per from_type. ``order`` adds tie-break columns to
+    the per-user ordering.
+    """
+    user_col = p.params.get("user-col", "user_id")
+    type_col = p.params.get("type-col", "event_type")
+    ts_col = p.params.get("ts-col", "ts")
+    order_cols = _csv_param(p, "order") or None
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators.events import transition_matrix
+
+        return transition_matrix(df, user_col, type_col, ts_col, order_cols)
+
+    return run

@@ -260,6 +260,19 @@ def write_delta_lite(
             raise ValueError(
                 f"partition_by={partition_by} != table partitioning {part_cols}"
             )
+        # appends must match the table schema exactly (name + type per
+        # column) — a silent mismatch would surface later as NULLs or
+        # read errors under the table schema. Overwrite may evolve it:
+        # the new metaData action in the same commit replaces the old.
+        table_schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        if mode != "overwrite" and [
+            (f.name, f.dataType) for f in df.schema.fields
+        ] != [(f.name, f.dataType) for f in table_schema.fields]:
+            raise ValueError(
+                f"append schema {df.schema.simpleString()} does not match "
+                f"table schema {table_schema.simpleString()}; use "
+                "mode='overwrite' to replace the table"
+            )
         if mode == "overwrite":
             removes = [a["path"] for a in active]
     else:
@@ -291,6 +304,18 @@ def write_delta_lite(
                     "partitionColumns": part_cols,
                     "configuration": {},
                     "createdTime": now_ms,
+                }
+            }
+        )
+    elif mode == "overwrite" and df.schema.json() != meta["schemaString"]:
+        # schema evolution on replace: new metaData (same table id) in
+        # the same commit as the remove+add set
+        actions.append(
+            {
+                "metaData": {
+                    **meta,
+                    "schemaString": df.schema.json(),
+                    "partitionColumns": part_cols,
                 }
             }
         )

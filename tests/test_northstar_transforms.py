@@ -239,3 +239,29 @@ def test_dedup_transform_semdedup(spark):
     )
     out = {r.id: r.is_dup for r in spark.table("nd_semdedup").collect()}
     assert out == {0: False, 1: False, 2: True}
+
+
+def test_transitions_transform(spark):
+    spark.createDataFrame(
+        [
+            Row(user_id=1, event_type="a", ts=1),
+            Row(user_id=1, event_type="b", ts=2),
+            Row(user_id=1, event_type="a", ts=3),
+            Row(user_id=2, event_type="a", ts=1),
+            Row(user_id=2, event_type="a", ts=2),
+        ]
+    ).createOrReplaceTempView("nd_tr_ev")
+    run_pipeline(
+        spark,
+        sources=["nd_tr_ev+view://nd_tr_ev"],
+        transforms=["nd_tr_ev+nd_tm+transitions://"],
+        sinks=["nd_tm+memory://nd_trans"],
+    )
+    got = {
+        (r.from_type, r.to_type): (r.n, r.prob)
+        for r in spark.table("nd_trans").collect()
+    }
+    # from 'a': a->b once, a->a once (prob 0.5 each); from 'b': b->a once
+    assert got[("a", "b")] == (1, 0.5)
+    assert got[("a", "a")] == (1, 0.5)
+    assert got[("b", "a")] == (1, 1.0)

@@ -429,3 +429,42 @@ def test_delta_lite_auto_checkpoint_interval(spark, tmp_path, monkeypatch):
     assert _os.path.exists(f"{table}/_delta_log/{3:020d}.checkpoint.parquet")
     got = sorted(r.k for r in dl.read_delta_lite(spark, table).collect())
     assert got == [0, 1, 2, 3]
+
+
+def test_delta_lite_append_schema_mismatch_refused(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from spark_etl_cli_spark.sources.delta_lite import (
+        read_delta_lite,
+        write_delta_lite,
+    )
+
+    table = f"{tmp_path}/dlschema"
+    write_delta_lite(spark.createDataFrame([Row(k=1, v="a")]), table)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="does not match"):
+        write_delta_lite(
+            spark.createDataFrame([Row(k=2, other=1.5)]), table, mode="append"
+        )
+    # overwrite MAY evolve the schema: new metaData in the same commit
+    write_delta_lite(
+        spark.createDataFrame([Row(k=2, other=1.5)]), table, mode="overwrite"
+    )
+    rows = read_delta_lite(spark, table).collect()
+    assert [(r.k, r.other) for r in rows] == [(2, 1.5)]
+
+
+def test_delta_lite_empty_append_commits_metadata_only(spark, tmp_path):
+    from pyspark.sql import types as T2
+
+    from spark_etl_cli_spark.sources.delta_lite import (
+        read_delta_lite,
+        write_delta_lite,
+    )
+
+    table = f"{tmp_path}/dlempty"
+    schema = T2.StructType([T2.StructField("k", T2.LongType())])
+    write_delta_lite(spark.createDataFrame([], schema), table)
+    out = read_delta_lite(spark, table)
+    assert out.count() == 0 and out.schema == schema
