@@ -1,0 +1,94 @@
+"""Distributed graph analytics: weighted PageRank.
+
+Connected components (the dedup workhorse) lives in
+``operators/dedup.py``; this module adds the other iterative-graph
+staple, PageRank, in the shape that survives 100 TB edge lists:
+
+- edges stay DISTRIBUTED; each iteration is one ``join`` (edge ⋈ rank
+  on ``src`` — broadcastable while |V| ≪ |E|, which is the common case
+  for web/domain graphs) plus one ``groupBy(dst)`` shuffle;
+- the rank vector is O(|V|) rows, never driver-collected;
+- per-vertex incoming contributions are summed by a SORTED left fold
+  (``array_sort`` + ``aggregate``) instead of ``sum()`` so the result
+  is bit-deterministic regardless of partitioning — the property that
+  lets a DuckDB oracle verify the whole computation hash-for-hash
+  (same pattern as the LSH plans, plans/vectorops.py).
+
+For production-depth runs (tens of iterations) interpose
+``localCheckpoint()`` every few rounds exactly as
+``connected_components`` does (operators/dedup.py) to keep lineage
+O(1); the fixed-3-iteration query shape doesn't need it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Weighted PageRank over ``(src, dst, w)`` edges, fixed iterations.
+
+    Classic simplified formulation (dangling mass not redistributed):
+
+        r_{t+1}(v) = (1-d)/N + d * Σ_{(u,v) ∈ E} (w_uv / out_u) * r_t(u)
+
+    Returns ``(vertex, pagerank)`` for every vertex appearing as a
+    source or destination. ``N`` (vertex count) is the only
+    driver-side scalar.
+    """
+    edges = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("double").alias("w"),
+    )
+    outs = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    verts = (
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    n = verts.count()
+    if n == 0:
+        return verts.withColumn("pagerank", F.lit(0.0)).withColumnRenamed(
+            "v", "vertex"
+        )
+    base = (1.0 - damping) / n
+
+    # transition probability per edge: (w / out-strength of src)
+    trans = edges.join(outs, "src").select(
+        "src", "dst", (F.col("w") / F.col("wout")).alias("p")
+    )
+
+    ranks = verts.select("v", F.lit(1.0 / n).alias("r"))
+    for _ in range(iterations):
+        contribs = (
+            trans.join(
+                ranks.select(F.col("v").alias("src"), "r"), "src"
+            )
+            .select("src", "dst", (F.col("p") * F.col("r")).alias("c"))
+            .groupBy("dst")
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("src", "c"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["c"],
+                ).alias("s")
+            )
+        )
+        ranks = verts.join(
+            contribs.select(F.col("dst").alias("v"), "s"), "v", "left"
+        ).select(
+            "v",
+            (
+                F.lit(base) + F.lit(damping) * F.coalesce("s", F.lit(0.0))
+            ).alias("r"),
+        )
+    return ranks.select(F.col("v").alias("vertex"), F.col("r").alias("pagerank"))

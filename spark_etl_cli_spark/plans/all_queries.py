@@ -2,6 +2,7 @@
 
 from spark_etl_cli_spark.plans import (  # noqa: F401
     corpusops,
+    curationops,
     eventops,
     funcops,
     joinops,

@@ -1,0 +1,120 @@
+"""Curation + graph operator semantics: per-group caps, deterministic
+splits, compaction planning, skew profiling, PageRank."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from spark_etl_cli_spark.operators.curation import (
+    cap_per_group,
+    compaction_plan,
+    dataset_split,
+    key_skew_profile,
+)
+from spark_etl_cli_spark.operators.graph import pagerank
+
+
+def test_cap_per_group_keeps_priority_rows(spark):
+    df = spark.createDataFrame(
+        [Row(g="a", id=i, q=i % 3) for i in range(10)]
+        + [Row(g="b", id=100, q=9)]
+    )
+    out = cap_per_group(
+        df, "g", cap=2, order_by=[F.col("q").desc(), F.col("id").asc()]
+    )
+    rows = {(r.g, r.id) for r in out.collect()}
+    # group a: q=2 rows are ids 2,5,8 -> lowest two ids with top q win
+    assert rows == {("a", 2), ("a", 5), ("b", 100)}
+
+
+def test_cap_per_group_is_deterministic(spark):
+    df = spark.createDataFrame([Row(g="x", id=i) for i in range(50)])
+    a = sorted(r.id for r in cap_per_group(df, "g", 7).collect())
+    b = sorted(r.id for r in cap_per_group(df.repartition(13), "g", 7).collect())
+    assert a == b and len(a) == 7
+
+
+def test_dataset_split_fractions_and_stability(spark):
+    df = spark.createDataFrame([Row(id=i) for i in range(2000)])
+    out = dataset_split(df, "id", {"train": 80, "val": 10, "test": 10})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(
+        F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+    # adding rows must not reshuffle existing assignments
+    bigger = dataset_split(
+        spark.createDataFrame([Row(id=i) for i in range(3000)]),
+        "id", {"train": 80, "val": 10, "test": 10},
+    )
+    first = {r.id: r.split for r in out.collect()}
+    again = {r.id: r.split for r in bigger.collect() if r.id < 2000}
+    assert first == again
+
+
+def test_dataset_split_rejects_zero_weights(spark):
+    df = spark.createDataFrame([Row(id=1)])
+    with pytest.raises(ValueError):
+        dataset_split(df, "id", {})
+
+
+def test_compaction_plan_bins_fill_to_target(spark):
+    # 6 files of 40 bytes, target 100: bins of cum-before 0,40,80 -> bin0
+    # (3 files, 120B >= target), then 120,160,200 -> bin1/bin1/bin2
+    df = spark.createDataFrame([Row(p="d", f=i, size=40) for i in range(6)])
+    out = {
+        (r.bin): (r.n_files, r.bytes)
+        for r in compaction_plan(df, "p", "f", "size", 100).collect()
+    }
+    assert out == {0: (3, 120), 1: (2, 80), 2: (1, 40)}
+
+
+def test_compaction_plan_oversize_file_gets_own_bin(spark):
+    df = spark.createDataFrame(
+        [Row(p="d", f=0, size=500), Row(p="d", f=1, size=10)]
+    )
+    out = {r.bin: r.n_files for r in
+           compaction_plan(df, "p", "f", "size", 100).collect()}
+    assert out == {0: 1, 5: 1}
+
+
+def test_key_skew_profile_ranks_heavy_hitters(spark):
+    rows = [Row(k="hot")] * 60 + [Row(k="warm")] * 30 + [Row(k="cold")] * 10
+    out = key_skew_profile(spark.createDataFrame(rows), "k", top_k=2).collect()
+    assert [(r.rank, r.k, r.key_count) for r in out] == [
+        (1, "hot", 60), (2, "warm", 30)]
+    hot = out[0]
+    assert hot.share == pytest.approx(0.6)
+    assert hot.skew_ratio == pytest.approx(60 * 3 / 100)
+
+
+def test_pagerank_uniform_cycle(spark):
+    # symmetric 3-cycle: stationary distribution is uniform from the
+    # uniform start, every iteration
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b, w=1) for a, b in [(0, 1), (1, 2), (2, 0)]]
+    )
+    out = {r.vertex: r.pagerank for r in pagerank(edges, iterations=4).collect()}
+    assert len(out) == 3
+    for v in out.values():
+        assert v == pytest.approx(1 / 3)
+
+
+def test_pagerank_sink_heavy_star(spark):
+    # all mass funnels toward the hub of a star graph
+    edges = spark.createDataFrame(
+        [Row(src=s, dst=99, w=1) for s in range(5)]
+    )
+    out = {r.vertex: r.pagerank for r in pagerank(edges, iterations=3).collect()}
+    assert out[99] > max(v for k, v in out.items() if k != 99)
+    # leaves have no in-edges: exactly the base term
+    assert out[0] == pytest.approx(0.15 / 6)
+
+
+def test_pagerank_partitioning_invariant(spark):
+    edges = spark.createDataFrame(
+        [Row(src=i % 7, dst=(i * 3) % 7, w=1 + i % 4) for i in range(40)]
+    )
+    a = {r.vertex: r.pagerank for r in pagerank(edges, 3).collect()}
+    b = {r.vertex: r.pagerank
+         for r in pagerank(edges.repartition(17), 3).collect()}
+    assert a == b  # bit-identical: sorted-fold contribution sums
