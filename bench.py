@@ -61,7 +61,13 @@ def main() -> int:
     )
     if not os.environ.get("SPARK_GRAFT_NO_WARM") and os.path.isdir(warm_dir):
         warm_spark = get_spark(app_name="bench-warm")
-        for name in names:
+        # REVERSE order: the generated-class cache is a fixed-size LRU
+        # (~100 entries, not configurable), so warming 130+ queries in
+        # measurement order evicts the early queries' fragments right
+        # before they are measured. Reversed, the first-measured query
+        # is the most recently warmed, and each measured query then
+        # re-freshens its own entries for the ones after it.
+        for name in reversed(names):
             try:
                 queries[name](warm_spark, warm_dir).count()
             except Exception:

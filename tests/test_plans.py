@@ -303,3 +303,45 @@ def test_q128_state_merge_two_codegen_agg_levels(spark):
     # sums keep the merge exact
     assert "partial_sum" in plan
     assert plan.count("HashAggregate") >= 4
+
+
+def test_q131_cap_single_exchange_pruned_scan(spark):
+    # the domain cap is ONE shuffle on the group key, and the scan must
+    # not drag the text column along (3-column projection pushed down)
+    plan = plan_of(spark, "q131_source_cap", execute=True)
+    assert _unique_exchanges(plan, "source") == 1
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "text" not in scan and "n_chars" in scan
+
+
+def test_q132_compaction_agg_reuses_window_exchange(spark):
+    # HashPartitioning(source) satisfies the (source, bin) grouping's
+    # clustered distribution, so the cumulative-size window and the bin
+    # rollup share one exchange
+    plan = plan_of(spark, "q132_compaction_plan", execute=True)
+    assert _unique_exchanges(plan, "source") == 1
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_q133_split_is_projection_plus_agg(spark):
+    # hash-bucket split: no Python, no join, map-side combine
+    plan = plan_of(spark, "q133_dataset_split", execute=True)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    assert "partial_count" in plan
+
+
+def test_q134_pagerank_no_cartesian_dims_broadcast(spark):
+    # the trade-graph build broadcasts customer/supplier; no iteration
+    # may degrade to a nested loop
+    plan = plan_of(spark, "q134_pagerank", execute=True)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q135_skew_profile_topk_is_take_ordered(spark):
+    # the heavy-hitter cut is per-partition heaps + k-row merge; the
+    # ranking window then only ever sees top_k rows
+    plan = plan_of(spark, "q135_key_skew_profile", execute=True)
+    assert "TakeOrderedAndProject" in plan
