@@ -921,3 +921,124 @@ def transitions_transform(p: ParsedUri) -> TransformFn:
         return transition_matrix(df, user_col, type_col, ts_col, order_cols)
 
     return run
+
+
+@register_transform("cap")
+def cap_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+cap://?by=source&n=1000&order=n_chars:desc,doc_id``.
+
+    Per-group row cap (operators/curation.py): keep at most ``n`` rows
+    per ``by`` group, priority given by ``order`` (``col[:desc]`` list;
+    default: all columns ascending — pass a unique tie-breaker for
+    reproducible survivorship). The per-domain document cap of corpus
+    curation, as a URI stage.
+    """
+    by = p.params.get("by") or (p.path.lstrip("/") or p.authority)
+    if not by:
+        raise ValueError("cap:// needs ?by=<group column>")
+    n = int(p.params.get("n", "1000"))
+    order_spec = _csv_param(p, "order")
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from spark_etl_cli_spark.operators.curation import cap_per_group
+
+        order = None
+        if order_spec:
+            order = []
+            for item in order_spec:
+                col, _, direction = item.partition(":")
+                c = F.col(col)
+                order.append(c.desc() if direction == "desc" else c.asc())
+        return cap_per_group(df, by, n, order)
+
+    return run
+
+
+@register_transform("split")
+def split_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+split://?id-col=doc_id&weights=train:80,val:10,test:10&salt=v1``.
+
+    Deterministic hash-bucket dataset split (operators/curation.py):
+    appends a ``split`` label; assignments are stable across runs,
+    appends, and engines (md5 buckets, no rand()).
+    """
+    id_col = p.params.get("id-col", "id")
+    weights_spec = _csv_param(p, "weights") or ["train:80", "val:10", "test:10"]
+    weights: dict[str, int] = {}
+    for item in weights_spec:
+        label, _, w = item.partition(":")
+        weights[label] = int(w or "1")
+    salt = p.params.get("salt", "")
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators.curation import dataset_split
+
+        return dataset_split(df, id_col, weights, salt)
+
+    return run
+
+
+@register_transform("compact-plan")
+def compact_plan_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+compact-plan://?partition-col=source&file-col=doc_id&size-col=n_chars&target=134217728``.
+
+    OPTIMIZE-style bin-packing plan (operators/curation.py): one row
+    per (partition, bin) with file count and byte total; execution of
+    the plan is a separate rewrite stage.
+    """
+    part = p.params.get("partition-col", "partition")
+    file_col = p.params.get("file-col", "path")
+    size_col = p.params.get("size-col", "bytes")
+    target = int(p.params.get("target", str(128 * 1024 * 1024)))
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators.curation import compaction_plan
+
+        return compaction_plan(df, part, file_col, size_col, target)
+
+    return run
+
+
+@register_transform("skew-profile")
+def skew_profile_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+skew-profile://?key=o_custkey&top=20``.
+
+    Join-key skew profile (operators/curation.py): top-k heaviest keys
+    with share-of-table and count/mean skew ratio — the pre-flight
+    check that decides broadcast vs salting vs AQE skew-join handling.
+    """
+    key = p.params.get("key") or (p.path.lstrip("/") or p.authority)
+    if not key:
+        raise ValueError("skew-profile:// needs ?key=<column>")
+    top = int(p.params.get("top", "10"))
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators.curation import key_skew_profile
+
+        return key_skew_profile(df, key, top)
+
+    return run
+
+
+@register_transform("pagerank")
+def pagerank_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+pagerank://?src=src&dst=dst&weight=w&iters=3&damping=0.85``.
+
+    Fixed-iteration weighted PageRank over an edge view
+    (operators/graph.py): returns (vertex, pagerank), deterministic
+    under any partitioning (sorted-fold contribution sums).
+    """
+    src = p.params.get("src", "src")
+    dst = p.params.get("dst", "dst")
+    weight = p.params.get("weight", "w")
+    iters = int(p.params.get("iters", "3"))
+    damping = float(p.params.get("damping", "0.85"))
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators.graph import pagerank
+
+        return pagerank(df, iters, damping, src, dst, weight)
+
+    return run

@@ -265,3 +265,77 @@ def test_transitions_transform(spark):
     assert got[("a", "b")] == (1, 0.5)
     assert got[("a", "a")] == (1, 0.5)
     assert got[("b", "a")] == (1, 1.0)
+
+
+def test_cap_transform(spark):
+    spark.createDataFrame(
+        [Row(g="a", id=i, q=i) for i in range(5)] + [Row(g="b", id=9, q=0)]
+    ).createOrReplaceTempView("cur_docs")
+    run_pipeline(
+        spark,
+        sources=["cur_docs+view://cur_docs"],
+        transforms=["cur_docs+cur_out+cap://?by=g&n=2&order=q:desc,id"],
+        sinks=["cur_out+memory://cur_capped"],
+    )
+    rows = {(r.g, r.id) for r in spark.table("cur_capped").collect()}
+    assert rows == {("a", 4), ("a", 3), ("b", 9)}
+
+
+def test_split_transform(spark):
+    spark.createDataFrame(
+        [Row(doc_id=i) for i in range(100)]
+    ).createOrReplaceTempView("cur_split_in")
+    run_pipeline(
+        spark,
+        sources=["cur_split_in+view://cur_split_in"],
+        transforms=[
+            "cur_split_in+cur_s+split://?id-col=doc_id&weights=train:9,test:1"
+        ],
+        sinks=["cur_s+memory://cur_split"],
+    )
+    counts = {r.split for r in spark.table("cur_split").collect()}
+    assert counts == {"train", "test"}
+
+
+def test_compact_plan_transform(spark):
+    spark.createDataFrame(
+        [Row(p="d", f=i, b=60) for i in range(4)]
+    ).createOrReplaceTempView("cur_files")
+    run_pipeline(
+        spark,
+        sources=["cur_files+view://cur_files"],
+        transforms=[
+            "cur_files+cur_c+compact-plan://?partition-col=p&file-col=f&size-col=b&target=100"
+        ],
+        sinks=["cur_c+memory://cur_compact"],
+    )
+    out = {r.bin: r.n_files for r in spark.table("cur_compact").collect()}
+    assert out == {0: 2, 1: 2}
+
+
+def test_skew_profile_transform(spark):
+    spark.createDataFrame(
+        [Row(k="hot")] * 8 + [Row(k="cold")] * 2
+    ).createOrReplaceTempView("cur_keys")
+    run_pipeline(
+        spark,
+        sources=["cur_keys+view://cur_keys"],
+        transforms=["cur_keys+cur_k+skew-profile://?key=k&top=1"],
+        sinks=["cur_k+memory://cur_skew"],
+    )
+    r = spark.table("cur_skew").collect()[0]
+    assert r.k == "hot" and r.key_count == 8 and abs(r.skew_ratio - 1.6) < 1e-12
+
+
+def test_pagerank_transform(spark):
+    spark.createDataFrame(
+        [Row(src=a, dst=b, w=1) for a, b in [(0, 1), (1, 2), (2, 0)]]
+    ).createOrReplaceTempView("cur_edges")
+    run_pipeline(
+        spark,
+        sources=["cur_edges+view://cur_edges"],
+        transforms=["cur_edges+cur_pr+pagerank://?iters=2"],
+        sinks=["cur_pr+memory://cur_rank"],
+    )
+    out = {r.vertex: r.pagerank for r in spark.table("cur_rank").collect()}
+    assert len(out) == 3 and abs(sum(out.values()) - 1.0) < 1e-12
