@@ -171,3 +171,56 @@ def transition_matrix(
         "n",
         (F.col("n").cast("double") / total.cast("double")).alias("prob"),
     )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    conversion: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: list[str] | None = None,
+    direct_label: str = "direct",
+) -> DataFrame:
+    """Attribute each conversion to the user's most recent prior touch.
+
+    Classic last-touch marketing attribution: for every ``conversion``
+    event, the credited touch is the latest preceding non-conversion
+    event of the same user (``direct_label`` when the conversion is the
+    user's first event). Returns one row per touch type with conversion
+    count and total attributed value.
+
+    Scale shape: ONE exchange on the user key (the carry-forward window
+    and nothing else), then a map-side-combined rollup over at most
+    |event types| rows. The per-conversion attribution (pre-rollup) is
+    the same plan minus the final aggregate. Ordering ties are broken
+    by ``order_cols`` (pass the event's unique id) so attribution is
+    deterministic under duplicate timestamps.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col(type_col) != conversion, F.col(type_col)),
+        ignorenulls=True,
+    ).over(w)
+    conv = (
+        df.withColumn("__touch", touch)
+        .filter(F.col(type_col) == conversion)
+        .select(
+            F.coalesce(F.col("__touch"), F.lit(direct_label)).alias(
+                "touch_type"
+            ),
+            F.col(value_col),
+        )
+    )
+    return conv.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+        F.sum(F.col(value_col).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_value"),
+    )

@@ -220,3 +220,155 @@ def bm25_sql(
     )
     SELECT * FROM scored
     """
+
+
+def sparse_cosine_topk(
+    docs: DataFrame,
+    k: int = 5,
+    df_cap_frac: float = 0.2,
+    ngram: int = 2,
+    query_pred: Column | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Doc-vs-doc TF-IDF cosine top-k via an inverted index.
+
+    The sparse complement of the dense ANN family
+    (operators/similarity.py): documents become TF-IDF vectors over
+    their word-``ngram`` vocabulary (n>1 separates "same text" from
+    "same vocabulary distribution" exactly as in SimHash shingling,
+    operators/dedup.py) and candidate pairs are generated by the
+    posting-list join on shared terms — never |corpus| x |queries|.
+    Terms present in more than ``df_cap_frac`` of the corpus are
+    dropped from the vector space entirely (the stop-word cap that
+    bounds every posting list, and with it the join fan-out, at corpus
+    scale; rare terms stay because they dominate the norms).
+
+    Determinism: idf is the rational ``(N+1)/(df+1)`` (no ``ln``), and
+    both the norm's sum of squares and each pair's dot product are
+    SORTED left folds over the term dimension, so every double is
+    bit-reproducible under any partitioning — the property that lets
+    the DuckDB oracle verify the whole retrieval plan hash-for-hash
+    (same trick as PageRank, operators/graph.py).
+
+    Returns (query_id, neighbor_id, cosine_sim, rank), top ``k``
+    neighbors per query doc by (cosine desc, neighbor_id).
+    """
+    from pyspark.sql.window import Window
+
+    from spark_etl_cli_spark.operators.util import fan_out
+
+    if query_pred is None:
+        query_pred = F.col("query_id") < 10
+
+    toks = tokens(F.col(text_col))
+    # NON-distinct n-gram shingles (tf counts occurrences); let-bound
+    # token array as in functions/text.word_shingles
+    grams = F.element_at(
+        F.transform(
+            F.array(toks),
+            lambda tk: F.when(
+                F.size(tk) >= ngram,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tk) - F.lit(ngram - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(tk, i, ngram)),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ),
+        1,
+    )
+    tf = (
+        fan_out(docs)
+        .select(F.col(id_col).alias("id"), F.explode(grams).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    weights = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .filter(
+            F.col("df").cast("double")
+            <= F.lit(float(df_cap_frac)) * F.col("n_docs").cast("double")
+        )
+        .select(
+            "id",
+            "term",
+            (
+                F.col("tf").cast("double")
+                * (
+                    (F.col("n_docs").cast("double") + F.lit(1.0))
+                    / (F.col("df").cast("double") + F.lit(1.0))
+                )
+            ).alias("w"),
+        )
+    )
+
+    norms = weights.groupBy("id").agg(
+        F.sqrt(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("term", (F.col("w") * F.col("w")).alias("ww"))
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["ww"],
+            )
+        ).alias("norm")
+    )
+
+    qp = weights.select(
+        F.col("id").alias("query_id"), "term", F.col("w").alias("wq")
+    ).filter(query_pred)
+    dots = (
+        weights.select(
+            F.col("id").alias("neighbor_id"), "term", F.col("w").alias("wc")
+        )
+        .join(F.broadcast(qp), "term")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "term", (F.col("wq") * F.col("wc")).alias("p")
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["p"],
+            ).alias("dot")
+        )
+    )
+    scored = (
+        dots.join(
+            F.broadcast(
+                norms.select(F.col("id").alias("query_id"), F.col("norm").alias("__nq"))
+            ),
+            "query_id",
+        )
+        .join(
+            norms.select(
+                F.col("id").alias("neighbor_id"), F.col("norm").alias("__nc")
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("dot") / (F.col("__nq") * F.col("__nc"))).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rank") <= k)

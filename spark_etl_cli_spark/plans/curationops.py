@@ -1,9 +1,10 @@
-"""Corpus-curation + graph-analytics query coverage (q131-q135).
+"""Corpus-curation + graph-analytics query coverage (q131-q136).
 
 The curation primitives every large-scale training-data pipeline runs
 (operators/curation.py): per-domain caps, compaction planning,
 deterministic splits, join-key skew profiling — plus fixed-iteration
-weighted PageRank (operators/graph.py) over the TPC-H trade graph.
+weighted PageRank (operators/graph.py) over the TPC-H trade graph and
+degree-oriented triangle counting over the co-purchase part graph.
 
 All five are fully oracle-verified, PageRank included: contributions
 are summed by a sorted left fold on both engines (the trick proven by
@@ -198,3 +199,68 @@ def q134_pagerank(spark, sf_dir):
 )
 def q135_key_skew_profile(spark, sf_dir):
     return key_skew_profile(t(spark, sf_dir, "orders"), "o_custkey", top_k=10)
+
+
+# --- q136: triangle count on the co-purchase part graph -----------------
+# Parts that appear on the same order form an undirected edge (orders
+# capped at 6 lines to bound pair fan-out — the per-entity cap every
+# co-occurrence graph build needs at scale); triangles are counted
+# with the degree-orientation trick (operators/graph.py): out-degrees
+# are O(sqrt(E))-bounded, so the wedge join survives power-law hubs.
+_TRI_EDGES = """
+    ok AS (SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING COUNT(*) <= 6),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+      WHERE a.l_orderkey IN (SELECT l_orderkey FROM ok)),
+    deg AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u AS x FROM edges UNION ALL SELECT v FROM edges)
+      GROUP BY 1),
+    oriented AS (
+      SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS src,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS dst
+      FROM edges e
+      JOIN deg du ON du.x = e.u
+      JOIN deg dv ON dv.x = e.v),
+    wedges AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM oriented e1 JOIN oriented e2 ON e1.dst = e2.src)
+"""
+
+
+@query(
+    "q136_triangle_count",
+    oracle=f"""
+    WITH {_TRI_EDGES}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM wedges) AS n_wedges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM wedges w
+             WHERE EXISTS (SELECT 1 FROM oriented o
+                           WHERE o.src = w.a AND o.dst = w.c)) AS n_triangles
+    """,
+)
+def q136_triangle_count(spark, sf_dir):
+    from spark_etl_cli_spark.operators.graph import triangle_count
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ok = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= 6)
+        .select("l_orderkey")
+    )
+    small = li.join(ok, "l_orderkey")
+    a = small.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = small.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    return triangle_count(edges)

@@ -218,3 +218,34 @@ def q130_funnel_latency(spark, sf_dir):
         F.min("dt").cast("bigint").alias("min_s"),
         F.max("dt").cast("bigint").alias("max_s"),
     )
+
+
+# --- q138: last-touch attribution ----------------------------------------
+# Every purchase is credited to the user's most recent preceding
+# non-purchase event ('direct' when none): one user-key exchange for
+# the carry-forward window, then a |event types|-row rollup. The
+# window order ties break on event_id so attribution is deterministic
+# under duplicate timestamps; value totals go through exact decimals.
+@query(
+    "q138_last_touch_attribution",
+    oracle="""
+    WITH touched AS (
+      SELECT event_type, value,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      FROM events)
+    SELECT COALESCE(touch, 'direct') AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM touched WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q138_last_touch_attribution(spark, sf_dir):
+    from spark_etl_cli_spark.operators.events import last_touch_attribution
+
+    return last_touch_attribution(
+        events(spark, sf_dir), conversion="purchase", order_cols=["event_id"]
+    )

@@ -308,3 +308,58 @@ def q116_mixture_upsample(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents").select("doc_id", "source")
     return epoch_upsample(d, _MIX_WEIGHTS)
+
+
+# --- q137: sparse TF-IDF cosine top-k (inverted-index retrieval) ---------
+# The sparse complement of the dense ANN family: posting-list join on
+# shared word-bigram terms (relative-df-capped), rational (N+1)/(df+1)
+# idf, and sorted-fold norms/dots so every double — including the
+# final cosine — verifies bit-for-bit. Query docs: doc_id < 10; top-5
+# by (cosine, neighbor).
+@query(
+    "q137_tfidf_cosine_topk",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id AS id, {SQL_TOKENS} AS tk FROM documents),
+    tok AS (SELECT id, unnest(list_transform(
+              generate_series(1, greatest(len(tk) - 1, 0)),
+              i -> array_to_string(tk[i:i+1], ' '))) AS term
+            FROM tk),
+    tf AS (SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    wts AS (
+      SELECT id, term,
+             CAST(tf AS DOUBLE) * ((CAST(n_docs AS DOUBLE) + 1.0)
+               / (CAST(df AS DOUBLE) + 1.0)) AS w
+      FROM tf JOIN dfq USING (term) CROSS JOIN nd
+      WHERE CAST(df AS DOUBLE) <= 0.2 * CAST(n_docs AS DOUBLE)),
+    norms AS (
+      SELECT id, sqrt(list_sum(list(w * w ORDER BY term))) AS nrm
+      FROM wts GROUP BY id),
+    dots AS (
+      SELECT q.id AS query_id, c.id AS neighbor_id,
+             list_sum(list(q.w * c.w ORDER BY q.term)) AS dot
+      FROM wts q JOIN wts c ON q.term = c.term AND c.id <> q.id
+      WHERE q.id < 10
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT d.query_id, d.neighbor_id,
+             d.dot / (nq.nrm * nc.nrm) AS cosine_sim
+      FROM dots d
+      JOIN norms nq ON nq.id = d.query_id
+      JOIN norms nc ON nc.id = d.neighbor_id)
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def q137_tfidf_cosine_topk(spark, sf_dir):
+    from spark_etl_cli_spark.operators.retrieval import sparse_cosine_topk
+
+    return sparse_cosine_topk(
+        t(spark, sf_dir, "documents"), k=5, df_cap_frac=0.2, ngram=2
+    )
