@@ -70,8 +70,12 @@ def _sql(col: Column) -> str:
     return col._jc.toString()  # noqa: SLF001
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """Array of distinct k-word shingles, joined with single spaces.
+def word_shingles(text: Column, k: int = 3, distinct: bool = True) -> Column:
+    """Array of k-word shingles, joined with single spaces.
+
+    ``distinct=True`` (the dedup-family default) returns the shingle
+    SET; ``distinct=False`` keeps one entry per position (tf counting,
+    e.g. sparse TF-IDF vectors in operators/retrieval.py).
 
     Guarded for short docs: Spark's ``sequence(1, 0)`` counts *down*
     ([1, 0]) and ``slice(_, 0, _)`` then throws, so docs with fewer than
@@ -84,21 +88,20 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     shingle position (measured ~6x slowdown on real documents).
     """
     toks = tokens(text)
-    return F.array_distinct(
-        F.element_at(
-            F.transform(
-                F.array(toks),
-                lambda tk: F.when(
-                    F.size(tk) >= k,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(tk) - F.lit(k - 1)),
-                        lambda i: F.concat_ws(" ", F.slice(tk, i, k)),
-                    ),
-                ).otherwise(F.array().cast("array<string>")),
-            ),
-            1,
-        )
+    positional = F.element_at(
+        F.transform(
+            F.array(toks),
+            lambda tk: F.when(
+                F.size(tk) >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tk) - F.lit(k - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(tk, i, k)),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ),
+        1,
     )
+    return F.array_distinct(positional) if distinct else positional
 
 
 def punct_ratio(text: Column) -> Column:

@@ -71,10 +71,19 @@ def dataset_split(
     insertion order, e.g. ``{"train": 80, "val": 10, "test": 10}``.
     """
     total = sum(weights.values())
-    if total <= 0:
-        raise ValueError("weights must sum to a positive integer")
-    key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
-    bucket = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long") % total
+    if total <= 0 or any(w < 0 for w in weights.values()):
+        raise ValueError(
+            "weights must be non-negative and sum to a positive integer"
+        )
+    from spark_etl_cli_spark.functions.text import md5_long
+
+    # md5_long's '#'-separated salt gives domain separation: id='1',
+    # salt='2' never collides with id='12', salt='' (and differently
+    # salted split families are independent)
+    bucket = md5_long(
+        F.col(id_col).cast("string"),
+        salt=F.lit(salt) if salt else None,
+    ) % total
     expr = None
     acc = 0
     for label, wgt in weights.items():

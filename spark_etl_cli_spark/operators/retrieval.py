@@ -253,30 +253,15 @@ def sparse_cosine_topk(
 
     Returns (query_id, neighbor_id, cosine_sim, rank), top ``k``
     neighbors per query doc by (cosine desc, neighbor_id).
+    ``query_pred`` (a predicate over ``query_id``) restricts which docs
+    act as queries; None means every document (all-pairs top-k).
     """
     from pyspark.sql.window import Window
 
     from spark_etl_cli_spark.operators.util import fan_out
 
-    if query_pred is None:
-        query_pred = F.col("query_id") < 10
-
-    toks = tokens(F.col(text_col))
-    # NON-distinct n-gram shingles (tf counts occurrences); let-bound
-    # token array as in functions/text.word_shingles
-    grams = F.element_at(
-        F.transform(
-            F.array(toks),
-            lambda tk: F.when(
-                F.size(tk) >= ngram,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(tk) - F.lit(ngram - 1)),
-                    lambda i: F.concat_ws(" ", F.slice(tk, i, ngram)),
-                ),
-            ).otherwise(F.array().cast("array<string>")),
-        ),
-        1,
-    )
+    # NON-distinct n-gram shingles: tf counts occurrences
+    grams = word_shingles(F.col(text_col), k=ngram, distinct=False)
     tf = (
         fan_out(docs)
         .select(F.col(id_col).alias("id"), F.explode(grams).alias("term"))
@@ -305,6 +290,11 @@ def sparse_cosine_topk(
                 )
             ).alias("w"),
         )
+        # four downstream references (query postings broadcast, the
+        # neighbor side of the dot join, both norm joins): materialize
+        # the tokenize+explode+groupBy pipeline ONCE instead of
+        # relying on plan-shape-sensitive ReusedExchange
+        .localCheckpoint(eager=False)
     )
 
     norms = weights.groupBy("id").agg(
@@ -323,7 +313,9 @@ def sparse_cosine_topk(
 
     qp = weights.select(
         F.col("id").alias("query_id"), "term", F.col("w").alias("wq")
-    ).filter(query_pred)
+    )
+    if query_pred is not None:
+        qp = qp.filter(query_pred)
     dots = (
         weights.select(
             F.col("id").alias("neighbor_id"), "term", F.col("w").alias("wc")

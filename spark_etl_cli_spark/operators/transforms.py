@@ -949,8 +949,13 @@ def cap_transform(p: ParsedUri) -> TransformFn:
             order = []
             for item in order_spec:
                 col, _, direction = item.partition(":")
+                d = direction.lower() or "asc"
+                if d not in ("asc", "desc"):
+                    raise ValueError(
+                        f"cap:// order direction must be asc|desc, got {direction!r}"
+                    )
                 c = F.col(col)
-                order.append(c.desc() if direction == "desc" else c.asc())
+                order.append(c.desc() if d == "desc" else c.asc())
         return cap_per_group(df, by, n, order)
 
     return run

@@ -361,5 +361,9 @@ def q137_tfidf_cosine_topk(spark, sf_dir):
     from spark_etl_cli_spark.operators.retrieval import sparse_cosine_topk
 
     return sparse_cosine_topk(
-        t(spark, sf_dir, "documents"), k=5, df_cap_frac=0.2, ngram=2
+        t(spark, sf_dir, "documents"),
+        k=5,
+        df_cap_frac=0.2,
+        ngram=2,
+        query_pred=F.col("query_id") < 10,
     )

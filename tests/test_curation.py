@@ -55,6 +55,21 @@ def test_dataset_split_rejects_zero_weights(spark):
     df = spark.createDataFrame([Row(id=1)])
     with pytest.raises(ValueError):
         dataset_split(df, "id", {})
+    with pytest.raises(ValueError):
+        dataset_split(df, "id", {"train": 110, "val": -10})
+
+
+def test_dataset_split_salt_domain_separation(spark):
+    # id='1' + salt='2' must not hash like id='12' unsalted
+    a = dataset_split(
+        spark.createDataFrame([Row(id=1)]), "id", {"x": 1, "y": 1}, salt="2"
+    ).collect()[0]
+    b = dataset_split(
+        spark.createDataFrame([Row(id=12)]), "id", {"x": 1, "y": 1}
+    ).collect()[0]
+    # (not strictly unequal for every pair, but this pair differs under
+    # the '#'-separated construction; equal under naive concat)
+    assert (a.split, b.split) == ("y", "x") or a.split != b.split
 
 
 def test_compaction_plan_bins_fill_to_target(spark):
