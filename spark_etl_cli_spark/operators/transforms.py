@@ -1047,3 +1047,72 @@ def pagerank_transform(p: ParsedUri) -> TransformFn:
         return pagerank(df, iters, damping, src, dst, weight)
 
     return run
+
+
+@register_transform("triangles")
+def triangles_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+triangles://?u=u&v=v`` over canonical undirected edges
+    (one row per edge, u < v): global (n_edges, n_wedges, n_triangles)
+    via degree orientation (operators/graph.py)."""
+    u = p.params.get("u", "u")
+    v = p.params.get("v", "v")
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators.graph import triangle_count
+
+        return triangle_count(df, u, v)
+
+    return run
+
+
+@register_transform("tfidf-topk")
+def tfidf_topk_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+tfidf-topk://?k=5&ngram=2&df-cap-frac=0.2&id-col=doc_id&text-col=text&query-ids=0,1,2``.
+
+    Sparse TF-IDF cosine top-k retrieval (operators/retrieval.py);
+    ``query-ids`` restricts the query side (default: all docs).
+    """
+    k = int(p.params.get("k", "5"))
+    ngram = int(p.params.get("ngram", "2"))
+    frac = float(p.params.get("df-cap-frac", "0.2"))
+    id_col = p.params.get("id-col", "doc_id")
+    text_col = p.params.get("text-col", "text")
+    qids = _csv_param(p, "query-ids")
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from spark_etl_cli_spark.operators.retrieval import sparse_cosine_topk
+
+        pred = F.col("query_id").isin([int(q) for q in qids]) if qids else None
+        return sparse_cosine_topk(
+            df, k=k, df_cap_frac=frac, ngram=ngram, query_pred=pred,
+            id_col=id_col, text_col=text_col,
+        )
+
+    return run
+
+
+@register_transform("attribution")
+def attribution_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+attribution://?conversion=purchase&user-col=user_id&ts-col=ts&value-col=value&order=event_id``.
+
+    Last-touch conversion attribution over an event view
+    (operators/events.py): one row per touch type with conversion
+    count and total attributed value.
+    """
+    conversion = p.params.get("conversion", "purchase")
+    user_col = p.params.get("user-col", "user_id")
+    type_col = p.params.get("type-col", "event_type")
+    ts_col = p.params.get("ts-col", "ts")
+    value_col = p.params.get("value-col", "value")
+    order_cols = _csv_param(p, "order") or None
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators.events import last_touch_attribution
+
+        return last_touch_attribution(
+            df, conversion, user_col, type_col, ts_col, value_col, order_cols
+        )
+
+    return run

@@ -339,3 +339,55 @@ def test_pagerank_transform(spark):
     )
     out = {r.vertex: r.pagerank for r in spark.table("cur_rank").collect()}
     assert len(out) == 3 and abs(sum(out.values()) - 1.0) < 1e-12
+
+
+def test_triangles_transform(spark):
+    spark.createDataFrame(
+        [Row(u=a, v=b) for a in range(3) for b in range(a + 1, 3)]
+    ).createOrReplaceTempView("cur_tri")
+    run_pipeline(
+        spark,
+        sources=["cur_tri+view://cur_tri"],
+        transforms=["cur_tri+cur_t+triangles://"],
+        sinks=["cur_t+memory://cur_tric"],
+    )
+    assert spark.table("cur_tric").collect()[0].n_triangles == 1
+
+
+def test_tfidf_topk_transform(spark):
+    spark.createDataFrame(
+        [
+            Row(doc_id=0, text="alpha beta gamma delta"),
+            Row(doc_id=1, text="alpha beta gamma delta"),
+            Row(doc_id=2, text="zeta eta theta iota"),
+        ]
+    ).createOrReplaceTempView("cur_tf_docs")
+    run_pipeline(
+        spark,
+        sources=["cur_tf_docs+view://cur_tf_docs"],
+        transforms=["cur_tf_docs+cur_tf+tfidf-topk://?k=1&query-ids=0&df-cap-frac=0.9"],
+        sinks=["cur_tf+memory://cur_tfk"],
+    )
+    r = spark.table("cur_tfk").collect()[0]
+    assert r.query_id == 0 and r.neighbor_id == 1
+
+
+def test_attribution_transform(spark):
+    import datetime as dt
+
+    spark.createDataFrame(
+        [
+            Row(user_id=1, event_id=1, event_type="click",
+                ts=dt.datetime(2024, 1, 1, 0, 1), value=0.0),
+            Row(user_id=1, event_id=2, event_type="purchase",
+                ts=dt.datetime(2024, 1, 1, 0, 2), value=3.0),
+        ]
+    ).createOrReplaceTempView("cur_att_ev")
+    run_pipeline(
+        spark,
+        sources=["cur_att_ev+view://cur_att_ev"],
+        transforms=["cur_att_ev+cur_a+attribution://?order=event_id"],
+        sinks=["cur_a+memory://cur_attr"],
+    )
+    r = spark.table("cur_attr").collect()[0]
+    assert r.touch_type == "click" and r.n_conversions == 1

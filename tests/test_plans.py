@@ -345,3 +345,25 @@ def test_q135_skew_profile_topk_is_take_ordered(spark):
     # ranking window then only ever sees top_k rows
     plan = plan_of(spark, "q135_key_skew_profile", execute=True)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q136_triangles_no_cartesian(spark):
+    # wedge + closure joins must stay hash/merge equi-joins
+    plan = plan_of(spark, "q136_triangle_count", execute=True)
+    assert "CartesianProduct" not in plan
+    # the closure check is a semi join, not a row-multiplying inner
+    assert "LeftSemi" in plan
+
+
+def test_q137_tfidf_broadcasts_query_postings(spark):
+    # query-side postings and norms ride broadcasts; candidate gen is
+    # the posting-list equi-join on term, never corpus x queries
+    plan = plan_of(spark, "q137_tfidf_cosine_topk", execute=True)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q138_attribution_single_user_exchange(spark):
+    # carry-forward window + rollup: one exchange on user_id
+    plan = plan_of(spark, "q138_last_touch_attribution", execute=True)
+    assert _unique_exchanges(plan, "user_id") == 1
