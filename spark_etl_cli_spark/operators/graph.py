@@ -95,7 +95,10 @@ def pagerank(
 
 
 def triangle_count(
-    edges: DataFrame, u_col: str = "u", v_col: str = "v"
+    edges: DataFrame,
+    u_col: str = "u",
+    v_col: str = "v",
+    broadcast_edge_limit: int = 8_000_000,
 ) -> DataFrame:
     """Exact global triangle count over undirected unique edges.
 
@@ -106,12 +109,31 @@ def triangle_count(
     out-degrees are bounded by O(sqrt(|E|)) on any graph, which caps
     the wedge join's fan-out even with power-law hubs (a hub of degree
     10^6 contributes wedges only toward HIGHER-degree vertices, of
-    which there are few). Two shuffles: the wedge self-join on the
-    middle vertex and the closure semi-join on (a, c).
+    which there are few).
+
+    Plan shape: the edge list is ``localCheckpoint``ed (it feeds four
+    plan branches: two degree scans, the wedge join, the closure
+    probe; without materialization the whole edge-build subtree —
+    often a heavy groupBy/distinct — recomputes per branch), and the
+    oriented list is checkpointed again after the degree joins. The
+    checkpoint makes ``count()`` on it nearly free, so the operator
+    takes an ADAPTIVE join decision driver-side: when |E| ≤
+    ``broadcast_edge_limit`` (two bigints per row — ~16 bytes, so the
+    default caps the broadcast at ~128 MB) both the wedge join and the
+    closure probe broadcast the oriented list, turning the whole
+    wedge-generate → closure-probe → count pipeline into ONE map-side
+    stage with zero shuffle of the (much larger) wedge set. Past the
+    limit it degrades to the classic two-shuffle plan (wedge join on
+    the middle vertex, closure join on (a, c)). Wedge and triangle
+    counts come from one pass (left join + count/count(hit)), never a
+    separate count plus semi-join. At cluster scale substitute a
+    persisted table for the checkpoints.
 
     Returns one row: (n_edges, n_wedges, n_triangles).
     """
-    e = edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v"))
+    e = edges.select(
+        F.col(u_col).alias("u"), F.col(v_col).alias("v")
+    ).localCheckpoint()
     deg = (
         e.select(F.col("u").alias("x"))
         .union(e.select(F.col("v").alias("x")))
@@ -128,11 +150,15 @@ def triangle_count(
     oriented = with_deg.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    )
+    ).localCheckpoint()
+    n_e = oriented.count()  # materialized → cheap; drives the join gate
+    small = n_e <= broadcast_edge_limit
+
+    wedge_side = F.broadcast(oriented) if small else oriented
     wedges = (
         oriented.alias("e1")
         .join(
-            oriented.alias("e2"),
+            wedge_side.alias("e2"),
             F.col("e1.dst") == F.col("e2.src"),
         )
         .select(
@@ -141,16 +167,21 @@ def triangle_count(
             F.col("e2.dst").alias("c"),
         )
     )
-    closed = wedges.join(
-        oriented.select(F.col("src").alias("a"), F.col("dst").alias("c")),
-        ["a", "c"],
-        "left_semi",
+    # one pass: every wedge left-probes the (unique) oriented edge set,
+    # so count(*) = wedges and count(hit) = closed wedges = triangles
+    probe = oriented.select(
+        F.col("src").alias("a"),
+        F.col("dst").alias("c"),
+        F.lit(1).alias("__hit"),
     )
-    n_edges = e.select(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
-    n_wedges = wedges.select(
-        F.count(F.lit(1)).cast("bigint").alias("n_wedges")
+    probed = wedges.join(
+        F.broadcast(probe) if small else probe, ["a", "c"], "left"
     )
-    n_tri = closed.select(
-        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    return probed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_wedges"),
+        F.count("__hit").cast("bigint").alias("n_triangles"),
+    ).select(
+        F.lit(n_e).cast("bigint").alias("n_edges"),
+        "n_wedges",
+        "n_triangles",
     )
-    return n_edges.crossJoin(n_wedges).crossJoin(n_tri)
