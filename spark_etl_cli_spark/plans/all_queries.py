@@ -11,6 +11,7 @@ from spark_etl_cli_spark.plans import (  # noqa: F401
     pipelineops,
     relational,
     retrieval,
+    statsops,
     streamops,
     subqueries,
     textops,

@@ -1,0 +1,318 @@
+"""Statistical profiling + corpus-novelty queries (q139–q143).
+
+Cross-engine determinism strategy (see plans/registry.py): every
+aggregate that feeds a floating-point formula is computed as an EXACT
+integer/decimal sum first (prices as cents, dates as day offsets), and
+only the final scalar arithmetic runs in DOUBLE — identical IEEE-754
+operation sequences on exact inputs produce bit-identical results in
+Spark and DuckDB (sqrt is correctly rounded per IEEE; ln/exp are NOT
+and never appear here).
+
+Scale notes are inline per query; the common theme: aggregates shrink
+to |groups| or |vocabulary| rows before any window/join, so the heavy
+shuffles carry map-side-combined partials only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from spark_etl_cli_spark.functions.text import tokens, word_shingles
+from spark_etl_cli_spark.plans.registry import bcount, query, t
+from spark_etl_cli_spark.plans.textops import SQL_TOKENS
+
+# Exact integer encodings shared by the price queries: cents as BIGINT
+# (o_totalprice is a round(x, 2) double, so round(x*100) recovers the
+# exact integer; never lands on a .5 tie) and order date as day offset
+# from the epoch start of the synthetic data.
+_SQL_CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
+_SQL_DAYS = (
+    "CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))"
+    " AS BIGINT)"
+)
+
+
+def _cents():
+    return F.round(F.col("o_totalprice") * 100).cast("long")
+
+
+def _days():
+    return F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+    ).cast("long")
+
+
+# --- q139: per-group OLS regression (closed form, exact sums) -----------
+# Slope/intercept/r² of order value over time per priority class. The
+# five sufficient statistics (Σx, Σy, Σxx, Σxy, Σyy) are exact integer/
+# decimal sums — one map-side-combined groupBy over |groups| rows — so
+# the closed-form doubles match DuckDB bit-for-bit, which float-sum
+# regr_slope()/regr_r2() would not (their result depends on partition
+# order). Σyy needs DECIMAL(38,0): cents² sums past int64.
+@query(
+    "q139_group_regression",
+    oracle=f"""
+    WITH b AS (
+      SELECT o_orderpriority AS priority,
+             {_SQL_DAYS} AS x, {_SQL_CENTS} AS y
+      FROM orders
+    ),
+    s AS (
+      SELECT priority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy
+      FROM b GROUP BY 1
+    )
+    SELECT priority, n,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx) / 100 AS slope_per_day,
+           (sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+             / CAST(n AS DOUBLE) / 100 AS intercept,
+           ((CAST(n AS DOUBLE) * sxy - sx * sy)
+              * (CAST(n AS DOUBLE) * sxy - sx * sy))
+             / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r2
+    FROM s
+    """,
+)
+def q139_group_regression(spark, sf_dir):
+    b = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        _days().alias("x"),
+        _cents().alias("y"),
+    )
+    s = b.groupBy("priority").agg(
+        bcount("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("double")
+        .alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / var_x
+    return s.select(
+        "priority",
+        "n",
+        (slope / 100).alias("slope_per_day"),
+        ((F.col("sy") - slope * F.col("sx")) / nd / 100).alias("intercept"),
+        (cov_n * cov_n / (var_x * var_y)).alias("r2"),
+    )
+
+
+# --- q140: equi-width value histogram (pure integer bucketing) ----------
+# 24 × $25,000 buckets over order value; the bucket id is exact integer
+# arithmetic (cents/2.5e6 is exact in double below 2^53 before floor),
+# so the histogram is engine-independent. One map-side-combined groupBy
+# of 24 rows — the profiling primitive that costs one scan at any SF.
+@query(
+    "q140_price_histogram",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(least(floor(CAST({_SQL_CENTS} AS DOUBLE) / 2500000),
+                        23) AS INT) AS bucket
+      FROM orders
+    )
+    SELECT bucket,
+           CAST(bucket AS DOUBLE) * 25000 AS lo,
+           CAST(bucket + 1 AS DOUBLE) * 25000 AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM b GROUP BY 1
+    """,
+)
+def q140_price_histogram(spark, sf_dir):
+    b = t(spark, sf_dir, "orders").select(
+        F.least(
+            F.floor(_cents().cast("double") / F.lit(2500000)), F.lit(23)
+        )
+        .cast("int")
+        .alias("bucket")
+    )
+    return b.groupBy("bucket").agg(bcount("n_orders")).select(
+        "bucket",
+        (F.col("bucket").cast("double") * 25000).alias("lo"),
+        ((F.col("bucket") + 1).cast("double") * 25000).alias("hi"),
+        "n_orders",
+    )
+
+
+# --- q141: tokenizer vocabulary coverage ---------------------------------
+# "How many terms cover 95% of token occurrences?" — the vocabulary-
+# sizing question every tokenizer build answers first. Token counts
+# shrink the corpus to |V| rows before the single global cumulative
+# window (|V| ≪ corpus; at 100 TB |V| is the only non-distributed step
+# and it is millions of rows, not billions — same shape as the q77/q112
+# term tables). All comparisons stay in integers (cum*100 vs 95*total).
+@query(
+    "q141_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({SQL_TOKENS}) AS term FROM documents),
+    tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM tok GROUP BY 1),
+    c AS (
+      SELECT cnt,
+             SUM(cnt) OVER (ORDER BY cnt DESC, term) AS cum,
+             SUM(cnt) OVER () AS total
+      FROM tf
+    )
+    SELECT CAST(SUM(CASE WHEN cum * 100 < 95 * total THEN 1 ELSE 0 END)
+                + 1 AS BIGINT) AS vocab_size,
+           CAST(MIN(CASE WHEN cum * 100 >= 95 * total THEN cum END)
+                AS BIGINT) AS covered_tokens,
+           CAST(MAX(total) AS BIGINT) AS total_tokens
+    FROM c
+    """,
+)
+def q141_vocab_coverage(spark, sf_dir):
+    tok = t(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("term").agg(bcount("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term"))
+    c = tf.select(
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.partitionBy()
+        ).alias("total"),
+    )
+    qualifying = F.when(
+        F.col("cum") * 100 >= 95 * F.col("total"), F.col("cum")
+    )
+    return c.agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("cum") * 100 < 95 * F.col("total"), F.lit(1)
+                ).otherwise(F.lit(0))
+            )
+            + 1
+        )
+        .cast("bigint")
+        .alias("vocab_size"),
+        F.min(qualifying).cast("bigint").alias("covered_tokens"),
+        F.max("total").cast("bigint").alias("total_tokens"),
+    )
+
+
+# --- q142: z-score outliers (exact moments, broadcast stats join) -------
+# Classic anomaly flag: |value - μ| > 1.6σ within the group. μ and σ
+# come from exact integer/decimal sums per group (5 rows), broadcast
+# back over the fact table — Spark's stddev_pop would be partition-
+# order dependent; this is not. σ uses sqrt (IEEE correctly rounded).
+@query(
+    "q142_zscore_outliers",
+    oracle=f"""
+    WITH b AS (
+      SELECT o_orderkey, o_orderpriority AS priority,
+             o_totalprice, {_SQL_CENTS} AS y
+      FROM orders
+    ),
+    s AS (
+      SELECT priority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy
+      FROM b GROUP BY 1
+    )
+    SELECT o_orderkey, b.priority, o_totalprice,
+           (CAST(y AS DOUBLE) - sy / n)
+             / sqrt((syy - sy * sy / n) / n) AS z
+    FROM b JOIN s ON b.priority = s.priority
+    WHERE abs((CAST(y AS DOUBLE) - sy / n)
+              / sqrt((syy - sy * sy / n) / n)) > 1.6
+    """,
+)
+def q142_zscore_outliers(spark, sf_dir):
+    b = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        "o_totalprice",
+        _cents().alias("y"),
+    )
+    s = b.groupBy("priority").agg(
+        bcount("n"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("double")
+        .alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sy") / nd
+    std = F.sqrt((F.col("syy") - F.col("sy") * F.col("sy") / nd) / nd)
+    z = (F.col("y").cast("double") - mean) / std
+    return (
+        b.join(F.broadcast(s), "priority")
+        .select("o_orderkey", "priority", "o_totalprice", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 1.6)
+    )
+
+
+# --- q143: n-gram novelty per document -----------------------------------
+# Memorization/near-dup signal used in corpus audits: the share of a
+# document's distinct 3-word shingles whose FIRST occurrence (min
+# doc_id) is this document. Two shuffles: shingle → min(doc_id), then
+# the shingle-keyed join back (both map-side combined / AQE-skew-safe);
+# everything after is per-doc integer counts and one double division.
+# At 100 TB the join key would be xxhash64(shingle) (16-byte payloads)
+# rather than the raw shingle string — kept as the string here so the
+# oracle replays byte-for-byte.
+@query(
+    "q143_ngram_novelty",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(tk) - 2, 0)),
+               i -> array_to_string(tk[i:i+2], ' '))) AS s
+      FROM (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents)
+    ),
+    ex AS (SELECT id, unnest(s) AS shingle FROM sh),
+    first AS (SELECT shingle, MIN(id) AS first_id FROM ex GROUP BY 1)
+    SELECT ex.id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN first_id = ex.id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN first_id = ex.id THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM ex JOIN first ON ex.shingle = first.shingle
+    GROUP BY 1
+    """,
+)
+def q143_ngram_novelty(spark, sf_dir):
+    sh = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.explode(word_shingles(F.col("text"), k=3)).alias("shingle"),
+    )
+    first = sh.groupBy("shingle").agg(F.min("id").alias("first_id"))
+    novel = F.sum(
+        F.when(F.col("first_id") == F.col("id"), F.lit(1)).otherwise(F.lit(0))
+    ).cast("bigint")
+    return (
+        sh.join(first, "shingle")
+        .groupBy("id")
+        .agg(
+            bcount("n_shingles"),
+            novel.alias("n_novel"),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_shingles",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("novelty"),
+        )
+    )

@@ -1,0 +1,145 @@
+"""Property tests for the q139–q143 stats/novelty queries.
+
+Each query is checked against an INDEPENDENT reference computed in
+plain Python over the same rows (not against the DuckDB oracle, which
+scripts/check_oracles.py already covers) — so a shared misconception
+between the Spark plan and its SQL twin would still be caught here.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+import __spark_entry__ as entry
+
+from tests.conftest import SF_DIR
+
+
+def _rows(spark, name):
+    return entry.queries()[name](spark, SF_DIR).collect()
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate")
+        .collect()
+    )
+
+
+def test_group_regression_matches_numpy_lstsq(spark, orders):
+    import datetime
+
+    import numpy as np
+
+    got = {r["priority"]: r for r in _rows(spark, "q139_group_regression")}
+    base = datetime.date(1992, 1, 1)
+    by_prio: dict[str, list[tuple[int, float]]] = {}
+    for r in orders:
+        x = (r["o_orderdate"].date() - base).days
+        by_prio.setdefault(r["o_orderpriority"], []).append(
+            (x, r["o_totalprice"])
+        )
+    assert set(got) == set(by_prio)
+    for prio, pts in by_prio.items():
+        xs = np.array([p[0] for p in pts], dtype=float)
+        ys = np.array([p[1] for p in pts], dtype=float)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        r = np.corrcoef(xs, ys)[0, 1]
+        g = got[prio]
+        assert g["n"] == len(pts)
+        assert g["slope_per_day"] == pytest.approx(slope, rel=1e-6, abs=1e-9)
+        assert g["intercept"] == pytest.approx(intercept, rel=1e-6)
+        assert g["r2"] == pytest.approx(r * r, rel=1e-6, abs=1e-12)
+
+
+def test_price_histogram_partitions_all_orders(spark, orders):
+    rows = _rows(spark, "q140_price_histogram")
+    assert sum(r["n_orders"] for r in rows) == len(orders)
+    for r in rows:
+        assert r["hi"] - r["lo"] == pytest.approx(25000.0)
+        # independent recount of one bucket
+    ref: dict[int, int] = {}
+    for o in orders:
+        b = min(int(round(o["o_totalprice"] * 100) // 2_500_000), 23)
+        ref[b] = ref.get(b, 0) + 1
+    assert {r["bucket"]: r["n_orders"] for r in rows} == ref
+
+
+def test_vocab_coverage_is_minimal_prefix(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    counts: dict[str, int] = {}
+    for d in docs:
+        text = " ".join(d["text"].split()).lower()
+        for tok in text.split(" "):
+            counts[tok] = counts.get(tok, 0) + 1
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(counts.values())
+    cum = 0
+    for k, (_, c) in enumerate(ordered, start=1):
+        cum += c
+        if cum * 100 >= 95 * total:
+            break
+    (row,) = _rows(spark, "q141_vocab_coverage")
+    assert row["vocab_size"] == k
+    assert row["covered_tokens"] == cum
+    assert row["total_tokens"] == total
+
+
+def test_zscore_outliers_match_reference(spark, orders):
+    stats: dict[str, list[int]] = {}
+    for o in orders:
+        stats.setdefault(o["o_orderpriority"], []).append(
+            int(round(o["o_totalprice"] * 100))
+        )
+    flagged = {}
+    for o in orders:
+        ys = stats[o["o_orderpriority"]]
+        n = len(ys)
+        mean = sum(ys) / n
+        var = (sum(y * y for y in ys) - sum(ys) ** 2 / n) / n
+        z = (int(round(o["o_totalprice"] * 100)) - mean) / math.sqrt(var)
+        if abs(z) > 1.6:
+            flagged[o["o_orderkey"]] = z
+    got = {r["o_orderkey"]: r["z"] for r in _rows(spark, "q142_zscore_outliers")}
+    assert set(got) == set(flagged)
+    for k, z in flagged.items():
+        assert got[k] == pytest.approx(z, rel=1e-9)
+
+
+def test_ngram_novelty_reference_and_bounds(spark):
+    docs = sorted(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").collect(),
+        key=lambda d: d["doc_id"],
+    )
+
+    def shingles(text: str) -> set[str]:
+        toks = " ".join(text.split()).lower().split(" ")
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    first: dict[str, int] = {}
+    ref = {}
+    for d in docs:
+        sh = shingles(d["text"])
+        if not sh:
+            continue
+        novel = 0
+        for s in sorted(sh):
+            if s not in first:
+                first[s] = d["doc_id"]
+            if first[s] == d["doc_id"]:
+                novel += 1
+        ref[d["doc_id"]] = (len(sh), novel)
+    rows = _rows(spark, "q143_ngram_novelty")
+    got = {r["doc_id"]: (r["n_shingles"], r["n_novel"]) for r in rows}
+    assert got == ref
+    for r in rows:
+        assert 0.0 <= r["novelty"] <= 1.0
+    # the lowest doc_id with shingles is all-novel by construction
+    lowest = min(ref)
+    assert got[lowest][0] == got[lowest][1]
