@@ -1,0 +1,222 @@
+"""Statistical profiling operators: regression, histogram, outliers,
+vocabulary coverage, n-gram novelty.
+
+These back the q139–q143 plan queries AND the ``regression:// /
+histogram:// / outliers:// / vocab-coverage:// / novelty://`` URI
+transforms. Determinism contract: when the value columns are INTEGER-
+encoded (the plan queries pass prices as cents and dates as day
+offsets), every aggregate below is an exact integer/decimal sum and
+the derived doubles are bit-identical across engines and partitionings
+— see plans/statsops.py. With raw double inputs the operators still
+work; the sums are then ordinary float sums (order-dependent in the
+last ulps, as any engine's would be).
+
+Scale shapes: each operator reduces the input to |groups|, |buckets|,
+or |vocabulary| rows with ONE map-side-combined groupBy before any
+join or window; stats joins broadcast (group cardinality ≪ table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_etl_cli_spark.functions.text import tokens, word_shingles
+
+
+def _suff_stats(df: DataFrame, x_col: str, y_col: str, group_cols: list[str]):
+    """Per-group OLS sufficient statistics with overflow-safe sums.
+
+    x*x and x*y stay in the input type (caller guarantees range); y*y
+    goes through DECIMAL(38,0) — squared integer encodings (e.g.
+    cents) overflow int64 in the sum.
+    """
+    x, y = F.col(x_col), F.col(y_col)
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(y.cast("decimal(38,0)") * y).cast("double").alias("syy"),
+    )
+
+
+def group_regression(
+    df: DataFrame, x_col: str, y_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Closed-form per-group OLS of ``y`` on ``x``.
+
+    Returns one row per group: ``(*group_cols, n, slope, intercept,
+    r2)`` in input units. Partition-order independent when x/y are
+    integral (exact sufficient statistics), which Spark's float-summing
+    ``regr_slope``/``regr_r2`` aggregates are not.
+    """
+    s = _suff_stats(df, x_col, y_col, group_cols)
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / var_x
+    return s.select(
+        *group_cols,
+        "n",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / nd).alias("intercept"),
+        (cov_n * cov_n / (var_x * var_y)).alias("r2"),
+    )
+
+
+def equi_width_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float = 0.0,
+    width: float = 1.0,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Equi-width histogram: ``(bucket, lo, hi, n_rows)`` per non-empty
+    bucket, clamped to ``[0, n_buckets)``. One scan, one map-side-
+    combined groupBy of ≤ ``n_buckets`` rows at any scale."""
+    bucket = (
+        F.least(
+            F.greatest(
+                F.floor(
+                    (F.col(value_col).cast("double") - F.lit(float(lo)))
+                    / F.lit(float(width))
+                ),
+                F.lit(0),
+            ),
+            F.lit(n_buckets - 1),
+        )
+        .cast("int")
+        .alias("bucket")
+    )
+    return (
+        df.select(bucket)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .select(
+            "bucket",
+            (F.lit(float(lo)) + F.col("bucket") * F.lit(float(width))).alias(
+                "lo"
+            ),
+            (
+                F.lit(float(lo)) + (F.col("bucket") + 1) * F.lit(float(width))
+            ).alias("hi"),
+            "n_rows",
+        )
+    )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Rows whose ``|value - μ_group| > threshold·σ_group``, with a
+    ``z`` column appended.
+
+    μ/σ come from one groupBy (exact sums for integral values) whose
+    |groups| rows broadcast back over the fact table — never a window
+    over the raw data, and never Spark's float ``stddev_pop`` (whose
+    result depends on partition order). σ uses sqrt, which IEEE
+    requires correctly rounded.
+    """
+    y = F.col(value_col)
+    s = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(y).cast("double").alias("__sy"),
+        F.sum(y.cast("decimal(38,0)") * y).cast("double").alias("__syy"),
+    )
+    nd = F.col("__n").cast("double")
+    mean = F.col("__sy") / nd
+    std = F.sqrt(
+        (F.col("__syy") - F.col("__sy") * F.col("__sy") / nd) / nd
+    )
+    z = (y.cast("double") - mean) / std
+    return (
+        df.join(F.broadcast(s), group_cols)
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > threshold)
+        .drop("__n", "__sy", "__syy")
+    )
+
+
+def vocab_coverage(
+    df: DataFrame, text_col: str = "text", pct: int = 95
+) -> DataFrame:
+    """Smallest frequency-ranked vocabulary covering ``pct``% of token
+    occurrences: one row ``(vocab_size, covered_tokens, total_tokens)``.
+
+    The corpus shrinks to |V| term-count rows before the single global
+    cumulative window — the only non-distributed step, over millions
+    of rows at 100 TB, not billions. Comparisons stay in integers
+    (cum·100 vs pct·total): no float coverage ratios.
+    """
+    tf = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term"))
+    c = tf.select(
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+    )
+    hit = F.col("cum") * 100 >= pct * F.col("total")
+    return c.agg(
+        (
+            F.sum(F.when(~hit, F.lit(1)).otherwise(F.lit(0))) + 1
+        )
+        .cast("bigint")
+        .alias("vocab_size"),
+        F.min(F.when(hit, F.col("cum"))).cast("bigint").alias(
+            "covered_tokens"
+        ),
+        F.max("total").cast("bigint").alias("total_tokens"),
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document share of distinct k-word shingles FIRST seen (by
+    min id) in that document — the corpus-audit memorization/near-dup
+    signal. Returns ``(id_col, n_shingles, n_novel, novelty)``.
+
+    Two shuffles: shingle → min(id), then the shingle-keyed join back.
+    At 100 TB, key the join on xxhash64(shingle) to shrink payloads;
+    the raw string is kept here so the DuckDB oracle replays exactly.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_shingles(F.col(text_col), k=k)).alias("__shingle"),
+    )
+    first = sh.groupBy("__shingle").agg(F.min("__id").alias("__first"))
+    return (
+        sh.join(first, "__shingle")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("__first") == F.col("__id"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_shingles",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("novelty"),
+        )
+    )

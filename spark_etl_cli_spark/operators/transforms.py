@@ -1116,3 +1116,108 @@ def attribution_transform(p: ParsedUri) -> TransformFn:
         )
 
     return run
+
+
+@register_transform("regression")
+def regression_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+regression://?x=day&y=cents&by=priority,region``.
+
+    Closed-form per-group OLS of y on x (operators/profiling.py):
+    (groups..., n, slope, intercept, r2). Integer-encoded x/y make the
+    result partition-order independent (exact sufficient statistics).
+    """
+    x = p.params.get("x")
+    y = p.params.get("y")
+    if not x or not y:
+        raise ValueError("regression:// needs ?x=<col>&y=<col>")
+    by = _csv_param(p, "by")
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators.profiling import group_regression
+
+        return group_regression(df, x, y, by)
+
+    return run
+
+
+@register_transform("histogram")
+def histogram_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+histogram://?col=o_totalprice&lo=0&width=25000&buckets=24``.
+
+    Equi-width histogram (operators/profiling.py): (bucket, lo, hi,
+    n_rows), clamped to [0, buckets); one scan + one tiny groupBy.
+    """
+    col = p.params.get("col")
+    if not col:
+        raise ValueError("histogram:// needs ?col=<column>")
+    lo = float(p.params.get("lo", "0"))
+    width = float(p.params.get("width", "1"))
+    buckets = int(p.params.get("buckets", "20"))
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators.profiling import equi_width_histogram
+
+        return equi_width_histogram(df, col, lo, width, buckets)
+
+    return run
+
+
+@register_transform("outliers")
+def outliers_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+outliers://?col=value&by=event_type&z=3``.
+
+    Z-score outlier filter (operators/profiling.py): keeps rows with
+    |value − μ_group| > z·σ_group and appends the ``z`` column; group
+    moments broadcast back (exact sums for integral values).
+    """
+    col = p.params.get("col")
+    if not col:
+        raise ValueError("outliers:// needs ?col=<column>")
+    by = _csv_param(p, "by")
+    z = float(p.params.get("z", "3"))
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators.profiling import zscore_outliers
+
+        return zscore_outliers(df, col, by, z)
+
+    return run
+
+
+@register_transform("vocab-coverage")
+def vocab_coverage_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+vocab-coverage://?text-col=text&pct=95``.
+
+    Smallest frequency-ranked vocabulary covering pct% of token
+    occurrences (operators/profiling.py): one row (vocab_size,
+    covered_tokens, total_tokens).
+    """
+    text_col = p.params.get("text-col", "text")
+    pct = int(p.params.get("pct", "95"))
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators.profiling import vocab_coverage
+
+        return vocab_coverage(df, text_col, pct)
+
+    return run
+
+
+@register_transform("novelty")
+def novelty_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+novelty://?id-col=doc_id&text-col=text&k=3``.
+
+    Per-document first-occurrence k-gram novelty share
+    (operators/profiling.py): (id, n_shingles, n_novel, novelty) — the
+    corpus-audit memorization signal.
+    """
+    id_col = p.params.get("id-col", "doc_id")
+    text_col = p.params.get("text-col", "text")
+    k = int(p.params.get("k", "3"))
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators.profiling import ngram_novelty
+
+        return ngram_novelty(df, id_col, text_col, k)
+
+    return run

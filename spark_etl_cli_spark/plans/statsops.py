@@ -15,11 +15,16 @@ shuffles carry map-side-combined partials only.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from spark_etl_cli_spark.functions.text import tokens, word_shingles
-from spark_etl_cli_spark.plans.registry import bcount, query, t
+from spark_etl_cli_spark.operators.profiling import (
+    equi_width_histogram,
+    group_regression,
+    ngram_novelty,
+    vocab_coverage,
+    zscore_outliers,
+)
+from spark_etl_cli_spark.plans.registry import query, t
 from spark_etl_cli_spark.plans.textops import SQL_TOKENS
 
 # Exact integer encodings shared by the price queries: cents as BIGINT
@@ -87,27 +92,13 @@ def q139_group_regression(spark, sf_dir):
         _days().alias("x"),
         _cents().alias("y"),
     )
-    s = b.groupBy("priority").agg(
-        bcount("n"),
-        F.sum("x").cast("double").alias("sx"),
-        F.sum("y").cast("double").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
-        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
-        .cast("double")
-        .alias("syy"),
-    )
-    nd = F.col("n").cast("double")
-    cov_n = nd * F.col("sxy") - F.col("sx") * F.col("sy")
-    var_x = nd * F.col("sxx") - F.col("sx") * F.col("sx")
-    var_y = nd * F.col("syy") - F.col("sy") * F.col("sy")
-    slope = cov_n / var_x
-    return s.select(
+    r = group_regression(b, "x", "y", ["priority"])
+    return r.select(
         "priority",
         "n",
-        (slope / 100).alias("slope_per_day"),
-        ((F.col("sy") - slope * F.col("sx")) / nd / 100).alias("intercept"),
-        (cov_n * cov_n / (var_x * var_y)).alias("r2"),
+        (F.col("slope") / 100).alias("slope_per_day"),
+        (F.col("intercept") / 100).alias("intercept"),
+        "r2",
     )
 
 
@@ -132,18 +123,13 @@ def q139_group_regression(spark, sf_dir):
     """,
 )
 def q140_price_histogram(spark, sf_dir):
-    b = t(spark, sf_dir, "orders").select(
-        F.least(
-            F.floor(_cents().cast("double") / F.lit(2500000)), F.lit(23)
-        )
-        .cast("int")
-        .alias("bucket")
-    )
-    return b.groupBy("bucket").agg(bcount("n_orders")).select(
+    b = t(spark, sf_dir, "orders").select(_cents().alias("cents"))
+    h = equi_width_histogram(b, "cents", lo=0.0, width=2_500_000.0, n_buckets=24)
+    return h.select(
         "bucket",
         (F.col("bucket").cast("double") * 25000).alias("lo"),
         ((F.col("bucket") + 1).cast("double") * 25000).alias("hi"),
-        "n_orders",
+        F.col("n_rows").alias("n_orders"),
     )
 
 
@@ -175,35 +161,7 @@ def q140_price_histogram(spark, sf_dir):
     """,
 )
 def q141_vocab_coverage(spark, sf_dir):
-    tok = t(spark, sf_dir, "documents").select(
-        F.explode(tokens(F.col("text"))).alias("term")
-    )
-    tf = tok.groupBy("term").agg(bcount("cnt"))
-    w = Window.orderBy(F.col("cnt").desc(), F.col("term"))
-    c = tf.select(
-        "cnt",
-        F.sum("cnt").over(w).alias("cum"),
-        F.sum("cnt").over(
-            Window.partitionBy()
-        ).alias("total"),
-    )
-    qualifying = F.when(
-        F.col("cum") * 100 >= 95 * F.col("total"), F.col("cum")
-    )
-    return c.agg(
-        (
-            F.sum(
-                F.when(
-                    F.col("cum") * 100 < 95 * F.col("total"), F.lit(1)
-                ).otherwise(F.lit(0))
-            )
-            + 1
-        )
-        .cast("bigint")
-        .alias("vocab_size"),
-        F.min(qualifying).cast("bigint").alias("covered_tokens"),
-        F.max("total").cast("bigint").alias("total_tokens"),
-    )
+    return vocab_coverage(t(spark, sf_dir, "documents"), "text", pct=95)
 
 
 # --- q142: z-score outliers (exact moments, broadcast stats join) -------
@@ -241,21 +199,8 @@ def q142_zscore_outliers(spark, sf_dir):
         "o_totalprice",
         _cents().alias("y"),
     )
-    s = b.groupBy("priority").agg(
-        bcount("n"),
-        F.sum("y").cast("double").alias("sy"),
-        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
-        .cast("double")
-        .alias("syy"),
-    )
-    nd = F.col("n").cast("double")
-    mean = F.col("sy") / nd
-    std = F.sqrt((F.col("syy") - F.col("sy") * F.col("sy") / nd) / nd)
-    z = (F.col("y").cast("double") - mean) / std
-    return (
-        b.join(F.broadcast(s), "priority")
-        .select("o_orderkey", "priority", "o_totalprice", z.alias("z"))
-        .filter(F.abs(F.col("z")) > 1.6)
+    return zscore_outliers(b, "y", ["priority"], threshold=1.6).select(
+        "o_orderkey", "priority", "o_totalprice", "z"
     )
 
 
@@ -291,28 +236,6 @@ def q142_zscore_outliers(spark, sf_dir):
     """,
 )
 def q143_ngram_novelty(spark, sf_dir):
-    sh = t(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("id"),
-        F.explode(word_shingles(F.col("text"), k=3)).alias("shingle"),
-    )
-    first = sh.groupBy("shingle").agg(F.min("id").alias("first_id"))
-    novel = F.sum(
-        F.when(F.col("first_id") == F.col("id"), F.lit(1)).otherwise(F.lit(0))
-    ).cast("bigint")
-    return (
-        sh.join(first, "shingle")
-        .groupBy("id")
-        .agg(
-            bcount("n_shingles"),
-            novel.alias("n_novel"),
-        )
-        .select(
-            F.col("id").alias("doc_id"),
-            "n_shingles",
-            "n_novel",
-            (
-                F.col("n_novel").cast("double")
-                / F.col("n_shingles").cast("double")
-            ).alias("novelty"),
-        )
+    return ngram_novelty(
+        t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text", k=3
     )

@@ -143,3 +143,51 @@ def test_ngram_novelty_reference_and_bounds(spark):
     # the lowest doc_id with shingles is all-novel by construction
     lowest = min(ref)
     assert got[lowest][0] == got[lowest][1]
+
+
+def test_profiling_transforms_via_pipeline(spark):
+    from pyspark.sql import Row
+
+    from spark_etl_cli_spark.pipeline import run_pipeline
+
+    spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta"),
+            Row(doc_id=2, text="alpha beta gamma epsilon"),
+            Row(doc_id=3, text="zeta eta theta iota"),
+        ]
+    ).createOrReplaceTempView("prof_docs")
+    run_pipeline(
+        spark,
+        sources=["prof_docs+view://prof_docs"],
+        transforms=["prof_docs+prof_nov+novelty://?k=3"],
+        sinks=["prof_nov+memory://prof_nov_out"],
+    )
+    got = {r.doc_id: r for r in spark.table("prof_nov_out").collect()}
+    assert got[1].novelty == 1.0          # first doc: all shingles new
+    assert got[2].n_novel == 1            # shares "alpha beta gamma"
+    assert got[3].novelty == 1.0
+
+    spark.createDataFrame(
+        [Row(g="a", x=i, y=2 * i + 5) for i in range(10)]
+    ).createOrReplaceTempView("prof_xy")
+    run_pipeline(
+        spark,
+        sources=["prof_xy+view://prof_xy"],
+        transforms=["prof_xy+prof_reg+regression://?x=x&y=y&by=g"],
+        sinks=["prof_reg+memory://prof_reg_out"],
+    )
+    (row,) = spark.table("prof_reg_out").collect()
+    assert row.slope == pytest.approx(2.0)
+    assert row.intercept == pytest.approx(5.0)
+    assert row.r2 == pytest.approx(1.0)
+
+    run_pipeline(
+        spark,
+        sources=["prof_xy+view://prof_xy"],
+        transforms=["prof_xy+prof_h+histogram://?col=y&lo=0&width=10&buckets=3"],
+        sinks=["prof_h+memory://prof_h_out"],
+    )
+    hist = {r.bucket: r.n_rows for r in spark.table("prof_h_out").collect()}
+    # y in 5..23 -> bucket0: y in [5,9] (3 rows), bucket1: [10,19] (5), bucket2: >=20 (2)
+    assert hist == {0: 3, 1: 5, 2: 2}
