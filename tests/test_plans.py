@@ -351,8 +351,13 @@ def test_q136_triangles_no_cartesian(spark):
     # wedge + closure joins must stay hash/merge equi-joins
     plan = plan_of(spark, "q136_triangle_count", execute=True)
     assert "CartesianProduct" not in plan
-    # the closure check is a semi join, not a row-multiplying inner
-    assert "LeftSemi" in plan
+    # the closure probe is a LEFT join against the UNIQUE oriented
+    # edge set (row-preserving; wedge + triangle counts fused into one
+    # aggregate over it) — never a row-multiplying inner join
+    assert "LeftOuter" in plan
+    # broadcast-gated: at this size the oriented list broadcasts, so
+    # the wedge set is never shuffled
+    assert "BroadcastHashJoin" in plan
 
 
 def test_q137_tfidf_broadcasts_query_postings(spark):
@@ -367,3 +372,26 @@ def test_q138_attribution_single_user_exchange(spark):
     # carry-forward window + rollup: one exchange on user_id
     plan = plan_of(spark, "q138_last_touch_attribution", execute=True)
     assert _unique_exchanges(plan, "user_id") == 1
+
+
+def test_regression_is_single_pass_partial_agg(spark):
+    plan = plan_of(spark, "q139_group_regression")
+    # five sufficient statistics in ONE map-side-combined aggregate;
+    # no join anywhere in the plan
+    assert "partial_sum" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # stats shuffle (+AQE read)
+
+
+def test_zscore_stats_join_broadcasts(spark):
+    plan = plan_of(spark, "q142_zscore_outliers", execute=True)
+    # the |groups|-row moments table must broadcast back over orders,
+    # never sort-merge (which would shuffle the fact table twice)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_histogram_is_two_level_aggregate(spark):
+    plan = plan_of(spark, "q140_price_histogram")
+    assert "partial_count" in plan  # map-side combine into <=24 rows
+    assert "Join" not in plan
