@@ -220,3 +220,99 @@ def ngram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def k_anonymity(
+    df: DataFrame, qi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """Privacy audit: quasi-identifier groups smaller than ``k``.
+
+    Returns one row per risky group: ``(*qi_cols, group_size)`` where
+    ``group_size < k`` — the equivalence classes whose members are
+    re-identifiable. One map-side-combined groupBy; output is bounded
+    by the number of QI combinations, not the table size.
+    """
+    return (
+        df.groupBy(*qi_cols)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("group_size"))
+        .filter(F.col("group_size") < k)
+    )
+
+
+def count_min_sketch(
+    df: DataFrame, term_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-min sketch over a term/event stream.
+
+    Returns the counter table ``(row, bucket, counter)`` —
+    ``depth × width`` rows REGARDLESS of input size, built with one
+    map-side-combined groupBy over the ``depth``-fanned stream (the
+    sketch property that makes frequency estimation feasible when the
+    key universe doesn't fit anywhere). Point estimates are
+    ``min_i counter[i][h_i(term)]``; see :func:`cms_estimate`.
+
+    Hashes are the oracle-replicable salted md5 family
+    (functions/text.py: ``md5_long(term, salt=i) % width``), so a SQL
+    twin can rebuild the identical sketch.
+    """
+    from spark_etl_cli_spark.functions.text import md5_long
+
+    entries = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        (md5_long(F.col(term_col), F.lit(i)) % width).alias(
+                            "bucket"
+                        ),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("e")
+    )
+    return (
+        entries.select("e.row", "e.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("counter"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    terms: DataFrame,
+    term_col: str = "term",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-estimate counts for ``terms`` from a count-min sketch.
+
+    Adds ``est_cnt = min_i counter[i][h_i(term)]`` (never an
+    underestimate). The candidate set fans out ``depth`` rows each and
+    equi-joins the (tiny, broadcastable) counter table.
+    """
+    from spark_etl_cli_spark.functions.text import md5_long
+
+    probes = terms.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        (md5_long(F.col(term_col), F.lit(i)) % width).alias(
+                            "bucket"
+                        ),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("e"),
+    ).select("*", "e.row", "e.bucket").drop("e")
+    others = [c for c in terms.columns]
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy(*others)
+        .agg(F.min("counter").cast("bigint").alias("est_cnt"))
+    )

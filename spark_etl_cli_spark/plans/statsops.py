@@ -239,3 +239,80 @@ def q143_ngram_novelty(spark, sf_dir):
     return ngram_novelty(
         t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text", k=3
     )
+
+
+# --- q144: k-anonymity audit ---------------------------------------------
+# Privacy pre-release check: quasi-identifier equivalence classes with
+# fewer than k members. One map-side-combined groupBy; output bounded
+# by |QI combinations|.
+@query(
+    "q144_k_anonymity",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS group_size
+    FROM customer
+    GROUP BY 1, 2
+    HAVING COUNT(*) < 8
+    """,
+)
+def q144_k_anonymity(spark, sf_dir):
+    from spark_etl_cli_spark.operators.profiling import k_anonymity
+
+    return k_anonymity(
+        t(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"], k=8
+    )
+
+
+# --- q145: count-min-sketch heavy hitters --------------------------------
+# The sketch operator class: a depth×width counter table whose size is
+# INDEPENDENT of corpus size (the 100 TB story — term frequency
+# estimation when |V| doesn't fit anywhere), built with one map-side-
+# combined groupBy over the 4-fanned token stream. Estimates are
+# min-over-rows probes. Hashes are the salted-md5 family, so the
+# DuckDB twin rebuilds the bit-identical sketch; the exact top-50
+# candidates ride along to expose the (always ≥ 0) overestimate.
+@query(
+    "q145_cms_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({SQL_TOKENS}) AS term FROM documents),
+    ent AS (
+      SELECT term, i AS row,
+             CAST(('0x' || substr(md5(term || '#' || CAST(i AS VARCHAR)),
+                                  1, 15)) AS BIGINT) % 1024 AS bucket
+      FROM tok CROSS JOIN generate_series(0, 3) AS g(i)
+    ),
+    sketch AS (SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS counter
+               FROM ent GROUP BY 1, 2),
+    tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM tok GROUP BY 1),
+    cand AS (SELECT term, cnt FROM tf ORDER BY cnt DESC, term LIMIT 50),
+    probe AS (
+      SELECT c.term, c.cnt, i AS row,
+             CAST(('0x' || substr(md5(c.term || '#' || CAST(i AS VARCHAR)),
+                                  1, 15)) AS BIGINT) % 1024 AS bucket
+      FROM cand c CROSS JOIN generate_series(0, 3) AS g(i)
+    )
+    SELECT p.term, p.cnt AS exact_cnt,
+           CAST(MIN(s.counter) AS BIGINT) AS est_cnt
+    FROM probe p JOIN sketch s ON p.row = s.row AND p.bucket = s.bucket
+    GROUP BY 1, 2
+    """,
+)
+def q145_cms_heavy_hitters(spark, sf_dir):
+    from spark_etl_cli_spark.functions.text import tokens
+    from spark_etl_cli_spark.operators.profiling import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    tok = t(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("term")
+    )
+    sketch = count_min_sketch(tok, "term", depth=4, width=1024)
+    cand = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "term")
+        .limit(50)
+    )
+    return cms_estimate(sketch, cand, "term", depth=4, width=1024)

@@ -191,3 +191,45 @@ def test_profiling_transforms_via_pipeline(spark):
     hist = {r.bucket: r.n_rows for r in spark.table("prof_h_out").collect()}
     # y in 5..23 -> bucket0: y in [5,9] (3 rows), bucket1: [10,19] (5), bucket2: >=20 (2)
     assert hist == {0: 3, 1: 5, 2: 2}
+
+
+def test_k_anonymity_reference(spark):
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    sizes: dict[tuple, int] = {}
+    for c in cust:
+        key = (c["c_nationkey"], c["c_mktsegment"])
+        sizes[key] = sizes.get(key, 0) + 1
+    ref = {k: v for k, v in sizes.items() if v < 8}
+    rows = _rows(spark, "q144_k_anonymity")
+    got = {(r["c_nationkey"], r["c_mktsegment"]): r["group_size"] for r in rows}
+    assert got == ref
+
+
+def test_cms_never_underestimates_and_is_tight_when_sparse(spark):
+    rows = _rows(spark, "q145_cms_heavy_hitters")
+    assert rows
+    for r in rows:
+        assert r["est_cnt"] >= r["exact_cnt"]  # CMS one-sided error
+
+
+def test_cms_operator_on_synthetic_collisions(spark):
+    # width=2 forces collisions: estimates overcount but never under
+    from pyspark.sql import Row
+
+    from spark_etl_cli_spark.operators.profiling import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    data = [Row(term=t) for t in ["a"] * 5 + ["b"] * 3 + ["c"] * 2]
+    df = spark.createDataFrame(data)
+    sketch = count_min_sketch(df, "term", depth=3, width=2)
+    assert sketch.count() <= 6  # 3 rows x 2 buckets
+    terms = spark.createDataFrame(
+        [Row(term="a", exact=5), Row(term="b", exact=3), Row(term="c", exact=2)]
+    )
+    est = {r["term"]: r["est_cnt"] for r in cms_estimate(
+        sketch, terms, "term", depth=3, width=2).collect()}
+    for term, exact in (("a", 5), ("b", 3), ("c", 2)):
+        assert est[term] >= exact
+    assert sum(r["counter"] for r in sketch.collect()) == 3 * 10
