@@ -1221,3 +1221,23 @@ def novelty_transform(p: ParsedUri) -> TransformFn:
         return ngram_novelty(df, id_col, text_col, k)
 
     return run
+
+
+@register_transform("k-anon")
+def k_anon_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+k-anon://?by=nationkey,segment&k=5``.
+
+    k-anonymity audit (operators/profiling.py): quasi-identifier
+    groups with fewer than k members — the pre-release privacy check.
+    """
+    by = _csv_param(p, "by")
+    if not by:
+        raise ValueError("k-anon:// needs ?by=<qi-col,...>")
+    k = int(p.params.get("k", "5"))
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators.profiling import k_anonymity
+
+        return k_anonymity(df, by, k)
+
+    return run

@@ -233,3 +233,21 @@ def test_cms_operator_on_synthetic_collisions(spark):
     for term, exact in (("a", 5), ("b", 3), ("c", 2)):
         assert est[term] >= exact
     assert sum(r["counter"] for r in sketch.collect()) == 3 * 10
+
+
+def test_k_anon_transform_via_pipeline(spark):
+    from pyspark.sql import Row
+
+    from spark_etl_cli_spark.pipeline import run_pipeline
+
+    spark.createDataFrame(
+        [Row(nat=1, seg="A")] * 5 + [Row(nat=2, seg="B")]
+    ).createOrReplaceTempView("ka_in")
+    run_pipeline(
+        spark,
+        sources=["ka_in+view://ka_in"],
+        transforms=["ka_in+ka_out+k-anon://?by=nat,seg&k=3"],
+        sinks=["ka_out+memory://ka_res"],
+    )
+    rows = spark.table("ka_res").collect()
+    assert len(rows) == 1 and rows[0].nat == 2 and rows[0].group_size == 1
