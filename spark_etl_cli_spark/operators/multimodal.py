@@ -193,3 +193,75 @@ def decode_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+def payload_dedup_groups(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Content-addressable exact dedup over binary payloads.
+
+    Groups media by ``sha2(payload, 256)`` — the storage-dedup
+    primitive every blob lake runs before ingesting media. Everything
+    is JVM codegen (sha2 over binary, one map-side-combined groupBy);
+    the shuffle carries 64-byte digests, not payloads. Returns
+    ``(digest, keep_id, group_size, n_bytes)`` per duplicate group.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(
+            F.sha2(F.col(payload_col), 256).alias("digest"),
+            F.col(id_col).alias("__id"),
+            F.octet_length(F.col(payload_col)).cast("bigint").alias("__b"),
+        )
+        .groupBy("digest")
+        .agg(
+            F.min("__id").cast("bigint").alias("keep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("group_size"),
+            F.min("__b").alias("n_bytes"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def chunk_dedup_stats(
+    df: DataFrame, payload_col: str = "payload", chunk_bytes: int = 256
+) -> DataFrame:
+    """Fixed-size chunk dedup ratio over binary payloads.
+
+    Splits every payload into ``chunk_bytes`` slices, digests each
+    (sha2, JVM-side — substring works on binary), and reports ONE row:
+    (total_chunks, unique_chunks, dup_chunks, dedup_ratio) — the
+    dedup-savings estimate a content-addressable store computes before
+    ingest. The exact-distinct count is a digest groupBy (map-side
+    combined, 32-byte keys); nothing ever collects payloads. Empty
+    payloads are skipped (Spark's sequence(1, 0) counts DOWN).
+    """
+    from pyspark.sql import functions as F
+
+    chunks = (
+        df.filter(F.octet_length(F.col(payload_col)) > 0)
+        .select(F.col(payload_col).alias("__p"))
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, int(ceil(octet_length(__p) / "
+                    f"{float(chunk_bytes)}))), i -> "
+                    f"sha2(substring(__p, (i-1)*{chunk_bytes}+1, "
+                    f"{chunk_bytes}), 256))"
+                )
+            ).alias("d")
+        )
+    )
+    per_digest = chunks.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return per_digest.agg(
+        F.sum("n").cast("bigint").alias("total_chunks"),
+        F.count(F.lit(1)).cast("bigint").alias("unique_chunks"),
+        (F.sum("n") - F.count(F.lit(1))).cast("bigint").alias("dup_chunks"),
+        (
+            F.count(F.lit(1)).cast("double")
+            / F.sum("n").cast("double")
+        ).alias("dedup_ratio"),
+    )

@@ -72,3 +72,77 @@ def q45_frame_sampling(spark, sf_dir):
     return frames.groupBy("media_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_frames")
     )
+
+
+# Planted-dup media corpus: every doc < 100 re-appears under a new id
+# with an IDENTICAL payload (content-addressable dup, unlike the
+# whitespace-noised text-dedup corpus in plans/textops.py).
+_SQL_MEDIA_DUPS = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 100
+"""
+
+
+def _media_dups(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    return (
+        fan_out(d.unionByName(copies))
+        .withColumn("payload", F.encode("text", "UTF-8"))
+        .select(F.col("doc_id").alias("media_id"), "payload")
+    )
+
+
+# --- q146: content-addressable media dedup -------------------------------
+# Exact payload dedup by sha256 digest — all JVM codegen over the
+# binary column (the 100 TB shape: the shuffle carries 64-byte
+# digests, never payloads).
+@query(
+    "q146_media_payload_dedup",
+    oracle=f"""
+    WITH media AS ({_SQL_MEDIA_DUPS})
+    SELECT sha256(text) AS digest,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(MIN(octet_length(encode(text))) AS BIGINT) AS n_bytes
+    FROM media GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def q146_media_payload_dedup(spark, sf_dir):
+    from spark_etl_cli_spark.operators.multimodal import payload_dedup_groups
+
+    return payload_dedup_groups(_media_dups(spark, sf_dir))
+
+
+# --- q147: fixed-size chunk dedup ratio ----------------------------------
+# The blob-store savings estimate: 256-byte chunk digests, global
+# distinct-vs-total. DuckDB rebuilds identical chunks because the
+# corpus is ASCII (byte slicing == char slicing; asserted in tests).
+@query(
+    "q147_chunk_dedup_ratio",
+    oracle=f"""
+    WITH media AS ({_SQL_MEDIA_DUPS}),
+    ch AS (
+      SELECT unnest(list_transform(
+               generate_series(1, CAST(ceil(length(text) / 256.0) AS BIGINT)),
+               i -> sha256(substring(text,
+                                     CAST((i-1)*256+1 AS INT), 256)))) AS d
+      FROM media WHERE length(text) > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_chunks,
+           CAST(COUNT(DISTINCT d) AS BIGINT) AS unique_chunks,
+           CAST(COUNT(*) - COUNT(DISTINCT d) AS BIGINT) AS dup_chunks,
+           CAST(COUNT(DISTINCT d) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS dedup_ratio
+    FROM ch
+    """,
+)
+def q147_chunk_dedup_ratio(spark, sf_dir):
+    from spark_etl_cli_spark.operators.multimodal import chunk_dedup_stats
+
+    return chunk_dedup_stats(_media_dups(spark, sf_dir), chunk_bytes=256)

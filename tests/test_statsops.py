@@ -251,3 +251,43 @@ def test_k_anon_transform_via_pipeline(spark):
     )
     rows = spark.table("ka_res").collect()
     assert len(rows) == 1 and rows[0].nat == 2 and rows[0].group_size == 1
+
+
+def test_payload_dedup_groups_reference(spark):
+    import hashlib
+
+    from spark_etl_cli_spark.plans.mmops import _media_dups
+
+    media = _media_dups(spark, SF_DIR).collect()
+    groups: dict[str, list] = {}
+    for m in media:
+        groups.setdefault(
+            hashlib.sha256(bytes(m["payload"])).hexdigest(), []
+        ).append(m["media_id"])
+    ref = {
+        d: (min(ids), len(ids)) for d, ids in groups.items() if len(ids) > 1
+    }
+    rows = _rows(spark, "q146_media_payload_dedup")
+    got = {r["digest"]: (r["keep_id"], r["group_size"]) for r in rows}
+    assert got == ref
+    assert len(got) == 100  # every doc < 100 planted one exact copy
+
+
+def test_chunk_dedup_ratio_reference(spark):
+    import hashlib
+
+    from spark_etl_cli_spark.plans.mmops import _media_dups
+
+    media = _media_dups(spark, SF_DIR).collect()
+    total, seen = 0, set()
+    for m in media:
+        b = bytes(m["payload"])
+        assert len(b) == len(m["payload"])  # ASCII: bytes == chars
+        for i in range(0, len(b), 256):
+            total += 1
+            seen.add(hashlib.sha256(b[i : i + 256]).hexdigest())
+    (row,) = _rows(spark, "q147_chunk_dedup_ratio")
+    assert row["total_chunks"] == total
+    assert row["unique_chunks"] == len(seen)
+    assert row["dup_chunks"] == total - len(seen)
+    assert 0 < row["dedup_ratio"] < 1  # planted copies guarantee dups
