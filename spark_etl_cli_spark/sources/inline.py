@@ -158,3 +158,32 @@ class RangeSource:
 @register_source("range")
 def range_source(p: ParsedUri) -> RangeSource:
     return RangeSource(p)
+
+
+@dataclass
+class RateSource:
+    """``rate://?rowsPerSecond=10[&rampUpTime=...][&numPartitions=P]``
+    and ``rate-micro-batch://?rowsPerBatch=N[&numPartitions=P]`` —
+    Spark's built-in synthetic streaming sources ((timestamp, value)
+    rows). The zero-I/O way to exercise a streaming pipeline's
+    watermarks/windows/sinks before pointing it at Kafka; the
+    micro-batch variant emits a deterministic per-batch row count.
+    """
+
+    uri: ParsedUri
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        fmt = (
+            "rate-micro-batch"
+            if self.uri.scheme == "rate-micro-batch"
+            else "rate"
+        )
+        reader = spark.readStream.format(fmt)
+        for k, v in self.uri.params.items():
+            reader = reader.option(k, v)
+        return reader.load()
+
+
+@register_source("rate", "rate-micro-batch")
+def rate_source(p: ParsedUri) -> RateSource:
+    return RateSource(p)

@@ -162,3 +162,23 @@ def test_jdbc_roundtrip_derby(spark, tmp_path):
     pdf = psrc.read(spark)
     assert pdf.rdd.getNumPartitions() == 4
     assert pdf.count() == 100
+
+
+def test_rate_micro_batch_source_streams(spark, tmp_path):
+    from spark_etl_cli_spark.registry import resolve_source
+
+    _, src = resolve_source("rate-micro-batch://?rowsPerBatch=5&numPartitions=1")
+    df = src.read(spark)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == ["timestamp", "value"]
+    q = (
+        df.writeStream.format("memory")
+        .queryName("rate_probe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("rate_probe").collect()
+    assert len(rows) >= 5 and all(r.value >= 0 for r in rows)
