@@ -98,7 +98,7 @@ def triangle_count(
     edges: DataFrame,
     u_col: str = "u",
     v_col: str = "v",
-    broadcast_edge_limit: int = 8_000_000,
+    broadcast_edge_limit: int = 2_000_000,
 ) -> DataFrame:
     """Exact global triangle count over undirected unique edges.
 
@@ -118,9 +118,11 @@ def triangle_count(
     oriented list is checkpointed again after the degree joins. The
     checkpoint makes ``count()`` on it nearly free, so the operator
     takes an ADAPTIVE join decision driver-side: when |E| ≤
-    ``broadcast_edge_limit`` (two bigints per row — ~16 bytes, so the
-    default caps the broadcast at ~128 MB) both the wedge join and the
-    closure probe broadcast the oriented list, turning the whole
+    ``broadcast_edge_limit`` both the wedge join and the closure probe
+    broadcast the oriented list (two bigints per row is 16 B of data
+    but ~4-5× that as an UnsafeRow-backed HashedRelation, and TWO
+    broadcasts are live in the stage — the 2M default keeps the pair
+    of them under ~500 MB of executor memory), turning the whole
     wedge-generate → closure-probe → count pipeline into ONE map-side
     stage with zero shuffle of the (much larger) wedge set. Past the
     limit it degrades to the classic two-shuffle plan (wedge join on

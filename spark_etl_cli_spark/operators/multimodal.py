@@ -206,8 +206,6 @@ def payload_dedup_groups(
     the shuffle carries 64-byte digests, not payloads. Returns
     ``(digest, keep_id, group_size, n_bytes)`` per duplicate group.
     """
-    from pyspark.sql import functions as F
-
     return (
         df.select(
             F.sha2(F.col(payload_col), 256).alias("digest"),
@@ -237,8 +235,6 @@ def chunk_dedup_stats(
     combined, 32-byte keys); nothing ever collects payloads. Empty
     payloads are skipped (Spark's sequence(1, 0) counts DOWN).
     """
-    from pyspark.sql import functions as F
-
     chunks = (
         df.filter(F.octet_length(F.col(payload_col)) > 0)
         .select(F.col(payload_col).alias("__p"))

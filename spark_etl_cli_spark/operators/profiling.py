@@ -24,21 +24,31 @@ from pyspark.sql import functions as F
 from spark_etl_cli_spark.functions.text import tokens, word_shingles
 
 
-def _suff_stats(df: DataFrame, x_col: str, y_col: str, group_cols: list[str]):
-    """Per-group OLS sufficient statistics with overflow-safe sums.
+_DEC = "decimal(38,0)"
 
-    x*x and x*y stay in the input type (caller guarantees range); y*y
-    goes through DECIMAL(38,0) — squared integer encodings (e.g.
-    cents) overflow int64 in the sum.
+
+def _suff_stats(df: DataFrame, x_col: str, y_col: str, group_cols: list[str]):
+    """Per-group OLS sufficient statistics as EXACT decimal sums.
+
+    Every sum (including the cross products) runs in DECIMAL(38,0):
+    int64 overflows on squared integer encodings (cents² sums past
+    2^63 around 10^8 rows/group), and — the subtler point — keeping
+    the *linear combinations* downstream in exact integer arithmetic
+    is what makes the final doubles engine-independent: a float
+    ``n*sxy - sx*sy`` is contractible into an FMA by one engine and
+    not the other (observed: DuckDB vs JVM diverge in the last ulp at
+    sf0.1), while exact-int arithmetic followed by one correctly-
+    rounded cast cannot diverge.
     """
     x, y = F.col(x_col), F.col(y_col)
+    xd, yd = x.cast(_DEC), y.cast(_DEC)
     return df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(x).cast("double").alias("sx"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(x * x).cast("double").alias("sxx"),
-        F.sum(x * y).cast("double").alias("sxy"),
-        F.sum(y.cast("decimal(38,0)") * y).cast("double").alias("syy"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * x).alias("sxx"),
+        F.sum(xd * y).alias("sxy"),
+        F.sum(yd * y).alias("syy"),
     )
 
 
@@ -48,22 +58,27 @@ def group_regression(
     """Closed-form per-group OLS of ``y`` on ``x``.
 
     Returns one row per group: ``(*group_cols, n, slope, intercept,
-    r2)`` in input units. Partition-order independent when x/y are
-    integral (exact sufficient statistics), which Spark's float-summing
-    ``regr_slope``/``regr_r2`` aggregates are not.
+    r2)`` in input units. Partition-order AND engine independent when
+    x/y are integral: the sufficient statistics and all their linear
+    combinations (covariance/variance numerators, the intercept
+    numerator ΣyΣx² − ΣxΣxy) are exact decimal integers; doubles
+    appear only in final mul/div chains, which no compiler can
+    FMA-contract (no float add/sub anywhere).
     """
     s = _suff_stats(df, x_col, y_col, group_cols)
-    nd = F.col("n").cast("double")
-    cov_n = nd * F.col("sxy") - F.col("sx") * F.col("sy")
-    var_x = nd * F.col("sxx") - F.col("sx") * F.col("sx")
-    var_y = nd * F.col("syy") - F.col("sy") * F.col("sy")
-    slope = cov_n / var_x
+    nd = F.col("n").cast(_DEC)
+    cov = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    var_x = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    var_y = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    inum = (
+        F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    ).cast("double")
     return s.select(
         *group_cols,
         "n",
-        slope.alias("slope"),
-        ((F.col("sy") - slope * F.col("sx")) / nd).alias("intercept"),
-        (cov_n * cov_n / (var_x * var_y)).alias("r2"),
+        (cov / var_x).alias("slope"),
+        (inum / var_x).alias("intercept"),
+        (cov * cov / (var_x * var_y)).alias("r2"),
     )
 
 
@@ -76,7 +91,10 @@ def equi_width_histogram(
 ) -> DataFrame:
     """Equi-width histogram: ``(bucket, lo, hi, n_rows)`` per non-empty
     bucket, clamped to ``[0, n_buckets)``. One scan, one map-side-
-    combined groupBy of ≤ ``n_buckets`` rows at any scale."""
+    combined groupBy of ≤ ``n_buckets`` rows at any scale. NULL values
+    are excluded (``greatest(NULL, 0)`` would otherwise silently fold
+    them into bucket 0 — Spark's greatest/least skip nulls)."""
+    df = df.filter(F.col(value_col).isNotNull())
     bucket = (
         F.least(
             F.greatest(
@@ -124,16 +142,21 @@ def zscore_outliers(
     requires correctly rounded.
     """
     y = F.col(value_col)
+    yd = y.cast(_DEC)
     s = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("bigint").alias("__n"),
-        F.sum(y).cast("double").alias("__sy"),
-        F.sum(y.cast("decimal(38,0)") * y).cast("double").alias("__syy"),
+        F.sum(yd).alias("__sy"),
+        F.sum(yd * y).alias("__syy"),
     )
+    # exact-int variance numerator (n·Σy² − (Σy)²), doubles only in
+    # mul/div/sqrt chains — engine-independent (see _suff_stats)
+    ndec = F.col("__n").cast(_DEC)
     nd = F.col("__n").cast("double")
-    mean = F.col("__sy") / nd
-    std = F.sqrt(
-        (F.col("__syy") - F.col("__sy") * F.col("__sy") / nd) / nd
+    mean = F.col("__sy").cast("double") / nd
+    varnum = (ndec * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast(
+        "double"
     )
+    std = F.sqrt(varnum / (nd * nd))
     z = (y.cast("double") - mean) / std
     return (
         df.join(F.broadcast(s), group_cols)
@@ -239,39 +262,43 @@ def k_anonymity(
     )
 
 
+def _cms_cells(term_col: str, depth: int, width: int):
+    """The sketch's (row, bucket) cells for one term — the single
+    definition of the hash layout, shared by build and probe (a
+    divergence between the two silently corrupts every estimate).
+    Hashes are the oracle-replicable salted md5 family
+    (functions/text.py: ``md5_long(term, salt=i) % width``)."""
+    from spark_etl_cli_spark.functions.text import md5_long
+
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    (md5_long(F.col(term_col), F.lit(i)) % width).alias(
+                        "bucket"
+                    ),
+                )
+                for i in range(depth)
+            ]
+        )
+    )
+
+
 def count_min_sketch(
     df: DataFrame, term_col: str, depth: int = 4, width: int = 1024
 ) -> DataFrame:
     """Count-min sketch over a term/event stream.
 
-    Returns the counter table ``(row, bucket, counter)`` —
-    ``depth × width`` rows REGARDLESS of input size, built with one
-    map-side-combined groupBy over the ``depth``-fanned stream (the
-    sketch property that makes frequency estimation feasible when the
-    key universe doesn't fit anywhere). Point estimates are
-    ``min_i counter[i][h_i(term)]``; see :func:`cms_estimate`.
-
-    Hashes are the oracle-replicable salted md5 family
-    (functions/text.py: ``md5_long(term, salt=i) % width``), so a SQL
-    twin can rebuild the identical sketch.
+    Returns the counter table ``(row, bucket, counter)`` — at most
+    ``depth × width`` rows REGARDLESS of input size (zero cells are
+    not materialized), built with one map-side-combined groupBy over
+    the ``depth``-fanned stream (the sketch property that makes
+    frequency estimation feasible when the key universe doesn't fit
+    anywhere). Point estimates are ``min_i counter[i][h_i(term)]``;
+    see :func:`cms_estimate`.
     """
-    from spark_etl_cli_spark.functions.text import md5_long
-
-    entries = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row"),
-                        (md5_long(F.col(term_col), F.lit(i)) % width).alias(
-                            "bucket"
-                        ),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("e")
-    )
+    entries = df.select(_cms_cells(term_col, depth, width).alias("e"))
     return (
         entries.select("e.row", "e.bucket")
         .groupBy("row", "bucket")
@@ -290,29 +317,23 @@ def cms_estimate(
 
     Adds ``est_cnt = min_i counter[i][h_i(term)]`` (never an
     underestimate). The candidate set fans out ``depth`` rows each and
-    equi-joins the (tiny, broadcastable) counter table.
+    LEFT-joins the (tiny, broadcastable) counter table: the sketch
+    stores only non-zero cells, so an absent cell means counter = 0 —
+    an inner join would silently drop never-seen terms (and overstate
+    partially-absent ones) instead of estimating 0.
     """
-    from spark_etl_cli_spark.functions.text import md5_long
-
-    probes = terms.select(
-        "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row"),
-                        (md5_long(F.col(term_col), F.lit(i)) % width).alias(
-                            "bucket"
-                        ),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("e"),
-    ).select("*", "e.row", "e.bucket").drop("e")
-    others = [c for c in terms.columns]
+    probes = (
+        terms.select("*", _cms_cells(term_col, depth, width).alias("e"))
+        .select("*", "e.row", "e.bucket")
+        .drop("e")
+    )
+    others = list(terms.columns)
     return (
-        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy(*others)
-        .agg(F.min("counter").cast("bigint").alias("est_cnt"))
+        .agg(
+            F.min(F.coalesce(F.col("counter"), F.lit(0)))
+            .cast("bigint")
+            .alias("est_cnt")
+        )
     )

@@ -66,24 +66,24 @@ def _days():
     s AS (
       SELECT priority,
              CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(x) AS DOUBLE) AS sx,
-             CAST(SUM(y) AS DOUBLE) AS sy,
-             CAST(SUM(x * x) AS DOUBLE) AS sxx,
-             CAST(SUM(x * y) AS DOUBLE) AS sxy,
-             CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
       FROM b GROUP BY 1
+    ),
+    d AS (
+      SELECT priority, n,
+             CAST(n * sxy - sx * sy AS DOUBLE) AS cov,
+             CAST(n * sxx - sx * sx AS DOUBLE) AS varx,
+             CAST(n * syy - sy * sy AS DOUBLE) AS vary,
+             CAST(sy * sxx - sx * sxy AS DOUBLE) AS inum
+      FROM s
     )
     SELECT priority, n,
-           (CAST(n AS DOUBLE) * sxy - sx * sy)
-             / (CAST(n AS DOUBLE) * sxx - sx * sx) / 100 AS slope_per_day,
-           (sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
-                   / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
-             / CAST(n AS DOUBLE) / 100 AS intercept,
-           ((CAST(n AS DOUBLE) * sxy - sx * sy)
-              * (CAST(n AS DOUBLE) * sxy - sx * sy))
-             / ((CAST(n AS DOUBLE) * sxx - sx * sx)
-                * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r2
-    FROM s
+           cov / varx / 100 AS slope_per_day,
+           inum / varx / 100 AS intercept,
+           (cov * cov) / (varx * vary) AS r2
+    FROM d
     """,
 )
 def q139_group_regression(spark, sf_dir):
@@ -180,16 +180,22 @@ def q141_vocab_coverage(spark, sf_dir):
     s AS (
       SELECT priority,
              CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(y) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy
+             SUM(y) AS sy,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
       FROM b GROUP BY 1
+    ),
+    d AS (
+      SELECT priority, n,
+             CAST(sy AS DOUBLE) AS syd,
+             CAST(n * syy - sy * sy AS DOUBLE) AS varnum
+      FROM s
     )
     SELECT o_orderkey, b.priority, o_totalprice,
-           (CAST(y AS DOUBLE) - sy / n)
-             / sqrt((syy - sy * sy / n) / n) AS z
-    FROM b JOIN s ON b.priority = s.priority
-    WHERE abs((CAST(y AS DOUBLE) - sy / n)
-              / sqrt((syy - sy * sy / n) / n)) > 1.6
+           (CAST(y AS DOUBLE) - syd / CAST(n AS DOUBLE))
+             / sqrt(varnum / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS z
+    FROM b JOIN d ON b.priority = d.priority
+    WHERE abs((CAST(y AS DOUBLE) - syd / CAST(n AS DOUBLE))
+              / sqrt(varnum / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) > 1.6
     """,
 )
 def q142_zscore_outliers(spark, sf_dir):

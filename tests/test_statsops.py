@@ -291,3 +291,36 @@ def test_chunk_dedup_ratio_reference(spark):
     assert row["unique_chunks"] == len(seen)
     assert row["dup_chunks"] == total - len(seen)
     assert 0 < row["dedup_ratio"] < 1  # planted copies guarantee dups
+
+
+def test_histogram_excludes_nulls(spark):
+    from pyspark.sql import Row
+
+    from spark_etl_cli_spark.operators.profiling import equi_width_histogram
+
+    df = spark.createDataFrame(
+        [Row(v=5.0), Row(v=None), Row(v=15.0)], "v double"
+    )
+    hist = {r.bucket: r.n_rows for r in equi_width_histogram(
+        df, "v", lo=0, width=10, n_buckets=3).collect()}
+    assert hist == {0: 1, 1: 1}  # NULL contributes to no bucket
+
+
+def test_cms_estimates_zero_for_unseen_terms(spark):
+    from pyspark.sql import Row
+
+    from spark_etl_cli_spark.operators.profiling import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    sketch = count_min_sketch(
+        spark.createDataFrame([Row(term="a")] * 4), "term", depth=3, width=64
+    )
+    est = {r.term: r.est_cnt for r in cms_estimate(
+        sketch,
+        spark.createDataFrame([Row(term="a"), Row(term="never-seen")]),
+        "term", depth=3, width=64,
+    ).collect()}
+    assert est["a"] == 4
+    assert est["never-seen"] == 0  # absent cells are zero, not dropped
