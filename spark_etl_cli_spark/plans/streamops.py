@@ -369,3 +369,65 @@ def q120_stream_dedup_within_watermark(spark, sf_dir):
     )
     agg = deduped.groupBy("event_type").agg(bcount("n"))
     return run_to_table(agg, "q120_dedup_ww", "complete")
+
+
+# --- q148: stream-stream LEFT OUTER interval join -------------------------
+# The last stream-join semantics class: unmatched clicks must emit a
+# null-purchase row, but only once the (global, ms-truncated) watermark
+# proves no match can still arrive — i.e. when c_ts + <interval> has
+# passed min(max_click_ts, max_purchase_ts) - <delay>. availableNow
+# runs a final no-data micro-batch whose watermark advance evicts and
+# emits exactly those rows; clicks younger than that horizon are still
+# in state at stream end and are (correctly) absent. The oracle states
+# the full rule: matched pairs unconditionally, null rows iff
+# epoch_us(c_ts) + 1h < floor_ms(least(max_c, max_p)) - 2h — Spark
+# tracks event-time stats in MILLISECONDS, hence the floor-to-ms.
+@query(
+    "q148_stream_outer_join",
+    oracle="""
+    WITH c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+          FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT (epoch_us(least(
+               (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+               (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')))
+               // 1000) * 1000 - 7200000000 AS wm_us),
+    j AS (SELECT c.click_id, p.purchase_id, c.c_ts
+          FROM c LEFT JOIN p ON c.user_id = p.p_user
+           AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR)
+    SELECT click_id, purchase_id
+    FROM j, wm
+    WHERE purchase_id IS NOT NULL
+       OR epoch_us(c_ts) + 3600000000 < wm_us
+    """,
+)
+def q148_stream_outer_join(spark, sf_dir):
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select("click_id", "purchase_id")
+    return run_to_table(joined, "q148_outer", "append")

@@ -196,3 +196,17 @@ def test_streaming_into_jdbc_via_foreach_batch(spark, tmp_path):
         q.awaitTermination(60)
     back = spark.read.format("jdbc").options(url=url, dbtable="STREAMED").load()
     assert back.count() == 12
+
+
+def test_stream_outer_join_emits_evicted_nulls(spark):
+    import __spark_entry__ as entry
+
+    out = entry.queries()["q148_stream_outer_join"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    nulls = [r for r in out if r.purchase_id is None]
+    matched = [r for r in out if r.purchase_id is not None]
+    # the final no-data batch must evict and emit unmatched clicks
+    # older than the watermark horizon; both classes must be present
+    assert nulls and matched
+    assert len({r.click_id for r in nulls}) == len(nulls)  # one null row each
