@@ -431,3 +431,52 @@ def q148_stream_outer_join(spark, sf_dir):
         "leftOuter",
     ).select("click_id", "purchase_id")
     return run_to_table(joined, "q148_outer", "append")
+
+
+# --- q149: CHAINED stateful operators (window agg -> window agg) ----------
+# Spark 3.5+ multi-stateful append pipelines: per-(user, 15-min window)
+# event counts feed a second tumbling-hour aggregation keyed on the
+# FIRST aggregation's window column (window-on-window). Emission rule
+# under availableNow: an hour emits iff hour_end <= final watermark
+# (floor-to-ms of max ts, minus the 2h delay); every 15-min window
+# inside an emitted hour necessarily ended earlier, so emitted hours
+# are complete — which is exactly what the batch oracle states with
+# its single cutoff.
+@query(
+    "q149_stream_chained_windows",
+    oracle="""
+    WITH wm AS (SELECT (epoch_us(MAX(ts)) // 1000) * 1000 - 7200000000
+                AS wm_us FROM events),
+    s1 AS (
+      SELECT user_id,
+             epoch_us(time_bucket(INTERVAL 15 MINUTES, ts)) AS w15_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    s2 AS (
+      SELECT (w15_us // 3600000000) * 3600000000 AS hour_us,
+             CAST(COUNT(*) AS BIGINT) AS n_user_slots,
+             CAST(SUM(n_events) AS BIGINT) AS n_events
+      FROM s1 GROUP BY 1
+    )
+    SELECT hour_us AS hour_start_us, n_user_slots, n_events
+    FROM s2, wm WHERE hour_us + 3600000000 <= wm_us
+    """,
+)
+def q149_stream_chained_windows(spark, sf_dir):
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "2 hours")
+    s1 = ev.groupBy(
+        "user_id", F.window("ts", "15 minutes").alias("w15")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    s2 = s1.groupBy(F.window(F.col("w15"), "1 hour").alias("wh")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_user_slots"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+    )
+    out = s2.select(
+        (F.unix_timestamp(F.col("wh.start")) * 1_000_000).alias(
+            "hour_start_us"
+        ),
+        "n_user_slots",
+        "n_events",
+    )
+    return run_to_table(out, "q149_chained", "append")
