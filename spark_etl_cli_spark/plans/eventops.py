@@ -249,3 +249,55 @@ def q138_last_touch_attribution(spark, sf_dir):
     return last_touch_attribution(
         events(spark, sf_dir), conversion="purchase", order_cols=["event_id"]
     )
+
+
+# --- q150: per-key EWMA smoothing (deterministic sequential fold) ---------
+# Time-series smoothing as a SORTED per-key fold: collect each user's
+# values in (ts, event_id) order and fold s = (s + x)/2 — EWMA with
+# α = 1/2. The α choice is deliberate: the recurrence contains no
+# multiply, so no engine can FMA-contract it (see the q139 divergence),
+# and every step is one correctly-rounded add + one exact exponent
+# shift — bit-identical across engines and partitionings. Per-key
+# arrays are bounded by events-per-user (the same per-entity bound all
+# the fold-based operators rely on); the groupBy is map-side combined.
+@query(
+    "q150_ewma_smoothing",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id,
+             list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vs
+      FROM events GROUP BY 1
+    )
+    SELECT user_id,
+           CAST(len(vs) AS BIGINT) AS n_events,
+           list_reduce(vs, (s, x) -> (s + x) / 2.0) AS ewma
+    FROM ordered
+    """,
+)
+def q150_ewma_smoothing(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    ev = events(spark, sf_dir)
+    ordered = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts"),
+                        F.col("event_id"),
+                        F.col("value").cast("double").alias("value"),
+                    )
+                )
+            ),
+            lambda s: s["value"],
+        ).alias("vs")
+    )
+    return ordered.select(
+        "user_id",
+        F.size("vs").cast("bigint").alias("n_events"),
+        F.aggregate(
+            F.slice(F.col("vs"), 2, F.greatest(F.size("vs") - 1, F.lit(0))),
+            F.element_at(F.col("vs"), 1),
+            lambda s, x: (s + x) / F.lit(2.0),
+        ).alias("ewma"),
+    )
