@@ -73,12 +73,16 @@ def group_regression(
     inum = (
         F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
     ).cast("double")
+    # degenerate groups (zero variance in x or y) have no defined
+    # slope/r2: NULL, not an ANSI DIVIDE_BY_ZERO error
     return s.select(
         *group_cols,
         "n",
-        (cov / var_x).alias("slope"),
-        (inum / var_x).alias("intercept"),
-        (cov * cov / (var_x * var_y)).alias("r2"),
+        F.when(var_x != 0, cov / var_x).alias("slope"),
+        F.when(var_x != 0, inum / var_x).alias("intercept"),
+        F.when(
+            (var_x != 0) & (var_y != 0), cov * cov / (var_x * var_y)
+        ).alias("r2"),
     )
 
 
@@ -157,7 +161,9 @@ def zscore_outliers(
         "double"
     )
     std = F.sqrt(varnum / (nd * nd))
-    z = (y.cast("double") - mean) / std
+    # zero-variance groups have no outliers; NULL z (filtered below)
+    # instead of an ANSI DIVIDE_BY_ZERO error
+    z = F.when(varnum != 0, (y.cast("double") - mean) / std)
     return (
         df.join(F.broadcast(s), group_cols)
         .withColumn("z", z)

@@ -446,3 +446,107 @@ def test_pagerank_matches_python_reference(spark, edges):
     assert set(got) == set(r)
     for v in verts:
         assert got[v] == pytest.approx(r[v], abs=1e-12)
+
+
+# --- profiling operators vs independent references on random inputs -----
+
+vals = st.lists(st.integers(0, 10_000), min_size=2, max_size=40)
+
+
+@pytest.mark.slow
+@given(ys=vals)
+@SET
+def test_regression_matches_numpy_on_random_groups(spark, ys):
+    import numpy as np
+
+    from spark_etl_cli_spark.operators.profiling import group_regression
+
+    rows = [("g", i, y) for i, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    (got,) = group_regression(df, "x", "y", ["g"]).collect()
+    xs = np.arange(len(ys), dtype=float)
+    yarr = np.array(ys, dtype=float)
+    if np.ptp(yarr) == 0 or len(ys) < 2:
+        return  # zero variance: slope/r2 undefined (div by zero -> nan/inf)
+    slope, intercept = np.polyfit(xs, yarr, 1)
+    assert got["slope"] == pytest.approx(slope, rel=1e-9, abs=1e-9)
+    assert got["intercept"] == pytest.approx(intercept, rel=1e-9, abs=1e-6)
+    r = np.corrcoef(xs, yarr)[0, 1]
+    assert got["r2"] == pytest.approx(r * r, rel=1e-6, abs=1e-9)
+
+
+@pytest.mark.slow
+@given(ys=st.lists(st.one_of(st.none(), st.integers(-50, 150)), min_size=1, max_size=30))
+@SET
+def test_histogram_partitions_non_nulls(spark, ys):
+    from spark_etl_cli_spark.operators.profiling import equi_width_histogram
+
+    df = spark.createDataFrame([(y,) for y in ys], "v long")
+    rows = equi_width_histogram(df, "v", lo=0, width=10, n_buckets=10).collect()
+    non_null = [y for y in ys if y is not None]
+    assert sum(r["n_rows"] for r in rows) == len(non_null)
+    ref = {}
+    for y in non_null:
+        b = min(max(y // 10, 0), 9)
+        ref[b] = ref.get(b, 0) + 1
+    assert {r["bucket"]: r["n_rows"] for r in rows} == ref
+
+
+@pytest.mark.slow
+@given(terms=st.lists(st.sampled_from("abcdef"), min_size=1, max_size=50))
+@SET
+def test_cms_random_streams_never_underestimate(spark, terms):
+    from collections import Counter
+
+    from spark_etl_cli_spark.operators.profiling import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    sketch = count_min_sketch(df, "term", depth=3, width=4)  # force collisions
+    exact = Counter(terms)
+    cand = spark.createDataFrame(
+        [(t,) for t in "abcdef"], "term string"
+    )
+    est = {r["term"]: r["est_cnt"] for r in cms_estimate(
+        sketch, cand, "term", depth=3, width=4).collect()}
+    for t in "abcdef":
+        assert est[t] >= exact.get(t, 0)
+
+
+@pytest.mark.slow
+@given(series=st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=30))
+@SET
+def test_ewma_matches_python_fold(spark, series):
+    import __spark_entry__  # noqa: F401  (registers queries; not used directly)
+    from pyspark.sql import functions as F  # noqa: F401
+
+    rows = [(1, i, float(v)) for i, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, value double")
+    from pyspark.sql import functions as FF
+
+    ordered = df.groupBy("user_id").agg(
+        FF.transform(
+            FF.array_sort(
+                FF.collect_list(
+                    FF.struct(
+                        FF.col("event_id"),
+                        FF.col("value").cast("double").alias("value"),
+                    )
+                )
+            ),
+            lambda s: s["value"],
+        ).alias("vs")
+    )
+    (got,) = ordered.select(
+        FF.aggregate(
+            FF.slice(FF.col("vs"), 2, FF.greatest(FF.size("vs") - 1, FF.lit(0))),
+            FF.element_at(FF.col("vs"), 1),
+            lambda s, x: (s + x) / FF.lit(2.0),
+        ).alias("ewma")
+    ).collect()
+    ref = series[0]
+    for v in series[1:]:
+        ref = (ref + v) / 2.0
+    assert got["ewma"] == ref  # bit-exact: add + exponent shift only
