@@ -118,9 +118,11 @@ def main() -> int:
         lambda it: it, "id long"
     ).count()
 
+    import gc
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in names:
+    for i, name in enumerate(names):
         t0 = time.time()
         try:
             df = queries[name](spark, sf_dir)
@@ -131,6 +133,17 @@ def main() -> int:
         except Exception as exc:  # one bad query must not lose the run
             timings[name] = round(time.time() - t0, 3)
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+        # UNTIMED housekeeping: checkpoint-backed operators (triangle,
+        # tfidf, components, k-means) pin block-manager memory until
+        # their DataFrames are garbage-collected; 149 queries in one
+        # session otherwise accumulate enough to trigger multi-second
+        # GC pauses that land on whichever query runs next (observed:
+        # a 1.4s query measured at 19s mid-run). Collect eagerly
+        # between measurements so pauses never bill a query.
+        df = None
+        gc.collect()
+        if (i + 1) % 20 == 0:
+            spark.sparkContext._jvm.System.gc()  # noqa: SLF001
 
     total = round(sum(timings.values()), 3)
     payload = json.dumps(
