@@ -32,13 +32,15 @@ def _suff_stats(df: DataFrame, x_col: str, y_col: str, group_cols: list[str]):
 
     Every sum (including the cross products) runs in DECIMAL(38,0):
     int64 overflows on squared integer encodings (cents² sums past
-    2^63 around 10^8 rows/group), and — the subtler point — keeping
-    the *linear combinations* downstream in exact integer arithmetic
-    is what makes the final doubles engine-independent: a float
-    ``n*sxy - sx*sy`` is contractible into an FMA by one engine and
-    not the other (observed: DuckDB vs JVM diverge in the last ulp at
-    sf0.1), while exact-int arithmetic followed by one correctly-
-    rounded cast cannot diverge.
+    2^63 around 10^8 rows/group), and — the subtler point — the
+    *linear combinations* downstream stay in exact integer arithmetic
+    with ONE final int→double conversion, because converting each
+    >2^63 summand separately multiplies the engines' conversion
+    quirks: DuckDB's int128→double rounds twice (upper·2^64 + lower)
+    and can land 1 ulp off the correctly-rounded value the JVM's
+    BigDecimal produces (observed on q139 at sf0.1). The SQL twins
+    route that one conversion through VARCHAR (strtod is correctly
+    rounded), making both engines bit-identical.
     """
     x, y = F.col(x_col), F.col(y_col)
     xd, yd = x.cast(_DEC), y.cast(_DEC)
@@ -61,9 +63,9 @@ def group_regression(
     r2)`` in input units. Partition-order AND engine independent when
     x/y are integral: the sufficient statistics and all their linear
     combinations (covariance/variance numerators, the intercept
-    numerator ΣyΣx² − ΣxΣxy) are exact decimal integers; doubles
-    appear only in final mul/div chains, which no compiler can
-    FMA-contract (no float add/sub anywhere).
+    numerator ΣyΣx² − ΣxΣxy) are exact decimal integers converted to
+    double exactly once (correctly rounded on both engines — see
+    _suff_stats); doubles appear only in final mul/div chains.
     """
     s = _suff_stats(df, x_col, y_col, group_cols)
     nd = F.col("n").cast(_DEC)

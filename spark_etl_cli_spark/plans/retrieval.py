@@ -113,21 +113,23 @@ def q112_bm25_topk(spark, sf_dir):
     m AS (
       SELECT l_returnflag,
              CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(qc AS HUGEINT)) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(pc AS HUGEINT)) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(qc * qc AS HUGEINT)) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(qc * pc AS HUGEINT)) AS DOUBLE) AS sxy,
-             CAST(SUM(CAST(pc * pc AS HUGEINT)) AS DOUBLE) AS syy
-      FROM c GROUP BY 1)
+             SUM(CAST(qc AS HUGEINT)) AS sx,
+             SUM(CAST(pc AS HUGEINT)) AS sy,
+             SUM(CAST(qc * qc AS HUGEINT)) AS sxx,
+             SUM(CAST(qc * pc AS HUGEINT)) AS sxy,
+             SUM(CAST(pc * pc AS HUGEINT)) AS syy
+      FROM c GROUP BY 1),
+    d AS (
+      SELECT l_returnflag, n,
+             CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) AS cov_n,
+             CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS varx_n,
+             CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE) AS vary_n
+      FROM m)
     SELECT l_returnflag, n,
-           ((CAST(n AS DOUBLE) * sxy) - (sx * sy))
-             / (sqrt((CAST(n AS DOUBLE) * sxx) - (sx * sx))
-                * sqrt((CAST(n AS DOUBLE) * syy) - (sy * sy)))
-             AS corr_qty_price,
-           (((CAST(n AS DOUBLE) * sxy) - (sx * sy))
-             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / 10000.0
+           cov_n / (sqrt(varx_n) * sqrt(vary_n)) AS corr_qty_price,
+           cov_n / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 10000.0
              AS cov_qty_price
-    FROM m
+    FROM d
     """,
 )
 def q113_corr_stats(spark, sf_dir):
@@ -139,7 +141,7 @@ def q113_corr_stats(spark, sf_dir):
     )
 
     def isum(expr, alias):
-        return F.sum(expr.cast("decimal(38,0)")).cast("double").alias(alias)
+        return F.sum(expr.cast("decimal(38,0)")).alias(alias)
 
     m = c.groupBy("l_returnflag").agg(
         bcount("n"),
@@ -149,16 +151,20 @@ def q113_corr_stats(spark, sf_dir):
         isum(F.col("qc") * F.col("pc"), "sxy"),
         isum(F.col("pc") * F.col("pc"), "syy"),
     )
+    # EXACT decimal linear combinations with ONE int->double crossing
+    # per value (via VARCHAR on the DuckDB side): DuckDB's raw
+    # int128->double cast rounds twice and can sit 1 ulp off the JVM's
+    # correctly-rounded conversion (first caught on q139 at sf0.1)
+    n_dec = F.col("n").cast("decimal(38,0)")
+    cov_n = (n_dec * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx_n = (n_dec * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary_n = (n_dec * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
     n_d = F.col("n").cast("double")
-    num = (n_d * F.col("sxy")) - (F.col("sx") * F.col("sy"))
-    den = F.sqrt((n_d * F.col("sxx")) - (F.col("sx") * F.col("sx"))) * F.sqrt(
-        (n_d * F.col("syy")) - (F.col("sy") * F.col("sy"))
-    )
     return m.select(
         "l_returnflag",
         "n",
-        (num / den).alias("corr_qty_price"),
-        ((num / (n_d * n_d)) / F.lit(10000.0)).alias("cov_qty_price"),
+        (cov_n / (F.sqrt(varx_n) * F.sqrt(vary_n))).alias("corr_qty_price"),
+        (cov_n / (n_d * n_d) / F.lit(10000.0)).alias("cov_qty_price"),
     )
 
 

@@ -6,7 +6,11 @@ integer/decimal sum first (prices as cents, dates as day offsets), and
 only the final scalar arithmetic runs in DOUBLE — identical IEEE-754
 operation sequences on exact inputs produce bit-identical results in
 Spark and DuckDB (sqrt is correctly rounded per IEEE; ln/exp are NOT
-and never appear here).
+and never appear here). One engine quirk matters: DuckDB's
+int128→double cast rounds twice and can sit 1 ulp off the JVM's
+correctly-rounded conversion, so every >2^63 exact integer crosses to
+double exactly once, and on the DuckDB side via VARCHAR (strtod is
+correctly rounded).
 
 Scale notes are inline per query; the common theme: aggregates shrink
 to |groups| or |vocabulary| rows before any window/join, so the heavy
@@ -73,10 +77,10 @@ def _days():
     ),
     d AS (
       SELECT priority, n,
-             CAST(n * sxy - sx * sy AS DOUBLE) AS cov,
-             CAST(n * sxx - sx * sx AS DOUBLE) AS varx,
-             CAST(n * syy - sy * sy AS DOUBLE) AS vary,
-             CAST(sy * sxx - sx * sxy AS DOUBLE) AS inum
+             CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) AS cov,
+             CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS varx,
+             CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE) AS vary,
+             CAST(CAST(sy * sxx - sx * sxy AS VARCHAR) AS DOUBLE) AS inum
       FROM s
     )
     SELECT priority, n,
@@ -186,8 +190,8 @@ def q141_vocab_coverage(spark, sf_dir):
     ),
     d AS (
       SELECT priority, n,
-             CAST(sy AS DOUBLE) AS syd,
-             CAST(n * syy - sy * sy AS DOUBLE) AS varnum
+             CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+             CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE) AS varnum
       FROM s
     )
     SELECT o_orderkey, b.priority, o_totalprice,
