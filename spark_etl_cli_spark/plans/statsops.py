@@ -326,3 +326,67 @@ def q145_cms_heavy_hitters(spark, sf_dir):
         .limit(50)
     )
     return cms_estimate(sketch, cand, "term", depth=4, width=1024)
+
+
+# --- q151: degree-distribution power-law fit ------------------------------
+# Operator composition: integer-log2 bucketing (length(bin(d))-1 — a
+# STRING-length computation, not libm log2, so it is deterministic on
+# both engines) feeding the exact-sum OLS operator. Estimates the
+# power-law exponent of the orders-per-customer distribution — the
+# check that decides whether a key needs skew handling before a join.
+# All regression inputs are tiny integers (< 2^53), so the plain
+# double casts are exact on both engines.
+@query(
+    "q151_degree_powerlaw",
+    oracle="""
+    WITH deg AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS d
+                 FROM orders GROUP BY 1),
+    b AS (SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS x FROM deg),
+    h AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1),
+    pts AS (SELECT x, CAST(length(bin(c)) - 1 AS BIGINT) AS y FROM h),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM pts
+    ),
+    d AS (
+      SELECT n,
+             CAST(n * sxy - sx * sy AS DOUBLE) AS cov,
+             CAST(n * sxx - sx * sx AS DOUBLE) AS varx,
+             CAST(n * syy - sy * sy AS DOUBLE) AS vary,
+             CAST(sy * sxx - sx * sxy AS DOUBLE) AS inum
+      FROM s
+    )
+    SELECT n AS n_buckets,
+           CASE WHEN varx <> 0 THEN cov / varx END AS slope,
+           CASE WHEN varx <> 0 THEN inum / varx END AS intercept,
+           CASE WHEN varx <> 0 AND vary <> 0
+                THEN (cov * cov) / (varx * vary) END AS r2
+    FROM d
+    """,
+)
+def q151_degree_powerlaw(spark, sf_dir):
+    from spark_etl_cli_spark.operators.profiling import group_regression
+
+    deg = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    pts = (
+        deg.select(
+            (F.length(F.bin(F.col("d"))) - 1).cast("long").alias("x")
+        )
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .select(
+            "x",
+            (F.length(F.bin(F.col("c"))) - 1).cast("long").alias("y"),
+        )
+        .withColumn("g", F.lit("all"))
+    )
+    return group_regression(pts, "x", "y", ["g"]).select(
+        F.col("n").alias("n_buckets"), "slope", "intercept", "r2"
+    )
