@@ -107,3 +107,16 @@ def text_source(p: ParsedUri) -> TextSource:
 @register_sink("text", "csv", "text-stream", "csv-stream")
 def text_sink(p: ParsedUri) -> TextSink:
     return TextSink(p)
+
+
+@register_source("xml", "xml-stream")
+def xml_source(p: ParsedUri) -> FileSource:
+    """``xml://path?rowTag=row`` — Spark 4's built-in XML source
+    (spark-xml was folded into core). ``rowTag`` defaults to ``row``;
+    any other reader option passes through the query string."""
+    return FileSource(p, "xml", default_options={"rowTag": "row"})
+
+
+@register_sink("xml", "xml-stream")
+def xml_sink(p: ParsedUri) -> FileSink:
+    return FileSink(p, "xml", default_options={"rowTag": "row"})

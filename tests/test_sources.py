@@ -182,3 +182,27 @@ def test_rate_micro_batch_source_streams(spark, tmp_path):
     q.awaitTermination()
     rows = spark.table("rate_probe").collect()
     assert len(rows) >= 5 and all(r.value >= 0 for r in rows)
+
+
+def test_xml_round_trip(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from spark_etl_cli_spark.pipeline import run_pipeline
+
+    spark.createDataFrame(
+        [Row(id=1, name="a"), Row(id=2, name="b")]
+    ).createOrReplaceTempView("xml_in")
+    out = tmp_path / "xml_out"
+    run_pipeline(
+        spark,
+        sources=["xml_in+view://xml_in"],
+        transforms=[],
+        sinks=[f"xml_in+xml://{out}"],
+    )
+    run_pipeline(
+        spark,
+        sources=[f"back+xml://{out}"],
+        transforms=["back+agg+sql://SELECT CAST(COUNT(*) AS BIGINT) AS n FROM back"],
+        sinks=["agg+memory://xml_back"],
+    )
+    assert spark.table("xml_back").collect()[0].n == 2
