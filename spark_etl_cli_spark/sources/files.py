@@ -120,3 +120,27 @@ def xml_source(p: ParsedUri) -> FileSource:
 @register_sink("xml", "xml-stream")
 def xml_sink(p: ParsedUri) -> FileSink:
     return FileSink(p, "xml", default_options={"rowTag": "row"})
+
+
+@register_source("binaryfile")
+def binaryfile_source(p: ParsedUri) -> FileSource:
+    """``binaryfile://dir?pathGlobFilter=*.png`` — Spark's binaryFile
+    source: one row per file as (path, modificationTime, length,
+    content BINARY). The ingestion front door for the multimodal
+    operators (operators/multimodal.py): content maps straight onto
+    their ``payload`` column. Read-only by design (Spark has no
+    binaryFile writer; persist payloads as parquet instead)."""
+    return FileSource(p, "binaryFile")
+
+
+@register_source("lines", "lines-stream")
+def lines_source(p: ParsedUri) -> FileSource:
+    """``lines://path`` — Spark's ``text`` source: one row per line in
+    a single ``value`` string column (the raw-corpus front door;
+    ``text://`` keeps the reference's CSV/TSV semantics)."""
+    return FileSource(p, "text")
+
+
+@register_sink("lines", "lines-stream")
+def lines_sink(p: ParsedUri) -> FileSink:
+    return FileSink(p, "text")

@@ -206,3 +206,37 @@ def test_xml_round_trip(spark, tmp_path):
         sinks=["agg+memory://xml_back"],
     )
     assert spark.table("xml_back").collect()[0].n == 2
+
+
+def test_binaryfile_source_reads_payloads(spark, tmp_path):
+    from spark_etl_cli_spark.registry import resolve_source
+
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01payload")
+    (tmp_path / "b.bin").write_bytes(b"other")
+    _, src = resolve_source(f"binaryfile://{tmp_path}")
+    rows = src.read(spark).select("path", "length", "content").collect()
+    got = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in rows}
+    assert got == {"a.bin": b"\x00\x01payload", "b.bin": b"other"}
+
+
+def test_lines_round_trip(spark, tmp_path):
+    from spark_etl_cli_spark.pipeline import run_pipeline
+    from pyspark.sql import Row
+
+    spark.createDataFrame(
+        [Row(value="alpha"), Row(value="beta")]
+    ).createOrReplaceTempView("ln_in")
+    out = tmp_path / "lines_out"
+    run_pipeline(
+        spark,
+        sources=["ln_in+view://ln_in"],
+        transforms=[],
+        sinks=[f"ln_in+lines://{out}"],
+    )
+    run_pipeline(
+        spark,
+        sources=[f"back+lines://{out}"],
+        transforms=[],
+        sinks=["back+memory://ln_back"],
+    )
+    assert sorted(r.value for r in spark.table("ln_back").collect()) == ["alpha", "beta"]
