@@ -1241,3 +1241,98 @@ def k_anon_transform(p: ParsedUri) -> TransformFn:
         return k_anonymity(df, by, k)
 
     return run
+
+
+@register_transform("media")
+def media_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+media://?id-col=path&kind=image&payload-col=content``.
+
+    Normalize any frame (e.g. a ``binaryfile://`` read) into the media
+    schema (media_id, kind, payload, meta). Non-numeric id columns
+    (file paths) are hashed to a stable 64-bit media_id.
+    """
+    id_col = p.params.get("id-col", "media_id")
+    kind = p.params.get("kind", "image")
+    payload_col = p.params.get("payload-col", "payload")
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from spark_etl_cli_spark.operators.multimodal import (
+            attach_binary_payload,
+        )
+
+        dtype = dict(df.dtypes).get(id_col)
+        if dtype not in ("bigint", "int", "long", "smallint", "tinyint"):
+            df = df.withColumn("__media_id", F.xxhash64(F.col(id_col)))
+            return attach_binary_payload(df, "__media_id", kind, payload_col)
+        return attach_binary_payload(df, id_col, kind, payload_col)
+
+    return run
+
+
+@register_transform("media-features")
+def media_features_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+media-features://?op=image|audio|frames|resize&fake=true``.
+
+    Arrow-batched feature extraction over a media view
+    (operators/multimodal.py). Real codecs need PIL/ffmpeg/librosa;
+    ``fake=true`` (default here — the container has no codecs) runs
+    the deterministic digest-derived stub so the batch plumbing is
+    exercised for real.
+    """
+    op = p.params.get("op", "image")
+    fake = p.params.get("fake", "true").lower() != "false"
+    every_n = int(p.params.get("every-n", "10"))
+    width = int(p.params.get("width", "64"))
+    height = int(p.params.get("height", "64"))
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators import multimodal as mm
+
+        if op == "image":
+            return mm.decode_image_features(df, fake=fake)
+        if op == "audio":
+            return mm.decode_audio_features(df, fake=fake)
+        if op == "frames":
+            return mm.sample_frames(df, every_n=every_n, fake=fake)
+        if op == "resize":
+            return mm.resize_images(df, width, height, fake=fake)
+        raise ValueError(f"media-features:// unknown op {op!r}")
+
+    return run
+
+
+@register_transform("payload-dedup")
+def payload_dedup_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+payload-dedup://?id-col=media_id&payload-col=payload``:
+    content-addressable exact dedup groups over binary payloads
+    (operators/multimodal.py) — (digest, keep_id, group_size, n_bytes)
+    per duplicate group; the shuffle carries digests, not payloads."""
+    id_col = p.params.get("id-col", "media_id")
+    payload_col = p.params.get("payload-col", "payload")
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators.multimodal import (
+            payload_dedup_groups,
+        )
+
+        return payload_dedup_groups(df, id_col, payload_col)
+
+    return run
+
+
+@register_transform("chunk-dedup")
+def chunk_dedup_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+chunk-dedup://?payload-col=payload&chunk-bytes=256``:
+    fixed-size chunk dedup savings estimate (one row: total/unique/dup
+    chunks + ratio) over binary payloads (operators/multimodal.py)."""
+    payload_col = p.params.get("payload-col", "payload")
+    chunk_bytes = int(p.params.get("chunk-bytes", "256"))
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators.multimodal import chunk_dedup_stats
+
+        return chunk_dedup_stats(df, payload_col, chunk_bytes)
+
+    return run

@@ -391,3 +391,24 @@ def test_attribution_transform(spark):
     )
     r = spark.table("cur_attr").collect()[0]
     assert r.touch_type == "click" and r.n_conversions == 1
+
+
+def test_media_transforms_via_pipeline(spark, tmp_path):
+    (tmp_path / "x.bin").write_bytes(b"payload-one")
+    (tmp_path / "y.bin").write_bytes(b"payload-one")  # exact dup
+    (tmp_path / "z.bin").write_bytes(b"payload-two")
+    run_pipeline(
+        spark,
+        sources=[f"raw+binaryfile://{tmp_path}"],
+        transforms=[
+            "raw+media+media://?id-col=path&kind=image&payload-col=content",
+            "media+feats+media-features://?op=image",
+            "media+dups+payload-dedup://",
+        ],
+        sinks=["feats+memory://mm_feats", "dups+memory://mm_dups"],
+    )
+    feats = spark.table("mm_feats").collect()
+    assert len(feats) == 3
+    assert all(64 <= r.width <= 64 + 255 for r in feats)
+    dups = spark.table("mm_dups").collect()
+    assert len(dups) == 1 and dups[0].group_size == 2
