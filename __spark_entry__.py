@@ -58,6 +58,8 @@ def _correctness_history() -> tuple[frozenset, frozenset]:
             data = json.loads(path.read_text())
         except (OSError, ValueError):
             continue
+        if not isinstance(data, dict):
+            continue  # differently-shaped driver artifact: skip, don't crash
         for name, row in data.items():
             if isinstance(row, dict) and row.get("hash_match") is True:
                 green.add(name)

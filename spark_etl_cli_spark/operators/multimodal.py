@@ -205,11 +205,23 @@ def payload_dedup_groups(
     is JVM codegen (sha2 over binary, one map-side-combined groupBy);
     the shuffle carries 64-byte digests, not payloads. Returns
     ``(digest, keep_id, group_size, n_bytes)`` per duplicate group.
+    Non-numeric id columns (e.g. ``binaryfile://`` paths) are hashed
+    to a stable 64-bit id — a silent ``min(path).cast(bigint)`` would
+    NULL every keep_id.
     """
+    id_expr = F.col(id_col)
+    if dict(df.dtypes).get(id_col) not in (
+        "bigint",
+        "int",
+        "long",
+        "smallint",
+        "tinyint",
+    ):
+        id_expr = F.xxhash64(id_expr)
     return (
         df.select(
             F.sha2(F.col(payload_col), 256).alias("digest"),
-            F.col(id_col).alias("__id"),
+            id_expr.alias("__id"),
             F.octet_length(F.col(payload_col)).cast("bigint").alias("__b"),
         )
         .groupBy("digest")

@@ -145,15 +145,17 @@ def zscore_outliers(
     |groups| rows broadcast back over the fact table — never a window
     over the raw data, and never Spark's float ``stddev_pop`` (whose
     result depends on partition order). σ uses sqrt, which IEEE
-    requires correctly rounded.
+    requires correctly rounded. Empty ``group_cols`` means GLOBAL
+    moments (one stats row cross-broadcast over every row).
     """
     y = F.col(value_col)
     yd = y.cast(_DEC)
-    s = df.groupBy(*group_cols).agg(
+    stats = [
         F.count(F.lit(1)).cast("bigint").alias("__n"),
         F.sum(yd).alias("__sy"),
         F.sum(yd * y).alias("__syy"),
-    )
+    ]
+    s = df.groupBy(*group_cols).agg(*stats) if group_cols else df.agg(*stats)
     # exact-int variance numerator (n·Σy² − (Σy)²), doubles only in
     # mul/div/sqrt chains — engine-independent (see _suff_stats)
     ndec = F.col("__n").cast(_DEC)
@@ -166,9 +168,13 @@ def zscore_outliers(
     # zero-variance groups have no outliers; NULL z (filtered below)
     # instead of an ANSI DIVIDE_BY_ZERO error
     z = F.when(varnum != 0, (y.cast("double") - mean) / std)
-    return (
+    joined = (
         df.join(F.broadcast(s), group_cols)
-        .withColumn("z", z)
+        if group_cols
+        else df.crossJoin(F.broadcast(s))
+    )
+    return (
+        joined.withColumn("z", z)
         .filter(F.abs(F.col("z")) > threshold)
         .drop("__n", "__sy", "__syy")
     )
@@ -330,14 +336,27 @@ def cms_estimate(
     an inner join would silently drop never-seen terms (and overstate
     partially-absent ones) instead of estimating 0.
     """
+    # internal probe columns are __-prefixed so a caller's own "row"/
+    # "bucket" columns can't collide with the join keys
     probes = (
-        terms.select("*", _cms_cells(term_col, depth, width).alias("e"))
-        .select("*", "e.row", "e.bucket")
-        .drop("e")
+        terms.select("*", _cms_cells(term_col, depth, width).alias("__e"))
+        .select(
+            "*",
+            F.col("__e.row").alias("__row"),
+            F.col("__e.bucket").alias("__bucket"),
+        )
+        .drop("__e")
     )
     others = list(terms.columns)
+    sk = F.broadcast(
+        sketch.select(
+            F.col("row").alias("__row"),
+            F.col("bucket").alias("__bucket"),
+            "counter",
+        )
+    )
     return (
-        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        probes.join(sk, ["__row", "__bucket"], "left")
         .groupBy(*others)
         .agg(
             F.min(F.coalesce(F.col("counter"), F.lit(0)))

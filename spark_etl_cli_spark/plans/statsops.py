@@ -84,9 +84,10 @@ def _days():
       FROM s
     )
     SELECT priority, n,
-           cov / varx / 100 AS slope_per_day,
-           inum / varx / 100 AS intercept,
-           (cov * cov) / (varx * vary) AS r2
+           CASE WHEN varx <> 0 THEN cov / varx / 100 END AS slope_per_day,
+           CASE WHEN varx <> 0 THEN inum / varx / 100 END AS intercept,
+           CASE WHEN varx <> 0 AND vary <> 0
+                THEN (cov * cov) / (varx * vary) END AS r2
     FROM d
     """,
 )
@@ -315,9 +316,13 @@ def q145_cms_heavy_hitters(spark, sf_dir):
         count_min_sketch,
     )
 
+    # the token stream feeds TWO branches (sketch build + exact
+    # candidates); materialize the tokenize+explode once instead of
+    # re-scanning the corpus per branch (same reuse rationale as the
+    # triangle-count edge checkpoint)
     tok = t(spark, sf_dir, "documents").select(
         F.explode(tokens(F.col("text"))).alias("term")
-    )
+    ).localCheckpoint()
     sketch = count_min_sketch(tok, "term", depth=4, width=1024)
     cand = (
         tok.groupBy("term")

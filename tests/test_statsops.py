@@ -324,3 +324,78 @@ def test_cms_estimates_zero_for_unseen_terms(spark):
     ).collect()}
     assert est["a"] == 4
     assert est["never-seen"] == 0  # absent cells are zero, not dropped
+
+
+def test_zscore_global_stats_with_empty_groups(spark):
+    from pyspark.sql import Row
+
+    from spark_etl_cli_spark.operators.profiling import zscore_outliers
+
+    df = spark.createDataFrame(
+        [Row(v=0)] * 10 + [Row(v=1000)], "v long"
+    )
+    rows = zscore_outliers(df, "v", [], threshold=2.0).collect()
+    assert len(rows) == 1 and rows[0].v == 1000  # global moments
+
+
+def test_cms_estimate_with_colliding_column_names(spark):
+    from pyspark.sql import Row
+
+    from spark_etl_cli_spark.operators.profiling import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    sketch = count_min_sketch(
+        spark.createDataFrame([Row(term="a")] * 3), "term", depth=2, width=8
+    )
+    # caller's frame already has "row" and "bucket" columns
+    terms = spark.createDataFrame(
+        [Row(term="a", row=99, bucket=7)],
+    )
+    (got,) = cms_estimate(sketch, terms, "term", depth=2, width=8).collect()
+    assert got["est_cnt"] == 3 and got["row"] == 99 and got["bucket"] == 7
+
+
+def test_payload_dedup_hashes_string_ids(spark):
+    from pyspark.sql import Row
+
+    from spark_etl_cli_spark.operators.multimodal import payload_dedup_groups
+
+    df = spark.createDataFrame(
+        [
+            Row(media_id="/x/a.bin", payload=bytearray(b"same")),
+            Row(media_id="/x/b.bin", payload=bytearray(b"same")),
+        ]
+    )
+    (g,) = payload_dedup_groups(df).collect()
+    assert g.group_size == 2 and g.keep_id is not None  # hashed, not NULLed
+
+
+def test_correctness_history_survives_malformed_artifact(tmp_path, monkeypatch):
+    import json
+
+    import __spark_entry__ as entry
+
+    # a list-shaped artifact and a non-JSON artifact must be skipped
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"q01_pricing_summary": {"hash_match": True}})
+    )
+    (tmp_path / "CORRECTNESS_r98.json").write_text(json.dumps(["oops"]))
+    (tmp_path / "CORRECTNESS_r99.json").write_text("{not json")
+
+    class _FakePath:
+        def __init__(self, *_a, **_k):
+            pass
+
+        def resolve(self):
+            return self
+
+        @property
+        def parent(self):
+            return tmp_path
+
+    monkeypatch.setattr(entry, "Path", _FakePath)
+    green, red = entry._correctness_history()  # must not raise
+    assert "q01_pricing_summary" in green
+    assert not red
