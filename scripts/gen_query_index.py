@@ -48,8 +48,10 @@ def main() -> int:
 
     print("# QUERIES — the full oracle-paired query library")
     print()
+    n_q, n_o = len(QUERIES), len(ORACLES)
+    cov = "every one" if n_o == n_q else f"{n_o}"
     print(
-        f"{len(QUERIES)} registered queries, {len(ORACLES)} with a full"
+        f"{n_q} registered queries, {cov} with a full"
         " DuckDB value-hash oracle. Regenerate with"
         " `python scripts/gen_query_index.py > QUERIES.md`."
     )
