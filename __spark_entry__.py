@@ -42,7 +42,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #   3. queries already proven green (hash_match true in any round) —
 #      re-checked last, only if the budget allows.
 def _correctness_history() -> tuple[frozenset, frozenset]:
-    """(ever_green, latest_red) across all recorded rounds."""
+    """(green, red) by LATEST recorded state per query: a later round's
+    result supersedes an earlier one in either direction, so a query
+    that regressed after being green sorts back into the re-check-first
+    bucket."""
     import json
     import re
 

@@ -100,10 +100,13 @@ def triangle_count(
     v_col: str = "v",
     broadcast_edge_limit: int = 2_000_000,
 ) -> DataFrame:
-    """Exact global triangle count over undirected unique edges.
+    """Exact global triangle count over undirected edges.
 
-    Input must be canonical undirected edges (one row per edge,
-    ``u < v``). Uses the standard degree-orientation trick: every edge
+    The input is canonicalized here (min/max-normalized, self-loops
+    dropped, then ``distinct``) so multigraph/duplicate rows can't
+    inflate wedge or triangle counts — the public ``triangles://``
+    transform accepts arbitrary frames, so uniqueness is enforced,
+    not assumed. Uses the standard degree-orientation trick: every edge
     is directed from its lower-(degree, id) endpoint to the higher, so
     each triangle is counted exactly once and — the scale property —
     out-degrees are bounded by O(sqrt(|E|)) on any graph, which caps
@@ -133,9 +136,15 @@ def triangle_count(
 
     Returns one row: (n_edges, n_wedges, n_triangles).
     """
-    e = edges.select(
-        F.col(u_col).alias("u"), F.col(v_col).alias("v")
-    ).localCheckpoint()
+    e = (
+        edges.select(
+            F.least(F.col(u_col), F.col(v_col)).alias("u"),
+            F.greatest(F.col(u_col), F.col(v_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
     deg = (
         e.select(F.col("u").alias("x"))
         .union(e.select(F.col("v").alias("x")))

@@ -337,7 +337,8 @@ def cms_estimate(
     partially-absent ones) instead of estimating 0.
     """
     # internal probe columns are __-prefixed so a caller's own "row"/
-    # "bucket" columns can't collide with the join keys
+    # "bucket"/"counter" columns can't collide with the join keys or
+    # the post-join aggregate
     probes = (
         terms.select("*", _cms_cells(term_col, depth, width).alias("__e"))
         .select(
@@ -352,14 +353,14 @@ def cms_estimate(
         sketch.select(
             F.col("row").alias("__row"),
             F.col("bucket").alias("__bucket"),
-            "counter",
+            F.col("counter").alias("__counter"),
         )
     )
     return (
         probes.join(sk, ["__row", "__bucket"], "left")
         .groupBy(*others)
         .agg(
-            F.min(F.coalesce(F.col("counter"), F.lit(0)))
+            F.min(F.coalesce(F.col("__counter"), F.lit(0)))
             .cast("bigint")
             .alias("est_cnt")
         )

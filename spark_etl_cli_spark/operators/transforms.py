@@ -1153,6 +1153,10 @@ def histogram_transform(p: ParsedUri) -> TransformFn:
     lo = float(p.params.get("lo", "0"))
     width = float(p.params.get("width", "1"))
     buckets = int(p.params.get("buckets", "20"))
+    if width <= 0:
+        raise ValueError("histogram:// needs width > 0, got %r" % width)
+    if buckets < 1:
+        raise ValueError("histogram:// needs buckets >= 1, got %r" % buckets)
 
     def run(spark: SparkSession, df: DataFrame) -> DataFrame:
         from spark_etl_cli_spark.operators.profiling import equi_width_histogram

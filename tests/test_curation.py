@@ -206,3 +206,25 @@ def test_sparse_cosine_identical_docs_rank_first(spark):
     assert top.neighbor_id == 20 and top.cosine_sim == pytest.approx(1.0)
     # disjoint-vocab doc never appears as a neighbor of doc 0
     assert all(r.neighbor_id != 22 for r in by_q[0])
+
+
+def test_triangle_count_dedups_multigraph_edges(spark):
+    # duplicate + reversed + self-loop rows must not inflate any count:
+    # the operator canonicalizes (least, greatest) and distincts first.
+    from spark_etl_cli_spark.operators.graph import triangle_count
+
+    clean = spark.createDataFrame(
+        [Row(u=0, v=1), Row(u=1, v=2), Row(u=0, v=2)]
+    )
+    noisy = spark.createDataFrame(
+        [
+            Row(u=0, v=1), Row(u=1, v=0), Row(u=0, v=1),  # dup + reversed
+            Row(u=1, v=2), Row(u=0, v=2), Row(u=2, v=0),
+            Row(u=1, v=1),  # self-loop
+        ]
+    )
+    a = triangle_count(clean).collect()[0]
+    b = triangle_count(noisy).collect()[0]
+    # oriented wedge count: K3 has exactly one oriented wedge
+    assert (a.n_edges, a.n_wedges, a.n_triangles) == (3, 1, 1)
+    assert (b.n_edges, b.n_wedges, b.n_triangles) == (3, 1, 1)

@@ -399,3 +399,41 @@ def test_correctness_history_survives_malformed_artifact(tmp_path, monkeypatch):
     green, red = entry._correctness_history()  # must not raise
     assert "q01_pricing_summary" in green
     assert not red
+
+
+def test_cms_estimate_survives_caller_counter_column(spark):
+    # a terms frame that already carries row/bucket/counter columns must
+    # not collide with the sketch's internal join/aggregate columns
+    from pyspark.sql import Row
+    from spark_etl_cli_spark.operators.profiling import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    data = spark.createDataFrame(
+        [Row(term=t) for t in ["a", "a", "b", "a", "c"]]
+    )
+    sketch = count_min_sketch(data, "term", depth=3, width=64)
+    terms = spark.createDataFrame(
+        [
+            Row(term="a", counter=999, row=7, bucket=8),
+            Row(term="b", counter=-1, row=0, bucket=0),
+        ]
+    )
+    est = {r["term"]: r["est_cnt"] for r in cms_estimate(
+        sketch, terms, depth=3, width=64
+    ).collect()}
+    assert est["a"] >= 3 and est["b"] >= 1
+
+
+def test_histogram_transform_rejects_degenerate_params():
+    import pytest
+
+    from spark_etl_cli_spark.registry import resolve_transform
+
+    with pytest.raises(ValueError, match="width > 0"):
+        resolve_transform("a+b+histogram://?col=v&width=0")
+    with pytest.raises(ValueError, match="width > 0"):
+        resolve_transform("a+b+histogram://?col=v&width=-2")
+    with pytest.raises(ValueError, match="buckets >= 1"):
+        resolve_transform("a+b+histogram://?col=v&width=5&buckets=0")
