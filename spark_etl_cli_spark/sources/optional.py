@@ -202,11 +202,13 @@ class ExcelSource:
 @dataclass
 class ExcelSink:
     """Excel sink: single driver-side file by nature (the reference
-    forces ``repartition(1)`` too, ExcelFileDataFrameSource.scala:23) —
-    collect is the honest cost model for this format. Writes through
-    the stdlib SpreadsheetML codec (xlsx_lite) so streaming appends can
-    read the file back; pandas' to_excel can't append and needs an
-    engine this container doesn't ship."""
+    forces ``repartition(1)`` too, ExcelFileDataFrameSource.scala:23).
+    Rows stream through ``toLocalIterator()`` into an incremental
+    SpreadsheetML writer (xlsx_lite), so driver memory peaks at ONE
+    partition — a misrouted big table fills the disk, not the heap.
+    The stdlib codec also lets streaming appends read the file back;
+    pandas' to_excel can't append and needs an engine this container
+    doesn't ship."""
 
     uri: ParsedUri
 
@@ -227,13 +229,31 @@ class ExcelSink:
         from spark_etl_cli_spark.operators.schema_tools import json_encode_complex
         from spark_etl_cli_spark.sources.xlsx_lite import read_xlsx, write_xlsx
 
+        import itertools
+        import tempfile
+
         flat = json_encode_complex(df)
         header = list(flat.columns)
-        rows = [tuple(row) for row in flat.collect()]
+        # toLocalIterator: one partition in driver memory at a time
+        # (never the whole frame — collect() here OOMed on big tables)
+        rows = (tuple(row) for row in flat.toLocalIterator())
         if append and os.path.exists(self.uri.path):
             old_header, old_rows = read_xlsx(self.uri.path)
             if old_header == header:
-                rows = old_rows + rows
+                rows = itertools.chain(old_rows, rows)
+            # append rewrites the file being read: stage to a temp file
+            # in the same dir, then atomic-replace
+            target_dir = os.path.dirname(self.uri.path) or "."
+            fd, tmp = tempfile.mkstemp(suffix=".xlsx", dir=target_dir)
+            os.close(fd)
+            try:
+                write_xlsx(tmp, header, rows)
+                os.replace(tmp, self.uri.path)
+            except BaseException:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+                raise
+            return True
         write_xlsx(self.uri.path, header, rows)
         return True
 

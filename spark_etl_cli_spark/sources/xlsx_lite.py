@@ -66,10 +66,15 @@ def _col_index(ref: str) -> int:
     return idx - 1
 
 
-def write_xlsx(path: str, columns: list[str], rows: list[tuple]) -> None:
+def write_xlsx(path: str, columns: list[str], rows) -> None:
     """Write one sheet: header row + data rows. Strings go inline (no
     sharedStrings part needed), int/float as numbers, bool as booleans,
-    None as blank."""
+    None as blank.
+
+    ``rows`` may be any iterable of tuples and is consumed ONCE,
+    streamed row-by-row into the zip member — peak memory is one row,
+    not the sheet, so the Excel sink can feed ``toLocalIterator()``
+    without collecting the frame."""
 
     def cell(r: int, c: int, v) -> str:
         ref = f"{_col_letter(c)}{r}"
@@ -84,27 +89,29 @@ def write_xlsx(path: str, columns: list[str], rows: list[tuple]) -> None:
             f'<t xml:space="preserve">{escape(str(v))}</t></is></c>'
         )
 
-    body = ['<?xml version="1.0" encoding="UTF-8" standalone="yes"?>']
-    body.append(f'<worksheet xmlns="{_NS}"><sheetData>')
-    body.append(
-        "<row r=\"1\">"
-        + "".join(cell(1, c, name) for c, name in enumerate(columns))
-        + "</row>"
-    )
-    for i, row in enumerate(rows, start=2):
-        body.append(
-            f'<row r="{i}">'
-            + "".join(cell(i, c, v) for c, v in enumerate(row))
-            + "</row>"
-        )
-    body.append("</sheetData></worksheet>")
-
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
         z.writestr("[Content_Types].xml", _CONTENT_TYPES)
         z.writestr("_rels/.rels", _ROOT_RELS)
         z.writestr("xl/workbook.xml", _WORKBOOK)
         z.writestr("xl/_rels/workbook.xml.rels", _WORKBOOK_RELS)
-        z.writestr("xl/worksheets/sheet1.xml", "".join(body))
+        with z.open("xl/worksheets/sheet1.xml", "w") as sheet:
+            def emit(s: str) -> None:
+                sheet.write(s.encode("utf-8"))
+
+            emit('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>')
+            emit(f'<worksheet xmlns="{_NS}"><sheetData>')
+            emit(
+                '<row r="1">'
+                + "".join(cell(1, c, name) for c, name in enumerate(columns))
+                + "</row>"
+            )
+            for i, row in enumerate(rows, start=2):
+                emit(
+                    f'<row r="{i}">'
+                    + "".join(cell(i, c, v) for c, v in enumerate(row))
+                    + "</row>"
+                )
+            emit("</sheetData></worksheet>")
 
 
 def _local(tag: str) -> str:

@@ -172,6 +172,27 @@ def _confluent_header(schema_id: int) -> bytes:
     return bytes([0]) + schema_id.to_bytes(4, "big")
 
 
+def _read_json_dataset(spark: SparkSession, strings: DataFrame) -> DataFrame:
+    """Schema-inferring JSON read of a one-string-column DataFrame.
+
+    Mirrors the reference's ``spark.read.json(ds)`` inference path
+    (JsonSerde.scala:14-17). PySpark's public reader only accepts
+    paths/RDDs, so the fast path calls the JVM ``json(Dataset[String])``
+    overload directly — the data never crosses into a Python worker.
+    Falls back to the RDD hop only where JVM internals are unreachable
+    (Spark Connect), where it is the supported route.
+    """
+    try:
+        jvm = spark._jvm  # noqa: SLF001 — classic-mode JVM bridge
+        encoders = jvm.org.apache.spark.sql.Encoders
+        # "as" is a Python keyword, so the Dataset.as(Encoder) overload
+        # has to go through getattr
+        ds = getattr(strings._jdf, "as")(encoders.STRING())  # noqa: SLF001
+        return DataFrame(spark._jsparkSession.read().json(ds), spark)  # noqa: SLF001
+    except Exception:
+        return spark.read.json(strings.rdd.map(lambda r: r[0]))
+
+
 def deserialize_values(
     spark: SparkSession, raw: DataFrame, serde: str, topic: str | None = None
 ) -> DataFrame:
@@ -189,10 +210,7 @@ def deserialize_values(
         if raw.isStreaming:
             raise ValueError("schemaless json serde requires batch (schema inference)")
         strings = raw.select(F.col("value").cast("string").alias("json"))
-        inferred = spark.read.json(
-            strings.rdd.map(lambda r: r.json)  # inference path, batch-only
-        )
-        return inferred
+        return _read_json_dataset(spark, strings)
     if kind == "avro":
         from pyspark.sql.avro.functions import from_avro
 

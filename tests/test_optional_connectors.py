@@ -468,3 +468,39 @@ def test_delta_lite_empty_append_commits_metadata_only(spark, tmp_path):
     write_delta_lite(spark.createDataFrame([], schema), table)
     out = read_delta_lite(spark, table)
     assert out.count() == 0 and out.schema == schema
+
+
+def test_excel_sink_streams_rows_not_collect(spark, tmp_path, monkeypatch):
+    # the sink must never materialize the frame driver-side: it feeds
+    # toLocalIterator() into the incremental xlsx writer. Guard by
+    # poisoning DataFrame.collect for the duration of the write.
+    from pyspark.sql import DataFrame
+
+    from spark_etl_cli_spark.registry import resolve_sink
+    from spark_etl_cli_spark.sources.xlsx_lite import read_xlsx
+
+    def _boom(self):
+        raise AssertionError("excel sink must not collect()")
+
+    path = str(tmp_path / "big.xlsx")
+    df = spark.range(0, 5000, 1, 8).selectExpr(
+        "id", "concat('row-', id) AS label"
+    )
+    _, sink = resolve_sink(f"e+excel://{path}")
+    monkeypatch.setattr(DataFrame, "collect", _boom)
+    assert sink.write(df) is True
+    monkeypatch.undo()
+    header, rows = read_xlsx(path)
+    assert header == ["id", "label"]
+    assert len(rows) == 5000
+    assert rows[0] == [0, "row-0"] and rows[-1] == [4999, "row-4999"]
+
+    # append path (micro-batch shape) also streams and keeps old rows
+    more = spark.range(5000, 5100).selectExpr(
+        "id", "concat('row-', id) AS label"
+    )
+    monkeypatch.setattr(DataFrame, "collect", _boom)
+    assert sink._write_batch(more, append=True) is True
+    monkeypatch.undo()
+    _, rows2 = read_xlsx(path)
+    assert len(rows2) == 5100 and rows2[-1] == [5099, "row-5099"]

@@ -166,3 +166,31 @@ def test_json_serde_roundtrip_unchanged(spark):
     ser = serialize_values(df, "json")
     row = ser.collect()[0]
     assert json.loads(row.value) == {"id": 1, "name": "a"}
+
+
+def test_schemaless_json_inference_stays_jvm_side(spark):
+    # schema inference must use the JVM Dataset[String] overload (no
+    # Python-worker round-trip); the .rdd hop exists only as a Spark
+    # Connect fallback inside _read_json_dataset's except branch.
+    from pyspark.sql import functions as F
+
+    from spark_etl_cli_spark.streaming.serde import (
+        _read_json_dataset,
+        deserialize_values,
+    )
+
+    raw = spark.createDataFrame(
+        [(b'{"k": 1, "s": "x"}',), (b'{"k": 2, "t": true}',)], ["value"]
+    )
+    out = deserialize_values(spark, raw, "json")
+    assert set(out.columns) == {"k", "s", "t"}
+    assert out.count() == 2
+
+    # the fast path itself (not the fallback) must work in classic mode
+    strings = raw.select(F.col("value").cast("string").alias("json"))
+    jvm = spark._jvm
+    ds = getattr(strings._jdf, "as")(jvm.org.apache.spark.sql.Encoders.STRING())
+    assert spark._jsparkSession.read().json(ds).count() == 2
+    # and the helper's physical plan must not contain a Python scan node
+    plan = _read_json_dataset(spark, strings)._jdf.queryExecution().executedPlan().toString()
+    assert "PythonRDD" not in plan and "EvalPython" not in plan
