@@ -11,7 +11,9 @@ Reference parity targets:
 - ``delta://`` / ``delta-stream://`` — ``delta/.../DeltaUriParser.scala:13-60``
 - ``excel://`` — ``excel/.../ExcelFileDataFrameSource.scala:9-38``
 - ``kafka://`` / ``kafka-stream://`` — ``kafka/.../KafkaDataFrameSource.scala:9-56``
-- ``solr://`` (sink only) — ``solr/.../SolrDataFrameSourceSink.scala:19-94``
+- ``solr://`` — sink parity with ``solr/.../SolrDataFrameSourceSink.scala:19-94``;
+  the source side (``???`` at :24 in the reference) is implemented here
+  via /select cursorMark paging
 """
 
 from __future__ import annotations
@@ -365,7 +367,9 @@ class SolrSink:
         endpoint = self.uri.params.get("endpoint")
         if not endpoint:
             raise MissingDependencyError("solr", "a live Solr endpoint (?endpoint=)")
-        collection = self.uri.first_path_part()
+        # solr://collection puts the collection in the netloc;
+        # solr://host/collection forms land it in the path
+        collection = self.uri.first_path_part() or self.uri.authority
         batch_size = int(self.uri.params.get("batchSize", "10000"))
         from spark_etl_cli_spark.operators.schema_tools import json_encode_complex
 
@@ -397,3 +401,92 @@ class SolrSink:
 @register_sink("solr")
 def solr_sink(p: ParsedUri) -> SolrSink:
     return SolrSink(p)
+
+
+@dataclass
+class SolrSource:
+    """``solr://host/collection?endpoint=...&q=...&rows=...`` — /select
+    with cursorMark deep paging.
+
+    The reference leaves its Solr source unimplemented
+    (``SolrDataFrameSourceSink.scala:24`` is ``???``); this implements
+    it the way Solr documents deep paging: ``cursorMark=*`` plus a
+    unique-key sort, following ``nextCursorMark`` until it repeats.
+    cursorMark is inherently sequential (each page's mark comes from
+    the previous response), so pages are fetched driver-side but
+    SPILLED to a local JSONL file page-by-page — driver memory is
+    O(one page), never O(collection) — and the file is then parsed
+    distributed via ``spark.read.json``. At real cluster scale against
+    a sharded SolrCloud, the upgrade path is per-shard parallel export
+    (``/export`` handler or ``shards=`` pinning), which this design
+    accommodates by keying the fetch loop on the endpoint URL.
+
+    Params: ``q`` (default ``*:*``), ``rows`` page size (default 1000),
+    ``sort`` (default ``id asc`` — must include the unique key),
+    ``fl`` field list, ``max-rows`` fail-fast cap.
+    """
+
+    uri: ParsedUri
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        endpoint = self.uri.params.get("endpoint")
+        if not endpoint:
+            raise MissingDependencyError("solr", "a live Solr endpoint (?endpoint=)")
+        import json as _json
+        import tempfile
+        import urllib.parse
+        import urllib.request
+
+        collection = self.uri.first_path_part() or self.uri.authority
+        q = self.uri.params.get("q", "*:*")
+        rows = int(self.uri.params.get("rows", "1000"))
+        sort = self.uri.params.get("sort", "id asc")
+        fl = self.uri.params.get("fl")
+        max_rows = int(self.uri.params.get("max-rows", "0"))  # 0 = unlimited
+        base = f"{endpoint.rstrip('/')}/{collection}/select"
+
+        cursor = "*"
+        fetched = 0
+        tmp = tempfile.NamedTemporaryFile(
+            "w", suffix=".solr.jsonl", delete=False, encoding="utf-8"
+        )
+        try:
+            with tmp:
+                while True:
+                    query = {
+                        "q": q,
+                        "rows": str(rows),
+                        "sort": sort,
+                        "cursorMark": cursor,
+                        "wt": "json",
+                    }
+                    if fl:
+                        query["fl"] = fl
+                    url = f"{base}?{urllib.parse.urlencode(query)}"
+                    with urllib.request.urlopen(url) as resp:
+                        body = _json.load(resp)
+                    docs = body.get("response", {}).get("docs", [])
+                    for doc in docs:
+                        tmp.write(_json.dumps(doc) + "\n")
+                    fetched += len(docs)
+                    if max_rows and fetched > max_rows:
+                        raise ValueError(
+                            f"solr:// source exceeded max-rows={max_rows} "
+                            f"(fetched {fetched}); raise the cap or narrow ?q="
+                        )
+                    nxt = body.get("nextCursorMark")
+                    # Solr signals exhaustion by repeating the cursor
+                    if not docs or nxt is None or nxt == cursor:
+                        break
+                    cursor = nxt
+            if fetched == 0:
+                return spark.range(0).select()  # empty, zero columns
+            return spark.read.json(tmp.name)
+        except BaseException:
+            os.unlink(tmp.name)
+            raise
+
+
+@register_source("solr")
+def solr_source(p: ParsedUri) -> SolrSource:
+    return SolrSource(p)

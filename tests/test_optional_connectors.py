@@ -504,3 +504,150 @@ def test_excel_sink_streams_rows_not_collect(spark, tmp_path, monkeypatch):
     monkeypatch.undo()
     _, rows2 = read_xlsx(path)
     assert len(rows2) == 5100 and rows2[-1] == [5099, "row-5099"]
+
+
+class _SolrStub:
+    """In-process Solr lookalike: records /update POSTs, serves /select
+    with cursorMark paging over an in-memory doc list."""
+
+    def __init__(self, docs=None):
+        import json
+        import threading
+        from http.server import BaseHTTPRequestHandler, HTTPServer
+        from urllib.parse import parse_qs, urlsplit
+
+        stub = self
+        self.docs = docs or []
+        self.updates = []  # (path, query, parsed_json_body)
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # silence
+                pass
+
+            def _json(self, payload):
+                body = json.dumps(payload).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", "0"))
+                body = json.loads(self.rfile.read(n))
+                u = urlsplit(self.path)
+                stub.updates.append((u.path, parse_qs(u.query), body))
+                self._json({"responseHeader": {"status": 0}})
+
+            def do_GET(self):
+                u = urlsplit(self.path)
+                q = parse_qs(u.query)
+                rows = int(q.get("rows", ["10"])[0])
+                cursor = q.get("cursorMark", ["*"])[0]
+                start = 0 if cursor == "*" else int(cursor[3:])
+                page = stub.docs[start : start + rows]
+                nxt = cursor if not page else f"AoE{start + len(page)}"
+                self._json({
+                    "responseHeader": {"status": 0},
+                    "response": {
+                        "numFound": len(stub.docs),
+                        "start": start,
+                        "docs": page,
+                    },
+                    "nextCursorMark": nxt,
+                })
+
+        self.server = HTTPServer(("127.0.0.1", 0), Handler)
+        self.endpoint = f"http://127.0.0.1:{self.server.server_port}/solr"
+        self.thread = threading.Thread(
+            target=self.server.serve_forever, daemon=True
+        )
+        self.thread.start()
+
+    def close(self):
+        self.server.shutdown()
+        self.server.server_close()
+
+
+def test_solr_sink_batches_and_commits_against_stub(spark):
+    stub = _SolrStub()
+    try:
+        run_pipeline(
+            spark,
+            sources=["v+range://?end=25&partitions=2"],
+            transforms=["v+v2+sql://SELECT id, concat('d-', id) AS name FROM input"],
+            sinks=[
+                f"v2+solr://col1?endpoint={stub.endpoint}&batchSize=10"
+            ],
+        )
+        assert stub.updates, "sink never POSTed"
+        # every POST hits /update on the named collection with commit=true
+        for path, query, body in stub.updates:
+            assert path == "/solr/col1/update"
+            assert query.get("commit") == ["true"]
+            assert isinstance(body, list) and len(body) <= 10
+        sent = [d for _, _, body in stub.updates for d in body]
+        assert len(sent) == 25
+        assert {d["id"] for d in sent} == set(range(25))
+        assert all(d["name"] == f"d-{d['id']}" for d in sent)
+        # batchSize=10 over 25 rows: at least one full batch of 10
+        assert any(len(body) == 10 for _, _, body in stub.updates)
+    finally:
+        stub.close()
+
+
+def test_solr_source_pages_with_cursormark(spark):
+    docs = [{"id": str(i), "score_i": i} for i in range(23)]
+    stub = _SolrStub(docs)
+    try:
+        run_pipeline(
+            spark,
+            sources=[
+                f"s+solr://col1?endpoint={stub.endpoint}&rows=10&sort=id+asc"
+            ],
+            sinks=["s+memory://solr_rows"],
+        )
+        got = spark.table("solr_rows").collect()
+        assert len(got) == 23
+        assert {r.id for r in got} == {str(i) for i in range(23)}
+        assert {r.score_i for r in got} == set(range(23))
+    finally:
+        stub.close()
+
+
+def test_solr_roundtrip_sink_then_source(spark):
+    stub = _SolrStub()
+    try:
+        run_pipeline(
+            spark,
+            sources=["v+range://?end=7"],
+            transforms=["v+v2+sql://SELECT cast(id AS string) AS id, id * 2 AS dbl FROM input"],
+            sinks=[f"v2+solr://c?endpoint={stub.endpoint}"],
+        )
+        # feed what the sink sent into the stub's /select store
+        stub.docs = [d for _, _, body in stub.updates for d in body]
+        run_pipeline(
+            spark,
+            sources=[f"s+solr://c?endpoint={stub.endpoint}&rows=3"],
+            sinks=["s+memory://solr_rt"],
+        )
+        rows = spark.table("solr_rt").collect()
+        assert {(r.id, r.dbl) for r in rows} == {(str(i), i * 2) for i in range(7)}
+    finally:
+        stub.close()
+
+
+def test_solr_source_max_rows_guard(spark):
+    docs = [{"id": str(i)} for i in range(50)]
+    stub = _SolrStub(docs)
+    try:
+        with pytest.raises(Exception, match="max-rows"):
+            run_pipeline(
+                spark,
+                sources=[
+                    f"s+solr://c?endpoint={stub.endpoint}&rows=20&max-rows=30"
+                ],
+                sinks=["s+memory://solr_capped"],
+            )
+    finally:
+        stub.close()
