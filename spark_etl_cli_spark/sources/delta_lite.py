@@ -13,11 +13,11 @@ too (:func:`write_delta_lite`: parquet data files + a JSON commit with
 add/remove actions, O_EXCL version reservation); streaming writes
 still need delta-spark's LogStore for exactly-once semantics.
 
-Supported: JSON commits, ``_last_checkpoint`` + single-file parquet
-checkpoints, partition columns (restored from ``partitionValues`` with
-schema-typed casts), schema from ``metaData.schemaString``.
-Unsupported (raises): multi-part checkpoints, deletion vectors,
-column mapping.
+Supported: JSON commits, ``_last_checkpoint`` + single-file AND
+multi-part parquet checkpoints, partition columns (restored from
+``partitionValues`` with schema-typed casts), schema from
+``metaData.schemaString``.
+Unsupported (raises): deletion vectors, column mapping.
 """
 
 from __future__ import annotations
@@ -48,12 +48,28 @@ def _read_checkpoint(spark: SparkSession, log_dir: str) -> tuple[int, list[dict]
     with open(lc) as fh:
         info = json.load(fh)
     version = int(info["version"])
-    if info.get("parts"):
-        raise NotImplementedError(
-            "multi-part Delta checkpoints need the delta-spark jars"
-        )
-    cp_path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
-    rows = spark.read.parquet(cp_path).collect()
+    parts = info.get("parts")
+    if parts:
+        # multi-part checkpoint (PROTOCOL.md "Checkpoint Files"):
+        # N files named <v>.checkpoint.<i>.<N>.parquet, i in 1..N,
+        # union of rows = the snapshot state
+        n = int(parts)
+        cp_paths = [
+            os.path.join(
+                log_dir,
+                f"{version:020d}.checkpoint.{i:010d}.{n:010d}.parquet",
+            )
+            for i in range(1, n + 1)
+        ]
+        missing = [p for p in cp_paths if not os.path.exists(p)]
+        if missing:
+            raise FileNotFoundError(
+                f"multi-part checkpoint incomplete: missing {missing}"
+            )
+        rows = spark.read.parquet(*cp_paths).collect()
+    else:
+        cp_path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+        rows = spark.read.parquet(cp_path).collect()
     adds, meta = [], None
     for r in rows:
         d = r.asDict(recursive=True)

@@ -6,9 +6,9 @@ Capability parity targets in the reference:
 - ``text://`` (csv/tsv with delimiter from extension) —
   ``core/.../TextFileDataFrameSource.scala:9-42``
 - ``avro://`` / ``avro-stream://`` — ``avro/.../AvroFileDataFrameSource.scala:9-33``
-  (gated: the spark-avro jar may be absent locally; the connector
-  registers regardless and fails with a clear message if the format is
-  unavailable at read time)
+  (spark-avro jar when present; otherwise batch reads/writes fall back
+  to the engine-free container-file codec in ``sources/avro_lite.py``
+  and only jar-requiring streaming READS raise)
 
 Flat text formats serialize nested struct/array columns to JSON strings
 on write (reference ``core/.../DataFrameUtils.scala:8-14``).
@@ -56,14 +56,83 @@ def json_sink(p: ParsedUri) -> FileSink:
     return FileSink(p, "json")
 
 
+def _has_spark_avro(spark: SparkSession) -> bool:
+    # Class.forName is NOT enough here: Spark 4 ships some
+    # org.apache.spark.sql.avro classes in the main distro without the
+    # DataSourceRegister service entry. Ask Spark's own source lookup —
+    # the exact check read.format("avro") will perform.
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(  # noqa: SLF001
+            "avro", spark._jsparkSession.sessionState().conf()  # noqa: SLF001
+        )
+        return True
+    except Exception:
+        return False
+
+
+@dataclass
+class AvroSource:
+    """``avro://`` / ``avro-stream://`` (reference
+    AvroFileDataFrameSource.scala:9-20): spark-avro when the jar is on
+    the classpath, else the engine-free container-file codec
+    (sources/avro_lite.py) for batch reads. Streaming without the jar
+    raises clearly — exactly-once file streaming needs the real source."""
+
+    uri: ParsedUri
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        if _has_spark_avro(spark):
+            return FileSource(self.uri, "avro").read(spark)
+        if self.uri.is_stream:
+            from spark_etl_cli_spark.sources.optional import MissingDependencyError
+
+            raise MissingDependencyError(
+                "avro-stream", "the spark-avro jar (streaming reads)"
+            )
+        from spark_etl_cli_spark.sources.avro_lite import read_avro_lite
+
+        return read_avro_lite(spark, self.uri.path)
+
+
+@dataclass
+class AvroSink:
+    """Write side of the avro connector (reference
+    AvroFileDataFrameSource.scala:22-33: overwrite mode, options
+    pass-through). Jar-less batch writes go through avro_lite's
+    distributed per-partition container writer."""
+
+    uri: ParsedUri
+
+    def write(self, df: DataFrame) -> bool:
+        if _has_spark_avro(df.sparkSession):
+            return FileSink(self.uri, "avro").write(df)
+        from spark_etl_cli_spark.sources.avro_lite import write_avro_lite
+
+        if df.isStreaming:
+            from spark_etl_cli_spark.sources.base import stream_via_foreach_batch
+
+            # each micro-batch APPENDS new part files (per-partition
+            # container files make append = add-files, no rewrite)
+            return stream_via_foreach_batch(
+                df,
+                lambda batch: write_avro_lite(batch, self.uri.path, mode="append"),
+                self.uri,
+            )
+        mode = self.uri.params.get(
+            "mode", self.uri.params.get("write-mode", "overwrite")
+        )
+        write_avro_lite(df, self.uri.path, mode=mode)
+        return True
+
+
 @register_source("avro", "avro-stream")
-def avro_source(p: ParsedUri) -> FileSource:
-    return FileSource(p, "avro")
+def avro_source(p: ParsedUri) -> AvroSource:
+    return AvroSource(p)
 
 
 @register_sink("avro", "avro-stream")
-def avro_sink(p: ParsedUri) -> FileSink:
-    return FileSink(p, "avro")
+def avro_sink(p: ParsedUri) -> AvroSink:
+    return AvroSink(p)
 
 
 def _text_delimiter(path: str, params: dict[str, str]) -> str:

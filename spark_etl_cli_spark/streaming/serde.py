@@ -43,6 +43,7 @@ import json
 import os
 from urllib.parse import urlsplit, urlunsplit
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -193,6 +194,81 @@ def _read_json_dataset(spark: SparkSession, strings: DataFrame) -> DataFrame:
         return spark.read.json(strings.rdd.map(lambda r: r[0]))
 
 
+def _avro_functions_usable(spark: SparkSession) -> bool:
+    """from_avro/to_avro need the spark-avro DATA SOURCE loaded, not
+    just the classes on the classpath (AVRO_NOT_LOADED otherwise)."""
+    from spark_etl_cli_spark.sources.files import _has_spark_avro
+
+    return _has_spark_avro(spark)
+
+
+def _avro_decode_lite(raw: DataFrame, schema_json: str, skip: int = 0) -> DataFrame:
+    """Jar-less ``from_avro``: Arrow-batched Pandas UDF over the
+    avro_lite single-record binary decoder. ``skip`` strips a fixed
+    prefix (the 5-byte Confluent wire header for avro-registry)."""
+    from spark_etl_cli_spark.sources.avro_lite import (
+        Reader,
+        avro_to_spark_type,
+        make_decoder,
+    )
+
+    schema = json.loads(schema_json)
+    spark_type = avro_to_spark_type(schema)
+    decoder = make_decoder(schema)
+    names = [f.name for f in spark_type.fields]
+
+    @F.pandas_udf(spark_type)
+    def dec(values: pd.Series) -> pd.DataFrame:
+        recs = [decoder(Reader(bytes(v)[skip:])) for v in values]
+        return pd.DataFrame.from_records(recs, columns=names)
+
+    return raw.select(dec(F.col("value")).alias("v")).select("v.*")
+
+
+def _avro_encode_lite(
+    df: DataFrame, header: bytes = b"", schema_json: str | None = None
+) -> DataFrame:
+    """Jar-less ``to_avro(struct(*))``: one avro record per row, writer
+    schema either supplied (``avro:<schema>`` serde) or derived from
+    the frame via spark-avro's own mapping; optional wire header
+    prepended byte-for-byte (Confluent framing)."""
+    import io as _io
+
+    from spark_etl_cli_spark.sources.avro_lite import (
+        make_encoder,
+        spark_to_avro_schema,
+    )
+
+    schema = (
+        json.loads(schema_json) if schema_json else spark_to_avro_schema(df.schema)
+    )
+    encoder = make_encoder(schema)
+    cols = list(df.columns)
+
+    def _clean(v):
+        # pandas nulls (NaN/NaT) → None; numpy scalars → python scalars
+        if isinstance(v, (list, dict, bytes, bytearray, str)):
+            return v
+        if v is None or v != v:  # NaN-aware without numpy import
+            return None
+        item = getattr(v, "item", None)
+        if item is not None and type(v).__module__ == "numpy":
+            return item()
+        return v
+
+    @F.pandas_udf("binary")
+    def enc(pdf: pd.DataFrame) -> pd.Series:
+        out = []
+        for rec in pdf.to_dict("records"):
+            buf = _io.BytesIO()
+            buf.write(header)
+            encoder(buf, {k: _clean(v) for k, v in rec.items()})
+            out.append(buf.getvalue())
+        return pd.Series(out, dtype=object)
+
+    return df.select(enc(F.struct(*cols)).alias("value"))
+
+
 def deserialize_values(
     spark: SparkSession, raw: DataFrame, serde: str, topic: str | None = None
 ) -> DataFrame:
@@ -212,16 +288,22 @@ def deserialize_values(
         strings = raw.select(F.col("value").cast("string").alias("json"))
         return _read_json_dataset(spark, strings)
     if kind == "avro":
+        schema = _load_avro_schema(spec)
+        if not _avro_functions_usable(spark):
+            return _avro_decode_lite(raw, schema)
         from pyspark.sql.avro.functions import from_avro
 
-        schema = _load_avro_schema(spec)
         return raw.select(from_avro(F.col("value"), schema).alias("v")).select("v.*")
     if kind == "avro-registry":
-        from pyspark.sql.avro.functions import from_avro
-
         _, schema = _registry_fetch_latest(
             spec, f"{topic}-value", auth=_registry_auth(spark)
         )
+        if not _avro_functions_usable(spark):
+            # Confluent wire format: 1 magic byte + 4-byte schema id,
+            # then the avro body — strip exactly 5 bytes
+            return _avro_decode_lite(raw, schema, skip=5)
+        from pyspark.sql.avro.functions import from_avro
+
         stripped = F.expr("substring(value, 6, length(value) - 5)")
         return raw.select(from_avro(stripped, schema).alias("v")).select("v.*")
     raise ValueError(f"unknown serde {serde!r}")
@@ -235,6 +317,10 @@ def serialize_values(df: DataFrame, serde: str, topic: str | None = None) -> Dat
     if kind == "json":
         return df.select(F.to_json(F.struct("*")).alias("value"))
     if kind == "avro":
+        if not _avro_functions_usable(df.sparkSession):
+            return _avro_encode_lite(
+                df, schema_json=_load_avro_schema(spec) if spec else None
+            )
         from pyspark.sql.avro.functions import to_avro
 
         if spec:
@@ -242,11 +328,15 @@ def serialize_values(df: DataFrame, serde: str, topic: str | None = None) -> Dat
             return df.select(to_avro(F.struct("*"), schema).alias("value"))
         return df.select(to_avro(F.struct("*")).alias("value"))
     if kind == "avro-registry":
-        from pyspark.sql.avro.functions import to_avro
-
         schema_id, schema = _registry_fetch_latest(
             spec, f"{topic}-value", auth=_registry_auth(df.sparkSession)
         )
+        if not _avro_functions_usable(df.sparkSession):
+            return _avro_encode_lite(
+                df, header=_confluent_header(schema_id), schema_json=schema
+            )
+        from pyspark.sql.avro.functions import to_avro
+
         body = to_avro(F.struct("*"), schema)
         return df.select(
             F.concat(F.lit(_confluent_header(schema_id)), body).alias("value")

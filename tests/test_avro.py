@@ -1,0 +1,239 @@
+"""avro_lite codec + connector tests.
+
+The container/binary codec is from-scratch (Avro 1.12 spec); these
+tests pin it three ways:
+
+1. golden bytes — hand-computed encodings from the spec's own examples
+   (zigzag varints, string framing, container magic), so the wire
+   format is pinned by bytes, not just by self-roundtrip;
+2. self-roundtrip across the full supported type matrix;
+3. the avro:// connector end-to-end through run_pipeline (the path the
+   reference exercises in ETLTest.scala with spark-avro on the
+   classpath — here via the fallback codec).
+"""
+
+import datetime as dt
+import io
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import Row
+
+from spark_etl_cli_spark.pipeline import run_pipeline
+from spark_etl_cli_spark.sources.avro_lite import (
+    MAGIC,
+    Reader,
+    make_decoder,
+    make_encoder,
+    read_container,
+    spark_to_avro_schema,
+    write_container,
+    write_long,
+)
+
+
+def enc(schema, value) -> bytes:
+    out = io.BytesIO()
+    make_encoder(schema)(out, value)
+    return out.getvalue()
+
+
+def dec(schema, data: bytes):
+    return make_decoder(schema)(Reader(data))
+
+
+# --------------------------------------------------------------- golden bytes
+
+
+def test_long_zigzag_golden():
+    # Avro spec "Binary Encoding" table: 0->00, -1->01, 1->02, -2->03,
+    # 2->04, -64->7f, 64->80 01
+    cases = {0: b"\x00", -1: b"\x01", 1: b"\x02", -2: b"\x03",
+             2: b"\x04", -64: b"\x7f", 64: b"\x80\x01"}
+    for v, b in cases.items():
+        out = io.BytesIO()
+        write_long(out, v)
+        assert out.getvalue() == b, v
+        assert dec("long", b) == v
+
+
+def test_string_golden():
+    # spec example: "foo" -> 06 66 6f 6f
+    assert enc("string", "foo") == b"\x06foo"
+    assert dec("string", b"\x06foo") == "foo"
+
+
+def test_record_golden():
+    # spec example: {"a": 27, "b": "foo"} with schema
+    # record{a: long, b: string} -> 36 06 66 6f 6f
+    schema = {
+        "type": "record",
+        "name": "test",
+        "fields": [{"name": "a", "type": "long"},
+                   {"name": "b", "type": "string"}],
+    }
+    assert enc(schema, {"a": 27, "b": "foo"}) == b"\x36\x06foo"
+    assert dec(schema, b"\x36\x06foo") == {"a": 27, "b": "foo"}
+
+
+def test_array_golden():
+    # spec example: array<long> [3, 27] -> 04 06 36 00
+    assert enc({"type": "array", "items": "long"}, [3, 27]) == b"\x04\x06\x36\x00"
+    assert dec({"type": "array", "items": "long"}, b"\x04\x06\x36\x00") == [3, 27]
+
+
+def test_nullable_union_golden():
+    # union ["null","string"]: null -> 00 ; "a" -> 02 02 61
+    schema = ["null", "string"]
+    assert enc(schema, None) == b"\x00"
+    assert enc(schema, "a") == b"\x02\x02a"
+    assert dec(schema, b"\x00") is None
+    assert dec(schema, b"\x02\x02a") == "a"
+
+
+def test_container_magic_and_roundtrip(tmp_path):
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "x", "type": "long"}],
+    }
+    path = str(tmp_path / "t.avro")
+    n = write_container(path, schema, iter([{"x": i} for i in range(10_000)]))
+    assert n == 10_000
+    raw = open(path, "rb").read()
+    assert raw[:4] == MAGIC
+    got_schema, records = read_container(raw)
+    assert got_schema == schema
+    assert records == [{"x": i} for i in range(10_000)]
+
+
+def test_container_null_codec_and_block_bounds(tmp_path):
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "s", "type": "string"}]}
+    path = str(tmp_path / "n.avro")
+    write_container(path, schema, iter([{"s": "é" * 5}] * 7),
+                    codec="null", block_records=3)  # forces 3 blocks
+    _, records = read_container(open(path, "rb").read())
+    assert records == [{"s": "é" * 5}] * 7
+
+
+# ---------------------------------------------------------- type matrix
+
+
+def test_type_matrix_roundtrip():
+    cases = [
+        ("boolean", True), ("boolean", False),
+        ("int", -12345), ("long", 2**53),
+        ("double", 3.5), ("bytes", b"\x00\xff"),
+        ({"type": "int", "logicalType": "date"}, dt.date(2024, 2, 29)),
+        ({"type": "long", "logicalType": "timestamp-micros"},
+         dt.datetime(2024, 6, 1, 12, 34, 56, 789012)),
+        ({"type": "bytes", "logicalType": "decimal",
+          "precision": 10, "scale": 2}, Decimal("-12345.67")),
+        ({"type": "fixed", "name": "f4", "size": 4}, b"abcd"),
+        ({"type": "enum", "name": "e", "symbols": ["A", "B", "C"]}, "B"),
+        ({"type": "map", "values": "long"}, {"k1": 1, "k2": -2}),
+        ({"type": "array", "items": ["null", "string"]}, ["x", None, "y"]),
+    ]
+    for schema, value in cases:
+        assert dec(schema, enc(schema, value)) == value, schema
+    # float roundtrips through 32-bit
+    assert dec("float", enc("float", 1.5)) == 1.5
+
+
+def test_negative_block_count_form_decodes():
+    # writers may emit the (-count, bytesize) block form for arrays;
+    # [3, 27] as -2 items, 2 bytes: 03 04 06 36 00
+    assert dec({"type": "array", "items": "long"},
+               b"\x03\x04\x06\x36\x00") == [3, 27]
+
+
+# ------------------------------------------------------------ connector e2e
+
+
+def test_avro_pipeline_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "orders_avro")
+    run_pipeline(
+        spark,
+        sources=["o+parquet:///root/testdata/sf0.001/orders.parquet"],
+        transforms=[
+            "o+o2+sql://SELECT o_orderkey, o_custkey, o_totalprice, "
+            "o_orderdate, o_orderpriority FROM input"
+        ],
+        sinks=[f"o2+avro://{path}"],
+    )
+    run_pipeline(
+        spark,
+        sources=[f"a+avro://{path}"],
+        sinks=["a+memory://avro_back"],
+    )
+    back = spark.table("avro_back")
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    assert back.count() == src.count()
+    exp = {
+        (r.o_orderkey, r.o_custkey, float(r.o_totalprice), r.o_orderdate)
+        for r in src.select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+        ).collect()
+    }
+    got = {
+        (r.o_orderkey, r.o_custkey, float(r.o_totalprice), r.o_orderdate)
+        for r in back.collect()
+    }
+    assert got == exp
+
+
+def test_avro_nested_and_null_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "nested_avro")
+    df = spark.createDataFrame(
+        [
+            Row(id=1, tags=["a", "b"], meta=Row(k="x", n=10), opt="v"),
+            Row(id=2, tags=[], meta=Row(k="y", n=None), opt=None),
+        ]
+    )
+    from spark_etl_cli_spark.registry import resolve_sink, resolve_source
+
+    _, sink = resolve_sink(f"n+avro://{path}")
+    assert sink.write(df) is True
+    _, source = resolve_source(f"n+avro://{path}")
+    back = source.read(spark)
+    rows = {r.id: r for r in back.collect()}
+    assert rows[1].tags == ["a", "b"] and rows[1].meta.k == "x"
+    assert rows[1].meta.n == 10 and rows[1].opt == "v"
+    assert rows[2].tags == [] and rows[2].meta.n is None and rows[2].opt is None
+
+
+def test_avro_write_modes(spark, tmp_path):
+    from spark_etl_cli_spark.registry import resolve_sink, resolve_source
+
+    path = str(tmp_path / "modes_avro")
+    df = spark.range(5)
+    resolve_sink(f"m+avro://{path}")[1].write(df)
+    # append doubles the rows
+    resolve_sink(f"m+avro://{path}?mode=append")[1].write(df)
+    assert resolve_source(f"m+avro://{path}")[1].read(spark).count() == 10
+    # overwrite resets
+    resolve_sink(f"m+avro://{path}?mode=overwrite")[1].write(df)
+    assert resolve_source(f"m+avro://{path}")[1].read(spark).count() == 5
+    with pytest.raises(FileExistsError):
+        resolve_sink(f"m+avro://{path}?mode=error")[1].write(df)
+
+
+def test_avro_stream_read_without_jar_raises(spark, tmp_path):
+    from spark_etl_cli_spark.registry import resolve_source
+    from spark_etl_cli_spark.sources.files import _has_spark_avro
+    from spark_etl_cli_spark.sources.optional import MissingDependencyError
+
+    if _has_spark_avro(spark):
+        pytest.skip("spark-avro jar present: stream path is the real one")
+    _, source = resolve_source(f"s+avro-stream://{tmp_path}/never")
+    with pytest.raises(MissingDependencyError, match="avro-stream"):
+        source.read(spark)
+
+
+def test_spark_to_avro_schema_shape(spark):
+    df = spark.createDataFrame([Row(a=1, b="x")])
+    s = spark_to_avro_schema(df.schema)
+    assert s["type"] == "record"
+    names = {f["name"]: f["type"] for f in s["fields"]}
+    assert names["a"] == ["null", "long"] and names["b"] == ["null", "string"]

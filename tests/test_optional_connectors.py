@@ -651,3 +651,51 @@ def test_solr_source_max_rows_guard(spark):
             )
     finally:
         stub.close()
+
+
+def test_delta_lite_multipart_checkpoint(spark, tmp_path):
+    # PROTOCOL.md multi-part form: N files <v>.checkpoint.<i>.<N>.parquet.
+    # Build a table, checkpoint it, then split the single-file
+    # checkpoint into 2 parts and prove replay resumes from them (the
+    # pre-checkpoint JSON commits are deleted so the checkpoint is the
+    # only source of the early adds).
+    import glob
+    import json as _json
+    import os
+
+    from spark_etl_cli_spark.sources.delta_lite import (
+        read_delta_lite,
+        write_checkpoint,
+        write_delta_lite,
+    )
+
+    path = str(tmp_path / "mp_delta")
+    write_delta_lite(spark.range(0, 5).selectExpr("id", "id * 2 AS v"), path)
+    write_delta_lite(
+        spark.range(5, 9).selectExpr("id", "id * 2 AS v"), path, mode="append"
+    )
+    version = write_checkpoint(spark, path)
+    log_dir = os.path.join(path, "_delta_log")
+    single = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    cp = spark.read.parquet(single)
+    rows = cp.collect()
+    assert len(rows) >= 2
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[:half], rows[half:]], start=1):
+        part = os.path.join(
+            log_dir, f"{version:020d}.checkpoint.{i:010d}.{2:010d}.parquet"
+        )
+        spark.createDataFrame(chunk, cp.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part)
+    os.unlink(single)
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        _json.dump({"version": version, "size": len(rows), "parts": 2}, fh)
+    # remove replayable history before the checkpoint
+    for f in glob.glob(os.path.join(log_dir, "*.json")):
+        if int(os.path.basename(f)[:20]) <= version:
+            os.unlink(f)
+    back = read_delta_lite(spark, path)
+    assert {(r.id, r.v) for r in back.collect()} == {
+        (i, i * 2) for i in range(9)
+    }
