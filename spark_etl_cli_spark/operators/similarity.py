@@ -267,39 +267,43 @@ def cosine_dup_pairs(
 
     LSH bucketing bounds the candidate set; exact cosine confirms.
 
-    Pair generation is deliberately a band-bucket *self-join*, NOT the
-    posting-list `bucket_pairs` primitive the text-dedup ops use: here
-    the per-entry payload is the full vector, so a collected posting
-    list materializes O(bucket² · dim) bytes in a single row before
-    exploding (measured 2× slower than the join at 64-dim / dense
-    buckets), while the join streams pairs row by row. The signature
-    recompute the join implies is num_planes dot products per row —
-    noise next to the pair volume. `bucket_pairs` stays the right
-    choice when entries are small (ids, set sizes, packed signatures).
+    Pair generation is a band-bucket *self-join* over NARROW rows —
+    (id, band, bucket, buckets) only, never the vector — followed by
+    two id-equi-joins that fetch the unit vectors for the surviving
+    candidate pairs. The previous formulation carried the 64-double
+    vector through the band explode (``bands`` copies of every vector)
+    and the bucket join; at sf0.1 that measured both slower at best
+    (1.61 s vs 1.43 s) and wildly variance-prone (spikes to 6 s from
+    GC over the duplicated payload blocks), and at corpus scale it
+    shuffles O(rows · bands · dim) bytes where this shape shuffles
+    O(rows · bands) ids + O(candidates · dim). `bucket_pairs` (the
+    posting-list primitive the text ops use) remains wrong here for
+    the same reason it was before: a collected posting list would
+    materialize O(bucket²) id pairs in one row — fine — but its
+    windowed variant caps, not streams, dense buckets.
 
     Cross-band duplicates are suppressed AT THE SOURCE: each side
-    carries its per-band bucket array and the join keeps a pair only in
-    the first band where the arrays collide (``_first_band_match``), so
-    no ``dropDuplicates`` exchange ever moves vector payloads.
+    carries its per-band bucket array (``bands`` ints) and the join
+    keeps a pair only in the first band where the arrays collide
+    (``_first_band_match``), so no ``dropDuplicates`` exchange exists
+    anywhere in the plan.
     """
     rows_per_band = num_planes // bands
     if dim is None:
         first = df.select(F.size(F.col(vec_col)).alias("d")).first()
         dim = first["d"] if first else 0
     df = fan_out(df)
+    vecs = df.select(F.col(id_col).alias("id"), unit(F.col(vec_col)).alias("vec"))
     sig = rp_signature(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
         "vec",
         num_planes,
         dim,
     )
-    banded = _explode_bands(
-        sig.withColumn("vec", unit(F.col("vec"))), bands, rows_per_band, ["id", "vec"],
-        carry_buckets=True,
-    )
+    banded = _explode_bands(sig, bands, rows_per_band, ["id"], carry_buckets=True)
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -309,10 +313,17 @@ def cosine_dup_pairs(
         .filter(
             _first_band_match(F.col("a.buckets"), F.col("b.buckets"), F.col("a.band"))
         )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    va = vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("__va"))
+    vb = vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("__vb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            _dot_unit(F.col("a.vec"), F.col("b.vec")).alias("cosine_sim"),
+            "id_a",
+            "id_b",
+            _dot_unit(F.col("__va"), F.col("__vb")).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )

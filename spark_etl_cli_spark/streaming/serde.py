@@ -246,14 +246,23 @@ def _avro_encode_lite(
     cols = list(df.columns)
 
     def _clean(v):
-        # pandas nulls (NaN/NaT) → None; numpy scalars → python scalars
+        # pandas nulls (NaN/NaT) → None; numpy values → python values
+        # (array columns arrive from to_dict as np.ndarray, on which a
+        # bare `v != v` NaN probe would raise "ambiguous truth value")
         if isinstance(v, (list, dict, bytes, bytearray, str)):
             return v
-        if v is None or v != v:  # NaN-aware without numpy import
+        if v is None:
             return None
-        item = getattr(v, "item", None)
-        if item is not None and type(v).__module__ == "numpy":
-            return item()
+        if type(v).__module__ == "numpy":
+            if getattr(v, "ndim", 0):
+                return v.tolist()
+            v = v.item()
+            return None if v != v else v  # numpy scalar NaN → null
+        try:
+            if v != v:  # NaN/NaT
+                return None
+        except (TypeError, ValueError):
+            pass
         return v
 
     @F.pandas_udf("binary")

@@ -237,3 +237,56 @@ def test_spark_to_avro_schema_shape(spark):
     assert s["type"] == "record"
     names = {f["name"]: f["type"] for f in s["fields"]}
     assert names["a"] == ["null", "long"] and names["b"] == ["null", "string"]
+
+
+# ------------------------------------------------------- property tests
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_REC_SCHEMA = {
+    "type": "record",
+    "name": "prop",
+    "fields": [
+        {"name": "i", "type": ["null", "long"]},
+        {"name": "s", "type": ["null", "string"]},
+        {"name": "d", "type": ["null", "double"]},
+        {"name": "b", "type": ["null", "boolean"]},
+        {"name": "xs", "type": {"type": "array", "items": "long"}},
+        {"name": "m", "type": {"type": "map", "values": "string"}},
+    ],
+}
+
+_records = st.fixed_dictionaries(
+    {
+        "i": st.none() | st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        "s": st.none() | st.text(max_size=40),
+        "d": st.none()
+        | st.floats(allow_nan=False, allow_infinity=False, width=64),
+        "b": st.none() | st.booleans(),
+        "xs": st.lists(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=8
+        ),
+        "m": st.dictionaries(st.text(max_size=10), st.text(max_size=10),
+                             max_size=5),
+    }
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_records, max_size=20))
+def test_container_roundtrip_property(tmp_path_factory, recs):
+    # any batch of records survives a container write/read bit-exactly
+    path = str(tmp_path_factory.mktemp("avro") / "p.avro")
+    n = write_container(path, _REC_SCHEMA, iter(recs), block_records=7)
+    assert n == len(recs)
+    _, back = read_container(open(path, "rb").read())
+    assert back == recs
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+def test_long_zigzag_roundtrip_property(v):
+    out = io.BytesIO()
+    write_long(out, v)
+    assert dec("long", out.getvalue()) == v

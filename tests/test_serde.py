@@ -256,3 +256,21 @@ def test_avro_serde_roundtrip_without_jar(spark):
     rows = {r.id: r for r in back.collect()}
     assert rows[1].name == "x" and rows[1].score == 0.5
     assert rows[2].name is None and rows[2].score is None
+
+
+def test_avro_serde_roundtrip_arrays_without_jar(spark):
+    # array columns arrive in the encode UDF as numpy arrays — the
+    # NaN-cleaning step must not trip over them
+    schema = (
+        '{"type": "record", "name": "v", "fields": ['
+        '{"name": "id", "type": ["null", "long"]},'
+        '{"name": "xs", "type": ["null", {"type": "array", '
+        '"items": ["null", "double"]}]}]}'
+    )
+    df = spark.createDataFrame(
+        [(1, [0.5, 1.5]), (2, None)], "id long, xs array<double>"
+    )
+    enc = serialize_values(df, f"avro:{schema}")
+    back = deserialize_values(spark, enc, f"avro:{schema}")
+    rows = {r.id: r.xs for r in back.collect()}
+    assert rows[1] == [0.5, 1.5] and rows[2] is None
