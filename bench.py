@@ -114,6 +114,12 @@ def main() -> int:
             # transfer dominating the measurement for wide results.
             df.count()
             t1 = time.time() - t0
+            # untimed: release run-1's DataFrame so checkpoint-backed
+            # operators don't hold run-1's blocks pinned through run 2
+            # (observed: q137's localCheckpoint made min-of-2 SLOWER
+            # than one-shot until this drop)
+            df = None
+            gc.collect()
             t0 = time.time()
             df = queries[name](spark, sf_dir)
             df.count()

@@ -16,8 +16,10 @@ still need delta-spark's LogStore for exactly-once semantics.
 Supported: JSON commits, ``_last_checkpoint`` + single-file AND
 multi-part parquet checkpoints, partition columns (restored from
 ``partitionValues`` with schema-typed casts), schema from
-``metaData.schemaString``.
-Unsupported (raises): deletion vectors, column mapping.
+``metaData.schemaString``, column mapping (``mode=name``/``id`` —
+physical-name reads renamed back to the logical schema, nested fields
+included).
+Unsupported (raises): deletion vectors.
 """
 
 from __future__ import annotations
@@ -137,6 +139,43 @@ def _replay(
     return list(active.values()), meta
 
 
+def _physical_schema(schema: T.StructType) -> tuple[T.StructType, bool]:
+    """The schema as stored in the data files under column mapping.
+
+    Column mapping (``delta.columnMapping.mode`` = ``name``/``id``)
+    stores every field's metadata with a
+    ``delta.columnMapping.physicalName`` (``col-<uuid>`` style); the
+    parquet files use those physical names while the log's
+    ``schemaString`` keeps the logical ones. Returns (renamed schema,
+    any_mapping_found). Recursive: nested struct fields are mapped too.
+    """
+    found = False
+
+    def conv(dt):
+        nonlocal found
+        if isinstance(dt, T.StructType):
+            fields = []
+            for f in dt.fields:
+                phys = (f.metadata or {}).get(
+                    "delta.columnMapping.physicalName"
+                )
+                if phys:
+                    found = True
+                fields.append(
+                    T.StructField(phys or f.name, conv(f.dataType), f.nullable)
+                )
+            return T.StructType(fields)
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(conv(dt.elementType), dt.containsNull)
+        if isinstance(dt, T.MapType):
+            return T.MapType(
+                conv(dt.keyType), conv(dt.valueType), dt.valueContainsNull
+            )
+        return dt
+
+    return conv(schema), found
+
+
 def read_delta_lite(
     spark: SparkSession, table_path: str, version_as_of: int | None = None
 ) -> DataFrame:
@@ -145,8 +184,21 @@ def read_delta_lite(
     adds, meta = _replay(spark, table_path, version_as_of)
     full_schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = meta.get("partitionColumns") or []
+    # column mapping: the files (and partitionValues keys) speak
+    # physical names; read physically, then rename back to logical.
+    # A struct→struct cast renames NESTED fields by position, so one
+    # cast per top-level column restores the whole logical schema.
+    phys_schema, mapped = _physical_schema(full_schema)
+    phys_of = {
+        f.name: pf.name for f, pf in zip(full_schema.fields, phys_schema.fields)
+    }
+    part_keys = [phys_of[c] if mapped else c for c in part_cols]
     data_schema = T.StructType(
-        [f for f in full_schema.fields if f.name not in part_cols]
+        [
+            pf
+            for f, pf in zip(full_schema.fields, phys_schema.fields)
+            if f.name not in part_cols
+        ]
     )
     if not adds:
         return spark.createDataFrame([], full_schema)
@@ -156,7 +208,7 @@ def read_delta_lite(
     groups: dict[tuple, list[str]] = {}
     for a in adds:
         pv = a.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in part_cols)
+        key = tuple(pv.get(c) for c in part_keys)
         groups.setdefault(key, []).append(
             os.path.join(table_path, a["path"])
         )
@@ -169,14 +221,21 @@ def read_delta_lite(
     )
     for key, paths in ordered:
         df = spark.read.schema(data_schema).parquet(*paths)
-        for col, raw in zip(part_cols, key):
-            typ = full_schema[col].dataType
-            df = df.withColumn(
-                col,
-                F.lit(raw).cast(typ) if raw is not None
-                else F.lit(None).cast(typ),
-            )
-        parts.append(df.select(*[f.name for f in full_schema.fields]))
+        cols = []
+        for f, pf in zip(full_schema.fields, phys_schema.fields):
+            if f.name in part_cols:
+                raw = key[part_keys.index(phys_of[f.name] if mapped else f.name)]
+                lit = (
+                    F.lit(raw).cast(f.dataType)
+                    if raw is not None
+                    else F.lit(None).cast(f.dataType)
+                )
+                cols.append(lit.alias(f.name))
+            elif pf.name != f.name or mapped:
+                cols.append(F.col(pf.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.col(f.name))
+        parts.append(df.select(*cols))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -699,3 +699,61 @@ def test_delta_lite_multipart_checkpoint(spark, tmp_path):
     assert {(r.id, r.v) for r in back.collect()} == {
         (i, i * 2) for i in range(9)
     }
+
+
+def test_delta_lite_column_mapping_read(spark, tmp_path):
+    # column mapping mode=name: parquet files store col-<uuid> physical
+    # names; the reader must map them back to the logical schema,
+    # including a partition column whose partitionValues key is the
+    # PHYSICAL name (per PROTOCOL.md Column Mapping).
+    import json as _json
+    import os
+
+    from spark_etl_cli_spark.sources.delta_lite import read_delta_lite
+
+    table = str(tmp_path / "cm_delta")
+    log_dir = os.path.join(table, "_delta_log")
+    os.makedirs(log_dir)
+    # data file: physical names only, partition col not stored
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "`col-1111` long, `col-2222` string"
+    ).coalesce(1).write.parquet(os.path.join(table, "part0"))
+    data_file = [
+        f"part0/{f}"
+        for f in os.listdir(os.path.join(table, "part0"))
+        if f.endswith(".parquet")
+    ][0]
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-1111"}},
+            {"name": "name", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-2222"}},
+            {"name": "day", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": "col-3333"}},
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "t1", "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(schema),
+            "partitionColumns": ["day"],
+            "configuration": {"delta.columnMapping.mode": "name"},
+        }},
+        {"add": {
+            "path": data_file,
+            "partitionValues": {"col-3333": "2024-01-01"},
+            "size": 1, "modificationTime": 0, "dataChange": True,
+        }},
+    ]
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(_json.dumps(a) for a in actions))
+    out = read_delta_lite(spark, table)
+    assert out.columns == ["id", "name", "day"]
+    rows = {r.id: (r.name, r.day) for r in out.collect()}
+    assert rows == {1: ("a", "2024-01-01"), 2: ("b", "2024-01-01")}
