@@ -18,8 +18,11 @@ multi-part parquet checkpoints, partition columns (restored from
 ``partitionValues`` with schema-typed casts), schema from
 ``metaData.schemaString``, column mapping (``mode=name``/``id`` —
 physical-name reads renamed back to the logical schema, nested fields
-included).
-Unsupported (raises): deletion vectors.
+included), and deletion vectors (all three storage forms, decoded by
+the from-scratch roaring codec in ``sources/dv_lite.py`` and applied
+as positional anti-filters over ``_metadata.row_index``).
+Unsupported (raises): reader features beyond
+deletionVectors/columnMapping/timestampNtz.
 """
 
 from __future__ import annotations
@@ -127,15 +130,27 @@ def _replay(
                     active.pop(unquote(action["remove"]["path"]), None)
                 elif "protocol" in action:
                     pr = action["protocol"]
-                    if int(pr.get("minReaderVersion", 1)) > 2:
+                    reader_v = int(pr.get("minReaderVersion", 1))
+                    if reader_v == 3:
+                        # table-features protocol: fine as long as every
+                        # declared reader feature is one we implement
+                        supported = {
+                            "deletionVectors",
+                            "columnMapping",
+                            "timestampNtz",
+                        }
+                        feats = set(pr.get("readerFeatures") or [])
+                        if not feats <= supported:
+                            raise NotImplementedError(
+                                f"Delta reader features {sorted(feats - supported)} "
+                                "need delta-spark"
+                            )
+                    elif reader_v > 3:
                         raise NotImplementedError(
                             f"Delta reader protocol {pr} needs delta-spark"
                         )
     if meta is None:
         raise ValueError(f"no Delta metaData action found under {log_dir}")
-    for a in active.values():
-        if a.get("deletionVector"):
-            raise NotImplementedError("deletion vectors need delta-spark")
     return list(active.values()), meta
 
 
@@ -204,13 +219,14 @@ def read_delta_lite(
         return spark.createDataFrame([], full_schema)
 
     # group files by partition tuple; restore partition columns as typed
-    # literals (they are NOT stored in the data files)
-    groups: dict[tuple, list[str]] = {}
+    # literals (they are NOT stored in the data files). Each entry keeps
+    # its deletionVector descriptor (None for clean files).
+    groups: dict[tuple, list[tuple[str, dict | None]]] = {}
     for a in adds:
         pv = a.get("partitionValues") or {}
         key = tuple(pv.get(c) for c in part_keys)
         groups.setdefault(key, []).append(
-            os.path.join(table_path, a["path"])
+            (os.path.join(table_path, a["path"]), a.get("deletionVector"))
         )
     parts: list[DataFrame] = []
     # nulls-last deterministic order; plain sorted() throws on a None
@@ -219,27 +235,75 @@ def read_delta_lite(
         groups.items(),
         key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
     )
-    for key, paths in ordered:
-        df = spark.read.schema(data_schema).parquet(*paths)
-        cols = []
-        for f, pf in zip(full_schema.fields, phys_schema.fields):
-            if f.name in part_cols:
-                raw = key[part_keys.index(phys_of[f.name] if mapped else f.name)]
-                lit = (
-                    F.lit(raw).cast(f.dataType)
-                    if raw is not None
-                    else F.lit(None).cast(f.dataType)
-                )
-                cols.append(lit.alias(f.name))
-            elif pf.name != f.name or mapped:
-                cols.append(F.col(pf.name).cast(f.dataType).alias(f.name))
-            else:
-                cols.append(F.col(f.name))
-        parts.append(df.select(*cols))
+    for key, entries in ordered:
+        def logical_cols(k=key):
+            cols = []
+            for f, pf in zip(full_schema.fields, phys_schema.fields):
+                if f.name in part_cols:
+                    raw = k[
+                        part_keys.index(phys_of[f.name] if mapped else f.name)
+                    ]
+                    lit = (
+                        F.lit(raw).cast(f.dataType)
+                        if raw is not None
+                        else F.lit(None).cast(f.dataType)
+                    )
+                    cols.append(lit.alias(f.name))
+                elif pf.name != f.name or mapped:
+                    cols.append(F.col(pf.name).cast(f.dataType).alias(f.name))
+                else:
+                    cols.append(F.col(f.name))
+            return cols
+
+        clean = [p for p, dv in entries if not dv]
+        if clean:
+            df = spark.read.schema(data_schema).parquet(*clean)
+            parts.append(df.select(*logical_cols()))
+        for path, dv in entries:
+            if not dv:
+                continue
+            parts.append(
+                _apply_deletion_vector(
+                    spark, table_path, path, dv, data_schema
+                ).select(*logical_cols())
+            )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _apply_deletion_vector(
+    spark: SparkSession,
+    table_path: str,
+    file_path: str,
+    dv: dict,
+    data_schema: T.StructType,
+):
+    """One data file minus its deleted rows.
+
+    Deletion vectors address rows by POSITION in the file; parquet's
+    ``_metadata.row_index`` exposes exactly that, so applying a DV is a
+    positional anti-filter — no data rewrite, same as real Delta
+    readers. The decoded index set (the dv_lite roaring codec) stays
+    driver-side only long enough to build an isin filter (small DVs) or
+    a broadcast anti-join frame (large DVs); ``cardinality`` rather
+    than file size bounds that memory.
+    """
+    from spark_etl_cli_spark.sources.dv_lite import read_deletion_vector
+
+    deleted = read_deletion_vector(table_path, dv)
+    df = spark.read.schema(data_schema).parquet(file_path).select(
+        "*", F.col("_metadata.row_index").alias("__ridx")
+    )
+    if len(deleted) <= 1000:
+        kept = df.filter(~F.col("__ridx").isin(deleted))
+    else:
+        del_df = spark.createDataFrame(
+            ((int(i),) for i in deleted), "__ridx bigint"
+        )
+        kept = df.join(F.broadcast(del_df), "__ridx", "left_anti")
+    return kept.drop("__ridx")
 
 
 # --- engine-free WRITER ---------------------------------------------------
