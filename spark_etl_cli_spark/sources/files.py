@@ -6,9 +6,10 @@ Capability parity targets in the reference:
 - ``text://`` (csv/tsv with delimiter from extension) —
   ``core/.../TextFileDataFrameSource.scala:9-42``
 - ``avro://`` / ``avro-stream://`` — ``avro/.../AvroFileDataFrameSource.scala:9-33``
-  (spark-avro jar when present; otherwise batch reads/writes fall back
-  to the engine-free container-file codec in ``sources/avro_lite.py``
-  and only jar-requiring streaming READS raise)
+  (spark-avro jar when present; otherwise the engine-free codec in
+  ``sources/avro_lite.py`` covers batch reads/writes, streaming sinks
+  via foreachBatch, and streaming reads through the Python-DataSource
+  micro-batch reader in ``sources/avrostream.py``)
 
 Flat text formats serialize nested struct/array columns to JSON strings
 on write (reference ``core/.../DataFrameUtils.scala:8-14``).
@@ -75,8 +76,8 @@ class AvroSource:
     """``avro://`` / ``avro-stream://`` (reference
     AvroFileDataFrameSource.scala:9-20): spark-avro when the jar is on
     the classpath, else the engine-free container-file codec
-    (sources/avro_lite.py) for batch reads. Streaming without the jar
-    raises clearly — exactly-once file streaming needs the real source."""
+    (sources/avro_lite.py) for batch reads and the Python-DataSource
+    micro-batch reader (sources/avrostream.py) for streaming reads."""
 
     uri: ParsedUri
 
@@ -84,11 +85,18 @@ class AvroSource:
         if _has_spark_avro(spark):
             return FileSource(self.uri, "avro").read(spark)
         if self.uri.is_stream:
-            from spark_etl_cli_spark.sources.optional import MissingDependencyError
+            # jar-less streaming READ: Python DataSource micro-batch
+            # reader with file-set offsets (sources/avrostream.py)
+            from spark_etl_cli_spark.sources.avrostream import ensure_registered
+            from spark_etl_cli_spark.sources.base import apply_watermark
 
-            raise MissingDependencyError(
-                "avro-stream", "the spark-avro jar (streaming reads)"
+            ensure_registered(spark)
+            df = (
+                spark.readStream.format("avrolite")
+                .option("path", self.uri.path)
+                .load()
             )
+            return apply_watermark(df, self.uri.params.get("watermark"))
         from spark_etl_cli_spark.sources.avro_lite import read_avro_lite
 
         return read_avro_lite(spark, self.uri.path)

@@ -219,15 +219,16 @@ def test_avro_write_modes(spark, tmp_path):
         resolve_sink(f"m+avro://{path}?mode=error")[1].write(df)
 
 
-def test_avro_stream_read_without_jar_raises(spark, tmp_path):
+def test_avro_stream_empty_dir_gives_clear_error(spark, tmp_path):
+    # schema inference needs at least one file (or future ?schema=);
+    # the error must say so, not NPE
     from spark_etl_cli_spark.registry import resolve_source
     from spark_etl_cli_spark.sources.files import _has_spark_avro
-    from spark_etl_cli_spark.sources.optional import MissingDependencyError
 
     if _has_spark_avro(spark):
         pytest.skip("spark-avro jar present: stream path is the real one")
     _, source = resolve_source(f"s+avro-stream://{tmp_path}/never")
-    with pytest.raises(MissingDependencyError, match="avro-stream"):
+    with pytest.raises(Exception, match="no .avro files|schema"):
         source.read(spark)
 
 
@@ -290,3 +291,44 @@ def test_long_zigzag_roundtrip_property(v):
     out = io.BytesIO()
     write_long(out, v)
     assert dec("long", out.getvalue()) == v
+
+
+def test_avro_stream_read_without_jar(spark, tmp_path):
+    # jar-less avro-stream:// read: Python DataSource micro-batch
+    # reader; write a file via the lite sink, stream it to a memory
+    # sink, append a second file, stream again
+    from spark_etl_cli_spark.registry import resolve_sink, resolve_source
+    from spark_etl_cli_spark.sources.files import _has_spark_avro
+
+    if _has_spark_avro(spark):
+        pytest.skip("spark-avro jar present: jvm stream path is the real one")
+
+    src_dir = str(tmp_path / "stream_avro")
+    resolve_sink(f"s+avro://{src_dir}")[1].write(
+        spark.range(5).selectExpr("id", "concat('n-', id) AS name")
+    )
+    _, source = resolve_source(f"s+avro-stream://{src_dir}")
+    stream = source.read(spark)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("avro_stream_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {(r.id, r.name) for r in spark.table("avro_stream_t").collect()}
+    assert got == {(i, f"n-{i}") for i in range(5)}
+
+    resolve_sink(f"s+avro://{src_dir}?mode=append")[1].write(
+        spark.range(5, 8).selectExpr("id", "concat('n-', id) AS name")
+    )
+    q2 = (
+        source.read(spark)
+        .writeStream.format("memory")
+        .queryName("avro_stream_t2")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(60)
+    assert spark.table("avro_stream_t2").count() == 8
