@@ -757,3 +757,38 @@ def test_delta_lite_column_mapping_read(spark, tmp_path):
     assert out.columns == ["id", "name", "day"]
     rows = {r.id: (r.name, r.day) for r in out.collect()}
     assert rows == {1: ("a", "2024-01-01"), 2: ("b", "2024-01-01")}
+
+
+def test_solr_source_empty_collection(spark):
+    stub = _SolrStub([])
+    try:
+        from spark_etl_cli_spark.registry import resolve_source
+
+        _, source = resolve_source(
+            f"s+solr://c?endpoint={stub.endpoint}&rows=5"
+        )
+        out = source.read(spark)
+        assert out.count() == 0
+    finally:
+        stub.close()
+
+
+def test_delta_lite_timestamp_ntz_schema(spark, tmp_path):
+    # timestampNtz is an allowed reader feature: schemaString types
+    # "timestamp_ntz" must round-trip through the lite reader
+    import datetime as dt
+
+    from spark_etl_cli_spark.sources.delta_lite import (
+        read_delta_lite,
+        write_delta_lite,
+    )
+
+    path = str(tmp_path / "ntz_delta")
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 3, 1, 10, 30))],
+        "id long, ts timestamp_ntz",
+    )
+    write_delta_lite(df, path)
+    back = read_delta_lite(spark, path)
+    assert dict(back.dtypes)["ts"] == "timestamp_ntz"
+    assert back.collect()[0].ts == dt.datetime(2024, 3, 1, 10, 30)
