@@ -279,5 +279,8 @@ def q136_triangle_count(spark, sf_dir):
             )
         ).alias("e")
     )
-    edges = pairs.select("e.u", "e.v").distinct()
+    # no .distinct() here: triangle_count canonicalizes + dedups its
+    # input itself (multigraph enforcement), so a second exchange on
+    # the same edge set would be pure waste
+    edges = pairs.select("e.u", "e.v")
     return triangle_count(edges)

@@ -792,3 +792,21 @@ def test_delta_lite_timestamp_ntz_schema(spark, tmp_path):
     back = read_delta_lite(spark, path)
     assert dict(back.dtypes)["ts"] == "timestamp_ntz"
     assert back.collect()[0].ts == dt.datetime(2024, 3, 1, 10, 30)
+
+
+@pytest.mark.parametrize("rows", [1, 7, 100])
+def test_solr_source_page_size_invariance(spark, rows):
+    # the cursorMark loop must yield the same set regardless of page
+    # size (incl. rows > collection size)
+    docs = [{"id": str(i)} for i in range(23)]
+    stub = _SolrStub(docs)
+    try:
+        from spark_etl_cli_spark.registry import resolve_source
+
+        _, source = resolve_source(
+            f"s+solr://c?endpoint={stub.endpoint}&rows={rows}"
+        )
+        got = {r.id for r in source.read(spark).collect()}
+        assert got == {str(i) for i in range(23)}
+    finally:
+        stub.close()
