@@ -98,6 +98,11 @@ def main() -> int:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for i, name in enumerate(names):
+        # (Session rotation every N queries was tried and REVERTED:
+        # queries right after a restart pay session re-init — state
+        # stores, worker pools, broadcast machinery — and measured
+        # strictly worse (total 163 s vs 123 s) than one long-lived
+        # session with per-query min-of-2 + untimed GC housekeeping.)
         t0 = time.time()
         try:
             # Two full build+execute runs, report the faster one:
