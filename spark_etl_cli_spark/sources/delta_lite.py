@@ -13,8 +13,9 @@ too (:func:`write_delta_lite`: parquet data files + a JSON commit with
 add/remove actions, O_EXCL version reservation); streaming writes
 still need delta-spark's LogStore for exactly-once semantics.
 
-Supported: JSON commits, ``_last_checkpoint`` + single-file AND
-multi-part parquet checkpoints, partition columns (restored from
+Supported: JSON commits, ``_last_checkpoint`` + single-file,
+multi-part, AND v2 (sidecar-backed, json or parquet) checkpoints,
+partition columns (restored from
 ``partitionValues`` with schema-typed casts), schema from
 ``metaData.schemaString``, column mapping (``mode=name``/``id`` —
 physical-name reads renamed back to the logical schema, nested fields
@@ -22,7 +23,7 @@ included), and deletion vectors (all three storage forms, decoded by
 the from-scratch roaring codec in ``sources/dv_lite.py`` and applied
 as positional anti-filters over ``_metadata.row_index``).
 Unsupported (raises): reader features beyond
-deletionVectors/columnMapping/timestampNtz.
+deletionVectors/columnMapping/timestampNtz/v2Checkpoint.
 """
 
 from __future__ import annotations
@@ -72,13 +73,60 @@ def _read_checkpoint(spark: SparkSession, log_dir: str) -> tuple[int, list[dict]
                 f"multi-part checkpoint incomplete: missing {missing}"
             )
         rows = spark.read.parquet(*cp_paths).collect()
-    else:
-        cp_path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+        return version, *_actions_from_rows(rows)
+    cp_path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    if os.path.exists(cp_path):
         rows = spark.read.parquet(cp_path).collect()
+        return version, *_actions_from_rows(rows)
+    # V2 checkpoint (PROTOCOL.md "V2 spec checkpoints"): a single
+    # <v>.checkpoint.<uniqueId>.{parquet,json} whose actions may
+    # delegate the file list to sidecar parquet files under
+    # _delta_log/_sidecars/. _last_checkpoint may name it via "path";
+    # otherwise discover by glob.
+    import glob as _glob
+
+    named = info.get("path")
+    candidates = (
+        [os.path.join(log_dir, named)]
+        if named
+        else sorted(
+            _glob.glob(os.path.join(log_dir, f"{version:020d}.checkpoint.*.parquet"))
+            + _glob.glob(os.path.join(log_dir, f"{version:020d}.checkpoint.*.json"))
+        )
+    )
+    if not candidates or not os.path.exists(candidates[0]):
+        raise FileNotFoundError(
+            f"checkpoint for version {version} not found under {log_dir}"
+        )
+    cp = candidates[0]
+    if cp.endswith(".json"):
+        dicts = []
+        with open(cp) as fh:
+            for line in fh:
+                if line.strip():
+                    dicts.append(json.loads(line))
+    else:
+        dicts = [r.asDict(recursive=True) for r in spark.read.parquet(cp).collect()]
+    sidecars = [
+        d["sidecar"]["path"] for d in dicts if d.get("sidecar", {}) and d["sidecar"].get("path")
+    ]
+    for sc in sidecars:
+        sc_path = os.path.join(log_dir, "_sidecars", sc)
+        dicts.extend(
+            r.asDict(recursive=True) for r in spark.read.parquet(sc_path).collect()
+        )
+    adds, meta = _actions_from_dicts(dicts)
+    return version, adds, meta
+
+
+def _actions_from_rows(rows) -> tuple[list[dict], dict | None]:
+    return _actions_from_dicts([r.asDict(recursive=True) for r in rows])
+
+
+def _actions_from_dicts(dicts: list[dict]) -> tuple[list[dict], dict | None]:
     adds, meta = [], None
-    for r in rows:
-        d = r.asDict(recursive=True)
-        if d.get("add"):
+    for d in dicts:
+        if d.get("add") and d["add"].get("path"):
             # checkpoint paths are RFC 2396 URL-encoded like commit
             # add actions; decode so remove keys and fs joins agree
             add = dict(d["add"])
@@ -86,7 +134,7 @@ def _read_checkpoint(spark: SparkSession, log_dir: str) -> tuple[int, list[dict]
             adds.append(add)
         if d.get("metaData") and d["metaData"].get("id"):
             meta = d["metaData"]
-    return version, adds, meta
+    return adds, meta
 
 
 def _replay(
@@ -138,6 +186,7 @@ def _replay(
                             "deletionVectors",
                             "columnMapping",
                             "timestampNtz",
+                            "v2Checkpoint",
                         }
                         feats = set(pr.get("readerFeatures") or [])
                         if not feats <= supported:

@@ -158,10 +158,80 @@ def test_unsupported_reader_feature_raises(spark, tmp_path):
         {"name": "id", "type": "long", "nullable": True, "metadata": {}}]}
     _write_commit(log_dir, 0, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["v2Checkpoint"]}},
+                      "readerFeatures": ["typeWidening"]}},
         {"metaData": {"id": "t", "format": {"provider": "parquet", "options": {}},
                       "schemaString": json.dumps(schema),
                       "partitionColumns": [], "configuration": {}}},
     ])
-    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+    with pytest.raises(NotImplementedError, match="typeWidening"):
         read_delta_lite(spark, table)
+
+
+def test_delta_lite_v2_checkpoint_with_sidecars(spark, tmp_path):
+    # V2 checkpoint: <v>.checkpoint.<uuid>.parquet holds metaData +
+    # sidecar refs; the add actions live in _delta_log/_sidecars/*.
+    # Pre-checkpoint commits are deleted so the checkpoint+sidecars are
+    # the only source of the file list.
+    from pyspark.sql import Row
+
+    from spark_etl_cli_spark.sources.delta_lite import read_delta_lite
+
+    table = str(tmp_path / "v2cp")
+    log_dir = os.path.join(table, "_delta_log")
+    side_dir = os.path.join(log_dir, "_sidecars")
+    os.makedirs(side_dir)
+    # two data files
+    files = []
+    for lo, hi in [(0, 5), (5, 9)]:
+        sub = f"d{lo}"
+        spark.range(lo, hi).coalesce(1).write.parquet(
+            os.path.join(table, sub)
+        )
+        name = [
+            f"{sub}/{f}"
+            for f in os.listdir(os.path.join(table, sub))
+            if f.endswith(".parquet")
+        ][0]
+        files.append(name)
+    schema = {"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}}]}
+    meta = {"id": "t", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": [], "configuration": {}}
+    # sidecar parquet: one add per row (same struct shape as v1)
+    add_rows = [
+        Row(add=Row(path=f, partitionValues={}, size=1,
+                    modificationTime=0, dataChange=True))
+        for f in files
+    ]
+    sc_schema = (
+        "add struct<path: string, partitionValues: map<string,string>, "
+        "size: bigint, modificationTime: bigint, dataChange: boolean>"
+    )
+    spark.createDataFrame(add_rows, sc_schema).coalesce(1).write.parquet(
+        os.path.join(side_dir, "tmp_sc")
+    )
+    sc_file = [f for f in os.listdir(os.path.join(side_dir, "tmp_sc"))
+               if f.endswith(".parquet")][0]
+    os.replace(os.path.join(side_dir, "tmp_sc", sc_file),
+               os.path.join(side_dir, "sc-1.parquet"))
+    # the v2 checkpoint itself (json flavor), with a sidecar action
+    cp_name = f"{1:020d}.checkpoint.abcd1234.json"
+    with open(os.path.join(log_dir, cp_name), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in [
+            {"checkpointMetadata": {"version": 1}},
+            {"metaData": meta},
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["v2Checkpoint"],
+                          "writerFeatures": ["v2Checkpoint"]}},
+            {"sidecar": {"path": "sc-1.parquet", "sizeInBytes": 1,
+                         "modificationTime": 0}},
+        ]))
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 1, "size": 4, "path": cp_name}, fh)
+    # a post-checkpoint commit proves tail replay still applies
+    _write_commit(log_dir, 2, [
+        {"remove": {"path": files[0], "dataChange": True}},
+    ])
+    out = read_delta_lite(spark, table)
+    assert sorted(r.id for r in out.collect()) == [5, 6, 7, 8]
