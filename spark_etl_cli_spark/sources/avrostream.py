@@ -102,6 +102,10 @@ class AvroLiteDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("avrolite requires a path")
+        # NOTE: an explicit user schema arrives via readStream.schema()
+        # (parsed driver-side in files.py) — this hook then never runs.
+        # It executes in a session-less Python worker, so it can only
+        # infer from an existing file's header.
         files = _list_avro_files(path)
         if not files:
             raise FileNotFoundError(

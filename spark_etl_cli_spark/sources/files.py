@@ -88,14 +88,23 @@ class AvroSource:
             # jar-less streaming READ: Python DataSource micro-batch
             # reader with file-set offsets (sources/avrostream.py)
             from spark_etl_cli_spark.sources.avrostream import ensure_registered
-            from spark_etl_cli_spark.sources.base import apply_watermark
+            from spark_etl_cli_spark.sources.base import (
+                apply_watermark,
+                parse_schema_json,
+            )
 
             ensure_registered(spark)
-            df = (
-                spark.readStream.format("avrolite")
-                .option("path", self.uri.path)
-                .load()
+            reader = spark.readStream.format("avrolite").option(
+                "path", self.uri.path
             )
+            # ?schema= is parsed DRIVER-side (the DataSource's own
+            # schema() hook runs in a session-less Python worker and
+            # can only infer from an existing file's header); with an
+            # explicit schema the stream can start on an empty dir
+            explicit = self.uri.params.get("schema")
+            if explicit:
+                reader = reader.schema(parse_schema_json(explicit))
+            df = reader.load()
             return apply_watermark(df, self.uri.params.get("watermark"))
         from spark_etl_cli_spark.sources.avro_lite import read_avro_lite
 

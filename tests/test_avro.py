@@ -332,3 +332,33 @@ def test_avro_stream_read_without_jar(spark, tmp_path):
     )
     q2.awaitTermination(60)
     assert spark.table("avro_stream_t2").count() == 8
+
+
+def test_avro_stream_explicit_schema_on_empty_dir(spark, tmp_path):
+    # ?schema= lets the stream start before any file exists; the first
+    # micro-batch after a file lands uses the declared schema
+    from spark_etl_cli_spark.registry import resolve_sink, resolve_source
+    from spark_etl_cli_spark.sources.files import _has_spark_avro
+
+    if _has_spark_avro(spark):
+        pytest.skip("spark-avro jar present")
+    src_dir = str(tmp_path / "pre_avro")
+    import os
+
+    os.makedirs(src_dir)
+    _, source = resolve_source(
+        f"s+avro-stream://{src_dir}?schema=id bigint, name string"
+    )
+    stream = source.read(spark)
+    assert stream.isStreaming and stream.columns == ["id", "name"]
+    resolve_sink(f"s+avro://{src_dir}?mode=append")[1].write(
+        spark.range(3).selectExpr("id", "concat('x', id) AS name")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("avro_pre_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert spark.table("avro_pre_t").count() == 3
