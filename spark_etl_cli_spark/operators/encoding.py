@@ -76,3 +76,115 @@ def vocab_encode(
             ).cast("bigint").alias("n_unk"),
         )
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 20,
+    text_col: str = "text",
+    max_word_len: int = 32,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from a corpus (Sennrich et al.
+    2016, the standard subword-tokenizer training loop), distributed.
+
+    Returns the learned merge table: one row per merge,
+    ``(merge_rank, left, right, merged, pair_count)`` — exactly what a
+    tokenizer needs to segment new text (apply merges in rank order).
+
+    Spark shape — the key property is that the corpus is touched ONCE:
+
+    1. one pass collapses the corpus to the word-frequency table
+       (``lower → split → groupBy word``) — every later round works on
+       |vocab| rows, not |corpus|;
+    2. each word is seeded as its character sequence plus the ``</w>``
+       end-of-word marker (the classic formulation, so merges can span
+       to word end but never across words);
+    3. per merge round: explode adjacent symbol pairs weighted by word
+       count → one groupBy(pair) → take the global max (count desc,
+       then lexicographic pair for DETERMINISM across partitionings) —
+       a driver-side head() of one row, control plane only;
+    4. the winning pair is applied to every word's symbol array with a
+       single greedy left-to-right ``aggregate`` fold (non-overlapping,
+       matching reference BPE's scan), and the table is
+       ``localCheckpoint``-ed so round R+1's plan does not replay
+       rounds 1..R.
+
+    ``max_word_len`` drops pathological "words" (URLs, DNA strings)
+    whose O(len) symbol arrays would dominate every round — standard
+    practice in BPE trainers.
+
+    Iterative by nature → registered with a rows-only driver check
+    (no closed-form SQL oracle); determinism is still pinned by the
+    repartition-invariance pytest.
+    """
+    from spark_etl_cli_spark.functions.text import tokens
+    from spark_etl_cli_spark.operators.util import fan_out
+
+    words = (
+        fan_out(docs)
+        .select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .filter((F.length("w") > 0) & (F.length("w") <= max_word_len))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.concat(F.split(F.col("w"), ""), F.array(F.lit("</w>"))).alias(
+                "syms"
+            ),
+            "n",
+        )
+        .localCheckpoint()
+    )
+
+    merges = []
+    for rank in range(n_merges):
+        pairs = (
+            words.select(
+                F.posexplode(F.slice("syms", 1, F.size("syms") - 1)).alias(
+                    "__i", "left"
+                ),
+                F.col("syms"),
+                F.col("n"),
+            )
+            .select(
+                "left",
+                F.expr("syms[__i + 1]").alias("right"),
+                "n",
+            )
+            .groupBy("left", "right")
+            .agg(F.sum("n").alias("pair_count"))
+        )
+        best = pairs.orderBy(
+            F.col("pair_count").desc(), F.col("left"), F.col("right")
+        ).head()
+        if best is None or best["pair_count"] <= 0:
+            break
+        left, right = best["left"], best["right"]
+        merged = left + right
+        merges.append((rank, left, right, merged, best["pair_count"]))
+        # greedy non-overlapping left-to-right merge of (left, right):
+        # fold symbols into a new array; a just-merged element cannot
+        # participate as `left` again within the same scan because the
+        # fold compares the ORIGINAL previous symbol via the marker
+        words = words.select(
+            F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(left))
+                    & (x == F.lit(right)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(merged)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("syms"),
+            "n",
+        ).localCheckpoint()
+
+    spark = docs.sparkSession
+    schema = (
+        "merge_rank int, left string, right string, merged string, "
+        "pair_count bigint"
+    )
+    return spark.createDataFrame(merges, schema)

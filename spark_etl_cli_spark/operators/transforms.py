@@ -1207,6 +1207,29 @@ def vocab_coverage_transform(p: ParsedUri) -> TransformFn:
     return run
 
 
+@register_transform("bpe-train")
+def bpe_train_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+bpe-train://?merges=20&text-col=text&max-word-len=32``.
+
+    Learn a BPE merge table from the input corpus (operators/
+    encoding.py): (merge_rank, left, right, merged, pair_count), one
+    row per merge in application order — feed it to a tokenizer, or
+    join against ``vocab-encode`` pipelines.
+    """
+    merges = int(p.params.get("merges", "20"))
+    text_col = p.params.get("text-col", "text")
+    max_word_len = int(p.params.get("max-word-len", "32"))
+    if merges < 1:
+        raise ValueError("bpe-train:// needs merges >= 1")
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators.encoding import bpe_train
+
+        return bpe_train(df, merges, text_col, max_word_len)
+
+    return run
+
+
 @register_transform("novelty")
 def novelty_transform(p: ParsedUri) -> TransformFn:
     """``in+out+novelty://?id-col=doc_id&text-col=text&k=3``.

@@ -743,3 +743,18 @@ def q126_repetition_signals(spark, sf_dir):
             ).alias("dup_trigram_frac"),
         )
     )
+
+
+# --- q152: BPE merge training (iterative; rows-only driver check) -------
+# The subword-tokenizer training loop itself (Sennrich et al. 2016):
+# learn 12 merges from the documents corpus. Genuinely iterative
+# (argmax per round feeds the next round's segmentation), so there is
+# no closed-form SQL oracle — the driver records the weaker rows-only
+# check, and determinism/correctness are pinned by pytest instead
+# (hand-verified tiny corpus + repartition invariance,
+# tests/test_text_functions.py).
+@query("q152_bpe_train")
+def q152_bpe_train(spark, sf_dir):
+    from spark_etl_cli_spark.operators.encoding import bpe_train
+
+    return bpe_train(t(spark, sf_dir, "documents"), n_merges=12)

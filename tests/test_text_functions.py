@@ -52,3 +52,68 @@ def test_quality_score_bounds(spark):
     assert 0.0 <= v <= 1.0
     junk = _one(spark, "!!!###$$$%%%", quality_score(F.col("text")))
     assert junk < v
+
+
+def test_bpe_train_hand_verified(spark):
+    # classic BPE walkthrough: corpus "low low low lower lowest".
+    # Word freqs: low:3, lower:1, lowest:1. Every word starts l,o,w →
+    # pair (l,o) count 5 ties (o,w) 5; lexicographic tie-break picks
+    # (l,o) first, then (lo,w) 5 merges to "low".
+    from pyspark.sql import Row
+
+    from spark_etl_cli_spark.operators.encoding import bpe_train
+
+    docs = spark.createDataFrame(
+        [Row(text="low low low"), Row(text="lower lowest")]
+    )
+    out = bpe_train(docs, n_merges=3).collect()
+    assert [(r.merge_rank, r.left, r.right, r.merged) for r in out[:2]] == [
+        (0, "l", "o", "lo"),
+        (1, "lo", "w", "low"),
+    ]
+    assert out[0].pair_count == 5 and out[1].pair_count == 5
+    # merge 3: after "low", pairs are (low,</w>):3, (low,e):2, ... →
+    # (low,</w>) wins
+    assert (out[2].left, out[2].right) == ("low", "</w>")
+
+
+def test_bpe_train_partition_invariance(spark):
+    from spark_etl_cli_spark.operators.encoding import bpe_train
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(200)
+    a = bpe_train(docs, n_merges=6).collect()
+    b = bpe_train(docs.repartition(13), n_merges=6).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == 6
+    # merges must chain: later merges may only reference symbols that
+    # exist (chars, </w>, or earlier merged symbols)
+    known = set("abcdefghijklmnopqrstuvwxyz0123456789") | {"</w>"}
+    import string
+
+    known |= set(string.punctuation)
+    for r in a:
+        for side in (r.left, r.right):
+            assert side in known or len(side) > 1
+        known.add(r.merged)
+
+
+def test_bpe_train_greedy_nonoverlapping(spark):
+    # "aaaa" with merge (a,a): greedy left-to-right gives aa|aa, so the
+    # second round's top pair is (aa,aa)
+    from pyspark.sql import Row
+
+    from spark_etl_cli_spark.operators.encoding import bpe_train
+
+    docs = spark.createDataFrame([Row(text="aaaa aaaa aaaa")])
+    out = bpe_train(docs, n_merges=2).collect()
+    assert (out[0].left, out[0].right, out[0].merged) == ("a", "a", "aa")
+    # pair stats count ADJACENT OCCURRENCES (Sennrich get_stats):
+    # 3 words x 3 adjacent (a,a) positions in "aaaa" = 9. Only the
+    # APPLICATION is greedy non-overlapping.
+    assert out[0].pair_count == 9
+    # round 2: [aa, aa, </w>] per word -> (aa,aa) and (aa,</w>) tie at
+    # 3; the deterministic lexicographic tie-break picks "</w>" < "aa"
+    assert (out[1].left, out[1].right) == ("aa", "</w>")
+    assert out[1].pair_count == 3
