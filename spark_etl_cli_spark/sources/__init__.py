@@ -6,6 +6,7 @@ from spark_etl_cli_spark.sources import catalog as _catalog  # noqa: F401
 from spark_etl_cli_spark.sources import memory as _memory  # noqa: F401
 from spark_etl_cli_spark.sources import arrowipc as _arrowipc  # noqa: F401
 from spark_etl_cli_spark.sources import jdbc as _jdbc  # noqa: F401
+from spark_etl_cli_spark.sources import http as _http  # noqa: F401
 
 # Optional connectors whose dependencies may be absent (delta jars,
 # kafka connector jar, excel reader). They register themselves and fail
