@@ -490,3 +490,42 @@ class SolrSource:
 @register_source("solr")
 def solr_source(p: ParsedUri) -> SolrSource:
     return SolrSource(p)
+
+
+@dataclass
+class IcebergSource:
+    """``iceberg:///path/to/table[?snapshot-id=N]`` — batch read.
+
+    Uses the iceberg-spark runtime when its classes are on the
+    classpath; otherwise the engine-free metadata walker
+    (sources/iceberg_lite.py, enabled by the avro_lite manifest
+    decoder). Beyond-reference surface.
+    """
+
+    uri: ParsedUri
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        if _jvm_class_exists(
+            spark, "org.apache.iceberg.spark.source.IcebergSource"
+        ):
+            return FileSource(self.uri, "iceberg").read(spark)
+        from spark_etl_cli_spark.sources.iceberg_lite import (
+            is_iceberg_table,
+            read_iceberg_lite,
+        )
+
+        if not is_iceberg_table(self.uri.path):
+            raise MissingDependencyError(
+                "iceberg", f"an Iceberg table at {self.uri.path} (no "
+                "metadata/*.metadata.json found) or the iceberg-spark jar"
+            )
+        sid = self.uri.params.get("snapshot-id")
+        return read_iceberg_lite(
+            spark, self.uri.path,
+            snapshot_id=int(sid) if sid is not None else None,
+        )
+
+
+@register_source("iceberg")
+def iceberg_source(p: ParsedUri) -> IcebergSource:
+    return IcebergSource(p)
