@@ -362,3 +362,43 @@ def test_avro_stream_explicit_schema_on_empty_dir(spark, tmp_path):
     )
     q.awaitTermination(60)
     assert spark.table("avro_pre_t").count() == 3
+
+
+def test_avro_empty_frame_roundtrip(spark, tmp_path):
+    # writing an empty frame leaves a schema-bearing container behind,
+    # so a reader still gets the right columns with zero rows
+    from spark_etl_cli_spark.registry import resolve_sink, resolve_source
+
+    path = str(tmp_path / "empty_avro")
+    df = spark.range(5).filter("id < 0").selectExpr("id", "'x' AS tag")
+    resolve_sink(f"e+avro://{path}")[1].write(df)
+    back = resolve_source(f"e+avro://{path}")[1].read(spark)
+    assert back.columns == ["id", "tag"]
+    assert back.count() == 0
+
+
+def test_avro_unsupported_codec_raises():
+    import zlib
+
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "x", "type": "long"}]}
+    buf = io.BytesIO()
+    # hand-write a header claiming snappy
+    buf.write(MAGIC)
+    meta = {"avro.schema": __import__("json").dumps(schema).encode(),
+            "avro.codec": b"snappy"}
+    write_long(buf, len(meta))
+    for k, v in meta.items():
+        kb = k.encode()
+        write_long(buf, len(kb)); buf.write(kb)
+        write_long(buf, len(v)); buf.write(v)
+    write_long(buf, 0)
+    buf.write(b"S" * 16)
+    write_long(buf, 1)  # one record
+    body = b"\x02"
+    comp = zlib.compress(body)
+    write_long(buf, len(comp))
+    buf.write(comp)
+    buf.write(b"S" * 16)
+    with pytest.raises(ValueError, match="snappy"):
+        read_container(buf.getvalue())
