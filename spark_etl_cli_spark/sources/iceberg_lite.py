@@ -223,3 +223,243 @@ def read_iceberg_lite(
         eq = spark.read.parquet(path)
         df = df.join(F.broadcast(eq.distinct()), eq.columns, "left_anti")
     return df
+
+
+# --- engine-free WRITER ---------------------------------------------------
+# The commit side of the same public spec: write data files as plain
+# parquet, then one Avro manifest for the new files, a manifest list
+# for the snapshot (append = prior snapshot's manifests + the new one,
+# so old manifests are REUSED, never rewritten — the spec's own
+# fast-append shape), and a vN+1.metadata.json claimed with
+# O_CREAT|O_EXCL (atomic on POSIX; object stores need a real catalog,
+# same caveat as delta_lite's writer).
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": ["null", "int"]},
+        {"name": "added_snapshot_id", "type": ["null", "long"]},
+    ],
+}
+
+_MANIFEST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file",
+                "fields": [
+                    {"name": "content", "type": ["null", "int"]},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+
+def _spark_to_iceberg_schema(schema: T.StructType) -> dict:
+    next_id = [0]
+
+    def fid() -> int:
+        next_id[0] += 1
+        return next_id[0]
+
+    def conv(dt) -> Any:
+        if isinstance(dt, T.StructType):
+            return {
+                "type": "struct",
+                "fields": [
+                    {
+                        "id": fid(),
+                        "name": f.name,
+                        "required": not f.nullable,
+                        "type": conv(f.dataType),
+                    }
+                    for f in dt.fields
+                ],
+            }
+        if isinstance(dt, T.ArrayType):
+            return {
+                "type": "list",
+                "element-id": fid(),
+                "element": conv(dt.elementType),
+                "element-required": not dt.containsNull,
+            }
+        if isinstance(dt, T.MapType):
+            return {
+                "type": "map",
+                "key-id": fid(),
+                "key": conv(dt.keyType),
+                "value-id": fid(),
+                "value": conv(dt.valueType),
+                "value-required": not dt.valueContainsNull,
+            }
+        if isinstance(dt, T.DecimalType):
+            return f"decimal({dt.precision}, {dt.scale})"
+        prim = {
+            T.BooleanType: "boolean",
+            T.IntegerType: "int",
+            T.ShortType: "int",
+            T.ByteType: "int",
+            T.LongType: "long",
+            T.FloatType: "float",
+            T.DoubleType: "double",
+            T.DateType: "date",
+            T.TimestampNTZType: "timestamp",
+            T.TimestampType: "timestamptz",
+            T.StringType: "string",
+            T.BinaryType: "binary",
+        }
+        for cls, name in prim.items():
+            if isinstance(dt, cls):
+                return name
+        raise ValueError(f"iceberg_lite: no iceberg mapping for {dt}")
+
+    top = conv(schema)
+    top["schema-id"] = 0
+    return top
+
+
+def _parquet_row_count(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def write_iceberg_lite(
+    df: DataFrame, table_path: str, mode: str = "append"
+) -> int:
+    """Commit ``df`` to an Iceberg table; returns the new snapshot id.
+
+    ``mode``: append | overwrite (overwrite starts a snapshot whose
+    manifest list contains only the new manifest; old snapshots stay
+    readable via ``?snapshot-id=`` — no data is ever deleted here,
+    exactly Iceberg's own semantics where expiry is a separate
+    maintenance action).
+    """
+    import uuid as _uuid
+
+    from spark_etl_cli_spark.sources.avro_lite import (
+        read_container,
+        write_container,
+    )
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"iceberg_lite mode must be append|overwrite, got {mode!r}")
+    meta_dir = os.path.join(table_path, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    existing = is_iceberg_table(table_path) and bool(
+        _glob.glob(os.path.join(meta_dir, "*.metadata.json"))
+    )
+    prior = _load_metadata(table_path) if existing else None
+    if prior is not None:
+        prior_schema = _schema_to_spark(prior)
+        if [f.name for f in prior_schema.fields] != list(df.columns):
+            raise ValueError(
+                "iceberg_lite append schema mismatch: table has "
+                f"{[f.name for f in prior_schema.fields]}, frame has "
+                f"{list(df.columns)}"
+            )
+
+    # 1. data files — one distributed parquet write into a fresh subdir
+    commit_uuid = _uuid.uuid4().hex
+    data_dir = os.path.join(table_path, "data", commit_uuid)
+    df.write.parquet(data_dir)
+    files = sorted(
+        _glob.glob(os.path.join(data_dir, "*.parquet"))
+    )
+
+    snapshot_id = 1
+    if prior and prior.get("snapshots"):
+        snapshot_id = max(s["snapshot-id"] for s in prior["snapshots"]) + 1
+
+    # 2. one manifest for the new files
+    manifest_path = os.path.join(meta_dir, f"manifest-{commit_uuid}.avro")
+    write_container(
+        manifest_path,
+        _MANIFEST_SCHEMA,
+        iter(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "content": 0,
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "record_count": _parquet_row_count(p),
+                    "file_size_in_bytes": os.path.getsize(p),
+                },
+            }
+            for p in files
+        ),
+    )
+
+    # 3. manifest list: append reuses the prior snapshot's manifests
+    carried: list[dict] = []
+    if mode == "append" and prior and prior.get("snapshots"):
+        cur = _snapshot(prior, prior.get("current-snapshot-id"))
+        ml = _localize(cur["manifest-list"], table_path)
+        with open(ml, "rb") as fh:
+            _, carried = read_container(fh.read())
+    mlist_path = os.path.join(meta_dir, f"snap-{snapshot_id}-{commit_uuid}.avro")
+    write_container(
+        mlist_path,
+        _MANIFEST_LIST_SCHEMA,
+        iter(
+            carried
+            + [
+                {
+                    "manifest_path": manifest_path,
+                    "manifest_length": os.path.getsize(manifest_path),
+                    "partition_spec_id": 0,
+                    "content": 0,
+                    "added_snapshot_id": snapshot_id,
+                }
+            ]
+        ),
+    )
+
+    # 4. new metadata version, O_EXCL-claimed
+    snapshots = list(prior.get("snapshots") or []) if prior else []
+    snapshots.append(
+        {"snapshot-id": snapshot_id, "manifest-list": mlist_path,
+         "timestamp-ms": snapshot_id}
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": (prior or {}).get(
+            "table-uuid", str(_uuid.UUID(int=int(commit_uuid[:32], 16)))
+        ),
+        "location": table_path,
+        "current-snapshot-id": snapshot_id,
+        "schemas": [_spark_to_iceberg_schema(df.schema)],
+        "current-schema-id": 0,
+        "snapshots": snapshots,
+    }
+    version = 1
+    versions = [
+        int(re.match(r"v?(\d+)", os.path.basename(p)).group(1))
+        for p in _glob.glob(os.path.join(meta_dir, "*.metadata.json"))
+    ]
+    if versions:
+        version = max(versions) + 1
+    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return snapshot_id

@@ -529,3 +529,36 @@ class IcebergSource:
 @register_source("iceberg")
 def iceberg_source(p: ParsedUri) -> IcebergSource:
     return IcebergSource(p)
+
+
+@dataclass
+class IcebergSink:
+    """``iceberg:///path/to/table[?mode=append|overwrite]`` — batch
+    commits via the engine-free writer (sources/iceberg_lite.py):
+    distributed parquet data write + avro manifest/manifest-list +
+    O_EXCL-claimed metadata version. Streaming appends via the
+    foreachBatch bridge."""
+
+    uri: ParsedUri
+
+    def write(self, df: DataFrame) -> bool:
+        from spark_etl_cli_spark.sources.iceberg_lite import write_iceberg_lite
+
+        if df.isStreaming:
+            from spark_etl_cli_spark.sources.base import stream_via_foreach_batch
+
+            return stream_via_foreach_batch(
+                df,
+                lambda b: write_iceberg_lite(b, self.uri.path, mode="append"),
+                self.uri,
+            )
+        mode = self.uri.params.get(
+            "mode", self.uri.params.get("write-mode", "append")
+        )
+        write_iceberg_lite(df, self.uri.path, mode=mode)
+        return True
+
+
+@register_sink("iceberg")
+def iceberg_sink(p: ParsedUri) -> IcebergSink:
+    return IcebergSink(p)

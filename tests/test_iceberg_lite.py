@@ -188,3 +188,74 @@ def test_iceberg_format_v3_raises(spark, tmp_path):
         json.dump({"format-version": 3, "schemas": [], "snapshots": []}, fh)
     with pytest.raises(NotImplementedError, match="v3"):
         read_iceberg_lite(spark, table)
+
+
+def test_iceberg_write_read_roundtrip_and_append(spark, tmp_path):
+    from spark_etl_cli_spark.pipeline import run_pipeline
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        read_iceberg_lite,
+        write_iceberg_lite,
+    )
+
+    table = str(tmp_path / "ice_w")
+    s1 = write_iceberg_lite(
+        spark.range(5).selectExpr("id", "concat('a', id) AS tag"), table
+    )
+    assert read_iceberg_lite(spark, table).count() == 5
+    s2 = write_iceberg_lite(
+        spark.range(5, 8).selectExpr("id", "concat('a', id) AS tag"), table
+    )
+    assert s2 == s1 + 1
+    got = read_iceberg_lite(spark, table)
+    assert {(r.id, r.tag) for r in got.collect()} == {
+        (i, f"a{i}") for i in range(8)
+    }
+    # snapshot 1 still readable (time travel across OUR OWN commits)
+    assert read_iceberg_lite(spark, table, snapshot_id=s1).count() == 5
+    # overwrite starts fresh but keeps history
+    write_iceberg_lite(
+        spark.range(100, 102).selectExpr("id", "concat('a', id) AS tag"),
+        table,
+        mode="overwrite",
+    )
+    assert {r.id for r in read_iceberg_lite(spark, table).collect()} == {
+        100, 101
+    }
+    assert read_iceberg_lite(spark, table, snapshot_id=s2).count() == 8
+    # full pipeline surface: iceberg source -> memory
+    run_pipeline(
+        spark,
+        sources=[f"i+iceberg://{table}"],
+        sinks=["i+memory://ice_rt"],
+    )
+    assert spark.table("ice_rt").count() == 2
+
+
+def test_iceberg_append_schema_mismatch_raises(spark, tmp_path):
+    from spark_etl_cli_spark.sources.iceberg_lite import write_iceberg_lite
+
+    table = str(tmp_path / "ice_mm")
+    write_iceberg_lite(spark.range(2).selectExpr("id", "id AS v"), table)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_iceberg_lite(
+            spark.range(2).selectExpr("id", "id AS OTHER"), table
+        )
+
+
+def test_iceberg_sink_via_pipeline(spark, tmp_path):
+    from spark_etl_cli_spark.pipeline import run_pipeline
+
+    table = str(tmp_path / "ice_sink")
+    run_pipeline(
+        spark,
+        sources=["v+parquet:///root/testdata/sf0.001/region.parquet"],
+        sinks=[f"v+iceberg://{table}"],
+    )
+    run_pipeline(
+        spark,
+        sources=[f"r+iceberg://{table}"],
+        sinks=["r+memory://ice_regions"],
+    )
+    back = spark.table("ice_regions")
+    assert back.count() == 5
+    assert set(back.columns) >= {"r_regionkey", "r_name"}
