@@ -519,6 +519,21 @@ class IcebergSource:
                 "iceberg", f"an Iceberg table at {self.uri.path} (no "
                 "metadata/*.metadata.json found) or the iceberg-spark jar"
             )
+        if self.uri.is_stream:
+            # incremental snapshot reads via the Python DataSource
+            # micro-batch reader (sources/icebergstream.py)
+            from spark_etl_cli_spark.sources.base import apply_watermark
+            from spark_etl_cli_spark.sources.icebergstream import (
+                ensure_registered,
+            )
+
+            ensure_registered(spark)
+            df = (
+                spark.readStream.format("iceberglite-stream")
+                .option("path", self.uri.path)
+                .load()
+            )
+            return apply_watermark(df, self.uri.params.get("watermark"))
         sid = self.uri.params.get("snapshot-id")
         return read_iceberg_lite(
             spark, self.uri.path,
@@ -526,7 +541,7 @@ class IcebergSource:
         )
 
 
-@register_source("iceberg")
+@register_source("iceberg", "iceberg-stream")
 def iceberg_source(p: ParsedUri) -> IcebergSource:
     return IcebergSource(p)
 
