@@ -79,20 +79,36 @@ class DeltaSource:
 
     def read(self, spark: SparkSession) -> DataFrame:
         if not _has_delta(spark):
-            # engine-free fallback: replay the public transaction-log
-            # protocol (sources/delta_lite.py). Batch only.
+            # engine-free fallbacks: batch = transaction-log replay
+            # (sources/delta_lite.py); streaming = commit-version-offset
+            # micro-batch reader (sources/deltastream.py)
             from spark_etl_cli_spark.sources.delta_lite import (
                 is_delta_table,
                 read_delta_lite,
             )
 
-            if not self.uri.is_stream and is_delta_table(self.uri.path):
-                v = self.uri.params.get("versionAsOf")
-                return read_delta_lite(
-                    spark, self.uri.path,
-                    version_as_of=int(v) if v is not None else None,
+            if not is_delta_table(self.uri.path):
+                raise MissingDependencyError(
+                    "delta", "delta-spark jars on the classpath"
                 )
-            raise MissingDependencyError("delta", "delta-spark jars on the classpath")
+            if self.uri.is_stream:
+                from spark_etl_cli_spark.sources.base import apply_watermark
+                from spark_etl_cli_spark.sources.deltastream import (
+                    ensure_registered,
+                )
+
+                ensure_registered(spark)
+                df = (
+                    spark.readStream.format("deltalite-stream")
+                    .option("path", self.uri.path)
+                    .load()
+                )
+                return apply_watermark(df, self.uri.params.get("watermark"))
+            v = self.uri.params.get("versionAsOf")
+            return read_delta_lite(
+                spark, self.uri.path,
+                version_as_of=int(v) if v is not None else None,
+            )
         return FileSource(self.uri, "delta").read(spark)
 
 

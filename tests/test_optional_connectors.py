@@ -810,3 +810,58 @@ def test_solr_source_page_size_invariance(spark, rows):
         assert got == {str(i) for i in range(23)}
     finally:
         stub.close()
+
+
+def test_delta_stream_incremental_commits_jarless(spark, tmp_path):
+    # delta-stream:// without delta-spark: commit-version offsets —
+    # first run drains commit 0, a later append streams only commit 1
+    from spark_etl_cli_spark.registry import resolve_source
+    from spark_etl_cli_spark.sources.delta_lite import write_delta_lite
+    from spark_etl_cli_spark.sources.optional import _has_delta
+
+    if _has_delta(spark):
+        pytest.skip("delta-spark present: the jar path is the real one")
+    table = str(tmp_path / "ds_t")
+    write_delta_lite(spark.range(4).selectExpr("id"), table)
+    _, src = resolve_source(f"s+delta-stream://{table}")
+    stream = src.read(spark)
+    assert stream.isStreaming and stream.columns == ["id"]
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    assert {r.id for r in spark.read.parquet(out).collect()} == {0, 1, 2, 3}
+    write_delta_lite(
+        spark.range(4, 6).selectExpr("id"), table, mode="append"
+    )
+    q2 = (
+        src.read(spark).writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(60)
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == [
+        0, 1, 2, 3, 4, 5
+    ]
+
+
+def test_delta_stream_partitioned_raises_clearly(spark, tmp_path):
+    from spark_etl_cli_spark.registry import resolve_source
+    from spark_etl_cli_spark.sources.delta_lite import write_delta_lite
+    from spark_etl_cli_spark.sources.optional import _has_delta
+
+    if _has_delta(spark):
+        pytest.skip("delta-spark present")
+    table = str(tmp_path / "ds_part")
+    write_delta_lite(
+        spark.range(4).selectExpr("id", "id % 2 AS p"), table,
+        partition_by=["p"],
+    )
+    _, src = resolve_source(f"s+delta-stream://{table}")
+    with pytest.raises(Exception, match="partition"):
+        src.read(spark).writeStream.format("memory").queryName(
+            "ds_never"
+        ).trigger(availableNow=True).start().awaitTermination(30)
