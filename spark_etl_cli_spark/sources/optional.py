@@ -593,3 +593,34 @@ class IcebergSink:
 @register_sink("iceberg")
 def iceberg_sink(p: ParsedUri) -> IcebergSink:
     return IcebergSink(p)
+
+
+@dataclass
+class HudiSource:
+    """``hudi:///path/to/table[?as-of=TS]`` — COW snapshot reads via
+    the engine-free timeline replayer (sources/hudi_lite.py) when the
+    Hudi runtime isn't on the classpath. Beyond-reference surface."""
+
+    uri: ParsedUri
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        if _jvm_class_exists(spark, "org.apache.hudi.DefaultSource"):
+            return FileSource(self.uri, "hudi").read(spark)
+        from spark_etl_cli_spark.sources.hudi_lite import (
+            is_hudi_table,
+            read_hudi_lite,
+        )
+
+        if not is_hudi_table(self.uri.path):
+            raise MissingDependencyError(
+                "hudi", f"a Hudi table at {self.uri.path} (no .hoodie/ "
+                "timeline found) or the hudi-spark bundle jar"
+            )
+        return read_hudi_lite(
+            spark, self.uri.path, as_of=self.uri.params.get("as-of")
+        )
+
+
+@register_source("hudi")
+def hudi_source(p: ParsedUri) -> HudiSource:
+    return HudiSource(p)
