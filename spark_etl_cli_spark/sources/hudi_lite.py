@@ -109,3 +109,81 @@ def read_hudi_lite(
     # user wrote is everything after them)
     meta_cols = [c for c in df.columns if c.startswith("_hoodie_")]
     return df.drop(*meta_cols) if meta_cols else df
+
+
+# --- engine-free WRITER (insert-only COW) ---------------------------------
+# The minimal honest subset of the Hudi write path: each commit INSERTS
+# new file groups (one per written parquet part). No record-key
+# upserts — that's the Hudi runtime's indexing machinery; updates via
+# this writer append rows rather than rewriting file slices, and the
+# docstring says so. Enough for append-style pipelines and for
+# round-tripping this module's own reader.
+
+
+def write_hudi_lite(
+    df: DataFrame, table_path: str, mode: str = "append"
+) -> str:
+    """Insert-only COW commit; returns the new instant timestamp.
+
+    ``mode``: append | overwrite (overwrite = replacecommit that
+    replaces ALL prior file groups, i.e. insert_overwrite_table).
+    """
+    import uuid as _uuid
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"hudi_lite mode must be append|overwrite, got {mode!r}")
+    hoodie = os.path.join(table_path, ".hoodie")
+    os.makedirs(hoodie, exist_ok=True)
+    props = os.path.join(hoodie, "hoodie.properties")
+    if not os.path.exists(props):
+        with open(props, "w") as fh:
+            fh.write(
+                "hoodie.table.name=%s\nhoodie.table.type=COPY_ON_WRITE\n"
+                % os.path.basename(os.path.normpath(table_path))
+            )
+    elif _table_type(table_path) != "COPY_ON_WRITE":
+        raise NotImplementedError("hudi_lite writes COPY_ON_WRITE tables only")
+
+    prior = _completed_instants(table_path)
+    # instants are ordered timestamps; derive the next one from the
+    # prior tail so commits stay monotonic without wall-clock reads
+    ts = f"{int(prior[-1][0]) + 1:014d}" if prior else f"{10**13:014d}"
+
+    commit_uuid = _uuid.uuid4().hex
+    data_dir = os.path.join(table_path, f"data_{ts}_{commit_uuid[:8]}")
+    df.write.parquet(data_dir)
+    stats = []
+    for f in sorted(_glob.glob(os.path.join(data_dir, "*.parquet"))):
+        rel = os.path.relpath(f, table_path)
+        stats.append({
+            "fileId": f"fg-{_uuid.uuid4().hex[:12]}",
+            "path": rel,
+            "numWrites": None,
+            "fileSizeInBytes": os.path.getsize(f),
+        })
+    body: dict = {"partitionToWriteStats": {"": stats}}
+    action = "commit"
+    if mode == "overwrite" and prior:
+        # replace every live file group as of the prior snapshot
+        live: dict[tuple[str, str], str] = {}
+        for pts, pact, ppath in prior:
+            with open(ppath) as fh:
+                c = json.load(fh)
+            if pact == "replacecommit":
+                for part, fids in (c.get("partitionToReplaceFileIds") or {}).items():
+                    for fid in fids:
+                        live.pop((part, fid), None)
+            for part, sts in (c.get("partitionToWriteStats") or {}).items():
+                for st in sts:
+                    live[(part, st.get("fileId") or st["path"])] = st["path"]
+        replaced: dict[str, list[str]] = {}
+        for part, fid in live:
+            replaced.setdefault(part, []).append(fid)
+        body["partitionToReplaceFileIds"] = replaced
+        action = "replacecommit"
+    # O_EXCL commit claim: two racing writers can't both win the instant
+    commit_path = os.path.join(hoodie, f"{ts}.{action}")
+    fd = os.open(commit_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as fh:
+        json.dump(body, fh)
+    return ts

@@ -624,3 +624,36 @@ class HudiSource:
 @register_source("hudi")
 def hudi_source(p: ParsedUri) -> HudiSource:
     return HudiSource(p)
+
+
+@dataclass
+class HudiSink:
+    """``hudi:///path[?mode=append|overwrite]`` — insert-only COW
+    commits via the engine-free writer (sources/hudi_lite.py). No
+    record-key upserts (that's the Hudi runtime's indexing machinery);
+    overwrite = replacecommit of all live file groups. Streaming
+    appends via the foreachBatch bridge."""
+
+    uri: ParsedUri
+
+    def write(self, df: DataFrame) -> bool:
+        from spark_etl_cli_spark.sources.hudi_lite import write_hudi_lite
+
+        if df.isStreaming:
+            from spark_etl_cli_spark.sources.base import stream_via_foreach_batch
+
+            return stream_via_foreach_batch(
+                df,
+                lambda b: write_hudi_lite(b, self.uri.path, mode="append"),
+                self.uri,
+            )
+        mode = self.uri.params.get(
+            "mode", self.uri.params.get("write-mode", "append")
+        )
+        write_hudi_lite(df, self.uri.path, mode=mode)
+        return True
+
+
+@register_sink("hudi")
+def hudi_sink(p: ParsedUri) -> HudiSink:
+    return HudiSink(p)

@@ -132,3 +132,39 @@ def test_hudi_missing_table_raises(spark, tmp_path):
     _, src = resolve_source(f"h+hudi://{tmp_path}/nope")
     with pytest.raises(MissingDependencyError, match="[Hh]udi"):
         src.read(spark)
+
+
+def test_hudi_write_read_roundtrip(spark, tmp_path):
+    from spark_etl_cli_spark.pipeline import run_pipeline
+    from spark_etl_cli_spark.sources.hudi_lite import (
+        read_hudi_lite,
+        write_hudi_lite,
+    )
+
+    table = str(tmp_path / "hw")
+    t1 = write_hudi_lite(spark.range(4).selectExpr("id"), table)
+    t2 = write_hudi_lite(spark.range(4, 6).selectExpr("id"), table)
+    assert int(t2) == int(t1) + 1
+    assert sorted(r.id for r in read_hudi_lite(spark, table).collect()) == [
+        0, 1, 2, 3, 4, 5
+    ]
+    # as-of the first instant
+    assert read_hudi_lite(spark, table, as_of=t1).count() == 4
+    # overwrite replaces everything but history stays readable
+    write_hudi_lite(
+        spark.range(100, 102).selectExpr("id"), table, mode="overwrite"
+    )
+    assert {r.id for r in read_hudi_lite(spark, table).collect()} == {100, 101}
+    assert read_hudi_lite(spark, table, as_of=t2).count() == 6
+    # pipeline surface both directions
+    run_pipeline(
+        spark,
+        sources=["v+range://?end=3"],
+        sinks=[f"v+hudi://{tmp_path}/hw2"],
+    )
+    run_pipeline(
+        spark,
+        sources=[f"h+hudi://{tmp_path}/hw2"],
+        sinks=["h+memory://hudi_rt"],
+    )
+    assert spark.table("hudi_rt").count() == 3
