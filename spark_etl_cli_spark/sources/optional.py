@@ -1,5 +1,5 @@
 """Optional connectors whose runtime dependencies may be absent:
-delta, excel, kafka, solr.
+delta, excel, kafka, solr, iceberg, hudi.
 
 Each registers its scheme unconditionally (so `known_schemes()` shows
 the full surface and URI parsing is always testable) and checks its
