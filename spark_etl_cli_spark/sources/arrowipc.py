@@ -194,7 +194,12 @@ class _ArrowIPCStreamReader(DataSourceStreamReader):
         for name in new:
             f = os.path.join(self.path, name)
             if not os.path.exists(f):
-                continue
+                # an offset-listed file vanishing is data loss, not a
+                # condition to skip silently
+                raise FileNotFoundError(
+                    f"arrowipc stream: offset lists {name!r} but it no "
+                    f"longer exists under {self.path!r}"
+                )
             with pa.memory_map(f, "r") as mm:
                 n = pa.ipc.open_file(mm).num_record_batches
             step = max(1, self.batches_per_task)

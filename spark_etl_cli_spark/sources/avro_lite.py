@@ -153,14 +153,18 @@ def make_decoder(schema: Any) -> Callable[[Reader], Any]:
             return lambda r: epoch + _dt.timedelta(days=r.read_long())
         return lambda r: r.read_long()
     if t == "long":
+        # Integer datetime arithmetic: fromtimestamp(x/1e6) routes through a
+        # float and lands ~1.2% of microsecond values off by 1us.
         if logical == "timestamp-micros":
-            return lambda r: _dt.datetime.fromtimestamp(
-                r.read_long() / 1_000_000, tz=_UTC
-            ).replace(tzinfo=None)
+            epoch_naive = _dt.datetime(1970, 1, 1)
+            return lambda r: epoch_naive + _dt.timedelta(
+                microseconds=r.read_long()
+            )
         if logical == "timestamp-millis":
-            return lambda r: _dt.datetime.fromtimestamp(
-                r.read_long() / 1_000, tz=_UTC
-            ).replace(tzinfo=None)
+            epoch_naive = _dt.datetime(1970, 1, 1)
+            return lambda r: epoch_naive + _dt.timedelta(
+                milliseconds=r.read_long()
+            )
         return lambda r: r.read_long()
     if t == "float":
         return lambda r: struct.unpack("<f", r.read(4))[0]
@@ -249,17 +253,24 @@ def make_encoder(schema: Any) -> Callable[[io.BytesIO, Any], None]:
             return lambda o, v: write_long(o, (v - epoch).days)
         return write_long
     if t == "long":
+        # Integer microsecond math — v.timestamp() goes through a float64,
+        # which cannot represent every microsecond tick (~1.2% of random
+        # values encode off by 1us through int(ts*1e6)).
         if logical == "timestamp-micros":
+            epoch_utc = _dt.datetime(1970, 1, 1, tzinfo=_UTC)
+            one_us = _dt.timedelta(microseconds=1)
             def enc_ts(o: io.BytesIO, v: _dt.datetime):
                 if v.tzinfo is None:
                     v = v.replace(tzinfo=_UTC)
-                write_long(o, int(v.timestamp() * 1_000_000))
+                write_long(o, (v - epoch_utc) // one_us)
             return enc_ts
         if logical == "timestamp-millis":
+            epoch_utc = _dt.datetime(1970, 1, 1, tzinfo=_UTC)
+            one_ms = _dt.timedelta(milliseconds=1)
             def enc_ts_ms(o: io.BytesIO, v: _dt.datetime):
                 if v.tzinfo is None:
                     v = v.replace(tzinfo=_UTC)
-                write_long(o, int(v.timestamp() * 1_000))
+                write_long(o, (v - epoch_utc) // one_ms)
             return enc_ts_ms
         return write_long
     if t == "float":
@@ -391,12 +402,15 @@ def write_container(
     records: Iterator[Any],
     codec: str = "deflate",
     block_records: int = 4096,
+    extra_meta: dict[str, bytes] | None = None,
 ) -> int:
     """Stream records into one container file; returns rows written.
 
     Blocks of ``block_records`` bound memory to one block, matching the
     writer side of the streaming story (the caller feeds a partition
-    iterator, never a materialized list).
+    iterator, never a materialized list). ``extra_meta`` adds custom
+    container-metadata pairs (e.g. Iceberg's ``schema`` /
+    ``partition-spec`` keys on manifest files).
     """
     encode = make_encoder(schema)
     sync = uuid.uuid4().bytes
@@ -407,6 +421,7 @@ def write_container(
         meta = {
             "avro.schema": json.dumps(schema).encode("utf-8"),
             "avro.codec": codec.encode("utf-8"),
+            **(extra_meta or {}),
         }
         write_long(head, len(meta))
         for k, v in meta.items():

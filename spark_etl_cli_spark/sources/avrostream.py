@@ -57,17 +57,29 @@ class _AvroLiteStreamReader(DataSourceStreamReader):
         return {"files": []}
 
     def latestOffset(self) -> dict:
+        # offsets store ROOT-RELATIVE paths (not basenames): the glob is
+        # recursive, so a partitioned layout (part=x/f.avro) must not
+        # alias same-named files across subdirs or silently drop them
         return {
-            "files": [os.path.basename(f) for f in _list_avro_files(self.path)]
+            "files": [
+                os.path.relpath(f, self.path)
+                for f in _list_avro_files(self.path)
+            ]
         }
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         new = sorted(set(end.get("files", [])) - set(start.get("files", [])))
-        parts = [
-            _FilePart(os.path.join(self.path, name))
-            for name in new
-            if os.path.exists(os.path.join(self.path, name))
-        ]
+        parts = []
+        for name in new:
+            full = os.path.join(self.path, name)
+            if not os.path.exists(full):
+                # an offset-listed file vanishing between latestOffset
+                # and planning is data loss — fail loudly, don't skip
+                raise FileNotFoundError(
+                    f"avrolite stream: offset lists {name!r} but it no "
+                    f"longer exists under {self.path!r}"
+                )
+            parts.append(_FilePart(full))
         return parts or [_FilePart("")]
 
     def read(self, partition: _FilePart) -> Iterator[tuple]:

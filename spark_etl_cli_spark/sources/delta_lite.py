@@ -46,11 +46,138 @@ def is_delta_table(table_path: str) -> bool:
     return os.path.isdir(_log_dir(table_path))
 
 
-def _read_checkpoint(spark: SparkSession, log_dir: str) -> tuple[int, list[dict], dict | None]:
-    """Returns (checkpoint_version, active add actions, metaData or None)."""
+_SUPPORTED_READER_FEATURES = {
+    "deletionVectors",
+    "columnMapping",
+    "timestampNtz",
+    "v2Checkpoint",
+}
+
+
+def _check_protocol(pr: dict) -> None:
+    """Single reader-feature gate for BOTH replay paths.
+
+    Protocol actions can live in a checkpoint (not just JSON commits),
+    so checkpoint extraction must run through the same validation —
+    otherwise a checkpointed table with e.g. variantType would be read
+    silently with wrong data instead of raising.
+    """
+    reader_v = int(pr.get("minReaderVersion", 1))
+    if reader_v == 3:
+        # table-features protocol: fine as long as every declared
+        # reader feature is one we implement
+        feats = set(pr.get("readerFeatures") or [])
+        if not feats <= _SUPPORTED_READER_FEATURES:
+            raise NotImplementedError(
+                f"Delta reader features {sorted(feats - _SUPPORTED_READER_FEATURES)} "
+                "need delta-spark"
+            )
+    elif reader_v > 3:
+        raise NotImplementedError(
+            f"Delta reader protocol {pr} needs delta-spark"
+        )
+
+
+_DV_STRUCT = T.StructType(
+    [
+        T.StructField("storageType", T.StringType()),
+        T.StructField("pathOrInlineDv", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+        T.StructField("sizeInBytes", T.IntegerType()),
+        T.StructField("cardinality", T.LongType()),
+    ]
+)
+_ADD_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField(
+            "partitionValues", T.MapType(T.StringType(), T.StringType())
+        ),
+        T.StructField("size", T.LongType()),
+        T.StructField("modificationTime", T.LongType()),
+        T.StructField("deletionVector", _DV_STRUCT),
+    ]
+)
+
+
+def _normalize_add_df(df: DataFrame) -> DataFrame:
+    """Project a checkpoint action DataFrame down to the add columns the
+    reader needs (``_ADD_SCHEMA``), all executor-side — the snapshot's
+    file list never materializes on the driver here.
+    """
+    add_fields = {f.name for f in df.schema["add"].dataType.fields}
+    sel: list = []
+    for f in _ADD_SCHEMA.fields:
+        if f.name == "deletionVector":
+            sel.append(
+                F.col("add.deletionVector").cast(_DV_STRUCT).alias(f.name)
+                if "deletionVector" in add_fields
+                else F.lit(None).cast(_DV_STRUCT).alias(f.name)
+            )
+        elif f.name in add_fields:
+            sel.append(F.col(f"add.{f.name}").cast(f.dataType).alias(f.name))
+        else:
+            sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+    out = df.filter(F.col("add.path").isNotNull()).select(*sel)
+    # The log stores paths RFC 2396 percent-encoded. url_decode() is
+    # form-decoding ('+' -> space), which unquote() does NOT do — so
+    # protect literal '+' as %2B first to get exact unquote semantics.
+    return out.withColumn(
+        "path", F.url_decode(F.replace("path", F.lit("+"), F.lit("%2B")))
+    )
+
+
+def _adds_df_from_dicts(spark: SparkSession, dicts: list[dict]) -> DataFrame:
+    """Small driver-side action dicts (a v2 JSON manifest) -> add DF."""
+    rows = []
+    for d in dicts:
+        a = d.get("add")
+        if not a or not a.get("path"):
+            continue
+        dv = a.get("deletionVector")
+        rows.append(
+            (
+                unquote(a["path"]),
+                a.get("partitionValues"),
+                a.get("size"),
+                a.get("modificationTime"),
+                (
+                    dv.get("storageType"),
+                    dv.get("pathOrInlineDv"),
+                    dv.get("offset"),
+                    dv.get("sizeInBytes"),
+                    dv.get("cardinality"),
+                )
+                if dv
+                else None,
+            )
+        )
+    return spark.createDataFrame(rows, _ADD_SCHEMA)
+
+
+def _head_action(df: DataFrame, action: str, key: str) -> dict | None:
+    """Pull the single metaData/protocol row out of a checkpoint DF
+    (one-row driver transfer; the add rows stay distributed)."""
+    if action not in df.columns:
+        return None
+    row = (
+        df.filter(F.col(f"{action}.{key}").isNotNull()).select(action).head()
+    )
+    return row[0].asDict(recursive=True) if row else None
+
+
+def _read_checkpoint(
+    spark: SparkSession, log_dir: str
+) -> tuple[int, DataFrame | None, dict | None, dict | None]:
+    """Returns (version, add-action DataFrame or None, metaData, protocol).
+
+    The snapshot file list stays a DataFrame — at a 10^6-add checkpoint
+    the old collect()-everything shape was a driver-memory ceiling; now
+    only the one metaData and one protocol row cross to the driver here.
+    """
     lc = os.path.join(log_dir, "_last_checkpoint")
     if not os.path.exists(lc):
-        return -1, [], None
+        return -1, None, None, None
     with open(lc) as fh:
         info = json.load(fh)
     version = int(info["version"])
@@ -72,12 +199,22 @@ def _read_checkpoint(spark: SparkSession, log_dir: str) -> tuple[int, list[dict]
             raise FileNotFoundError(
                 f"multi-part checkpoint incomplete: missing {missing}"
             )
-        rows = spark.read.parquet(*cp_paths).collect()
-        return version, *_actions_from_rows(rows)
+        df = spark.read.parquet(*cp_paths)
+        return (
+            version,
+            _normalize_add_df(df),
+            _head_action(df, "metaData", "id"),
+            _head_action(df, "protocol", "minReaderVersion"),
+        )
     cp_path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
     if os.path.exists(cp_path):
-        rows = spark.read.parquet(cp_path).collect()
-        return version, *_actions_from_rows(rows)
+        df = spark.read.parquet(cp_path)
+        return (
+            version,
+            _normalize_add_df(df),
+            _head_action(df, "metaData", "id"),
+            _head_action(df, "protocol", "minReaderVersion"),
+        )
     # V2 checkpoint (PROTOCOL.md "V2 spec checkpoints"): a single
     # <v>.checkpoint.<uniqueId>.{parquet,json} whose actions may
     # delegate the file list to sidecar parquet files under
@@ -100,54 +237,97 @@ def _read_checkpoint(spark: SparkSession, log_dir: str) -> tuple[int, list[dict]
         )
     cp = candidates[0]
     if cp.endswith(".json"):
+        # the manifest itself is small (it delegates the file list to
+        # sidecars) — driver-side parse is fine
         dicts = []
         with open(cp) as fh:
             for line in fh:
                 if line.strip():
                     dicts.append(json.loads(line))
-    else:
-        dicts = [r.asDict(recursive=True) for r in spark.read.parquet(cp).collect()]
-    sidecars = [
-        d["sidecar"]["path"] for d in dicts if d.get("sidecar", {}) and d["sidecar"].get("path")
-    ]
-    for sc in sidecars:
-        sc_path = os.path.join(log_dir, "_sidecars", sc)
-        dicts.extend(
-            r.asDict(recursive=True) for r in spark.read.parquet(sc_path).collect()
+        meta = next(
+            (d["metaData"] for d in dicts if d.get("metaData", {}).get("id")),
+            None,
         )
-    adds, meta = _actions_from_dicts(dicts)
-    return version, adds, meta
+        protocol = next(
+            (
+                d["protocol"]
+                for d in dicts
+                if d.get("protocol", {}).get("minReaderVersion")
+            ),
+            None,
+        )
+        sidecars = [
+            d["sidecar"]["path"]
+            for d in dicts
+            if d.get("sidecar", {}) and d["sidecar"].get("path")
+        ]
+        adds_df = _adds_df_from_dicts(spark, dicts)
+    else:
+        df = spark.read.parquet(cp)
+        meta = _head_action(df, "metaData", "id")
+        protocol = _head_action(df, "protocol", "minReaderVersion")
+        sidecars = (
+            [
+                r[0]
+                for r in df.filter(F.col("sidecar.path").isNotNull())
+                .select("sidecar.path")
+                .collect()
+            ]
+            if "sidecar" in df.columns
+            else []
+        )
+        adds_df = (
+            _normalize_add_df(df)
+            if "add" in df.columns
+            else _adds_df_from_dicts(spark, [])
+        )
+    for sc in sidecars:
+        # sidecar files hold file actions (top-level add/remove structs);
+        # read per-file since schemas may differ across sidecars
+        sc_path = os.path.join(log_dir, "_sidecars", sc)
+        adds_df = adds_df.unionByName(
+            _normalize_add_df(spark.read.parquet(sc_path))
+        )
+    return version, adds_df, meta, protocol
 
 
-def _actions_from_rows(rows) -> tuple[list[dict], dict | None]:
-    return _actions_from_dicts([r.asDict(recursive=True) for r in rows])
-
-
-def _actions_from_dicts(dicts: list[dict]) -> tuple[list[dict], dict | None]:
-    adds, meta = [], None
-    for d in dicts:
-        if d.get("add") and d["add"].get("path"):
-            # checkpoint paths are RFC 2396 URL-encoded like commit
-            # add actions; decode so remove keys and fs joins agree
-            add = dict(d["add"])
-            add["path"] = unquote(add["path"])
-            adds.append(add)
-        if d.get("metaData") and d["metaData"].get("id"):
-            meta = d["metaData"]
-    return adds, meta
+# Driver-memory guard for the final file-list materialization: metadata
+# rows are ~200 bytes, so 2M files ~= 400 MB driver-side — past that a
+# real Delta client (which keeps snapshot state distributed end-to-end)
+# is the right tool. Override via env for bigger drivers.
+def _max_files() -> int:
+    return int(os.environ.get("SPARK_ETL_DELTA_LITE_MAX_FILES", "2000000"))
 
 
 def _replay(
-    spark: SparkSession, table_path: str, version_as_of: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    version_as_of: int | None = None,
+    where: str | None = None,
 ) -> tuple[list[dict], dict]:
+    """Snapshot file list + metaData via log replay.
+
+    Checkpoint adds are reconciled against the JSON tail DataFrame-side
+    (anti-join on the tail's removed/re-added paths); only the FINAL
+    file list crosses to the driver, behind a ``_max_files`` guard.
+    ``where`` (partition predicate) additionally prunes the list before
+    it is collected.
+    """
     log_dir = _log_dir(table_path)
     if version_as_of is None:
-        cp_version, adds, meta = _read_checkpoint(spark, log_dir)
+        cp_version, adds_df, meta, cp_protocol = _read_checkpoint(
+            spark, log_dir
+        )
+        if cp_protocol:
+            _check_protocol(cp_protocol)
     else:
         # time travel: replay from scratch up to the requested version
         # (checkpoints may postdate it, so they can't be used)
-        cp_version, adds, meta = -1, [], None
-    active: dict[str, dict] = {a["path"]: a for a in adds}
+        cp_version, adds_df, meta = -1, None, None
+    # JSON tail replay (driver-side: the tail is bounded by the
+    # checkpoint interval, not by table size)
+    tail_active: dict[str, dict] = {}
+    removed: set[str] = set()
     commits = sorted(
         f for f in os.listdir(log_dir)
         if f.endswith(".json") and f[:20].isdigit() and int(f[:20]) > cp_version
@@ -173,34 +353,137 @@ def _replay(
                     # add/remove keys agree and filesystem joins work
                     add = dict(action["add"])
                     add["path"] = unquote(add["path"])
-                    active[add["path"]] = add
+                    tail_active[add["path"]] = add
+                    removed.discard(add["path"])
                 elif "remove" in action:
-                    active.pop(unquote(action["remove"]["path"]), None)
+                    p = unquote(action["remove"]["path"])
+                    tail_active.pop(p, None)
+                    removed.add(p)
                 elif "protocol" in action:
-                    pr = action["protocol"]
-                    reader_v = int(pr.get("minReaderVersion", 1))
-                    if reader_v == 3:
-                        # table-features protocol: fine as long as every
-                        # declared reader feature is one we implement
-                        supported = {
-                            "deletionVectors",
-                            "columnMapping",
-                            "timestampNtz",
-                            "v2Checkpoint",
-                        }
-                        feats = set(pr.get("readerFeatures") or [])
-                        if not feats <= supported:
-                            raise NotImplementedError(
-                                f"Delta reader features {sorted(feats - supported)} "
-                                "need delta-spark"
-                            )
-                    elif reader_v > 3:
-                        raise NotImplementedError(
-                            f"Delta reader protocol {pr} needs delta-spark"
-                        )
+                    _check_protocol(action["protocol"])
     if meta is None:
         raise ValueError(f"no Delta metaData action found under {log_dir}")
-    return list(active.values()), meta
+    active = dict(tail_active)
+    if adds_df is not None:
+        # a checkpoint path is superseded by the tail iff the tail's
+        # LAST action for it was add (now in tail_active) or remove
+        # (now in `removed`) — either way, exclude it from the
+        # checkpoint side. The exclusion set is tail-sized.
+        excluded = removed | set(tail_active)
+        if excluded:
+            excl_df = spark.createDataFrame(
+                ((p,) for p in excluded), "path string"
+            )
+            how = "left_anti"
+            if len(excluded) <= 100_000:
+                excl_df = F.broadcast(excl_df)
+            adds_df = adds_df.join(excl_df, "path", how)
+        if where:
+            adds_df = _prune_adds_df(adds_df, meta, where)
+        cap = _max_files()
+        rows = adds_df.limit(cap + 1).collect()
+        if len(rows) > cap:
+            raise RuntimeError(
+                f"delta-lite: snapshot has more than {cap} active files; "
+                "raise SPARK_ETL_DELTA_LITE_MAX_FILES or use delta-spark "
+                "(which keeps snapshot state distributed)"
+            )
+        for r in rows:
+            d = r.asDict(recursive=True)
+            if d.get("deletionVector") and not d["deletionVector"].get(
+                "storageType"
+            ):
+                d["deletionVector"] = None
+            active.setdefault(d["path"], d)
+    out = list(active.values())
+    if where:
+        out = _prune_add_list(spark, out, meta, where)
+    return out, meta
+
+
+# --- partition-predicate FILE pruning ------------------------------------
+# At a 100 TB / 10^6-file table, pruning the *file list* at the log
+# level (before any parquet footer is opened) is the difference between
+# scanning one partition and opening every footer. ``where`` is a SQL
+# boolean over the table's partition columns, evaluated per add action
+# against its typed ``partitionValues``.
+
+
+def _partition_pred_frame(
+    df: DataFrame, meta: dict, where: str
+) -> DataFrame | None:
+    """``df`` boxed+filtered by ``where`` over typed partition columns,
+    or None when the predicate doesn't analyze against partition
+    columns alone (caller falls back to row-level filtering only)."""
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = meta.get("partitionColumns") or []
+    if not part_cols:
+        return None
+    phys_schema, mapped = _physical_schema(schema)
+    phys_of = {
+        f.name: pf.name for f, pf in zip(schema.fields, phys_schema.fields)
+    }
+    typed = []
+    for f in schema.fields:
+        if f.name not in part_cols:
+            continue
+        key = phys_of[f.name] if mapped else f.name
+        typed.append(
+            F.col("__add.partitionValues")[key].cast(f.dataType).alias(f.name)
+        )
+    boxed = df.select(F.struct("*").alias("__add")).select("__add", *typed)
+    try:
+        pruned = boxed.filter(F.expr(where))
+        pruned.columns  # force analysis: does `where` bind here?
+    except Exception:
+        return None
+    return pruned.select("__add.*")
+
+
+def _prune_adds_df(adds_df: DataFrame, meta: dict, where: str) -> DataFrame:
+    pruned = _partition_pred_frame(adds_df, meta, where)
+    return pruned if pruned is not None else adds_df
+
+
+def _prune_add_list(
+    spark: SparkSession, adds: list[dict], meta: dict, where: str
+) -> list[dict]:
+    """Prune a driver-side add list (JSON-tail / time-travel path) with
+    the same predicate machinery: evaluate once per DISTINCT partition
+    tuple, then filter the list by tuple membership."""
+    part_cols = meta.get("partitionColumns") or []
+    if not adds or not part_cols:
+        return adds
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    phys_schema, mapped = _physical_schema(schema)
+    phys_of = {
+        f.name: pf.name for f, pf in zip(schema.fields, phys_schema.fields)
+    }
+    part_keys = [phys_of[c] if mapped else c for c in part_cols]
+    tuples = {
+        tuple((a.get("partitionValues") or {}).get(k) for k in part_keys)
+        for a in adds
+    }
+    tup_df = spark.createDataFrame(
+        [(list(t),) for t in tuples], "pv array<string>"
+    ).select(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k in part_keys]), "pv"
+        ).alias("partitionValues")
+    )
+    pruned = _partition_pred_frame(tup_df, meta, where)
+    if pruned is None:
+        return adds
+    kept = {
+        tuple(r["partitionValues"].get(k) for k in part_keys)
+        for r in pruned.collect()
+    }
+    return [
+        a
+        for a in adds
+        if tuple((a.get("partitionValues") or {}).get(k) for k in part_keys)
+        in kept
+    ]
 
 
 def _physical_schema(schema: T.StructType) -> tuple[T.StructType, bool]:
@@ -241,11 +524,21 @@ def _physical_schema(schema: T.StructType) -> tuple[T.StructType, bool]:
 
 
 def read_delta_lite(
-    spark: SparkSession, table_path: str, version_as_of: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    version_as_of: int | None = None,
+    where: str | None = None,
 ) -> DataFrame:
     """Batch read of a Delta table snapshot via log replay; pass
-    ``version_as_of`` for time travel to an earlier version."""
-    adds, meta = _replay(spark, table_path, version_as_of)
+    ``version_as_of`` for time travel to an earlier version.
+
+    ``where`` is a SQL boolean predicate. When it references only the
+    table's partition columns it prunes the FILE LIST during log replay
+    (no data file of a non-matching partition is ever opened); it is
+    additionally applied as a row filter, so mixed/non-partition
+    predicates stay correct (they just don't prune files).
+    """
+    adds, meta = _replay(spark, table_path, version_as_of, where=where)
     full_schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = meta.get("partitionColumns") or []
     # column mapping: the files (and partitionValues keys) speak
@@ -265,7 +558,8 @@ def read_delta_lite(
         ]
     )
     if not adds:
-        return spark.createDataFrame([], full_schema)
+        empty = spark.createDataFrame([], full_schema)
+        return empty.filter(where) if where else empty
 
     # group files by partition tuple; restore partition columns as typed
     # literals (they are NOT stored in the data files). Each entry keeps
@@ -319,7 +613,10 @@ def read_delta_lite(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    # row-level application of `where` keeps semantics exact even when
+    # the predicate couldn't prune files (non-partition columns);
+    # partition-column branches constant-fold against the literals.
+    return out.filter(where) if where else out
 
 
 def _apply_deletion_vector(

@@ -234,15 +234,28 @@ def read_iceberg_lite(
 # O_CREAT|O_EXCL (atomic on POSIX; object stores need a real catalog,
 # same caveat as delta_lite's writer).
 
+# v2-REQUIRED manifest-list fields (spec "Manifest Lists" table), with
+# the spec's field ids attached as Avro attributes so real engines'
+# id-based readers resolve them. Sequence numbers + add/existing/delete
+# counts are what makes the output a legal v2 table rather than a
+# lite-reader-only artifact.
 _MANIFEST_LIST_SCHEMA = {
     "type": "record",
     "name": "manifest_file",
     "fields": [
-        {"name": "manifest_path", "type": "string"},
-        {"name": "manifest_length", "type": "long"},
-        {"name": "partition_spec_id", "type": "int"},
-        {"name": "content", "type": ["null", "int"]},
-        {"name": "added_snapshot_id", "type": ["null", "long"]},
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
     ],
 }
 
@@ -250,19 +263,39 @@ _MANIFEST_SCHEMA = {
     "type": "record",
     "name": "manifest_entry",
     "fields": [
-        {"name": "status", "type": "int"},
-        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+        # null = inherited from the manifest list entry (spec sequence-
+        # number inheritance for ADDED entries)
+        {"name": "sequence_number", "type": ["null", "long"], "field-id": 3},
+        {
+            "name": "file_sequence_number",
+            "type": ["null", "long"],
+            "field-id": 4,
+        },
         {
             "name": "data_file",
+            "field-id": 2,
             "type": {
                 "type": "record",
-                "name": "data_file",
+                "name": "r2",
                 "fields": [
-                    {"name": "content", "type": ["null", "int"]},
-                    {"name": "file_path", "type": "string"},
-                    {"name": "file_format", "type": "string"},
-                    {"name": "record_count", "type": "long"},
-                    {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "content", "type": "int", "field-id": 134},
+                    {"name": "file_path", "type": "string", "field-id": 100},
+                    {"name": "file_format", "type": "string", "field-id": 101},
+                    # unpartitioned spec: empty partition struct (r102
+                    # is the spec's name for this record)
+                    {
+                        "name": "partition",
+                        "field-id": 102,
+                        "type": {"type": "record", "name": "r102", "fields": []},
+                    },
+                    {"name": "record_count", "type": "long", "field-id": 103},
+                    {
+                        "name": "file_size_in_bytes",
+                        "type": "long",
+                        "field-id": 104,
+                    },
                 ],
             },
         },
@@ -333,6 +366,27 @@ def _spark_to_iceberg_schema(schema: T.StructType) -> dict:
     return top
 
 
+def _max_field_id(iceberg_schema: dict) -> int:
+    """Highest assigned column id in an iceberg schema dict (the
+    spec-required ``last-column-id``)."""
+    best = 0
+
+    def walk(node) -> None:
+        nonlocal best
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k in ("id", "element-id", "key-id", "value-id") and isinstance(v, int):
+                    best = max(best, v)
+                else:
+                    walk(v)
+        elif isinstance(node, list):
+            for v in node:
+                walk(v)
+
+    walk(iceberg_schema)
+    return best
+
+
 def _parquet_row_count(path: str) -> int:
     import pyarrow.parquet as pq
 
@@ -382,12 +436,21 @@ def write_iceberg_lite(
         _glob.glob(os.path.join(data_dir, "*.parquet"))
     )
 
+    import time as _time
+
     snapshot_id = 1
     if prior and prior.get("snapshots"):
         snapshot_id = max(s["snapshot-id"] for s in prior["snapshots"]) + 1
+    # v2 commit ordering: one sequence number per commit, inherited by
+    # the snapshot, its new manifest-list entry, and (via null
+    # inheritance) the new manifest's ADDED entries
+    seq = int((prior or {}).get("last-sequence-number") or 0) + 1
+    now_ms = int(_time.time() * 1000)
 
     # 2. one manifest for the new files
     manifest_path = os.path.join(meta_dir, f"manifest-{commit_uuid}.avro")
+    iceberg_schema = _spark_to_iceberg_schema(df.schema)
+    row_counts = {p: _parquet_row_count(p) for p in files}
     write_container(
         manifest_path,
         _MANIFEST_SCHEMA,
@@ -395,16 +458,29 @@ def write_iceberg_lite(
             {
                 "status": 1,  # ADDED
                 "snapshot_id": snapshot_id,
+                "sequence_number": None,       # inherited (v2 spec)
+                "file_sequence_number": None,  # inherited
                 "data_file": {
                     "content": 0,
                     "file_path": p,
                     "file_format": "PARQUET",
-                    "record_count": _parquet_row_count(p),
+                    "partition": {},
+                    "record_count": row_counts[p],
                     "file_size_in_bytes": os.path.getsize(p),
                 },
             }
             for p in files
         ),
+        extra_meta={
+            # container-metadata keys real v2 readers require on
+            # manifest files (spec "Manifests")
+            "schema": json.dumps(iceberg_schema).encode(),
+            "schema-id": b"0",
+            "partition-spec": b"[]",
+            "partition-spec-id": b"0",
+            "format-version": b"2",
+            "content": b"data",
+        },
     )
 
     # 3. manifest list: append reuses the prior snapshot's manifests
@@ -414,6 +490,23 @@ def write_iceberg_lite(
         ml = _localize(cur["manifest-list"], table_path)
         with open(ml, "rb") as fh:
             _, carried = read_container(fh.read())
+    # entries carried from pre-v2-field snapshots need the v2-required
+    # fields backfilled (the new schema makes them non-nullable)
+    carried = [
+        {
+            "content": 0,
+            "sequence_number": 0,
+            "min_sequence_number": 0,
+            "added_files_count": 0,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": 0,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            **{k: v for k, v in c.items() if v is not None},
+        }
+        for c in carried
+    ]
     mlist_path = os.path.join(meta_dir, f"snap-{snapshot_id}-{commit_uuid}.avro")
     write_container(
         mlist_path,
@@ -426,17 +519,35 @@ def write_iceberg_lite(
                     "manifest_length": os.path.getsize(manifest_path),
                     "partition_spec_id": 0,
                     "content": 0,
+                    "sequence_number": seq,
+                    "min_sequence_number": seq,
                     "added_snapshot_id": snapshot_id,
+                    "added_files_count": len(files),
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": sum(row_counts.values()),
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
                 }
             ]
         ),
+        extra_meta={"format-version": b"2"},
     )
 
-    # 4. new metadata version, O_EXCL-claimed
+    # 4. new metadata version, O_EXCL-claimed. The field set is the
+    # spec's v2 REQUIRED list — sequence numbers, last-column-id,
+    # partition specs, sort orders, epoch-millis timestamps — so real
+    # engines accept the table, not just the lite reader.
     snapshots = list(prior.get("snapshots") or []) if prior else []
     snapshots.append(
-        {"snapshot-id": snapshot_id, "manifest-list": mlist_path,
-         "timestamp-ms": snapshot_id}
+        {
+            "snapshot-id": snapshot_id,
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": mlist_path,
+            "summary": {"operation": "append" if mode == "append" else "overwrite"},
+            "schema-id": 0,
+        }
     )
     meta = {
         "format-version": 2,
@@ -444,9 +555,19 @@ def write_iceberg_lite(
             "table-uuid", str(_uuid.UUID(int=int(commit_uuid[:32], 16)))
         ),
         "location": table_path,
+        "last-sequence-number": seq,
+        "last-updated-ms": now_ms,
+        "last-column-id": _max_field_id(iceberg_schema),
         "current-snapshot-id": snapshot_id,
-        "schemas": [_spark_to_iceberg_schema(df.schema)],
+        "schemas": [iceberg_schema],
         "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        # no partition fields assigned yet: the spec reserves ids from
+        # 1000, so "highest assigned" is 999
+        "last-partition-id": 999,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
         "snapshots": snapshots,
     }
     version = 1

@@ -108,6 +108,8 @@ class DeltaSource:
             return read_delta_lite(
                 spark, self.uri.path,
                 version_as_of=int(v) if v is not None else None,
+                # partition-predicate FILE pruning at the log level
+                where=self.uri.params.get("where"),
             )
         return FileSource(self.uri, "delta").read(spark)
 
@@ -292,6 +294,43 @@ def _kafka_available(spark: SparkSession) -> bool:
     )
 
 
+def kafka_reader_contract(uri: ParsedUri) -> tuple[str, dict[str, str]]:
+    """(serde, reader options) EXACTLY as handed to ``format("kafka")``.
+
+    This is the option contract the broker path depends on — parity
+    with ``KafkaUriParser.scala:12-19`` / ``ETLTest.scala:174``:
+    bootstrap servers from the URI authority, ``subscribe`` from the
+    first path segment, every other query param (``startingOffsets``,
+    ``kafka.*`` tuning, ...) passed through verbatim. Pinned by
+    ``tests/test_serde.py`` so the plumbing is verified even though the
+    sandbox has no broker to execute against.
+    """
+    topic = uri.first_path_part()
+    opts = reader_options(uri)
+    serde = opts.pop("serde", "json")
+    opts.pop("watermark", None)
+    return serde, {
+        "kafka.bootstrap.servers": uri.authority,
+        "subscribe": topic,
+        **opts,
+    }
+
+
+def kafka_writer_contract(uri: ParsedUri) -> tuple[str, dict[str, str]]:
+    """(serde, writer options) EXACTLY as handed to ``format("kafka")``
+    on the write side: bootstrap from authority, ``topic`` from the
+    first path segment, extra params passed through."""
+    topic = uri.first_path_part()
+    opts = reader_options(uri)
+    serde = opts.pop("serde", "json")
+    opts.pop("watermark", None)
+    return serde, {
+        "kafka.bootstrap.servers": uri.authority,
+        "topic": topic,
+        **opts,
+    }
+
+
 @dataclass
 class KafkaSource:
     """``kafka://host:port/topic?serde=json[:schema]|none&...``."""
@@ -304,14 +343,11 @@ class KafkaSource:
         from spark_etl_cli_spark.streaming.serde import deserialize_values
 
         topic = self.uri.first_path_part()
-        opts = reader_options(self.uri)
-        serde = opts.pop("serde", "json")
+        serde, options = kafka_reader_contract(self.uri)
         reader = (
             (spark.readStream if self.uri.is_stream else spark.read)
             .format("kafka")
-            .option("kafka.bootstrap.servers", self.uri.authority)
-            .option("subscribe", topic)
-            .options(**opts)
+            .options(**options)
         )
         raw = reader.load()
         df = deserialize_values(spark, raw, serde, topic=topic)
@@ -330,25 +366,12 @@ class KafkaSink:
         from spark_etl_cli_spark.streaming.serde import serialize_values
 
         topic = self.uri.first_path_part()
-        opts = reader_options(self.uri)
-        serde = opts.pop("serde", "json")
+        serde, options = kafka_writer_contract(self.uri)
         out = serialize_values(df, serde, topic=topic)
         if df.isStreaming:
-            writer = (
-                out.writeStream.format("kafka")
-                .option("kafka.bootstrap.servers", self.uri.authority)
-                .option("topic", topic)
-                .options(**opts)
-            )
-            writer.start()
+            out.writeStream.format("kafka").options(**options).start()
             return True
-        (
-            out.write.format("kafka")
-            .option("kafka.bootstrap.servers", self.uri.authority)
-            .option("topic", topic)
-            .options(**opts)
-            .save()
-        )
+        out.write.format("kafka").options(**options).save()
         return True
 
 
@@ -360,6 +383,20 @@ def kafka_source(p: ParsedUri) -> KafkaSource:
 @register_sink("kafka", "kafka-stream")
 def kafka_sink(p: ParsedUri) -> KafkaSink:
     return KafkaSink(p)
+
+
+@register_source("kafka-lite", "kafka-lite-stream")
+def kafka_lite_source(p: ParsedUri):
+    from spark_etl_cli_spark.sources.kafka_lite import KafkaLiteSource
+
+    return KafkaLiteSource(p)
+
+
+@register_sink("kafka-lite", "kafka-lite-stream")
+def kafka_lite_sink(p: ParsedUri):
+    from spark_etl_cli_spark.sources.kafka_lite import KafkaLiteSink
+
+    return KafkaLiteSink(p)
 
 
 @dataclass

@@ -219,10 +219,25 @@ def _avro_decode_lite(raw: DataFrame, schema_json: str, skip: int = 0) -> DataFr
 
     @F.pandas_udf(spark_type)
     def dec(values: pd.Series) -> pd.DataFrame:
-        recs = [decoder(Reader(bytes(v)[skip:])) for v in values]
-        return pd.DataFrame.from_records(recs, columns=names)
+        # null kafka values (tombstones) → null struct, matching the
+        # jar-backed from_avro path rather than crashing on bytes(None)
+        recs = [
+            None
+            if v is None or (isinstance(v, float) and v != v)
+            else decoder(Reader(bytes(v)[skip:]))
+            for v in values
+        ]
+        return pd.DataFrame.from_records(
+            [r if r is not None else {n: None for n in names} for r in recs],
+            columns=names,
+        )
 
-    return raw.select(dec(F.col("value")).alias("v")).select("v.*")
+    # true null STRUCT for tombstones (from_avro parity): the struct
+    # UDF can only express null fields, so null-ness is restored here
+    v = F.when(
+        F.col("value").isNull(), F.lit(None).cast(spark_type)
+    ).otherwise(dec(F.col("value")))
+    return raw.select(v.alias("v")).select("v.*")
 
 
 def _avro_encode_lite(

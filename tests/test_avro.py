@@ -141,6 +141,33 @@ def test_type_matrix_roundtrip():
     assert dec("float", enc("float", 1.5)) == 1.5
 
 
+def test_timestamp_integer_exactness():
+    """Every microsecond tick must round-trip bit-exactly.
+
+    The old encoder used int(v.timestamp() * 1e6) — a float64 crossing that
+    mis-encodes ~1.2% of microsecond-precision values by 1us. Sweep a dense
+    grid of awkward values (large epochs, x.999999s, primes) and assert both
+    the encoded long and the decoded datetime are exact.
+    """
+    us_schema = {"type": "long", "logicalType": "timestamp-micros"}
+    ms_schema = {"type": "long", "logicalType": "timestamp-millis"}
+    epoch = dt.datetime(1970, 1, 1)
+    # micros values chosen to be unrepresentable as float64 seconds
+    for us in [1, 999_999, 1_600_000_000_123_457, 1_719_792_896_789_011,
+               2**53 + 1, 4_102_444_800_000_001,
+               *range(1_700_000_000_000_000, 1_700_000_000_000_100, 7)]:
+        v = epoch + dt.timedelta(microseconds=us)
+        raw = enc(us_schema, v)
+        # the wire long itself must equal the true microsecond count
+        from spark_etl_cli_spark.sources.avro_lite import Reader
+        assert Reader(raw).read_long() == us, us
+        assert dec(us_schema, raw) == v, us
+    for ms in [1, 999, 1_600_000_000_123, 2**41 + 1]:
+        v = epoch + dt.timedelta(milliseconds=ms)
+        raw = enc(ms_schema, v)
+        assert dec(ms_schema, raw) == v, ms
+
+
 def test_negative_block_count_form_decodes():
     # writers may emit the (-count, bytesize) block form for arrays;
     # [3, 27] as -2 items, 2 bytes: 03 04 06 36 00
@@ -332,6 +359,41 @@ def test_avro_stream_read_without_jar(spark, tmp_path):
     )
     q2.awaitTermination(60)
     assert spark.table("avro_stream_t2").count() == 8
+
+
+def test_avro_stream_reads_partitioned_subdirs(spark, tmp_path):
+    # the recursive glob finds files in subdirectories (a partitioned
+    # spark-avro layout); offsets must store root-RELATIVE paths so
+    # those files are actually read — and same-named files in different
+    # subdirs must not alias each other (old basename offsets lost both)
+    from spark_etl_cli_spark.registry import resolve_source
+    from spark_etl_cli_spark.sources.avro_lite import write_container
+    from spark_etl_cli_spark.sources.files import _has_spark_avro
+
+    if _has_spark_avro(spark):
+        pytest.skip("spark-avro jar present: jvm stream path is the real one")
+
+    root = tmp_path / "stream_sub"
+    schema = {
+        "type": "record", "name": "r",
+        "fields": [{"name": "id", "type": "long"}],
+    }
+    for part, ids in [("part=a", [1, 2]), ("part=b", [3])]:
+        d = root / part
+        d.mkdir(parents=True)
+        # SAME basename in both subdirs — the aliasing trap
+        write_container(str(d / "f.avro"), schema, iter([{"id": i} for i in ids]))
+    _, source = resolve_source(f"s+avro-stream://{root}")
+    q = (
+        source.read(spark)
+        .writeStream.format("memory")
+        .queryName("avro_stream_sub")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = sorted(r.id for r in spark.table("avro_stream_sub").collect())
+    assert got == [1, 2, 3]
 
 
 def test_avro_stream_explicit_schema_on_empty_dir(spark, tmp_path):

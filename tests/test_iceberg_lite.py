@@ -231,6 +231,59 @@ def test_iceberg_write_read_roundtrip_and_append(spark, tmp_path):
     assert spark.table("ice_rt").count() == 2
 
 
+def test_iceberg_write_emits_v2_required_fields(spark, tmp_path):
+    """The writer claims format-version 2, so it must emit the spec's
+    v2-REQUIRED field set — sequence numbers, counts, partition specs,
+    sort orders, epoch-millis timestamps — not a lite-reader-only
+    subset a real engine would reject."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from spark_etl_cli_spark.sources.avro_lite import read_container
+    from spark_etl_cli_spark.sources.iceberg_lite import write_iceberg_lite
+
+    table = str(tmp_path / "ice_v2")
+    t0 = int(_time.time() * 1000)
+    write_iceberg_lite(spark.range(3).selectExpr("id"), table)
+    write_iceberg_lite(spark.range(3, 5).selectExpr("id"), table)
+    meta_dir = _os.path.join(table, "metadata")
+    with open(_os.path.join(meta_dir, "v2.metadata.json")) as fh:
+        meta = _json.load(fh)
+    for key in (
+        "last-sequence-number", "last-updated-ms", "last-column-id",
+        "partition-specs", "default-spec-id", "last-partition-id",
+        "sort-orders", "default-sort-order-id",
+    ):
+        assert key in meta, key
+    assert meta["last-sequence-number"] == 2
+    assert meta["last-updated-ms"] >= t0  # real epoch millis, not 1,2,3
+    assert meta["last-column-id"] == 1    # single `id` column
+    snap = meta["snapshots"][-1]
+    assert snap["sequence-number"] == 2
+    assert snap["timestamp-ms"] >= t0
+    assert snap["summary"]["operation"] == "append"
+    # manifest list: v2-required per-entry fields, correct counts
+    with open(snap["manifest-list"], "rb") as fh:
+        _, entries = read_container(fh.read())
+    assert len(entries) >= 2  # carried + new
+    new = max(entries, key=lambda e: e["sequence_number"])
+    assert new["sequence_number"] == 2 == new["min_sequence_number"]
+    assert new["added_rows_count"] == 2 and new["deleted_files_count"] == 0
+    assert new["added_files_count"] >= 1
+    # manifest container metadata: schema / partition-spec / content
+    mf = new["manifest_path"]
+    with open(mf, "rb") as fh:
+        raw = fh.read()
+    for needle in (b"partition-spec", b"format-version", b"content"):
+        assert needle in raw[:8192], needle
+    # manifest entries: ADDED rows inherit sequence numbers via null
+    _, recs = read_container(raw)
+    assert all(r["sequence_number"] is None for r in recs)
+    assert all(r["data_file"]["partition"] == {} for r in recs)
+
+
 def test_iceberg_append_schema_mismatch_raises(spark, tmp_path):
     from spark_etl_cli_spark.sources.iceberg_lite import write_iceberg_lite
 

@@ -1,0 +1,190 @@
+"""kafka option contract + kafka-lite file-backed topic emulation.
+
+The sandbox has no broker/jar, so the broker path is verified by
+(a) pinning the EXACT reader/writer options the connector hands to
+``format("kafka")`` (parity with ``KafkaUriParser.scala:12-19``), and
+(b) running the reference's Test-1 pipeline shape (produce 5 JSON
+people → source → diff vs values → empty diff,
+``ETLTest.scala:92-128``) end-to-end over ``kafka-lite://``, which
+shares the serde module with the real connector.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_etl_cli_spark.pipeline import run_pipeline
+from spark_etl_cli_spark.registry import resolve_sink, resolve_source
+from spark_etl_cli_spark.uri import parse_uri
+
+
+# ------------------------------------------------- option contract (S9)
+
+
+def test_kafka_reader_option_contract():
+    from spark_etl_cli_spark.sources.optional import kafka_reader_contract
+
+    uri = parse_uri(
+        "k+kafka://broker1:9092,broker2:9092/events"
+        "?serde=none&startingOffsets=earliest"
+        "&kafka.security.protocol=SSL&maxOffsetsPerTrigger=500"
+    )
+    serde, opts = kafka_reader_contract(uri)
+    assert serde == "none"
+    assert opts == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "events",
+        "startingOffsets": "earliest",
+        "kafka.security.protocol": "SSL",
+        "maxOffsetsPerTrigger": "500",
+    }
+
+
+def test_kafka_writer_option_contract():
+    from spark_etl_cli_spark.sources.optional import kafka_writer_contract
+
+    uri = parse_uri(
+        "k+kafka-stream://broker:9092/out?serde=json"
+        "&checkpointLocation=/tmp/ck&kafka.acks=all"
+    )
+    serde, opts = kafka_writer_contract(uri)
+    assert serde == "json"
+    assert opts == {
+        "kafka.bootstrap.servers": "broker:9092",
+        "topic": "out",
+        "checkpointLocation": "/tmp/ck",
+        "kafka.acks": "all",
+    }
+
+
+def test_kafka_contract_default_serde_and_watermark_excluded():
+    from spark_etl_cli_spark.sources.optional import kafka_reader_contract
+
+    uri = parse_uri("k+kafka-stream://b:9092/t?watermark=ts:10 seconds")
+    serde, opts = kafka_reader_contract(uri)
+    assert serde == "json"
+    assert "watermark" not in opts
+    assert opts["subscribe"] == "t"
+
+
+# ------------------------------------------------- kafka-lite roundtrips
+
+
+def test_kafka_lite_batch_roundtrip_json_schema(spark, tmp_path):
+    topic = f"{tmp_path}/people"
+    df = spark.createDataFrame(
+        [(i, f"name-{i}") for i in range(5)], "id long, name string"
+    )
+    resolve_sink(f"p+kafka-lite://{topic}")[1].write(df)
+    _, src = resolve_source(
+        f"p+kafka-lite://{topic}?serde=json:id long, name string"
+    )
+    back = src.read(spark)
+    assert {(r.id, r.name) for r in back.collect()} == {
+        (i, f"name-{i}") for i in range(5)
+    }
+
+
+def test_kafka_lite_record_shape_matches_kafka(spark, tmp_path):
+    # segment rows carry the kafka source's exact column contract
+    topic = f"{tmp_path}/shape"
+    resolve_sink(f"p+kafka-lite://{topic}")[1].write(
+        spark.createDataFrame([(1,)], "id long")
+    )
+    raw = spark.read.parquet(topic)
+    assert [f.name for f in raw.schema.fields] == [
+        "key", "value", "topic", "partition", "offset",
+        "timestamp", "timestampType",
+    ]
+    row = raw.collect()[0]
+    assert row.topic == "shape" and row.timestampType == 0
+    assert isinstance(bytes(row.value), bytes)
+
+
+def test_kafka_lite_avro_serde_roundtrip(spark, tmp_path):
+    # full avro produce→consume over the file topic: same serde code
+    # the broker path uses, golden-byte-pinned elsewhere
+    schema = (
+        '{"type": "record", "name": "p", "fields": ['
+        '{"name": "id", "type": ["null", "long"]},'
+        '{"name": "name", "type": ["null", "string"]}]}'
+    )
+    topic = f"{tmp_path}/avro_topic"
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, name string")
+    resolve_sink(f"p+kafka-lite://{topic}?serde=avro:{schema}")[1].write(df)
+    _, src = resolve_source(f"p+kafka-lite://{topic}?serde=avro:{schema}")
+    got = {(r.id, r.name) for r in src.read(spark).collect()}
+    assert got == {(1, "x"), (2, "y")}
+
+
+def test_kafka_lite_reference_test1_pipeline(spark, tmp_path):
+    """The reference's Test 1 (ETLTest.scala:92-128), broker-free:
+    produce 5 people as JSON → kafka-lite source → diff against the
+    expected inline values → the diff must be EMPTY (handle=fail raises
+    on any difference, so pipeline success == equality proven)."""
+    topic = f"{tmp_path}/person_topic"
+    expected = (
+        "expected+values://?header=id:long,name"
+        "&values=" + ";".join(f"{i},name-{i}" for i in range(5))
+    )
+    # produce
+    run_pipeline(
+        spark,
+        sources=[expected.replace("expected+", "people+")],
+        sinks=[f"people+kafka-lite://{topic}"],
+    )
+    # consume → diff vs expected → fail on ANY difference
+    res = run_pipeline(
+        spark,
+        sources=[
+            f"people+kafka-lite://{topic}?serde=json:id long, name string",
+            expected,
+        ],
+        transforms=[
+            "people+checked+diff://expected?id=id&handleDifferences=fail"
+        ],
+        sinks=["checked+console://"],
+    )
+    assert all(res.values())
+    # and the negative: a poisoned expectation must FAIL the pipeline
+    bad = expected.replace("4,name-4", "4,imposter")
+    with pytest.raises(Exception, match="[Dd]iff|difference"):
+        run_pipeline(
+            spark,
+            sources=[
+                f"people+kafka-lite://{topic}?serde=json:id long, name string",
+                bad,
+            ],
+            transforms=[
+                "people+checked+diff://expected?id=id&handleDifferences=fail"
+            ],
+            sinks=["checked+console://"],
+        )
+
+
+def test_kafka_lite_stream_read(spark, tmp_path):
+    # streaming consume: native file streaming over the segment dir
+    topic = f"{tmp_path}/stream_topic"
+    resolve_sink(f"p+kafka-lite://{topic}")[1].write(
+        spark.createDataFrame([(i,) for i in range(4)], "id long")
+    )
+    _, src = resolve_source(
+        f"p+kafka-lite-stream://{topic}?serde=json:id long"
+    )
+    stream = src.read(spark)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("kafka_lite_stream_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = sorted(r.id for r in spark.table("kafka_lite_stream_t").collect())
+    assert got == [0, 1, 2, 3]
+
+
+def test_kafka_lite_missing_topic_raises(spark, tmp_path):
+    _, src = resolve_source(f"p+kafka-lite://{tmp_path}/nope?serde=none")
+    with pytest.raises(FileNotFoundError, match="produce"):
+        src.read(spark)

@@ -431,6 +431,204 @@ def test_delta_lite_auto_checkpoint_interval(spark, tmp_path, monkeypatch):
     assert got == [0, 1, 2, 3]
 
 
+def test_delta_lite_checkpoint_protocol_gate(spark, tmp_path):
+    """Protocol actions stored IN a checkpoint (not just JSON commits)
+    must hit the same reader-feature validation — a checkpointed table
+    with an unsupported feature must raise, not silently read."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    import pytest as _pt
+    from pyspark.sql import types as T2
+
+    import spark_etl_cli_spark.sources.delta_lite as dl
+
+    table = f"{tmp_path}/dlpg"
+    log_dir = f"{table}/_delta_log"
+    _os.makedirs(log_dir)
+    cp_schema = T2.StructType(
+        [
+            T2.StructField(
+                "protocol",
+                T2.StructType(
+                    [
+                        T2.StructField("minReaderVersion", T2.IntegerType()),
+                        T2.StructField("minWriterVersion", T2.IntegerType()),
+                        T2.StructField(
+                            "readerFeatures", T2.ArrayType(T2.StringType())
+                        ),
+                    ]
+                ),
+            ),
+            T2.StructField(
+                "metaData",
+                T2.StructType(
+                    [
+                        T2.StructField("id", T2.StringType()),
+                        T2.StructField("schemaString", T2.StringType()),
+                        T2.StructField(
+                            "partitionColumns", T2.ArrayType(T2.StringType())
+                        ),
+                    ]
+                ),
+            ),
+            T2.StructField(
+                "add",
+                T2.StructType(
+                    [
+                        T2.StructField("path", T2.StringType()),
+                        T2.StructField(
+                            "partitionValues",
+                            T2.MapType(T2.StringType(), T2.StringType()),
+                        ),
+                        T2.StructField("size", T2.LongType()),
+                        T2.StructField("modificationTime", T2.LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    schema_str = T2.StructType([T2.StructField("k", T2.LongType())]).json()
+    rows = [
+        ((3, 7, ["variantType"]), None, None),
+        (None, ("tid", schema_str, []), None),
+        (None, None, ("f1.parquet", {}, 10, 0)),
+    ]
+    cp_df = spark.createDataFrame(rows, cp_schema)
+    tmp = f"{tmp_path}/cp_out"
+    cp_df.coalesce(1).write.parquet(tmp)
+    part = next(
+        f for f in _os.listdir(tmp)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+    _shutil.move(
+        f"{tmp}/{part}", f"{log_dir}/{0:020d}.checkpoint.parquet"
+    )
+    with open(f"{log_dir}/_last_checkpoint", "w") as fh:
+        _json.dump({"version": 0, "size": 3}, fh)
+    with _pt.raises(NotImplementedError, match="variantType"):
+        dl.read_delta_lite(spark, table)
+
+
+def test_delta_lite_where_prunes_file_list(spark, tmp_path):
+    """`where` over partition columns prunes the FILE LIST during log
+    replay: non-matching partitions' data files never reach the scan."""
+    from pyspark.sql import Row
+
+    import spark_etl_cli_spark.sources.delta_lite as dl
+
+    table = f"{tmp_path}/dlprune"
+    df = spark.createDataFrame(
+        [Row(k=i, part=p) for i, p in enumerate(["a", "a", "b", "c"])]
+    )
+    dl.write_delta_lite(df, table, partition_by=["part"])
+    all_adds, meta = dl._replay(spark, table)
+    pruned, _ = dl._replay(spark, table, where="part = 'b'")
+    assert len(pruned) < len(all_adds)
+    assert all(a["partitionValues"] == {"part": "b"} for a in pruned)
+    got = {(r.k, r.part)
+           for r in dl.read_delta_lite(spark, table, where="part = 'b'").collect()}
+    assert got == {(2, "b")}
+    # checkpoint path: pruning happens DataFrame-side before collect
+    dl.write_delta_lite(
+        spark.createDataFrame([Row(k=9, part="b")]), table, mode="append"
+    )
+    dl.write_checkpoint(spark, table)
+    pruned_cp, _ = dl._replay(spark, table, where="part = 'b'")
+    assert all(a["partitionValues"] == {"part": "b"} for a in pruned_cp)
+    assert len(pruned_cp) >= 2
+    # non-partition predicate: no file pruning, but rows stay exact
+    unpruned, _ = dl._replay(spark, table, where="k > 2")
+    assert len(unpruned) == len(dl._replay(spark, table)[0])
+    got = {r.k for r in dl.read_delta_lite(spark, table, where="k > 2").collect()}
+    assert got == {3, 9}
+
+
+def test_delta_lite_large_checkpoint_bounded_driver(spark, tmp_path, monkeypatch):
+    """Synthetic 100k-add checkpoint: snapshot reconstruction stays
+    DataFrame-side (tail reconciliation via anti-join), the driver sees
+    only the final list, and the file-count guard trips when lowered."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    import pytest as _pt
+    from pyspark.sql import functions as F2
+    from pyspark.sql import types as T2
+
+    import spark_etl_cli_spark.sources.delta_lite as dl
+
+    table = f"{tmp_path}/dlbig"
+    log_dir = f"{table}/_delta_log"
+    _os.makedirs(log_dir)
+    n = 100_000
+    schema_str = T2.StructType(
+        [T2.StructField("k", T2.LongType()), T2.StructField("part", T2.StringType())]
+    ).json()
+    # checkpoint generated distributed — 100k add rows, 50 partitions
+    cp = spark.range(n).select(
+        F2.lit(None).cast(
+            "struct<minReaderVersion:int,minWriterVersion:int>"
+        ).alias("protocol"),
+        F2.lit(None).cast(
+            "struct<id:string,schemaString:string,partitionColumns:array<string>>"
+        ).alias("metaData"),
+        F2.struct(
+            F2.concat(F2.lit("part-"), F2.col("id")).alias("path"),
+            F2.create_map(
+                F2.lit("part"), (F2.col("id") % 50).cast("string")
+            ).alias("partitionValues"),
+            F2.lit(10).cast("long").alias("size"),
+            F2.lit(0).cast("long").alias("modificationTime"),
+        ).alias("add"),
+    )
+    nullable_schema = T2.StructType(
+        [T2.StructField(f.name, f.dataType, True) for f in cp.schema.fields]
+    )
+    meta_row = spark.createDataFrame(
+        [(None, ("tid", schema_str, ["part"]), None)], nullable_schema
+    )
+    tmp = f"{tmp_path}/cp_out"
+    cp.unionByName(meta_row).coalesce(1).write.parquet(tmp)
+    part = next(
+        f for f in _os.listdir(tmp)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+    _shutil.move(f"{tmp}/{part}", f"{log_dir}/{0:020d}.checkpoint.parquet")
+    with open(f"{log_dir}/_last_checkpoint", "w") as fh:
+        _json.dump({"version": 0, "size": n + 1}, fh)
+    # JSON tail: remove 10 checkpoint files, re-add 5 of them, add 3 new
+    with open(f"{log_dir}/{1:020d}.json", "w") as fh:
+        for i in range(10):
+            fh.write(_json.dumps({"remove": {"path": f"part-{i}"}}) + "\n")
+        for i in range(5):
+            fh.write(_json.dumps({"add": {
+                "path": f"part-{i}",
+                "partitionValues": {"part": str(i % 50)}, "size": 11,
+                "modificationTime": 1, "dataChange": True}}) + "\n")
+        for i in range(3):
+            fh.write(_json.dumps({"add": {
+                "path": f"new-{i}",
+                "partitionValues": {"part": "0"}, "size": 12,
+                "modificationTime": 1, "dataChange": True}}) + "\n")
+    adds, meta = dl._replay(spark, table)
+    assert len(adds) == n - 10 + 5 + 3
+    by_path = {a["path"]: a for a in adds}
+    assert "part-5" not in by_path          # removed, not re-added
+    assert by_path["part-3"]["size"] == 11  # tail re-add wins
+    assert "new-2" in by_path
+    # partition pruning shrinks the collected list before it reaches
+    # the driver: 1/50 of the checkpoint + the matching tail adds
+    pruned, _ = dl._replay(spark, table, where="part = '7'")
+    assert len(pruned) == n // 50 - 1  # part-7 was removed by the tail
+    assert all(a["partitionValues"]["part"] == "7" for a in pruned)
+    # the guard trips rather than letting the driver absorb the list
+    monkeypatch.setenv("SPARK_ETL_DELTA_LITE_MAX_FILES", "1000")
+    with _pt.raises(RuntimeError, match="more than 1000 active files"):
+        dl._replay(spark, table)
+
+
 def test_delta_lite_append_schema_mismatch_refused(spark, tmp_path):
     from pyspark.sql import Row
 

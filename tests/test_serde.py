@@ -258,6 +258,27 @@ def test_avro_serde_roundtrip_without_jar(spark):
     assert rows[2].name is None and rows[2].score is None
 
 
+def test_avro_serde_null_value_tombstone(spark):
+    # kafka tombstones (null value) must decode like the jar-backed
+    # from_avro path (null struct -> null fields) — not crash on
+    # bytes(None). The two serde codepaths must agree on this input.
+    schema = (
+        '{"type": "record", "name": "ev", "fields": ['
+        '{"name": "id", "type": ["null", "long"]},'
+        '{"name": "name", "type": ["null", "string"]}]}'
+    )
+    df = spark.createDataFrame([(1, "x")], "id long, name string")
+    enc_rows = serialize_values(df, f"avro:{schema}").collect()
+    raw = spark.createDataFrame(
+        [(bytes(enc_rows[0].value),), (None,)], "value binary"
+    )
+    from spark_etl_cli_spark.streaming.serde import _avro_decode_lite
+
+    rows = _avro_decode_lite(raw, schema).collect()
+    assert len(rows) == 2
+    assert {(r.id, r.name) for r in rows} == {(1, "x"), (None, None)}
+
+
 def test_avro_serde_roundtrip_arrays_without_jar(spark):
     # array columns arrive in the encode UDF as numpy arrays — the
     # NaN-cleaning step must not trip over them
