@@ -90,7 +90,7 @@ def stream_via_foreach_batch(df: DataFrame, write_batch, uri: ParsedUri) -> bool
 
 # query params consumed by the framework, not forwarded as reader options
 _RESERVED = {"schema", "watermark", "trigger-interval", "mode",
-             "partition-by", "sort-by"}
+             "partition-by", "sort-by", "where", "view"}
 
 
 def reader_options(p: ParsedUri) -> dict[str, str]:
@@ -111,18 +111,27 @@ class FileSource:
         # mutated shared session state as a side effect.
         opts = {**self.default_options, **reader_options(self.uri)}
         path = self.uri.path
+        # ?where= is a uniform row predicate on every file source —
+        # declared before any transform, so Catalyst pushes it into the
+        # scan (PushedFilters) rather than filtering post-hoc; the lite
+        # lakehouse readers additionally prune their FILE lists with it
+        where = self.uri.params.get("where")
         if self.uri.is_stream:
             reader = spark.readStream.format(self.fmt).options(**opts)
             schema_json = self.uri.params.get("schema")
             if schema_json:
                 reader = reader.schema(parse_schema_json(schema_json))
             df = reader.load(path)
+            if where:
+                df = df.filter(where)
             return apply_watermark(df, self.uri.params.get("watermark"))
         reader = spark.read.format(self.fmt).options(**opts)
         schema_json = self.uri.params.get("schema")
         if schema_json:
             reader = reader.schema(parse_schema_json(schema_json))
         df = reader.load(path)
+        if where:
+            df = df.filter(where)
         return apply_watermark(df, self.uri.params.get("watermark"))
 
 

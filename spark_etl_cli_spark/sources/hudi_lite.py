@@ -53,7 +53,9 @@ def _completed_instants(table_path: str) -> list[tuple[str, str, str]]:
     out = []
     for sub in ("", "timeline"):
         tdir = os.path.join(table_path, ".hoodie", sub)
-        for action in ("commit", "replacecommit"):
+        # deltacommit = MOR writes (base files on insert, .log on
+        # update); COW timelines simply have none
+        for action in ("commit", "replacecommit", "deltacommit"):
             for p in _glob.glob(os.path.join(tdir, f"*.{action}")):
                 name = os.path.basename(p)[: -(len(action) + 1)]
                 ts = name.split("_")[0]
@@ -62,14 +64,76 @@ def _completed_instants(table_path: str) -> list[tuple[str, str, str]]:
     return sorted(out)
 
 
+def _hive_style_partition(part: str) -> dict[str, str] | None:
+    """``key=val[/key2=val2]`` partition path → {col: value}, or None
+    for non-hive layouts (``2021/01/01``) where column names are
+    unrecoverable from the path alone."""
+    if not part:
+        return {}
+    out: dict[str, str] = {}
+    for seg in part.strip("/").split("/"):
+        if "=" not in seg:
+            return None
+        k, v = seg.split("=", 1)
+        out[k] = v
+    return out
+
+
+def _prune_partitions(
+    spark: SparkSession, parts: set[str], where: str
+) -> set[str] | None:
+    """Partition paths kept by ``where``, or None when pruning can't
+    apply (non-hive layout / predicate doesn't bind). Evaluated
+    Spark-side per DISTINCT partition path; values are strings from the
+    path — Spark's implicit casts make ``part = 5`` style predicates
+    behave as the engine would."""
+    from pyspark.sql import functions as F
+
+    parsed = {p: _hive_style_partition(p) for p in parts}
+    if any(v is None for v in parsed.values()):
+        return None
+    cols = sorted({k for v in parsed.values() for k in v})
+    if not cols:
+        return None
+    rows = [
+        tuple([p] + [parsed[p].get(c) for c in cols]) for p in sorted(parts)
+    ]
+    schema = "__hudi_part string, " + ", ".join(f"`{c}` string" for c in cols)
+    try:
+        kept_df = spark.createDataFrame(rows, schema).filter(F.expr(where))
+        kept_df.columns  # force analysis
+        return {r["__hudi_part"] for r in kept_df.collect()}
+    except Exception:
+        return None
+
+
 def read_hudi_lite(
-    spark: SparkSession, table_path: str, as_of: str | None = None
+    spark: SparkSession,
+    table_path: str,
+    as_of: str | None = None,
+    view: str | None = None,
+    where: str | None = None,
 ) -> DataFrame:
+    """Snapshot read via timeline replay.
+
+    ``view='read_optimized'`` opts a MERGE_ON_READ table into its
+    documented read-optimized view: latest BASE files only, log files
+    ignored (that is exactly Hudi's ``_ro`` table semantics — fresher
+    un-compacted updates are not visible). Without the opt-in, MOR
+    still raises: the snapshot view needs the Hudi runtime's log merge.
+
+    ``where``: SQL predicate; hive-style partition paths
+    (``key=val/...``) prune the FILE LIST before any footer is opened,
+    and the predicate is always applied to rows as well.
+    """
     ttype = _table_type(table_path)
-    if ttype != "COPY_ON_WRITE":
+    read_optimized = view == "read_optimized"
+    if ttype != "COPY_ON_WRITE" and not read_optimized:
         raise NotImplementedError(
             f"hudi_lite reads COPY_ON_WRITE tables; {ttype} (merge-on-read) "
-            "log-file merging needs the Hudi runtime"
+            "log-file merging needs the Hudi runtime. Pass "
+            "view='read_optimized' (?view=read_optimized) for the "
+            "base-file-only RO view."
         )
     instants = _completed_instants(table_path)
     if as_of is not None:
@@ -80,7 +144,9 @@ def read_hudi_lite(
             + (f" at or before {as_of}" if as_of else "")
         )
     # latest file slice per (partition, fileId); replacecommits drop
-    # whole file groups (clustering / insert_overwrite)
+    # whole file groups (clustering / insert_overwrite). In RO view,
+    # .log.* write-stats (MOR delta files) are skipped — base files
+    # (.parquet) are the view, per the spec's read-optimized contract.
     slices: dict[tuple[str, str], str] = {}
     for ts, action, path in instants:
         with open(path) as fh:
@@ -95,7 +161,13 @@ def read_hudi_lite(
             for st in stats:
                 fid = st.get("fileId") or st["path"]
                 rel = st["path"]
+                if ".log." in os.path.basename(rel):
+                    continue  # MOR log file: never part of the RO view
                 slices[(part, fid)] = os.path.join(table_path, rel)
+    if where:
+        kept = _prune_partitions(spark, {p for p, _ in slices}, where)
+        if kept is not None:
+            slices = {k: v for k, v in slices.items() if k[0] in kept}
     files = sorted(set(slices.values()))
     missing = [f for f in files if not os.path.exists(f)]
     if missing:
@@ -103,12 +175,17 @@ def read_hudi_lite(
             f"hudi commit references missing base files: {missing[:3]}"
         )
     if not files:
-        raise ValueError(f"hudi table {table_path} has no live base files")
+        raise ValueError(
+            f"hudi table {table_path} has no live base files"
+            + (" matching the partition predicate" if where else "")
+        )
     df = spark.read.parquet(*files)
     # drop Hudi's bookkeeping meta columns if present (the payload the
     # user wrote is everything after them)
     meta_cols = [c for c in df.columns if c.startswith("_hoodie_")]
-    return df.drop(*meta_cols) if meta_cols else df
+    if meta_cols:
+        df = df.drop(*meta_cols)
+    return df.filter(where) if where else df
 
 
 # --- engine-free WRITER (insert-only COW) ---------------------------------

@@ -83,62 +83,68 @@ def _localize(path: str, table_path: str) -> str:
     return p
 
 
-def _schema_to_spark(meta: dict) -> T.StructType:
+def _current_schema(meta: dict) -> dict:
     schemas = meta.get("schemas")
     if schemas:
         cur = meta.get("current-schema-id", 0)
-        schema = next(
+        return next(
             (s for s in schemas if s.get("schema-id") == cur), schemas[-1]
         )
-    else:
-        schema = meta["schema"]  # v1 single-schema form
+    return meta["schema"]  # v1 single-schema form
 
-    def conv(t) -> T.DataType:
-        if isinstance(t, dict):
-            kind = t["type"]
-            if kind == "struct":
-                return T.StructType(
-                    [
-                        T.StructField(
-                            f["name"], conv(f["type"]), not f.get("required")
-                        )
-                        for f in t["fields"]
-                    ]
-                )
-            if kind == "list":
-                return T.ArrayType(
-                    conv(t["element"]), not t.get("element-required")
-                )
-            if kind == "map":
-                return T.MapType(
-                    conv(t["key"]), conv(t["value"]),
-                    not t.get("value-required"),
-                )
-            raise ValueError(f"iceberg_lite: unknown nested type {t!r}")
-        if t.startswith("decimal"):
-            m = re.match(r"decimal\((\d+),\s*(\d+)\)", t)
-            return T.DecimalType(int(m.group(1)), int(m.group(2)))
-        if t.startswith("fixed"):
-            return T.BinaryType()
-        prim = {
-            "boolean": T.BooleanType(),
-            "int": T.IntegerType(),
-            "long": T.LongType(),
-            "float": T.FloatType(),
-            "double": T.DoubleType(),
-            "date": T.DateType(),
-            "time": T.LongType(),
-            "timestamp": T.TimestampNTZType(),
-            "timestamptz": T.TimestampType(),
-            "string": T.StringType(),
-            "uuid": T.StringType(),
-            "binary": T.BinaryType(),
-        }
-        if t not in prim:
-            raise ValueError(f"iceberg_lite: unknown type {t!r}")
-        return prim[t]
 
-    return conv(schema)
+def _iceberg_type_to_spark(t) -> T.DataType:
+    if isinstance(t, dict):
+        kind = t["type"]
+        if kind == "struct":
+            return T.StructType(
+                [
+                    T.StructField(
+                        f["name"],
+                        _iceberg_type_to_spark(f["type"]),
+                        not f.get("required"),
+                    )
+                    for f in t["fields"]
+                ]
+            )
+        if kind == "list":
+            return T.ArrayType(
+                _iceberg_type_to_spark(t["element"]),
+                not t.get("element-required"),
+            )
+        if kind == "map":
+            return T.MapType(
+                _iceberg_type_to_spark(t["key"]),
+                _iceberg_type_to_spark(t["value"]),
+                not t.get("value-required"),
+            )
+        raise ValueError(f"iceberg_lite: unknown nested type {t!r}")
+    if t.startswith("decimal"):
+        m = re.match(r"decimal\((\d+),\s*(\d+)\)", t)
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    if t.startswith("fixed"):
+        return T.BinaryType()
+    prim = {
+        "boolean": T.BooleanType(),
+        "int": T.IntegerType(),
+        "long": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "date": T.DateType(),
+        "time": T.LongType(),
+        "timestamp": T.TimestampNTZType(),
+        "timestamptz": T.TimestampType(),
+        "string": T.StringType(),
+        "uuid": T.StringType(),
+        "binary": T.BinaryType(),
+    }
+    if t not in prim:
+        raise ValueError(f"iceberg_lite: unknown type {t!r}")
+    return prim[t]
+
+
+def _schema_to_spark(meta: dict) -> T.StructType:
+    return _iceberg_type_to_spark(_current_schema(meta))
 
 
 def _snapshot(meta: dict, snapshot_id: int | None) -> dict:
@@ -168,9 +174,78 @@ def _manifest_entries(table_path: str, snap: dict) -> list[dict]:
     return entries
 
 
-def read_iceberg_lite(
-    spark: SparkSession, table_path: str, snapshot_id: int | None = None
-) -> DataFrame:
+def _identity_partition_fields(meta: dict) -> list[tuple[str, str, T.DataType]]:
+    """[(partition_field_name, source_column_name, spark_type)] for the
+    default spec's IDENTITY-transform fields — the ones a partition
+    predicate can prune on. Non-identity transforms (bucket/truncate/
+    days/...) are skipped: pruning on them needs the transform
+    implementation, so those files are conservatively kept."""
+    specs = meta.get("partition-specs")
+    if specs is not None:
+        spec = next(
+            (s for s in specs if s.get("spec-id") == meta.get("default-spec-id", 0)),
+            specs[0] if specs else None,
+        )
+        fields = (spec or {}).get("fields", [])
+    else:
+        fields = meta.get("partition-spec") or []  # v1 legacy inline form
+    by_id: dict[int, tuple[str, T.DataType]] = {}
+    for f in _current_schema(meta).get("fields", []):
+        by_id[f["id"]] = (f["name"], _iceberg_type_to_spark(f["type"]))
+    out = []
+    for pf in fields:
+        if pf.get("transform") != "identity":
+            continue
+        src = by_id.get(pf.get("source-id"))
+        if src:
+            out.append((pf["name"], src[0], src[1]))
+    return out
+
+
+def _prune_file_entries(
+    spark: SparkSession,
+    entries: list[tuple[str, dict]],
+    part_fields: list[tuple[str, str, T.DataType]],
+    where: str,
+) -> list[str] | None:
+    """Evaluate ``where`` once per DISTINCT partition tuple (Spark-side,
+    so predicate semantics match the engine exactly) and return the
+    kept file paths — or None when the predicate doesn't bind to the
+    identity partition columns (caller keeps everything and row-filters).
+    """
+    if not part_fields:
+        return None
+    tuples: dict[tuple, list[str]] = {}
+    for path, pvals in entries:
+        key = tuple(pvals.get(pname) for pname, _, _ in part_fields)
+        tuples.setdefault(key, []).append(path)
+    schema = T.StructType(
+        [T.StructField(src, dt, True) for _, src, dt in part_fields]
+    )
+    try:
+        tdf = spark.createDataFrame(list(tuples), schema)
+        kept_df = tdf.filter(F.expr(where))
+        kept_df.columns  # force analysis: does `where` bind here?
+        kept = {tuple(r) for r in kept_df.collect()}
+    except Exception:
+        return None
+    out: list[str] = []
+    for key, paths in tuples.items():
+        if key in kept:
+            out.extend(paths)
+    return out
+
+
+def resolve_iceberg_files(
+    spark: SparkSession,
+    table_path: str,
+    snapshot_id: int | None = None,
+    where: str | None = None,
+) -> tuple[list[str], list[str], list[str], T.StructType]:
+    """(data_files, position_delete_files, equality_delete_files,
+    spark_schema) for a snapshot, with ``where`` pruning the DATA file
+    list via manifest-entry partition values — at a 10^6-file table this
+    is what keeps a one-partition query from opening every footer."""
     meta = _load_metadata(table_path)
     fv = int(meta.get("format-version", 1))
     if fv > 2:
@@ -179,7 +254,7 @@ def read_iceberg_lite(
         )
     spark_schema = _schema_to_spark(meta)
     snap = _snapshot(meta, snapshot_id)
-    data_files: list[str] = []
+    data_entries: list[tuple[str, dict]] = []
     pos_deletes: list[str] = []
     eq_deletes: list[str] = []
     for e in _manifest_entries(table_path, snap):
@@ -189,13 +264,33 @@ def read_iceberg_lite(
         path = _localize(dfile["file_path"], table_path)
         content = dfile.get("content") or 0
         if content == 0:
-            data_files.append(path)
+            data_entries.append((path, dfile.get("partition") or {}))
         elif content == 1:
             pos_deletes.append(path)
         elif content == 2:
             eq_deletes.append(path)
+    data_files = [p for p, _ in data_entries]
+    if where and data_entries:
+        pruned = _prune_file_entries(
+            spark, data_entries, _identity_partition_fields(meta), where
+        )
+        if pruned is not None:
+            data_files = pruned
+    return data_files, pos_deletes, eq_deletes, spark_schema
+
+
+def read_iceberg_lite(
+    spark: SparkSession,
+    table_path: str,
+    snapshot_id: int | None = None,
+    where: str | None = None,
+) -> DataFrame:
+    data_files, pos_deletes, eq_deletes, spark_schema = resolve_iceberg_files(
+        spark, table_path, snapshot_id, where
+    )
     if not data_files:
-        return spark.createDataFrame([], spark_schema)
+        empty = spark.createDataFrame([], spark_schema)
+        return empty.filter(where) if where else empty
     df = spark.read.schema(spark_schema).parquet(*data_files)
     norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
     if pos_deletes:
@@ -222,7 +317,9 @@ def read_iceberg_lite(
     for path in eq_deletes:
         eq = spark.read.parquet(path)
         df = df.join(F.broadcast(eq.distinct()), eq.columns, "left_anti")
-    return df
+    # row-level application keeps `where` exact even when it couldn't
+    # prune files (non-partition or transformed-partition predicates)
+    return df.filter(where) if where else df
 
 
 # --- engine-free WRITER ---------------------------------------------------

@@ -591,6 +591,8 @@ class IcebergSource:
         return read_iceberg_lite(
             spark, self.uri.path,
             snapshot_id=int(sid) if sid is not None else None,
+            # manifest-level FILE pruning on identity partition columns
+            where=self.uri.params.get("where"),
         )
 
 
@@ -654,7 +656,12 @@ class HudiSource:
                 "timeline found) or the hudi-spark bundle jar"
             )
         return read_hudi_lite(
-            spark, self.uri.path, as_of=self.uri.params.get("as-of")
+            spark, self.uri.path,
+            as_of=self.uri.params.get("as-of"),
+            # MOR base-file-only view needs the explicit opt-in
+            view=self.uri.params.get("view"),
+            # hive-style partition-path FILE pruning
+            where=self.uri.params.get("where"),
         )
 
 
