@@ -164,7 +164,10 @@ def bpe_train(
         # greedy non-overlapping left-to-right merge of (left, right):
         # fold symbols into a new array; a just-merged element cannot
         # participate as `left` again within the same scan because the
-        # fold compares the ORIGINAL previous symbol via the marker
+        # accumulator's tail becomes `merged` = left+right, and
+        # merged != left is guaranteed (right is non-empty, so merged
+        # is strictly longer) — e.g. "aaa" under (a,a) yields [aa, a],
+        # never [aa, aa] from overlapping re-use of the middle symbol
         words = words.select(
             F.aggregate(
                 "syms",

@@ -276,23 +276,33 @@ def k_anonymity(
     )
 
 
-def _cms_cells(term_col: str, depth: int, width: int):
+def _cms_cells(term_col: str, depth: int, width: int,
+               hash_family: str = "oracle"):
     """The sketch's (row, bucket) cells for one term — the single
     definition of the hash layout, shared by build and probe (a
     divergence between the two silently corrupts every estimate).
-    Hashes are the oracle-replicable salted md5 family
-    (functions/text.py: ``md5_long(term, salt=i) % width``)."""
+
+    ``hash_family='oracle'`` (default): salted md5 family
+    (functions/text.py: ``md5_long(term, salt=i) % width``) so an
+    ANSI-SQL oracle replays the sketch exactly. ``'fast'``: salted
+    xxhash64 with pmod (xxhash64 is signed) — the production family;
+    BUILD AND PROBE MUST AGREE, which this shared helper enforces."""
     from spark_etl_cli_spark.functions.text import md5_long
 
+    if hash_family == "oracle":
+        def cell(i):
+            return md5_long(F.col(term_col), F.lit(i)) % width
+    elif hash_family == "fast":
+        def cell(i):
+            return F.pmod(F.xxhash64(F.col(term_col), F.lit(i)), F.lit(width))
+    else:
+        raise ValueError(
+            f"hash_family must be 'oracle'|'fast', got {hash_family!r}"
+        )
     return F.explode(
         F.array(
             *[
-                F.struct(
-                    F.lit(i).alias("row"),
-                    (md5_long(F.col(term_col), F.lit(i)) % width).alias(
-                        "bucket"
-                    ),
-                )
+                F.struct(F.lit(i).alias("row"), cell(i).alias("bucket"))
                 for i in range(depth)
             ]
         )
@@ -300,7 +310,8 @@ def _cms_cells(term_col: str, depth: int, width: int):
 
 
 def count_min_sketch(
-    df: DataFrame, term_col: str, depth: int = 4, width: int = 1024
+    df: DataFrame, term_col: str, depth: int = 4, width: int = 1024,
+    hash_family: str = "oracle",
 ) -> DataFrame:
     """Count-min sketch over a term/event stream.
 
@@ -312,7 +323,9 @@ def count_min_sketch(
     anywhere). Point estimates are ``min_i counter[i][h_i(term)]``;
     see :func:`cms_estimate`.
     """
-    entries = df.select(_cms_cells(term_col, depth, width).alias("e"))
+    entries = df.select(
+        _cms_cells(term_col, depth, width, hash_family).alias("e")
+    )
     return (
         entries.select("e.row", "e.bucket")
         .groupBy("row", "bucket")
@@ -326,8 +339,10 @@ def cms_estimate(
     term_col: str = "term",
     depth: int = 4,
     width: int = 1024,
+    hash_family: str = "oracle",
 ) -> DataFrame:
     """Point-estimate counts for ``terms`` from a count-min sketch.
+    ``hash_family`` must match the one the sketch was built with.
 
     Adds ``est_cnt = min_i counter[i][h_i(term)]`` (never an
     underestimate). The candidate set fans out ``depth`` rows each and
@@ -340,7 +355,9 @@ def cms_estimate(
     # "bucket"/"counter" columns can't collide with the join keys or
     # the post-join aggregate
     probes = (
-        terms.select("*", _cms_cells(term_col, depth, width).alias("__e"))
+        terms.select(
+            "*", _cms_cells(term_col, depth, width, hash_family).alias("__e")
+        )
         .select(
             "*",
             F.col("__e.row").alias("__row"),

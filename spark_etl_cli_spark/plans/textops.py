@@ -361,7 +361,24 @@ def q36_minhash_lsh_pairs(spark, sf_dir):
 def q37_simhash_pairs(spark, sf_dir):
     from spark_etl_cli_spark.functions.text import md5_long
 
-    fp = simhash(t(spark, sf_dir, "documents"), hash_fn=md5_long)
+    return _simhash_pairs_plan(spark, sf_dir, hash_fn=md5_long)
+
+
+# --- q153: the same plan under the PRODUCTION hash family ---------------
+# q37's md5 base is an oracle-replayability choice; the at-scale family
+# is xxhash64 (hash_family='fast'), which DuckDB cannot replay — so
+# this entry is rows-only by design (like q152). Its correctness is
+# pinned structurally in pytest (test_text_functions: both families
+# must detect the SAME planted near-dup pair set on a fixture); its
+# purpose here is the bench row proving the fast family's speedup on
+# the one q37-shaped outlier.
+@query("q153_simhash_pairs_fast")
+def q153_simhash_pairs_fast(spark, sf_dir):
+    return _simhash_pairs_plan(spark, sf_dir, hash_fn=None)  # xxhash64
+
+
+def _simhash_pairs_plan(spark, sf_dir, hash_fn):
+    fp = simhash(t(spark, sf_dir, "documents"), hash_fn=hash_fn)
     entries = fp.select(
         F.explode(
             F.array(

@@ -57,6 +57,31 @@ BASE_CONFS: dict[str, str] = {
     "spark.sql.shuffle.partitions": str(max(default_parallelism(), 8)),
 }
 
+# Streaming state-store posture for 100 TB: the default HDFS-backed
+# provider keeps every key in executor heap — large stateful shapes
+# (stream-stream outer joins, dropDuplicates over wide watermarks,
+# flatMapGroupsWithState sessionization; the q53/q55/q148 families)
+# eventually OOM or GC-thrash. RocksDB spills state to local disk with
+# incremental checkpointing, which is the documented production choice
+# for state past a few GB per executor. Opt-in (not default) because
+# tiny local state is faster on-heap and test boxes value startup time:
+#   get_spark(extra_confs=rocksdb_state_confs())   or
+#   SPARK_GRAFT_ROCKSDB_STATE=1 in the environment.
+ROCKSDB_STATE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def rocksdb_state_confs() -> dict[str, str]:
+    return {
+        "spark.sql.streaming.stateStore.providerClass": ROCKSDB_STATE_PROVIDER,
+        # changelog checkpointing uploads deltas, not full snapshots —
+        # the at-scale default pairing for RocksDB state
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing"
+        ".enabled": "true",
+    }
+
 
 def get_spark(
     app_name: str = "spark_etl_cli_spark",
@@ -72,6 +97,10 @@ def get_spark(
     master = master or f"local[{default_parallelism()}]"
     builder = SparkSession.builder.appName(app_name).master(master)
     confs = dict(BASE_CONFS)
+    if os.environ.get("SPARK_GRAFT_ROCKSDB_STATE", "").lower() in (
+        "1", "true", "yes",
+    ):
+        confs.update(rocksdb_state_confs())
     if extra_confs:
         confs.update(extra_confs)
     for k, v in confs.items():

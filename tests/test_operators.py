@@ -96,6 +96,65 @@ def test_simhash_properties(spark, docs):
     assert h14 < h13  # near-dup closer in hamming space than unrelated
 
 
+def test_hash_family_structural_equivalence(spark, docs):
+    """hash_family='oracle'|'fast' must detect the SAME structure on a
+    fixture with planted dups — exact hash values differ by design (md5
+    vs xxhash64), so the pin is pair-set / grouping equality, per
+    family. This is what makes the one-line production swap safe."""
+    from spark_etl_cli_spark.operators.profiling import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    for fam in ("oracle", "fast"):
+        sigs = {
+            r.id: r.signature
+            for r in minhash_signatures(docs, hash_family=fam).collect()
+        }
+        assert sigs[1] == sigs[2], fam      # identical docs collide
+        assert sigs[1] != sigs[3], fam      # unrelated don't
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_pairs(docs, hash_family=fam).collect()
+        }
+        assert (1, 2) in pairs and (1, 3) not in pairs, fam
+        fps = {r.id: r.simhash for r in simhash(docs, hash_family=fam).collect()}
+        assert fps[1] == fps[2], fam
+        h14 = bin(fps[1] ^ fps[4]).count("1")
+        h13 = bin(fps[1] ^ fps[3]).count("1")
+        assert h14 < h13, fam               # near-dup closer than unrelated
+        # CMS: build+probe under one family never underestimates and is
+        # exact on a collision-free width
+        terms = spark.createDataFrame(
+            [("a",)] * 5 + [("b",)] * 2, "term string"
+        )
+        sketch = count_min_sketch(terms, "term", depth=3, width=64,
+                                  hash_family=fam)
+        est = {
+            r.term: r.est_cnt
+            for r in cms_estimate(
+                sketch, terms.distinct(), "term", depth=3, width=64,
+                hash_family=fam,
+            ).collect()
+        }
+        assert est == {"a": 5, "b": 2}, fam
+    # mixed families (sketch 'oracle', probe 'fast') is a layout
+    # violation the shared-cell helper exists to prevent — estimates
+    # would silently corrupt; assert they actually diverge on this
+    # fixture to prove the families really are different layouts
+    sk_o = count_min_sketch(
+        spark.createDataFrame([("a",)] * 5, "term string"), "term",
+        depth=3, width=64, hash_family="oracle",
+    )
+    cells_f = count_min_sketch(
+        spark.createDataFrame([("a",)] * 5, "term string"), "term",
+        depth=3, width=64, hash_family="fast",
+    )
+    assert {tuple(r) for r in sk_o.collect()} != {
+        tuple(r) for r in cells_f.collect()
+    }
+
+
 def test_brute_force_topk(spark):
     vecs = spark.createDataFrame(
         [

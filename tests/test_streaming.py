@@ -210,3 +210,64 @@ def test_stream_outer_join_emits_evicted_nulls(spark):
     # older than the watermark horizon; both classes must be present
     assert nulls and matched
     assert len({r.click_id for r in nulls}) == len(nulls)  # one null row each
+
+
+def test_stateful_stream_under_rocksdb_provider(spark, tmp_path):
+    """The RocksDB state-store opt-in (session.rocksdb_state_confs) must
+    actually run a stateful query: watermarked window agg, results equal
+    the on-heap provider's, and the checkpoint's state dir shows RocksDB
+    artifacts (.zip snapshots / changelog files, not HDFS .delta)."""
+    import glob
+    import os
+
+    from spark_etl_cli_spark.session import (
+        ROCKSDB_STATE_PROVIDER,
+        rocksdb_state_confs,
+    )
+
+    confs = rocksdb_state_confs()
+    assert confs["spark.sql.streaming.stateStore.providerClass"] == (
+        ROCKSDB_STATE_PROVIDER
+    )
+    src = f"{tmp_path}/rdb_src"
+    _write(spark, src, [
+        (1, "2024-01-01 00:00:10"), (2, "2024-01-01 00:01:10"),
+        (3, "2024-01-01 00:06:10"), (4, "2024-01-01 00:06:20"),
+    ])
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        ckpt, out = f"{tmp_path}/rdb_ckpt", f"{tmp_path}/rdb_out"
+        q = (
+            spark.readStream.schema(SCHEMA).parquet(src)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+            .writeStream.format("memory")
+            .queryName("rocksdb_state_t")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = {(str(r.ws), r.n) for r in spark.table("rocksdb_state_t").collect()}
+        assert rows == {
+            ("2024-01-01 00:00:00", 2),
+            ("2024-01-01 00:05:00", 2),
+        }
+        # proof the provider actually engaged: RocksDB checkpoints state
+        # as zip snapshots/changelogs under state/, never HDFS .delta
+        state_files = glob.glob(f"{ckpt}/state/**/*", recursive=True)
+        assert any(f.endswith((".zip", ".changelog")) for f in state_files), (
+            sorted(os.path.basename(f) for f in state_files)[:10]
+        )
+        assert not any(f.endswith(".delta") for f in state_files)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -117,3 +117,24 @@ def test_bpe_train_greedy_nonoverlapping(spark):
     # 3; the deterministic lexicographic tie-break picks "</w>" < "aa"
     assert (out[1].left, out[1].right) == ("aa", "</w>")
     assert out[1].pair_count == 3
+
+
+def test_bpe_train_self_adjacent_odd_length(spark):
+    # "aaa" under merge (a,a): the middle symbol must not be consumed
+    # twice — greedy non-overlap yields [aa, a, </w>], which holds
+    # because the fold's accumulator tail becomes "aa" != "a" after a
+    # merge (merged is strictly longer than left)
+    from pyspark.sql import Row
+
+    from spark_etl_cli_spark.operators.encoding import bpe_train
+
+    docs = spark.createDataFrame([Row(text="aaa aaa")])
+    out = bpe_train(docs, n_merges=2).collect()
+    assert (out[0].left, out[0].right, out[0].merged) == ("a", "a", "aa")
+    assert out[0].pair_count == 4  # 2 words x 2 adjacent positions
+    # round 2 over [aa, a, </w>]: pairs (aa,a):2 and (a,</w>):2 tie;
+    # lexicographic tie-break on left picks ("a","</w>"). Crucially
+    # (aa,aa) must NOT exist — it would mean the overlap was consumed.
+    pairs2 = (out[1].left, out[1].right)
+    assert pairs2 == ("a", "</w>")
+    assert out[1].pair_count == 2
