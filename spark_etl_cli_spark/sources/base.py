@@ -67,7 +67,9 @@ def apply_trigger(writer, trigger: str | None):
     return writer.trigger(processingTime=trigger)
 
 
-def stream_via_foreach_batch(df: DataFrame, write_batch, uri: ParsedUri) -> bool:
+def stream_via_foreach_batch(
+    df: DataFrame, write_batch, uri: ParsedUri, pass_epoch: bool = False
+) -> bool:
     """Bridge a batch-only sink into Structured Streaming.
 
     ``foreachBatch`` hands each micro-batch to the sink's ordinary batch
@@ -75,10 +77,14 @@ def stream_via_foreach_batch(df: DataFrame, write_batch, uri: ParsedUri) -> bool
     streaming implementation (JDBC, Excel, ...). Honors
     ``?checkpointLocation=`` and ``?trigger-interval=`` like native
     streaming sinks. Exactly-once depends on the downstream system;
-    per-batch idempotence (e.g. keyed upserts) is the sink's concern.
+    per-batch idempotence (e.g. keyed upserts) is the sink's concern —
+    sinks that implement it from the epoch id (the delta-lite txn
+    path) opt into receiving it via ``pass_epoch``.
     """
     writer = df.writeStream.foreachBatch(
-        lambda batch_df, _epoch_id: write_batch(batch_df)
+        (lambda batch_df, epoch_id: write_batch(batch_df, epoch_id))
+        if pass_epoch
+        else (lambda batch_df, _epoch_id: write_batch(batch_df))
     )
     ckpt = uri.params.get("checkpointLocation")
     if ckpt:

@@ -8,10 +8,12 @@ and ``metaData`` (schema + partition columns). Replaying the log yields
 the current snapshot's file list — which plain ``spark.read.parquet``
 can then scan. That makes ``delta://`` READS work without the
 delta-spark jars (mirroring the stdlib SpreadsheetML fallback of the
-excel connector, sources/xlsx_lite.py). BATCH WRITES work engine-free
-too (:func:`write_delta_lite`: parquet data files + a JSON commit with
+excel connector, sources/xlsx_lite.py). WRITES work engine-free too
+(:func:`write_delta_lite`: parquet data files + a JSON commit with
 add/remove actions, O_EXCL version reservation); streaming writes
-still need delta-spark's LogStore for exactly-once semantics.
+bridge via foreachBatch with per-epoch ``txn`` (SetTransaction)
+actions, so a replayed micro-batch is an idempotent no-op — the same
+exactly-once contract the jar'd sink derives from its LogStore.
 
 Supported: JSON commits, ``_last_checkpoint`` + single-file,
 multi-part, AND v2 (sidecar-backed, json or parquet) checkpoints,
@@ -714,11 +716,34 @@ def _collect_written_files(
     return adds
 
 
+def _last_txn_version(log_dir: str, app_id: str) -> int:
+    """Highest committed ``txn`` (SetTransaction) version for an app id,
+    scanning every JSON commit — correct as long as the log is not
+    vacuumed, which this writer never does. -1 when none."""
+    best = -1
+    if not os.path.isdir(log_dir):
+        return best
+    for fname in os.listdir(log_dir):
+        if not (fname.endswith(".json") and fname[:20].isdigit()):
+            continue
+        with open(os.path.join(log_dir, fname)) as fh:
+            for line in fh:
+                if '"txn"' not in line:
+                    continue
+                action = json.loads(line)
+                txn = action.get("txn") or {}
+                if txn.get("appId") == app_id:
+                    best = max(best, int(txn.get("version", -1)))
+    return best
+
+
 def write_delta_lite(
     df: DataFrame,
     table_path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> None:
     """Engine-free Delta write: parquet data files + one JSON commit.
 
@@ -727,6 +752,13 @@ def write_delta_lite(
     replace-table shape). Creating a new table writes the protocol +
     metaData actions in commit 0; appends to an existing table reuse
     its schema's partition columns (``partition_by`` must match).
+
+    ``txn_app_id``/``txn_version`` give idempotent writes via the
+    protocol's ``txn`` (SetTransaction) action: a call whose version is
+    ≤ the app's last committed version is a NO-OP (checked before any
+    data file is written). This is what makes the jar-less streaming
+    sink exactly-once — a replayed micro-batch after a crash commits
+    nothing the first attempt already committed.
     """
     import shutil
     import tempfile
@@ -734,6 +766,11 @@ def write_delta_lite(
     import uuid
 
     spark = df.sparkSession
+    if txn_app_id is not None:
+        if txn_version is None:
+            raise ValueError("txn_app_id requires txn_version")
+        if txn_version <= _last_txn_version(_log_dir(table_path), txn_app_id):
+            return  # already committed: idempotent skip
     log_dir = _log_dir(table_path)
     exists = os.path.isdir(log_dir)
     meta = None
@@ -818,6 +855,16 @@ def write_delta_lite(
         )
     for add in adds:
         actions.append({"add": add})
+    if txn_app_id is not None:
+        actions.append(
+            {
+                "txn": {
+                    "appId": txn_app_id,
+                    "version": int(txn_version),
+                    "lastUpdated": now_ms,
+                }
+            }
+        )
     actions.append(
         {
             "commitInfo": {

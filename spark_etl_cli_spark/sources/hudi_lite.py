@@ -188,27 +188,170 @@ def read_hudi_lite(
     return df.filter(where) if where else df
 
 
-# --- engine-free WRITER (insert-only COW) ---------------------------------
-# The minimal honest subset of the Hudi write path: each commit INSERTS
-# new file groups (one per written parquet part). No record-key
-# upserts — that's the Hudi runtime's indexing machinery; updates via
-# this writer append rows rather than rewriting file slices, and the
-# docstring says so. Enough for append-style pipelines and for
-# round-tripping this module's own reader.
+# --- engine-free WRITER (COW) ---------------------------------------------
+# insert (new file groups per commit), insert_overwrite_table
+# (replacecommit), and record-key UPSERT: affected file groups located
+# by a distributed semi-join over _metadata.file_path (the lite
+# stand-in for Hudi's bloom index) and rewritten as new file slices;
+# untouched groups are never read past the key probe or rewritten.
+
+
+def _upsert_rewrites(
+    df: DataFrame,
+    table_path: str,
+    ts: str,
+    commit_uuid: str,
+    record_key: str,
+    live: dict[tuple[str, str], str],
+) -> dict[str, list[dict]]:
+    """New file slices for the file groups an upsert touches.
+
+    Location (which groups hold the incoming keys) is one distributed
+    semi-join over ``_metadata.file_path`` — the lite stand-in for
+    Hudi's bloom index; groups with no matching key are never read past
+    that probe and never rewritten. The rewrite itself is one job:
+    affected rows anti-joined against the incoming keys, repartitioned
+    by file group so each group lands as exactly ONE new base file
+    (a file slice is one base file per (fileId, instant)).
+    Returns {partition: [write stats]} with the ORIGINAL fileIds, so
+    latest-slice-wins replay hides the old slices.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    if not live:
+        return {}
+    # normalized absolute path -> (partition, fileId)
+    loc: dict[str, tuple[str, str]] = {}
+    for (part, fid), rel in live.items():
+        loc[os.path.abspath(os.path.join(table_path, rel))] = (part, fid)
+    norm_path = F.regexp_replace(
+        F.col("_metadata.file_path"), "^file:/+", "/"
+    )
+    keys = df.select(F.col(record_key).alias("__k")).distinct()
+    base = spark.read.parquet(*sorted(loc)).select(
+        F.col(record_key).alias("__k"), norm_path.alias("__path")
+    )
+    affected = sorted(
+        r["__path"]
+        for r in base.join(keys, "__k", "left_semi")
+        .select("__path")
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        return {}
+    fid_of = {p: loc[p][1] for p in affected}
+    mapping = F.create_map(
+        *[F.lit(x) for p in affected for x in (p, fid_of[p])]
+    )
+    remaining = (
+        spark.read.parquet(*affected)
+        .withColumn("__fid", mapping[norm_path])
+        .join(keys.withColumnRenamed("__k", record_key), record_key, "left_anti")
+    )
+    tmp = tempfile.mkdtemp(prefix="hudi_lite_upsert_")
+    out: dict[str, list[dict]] = {}
+    try:
+        remaining.repartition("__fid").write.mode("overwrite").partitionBy(
+            "__fid"
+        ).parquet(tmp)
+        for p in affected:
+            part, fid = loc[p]
+            fid_dir = os.path.join(tmp, f"__fid={fid}")
+            new_name = f"{fid}_{ts}_{commit_uuid[:8]}.parquet"
+            dst_dir = (
+                os.path.join(table_path, part) if part else table_path
+            )
+            os.makedirs(dst_dir, exist_ok=True)
+            dst = os.path.join(dst_dir, new_name)
+            parts = (
+                sorted(
+                    f
+                    for f in os.listdir(fid_dir)
+                    if f.endswith(".parquet") and not f.startswith("_")
+                )
+                if os.path.isdir(fid_dir)
+                else []
+            )
+            if parts:
+                shutil.move(os.path.join(fid_dir, parts[0]), dst)
+            else:
+                # every row of this group was upserted away: the new
+                # slice is an EMPTY base file (schema-only parquet)
+                spark.createDataFrame([], df.schema).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(fid_dir + "_empty")
+                empty = next(
+                    f
+                    for f in os.listdir(fid_dir + "_empty")
+                    if f.endswith(".parquet") and not f.startswith("_")
+                )
+                shutil.move(os.path.join(fid_dir + "_empty", empty), dst)
+            out.setdefault(part, []).append(
+                {
+                    "fileId": fid,
+                    "path": os.path.relpath(dst, table_path),
+                    "numWrites": None,
+                    "fileSizeInBytes": os.path.getsize(dst),
+                }
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 def write_hudi_lite(
-    df: DataFrame, table_path: str, mode: str = "append"
+    df: DataFrame,
+    table_path: str,
+    mode: str = "append",
+    record_key: str | None = None,
 ) -> str:
-    """Insert-only COW commit; returns the new instant timestamp.
+    """COW commit; returns the new instant timestamp.
 
-    ``mode``: append | overwrite (overwrite = replacecommit that
-    replaces ALL prior file groups, i.e. insert_overwrite_table).
+    ``mode``: append | overwrite | upsert.
+    - overwrite = replacecommit replacing ALL prior file groups
+      (insert_overwrite_table).
+    - upsert (requires ``record_key``): incoming rows REPLACE existing
+      rows with the same key and insert the rest — COW semantics, no
+      log files. Realized as: every file group containing a matching
+      key gets a NEW file slice holding its rows minus the incoming
+      keys (latest-slice-wins makes the old slice invisible), and the
+      full incoming frame lands as a new file group — together exactly
+      ``(old − keys) ∪ incoming``. Key-to-file-group location uses a
+      distributed semi-join over ``_metadata.file_path`` (the lite
+      stand-in for Hudi's bloom index); unaffected groups are NOT
+      rewritten. Incoming keys must be unique (no precombine field) —
+      duplicate keys raise instead of picking a silent winner.
     """
     import uuid as _uuid
 
-    if mode not in ("append", "overwrite"):
-        raise ValueError(f"hudi_lite mode must be append|overwrite, got {mode!r}")
+    if mode not in ("append", "overwrite", "upsert"):
+        raise ValueError(
+            f"hudi_lite mode must be append|overwrite|upsert, got {mode!r}"
+        )
+    if mode == "upsert" and not record_key:
+        raise ValueError("hudi_lite upsert needs record_key=<column>")
+    if mode == "upsert":
+        from pyspark.sql import functions as F
+
+        bad = (
+            df.groupBy(record_key)
+            .count()
+            .filter(
+                (F.col("count") > 1) | F.col(record_key).isNull()
+            )
+            .head(1)
+        )
+        if bad:
+            raise ValueError(
+                f"hudi_lite upsert: incoming {record_key!r} values must be "
+                "unique and non-null (no precombine field is emulated); "
+                f"first offender: {bad[0][0]!r}"
+            )
     hoodie = os.path.join(table_path, ".hoodie")
     os.makedirs(hoodie, exist_ok=True)
     props = os.path.join(hoodie, "hoodie.properties")
@@ -240,8 +383,8 @@ def write_hudi_lite(
         })
     body: dict = {"partitionToWriteStats": {"": stats}}
     action = "commit"
-    if mode == "overwrite" and prior:
-        # replace every live file group as of the prior snapshot
+
+    def _live_map() -> dict[tuple[str, str], str]:
         live: dict[tuple[str, str], str] = {}
         for pts, pact, ppath in prior:
             with open(ppath) as fh:
@@ -253,11 +396,21 @@ def write_hudi_lite(
             for part, sts in (c.get("partitionToWriteStats") or {}).items():
                 for st in sts:
                     live[(part, st.get("fileId") or st["path"])] = st["path"]
+        return live
+
+    if mode == "overwrite" and prior:
+        # replace every live file group as of the prior snapshot
         replaced: dict[str, list[str]] = {}
-        for part, fid in live:
+        for part, fid in _live_map():
             replaced.setdefault(part, []).append(fid)
         body["partitionToReplaceFileIds"] = replaced
         action = "replacecommit"
+    elif mode == "upsert" and prior:
+        rewrites = _upsert_rewrites(
+            df, table_path, ts, commit_uuid, record_key, _live_map()
+        )
+        for part, sts in rewrites.items():
+            body["partitionToWriteStats"].setdefault(part, []).extend(sts)
     # O_EXCL commit claim: two racing writers can't both win the instant
     commit_path = os.path.join(hoodie, f"{ts}.{action}")
     fd = os.open(commit_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)

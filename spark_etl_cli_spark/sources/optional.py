@@ -120,28 +120,57 @@ class DeltaSink:
 
     def write(self, df: DataFrame) -> bool:
         if not _has_delta(df.sparkSession):
-            # no delta-spark: batch writes go through the engine-free
-            # protocol writer (sources/delta_lite.py) — parquet data
-            # files + a JSON commit. Streaming still needs the jars
-            # (exactly-once sinks require the real LogStore).
-            if not df.isStreaming:
-                from spark_etl_cli_spark.sources.delta_lite import (
-                    write_delta_lite,
+            # no delta-spark: writes go through the engine-free protocol
+            # writer (sources/delta_lite.py) — parquet data files + a
+            # JSON commit. Streaming appends bridge via foreachBatch
+            # with the protocol's txn (SetTransaction) action keyed on
+            # (checkpoint identity, epoch id): a replayed micro-batch
+            # after a crash is an idempotent no-op, the same
+            # exactly-once contract the jar'd sink gets from its
+            # LogStore + txn bookkeeping.
+            from spark_etl_cli_spark.sources.delta_lite import (
+                write_delta_lite,
+            )
+
+            mode = self.uri.params.get(
+                "mode", self.uri.params.get("write-mode", "append")
+            )
+            parts = [
+                c
+                for c in self.uri.params.get("partitionCols", "").split(",")
+                if c
+            ]
+            if df.isStreaming:
+                import hashlib
+
+                from spark_etl_cli_spark.sources.base import (
+                    stream_via_foreach_batch,
                 )
 
-                mode = self.uri.params.get(
-                    "mode", self.uri.params.get("write-mode", "append")
+                # stable across restarts: the checkpoint location IS
+                # the query's identity (falling back to the table path
+                # for checkpoint-less availableNow runs)
+                ident = self.uri.params.get(
+                    "checkpointLocation", self.uri.path
                 )
-                parts = [
-                    c
-                    for c in self.uri.params.get("partitionCols", "").split(",")
-                    if c
-                ]
-                write_delta_lite(
-                    df, self.uri.path, mode=mode, partition_by=parts or None
+                app_id = (
+                    "deltalite-"
+                    + hashlib.md5(ident.encode()).hexdigest()[:16]
                 )
-                return True
-            raise MissingDependencyError("delta", "delta-spark jars on the classpath")
+                return stream_via_foreach_batch(
+                    df,
+                    lambda b, epoch: write_delta_lite(
+                        b, self.uri.path, mode="append",
+                        partition_by=parts or None,
+                        txn_app_id=app_id, txn_version=epoch,
+                    ),
+                    self.uri,
+                    pass_epoch=True,
+                )
+            write_delta_lite(
+                df, self.uri.path, mode=mode, partition_by=parts or None
+            )
+            return True
         if df.isStreaming:
             # Pre-create the table so downstream readers see a schema
             # immediately (reference trick, DeltaUriParser.scala:29-34).
@@ -672,9 +701,10 @@ def hudi_source(p: ParsedUri) -> HudiSource:
 
 @dataclass
 class HudiSink:
-    """``hudi:///path[?mode=append|overwrite]`` — insert-only COW
-    commits via the engine-free writer (sources/hudi_lite.py). No
-    record-key upserts (that's the Hudi runtime's indexing machinery);
+    """``hudi:///path[?mode=append|overwrite|upsert&record-key=col]`` —
+    COW commits via the engine-free writer (sources/hudi_lite.py).
+    upsert rewrites only the file groups holding matching record keys
+    (semi-join location, the lite stand-in for Hudi's bloom index);
     overwrite = replacecommit of all live file groups. Streaming
     appends via the foreachBatch bridge."""
 
@@ -694,7 +724,12 @@ class HudiSink:
         mode = self.uri.params.get(
             "mode", self.uri.params.get("write-mode", "append")
         )
-        write_hudi_lite(df, self.uri.path, mode=mode)
+        write_hudi_lite(
+            df, self.uri.path, mode=mode,
+            record_key=self.uri.params.get(
+                "record-key", self.uri.params.get("recordKey")
+            ),
+        )
         return True
 
 

@@ -125,6 +125,118 @@ def test_hudi_mor_raises_clearly(spark, tmp_path):
         read_hudi_lite(spark, table)
 
 
+def test_hudi_upsert_rewrites_only_affected_groups(spark, tmp_path):
+    """mode=upsert: rows with matching record keys are replaced, new
+    keys inserted, and file groups WITHOUT matching keys keep their
+    original base file untouched (no rewrite amplification)."""
+    from spark_etl_cli_spark.sources.hudi_lite import (
+        read_hudi_lite,
+        write_hudi_lite,
+    )
+
+    table = str(tmp_path / "hudi_up")
+    # two separate commits -> two file groups: ids 0-4 and 5-9
+    write_hudi_lite(
+        spark.range(5).selectExpr("id", "'v1' AS ver"), table
+    )
+    write_hudi_lite(
+        spark.range(5, 10).selectExpr("id", "'v1' AS ver"), table
+    )
+    before = {
+        f for f in os.listdir(table) if not f.startswith(".")
+    }
+    # upsert: update ids 3,4 (group 1) + insert ids 20,21; group 2
+    # (ids 5-9) holds no matching key and must not be rewritten
+    t3 = write_hudi_lite(
+        spark.createDataFrame(
+            [(3, "v2"), (4, "v2"), (20, "v2"), (21, "v2")],
+            "id long, ver string",
+        ),
+        table, mode="upsert", record_key="id",
+    )
+    out = {(r.id, r.ver) for r in read_hudi_lite(spark, table).collect()}
+    assert out == (
+        {(i, "v1") for i in (0, 1, 2)}
+        | {(i, "v1") for i in range(5, 10)}
+        | {(3, "v2"), (4, "v2"), (20, "v2"), (21, "v2")}
+    )
+    # time travel: pre-upsert snapshot still intact
+    prev = sorted(r.id for r in read_hudi_lite(
+        spark, table, as_of=f"{int(t3) - 1:014d}").collect())
+    assert prev == list(range(10))
+    # rewrite amplification check: group 2's commit wrote into its own
+    # data dir; that dir's base file set is unchanged
+    import json as _json
+
+    commits = sorted(
+        f for f in os.listdir(os.path.join(table, ".hoodie"))
+        if f.endswith(".commit")
+    )
+    with open(os.path.join(table, ".hoodie", commits[-1])) as fh:
+        c3 = _json.load(fh)
+    rewritten_fids = {
+        st["fileId"] for sts in c3["partitionToWriteStats"].values()
+        for st in sts
+    }
+    with open(os.path.join(table, ".hoodie", commits[1])) as fh:
+        c2 = _json.load(fh)
+    g2_fids = {
+        st["fileId"] for sts in c2["partitionToWriteStats"].values()
+        for st in sts
+    }
+    assert not (g2_fids & rewritten_fids)  # untouched group not rewritten
+
+
+def test_hudi_upsert_all_rows_of_a_group(spark, tmp_path):
+    # upserting EVERY key of a group leaves an empty new slice — the
+    # group contributes nothing, and reads stay correct
+    from spark_etl_cli_spark.sources.hudi_lite import (
+        read_hudi_lite,
+        write_hudi_lite,
+    )
+
+    table = str(tmp_path / "hudi_up_all")
+    write_hudi_lite(spark.range(3).selectExpr("id", "'a' AS v"), table)
+    write_hudi_lite(
+        spark.range(3).selectExpr("id", "'b' AS v"), table,
+        mode="upsert", record_key="id",
+    )
+    out = {(r.id, r.v) for r in read_hudi_lite(spark, table).collect()}
+    assert out == {(0, "b"), (1, "b"), (2, "b")}
+
+
+def test_hudi_upsert_rejects_duplicate_or_null_keys(spark, tmp_path):
+    from spark_etl_cli_spark.sources.hudi_lite import write_hudi_lite
+
+    table = str(tmp_path / "hudi_up_bad")
+    write_hudi_lite(spark.range(2).selectExpr("id"), table)
+    with pytest.raises(ValueError, match="unique and non-null"):
+        write_hudi_lite(
+            spark.createDataFrame([(1,), (1,)], "id long"), table,
+            mode="upsert", record_key="id",
+        )
+    with pytest.raises(ValueError, match="record_key"):
+        write_hudi_lite(spark.range(1), table, mode="upsert")
+
+
+def test_hudi_upsert_via_pipeline_uri(spark, tmp_path):
+    from spark_etl_cli_spark.pipeline import run_pipeline
+    from spark_etl_cli_spark.sources.hudi_lite import read_hudi_lite
+
+    table = f"{tmp_path}/hudi_up_uri"
+    run_pipeline(
+        spark, sources=["v+range://?end=4"], sinks=[f"v+hudi://{table}"]
+    )
+    run_pipeline(
+        spark,
+        sources=["v+values://?header=id:long&values=2;3;9"],
+        sinks=[f"v+hudi://{table}?mode=upsert&record-key=id"],
+    )
+    assert sorted(r.id for r in read_hudi_lite(spark, table).collect()) == [
+        0, 1, 2, 3, 9
+    ]
+
+
 def test_hudi_mor_read_optimized_view_opt_in(spark, tmp_path):
     """MOR table: default read still raises, but ?view=read_optimized
     serves the documented RO view — latest BASE files only, .log delta

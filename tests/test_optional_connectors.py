@@ -431,6 +431,74 @@ def test_delta_lite_auto_checkpoint_interval(spark, tmp_path, monkeypatch):
     assert got == [0, 1, 2, 3]
 
 
+def test_delta_lite_txn_idempotent_writes(spark, tmp_path):
+    """txn (SetTransaction) actions make replayed writes no-ops: the
+    exactly-once primitive behind the jar-less streaming sink."""
+    from pyspark.sql import Row
+
+    import spark_etl_cli_spark.sources.delta_lite as dl
+
+    table = f"{tmp_path}/dltxn"
+    df = spark.createDataFrame([Row(k=1)])
+    dl.write_delta_lite(df, table, txn_app_id="app", txn_version=0)
+    # replay of the same (app, version): committed NOTHING
+    dl.write_delta_lite(
+        spark.createDataFrame([Row(k=99)]), table,
+        txn_app_id="app", txn_version=0,
+    )
+    assert {r.k for r in dl.read_delta_lite(spark, table).collect()} == {1}
+    # next version commits; an unrelated app is independent
+    dl.write_delta_lite(df.selectExpr("k + 1 AS k"), table,
+                        txn_app_id="app", txn_version=1)
+    dl.write_delta_lite(df.selectExpr("k + 9 AS k"), table,
+                        txn_app_id="other", txn_version=0)
+    assert {r.k for r in dl.read_delta_lite(spark, table).collect()} == {
+        1, 2, 10
+    }
+    assert dl._last_txn_version(f"{table}/_delta_log", "app") == 1
+    with pytest.raises(ValueError, match="txn_version"):
+        dl.write_delta_lite(df, table, txn_app_id="app")
+
+
+def test_delta_lite_streaming_sink_without_jars(spark, tmp_path):
+    """streaming writes no longer need delta-spark: foreachBatch +
+    per-epoch txn actions give exactly-once appends; a restart from the
+    same checkpoint re-reads nothing and re-commits nothing."""
+    from pyspark.sql import Row
+
+    from spark_etl_cli_spark.registry import resolve_sink
+    from spark_etl_cli_spark.sources.delta_lite import read_delta_lite
+
+    src = f"{tmp_path}/dstream_src"
+    table = f"{tmp_path}/dstream_tbl"
+    ckpt = f"{tmp_path}/dstream_ckpt"
+    spark.createDataFrame([Row(k=i) for i in range(4)]).write.parquet(src)
+    stream = spark.readStream.schema("k long").parquet(src)
+
+    def run():
+        _, sink = resolve_sink(
+            f"s+delta-stream://{table}?checkpointLocation={ckpt}"
+            "&trigger-interval=availableNow"
+        )
+        assert sink.write(stream) is True
+        for q in spark.streams.active:
+            q.awaitTermination(120)
+
+    run()
+    assert sorted(r.k for r in read_delta_lite(spark, table).collect()) == [
+        0, 1, 2, 3
+    ]
+    # append more source data; resumed run picks up ONLY the new file
+    spark.createDataFrame([Row(k=9)]).write.mode("append").parquet(src)
+    run()
+    assert sorted(r.k for r in read_delta_lite(spark, table).collect()) == [
+        0, 1, 2, 3, 9
+    ]
+    # a third run with nothing new commits nothing
+    run()
+    assert read_delta_lite(spark, table).count() == 5
+
+
 def test_delta_lite_checkpoint_protocol_gate(spark, tmp_path):
     """Protocol actions stored IN a checkpoint (not just JSON commits)
     must hit the same reader-feature validation — a checkpointed table
