@@ -525,14 +525,45 @@ def _physical_schema(schema: T.StructType) -> tuple[T.StructType, bool]:
     return conv(schema), found
 
 
+def _version_at_timestamp(log_dir: str, ts_ms: int) -> int:
+    """Latest version whose commit timestamp ≤ ``ts_ms`` — Delta's
+    ``timestampAsOf`` resolution rule. Uses commitInfo.timestamp when
+    present, else the commit file's mtime (same fallback real Delta
+    applies to logs written without commitInfo)."""
+    best = -1
+    for fname in sorted(os.listdir(log_dir)):
+        if not (fname.endswith(".json") and fname[:20].isdigit()):
+            continue
+        path = os.path.join(log_dir, fname)
+        commit_ts = None
+        with open(path) as fh:
+            for line in fh:
+                if '"commitInfo"' in line:
+                    info = json.loads(line).get("commitInfo") or {}
+                    commit_ts = info.get("timestamp")
+                    break
+        if commit_ts is None:
+            commit_ts = int(os.path.getmtime(path) * 1000)
+        if commit_ts <= ts_ms:
+            best = max(best, int(fname[:20]))
+    if best < 0:
+        raise ValueError(
+            f"no Delta commit at or before timestamp {ts_ms} in {log_dir}"
+        )
+    return best
+
+
 def read_delta_lite(
     spark: SparkSession,
     table_path: str,
     version_as_of: int | None = None,
     where: str | None = None,
+    timestamp_as_of: int | str | None = None,
 ) -> DataFrame:
     """Batch read of a Delta table snapshot via log replay; pass
-    ``version_as_of`` for time travel to an earlier version.
+    ``version_as_of`` for time travel to an earlier version, or
+    ``timestamp_as_of`` (epoch millis, or an ISO date/datetime string)
+    to resolve the version by commit time.
 
     ``where`` is a SQL boolean predicate. When it references only the
     table's partition columns it prunes the FILE LIST during log replay
@@ -540,6 +571,21 @@ def read_delta_lite(
     additionally applied as a row filter, so mixed/non-partition
     predicates stay correct (they just don't prune files).
     """
+    if timestamp_as_of is not None:
+        if version_as_of is not None:
+            raise ValueError(
+                "pass version_as_of OR timestamp_as_of, not both"
+            )
+        if isinstance(timestamp_as_of, str) and not timestamp_as_of.isdigit():
+            import datetime as _dt2
+
+            parsed = _dt2.datetime.fromisoformat(timestamp_as_of)
+            if parsed.tzinfo is None:
+                parsed = parsed.replace(tzinfo=_dt2.timezone.utc)
+            ts_ms = int(parsed.timestamp() * 1000)
+        else:
+            ts_ms = int(timestamp_as_of)
+        version_as_of = _version_at_timestamp(_log_dir(table_path), ts_ms)
     adds, meta = _replay(spark, table_path, version_as_of, where=where)
     full_schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = meta.get("partitionColumns") or []
@@ -1031,3 +1077,143 @@ def write_checkpoint(spark: SparkSession, table_path: str) -> int:
     with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
         json.dump({"version": version, "size": len(rows)}, fh)
     return version
+
+
+# --- OPTIMIZE (bin-packing compaction) ------------------------------------
+# Small-file compaction is what keeps a streamed-into table scannable:
+# thousands of micro-batch part files → a few target-sized ones. The
+# commit is the protocol's compaction shape — remove(old)+add(new) with
+# dataChange=false — so batch readers see an identical snapshot, time
+# travel still reaches the old layout, and the jar-less stream reader
+# (sources/deltastream.py) skips the re-adds instead of double-counting.
+
+
+def optimize_delta_lite(
+    spark: SparkSession,
+    table_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict:
+    """Bin-pack small data files per partition; returns a stats dict
+    ``{"partitions_compacted": n, "files_removed": n, "files_added": n}``.
+
+    A partition group is compacted when it holds ≥ ``min_files`` files
+    smaller than ``target_file_bytes``; its small files are rewritten
+    into ``ceil(total_bytes / target)`` files. Each group's rewrite is
+    one distributed job; the loop over groups is driver-side
+    bookkeeping only (group count, not data). Files at or above target
+    size are left untouched — OPTIMIZE must never make big files
+    bigger by rewriting them.
+    """
+    import math
+    import shutil
+    import tempfile
+    import time
+    import uuid
+    from urllib.parse import quote
+
+    adds, meta = _replay(spark, table_path)
+    part_cols = meta.get("partitionColumns") or []
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    phys_schema, mapped = _physical_schema(schema)
+    part_keys = [
+        ({f.name: pf.name for f, pf in zip(schema.fields, phys_schema.fields)}[c]
+         if mapped else c)
+        for c in part_cols
+    ]
+    data_schema = T.StructType(
+        [
+            pf
+            for f, pf in zip(schema.fields, phys_schema.fields)
+            if f.name not in part_cols
+        ]
+    )
+    groups: dict[tuple, list[dict]] = {}
+    for a in adds:
+        if a.get("deletionVector"):
+            continue  # a DV'd file needs a rewrite-with-filter, not a concat
+        pv = a.get("partitionValues") or {}
+        groups.setdefault(
+            tuple(pv.get(k) for k in part_keys), []
+        ).append(a)
+    removes: list[str] = []
+    new_adds: list[dict] = []
+    stats = {"partitions_compacted": 0, "files_removed": 0, "files_added": 0}
+    for key, group in sorted(
+        groups.items(),
+        key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
+    ):
+        small = [a for a in group if (a.get("size") or 0) < target_file_bytes]
+        if len(small) < min_files:
+            continue
+        total = sum(a.get("size") or 0 for a in small)
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        paths = [os.path.join(table_path, a["path"]) for a in small]
+        pv = small[0].get("partitionValues") or {}
+        tmp = tempfile.mkdtemp(prefix="delta_lite_opt_")
+        try:
+            (
+                spark.read.schema(data_schema)
+                .parquet(*paths)
+                .repartition(n_out)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            for fname in sorted(os.listdir(tmp)):
+                if not fname.endswith(".parquet") or fname.startswith("_"):
+                    continue
+                new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
+                dst = os.path.join(table_path, new_name)
+                shutil.move(os.path.join(tmp, fname), dst)
+                new_adds.append(
+                    {
+                        "path": new_name,
+                        "partitionValues": dict(pv),
+                        "size": os.path.getsize(dst),
+                        "modificationTime": int(os.path.getmtime(dst) * 1000),
+                        "dataChange": False,
+                    }
+                )
+                stats["files_added"] += 1
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        removes.extend(a["path"] for a in small)
+        stats["files_removed"] += len(small)
+        stats["partitions_compacted"] += 1
+    if not removes:
+        return stats
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = []
+    for path in removes:
+        actions.append(
+            {
+                "remove": {
+                    "path": quote(path, safe="/="),
+                    "deletionTimestamp": now_ms,
+                    "dataChange": False,
+                }
+            }
+        )
+    for add in new_adds:
+        add = dict(add)
+        add["path"] = quote(add["path"], safe="/=")
+        actions.append({"add": add})
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "OPTIMIZE",
+                "operationParameters": {
+                    "targetSize": str(target_file_bytes)
+                },
+            }
+        }
+    )
+    log_dir = _log_dir(table_path)
+    version = _next_version(log_dir)
+    commit_path = os.path.join(log_dir, f"{version:020d}.json")
+    fd = os.open(commit_path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+    with os.fdopen(fd, "w") as fh:
+        for action in actions:
+            fh.write(json.dumps(action) + "\n")
+    return stats

@@ -81,6 +81,12 @@ class _DeltaLiteStreamReader(DataSourceStreamReader):
                     add = action.get("add")
                     if not add:
                         continue
+                    if add.get("dataChange") is False:
+                        # compaction/optimize re-adds carry no new rows
+                        # (protocol dataChange=false); delivering them
+                        # would double-count — same skip real Delta
+                        # streaming applies
+                        continue
                     if add.get("deletionVector"):
                         raise ValueError(
                             "delta-stream (jar-less) cannot stream a "

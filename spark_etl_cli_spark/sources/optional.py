@@ -110,6 +110,8 @@ class DeltaSource:
                 version_as_of=int(v) if v is not None else None,
                 # partition-predicate FILE pruning at the log level
                 where=self.uri.params.get("where"),
+                # time travel by commit time (epoch ms or ISO string)
+                timestamp_as_of=self.uri.params.get("timestampAsOf"),
             )
         return FileSource(self.uri, "delta").read(spark)
 

@@ -431,6 +431,124 @@ def test_delta_lite_auto_checkpoint_interval(spark, tmp_path, monkeypatch):
     assert got == [0, 1, 2, 3]
 
 
+def test_delta_lite_optimize_compacts_and_streams_skip_readds(spark, tmp_path):
+    """OPTIMIZE bin-packs small files with a dataChange=false commit:
+    same snapshot rows, fewer files, time travel intact — and the
+    jar-less stream reader must NOT re-deliver the compacted rows."""
+    from pyspark.sql import Row
+
+    import spark_etl_cli_spark.sources.delta_lite as dl
+
+    table = f"{tmp_path}/dlopt"
+    for i in range(4):  # 4 commits -> >=4 small files
+        dl.write_delta_lite(
+            spark.createDataFrame([Row(k=i)]), table, mode="append"
+        )
+    n_files_before = len(dl._replay(spark, table)[0])
+    assert n_files_before >= 4
+    # stream the table fully BEFORE optimize (checkpointed offset)
+    from spark_etl_cli_spark.sources.deltastream import ensure_registered
+
+    ensure_registered(spark)
+    ckpt = f"{tmp_path}/opt_ckpt"
+    out = f"{tmp_path}/opt_out"
+
+    def drain():
+        q = (
+            spark.readStream.format("deltalite-stream")
+            .option("path", table)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(out).count() == 4
+    stats = dl.optimize_delta_lite(spark, table, target_file_bytes=10**9)
+    assert stats["partitions_compacted"] == 1
+    assert stats["files_removed"] == n_files_before
+    assert stats["files_added"] == 1
+    # snapshot identical, fewer files
+    assert sorted(r.k for r in dl.read_delta_lite(spark, table).collect()) == [
+        0, 1, 2, 3
+    ]
+    assert len(dl._replay(spark, table)[0]) == 1
+    # time travel to the pre-optimize version still sees the old layout
+    assert dl.read_delta_lite(spark, table, version_as_of=3).count() == 4
+    # resumed stream sees NOTHING new (dataChange=false adds skipped)
+    drain()
+    assert spark.read.parquet(out).count() == 4
+    # second optimize is a no-op (one big file left)
+    assert dl.optimize_delta_lite(spark, table)["files_removed"] == 0
+
+
+def test_delta_lite_optimize_partitioned_respects_groups(spark, tmp_path):
+    from pyspark.sql import Row
+
+    import spark_etl_cli_spark.sources.delta_lite as dl
+
+    table = f"{tmp_path}/dloptp"
+    for i in range(2):
+        dl.write_delta_lite(
+            spark.createDataFrame(
+                [Row(k=i, part="a"), Row(k=i + 10, part="b")]
+            ),
+            table, mode="append", partition_by=["part"],
+        )
+    stats = dl.optimize_delta_lite(spark, table, target_file_bytes=10**9)
+    assert stats["partitions_compacted"] == 2
+    got = {(r.k, r.part) for r in dl.read_delta_lite(spark, table).collect()}
+    assert got == {(0, "a"), (1, "a"), (10, "b"), (11, "b")}
+    # partition pruning still works on the compacted layout
+    pruned, _ = dl._replay(spark, table, where="part = 'b'")
+    assert len(pruned) == 1
+
+
+def test_delta_lite_timestamp_as_of(spark, tmp_path):
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import Row
+
+    import spark_etl_cli_spark.sources.delta_lite as dl
+
+    table = f"{tmp_path}/dlts"
+    dl.write_delta_lite(spark.createDataFrame([Row(k=1)]), table)
+    dl.write_delta_lite(
+        spark.createDataFrame([Row(k=2)]), table, mode="append"
+    )
+    # pin distinct commit timestamps by rewriting commitInfo
+    log = f"{table}/_delta_log"
+    for v, ts in [(0, 1_000_000), (1, 2_000_000)]:
+        p = _os.path.join(log, f"{v:020d}.json")
+        lines = [
+            _json.loads(line) for line in open(p) if line.strip()
+        ]
+        for a in lines:
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = ts
+        with open(p, "w") as fh:
+            for a in lines:
+                fh.write(_json.dumps(a) + "\n")
+    assert {r.k for r in dl.read_delta_lite(
+        spark, table, timestamp_as_of=1_500_000).collect()} == {1}
+    assert {r.k for r in dl.read_delta_lite(
+        spark, table, timestamp_as_of=2_000_000).collect()} == {1, 2}
+    with pytest.raises(ValueError, match="at or before"):
+        dl.read_delta_lite(spark, table, timestamp_as_of=999)
+    with pytest.raises(ValueError, match="not both"):
+        dl.read_delta_lite(
+            spark, table, version_as_of=0, timestamp_as_of=1_500_000
+        )
+    # ISO string form resolves through UTC
+    assert {r.k for r in dl.read_delta_lite(
+        spark, table, timestamp_as_of="1970-01-01T00:25:00").collect()} == {1}
+
+
 def test_delta_lite_txn_idempotent_writes(spark, tmp_path):
     """txn (SetTransaction) actions make replayed writes no-ops: the
     exactly-once primitive behind the jar-less streaming sink."""
