@@ -1217,3 +1217,46 @@ def optimize_delta_lite(
         for action in actions:
             fh.write(json.dumps(action) + "\n")
     return stats
+
+
+def vacuum_delta_lite(
+    spark: SparkSession,
+    table_path: str,
+    retention_hours: float = 168.0,
+    dry_run: bool = True,
+) -> list[str]:
+    """Delete data files no longer referenced by the CURRENT snapshot
+    and older than ``retention_hours`` (Delta's VACUUM semantics; 168h
+    = the engine's default). Returns the affected relative paths;
+    ``dry_run=True`` (default) only reports. After a real vacuum, time
+    travel to versions needing the removed files stops working — that
+    is the documented trade of reclaiming storage.
+
+    Walk + filter are bookkeeping-scale (file names and mtimes, no data
+    reads); the _delta_log directory itself is never touched.
+    """
+    import time
+
+    adds, _meta = _replay(spark, table_path)
+    referenced = {a["path"] for a in adds}
+    horizon = time.time() - retention_hours * 3600
+    candidates: list[str] = []
+    for root, dirs, files in os.walk(table_path):
+        # never walk into the transaction log
+        dirs[:] = [d for d in dirs if d != "_delta_log"]
+        for fname in files:
+            if not fname.endswith(".parquet"):
+                continue
+            full = os.path.join(root, fname)
+            rel = os.path.relpath(full, table_path)
+            if rel in referenced:
+                continue
+            if os.path.getmtime(full) > horizon:
+                continue  # inside the retention window: a concurrent
+                # reader's time travel may still need it
+            candidates.append(rel)
+    candidates.sort()
+    if not dry_run:
+        for rel in candidates:
+            os.remove(os.path.join(table_path, rel))
+    return candidates

@@ -681,3 +681,242 @@ def write_iceberg_lite(
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
         fh.write(str(version))
     return snapshot_id
+
+
+# --- maintenance: compaction + snapshot expiry ----------------------------
+
+
+def compact_iceberg_lite(
+    spark: SparkSession,
+    table_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict:
+    """Bin-pack small data files into a new ``replace`` snapshot (the
+    shape of Iceberg's ``rewrite_data_files``): untouched files are
+    carried as EXISTING manifest entries, compacted rows land in
+    ``ceil(total/target)`` new ADDED files, and the snapshot summary's
+    ``operation=replace`` tells the incremental stream reader to skip
+    it (no double-delivery). Old snapshots stay readable via
+    ``?snapshot-id=``.
+
+    Honest fences: refuses tables with live delete files (compaction
+    under deletes is a merge, the engine's job) and partitioned
+    layouts (the lite manifest schema carries an empty partition
+    struct).
+    """
+    import math
+    import shutil
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from spark_etl_cli_spark.sources.avro_lite import write_container
+
+    meta = _load_metadata(table_path)
+    snap = _snapshot(meta, None)
+    entries = [
+        e for e in _manifest_entries(table_path, snap) if e.get("status") != 2
+    ]
+    if any((e.get("data_file") or {}).get("content") in (1, 2) for e in entries):
+        raise NotImplementedError(
+            "compact_iceberg_lite: table has live delete files; compaction "
+            "under deletes needs merge semantics (use an Iceberg engine)"
+        )
+    if any((e.get("data_file") or {}).get("partition") for e in entries):
+        raise NotImplementedError(
+            "compact_iceberg_lite handles unpartitioned layouts; "
+            "partitioned rewrite needs the engine's partition-aware writer"
+        )
+    small = [
+        e for e in entries
+        if (e["data_file"].get("file_size_in_bytes") or 0) < target_file_bytes
+    ]
+    stats = {"files_removed": 0, "files_added": 0}
+    if len(small) < min_files:
+        return stats
+    untouched = [e for e in entries if e not in small]
+    spark_schema = _schema_to_spark(meta)
+    small_paths = [
+        _localize(e["data_file"]["file_path"], table_path) for e in small
+    ]
+    total = sum(e["data_file"].get("file_size_in_bytes") or 0 for e in small)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+
+    snapshot_id = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
+    seq = int(meta.get("last-sequence-number") or 0) + 1
+    now_ms = int(_time.time() * 1000)
+    commit_uuid = _uuid.uuid4().hex
+    data_dir = os.path.join(table_path, "data", f"compact-{commit_uuid}")
+    (
+        spark.read.schema(spark_schema)
+        .parquet(*small_paths)
+        .repartition(n_out)
+        .write.parquet(data_dir)
+    )
+    new_files = sorted(_glob.glob(os.path.join(data_dir, "*.parquet")))
+
+    meta_dir = os.path.join(table_path, "metadata")
+    manifest_path = os.path.join(meta_dir, f"manifest-{commit_uuid}.avro")
+    iceberg_schema = _current_schema(meta)
+
+    def entry_row(e, status, sid):
+        d = e["data_file"]
+        return {
+            "status": status,
+            "snapshot_id": sid,
+            "sequence_number": e.get("sequence_number"),
+            "file_sequence_number": e.get("file_sequence_number"),
+            "data_file": {
+                "content": 0,
+                "file_path": d["file_path"],
+                "file_format": d.get("file_format", "PARQUET"),
+                "partition": {},
+                "record_count": d.get("record_count") or 0,
+                "file_size_in_bytes": d.get("file_size_in_bytes") or 0,
+            },
+        }
+
+    rows = [
+        # EXISTING: carried forward with their original snapshot ids —
+        # the stream reader's carried-entry filter keys on this
+        entry_row(e, 0, e.get("snapshot_id")) for e in untouched
+    ] + [
+        {
+            "status": 1,
+            "snapshot_id": snapshot_id,
+            "sequence_number": None,
+            "file_sequence_number": None,
+            "data_file": {
+                "content": 0,
+                "file_path": p,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": _parquet_row_count(p),
+                "file_size_in_bytes": os.path.getsize(p),
+            },
+        }
+        for p in new_files
+    ]
+    write_container(
+        manifest_path,
+        _MANIFEST_SCHEMA,
+        iter(rows),
+        extra_meta={
+            "schema": json.dumps(iceberg_schema).encode(),
+            "schema-id": b"0",
+            "partition-spec": b"[]",
+            "partition-spec-id": b"0",
+            "format-version": b"2",
+            "content": b"data",
+        },
+    )
+    mlist_path = os.path.join(
+        meta_dir, f"snap-{snapshot_id}-{commit_uuid}.avro"
+    )
+    added_rows = sum(r["data_file"]["record_count"] for r in rows[len(untouched):])
+    write_container(
+        mlist_path,
+        _MANIFEST_LIST_SCHEMA,
+        iter([{
+            "manifest_path": manifest_path,
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": 0,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(new_files),
+            "existing_files_count": len(untouched),
+            "deleted_files_count": len(small),
+            "added_rows_count": added_rows,
+            "existing_rows_count": sum(
+                e["data_file"].get("record_count") or 0 for e in untouched
+            ),
+            "deleted_rows_count": added_rows,
+        }]),
+        extra_meta={"format-version": b"2"},
+    )
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["current-snapshot-id"] = snapshot_id
+    new_meta["snapshots"] = list(meta.get("snapshots") or []) + [{
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": mlist_path,
+        "summary": {"operation": "replace"},
+        "schema-id": 0,
+    }]
+    version = 1 + max(
+        int(re.match(r"v?(\d+)", os.path.basename(p)).group(1))
+        for p in _glob.glob(os.path.join(meta_dir, "*.metadata.json"))
+    )
+    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as fh:
+        json.dump(new_meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    stats["files_removed"] = len(small)
+    stats["files_added"] = len(new_files)
+    return stats
+
+
+def expire_iceberg_snapshots(
+    table_path: str, keep_last: int = 1, delete_orphaned_files: bool = False
+) -> dict:
+    """Drop all but the newest ``keep_last`` snapshots from the table
+    metadata (Iceberg's ``expire_snapshots`` maintenance action).
+    Metadata-only by default; ``delete_orphaned_files=True`` also
+    removes data files referenced ONLY by expired snapshots. Time
+    travel to expired snapshot ids stops resolving — that is the
+    point of expiry (bounded metadata + reclaimable storage).
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    meta = _load_metadata(table_path)
+    snaps = sorted(
+        meta.get("snapshots") or [], key=lambda s: s["snapshot-id"]
+    )
+    if len(snaps) <= keep_last:
+        return {"expired": 0, "files_deleted": 0}
+    kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+    current = meta.get("current-snapshot-id")
+    if current not in {s["snapshot-id"] for s in kept}:
+        raise ValueError(
+            "expire would drop the CURRENT snapshot; raise keep_last"
+        )
+    deleted = 0
+    if delete_orphaned_files:
+        def files_of(snapshots):
+            out = set()
+            for s in snapshots:
+                for e in _manifest_entries(table_path, s):
+                    if e.get("status") == 2:
+                        continue
+                    out.add(
+                        _localize(e["data_file"]["file_path"], table_path)
+                    )
+            return out
+
+        orphans = files_of(expired) - files_of(kept)
+        for p in sorted(orphans):
+            if os.path.exists(p):
+                os.remove(p)
+                deleted += 1
+    meta_dir = os.path.join(table_path, "metadata")
+    new_meta = dict(meta)
+    new_meta["snapshots"] = kept
+    version = 1 + max(
+        int(re.match(r"v?(\d+)", os.path.basename(p)).group(1))
+        for p in _glob.glob(os.path.join(meta_dir, "*.metadata.json"))
+    )
+    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as fh:
+        json.dump(new_meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return {"expired": len(expired), "files_deleted": deleted}

@@ -78,6 +78,12 @@ class _IcebergStreamReader(DataSourceStreamReader):
             sid = snap["snapshot-id"]
             if not (lo < sid <= hi):
                 continue
+            if (snap.get("summary") or {}).get("operation") == "replace":
+                # compaction/rewrite snapshots (compact_iceberg_lite,
+                # real Iceberg's rewrite_data_files) re-add existing
+                # rows in new files — streaming them would double-count.
+                # Same skip real Iceberg's incremental read applies.
+                continue
             for e in _manifest_entries(self.path, snap):
                 if e.get("status") != 1:  # only files ADDED by this snap
                     continue

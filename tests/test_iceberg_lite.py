@@ -394,6 +394,89 @@ def test_iceberg_write_emits_v2_required_fields(spark, tmp_path):
     assert all(r["data_file"]["partition"] == {} for r in recs)
 
 
+def test_iceberg_compact_and_stream_skips_replace_snapshot(spark, tmp_path):
+    """compact_iceberg_lite bin-packs small files into a replace
+    snapshot: identical rows, fewer files, old snapshots readable —
+    and the incremental stream reader skips the replace snapshot
+    instead of double-delivering compacted rows."""
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        compact_iceberg_lite,
+        read_iceberg_lite,
+        resolve_iceberg_files,
+        write_iceberg_lite,
+    )
+
+    table = str(tmp_path / "ice_compact")
+    for i in range(3):
+        write_iceberg_lite(
+            spark.range(i * 2, i * 2 + 2).selectExpr("id"), table
+        )
+    files_before, _, _, _ = resolve_iceberg_files(spark, table)
+    assert len(files_before) >= 3
+    # drain the stream BEFORE compaction
+    from spark_etl_cli_spark.sources.icebergstream import ensure_registered
+
+    ensure_registered(spark)
+    ckpt, out = f"{tmp_path}/ic_ckpt", f"{tmp_path}/ic_out"
+
+    def drain():
+        q = (
+            spark.readStream.format("iceberglite-stream")
+            .option("path", table)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(out).count() == 6
+    stats = compact_iceberg_lite(spark, table, target_file_bytes=10**9)
+    assert stats["files_removed"] == len(files_before)
+    assert stats["files_added"] == 1
+    assert sorted(
+        r.id for r in read_iceberg_lite(spark, table).collect()
+    ) == list(range(6))
+    files_after, _, _, _ = resolve_iceberg_files(spark, table)
+    assert len(files_after) == 1
+    # resumed stream: the replace snapshot delivers NOTHING new
+    drain()
+    assert spark.read.parquet(out).count() == 6
+    # second compact: no-op
+    assert compact_iceberg_lite(spark, table)["files_removed"] == 0
+
+
+def test_iceberg_expire_snapshots(spark, tmp_path):
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        expire_iceberg_snapshots,
+        read_iceberg_lite,
+        write_iceberg_lite,
+    )
+
+    table = str(tmp_path / "ice_expire")
+    s1 = write_iceberg_lite(spark.range(2).selectExpr("id"), table)
+    write_iceberg_lite(spark.range(2, 4).selectExpr("id"), table)
+    # metadata-only expiry: old snapshot id stops resolving, data stays
+    res = expire_iceberg_snapshots(table, keep_last=1)
+    assert res == {"expired": 1, "files_deleted": 0}
+    assert read_iceberg_lite(spark, table).count() == 4
+    with pytest.raises(ValueError, match="not found"):
+        read_iceberg_lite(spark, table, snapshot_id=s1)
+    # overwrite then expire WITH file deletion: the orphaned pre-
+    # overwrite files are removed from disk
+    write_iceberg_lite(
+        spark.range(9, 10).selectExpr("id"), table, mode="overwrite"
+    )
+    res = expire_iceberg_snapshots(
+        table, keep_last=1, delete_orphaned_files=True
+    )
+    assert res["expired"] >= 1 and res["files_deleted"] >= 1
+    assert sorted(r.id for r in read_iceberg_lite(spark, table).collect()) == [9]
+
+
 def test_iceberg_append_schema_mismatch_raises(spark, tmp_path):
     from spark_etl_cli_spark.sources.iceberg_lite import write_iceberg_lite
 

@@ -508,6 +508,44 @@ def test_delta_lite_optimize_partitioned_respects_groups(spark, tmp_path):
     assert len(pruned) == 1
 
 
+def test_delta_lite_vacuum(spark, tmp_path):
+    """VACUUM removes files unreferenced by the current snapshot and
+    older than retention; referenced and fresh files survive."""
+    import os as _os
+
+    from pyspark.sql import Row
+
+    import spark_etl_cli_spark.sources.delta_lite as dl
+
+    table = f"{tmp_path}/dlvac"
+    dl.write_delta_lite(spark.createDataFrame([Row(k=1)]), table)
+    dl.write_delta_lite(
+        spark.createDataFrame([Row(k=2)]), table, mode="overwrite"
+    )
+    # the overwritten v0 file is unreferenced but FRESH: retention holds
+    assert dl.vacuum_delta_lite(spark, table, retention_hours=1) == []
+    # age everything; dry run lists, then real run deletes
+    for root, dirs, files in _os.walk(table):
+        dirs[:] = [d for d in dirs if d != "_delta_log"]
+        for f in files:
+            p = _os.path.join(root, f)
+            _os.utime(p, (1, 1))
+    listed = dl.vacuum_delta_lite(spark, table, retention_hours=1)
+    referenced = {a["path"] for a in dl._replay(spark, table)[0]}
+    assert listed and not (set(listed) & referenced)
+    assert _os.path.exists(_os.path.join(table, listed[0]))  # dry run
+    gone = dl.vacuum_delta_lite(
+        spark, table, retention_hours=1, dry_run=False
+    )
+    assert gone == listed
+    assert not _os.path.exists(_os.path.join(table, listed[0]))
+    # current snapshot unharmed; pre-vacuum time travel now broken (the
+    # documented trade)
+    assert {r.k for r in dl.read_delta_lite(spark, table).collect()} == {2}
+    with pytest.raises(Exception):
+        dl.read_delta_lite(spark, table, version_as_of=0).collect()
+
+
 def test_delta_lite_timestamp_as_of(spark, tmp_path):
     import json as _json
     import os as _os
