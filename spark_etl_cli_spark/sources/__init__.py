@@ -12,3 +12,4 @@ from spark_etl_cli_spark.sources import http as _http  # noqa: F401
 # kafka connector jar, excel reader). They register themselves and fail
 # lazily with a clear message when actually used without the dependency.
 from spark_etl_cli_spark.sources import optional as _optional  # noqa: F401
+from spark_etl_cli_spark.sources import lakehouse_maint as _lm  # noqa: F401

@@ -740,6 +740,16 @@ def _collect_written_files(
         for fname in files:
             if not fname.endswith(".parquet") or fname.startswith("_"):
                 continue
+            # Spark writes a part file per task even for empty
+            # partitions; committing them bloats the log and every
+            # future snapshot's file list for zero rows. Footer-only
+            # check (no data read).
+            import pyarrow.parquet as _pq
+
+            if _pq.ParquetFile(
+                os.path.join(root, fname)
+            ).metadata.num_rows == 0:
+                continue
             new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
             rel_path = os.path.join(*segs, new_name) if segs else new_name
             dst = os.path.join(table_path, rel_path)

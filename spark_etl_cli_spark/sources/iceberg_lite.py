@@ -544,10 +544,13 @@ def write_iceberg_lite(
     seq = int((prior or {}).get("last-sequence-number") or 0) + 1
     now_ms = int(_time.time() * 1000)
 
-    # 2. one manifest for the new files
+    # 2. one manifest for the new files. Zero-row part files (Spark
+    # writes one per task, empty partitions included) are dropped —
+    # committing them bloats every manifest for no rows.
     manifest_path = os.path.join(meta_dir, f"manifest-{commit_uuid}.avro")
     iceberg_schema = _spark_to_iceberg_schema(df.schema)
     row_counts = {p: _parquet_row_count(p) for p in files}
+    files = [p for p in files if row_counts[p] > 0]
     write_container(
         manifest_path,
         _MANIFEST_SCHEMA,

@@ -1,0 +1,138 @@
+"""Lakehouse maintenance actions as pipeline SOURCES.
+
+Real engines expose OPTIMIZE / VACUUM / expire_snapshots as SQL
+commands; this repo's pipeline model has no statement surface, so the
+maintenance actions surface as sources that PERFORM the action and
+return its report as a DataFrame — composable with the rest of a
+pipeline (e.g. land the vacuum report in a table, diff it against an
+expectation, alert via a sink):
+
+    --source "rep+delta-optimize:///path/tbl?target-file-bytes=134217728"
+    --source "rep+delta-vacuum:///path/tbl?retention-hours=168&dry-run=false"
+    --source "rep+iceberg-compact:///path/tbl"
+    --source "rep+iceberg-expire:///path/tbl?keep-last=3&delete-orphans=true"
+
+All four are driver-orchestrated bookkeeping around distributed
+rewrites (see sources/delta_lite.py / iceberg_lite.py for the scale
+notes); the returned report is always bookkeeping-sized.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_etl_cli_spark.registry import register_source
+from spark_etl_cli_spark.uri import ParsedUri
+
+
+def _flag(uri: ParsedUri, name: str, default: bool = False) -> bool:
+    raw = uri.params.get(name)
+    if raw is None:
+        return default
+    return raw.lower() in ("1", "true", "yes")
+
+
+@dataclass
+class DeltaOptimizeSource:
+    uri: ParsedUri
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        from spark_etl_cli_spark.sources.delta_lite import optimize_delta_lite
+
+        stats = optimize_delta_lite(
+            spark,
+            self.uri.path,
+            target_file_bytes=int(
+                self.uri.params.get("target-file-bytes", 128 * 1024 * 1024)
+            ),
+            min_files=int(self.uri.params.get("min-files", 2)),
+        )
+        return spark.createDataFrame(
+            [(self.uri.path, stats["partitions_compacted"],
+              stats["files_removed"], stats["files_added"])],
+            "table string, partitions_compacted int, files_removed int, "
+            "files_added int",
+        )
+
+
+@dataclass
+class DeltaVacuumSource:
+    uri: ParsedUri
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        from spark_etl_cli_spark.sources.delta_lite import vacuum_delta_lite
+
+        dry = _flag(self.uri, "dry-run", default=True)
+        paths = vacuum_delta_lite(
+            spark,
+            self.uri.path,
+            retention_hours=float(self.uri.params.get("retention-hours", 168)),
+            dry_run=dry,
+        )
+        rows = [(self.uri.path, p, dry) for p in paths]
+        return spark.createDataFrame(
+            rows, "table string, path string, dry_run boolean"
+        )
+
+
+@dataclass
+class IcebergCompactSource:
+    uri: ParsedUri
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        from spark_etl_cli_spark.sources.iceberg_lite import compact_iceberg_lite
+
+        stats = compact_iceberg_lite(
+            spark,
+            self.uri.path,
+            target_file_bytes=int(
+                self.uri.params.get("target-file-bytes", 128 * 1024 * 1024)
+            ),
+            min_files=int(self.uri.params.get("min-files", 2)),
+        )
+        return spark.createDataFrame(
+            [(self.uri.path, stats["files_removed"], stats["files_added"])],
+            "table string, files_removed int, files_added int",
+        )
+
+
+@dataclass
+class IcebergExpireSource:
+    uri: ParsedUri
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        from spark_etl_cli_spark.sources.iceberg_lite import (
+            expire_iceberg_snapshots,
+        )
+
+        stats = expire_iceberg_snapshots(
+            self.uri.path,
+            keep_last=int(self.uri.params.get("keep-last", 1)),
+            delete_orphaned_files=_flag(self.uri, "delete-orphans"),
+        )
+        return spark.createDataFrame(
+            [(self.uri.path, stats["expired"], stats["files_deleted"])],
+            "table string, snapshots_expired int, files_deleted int",
+        )
+
+
+@register_source("delta-optimize")
+def delta_optimize_source(p: ParsedUri) -> DeltaOptimizeSource:
+    return DeltaOptimizeSource(p)
+
+
+@register_source("delta-vacuum")
+def delta_vacuum_source(p: ParsedUri) -> DeltaVacuumSource:
+    return DeltaVacuumSource(p)
+
+
+@register_source("iceberg-compact")
+def iceberg_compact_source(p: ParsedUri) -> IcebergCompactSource:
+    return IcebergCompactSource(p)
+
+
+@register_source("iceberg-expire")
+def iceberg_expire_source(p: ParsedUri) -> IcebergExpireSource:
+    return IcebergExpireSource(p)

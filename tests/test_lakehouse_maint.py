@@ -1,0 +1,70 @@
+"""Maintenance actions surfaced as pipeline sources: the action runs,
+its report comes back as a DataFrame, and the underlying table is
+actually maintained."""
+
+from __future__ import annotations
+
+import os
+
+
+def test_delta_optimize_and_vacuum_sources(spark, tmp_path):
+    from pyspark.sql import Row
+
+    import spark_etl_cli_spark.sources.delta_lite as dl
+    from spark_etl_cli_spark.registry import resolve_source
+
+    table = f"{tmp_path}/m_dl"
+    for i in range(3):
+        dl.write_delta_lite(
+            spark.createDataFrame([Row(k=i)]), table, mode="append"
+        )
+    _, src = resolve_source(
+        f"rep+delta-optimize://{table}?target-file-bytes=1000000000"
+    )
+    rep = src.read(spark).collect()[0]
+    assert rep.files_removed == 3 and rep.files_added == 1
+    assert len(dl._replay(spark, table)[0]) == 1
+    # vacuum report (dry run by default): the 3 compacted-away files,
+    # once aged past retention
+    for root, dirs, files in os.walk(table):
+        dirs[:] = [d for d in dirs if d != "_delta_log"]
+        for f in files:
+            os.utime(os.path.join(root, f), (1, 1))
+    _, vsrc = resolve_source(f"rep+delta-vacuum://{table}?retention-hours=1")
+    rows = vsrc.read(spark).collect()
+    assert len(rows) == 3 and all(r.dry_run for r in rows)
+    # files still exist (dry run)
+    assert all(os.path.exists(os.path.join(table, r.path)) for r in rows)
+    _, vsrc2 = resolve_source(
+        f"rep+delta-vacuum://{table}?retention-hours=1&dry-run=false"
+    )
+    gone = vsrc2.read(spark).collect()
+    assert len(gone) == 3
+    assert not any(os.path.exists(os.path.join(table, r.path)) for r in gone)
+    assert dl.read_delta_lite(spark, table).count() == 3
+
+
+def test_iceberg_compact_and_expire_sources(spark, tmp_path):
+    from spark_etl_cli_spark.registry import resolve_source
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        read_iceberg_lite,
+        write_iceberg_lite,
+    )
+
+    table = f"{tmp_path}/m_ice"
+    for i in range(3):
+        write_iceberg_lite(spark.range(i, i + 1).selectExpr("id"), table)
+    _, csrc = resolve_source(
+        f"rep+iceberg-compact://{table}?target-file-bytes=1000000000"
+    )
+    rep = csrc.read(spark).collect()[0]
+    assert rep.files_removed >= 3 and rep.files_added == 1
+    assert sorted(r.id for r in read_iceberg_lite(spark, table).collect()) == [
+        0, 1, 2
+    ]
+    _, esrc = resolve_source(
+        f"rep+iceberg-expire://{table}?keep-last=1&delete-orphans=true"
+    )
+    erep = esrc.read(spark).collect()[0]
+    assert erep.snapshots_expired == 3  # three appends + compaction kept
+    assert read_iceberg_lite(spark, table).count() == 3
