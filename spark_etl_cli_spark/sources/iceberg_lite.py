@@ -236,16 +236,15 @@ def _prune_file_entries(
     return out
 
 
-def resolve_iceberg_files(
+def _resolve_entries(
     spark: SparkSession,
     table_path: str,
     snapshot_id: int | None = None,
     where: str | None = None,
-) -> tuple[list[str], list[str], list[str], T.StructType]:
-    """(data_files, position_delete_files, equality_delete_files,
-    spark_schema) for a snapshot, with ``where`` pruning the DATA file
-    list via manifest-entry partition values — at a 10^6-file table this
-    is what keeps a one-partition query from opening every footer."""
+) -> tuple[list[tuple[str, dict]], list[str], list[str], T.StructType, dict]:
+    """(data entries (path, partition dict), position deletes, equality
+    deletes, spark schema, table metadata) for a snapshot, with
+    ``where`` pruning the data entries via manifest partition values."""
     meta = _load_metadata(table_path)
     fv = int(meta.get("format-version", 1))
     if fv > 2:
@@ -269,14 +268,30 @@ def resolve_iceberg_files(
             pos_deletes.append(path)
         elif content == 2:
             eq_deletes.append(path)
-    data_files = [p for p, _ in data_entries]
     if where and data_entries:
         pruned = _prune_file_entries(
             spark, data_entries, _identity_partition_fields(meta), where
         )
         if pruned is not None:
-            data_files = pruned
-    return data_files, pos_deletes, eq_deletes, spark_schema
+            kept = set(pruned)
+            data_entries = [(p, pv) for p, pv in data_entries if p in kept]
+    return data_entries, pos_deletes, eq_deletes, spark_schema, meta
+
+
+def resolve_iceberg_files(
+    spark: SparkSession,
+    table_path: str,
+    snapshot_id: int | None = None,
+    where: str | None = None,
+) -> tuple[list[str], list[str], list[str], T.StructType]:
+    """(data_files, position_delete_files, equality_delete_files,
+    spark_schema) for a snapshot, with ``where`` pruning the DATA file
+    list via manifest-entry partition values — at a 10^6-file table this
+    is what keeps a one-partition query from opening every footer."""
+    entries, pos_deletes, eq_deletes, spark_schema, _meta = _resolve_entries(
+        spark, table_path, snapshot_id, where
+    )
+    return [p for p, _ in entries], pos_deletes, eq_deletes, spark_schema
 
 
 def read_iceberg_lite(
@@ -285,14 +300,67 @@ def read_iceberg_lite(
     snapshot_id: int | None = None,
     where: str | None = None,
 ) -> DataFrame:
-    data_files, pos_deletes, eq_deletes, spark_schema = resolve_iceberg_files(
+    entries, pos_deletes, eq_deletes, spark_schema, meta = _resolve_entries(
         spark, table_path, snapshot_id, where
     )
-    if not data_files:
+    if not entries:
         empty = spark.createDataFrame([], spark_schema)
         return empty.filter(where) if where else empty
-    df = spark.read.schema(spark_schema).parquet(*data_files)
     norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+    track = bool(pos_deletes)
+
+    def scan(paths: list[str], schema: T.StructType, extra) -> DataFrame:
+        d = spark.read.schema(schema).parquet(*paths)
+        cols = list(extra) + (
+            [
+                norm(F.col("_metadata.file_path")).alias("__dfile"),
+                F.col("_metadata.row_index").alias("__dpos"),
+            ]
+            if track
+            else []
+        )
+        return d.select(*cols)
+
+    # identity partition columns: the spec stores their values in the
+    # manifest, and files written through partitionBy-style writers
+    # (this module's included) don't carry the column physically —
+    # restore them as typed literals per partition group, exactly like
+    # the delta reader. Files whose manifest entries carry no values
+    # (pre-partitioning commits, other writers) read the full schema.
+    part_fields = _identity_partition_fields(meta)
+    pnames = {src for _, src, _ in part_fields}
+    data_schema = T.StructType(
+        [f for f in spark_schema.fields if f.name not in pnames]
+    )
+    groups: dict[tuple, list[str]] = {}
+    for path, pv in entries:
+        key = tuple(pv.get(pname) for pname, _, _ in part_fields)
+        groups.setdefault(key, []).append(path)
+    parts: list[DataFrame] = []
+    for key, paths in sorted(
+        groups.items(),
+        key=lambda kv: tuple((v is None, str(v)) for v in kv[0]),
+    ):
+        if part_fields and any(v is not None for v in key):
+            lit_of = {
+                src: key[i] for i, (_, src, _) in enumerate(part_fields)
+            }
+            cols = []
+            for f in spark_schema.fields:
+                if f.name in lit_of:
+                    cols.append(
+                        F.lit(lit_of[f.name]).cast(f.dataType).alias(f.name)
+                    )
+                else:
+                    cols.append(F.col(f.name))
+            parts.append(scan(paths, data_schema, cols))
+        else:
+            parts.append(
+                scan(paths, spark_schema, [F.col(f.name) for f in spark_schema.fields])
+            )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
     if pos_deletes:
         # position-delete files: (file_path, pos[, row]) — drop the
         # (file, row ordinal) pairs they name, matching on normalized
@@ -305,15 +373,9 @@ def read_iceberg_lite(
             )
             .distinct()
         )
-        df = (
-            df.select(
-                "*",
-                norm(F.col("_metadata.file_path")).alias("__dfile"),
-                F.col("_metadata.row_index").alias("__dpos"),
-            )
-            .join(F.broadcast(dels), ["__dfile", "__dpos"], "left_anti")
-            .drop("__dfile", "__dpos")
-        )
+        df = df.join(
+            F.broadcast(dels), ["__dfile", "__dpos"], "left_anti"
+        ).drop("__dfile", "__dpos")
     for path in eq_deletes:
         eq = spark.read.parquet(path)
         df = df.join(F.broadcast(eq.distinct()), eq.columns, "left_anti")
@@ -490,8 +552,79 @@ def _parquet_row_count(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+# spark type → avro type for partition-record fields (nullable union
+# added at use); the identity-partitionable subset
+_PART_AVRO = {
+    T.StringType: "string",
+    T.IntegerType: "int",
+    T.ShortType: "int",
+    T.ByteType: "int",
+    T.LongType: "long",
+    T.BooleanType: "boolean",
+    T.FloatType: "float",
+    T.DoubleType: "double",
+    T.DateType: {"type": "int", "logicalType": "date"},
+}
+
+
+def _part_avro_type(dt: T.DataType):
+    for cls, avro in _PART_AVRO.items():
+        if isinstance(dt, cls):
+            return avro
+    raise ValueError(
+        f"iceberg_lite: partition column type {dt} not supported "
+        "(identity partitioning on string/int/long/boolean/float/double/date)"
+    )
+
+
+def _hive_value(raw: str | None, dt: T.DataType):
+    """Typed python value from a hive partition-dir segment."""
+    from urllib.parse import unquote as _uq
+
+    if raw is None or raw == _HIVE_NULL:
+        return None
+    raw = _uq(raw)
+    if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType, T.LongType)):
+        return int(raw)
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return float(raw)
+    if isinstance(dt, T.BooleanType):
+        return raw.lower() == "true"
+    if isinstance(dt, T.DateType):
+        import datetime as _dt
+
+        return _dt.date.fromisoformat(raw)
+    return raw
+
+
+def _manifest_schema_for(part_fields: list[tuple[str, T.DataType]]) -> dict:
+    """_MANIFEST_SCHEMA with a typed partition record (spec field ids
+    from 1000, matching the partition spec)."""
+    schema = json.loads(json.dumps(_MANIFEST_SCHEMA))  # deep copy
+    if part_fields:
+        pf = [
+            {
+                "name": name,
+                "type": ["null", _part_avro_type(dt)],
+                "field-id": 1000 + i,
+            }
+            for i, (name, dt) in enumerate(part_fields)
+        ]
+        for f in schema["fields"]:
+            if f["name"] == "data_file":
+                for df_f in f["type"]["fields"]:
+                    if df_f["name"] == "partition":
+                        df_f["type"]["fields"] = pf
+    return schema
+
+
 def write_iceberg_lite(
-    df: DataFrame, table_path: str, mode: str = "append"
+    df: DataFrame,
+    table_path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
 ) -> int:
     """Commit ``df`` to an Iceberg table; returns the new snapshot id.
 
@@ -500,6 +633,12 @@ def write_iceberg_lite(
     readable via ``?snapshot-id=`` — no data is ever deleted here,
     exactly Iceberg's own semantics where expiry is a separate
     maintenance action).
+
+    ``partition_by``: identity-transform partitioning. Data files land
+    under hive-style dirs; their typed partition values go into the
+    manifest entries and the partition spec into the metadata, which is
+    exactly what makes ``?where=`` manifest-level file pruning work on
+    read. Appends must keep the table's partitioning.
     """
     import uuid as _uuid
 
@@ -524,14 +663,45 @@ def write_iceberg_lite(
                 f"{[f.name for f in prior_schema.fields]}, frame has "
                 f"{list(df.columns)}"
             )
+        prior_parts = [src for _, src, _ in _identity_partition_fields(prior)]
+        if partition_by is None:
+            partition_by = prior_parts or None
+        elif mode != "overwrite" and list(partition_by) != prior_parts:
+            raise ValueError(
+                f"partition_by={partition_by} != table partitioning "
+                f"{prior_parts}"
+            )
+    pcols = list(partition_by or [])
+    missing = [c for c in pcols if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition_by columns not in frame: {missing}")
+    part_fields = [(c, df.schema[c].dataType) for c in pcols]
+    for _name, _dt in part_fields:
+        _part_avro_type(_dt)  # validate up front
 
     # 1. data files — one distributed parquet write into a fresh subdir
     commit_uuid = _uuid.uuid4().hex
     data_dir = os.path.join(table_path, "data", commit_uuid)
-    df.write.parquet(data_dir)
+    writer = df.write
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(data_dir)
     files = sorted(
-        _glob.glob(os.path.join(data_dir, "*.parquet"))
+        _glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
     )
+
+    def _partition_of(path: str) -> dict:
+        out: dict = {}
+        rel = os.path.relpath(os.path.dirname(path), data_dir)
+        segs = [] if rel == "." else rel.split(os.sep)
+        raw = {}
+        for seg in segs:
+            if "=" in seg:
+                k, v = seg.split("=", 1)
+                raw[k] = v
+        for name, dt in part_fields:
+            out[name] = _hive_value(raw.get(name), dt)
+        return out
 
     import time as _time
 
@@ -549,11 +719,23 @@ def write_iceberg_lite(
     # committing them bloats every manifest for no rows.
     manifest_path = os.path.join(meta_dir, f"manifest-{commit_uuid}.avro")
     iceberg_schema = _spark_to_iceberg_schema(df.schema)
+    field_id_of = {
+        f["name"]: f["id"] for f in iceberg_schema.get("fields", [])
+    }
+    spec_fields = [
+        {
+            "name": name,
+            "transform": "identity",
+            "source-id": field_id_of[name],
+            "field-id": 1000 + i,
+        }
+        for i, (name, _dt) in enumerate(part_fields)
+    ]
     row_counts = {p: _parquet_row_count(p) for p in files}
     files = [p for p in files if row_counts[p] > 0]
     write_container(
         manifest_path,
-        _MANIFEST_SCHEMA,
+        _manifest_schema_for(part_fields),
         iter(
             {
                 "status": 1,  # ADDED
@@ -564,7 +746,7 @@ def write_iceberg_lite(
                     "content": 0,
                     "file_path": p,
                     "file_format": "PARQUET",
-                    "partition": {},
+                    "partition": _partition_of(p),
                     "record_count": row_counts[p],
                     "file_size_in_bytes": os.path.getsize(p),
                 },
@@ -576,7 +758,7 @@ def write_iceberg_lite(
             # manifest files (spec "Manifests")
             "schema": json.dumps(iceberg_schema).encode(),
             "schema-id": b"0",
-            "partition-spec": b"[]",
+            "partition-spec": json.dumps(spec_fields).encode(),
             "partition-spec-id": b"0",
             "format-version": b"2",
             "content": b"data",
@@ -661,11 +843,11 @@ def write_iceberg_lite(
         "current-snapshot-id": snapshot_id,
         "schemas": [iceberg_schema],
         "current-schema-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
         "default-spec-id": 0,
         # no partition fields assigned yet: the spec reserves ids from
         # 1000, so "highest assigned" is 999
-        "last-partition-id": 999,
+        "last-partition-id": 999 + len(spec_fields),
         "sort-orders": [{"order-id": 0, "fields": []}],
         "default-sort-order-id": 0,
         "snapshots": snapshots,

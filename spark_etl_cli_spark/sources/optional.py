@@ -656,7 +656,12 @@ class IcebergSink:
         mode = self.uri.params.get(
             "mode", self.uri.params.get("write-mode", "append")
         )
-        write_iceberg_lite(df, self.uri.path, mode=mode)
+        parts = [
+            c for c in self.uri.params.get("partitionCols", "").split(",") if c
+        ]
+        write_iceberg_lite(
+            df, self.uri.path, mode=mode, partition_by=parts or None
+        )
         return True
 
 

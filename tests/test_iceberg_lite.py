@@ -449,6 +449,55 @@ def test_iceberg_compact_and_stream_skips_replace_snapshot(spark, tmp_path):
     assert compact_iceberg_lite(spark, table)["files_removed"] == 0
 
 
+def test_iceberg_partitioned_write_read_prune_roundtrip(spark, tmp_path):
+    """Identity-partitioned writes: typed partition values land in the
+    manifest + spec, reads restore the columns as literals, and
+    ?where= prunes the file list — the full write→prune loop."""
+    from pyspark.sql import Row
+
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        read_iceberg_lite,
+        resolve_iceberg_files,
+        write_iceberg_lite,
+    )
+
+    table = str(tmp_path / "ice_part")
+    df = spark.createDataFrame(
+        [Row(id=i, part=p, d=float(i))
+         for i, p in enumerate(["a", "a", "b", None])]
+    )
+    write_iceberg_lite(df, table, partition_by=["part"])
+    got = {(r.id, r.part, r.d)
+           for r in read_iceberg_lite(spark, table).collect()}
+    assert got == {(0, "a", 0.0), (1, "a", 1.0), (2, "b", 2.0), (3, None, 3.0)}
+    # pruning: only partition b's file(s) survive resolution
+    all_files, _, _, _ = resolve_iceberg_files(spark, table)
+    b_files, _, _, _ = resolve_iceberg_files(spark, table, where="part = 'b'")
+    assert 0 < len(b_files) < len(all_files)
+    assert {r.id for r in read_iceberg_lite(spark, table, where="part = 'b'")
+            .collect()} == {2}
+    # appends must keep the partitioning (explicit mismatch refused,
+    # omitted partition_by inherits)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="partitioning"):
+        write_iceberg_lite(df, table, partition_by=["id"])
+    write_iceberg_lite(
+        spark.createDataFrame([Row(id=9, part="b", d=9.0)]), table
+    )
+    assert {r.id for r in read_iceberg_lite(spark, table, where="part = 'b'")
+            .collect()} == {2, 9}
+    # typed non-string partition column: long
+    t2 = str(tmp_path / "ice_part_long")
+    write_iceberg_lite(
+        spark.createDataFrame([Row(id=i, bucket=i % 2) for i in range(4)]),
+        t2, partition_by=["bucket"],
+    )
+    rows = read_iceberg_lite(spark, t2, where="bucket = 1").collect()
+    assert sorted(r.id for r in rows) == [1, 3]
+    assert all(isinstance(r.bucket, int) for r in rows)
+
+
 def test_iceberg_expire_snapshots(spark, tmp_path):
     from spark_etl_cli_spark.sources.iceberg_lite import (
         expire_iceberg_snapshots,
