@@ -9,9 +9,12 @@ commit are not retracted (stream additions, not CDC); deletion-vector
 re-adds are rejected loudly rather than silently double-counting.
 
 Driver touches only the JSON log (file names); parquet decoding runs
-executor-side through Arrow batches. Checkpoint files are irrelevant
-here — offsets advance commit-by-commit from the JSON tail, which is
-exactly the part of the log checkpoints compact away for BATCH readers.
+executor-side through Arrow batches. Partitioned tables are supported:
+partition values ride the offset metadata and are restored as typed
+constant columns worker-side (they are not in the data files).
+Checkpoint files are irrelevant here — offsets advance
+commit-by-commit from the JSON tail, which is exactly the part of the
+log checkpoints compact away for BATCH readers.
 """
 
 from __future__ import annotations
@@ -51,6 +54,24 @@ def _versions(path: str) -> list[int]:
 @dataclass
 class _FilePart(InputPartition):
     file: str
+    # JSON {col: raw string value} for the file's partition tuple, plus
+    # the table schema JSON so the (session-less) worker can type the
+    # restored columns; "" for unpartitioned tables
+    part_json: str = ""
+    schema_json: str = ""
+
+
+def _latest_meta(path: str) -> dict | None:
+    meta = None
+    for v in _versions(path):
+        commit = os.path.join(_log_dir(path), f"{v:020d}.json")
+        with open(commit) as fh:
+            for line in fh:
+                if line.strip():
+                    action = json.loads(line)
+                    if "metaData" in action:
+                        meta = action["metaData"]
+    return meta
 
 
 class _DeltaLiteStreamReader(DataSourceStreamReader):
@@ -68,7 +89,10 @@ class _DeltaLiteStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = start.get("version", -1), end.get("version", -1)
-        files: list[str] = []
+        meta = _latest_meta(self.path) or {}
+        part_cols = meta.get("partitionColumns") or []
+        schema_json = meta.get("schemaString", "")
+        entries: dict[str, str] = {}
         for v in _versions(self.path):
             if not (lo < v <= hi):
                 continue
@@ -95,10 +119,16 @@ class _DeltaLiteStreamReader(DataSourceStreamReader):
                         )
                     from urllib.parse import unquote
 
-                    files.append(
-                        os.path.join(self.path, unquote(add["path"]))
+                    pv = add.get("partitionValues") or {}
+                    entries[os.path.join(self.path, unquote(add["path"]))] = (
+                        json.dumps({c: pv.get(c) for c in part_cols})
+                        if part_cols
+                        else ""
                     )
-        parts = [_FilePart(f) for f in sorted(set(files))]
+        parts = [
+            _FilePart(f, entries[f], schema_json if part_cols else "")
+            for f in sorted(entries)
+        ]
         return parts or [_FilePart("")]
 
     def read(self, partition: _FilePart) -> Iterator:
@@ -106,12 +136,74 @@ class _DeltaLiteStreamReader(DataSourceStreamReader):
             return
         import pyarrow.parquet as pq
 
-        for batch in pq.read_table(partition.file).to_batches():
+        table = pq.read_table(partition.file)
+        if partition.part_json:
+            table = _with_partition_columns(
+                table, partition.part_json, partition.schema_json
+            )
+        for batch in table.to_batches():
             if batch.num_rows:
                 yield batch
 
     def commit(self, end: dict) -> None:
         return None
+
+
+def _with_partition_columns(table, part_json: str, schema_json: str):
+    """Restore partition columns as typed constant arrays, in the
+    table schema's declared column order (partition values live in the
+    log, not the data files). Pure-python: runs in a session-less
+    worker, so typing goes through pyspark.sql.types + pyarrow only."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromJson(json.loads(schema_json))
+    values = json.loads(part_json)
+    pa_of = {
+        T.LongType: pa.int64(),
+        T.IntegerType: pa.int32(),
+        T.ShortType: pa.int16(),
+        T.ByteType: pa.int8(),
+        T.StringType: pa.string(),
+        T.DoubleType: pa.float64(),
+        T.FloatType: pa.float32(),
+        T.BooleanType: pa.bool_(),
+        T.DateType: pa.date32(),
+    }
+
+    def typed(raw: str | None, dt):
+        if raw is None:
+            return None
+        if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            return int(raw)
+        if isinstance(dt, (T.DoubleType, T.FloatType)):
+            return float(raw)
+        if isinstance(dt, T.BooleanType):
+            return raw.lower() == "true"
+        if isinstance(dt, T.DateType):
+            return _dt.date.fromisoformat(raw)
+        return raw
+
+    n = table.num_rows
+    cols, names = [], []
+    for f in schema.fields:
+        if f.name in values:
+            pa_type = next(
+                (t for cls, t in pa_of.items() if isinstance(f.dataType, cls)),
+                None,
+            )
+            if pa_type is None:
+                raise NotImplementedError(
+                    f"delta-stream: partition column type {f.dataType} "
+                    "unsupported jar-less; use batch delta:// reads"
+                )
+            cols.append(pa.array([typed(values[f.name], f.dataType)] * n, pa_type))
+        else:
+            cols.append(table.column(f.name))
+        names.append(f.name)
+    return pa.table(dict(zip(names, cols)))
 
 
 class DeltaLiteStreamSource(DataSource):
@@ -127,29 +219,14 @@ class DeltaLiteStreamSource(DataSource):
             raise ValueError("deltalite stream requires a path")
         from pyspark.sql.types import StructType as _St
 
-        meta = None
-        for v in _versions(path):
-            commit = os.path.join(_log_dir(path), f"{v:020d}.json")
-            with open(commit) as fh:
-                for line in fh:
-                    if line.strip():
-                        action = json.loads(line)
-                        if "metaData" in action:
-                            meta = action["metaData"]
+        meta = _latest_meta(path)
         if meta is None:
             raise FileNotFoundError(
                 f"no delta metaData found under {path!r} (checkpoint-only "
                 "logs need the delta-spark jars for streaming)"
             )
-        if meta.get("partitionColumns"):
-            # partition values live in the log, not the data files; the
-            # batch reader restores them but this streaming fast path
-            # does not — refuse rather than emit a wrong-shaped frame
-            raise NotImplementedError(
-                "jar-less delta-stream reads support unpartitioned tables; "
-                "partitioned tables need delta-spark (or batch delta:// "
-                "reads, which restore partition columns)"
-            )
+        # partitioned tables stream too: partition values live in the
+        # log, and read() restores them as typed constant columns
         return _St.fromJson(json.loads(meta["schemaString"]))
 
     def streamReader(self, schema: StructType) -> _DeltaLiteStreamReader:

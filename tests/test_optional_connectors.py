@@ -1270,7 +1270,10 @@ def test_delta_stream_incremental_commits_jarless(spark, tmp_path):
     ]
 
 
-def test_delta_stream_partitioned_raises_clearly(spark, tmp_path):
+def test_delta_stream_partitioned_restores_columns(spark, tmp_path):
+    """Partitioned tables stream jar-less too: partition values come
+    from the log and are restored as typed constant columns in the
+    table schema's order (they are NOT in the data files)."""
     from spark_etl_cli_spark.registry import resolve_source
     from spark_etl_cli_spark.sources.delta_lite import write_delta_lite
     from spark_etl_cli_spark.sources.optional import _has_delta
@@ -1283,7 +1286,29 @@ def test_delta_stream_partitioned_raises_clearly(spark, tmp_path):
         partition_by=["p"],
     )
     _, src = resolve_source(f"s+delta-stream://{table}")
-    with pytest.raises(Exception, match="partition"):
-        src.read(spark).writeStream.format("memory").queryName(
-            "ds_never"
-        ).trigger(availableNow=True).start().awaitTermination(30)
+    stream = src.read(spark)
+    assert stream.columns == ["id", "p"]
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ds_part_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {(r.id, r.p) for r in spark.table("ds_part_t").collect()}
+    assert got == {(i, i % 2) for i in range(4)}
+    # null partition value round-trips as NULL, not the hive sentinel
+    write_delta_lite(
+        spark.sql("SELECT CAST(9 AS BIGINT) AS id, CAST(NULL AS BIGINT) AS p"),
+        table, mode="append",
+    )
+    q2 = (
+        src.read(spark)
+        .writeStream.format("memory")
+        .queryName("ds_part_t2")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(60)
+    rows = {(r.id, r.p) for r in spark.table("ds_part_t2").collect()}
+    assert (9, None) in rows and len(rows) == 5
