@@ -75,6 +75,7 @@ class KafkaLiteSource:
         path, topic = _topic_dir(self.uri)
         opts = reader_options(self.uri)
         serde = opts.pop("serde", "json")
+        include_key = opts.pop("include-key", None)
         if self.uri.is_stream:
             raw = (
                 spark.readStream.schema(KAFKA_RECORD_SCHEMA)
@@ -88,7 +89,9 @@ class KafkaLiteSource:
                     "produce to it first"
                 )
             raw = spark.read.schema(KAFKA_RECORD_SCHEMA).options(**opts).parquet(path)
-        df = deserialize_values(spark, raw, serde, topic=topic)
+        df = deserialize_values(
+            spark, raw, serde, topic=topic, include_key=include_key
+        )
         return apply_watermark(df, self.uri.params.get("watermark"))
 
 
@@ -102,7 +105,9 @@ class KafkaLiteSink:
         path, topic = _topic_dir(self.uri)
         opts = reader_options(self.uri)
         serde = opts.pop("serde", "json")
-        out = serialize_values(df, serde, topic=topic)
+        out = serialize_values(
+            df, serde, topic=topic, key_col=opts.pop("key-column", None)
+        )
         framed = _frame_records(out, topic)
         if df.isStreaming:
             writer = (

@@ -340,6 +340,7 @@ def kafka_reader_contract(uri: ParsedUri) -> tuple[str, dict[str, str]]:
     opts = reader_options(uri)
     serde = opts.pop("serde", "json")
     opts.pop("watermark", None)
+    opts.pop("include-key", None)  # serde-layer concern, not a reader option
     return serde, {
         "kafka.bootstrap.servers": uri.authority,
         "subscribe": topic,
@@ -355,6 +356,7 @@ def kafka_writer_contract(uri: ParsedUri) -> tuple[str, dict[str, str]]:
     opts = reader_options(uri)
     serde = opts.pop("serde", "json")
     opts.pop("watermark", None)
+    opts.pop("key-column", None)  # serde-layer concern, not a writer option
     return serde, {
         "kafka.bootstrap.servers": uri.authority,
         "topic": topic,
@@ -381,7 +383,10 @@ class KafkaSource:
             .options(**options)
         )
         raw = reader.load()
-        df = deserialize_values(spark, raw, serde, topic=topic)
+        df = deserialize_values(
+            spark, raw, serde, topic=topic,
+            include_key=self.uri.params.get("include-key"),
+        )
         from spark_etl_cli_spark.sources.base import apply_watermark
 
         return apply_watermark(df, self.uri.params.get("watermark"))
@@ -398,7 +403,10 @@ class KafkaSink:
 
         topic = self.uri.first_path_part()
         serde, options = kafka_writer_contract(self.uri)
-        out = serialize_values(df, serde, topic=topic)
+        out = serialize_values(
+            df, serde, topic=topic,
+            key_col=self.uri.params.get("key-column"),
+        )
         if df.isStreaming:
             out.writeStream.format("kafka").options(**options).start()
             return True

@@ -202,7 +202,9 @@ def _avro_functions_usable(spark: SparkSession) -> bool:
     return _has_spark_avro(spark)
 
 
-def _avro_decode_lite(raw: DataFrame, schema_json: str, skip: int = 0) -> DataFrame:
+def _avro_decode_lite(
+    raw: DataFrame, schema_json: str, skip: int = 0, carry: list | None = None
+) -> DataFrame:
     """Jar-less ``from_avro``: Arrow-batched Pandas UDF over the
     avro_lite single-record binary decoder. ``skip`` strips a fixed
     prefix (the 5-byte Confluent wire header for avro-registry)."""
@@ -237,11 +239,17 @@ def _avro_decode_lite(raw: DataFrame, schema_json: str, skip: int = 0) -> DataFr
     v = F.when(
         F.col("value").isNull(), F.lit(None).cast(spark_type)
     ).otherwise(dec(F.col("value")))
-    return raw.select(v.alias("v")).select("v.*")
+    carry = carry or []
+    return raw.select(v.alias("__v"), *carry).select(
+        "__v.*", *(["kafka_key"] if carry else [])
+    )
 
 
 def _avro_encode_lite(
-    df: DataFrame, header: bytes = b"", schema_json: str | None = None
+    df: DataFrame,
+    header: bytes = b"",
+    schema_json: str | None = None,
+    carry: list | None = None,
 ) -> DataFrame:
     """Jar-less ``to_avro(struct(*))``: one avro record per row, writer
     schema either supplied (``avro:<schema>`` serde) or derived from
@@ -290,13 +298,33 @@ def _avro_encode_lite(
             out.append(buf.getvalue())
         return pd.Series(out, dtype=object)
 
-    return df.select(enc(F.struct(*cols)).alias("value"))
+    return df.select(enc(F.struct(*cols)).alias("value"), *(carry or []))
 
 
 def deserialize_values(
-    spark: SparkSession, raw: DataFrame, serde: str, topic: str | None = None
+    spark: SparkSession,
+    raw: DataFrame,
+    serde: str,
+    topic: str | None = None,
+    include_key: str | None = None,
 ) -> DataFrame:
-    """Kafka frame (key/value/topic/...) → typed DataFrame per serde spec."""
+    """Kafka frame (key/value/topic/...) → typed DataFrame per serde spec.
+
+    ``include_key``: ``'binary'`` keeps the raw message key, ``'string'``
+    keeps it UTF-8 decoded — surfaced as a ``kafka_key`` column next to
+    the deserialized value fields (the name avoids colliding with
+    payload fields called ``key``).
+    """
+    carry: list = []
+    if include_key is not None:
+        if include_key not in ("binary", "string"):
+            raise ValueError(
+                f"include-key must be binary|string, got {include_key!r}"
+            )
+        k = F.col("key")
+        if include_key == "string":
+            k = k.cast("string")
+        carry = [k.alias("kafka_key")]
     serde = resolve_serde(spark, serde)
     kind, _, spec = serde.partition(":")
     if kind == "none":
@@ -305,19 +333,27 @@ def deserialize_values(
         if spec:
             schema = parse_schema_json(spec)
             return raw.select(
-                F.from_json(F.col("value").cast("string"), schema).alias("v")
-            ).select("v.*")
+                F.from_json(F.col("value").cast("string"), schema).alias("__v"),
+                *carry,
+            ).select("__v.*", *(["kafka_key"] if carry else []))
         if raw.isStreaming:
             raise ValueError("schemaless json serde requires batch (schema inference)")
+        if carry:
+            raise ValueError(
+                "include-key needs an explicit serde schema (schemaless "
+                "json inference cannot preserve row alignment)"
+            )
         strings = raw.select(F.col("value").cast("string").alias("json"))
         return _read_json_dataset(spark, strings)
     if kind == "avro":
         schema = _load_avro_schema(spec)
         if not _avro_functions_usable(spark):
-            return _avro_decode_lite(raw, schema)
+            return _avro_decode_lite(raw, schema, carry=carry)
         from pyspark.sql.avro.functions import from_avro
 
-        return raw.select(from_avro(F.col("value"), schema).alias("v")).select("v.*")
+        return raw.select(
+            from_avro(F.col("value"), schema).alias("__v"), *carry
+        ).select("__v.*", *(["kafka_key"] if carry else []))
     if kind == "avro-registry":
         _, schema = _registry_fetch_latest(
             spec, f"{topic}-value", auth=_registry_auth(spark)
@@ -325,44 +361,73 @@ def deserialize_values(
         if not _avro_functions_usable(spark):
             # Confluent wire format: 1 magic byte + 4-byte schema id,
             # then the avro body — strip exactly 5 bytes
-            return _avro_decode_lite(raw, schema, skip=5)
+            return _avro_decode_lite(raw, schema, skip=5, carry=carry)
         from pyspark.sql.avro.functions import from_avro
 
         stripped = F.expr("substring(value, 6, length(value) - 5)")
-        return raw.select(from_avro(stripped, schema).alias("v")).select("v.*")
+        return raw.select(
+            from_avro(stripped, schema).alias("__v"), *carry
+        ).select("__v.*", *(["kafka_key"] if carry else []))
     raise ValueError(f"unknown serde {serde!r}")
 
 
-def serialize_values(df: DataFrame, serde: str, topic: str | None = None) -> DataFrame:
+def serialize_values(
+    df: DataFrame,
+    serde: str,
+    topic: str | None = None,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Payload columns → ``value`` binary per serde; ``key_col`` (a
+    payload column — kafka keys typically mirror a record field)
+    additionally rides along as a ``key`` binary column, which both
+    ``format("kafka")`` and kafka-lite use as the message key. Binary
+    key columns pass through; everything else keys by its UTF-8 string
+    form (the Kafka StringSerializer convention).
+    """
+    from pyspark.sql import types as _T
+
+    carry = []
+    if key_col is not None:
+        if key_col not in df.columns:
+            raise ValueError(f"key-column {key_col!r} not in frame columns")
+        k = F.col(key_col)
+        if not isinstance(df.schema[key_col].dataType, _T.BinaryType):
+            k = F.encode(k.cast("string"), "UTF-8")
+        carry = [k.alias("key")]
     serde = resolve_serde(df.sparkSession, serde)
     kind, _, spec = serde.partition(":")
     if kind == "none":
         return df
     if kind == "json":
-        return df.select(F.to_json(F.struct("*")).alias("value"))
+        return df.select(F.to_json(F.struct("*")).alias("value"), *carry)
     if kind == "avro":
         if not _avro_functions_usable(df.sparkSession):
             return _avro_encode_lite(
-                df, schema_json=_load_avro_schema(spec) if spec else None
+                df, schema_json=_load_avro_schema(spec) if spec else None,
+                carry=carry,
             )
         from pyspark.sql.avro.functions import to_avro
 
         if spec:
             schema = _load_avro_schema(spec)
-            return df.select(to_avro(F.struct("*"), schema).alias("value"))
-        return df.select(to_avro(F.struct("*")).alias("value"))
+            return df.select(
+                to_avro(F.struct("*"), schema).alias("value"), *carry
+            )
+        return df.select(to_avro(F.struct("*")).alias("value"), *carry)
     if kind == "avro-registry":
         schema_id, schema = _registry_fetch_latest(
             spec, f"{topic}-value", auth=_registry_auth(df.sparkSession)
         )
         if not _avro_functions_usable(df.sparkSession):
             return _avro_encode_lite(
-                df, header=_confluent_header(schema_id), schema_json=schema
+                df, header=_confluent_header(schema_id), schema_json=schema,
+                carry=carry,
             )
         from pyspark.sql.avro.functions import to_avro
 
         body = to_avro(F.struct("*"), schema)
         return df.select(
-            F.concat(F.lit(_confluent_header(schema_id)), body).alias("value")
+            F.concat(F.lit(_confluent_header(schema_id)), body).alias("value"),
+            *carry,
         )
     raise ValueError(f"unknown serde {serde!r}")

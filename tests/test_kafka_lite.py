@@ -162,6 +162,45 @@ def test_kafka_lite_reference_test1_pipeline(spark, tmp_path):
         )
 
 
+def test_kafka_lite_keyed_messages_roundtrip(spark, tmp_path):
+    """?key-column= serializes a payload column as the message key
+    (UTF-8 string convention; binary passes through); ?include-key=
+    surfaces it back as kafka_key next to the value fields."""
+    topic = f"{tmp_path}/keyed"
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    )
+    resolve_sink(f"p+kafka-lite://{topic}?key-column=id")[1].write(df)
+    raw = spark.read.parquet(topic)
+    keys = {bytes(r.key) for r in raw.collect()}
+    assert keys == {b"1", b"2"}
+    _, src = resolve_source(
+        f"p+kafka-lite://{topic}?serde=json:id long, name string"
+        "&include-key=string"
+    )
+    rows = {(r.kafka_key, r.id, r.name) for r in src.read(spark).collect()}
+    assert rows == {("1", 1, "a"), ("2", 2, "b")}
+    # binary form keeps raw bytes; avro serde carries the key too
+    schema = (
+        '{"type": "record", "name": "p", "fields": ['
+        '{"name": "id", "type": ["null", "long"]}]}'
+    )
+    t2 = f"{tmp_path}/keyed_avro"
+    resolve_sink(f"p+kafka-lite://{t2}?serde=avro:{schema}&key-column=id")[1].write(
+        spark.createDataFrame([(7,)], "id long")
+    )
+    _, src2 = resolve_source(
+        f"p+kafka-lite://{t2}?serde=avro:{schema}&include-key=binary"
+    )
+    row = src2.read(spark).collect()[0]
+    assert row.id == 7 and bytes(row.kafka_key) == b"7"
+    # include-key without a schema (inference) is refused with a clear
+    # error rather than silently misaligning rows
+    _, src3 = resolve_source(f"p+kafka-lite://{topic}?include-key=string")
+    with pytest.raises(ValueError, match="include-key"):
+        src3.read(spark)
+
+
 def test_kafka_lite_stream_read(spark, tmp_path):
     # streaming consume: native file streaming over the segment dir
     topic = f"{tmp_path}/stream_topic"
