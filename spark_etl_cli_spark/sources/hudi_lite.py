@@ -304,11 +304,24 @@ def _upsert_rewrites(
     return out
 
 
+def _table_partition_fields(table_path: str) -> list[str]:
+    props = os.path.join(table_path, ".hoodie", "hoodie.properties")
+    if os.path.exists(props):
+        with open(props) as fh:
+            for line in fh:
+                line = line.strip()
+                if line.startswith("hoodie.table.partition.fields="):
+                    raw = line.split("=", 1)[1]
+                    return [c for c in raw.split(",") if c]
+    return []
+
+
 def write_hudi_lite(
     df: DataFrame,
     table_path: str,
     mode: str = "append",
     record_key: str | None = None,
+    partition_by: list[str] | None = None,
 ) -> str:
     """COW commit; returns the new instant timestamp.
 
@@ -326,6 +339,15 @@ def write_hudi_lite(
       stand-in for Hudi's bloom index); unaffected groups are NOT
       rewritten. Incoming keys must be unique (no precombine field) —
       duplicate keys raise instead of picking a silent winner.
+
+    ``partition_by``: hive-style partitioning. Files land per
+    partition value but — matching Hudi, which never strips partition
+    columns — still CONTAIN the columns (the split uses shadow
+    columns, dropped by partitionBy). The commit stats are keyed by
+    the canonical ``col=val[/..]`` partition path, which is exactly
+    what the reader's ``?where=`` pruning consumes. Recorded in
+    hoodie.properties (``hoodie.table.partition.fields``); appends and
+    upserts must keep the table's partitioning.
     """
     import uuid as _uuid
 
@@ -361,8 +383,26 @@ def write_hudi_lite(
                 "hoodie.table.name=%s\nhoodie.table.type=COPY_ON_WRITE\n"
                 % os.path.basename(os.path.normpath(table_path))
             )
+            if partition_by:
+                fh.write(
+                    "hoodie.table.partition.fields=%s\n"
+                    % ",".join(partition_by)
+                )
     elif _table_type(table_path) != "COPY_ON_WRITE":
         raise NotImplementedError("hudi_lite writes COPY_ON_WRITE tables only")
+    else:
+        table_parts = _table_partition_fields(table_path)
+        if partition_by is None:
+            partition_by = table_parts or None
+        elif list(partition_by) != table_parts:
+            raise ValueError(
+                f"partition_by={partition_by} != table partitioning "
+                f"{table_parts}"
+            )
+    pcols = list(partition_by or [])
+    missing_cols = [c for c in pcols if c not in df.columns]
+    if missing_cols:
+        raise ValueError(f"partition_by columns not in frame: {missing_cols}")
 
     prior = _completed_instants(table_path)
     # instants are ordered timestamps; derive the next one from the
@@ -371,17 +411,48 @@ def write_hudi_lite(
 
     commit_uuid = _uuid.uuid4().hex
     data_dir = os.path.join(table_path, f"data_{ts}_{commit_uuid[:8]}")
-    df.write.parquet(data_dir)
-    stats = []
-    for f in sorted(_glob.glob(os.path.join(data_dir, "*.parquet"))):
+    if pcols:
+        # shadow columns drive the directory split so the REAL columns
+        # stay in the data files (Hudi never strips partition columns)
+        from pyspark.sql import functions as F
+        from urllib.parse import unquote as _uq
+
+        shadow = {c: f"__hp_{c}" for c in pcols}
+        df2 = df
+        for c, s in shadow.items():
+            df2 = df2.withColumn(s, F.col(c))
+        df2.write.partitionBy(*shadow.values()).parquet(data_dir)
+
+        def _part_key(path: str) -> str:
+            rel = os.path.relpath(os.path.dirname(path), data_dir)
+            raw = {}
+            for seg in ([] if rel == "." else rel.split(os.sep)):
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    raw[k.removeprefix("__hp_")] = _uq(v)
+            return "/".join(f"{c}={raw.get(c)}" for c in pcols)
+    else:
+        df.write.parquet(data_dir)
+
+        def _part_key(path: str) -> str:
+            return ""
+
+    per_part: dict[str, list[dict]] = {}
+    for f in sorted(
+        _glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
+    ):
+        import pyarrow.parquet as _pq
+
+        if _pq.ParquetFile(f).metadata.num_rows == 0:
+            continue  # empty task outputs bloat the timeline for no rows
         rel = os.path.relpath(f, table_path)
-        stats.append({
+        per_part.setdefault(_part_key(f), []).append({
             "fileId": f"fg-{_uuid.uuid4().hex[:12]}",
             "path": rel,
             "numWrites": None,
             "fileSizeInBytes": os.path.getsize(f),
         })
-    body: dict = {"partitionToWriteStats": {"": stats}}
+    body: dict = {"partitionToWriteStats": per_part or {"": []}}
     action = "commit"
 
     def _live_map() -> dict[tuple[str, str], str]:

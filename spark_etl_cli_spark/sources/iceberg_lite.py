@@ -886,9 +886,11 @@ def compact_iceberg_lite(
     ``?snapshot-id=``.
 
     Honest fences: refuses tables with live delete files (compaction
-    under deletes is a merge, the engine's job) and partitioned
-    layouts (the lite manifest schema carries an empty partition
-    struct).
+    under deletes is a merge, the engine's job) and non-identity
+    partition transforms (bucket/truncate/days need the transform to
+    reconstruct partition tuples). Identity-partitioned layouts
+    compact PER PARTITION — each partition's small-file set rewrites
+    as one distributed job; the loop over partitions is bookkeeping.
     """
     import math
     import shutil
@@ -908,42 +910,84 @@ def compact_iceberg_lite(
             "compact_iceberg_lite: table has live delete files; compaction "
             "under deletes needs merge semantics (use an Iceberg engine)"
         )
-    if any((e.get("data_file") or {}).get("partition") for e in entries):
+    part_fields = _identity_partition_fields(meta)
+    specs = meta.get("partition-specs")
+    spec_field_count = len(
+        (next(
+            (s for s in (specs or []) if s.get("spec-id") == meta.get("default-spec-id", 0)),
+            {"fields": meta.get("partition-spec") or []},
+        ) or {}).get("fields", [])
+    )
+    if any((e.get("data_file") or {}).get("partition") for e in entries) and (
+        not part_fields or spec_field_count != len(part_fields)
+    ):
         raise NotImplementedError(
-            "compact_iceberg_lite handles unpartitioned layouts; "
-            "partitioned rewrite needs the engine's partition-aware writer"
+            "compact_iceberg_lite: non-identity partition transforms need "
+            "the engine's partition-aware writer"
         )
-    small = [
-        e for e in entries
-        if (e["data_file"].get("file_size_in_bytes") or 0) < target_file_bytes
-    ]
     stats = {"files_removed": 0, "files_added": 0}
-    if len(small) < min_files:
-        return stats
-    untouched = [e for e in entries if e not in small]
     spark_schema = _schema_to_spark(meta)
-    small_paths = [
-        _localize(e["data_file"]["file_path"], table_path) for e in small
-    ]
-    total = sum(e["data_file"].get("file_size_in_bytes") or 0 for e in small)
-    n_out = max(1, math.ceil(total / target_file_bytes))
+    pnames = {src for _, src, _ in part_fields}
+    data_schema = T.StructType(
+        [f for f in spark_schema.fields if f.name not in pnames]
+    )
+
+    # group live entries by partition tuple; compact each group's
+    # small-file set independently
+    groups: dict[tuple, list[dict]] = {}
+    for e in entries:
+        pv = e["data_file"].get("partition") or {}
+        key = tuple(
+            (pname, pv.get(pname)) for pname, _, _ in part_fields
+        )
+        groups.setdefault(key, []).append(e)
 
     snapshot_id = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
     seq = int(meta.get("last-sequence-number") or 0) + 1
     now_ms = int(_time.time() * 1000)
     commit_uuid = _uuid.uuid4().hex
-    data_dir = os.path.join(table_path, "data", f"compact-{commit_uuid}")
-    (
-        spark.read.schema(spark_schema)
-        .parquet(*small_paths)
-        .repartition(n_out)
-        .write.parquet(data_dir)
-    )
-    new_files = sorted(_glob.glob(os.path.join(data_dir, "*.parquet")))
+    untouched: list[dict] = []
+    new_adds: list[tuple[str, dict]] = []  # (path, partition dict)
+    for key in sorted(groups, key=lambda k: tuple(str(v) for _, v in k)):
+        group = groups[key]
+        small = [
+            e for e in group
+            if (e["data_file"].get("file_size_in_bytes") or 0) < target_file_bytes
+        ]
+        if len(small) < min_files:
+            untouched.extend(group)
+            continue
+        untouched.extend(e for e in group if e not in small)
+        small_paths = [
+            _localize(e["data_file"]["file_path"], table_path) for e in small
+        ]
+        total = sum(e["data_file"].get("file_size_in_bytes") or 0 for e in small)
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        gdir = os.path.join(
+            table_path, "data",
+            f"compact-{commit_uuid}-{len(new_adds)}",
+        )
+        read_schema = data_schema if any(v is not None for _, v in key) else spark_schema
+        (
+            spark.read.schema(read_schema)
+            .parquet(*small_paths)
+            .repartition(n_out)
+            .write.parquet(gdir)
+        )
+        pv = dict(key)
+        for p in sorted(_glob.glob(os.path.join(gdir, "*.parquet"))):
+            if _parquet_row_count(p) == 0:
+                continue
+            new_adds.append((p, pv))
+        stats["files_removed"] += len(small)
+    if stats["files_removed"] == 0:
+        return stats
+    stats["files_added"] = len(new_adds)
 
     meta_dir = os.path.join(table_path, "metadata")
     manifest_path = os.path.join(meta_dir, f"manifest-{commit_uuid}.avro")
     iceberg_schema = _current_schema(meta)
+    pf_typed = [(pname, dt) for pname, _src, dt in part_fields]
 
     def entry_row(e, status, sid):
         d = e["data_file"]
@@ -956,7 +1000,7 @@ def compact_iceberg_lite(
                 "content": 0,
                 "file_path": d["file_path"],
                 "file_format": d.get("file_format", "PARQUET"),
-                "partition": {},
+                "partition": d.get("partition") or {},
                 "record_count": d.get("record_count") or 0,
                 "file_size_in_bytes": d.get("file_size_in_bytes") or 0,
             },
@@ -976,21 +1020,27 @@ def compact_iceberg_lite(
                 "content": 0,
                 "file_path": p,
                 "file_format": "PARQUET",
-                "partition": {},
+                "partition": pv,
                 "record_count": _parquet_row_count(p),
                 "file_size_in_bytes": os.path.getsize(p),
             },
         }
-        for p in new_files
+        for p, pv in new_adds
     ]
+    spec_json = json.dumps(
+        next(
+            (s for s in (specs or []) if s.get("spec-id") == meta.get("default-spec-id", 0)),
+            {"fields": meta.get("partition-spec") or []},
+        ).get("fields", [])
+    )
     write_container(
         manifest_path,
-        _MANIFEST_SCHEMA,
+        _manifest_schema_for(pf_typed),
         iter(rows),
         extra_meta={
             "schema": json.dumps(iceberg_schema).encode(),
             "schema-id": b"0",
-            "partition-spec": b"[]",
+            "partition-spec": spec_json.encode(),
             "partition-spec-id": b"0",
             "format-version": b"2",
             "content": b"data",
@@ -1011,9 +1061,9 @@ def compact_iceberg_lite(
             "sequence_number": seq,
             "min_sequence_number": 0,
             "added_snapshot_id": snapshot_id,
-            "added_files_count": len(new_files),
+            "added_files_count": stats["files_added"],
             "existing_files_count": len(untouched),
-            "deleted_files_count": len(small),
+            "deleted_files_count": stats["files_removed"],
             "added_rows_count": added_rows,
             "existing_rows_count": sum(
                 e["data_file"].get("record_count") or 0 for e in untouched
@@ -1044,8 +1094,6 @@ def compact_iceberg_lite(
         json.dump(new_meta, fh)
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
         fh.write(str(version))
-    stats["files_removed"] = len(small)
-    stats["files_added"] = len(new_files)
     return stats
 
 

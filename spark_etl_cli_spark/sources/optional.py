@@ -739,11 +739,15 @@ class HudiSink:
         mode = self.uri.params.get(
             "mode", self.uri.params.get("write-mode", "append")
         )
+        parts = [
+            c for c in self.uri.params.get("partitionCols", "").split(",") if c
+        ]
         write_hudi_lite(
             df, self.uri.path, mode=mode,
             record_key=self.uri.params.get(
                 "record-key", self.uri.params.get("recordKey")
             ),
+            partition_by=parts or None,
         )
         return True
 

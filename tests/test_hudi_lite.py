@@ -219,6 +219,47 @@ def test_hudi_upsert_rejects_duplicate_or_null_keys(spark, tmp_path):
         write_hudi_lite(spark.range(1), table, mode="upsert")
 
 
+def test_hudi_partitioned_write_prune_and_upsert(spark, tmp_path):
+    """partition_by: files land per partition value but still CONTAIN
+    the partition columns (Hudi semantics); commit stats are keyed by
+    canonical hive paths so ?where= pruning works on this writer's own
+    output; upserts respect the partitioning."""
+    from pyspark.sql import Row
+
+    from spark_etl_cli_spark.sources.hudi_lite import (
+        read_hudi_lite,
+        write_hudi_lite,
+    )
+
+    table = str(tmp_path / "hudi_pw")
+    df = spark.createDataFrame(
+        [Row(id=1, part="a"), Row(id=2, part="a"), Row(id=3, part="b")]
+    )
+    write_hudi_lite(df, table, partition_by=["part"])
+    got = {(r.id, r.part) for r in read_hudi_lite(spark, table).collect()}
+    assert got == {(1, "a"), (2, "a"), (3, "b")}
+    # pruning on the writer's own stats keys
+    assert {r.id for r in read_hudi_lite(spark, table, where="part = 'b'")
+            .collect()} == {3}
+    # appends inherit the partitioning; mismatches are refused
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="partitioning"):
+        write_hudi_lite(df, table, partition_by=["id"])
+    write_hudi_lite(
+        spark.createDataFrame([Row(id=9, part="b")]), table
+    )
+    assert {r.id for r in read_hudi_lite(spark, table, where="part = 'b'")
+            .collect()} == {3, 9}
+    # upsert across partitions: only the groups holding key 2 rewrite
+    write_hudi_lite(
+        spark.createDataFrame([Row(id=2, part="a2")]), table,
+        mode="upsert", record_key="id",
+    )
+    got = {(r.id, r.part) for r in read_hudi_lite(spark, table).collect()}
+    assert got == {(1, "a"), (2, "a2"), (3, "b"), (9, "b")}
+
+
 def test_hudi_upsert_via_pipeline_uri(spark, tmp_path):
     from spark_etl_cli_spark.pipeline import run_pipeline
     from spark_etl_cli_spark.sources.hudi_lite import read_hudi_lite

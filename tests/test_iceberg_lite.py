@@ -498,6 +498,40 @@ def test_iceberg_partitioned_write_read_prune_roundtrip(spark, tmp_path):
     assert all(isinstance(r.bucket, int) for r in rows)
 
 
+def test_iceberg_partitioned_compaction(spark, tmp_path):
+    """Identity-partitioned tables compact per partition: each
+    partition's small files bin-pack into its own new file, partition
+    values preserved in the new manifest entries, pruning still works."""
+    from pyspark.sql import Row
+
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        compact_iceberg_lite,
+        read_iceberg_lite,
+        resolve_iceberg_files,
+        write_iceberg_lite,
+    )
+
+    table = str(tmp_path / "ice_pc")
+    for i in range(3):
+        write_iceberg_lite(
+            spark.createDataFrame(
+                [Row(id=i * 2, part="a"), Row(id=i * 2 + 1, part="b")]
+            ),
+            table, partition_by=["part"],
+        )
+    before, _, _, _ = resolve_iceberg_files(spark, table)
+    assert len(before) == 6  # 3 commits x 2 partitions
+    stats = compact_iceberg_lite(spark, table, target_file_bytes=10**9)
+    assert stats["files_removed"] == 6 and stats["files_added"] == 2
+    got = {(r.id, r.part) for r in read_iceberg_lite(spark, table).collect()}
+    assert got == {(i, "ab"[i % 2]) for i in range(6)}
+    # per-partition files + pruning on the compacted layout
+    b_files, _, _, _ = resolve_iceberg_files(spark, table, where="part = 'b'")
+    assert len(b_files) == 1
+    assert {r.id for r in read_iceberg_lite(spark, table, where="part = 'b'")
+            .collect()} == {1, 3, 5}
+
+
 def test_iceberg_expire_snapshots(spark, tmp_path):
     from spark_etl_cli_spark.sources.iceberg_lite import (
         expire_iceberg_snapshots,
