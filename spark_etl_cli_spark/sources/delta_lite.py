@@ -800,6 +800,7 @@ def write_delta_lite(
     partition_by: list[str] | None = None,
     txn_app_id: str | None = None,
     txn_version: int | None = None,
+    merge_schema: bool = False,
 ) -> None:
     """Engine-free Delta write: parquet data files + one JSON commit.
 
@@ -808,6 +809,13 @@ def write_delta_lite(
     replace-table shape). Creating a new table writes the protocol +
     metaData actions in commit 0; appends to an existing table reuse
     its schema's partition columns (``partition_by`` must match).
+
+    ``merge_schema``: Delta's ``mergeSchema`` append semantics — new
+    columns in the frame WIDEN the table schema (new nullable fields
+    appended in a metaData action in the same commit; old files read
+    null for them), missing columns are tolerated (the new files read
+    null under the table schema). Same-name type conflicts still
+    raise.
 
     ``txn_app_id``/``txn_version`` give idempotent writes via the
     protocol's ``txn`` (SetTransaction) action: a call whose version is
@@ -842,19 +850,43 @@ def write_delta_lite(
         # column) — a silent mismatch would surface later as NULLs or
         # read errors under the table schema. Overwrite may evolve it:
         # the new metaData action in the same commit replaces the old.
+        # merge_schema widens instead (Delta's mergeSchema semantics).
         table_schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
-        if mode != "overwrite" and [
+        merged_schema: T.StructType | None = None
+        if mode != "overwrite" and merge_schema:
+            by_name = {f.name: f for f in table_schema.fields}
+            conflicts = [
+                f.name
+                for f in df.schema.fields
+                if f.name in by_name and by_name[f.name].dataType != f.dataType
+            ]
+            if conflicts:
+                raise ValueError(
+                    f"mergeSchema cannot change column types: {conflicts}"
+                )
+            new_fields = [
+                T.StructField(f.name, f.dataType, True)
+                for f in df.schema.fields
+                if f.name not in by_name
+            ]
+            if new_fields:
+                merged_schema = T.StructType(
+                    list(table_schema.fields) + new_fields
+                )
+        elif mode != "overwrite" and [
             (f.name, f.dataType) for f in df.schema.fields
         ] != [(f.name, f.dataType) for f in table_schema.fields]:
             raise ValueError(
                 f"append schema {df.schema.simpleString()} does not match "
                 f"table schema {table_schema.simpleString()}; use "
-                "mode='overwrite' to replace the table"
+                "mode='overwrite' to replace the table, or "
+                "merge_schema=True (?mergeSchema=true) to widen it"
             )
         if mode == "overwrite":
             removes = [a["path"] for a in active]
     else:
         part_cols = list(partition_by or [])
+        merged_schema = None
 
     tmp_dir = tempfile.mkdtemp(prefix="delta_lite_write_")
     try:
@@ -893,6 +925,18 @@ def write_delta_lite(
                 "metaData": {
                     **meta,
                     "schemaString": df.schema.json(),
+                    "partitionColumns": part_cols,
+                }
+            }
+        )
+    elif merged_schema is not None:
+        # mergeSchema append: the widened schema lands in the same
+        # commit as the new files
+        actions.append(
+            {
+                "metaData": {
+                    **meta,
+                    "schemaString": merged_schema.json(),
                     "partitionColumns": part_cols,
                 }
             }

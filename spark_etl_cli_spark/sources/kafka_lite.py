@@ -76,7 +76,13 @@ class KafkaLiteSource:
         opts = reader_options(self.uri)
         serde = opts.pop("serde", "json")
         include_key = opts.pop("include-key", None)
+        compacted = opts.pop("compacted", "").lower() in ("1", "true", "yes")
         if self.uri.is_stream:
+            if compacted:
+                raise ValueError(
+                    "kafka-lite ?compacted= is a batch read (log compaction "
+                    "is a whole-log view; streams see the raw log)"
+                )
             raw = (
                 spark.readStream.schema(KAFKA_RECORD_SCHEMA)
                 .options(**opts)
@@ -89,6 +95,8 @@ class KafkaLiteSource:
                     "produce to it first"
                 )
             raw = spark.read.schema(KAFKA_RECORD_SCHEMA).options(**opts).parquet(path)
+        if compacted:
+            raw = _compacted_view(raw)
         df = deserialize_values(
             spark, raw, serde, topic=topic, include_key=include_key
         )
@@ -123,6 +131,29 @@ class KafkaLiteSink:
             return True
         framed.write.mode("append").options(**opts).parquet(path)
         return True
+
+
+def _compacted_view(raw: DataFrame) -> DataFrame:
+    """Kafka log compaction semantics over the segment log: latest
+    record per key wins (by offset), tombstones (null value) DELETE the
+    key, unkeyed records are dropped (a compacted topic requires
+    keys — Kafka itself rejects keyless produces there). One window per
+    key partition-group; keys hash-shuffle once.
+    """
+    from pyspark.sql import Window
+
+    # recency order: timestamp first (constant per produce batch,
+    # increases across batches), offset as the within-batch tiebreak —
+    # offsets alone restart per produce, so they cannot order batches
+    w = Window.partitionBy("key").orderBy(
+        F.col("timestamp").desc(), F.col("offset").desc()
+    )
+    return (
+        raw.filter(F.col("key").isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & F.col("value").isNotNull())
+        .drop("__rn")
+    )
 
 
 def _frame_records(out: DataFrame, topic: str) -> DataFrame:

@@ -170,7 +170,9 @@ class DeltaSink:
                     pass_epoch=True,
                 )
             write_delta_lite(
-                df, self.uri.path, mode=mode, partition_by=parts or None
+                df, self.uri.path, mode=mode, partition_by=parts or None,
+                merge_schema=self.uri.params.get("mergeSchema", "").lower()
+                in ("1", "true", "yes"),
             )
             return True
         if df.isStreaming:

@@ -223,6 +223,47 @@ def test_kafka_lite_stream_read(spark, tmp_path):
     assert got == [0, 1, 2, 3]
 
 
+def test_kafka_lite_compacted_view(spark, tmp_path):
+    """?compacted=true: latest record per key wins across produce
+    batches, tombstones delete the key, unkeyed records drop."""
+    import time
+
+    topic = f"{tmp_path}/compacted"
+    resolve_sink(f"p+kafka-lite://{topic}?key-column=id")[1].write(
+        spark.createDataFrame([(1, "old"), (2, "keep")], "id long, v string")
+    )
+    time.sleep(0.05)  # batch timestamps order produces
+    resolve_sink(f"p+kafka-lite://{topic}?key-column=id")[1].write(
+        spark.createDataFrame([(1, "new")], "id long, v string")
+    )
+    # tombstone for key 2 + an unkeyed record, appended at the log level
+    from pyspark.sql import functions as F2
+
+    time.sleep(0.05)
+    spark.createDataFrame(
+        [(b"2", None), (None, b"{}")], "key binary, value binary"
+    ).select(
+        "key", "value", F2.lit("compacted").alias("topic"),
+        F2.lit(0).alias("partition"),
+        F2.lit(99).cast("long").alias("offset"),
+        F2.current_timestamp().alias("timestamp"),
+        F2.lit(0).alias("timestampType"),
+    ).write.mode("append").parquet(topic)
+    _, src = resolve_source(
+        f"p+kafka-lite://{topic}?serde=json:id long, v string"
+        "&compacted=true&include-key=string"
+    )
+    rows = {(r.kafka_key, r.id, r.v) for r in src.read(spark).collect()}
+    assert rows == {("1", 1, "new")}  # key 2 tombstoned, unkeyed dropped
+    # compacted streams are refused (whole-log semantics)
+    _, s2 = resolve_source(
+        f"p+kafka-lite-stream://{topic}?serde=json:id long, v string"
+        "&compacted=true"
+    )
+    with pytest.raises(ValueError, match="compacted"):
+        s2.read(spark)
+
+
 def test_kafka_lite_missing_topic_raises(spark, tmp_path):
     _, src = resolve_source(f"p+kafka-lite://{tmp_path}/nope?serde=none")
     with pytest.raises(FileNotFoundError, match="produce"):

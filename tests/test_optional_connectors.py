@@ -587,6 +587,54 @@ def test_delta_lite_timestamp_as_of(spark, tmp_path):
         spark, table, timestamp_as_of="1970-01-01T00:25:00").collect()} == {1}
 
 
+def test_delta_lite_merge_schema_append(spark, tmp_path):
+    """mergeSchema appends widen the table: new nullable columns land
+    in a metaData action in the same commit; old files read null for
+    them, frames missing table columns read null too; type conflicts
+    still raise."""
+    from pyspark.sql import Row
+
+    import spark_etl_cli_spark.sources.delta_lite as dl
+
+    table = f"{tmp_path}/dlmerge"
+    dl.write_delta_lite(spark.createDataFrame([Row(k=1)]), table)
+    with pytest.raises(ValueError, match="mergeSchema"):
+        dl.write_delta_lite(
+            spark.createDataFrame([Row(k=2, extra="x")]), table,
+            mode="append",
+        )
+    dl.write_delta_lite(
+        spark.createDataFrame([Row(k=2, extra="x")]), table,
+        mode="append", merge_schema=True,
+    )
+    out = dl.read_delta_lite(spark, table)
+    assert out.columns == ["k", "extra"]
+    assert {(r.k, r.extra) for r in out.collect()} == {(1, None), (2, "x")}
+    # a frame MISSING a table column appends too under merge_schema
+    dl.write_delta_lite(
+        spark.createDataFrame([Row(k=3)]), table,
+        mode="append", merge_schema=True,
+    )
+    assert {(r.k, r.extra) for r in dl.read_delta_lite(spark, table).collect()} == {
+        (1, None), (2, "x"), (3, None)
+    }
+    # type conflicts are never merged silently
+    with pytest.raises(ValueError, match="types"):
+        dl.write_delta_lite(
+            spark.createDataFrame([Row(k=4, extra=1.5)]), table,
+            mode="append", merge_schema=True,
+        )
+    # URI surface
+    from spark_etl_cli_spark.registry import resolve_sink
+
+    resolve_sink(f"v+delta://{table}?mode=append&mergeSchema=true")[1].write(
+        spark.createDataFrame([Row(k=5, extra="y", more=7)])
+    )
+    out = dl.read_delta_lite(spark, table)
+    assert out.columns == ["k", "extra", "more"]
+    assert out.count() == 4
+
+
 def test_delta_lite_txn_idempotent_writes(spark, tmp_path):
     """txn (SetTransaction) actions make replayed writes no-ops: the
     exactly-once primitive behind the jar-less streaming sink."""
