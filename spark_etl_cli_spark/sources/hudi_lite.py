@@ -64,18 +64,20 @@ def _completed_instants(table_path: str) -> list[tuple[str, str, str]]:
     return sorted(out)
 
 
-def _hive_style_partition(part: str) -> dict[str, str] | None:
+def _hive_style_partition(part: str) -> dict[str, str | None] | None:
     """``key=val[/key2=val2]`` partition path → {col: value}, or None
     for non-hive layouts (``2021/01/01``) where column names are
-    unrecoverable from the path alone."""
+    unrecoverable from the path alone. The hive null sentinel (and its
+    textual 'None' twin from this module's own writer) map to SQL NULL
+    so ``IS NULL`` predicates prune correctly."""
     if not part:
         return {}
-    out: dict[str, str] = {}
+    out: dict[str, str | None] = {}
     for seg in part.strip("/").split("/"):
         if "=" not in seg:
             return None
         k, v = seg.split("=", 1)
-        out[k] = v
+        out[k] = None if v in ("__HIVE_DEFAULT_PARTITION__", "None") else v
     return out
 
 

@@ -216,9 +216,19 @@ def _prune_file_entries(
     if not part_fields:
         return None
     tuples: dict[tuple, list[str]] = {}
+    unprunable: list[str] = []
     for path, pvals in entries:
+        if not any(pname in pvals for pname, _, _ in part_fields):
+            # no value RECORDED for any identity field (spec evolution,
+            # a pre-partitioning commit, another writer's layout):
+            # conservatively keep — distinct from a recorded NULL
+            # partition value, which IS prunable via IS NULL
+            unprunable.append(path)
+            continue
         key = tuple(pvals.get(pname) for pname, _, _ in part_fields)
         tuples.setdefault(key, []).append(path)
+    if not tuples:
+        return None
     schema = T.StructType(
         [T.StructField(src, dt, True) for _, src, dt in part_fields]
     )
@@ -229,7 +239,7 @@ def _prune_file_entries(
         kept = {tuple(r) for r in kept_df.collect()}
     except Exception:
         return None
-    out: list[str] = []
+    out: list[str] = list(unprunable)
     for key, paths in tuples.items():
         if key in kept:
             out.extend(paths)
@@ -948,7 +958,9 @@ def compact_iceberg_lite(
     commit_uuid = _uuid.uuid4().hex
     untouched: list[dict] = []
     new_adds: list[tuple[str, dict]] = []  # (path, partition dict)
-    for key in sorted(groups, key=lambda k: tuple(str(v) for _, v in k)):
+    for gidx, key in enumerate(
+        sorted(groups, key=lambda k: tuple(str(v) for _, v in k))
+    ):
         group = groups[key]
         small = [
             e for e in group
@@ -963,9 +975,10 @@ def compact_iceberg_lite(
         ]
         total = sum(e["data_file"].get("file_size_in_bytes") or 0 for e in small)
         n_out = max(1, math.ceil(total / target_file_bytes))
+        # per-GROUP-INDEX dir name: keying on len(new_adds) collided
+        # when a group produced zero non-empty files
         gdir = os.path.join(
-            table_path, "data",
-            f"compact-{commit_uuid}-{len(new_adds)}",
+            table_path, "data", f"compact-{commit_uuid}-{gidx}"
         )
         read_schema = data_schema if any(v is not None for _, v in key) else spark_schema
         (

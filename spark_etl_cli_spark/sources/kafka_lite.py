@@ -116,7 +116,7 @@ class KafkaLiteSink:
         out = serialize_values(
             df, serde, topic=topic, key_col=opts.pop("key-column", None)
         )
-        framed = _frame_records(out, topic)
+        framed = _frame_records(out, topic, streaming=df.isStreaming)
         if df.isStreaming:
             writer = (
                 framed.writeStream.format("parquet")
@@ -156,20 +156,32 @@ def _compacted_view(raw: DataFrame) -> DataFrame:
     )
 
 
-def _frame_records(out: DataFrame, topic: str) -> DataFrame:
+def _frame_records(
+    out: DataFrame, topic: str, streaming: bool = False
+) -> DataFrame:
     """Serde output (``value`` [+ ``key``]) → full kafka record rows.
 
-    ``offset`` is monotone within a producer partition
+    Batch: ``offset`` is monotone within a producer partition
     (monotonically_increasing_id packs the partition id in the high
     bits — same guarantee Kafka gives across partitions: none).
+    Streaming: Spark's UnsupportedOperationChecker rejects
+    monotonically_increasing_id in streaming plans, so streamed
+    records carry offset -1 — recency ordering comes from the
+    per-batch timestamp, which is what the compacted view keys on
+    anyway.
     """
     cols = set(out.columns)
+    offset = (
+        F.lit(-1).cast("long")
+        if streaming
+        else F.monotonically_increasing_id()
+    )
     framed = out.select(
         (F.col("key") if "key" in cols else F.lit(None)).cast("binary").alias("key"),
         F.col("value").cast("binary").alias("value"),
         F.lit(topic).alias("topic"),
         F.spark_partition_id().alias("partition"),
-        F.monotonically_increasing_id().alias("offset"),
+        offset.alias("offset"),
         F.current_timestamp().alias("timestamp"),
         F.lit(0).alias("timestampType"),  # CREATE_TIME
     )

@@ -328,7 +328,9 @@ def deserialize_values(
     serde = resolve_serde(spark, serde)
     kind, _, spec = serde.partition(":")
     if kind == "none":
-        return raw
+        # include-key still surfaces the kafka_key alias so downstream
+        # code is serde-agnostic
+        return raw.select("*", *carry) if carry else raw
     if kind == "json":
         if spec:
             schema = parse_schema_json(spec)
@@ -397,6 +399,12 @@ def serialize_values(
     serde = resolve_serde(df.sparkSession, serde)
     kind, _, spec = serde.partition(":")
     if kind == "none":
+        if carry:
+            # the frame is already kafka-shaped; key-column still must
+            # take effect (silently dropping it would produce keyless
+            # records that e.g. a compacted read filters out entirely)
+            others = [F.col(c) for c in df.columns if c != "key"]
+            return df.select(*others, *carry)
         return df
     if kind == "json":
         return df.select(F.to_json(F.struct("*")).alias("value"), *carry)

@@ -260,6 +260,27 @@ def test_hudi_partitioned_write_prune_and_upsert(spark, tmp_path):
     assert got == {(1, "a"), (2, "a2"), (3, "b"), (9, "b")}
 
 
+def test_hudi_null_partition_is_null_prune(spark, tmp_path):
+    # the hive null sentinel must behave as SQL NULL in partition
+    # pruning: `IS NULL` keeps the null partition, `= 'x'` drops it
+    from pyspark.sql import Row
+
+    from spark_etl_cli_spark.sources.hudi_lite import (
+        read_hudi_lite,
+        write_hudi_lite,
+    )
+
+    table = str(tmp_path / "hudi_nullp")
+    write_hudi_lite(
+        spark.createDataFrame([Row(id=1, part="a"), Row(id=2, part=None)]),
+        table, partition_by=["part"],
+    )
+    assert {r.id for r in read_hudi_lite(spark, table, where="part IS NULL")
+            .collect()} == {2}
+    assert {r.id for r in read_hudi_lite(spark, table, where="part = 'a'")
+            .collect()} == {1}
+
+
 def test_hudi_upsert_via_pipeline_uri(spark, tmp_path):
     from spark_etl_cli_spark.pipeline import run_pipeline
     from spark_etl_cli_spark.sources.hudi_lite import read_hudi_lite

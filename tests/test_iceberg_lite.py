@@ -196,6 +196,17 @@ def test_iceberg_where_prunes_data_files_via_manifest(spark, tmp_path):
     assert sorted(files_all) == sorted(paths.values())
     got = {r.id for r in read_iceberg_lite(spark, table, where="id > 1").collect()}
     assert got == {2, 3}
+    # entries with NO recorded value for the identity field (spec
+    # evolution / other writers) are conservatively KEPT by pruning —
+    # distinct from a recorded NULL value, which is prunable
+    import spark_etl_cli_spark.sources.iceberg_lite as il
+
+    entries = [("f_a", {"part": "a"}), ("f_legacy", {})]
+    pruned = il._prune_file_entries(
+        spark, entries, il._identity_partition_fields(meta), "part = 'b'"
+    )
+    assert pruned is not None and "f_legacy" in pruned and "f_a" not in pruned
+
     # bucket-style transform would be skipped conservatively: pruning
     # helper returns None when no identity fields exist
     meta["partition-specs"][0]["fields"][0]["transform"] = "bucket[4]"

@@ -264,6 +264,48 @@ def test_kafka_lite_compacted_view(spark, tmp_path):
         s2.read(spark)
 
 
+def test_kafka_lite_streaming_write(spark, tmp_path):
+    """Streaming PRODUCE must actually run: monotonically_increasing_id
+    is rejected in streaming plans, so streamed records carry offset -1
+    and recency comes from the batch timestamp."""
+    src = f"{tmp_path}/sw_src"
+    topic = f"{tmp_path}/sw_topic"
+    spark.createDataFrame([(i,) for i in range(3)], "id long").write.parquet(src)
+    stream = spark.readStream.schema("id long").parquet(src)
+    _, sink = resolve_sink(
+        f"p+kafka-lite-stream://{topic}?key-column=id"
+        f"&checkpointLocation={tmp_path}/sw_ckpt&trigger-interval=availableNow"
+    )
+    assert sink.write(stream) is True
+    for q in spark.streams.active:
+        q.awaitTermination(120)
+    _, rsrc = resolve_source(
+        f"p+kafka-lite://{topic}?serde=json:id long&include-key=string"
+    )
+    rows = {(r.kafka_key, r.id) for r in rsrc.read(spark).collect()}
+    assert rows == {("0", 0), ("1", 1), ("2", 2)}
+    raw = spark.read.parquet(topic)
+    assert {r.offset for r in raw.collect()} == {-1}
+
+
+def test_kafka_lite_serde_none_key_column(spark, tmp_path):
+    # serde=none must still honor key-column (silently dropping it made
+    # compacted reads of such topics return zero rows)
+    topic = f"{tmp_path}/none_keyed"
+    df = spark.createDataFrame(
+        [(b"payload-1", 1)], "value binary, id long"
+    )
+    resolve_sink(f"p+kafka-lite://{topic}?serde=none&key-column=id")[1].write(df)
+    raw = spark.read.parquet(topic)
+    row = raw.collect()[0]
+    assert bytes(row.key) == b"1" and bytes(row.value) == b"payload-1"
+    # include-key with serde=none surfaces the kafka_key alias
+    _, src = resolve_source(
+        f"p+kafka-lite://{topic}?serde=none&include-key=string"
+    )
+    assert src.read(spark).select("kafka_key").collect()[0][0] == "1"
+
+
 def test_kafka_lite_missing_topic_raises(spark, tmp_path):
     _, src = resolve_source(f"p+kafka-lite://{tmp_path}/nope?serde=none")
     with pytest.raises(FileNotFoundError, match="produce"):

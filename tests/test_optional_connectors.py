@@ -587,6 +587,66 @@ def test_delta_lite_timestamp_as_of(spark, tmp_path):
         spark, table, timestamp_as_of="1970-01-01T00:25:00").collect()} == {1}
 
 
+def test_delta_lite_checkpointless_stream_sink_not_deduped(spark, tmp_path):
+    """A checkpoint-LESS streaming run restarts epochs at 0 every run;
+    txn dedupe keyed on the table path would silently drop later runs'
+    batches. Without a checkpoint, no txn is used — later runs append."""
+    from pyspark.sql import Row
+
+    from spark_etl_cli_spark.registry import resolve_sink
+    from spark_etl_cli_spark.sources.delta_lite import read_delta_lite
+
+    src = f"{tmp_path}/ncs_src"
+    table = f"{tmp_path}/ncs_tbl"
+    spark.createDataFrame([Row(k=1)]).write.parquet(src)
+
+    def run():
+        stream = spark.readStream.schema("k long").parquet(src)
+        _, sink = resolve_sink(
+            f"s+delta-stream://{table}?trigger-interval=availableNow"
+        )
+        sink.write(stream)
+        for q in spark.streams.active:
+            q.awaitTermination(120)
+
+    run()
+    assert read_delta_lite(spark, table).count() == 1
+    run()  # no checkpoint: re-reads and re-appends — but NEVER skips
+    assert read_delta_lite(spark, table).count() == 2
+
+
+def test_delta_stream_survives_merge_schema_widening(spark, tmp_path):
+    """Files committed before a mergeSchema widening lack the new
+    column; the jar-less stream reader fills null instead of crashing,
+    for partitioned and unpartitioned tables alike."""
+    from pyspark.sql import Row
+
+    from spark_etl_cli_spark.registry import resolve_source
+    from spark_etl_cli_spark.sources.delta_lite import write_delta_lite
+    from spark_etl_cli_spark.sources.optional import _has_delta
+
+    if _has_delta(spark):
+        pytest.skip("delta-spark present")
+    table = f"{tmp_path}/ds_widen"
+    write_delta_lite(spark.createDataFrame([Row(k=1)]), table)
+    write_delta_lite(
+        spark.createDataFrame([Row(k=2, extra="x")]), table,
+        mode="append", merge_schema=True,
+    )
+    _, src = resolve_source(f"s+delta-stream://{table}")
+    stream = src.read(spark)
+    assert stream.columns == ["k", "extra"]
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ds_widen_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {(r.k, r.extra) for r in spark.table("ds_widen_t").collect()}
+    assert got == {(1, None), (2, "x")}
+
+
 def test_delta_lite_merge_schema_append(spark, tmp_path):
     """mergeSchema appends widen the table: new nullable columns land
     in a metaData action in the same commit; old files read null for
