@@ -773,15 +773,23 @@ def _collect_written_files(
 
 
 def _last_txn_version(log_dir: str, app_id: str) -> int:
-    """Highest committed ``txn`` (SetTransaction) version for an app id,
-    scanning every JSON commit — correct as long as the log is not
-    vacuumed, which this writer never does. -1 when none."""
-    best = -1
+    """Highest committed ``txn`` (SetTransaction) version for an app id;
+    -1 when none. Scans commits NEWEST-FIRST and stops at the first
+    commit carrying the app's txn — versions only increase, so the
+    newest occurrence is the max. That keeps per-micro-batch cost at
+    O(commits since the app's last write), not O(total log), which
+    would otherwise grow quadratically over a stream's lifetime.
+    Correct as long as the log is not vacuumed (this writer never
+    removes commit JSONs)."""
     if not os.path.isdir(log_dir):
-        return best
-    for fname in os.listdir(log_dir):
-        if not (fname.endswith(".json") and fname[:20].isdigit()):
-            continue
+        return -1
+    commits = sorted(
+        (f for f in os.listdir(log_dir)
+         if f.endswith(".json") and f[:20].isdigit()),
+        reverse=True,
+    )
+    for fname in commits:
+        found = -1
         with open(os.path.join(log_dir, fname)) as fh:
             for line in fh:
                 if '"txn"' not in line:
@@ -789,8 +797,10 @@ def _last_txn_version(log_dir: str, app_id: str) -> int:
                 action = json.loads(line)
                 txn = action.get("txn") or {}
                 if txn.get("appId") == app_id:
-                    best = max(best, int(txn.get("version", -1)))
-    return best
+                    found = max(found, int(txn.get("version", -1)))
+        if found >= 0:
+            return found
+    return -1
 
 
 def write_delta_lite(
@@ -801,12 +811,14 @@ def write_delta_lite(
     txn_app_id: str | None = None,
     txn_version: int | None = None,
     merge_schema: bool = False,
+    merge_key: str | None = None,
 ) -> None:
     """Engine-free Delta write: parquet data files + one JSON commit.
 
-    ``mode`` is ``append`` or ``overwrite`` (overwrite removes every
-    active file in the same commit — the protocol's atomic
-    replace-table shape). Creating a new table writes the protocol +
+    ``mode`` is ``append``, ``overwrite``, or ``upsert`` (overwrite
+    removes every active file in the same commit — the protocol's
+    atomic replace-table shape; upsert is key-matched MERGE, see
+    ``_upsert_delta_lite``). Creating a new table writes the protocol +
     metaData actions in commit 0; appends to an existing table reuse
     its schema's partition columns (``partition_by`` must match).
 
@@ -837,6 +849,20 @@ def write_delta_lite(
             return  # already committed: idempotent skip
     log_dir = _log_dir(table_path)
     exists = os.path.isdir(log_dir)
+    if mode == "upsert":
+        if not merge_key:
+            raise ValueError("delta_lite upsert needs merge_key=<column>")
+        if not exists:
+            # MERGE into a missing table is just CREATE — same
+            # convenience hudi_lite gives its first upsert
+            return write_delta_lite(
+                df, table_path, mode="append", partition_by=partition_by,
+                txn_app_id=txn_app_id, txn_version=txn_version,
+            )
+        return _upsert_delta_lite(
+            df, table_path, merge_key,
+            txn_app_id=txn_app_id, txn_version=txn_version,
+        )
     meta = None
     removes: list[dict] = []
     if exists:
@@ -975,18 +1001,32 @@ def write_delta_lite(
         }
     )
 
+    _write_commit(spark, table_path, actions, first=not exists)
+
+
+def _write_commit(
+    spark: SparkSession,
+    table_path: str,
+    actions: list[dict],
+    first: bool = False,
+) -> int:
+    """Claim the next log version and write one JSON commit.
+
+    O_EXCL: the commit either claims this version or fails loudly —
+    never silently overwrites a concurrent writer's commit. Emits a
+    parquet checkpoint on the interval to bound future replay cost.
+    """
+    log_dir = _log_dir(table_path)
     os.makedirs(log_dir, exist_ok=True)
-    version = _next_version(log_dir) if exists else 0
+    version = 0 if first else _next_version(log_dir)
     commit_path = os.path.join(log_dir, f"{version:020d}.json")
-    # O_EXCL: the commit either claims this version or fails loudly —
-    # never silently overwrites a concurrent writer's commit
     fd = os.open(commit_path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
     with os.fdopen(fd, "w") as fh:
         for action in actions:
             fh.write(json.dumps(action) + "\n")
-    # bound replay cost on long histories: checkpoint every N commits
     if version > 0 and (version + 1) % CHECKPOINT_INTERVAL == 0:
         write_checkpoint(spark, table_path)
+    return version
 
 
 # --- checkpointing --------------------------------------------------------
@@ -1314,3 +1354,468 @@ def vacuum_delta_lite(
         for rel in candidates:
             os.remove(os.path.join(table_path, rel))
     return candidates
+
+
+# --- row-level operations: DELETE and MERGE (upsert) ----------------------
+# Both are built on the same primitive: a snapshot scan that keeps the
+# provenance of every row (which data file, which position), so the
+# operator can decide file-by-file what to rewrite — the copy-on-write
+# shape every Delta engine uses. Nothing here is new protocol: the
+# commits they emit are plain remove/add (+ deletionVector descriptors
+# for the DV delete path), readable by real Delta engines.
+
+
+def _current_protocol(spark: SparkSession, table_path: str) -> dict:
+    """The table's protocol action as of HEAD (checkpoint + JSON tail,
+    newest wins). Metadata-sized work only."""
+    log_dir = _log_dir(table_path)
+    cp_version, _adds, _meta, proto = _read_checkpoint(spark, log_dir)
+    for fname in sorted(
+        f for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[:20].isdigit() and int(f[:20]) > cp_version
+    ):
+        with open(os.path.join(log_dir, fname)) as fh:
+            for line in fh:
+                if '"protocol"' not in line:
+                    continue
+                action = json.loads(line)
+                if "protocol" in action:
+                    proto = action["protocol"]
+    return proto or {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+def _snapshot_scan(
+    spark: SparkSession,
+    table_path: str,
+    adds: list[dict],
+    meta: dict,
+    with_pos: bool = False,
+) -> DataFrame:
+    """Rows of ``adds`` under the LOGICAL schema plus service columns:
+    ``__file`` (absolute data-file path) and, with ``with_pos``,
+    ``__ridx`` (row position in the file, ``_metadata.row_index``).
+
+    Deletion vectors are applied (a deleted row neither matches a
+    DELETE predicate again nor gets resurrected by a rewrite);
+    partition columns are restored as typed literals per file group,
+    exactly like the batch reader. Column-mapped tables are fenced:
+    their physical/logical name split would leak physical names into
+    rewritten files.
+    """
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    _phys, mapped = _physical_schema(schema)
+    if mapped:
+        raise NotImplementedError(
+            "delta-lite DELETE/upsert on column-mapped tables needs "
+            "delta-spark (physical column names would leak into the "
+            "rewritten files)"
+        )
+    part_cols = meta.get("partitionColumns") or []
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+    norm_file = F.regexp_replace(
+        F.col("_metadata.file_path"), "^file:/+", "/"
+    ).alias("__file")
+    service = [norm_file] + (
+        [F.col("_metadata.row_index").alias("__ridx")] if with_pos else []
+    )
+
+    groups: dict[tuple, list[tuple[str, dict | None]]] = {}
+    for a in adds:
+        pv = a.get("partitionValues") or {}
+        key = tuple(pv.get(c) for c in part_cols)
+        groups.setdefault(key, []).append(
+            (os.path.join(table_path, a["path"]), a.get("deletionVector"))
+        )
+
+    def logical_cols(key: tuple) -> list:
+        cols = []
+        for f in schema.fields:
+            if f.name in part_cols:
+                raw = key[part_cols.index(f.name)]
+                cols.append(F.lit(raw).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.col(f.name))
+        return cols
+
+    from spark_etl_cli_spark.sources.dv_lite import read_deletion_vector
+
+    parts: list[DataFrame] = []
+    for key, entries in sorted(
+        groups.items(), key=lambda kv: tuple((v is None, v or "") for v in kv[0])
+    ):
+        clean = [p for p, dv in entries if not dv]
+        if clean:
+            parts.append(
+                spark.read.schema(data_schema)
+                .parquet(*clean)
+                .select(*logical_cols(key), *service)
+            )
+        for path, dv in entries:
+            if not dv:
+                continue
+            deleted = read_deletion_vector(table_path, dv)
+            df = (
+                spark.read.schema(data_schema)
+                .parquet(path)
+                .select(
+                    *logical_cols(key),
+                    norm_file,
+                    F.col("_metadata.row_index").alias("__ridx"),
+                )
+            )
+            if len(deleted) <= 1000:
+                df = df.filter(~F.col("__ridx").isin([int(i) for i in deleted]))
+            else:
+                del_df = spark.createDataFrame(
+                    ((int(i),) for i in deleted), "__ridx bigint"
+                )
+                df = df.join(F.broadcast(del_df), "__ridx", "left_anti")
+            parts.append(df if with_pos else df.drop("__ridx"))
+    if not parts:
+        empty_schema = T.StructType(
+            list(schema.fields)
+            + [T.StructField("__file", T.StringType())]
+            + ([T.StructField("__ridx", T.LongType())] if with_pos else [])
+        )
+        return spark.createDataFrame([], empty_schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _adds_by_abspath(table_path: str, adds: list[dict]) -> dict[str, dict]:
+    """abs path (and its URI-quoted twin — Hadoop may hand back either
+    form in ``_metadata.file_path``) → add action. Lookups that miss
+    BOTH keys are a bug and must raise, never silently skip."""
+    from urllib.parse import quote
+
+    out: dict[str, dict] = {}
+    for a in adds:
+        p = os.path.abspath(os.path.join(table_path, a["path"]))
+        out[p] = a
+        out.setdefault(quote(p, safe="/="), a)
+    return out
+
+
+def _remove_action(add: dict, now_ms: int) -> dict:
+    from urllib.parse import quote
+
+    return {
+        "remove": {
+            "path": quote(add["path"], safe="/="),
+            "deletionTimestamp": now_ms,
+            "dataChange": True,
+            "partitionValues": add.get("partitionValues") or {},
+            "size": add.get("size"),
+        }
+    }
+
+
+def _rewrite_files(
+    df: DataFrame, table_path: str, part_cols: list[str]
+) -> list[dict]:
+    """Write ``df`` (logical columns only) as new table data files and
+    return their add actions. One distributed job."""
+    import shutil
+    import tempfile
+
+    tmp_dir = tempfile.mkdtemp(prefix="delta_lite_rewrite_")
+    try:
+        writer = df.write.mode("overwrite")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(tmp_dir)
+        return _collect_written_files(tmp_dir, table_path, part_cols)
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
+def delete_delta_lite(
+    spark: SparkSession,
+    table_path: str,
+    where: str,
+    deletion_vectors: bool = False,
+) -> dict:
+    """Protocol DELETE: remove the rows matching ``where``.
+
+    Strategy:
+
+    - **copy-on-write** (default): only files holding ≥1 matching row
+      are rewritten without those rows; partition-only predicates never
+      even open non-matching files (the same log-level pruning the
+      batch reader uses), and untouched files are never rewritten.
+    - **deletion vectors** (``deletion_vectors=True``): NO data file is
+      rewritten — matched row positions are serialized as the
+      protocol's RoaringBitmapArray DV files (``sources/dv_lite.py``,
+      the same codec the reader decodes) and each affected add is
+      re-committed carrying the descriptor, merged with any DV the file
+      already had. The commit upgrades the table protocol to
+      reader 3 / writer 7 + ``deletionVectors``, exactly as real
+      engines do on their first DV write. The scan stays distributed;
+      only per-file index lists cross the driver (bounded by DV
+      cardinality — the same order the READER already materializes).
+
+    NULL-predicate rows are KEPT (SQL DELETE semantics: delete iff
+    TRUE). Returns ``{"files_rewritten"|"files_dv", "files_added",
+    "rows_deleted"}``.
+    """
+    import time
+    import uuid as _uuidmod
+
+    from spark_etl_cli_spark.sources.dv_lite import (
+        read_deletion_vector,
+        write_deletion_vector_file,
+        z85_encode,
+    )
+
+    adds, meta = _replay(spark, table_path)
+    part_cols = meta.get("partitionColumns") or []
+    candidates = _prune_add_list(spark, adds, meta, where)
+    zero = {
+        ("files_dv" if deletion_vectors else "files_rewritten"): 0,
+        "files_added": 0,
+        "rows_deleted": 0,
+    }
+    if not candidates:
+        return zero
+    scan = _snapshot_scan(
+        spark, table_path, candidates, meta, with_pos=deletion_vectors
+    )
+    pred = F.coalesce(F.expr(where), F.lit(False))
+    matched = scan.filter(pred)
+    by_path = _adds_by_abspath(table_path, candidates)
+    now_ms = int(time.time() * 1000)
+
+    if deletion_vectors:
+        per_file = (
+            matched.groupBy("__file")
+            .agg(F.sort_array(F.collect_list("__ridx")).alias("idx"))
+        )
+        actions: list[dict] = []
+        n_files = 0
+        n_rows = 0
+        # toLocalIterator: one file's index list on the driver at a time
+        for row in per_file.toLocalIterator():
+            add = by_path.get(row["__file"])
+            if add is None:
+                raise RuntimeError(
+                    f"delta-lite DELETE: scanned file {row['__file']!r} "
+                    "missing from the snapshot file list (path-normalization "
+                    "bug — refusing to commit a partial delete)"
+                )
+            new_idx = [int(i) for i in row["idx"]]
+            n_rows += len(new_idx)
+            old_dv = add.get("deletionVector")
+            if old_dv:
+                new_idx = sorted(
+                    set(new_idx) | set(read_deletion_vector(table_path, old_dv))
+                )
+            u = _uuidmod.uuid4()
+            dv_path = os.path.join(table_path, f"deletion_vector_{u}.bin")
+            desc = write_deletion_vector_file(dv_path, new_idx)
+            desc.update(
+                {"storageType": "u", "pathOrInlineDv": z85_encode(u.bytes)}
+            )
+            actions.append(_remove_action(add, now_ms))
+            actions.append(
+                {"add": {**_readd_fields(add), "deletionVector": desc}}
+            )
+            n_files += 1
+        if not n_files:
+            return zero
+        proto = _current_protocol(spark, table_path)
+        feats = set(proto.get("readerFeatures") or [])
+        if int(proto.get("minReaderVersion", 1)) < 3 or "deletionVectors" not in feats:
+            actions.insert(
+                0,
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": sorted(feats | {"deletionVectors"}),
+                        "writerFeatures": sorted(
+                            set(proto.get("writerFeatures") or [])
+                            | {"deletionVectors"}
+                        ),
+                    }
+                },
+            )
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "DELETE",
+                    "operationParameters": {"predicate": where},
+                }
+            }
+        )
+        _write_commit(spark, table_path, actions)
+        return {"files_dv": n_files, "files_added": 0, "rows_deleted": n_rows}
+
+    # copy-on-write: find affected files + per-file match counts in ONE
+    # job (the collect is file-list-sized, never row-sized)
+    counts = matched.groupBy("__file").count().collect()
+    if not counts:
+        return zero
+    affected = []
+    for r in counts:
+        add = by_path.get(r["__file"])
+        if add is None:
+            raise RuntimeError(
+                f"delta-lite DELETE: scanned file {r['__file']!r} missing "
+                "from the snapshot file list (path-normalization bug — "
+                "refusing to commit a partial delete)"
+            )
+        affected.append(add)
+    n_rows = sum(r["count"] for r in counts)
+    kept = (
+        _snapshot_scan(spark, table_path, affected, meta)
+        .filter(~pred)
+        .drop("__file")
+    )
+    new_adds = _rewrite_files(kept, table_path, part_cols)
+    actions = [_remove_action(a, now_ms) for a in affected]
+    actions += [{"add": a} for a in new_adds]
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "DELETE",
+                "operationParameters": {"predicate": where},
+            }
+        }
+    )
+    _write_commit(spark, table_path, actions)
+    return {
+        "files_rewritten": len(affected),
+        "files_added": len(new_adds),
+        "rows_deleted": n_rows,
+    }
+
+
+def _readd_fields(add: dict) -> dict:
+    """The re-add of an existing file when only its DV changes: same
+    path (re-encoded as the log stores it), same partition values,
+    size, mtime — dataChange=true because visible rows changed."""
+    from urllib.parse import quote
+
+    return {
+        "path": quote(add["path"], safe="/="),
+        "partitionValues": add.get("partitionValues") or {},
+        "size": add.get("size"),
+        "modificationTime": add.get("modificationTime"),
+        "dataChange": True,
+    }
+
+
+def _upsert_delta_lite(
+    df: DataFrame,
+    table_path: str,
+    merge_key: str,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
+) -> None:
+    """Key-matched MERGE (the ``WHEN MATCHED UPDATE SET * / WHEN NOT
+    MATCHED INSERT *`` shape): incoming rows REPLACE existing rows with
+    the same ``merge_key``; unmatched incoming rows are inserts.
+
+    Location is one distributed probe: the snapshot scan (DV-aware)
+    semi-joined against the incoming keys over ``_metadata.file_path``
+    — files holding no matching key are never rewritten. The rewrite is
+    one job: affected rows anti-joined against the keys, unioned with
+    the incoming frame, written per partition. Duplicate or NULL merge
+    keys in the incoming frame raise (same contract as Delta MERGE,
+    where a multi-match is an error).
+
+    Scale: the probe reads only ``merge_key`` + file metadata (column
+    pruning reaches the parquet scan); the rewrite reads only affected
+    files. The commit is remove(affected) + add(new) + optional txn —
+    so streaming upserts get the same exactly-once idempotency appends
+    have.
+    """
+    import time
+
+    spark = df.sparkSession
+    adds, meta = _replay(spark, table_path)
+    part_cols = meta.get("partitionColumns") or []
+    table_schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    if [(f.name, f.dataType) for f in df.schema.fields] != [
+        (f.name, f.dataType) for f in table_schema.fields
+    ]:
+        raise ValueError(
+            f"upsert schema {df.schema.simpleString()} does not match "
+            f"table schema {table_schema.simpleString()}"
+        )
+    if merge_key not in df.columns:
+        raise ValueError(f"merge_key {merge_key!r} not in {df.columns}")
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(merge_key).alias("nk"),
+        F.countDistinct(merge_key).alias("nd"),
+    ).head()
+    if stats["nk"] < stats["n"]:
+        raise ValueError("upsert: NULL merge keys in the incoming frame")
+    if stats["nd"] < stats["nk"]:
+        raise ValueError(
+            "upsert: duplicate merge keys in the incoming frame — a key "
+            "must match at most one incoming row (Delta MERGE contract)"
+        )
+    keys = df.select(merge_key).distinct()
+    table_cols = [f.name for f in table_schema.fields]
+    now_ms = int(time.time() * 1000)
+
+    affected: list[dict] = []
+    if adds:
+        scan = _snapshot_scan(spark, table_path, adds, meta)
+        by_path = _adds_by_abspath(table_path, adds)
+        hit_paths = (
+            scan.join(keys, merge_key, "left_semi")
+            .select("__file")
+            .distinct()
+            .collect()
+        )
+        for r in hit_paths:
+            add = by_path.get(r["__file"])
+            if add is None:
+                raise RuntimeError(
+                    f"delta-lite upsert: scanned file {r['__file']!r} "
+                    "missing from the snapshot file list"
+                )
+            affected.append(add)
+
+    if affected:
+        remaining = (
+            _snapshot_scan(spark, table_path, affected, meta)
+            .join(keys, merge_key, "left_anti")
+            .select(*table_cols)
+        )
+        out = remaining.unionByName(df.select(*table_cols))
+    else:
+        out = df.select(*table_cols)
+    new_adds = _rewrite_files(out, table_path, part_cols)
+
+    actions = [_remove_action(a, now_ms) for a in affected]
+    actions += [{"add": a} for a in new_adds]
+    if txn_app_id is not None:
+        actions.append(
+            {
+                "txn": {
+                    "appId": txn_app_id,
+                    "version": int(txn_version),
+                    "lastUpdated": now_ms,
+                }
+            }
+        )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "MERGE",
+                "operationParameters": {"matchedPredicates": merge_key},
+            }
+        }
+    )
+    _write_commit(spark, table_path, actions)

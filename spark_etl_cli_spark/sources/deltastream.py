@@ -79,6 +79,11 @@ class _DeltaLiteStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("deltalite stream reader requires a path")
+        # Spark hands Python data sources a lowercased option map
+        self.skip_change_commits = str(
+            options.get("skipchangecommits")
+            or options.get("skipChangeCommits", "")
+        ).lower() in ("1", "true", "yes")
 
     def initialOffset(self) -> dict:
         return {"version": -1}
@@ -98,36 +103,54 @@ class _DeltaLiteStreamReader(DataSourceStreamReader):
                 continue
             commit = os.path.join(_log_dir(self.path), f"{v:020d}.json")
             with open(commit) as fh:
-                for line in fh:
-                    if not line.strip():
-                        continue
-                    action = json.loads(line)
-                    add = action.get("add")
-                    if not add:
-                        continue
-                    if add.get("dataChange") is False:
-                        # compaction/optimize re-adds carry no new rows
-                        # (protocol dataChange=false); delivering them
-                        # would double-count — same skip real Delta
-                        # streaming applies
-                        continue
-                    if add.get("deletionVector"):
-                        raise ValueError(
-                            "delta-stream (jar-less) cannot stream a "
-                            "deletion-vector re-add without double-counting; "
-                            "use batch delta:// reads for DV tables"
-                        )
-                    from urllib.parse import unquote
-
-                    pv = add.get("partitionValues") or {}
-                    entries[os.path.join(self.path, unquote(add["path"]))] = (
-                        json.dumps({c: pv.get(c) for c in part_cols})
-                        if part_cols
-                        else ""
+                actions = [
+                    json.loads(line) for line in fh if line.strip()
+                ]
+            # a remove with dataChange=true means rows were UPDATED or
+            # DELETED (overwrite / DELETE / MERGE), not just appended.
+            # Streaming the commit's re-adds would re-deliver surviving
+            # rows. Same contract as real Delta streaming: fail loudly,
+            # or drop the WHOLE commit under skipChangeCommits.
+            changed = any(
+                a.get("remove") and a["remove"].get("dataChange") is not False
+                for a in actions
+            )
+            if changed:
+                if self.skip_change_commits:
+                    continue
+                raise ValueError(
+                    f"delta-stream: version {v} of {self.path} updates or "
+                    "deletes existing rows; streaming it would re-deliver "
+                    "surviving rows. Pass ?skipChangeCommits=true to skip "
+                    "such commits (inserts in them are skipped too), or "
+                    "use batch delta:// reads"
+                )
+            for action in actions:
+                add = action.get("add")
+                if not add:
+                    continue
+                if add.get("dataChange") is False:
+                    # compaction/optimize re-adds carry no new rows
+                    # (protocol dataChange=false); delivering them
+                    # would double-count — same skip real Delta
+                    # streaming applies
+                    continue
+                if add.get("deletionVector"):
+                    raise ValueError(
+                        "delta-stream (jar-less) cannot stream a "
+                        "deletion-vector re-add without double-counting; "
+                        "use batch delta:// reads for DV tables"
                     )
+                from urllib.parse import unquote
+
+                pv = add.get("partitionValues") or {}
+                entries[os.path.join(self.path, unquote(add["path"]))] = (
+                    json.dumps({c: pv.get(c) for c in part_cols})
+                    if part_cols
+                    else ""
+                )
         parts = [
-            _FilePart(f, entries[f], schema_json if part_cols else "")
-            for f in sorted(entries)
+            _FilePart(f, entries[f], schema_json) for f in sorted(entries)
         ]
         return parts or [_FilePart("")]
 
@@ -137,9 +160,12 @@ class _DeltaLiteStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         table = pq.read_table(partition.file)
-        if partition.part_json:
+        if partition.schema_json:
+            # conform EVERY file to the declared schema: restores
+            # partition columns, and fills null for columns a
+            # mergeSchema widening added after this file was written
             table = _with_partition_columns(
-                table, partition.part_json, partition.schema_json
+                table, partition.part_json or "{}", partition.schema_json
             )
         for batch in table.to_batches():
             if batch.num_rows:
@@ -189,19 +215,29 @@ def _with_partition_columns(table, part_json: str, schema_json: str):
     n = table.num_rows
     cols, names = [], []
     for f in schema.fields:
+        pa_type = next(
+            (t for cls, t in pa_of.items() if isinstance(f.dataType, cls)),
+            None,
+        )
         if f.name in values:
-            pa_type = next(
-                (t for cls, t in pa_of.items() if isinstance(f.dataType, cls)),
-                None,
-            )
             if pa_type is None:
                 raise NotImplementedError(
                     f"delta-stream: partition column type {f.dataType} "
                     "unsupported jar-less; use batch delta:// reads"
                 )
             cols.append(pa.array([typed(values[f.name], f.dataType)] * n, pa_type))
-        else:
+        elif f.name in table.column_names:
             cols.append(table.column(f.name))
+        else:
+            # file predates a mergeSchema widening: the column reads
+            # null, exactly like the batch reader's schema-fill
+            if pa_type is None:
+                raise NotImplementedError(
+                    f"delta-stream: widened column {f.name!r} of type "
+                    f"{f.dataType} unsupported jar-less; use batch "
+                    "delta:// reads"
+                )
+            cols.append(pa.nulls(n, pa_type))
         names.append(f.name)
     return pa.table(dict(zip(names, cols)))
 

@@ -9,6 +9,7 @@ expectation, alert via a sink):
 
     --source "rep+delta-optimize:///path/tbl?target-file-bytes=134217728"
     --source "rep+delta-vacuum:///path/tbl?retention-hours=168&dry-run=false"
+    --source "rep+delta-delete:///path/tbl?where=year<2020&deletion-vectors=true"
     --source "rep+iceberg-compact:///path/tbl"
     --source "rep+iceberg-expire:///path/tbl?keep-last=3&delete-orphans=true"
 
@@ -78,6 +79,37 @@ class DeltaVacuumSource:
 
 
 @dataclass
+class DeltaDeleteSource:
+    """``rep+delta-delete:///path/tbl?where=<pred>[&deletion-vectors=true]``
+    — row-level DELETE; with ``deletion-vectors`` no data file is
+    rewritten (the protocol's DV path, sources/delta_lite.py)."""
+
+    uri: ParsedUri
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        from spark_etl_cli_spark.sources.delta_lite import delete_delta_lite
+
+        where = self.uri.params.get("where")
+        if not where:
+            raise ValueError("delta-delete:// needs ?where=<predicate>")
+        dv = _flag(self.uri, "deletion-vectors")
+        stats = delete_delta_lite(
+            spark, self.uri.path, where, deletion_vectors=dv
+        )
+        return spark.createDataFrame(
+            [(
+                self.uri.path,
+                stats.get("files_rewritten", stats.get("files_dv", 0)),
+                stats["files_added"],
+                stats["rows_deleted"],
+                dv,
+            )],
+            "table string, files_touched int, files_added int, "
+            "rows_deleted long, deletion_vectors boolean",
+        )
+
+
+@dataclass
 class IcebergCompactSource:
     uri: ParsedUri
 
@@ -126,6 +158,11 @@ def delta_optimize_source(p: ParsedUri) -> DeltaOptimizeSource:
 @register_source("delta-vacuum")
 def delta_vacuum_source(p: ParsedUri) -> DeltaVacuumSource:
     return DeltaVacuumSource(p)
+
+
+@register_source("delta-delete")
+def delta_delete_source(p: ParsedUri) -> DeltaDeleteSource:
+    return DeltaDeleteSource(p)
 
 
 @register_source("iceberg-compact")

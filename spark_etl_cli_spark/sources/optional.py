@@ -101,8 +101,15 @@ class DeltaSource:
                 df = (
                     spark.readStream.format("deltalite-stream")
                     .option("path", self.uri.path)
+                    .option(
+                        "skipChangeCommits",
+                        self.uri.params.get("skipChangeCommits", ""),
+                    )
                     .load()
                 )
+                w = self.uri.params.get("where")
+                if w:
+                    df = df.filter(w)  # same ?where= contract as batch
                 return apply_watermark(df, self.uri.params.get("watermark"))
             v = self.uri.params.get("versionAsOf")
             return read_delta_lite(
@@ -150,21 +157,27 @@ class DeltaSink:
                 )
 
                 # stable across restarts: the checkpoint location IS
-                # the query's identity (falling back to the table path
-                # for checkpoint-less availableNow runs)
-                ident = self.uri.params.get(
-                    "checkpointLocation", self.uri.path
-                )
+                # the query's identity. Checkpoint-LESS runs get no
+                # txn dedupe at all — their epoch ids restart at 0
+                # every run, so txn keyed on the table path would
+                # silently skip later runs' batches as "already
+                # committed" (and collide distinct queries writing the
+                # same table). Without a checkpoint there is no
+                # exactly-once to preserve anyway.
+                ckpt = self.uri.params.get("checkpointLocation")
                 app_id = (
                     "deltalite-"
-                    + hashlib.md5(ident.encode()).hexdigest()[:16]
+                    + hashlib.md5(ckpt.encode()).hexdigest()[:16]
+                    if ckpt
+                    else None
                 )
                 return stream_via_foreach_batch(
                     df,
                     lambda b, epoch: write_delta_lite(
                         b, self.uri.path, mode="append",
                         partition_by=parts or None,
-                        txn_app_id=app_id, txn_version=epoch,
+                        txn_app_id=app_id,
+                        txn_version=epoch if app_id else None,
                     ),
                     self.uri,
                     pass_epoch=True,
@@ -173,6 +186,9 @@ class DeltaSink:
                 df, self.uri.path, mode=mode, partition_by=parts or None,
                 merge_schema=self.uri.params.get("mergeSchema", "").lower()
                 in ("1", "true", "yes"),
+                # mode=upsert: key-matched MERGE (replace-by-key +
+                # insert-new), same URI shape as hudi's upsert
+                merge_key=self.uri.params.get("merge-key"),
             )
             return True
         if df.isStreaming:
@@ -627,6 +643,9 @@ class IcebergSource:
                 .option("path", self.uri.path)
                 .load()
             )
+            w = self.uri.params.get("where")
+            if w:
+                df = df.filter(w)  # same ?where= contract as batch
             return apply_watermark(df, self.uri.params.get("watermark"))
         sid = self.uri.params.get("snapshot-id")
         return read_iceberg_lite(

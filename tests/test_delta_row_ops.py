@@ -1,0 +1,284 @@
+"""Row-level Delta ops: DELETE (copy-on-write + deletion-vector) and
+key-matched MERGE/upsert (sources/delta_lite.py).
+
+The reference has no row-level lakehouse ops (its delta connector wraps
+engine jars); these extend the lite writer with the protocol shapes
+real engines emit — remove/add rewrites, DV descriptors, MERGE commits.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from spark_etl_cli_spark.sources.delta_lite import (
+    delete_delta_lite,
+    read_delta_lite,
+    write_delta_lite,
+)
+
+
+def _mk_table(spark, path, partitioned=True):
+    """Two commits so every partition has ≥2 files."""
+    rows1 = [Row(id=i, part="a" if i < 5 else "b", v=float(i)) for i in range(10)]
+    rows2 = [Row(id=i, part="a" if i < 15 else "b", v=float(i)) for i in range(10, 20)]
+    pb = ["part"] if partitioned else None
+    write_delta_lite(spark.createDataFrame(rows1), path, partition_by=pb)
+    write_delta_lite(spark.createDataFrame(rows2), path, mode="append", partition_by=pb)
+
+
+def _data_files(path):
+    out = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if d != "_delta_log"]
+        out += [os.path.join(root, f) for f in files if f.endswith(".parquet")]
+    return sorted(out)
+
+
+def _active_paths(spark, path):
+    from spark_etl_cli_spark.sources.delta_lite import _replay
+
+    adds, _ = _replay(spark, path)
+    return {a["path"]: a for a in adds}
+
+
+def test_delete_cow_rewrites_only_affected_files(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _mk_table(spark, path)
+    before = _active_paths(spark, path)
+    untouched = {p for p in before if p.startswith("part=b")}
+
+    stats = delete_delta_lite(spark, path, "part = 'a' and id < 3")
+    assert stats["rows_deleted"] == 3
+    # only partition-a files holding ids 0-2 rewritten; partition b intact
+    after = _active_paths(spark, path)
+    assert untouched <= set(after)
+    got = sorted(
+        r["id"] for r in read_delta_lite(spark, path).collect()
+    )
+    assert got == sorted(set(range(20)) - {0, 1, 2})
+    # time travel still sees the deleted rows
+    v1 = read_delta_lite(spark, path, version_as_of=1)
+    assert v1.count() == 20
+
+
+def test_delete_never_opens_other_partitions_files(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _mk_table(spark, path)
+    # poison partition-a files: a scan that OPENS them would crash.
+    # A partition-equality conjunct must keep them unread — either via
+    # log-level file pruning (partition-only predicate) or via Catalyst
+    # constant-folding the per-group partition literals (mixed
+    # predicate: lit('a') = 'b' folds to an empty subtree, zero I/O).
+    for p in _active_paths(spark, path):
+        if p.startswith("part=a"):
+            with open(os.path.join(path, p), "wb") as fh:
+                fh.write(b"not parquet")
+    stats = delete_delta_lite(spark, path, "part = 'b' and id >= 18")
+    assert stats["rows_deleted"] == 2
+    rows = read_delta_lite(spark, path, where="part = 'b'").collect()
+    # partition b held {5..9, 15..19}; 18 and 19 are gone
+    assert sorted(r["id"] for r in rows) == [5, 6, 7, 8, 9, 15, 16, 17]
+
+
+def test_delete_null_predicate_rows_are_kept(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [Row(id=1, v=1.0), Row(id=2, v=None), Row(id=3, v=9.0)]
+    )
+    write_delta_lite(df, path)
+    stats = delete_delta_lite(spark, path, "v > 5.0")
+    assert stats["rows_deleted"] == 1
+    assert sorted(r["id"] for r in read_delta_lite(spark, path).collect()) == [1, 2]
+
+
+def test_delete_no_match_is_a_noop_commit_free(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _mk_table(spark, path)
+    log = os.path.join(path, "_delta_log")
+    n_before = len(os.listdir(log))
+    stats = delete_delta_lite(spark, path, "id > 1000")
+    assert stats["rows_deleted"] == 0
+    assert len(os.listdir(log)) == n_before  # no empty commit
+
+
+def test_delete_with_deletion_vectors_rewrites_nothing(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _mk_table(spark, path)
+    files_before = _data_files(path)
+    sizes_before = {p: os.path.getsize(p) for p in files_before}
+
+    stats = delete_delta_lite(
+        spark, path, "id in (1, 7, 11)", deletion_vectors=True
+    )
+    assert stats["rows_deleted"] == 3
+    assert stats["files_added"] == 0
+    # every pre-existing data file is still there, byte-identical size
+    assert set(files_before) <= set(_data_files(path))
+    for p, sz in sizes_before.items():
+        assert os.path.getsize(p) == sz
+    # a DV file landed
+    assert any(
+        f.startswith("deletion_vector_") for f in os.listdir(path)
+    )
+    got = sorted(r["id"] for r in read_delta_lite(spark, path).collect())
+    assert got == sorted(set(range(20)) - {1, 7, 11})
+    # protocol upgraded to table features + deletionVectors
+    log = os.path.join(path, "_delta_log")
+    protos = []
+    for fname in sorted(os.listdir(log)):
+        if not fname.endswith(".json"):
+            continue
+        with open(os.path.join(log, fname)) as fh:
+            for line in fh:
+                a = json.loads(line)
+                if "protocol" in a:
+                    protos.append(a["protocol"])
+    assert protos[-1]["minReaderVersion"] == 3
+    assert "deletionVectors" in protos[-1]["readerFeatures"]
+
+
+def test_second_dv_delete_merges_with_existing_dv(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _mk_table(spark, path)
+    delete_delta_lite(spark, path, "id = 1", deletion_vectors=True)
+    stats = delete_delta_lite(spark, path, "id = 2", deletion_vectors=True)
+    assert stats["rows_deleted"] == 1
+    got = sorted(r["id"] for r in read_delta_lite(spark, path).collect())
+    assert got == sorted(set(range(20)) - {1, 2})
+    # time travel between the two deletes sees only the first
+    v2 = read_delta_lite(spark, path, version_as_of=2)
+    assert sorted(r["id"] for r in v2.collect()) == sorted(set(range(20)) - {1})
+
+
+def test_cow_delete_on_dv_carrying_file_does_not_resurrect(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _mk_table(spark, path)
+    delete_delta_lite(spark, path, "id = 3", deletion_vectors=True)
+    # COW rewrite of the same file must keep id=3 dead
+    delete_delta_lite(spark, path, "id = 4")
+    got = sorted(r["id"] for r in read_delta_lite(spark, path).collect())
+    assert got == sorted(set(range(20)) - {3, 4})
+
+
+def test_upsert_replaces_matched_and_inserts_new(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _mk_table(spark, path)
+    before = _active_paths(spark, path)
+    # ids 0 and 11 exist (files in part=a and part=b); 100 is new
+    up = spark.createDataFrame(
+        [
+            Row(id=0, part="a", v=-1.0),
+            Row(id=11, part="b", v=-2.0),
+            Row(id=100, part="b", v=-3.0),
+        ]
+    )
+    write_delta_lite(up, path, mode="upsert", merge_key="id")
+    rows = {r["id"]: r for r in read_delta_lite(spark, path).collect()}
+    assert len(rows) == 21
+    assert rows[0]["v"] == -1.0 and rows[11]["v"] == -2.0
+    assert rows[100]["v"] == -3.0
+    assert rows[5]["v"] == 5.0  # untouched row intact
+    # files without matching keys were not rewritten
+    after = _active_paths(spark, path)
+    still_live = set(before) & set(after)
+    assert still_live, "expected at least one untouched file to survive"
+    # time travel: pre-merge snapshot unchanged
+    v1 = read_delta_lite(spark, path, version_as_of=1)
+    assert v1.count() == 20 and v1.filter("id = 0").head()["v"] == 0.0
+
+
+def test_upsert_duplicate_or_null_keys_raise(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _mk_table(spark, path, partitioned=False)
+    dup = spark.createDataFrame(
+        [Row(id=1, part="a", v=0.0), Row(id=1, part="a", v=1.0)]
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        write_delta_lite(dup, path, mode="upsert", merge_key="id")
+    nul = spark.createDataFrame(
+        [(None, "a", 0.0)], "id long, part string, v double"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        write_delta_lite(nul, path, mode="upsert", merge_key="id")
+
+
+def test_upsert_creates_missing_table(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame([Row(id=1, v=1.0)])
+    write_delta_lite(df, path, mode="upsert", merge_key="id")
+    assert read_delta_lite(spark, path).count() == 1
+
+
+def test_upsert_via_sink_uri(spark, tmp_path):
+    from spark_etl_cli_spark.registry import resolve_sink
+
+    path = str(tmp_path / "tbl")
+    _mk_table(spark, path, partitioned=False)
+    up = spark.createDataFrame([Row(id=0, part="z", v=99.0)])
+    _, sink = resolve_sink(f"delta://{path}?mode=upsert&merge-key=id")
+    sink.write(up)
+    rows = {r["id"]: r for r in read_delta_lite(spark, path).collect()}
+    assert rows[0]["part"] == "z" and len(rows) == 20
+
+
+def test_delete_source_uri(spark, tmp_path):
+    from spark_etl_cli_spark.registry import resolve_source
+
+    path = str(tmp_path / "tbl")
+    _mk_table(spark, path)
+    _, src = resolve_source(
+        f"delta-delete://{path}?where=id%20%3C%202&deletion-vectors=true"
+    )
+    rep = src.read(spark).head()
+    assert rep["rows_deleted"] == 2 and rep["deletion_vectors"] is True
+    assert read_delta_lite(spark, path).count() == 18
+
+
+def test_stream_fails_loudly_on_delete_commit_unless_skipped(spark, tmp_path):
+    """Jar-less delta-stream on a table with a DELETE commit: fail with
+    the protocol's data-update error by default; under
+    ?skipChangeCommits=true the change commit is dropped whole (the
+    documented Delta semantics) and append commits still flow."""
+    from spark_etl_cli_spark.registry import resolve_source
+    from spark_etl_cli_spark.sources.optional import _has_delta
+
+    if _has_delta(spark):
+        pytest.skip("delta-spark present: the jar path is the real one")
+    path = str(tmp_path / "tbl")
+    write_delta_lite(spark.range(4).selectExpr("id"), path)
+    delete_delta_lite(spark, path, "id = 1")
+    write_delta_lite(
+        spark.range(10, 12).selectExpr("id"), path, mode="append"
+    )
+
+    def run(uri, out, ckpt):
+        _, src = resolve_source(uri)
+        q = (
+            src.read(spark)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    with pytest.raises(Exception, match="skipChangeCommits"):
+        run(
+            f"s+delta-stream://{path}",
+            str(tmp_path / "o1"), str(tmp_path / "c1"),
+        )
+    out = str(tmp_path / "o2")
+    run(
+        f"s+delta-stream://{path}?skipChangeCommits=true",
+        out, str(tmp_path / "c2"),
+    )
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    # commit 0's append (0-3) and commit 2's append (10, 11) flow; the
+    # DELETE commit's rewrite is skipped whole — id=1 was delivered by
+    # commit 0 before it was deleted (additions-only stream, not CDC)
+    assert got == [0, 1, 2, 3, 10, 11]
