@@ -1819,3 +1819,88 @@ def _upsert_delta_lite(
         }
     )
     _write_commit(spark, table_path, actions)
+
+
+def update_delta_lite(
+    spark: SparkSession,
+    table_path: str,
+    where: str,
+    set_exprs: dict[str, str],
+) -> dict:
+    """Protocol UPDATE: ``UPDATE tbl SET col = expr, ... WHERE pred``.
+
+    Copy-on-write on the same machinery as DELETE: only files holding
+    ≥1 matching row are rewritten (log-level pruning for partition
+    predicates; constant-folded literals keep other partitions' files
+    unopened), each kept row either rewritten through the SET
+    expressions (predicate TRUE) or copied verbatim. SET expressions
+    are cast back to the column's declared type — an UPDATE can never
+    drift the table schema. Updating a partition column is legal: the
+    rewrite is partition-aware, so moved rows land in (and are
+    committed under) their new partition directory.
+
+    Returns ``{"files_rewritten", "files_added", "rows_updated"}``.
+    """
+    import time
+
+    adds, meta = _replay(spark, table_path)
+    part_cols = meta.get("partitionColumns") or []
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    by_name = {f.name: f for f in schema.fields}
+    unknown = [c for c in set_exprs if c not in by_name]
+    if unknown:
+        raise ValueError(f"UPDATE SET of unknown columns {unknown}")
+    candidates = _prune_add_list(spark, adds, meta, where)
+    zero = {"files_rewritten": 0, "files_added": 0, "rows_updated": 0}
+    if not candidates:
+        return zero
+    scan = _snapshot_scan(spark, table_path, candidates, meta)
+    pred = F.coalesce(F.expr(where), F.lit(False))
+    counts = scan.filter(pred).groupBy("__file").count().collect()
+    if not counts:
+        return zero
+    by_path = _adds_by_abspath(table_path, candidates)
+    affected = []
+    for r in counts:
+        add = by_path.get(r["__file"])
+        if add is None:
+            raise RuntimeError(
+                f"delta-lite UPDATE: scanned file {r['__file']!r} missing "
+                "from the snapshot file list"
+            )
+        affected.append(add)
+    n_rows = sum(r["count"] for r in counts)
+
+    # ONE projection: predicate and every SET expression evaluate
+    # against the ORIGINAL row (chained withColumn would let a later
+    # SET see an earlier one's result — not SQL UPDATE semantics)
+    out_cols = [
+        F.when(
+            pred, F.expr(set_exprs[f.name]).cast(f.dataType)
+        ).otherwise(F.col(f.name)).alias(f.name)
+        if f.name in set_exprs
+        else F.col(f.name)
+        for f in schema.fields
+    ]
+    rewritten = _snapshot_scan(spark, table_path, affected, meta).select(
+        *out_cols
+    )
+    new_adds = _rewrite_files(rewritten, table_path, part_cols)
+    now_ms = int(time.time() * 1000)
+    actions = [_remove_action(a, now_ms) for a in affected]
+    actions += [{"add": a} for a in new_adds]
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "UPDATE",
+                "operationParameters": {"predicate": where},
+            }
+        }
+    )
+    _write_commit(spark, table_path, actions)
+    return {
+        "files_rewritten": len(affected),
+        "files_added": len(new_adds),
+        "rows_updated": n_rows,
+    }

@@ -110,6 +110,40 @@ class DeltaDeleteSource:
 
 
 @dataclass
+class DeltaUpdateSource:
+    """``rep+delta-update:///path/tbl?where=<pred>&set.col=<expr>...``
+    — SQL UPDATE; every ``set.<col>=`` param is a SET clause, all
+    evaluated against the original row."""
+
+    uri: ParsedUri
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        from spark_etl_cli_spark.sources.delta_lite import update_delta_lite
+
+        where = self.uri.params.get("where")
+        if not where:
+            raise ValueError("delta-update:// needs ?where=<predicate>")
+        set_exprs = {
+            k[len("set."):]: v
+            for k, v in self.uri.params.items()
+            if k.startswith("set.")
+        }
+        if not set_exprs:
+            raise ValueError("delta-update:// needs ≥1 ?set.<col>=<expr>")
+        stats = update_delta_lite(spark, self.uri.path, where, set_exprs)
+        return spark.createDataFrame(
+            [(
+                self.uri.path,
+                stats["files_rewritten"],
+                stats["files_added"],
+                stats["rows_updated"],
+            )],
+            "table string, files_rewritten int, files_added int, "
+            "rows_updated long",
+        )
+
+
+@dataclass
 class IcebergCompactSource:
     uri: ParsedUri
 
@@ -163,6 +197,11 @@ def delta_vacuum_source(p: ParsedUri) -> DeltaVacuumSource:
 @register_source("delta-delete")
 def delta_delete_source(p: ParsedUri) -> DeltaDeleteSource:
     return DeltaDeleteSource(p)
+
+
+@register_source("delta-update")
+def delta_update_source(p: ParsedUri) -> DeltaUpdateSource:
+    return DeltaUpdateSource(p)
 
 
 @register_source("iceberg-compact")

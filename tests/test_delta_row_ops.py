@@ -282,3 +282,89 @@ def test_stream_fails_loudly_on_delete_commit_unless_skipped(spark, tmp_path):
     # DELETE commit's rewrite is skipped whole — id=1 was delivered by
     # commit 0 before it was deleted (additions-only stream, not CDC)
     assert got == [0, 1, 2, 3, 10, 11]
+
+
+def test_update_rewrites_matched_rows_only(spark, tmp_path):
+    from spark_etl_cli_spark.sources.delta_lite import update_delta_lite
+
+    path = str(tmp_path / "tbl")
+    _mk_table(spark, path)
+    before = _active_paths(spark, path)
+    stats = update_delta_lite(
+        spark, path, "part = 'a' and id < 3", {"v": "v * 100"}
+    )
+    assert stats["rows_updated"] == 3
+    rows = {r["id"]: r["v"] for r in read_delta_lite(spark, path).collect()}
+    assert rows[0] == 0.0 and rows[1] == 100.0 and rows[2] == 200.0
+    assert rows[3] == 3.0 and rows[15] == 15.0  # untouched
+    # partition-b files were never rewritten
+    after = _active_paths(spark, path)
+    assert {p for p in before if p.startswith("part=b")} <= set(after)
+    # time travel unaffected
+    assert read_delta_lite(spark, path, version_as_of=1).filter(
+        "id = 1"
+    ).head()["v"] == 1.0
+
+
+def test_update_set_and_predicate_see_original_row(spark, tmp_path):
+    """SET a = b, b = a must SWAP (both read the pre-update row), and
+    the predicate must not re-evaluate against updated values."""
+    from spark_etl_cli_spark.sources.delta_lite import update_delta_lite
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, 10.0, 20.0)], "id long, a double, b double"
+    )
+    write_delta_lite(df, path)
+    update_delta_lite(spark, path, "a < b", {"a": "b", "b": "a"})
+    r = read_delta_lite(spark, path).head()
+    assert (r["a"], r["b"]) == (20.0, 10.0)
+
+
+def test_update_partition_column_moves_rows(spark, tmp_path):
+    from spark_etl_cli_spark.sources.delta_lite import update_delta_lite
+
+    path = str(tmp_path / "tbl")
+    _mk_table(spark, path)
+    stats = update_delta_lite(spark, path, "id = 7", {"part": "'a'"})
+    assert stats["rows_updated"] == 1
+    moved = read_delta_lite(spark, path).filter("id = 7").head()
+    assert moved["part"] == "a"
+    # the row physically lives under part=a now
+    got = read_delta_lite(spark, path, where="part = 'a'")
+    assert 7 in {r["id"] for r in got.collect()}
+
+
+def test_update_casts_back_to_column_type(spark, tmp_path):
+    from spark_etl_cli_spark.sources.delta_lite import update_delta_lite
+
+    path = str(tmp_path / "tbl")
+    _mk_table(spark, path, partitioned=False)
+    # id is long; the SET expression yields a decimal-ish double — the
+    # declared schema must win so the table never drifts
+    update_delta_lite(spark, path, "id = 0", {"id": "1000.7"})
+    df = read_delta_lite(spark, path)
+    assert dict(df.dtypes)["id"] == "bigint"
+    assert 1000 in {r["id"] for r in df.collect()}
+
+
+def test_update_unknown_column_raises(spark, tmp_path):
+    from spark_etl_cli_spark.sources.delta_lite import update_delta_lite
+
+    path = str(tmp_path / "tbl")
+    _mk_table(spark, path, partitioned=False)
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_delta_lite(spark, path, "id = 0", {"nope": "1"})
+
+
+def test_update_source_uri(spark, tmp_path):
+    from spark_etl_cli_spark.registry import resolve_source
+
+    path = str(tmp_path / "tbl")
+    _mk_table(spark, path, partitioned=False)
+    _, src = resolve_source(
+        f"delta-update://{path}?where=id%3D1&set.v=v%2B0.5"
+    )
+    rep = src.read(spark).head()
+    assert rep["rows_updated"] == 1
+    assert read_delta_lite(spark, path).filter("id = 1").head()["v"] == 1.5
