@@ -996,7 +996,40 @@ def compact_iceberg_lite(
     if stats["files_removed"] == 0:
         return stats
     stats["files_added"] = len(new_adds)
+    _commit_rewrite_snapshot(
+        table_path, meta, untouched, new_adds, part_fields,
+        snapshot_id=snapshot_id, seq=seq, now_ms=now_ms,
+        commit_uuid=commit_uuid, operation="replace",
+        files_removed=stats["files_removed"],
+        files_added=stats["files_added"],
+    )
+    return stats
 
+
+def _commit_rewrite_snapshot(
+    table_path: str,
+    meta: dict,
+    untouched: list[dict],
+    new_adds: list[tuple[str, dict]],
+    part_fields: list[tuple[str, str, T.DataType]],
+    snapshot_id: int,
+    seq: int,
+    now_ms: int,
+    commit_uuid: str,
+    operation: str,
+    files_removed: int,
+    files_added: int,
+) -> None:
+    """Commit a file-replacing snapshot: one manifest re-listing the
+    surviving entries (EXISTING) plus the rewrite's outputs (ADDED),
+    one manifest list, one new metadata version. Shared by compaction
+    (``operation=replace`` — row set unchanged, streams skip it) and
+    DELETE (``operation=overwrite`` — row set changed, streams must
+    fail or be told to skip)."""
+    from spark_etl_cli_spark.sources.avro_lite import write_container
+
+    specs = meta.get("partition-specs")
+    stats = {"files_removed": files_removed, "files_added": files_added}
     meta_dir = os.path.join(table_path, "metadata")
     manifest_path = os.path.join(meta_dir, f"manifest-{commit_uuid}.avro")
     iceberg_schema = _current_schema(meta)
@@ -1094,7 +1127,7 @@ def compact_iceberg_lite(
         "sequence-number": seq,
         "timestamp-ms": now_ms,
         "manifest-list": mlist_path,
-        "summary": {"operation": "replace"},
+        "summary": {"operation": operation},
         "schema-id": 0,
     }]
     version = 1 + max(
@@ -1107,7 +1140,6 @@ def compact_iceberg_lite(
         json.dump(new_meta, fh)
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
         fh.write(str(version))
-    return stats
 
 
 def expire_iceberg_snapshots(
@@ -1166,3 +1198,197 @@ def expire_iceberg_snapshots(
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
         fh.write(str(version))
     return {"expired": len(expired), "files_deleted": deleted}
+
+
+def delete_iceberg_lite(
+    spark: SparkSession,
+    table_path: str,
+    where: str,
+) -> dict:
+    """Copy-on-write DELETE: remove rows matching ``where`` by
+    rewriting only the data files that hold them, committed as an
+    ``overwrite`` snapshot (the shape Iceberg's own copy-on-write
+    DELETE produces — survivors re-listed EXISTING, rewrites ADDED,
+    affected files simply absent). Partition predicates prune the
+    candidate FILE LIST via manifest partition values before any
+    footer opens; per-group partition literals let Catalyst fold away
+    non-matching scans for mixed predicates. NULL-predicate rows are
+    KEPT (SQL DELETE semantics).
+
+    Honest fences (same as compaction): tables with live position/
+    equality delete files need merge semantics — an Iceberg engine's
+    job; non-identity partition transforms need the transform to
+    reconstruct partition tuples.
+
+    Returns ``{"files_rewritten", "files_added", "rows_deleted"}``.
+    """
+    import time as _time
+    import uuid as _uuid
+
+    meta = _load_metadata(table_path)
+    snap = _snapshot(meta, None)
+    live = [
+        e for e in _manifest_entries(table_path, snap) if e.get("status") != 2
+    ]
+    if any((e.get("data_file") or {}).get("content") in (1, 2) for e in live):
+        raise NotImplementedError(
+            "delete_iceberg_lite: table has live delete files; DELETE "
+            "under deletes needs merge semantics (use an Iceberg engine)"
+        )
+    part_fields = _identity_partition_fields(meta)
+    specs = meta.get("partition-specs")
+    spec_field_count = len(
+        (next(
+            (s for s in (specs or []) if s.get("spec-id") == meta.get("default-spec-id", 0)),
+            {"fields": meta.get("partition-spec") or []},
+        ) or {}).get("fields", [])
+    )
+    if any((e.get("data_file") or {}).get("partition") for e in live) and (
+        not part_fields or spec_field_count != len(part_fields)
+    ):
+        raise NotImplementedError(
+            "delete_iceberg_lite: non-identity partition transforms need "
+            "the engine's partition-aware writer"
+        )
+    zero = {"files_rewritten": 0, "files_added": 0, "rows_deleted": 0}
+
+    # candidate pruning: manifest partition values vs the predicate
+    pairs = [
+        (_localize(e["data_file"]["file_path"], table_path),
+         e["data_file"].get("partition") or {})
+        for e in live
+    ]
+    kept_paths = _prune_file_entries(spark, pairs, part_fields, where)
+    by_path = {p: e for (p, _pv), e in zip(pairs, live)}
+    candidates = (
+        live
+        if kept_paths is None
+        else [by_path[p] for p in kept_paths]
+    )
+    if not candidates:
+        return zero
+
+    spark_schema = _schema_to_spark(meta)
+    pnames = {src for _, src, _ in part_fields}
+    data_schema = T.StructType(
+        [f for f in spark_schema.fields if f.name not in pnames]
+    )
+
+    def scan(entry_group: list[dict], key: tuple, with_file: bool) -> DataFrame:
+        """One partition group under the full logical schema (+ __file).
+        All-None keys follow compaction's convention: the files carry
+        the partition columns physically, read the full schema."""
+        paths = [
+            _localize(e["data_file"]["file_path"], table_path)
+            for e in entry_group
+        ]
+        recorded = any(v is not None for _, v in key)
+        schema = data_schema if recorded else spark_schema
+        df = spark.read.schema(schema).parquet(*paths)
+        cols = []
+        pv = dict(key)
+        for f in spark_schema.fields:
+            if recorded and f.name in pnames:
+                raw = pv.get(
+                    next(pn for pn, src, _ in part_fields if src == f.name)
+                )
+                cols.append(
+                    (F.lit(raw) if raw is not None else F.lit(None))
+                    .cast(f.dataType)
+                    .alias(f.name)
+                )
+            else:
+                cols.append(F.col(f.name))
+        if with_file:
+            cols.append(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ).alias("__file")
+            )
+        return df.select(*cols)
+
+    def grouped(entries_list: list[dict]) -> dict[tuple, list[dict]]:
+        gs: dict[tuple, list[dict]] = {}
+        for e in entries_list:
+            pv = e["data_file"].get("partition") or {}
+            key = tuple((pn, pv.get(pn)) for pn, _, _ in part_fields)
+            gs.setdefault(key, []).append(e)
+        return gs
+
+    def union_scan(entries_list: list[dict], with_file: bool) -> DataFrame:
+        parts = [
+            scan(g, key, with_file)
+            for key, g in sorted(
+                grouped(entries_list).items(),
+                key=lambda kv: tuple(str(v) for _, v in kv[0]),
+            )
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    pred = F.coalesce(F.expr(where), F.lit(False))
+    counts = (
+        union_scan(candidates, with_file=True)
+        .filter(pred)
+        .groupBy("__file")
+        .count()
+        .collect()
+    )
+    if not counts:
+        return zero
+    affected: list[dict] = []
+    for r in counts:
+        e = by_path.get(r["__file"])
+        if e is None:
+            raise RuntimeError(
+                f"delete_iceberg_lite: scanned file {r['__file']!r} missing "
+                "from the manifest file list (path-normalization bug — "
+                "refusing to commit a partial delete)"
+            )
+        affected.append(e)
+    n_rows = sum(r["count"] for r in counts)
+    affected_ids = {id(e) for e in affected}
+    untouched = [e for e in live if id(e) not in affected_ids]
+
+    snapshot_id = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
+    seq = int(meta.get("last-sequence-number") or 0) + 1
+    now_ms = int(_time.time() * 1000)
+    commit_uuid = _uuid.uuid4().hex
+
+    # rewrite per partition group so outputs land with the right
+    # recorded partition tuple (and physical columns for unrecorded)
+    new_adds: list[tuple[str, dict]] = []
+    for gidx, (key, group) in enumerate(
+        sorted(
+            grouped(affected).items(),
+            key=lambda kv: tuple(str(v) for _, v in kv[0]),
+        )
+    ):
+        recorded = any(v is not None for _, v in key)
+        out_schema = data_schema if recorded else spark_schema
+        kept = (
+            scan(group, key, with_file=False)
+            .filter(~pred)
+            .select(*[f.name for f in out_schema.fields])
+        )
+        gdir = os.path.join(table_path, "data", f"delete-{commit_uuid}-{gidx}")
+        kept.write.parquet(gdir)
+        pv = dict(key) if recorded else {}
+        for p in sorted(_glob.glob(os.path.join(gdir, "*.parquet"))):
+            if _parquet_row_count(p) == 0:
+                continue
+            new_adds.append((p, pv))
+
+    _commit_rewrite_snapshot(
+        table_path, meta, untouched, new_adds, part_fields,
+        snapshot_id=snapshot_id, seq=seq, now_ms=now_ms,
+        commit_uuid=commit_uuid, operation="overwrite",
+        files_removed=len(affected), files_added=len(new_adds),
+    )
+    return {
+        "files_rewritten": len(affected),
+        "files_added": len(new_adds),
+        "rows_deleted": n_rows,
+    }

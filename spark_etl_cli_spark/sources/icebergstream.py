@@ -11,9 +11,12 @@ Arrow batches on executors.
 
 Bounded-state by construction: the offset is one integer; per-batch
 work is proportional to the files the producer actually added.
-Overwrite snapshots surface their files too (append-only semantics:
-this reader streams ADDITIONS, it does not retract — the same contract
-as Spark's own file streaming sources).
+Snapshots that change existing rows (operation=overwrite/delete, e.g.
+a copy-on-write DELETE) are refused loudly — their ADDED files re-list
+surviving rows, so streaming them would double-count; pass
+``?skip-overwrite-snapshots=true`` to drop such snapshots whole (the
+same knob real Iceberg's incremental read exposes). ``replace``
+snapshots (compaction) are always skipped: the row set is unchanged.
 """
 
 from __future__ import annotations
@@ -43,6 +46,9 @@ class _IcebergStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("iceberg stream reader requires a path")
+        self.skip_overwrites = str(
+            options.get("skip-overwrite-snapshots", "")
+        ).lower() in ("1", "true", "yes")
 
     def _meta(self):
         from spark_etl_cli_spark.sources.iceberg_lite import _load_metadata
@@ -78,12 +84,26 @@ class _IcebergStreamReader(DataSourceStreamReader):
             sid = snap["snapshot-id"]
             if not (lo < sid <= hi):
                 continue
-            if (snap.get("summary") or {}).get("operation") == "replace":
+            op = (snap.get("summary") or {}).get("operation")
+            if op == "replace":
                 # compaction/rewrite snapshots (compact_iceberg_lite,
                 # real Iceberg's rewrite_data_files) re-add existing
                 # rows in new files — streaming them would double-count.
                 # Same skip real Iceberg's incremental read applies.
                 continue
+            if op in ("overwrite", "delete"):
+                # row set CHANGED: the added files re-list surviving
+                # rows of rewritten files. Never stream them silently.
+                if self.skip_overwrites:
+                    continue
+                raise ValueError(
+                    f"iceberg-stream: snapshot {sid} of {self.path} is an "
+                    f"{op} (rows updated/deleted); streaming its re-added "
+                    "files would double-count surviving rows. Pass "
+                    "?skip-overwrite-snapshots=true to skip such snapshots "
+                    "(their inserts are skipped too), or use batch "
+                    "iceberg:// reads"
+                )
             for e in _manifest_entries(self.path, snap):
                 if e.get("status") != 1:  # only files ADDED by this snap
                     continue

@@ -10,7 +10,9 @@ expectation, alert via a sink):
     --source "rep+delta-optimize:///path/tbl?target-file-bytes=134217728"
     --source "rep+delta-vacuum:///path/tbl?retention-hours=168&dry-run=false"
     --source "rep+delta-delete:///path/tbl?where=year<2020&deletion-vectors=true"
+    --source "rep+delta-update:///path/tbl?where=id=7&set.status='done'"
     --source "rep+iceberg-compact:///path/tbl"
+    --source "rep+iceberg-delete:///path/tbl?where=year<2020"
     --source "rep+iceberg-expire:///path/tbl?keep-last=3&delete-orphans=true"
 
 All four are driver-orchestrated bookkeeping around distributed
@@ -165,6 +167,32 @@ class IcebergCompactSource:
 
 
 @dataclass
+class IcebergDeleteSource:
+    """``rep+iceberg-delete:///path/tbl?where=<pred>`` — copy-on-write
+    row-level DELETE committed as an ``overwrite`` snapshot."""
+
+    uri: ParsedUri
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        from spark_etl_cli_spark.sources.iceberg_lite import delete_iceberg_lite
+
+        where = self.uri.params.get("where")
+        if not where:
+            raise ValueError("iceberg-delete:// needs ?where=<predicate>")
+        stats = delete_iceberg_lite(spark, self.uri.path, where)
+        return spark.createDataFrame(
+            [(
+                self.uri.path,
+                stats["files_rewritten"],
+                stats["files_added"],
+                stats["rows_deleted"],
+            )],
+            "table string, files_rewritten int, files_added int, "
+            "rows_deleted long",
+        )
+
+
+@dataclass
 class IcebergExpireSource:
     uri: ParsedUri
 
@@ -207,6 +235,11 @@ def delta_update_source(p: ParsedUri) -> DeltaUpdateSource:
 @register_source("iceberg-compact")
 def iceberg_compact_source(p: ParsedUri) -> IcebergCompactSource:
     return IcebergCompactSource(p)
+
+
+@register_source("iceberg-delete")
+def iceberg_delete_source(p: ParsedUri) -> IcebergDeleteSource:
+    return IcebergDeleteSource(p)
 
 
 @register_source("iceberg-expire")

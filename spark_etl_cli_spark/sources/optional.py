@@ -641,6 +641,10 @@ class IcebergSource:
             df = (
                 spark.readStream.format("iceberglite-stream")
                 .option("path", self.uri.path)
+                .option(
+                    "skip-overwrite-snapshots",
+                    self.uri.params.get("skip-overwrite-snapshots", ""),
+                )
                 .load()
             )
             w = self.uri.params.get("where")

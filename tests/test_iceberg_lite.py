@@ -642,3 +642,139 @@ def test_iceberg_stream_incremental_snapshots(spark, tmp_path):
     # exactly-once: ids 0-3 appear ONCE (not re-read), plus the new 4,5
     rows = [r.id for r in spark.read.parquet(out).collect()]
     assert sorted(rows) == [0, 1, 2, 3, 4, 5]
+
+
+# --- row-level DELETE ------------------------------------------------------
+
+
+def _mk_part_table(spark, path):
+    from spark_etl_cli_spark.sources.iceberg_lite import write_iceberg_lite
+
+    df1 = spark.createDataFrame(
+        [(i, "a" if i < 5 else "b", float(i)) for i in range(10)],
+        "id long, part string, v double",
+    )
+    df2 = spark.createDataFrame(
+        [(i, "a" if i < 15 else "b", float(i)) for i in range(10, 20)],
+        "id long, part string, v double",
+    )
+    write_iceberg_lite(df1, path, partition_by=["part"])
+    write_iceberg_lite(df2, path, mode="append", partition_by=["part"])
+
+
+def test_iceberg_delete_rewrites_only_affected_files(spark, tmp_path):
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        delete_iceberg_lite,
+        read_iceberg_lite,
+        resolve_iceberg_files,
+    )
+
+    path = str(tmp_path / "tbl")
+    _mk_part_table(spark, path)
+    before, _, _, _ = resolve_iceberg_files(spark, path)
+    b_files = {p for p in before if "part=b" in p}
+
+    stats = delete_iceberg_lite(spark, path, "part = 'a' and id < 3")
+    assert stats["rows_deleted"] == 3
+    after, _, _, _ = resolve_iceberg_files(spark, path)
+    assert b_files <= set(after)  # partition b untouched
+    got = sorted(r["id"] for r in read_iceberg_lite(spark, path).collect())
+    assert got == sorted(set(range(20)) - {0, 1, 2})
+
+
+def test_iceberg_delete_partition_pruning_skips_poisoned_files(spark, tmp_path):
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        delete_iceberg_lite,
+        read_iceberg_lite,
+        resolve_iceberg_files,
+    )
+
+    path = str(tmp_path / "tbl")
+    _mk_part_table(spark, path)
+    files, _, _, _ = resolve_iceberg_files(spark, path)
+    for p in files:
+        if "part=a" in p:
+            with open(p, "wb") as fh:
+                fh.write(b"not parquet")
+    stats = delete_iceberg_lite(spark, path, "part = 'b' and id >= 18")
+    assert stats["rows_deleted"] == 2
+    rows = read_iceberg_lite(spark, path, where="part = 'b'").collect()
+    assert sorted(r["id"] for r in rows) == [5, 6, 7, 8, 9, 15, 16, 17]
+
+
+def test_iceberg_delete_time_travel_and_null_semantics(spark, tmp_path):
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        delete_iceberg_lite,
+        read_iceberg_lite,
+        write_iceberg_lite,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 9.0)], "id long, v double"
+    )
+    sid = write_iceberg_lite(df, path)
+    stats = delete_iceberg_lite(spark, path, "v > 5.0")
+    assert stats["rows_deleted"] == 1
+    got = sorted(
+        r["id"] for r in read_iceberg_lite(spark, path).collect()
+    )
+    assert got == [1, 2]  # NULL predicate keeps the row
+    old = read_iceberg_lite(spark, path, snapshot_id=sid)
+    assert old.count() == 3  # pre-delete snapshot intact
+
+
+def test_iceberg_delete_no_match_commits_nothing(spark, tmp_path):
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        _load_metadata,
+        delete_iceberg_lite,
+    )
+
+    path = str(tmp_path / "tbl")
+    _mk_part_table(spark, path)
+    n_before = len(_load_metadata(path).get("snapshots"))
+    stats = delete_iceberg_lite(spark, path, "id > 1000")
+    assert stats["rows_deleted"] == 0
+    assert len(_load_metadata(path).get("snapshots")) == n_before
+
+
+def test_iceberg_stream_fails_on_delete_snapshot_unless_skipped(spark, tmp_path):
+    from spark_etl_cli_spark.registry import resolve_source
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        delete_iceberg_lite,
+        write_iceberg_lite,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_iceberg_lite(spark.range(4).selectExpr("id"), path)
+    delete_iceberg_lite(spark, path, "id = 1")
+    write_iceberg_lite(
+        spark.range(10, 12).selectExpr("id"), path, mode="append"
+    )
+
+    def run(uri, out, ckpt):
+        _, src = resolve_source(uri)
+        q = (
+            src.read(spark)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    with pytest.raises(Exception, match="skip-overwrite-snapshots"):
+        run(
+            f"s+iceberg-stream://{path}",
+            str(tmp_path / "o1"), str(tmp_path / "c1"),
+        )
+    out = str(tmp_path / "o2")
+    run(
+        f"s+iceberg-stream://{path}?skip-overwrite-snapshots=true",
+        out, str(tmp_path / "c2"),
+    )
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    # append snapshots flow; the delete's rewrite snapshot is skipped
+    # whole (id=1 was delivered by snapshot 1 before it was deleted)
+    assert got == [0, 1, 2, 3, 10, 11]
