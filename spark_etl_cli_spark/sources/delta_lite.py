@@ -1187,6 +1187,7 @@ def optimize_delta_lite(
     table_path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     min_files: int = 2,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """Bin-pack small data files per partition; returns a stats dict
     ``{"partitions_compacted": n, "files_removed": n, "files_added": n}``.
@@ -1198,6 +1199,15 @@ def optimize_delta_lite(
     bookkeeping only (group count, not data). Files at or above target
     size are left untouched — OPTIMIZE must never make big files
     bigger by rewriting them.
+
+    ``zorder_by``: Delta's ``OPTIMIZE ... ZORDER BY (cols)``. EVERY
+    clean file of every partition group is rewritten (layout, not
+    bin-packing: big files need re-clustering too) through
+    ``operators/zorder.py``'s Morton interleave — range-partitioned
+    and sorted by z-value into ``ceil(total/target)`` files, so
+    parquet min/max row-group stats prune scans filtering on ANY of
+    the interleaved columns. Still ``dataChange=false``: the row set
+    is unchanged, streams skip the re-adds.
     """
     import math
     import shutil
@@ -1222,6 +1232,19 @@ def optimize_delta_lite(
             if f.name not in part_cols
         ]
     )
+    phys_of = {
+        f.name: pf.name for f, pf in zip(schema.fields, phys_schema.fields)
+    }
+    if zorder_by:
+        bad = [c for c in zorder_by if c not in phys_of]
+        if bad:
+            raise ValueError(f"ZORDER BY unknown columns {bad}")
+        party = [c for c in zorder_by if c in part_cols]
+        if party:
+            raise ValueError(
+                f"ZORDER BY partition columns {party} is pointless — they "
+                "are constant within every file group"
+            )
     groups: dict[tuple, list[dict]] = {}
     for a in adds:
         if a.get("deletionVector"):
@@ -1237,22 +1260,32 @@ def optimize_delta_lite(
         groups.items(),
         key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
     ):
-        small = [a for a in group if (a.get("size") or 0) < target_file_bytes]
-        if len(small) < min_files:
-            continue
+        if zorder_by:
+            small = list(group)  # re-cluster EVERYTHING in the group
+        else:
+            small = [
+                a for a in group if (a.get("size") or 0) < target_file_bytes
+            ]
+            if len(small) < min_files:
+                continue
         total = sum(a.get("size") or 0 for a in small)
         n_out = max(1, math.ceil(total / target_file_bytes))
         paths = [os.path.join(table_path, a["path"]) for a in small]
         pv = small[0].get("partitionValues") or {}
         tmp = tempfile.mkdtemp(prefix="delta_lite_opt_")
         try:
-            (
-                spark.read.schema(data_schema)
-                .parquet(*paths)
-                .repartition(n_out)
-                .write.mode("overwrite")
-                .parquet(tmp)
-            )
+            scan = spark.read.schema(data_schema).parquet(*paths)
+            if zorder_by:
+                from spark_etl_cli_spark.operators.zorder import zorder_sort
+
+                out = zorder_sort(
+                    scan,
+                    [phys_of[c] for c in zorder_by],
+                    num_partitions=n_out,
+                )
+            else:
+                out = scan.repartition(n_out)
+            out.write.mode("overwrite").parquet(tmp)
             for fname in sorted(os.listdir(tmp)):
                 if not fname.endswith(".parquet") or fname.startswith("_"):
                     continue
@@ -1298,7 +1331,12 @@ def optimize_delta_lite(
                 "timestamp": now_ms,
                 "operation": "OPTIMIZE",
                 "operationParameters": {
-                    "targetSize": str(target_file_bytes)
+                    "targetSize": str(target_file_bytes),
+                    **(
+                        {"zOrderBy": json.dumps(list(zorder_by))}
+                        if zorder_by
+                        else {}
+                    ),
                 },
             }
         }

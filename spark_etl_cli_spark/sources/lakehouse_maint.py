@@ -44,6 +44,11 @@ class DeltaOptimizeSource:
     def read(self, spark: SparkSession) -> DataFrame:
         from spark_etl_cli_spark.sources.delta_lite import optimize_delta_lite
 
+        zorder = [
+            c
+            for c in self.uri.params.get("zorder-by", "").split(",")
+            if c
+        ]
         stats = optimize_delta_lite(
             spark,
             self.uri.path,
@@ -51,6 +56,7 @@ class DeltaOptimizeSource:
                 self.uri.params.get("target-file-bytes", 128 * 1024 * 1024)
             ),
             min_files=int(self.uri.params.get("min-files", 2)),
+            zorder_by=zorder or None,
         )
         return spark.createDataFrame(
             [(self.uri.path, stats["partitions_compacted"],
