@@ -490,3 +490,173 @@ def write_hudi_lite(
     with os.fdopen(fd, "w") as fh:
         json.dump(body, fh)
     return ts
+
+
+def delete_hudi_lite(
+    spark: SparkSession,
+    table_path: str,
+    where: str,
+) -> dict:
+    """Copy-on-write DELETE: remove rows matching ``where``.
+
+    Committed as a ``replacecommit`` — the affected file groups are
+    replaced wholesale by new groups holding only their surviving rows
+    (fully-emptied groups are replaced by nothing), which is exactly
+    the shape Hudi's own delete/clustering actions take on a COW
+    table. Hive-style partition paths prune the candidate FILE LIST
+    before any footer opens; untouched file groups are never rewritten.
+    Hudi base files physically contain partition columns, so the
+    predicate binds directly — no literal restore needed.
+    NULL-predicate rows are KEPT (SQL DELETE semantics).
+
+    Returns ``{"files_rewritten", "files_added", "rows_deleted"}``.
+    """
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    ttype = _table_type(table_path)
+    if ttype != "COPY_ON_WRITE":
+        raise NotImplementedError(
+            f"delete_hudi_lite needs COPY_ON_WRITE; {ttype} deletes are "
+            "log-file appends — the Hudi runtime's job"
+        )
+    instants = _completed_instants(table_path)
+    if not instants:
+        raise ValueError(f"no completed Hudi commits under {table_path}/.hoodie")
+    slices: dict[tuple[str, str], str] = {}
+    for _ts, action, path in instants:
+        with open(path) as fh:
+            commit = json.load(fh)
+        if action == "replacecommit":
+            for part, fids in (
+                commit.get("partitionToReplaceFileIds") or {}
+            ).items():
+                for fid in fids:
+                    slices.pop((part, fid), None)
+        for part, stats in (commit.get("partitionToWriteStats") or {}).items():
+            for st in stats:
+                slices[(part, st.get("fileId") or st["path"])] = st["path"]
+    candidates = dict(slices)
+    kept_parts = _prune_partitions(spark, {p for p, _ in slices}, where)
+    if kept_parts is not None:
+        candidates = {k: v for k, v in slices.items() if k[0] in kept_parts}
+    zero = {"files_rewritten": 0, "files_added": 0, "rows_deleted": 0}
+    if not candidates:
+        return zero
+
+    loc: dict[str, tuple[str, str]] = {}  # abs path -> (part, fid)
+    for (part, fid), rel in candidates.items():
+        loc[os.path.abspath(os.path.join(table_path, rel))] = (part, fid)
+    norm_path = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+    pred = F.coalesce(F.expr(where), F.lit(False))
+    counts = (
+        spark.read.parquet(*sorted(loc))
+        .withColumn("__file", norm_path)
+        .filter(pred)
+        .groupBy("__file")
+        .count()
+        .collect()
+    )
+    if not counts:
+        return zero
+    affected: list[str] = []
+    for r in counts:
+        if r["__file"] not in loc:
+            raise RuntimeError(
+                f"delete_hudi_lite: scanned file {r['__file']!r} missing "
+                "from the timeline file list (path-normalization bug — "
+                "refusing to commit a partial delete)"
+            )
+        affected.append(r["__file"])
+    affected.sort()
+    n_rows = sum(r["count"] for r in counts)
+
+    prior_ts = instants[-1][0]
+    ts = f"{int(prior_ts) + 1:014d}"
+    commit_uuid = _uuid.uuid4().hex
+
+    # one distributed rewrite: survivors of the affected groups, one
+    # output file per group (repartition by group), moved into place
+    mapping = F.create_map(
+        *[F.lit(x) for p in affected for x in (p, loc[p][1])]
+    )
+    survivors = (
+        spark.read.parquet(*affected)
+        .withColumn("__fid", mapping[norm_path])
+        .filter(~pred)
+    )
+    tmp = tempfile.mkdtemp(prefix="hudi_lite_delete_")
+    per_part: dict[str, list[dict]] = {}
+    replaced: dict[str, list[str]] = {}
+    try:
+        survivors.repartition("__fid").write.mode("overwrite").partitionBy(
+            "__fid"
+        ).parquet(tmp)
+        for p in affected:
+            part, fid = loc[p]
+            replaced.setdefault(part, []).append(fid)
+            fid_dir = os.path.join(tmp, f"__fid={fid}")
+            pieces = (
+                sorted(
+                    f
+                    for f in os.listdir(fid_dir)
+                    if f.endswith(".parquet") and not f.startswith("_")
+                )
+                if os.path.isdir(fid_dir)
+                else []
+            )
+            if not pieces:
+                continue  # group fully deleted: replaced, nothing added
+            import pyarrow.parquet as _pq
+
+            new_fid = f"fg-{_uuid.uuid4().hex[:12]}"
+            new_name = f"{new_fid}_{ts}_{commit_uuid[:8]}.parquet"
+            dst_dir = os.path.join(table_path, part) if part else table_path
+            os.makedirs(dst_dir, exist_ok=True)
+            dst = os.path.join(dst_dir, new_name)
+            if len(pieces) == 1:
+                shutil.move(os.path.join(fid_dir, pieces[0]), dst)
+            else:
+                # repartition("__fid") puts a group in one task, so one
+                # piece is the norm; concat defensively if not
+                import pyarrow as _pa
+
+                _pq.write_table(
+                    _pa.concat_tables(
+                        _pq.read_table(os.path.join(fid_dir, f))
+                        for f in pieces
+                    ),
+                    dst,
+                )
+            if _pq.ParquetFile(dst).metadata.num_rows == 0:
+                os.remove(dst)
+                continue
+            per_part.setdefault(part, []).append(
+                {
+                    "fileId": new_fid,
+                    "path": os.path.relpath(dst, table_path),
+                    "numWrites": None,
+                    "fileSizeInBytes": os.path.getsize(dst),
+                }
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    body = {
+        "partitionToWriteStats": per_part or {"": []},
+        "partitionToReplaceFileIds": replaced,
+    }
+    commit_path = os.path.join(
+        table_path, ".hoodie", f"{ts}.replacecommit"
+    )
+    fd = os.open(commit_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as fh:
+        json.dump(body, fh)
+    return {
+        "files_rewritten": len(affected),
+        "files_added": sum(len(v) for v in per_part.values()),
+        "rows_deleted": n_rows,
+    }

@@ -199,6 +199,32 @@ class IcebergDeleteSource:
 
 
 @dataclass
+class HudiDeleteSource:
+    """``rep+hudi-delete:///path/tbl?where=<pred>`` — copy-on-write
+    row-level DELETE committed as a replacecommit."""
+
+    uri: ParsedUri
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        from spark_etl_cli_spark.sources.hudi_lite import delete_hudi_lite
+
+        where = self.uri.params.get("where")
+        if not where:
+            raise ValueError("hudi-delete:// needs ?where=<predicate>")
+        stats = delete_hudi_lite(spark, self.uri.path, where)
+        return spark.createDataFrame(
+            [(
+                self.uri.path,
+                stats["files_rewritten"],
+                stats["files_added"],
+                stats["rows_deleted"],
+            )],
+            "table string, files_rewritten int, files_added int, "
+            "rows_deleted long",
+        )
+
+
+@dataclass
 class IcebergExpireSource:
     uri: ParsedUri
 
@@ -246,6 +272,11 @@ def iceberg_compact_source(p: ParsedUri) -> IcebergCompactSource:
 @register_source("iceberg-delete")
 def iceberg_delete_source(p: ParsedUri) -> IcebergDeleteSource:
     return IcebergDeleteSource(p)
+
+
+@register_source("hudi-delete")
+def hudi_delete_source(p: ParsedUri) -> HudiDeleteSource:
+    return HudiDeleteSource(p)
 
 
 @register_source("iceberg-expire")

@@ -410,3 +410,106 @@ def test_hudi_write_read_roundtrip(spark, tmp_path):
         sinks=["h+memory://hudi_rt"],
     )
     assert spark.table("hudi_rt").count() == 3
+
+
+# --- row-level DELETE ------------------------------------------------------
+
+
+def test_hudi_delete_rewrites_only_affected_groups(spark, tmp_path):
+    from spark_etl_cli_spark.sources.hudi_lite import (
+        delete_hudi_lite,
+        read_hudi_lite,
+        write_hudi_lite,
+    )
+
+    table = str(tmp_path / "t")
+    write_hudi_lite(
+        spark.createDataFrame(
+            [(i, "a" if i < 5 else "b", float(i)) for i in range(10)],
+            "id long, part string, v double",
+        ).coalesce(1),
+        table,
+        partition_by=["part"],
+    )
+    write_hudi_lite(
+        spark.createDataFrame(
+            [(i, "b", float(i)) for i in range(10, 14)],
+            "id long, part string, v double",
+        ).coalesce(1),
+        table,
+        mode="append",
+        partition_by=["part"],
+    )
+    stats = delete_hudi_lite(spark, table, "part = 'a' and id < 3")
+    assert stats["rows_deleted"] == 3
+    assert stats["files_rewritten"] == 1  # only partition a's one group
+    got = sorted(r["id"] for r in read_hudi_lite(spark, table).collect())
+    assert got == sorted(set(range(14)) - {0, 1, 2})
+    # as-of travel before the delete still sees everything
+    # (instants are monotonic: the delete is the newest one)
+    instants = sorted(
+        f.split(".")[0]
+        for f in __import__("os").listdir(f"{table}/.hoodie")
+        if f.endswith((".commit", ".replacecommit"))
+    )
+    pre = read_hudi_lite(spark, table, as_of=instants[-2])
+    assert pre.count() == 14
+
+
+def test_hudi_delete_empties_whole_group(spark, tmp_path):
+    from spark_etl_cli_spark.sources.hudi_lite import (
+        delete_hudi_lite,
+        read_hudi_lite,
+        write_hudi_lite,
+    )
+
+    table = str(tmp_path / "t")
+    write_hudi_lite(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double"),
+        table,
+    )
+    stats = delete_hudi_lite(spark, table, "id >= 1")
+    assert stats["rows_deleted"] == 2
+    assert stats["files_added"] == 0  # replaced by nothing
+    with pytest.raises(ValueError, match="no live base files"):
+        read_hudi_lite(spark, table)
+
+
+def test_hudi_delete_null_pred_keeps_and_noop_commits_nothing(spark, tmp_path):
+    import os as _os
+
+    from spark_etl_cli_spark.sources.hudi_lite import (
+        delete_hudi_lite,
+        read_hudi_lite,
+        write_hudi_lite,
+    )
+
+    table = str(tmp_path / "t")
+    write_hudi_lite(
+        spark.createDataFrame(
+            [(1, 1.0), (2, None), (3, 9.0)], "id long, v double"
+        ),
+        table,
+    )
+    n_before = len(_os.listdir(f"{table}/.hoodie"))
+    assert delete_hudi_lite(spark, table, "id > 99")["rows_deleted"] == 0
+    assert len(_os.listdir(f"{table}/.hoodie")) == n_before
+    stats = delete_hudi_lite(spark, table, "v > 5.0")
+    assert stats["rows_deleted"] == 1
+    got = sorted(r["id"] for r in read_hudi_lite(spark, table).collect())
+    assert got == [1, 2]
+
+
+def test_hudi_delete_via_pipeline_uri(spark, tmp_path):
+    from spark_etl_cli_spark.registry import resolve_source
+    from spark_etl_cli_spark.sources.hudi_lite import (
+        read_hudi_lite,
+        write_hudi_lite,
+    )
+
+    table = str(tmp_path / "t")
+    write_hudi_lite(spark.range(6).selectExpr("id"), table)
+    _, src = resolve_source(f"hudi-delete://{table}?where=id%20%3C%202")
+    rep = src.read(spark).head()
+    assert rep["rows_deleted"] == 2
+    assert read_hudi_lite(spark, table).count() == 4
