@@ -1371,13 +1371,29 @@ def vacuum_delta_lite(
 
     adds, _meta = _replay(spark, table_path)
     referenced = {a["path"] for a in adds}
+    # live deletion-vector files are referenced too (storageType "u");
+    # superseded DVs (a newer delete merged them, or a COW rewrite
+    # replaced their file) age out like data files
+    from spark_etl_cli_spark.sources.dv_lite import dv_file_path
+
+    for a in adds:
+        dv = a.get("deletionVector")
+        if dv and dv.get("storageType") == "u":
+            referenced.add(
+                os.path.relpath(
+                    dv_file_path(table_path, dv["pathOrInlineDv"]), table_path
+                )
+            )
     horizon = time.time() - retention_hours * 3600
     candidates: list[str] = []
     for root, dirs, files in os.walk(table_path):
         # never walk into the transaction log
         dirs[:] = [d for d in dirs if d != "_delta_log"]
         for fname in files:
-            if not fname.endswith(".parquet"):
+            if not (
+                fname.endswith(".parquet")
+                or (fname.startswith("deletion_vector_") and fname.endswith(".bin"))
+            ):
                 continue
             full = os.path.join(root, fname)
             rel = os.path.relpath(full, table_path)

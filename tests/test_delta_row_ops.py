@@ -427,3 +427,29 @@ def test_optimize_zorder_rejects_bad_columns(spark, tmp_path):
         optimize_delta_lite(spark, path, zorder_by=["nope"])
     with pytest.raises(ValueError, match="partition columns"):
         optimize_delta_lite(spark, path, zorder_by=["part"])
+
+
+def test_vacuum_reclaims_superseded_dv_files_keeps_live(spark, tmp_path):
+    from spark_etl_cli_spark.sources.delta_lite import vacuum_delta_lite
+
+    path = str(tmp_path / "tbl")
+    # ONE data file so the second DV must merge-and-supersede the first
+    write_delta_lite(
+        spark.range(20).selectExpr("id", "cast(id as double) v").coalesce(1),
+        path,
+    )
+    delete_delta_lite(spark, path, "id = 1", deletion_vectors=True)
+    delete_delta_lite(spark, path, "id = 2", deletion_vectors=True)
+    dvs = sorted(
+        f for f in os.listdir(path) if f.startswith("deletion_vector_")
+    )
+    assert len(dvs) >= 2  # first DV superseded by the merged second
+    reclaim = vacuum_delta_lite(spark, path, retention_hours=0.0)
+    # superseded DV(s) are reclaimable; the live merged DV is NOT
+    assert any(p.startswith("deletion_vector_") for p in reclaim)
+    live_dvs = set(dvs) - set(reclaim)
+    assert live_dvs
+    vacuum_delta_lite(spark, path, retention_hours=0.0, dry_run=False)
+    # table still reads correctly after the vacuum
+    got = sorted(r["id"] for r in read_delta_lite(spark, path).collect())
+    assert got == sorted(set(range(20)) - {1, 2})
