@@ -35,17 +35,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # Priority is derived at call time from every CORRECTNESS_r*.json the
 # driver has left in the repo root, so it adapts round over round with
 # no code change:
-#   1. queries whose MOST RECENT row was red (err non-null) — fix
-#      verification first;
+#   1. queries whose MOST RECENT row was red (err non-null, excluding
+#      the sanctioned ``no_oracle`` rows-only kind) — fix verification
+#      first;
 #   2. queries with no row in any round, ordered by number (q01–q29
 #      relational core leads);
 #   3. queries already proven green (hash_match true in any round) —
-#      re-checked last, only if the budget allows.
-def _correctness_history() -> tuple[frozenset, frozenset]:
-    """(green, red) by LATEST recorded state per query: a later round's
-    result supersedes an earlier one in either direction, so a query
-    that regressed after being green sorts back into the re-check-first
-    bucket."""
+#      re-checked next, only if the budget allows;
+#   4. permanently rows-only queries (latest row says ``no_oracle``) —
+#      LAST: they can never turn hash-green, so they must not burn
+#      oracle-paired budget slots or absorb first-position bench cost.
+def _correctness_history() -> tuple[frozenset, frozenset, frozenset]:
+    """(green, red, rows_only) by LATEST recorded state per query: a
+    later round's result supersedes an earlier one in any direction, so
+    a query that regressed after being green sorts back into the
+    re-check-first bucket, and one that gains an oracle leaves the
+    rows-only bucket."""
     import json
     import re
 
@@ -56,6 +61,7 @@ def _correctness_history() -> tuple[frozenset, frozenset]:
     )
     green: set[str] = set()
     red: set[str] = set()
+    rows_only: set[str] = set()
     for path in rounds:
         try:
             data = json.loads(path.read_text())
@@ -64,13 +70,21 @@ def _correctness_history() -> tuple[frozenset, frozenset]:
         if not isinstance(data, dict):
             continue  # differently-shaped driver artifact: skip, don't crash
         for name, row in data.items():
-            if isinstance(row, dict) and row.get("hash_match") is True:
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True:
                 green.add(name)
                 red.discard(name)
-            elif isinstance(row, dict):
+                rows_only.discard(name)
+            elif row.get("err") == "no_oracle":
+                rows_only.add(name)
+                red.discard(name)
+                green.discard(name)
+            else:
                 red.add(name)
                 green.discard(name)
-    return frozenset(green), frozenset(red)
+                rows_only.discard(name)
+    return frozenset(green), frozenset(red), frozenset(rows_only)
 
 
 def _qnum(name: str) -> int:
@@ -83,10 +97,11 @@ def _qnum(name: str) -> int:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q, _ = _registry()
-    green, red = _correctness_history()
+    green, red, rows_only = _correctness_history()
     ordered = sorted(
         q,
         key=lambda n: (
+            n in rows_only,
             n not in red,
             n in green,
             _qnum(n),

@@ -396,9 +396,53 @@ def test_correctness_history_survives_malformed_artifact(tmp_path, monkeypatch):
             return tmp_path
 
     monkeypatch.setattr(entry, "Path", _FakePath)
-    green, red = entry._correctness_history()  # must not raise
+    green, red, rows_only = entry._correctness_history()  # must not raise
     assert "q01_pricing_summary" in green
     assert not red
+    assert not rows_only
+
+
+def test_correctness_history_rows_only_bucket_sorts_last(tmp_path, monkeypatch):
+    """Permanently rows-only (``no_oracle``) queries must sort after
+    green ones: they can never turn hash-green, so they must not burn
+    driver budget slots or absorb first-position bench cost (r4
+    verdict demerit #1)."""
+    import json
+
+    import __spark_entry__ as entry
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {
+                "q01_pricing_summary": {"hash_match": True, "err": None},
+                "q152_bpe_train": {"hash_match": None, "err": "no_oracle"},
+                "q02_filter_pushdown": {"hash_match": False, "err": "boom"},
+            }
+        )
+    )
+
+    class _FakePath:
+        def __init__(self, *_a, **_k):
+            pass
+
+        def resolve(self):
+            return self
+
+        @property
+        def parent(self):
+            return tmp_path
+
+    monkeypatch.setattr(entry, "Path", _FakePath)
+    green, red, rows_only = entry._correctness_history()
+    assert "q01_pricing_summary" in green
+    assert "q02_filter_pushdown" in red
+    assert rows_only == frozenset({"q152_bpe_train"})
+
+    ordered = list(entry.queries())
+    # genuinely-red first, rows-only dead last (after every green)
+    assert ordered[0] == "q02_filter_pushdown"
+    assert ordered[-1] == "q152_bpe_train"
+    assert ordered.index("q01_pricing_summary") < ordered.index("q152_bpe_train")
 
 
 def test_cms_estimate_survives_caller_counter_column(spark):
