@@ -111,11 +111,39 @@ def _normalize_add_df(df: DataFrame) -> DataFrame:
     sel: list = []
     for f in _ADD_SCHEMA.fields:
         if f.name == "deletionVector":
-            sel.append(
-                F.col("add.deletionVector").cast(_DV_STRUCT).alias(f.name)
-                if "deletionVector" in add_fields
-                else F.lit(None).cast(_DV_STRUCT).alias(f.name)
-            )
+            # Select the needed DV subfields BY NAME: real engines'
+            # checkpoints store extra trailing fields (delta-spark adds
+            # maxRowIndex), so a positional cast(_DV_STRUCT) of the
+            # whole struct fails on field-count mismatch.
+            if "deletionVector" in add_fields:
+                dv_fields = {
+                    sf.name
+                    for sf in df.schema["add"]
+                    .dataType["deletionVector"]
+                    .dataType.fields
+                }
+                dv = F.struct(
+                    *[
+                        (
+                            F.col(f"add.deletionVector.{sf.name}")
+                            if sf.name in dv_fields
+                            else F.lit(None)
+                        )
+                        .cast(sf.dataType)
+                        .alias(sf.name)
+                        for sf in _DV_STRUCT.fields
+                    ]
+                )
+                # a NULL descriptor must stay NULL, not become a
+                # struct of NULLs (replay treats non-null storageType
+                # as "has a DV")
+                sel.append(
+                    F.when(
+                        F.col("add.deletionVector").isNotNull(), dv
+                    ).alias(f.name)
+                )
+            else:
+                sel.append(F.lit(None).cast(_DV_STRUCT).alias(f.name))
         elif f.name in add_fields:
             sel.append(F.col(f"add.{f.name}").cast(f.dataType).alias(f.name))
         else:
@@ -1050,6 +1078,10 @@ def _checkpoint_schema(_: None = None) -> T.StructType:
             T.StructField("size", T.LongType()),
             T.StructField("modificationTime", T.LongType()),
             T.StructField("dataChange", T.BooleanType()),
+            # deletion vectors MUST survive checkpointing — a
+            # checkpoint that drops the descriptor resurrects every
+            # DV-deleted row for readers that resume from it
+            T.StructField("deletionVector", _DV_STRUCT),
         ]
     )
     return T.StructType(
@@ -1060,6 +1092,25 @@ def _checkpoint_schema(_: None = None) -> T.StructType:
                     [
                         T.StructField("minReaderVersion", T.IntegerType()),
                         T.StructField("minWriterVersion", T.IntegerType()),
+                        T.StructField(
+                            "readerFeatures", T.ArrayType(T.StringType())
+                        ),
+                        T.StructField(
+                            "writerFeatures", T.ArrayType(T.StringType())
+                        ),
+                    ]
+                ),
+            ),
+            # PROTOCOL.md requires checkpoints to carry the latest
+            # SetTransaction per appId so streaming writers can resume
+            # exactly-once from the checkpoint alone
+            T.StructField(
+                "txn",
+                T.StructType(
+                    [
+                        T.StructField("appId", T.StringType()),
+                        T.StructField("version", T.LongType()),
+                        T.StructField("lastUpdated", T.LongType()),
                     ]
                 ),
             ),
@@ -1099,14 +1150,72 @@ def _checkpoint_schema(_: None = None) -> T.StructType:
     )
 
 
+def _all_txn_latest(spark: SparkSession, log_dir: str) -> dict[str, dict]:
+    """Latest SetTransaction per appId across the WHOLE log — the
+    existing checkpoint's txn rows (a prior writer may have compacted
+    older commits' txns into it) overlaid by every JSON commit's txn
+    actions. Metadata-sized: txn actions are one line per micro-batch.
+    """
+    latest: dict[str, dict] = {}
+    # seed from the current checkpoint, if it has a txn column
+    try:
+        _v, _adds, _meta, _proto = _read_checkpoint(spark, log_dir)
+        cp_path = os.path.join(log_dir, f"{_v:020d}.checkpoint.parquet")
+        if os.path.exists(cp_path):
+            cp = spark.read.parquet(cp_path)
+            if "txn" in cp.columns:
+                for r in (
+                    cp.filter(F.col("txn.appId").isNotNull())
+                    .select("txn.appId", "txn.version", "txn.lastUpdated")
+                    .collect()
+                ):
+                    latest[r[0]] = {
+                        "appId": r[0],
+                        "version": r[1],
+                        "lastUpdated": r[2],
+                    }
+    except FileNotFoundError:
+        pass
+    for fname in sorted(
+        f
+        for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[:20].isdigit()
+    ):
+        with open(os.path.join(log_dir, fname)) as fh:
+            for line in fh:
+                if '"txn"' not in line:
+                    continue
+                action = json.loads(line)
+                txn = action.get("txn") or {}
+                app = txn.get("appId")
+                if app is None:
+                    continue
+                prev = latest.get(app)
+                if prev is None or int(txn.get("version", -1)) >= int(
+                    prev.get("version") or -1
+                ):
+                    latest[app] = {
+                        "appId": app,
+                        "version": txn.get("version"),
+                        "lastUpdated": txn.get("lastUpdated"),
+                    }
+    return latest
+
+
 def write_checkpoint(spark: SparkSession, table_path: str) -> int:
     """Materialize the current snapshot as a single-file checkpoint.
 
     Returns the checkpointed version. Subsequent reads replay from it
-    instead of from commit 0.
+    instead of from commit 0. The checkpoint carries the table's
+    CURRENT protocol (incl. reader/writer features — a DV table must
+    not be downgraded to 1/2), each add's deletionVector descriptor,
+    and the latest txn per appId, per PROTOCOL.md's checkpoint
+    contents.
     """
     log_dir = _log_dir(table_path)
     adds, meta = _replay(spark, table_path)
+    proto = _current_protocol(spark, table_path)
+    txns = _all_txn_latest(spark, log_dir)
     versions = [
         int(f[:20])
         for f in os.listdir(log_dir)
@@ -1115,14 +1224,19 @@ def write_checkpoint(spark: SparkSession, table_path: str) -> int:
     if not versions:
         raise ValueError(f"no commits under {log_dir}")
     version = max(versions)
+    blank = {"protocol": None, "metaData": None, "txn": None, "add": None}
     rows = [
         {
-            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
-            "metaData": None,
-            "add": None,
+            **blank,
+            "protocol": {
+                "minReaderVersion": proto.get("minReaderVersion", 1),
+                "minWriterVersion": proto.get("minWriterVersion", 2),
+                "readerFeatures": proto.get("readerFeatures"),
+                "writerFeatures": proto.get("writerFeatures"),
+            },
         },
         {
-            "protocol": None,
+            **blank,
             "metaData": {
                 "id": meta["id"],
                 "format": meta.get(
@@ -1133,22 +1247,37 @@ def write_checkpoint(spark: SparkSession, table_path: str) -> int:
                 "configuration": meta.get("configuration") or {},
                 "createdTime": meta.get("createdTime"),
             },
-            "add": None,
         },
     ]
+    for txn in txns.values():
+        rows.append({**blank, "txn": txn})
     from urllib.parse import quote
 
     for a in adds:
+        dv = a.get("deletionVector")
         rows.append(
             {
-                "protocol": None,
-                "metaData": None,
+                **blank,
                 "add": {
                     "path": quote(a["path"], safe="/="),
                     "partitionValues": a.get("partitionValues") or {},
                     "size": a.get("size"),
                     "modificationTime": a.get("modificationTime"),
                     "dataChange": False,
+                    "deletionVector": (
+                        {
+                            k: dv.get(k)
+                            for k in (
+                                "storageType",
+                                "pathOrInlineDv",
+                                "offset",
+                                "sizeInBytes",
+                                "cardinality",
+                            )
+                        }
+                        if dv and dv.get("storageType")
+                        else None
+                    ),
                 },
             }
         )

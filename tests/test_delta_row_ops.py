@@ -453,3 +453,117 @@ def test_vacuum_reclaims_superseded_dv_files_keeps_live(spark, tmp_path):
     # table still reads correctly after the vacuum
     got = sorted(r["id"] for r in read_delta_lite(spark, path).collect())
     assert got == sorted(set(range(20)) - {1, 2})
+
+
+def test_checkpoint_preserves_deletion_vectors(spark, tmp_path):
+    """A checkpoint written after a DV delete must carry the DV
+    descriptors — dropping them silently resurrects the deleted rows
+    for every reader that resumes from the checkpoint."""
+    from spark_etl_cli_spark.sources.delta_lite import write_checkpoint
+
+    path = str(tmp_path / "tbl")
+    _mk_table(spark, path)
+    delete_delta_lite(
+        spark, path, "id in (0, 1, 2, 3, 4)", deletion_vectors=True
+    )
+    before = sorted(r["id"] for r in read_delta_lite(spark, path).collect())
+    assert before == list(range(5, 20))
+
+    write_checkpoint(spark, path)
+    # the read now resumes from the checkpoint (no JSON tail after it)
+    after = sorted(r["id"] for r in read_delta_lite(spark, path).collect())
+    assert after == before  # rows must NOT come back
+
+    # and a post-checkpoint DV delete still merges correctly
+    delete_delta_lite(spark, path, "id = 7", deletion_vectors=True)
+    got = sorted(r["id"] for r in read_delta_lite(spark, path).collect())
+    assert got == sorted(set(range(5, 20)) - {7})
+
+
+def test_checkpoint_preserves_protocol_and_txn(spark, tmp_path):
+    """The checkpoint must carry the table's CURRENT protocol (a DV
+    table is reader 3 / writer 7 + features; hardcoding 1/2 strips the
+    feature gate) and the latest SetTransaction per appId."""
+    from spark_etl_cli_spark.sources.delta_lite import write_checkpoint
+
+    path = str(tmp_path / "tbl")
+    _mk_table(spark, path)
+    write_delta_lite(
+        spark.createDataFrame([Row(id=99, part="b", v=9.0)]),
+        path,
+        mode="append",
+        partition_by=["part"],
+        txn_app_id="app-1",
+        txn_version=41,
+    )
+    delete_delta_lite(spark, path, "id = 1", deletion_vectors=True)
+    v = write_checkpoint(spark, path)
+
+    cp = spark.read.parquet(
+        os.path.join(path, "_delta_log", f"{v:020d}.checkpoint.parquet")
+    )
+    proto = (
+        cp.filter(F.col("protocol.minReaderVersion").isNotNull())
+        .select("protocol")
+        .head()[0]
+        .asDict(recursive=True)
+    )
+    assert proto["minReaderVersion"] == 3
+    assert proto["minWriterVersion"] == 7
+    assert "deletionVectors" in (proto["readerFeatures"] or [])
+    txns = {
+        r[0]: r[1]
+        for r in cp.filter(F.col("txn.appId").isNotNull())
+        .select("txn.appId", "txn.version")
+        .collect()
+    }
+    assert txns == {"app-1": 41}
+    # DV descriptors present on exactly the deleted file's add row
+    dv_adds = cp.filter(F.col("add.deletionVector.storageType").isNotNull())
+    assert dv_adds.count() == 1
+
+
+def test_normalize_add_df_tolerates_engine_extra_dv_fields(spark, tmp_path):
+    """delta-spark checkpoints store deletionVector with a sixth field
+    (maxRowIndex); DV subfields must be selected by name, not cast
+    positionally."""
+    from spark_etl_cli_spark.sources.delta_lite import _normalize_add_df
+
+    df = spark.createDataFrame(
+        [
+            {
+                "add": {
+                    "path": "f1.parquet",
+                    "partitionValues": {},
+                    "size": 10,
+                    "modificationTime": 1,
+                    "deletionVector": {
+                        "storageType": "u",
+                        "pathOrInlineDv": "ab<cd",
+                        "offset": 1,
+                        "sizeInBytes": 36,
+                        "cardinality": 2,
+                        "maxRowIndex": 99,
+                    },
+                }
+            },
+            {
+                "add": {
+                    "path": "f2.parquet",
+                    "partitionValues": {},
+                    "size": 10,
+                    "modificationTime": 1,
+                    "deletionVector": None,
+                }
+            },
+        ],
+        "add struct<path:string,partitionValues:map<string,string>,"
+        "size:bigint,modificationTime:bigint,"
+        "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
+        "offset:int,sizeInBytes:int,cardinality:bigint,maxRowIndex:bigint>>",
+    )
+    out = {r["path"]: r.asDict(recursive=True) for r in _normalize_add_df(df).collect()}
+    assert out["f1.parquet"]["deletionVector"]["storageType"] == "u"
+    assert out["f1.parquet"]["deletionVector"]["cardinality"] == 2
+    assert "maxRowIndex" not in out["f1.parquet"]["deletionVector"]
+    assert out["f2.parquet"]["deletionVector"] is None
