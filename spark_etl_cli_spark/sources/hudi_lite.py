@@ -14,8 +14,11 @@ pattern as ``delta_lite``/``iceberg_lite``.
 Supported: COW tables, multi-commit updates (latest file slice wins),
 ``replacecommit`` (clustering/insert-overwrite: replaced file groups
 dropped via ``partitionToReplaceFileIds``), ``as-of=<ts>`` time travel
-(instants up to ts). Raises clearly on MERGE-ON-READ tables (log files
-need the Hudi runtime's merge machinery).
+(instants up to ts), and MERGE_ON_READ in both documented views:
+``read_optimized`` (latest base files only) and the default snapshot
+view, which merges each file slice's ``.log`` blocks (upserts +
+deletes, latest-per-record-key wins) over its base file via the
+engine-free log codec in ``hudi_log.py``.
 """
 
 from __future__ import annotations
@@ -109,6 +112,181 @@ def _prune_partitions(
         return None
 
 
+def _record_key_field(table_path: str) -> str | None:
+    """The table's record key column from ``hoodie.properties``
+    (``hoodie.table.recordkey.fields``); None when absent. Composite
+    keys are fenced — the lite merge joins on one typed column."""
+    props = os.path.join(table_path, ".hoodie", "hoodie.properties")
+    if os.path.exists(props):
+        with open(props) as fh:
+            for line in fh:
+                line = line.strip()
+                if line.startswith("hoodie.table.recordkey.fields="):
+                    fields = [
+                        c for c in line.split("=", 1)[1].split(",") if c
+                    ]
+                    if len(fields) > 1:
+                        raise NotImplementedError(
+                            "hudi_lite MOR snapshot merge supports a "
+                            f"single record-key field; got {fields}"
+                        )
+                    return fields[0] if fields else None
+    return None
+
+
+def _mor_snapshot_df(
+    spark: SparkSession,
+    table_path: str,
+    groups: dict[tuple[str, str], dict],
+    key_field: str,
+) -> DataFrame:
+    """Snapshot view of a MERGE_ON_READ table: per file group, replay
+    the slice's log blocks over its base file — the latest record per
+    (fileId, recordKey) wins, delete blocks tombstone.
+
+    Spark-first shape: log files decode distributed (``mapInPandas``
+    over a path frame, Arrow-batched — the codec path, same as
+    avro_lite); the merge itself is a window + anti-join keyed on
+    (fileId, key), so it shuffles on the group-local key, never
+    all-pairs. At 100 TB the log side is the compaction-bounded
+    un-compacted tail — orders of magnitude smaller than the base —
+    and AQE broadcast-joins it when small.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    bases: dict[str, str] = {}  # abs base path -> fid
+    logs: list[tuple[str, str, int]] = []  # (abs log path, fid, order)
+    for (_part, fid), ent in sorted(groups.items()):
+        if ent["base"]:
+            bases[os.path.abspath(ent["base"])] = fid
+        for i, lp in enumerate(ent["logs"]):
+            logs.append((os.path.abspath(lp), fid, i))
+    missing = [
+        p for p in list(bases) + [l[0] for l in logs] if not os.path.exists(p)
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"hudi commit references missing files: {missing[:3]}"
+        )
+    norm = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+    if bases:
+        mapping = F.create_map(
+            *[F.lit(x) for p, fid in sorted(bases.items()) for x in (p, fid)]
+        )
+        base_df = (
+            spark.read.parquet(*sorted(bases))
+            .withColumn("__fid", mapping[norm])
+        )
+        table_schema = T.StructType(
+            [f for f in base_df.schema.fields if f.name != "__fid"]
+        )
+    else:
+        # insert-only-to-log table: schema from the first data block
+        from spark_etl_cli_spark.sources.avro_lite import avro_to_spark_type
+        from spark_etl_cli_spark.sources.hudi_log import (
+            AVRO_DATA_BLOCK,
+            SCHEMA,
+            read_log_blocks,
+        )
+
+        with open(logs[0][0], "rb") as fh:
+            blks = read_log_blocks(fh.read())
+        data_blk = next(
+            (b for b in blks if b["type"] == AVRO_DATA_BLOCK), None
+        )
+        if data_blk is None:
+            raise ValueError(
+                f"hudi MOR table {table_path}: no base files and no "
+                "data blocks to derive a schema from"
+            )
+        table_schema = avro_to_spark_type(
+            json.loads(data_blk["header"][SCHEMA])
+        )
+        base_df = spark.createDataFrame([], table_schema).withColumn(
+            "__fid", F.lit(None).cast("string")
+        )
+    cols = table_schema.names
+    if key_field not in cols:
+        raise ValueError(
+            f"record key {key_field!r} not in table columns {cols}"
+        )
+    if not logs:
+        return base_df.select(*cols)
+
+    out_schema = T.StructType(
+        list(table_schema.fields)
+        + [
+            T.StructField("__rk", T.StringType()),
+            T.StructField("__fid", T.StringType()),
+            T.StructField("__ford", T.IntegerType()),
+            T.StructField("__bidx", T.IntegerType()),
+            T.StructField("__ridx", T.IntegerType()),
+            T.StructField("__del", T.BooleanType()),
+        ]
+    )
+    out_names = [f.name for f in out_schema.fields]
+    paths_df = spark.createDataFrame(
+        logs, "path string, fid string, ford int"
+    )
+
+    def decode(batches):
+        import pandas as pd
+
+        from spark_etl_cli_spark.sources.hudi_log import (
+            DELETE_BLOCK,
+            read_log_blocks,
+        )
+
+        for pdf in batches:
+            for path, fid, ford in zip(pdf["path"], pdf["fid"], pdf["ford"]):
+                with open(path, "rb") as fh:
+                    blocks = read_log_blocks(fh.read())
+                rows = []
+                for bidx, blk in enumerate(blocks):
+                    for ridx, rec in enumerate(blk["records"]):
+                        if blk["type"] == DELETE_BLOCK:
+                            row = dict.fromkeys(cols)
+                            row["__rk"] = rec["recordKey"]
+                            row["__del"] = True
+                        else:
+                            row = {c: rec.get(c) for c in cols}
+                            row["__rk"] = None
+                            row["__del"] = False
+                        row["__fid"] = fid
+                        row["__ford"] = int(ford)
+                        row["__bidx"] = bidx
+                        row["__ridx"] = ridx
+                        rows.append(row)
+                if rows:
+                    yield pd.DataFrame.from_records(rows, columns=out_names)
+
+    log_df = paths_df.repartition(min(len(logs), 64)).mapInPandas(
+        decode, out_schema
+    )
+    # join key: the typed key column cast to string (data records), or
+    # the delete record's recordKey string — Hudi record keys ARE
+    # strings (HoodieKey.recordKey), so the string form is canonical
+    keyed = log_df.withColumn(
+        "__key",
+        F.coalesce(F.col(key_field).cast("string"), F.col("__rk")),
+    )
+    w = Window.partitionBy("__fid", "__key").orderBy(
+        F.desc("__ford"), F.desc("__bidx"), F.desc("__ridx")
+    )
+    latest = (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    superseded = latest.select("__fid", "__key")
+    survivors = base_df.withColumn(
+        "__key", F.col(key_field).cast("string")
+    ).join(superseded, ["__fid", "__key"], "left_anti")
+    upserts = latest.filter(~F.col("__del"))
+    return survivors.select(*cols).unionByName(upserts.select(*cols))
+
+
 def read_hudi_lite(
     spark: SparkSession,
     table_path: str,
@@ -118,11 +296,13 @@ def read_hudi_lite(
 ) -> DataFrame:
     """Snapshot read via timeline replay.
 
-    ``view='read_optimized'`` opts a MERGE_ON_READ table into its
-    documented read-optimized view: latest BASE files only, log files
-    ignored (that is exactly Hudi's ``_ro`` table semantics — fresher
-    un-compacted updates are not visible). Without the opt-in, MOR
-    still raises: the snapshot view needs the Hudi runtime's log merge.
+    COPY_ON_WRITE: latest base file per file group. MERGE_ON_READ:
+    the default (snapshot) view merges each slice's ``.log`` blocks
+    over its base file via ``_mor_snapshot_df``;
+    ``view='read_optimized'`` serves the documented ``_ro`` view
+    instead — latest BASE files only, un-compacted log updates not
+    visible. MOR tables without a ``hoodie.table.recordkey.fields``
+    property raise (the merge needs the record key).
 
     ``where``: SQL predicate; hive-style partition paths
     (``key=val/...``) prune the FILE LIST before any footer is opened,
@@ -130,13 +310,7 @@ def read_hudi_lite(
     """
     ttype = _table_type(table_path)
     read_optimized = view == "read_optimized"
-    if ttype != "COPY_ON_WRITE" and not read_optimized:
-        raise NotImplementedError(
-            f"hudi_lite reads COPY_ON_WRITE tables; {ttype} (merge-on-read) "
-            "log-file merging needs the Hudi runtime. Pass "
-            "view='read_optimized' (?view=read_optimized) for the "
-            "base-file-only RO view."
-        )
+    mor_snapshot = ttype != "COPY_ON_WRITE" and not read_optimized
     instants = _completed_instants(table_path)
     if as_of is not None:
         instants = [i for i in instants if i[0] <= str(as_of)]
@@ -146,10 +320,11 @@ def read_hudi_lite(
             + (f" at or before {as_of}" if as_of else "")
         )
     # latest file slice per (partition, fileId); replacecommits drop
-    # whole file groups (clustering / insert_overwrite). In RO view,
-    # .log.* write-stats (MOR delta files) are skipped — base files
-    # (.parquet) are the view, per the spec's read-optimized contract.
-    slices: dict[tuple[str, str], str] = {}
+    # whole file groups (clustering / insert_overwrite). A new BASE
+    # file for a fileId starts a new slice (compaction), so the
+    # slice's accumulated log files reset; in the RO view log files
+    # are simply never served, per the spec's read-optimized contract.
+    groups: dict[tuple[str, str], dict] = {}
     for ts, action, path in instants:
         with open(path) as fh:
             commit = json.load(fh)
@@ -158,30 +333,47 @@ def read_hudi_lite(
                 commit.get("partitionToReplaceFileIds") or {}
             ).items():
                 for fid in fids:
-                    slices.pop((part, fid), None)
+                    groups.pop((part, fid), None)
         for part, stats in (commit.get("partitionToWriteStats") or {}).items():
             for st in stats:
                 fid = st.get("fileId") or st["path"]
                 rel = st["path"]
+                ent = groups.setdefault(
+                    (part, fid), {"base": None, "logs": []}
+                )
                 if ".log." in os.path.basename(rel):
-                    continue  # MOR log file: never part of the RO view
-                slices[(part, fid)] = os.path.join(table_path, rel)
+                    ent["logs"].append(os.path.join(table_path, rel))
+                else:
+                    ent["base"] = os.path.join(table_path, rel)
+                    ent["logs"] = []
     if where:
-        kept = _prune_partitions(spark, {p for p, _ in slices}, where)
+        kept = _prune_partitions(spark, {p for p, _ in groups}, where)
         if kept is not None:
-            slices = {k: v for k, v in slices.items() if k[0] in kept}
-    files = sorted(set(slices.values()))
-    missing = [f for f in files if not os.path.exists(f)]
-    if missing:
-        raise FileNotFoundError(
-            f"hudi commit references missing base files: {missing[:3]}"
+            groups = {k: v for k, v in groups.items() if k[0] in kept}
+    if mor_snapshot and any(ent["logs"] for ent in groups.values()):
+        key_field = _record_key_field(table_path)
+        if not key_field:
+            raise NotImplementedError(
+                "hudi_lite MOR snapshot merge needs the record key: set "
+                "hoodie.table.recordkey.fields in hoodie.properties, or "
+                "pass view='read_optimized' for the base-file-only view"
+            )
+        df = _mor_snapshot_df(spark, table_path, groups, key_field)
+    else:
+        files = sorted(
+            {ent["base"] for ent in groups.values() if ent["base"]}
         )
-    if not files:
-        raise ValueError(
-            f"hudi table {table_path} has no live base files"
-            + (" matching the partition predicate" if where else "")
-        )
-    df = spark.read.parquet(*files)
+        missing = [f for f in files if not os.path.exists(f)]
+        if missing:
+            raise FileNotFoundError(
+                f"hudi commit references missing base files: {missing[:3]}"
+            )
+        if not files:
+            raise ValueError(
+                f"hudi table {table_path} has no live base files"
+                + (" matching the partition predicate" if where else "")
+            )
+        df = spark.read.parquet(*files)
     # drop Hudi's bookkeeping meta columns if present (the payload the
     # user wrote is everything after them)
     meta_cols = [c for c in df.columns if c.startswith("_hoodie_")]

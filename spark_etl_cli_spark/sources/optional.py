@@ -705,9 +705,13 @@ def iceberg_sink(p: ParsedUri) -> IcebergSink:
 
 @dataclass
 class HudiSource:
-    """``hudi:///path/to/table[?as-of=TS]`` — COW snapshot reads via
-    the engine-free timeline replayer (sources/hudi_lite.py) when the
-    Hudi runtime isn't on the classpath. Beyond-reference surface."""
+    """``hudi:///path/to/table[?as-of=TS&view=read_optimized]`` —
+    snapshot reads via the engine-free timeline replayer
+    (sources/hudi_lite.py) when the Hudi runtime isn't on the
+    classpath: COW latest-slice reads, and MOR snapshot reads merging
+    each slice's .log blocks (hudi_log.py) over its base file;
+    ?view=read_optimized serves the base-only RO view instead.
+    Beyond-reference surface."""
 
     uri: ParsedUri
 

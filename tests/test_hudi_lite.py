@@ -29,11 +29,13 @@ def _commit(table, ts, stats, action="commit", replaced=None):
         json.dump(body, fh)
 
 
-def _props(table, ttype="COPY_ON_WRITE"):
+def _props(table, ttype="COPY_ON_WRITE", record_key=None):
     tdir = os.path.join(table, ".hoodie")
     os.makedirs(tdir, exist_ok=True)
     with open(os.path.join(tdir, "hoodie.properties"), "w") as fh:
         fh.write(f"hoodie.table.name=t\nhoodie.table.type={ttype}\n")
+        if record_key:
+            fh.write(f"hoodie.table.recordkey.fields={record_key}\n")
 
 
 def test_hudi_cow_latest_file_slice_wins(spark, tmp_path):
@@ -115,13 +117,26 @@ def test_hudi_meta_columns_dropped(spark, tmp_path):
     assert out.columns == ["id", "v"]
 
 
-def test_hudi_mor_raises_clearly(spark, tmp_path):
+def test_hudi_mor_without_record_key_raises_clearly(spark, tmp_path):
+    """The MOR snapshot merge needs the record key; a table whose
+    hoodie.properties lacks recordkey.fields gets an actionable error
+    (not a wrong merge), and ?view=read_optimized stays available."""
     from spark_etl_cli_spark.sources.hudi_lite import read_hudi_lite
 
     table = str(tmp_path / "hudi_mor")
     os.makedirs(table)
     _props(table, ttype="MERGE_ON_READ")
-    with pytest.raises(NotImplementedError, match="MERGE_ON_READ"):
+    p1 = _write_base_file(
+        spark, table, "", "fg1_base.parquet", spark.range(3).selectExpr("id")
+    )
+    _commit(table, "20240101000000",
+            {"": [{"fileId": "fg1", "path": p1}]}, action="deltacommit")
+    log_name = ".fg1_20240101.log.1"
+    with open(os.path.join(table, log_name), "wb") as fh:
+        fh.write(b"\x00hudilog")
+    _commit(table, "20240102000000",
+            {"": [{"fileId": "fg1", "path": log_name}]}, action="deltacommit")
+    with pytest.raises(NotImplementedError, match="recordkey"):
         read_hudi_lite(spark, table)
 
 
@@ -300,9 +315,9 @@ def test_hudi_upsert_via_pipeline_uri(spark, tmp_path):
 
 
 def test_hudi_mor_read_optimized_view_opt_in(spark, tmp_path):
-    """MOR table: default read still raises, but ?view=read_optimized
-    serves the documented RO view — latest BASE files only, .log delta
-    files ignored."""
+    """MOR table without a record key: default (snapshot) read raises
+    with guidance, and ?view=read_optimized serves the documented RO
+    view — latest BASE files only, .log delta files never opened."""
     from spark_etl_cli_spark.registry import resolve_source
     from spark_etl_cli_spark.sources.hudi_lite import read_hudi_lite
 
@@ -513,3 +528,168 @@ def test_hudi_delete_via_pipeline_uri(spark, tmp_path):
     rep = src.read(spark).head()
     assert rep["rows_deleted"] == 2
     assert read_hudi_lite(spark, table).count() == 4
+
+
+# --- HoodieLogFormat codec + MOR snapshot view -----------------------------
+
+_ID_VER_AVRO = {
+    "type": "record",
+    "name": "rec",
+    "fields": [
+        {"name": "id", "type": ["null", "long"]},
+        {"name": "ver", "type": ["null", "string"]},
+    ],
+}
+
+
+def test_hudi_log_block_roundtrip(tmp_path):
+    from spark_etl_cli_spark.sources.hudi_log import (
+        AVRO_DATA_BLOCK,
+        DELETE_BLOCK,
+        INSTANT_TIME,
+        append_data_block,
+        append_delete_block,
+        append_rollback_block,
+        read_log_blocks,
+    )
+
+    log = str(tmp_path / ".fg1_001.log.1")
+    append_data_block(
+        log, [{"id": 1, "ver": "a"}, {"id": 2, "ver": "b"}],
+        _ID_VER_AVRO, "t1",
+    )
+    append_delete_block(log, [("1", None)], "t2")
+    with open(log, "rb") as fh:
+        blocks = read_log_blocks(fh.read())
+    assert [b["type"] for b in blocks] == [AVRO_DATA_BLOCK, DELETE_BLOCK]
+    assert blocks[0]["records"] == [{"id": 1, "ver": "a"}, {"id": 2, "ver": "b"}]
+    assert blocks[0]["header"][INSTANT_TIME] == "t1"
+    assert blocks[1]["records"][0]["recordKey"] == "1"
+
+    # rollback invalidates earlier blocks of the SAME instant
+    append_data_block(log, [{"id": 9, "ver": "bad"}], _ID_VER_AVRO, "t3")
+    append_rollback_block(log, "t3")
+    with open(log, "rb") as fh:
+        blocks = read_log_blocks(fh.read())
+    assert [b["header"][INSTANT_TIME] for b in blocks] == ["t1", "t2"]
+
+
+def test_hudi_log_truncated_tail_block_is_dropped(tmp_path):
+    """A writer that died mid-append leaves a truncated final block;
+    the reader serves everything before it, like Hudi's corrupt-block
+    skipping."""
+    from spark_etl_cli_spark.sources.hudi_log import (
+        append_data_block,
+        read_log_blocks,
+    )
+
+    log = str(tmp_path / ".fg1_001.log.1")
+    append_data_block(log, [{"id": 1, "ver": "a"}], _ID_VER_AVRO, "t1")
+    good_len = os.path.getsize(log)
+    append_data_block(log, [{"id": 2, "ver": "b"}], _ID_VER_AVRO, "t2")
+    with open(log, "rb") as fh:
+        data = fh.read()
+    truncated = data[: good_len + (len(data) - good_len) // 2]
+    blocks = read_log_blocks(truncated)
+    assert len(blocks) == 1 and blocks[0]["records"][0]["id"] == 1
+    # garbage at a block boundary is NOT silently skipped
+    with pytest.raises(ValueError, match="bad magic"):
+        read_log_blocks(data[:good_len] + b"garbage-not-a-block-header!")
+
+
+def _mk_mor_table(spark, tmp_path):
+    """Base fg1 (ids 0-4) + fg2 (ids 5-7); logs on fg1: update id=1,
+    delete id=2, then a later block re-updating id=1."""
+    from spark_etl_cli_spark.sources.hudi_log import (
+        append_data_block,
+        append_delete_block,
+    )
+
+    table = str(tmp_path / "hudi_mor_snap")
+    os.makedirs(table)
+    _props(table, ttype="MERGE_ON_READ", record_key="id")
+    p1 = _write_base_file(
+        spark, table, "", "fg1_base.parquet",
+        spark.range(5).selectExpr("id", "'base' AS ver"),
+    )
+    p2 = _write_base_file(
+        spark, table, "", "fg2_base.parquet",
+        spark.range(5, 8).selectExpr("id", "'base' AS ver"),
+    )
+    _commit(table, "20240101000000",
+            {"": [{"fileId": "fg1", "path": p1},
+                  {"fileId": "fg2", "path": p2}]},
+            action="deltacommit")
+    log1 = ".fg1_20240101.log.1"
+    append_data_block(
+        os.path.join(table, log1),
+        [{"id": 1, "ver": "u1"}], _ID_VER_AVRO, "20240102000000",
+    )
+    append_delete_block(
+        os.path.join(table, log1), [("2", None)], "20240102000000"
+    )
+    _commit(table, "20240102000000",
+            {"": [{"fileId": "fg1", "path": log1}]}, action="deltacommit")
+    log2 = ".fg1_20240101.log.2"
+    append_data_block(
+        os.path.join(table, log2),
+        [{"id": 1, "ver": "u2"}, {"id": 100, "ver": "new"}],
+        _ID_VER_AVRO, "20240103000000",
+    )
+    _commit(table, "20240103000000",
+            {"": [{"fileId": "fg1", "path": log2}]}, action="deltacommit")
+    return table
+
+
+def test_hudi_mor_snapshot_merges_log_blocks(spark, tmp_path):
+    from spark_etl_cli_spark.sources.hudi_lite import read_hudi_lite
+
+    table = _mk_mor_table(spark, tmp_path)
+    out = {(r.id, r.ver) for r in read_hudi_lite(spark, table).collect()}
+    # id=1 updated twice (latest wins), id=2 deleted, id=100 inserted
+    assert out == {
+        (0, "base"), (1, "u2"), (3, "base"), (4, "base"),
+        (5, "base"), (6, "base"), (7, "base"), (100, "new"),
+    }
+    # RO view: base files only, no log merge
+    ro = {(r.id, r.ver)
+          for r in read_hudi_lite(spark, table, view="read_optimized").collect()}
+    assert ro == {(i, "base") for i in range(8)}
+    # time travel to before the second log file
+    v1 = {(r.id, r.ver)
+          for r in read_hudi_lite(spark, table, as_of="20240102000000").collect()}
+    assert v1 == {
+        (0, "base"), (1, "u1"), (3, "base"), (4, "base"),
+        (5, "base"), (6, "base"), (7, "base"),
+    }
+
+
+def test_hudi_mor_snapshot_via_uri(spark, tmp_path):
+    from spark_etl_cli_spark.registry import resolve_source
+
+    table = _mk_mor_table(spark, tmp_path)
+    _, src = resolve_source(f"h+hudi://{table}")
+    assert src.read(spark).count() == 8
+
+
+def test_hudi_mor_compaction_resets_log_slice(spark, tmp_path):
+    """A new base file for a file group (compaction) starts a new file
+    slice: earlier log files no longer apply."""
+    from spark_etl_cli_spark.sources.hudi_lite import read_hudi_lite
+
+    table = _mk_mor_table(spark, tmp_path)
+    # compaction: new base for fg1 materializing the merged state
+    p = _write_base_file(
+        spark, table, "", "fg1_compacted.parquet",
+        spark.createDataFrame(
+            [(0, "c"), (1, "c"), (3, "c"), (4, "c"), (100, "c")],
+            "id long, ver string",
+        ),
+    )
+    _commit(table, "20240104000000",
+            {"": [{"fileId": "fg1", "path": p}]}, action="commit")
+    out = {(r.id, r.ver) for r in read_hudi_lite(spark, table).collect()}
+    assert out == {
+        (0, "c"), (1, "c"), (3, "c"), (4, "c"), (100, "c"),
+        (5, "base"), (6, "base"), (7, "base"),
+    }
