@@ -13,15 +13,18 @@ any jar.
 Supported: format v1 and v2 tables; ``snapshot-id`` time travel;
 v2 POSITION deletes (parquet ``(file_path, pos)`` applied as a
 positional anti-join over ``_metadata``) and EQUALITY deletes
-(anti-join on the delete file's columns); schema from the
+(anti-join on the delete file's columns), both SEQUENCE-NUMBER-SCOPED
+per the v2 spec — position deletes apply to data files with data
+sequence number <= the delete's, equality deletes strictly <, so a
+file re-added after a delete targeting it survives; schema from the
 current-schema-id entry (nested struct/list/map, decimal, temporal
-types).
+types); identity-partition ``?where=`` pruning of the FILE LIST at
+the manifest level (``_prune_file_entries``) before any footer opens.
 
-Simplifications (documented, fail-safe): deletes are applied to the
-WHOLE snapshot rather than per-sequence-number (correct for the
-overwhelmingly common append+delete flow; a file re-added *after* a
-delete targeting it would be over-deleted), and partition pruning is
-left to parquet row-group stats.
+Simplification (documented, fail-safe): metadata that records no
+sequence numbers at all (v1, hand-built) treats data as seq 0 and
+deletes as seq +inf — i.e. deletes apply to the whole snapshot, the
+only consistent reading when the table never sequenced its commits.
 """
 
 from __future__ import annotations
@@ -160,6 +163,11 @@ def _snapshot(meta: dict, snapshot_id: int | None) -> dict:
 
 
 def _manifest_entries(table_path: str, snap: dict) -> list[dict]:
+    """All manifest entries of a snapshot, each annotated with its
+    resolved DATA SEQUENCE NUMBER as ``__data_seq`` (spec: a null
+    ``sequence_number`` on an ADDED entry inherits the manifest-list
+    entry's sequence number; v1 tables have none → 0). Delete files
+    apply to data files by comparing these numbers."""
     from spark_etl_cli_spark.sources.avro_lite import read_container
 
     ml_path = _localize(snap["manifest-list"], table_path)
@@ -168,8 +176,14 @@ def _manifest_entries(table_path: str, snap: dict) -> list[dict]:
     entries: list[dict] = []
     for m in manifests:
         mp = _localize(m["manifest_path"], table_path)
+        ml_seq = m.get("sequence_number")
         with open(mp, "rb") as fh:
             _, recs = read_container(fh.read())
+        for rec in recs:
+            seq = rec.get("sequence_number")
+            if seq is None:
+                seq = ml_seq  # inheritance (ADDED); conservative for rest
+            rec["__data_seq"] = int(seq) if seq is not None else None
         entries.extend(recs)
     return entries
 
@@ -251,10 +265,17 @@ def _resolve_entries(
     table_path: str,
     snapshot_id: int | None = None,
     where: str | None = None,
-) -> tuple[list[tuple[str, dict]], list[str], list[str], T.StructType, dict]:
-    """(data entries (path, partition dict), position deletes, equality
-    deletes, spark schema, table metadata) for a snapshot, with
-    ``where`` pruning the data entries via manifest partition values."""
+) -> tuple[
+    list[tuple[str, dict, int]],
+    list[tuple[str, int]],
+    list[tuple[str, int]],
+    T.StructType,
+    dict,
+]:
+    """(data entries (path, partition dict, data sequence number),
+    position deletes (path, seq), equality deletes (path, seq), spark
+    schema, table metadata) for a snapshot, with ``where`` pruning the
+    data entries via manifest partition values."""
     meta = _load_metadata(table_path)
     fv = int(meta.get("format-version", 1))
     if fv > 2:
@@ -263,28 +284,39 @@ def _resolve_entries(
         )
     spark_schema = _schema_to_spark(meta)
     snap = _snapshot(meta, snapshot_id)
-    data_entries: list[tuple[str, dict]] = []
-    pos_deletes: list[str] = []
-    eq_deletes: list[str] = []
+    data_entries: list[tuple[str, dict, int]] = []
+    pos_deletes: list[tuple[str, int]] = []
+    eq_deletes: list[tuple[str, int]] = []
     for e in _manifest_entries(table_path, snap):
         if e.get("status") == 2:  # DELETED entry
             continue
         dfile = e.get("data_file") or {}
         path = _localize(dfile["file_path"], table_path)
         content = dfile.get("content") or 0
+        seq = e["__data_seq"]
         if content == 0:
-            data_entries.append((path, dfile.get("partition") or {}))
+            # a data file with no recorded/inherited sequence number
+            # (v1, hand-built metadata) sorts OLDEST — deletes apply
+            data_entries.append(
+                (path, dfile.get("partition") or {}, seq if seq is not None else 0)
+            )
         elif content == 1:
-            pos_deletes.append(path)
+            # a delete file with no sequence number applies to ALL
+            # current data (pre-sequencing metadata); scoping kicks in
+            # only when the table actually records sequence numbers
+            pos_deletes.append((path, seq if seq is not None else 2**62))
         elif content == 2:
-            eq_deletes.append(path)
+            eq_deletes.append((path, seq if seq is not None else 2**62))
     if where and data_entries:
         pruned = _prune_file_entries(
-            spark, data_entries, _identity_partition_fields(meta), where
+            spark,
+            [(p, pv) for p, pv, _ in data_entries],
+            _identity_partition_fields(meta),
+            where,
         )
         if pruned is not None:
             kept = set(pruned)
-            data_entries = [(p, pv) for p, pv in data_entries if p in kept]
+            data_entries = [t for t in data_entries if t[0] in kept]
     return data_entries, pos_deletes, eq_deletes, spark_schema, meta
 
 
@@ -301,7 +333,12 @@ def resolve_iceberg_files(
     entries, pos_deletes, eq_deletes, spark_schema, _meta = _resolve_entries(
         spark, table_path, snapshot_id, where
     )
-    return [p for p, _ in entries], pos_deletes, eq_deletes, spark_schema
+    return (
+        [p for p, _, _ in entries],
+        [p for p, _ in pos_deletes],
+        [p for p, _ in eq_deletes],
+        spark_schema,
+    )
 
 
 def read_iceberg_lite(
@@ -317,7 +354,7 @@ def read_iceberg_lite(
         empty = spark.createDataFrame([], spark_schema)
         return empty.filter(where) if where else empty
     norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
-    track = bool(pos_deletes)
+    track = bool(pos_deletes) or bool(eq_deletes)
 
     def scan(paths: list[str], schema: T.StructType, extra) -> DataFrame:
         d = spark.read.schema(schema).parquet(*paths)
@@ -343,7 +380,7 @@ def read_iceberg_lite(
         [f for f in spark_schema.fields if f.name not in pnames]
     )
     groups: dict[tuple, list[str]] = {}
-    for path, pv in entries:
+    for path, pv, _seq in entries:
         key = tuple(pv.get(pname) for pname, _, _ in part_fields)
         groups.setdefault(key, []).append(path)
     parts: list[DataFrame] = []
@@ -371,24 +408,66 @@ def read_iceberg_lite(
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
+    if track:
+        # data sequence number per row, via a broadcast (file -> seq)
+        # join: file-list-sized, never a literal map at 10^6 files.
+        # Deletes are SEQUENCE-SCOPED per the v2 spec — a file re-added
+        # AFTER a delete has a higher data seq and must survive it.
+        seq_df = F.broadcast(
+            spark.createDataFrame(
+                [(os.path.abspath(p), s) for p, _pv, s in entries],
+                "__dfile string, __dseq long",
+            )
+        )
+        df = df.join(seq_df, "__dfile", "left")
     if pos_deletes:
         # position-delete files: (file_path, pos[, row]) — drop the
         # (file, row ordinal) pairs they name, matching on normalized
-        # paths since writers disagree about the file:// prefix
+        # paths since writers disagree about the file:// prefix; a
+        # delete row applies only to data files whose sequence number
+        # is <= the delete file's (spec: "Position delete files must
+        # be applied to data files from the same commit [or older]")
         dels = (
-            spark.read.parquet(*pos_deletes)
+            spark.read.parquet(*[p for p, _ in pos_deletes])
+            .withColumn("__delfile", norm(F.col("_metadata.file_path")))
             .select(
-                norm(F.col("file_path")).alias("__dfile"),
-                F.col("pos").cast("long").alias("__dpos"),
+                norm(F.col("file_path")).alias("__pdfile"),
+                F.col("pos").cast("long").alias("__pdpos"),
+                "__delfile",
             )
-            .distinct()
+            .join(
+                F.broadcast(
+                    spark.createDataFrame(
+                        [(os.path.abspath(p), s) for p, s in pos_deletes],
+                        "__delfile string, __delseq long",
+                    )
+                ),
+                "__delfile",
+            )
+            .groupBy("__pdfile", "__pdpos")
+            .agg(F.max("__delseq").alias("__delseq"))
         )
         df = df.join(
-            F.broadcast(dels), ["__dfile", "__dpos"], "left_anti"
-        ).drop("__dfile", "__dpos")
-    for path in eq_deletes:
-        eq = spark.read.parquet(path)
-        df = df.join(F.broadcast(eq.distinct()), eq.columns, "left_anti")
+            F.broadcast(dels),
+            (F.col("__dfile") == F.col("__pdfile"))
+            & (F.col("__dpos") == F.col("__pdpos"))
+            & (F.col("__dseq") <= F.col("__delseq")),
+            "left_anti",
+        )
+    for path, dseq in eq_deletes:
+        # equality deletes apply STRICTLY to older data (data seq <
+        # delete seq): rows re-inserted by the same or a later commit
+        # survive
+        eq = spark.read.parquet(path).distinct()
+        cond = F.col("__dseq") < F.lit(dseq)
+        for c in eq.columns:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+        eq_renamed = eq.select(
+            *[F.col(c).alias(f"__eq_{c}") for c in eq.columns]
+        )
+        df = df.join(F.broadcast(eq_renamed), cond, "left_anti")
+    if track:
+        df = df.drop("__dfile", "__dpos", "__dseq")
     # row-level application keeps `where` exact even when it couldn't
     # prune files (non-partition or transformed-partition predicates)
     return df.filter(where) if where else df
@@ -1019,6 +1098,7 @@ def _commit_rewrite_snapshot(
     operation: str,
     files_removed: int,
     files_added: int,
+    removed_rows: int = 0,
 ) -> None:
     """Commit a file-replacing snapshot: one manifest re-listing the
     surviving entries (EXISTING) plus the rewrite's outputs (ADDED),
@@ -1037,10 +1117,16 @@ def _commit_rewrite_snapshot(
 
     def entry_row(e, status, sid):
         d = e["data_file"]
+        # EXISTING entries must carry their sequence number EXPLICITLY
+        # (inheritance only applies to ADDED entries, v2 spec) — use
+        # the resolved __data_seq when the original was inherited
+        seq_no = e.get("sequence_number")
+        if seq_no is None:
+            seq_no = e.get("__data_seq")
         return {
             "status": status,
             "snapshot_id": sid,
-            "sequence_number": e.get("sequence_number"),
+            "sequence_number": seq_no,
             "file_sequence_number": e.get("file_sequence_number"),
             "data_file": {
                 "content": 0,
@@ -1114,7 +1200,9 @@ def _commit_rewrite_snapshot(
             "existing_rows_count": sum(
                 e["data_file"].get("record_count") or 0 for e in untouched
             ),
-            "deleted_rows_count": added_rows,
+            # rows in the REMOVED files (0 for pure compaction, which
+            # deletes no rows) — engines plan from these counts
+            "deleted_rows_count": removed_rows,
         }]),
         extra_meta={"format-version": b"2"},
     )
@@ -1386,6 +1474,9 @@ def delete_iceberg_lite(
         snapshot_id=snapshot_id, seq=seq, now_ms=now_ms,
         commit_uuid=commit_uuid, operation="overwrite",
         files_removed=len(affected), files_added=len(new_adds),
+        removed_rows=sum(
+            e["data_file"].get("record_count") or 0 for e in affected
+        ),
     )
     return {
         "files_rewritten": len(affected),

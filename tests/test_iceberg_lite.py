@@ -778,3 +778,178 @@ def test_iceberg_stream_fails_on_delete_snapshot_unless_skipped(spark, tmp_path)
     # append snapshots flow; the delete's rewrite snapshot is skipped
     # whole (id=1 was delivered by snapshot 1 before it was deleted)
     assert got == [0, 1, 2, 3, 10, 11]
+
+
+# --- sequence-number-scoped delete application (v2 spec rule) --------------
+
+_SEQ_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": ["null", "int"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {"name": "added_snapshot_id", "type": ["null", "long"]},
+    ],
+}
+
+_SEQ_MANIFEST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file",
+                "fields": [
+                    {"name": "content", "type": ["null", "int"]},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+
+def _seq_entry(path, seq, content=0, status=1):
+    e = _entry(path, content=content, status=status)
+    e["sequence_number"] = seq
+    return e
+
+
+def _build_seq_table(table, schema_fields, manifests):
+    """manifests: [(ml_seq, [entries])] — one snapshot whose manifest
+    list carries per-manifest sequence numbers (for inheritance)."""
+    meta_dir = os.path.join(table, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    ml_rows = []
+    for i, (ml_seq, entries) in enumerate(manifests):
+        manifest = os.path.join(meta_dir, f"manifest-s{i}.avro")
+        write_container(manifest, _SEQ_MANIFEST_SCHEMA, iter(entries))
+        ml_rows.append({
+            "manifest_path": manifest,
+            "manifest_length": os.path.getsize(manifest),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": ml_seq,
+            "added_snapshot_id": 1,
+        })
+    mlist = os.path.join(meta_dir, "snap-1.avro")
+    write_container(mlist, _SEQ_MANIFEST_LIST_SCHEMA, iter(ml_rows))
+    meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000002",
+        "location": table,
+        "current-snapshot-id": 1,
+        "last-sequence-number": max(s for s, _ in manifests),
+        "schemas": [{"schema-id": 0, "type": "struct",
+                     "fields": schema_fields}],
+        "current-schema-id": 0,
+        "snapshots": [{"snapshot-id": 1, "manifest-list": mlist,
+                       "timestamp-ms": 1}],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
+def _one_parquet(spark, table, name, df):
+    d = os.path.join(table, name)
+    df.coalesce(1).write.parquet(d)
+    return os.path.join(
+        d, [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+    )
+
+
+def test_iceberg_position_delete_is_sequence_scoped(spark, tmp_path):
+    """A data file RE-ADDED after a position delete targeting its path
+    (data seq > delete seq) survives; an older file (data seq <= delete
+    seq) is still hit — the v2 spec rule the lite reader used to skip."""
+    from spark_etl_cli_spark.sources.iceberg_lite import read_iceberg_lite
+
+    table = str(tmp_path / "ice_seq_pos")
+    os.makedirs(table)
+    f_old = _one_parquet(
+        spark, table, "d_old", spark.range(5).selectExpr("id")
+    )
+    f_new = _one_parquet(
+        spark, table, "d_new", spark.range(10, 15).selectExpr("id")
+    )
+    # one delete file names pos 0 of BOTH data files, at seq 2
+    pd = _one_parquet(
+        spark, table, "pdel",
+        spark.createDataFrame(
+            [(f"file:{f_old}", 0), (f"file:{f_new}", 0)],
+            "file_path string, pos long",
+        ),
+    )
+    fields = [{"id": 1, "name": "id", "required": True, "type": "long"}]
+    _build_seq_table(table, fields, [
+        (1, [_seq_entry(f_old, 1)]),
+        (2, [_seq_entry(pd, 2, content=1)]),
+        (3, [_seq_entry(f_new, 3)]),  # re-added AFTER the delete
+    ])
+    got = sorted(r.id for r in read_iceberg_lite(spark, table).collect())
+    # old file loses id 0 (1 <= 2); new file keeps id 10 (3 > 2)
+    assert got == [1, 2, 3, 4, 10, 11, 12, 13, 14]
+
+
+def test_iceberg_equality_delete_is_strictly_older_scoped(spark, tmp_path):
+    """Equality deletes apply only to data with sequence number
+    STRICTLY below the delete's: a row re-inserted in the same commit
+    as the delete survives it."""
+    from spark_etl_cli_spark.sources.iceberg_lite import read_iceberg_lite
+
+    table = str(tmp_path / "ice_seq_eq")
+    os.makedirs(table)
+    f1 = _one_parquet(spark, table, "d1", spark.range(3).selectExpr("id"))
+    # upsert commit at seq 2: delete id=1, re-insert id=1 (new version)
+    f2 = _one_parquet(
+        spark, table, "d2", spark.createDataFrame([(1,)], "id long")
+    )
+    eq = _one_parquet(
+        spark, table, "eqdel", spark.createDataFrame([(1,)], "id long")
+    )
+    fields = [{"id": 1, "name": "id", "required": True, "type": "long"}]
+    _build_seq_table(table, fields, [
+        (1, [_seq_entry(f1, 1)]),
+        (2, [_seq_entry(eq, 2, content=2), _seq_entry(f2, 2)]),
+    ])
+    got = sorted(r.id for r in read_iceberg_lite(spark, table).collect())
+    # f1's id=1 dies (1 < 2); f2's id=1 survives (2 < 2 is false)
+    assert got == [0, 1, 2]
+
+
+def test_iceberg_added_entry_inherits_manifest_list_sequence(spark, tmp_path):
+    """An ADDED entry with null sequence_number inherits the manifest
+    list entry's sequence number (v2 inheritance rule)."""
+    from spark_etl_cli_spark.sources.iceberg_lite import read_iceberg_lite
+
+    table = str(tmp_path / "ice_seq_inh")
+    os.makedirs(table)
+    f_new = _one_parquet(
+        spark, table, "d", spark.range(2).selectExpr("id")
+    )
+    pd = _one_parquet(
+        spark, table, "pdel",
+        spark.createDataFrame(
+            [(f"file:{f_new}", 0)], "file_path string, pos long"
+        ),
+    )
+    fields = [{"id": 1, "name": "id", "required": True, "type": "long"}]
+    # the data entry's seq is NULL but its manifest-list seq is 3 —
+    # inherited 3 > delete seq 2 means the delete must NOT apply
+    _build_seq_table(table, fields, [
+        (2, [_seq_entry(pd, 2, content=1)]),
+        (3, [_seq_entry(f_new, None)]),
+    ])
+    got = sorted(r.id for r in read_iceberg_lite(spark, table).collect())
+    assert got == [0, 1]
