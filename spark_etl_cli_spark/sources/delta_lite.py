@@ -2004,6 +2004,201 @@ def _upsert_delta_lite(
     _write_commit(spark, table_path, actions)
 
 
+def merge_delta_lite(
+    source: DataFrame,
+    table_path: str,
+    on: str,
+    update_set: dict[str, str] | None = None,
+    matched_condition: str | None = None,
+    insert: bool = True,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
+) -> dict:
+    """Conditional MERGE: ``MERGE INTO target USING source ON
+    target.on = source.on WHEN MATCHED [AND matched_condition] THEN
+    UPDATE SET col = expr, ... WHEN NOT MATCHED THEN INSERT *``.
+
+    ``update_set`` expressions may reference BOTH sides via the
+    ``source.``/``target.`` qualifiers (e.g. ``target.v + source.v``);
+    each is cast back to the column's declared type, so a MERGE can
+    never drift the table schema. ``update_set=None`` makes it an
+    insert-if-absent merge; ``insert=False`` an update-only one.
+    Duplicate or NULL keys in the source raise (Delta's multi-match
+    contract). Unlike ``_upsert_delta_lite`` (whole-row replace), only
+    the SET columns change and only where the match condition holds.
+
+    Copy-on-write on the shared row-op machinery: one distributed
+    probe finds the files holding ≥1 (matched AND condition-true) row
+    — only those are rewritten, via a left join against the source
+    keyed on ``on`` (fan-out impossible: source keys are unique).
+    Insert rows are the source anti-joined against ALL existing keys
+    (column-pruned key scan). The commit is remove(affected) +
+    add(new) + optional txn, so streaming merges keep exactly-once.
+
+    Returns ``{"files_rewritten", "files_added", "rows_updated",
+    "rows_inserted"}``.
+    """
+    import time
+
+    spark = source.sparkSession
+    try:
+        adds, meta = _replay(spark, table_path)
+    except (FileNotFoundError, ValueError):
+        # no table yet: every source row is NOT MATCHED (same contract
+        # as upsert-creates-missing-table)
+        if not insert:
+            raise
+        write_delta_lite(
+            source, table_path, mode="append",
+            txn_app_id=txn_app_id, txn_version=txn_version,
+        )
+        return {
+            "files_rewritten": 0,
+            "files_added": 1,
+            "rows_updated": 0,
+            "rows_inserted": source.count(),
+        }
+    part_cols = meta.get("partitionColumns") or []
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    table_cols = [f.name for f in schema.fields]
+    if on not in source.columns or on not in table_cols:
+        raise ValueError(
+            f"merge key {on!r} must exist on both sides "
+            f"(source {source.columns}, table {table_cols})"
+        )
+    unknown = [c for c in (update_set or {}) if c not in table_cols]
+    if unknown:
+        raise ValueError(f"MERGE SET of unknown columns {unknown}")
+    if insert and [(f.name, f.dataType) for f in source.schema.fields] != [
+        (f.name, f.dataType) for f in schema.fields
+    ]:
+        raise ValueError(
+            "WHEN NOT MATCHED THEN INSERT * needs the source schema "
+            f"{source.schema.simpleString()} to match the table schema "
+            f"{schema.simpleString()}"
+        )
+    stats_row = source.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(on).alias("nk"),
+        F.countDistinct(on).alias("nd"),
+    ).head()
+    if stats_row["nk"] < stats_row["n"]:
+        raise ValueError("merge: NULL keys in the source frame")
+    if stats_row["nd"] < stats_row["nk"]:
+        raise ValueError(
+            "merge: duplicate keys in the source frame — a target row "
+            "must match at most one source row (Delta MERGE contract)"
+        )
+    zero = {
+        "files_rewritten": 0,
+        "files_added": 0,
+        "rows_updated": 0,
+        "rows_inserted": 0,
+    }
+    now_ms = int(time.time() * 1000)
+    match_cond = (
+        F.expr(matched_condition) if matched_condition else F.lit(True)
+    )
+
+    affected: list[dict] = []
+    n_updated = 0
+    if adds and update_set:
+        scan = _snapshot_scan(spark, table_path, adds, meta)
+        by_path = _adds_by_abspath(table_path, adds)
+        probe = (
+            scan.alias("target")
+            .join(
+                source.alias("source"),
+                F.col(f"target.{on}") == F.col(f"source.{on}"),
+            )
+            .filter(match_cond)
+        )
+        counts = probe.groupBy("__file").count().collect()
+        for r in counts:
+            add = by_path.get(r["__file"])
+            if add is None:
+                raise RuntimeError(
+                    f"delta-lite MERGE: scanned file {r['__file']!r} "
+                    "missing from the snapshot file list"
+                )
+            affected.append(add)
+        n_updated = sum(r["count"] for r in counts)
+
+    pieces: list[DataFrame] = []
+    if affected:
+        # one left join, one projection: every SET expression sees the
+        # ORIGINAL target row plus its (unique) source match
+        cond = F.col(f"source.{on}").isNotNull() & match_cond
+        out_cols = [
+            F.when(
+                cond, F.expr(update_set[f.name]).cast(f.dataType)
+            ).otherwise(F.col(f"target.{f.name}")).alias(f.name)
+            if f.name in update_set
+            else F.col(f"target.{f.name}").alias(f.name)
+            for f in schema.fields
+        ]
+        pieces.append(
+            _snapshot_scan(spark, table_path, affected, meta)
+            .alias("target")
+            .join(
+                source.alias("source"),
+                F.col(f"target.{on}") == F.col(f"source.{on}"),
+                "left",
+            )
+            .select(*out_cols)
+        )
+
+    n_inserted = 0
+    if insert:
+        new_rows = source
+        if adds:
+            existing_keys = _snapshot_scan(
+                spark, table_path, adds, meta
+            ).select(on).distinct()
+            new_rows = source.join(existing_keys, on, "left_anti")
+        n_inserted = new_rows.count()
+        if n_inserted:
+            pieces.append(new_rows.select(*table_cols))
+
+    if not pieces:
+        return zero
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    new_adds = _rewrite_files(out, table_path, part_cols)
+    actions = [_remove_action(a, now_ms) for a in affected]
+    actions += [{"add": a} for a in new_adds]
+    if txn_app_id is not None:
+        actions.append(
+            {
+                "txn": {
+                    "appId": txn_app_id,
+                    "version": int(txn_version),
+                    "lastUpdated": now_ms,
+                }
+            }
+        )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "MERGE",
+                "operationParameters": {
+                    "predicate": f"target.{on} = source.{on}"
+                    + (f" AND {matched_condition}" if matched_condition else ""),
+                },
+            }
+        }
+    )
+    _write_commit(spark, table_path, actions)
+    return {
+        "files_rewritten": len(affected),
+        "files_added": len(new_adds),
+        "rows_updated": n_updated,
+        "rows_inserted": n_inserted,
+    }
+
+
 def update_delta_lite(
     spark: SparkSession,
     table_path: str,

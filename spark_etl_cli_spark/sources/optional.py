@@ -182,6 +182,34 @@ class DeltaSink:
                     self.uri,
                     pass_epoch=True,
                 )
+            if mode == "merge":
+                # conditional MERGE: ?mode=merge&on=<key> with per-
+                # column SET expressions as set.<col>=<expr> params
+                # (exprs may qualify source./target.), an optional
+                # matched-condition=<pred>, and insert=false to turn
+                # off WHEN NOT MATCHED THEN INSERT *
+                from spark_etl_cli_spark.sources.delta_lite import (
+                    merge_delta_lite,
+                )
+
+                on = self.uri.params.get("on")
+                if not on:
+                    raise ValueError("delta mode=merge needs ?on=<key>")
+                update_set = {
+                    k[len("set."):]: v
+                    for k, v in self.uri.params.items()
+                    if k.startswith("set.")
+                }
+                merge_delta_lite(
+                    df, self.uri.path, on=on,
+                    update_set=update_set or None,
+                    matched_condition=self.uri.params.get(
+                        "matched-condition"
+                    ),
+                    insert=self.uri.params.get("insert", "true").lower()
+                    not in ("0", "false", "no"),
+                )
+                return True
             write_delta_lite(
                 df, self.uri.path, mode=mode, partition_by=parts or None,
                 merge_schema=self.uri.params.get("mergeSchema", "").lower()

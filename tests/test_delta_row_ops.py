@@ -567,3 +567,126 @@ def test_normalize_add_df_tolerates_engine_extra_dv_fields(spark, tmp_path):
     assert out["f1.parquet"]["deletionVector"]["cardinality"] == 2
     assert "maxRowIndex" not in out["f1.parquet"]["deletionVector"]
     assert out["f2.parquet"]["deletionVector"] is None
+
+
+# --- conditional MERGE ------------------------------------------------------
+
+
+def test_merge_conditional_update_reads_both_sides(spark, tmp_path):
+    """MERGE WHEN MATCHED THEN UPDATE SET v = target.v + source.v: only
+    the SET column changes, non-matching rows and columns are verbatim,
+    unmatched source rows insert."""
+    from spark_etl_cli_spark.sources.delta_lite import merge_delta_lite
+
+    path = str(tmp_path / "tbl")
+    write_delta_lite(
+        spark.createDataFrame(
+            [Row(id=i, part="a" if i < 5 else "b", v=float(i))
+             for i in range(10)]
+        ),
+        path,
+    )
+    source = spark.createDataFrame(
+        [Row(id=3, part="a", v=100.0), Row(id=42, part="b", v=1.0)]
+    )
+    stats = merge_delta_lite(
+        source, path, on="id",
+        update_set={"v": "target.v + source.v"},
+    )
+    assert stats["rows_updated"] == 1 and stats["rows_inserted"] == 1
+    got = {r["id"]: (r["part"], r["v"])
+           for r in read_delta_lite(spark, path).collect()}
+    assert got[3] == ("a", 103.0)  # SET read both sides
+    assert got[42] == ("b", 1.0)   # inserted
+    assert got[4] == ("a", 4.0)    # untouched matched-file neighbor
+    assert len(got) == 11
+
+
+def test_merge_matched_condition_limits_updates(spark, tmp_path):
+    """WHEN MATCHED AND <cond>: matched rows failing the condition are
+    NOT updated, and files whose matches all fail it are not rewritten."""
+    from spark_etl_cli_spark.sources.delta_lite import merge_delta_lite
+
+    path = str(tmp_path / "tbl")
+    # two files: ids 0-4 and 5-9 (two commits)
+    write_delta_lite(
+        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(5)]), path
+    )
+    write_delta_lite(
+        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(5, 10)]),
+        path, mode="append",
+    )
+    source = spark.createDataFrame(
+        [Row(id=2, v=0.0), Row(id=7, v=50.0)]
+    )
+    stats = merge_delta_lite(
+        source, path, on="id",
+        update_set={"v": "source.v"},
+        matched_condition="source.v > target.v",  # only id=7 passes
+        insert=False,
+    )
+    assert stats["rows_updated"] == 1
+    assert stats["files_rewritten"] == 1  # id=2's file untouched
+    got = {r["id"]: r["v"] for r in read_delta_lite(spark, path).collect()}
+    assert got[7] == 50.0 and got[2] == 2.0
+    assert len(got) == 10  # insert=False: id-less source rows dropped
+
+
+def test_merge_duplicate_or_null_source_keys_raise(spark, tmp_path):
+    from spark_etl_cli_spark.sources.delta_lite import merge_delta_lite
+
+    path = str(tmp_path / "tbl")
+    write_delta_lite(
+        spark.createDataFrame([Row(id=1, v=1.0)]), path
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        merge_delta_lite(
+            spark.createDataFrame([Row(id=1, v=1.0), Row(id=1, v=2.0)]),
+            path, on="id", update_set={"v": "source.v"},
+        )
+    with pytest.raises(ValueError, match="NULL"):
+        merge_delta_lite(
+            spark.createDataFrame([Row(id=None, v=1.0)], "id long, v double"),
+            path, on="id", update_set={"v": "source.v"},
+        )
+
+
+def test_merge_set_casts_back_to_column_type(spark, tmp_path):
+    from spark_etl_cli_spark.sources.delta_lite import merge_delta_lite
+
+    path = str(tmp_path / "tbl")
+    write_delta_lite(spark.createDataFrame([Row(id=1, v=1.0)]), path)
+    merge_delta_lite(
+        spark.createDataFrame([Row(id=1, v=2.0)]), path, on="id",
+        update_set={"v": "42"},  # int literal -> cast back to double
+    )
+    out = read_delta_lite(spark, path)
+    assert dict(out.dtypes)["v"] == "double"
+    assert out.collect()[0]["v"] == 42.0
+
+
+def test_merge_creates_missing_table_when_inserting(spark, tmp_path):
+    from spark_etl_cli_spark.sources.delta_lite import merge_delta_lite
+
+    path = str(tmp_path / "new_tbl")
+    stats = merge_delta_lite(
+        spark.createDataFrame([Row(id=1, v=1.0)]), path, on="id",
+        update_set={"v": "source.v"},
+    )
+    assert stats["rows_inserted"] == 1
+    assert read_delta_lite(spark, path).count() == 1
+
+
+def test_merge_via_sink_uri(spark, tmp_path):
+    from spark_etl_cli_spark.registry import resolve_sink
+
+    path = str(tmp_path / "tbl")
+    write_delta_lite(
+        spark.createDataFrame([Row(id=1, v=1.0), Row(id=2, v=2.0)]), path
+    )
+    _, sink = resolve_sink(
+        f"s+delta://{path}?mode=merge&on=id&set.v=target.v %2B source.v"
+    )
+    sink.write(spark.createDataFrame([Row(id=2, v=10.0), Row(id=3, v=3.0)]))
+    got = {r["id"]: r["v"] for r in read_delta_lite(spark, path).collect()}
+    assert got == {1: 1.0, 2: 12.0, 3: 3.0}
