@@ -17,10 +17,16 @@ Semantics and their limits (documented, not hidden):
 - Appends are atomic at segment-file granularity (a parquet part file
   is complete or absent), mirroring "a record is either in the log or
   not".
-- ``offset`` is monotone per (producer-)partition but NOT globally
-  contiguous — consumers that only need ordering/uniqueness (which is
-  what Kafka itself guarantees across partitions: nothing) are
-  faithful; exact offset arithmetic is not emulated.
+- ``offset`` is monotone ACROSS produces (the produce epoch — derived
+  from the segment-file count — rides in the high bits) but NOT
+  contiguous; within one produce the low bits are a deterministic
+  hash tiebreak, because a batch DataFrame has no row order to
+  preserve. Consumers that need ordering/uniqueness (which is what
+  Kafka itself guarantees across partitions: nothing) are faithful;
+  exact offset arithmetic is not emulated. Streaming produces go
+  through ``foreachBatch`` so each micro-batch claims an epoch like a
+  batch produce (at-least-once on restart — Kafka's own default
+  producer contract).
 - Streaming reads use Spark's native file streaming over the segment
   directory (new segments = new micro-batch input), giving watermarks,
   exactly-once file tracking, and checkpoint/resume for free.
@@ -113,41 +119,53 @@ class KafkaLiteSink:
         path, topic = _topic_dir(self.uri)
         opts = reader_options(self.uri)
         serde = opts.pop("serde", "json")
-        out = serialize_values(
-            df, serde, topic=topic, key_col=opts.pop("key-column", None)
-        )
-        framed = _frame_records(out, topic, streaming=df.isStreaming)
+        key_col = opts.pop("key-column", None)
         if df.isStreaming:
-            writer = (
-                framed.writeStream.format("parquet")
-                .option("path", path)
-                .options(**opts)
+            # foreachBatch so each micro-batch is a PRODUCE: it claims
+            # the next topic epoch (segment-count) exactly like a batch
+            # produce, making per-key recency total across batches —
+            # the native file sink stamped offset=-1, leaving same-tick
+            # records unordered. Delivery is at-least-once on restart
+            # (a replayed batch re-appends), which is Kafka's own
+            # default producer contract.
+            from spark_etl_cli_spark.sources.base import (
+                stream_via_foreach_batch,
             )
-            if "checkpointLocation" not in opts:
-                writer = writer.option(
-                    "checkpointLocation", os.path.join(path, "_ckpt")
+
+            self.uri.params.setdefault(
+                "checkpointLocation", os.path.join(path, "_ckpt")
+            )
+
+            def produce(batch_df: DataFrame) -> None:
+                out = serialize_values(
+                    batch_df, serde, topic=topic, key_col=key_col
                 )
-            writer.start()
-            return True
+                _frame_records(out, topic, _next_epoch(path)).write.mode(
+                    "append"
+                ).parquet(path)
+
+            return stream_via_foreach_batch(df, produce, self.uri)
+        out = serialize_values(df, serde, topic=topic, key_col=key_col)
+        framed = _frame_records(out, topic, _next_epoch(path))
         framed.write.mode("append").options(**opts).parquet(path)
         return True
 
 
 def _compacted_view(raw: DataFrame) -> DataFrame:
     """Kafka log compaction semantics over the segment log: latest
-    record per key wins (by offset), tombstones (null value) DELETE the
-    key, unkeyed records are dropped (a compacted topic requires
-    keys — Kafka itself rejects keyless produces there). One window per
-    key partition-group; keys hash-shuffle once.
+    record per key wins (highest offset, Kafka's contract), tombstones
+    (null value) DELETE the key, unkeyed records are dropped (a
+    compacted topic requires keys — Kafka itself rejects keyless
+    produces there). One window per key partition-group; keys
+    hash-shuffle once.
     """
     from pyspark.sql import Window
 
-    # recency order: timestamp first (constant per produce batch,
-    # increases across batches), offset as the within-batch tiebreak —
-    # offsets alone restart per produce, so they cannot order batches
-    w = Window.partitionBy("key").orderBy(
-        F.col("timestamp").desc(), F.col("offset").desc()
-    )
+    # recency = offset desc alone: the produce epoch lives in the
+    # offset's high bits (_next_epoch), so offsets are totally ordered
+    # across produces — timestamp is informational (CreateTime), not
+    # an ordering key, exactly like Kafka's own compaction
+    w = Window.partitionBy("key").orderBy(F.col("offset").desc())
     return (
         raw.filter(F.col("key").isNotNull())
         .withColumn("__rn", F.row_number().over(w))
@@ -156,32 +174,54 @@ def _compacted_view(raw: DataFrame) -> DataFrame:
     )
 
 
-def _frame_records(
-    out: DataFrame, topic: str, streaming: bool = False
-) -> DataFrame:
+# offset layout: the produce epoch in the high 31 bits (2^31 produces
+# before overflow — a real envelope, not a toy one), a deterministic
+# 32-bit in-batch tiebreak in the low bits. Within ONE produce a batch
+# DataFrame has no row order to preserve, so the tiebreak is
+# arbitrary-but-deterministic by construction; what MUST be exact —
+# and now is — is the ordering ACROSS produces.
+_EPOCH_SHIFT = 32
+
+
+def _next_epoch(path: str) -> int:
+    """The produce epoch: the count of existing segment files. Appends
+    only ever ADD files, so this is strictly monotone across produces
+    (single-writer, like a broker's log-end-offset; two truly
+    concurrent produces may tie — Kafka serializes those in the
+    broker, which a file-backed emulation cannot)."""
+    if not os.path.isdir(path):
+        return 0
+    n = 0
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith("_")]
+        n += sum(
+            1 for f in files
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    return n
+
+
+def _frame_records(out: DataFrame, topic: str, epoch: int) -> DataFrame:
     """Serde output (``value`` [+ ``key``]) → full kafka record rows.
 
-    Batch: ``offset`` is monotone within a producer partition
-    (monotonically_increasing_id packs the partition id in the high
-    bits — same guarantee Kafka gives across partitions: none).
-    Streaming: Spark's UnsupportedOperationChecker rejects
-    monotonically_increasing_id in streaming plans, so streamed
-    records carry offset -1 — recency ordering comes from the
-    per-batch timestamp, which is what the compacted view keys on
-    anyway.
+    ``offset`` carries the produce epoch in its high bits, so per-key
+    recency is TOTAL across produces — two produces landing in the
+    same timestamp tick order correctly, which the old
+    (timestamp, restarting-offset) ordering could not guarantee.
     """
     cols = set(out.columns)
-    offset = (
-        F.lit(-1).cast("long")
-        if streaming
-        else F.monotonically_increasing_id()
+    key_col = F.col("key") if "key" in cols else F.lit(None)
+    tiebreak = (
+        F.abs(F.xxhash64(key_col, F.col("value"), F.spark_partition_id()))
+        % F.lit(1 << _EPOCH_SHIFT)
     )
+    offset = F.lit(int(epoch) << _EPOCH_SHIFT) + tiebreak
     framed = out.select(
-        (F.col("key") if "key" in cols else F.lit(None)).cast("binary").alias("key"),
+        key_col.cast("binary").alias("key"),
         F.col("value").cast("binary").alias("value"),
         F.lit(topic).alias("topic"),
         F.spark_partition_id().alias("partition"),
-        offset.alias("offset"),
+        offset.cast("long").alias("offset"),
         F.current_timestamp().alias("timestamp"),
         F.lit(0).alias("timestampType"),  # CREATE_TIME
     )

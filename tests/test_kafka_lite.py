@@ -232,20 +232,20 @@ def test_kafka_lite_compacted_view(spark, tmp_path):
     resolve_sink(f"p+kafka-lite://{topic}?key-column=id")[1].write(
         spark.createDataFrame([(1, "old"), (2, "keep")], "id long, v string")
     )
-    time.sleep(0.05)  # batch timestamps order produces
+    # NO sleep: produce-epoch offsets order same-timestamp-tick batches
     resolve_sink(f"p+kafka-lite://{topic}?key-column=id")[1].write(
         spark.createDataFrame([(1, "new")], "id long, v string")
     )
-    # tombstone for key 2 + an unkeyed record, appended at the log level
+    # tombstone for key 2 + an unkeyed record, appended at the log
+    # level with an offset ABOVE every produce epoch so far
     from pyspark.sql import functions as F2
 
-    time.sleep(0.05)
     spark.createDataFrame(
         [(b"2", None), (None, b"{}")], "key binary, value binary"
     ).select(
         "key", "value", F2.lit("compacted").alias("topic"),
         F2.lit(0).alias("partition"),
-        F2.lit(99).cast("long").alias("offset"),
+        F2.lit(1 << 60).cast("long").alias("offset"),
         F2.current_timestamp().alias("timestamp"),
         F2.lit(0).alias("timestampType"),
     ).write.mode("append").parquet(topic)
@@ -265,9 +265,10 @@ def test_kafka_lite_compacted_view(spark, tmp_path):
 
 
 def test_kafka_lite_streaming_write(spark, tmp_path):
-    """Streaming PRODUCE must actually run: monotonically_increasing_id
-    is rejected in streaming plans, so streamed records carry offset -1
-    and recency comes from the batch timestamp."""
+    """Streaming PRODUCE runs via foreachBatch so each micro-batch
+    claims a produce epoch like a batch produce (the native file sink
+    could not stamp usable offsets — monotonically_increasing_id is
+    rejected in streaming plans)."""
     src = f"{tmp_path}/sw_src"
     topic = f"{tmp_path}/sw_topic"
     spark.createDataFrame([(i,) for i in range(3)], "id long").write.parquet(src)
@@ -284,8 +285,10 @@ def test_kafka_lite_streaming_write(spark, tmp_path):
     )
     rows = {(r.kafka_key, r.id) for r in rsrc.read(spark).collect()}
     assert rows == {("0", 0), ("1", 1), ("2", 2)}
+    # first produce to an empty topic = epoch 0: real (non-sentinel)
+    # offsets inside epoch 0's range
     raw = spark.read.parquet(topic)
-    assert {r.offset for r in raw.collect()} == {-1}
+    assert all(0 <= r.offset < (1 << 32) for r in raw.collect())
 
 
 def test_kafka_lite_serde_none_key_column(spark, tmp_path):
@@ -310,3 +313,27 @@ def test_kafka_lite_missing_topic_raises(spark, tmp_path):
     _, src = resolve_source(f"p+kafka-lite://{tmp_path}/nope?serde=none")
     with pytest.raises(FileNotFoundError, match="produce"):
         src.read(spark)
+
+
+def test_kafka_lite_same_tick_produces_order_deterministically(spark, tmp_path):
+    """Two produces landing in the same timestamp tick must compact to
+    the LATER produce's record — the produce epoch (segment-count, high
+    offset bits) orders them even when timestamps tie. Ten rapid
+    back-to-back produce pairs all pin the same winner."""
+    from spark_etl_cli_spark.registry import resolve_sink, resolve_source
+
+    topic = f"{tmp_path}/rapid"
+    for i in range(10):
+        resolve_sink(f"p+kafka-lite://{topic}?key-column=id")[1].write(
+            spark.createDataFrame([(1, f"v{i}")], "id long, v string")
+        )
+    _, src = resolve_source(
+        f"p+kafka-lite://{topic}?serde=json:id long, v string"
+        "&compacted=true&include-key=string"
+    )
+    rows = [(r.id, r.v) for r in src.read(spark).collect()]
+    assert rows == [(1, "v9")]  # highest epoch wins, no tie possible
+    # raw offsets confirm strictly increasing epochs across produces
+    raw = sorted(r.offset for r in spark.read.parquet(topic).collect())
+    epochs = [o >> 32 for o in raw]
+    assert epochs == sorted(set(epochs))  # one distinct epoch/produce

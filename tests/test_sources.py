@@ -87,10 +87,21 @@ def test_streaming_file_source_available_now(spark, tmp_path):
         sources=[f"s+parquet-stream://{src}?schema={schema}"],
         sinks=["s+memory-stream://stream_out?trigger-interval=availableNow"],
     )
-    for q in spark.streams.active:
-        q.awaitTermination(30)
+    # availableNow terminates on its own, but under a loaded full-suite
+    # run a fixed 30 s wait flaked — poll for termination against a
+    # generous deadline instead
+    import time
+
+    deadline = time.monotonic() + 120
+    while any(q.isActive for q in spark.streams.active):
+        if time.monotonic() > deadline:
+            raise AssertionError(
+                "availableNow query still active after 120 s: "
+                + str([q.status for q in spark.streams.active])
+            )
+        for q in spark.streams.active:
+            q.awaitTermination(5)
     assert spark.table("stream_out").count() == 10
-    assert not any(q.isActive for q in spark.streams.active)
 
 
 def test_partitioned_sorted_write(spark, tmp_path):
