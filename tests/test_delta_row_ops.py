@@ -690,3 +690,70 @@ def test_merge_via_sink_uri(spark, tmp_path):
     sink.write(spark.createDataFrame([Row(id=2, v=10.0), Row(id=3, v=3.0)]))
     got = {r["id"]: r["v"] for r in read_delta_lite(spark, path).collect()}
     assert got == {1: 1.0, 2: 12.0, 3: 3.0}
+
+
+def test_zorder_pays_at_read_time_fewer_row_groups_match(spark, tmp_path):
+    """Consumer-side proof that ZORDER pays: for a point-box predicate,
+    count the parquet row groups whose min/max statistics overlap the
+    box — exactly the statistic the reader's row-group pruning tests —
+    in a z-ordered vs a linear (random-layout) copy of the SAME rows.
+    The z-ordered table must expose far fewer matching row groups, and
+    both tables must return identical query results."""
+    import pyarrow.parquet as pq
+
+    from spark_etl_cli_spark.sources.delta_lite import optimize_delta_lite
+
+    n = 4096
+    df = spark.range(n).selectExpr(
+        "pmod(id * 2654435761, 4096) AS x",
+        "pmod(id * 40503, 4096) AS y",
+        "id AS payload",
+    ).repartition(16)
+
+    linear = str(tmp_path / "linear")
+    zordered = str(tmp_path / "zordered")
+    write_delta_lite(df, linear)
+    write_delta_lite(df, zordered)
+    optimize_delta_lite(
+        spark, zordered, target_file_bytes=8 * 1024, zorder_by=["x", "y"]
+    )
+
+    x_lo, x_hi, y_lo, y_hi = 100, 200, 100, 200
+
+    def matching_row_groups(path):
+        match = total = 0
+        for rel in _active_paths(spark, path):
+            md = pq.ParquetFile(os.path.join(path, rel)).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            xi, yi = names.index("x"), names.index("y")
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                sx, sy = rg.column(xi).statistics, rg.column(yi).statistics
+                total += 1
+                if (sx.min <= x_hi and sx.max >= x_lo
+                        and sy.min <= y_hi and sy.max >= y_lo):
+                    match += 1
+        return match, total
+
+    lin_match, lin_total = matching_row_groups(linear)
+    z_match, z_total = matching_row_groups(zordered)
+    # random layout: essentially every row group spans the whole domain
+    # and matches the box; z-order: only the box's neighborhood does
+    assert lin_match == lin_total, (lin_match, lin_total)
+    assert z_total >= 4
+    assert z_match / z_total <= 0.5 * lin_match / lin_total, (
+        z_match, z_total, lin_match, lin_total,
+    )
+    # and the pruning-relevant predicate returns identical rows
+    pred = (
+        f"x between {x_lo} and {x_hi} and y between {y_lo} and {y_hi}"
+    )
+    lin_rows = sorted(
+        r["payload"]
+        for r in read_delta_lite(spark, linear).filter(pred).collect()
+    )
+    z_rows = sorted(
+        r["payload"]
+        for r in read_delta_lite(spark, zordered).filter(pred).collect()
+    )
+    assert lin_rows == z_rows and lin_rows
