@@ -346,7 +346,13 @@ def read_iceberg_lite(
     table_path: str,
     snapshot_id: int | None = None,
     where: str | None = None,
+    with_provenance: bool = False,
 ) -> DataFrame:
+    """Snapshot read. ``with_provenance`` keeps the service columns
+    ``__dfile`` (manifest-normalized data-file path) and ``__dpos``
+    (row position) on the result — the merge-on-read DELETE writer
+    consumes them to emit position-delete rows for exactly the LIVE
+    rows a predicate matches."""
     entries, pos_deletes, eq_deletes, spark_schema, meta = _resolve_entries(
         spark, table_path, snapshot_id, where
     )
@@ -354,7 +360,7 @@ def read_iceberg_lite(
         empty = spark.createDataFrame([], spark_schema)
         return empty.filter(where) if where else empty
     norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
-    track = bool(pos_deletes) or bool(eq_deletes)
+    track = bool(pos_deletes) or bool(eq_deletes) or with_provenance
 
     def scan(paths: list[str], schema: T.StructType, extra) -> DataFrame:
         d = spark.read.schema(schema).parquet(*paths)
@@ -466,8 +472,10 @@ def read_iceberg_lite(
             *[F.col(c).alias(f"__eq_{c}") for c in eq.columns]
         )
         df = df.join(F.broadcast(eq_renamed), cond, "left_anti")
-    if track:
+    if track and not with_provenance:
         df = df.drop("__dfile", "__dpos", "__dseq")
+    elif with_provenance:
+        df = df.drop("__dseq")
     # row-level application keeps `where` exact even when it couldn't
     # prune files (non-partition or transformed-partition predicates)
     return df.filter(where) if where else df
@@ -997,7 +1005,8 @@ def compact_iceberg_lite(
     if any((e.get("data_file") or {}).get("content") in (1, 2) for e in entries):
         raise NotImplementedError(
             "compact_iceberg_lite: table has live delete files; compaction "
-            "under deletes needs merge semantics (use an Iceberg engine)"
+            "under deletes needs merge semantics (compact after the "
+            "deletes are applied by an engine, or expire to a clean snapshot)"
         )
     part_fields = _identity_partition_fields(meta)
     specs = meta.get("partition-specs")
@@ -1288,10 +1297,181 @@ def expire_iceberg_snapshots(
     return {"expired": len(expired), "files_deleted": deleted}
 
 
+def _delete_iceberg_mor(
+    spark: SparkSession,
+    table_path: str,
+    where: str,
+) -> dict:
+    """Merge-on-read DELETE: instead of rewriting data files, write one
+    POSITION-DELETE file naming the matched rows' (file_path, pos)
+    pairs and commit it as a fast-append ``delete`` snapshot (prior
+    manifests carried, one new delete manifest). This is the cheap
+    delete every engine offers for write-heavy tables: zero data bytes
+    rewritten, the reader merges at scan time — and the reader's
+    sequence-number scoping makes stacked deletes and later re-adds
+    correct. Existing delete files are fine here (deletes stack);
+    already-deleted rows are not re-matched (the provenance scan is
+    the LIVE view).
+
+    Returns ``{"files_rewritten": 0, "files_added": <delete files>,
+    "rows_deleted": n}``.
+    """
+    import time as _time
+    import uuid as _uuid
+
+    from spark_etl_cli_spark.sources.avro_lite import (
+        read_container,
+        write_container,
+    )
+
+    meta = _load_metadata(table_path)
+    zero = {"files_rewritten": 0, "files_added": 0, "rows_deleted": 0}
+    live = read_iceberg_lite(
+        spark, table_path, where=where, with_provenance=True
+    )
+    if "__dfile" not in live.columns:
+        return zero  # no data entries at all
+    del_dir = os.path.join(table_path, "data")
+    os.makedirs(del_dir, exist_ok=True)
+    commit_uuid = _uuid.uuid4().hex
+    out_dir = os.path.join(del_dir, f"pdelete-{commit_uuid}")
+    # the delete file's file_path must match the manifest entry's
+    # verbatim (readers compare normalized forms); __dfile is already
+    # the manifest-normalized absolute path
+    (
+        live.selectExpr(
+            "__dfile AS file_path", "CAST(__dpos AS long) AS pos"
+        ).write.parquet(out_dir)
+    )
+    del_files = [
+        p
+        for p in sorted(_glob.glob(os.path.join(out_dir, "*.parquet")))
+        if _parquet_row_count(p) > 0
+    ]
+    n_rows = sum(_parquet_row_count(p) for p in del_files)
+    if n_rows == 0:
+        return zero
+
+    snapshot_id = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
+    seq = int(meta.get("last-sequence-number") or 0) + 1
+    now_ms = int(_time.time() * 1000)
+    meta_dir = os.path.join(table_path, "metadata")
+
+    manifest_path = os.path.join(
+        meta_dir, f"manifest-del-{commit_uuid}.avro"
+    )
+    write_container(
+        manifest_path,
+        _manifest_schema_for([]),
+        iter(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,       # inherited (v2 spec)
+                "file_sequence_number": None,  # inherited
+                "data_file": {
+                    "content": 1,  # POSITION_DELETES
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": _parquet_row_count(p),
+                    "file_size_in_bytes": os.path.getsize(p),
+                },
+            }
+            for p in del_files
+        ),
+        extra_meta={
+            "schema": json.dumps(_current_schema(meta)).encode(),
+            "schema-id": b"0",
+            "partition-spec": b"[]",
+            "partition-spec-id": b"0",
+            "format-version": b"2",
+            "content": b"deletes",
+        },
+    )
+
+    # fast-append manifest list: prior entries carried verbatim + the
+    # new delete manifest (content=1) at the commit's sequence number
+    cur = _snapshot(meta, None)
+    with open(_localize(cur["manifest-list"], table_path), "rb") as fh:
+        _, carried = read_container(fh.read())
+    carried = [
+        {
+            "content": 0,
+            "sequence_number": 0,
+            "min_sequence_number": 0,
+            "added_files_count": 0,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": 0,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            **{k: v for k, v in c.items() if v is not None},
+        }
+        for c in carried
+    ]
+    mlist_path = os.path.join(
+        meta_dir, f"snap-{snapshot_id}-{commit_uuid}.avro"
+    )
+    write_container(
+        mlist_path,
+        _MANIFEST_LIST_SCHEMA,
+        iter(
+            carried
+            + [
+                {
+                    "manifest_path": manifest_path,
+                    "manifest_length": os.path.getsize(manifest_path),
+                    "partition_spec_id": 0,
+                    "content": 1,  # delete manifest
+                    "sequence_number": seq,
+                    "min_sequence_number": seq,
+                    "added_snapshot_id": snapshot_id,
+                    "added_files_count": len(del_files),
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": n_rows,
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                }
+            ]
+        ),
+        extra_meta={"format-version": b"2"},
+    )
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["current-snapshot-id"] = snapshot_id
+    new_meta["snapshots"] = list(meta.get("snapshots") or []) + [{
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": mlist_path,
+        "summary": {"operation": "delete"},
+        "schema-id": 0,
+    }]
+    version = 1 + max(
+        int(re.match(r"v?(\d+)", os.path.basename(p)).group(1))
+        for p in _glob.glob(os.path.join(meta_dir, "*.metadata.json"))
+    )
+    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as fh:
+        json.dump(new_meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return {
+        "files_rewritten": 0,
+        "files_added": len(del_files),
+        "rows_deleted": n_rows,
+    }
+
+
 def delete_iceberg_lite(
     spark: SparkSession,
     table_path: str,
     where: str,
+    mode: str = "copy-on-write",
 ) -> dict:
     """Copy-on-write DELETE: remove rows matching ``where`` by
     rewriting only the data files that hold them, committed as an
@@ -1303,16 +1483,28 @@ def delete_iceberg_lite(
     non-matching scans for mixed predicates. NULL-predicate rows are
     KEPT (SQL DELETE semantics).
 
-    Honest fences (same as compaction): tables with live position/
-    equality delete files need merge semantics — an Iceberg engine's
-    job; non-identity partition transforms need the transform to
-    reconstruct partition tuples.
+    ``mode='merge-on-read'`` writes a position-delete file instead of
+    rewriting anything (``_delete_iceberg_mor``) — the cheap delete
+    for write-heavy tables, correct under the reader's
+    sequence-number scoping.
+
+    Honest fences for copy-on-write (same as compaction): tables with
+    live position/equality delete files need merge semantics — use
+    mode='merge-on-read', which stacks; non-identity partition
+    transforms need the transform to reconstruct partition tuples.
 
     Returns ``{"files_rewritten", "files_added", "rows_deleted"}``.
     """
     import time as _time
     import uuid as _uuid
 
+    if mode not in ("copy-on-write", "merge-on-read"):
+        raise ValueError(
+            "delete_iceberg_lite mode must be copy-on-write|merge-on-read, "
+            f"got {mode!r}"
+        )
+    if mode == "merge-on-read":
+        return _delete_iceberg_mor(spark, table_path, where)
     meta = _load_metadata(table_path)
     snap = _snapshot(meta, None)
     live = [
@@ -1320,8 +1512,9 @@ def delete_iceberg_lite(
     ]
     if any((e.get("data_file") or {}).get("content") in (1, 2) for e in live):
         raise NotImplementedError(
-            "delete_iceberg_lite: table has live delete files; DELETE "
-            "under deletes needs merge semantics (use an Iceberg engine)"
+            "delete_iceberg_lite: table has live delete files; "
+            "copy-on-write DELETE under deletes needs merge semantics — "
+            "use mode='merge-on-read', which stacks delete files"
         )
     part_fields = _identity_partition_fields(meta)
     specs = meta.get("partition-specs")

@@ -175,7 +175,9 @@ class IcebergCompactSource:
 @dataclass
 class IcebergDeleteSource:
     """``rep+iceberg-delete:///path/tbl?where=<pred>`` — copy-on-write
-    row-level DELETE committed as an ``overwrite`` snapshot."""
+    row-level DELETE committed as an ``overwrite`` snapshot;
+    ``&mode=merge-on-read`` writes a position-delete file instead
+    (nothing rewritten, deletes stack, reader merges at scan time)."""
 
     uri: ParsedUri
 
@@ -185,7 +187,10 @@ class IcebergDeleteSource:
         where = self.uri.params.get("where")
         if not where:
             raise ValueError("iceberg-delete:// needs ?where=<predicate>")
-        stats = delete_iceberg_lite(spark, self.uri.path, where)
+        stats = delete_iceberg_lite(
+            spark, self.uri.path, where,
+            mode=self.uri.params.get("mode", "copy-on-write"),
+        )
         return spark.createDataFrame(
             [(
                 self.uri.path,

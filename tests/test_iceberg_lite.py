@@ -953,3 +953,87 @@ def test_iceberg_added_entry_inherits_manifest_list_sequence(spark, tmp_path):
     ])
     got = sorted(r.id for r in read_iceberg_lite(spark, table).collect())
     assert got == [0, 1]
+
+
+def test_iceberg_mor_delete_writes_position_deletes(spark, tmp_path):
+    """mode=merge-on-read: a DELETE writes a position-delete file and a
+    fast-append delete snapshot — zero data bytes rewritten, deletes
+    stack, and rows re-added AFTER a delete survive it (the
+    sequence-scoping payoff)."""
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        delete_iceberg_lite,
+        read_iceberg_lite,
+        write_iceberg_lite,
+    )
+
+    table = str(tmp_path / "ice_mor_del")
+    write_iceberg_lite(spark.range(5).selectExpr("id"), table)
+    write_iceberg_lite(
+        spark.range(5, 10).selectExpr("id"), table, mode="append"
+    )
+    import glob as g
+    data_files = sorted(g.glob(os.path.join(table, "data", "**", "*.parquet"),
+                               recursive=True))
+    sizes = {p: os.path.getsize(p) for p in data_files}
+
+    stats = delete_iceberg_lite(
+        spark, table, "id in (1, 7)", mode="merge-on-read"
+    )
+    assert stats == {"files_rewritten": 0, "files_added": stats["files_added"],
+                     "rows_deleted": 2}
+    # every pre-existing data file is intact, byte-identical
+    for p, sz in sizes.items():
+        assert os.path.getsize(p) == sz
+    got = sorted(r.id for r in read_iceberg_lite(spark, table).collect())
+    assert got == [0, 2, 3, 4, 5, 6, 8, 9]
+
+    # deletes STACK: a second MOR delete on the live view
+    stats2 = delete_iceberg_lite(spark, table, "id = 2", mode="merge-on-read")
+    assert stats2["rows_deleted"] == 1
+    got = sorted(r.id for r in read_iceberg_lite(spark, table).collect())
+    assert got == [0, 3, 4, 5, 6, 8, 9]
+
+    # an already-deleted row is NOT re-matched (live-view provenance)
+    stats3 = delete_iceberg_lite(spark, table, "id = 1", mode="merge-on-read")
+    assert stats3["rows_deleted"] == 0
+
+    # re-add id=1 AFTER the delete: higher data seq -> must survive
+    write_iceberg_lite(
+        spark.createDataFrame([(1,)], "id long"), table, mode="append"
+    )
+    got = sorted(r.id for r in read_iceberg_lite(spark, table).collect())
+    assert got == [0, 1, 3, 4, 5, 6, 8, 9]
+
+    # time travel to before any delete still sees everything
+    meta_snaps = sorted(
+        s["snapshot-id"]
+        for s in __import__("json").load(
+            open(sorted(g.glob(os.path.join(table, "metadata",
+                                            "*.metadata.json")))[-1])
+        )["snapshots"]
+    )
+    v0 = read_iceberg_lite(spark, table, snapshot_id=meta_snaps[1])
+    assert v0.count() == 10
+
+    # copy-on-write DELETE under live delete files points at MOR mode
+    with pytest.raises(NotImplementedError, match="merge-on-read"):
+        delete_iceberg_lite(spark, table, "id = 3")
+
+
+def test_iceberg_mor_delete_via_uri(spark, tmp_path):
+    from spark_etl_cli_spark.registry import resolve_source
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        read_iceberg_lite,
+        write_iceberg_lite,
+    )
+
+    table = str(tmp_path / "ice_mor_uri")
+    write_iceberg_lite(spark.range(6).selectExpr("id"), table)
+    _, src = resolve_source(
+        f"rep+iceberg-delete://{table}?where=id >= 4&mode=merge-on-read"
+    )
+    report = src.read(spark).collect()[0]
+    assert report.rows_deleted == 2 and report.files_rewritten == 0
+    assert sorted(
+        r.id for r in read_iceberg_lite(spark, table).collect()
+    ) == [0, 1, 2, 3]
