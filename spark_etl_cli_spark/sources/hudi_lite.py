@@ -112,6 +112,41 @@ def _prune_partitions(
         return None
 
 
+def _live_file_slices(
+    table_path: str, instants: list[tuple[str, str, str]]
+) -> dict[tuple[str, str], dict]:
+    """Latest file slice per (partition, fileId) after timeline replay:
+    ``{(part, fid): {"base": path|None, "base_ts": ts|None,
+    "logs": [paths]}}``. Replacecommits drop whole file groups
+    (clustering / insert_overwrite); a new BASE file for a fileId
+    starts a new slice (compaction), so its accumulated log files
+    reset."""
+    groups: dict[tuple[str, str], dict] = {}
+    for ts, action, path in instants:
+        with open(path) as fh:
+            commit = json.load(fh)
+        if action == "replacecommit":
+            for part, fids in (
+                commit.get("partitionToReplaceFileIds") or {}
+            ).items():
+                for fid in fids:
+                    groups.pop((part, fid), None)
+        for part, stats in (commit.get("partitionToWriteStats") or {}).items():
+            for st in stats:
+                fid = st.get("fileId") or st["path"]
+                rel = st["path"]
+                ent = groups.setdefault(
+                    (part, fid), {"base": None, "base_ts": None, "logs": []}
+                )
+                if ".log." in os.path.basename(rel):
+                    ent["logs"].append(os.path.join(table_path, rel))
+                else:
+                    ent["base"] = os.path.join(table_path, rel)
+                    ent["base_ts"] = ts
+                    ent["logs"] = []
+    return groups
+
+
 def _record_key_field(table_path: str) -> str | None:
     """The table's record key column from ``hoodie.properties``
     (``hoodie.table.recordkey.fields``); None when absent. Composite
@@ -139,6 +174,7 @@ def _mor_snapshot_df(
     table_path: str,
     groups: dict[tuple[str, str], dict],
     key_field: str,
+    keep_fid: bool = False,
 ) -> DataFrame:
     """Snapshot view of a MERGE_ON_READ table: per file group, replay
     the slice's log blocks over its base file — the latest record per
@@ -212,8 +248,9 @@ def _mor_snapshot_df(
         raise ValueError(
             f"record key {key_field!r} not in table columns {cols}"
         )
+    out_cols = cols + (["__fid"] if keep_fid else [])
     if not logs:
-        return base_df.select(*cols)
+        return base_df.select(*out_cols)
 
     out_schema = T.StructType(
         list(table_schema.fields)
@@ -284,7 +321,9 @@ def _mor_snapshot_df(
         "__key", F.col(key_field).cast("string")
     ).join(superseded, ["__fid", "__key"], "left_anti")
     upserts = latest.filter(~F.col("__del"))
-    return survivors.select(*cols).unionByName(upserts.select(*cols))
+    return survivors.select(*out_cols).unionByName(
+        upserts.select(*out_cols)
+    )
 
 
 def read_hudi_lite(
@@ -319,33 +358,7 @@ def read_hudi_lite(
             f"no completed Hudi commits under {table_path}/.hoodie"
             + (f" at or before {as_of}" if as_of else "")
         )
-    # latest file slice per (partition, fileId); replacecommits drop
-    # whole file groups (clustering / insert_overwrite). A new BASE
-    # file for a fileId starts a new slice (compaction), so the
-    # slice's accumulated log files reset; in the RO view log files
-    # are simply never served, per the spec's read-optimized contract.
-    groups: dict[tuple[str, str], dict] = {}
-    for ts, action, path in instants:
-        with open(path) as fh:
-            commit = json.load(fh)
-        if action == "replacecommit":
-            for part, fids in (
-                commit.get("partitionToReplaceFileIds") or {}
-            ).items():
-                for fid in fids:
-                    groups.pop((part, fid), None)
-        for part, stats in (commit.get("partitionToWriteStats") or {}).items():
-            for st in stats:
-                fid = st.get("fileId") or st["path"]
-                rel = st["path"]
-                ent = groups.setdefault(
-                    (part, fid), {"base": None, "logs": []}
-                )
-                if ".log." in os.path.basename(rel):
-                    ent["logs"].append(os.path.join(table_path, rel))
-                else:
-                    ent["base"] = os.path.join(table_path, rel)
-                    ent["logs"] = []
+    groups = _live_file_slices(table_path, instants)
     if where:
         kept = _prune_partitions(spark, {p for p, _ in groups}, where)
         if kept is not None:
@@ -516,23 +529,34 @@ def write_hudi_lite(
     mode: str = "append",
     record_key: str | None = None,
     partition_by: list[str] | None = None,
+    table_type: str = "COPY_ON_WRITE",
 ) -> str:
-    """COW commit; returns the new instant timestamp.
+    """Hudi commit; returns the new instant timestamp.
 
     ``mode``: append | overwrite | upsert.
     - overwrite = replacecommit replacing ALL prior file groups
       (insert_overwrite_table).
     - upsert (requires ``record_key``): incoming rows REPLACE existing
-      rows with the same key and insert the rest — COW semantics, no
-      log files. Realized as: every file group containing a matching
-      key gets a NEW file slice holding its rows minus the incoming
-      keys (latest-slice-wins makes the old slice invisible), and the
-      full incoming frame lands as a new file group — together exactly
+      rows with the same key and insert the rest. On COPY_ON_WRITE:
+      every file group containing a matching key gets a NEW file slice
+      holding its rows minus the incoming keys (latest-slice-wins
+      makes the old slice invisible), and the full incoming frame
+      lands as a new file group — together exactly
       ``(old − keys) ∪ incoming``. Key-to-file-group location uses a
       distributed semi-join over ``_metadata.file_path`` (the lite
       stand-in for Hudi's bloom index); unaffected groups are NOT
-      rewritten. Incoming keys must be unique (no precombine field) —
-      duplicate keys raise instead of picking a silent winner.
+      rewritten. On MERGE_ON_READ: matched rows become AVRO data
+      blocks APPENDED to the affected groups' log files (zero base
+      bytes rewritten — ``_mor_upsert_commit``), the rest a new file
+      group, all in one deltacommit. Incoming keys must be unique (no
+      precombine field) — duplicate keys raise instead of picking a
+      silent winner.
+
+    ``table_type``: COPY_ON_WRITE | MERGE_ON_READ, applied when the
+    table is CREATED (persisted to hoodie.properties together with
+    ``record_key`` as hoodie.table.recordkey.fields); existing tables
+    keep their recorded type. MOR inserts commit as ``deltacommit``,
+    matching the real writer's timeline.
 
     ``partition_by``: hive-style partitioning. Files land per
     partition value but — matching Hudi, which never strips partition
@@ -548,6 +572,11 @@ def write_hudi_lite(
     if mode not in ("append", "overwrite", "upsert"):
         raise ValueError(
             f"hudi_lite mode must be append|overwrite|upsert, got {mode!r}"
+        )
+    if table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+        raise ValueError(
+            f"hudi_lite table_type must be COPY_ON_WRITE|MERGE_ON_READ, "
+            f"got {table_type!r}"
         )
     if mode == "upsert" and not record_key:
         raise ValueError("hudi_lite upsert needs record_key=<column>")
@@ -574,17 +603,18 @@ def write_hudi_lite(
     if not os.path.exists(props):
         with open(props, "w") as fh:
             fh.write(
-                "hoodie.table.name=%s\nhoodie.table.type=COPY_ON_WRITE\n"
-                % os.path.basename(os.path.normpath(table_path))
+                "hoodie.table.name=%s\nhoodie.table.type=%s\n"
+                % (os.path.basename(os.path.normpath(table_path)), table_type)
             )
+            if record_key:
+                fh.write(f"hoodie.table.recordkey.fields={record_key}\n")
             if partition_by:
                 fh.write(
                     "hoodie.table.partition.fields=%s\n"
                     % ",".join(partition_by)
                 )
-    elif _table_type(table_path) != "COPY_ON_WRITE":
-        raise NotImplementedError("hudi_lite writes COPY_ON_WRITE tables only")
     else:
+        table_type = _table_type(table_path)
         table_parts = _table_partition_fields(table_path)
         if partition_by is None:
             partition_by = table_parts or None
@@ -593,6 +623,7 @@ def write_hudi_lite(
                 f"partition_by={partition_by} != table partitioning "
                 f"{table_parts}"
             )
+    is_mor = _table_type(table_path) == "MERGE_ON_READ"
     pcols = list(partition_by or [])
     missing_cols = [c for c in pcols if c not in df.columns]
     if missing_cols:
@@ -604,6 +635,10 @@ def write_hudi_lite(
     ts = f"{int(prior[-1][0]) + 1:014d}" if prior else f"{10**13:014d}"
 
     commit_uuid = _uuid.uuid4().hex
+    if mode == "upsert" and prior and is_mor:
+        return _mor_upsert_commit(
+            df, table_path, ts, record_key, pcols, commit_uuid
+        )
     data_dir = os.path.join(table_path, f"data_{ts}_{commit_uuid[:8]}")
     if pcols:
         # shadow columns drive the directory split so the REAL columns
@@ -647,7 +682,9 @@ def write_hudi_lite(
             "fileSizeInBytes": os.path.getsize(f),
         })
     body: dict = {"partitionToWriteStats": per_part or {"": []}}
-    action = "commit"
+    # MOR inserts land in the timeline as deltacommits (the real
+    # writer's shape); replacecommit below overrides for overwrite
+    action = "deltacommit" if is_mor else "commit"
 
     def _live_map() -> dict[tuple[str, str], str]:
         live: dict[tuple[str, str], str] = {}
@@ -684,6 +721,246 @@ def write_hudi_lite(
     return ts
 
 
+def _pd_clean(value):
+    """pandas/numpy scalar → plain python (for the avro encoder)."""
+    if value is None or (isinstance(value, float) and value != value):
+        return None
+    if hasattr(value, "to_pydatetime"):
+        return value.to_pydatetime()
+    if hasattr(value, "item"):
+        return value.item()
+    return value
+
+
+def _mor_log_targets(
+    groups: dict[tuple[str, str], dict],
+) -> dict[str, tuple[str, str]]:
+    """Per fileId: (partition path, RELATIVE path of the NEXT log file
+    in its current slice). A fresh log file per commit (version = #logs
+    + 1) keeps writers contention-free and matches the real writer's
+    rollover naming ``.{fid}_{baseInstant}.log.{version}``."""
+    out: dict[str, tuple[str, str]] = {}
+    for (part, fid), ent in groups.items():
+        if ent["base"] is None:
+            continue  # log-only foreign group: no base instant to name by
+        name = f".{fid}_{ent['base_ts']}.log.{len(ent['logs']) + 1}"
+        rel = os.path.join(part, name) if part else name
+        out[fid] = (part, rel)
+    return out
+
+
+def _mor_upsert_commit(
+    df: DataFrame,
+    table_path: str,
+    ts: str,
+    record_key: str,
+    pcols: list[str],
+    commit_uuid: str,
+) -> str:
+    """MERGE_ON_READ upsert: matched rows append as AVRO data blocks to
+    their file group's log (zero base bytes rewritten), unmatched rows
+    land as a new file group — one deltacommit covers both.
+
+    Distributed shape: location is one join of the incoming frame
+    against the merged snapshot's (key, fileId) projection; the log
+    append runs inside ``mapInPandas`` after ``repartition(__fid)``,
+    so each log file has exactly ONE writing task (hash partitioning
+    puts a fileId in one partition) — the same single-writer-per-file
+    discipline the real log writer enforces with rollover tokens. Only
+    per-file STATS rows return to the driver.
+    """
+    from pyspark.sql import functions as F
+
+    from spark_etl_cli_spark.sources.avro_lite import spark_to_avro_schema
+
+    if pcols:
+        raise NotImplementedError(
+            "hudi_lite MOR upsert on partitioned tables is not implemented "
+            "(append/overwrite/read/delete are); use a COPY_ON_WRITE table "
+            "or an unpartitioned MOR layout"
+        )
+    spark = df.sparkSession
+    instants = _completed_instants(table_path)
+    groups = _live_file_slices(table_path, instants)
+    merged = _mor_snapshot_df(
+        spark, table_path, groups, record_key, keep_fid=True
+    )
+    table_cols = [c for c in merged.columns if c != "__fid"]
+    if list(df.columns) != table_cols:
+        raise ValueError(
+            f"MOR upsert schema {list(df.columns)} does not match table "
+            f"columns {table_cols}"
+        )
+    targets = _mor_log_targets(groups)
+    key_fid = (
+        merged.select(F.col(record_key).alias("__k"), "__fid").distinct()
+    )
+    incoming = df.withColumn("__k", F.col(record_key))
+    matched = incoming.join(key_fid, "__k", "inner").drop("__k")
+    unmatched = incoming.join(key_fid.select("__k"), "__k", "left_anti").drop(
+        "__k"
+    )
+
+    avro_schema = spark_to_avro_schema(df.schema)
+    schema_json = json.dumps(avro_schema)
+    cols = list(df.columns)
+
+    def append_blocks(batches):
+        import pandas as pd
+
+        from spark_etl_cli_spark.sources.hudi_log import append_data_block
+
+        schema = json.loads(schema_json)
+        for pdf in batches:
+            for fid, g in pdf.groupby("__fid"):
+                part, rel = targets[fid]
+                path = os.path.join(table_path, rel)
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                recs = [
+                    {k: _pd_clean(v) for k, v in rec.items()}
+                    for rec in g[cols].to_dict("records")
+                ]
+                append_data_block(path, recs, schema, ts)
+                yield pd.DataFrame(
+                    [{"fid": fid, "part": part, "rel": rel,
+                      "rows": len(recs)}]
+                )
+
+    stats = (
+        matched.repartition("__fid")
+        .mapInPandas(append_blocks, "fid string, part string, rel string, rows long")
+        .collect()
+    )
+    per_part: dict[str, list[dict]] = {}
+    seen: dict[str, dict] = {}
+    for r in stats:
+        ent = seen.get(r["fid"])
+        if ent is None:
+            abs_path = os.path.join(table_path, r["rel"])
+            ent = {
+                "fileId": r["fid"],
+                "path": r["rel"],
+                "numWrites": 0,
+                "fileSizeInBytes": os.path.getsize(abs_path),
+            }
+            seen[r["fid"]] = ent
+            per_part.setdefault(r["part"], []).append(ent)
+        ent["numWrites"] += r["rows"]
+
+    # unmatched rows: a new file group in the same deltacommit
+    import uuid as _uuid
+
+    data_dir = os.path.join(table_path, f"data_{ts}_{commit_uuid[:8]}")
+    unmatched.write.parquet(data_dir)
+    import pyarrow.parquet as _pq
+
+    for f in sorted(
+        _glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
+    ):
+        if _pq.ParquetFile(f).metadata.num_rows == 0:
+            continue
+        per_part.setdefault("", []).append({
+            "fileId": f"fg-{_uuid.uuid4().hex[:12]}",
+            "path": os.path.relpath(f, table_path),
+            "numWrites": None,
+            "fileSizeInBytes": os.path.getsize(f),
+        })
+
+    body = {"partitionToWriteStats": per_part or {"": []}}
+    commit_path = os.path.join(table_path, ".hoodie", f"{ts}.deltacommit")
+    fd = os.open(commit_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as fh:
+        json.dump(body, fh)
+    return ts
+
+
+def _mor_delete_commit(
+    spark: SparkSession, table_path: str, where: str
+) -> dict:
+    """MERGE_ON_READ DELETE: append DELETE blocks naming the matched
+    record keys to the affected groups' log files — nothing rewritten,
+    one deltacommit. Same single-writer-per-log discipline as
+    ``_mor_upsert_commit``; NULL-predicate rows are KEPT."""
+    from pyspark.sql import functions as F
+
+    record_key = _record_key_field(table_path)
+    if not record_key:
+        raise NotImplementedError(
+            "hudi_lite MOR DELETE needs hoodie.table.recordkey.fields"
+        )
+    instants = _completed_instants(table_path)
+    if not instants:
+        raise ValueError(
+            f"no completed Hudi commits under {table_path}/.hoodie"
+        )
+    groups = _live_file_slices(table_path, instants)
+    merged = _mor_snapshot_df(
+        spark, table_path, groups, record_key, keep_fid=True
+    )
+    targets = _mor_log_targets(groups)
+    pred = F.coalesce(F.expr(where), F.lit(False))
+    victims = merged.filter(pred).select(
+        F.col(record_key).cast("string").alias("__rk"), "__fid"
+    )
+
+    def append_deletes(batches):
+        import pandas as pd
+
+        from spark_etl_cli_spark.sources.hudi_log import append_delete_block
+
+        for pdf in batches:
+            for fid, g in pdf.groupby("__fid"):
+                part, rel = targets[fid]
+                path = os.path.join(table_path, rel)
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                keys = [(str(k), part or None) for k in g["__rk"]]
+                append_delete_block(path, keys, ts)
+                yield pd.DataFrame(
+                    [{"fid": fid, "part": part, "rel": rel,
+                      "rows": len(keys)}]
+                )
+
+    ts = f"{int(instants[-1][0]) + 1:014d}"
+    stats = (
+        victims.repartition("__fid")
+        .mapInPandas(
+            append_deletes, "fid string, part string, rel string, rows long"
+        )
+        .collect()
+    )
+    zero = {"files_rewritten": 0, "files_added": 0, "rows_deleted": 0}
+    if not stats:
+        return zero
+    per_part: dict[str, list[dict]] = {}
+    seen: dict[str, dict] = {}
+    n_rows = 0
+    for r in stats:
+        n_rows += r["rows"]
+        ent = seen.get(r["fid"])
+        if ent is None:
+            ent = {
+                "fileId": r["fid"],
+                "path": r["rel"],
+                "numWrites": 0,
+                "fileSizeInBytes": os.path.getsize(
+                    os.path.join(table_path, r["rel"])
+                ),
+            }
+            seen[r["fid"]] = ent
+            per_part.setdefault(r["part"], []).append(ent)
+        ent["numWrites"] += r["rows"]
+    body = {"partitionToWriteStats": per_part}
+    commit_path = os.path.join(table_path, ".hoodie", f"{ts}.deltacommit")
+    fd = os.open(commit_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as fh:
+        json.dump(body, fh)
+    return {
+        "files_rewritten": 0,
+        "files_added": len(seen),
+        "rows_deleted": n_rows,
+    }
+
+
 def delete_hudi_lite(
     spark: SparkSession,
     table_path: str,
@@ -711,10 +988,8 @@ def delete_hudi_lite(
 
     ttype = _table_type(table_path)
     if ttype != "COPY_ON_WRITE":
-        raise NotImplementedError(
-            f"delete_hudi_lite needs COPY_ON_WRITE; {ttype} deletes are "
-            "log-file appends — the Hudi runtime's job"
-        )
+        # MOR deletes ARE log-file appends — delegate to the log writer
+        return _mor_delete_commit(spark, table_path, where)
     instants = _completed_instants(table_path)
     if not instants:
         raise ValueError(f"no completed Hudi commits under {table_path}/.hoodie")

@@ -773,12 +773,15 @@ def hudi_source(p: ParsedUri) -> HudiSource:
 
 @dataclass
 class HudiSink:
-    """``hudi:///path[?mode=append|overwrite|upsert&record-key=col]`` —
-    COW commits via the engine-free writer (sources/hudi_lite.py).
-    upsert rewrites only the file groups holding matching record keys
-    (semi-join location, the lite stand-in for Hudi's bloom index);
-    overwrite = replacecommit of all live file groups. Streaming
-    appends via the foreachBatch bridge."""
+    """``hudi:///path[?mode=append|overwrite|upsert&record-key=col
+    &table-type=MERGE_ON_READ]`` — commits via the engine-free writer
+    (sources/hudi_lite.py). COW upsert rewrites only the file groups
+    holding matching record keys (semi-join location, the lite
+    stand-in for Hudi's bloom index); MOR upsert appends AVRO data
+    blocks to the affected groups' log files instead (zero base bytes
+    rewritten); overwrite = replacecommit of all live file groups.
+    table-type applies at table CREATION. Streaming appends via the
+    foreachBatch bridge."""
 
     uri: ParsedUri
 
@@ -805,6 +808,7 @@ class HudiSink:
                 "record-key", self.uri.params.get("recordKey")
             ),
             partition_by=parts or None,
+            table_type=self.uri.params.get("table-type", "COPY_ON_WRITE"),
         )
         return True
 

@@ -693,3 +693,109 @@ def test_hudi_mor_compaction_resets_log_slice(spark, tmp_path):
         (0, "c"), (1, "c"), (3, "c"), (4, "c"), (100, "c"),
         (5, "base"), (6, "base"), (7, "base"),
     }
+
+
+def test_hudi_mor_writer_upsert_appends_log_blocks(spark, tmp_path):
+    """End-to-end MOR round-trip through OUR writer: create a
+    MERGE_ON_READ table, upsert (matched rows must land as log blocks —
+    base files byte-identical — unmatched as a new file group), then
+    DELETE via delete blocks; the snapshot view merges it all, the RO
+    view stays stale base-only."""
+    from spark_etl_cli_spark.sources.hudi_lite import (
+        delete_hudi_lite,
+        read_hudi_lite,
+        write_hudi_lite,
+    )
+
+    table = str(tmp_path / "mor_w")
+    write_hudi_lite(
+        spark.range(5).selectExpr("id", "'v1' AS ver"), table,
+        record_key="id", table_type="MERGE_ON_READ",
+    )
+    base_files = {
+        f: os.path.getsize(f)
+        for f in __import__("glob").glob(
+            os.path.join(table, "**", "*.parquet"), recursive=True
+        )
+    }
+    # timeline: the insert is a deltacommit
+    assert any(
+        f.endswith(".deltacommit")
+        for f in os.listdir(os.path.join(table, ".hoodie"))
+    )
+
+    ts = write_hudi_lite(
+        spark.createDataFrame(
+            [(1, "v2"), (3, "v2"), (50, "new")], "id long, ver string"
+        ),
+        table, mode="upsert", record_key="id",
+    )
+    assert ts
+    # base files untouched, byte-identical
+    for f, sz in base_files.items():
+        assert os.path.getsize(f) == sz
+    # a log file landed
+    logs = [f for f in os.listdir(table) if ".log." in f]
+    assert logs
+    got = {(r.id, r.ver) for r in read_hudi_lite(spark, table).collect()}
+    assert got == {
+        (0, "v1"), (1, "v2"), (2, "v1"), (3, "v2"), (4, "v1"), (50, "new"),
+    }
+    # RO view: base only — upserts invisible, new file group visible
+    ro = {(r.id, r.ver)
+          for r in read_hudi_lite(spark, table, view="read_optimized").collect()}
+    assert ro == {(i, "v1") for i in range(5)} | {(50, "new")}
+
+    # MOR DELETE: delete blocks, nothing rewritten
+    sizes_before = {
+        f: os.path.getsize(f)
+        for f in __import__("glob").glob(
+            os.path.join(table, "**", "*.parquet"), recursive=True
+        )
+    }
+    stats = delete_hudi_lite(spark, table, "ver = 'v1'")
+    assert stats["files_rewritten"] == 0 and stats["rows_deleted"] == 3
+    for f, sz in sizes_before.items():
+        assert os.path.getsize(f) == sz
+    got = {(r.id, r.ver) for r in read_hudi_lite(spark, table).collect()}
+    assert got == {(1, "v2"), (3, "v2"), (50, "new")}
+    # second upsert after the delete stacks correctly
+    write_hudi_lite(
+        spark.createDataFrame([(1, "v3")], "id long, ver string"),
+        table, mode="upsert", record_key="id",
+    )
+    got = {(r.id, r.ver) for r in read_hudi_lite(spark, table).collect()}
+    assert got == {(1, "v3"), (3, "v2"), (50, "new")}
+
+
+def test_hudi_mor_writer_via_uri(spark, tmp_path):
+    from spark_etl_cli_spark.registry import resolve_sink
+    from spark_etl_cli_spark.sources.hudi_lite import read_hudi_lite
+
+    table = str(tmp_path / "mor_uri")
+    _, sink = resolve_sink(
+        f"h+hudi://{table}?record-key=id&table-type=MERGE_ON_READ"
+    )
+    sink.write(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    _, sink2 = resolve_sink(f"h+hudi://{table}?mode=upsert&record-key=id")
+    sink2.write(spark.createDataFrame([(2, "B")], "id long, v string"))
+    got = {(r.id, r.v) for r in read_hudi_lite(spark, table).collect()}
+    assert got == {(1, "a"), (2, "B")}
+
+
+def test_hudi_mor_upsert_partitioned_is_fenced(spark, tmp_path):
+    from spark_etl_cli_spark.sources.hudi_lite import write_hudi_lite
+
+    table = str(tmp_path / "mor_part")
+    write_hudi_lite(
+        spark.createDataFrame([(1, "a", "p1")], "id long, v string, part string"),
+        table, record_key="id", table_type="MERGE_ON_READ",
+        partition_by=["part"],
+    )
+    with pytest.raises(NotImplementedError, match="partitioned"):
+        write_hudi_lite(
+            spark.createDataFrame(
+                [(1, "b", "p1")], "id long, v string, part string"
+            ),
+            table, mode="upsert", record_key="id",
+        )
