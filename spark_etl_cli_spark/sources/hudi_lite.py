@@ -961,6 +961,113 @@ def _mor_delete_commit(
     }
 
 
+def compact_hudi_mor_lite(spark: SparkSession, table_path: str) -> dict:
+    """MOR compaction: materialize each log-carrying file group's
+    MERGED state as a new base file — Hudi's ``compaction`` action.
+    Committed as a plain ``commit`` (the real compactor's instant
+    action); the reader's slice logic already treats a new base file
+    as a new file slice, so the old logs stop applying and the RO view
+    catches up to the snapshot view. Groups with no log files are
+    untouched.
+
+    One distributed job: the merged view (with fileId kept) is
+    repartitioned by group so each group lands as exactly one new base
+    file. Returns ``{"groups_compacted": n, "files_added": n}``.
+    """
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    if _table_type(table_path) != "MERGE_ON_READ":
+        raise ValueError(
+            "compact_hudi_mor_lite compacts MERGE_ON_READ tables; "
+            "COPY_ON_WRITE has no log files to compact"
+        )
+    record_key = _record_key_field(table_path)
+    if not record_key:
+        raise NotImplementedError(
+            "hudi_lite MOR compaction needs hoodie.table.recordkey.fields"
+        )
+    instants = _completed_instants(table_path)
+    if not instants:
+        raise ValueError(
+            f"no completed Hudi commits under {table_path}/.hoodie"
+        )
+    groups = _live_file_slices(table_path, instants)
+    logged = {
+        (part, fid): ent
+        for (part, fid), ent in groups.items()
+        if ent["logs"]
+    }
+    if not logged:
+        return {"groups_compacted": 0, "files_added": 0}
+    from pyspark.sql import functions as F
+
+    merged = _mor_snapshot_df(
+        spark, table_path, dict(logged), record_key, keep_fid=True
+    )
+    ts = f"{int(instants[-1][0]) + 1:014d}"
+    commit_uuid = _uuid.uuid4().hex
+    cols = [c for c in merged.columns if c != "__fid"]
+
+    tmp = tempfile.mkdtemp(prefix="hudi_mor_compact_")
+    per_part: dict[str, list[dict]] = {}
+    try:
+        merged.repartition("__fid").write.mode("overwrite").partitionBy(
+            "__fid"
+        ).parquet(tmp)
+        for (part, fid) in sorted(logged):
+            fid_dir = os.path.join(tmp, f"__fid={fid}")
+            pieces = (
+                sorted(
+                    f
+                    for f in os.listdir(fid_dir)
+                    if f.endswith(".parquet") and not f.startswith("_")
+                )
+                if os.path.isdir(fid_dir)
+                else []
+            )
+            new_name = f"{fid}_{ts}_{commit_uuid[:8]}.parquet"
+            dst_dir = os.path.join(table_path, part) if part else table_path
+            os.makedirs(dst_dir, exist_ok=True)
+            dst = os.path.join(dst_dir, new_name)
+            if pieces:
+                shutil.move(os.path.join(fid_dir, pieces[0]), dst)
+            else:
+                # every row of the group was deleted via log blocks:
+                # the compacted slice is an empty (schema-only) base
+                spark.createDataFrame(
+                    [], merged.select(*cols).schema
+                ).coalesce(1).write.mode("overwrite").parquet(
+                    fid_dir + "_empty"
+                )
+                empty = next(
+                    f
+                    for f in os.listdir(fid_dir + "_empty")
+                    if f.endswith(".parquet") and not f.startswith("_")
+                )
+                shutil.move(os.path.join(fid_dir + "_empty", empty), dst)
+            per_part.setdefault(part, []).append(
+                {
+                    "fileId": fid,
+                    "path": os.path.relpath(dst, table_path),
+                    "numWrites": None,
+                    "fileSizeInBytes": os.path.getsize(dst),
+                }
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    body = {"partitionToWriteStats": per_part}
+    commit_path = os.path.join(table_path, ".hoodie", f"{ts}.commit")
+    fd = os.open(commit_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as fh:
+        json.dump(body, fh)
+    return {
+        "groups_compacted": len(logged),
+        "files_added": sum(len(v) for v in per_part.values()),
+    }
+
+
 def delete_hudi_lite(
     spark: SparkSession,
     table_path: str,

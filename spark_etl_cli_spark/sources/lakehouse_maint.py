@@ -279,9 +279,39 @@ def iceberg_delete_source(p: ParsedUri) -> IcebergDeleteSource:
     return IcebergDeleteSource(p)
 
 
+@dataclass
+class HudiCompactSource:
+    """``rep+hudi-compact:///path/tbl`` — MOR compaction: each
+    log-carrying file group's merged state materializes as a new base
+    file (a ``commit`` instant); the RO view catches up and old log
+    files stop applying."""
+
+    uri: ParsedUri
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        from spark_etl_cli_spark.sources.hudi_lite import (
+            compact_hudi_mor_lite,
+        )
+
+        stats = compact_hudi_mor_lite(spark, self.uri.path)
+        return spark.createDataFrame(
+            [(
+                self.uri.path,
+                stats["groups_compacted"],
+                stats["files_added"],
+            )],
+            "table string, groups_compacted int, files_added int",
+        )
+
+
 @register_source("hudi-delete")
 def hudi_delete_source(p: ParsedUri) -> HudiDeleteSource:
     return HudiDeleteSource(p)
+
+
+@register_source("hudi-compact")
+def hudi_compact_source(p: ParsedUri) -> HudiCompactSource:
+    return HudiCompactSource(p)
 
 
 @register_source("iceberg-expire")

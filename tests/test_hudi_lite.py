@@ -799,3 +799,74 @@ def test_hudi_mor_upsert_partitioned_is_fenced(spark, tmp_path):
             ),
             table, mode="upsert", record_key="id",
         )
+
+
+def test_hudi_mor_compaction_materializes_merged_base(spark, tmp_path):
+    """compact_hudi_mor_lite: log-carrying groups get a NEW base file
+    holding their merged state (a commit instant), the RO view catches
+    up to the snapshot view, and further upserts start a fresh slice."""
+    from spark_etl_cli_spark.sources.hudi_lite import (
+        compact_hudi_mor_lite,
+        delete_hudi_lite,
+        read_hudi_lite,
+        write_hudi_lite,
+    )
+
+    table = str(tmp_path / "mor_compact")
+    write_hudi_lite(
+        spark.range(4).selectExpr("id", "'v1' AS ver"), table,
+        record_key="id", table_type="MERGE_ON_READ",
+    )
+    write_hudi_lite(
+        spark.createDataFrame([(1, "v2")], "id long, ver string"),
+        table, mode="upsert", record_key="id",
+    )
+    delete_hudi_lite(spark, table, "id = 3")
+    expect = {(0, "v1"), (1, "v2"), (2, "v1")}
+    snap_before = {(r.id, r.ver) for r in read_hudi_lite(spark, table).collect()}
+    assert snap_before == expect
+    # RO view is stale before compaction
+    ro = {(r.id, r.ver)
+          for r in read_hudi_lite(spark, table, view="read_optimized").collect()}
+    assert ro == {(i, "v1") for i in range(4)}
+
+    stats = compact_hudi_mor_lite(spark, table)
+    # the insert may have split rows over several file groups (one per
+    # part file); every LOG-CARRYING group compacts, each to one base
+    assert stats["groups_compacted"] >= 1
+    assert stats["files_added"] == stats["groups_compacted"]
+    # snapshot unchanged; RO view now equals it
+    assert {(r.id, r.ver)
+            for r in read_hudi_lite(spark, table).collect()} == expect
+    assert {(r.id, r.ver)
+            for r in read_hudi_lite(spark, table,
+                                    view="read_optimized").collect()} == expect
+    # idempotent: nothing left to compact
+    assert compact_hudi_mor_lite(spark, table)["groups_compacted"] == 0
+    # post-compaction upsert opens a fresh slice and still merges
+    write_hudi_lite(
+        spark.createDataFrame([(0, "v3")], "id long, ver string"),
+        table, mode="upsert", record_key="id",
+    )
+    assert {(r.id, r.ver)
+            for r in read_hudi_lite(spark, table).collect()} == {
+        (0, "v3"), (1, "v2"), (2, "v1"),
+    }
+
+
+def test_hudi_compact_via_uri(spark, tmp_path):
+    from spark_etl_cli_spark.registry import resolve_source
+    from spark_etl_cli_spark.sources.hudi_lite import write_hudi_lite
+
+    table = str(tmp_path / "mor_compact_uri")
+    write_hudi_lite(
+        spark.range(2).selectExpr("id", "'a' AS v"), table,
+        record_key="id", table_type="MERGE_ON_READ",
+    )
+    write_hudi_lite(
+        spark.createDataFrame([(0, "b")], "id long, v string"),
+        table, mode="upsert", record_key="id",
+    )
+    _, src = resolve_source(f"rep+hudi-compact://{table}")
+    row = src.read(spark).collect()[0]
+    assert row.groups_compacted == 1
