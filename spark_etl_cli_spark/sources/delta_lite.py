@@ -2041,6 +2041,18 @@ def merge_delta_lite(
     import time
 
     spark = source.sparkSession
+    if txn_app_id is not None:
+        if txn_version is None:
+            raise ValueError("txn_app_id requires txn_version")
+        if txn_version <= _last_txn_version(_log_dir(table_path), txn_app_id):
+            # already committed: idempotent skip (exactly-once for the
+            # streaming merge sink, same contract as write_delta_lite)
+            return {
+                "files_rewritten": 0,
+                "files_added": 0,
+                "rows_updated": 0,
+                "rows_inserted": 0,
+            }
     try:
         adds, meta = _replay(spark, table_path)
     except (FileNotFoundError, ValueError):

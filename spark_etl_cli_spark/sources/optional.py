@@ -171,11 +171,48 @@ class DeltaSink:
                     if ckpt
                     else None
                 )
+                if mode == "merge":
+                    # streaming CDC merge: each micro-batch is one
+                    # conditional MERGE; the per-epoch txn makes a
+                    # replayed batch an idempotent no-op
+                    from spark_etl_cli_spark.sources.delta_lite import (
+                        merge_delta_lite,
+                    )
+
+                    on = self.uri.params.get("on")
+                    if not on:
+                        raise ValueError("delta mode=merge needs ?on=<key>")
+                    update_set = {
+                        k[len("set."):]: v
+                        for k, v in self.uri.params.items()
+                        if k.startswith("set.")
+                    }
+                    return stream_via_foreach_batch(
+                        df,
+                        lambda b, epoch: merge_delta_lite(
+                            b, self.uri.path, on=on,
+                            update_set=update_set or None,
+                            matched_condition=self.uri.params.get(
+                                "matched-condition"
+                            ),
+                            insert=self.uri.params.get(
+                                "insert", "true"
+                            ).lower() not in ("0", "false", "no"),
+                            txn_app_id=app_id,
+                            txn_version=epoch if app_id else None,
+                        ),
+                        self.uri,
+                        pass_epoch=True,
+                    )
+                stream_mode = (
+                    "upsert" if mode == "upsert" else "append"
+                )
                 return stream_via_foreach_batch(
                     df,
                     lambda b, epoch: write_delta_lite(
-                        b, self.uri.path, mode="append",
+                        b, self.uri.path, mode=stream_mode,
                         partition_by=parts or None,
+                        merge_key=self.uri.params.get("merge-key"),
                         txn_app_id=app_id,
                         txn_version=epoch if app_id else None,
                     ),

@@ -757,3 +757,61 @@ def test_zorder_pays_at_read_time_fewer_row_groups_match(spark, tmp_path):
         for r in read_delta_lite(spark, zordered).filter(pred).collect()
     )
     assert lin_rows == z_rows and lin_rows
+
+
+def test_streaming_merge_sink_exactly_once(spark, tmp_path):
+    """delta-stream ?mode=merge: each micro-batch is one conditional
+    MERGE; a restarted run from the same checkpoint re-merges nothing
+    (per-epoch txn), and the SET expression reads both sides."""
+    path = str(tmp_path / "tbl")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    write_delta_lite(
+        spark.createDataFrame([Row(id=1, v=1.0), Row(id=2, v=2.0)]), path
+    )
+    spark.createDataFrame([Row(id=2, v=10.0), Row(id=3, v=3.0)]).write.parquet(src)
+    stream = spark.readStream.schema("id long, v double").parquet(src)
+
+    from spark_etl_cli_spark.registry import resolve_sink
+
+    def run():
+        _, sink = resolve_sink(
+            f"s+delta-stream://{path}?mode=merge&on=id"
+            "&set.v=target.v %2B source.v"
+            f"&checkpointLocation={ckpt}&trigger-interval=availableNow"
+        )
+        assert sink.write(stream) is True
+        for q in spark.streams.active:
+            q.awaitTermination(120)
+
+    run()
+    got = {r["id"]: r["v"] for r in read_delta_lite(spark, path).collect()}
+    assert got == {1: 1.0, 2: 12.0, 3: 3.0}
+    # restart with nothing new: no re-merge (2 would become 22.0)
+    run()
+    got = {r["id"]: r["v"] for r in read_delta_lite(spark, path).collect()}
+    assert got == {1: 1.0, 2: 12.0, 3: 3.0}
+
+
+def test_streaming_upsert_sink(spark, tmp_path):
+    """delta-stream ?mode=upsert&merge-key=: micro-batches replace by
+    key instead of appending duplicates."""
+    path = str(tmp_path / "tbl")
+    src = str(tmp_path / "src")
+    write_delta_lite(
+        spark.createDataFrame([Row(id=1, v=1.0), Row(id=2, v=2.0)]), path
+    )
+    spark.createDataFrame([Row(id=2, v=20.0), Row(id=4, v=4.0)]).write.parquet(src)
+    stream = spark.readStream.schema("id long, v double").parquet(src)
+
+    from spark_etl_cli_spark.registry import resolve_sink
+
+    _, sink = resolve_sink(
+        f"s+delta-stream://{path}?mode=upsert&merge-key=id"
+        f"&checkpointLocation={tmp_path}/ckpt&trigger-interval=availableNow"
+    )
+    assert sink.write(stream) is True
+    for q in spark.streams.active:
+        q.awaitTermination(120)
+    got = {r["id"]: r["v"] for r in read_delta_lite(spark, path).collect()}
+    assert got == {1: 1.0, 2: 20.0, 4: 4.0}
