@@ -793,6 +793,28 @@ class HudiSource:
                 "hudi", f"a Hudi table at {self.uri.path} (no .hoodie/ "
                 "timeline found) or the hudi-spark bundle jar"
             )
+        if self.uri.is_stream:
+            # incremental instant reads via the Python DataSource
+            # micro-batch reader (sources/hudistream.py)
+            from spark_etl_cli_spark.sources.base import apply_watermark
+            from spark_etl_cli_spark.sources.hudistream import (
+                ensure_registered,
+            )
+
+            ensure_registered(spark)
+            df = (
+                spark.readStream.format("hudilite-stream")
+                .option("path", self.uri.path)
+                .option(
+                    "skip-change-commits",
+                    self.uri.params.get("skip-change-commits", ""),
+                )
+                .load()
+            )
+            w = self.uri.params.get("where")
+            if w:
+                df = df.filter(w)  # same ?where= contract as batch
+            return apply_watermark(df, self.uri.params.get("watermark"))
         return read_hudi_lite(
             spark, self.uri.path,
             as_of=self.uri.params.get("as-of"),
@@ -803,7 +825,7 @@ class HudiSource:
         )
 
 
-@register_source("hudi")
+@register_source("hudi", "hudi-stream")
 def hudi_source(p: ParsedUri) -> HudiSource:
     return HudiSource(p)
 

@@ -870,3 +870,101 @@ def test_hudi_compact_via_uri(spark, tmp_path):
     _, src = resolve_source(f"rep+hudi-compact://{table}")
     row = src.read(spark).collect()[0]
     assert row.groups_compacted == 1
+
+
+def test_hudi_stream_incremental_instants(spark, tmp_path):
+    """hudi-stream:// reads only the base files each new PURE-INSERT
+    instant added; a resumed run picks up later instants without
+    re-reading earlier files (offset = instant ts)."""
+    from spark_etl_cli_spark.registry import resolve_source
+    from spark_etl_cli_spark.sources.hudi_lite import write_hudi_lite
+
+    table = str(tmp_path / "hudi_stream")
+    write_hudi_lite(
+        spark.range(4).selectExpr("id", "concat('s', id) AS tag"), table
+    )
+    _, src = resolve_source(f"s+hudi-stream://{table}")
+    stream = src.read(spark)
+    assert stream.isStreaming and stream.columns == ["id", "tag"]
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert {r.id for r in spark.read.parquet(out).collect()} == {0, 1, 2, 3}
+
+    write_hudi_lite(
+        spark.range(4, 6).selectExpr("id", "concat('s', id) AS tag"),
+        table, mode="append",
+    )
+    q2 = (
+        src.read(spark)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(60)
+    # exactly-once: ids 0-3 appear ONCE, plus the new 4,5
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == [
+        0, 1, 2, 3, 4, 5
+    ]
+
+
+def test_hudi_stream_refuses_change_instants_unless_skipped(spark, tmp_path):
+    """A COW upsert (re-listing an existing file group) or a
+    replacecommit must fail the stream loudly; ?skip-change-commits=true
+    drops such instants whole but still streams later pure inserts."""
+    from spark_etl_cli_spark.registry import resolve_source
+    from spark_etl_cli_spark.sources.hudi_lite import write_hudi_lite
+
+    table = str(tmp_path / "hudi_stream_chg")
+    write_hudi_lite(
+        spark.range(3).selectExpr("id", "'v1' AS ver"), table
+    )
+    # COW upsert rewrites the existing group AND adds a new one
+    write_hudi_lite(
+        spark.createDataFrame([(0, "v2")], "id long, ver string"),
+        table, mode="upsert", record_key="id",
+    )
+    _, src = resolve_source(f"s+hudi-stream://{table}")
+    q = (
+        src.read(spark)
+        .writeStream.format("memory")
+        .queryName("hudi_chg_fail")
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="skip-change-commits"):
+        q.awaitTermination(60)
+        raise AssertionError("stream should have failed")
+
+    # with the skip flag: the upsert instant is dropped whole, a later
+    # pure insert still streams
+    write_hudi_lite(
+        spark.createDataFrame([(9, "v1")], "id long, ver string"),
+        table, mode="append",
+    )
+    _, src2 = resolve_source(
+        f"s+hudi-stream://{table}?skip-change-commits=true"
+    )
+    q2 = (
+        src2.read(spark)
+        .writeStream.format("memory")
+        .queryName("hudi_chg_skip")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(60)
+    got = {(r.id, r.ver) for r in spark.table("hudi_chg_skip").collect()}
+    # instant 1 (insert 0-2) streams; instant 2 (upsert) skipped whole;
+    # instant 3 (insert id=9) streams
+    assert got == {(0, "v1"), (1, "v1"), (2, "v1"), (9, "v1")}
