@@ -840,6 +840,7 @@ def write_delta_lite(
     txn_version: int | None = None,
     merge_schema: bool = False,
     merge_key: str | None = None,
+    properties: dict[str, str] | None = None,
 ) -> None:
     """Engine-free Delta write: parquet data files + one JSON commit.
 
@@ -966,7 +967,9 @@ def write_delta_lite(
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": df.schema.json(),
                     "partitionColumns": part_cols,
-                    "configuration": {},
+                    # table properties (e.g. delta.enableChangeDataFeed)
+                    # land in the protocol's configuration map
+                    "configuration": dict(properties or {}),
                     "createdTime": now_ms,
                 }
             }
@@ -1683,6 +1686,208 @@ def _adds_by_abspath(table_path: str, adds: list[dict]) -> dict[str, dict]:
     return out
 
 
+# --- Change Data Feed ------------------------------------------------------
+# PROTOCOL.md "Add CDC File": with delta.enableChangeDataFeed=true, a
+# row-changing commit (UPDATE/DELETE/MERGE) carries ``cdc`` actions
+# naming parquet files under _change_data/ whose rows are the change
+# records (table columns + _change_type: insert | delete |
+# update_preimage | update_postimage). Append/overwrite commits carry
+# no cdc files — readers DERIVE their changes from add/remove actions.
+
+CDC_TYPE_COL = "_change_type"
+
+
+def _cdf_enabled(meta: dict | None) -> bool:
+    cfg = (meta or {}).get("configuration") or {}
+    return str(cfg.get("delta.enableChangeDataFeed", "")).lower() in (
+        "true",
+        "1",
+    )
+
+
+def _write_cdc_files(change_df: DataFrame, table_path: str) -> list[dict]:
+    """Write change records (table columns + ``_change_type``) under
+    ``_change_data/`` and return their ``cdc`` actions. One distributed
+    job; lite simplification: change files are unpartitioned and carry
+    every column physically (partitionValues = {})."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from urllib.parse import quote
+
+    tmp = tempfile.mkdtemp(prefix="delta_lite_cdc_")
+    actions: list[dict] = []
+    try:
+        change_df.write.mode("overwrite").parquet(tmp)
+        cdc_dir = os.path.join(table_path, "_change_data")
+        os.makedirs(cdc_dir, exist_ok=True)
+        import pyarrow.parquet as _pq
+
+        for fname in sorted(os.listdir(tmp)):
+            if not fname.endswith(".parquet") or fname.startswith("_"):
+                continue
+            src = os.path.join(tmp, fname)
+            if _pq.ParquetFile(src).metadata.num_rows == 0:
+                continue
+            new_name = f"cdc-{_uuid.uuid4().hex}.snappy.parquet"
+            dst = os.path.join(cdc_dir, new_name)
+            shutil.move(src, dst)
+            rel = f"_change_data/{new_name}"
+            actions.append(
+                {
+                    "cdc": {
+                        "path": quote(rel, safe="/="),
+                        "partitionValues": {},
+                        "size": os.path.getsize(dst),
+                        "dataChange": False,
+                    }
+                }
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return actions
+
+
+def read_delta_changes(
+    spark: SparkSession,
+    table_path: str,
+    starting_version: int,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """Change Data Feed read: every change between ``starting_version``
+    and ``ending_version`` (inclusive; default = table HEAD), as the
+    table schema + ``_change_type`` / ``_commit_version`` /
+    ``_commit_timestamp`` — the ``readChangeFeed`` surface real Delta
+    exposes.
+
+    Per commit: ``cdc`` actions, when present, ARE the change set
+    (UPDATE/DELETE/MERGE wrote them); otherwise changes derive from the
+    actions — adds with dataChange=true are inserts, removes with
+    dataChange=true are deletes read from the removed files (still on
+    disk unless vacuumed — a vacuumed file raises rather than silently
+    dropping changes). Requires delta.enableChangeDataFeed=true.
+    """
+    _adds, meta = _replay(spark, table_path)
+    if not _cdf_enabled(meta):
+        raise ValueError(
+            f"table {table_path} does not have "
+            "delta.enableChangeDataFeed=true; create it with the property "
+            "(?enableChangeDataFeed=true on the sink URI) to read changes"
+        )
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    log_dir = _log_dir(table_path)
+    versions = sorted(
+        int(f[:20])
+        for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[:20].isdigit()
+    )
+    hi = ending_version if ending_version is not None else max(versions)
+    wanted = [v for v in versions if starting_version <= v <= hi]
+    if not wanted:
+        raise ValueError(
+            f"no commits in [{starting_version}, {hi}] under {log_dir}"
+        )
+    pieces: list[DataFrame] = []
+    cdc_schema = T.StructType(
+        list(schema.fields) + [T.StructField(CDC_TYPE_COL, T.StringType())]
+    )
+    for v in wanted:
+        cdc_paths: list[str] = []
+        adds: list[dict] = []
+        removes: list[dict] = []
+        ts_ms: int | None = None
+        commit_file = os.path.join(log_dir, f"{v:020d}.json")
+        with open(commit_file) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "cdc" in action:
+                    cdc_paths.append(
+                        os.path.join(
+                            table_path, unquote(action["cdc"]["path"])
+                        )
+                    )
+                elif "add" in action and action["add"].get(
+                    "dataChange", True
+                ):
+                    a = dict(action["add"])
+                    a["path"] = unquote(a["path"])
+                    adds.append(a)
+                elif "remove" in action and action["remove"].get(
+                    "dataChange", True
+                ):
+                    r = dict(action["remove"])
+                    r["path"] = unquote(r["path"])
+                    removes.append(r)
+                elif "commitInfo" in action:
+                    ts_ms = action["commitInfo"].get("timestamp")
+        if ts_ms is None:
+            ts_ms = int(os.path.getmtime(commit_file) * 1000)
+        stamp = [
+            F.lit(v).cast("long").alias("_commit_version"),
+            F.timestamp_millis(F.lit(ts_ms)).alias("_commit_timestamp"),
+        ]
+        if cdc_paths:
+            missing = [p for p in cdc_paths if not os.path.exists(p)]
+            if missing:
+                raise FileNotFoundError(
+                    f"change data files vacuumed away: {missing[:3]}"
+                )
+            pieces.append(
+                spark.read.schema(cdc_schema)
+                .parquet(*cdc_paths)
+                .select("*", *stamp)
+            )
+            continue
+        # derived changes: adds = inserts; removes = deletes (rows read
+        # from the removed files, which must still exist)
+        if adds:
+            pieces.append(
+                _snapshot_scan(spark, table_path, adds, meta)
+                .drop("__file")
+                .select(
+                    "*",
+                    F.lit("insert").alias(CDC_TYPE_COL),
+                    *stamp,
+                )
+            )
+        if removes:
+            missing = [
+                r["path"]
+                for r in removes
+                if not os.path.exists(os.path.join(table_path, r["path"]))
+            ]
+            if missing:
+                raise FileNotFoundError(
+                    "readChangeFeed: removed data files vacuumed away, "
+                    f"cannot derive deletes: {missing[:3]}"
+                )
+            pieces.append(
+                _snapshot_scan(spark, table_path, removes, meta)
+                .drop("__file")
+                .select(
+                    "*",
+                    F.lit("delete").alias(CDC_TYPE_COL),
+                    *stamp,
+                )
+            )
+    if not pieces:
+        empty = T.StructType(
+            list(cdc_schema.fields)
+            + [
+                T.StructField("_commit_version", T.LongType()),
+                T.StructField("_commit_timestamp", T.TimestampType()),
+            ]
+        )
+        return spark.createDataFrame([], empty)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _remove_action(add: dict, now_ms: int) -> dict:
     from urllib.parse import quote
 
@@ -1772,6 +1977,20 @@ def delete_delta_lite(
     by_path = _adds_by_abspath(table_path, candidates)
     now_ms = int(time.time() * 1000)
 
+    def _cdc_actions() -> list[dict]:
+        """Change Data Feed records for the deleted rows (one extra
+        pass over the affected files, the cost CDF has everywhere)."""
+        if not _cdf_enabled(meta):
+            return []
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        cols = [f.name for f in schema.fields]
+        return _write_cdc_files(
+            matched.select(*cols).withColumn(
+                CDC_TYPE_COL, F.lit("delete")
+            ),
+            table_path,
+        )
+
     if deletion_vectors:
         per_file = (
             matched.groupBy("__file")
@@ -1826,6 +2045,7 @@ def delete_delta_lite(
                     }
                 },
             )
+        actions.extend(_cdc_actions())
         actions.append(
             {
                 "commitInfo": {
@@ -1862,6 +2082,7 @@ def delete_delta_lite(
     new_adds = _rewrite_files(kept, table_path, part_cols)
     actions = [_remove_action(a, now_ms) for a in affected]
     actions += [{"add": a} for a in new_adds]
+    actions.extend(_cdc_actions())
     actions.append(
         {
             "commitInfo": {
@@ -2161,6 +2382,7 @@ def merge_delta_lite(
         )
 
     n_inserted = 0
+    inserted_rows = None
     if insert:
         new_rows = source
         if adds:
@@ -2171,6 +2393,7 @@ def merge_delta_lite(
         n_inserted = new_rows.count()
         if n_inserted:
             pieces.append(new_rows.select(*table_cols))
+            inserted_rows = new_rows
 
     if not pieces:
         return zero
@@ -2180,6 +2403,42 @@ def merge_delta_lite(
     new_adds = _rewrite_files(out, table_path, part_cols)
     actions = [_remove_action(a, now_ms) for a in affected]
     actions += [{"add": a} for a in new_adds]
+    if _cdf_enabled(meta):
+        # CDF: pre/post-image per updated row, insert per new row
+        change_pieces: list[DataFrame] = []
+        if affected and update_set:
+            probe2 = (
+                _snapshot_scan(spark, table_path, affected, meta)
+                .alias("target")
+                .join(
+                    source.alias("source"),
+                    F.col(f"target.{on}") == F.col(f"source.{on}"),
+                )
+                .filter(match_cond)
+            )
+            pre = probe2.select(
+                *[F.col(f"target.{c}").alias(c) for c in table_cols]
+            ).withColumn(CDC_TYPE_COL, F.lit("update_preimage"))
+            post = probe2.select(
+                *[
+                    F.expr(update_set[f.name]).cast(f.dataType).alias(f.name)
+                    if f.name in update_set
+                    else F.col(f"target.{f.name}").alias(f.name)
+                    for f in schema.fields
+                ]
+            ).withColumn(CDC_TYPE_COL, F.lit("update_postimage"))
+            change_pieces += [pre, post]
+        if inserted_rows is not None:
+            change_pieces.append(
+                inserted_rows.select(*table_cols).withColumn(
+                    CDC_TYPE_COL, F.lit("insert")
+                )
+            )
+        if change_pieces:
+            changes = change_pieces[0]
+            for p in change_pieces[1:]:
+                changes = changes.unionByName(p)
+            actions.extend(_write_cdc_files(changes, table_path))
     if txn_app_id is not None:
         actions.append(
             {
@@ -2279,6 +2538,27 @@ def update_delta_lite(
     now_ms = int(time.time() * 1000)
     actions = [_remove_action(a, now_ms) for a in affected]
     actions += [{"add": a} for a in new_adds]
+    if _cdf_enabled(meta):
+        # CDF: pre- and post-image of every matched row
+        table_cols = [f.name for f in schema.fields]
+        matched_scan = _snapshot_scan(
+            spark, table_path, affected, meta
+        ).filter(pred)
+        pre = matched_scan.select(*table_cols).withColumn(
+            CDC_TYPE_COL, F.lit("update_preimage")
+        )
+        post_cols = [
+            F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
+            if f.name in set_exprs
+            else F.col(f.name)
+            for f in schema.fields
+        ]
+        post = matched_scan.select(*post_cols).withColumn(
+            CDC_TYPE_COL, F.lit("update_postimage")
+        )
+        actions.extend(
+            _write_cdc_files(pre.unionByName(post), table_path)
+        )
     actions.append(
         {
             "commitInfo": {

@@ -111,6 +111,26 @@ class DeltaSource:
                 if w:
                     df = df.filter(w)  # same ?where= contract as batch
                 return apply_watermark(df, self.uri.params.get("watermark"))
+            if self.uri.params.get("readChangeFeed", "").lower() in (
+                "1", "true", "yes",
+            ):
+                # Change Data Feed batch read: table schema +
+                # _change_type/_commit_version/_commit_timestamp
+                from spark_etl_cli_spark.sources.delta_lite import (
+                    read_delta_changes,
+                )
+
+                sv = self.uri.params.get("startingVersion")
+                if sv is None:
+                    raise ValueError(
+                        "readChangeFeed=true needs ?startingVersion=N"
+                    )
+                ev = self.uri.params.get("endingVersion")
+                return read_delta_changes(
+                    spark, self.uri.path,
+                    starting_version=int(sv),
+                    ending_version=int(ev) if ev is not None else None,
+                )
             v = self.uri.params.get("versionAsOf")
             return read_delta_lite(
                 spark, self.uri.path,
@@ -247,6 +267,17 @@ class DeltaSink:
                     not in ("0", "false", "no"),
                 )
                 return True
+            # table properties at creation: property.<name>=<value>
+            # params, plus the enableChangeDataFeed shorthand
+            props = {
+                k[len("property."):]: v
+                for k, v in self.uri.params.items()
+                if k.startswith("property.")
+            }
+            if self.uri.params.get(
+                "enableChangeDataFeed", ""
+            ).lower() in ("1", "true", "yes"):
+                props["delta.enableChangeDataFeed"] = "true"
             write_delta_lite(
                 df, self.uri.path, mode=mode, partition_by=parts or None,
                 merge_schema=self.uri.params.get("mergeSchema", "").lower()
@@ -254,6 +285,7 @@ class DeltaSink:
                 # mode=upsert: key-matched MERGE (replace-by-key +
                 # insert-new), same URI shape as hudi's upsert
                 merge_key=self.uri.params.get("merge-key"),
+                properties=props or None,
             )
             return True
         if df.isStreaming:

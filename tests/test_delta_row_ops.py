@@ -815,3 +815,118 @@ def test_streaming_upsert_sink(spark, tmp_path):
         q.awaitTermination(120)
     got = {r["id"]: r["v"] for r in read_delta_lite(spark, path).collect()}
     assert got == {1: 1.0, 2: 20.0, 4: 4.0}
+
+
+# --- Change Data Feed -------------------------------------------------------
+
+
+def _mk_cdf_table(spark, path):
+    write_delta_lite(
+        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(5)]),
+        path,
+        properties={"delta.enableChangeDataFeed": "true"},
+    )
+
+
+def test_cdf_derives_inserts_from_appends(spark, tmp_path):
+    from spark_etl_cli_spark.sources.delta_lite import read_delta_changes
+
+    path = str(tmp_path / "tbl")
+    _mk_cdf_table(spark, path)
+    write_delta_lite(
+        spark.createDataFrame([Row(id=9, v=9.0)]), path, mode="append"
+    )
+    ch = read_delta_changes(spark, path, starting_version=0)
+    rows = {(r["id"], r["_change_type"], r["_commit_version"])
+            for r in ch.collect()}
+    assert rows == {(i, "insert", 0) for i in range(5)} | {(9, "insert", 1)}
+    assert "_commit_timestamp" in ch.columns
+    # version-bounded read
+    ch1 = read_delta_changes(spark, path, starting_version=1)
+    assert [(r["id"], r["_change_type"]) for r in ch1.collect()] == [
+        (9, "insert")
+    ]
+
+
+def test_cdf_update_writes_pre_and_post_images(spark, tmp_path):
+    from spark_etl_cli_spark.sources.delta_lite import (
+        read_delta_changes,
+        update_delta_lite,
+    )
+
+    path = str(tmp_path / "tbl")
+    _mk_cdf_table(spark, path)
+    update_delta_lite(spark, path, "id = 2", {"v": "v * 10"})
+    ch = read_delta_changes(spark, path, starting_version=1)
+    rows = {(r["id"], r["v"], r["_change_type"]) for r in ch.collect()}
+    assert rows == {
+        (2, 2.0, "update_preimage"),
+        (2, 20.0, "update_postimage"),
+    }
+    # cdc files landed under _change_data/
+    assert os.path.isdir(os.path.join(path, "_change_data"))
+
+
+def test_cdf_delete_records_deleted_rows(spark, tmp_path):
+    from spark_etl_cli_spark.sources.delta_lite import read_delta_changes
+
+    path = str(tmp_path / "tbl")
+    _mk_cdf_table(spark, path)
+    # both delete strategies must produce the same change records
+    delete_delta_lite(spark, path, "id = 1")
+    delete_delta_lite(spark, path, "id = 3", deletion_vectors=True)
+    ch = read_delta_changes(spark, path, starting_version=1)
+    rows = {(r["id"], r["_change_type"], r["_commit_version"])
+            for r in ch.collect()}
+    assert rows == {(1, "delete", 1), (3, "delete", 2)}
+
+
+def test_cdf_merge_emits_all_three_kinds(spark, tmp_path):
+    from spark_etl_cli_spark.sources.delta_lite import (
+        merge_delta_lite,
+        read_delta_changes,
+    )
+
+    path = str(tmp_path / "tbl")
+    _mk_cdf_table(spark, path)
+    merge_delta_lite(
+        spark.createDataFrame([Row(id=2, v=100.0), Row(id=50, v=50.0)]),
+        path, on="id", update_set={"v": "source.v"},
+    )
+    ch = read_delta_changes(spark, path, starting_version=1)
+    rows = {(r["id"], r["v"], r["_change_type"]) for r in ch.collect()}
+    assert rows == {
+        (2, 2.0, "update_preimage"),
+        (2, 100.0, "update_postimage"),
+        (50, 50.0, "insert"),
+    }
+
+
+def test_cdf_requires_the_table_property(spark, tmp_path):
+    from spark_etl_cli_spark.sources.delta_lite import read_delta_changes
+
+    path = str(tmp_path / "tbl")
+    write_delta_lite(spark.createDataFrame([Row(id=1, v=1.0)]), path)
+    with pytest.raises(ValueError, match="enableChangeDataFeed"):
+        read_delta_changes(spark, path, starting_version=0)
+
+
+def test_cdf_via_uris(spark, tmp_path):
+    from spark_etl_cli_spark.registry import resolve_sink, resolve_source
+
+    path = str(tmp_path / "tbl")
+    _, sink = resolve_sink(f"s+delta://{path}?enableChangeDataFeed=true")
+    sink.write(spark.createDataFrame([Row(id=1, v=1.0)]))
+    _, sink2 = resolve_sink(
+        f"s+delta://{path}?mode=merge&on=id&set.v=source.v"
+    )
+    sink2.write(spark.createDataFrame([Row(id=1, v=11.0)]))
+    _, src = resolve_source(
+        f"c+delta://{path}?readChangeFeed=true&startingVersion=1"
+    )
+    rows = {(r["id"], r["v"], r["_change_type"])
+            for r in src.read(spark).collect()}
+    assert rows == {
+        (1, 1.0, "update_preimage"),
+        (1, 11.0, "update_postimage"),
+    }
