@@ -2234,10 +2234,17 @@ def merge_delta_lite(
     insert: bool = True,
     txn_app_id: str | None = None,
     txn_version: int | None = None,
+    delete_condition: str | None = None,
+    insert_condition: str | None = None,
+    insert_columns: list[str] | None = None,
 ) -> dict:
     """Conditional MERGE: ``MERGE INTO target USING source ON
-    target.on = source.on WHEN MATCHED [AND matched_condition] THEN
-    UPDATE SET col = expr, ... WHEN NOT MATCHED THEN INSERT *``.
+    target.on = source.on [WHEN MATCHED AND delete_condition THEN
+    DELETE] WHEN MATCHED [AND matched_condition] THEN UPDATE SET
+    col = expr, ... WHEN NOT MATCHED [AND insert_condition] THEN
+    INSERT *``. Clause order follows Delta's CDC idiom: the DELETE
+    clause is evaluated before the UPDATE clause, so a matched row
+    satisfying both conditions is deleted.
 
     ``update_set`` expressions may reference BOTH sides via the
     ``source.``/``target.`` qualifiers (e.g. ``target.v + source.v``);
@@ -2247,6 +2254,9 @@ def merge_delta_lite(
     Duplicate or NULL keys in the source raise (Delta's multi-match
     contract). Unlike ``_upsert_delta_lite`` (whole-row replace), only
     the SET columns change and only where the match condition holds.
+    The source may carry EXTRA columns beyond the table schema (e.g.
+    a CDC frame's ``_change_type``) — conditions can reference them;
+    INSERT * takes the table's columns by name.
 
     Copy-on-write on the shared row-op machinery: one distributed
     probe finds the files holding ≥1 (matched AND condition-true) row
@@ -2257,7 +2267,7 @@ def merge_delta_lite(
     add(new) + optional txn, so streaming merges keep exactly-once.
 
     Returns ``{"files_rewritten", "files_added", "rows_updated",
-    "rows_inserted"}``.
+    "rows_inserted", "rows_deleted"}``.
     """
     import time
 
@@ -2273,6 +2283,7 @@ def merge_delta_lite(
                 "files_added": 0,
                 "rows_updated": 0,
                 "rows_inserted": 0,
+                "rows_deleted": 0,
             }
     try:
         adds, meta = _replay(spark, table_path)
@@ -2281,15 +2292,23 @@ def merge_delta_lite(
         # as upsert-creates-missing-table)
         if not insert:
             raise
+        new_rows = (
+            source.filter(F.expr(insert_condition))
+            if insert_condition
+            else source
+        )
+        if insert_columns:
+            new_rows = new_rows.select(*insert_columns)
         write_delta_lite(
-            source, table_path, mode="append",
+            new_rows, table_path, mode="append",
             txn_app_id=txn_app_id, txn_version=txn_version,
         )
         return {
             "files_rewritten": 0,
             "files_added": 1,
             "rows_updated": 0,
-            "rows_inserted": source.count(),
+            "rows_inserted": new_rows.count(),
+            "rows_deleted": 0,
         }
     part_cols = meta.get("partitionColumns") or []
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
@@ -2302,14 +2321,24 @@ def merge_delta_lite(
     unknown = [c for c in (update_set or {}) if c not in table_cols]
     if unknown:
         raise ValueError(f"MERGE SET of unknown columns {unknown}")
-    if insert and [(f.name, f.dataType) for f in source.schema.fields] != [
-        (f.name, f.dataType) for f in schema.fields
-    ]:
-        raise ValueError(
-            "WHEN NOT MATCHED THEN INSERT * needs the source schema "
-            f"{source.schema.simpleString()} to match the table schema "
-            f"{schema.simpleString()}"
-        )
+    if insert:
+        # INSERT * takes the TABLE's columns by name from the source;
+        # extra source columns (a CDC frame's _change_type etc.) are
+        # legal and ignored, but a missing or mistyped table column is
+        # a contract violation
+        src_types = {f.name: f.dataType for f in source.schema.fields}
+        bad = [
+            f.name
+            for f in schema.fields
+            if src_types.get(f.name) != f.dataType
+        ]
+        if bad:
+            raise ValueError(
+                "WHEN NOT MATCHED THEN INSERT * needs every table "
+                f"column present with its declared type; mismatched: "
+                f"{bad} (source {source.schema.simpleString()}, table "
+                f"{schema.simpleString()})"
+            )
     stats_row = source.agg(
         F.count(F.lit(1)).alias("n"),
         F.count(on).alias("nk"),
@@ -2327,15 +2356,23 @@ def merge_delta_lite(
         "files_added": 0,
         "rows_updated": 0,
         "rows_inserted": 0,
+        "rows_deleted": 0,
     }
     now_ms = int(time.time() * 1000)
     match_cond = (
         F.expr(matched_condition) if matched_condition else F.lit(True)
     )
+    del_cond = (
+        F.expr(delete_condition) if delete_condition else F.lit(False)
+    )
+    # a matched row lands in exactly one clause, DELETE checked first
+    upd_mask = (match_cond & ~del_cond) if update_set else F.lit(False)
+    touch_mask = del_cond | upd_mask
 
     affected: list[dict] = []
     n_updated = 0
-    if adds and update_set:
+    n_deleted = 0
+    if adds and (update_set or delete_condition):
         scan = _snapshot_scan(spark, table_path, adds, meta)
         by_path = _adds_by_abspath(table_path, adds)
         probe = (
@@ -2344,9 +2381,12 @@ def merge_delta_lite(
                 source.alias("source"),
                 F.col(f"target.{on}") == F.col(f"source.{on}"),
             )
-            .filter(match_cond)
+            .filter(touch_mask)
         )
-        counts = probe.groupBy("__file").count().collect()
+        counts = probe.groupBy("__file").agg(
+            F.sum(F.when(del_cond, 1).otherwise(0)).alias("ndel"),
+            F.sum(F.when(del_cond, 0).otherwise(1)).alias("nupd"),
+        ).collect()
         for r in counts:
             add = by_path.get(r["__file"])
             if add is None:
@@ -2355,18 +2395,23 @@ def merge_delta_lite(
                     "missing from the snapshot file list"
                 )
             affected.append(add)
-        n_updated = sum(r["count"] for r in counts)
+        n_updated = sum(r["nupd"] for r in counts)
+        n_deleted = sum(r["ndel"] for r in counts)
 
     pieces: list[DataFrame] = []
     if affected:
         # one left join, one projection: every SET expression sees the
-        # ORIGINAL target row plus its (unique) source match
-        cond = F.col(f"source.{on}").isNotNull() & match_cond
+        # ORIGINAL target row plus its (unique) source match. Matched
+        # delete-clause rows are filtered OUT of the rewrite; matched
+        # update-clause rows are projected through their SETs;
+        # everything else survives unchanged.
+        matched = F.col(f"source.{on}").isNotNull()
+        upd = matched & upd_mask
         out_cols = [
             F.when(
-                cond, F.expr(update_set[f.name]).cast(f.dataType)
+                upd, F.expr(update_set[f.name]).cast(f.dataType)
             ).otherwise(F.col(f"target.{f.name}")).alias(f.name)
-            if f.name in update_set
+            if update_set and f.name in update_set
             else F.col(f"target.{f.name}").alias(f.name)
             for f in schema.fields
         ]
@@ -2378,18 +2423,23 @@ def merge_delta_lite(
                 F.col(f"target.{on}") == F.col(f"source.{on}"),
                 "left",
             )
+            .filter(~(matched & del_cond))
             .select(*out_cols)
         )
 
     n_inserted = 0
     inserted_rows = None
     if insert:
-        new_rows = source
+        new_rows = (
+            source.filter(F.expr(insert_condition))
+            if insert_condition
+            else source
+        )
         if adds:
             existing_keys = _snapshot_scan(
                 spark, table_path, adds, meta
             ).select(on).distinct()
-            new_rows = source.join(existing_keys, on, "left_anti")
+            new_rows = new_rows.join(existing_keys, on, "left_anti")
         n_inserted = new_rows.count()
         if n_inserted:
             pieces.append(new_rows.select(*table_cols))
@@ -2404,9 +2454,10 @@ def merge_delta_lite(
     actions = [_remove_action(a, now_ms) for a in affected]
     actions += [{"add": a} for a in new_adds]
     if _cdf_enabled(meta):
-        # CDF: pre/post-image per updated row, insert per new row
+        # CDF: pre/post-image per updated row, delete per deleted row,
+        # insert per new row
         change_pieces: list[DataFrame] = []
-        if affected and update_set:
+        if affected:
             probe2 = (
                 _snapshot_scan(spark, table_path, affected, meta)
                 .alias("target")
@@ -2414,20 +2465,29 @@ def merge_delta_lite(
                     source.alias("source"),
                     F.col(f"target.{on}") == F.col(f"source.{on}"),
                 )
-                .filter(match_cond)
             )
-            pre = probe2.select(
-                *[F.col(f"target.{c}").alias(c) for c in table_cols]
-            ).withColumn(CDC_TYPE_COL, F.lit("update_preimage"))
-            post = probe2.select(
-                *[
-                    F.expr(update_set[f.name]).cast(f.dataType).alias(f.name)
-                    if f.name in update_set
-                    else F.col(f"target.{f.name}").alias(f.name)
-                    for f in schema.fields
-                ]
-            ).withColumn(CDC_TYPE_COL, F.lit("update_postimage"))
-            change_pieces += [pre, post]
+            if update_set:
+                upd_rows = probe2.filter(upd_mask)
+                pre = upd_rows.select(
+                    *[F.col(f"target.{c}").alias(c) for c in table_cols]
+                ).withColumn(CDC_TYPE_COL, F.lit("update_preimage"))
+                post = upd_rows.select(
+                    *[
+                        F.expr(update_set[f.name]).cast(f.dataType).alias(f.name)
+                        if f.name in update_set
+                        else F.col(f"target.{f.name}").alias(f.name)
+                        for f in schema.fields
+                    ]
+                ).withColumn(CDC_TYPE_COL, F.lit("update_postimage"))
+                change_pieces += [pre, post]
+            if delete_condition:
+                change_pieces.append(
+                    probe2.filter(del_cond)
+                    .select(
+                        *[F.col(f"target.{c}").alias(c) for c in table_cols]
+                    )
+                    .withColumn(CDC_TYPE_COL, F.lit("delete"))
+                )
         if inserted_rows is not None:
             change_pieces.append(
                 inserted_rows.select(*table_cols).withColumn(
@@ -2467,7 +2527,65 @@ def merge_delta_lite(
         "files_added": len(new_adds),
         "rows_updated": n_updated,
         "rows_inserted": n_inserted,
+        "rows_deleted": n_deleted,
     }
+
+
+def apply_changes_delta_lite(
+    changes: DataFrame,
+    table_path: str,
+    on: str,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
+) -> dict:
+    """Apply a Change Data Feed frame (table columns + ``_change_type``
+    [+ ``_commit_version`` / ``_commit_timestamp``]) to a delta table —
+    the CDC-replication operator: ``CDF stream of table A`` piped into
+    ``apply_changes`` on table B keeps B == A.
+
+    Per key the LATEST change wins (ordered by ``_commit_version`` when
+    present — one key can see insert → update → delete across a batch);
+    ``update_preimage`` rows are descriptive, not applicable, and are
+    dropped. The survivor set feeds ONE conditional MERGE:
+    ``WHEN MATCHED AND source._change_type = 'delete' THEN DELETE,
+    WHEN MATCHED THEN UPDATE SET *, WHEN NOT MATCHED AND _change_type
+    <> 'delete' THEN INSERT *`` — fully distributed, no driver-side
+    key lists, and exactly-once under the same txn contract as the
+    other streaming writers.
+    """
+    from pyspark.sql import Window
+
+    meta_cols = ("_commit_version", "_commit_timestamp")
+    data_cols = [
+        c
+        for c in changes.columns
+        if c != CDC_TYPE_COL and c not in meta_cols
+    ]
+    latest = changes.filter(F.col(CDC_TYPE_COL) != "update_preimage")
+    order = (
+        [F.col("_commit_version").desc()]
+        if "_commit_version" in changes.columns
+        else []
+    ) + [F.col(CDC_TYPE_COL).desc()]
+    latest = (
+        latest.withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy(on).orderBy(*order)),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", *[c for c in meta_cols if c in changes.columns])
+    )
+    return merge_delta_lite(
+        latest,
+        table_path,
+        on=on,
+        update_set={c: f"source.{c}" for c in data_cols if c != on},
+        delete_condition=f"source.{CDC_TYPE_COL} = 'delete'",
+        insert_condition=f"{CDC_TYPE_COL} <> 'delete'",
+        insert_columns=data_cols,
+        txn_app_id=txn_app_id,
+        txn_version=txn_version,
+    )
 
 
 def update_delta_lite(

@@ -93,6 +93,32 @@ class DeltaSource:
                 )
             if self.uri.is_stream:
                 from spark_etl_cli_spark.sources.base import apply_watermark
+
+                if self.uri.params.get("readChangeFeed", "").lower() in (
+                    "1", "true", "yes",
+                ):
+                    # Change Data Feed STREAM: change records per
+                    # commit (table schema + _change_type /
+                    # _commit_version / _commit_timestamp)
+                    from spark_etl_cli_spark.sources.cdfstream import (
+                        ensure_registered as _reg_cdf,
+                    )
+
+                    _reg_cdf(spark)
+                    reader = (
+                        spark.readStream.format("deltalite-cdf-stream")
+                        .option("path", self.uri.path)
+                    )
+                    sv = self.uri.params.get("startingVersion")
+                    if sv is not None:
+                        reader = reader.option("startingVersion", sv)
+                    df = reader.load()
+                    w = self.uri.params.get("where")
+                    if w:
+                        df = df.filter(w)
+                    return apply_watermark(
+                        df, self.uri.params.get("watermark")
+                    )
                 from spark_etl_cli_spark.sources.deltastream import (
                     ensure_registered,
                 )
@@ -191,6 +217,30 @@ class DeltaSink:
                     if ckpt
                     else None
                 )
+                if mode == "cdc":
+                    # CDC replication: each micro-batch of change
+                    # records (table cols + _change_type
+                    # [+ _commit_version]) is applied latest-per-key —
+                    # deletes delete, updates update, inserts insert.
+                    # Pairs with ?readChangeFeed=true on the source to
+                    # replicate a table end-to-end, exactly-once.
+                    from spark_etl_cli_spark.sources.delta_lite import (
+                        apply_changes_delta_lite,
+                    )
+
+                    on = self.uri.params.get("on")
+                    if not on:
+                        raise ValueError("delta mode=cdc needs ?on=<key>")
+                    return stream_via_foreach_batch(
+                        df,
+                        lambda b, epoch: apply_changes_delta_lite(
+                            b, self.uri.path, on=on,
+                            txn_app_id=app_id,
+                            txn_version=epoch if app_id else None,
+                        ),
+                        self.uri,
+                        pass_epoch=True,
+                    )
                 if mode == "merge":
                     # streaming CDC merge: each micro-batch is one
                     # conditional MERGE; the per-epoch txn makes a
@@ -214,6 +264,12 @@ class DeltaSink:
                             update_set=update_set or None,
                             matched_condition=self.uri.params.get(
                                 "matched-condition"
+                            ),
+                            delete_condition=self.uri.params.get(
+                                "delete-condition"
+                            ),
+                            insert_condition=self.uri.params.get(
+                                "insert-condition"
                             ),
                             insert=self.uri.params.get(
                                 "insert", "true"
@@ -239,11 +295,25 @@ class DeltaSink:
                     self.uri,
                     pass_epoch=True,
                 )
+            if mode == "cdc":
+                # batch CDC apply: change records → latest-per-key →
+                # one conditional MERGE (deletes included)
+                from spark_etl_cli_spark.sources.delta_lite import (
+                    apply_changes_delta_lite,
+                )
+
+                on = self.uri.params.get("on")
+                if not on:
+                    raise ValueError("delta mode=cdc needs ?on=<key>")
+                apply_changes_delta_lite(df, self.uri.path, on=on)
+                return True
             if mode == "merge":
                 # conditional MERGE: ?mode=merge&on=<key> with per-
                 # column SET expressions as set.<col>=<expr> params
                 # (exprs may qualify source./target.), an optional
-                # matched-condition=<pred>, and insert=false to turn
+                # matched-condition=<pred>, delete-condition=<pred>
+                # (WHEN MATCHED AND pred THEN DELETE, checked first),
+                # insert-condition=<pred>, and insert=false to turn
                 # off WHEN NOT MATCHED THEN INSERT *
                 from spark_etl_cli_spark.sources.delta_lite import (
                     merge_delta_lite,
@@ -262,6 +332,12 @@ class DeltaSink:
                     update_set=update_set or None,
                     matched_condition=self.uri.params.get(
                         "matched-condition"
+                    ),
+                    delete_condition=self.uri.params.get(
+                        "delete-condition"
+                    ),
+                    insert_condition=self.uri.params.get(
+                        "insert-condition"
                     ),
                     insert=self.uri.params.get("insert", "true").lower()
                     not in ("0", "false", "no"),

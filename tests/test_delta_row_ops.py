@@ -930,3 +930,331 @@ def test_cdf_via_uris(spark, tmp_path):
         (1, 1.0, "update_preimage"),
         (1, 11.0, "update_postimage"),
     }
+
+
+# --- MERGE WHEN MATCHED THEN DELETE + CDC apply ------------------------------
+
+
+def test_merge_delete_clause_removes_matched_rows(spark, tmp_path):
+    from spark_etl_cli_spark.sources.delta_lite import merge_delta_lite
+
+    path = str(tmp_path / "tbl")
+    _mk_table(spark, path)
+    src = spark.createDataFrame(
+        [
+            Row(id=2, part="a", v=0.0),   # delete (flag in v)
+            Row(id=7, part="b", v=70.0),  # update
+            Row(id=99, part="b", v=99.0),  # insert
+        ]
+    )
+    stats = merge_delta_lite(
+        src, path, on="id",
+        update_set={"v": "source.v"},
+        delete_condition="source.v = 0.0",
+    )
+    assert stats["rows_deleted"] == 1
+    assert stats["rows_updated"] == 1
+    assert stats["rows_inserted"] == 1
+    got = {r["id"]: r["v"] for r in read_delta_lite(spark, path).collect()}
+    assert 2 not in got
+    assert got[7] == 70.0 and got[99] == 99.0
+    # untouched rows survive
+    assert got[0] == 0.0 and got[19] == 19.0
+
+
+def test_merge_delete_clause_wins_over_update(spark, tmp_path):
+    # a matched row satisfying BOTH conditions is deleted (clause order)
+    from spark_etl_cli_spark.sources.delta_lite import merge_delta_lite
+
+    path = str(tmp_path / "tbl")
+    write_delta_lite(
+        spark.createDataFrame([Row(id=1, v=1.0), Row(id=2, v=2.0)]), path
+    )
+    merge_delta_lite(
+        spark.createDataFrame([Row(id=1, v=100.0)]), path, on="id",
+        update_set={"v": "source.v"},
+        matched_condition="source.v > 0",
+        delete_condition="source.v > 50",
+        insert=False,
+    )
+    got = {r["id"]: r["v"] for r in read_delta_lite(spark, path).collect()}
+    assert got == {2: 2.0}
+
+
+def test_merge_insert_condition_filters_new_rows(spark, tmp_path):
+    from spark_etl_cli_spark.sources.delta_lite import merge_delta_lite
+
+    path = str(tmp_path / "tbl")
+    write_delta_lite(spark.createDataFrame([Row(id=1, v=1.0)]), path)
+    stats = merge_delta_lite(
+        spark.createDataFrame([Row(id=8, v=8.0), Row(id=9, v=-9.0)]),
+        path, on="id", insert_condition="v > 0",
+    )
+    assert stats["rows_inserted"] == 1
+    got = {r["id"] for r in read_delta_lite(spark, path).collect()}
+    assert got == {1, 8}
+
+
+def test_merge_source_may_carry_extra_columns(spark, tmp_path):
+    from spark_etl_cli_spark.sources.delta_lite import merge_delta_lite
+
+    path = str(tmp_path / "tbl")
+    write_delta_lite(spark.createDataFrame([Row(id=1, v=1.0)]), path)
+    src = spark.createDataFrame(
+        [Row(id=1, v=10.0, _op="u"), Row(id=2, v=2.0, _op="i")]
+    )
+    merge_delta_lite(
+        src, path, on="id", update_set={"v": "source.v"},
+        matched_condition="source._op = 'u'",
+    )
+    got = {r["id"]: r["v"] for r in read_delta_lite(spark, path).collect()}
+    assert got == {1: 10.0, 2: 2.0}
+    # the extra column never lands in the table
+    assert set(read_delta_lite(spark, path).columns) == {"id", "v"}
+
+
+def test_merge_delete_emits_cdf_delete_records(spark, tmp_path):
+    from spark_etl_cli_spark.sources.delta_lite import (
+        merge_delta_lite,
+        read_delta_changes,
+    )
+
+    path = str(tmp_path / "tbl")
+    _mk_cdf_table(spark, path)
+    merge_delta_lite(
+        spark.createDataFrame([Row(id=1, v=-1.0), Row(id=2, v=22.0)]),
+        path, on="id", update_set={"v": "source.v"},
+        delete_condition="source.v < 0",
+    )
+    ch = read_delta_changes(spark, path, starting_version=1)
+    rows = {(r["id"], r["v"], r["_change_type"]) for r in ch.collect()}
+    assert rows == {
+        (1, 1.0, "delete"),
+        (2, 2.0, "update_preimage"),
+        (2, 22.0, "update_postimage"),
+    }
+
+
+def test_apply_changes_latest_per_key_wins(spark, tmp_path):
+    from spark_etl_cli_spark.sources.delta_lite import (
+        apply_changes_delta_lite,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_delta_lite(
+        spark.createDataFrame([Row(id=1, v=1.0), Row(id=2, v=2.0)]), path
+    )
+    changes = spark.createDataFrame(
+        [
+            # id=1: update then delete -> delete wins
+            Row(id=1, v=10.0, _change_type="update_postimage",
+                _commit_version=1),
+            Row(id=1, v=10.0, _change_type="delete", _commit_version=2),
+            # id=2: preimage rows are descriptive only
+            Row(id=2, v=2.0, _change_type="update_preimage",
+                _commit_version=1),
+            Row(id=2, v=20.0, _change_type="update_postimage",
+                _commit_version=1),
+            # id=3: insert then update -> latest value lands
+            Row(id=3, v=3.0, _change_type="insert", _commit_version=1),
+            Row(id=3, v=30.0, _change_type="update_postimage",
+                _commit_version=2),
+            # id=4: insert then delete -> never appears
+            Row(id=4, v=4.0, _change_type="insert", _commit_version=1),
+            Row(id=4, v=4.0, _change_type="delete", _commit_version=2),
+        ]
+    )
+    apply_changes_delta_lite(changes, path, on="id")
+    got = {r["id"]: r["v"] for r in read_delta_lite(spark, path).collect()}
+    assert got == {2: 20.0, 3: 30.0}
+
+
+def test_apply_changes_creates_missing_table(spark, tmp_path):
+    from spark_etl_cli_spark.sources.delta_lite import (
+        apply_changes_delta_lite,
+        read_delta_lite,
+    )
+
+    path = str(tmp_path / "tbl")
+    changes = spark.createDataFrame(
+        [
+            Row(id=1, v=1.0, _change_type="insert", _commit_version=0),
+            Row(id=2, v=2.0, _change_type="insert", _commit_version=0),
+            Row(id=2, v=2.0, _change_type="delete", _commit_version=1),
+        ]
+    )
+    apply_changes_delta_lite(changes, path, on="id")
+    got = {r["id"]: r["v"] for r in read_delta_lite(spark, path).collect()}
+    assert got == {1: 1.0}
+    # CDC bookkeeping columns never land in the replica schema
+    assert set(read_delta_lite(spark, path).columns) == {"id", "v"}
+
+
+# --- Change Data Feed STREAMING (sources/cdfstream.py) -----------------------
+
+
+def _await_streams(spark, timeout=180):
+    for q in spark.streams.active:
+        q.awaitTermination(timeout)
+
+
+def test_cdf_stream_matches_batch_read(spark, tmp_path):
+    from spark_etl_cli_spark.registry import resolve_source
+    from spark_etl_cli_spark.sources.delta_lite import (
+        read_delta_changes,
+        update_delta_lite,
+    )
+
+    path = str(tmp_path / "tbl")
+    _mk_cdf_table(spark, path)
+    write_delta_lite(
+        spark.createDataFrame([Row(id=9, v=9.0)]), path, mode="append"
+    )
+    update_delta_lite(spark, path, "id = 2", {"v": "v * 10"})
+    delete_delta_lite(spark, path, "id = 1")
+
+    _, src = resolve_source(f"c+delta-stream://{path}?readChangeFeed=true")
+    q = (
+        src.read(spark)
+        .writeStream.format("memory")
+        .queryName("cdf_stream_t1")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r["id"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in spark.sql("select * from cdf_stream_t1").collect()
+    }
+    batch = {
+        (r["id"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in read_delta_changes(spark, path, starting_version=0).collect()
+    }
+    assert streamed == batch and streamed
+
+
+def test_cdf_stream_resumes_from_checkpoint(spark, tmp_path):
+    from spark_etl_cli_spark.registry import resolve_source
+
+    path = str(tmp_path / "tbl")
+    _mk_cdf_table(spark, path)
+
+    out = str(tmp_path / "out")
+
+    def run_once():
+        _, src = resolve_source(
+            f"c+delta-stream://{path}?readChangeFeed=true"
+        )
+        q = (
+            src.read(spark)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(out).collect()
+
+    first = run_once()
+    assert {r["_commit_version"] for r in first} == {0}
+    delete_delta_lite(spark, path, "id = 3")
+    second = run_once()
+    # the sink accumulates; ONLY the new commit arrived after resume —
+    # exactly-once (no version-0 re-delivery)
+    assert len(second) == len(first) + 1
+    assert {(r["id"], r["_change_type"], r["_commit_version"])
+            for r in second}
+    assert {(r["id"], r["_change_type"], r["_commit_version"])
+            for r in second
+            if r["_commit_version"] == 1} == {(3, "delete", 1)}
+
+
+def test_cdf_stream_starting_version(spark, tmp_path):
+    from spark_etl_cli_spark.registry import resolve_source
+
+    path = str(tmp_path / "tbl")
+    _mk_cdf_table(spark, path)
+    write_delta_lite(
+        spark.createDataFrame([Row(id=7, v=7.0)]), path, mode="append"
+    )
+    _, src = resolve_source(
+        f"c+delta-stream://{path}?readChangeFeed=true&startingVersion=1"
+    )
+    q = (
+        src.read(spark)
+        .writeStream.format("memory")
+        .queryName("cdf_sv")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from cdf_sv").collect()
+    assert {(r["id"], r["_change_type"], r["_commit_version"])
+            for r in rows} == {(7, "insert", 1)}
+
+
+def test_cdf_stream_requires_the_table_property(spark, tmp_path):
+    from spark_etl_cli_spark.registry import resolve_source
+
+    path = str(tmp_path / "tbl")
+    write_delta_lite(spark.createDataFrame([Row(id=1, v=1.0)]), path)
+    _, src = resolve_source(f"c+delta-stream://{path}?readChangeFeed=true")
+    with pytest.raises(Exception, match="enableChangeDataFeed"):
+        df = src.read(spark)
+        q = (
+            df.writeStream.format("memory")
+            .queryName("cdf_noprop")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(60)
+        raise RuntimeError("stream should have failed")
+
+
+def test_cdc_replication_end_to_end(spark, tmp_path):
+    """CDF stream of table A -> ?mode=cdc sink on table B keeps B == A,
+    including across a second incremental run from the checkpoint —
+    the reference's Test-1 self-checking shape (ETLTest.scala:92-128)
+    applied to table replication."""
+    from spark_etl_cli_spark.registry import resolve_sink, resolve_source
+    from spark_etl_cli_spark.sources.delta_lite import (
+        merge_delta_lite,
+        update_delta_lite,
+    )
+
+    src_path = str(tmp_path / "src")
+    rep_path = str(tmp_path / "rep")
+    _mk_cdf_table(spark, src_path)
+    update_delta_lite(spark, src_path, "id = 2", {"v": "v * 10"})
+    delete_delta_lite(spark, src_path, "id = 1")
+    merge_delta_lite(
+        spark.createDataFrame([Row(id=3, v=300.0), Row(id=20, v=20.0)]),
+        src_path, on="id", update_set={"v": "source.v"},
+    )
+
+    def replicate():
+        _, s = resolve_source(
+            f"c+delta-stream://{src_path}?readChangeFeed=true"
+        )
+        _, sink = resolve_sink(
+            f"r+delta-stream://{rep_path}?mode=cdc&on=id"
+            f"&checkpointLocation={tmp_path}/ckpt"
+            "&trigger-interval=availableNow"
+        )
+        assert sink.write(s.read(spark)) is True
+        _await_streams(spark)
+
+    def snap(p):
+        return {(r["id"], r["v"]) for r in read_delta_lite(spark, p).collect()}
+
+    replicate()
+    assert snap(rep_path) == snap(src_path)
+    # incremental changes, resumed replication
+    update_delta_lite(spark, src_path, "id = 0", {"v": "99.0"})
+    delete_delta_lite(spark, src_path, "id = 3", deletion_vectors=True)
+    replicate()
+    assert snap(rep_path) == snap(src_path)
