@@ -2588,6 +2588,106 @@ def apply_changes_delta_lite(
     )
 
 
+def restore_delta_lite(
+    spark: SparkSession,
+    table_path: str,
+    version_as_of: int | None = None,
+    timestamp_as_of: int | str | None = None,
+) -> dict:
+    """``RESTORE TABLE tbl TO VERSION AS OF n`` — roll the table's
+    LIVE state back to an earlier snapshot as a NEW commit (history is
+    preserved; a restore is itself undoable by restoring forward).
+
+    The commit is a pure log operation: remove(files only in the
+    current snapshot) + re-add(files only in the target snapshot,
+    dataChange=true) — no data file is read or rewritten. A file whose
+    deletion-vector descriptor changed between the two versions is
+    re-added with the TARGET's descriptor, undoing DV deletes the same
+    way. If VACUUM already reclaimed a restored file this raises
+    loudly instead of committing a corrupt snapshot (Delta's own
+    RESTORE contract). Schema/partitioning/properties are restored via
+    the target's metaData when they differ.
+
+    Returns ``{"version", "files_removed", "files_restored"}``.
+    """
+    import time
+
+    if (version_as_of is None) == (timestamp_as_of is None):
+        raise ValueError(
+            "restore: pass exactly one of version_as_of / timestamp_as_of"
+        )
+    if timestamp_as_of is not None:
+        if isinstance(timestamp_as_of, str) and not timestamp_as_of.isdigit():
+            import datetime as _dt2
+
+            parsed = _dt2.datetime.fromisoformat(timestamp_as_of)
+            if parsed.tzinfo is None:
+                parsed = parsed.replace(tzinfo=_dt2.timezone.utc)
+            ts_ms = int(parsed.timestamp() * 1000)
+        else:
+            ts_ms = int(timestamp_as_of)
+        version_as_of = _version_at_timestamp(_log_dir(table_path), ts_ms)
+    cur_adds, cur_meta = _replay(spark, table_path)
+    tgt_adds, tgt_meta = _replay(
+        spark, table_path, version_as_of=version_as_of
+    )
+
+    def _dv_key(a: dict) -> str:
+        dv = a.get("deletionVector")
+        return json.dumps(dv, sort_keys=True) if dv else ""
+
+    cur_by = {a["path"]: a for a in cur_adds}
+    tgt_by = {a["path"]: a for a in tgt_adds}
+    to_remove = [
+        a
+        for p, a in cur_by.items()
+        if p not in tgt_by or _dv_key(a) != _dv_key(tgt_by[p])
+    ]
+    to_restore = [
+        a
+        for p, a in tgt_by.items()
+        if p not in cur_by or _dv_key(a) != _dv_key(cur_by[p])
+    ]
+    missing = [
+        a["path"]
+        for a in to_restore
+        if not os.path.exists(os.path.join(table_path, a["path"]))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"restore to version {version_as_of}: data files already "
+            f"vacuumed away: {missing[:3]} — the snapshot is not "
+            "reconstructible"
+        )
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [_remove_action(a, now_ms) for a in to_remove]
+    for a in to_restore:
+        add = dict(a)
+        add["dataChange"] = True
+        from urllib.parse import quote
+
+        add["path"] = quote(add["path"], safe="/=")
+        actions.append({"add": add})
+    meta_keys = ("schemaString", "partitionColumns", "configuration")
+    if any(cur_meta.get(k) != tgt_meta.get(k) for k in meta_keys):
+        actions.append({"metaData": tgt_meta})
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "RESTORE",
+                "operationParameters": {"version": version_as_of},
+            }
+        }
+    )
+    _write_commit(spark, table_path, actions)
+    return {
+        "version": version_as_of,
+        "files_removed": len(to_remove),
+        "files_restored": len(to_restore),
+    }
+
+
 def update_delta_lite(
     spark: SparkSession,
     table_path: str,

@@ -249,6 +249,45 @@ class IcebergExpireSource:
         )
 
 
+@dataclass
+class DeltaRestoreSource:
+    """``rep+delta-restore:///path/tbl?version=N`` (or
+    ``?timestamp=<epoch-ms|ISO>``) — roll the live table back to an
+    earlier snapshot as a new commit (sources/delta_lite.py
+    restore_delta_lite)."""
+
+    uri: ParsedUri
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        from spark_etl_cli_spark.sources.delta_lite import (
+            restore_delta_lite,
+        )
+
+        v = self.uri.params.get("version")
+        ts = self.uri.params.get("timestamp")
+        stats = restore_delta_lite(
+            spark,
+            self.uri.path,
+            version_as_of=int(v) if v is not None else None,
+            timestamp_as_of=ts,
+        )
+        return spark.createDataFrame(
+            [(
+                self.uri.path,
+                stats["version"],
+                stats["files_removed"],
+                stats["files_restored"],
+            )],
+            "table string, restored_to long, files_removed int, "
+            "files_restored int",
+        )
+
+
+@register_source("delta-restore")
+def delta_restore_source(p: ParsedUri) -> DeltaRestoreSource:
+    return DeltaRestoreSource(p)
+
+
 @register_source("delta-optimize")
 def delta_optimize_source(p: ParsedUri) -> DeltaOptimizeSource:
     return DeltaOptimizeSource(p)

@@ -1258,3 +1258,84 @@ def test_cdc_replication_end_to_end(spark, tmp_path):
     delete_delta_lite(spark, src_path, "id = 3", deletion_vectors=True)
     replicate()
     assert snap(rep_path) == snap(src_path)
+
+
+# --- RESTORE -----------------------------------------------------------------
+
+
+def test_restore_rolls_back_appends(spark, tmp_path):
+    from spark_etl_cli_spark.sources.delta_lite import restore_delta_lite
+
+    path = str(tmp_path / "tbl")
+    write_delta_lite(spark.createDataFrame([Row(id=1, v=1.0)]), path)
+    write_delta_lite(
+        spark.createDataFrame([Row(id=2, v=2.0)]), path, mode="append"
+    )
+    stats = restore_delta_lite(spark, path, version_as_of=0)
+    assert stats["files_removed"] == 1 and stats["files_restored"] == 0
+    got = {r["id"] for r in read_delta_lite(spark, path).collect()}
+    assert got == {1}
+    # history preserved: the pre-restore state is still time-travelable
+    v1 = {r["id"] for r in read_delta_lite(spark, path, version_as_of=1).collect()}
+    assert v1 == {1, 2}
+
+
+def test_restore_undoes_delete_and_update(spark, tmp_path):
+    from spark_etl_cli_spark.sources.delta_lite import (
+        restore_delta_lite,
+        update_delta_lite,
+    )
+
+    path = str(tmp_path / "tbl")
+    _mk_table(spark, path)  # versions 0,1
+    update_delta_lite(spark, path, "id = 2", {"v": "200.0"})
+    delete_delta_lite(spark, path, "id = 7")
+    before = {(r["id"], r["v"])
+              for r in read_delta_lite(spark, path, version_as_of=1).collect()}
+    restore_delta_lite(spark, path, version_as_of=1)
+    after = {(r["id"], r["v"]) for r in read_delta_lite(spark, path).collect()}
+    assert after == before
+
+
+def test_restore_undoes_dv_delete(spark, tmp_path):
+    from spark_etl_cli_spark.sources.delta_lite import restore_delta_lite
+
+    path = str(tmp_path / "tbl")
+    write_delta_lite(
+        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(10)]), path
+    )
+    delete_delta_lite(spark, path, "id < 3", deletion_vectors=True)
+    assert read_delta_lite(spark, path).count() == 7
+    stats = restore_delta_lite(spark, path, version_as_of=0)
+    # DV re-add: same file, target (absent) descriptor
+    assert stats["files_restored"] >= 1
+    assert read_delta_lite(spark, path).count() == 10
+
+
+def test_restore_refuses_vacuumed_snapshots(spark, tmp_path):
+    from spark_etl_cli_spark.sources.delta_lite import (
+        optimize_delta_lite,
+        restore_delta_lite,
+        vacuum_delta_lite,
+    )
+
+    path = str(tmp_path / "tbl")
+    _mk_table(spark, path, partitioned=False)
+    optimize_delta_lite(spark, path, min_files=2)
+    vacuum_delta_lite(spark, path, retention_hours=0, dry_run=False)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        restore_delta_lite(spark, path, version_as_of=0)
+
+
+def test_restore_via_maintenance_uri(spark, tmp_path):
+    from spark_etl_cli_spark.registry import resolve_source
+
+    path = str(tmp_path / "tbl")
+    write_delta_lite(spark.createDataFrame([Row(id=1, v=1.0)]), path)
+    write_delta_lite(
+        spark.createDataFrame([Row(id=2, v=2.0)]), path, mode="append"
+    )
+    _, src = resolve_source(f"rep+delta-restore://{path}?version=0")
+    row = src.read(spark).head()
+    assert row["restored_to"] == 0
+    assert {r["id"] for r in read_delta_lite(spark, path).collect()} == {1}
