@@ -30,6 +30,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
+# Hudi's first bookkeeping meta column; stamped on COW base-file rows
+# so incremental queries can filter "changed since instant T"
+_HOODIE_TS_COL = "_hoodie_commit_time"
+
+
 def is_hudi_table(table_path: str) -> bool:
     return os.path.isdir(os.path.join(table_path, ".hoodie"))
 
@@ -395,6 +400,123 @@ def read_hudi_lite(
     return df.filter(where) if where else df
 
 
+def read_hudi_incremental(
+    spark: SparkSession,
+    table_path: str,
+    begin_instant: str,
+    end_instant: str | None = None,
+) -> DataFrame:
+    """Hudi incremental query: rows INSERTED OR UPDATED by commits in
+    ``(begin_instant, end_instant]`` — the latest state of each changed
+    record, payload columns + ``_hoodie_commit_time``. Deleted rows
+    simply don't appear (real Hudi's incremental contract).
+
+    Only the LIVE slices (as of ``end_instant``) whose base instant
+    falls in range are read, so a file group rewritten twice in range
+    is read once at its latest slice. Within a rewritten slice,
+    unchanged survivor rows carry their ORIGINAL ``_hoodie_commit_time``
+    (the rewrite preserves the column) and are filtered out by
+    ``> begin_instant``; rows whose commit time is unknown (files
+    written before this module stamped the column) fail loudly for
+    rewritten groups and pass whole for brand-new groups — never a
+    silent wrong answer.
+
+    MERGE_ON_READ tables raise: their in-range changes live in log
+    blocks; use ``hudi-stream://`` or compact first.
+    """
+    from pyspark.sql import functions as F
+
+    if _table_type(table_path) != "COPY_ON_WRITE":
+        raise NotImplementedError(
+            "hudi_lite incremental reads cover COPY_ON_WRITE tables; "
+            "MERGE_ON_READ changes live in log blocks — stream them "
+            "with hudi-stream:// or run compaction first"
+        )
+    instants = _completed_instants(table_path)
+    if not instants:
+        raise ValueError(
+            f"no completed Hudi commits under {table_path}/.hoodie"
+        )
+    hi = str(end_instant) if end_instant is not None else instants[-1][0]
+    lo = str(begin_instant)
+    upto_end = [i for i in instants if i[0] <= hi]
+    live_end = _live_file_slices(table_path, upto_end)
+    live_begin = _live_file_slices(
+        table_path, [i for i in instants if i[0] <= lo]
+    )
+    in_range: list[tuple[str, bool]] = []  # (base path, group_is_new)
+    for (part, fid), ent in live_end.items():
+        if not ent["base"] or not (lo < (ent["base_ts"] or "") <= hi):
+            continue
+        in_range.append(((ent["base"]), (part, fid) not in live_begin))
+    schema_probe = read_hudi_lite(spark, table_path).limit(0)
+    empty = schema_probe.select(
+        F.lit(None).cast("string").alias(_HOODIE_TS_COL), "*"
+    ).limit(0)
+    if not in_range:
+        return empty
+    missing = [p for p, _ in in_range if not os.path.exists(p)]
+    if missing:
+        raise FileNotFoundError(
+            f"hudi incremental: base files missing: {missing[:3]}"
+        )
+    import pyarrow.parquet as _pq
+
+    unstamped = [
+        p
+        for p, _ in in_range
+        if _HOODIE_TS_COL
+        not in {f.name for f in _pq.read_schema(p)}
+    ]
+    action_of = {i[0]: i[1] for i in instants}
+    base_ts_of = {
+        ent["base"]: ent["base_ts"] for ent in live_end.values()
+    }
+    new_groups = {p for p, is_new in in_range if is_new}
+    bad = [
+        p
+        for p in unstamped
+        # sound only for brand-new groups born from a plain insert
+        # commit; a replacecommit slice (delete survivors, clustering)
+        # carries OLD rows under a new fileId
+        if p not in new_groups
+        or action_of.get(base_ts_of[p]) != "commit"
+    ]
+    if bad:
+        raise ValueError(
+            "hudi incremental: file slices without "
+            f"{_HOODIE_TS_COL} (written by a pre-meta-column writer) "
+            f"cannot distinguish changed rows: {bad[:3]} — run a "
+            "snapshot read instead"
+        )
+    payload = [c for c in schema_probe.columns]
+    pieces: list[DataFrame] = []
+    stamped = [p for p, _ in in_range if p not in set(unstamped)]
+    if stamped:
+        pieces.append(
+            spark.read.parquet(*stamped)
+            .filter(F.col(_HOODIE_TS_COL) > F.lit(lo))
+            .select(_HOODIE_TS_COL, *payload)
+        )
+    for p in unstamped:
+        # brand-new legacy group: every row was inserted in range; its
+        # commit time is the slice's base instant
+        ts = next(
+            ent["base_ts"]
+            for ent in live_end.values()
+            if ent["base"] == p
+        )
+        pieces.append(
+            spark.read.parquet(p).select(
+                F.lit(ts).alias(_HOODIE_TS_COL), *payload
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # --- engine-free WRITER (COW) ---------------------------------------------
 # insert (new file groups per commit), insert_overwrite_table
 # (replacecommit), and record-key UPSERT: affected file groups located
@@ -456,10 +578,21 @@ def _upsert_rewrites(
         *[F.lit(x) for p in affected for x in (p, fid_of[p])]
     )
     remaining = (
-        spark.read.parquet(*affected)
+        spark.read.option("mergeSchema", "true")
+        .parquet(*affected)
         .withColumn("__fid", mapping[norm_path])
         .join(keys.withColumnRenamed("__k", record_key), record_key, "left_anti")
     )
+    # survivors keep their ORIGINAL _hoodie_commit_time (they did not
+    # change in this commit); files predating the meta column read null
+    if _HOODIE_TS_COL not in remaining.columns:
+        remaining = remaining.select(
+            F.lit(None).cast("string").alias(_HOODIE_TS_COL), "*"
+        )
+    # uniform column order across slices: meta column first, then the
+    # incoming frame's payload order
+    payload = [c for c in df.columns if c != _HOODIE_TS_COL]
+    remaining = remaining.select(_HOODIE_TS_COL, *payload, "__fid")
     tmp = tempfile.mkdtemp(prefix="hudi_lite_upsert_")
     out: dict[str, list[dict]] = {}
     try:
@@ -639,6 +772,18 @@ def write_hudi_lite(
         return _mor_upsert_commit(
             df, table_path, ts, record_key, pcols, commit_uuid
         )
+    if not is_mor:
+        # real Hudi stamps every base-file row with its commit instant
+        # (_hoodie_commit_time, first meta column); incremental reads
+        # filter on it. Unchanged rows in upsert/delete rewrites keep
+        # their ORIGINAL instant (the rewrite copies the column). MOR
+        # base files stay unstamped — their log blocks carry no meta
+        # columns and the snapshot merge needs aligned schemas.
+        from pyspark.sql import functions as F
+
+        if _HOODIE_TS_COL in df.columns:
+            df = df.drop(_HOODIE_TS_COL)
+        df = df.select(F.lit(ts).alias(_HOODIE_TS_COL), "*")
     data_dir = os.path.join(table_path, f"data_{ts}_{commit_uuid[:8]}")
     if pcols:
         # shadow columns drive the directory split so the REAL columns

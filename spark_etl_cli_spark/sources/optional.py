@@ -923,6 +923,20 @@ class HudiSource:
             if w:
                 df = df.filter(w)  # same ?where= contract as batch
             return apply_watermark(df, self.uri.params.get("watermark"))
+        begin = self.uri.params.get("begin-instant")
+        if begin is not None:
+            # incremental query: rows inserted/updated in
+            # (begin-instant, end-instant]
+            from spark_etl_cli_spark.sources.hudi_lite import (
+                read_hudi_incremental,
+            )
+
+            df = read_hudi_incremental(
+                spark, self.uri.path, begin,
+                end_instant=self.uri.params.get("end-instant"),
+            )
+            w = self.uri.params.get("where")
+            return df.filter(w) if w else df
         return read_hudi_lite(
             spark, self.uri.path,
             as_of=self.uri.params.get("as-of"),

@@ -5,6 +5,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import Row
 
 
 def _write_base_file(spark, table, part, name, df):
@@ -968,3 +969,128 @@ def test_hudi_stream_refuses_change_instants_unless_skipped(spark, tmp_path):
     # instant 1 (insert 0-2) streams; instant 2 (upsert) skipped whole;
     # instant 3 (insert id=9) streams
     assert got == {(0, "v1"), (1, "v1"), (2, "v1"), (9, "v1")}
+
+
+# --- incremental queries ------------------------------------------------------
+
+
+def test_incremental_returns_only_new_rows(spark, tmp_path):
+    from spark_etl_cli_spark.sources.hudi_lite import (
+        read_hudi_incremental,
+        write_hudi_lite,
+    )
+
+    path = str(tmp_path / "tbl")
+    ts0 = write_hudi_lite(
+        spark.createDataFrame([Row(id=1, v=1.0), Row(id=2, v=2.0)]), path
+    )
+    ts1 = write_hudi_lite(
+        spark.createDataFrame([Row(id=3, v=3.0)]), path, mode="append"
+    )
+    inc = read_hudi_incremental(spark, path, begin_instant=ts0)
+    rows = {(r["id"], r["_hoodie_commit_time"]) for r in inc.collect()}
+    assert rows == {(3, ts1)}
+    # full-history pull: begin before the first commit
+    all_rows = read_hudi_incremental(spark, path, begin_instant="0")
+    assert {r["id"] for r in all_rows.collect()} == {1, 2, 3}
+
+
+def test_incremental_upsert_reports_changed_rows_only(spark, tmp_path):
+    from spark_etl_cli_spark.sources.hudi_lite import (
+        read_hudi_incremental,
+        write_hudi_lite,
+    )
+
+    path = str(tmp_path / "tbl")
+    ts0 = write_hudi_lite(
+        spark.createDataFrame(
+            [Row(id=i, v=float(i)) for i in range(5)]
+        ),
+        path, record_key="id",
+    )
+    write_hudi_lite(
+        spark.createDataFrame([Row(id=2, v=200.0), Row(id=9, v=9.0)]),
+        path, mode="upsert", record_key="id",
+    )
+    inc = read_hudi_incremental(spark, path, begin_instant=ts0)
+    rows = {(r["id"], r["v"]) for r in inc.collect()}
+    # survivors (0,1,3,4) kept their original commit time -> excluded
+    assert rows == {(2, 200.0), (9, 9.0)}
+
+
+def test_incremental_end_instant_bounds_the_range(spark, tmp_path):
+    from spark_etl_cli_spark.sources.hudi_lite import (
+        read_hudi_incremental,
+        write_hudi_lite,
+    )
+
+    path = str(tmp_path / "tbl")
+    ts0 = write_hudi_lite(spark.createDataFrame([Row(id=1, v=1.0)]), path)
+    ts1 = write_hudi_lite(
+        spark.createDataFrame([Row(id=2, v=2.0)]), path, mode="append"
+    )
+    write_hudi_lite(
+        spark.createDataFrame([Row(id=3, v=3.0)]), path, mode="append"
+    )
+    inc = read_hudi_incremental(
+        spark, path, begin_instant=ts0, end_instant=ts1
+    )
+    assert {r["id"] for r in inc.collect()} == {2}
+
+
+def test_incremental_after_delete_excludes_survivors(spark, tmp_path):
+    from spark_etl_cli_spark.sources.hudi_lite import (
+        delete_hudi_lite,
+        read_hudi_incremental,
+        write_hudi_lite,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_hudi_lite(
+        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(5)]),
+        path,
+    )
+    instants_before = read_hudi_incremental(spark, path, begin_instant="0")
+    assert instants_before.count() == 5
+    ts1 = sorted({r["_hoodie_commit_time"]
+                  for r in instants_before.collect()})[-1]
+    delete_hudi_lite(spark, path, "id >= 3")
+    # survivors were not changed: nothing inserted or updated in range
+    inc = read_hudi_incremental(spark, path, begin_instant=ts1)
+    assert inc.count() == 0
+    # deleted rows don't appear in a full pull either
+    assert {r["id"]
+            for r in read_hudi_incremental(spark, path, "0").collect()} == {
+        0, 1, 2,
+    }
+
+
+def test_incremental_mor_is_fenced(spark, tmp_path):
+    from spark_etl_cli_spark.sources.hudi_lite import (
+        read_hudi_incremental,
+        write_hudi_lite,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_hudi_lite(
+        spark.createDataFrame([Row(id=1, v=1.0)]), path,
+        record_key="id", table_type="MERGE_ON_READ",
+    )
+    with pytest.raises(NotImplementedError, match="MERGE_ON_READ"):
+        read_hudi_incremental(spark, path, begin_instant="0")
+
+
+def test_incremental_via_uri(spark, tmp_path):
+    from spark_etl_cli_spark.registry import resolve_source
+    from spark_etl_cli_spark.sources.hudi_lite import write_hudi_lite
+
+    path = str(tmp_path / "tbl")
+    ts0 = write_hudi_lite(spark.createDataFrame([Row(id=1, v=1.0)]), path)
+    write_hudi_lite(
+        spark.createDataFrame([Row(id=2, v=2.0), Row(id=3, v=30.0)]),
+        path, mode="append",
+    )
+    _, src = resolve_source(
+        f"h+hudi://{path}?begin-instant={ts0}&where=v < 10"
+    )
+    assert {r["id"] for r in src.read(spark).collect()} == {2}
