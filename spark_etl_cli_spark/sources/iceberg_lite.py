@@ -1301,17 +1301,26 @@ def _delete_iceberg_mor(
     spark: SparkSession,
     table_path: str,
     where: str,
+    equality_columns: list[str] | None = None,
 ) -> dict:
     """Merge-on-read DELETE: instead of rewriting data files, write one
-    POSITION-DELETE file naming the matched rows' (file_path, pos)
-    pairs and commit it as a fast-append ``delete`` snapshot (prior
-    manifests carried, one new delete manifest). This is the cheap
-    delete every engine offers for write-heavy tables: zero data bytes
-    rewritten, the reader merges at scan time — and the reader's
+    delete file and commit it as a fast-append ``delete`` snapshot
+    (prior manifests carried, one new delete manifest). This is the
+    cheap delete every engine offers for write-heavy tables: zero data
+    bytes rewritten, the reader merges at scan time — and the reader's
     sequence-number scoping makes stacked deletes and later re-adds
     correct. Existing delete files are fine here (deletes stack);
-    already-deleted rows are not re-matched (the provenance scan is
-    the LIVE view).
+    already-deleted rows are not re-matched (the scan is the LIVE
+    view).
+
+    Default: a POSITION-DELETE file naming the matched rows'
+    (file_path, pos) pairs. With ``equality_columns``: an
+    EQUALITY-DELETE file (content=2) holding the DISTINCT key tuples
+    of the matched rows — note equality deletes remove every older row
+    whose KEY matches, not just the rows ``where`` matched, exactly
+    the spec's semantics (and the reason CDC writers use them: delete
+    by key without locating positions). ``rows_deleted`` reports the
+    exact count of live rows the keys remove.
 
     Returns ``{"files_rewritten": 0, "files_added": <delete files>,
     "rows_deleted": n}``.
@@ -1326,31 +1335,60 @@ def _delete_iceberg_mor(
 
     meta = _load_metadata(table_path)
     zero = {"files_rewritten": 0, "files_added": 0, "rows_deleted": 0}
-    live = read_iceberg_lite(
-        spark, table_path, where=where, with_provenance=True
-    )
-    if "__dfile" not in live.columns:
-        return zero  # no data entries at all
     del_dir = os.path.join(table_path, "data")
     os.makedirs(del_dir, exist_ok=True)
     commit_uuid = _uuid.uuid4().hex
-    out_dir = os.path.join(del_dir, f"pdelete-{commit_uuid}")
-    # the delete file's file_path must match the manifest entry's
-    # verbatim (readers compare normalized forms); __dfile is already
-    # the manifest-normalized absolute path
-    (
-        live.selectExpr(
-            "__dfile AS file_path", "CAST(__dpos AS long) AS pos"
-        ).write.parquet(out_dir)
-    )
-    del_files = [
-        p
-        for p in sorted(_glob.glob(os.path.join(out_dir, "*.parquet")))
-        if _parquet_row_count(p) > 0
-    ]
-    n_rows = sum(_parquet_row_count(p) for p in del_files)
-    if n_rows == 0:
-        return zero
+    equality_ids: list[int] | None = None
+    if equality_columns:
+        schema_fields = {
+            f["name"]: f["id"] for f in _current_schema(meta)["fields"]
+        }
+        missing = [c for c in equality_columns if c not in schema_fields]
+        if missing:
+            raise ValueError(
+                f"equality delete columns not in table schema: {missing}"
+            )
+        equality_ids = [schema_fields[c] for c in equality_columns]
+        matched = read_iceberg_lite(spark, table_path, where=where)
+        keys = matched.select(*equality_columns).distinct()
+        out_dir = os.path.join(del_dir, f"eqdelete-{commit_uuid}")
+        keys.write.parquet(out_dir)
+        del_files = [
+            p
+            for p in sorted(_glob.glob(os.path.join(out_dir, "*.parquet")))
+            if _parquet_row_count(p) > 0
+        ]
+        if not del_files:
+            return zero
+        # exact stats: how many LIVE rows do these keys remove?
+        n_rows = (
+            read_iceberg_lite(spark, table_path)
+            .join(keys, equality_columns, "left_semi")
+            .count()
+        )
+    else:
+        live = read_iceberg_lite(
+            spark, table_path, where=where, with_provenance=True
+        )
+        if "__dfile" not in live.columns:
+            return zero  # no data entries at all
+        out_dir = os.path.join(del_dir, f"pdelete-{commit_uuid}")
+        # the delete file's file_path must match the manifest entry's
+        # verbatim (readers compare normalized forms); __dfile is
+        # already the manifest-normalized absolute path
+        (
+            live.selectExpr(
+                "__dfile AS file_path", "CAST(__dpos AS long) AS pos"
+            ).write.parquet(out_dir)
+        )
+        del_files = [
+            p
+            for p in sorted(_glob.glob(os.path.join(out_dir, "*.parquet")))
+            if _parquet_row_count(p) > 0
+        ]
+        n_rows = sum(_parquet_row_count(p) for p in del_files)
+        if n_rows == 0:
+            return zero
 
     snapshot_id = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
     seq = int(meta.get("last-sequence-number") or 0) + 1
@@ -1360,9 +1398,29 @@ def _delete_iceberg_mor(
     manifest_path = os.path.join(
         meta_dir, f"manifest-del-{commit_uuid}.avro"
     )
+    mschema = _manifest_schema_for([])
+    if equality_ids:
+        # spec field 135/136: the equality columns' field ids
+        for f in mschema["fields"]:
+            if f["name"] == "data_file":
+                f["type"]["fields"].append(
+                    {
+                        "name": "equality_ids",
+                        "field-id": 135,
+                        "type": [
+                            "null",
+                            {
+                                "type": "array",
+                                "items": "int",
+                                "element-id": 136,
+                            },
+                        ],
+                    }
+                )
+    content_code = 2 if equality_ids else 1
     write_container(
         manifest_path,
-        _manifest_schema_for([]),
+        mschema,
         iter(
             {
                 "status": 1,
@@ -1370,12 +1428,17 @@ def _delete_iceberg_mor(
                 "sequence_number": None,       # inherited (v2 spec)
                 "file_sequence_number": None,  # inherited
                 "data_file": {
-                    "content": 1,  # POSITION_DELETES
+                    "content": content_code,
                     "file_path": p,
                     "file_format": "PARQUET",
                     "partition": {},
                     "record_count": _parquet_row_count(p),
                     "file_size_in_bytes": os.path.getsize(p),
+                    **(
+                        {"equality_ids": equality_ids}
+                        if equality_ids
+                        else {}
+                    ),
                 },
             }
             for p in del_files
@@ -1472,6 +1535,7 @@ def delete_iceberg_lite(
     table_path: str,
     where: str,
     mode: str = "copy-on-write",
+    equality_columns: list[str] | None = None,
 ) -> dict:
     """Copy-on-write DELETE: remove rows matching ``where`` by
     rewriting only the data files that hold them, committed as an
@@ -1504,7 +1568,14 @@ def delete_iceberg_lite(
             f"got {mode!r}"
         )
     if mode == "merge-on-read":
-        return _delete_iceberg_mor(spark, table_path, where)
+        return _delete_iceberg_mor(
+            spark, table_path, where, equality_columns=equality_columns
+        )
+    if equality_columns:
+        raise ValueError(
+            "equality_columns requires mode='merge-on-read' (equality "
+            "deletes ARE merge-on-read delete files)"
+        )
     meta = _load_metadata(table_path)
     snap = _snapshot(meta, None)
     live = [

@@ -177,7 +177,10 @@ class IcebergDeleteSource:
     """``rep+iceberg-delete:///path/tbl?where=<pred>`` — copy-on-write
     row-level DELETE committed as an ``overwrite`` snapshot;
     ``&mode=merge-on-read`` writes a position-delete file instead
-    (nothing rewritten, deletes stack, reader merges at scan time)."""
+    (nothing rewritten, deletes stack, reader merges at scan time);
+    ``&equality-columns=a,b`` (merge-on-read only) writes an
+    EQUALITY-delete file — the matched rows' distinct key tuples,
+    removing every older row whose key matches."""
 
     uri: ParsedUri
 
@@ -187,9 +190,15 @@ class IcebergDeleteSource:
         where = self.uri.params.get("where")
         if not where:
             raise ValueError("iceberg-delete:// needs ?where=<predicate>")
+        eq_cols = [
+            c
+            for c in self.uri.params.get("equality-columns", "").split(",")
+            if c
+        ]
         stats = delete_iceberg_lite(
             spark, self.uri.path, where,
             mode=self.uri.params.get("mode", "copy-on-write"),
+            equality_columns=eq_cols or None,
         )
         return spark.createDataFrame(
             [(

@@ -1037,3 +1037,109 @@ def test_iceberg_mor_delete_via_uri(spark, tmp_path):
     assert sorted(
         r.id for r in read_iceberg_lite(spark, table).collect()
     ) == [0, 1, 2, 3]
+
+
+def test_iceberg_equality_delete_write(spark, tmp_path):
+    """mode=merge-on-read + equality_columns: the DELETE writes an
+    EQUALITY-delete file (content=2, equality_ids recorded) holding the
+    matched rows' distinct keys; every older row with a matching key
+    dies, a key re-inserted AFTER the delete survives (strict seq <)."""
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        delete_iceberg_lite,
+        read_iceberg_lite,
+        write_iceberg_lite,
+    )
+
+    table = str(tmp_path / "ice_eq_del")
+    write_iceberg_lite(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", -2.0), (3, "b", 3.0), (4, "c", 4.0)],
+            "id long, k string, v double",
+        ),
+        table,
+    )
+    data_files = sorted(
+        __import__("glob").glob(
+            os.path.join(table, "data", "**", "*.parquet"), recursive=True
+        )
+    )
+    sizes = {p: os.path.getsize(p) for p in data_files}
+    # delete BY KEY k for rows matching v < 0: key 'b' is matched, so
+    # BOTH b-rows die (ids 2 and 3) — the spec's delete-by-key shape
+    stats = delete_iceberg_lite(
+        spark, table, "v < 0", mode="merge-on-read",
+        equality_columns=["k"],
+    )
+    assert stats["files_rewritten"] == 0
+    assert stats["rows_deleted"] == 2
+    for p, sz in sizes.items():
+        assert os.path.getsize(p) == sz  # nothing rewritten
+    got = sorted(r.id for r in read_iceberg_lite(spark, table).collect())
+    assert got == [1, 4]
+    # manifest entry: content=2 with the key column's field id
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        _load_metadata,
+        _manifest_entries,
+        _snapshot,
+    )
+
+    meta = _load_metadata(table)
+    entries = _manifest_entries(table, _snapshot(meta, None))
+    eq_entries = [
+        e for e in entries if (e["data_file"].get("content") or 0) == 2
+    ]
+    assert eq_entries and eq_entries[0]["data_file"]["equality_ids"] == [2]
+    # a 'b' row re-inserted AFTER the delete has a higher data seq and
+    # survives (equality deletes apply strictly to older data)
+    write_iceberg_lite(
+        spark.createDataFrame([(9, "b", 9.0)], "id long, k string, v double"),
+        table, mode="append",
+    )
+    got = sorted(r.id for r in read_iceberg_lite(spark, table).collect())
+    assert got == [1, 4, 9]
+
+
+def test_iceberg_equality_delete_requires_mor_and_known_columns(
+    spark, tmp_path
+):
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        delete_iceberg_lite,
+        write_iceberg_lite,
+    )
+
+    table = str(tmp_path / "ice_eq_guard")
+    write_iceberg_lite(spark.range(3).selectExpr("id"), table)
+    with pytest.raises(ValueError, match="merge-on-read"):
+        delete_iceberg_lite(
+            spark, table, "id = 1", equality_columns=["id"]
+        )
+    with pytest.raises(ValueError, match="not in table schema"):
+        delete_iceberg_lite(
+            spark, table, "id = 1", mode="merge-on-read",
+            equality_columns=["nope"],
+        )
+
+
+def test_iceberg_equality_delete_via_uri(spark, tmp_path):
+    from spark_etl_cli_spark.registry import resolve_source
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        read_iceberg_lite,
+        write_iceberg_lite,
+    )
+
+    table = str(tmp_path / "ice_eq_uri")
+    write_iceberg_lite(
+        spark.createDataFrame(
+            [(1, "x"), (2, "y"), (3, "x")], "id long, k string"
+        ),
+        table,
+    )
+    _, src = resolve_source(
+        f"rep+iceberg-delete://{table}?where=id = 1"
+        "&mode=merge-on-read&equality-columns=k"
+    )
+    report = src.read(spark).collect()[0]
+    assert report.rows_deleted == 2  # both k='x' rows
+    assert sorted(
+        r.id for r in read_iceberg_lite(spark, table).collect()
+    ) == [2]
