@@ -115,6 +115,39 @@ def dedup_transform(p: ParsedUri) -> TransformFn:
     return run
 
 
+@register_transform("cdc-apply")
+def cdc_apply_transform(p: ParsedUri) -> TransformFn:
+    """``in+out+cdc-apply://?key=id&sequence=version[&type-col=_change_type
+    &delete-values=delete&ignore-values=update_preimage]``.
+
+    Materialize the current snapshot implied by a change log: latest
+    change per key wins, keys whose latest change is a delete vanish
+    (operators/cdc.py). Pair with ``delta-stream://?readChangeFeed=true``
+    or any CDC-shaped frame.
+    """
+    keys = _csv_param(p, "key")
+    seq = _csv_param(p, "sequence")
+    if not keys or not seq:
+        raise ValueError("cdc-apply:// needs ?key=<cols>&sequence=<cols>")
+    type_col = p.params.get("type-col", "_change_type")
+    deletes = tuple(_csv_param(p, "delete-values", "delete"))
+    ignores = tuple(_csv_param(p, "ignore-values", "update_preimage"))
+
+    def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        from spark_etl_cli_spark.operators.cdc import apply_changes_snapshot
+
+        return apply_changes_snapshot(
+            df,
+            keys,
+            seq,
+            change_type_col=type_col if type_col in df.columns else None,
+            delete_values=deletes,
+            ignore_values=ignores,
+        )
+
+    return run
+
+
 @register_transform("asof")
 def asof_transform(p: ParsedUri) -> TransformFn:
     """``in+out+asof://rightView?key=sym&left-ts=ts&right-ts=ts``.

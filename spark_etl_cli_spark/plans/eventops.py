@@ -251,6 +251,49 @@ def q138_last_touch_attribution(spark, sf_dir):
     )
 
 
+# --- q154: CDC apply-changes snapshot --------------------------------------
+# The latest-change-per-key materialization (operators/cdc.py) over the
+# events table read as a change log: user_id is the key, (ts, event_id)
+# the sequence, and an 'error' event tombstones its user. One shuffle
+# on the key + a row_number window — the minimal plan; per-key state is
+# bounded by events-per-user. This is the relational core of the
+# ?mode=cdc delta sink, proven against the oracle.
+@query(
+    "q154_cdc_apply",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, CAST(value AS DOUBLE) AS value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           event_type AS last_type,
+           value AS last_value
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def q154_cdc_apply(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from spark_etl_cli_spark.operators.cdc import apply_changes_snapshot
+
+    snap = apply_changes_snapshot(
+        events(spark, sf_dir),
+        keys=["user_id"],
+        sequence_cols=["ts", "event_id"],
+        change_type_col="event_type",
+        delete_values=("error",),
+        ignore_values=(),
+    )
+    return snap.select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.col("value").cast("double").alias("last_value"),
+    )
+
+
 # --- q150: per-key EWMA smoothing (deterministic sequential fold) ---------
 # Time-series smoothing as a SORTED per-key fold: collect each user's
 # values in (ts, event_id) order and fold s = (s + x)/2 — EWMA with

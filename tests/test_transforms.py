@@ -114,3 +114,37 @@ def test_diff_requires_id_cols(diff_pair):
         diff(left, right, [])
     with pytest.raises(ValueError):
         diff(left, right, ["missing"])
+
+
+def test_cdc_apply_transform_materializes_snapshot(spark):
+    from spark_etl_cli_spark.registry import resolve_transform
+
+    df = spark.createDataFrame(
+        [
+            # id=1: insert then update -> latest value
+            (1, 1, "insert", 10.0),
+            (1, 2, "update_postimage", 11.0),
+            (1, 2, "update_preimage", 10.0),  # descriptive, ignored
+            # id=2: insert then delete -> gone
+            (2, 1, "insert", 20.0),
+            (2, 3, "delete", 20.0),
+            # id=3: plain insert
+            (3, 2, "insert", 30.0),
+        ],
+        "id long, version long, _change_type string, v double",
+    )
+    df.createOrReplaceTempView("chg")
+    _uri, fn = resolve_transform(
+        "chg+snap+cdc-apply://?key=id&sequence=version"
+    )
+    got = {(r["id"], r["v"]) for r in fn(spark, df).collect()}
+    assert got == {(1, 11.0), (3, 30.0)}
+
+
+def test_cdc_apply_transform_requires_key_and_sequence(spark):
+    import pytest
+
+    from spark_etl_cli_spark.registry import resolve_transform
+
+    with pytest.raises(ValueError, match="key"):
+        resolve_transform("a+b+cdc-apply://?sequence=v")
