@@ -162,6 +162,34 @@ def _snapshot(meta: dict, snapshot_id: int | None) -> dict:
     raise ValueError(f"snapshot-id {snapshot_id} not found")
 
 
+def snapshot_id_at_timestamp(meta: dict, ts: int | str) -> int:
+    """The snapshot current AS OF ``ts`` (epoch millis, or an ISO
+    date/datetime string) — the newest snapshot whose ``timestamp-ms``
+    is <= ts; raises if the table has none that old (same contract as
+    the engines' ``FOR SYSTEM_TIME AS OF``)."""
+    if isinstance(ts, str) and not ts.isdigit():
+        import datetime as _dt
+
+        parsed = _dt.datetime.fromisoformat(ts)
+        if parsed.tzinfo is None:
+            parsed = parsed.replace(tzinfo=_dt.timezone.utc)
+        ts_ms = int(parsed.timestamp() * 1000)
+    else:
+        ts_ms = int(ts)
+    eligible = [
+        s
+        for s in (meta.get("snapshots") or [])
+        if int(s.get("timestamp-ms") or 0) <= ts_ms
+    ]
+    if not eligible:
+        raise ValueError(
+            f"no iceberg snapshot at or before timestamp {ts!r}"
+        )
+    return max(eligible, key=lambda s: int(s["timestamp-ms"]))[
+        "snapshot-id"
+    ]
+
+
 def _manifest_entries(table_path: str, snap: dict) -> list[dict]:
     """All manifest entries of a snapshot, each annotated with its
     resolved DATA SEQUENCE NUMBER as ``__data_seq`` (spec: a null
@@ -722,6 +750,7 @@ def write_iceberg_lite(
     table_path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Commit ``df`` to an Iceberg table; returns the new snapshot id.
 
@@ -754,12 +783,35 @@ def write_iceberg_lite(
     prior = _load_metadata(table_path) if existing else None
     if prior is not None:
         prior_schema = _schema_to_spark(prior)
-        if [f.name for f in prior_schema.fields] != list(df.columns):
-            raise ValueError(
-                "iceberg_lite append schema mismatch: table has "
-                f"{[f.name for f in prior_schema.fields]}, frame has "
-                f"{list(df.columns)}"
-            )
+        prior_names = [f.name for f in prior_schema.fields]
+        if prior_names != list(df.columns):
+            new_cols = [c for c in df.columns if c not in prior_names]
+            absent = [c for c in prior_names if c not in df.columns]
+            if not (merge_schema and mode == "append" and new_cols
+                    and not absent):
+                raise ValueError(
+                    "iceberg_lite append schema mismatch: table has "
+                    f"{prior_names}, frame has {list(df.columns)}"
+                    + ("" if merge_schema else
+                       " (pass merge_schema=True / ?mergeSchema=true "
+                       "to ADD columns on append)")
+                )
+            # schema evolution: prior columns keep their POSITIONS (and
+            # therefore their deterministic field ids), new columns
+            # append at the tail with fresh tail ids. Old data files
+            # simply lack the new columns; the schema-driven scan reads
+            # them as null — the spec's add-column semantics.
+            mistyped = [
+                f.name
+                for f in prior_schema.fields
+                if df.schema[f.name].dataType != f.dataType
+            ]
+            if mistyped:
+                raise ValueError(
+                    "iceberg_lite merge-schema cannot change existing "
+                    f"column types: {mistyped}"
+                )
+            df = df.select(*prior_names, *new_cols)
         prior_parts = [src for _, src, _ in _identity_partition_fields(prior)]
         if partition_by is None:
             partition_by = prior_parts or None

@@ -825,6 +825,20 @@ class IcebergSource:
                 df = df.filter(w)  # same ?where= contract as batch
             return apply_watermark(df, self.uri.params.get("watermark"))
         sid = self.uri.params.get("snapshot-id")
+        as_of_ts = self.uri.params.get("as-of-timestamp")
+        if sid is not None and as_of_ts is not None:
+            raise ValueError(
+                "pass ?snapshot-id= OR ?as-of-timestamp=, not both"
+            )
+        if as_of_ts is not None:
+            from spark_etl_cli_spark.sources.iceberg_lite import (
+                _load_metadata,
+                snapshot_id_at_timestamp,
+            )
+
+            sid = snapshot_id_at_timestamp(
+                _load_metadata(self.uri.path), as_of_ts
+            )
         return read_iceberg_lite(
             spark, self.uri.path,
             snapshot_id=int(sid) if sid is not None else None,
@@ -866,7 +880,9 @@ class IcebergSink:
             c for c in self.uri.params.get("partitionCols", "").split(",") if c
         ]
         write_iceberg_lite(
-            df, self.uri.path, mode=mode, partition_by=parts or None
+            df, self.uri.path, mode=mode, partition_by=parts or None,
+            merge_schema=self.uri.params.get("mergeSchema", "").lower()
+            in ("1", "true", "yes"),
         )
         return True
 
@@ -972,9 +988,33 @@ class HudiSink:
         if df.isStreaming:
             from spark_etl_cli_spark.sources.base import stream_via_foreach_batch
 
+            # streaming honors the same mode surface as batch: append
+            # (default) or upsert (record-key MERGE per micro-batch —
+            # the hudi streaming-CDC shape; COW rewrites matched
+            # slices, MOR appends log blocks)
+            smode = self.uri.params.get(
+                "mode", self.uri.params.get("write-mode", "append")
+            )
+            if smode not in ("append", "upsert"):
+                raise ValueError(
+                    "streaming hudi sink supports mode=append|upsert, "
+                    f"got {smode!r}"
+                )
+            rk = self.uri.params.get(
+                "record-key", self.uri.params.get("recordKey")
+            )
+            sparts = [
+                c
+                for c in self.uri.params.get("partitionCols", "").split(",")
+                if c
+            ]
+            ttype = self.uri.params.get("table-type", "COPY_ON_WRITE")
             return stream_via_foreach_batch(
                 df,
-                lambda b: write_hudi_lite(b, self.uri.path, mode="append"),
+                lambda b: write_hudi_lite(
+                    b, self.uri.path, mode=smode, record_key=rk,
+                    partition_by=sparts or None, table_type=ttype,
+                ),
                 self.uri,
             )
         mode = self.uri.params.get(

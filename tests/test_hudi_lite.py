@@ -1094,3 +1094,46 @@ def test_incremental_via_uri(spark, tmp_path):
         f"h+hudi://{path}?begin-instant={ts0}&where=v < 10"
     )
     assert {r["id"] for r in src.read(spark).collect()} == {2}
+
+
+def test_hudi_streaming_upsert_sink(spark, tmp_path):
+    """?mode=upsert&record-key= on a streaming hudi sink: each
+    micro-batch is a record-key MERGE — the hudi streaming-CDC shape."""
+    from spark_etl_cli_spark.registry import resolve_sink
+    from spark_etl_cli_spark.sources.hudi_lite import (
+        read_hudi_lite,
+        write_hudi_lite,
+    )
+
+    path = str(tmp_path / "tbl")
+    src = str(tmp_path / "src")
+    write_hudi_lite(
+        spark.createDataFrame([Row(id=1, v=1.0), Row(id=2, v=2.0)]),
+        path, record_key="id",
+    )
+    spark.createDataFrame(
+        [Row(id=2, v=20.0), Row(id=4, v=4.0)]
+    ).write.parquet(src)
+    stream = spark.readStream.schema("id long, v double").parquet(src)
+    _, sink = resolve_sink(
+        f"s+hudi://{path}?mode=upsert&record-key=id"
+        f"&checkpointLocation={tmp_path}/ckpt&trigger-interval=availableNow"
+    )
+    assert sink.write(stream) is True
+    for q in spark.streams.active:
+        q.awaitTermination(120)
+    got = {r["id"]: r["v"] for r in read_hudi_lite(spark, path).collect()}
+    assert got == {1: 1.0, 2: 20.0, 4: 4.0}
+
+
+def test_hudi_streaming_sink_rejects_unknown_mode(spark, tmp_path):
+    from spark_etl_cli_spark.registry import resolve_sink
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    _, sink = resolve_sink(
+        f"s+hudi://{tmp_path}/t?mode=overwrite&trigger-interval=availableNow"
+    )
+    with pytest.raises(ValueError, match="append|upsert"):
+        sink.write(stream)

@@ -1143,3 +1143,107 @@ def test_iceberg_equality_delete_via_uri(spark, tmp_path):
     assert sorted(
         r.id for r in read_iceberg_lite(spark, table).collect()
     ) == [2]
+
+
+def test_iceberg_as_of_timestamp_time_travel(spark, tmp_path):
+    from spark_etl_cli_spark.registry import resolve_source
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        _load_metadata,
+        snapshot_id_at_timestamp,
+        write_iceberg_lite,
+    )
+
+    table = str(tmp_path / "ice_ts")
+    write_iceberg_lite(spark.range(3).selectExpr("id"), table)
+    meta1 = _load_metadata(table)
+    ts1 = meta1["snapshots"][-1]["timestamp-ms"]
+    write_iceberg_lite(
+        spark.range(3, 6).selectExpr("id"), table, mode="append"
+    )
+    # resolve by epoch millis (exactly the first snapshot's stamp)
+    assert snapshot_id_at_timestamp(_load_metadata(table), ts1) == (
+        meta1["snapshots"][-1]["snapshot-id"]
+    )
+    _, src = resolve_source(
+        f"t+iceberg://{table}?as-of-timestamp={ts1}"
+    )
+    assert sorted(r.id for r in src.read(spark).collect()) == [0, 1, 2]
+    # too-early timestamp raises
+    with pytest.raises(ValueError, match="no iceberg snapshot"):
+        snapshot_id_at_timestamp(_load_metadata(table), 0)
+    # both params at once is an error
+    _, src2 = resolve_source(
+        f"t+iceberg://{table}?as-of-timestamp={ts1}&snapshot-id=1"
+    )
+    with pytest.raises(ValueError, match="not both"):
+        src2.read(spark)
+
+
+def test_iceberg_merge_schema_appends_columns(spark, tmp_path):
+    from spark_etl_cli_spark.registry import resolve_sink
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        _current_schema,
+        _load_metadata,
+        read_iceberg_lite,
+        write_iceberg_lite,
+    )
+
+    table = str(tmp_path / "ice_evolve")
+    write_iceberg_lite(
+        spark.createDataFrame([(1, "a")], "id long, k string"), table
+    )
+    # plain append with extra column refuses, pointing at mergeSchema
+    with pytest.raises(ValueError, match="mergeSchema"):
+        write_iceberg_lite(
+            spark.createDataFrame(
+                [(2, "b", 2.5)], "id long, k string, score double"
+            ),
+            table, mode="append",
+        )
+    write_iceberg_lite(
+        spark.createDataFrame(
+            [(2, "b", 2.5)], "id long, k string, score double"
+        ),
+        table, mode="append", merge_schema=True,
+    )
+    got = {(r["id"], r["k"], r["score"])
+           for r in read_iceberg_lite(spark, table).collect()}
+    # pre-evolution rows read null for the added column
+    assert got == {(1, "a", None), (2, "b", 2.5)}
+    # prior field ids survived; the new column took a tail id
+    fields = _current_schema(_load_metadata(table))["fields"]
+    assert [(f["name"], f["id"]) for f in fields] == [
+        ("id", 1), ("k", 2), ("score", 3),
+    ]
+    # a subsequent PLAIN append against the evolved schema still works
+    # and regenerates the same ids
+    _, sink = resolve_sink(f"s+iceberg://{table}?mode=append")
+    sink.write(
+        spark.createDataFrame(
+            [(3, "c", 3.5)], "id long, k string, score double"
+        )
+    )
+    assert read_iceberg_lite(spark, table).count() == 3
+    fields2 = _current_schema(_load_metadata(table))["fields"]
+    assert fields == fields2
+
+
+def test_iceberg_merge_schema_cannot_retype_or_drop(spark, tmp_path):
+    from spark_etl_cli_spark.sources.iceberg_lite import write_iceberg_lite
+
+    table = str(tmp_path / "ice_evolve_guard")
+    write_iceberg_lite(
+        spark.createDataFrame([(1, "a")], "id long, k string"), table
+    )
+    with pytest.raises(ValueError, match="column types"):
+        write_iceberg_lite(
+            spark.createDataFrame(
+                [(2, 2, 9.0)], "id long, k int, extra double"
+            ),
+            table, mode="append", merge_schema=True,
+        )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_iceberg_lite(
+            spark.createDataFrame([(2, 9.0)], "id long, extra double"),
+            table, mode="append", merge_schema=True,
+        )
