@@ -943,14 +943,63 @@ def write_delta_lite(
         part_cols = list(partition_by or [])
         merged_schema = None
 
+    phys_part_cols = list(part_cols)
+    if exists:
+        # column-mapped tables: data files (and partitionValues keys)
+        # speak PHYSICAL names — project the frame to them before the
+        # write, exactly inverse to the reader's logical restore
+        table_schema_m = T.StructType.fromJson(
+            json.loads(meta["schemaString"])
+        )
+        phys_schema_m, mapped_m = _physical_schema(table_schema_m)
+        if mapped_m:
+            nested_mapped = any(
+                f.dataType != pf.dataType
+                for f, pf in zip(
+                    table_schema_m.fields, phys_schema_m.fields
+                )
+            )
+            if nested_mapped:
+                raise NotImplementedError(
+                    "delta-lite writes to tables with NESTED column "
+                    "mapping need delta-spark"
+                )
+            if merged_schema is not None:
+                raise NotImplementedError(
+                    "mergeSchema on a column-mapped table needs mapped "
+                    "ids for the new columns — use alter_delta_lite("
+                    "add=...) instead"
+                )
+            if mode == "overwrite" and df.schema.json() != meta[
+                "schemaString"
+            ]:
+                raise NotImplementedError(
+                    "schema-changing overwrite on a column-mapped "
+                    "table needs delta-spark (the replacement schema "
+                    "must re-assign mapping ids)"
+                )
+            phys_of_m = {
+                f.name: pf.name
+                for f, pf in zip(
+                    table_schema_m.fields, phys_schema_m.fields
+                )
+            }
+            df = df.select(
+                *[
+                    F.col(f.name).alias(phys_of_m[f.name])
+                    for f in table_schema_m.fields
+                ]
+            )
+            phys_part_cols = [phys_of_m[c] for c in part_cols]
+
     tmp_dir = tempfile.mkdtemp(prefix="delta_lite_write_")
     try:
         writer = df.write.mode("overwrite")
-        if part_cols:
-            writer = writer.partitionBy(*part_cols)
+        if phys_part_cols:
+            writer = writer.partitionBy(*phys_part_cols)
         writer.parquet(tmp_dir)
         os.makedirs(table_path, exist_ok=True)
-        adds = _collect_written_files(tmp_dir, table_path, part_cols)
+        adds = _collect_written_files(tmp_dir, table_path, phys_part_cols)
     finally:
         shutil.rmtree(tmp_dir, ignore_errors=True)
 
@@ -2685,6 +2734,185 @@ def restore_delta_lite(
         "version": version_as_of,
         "files_removed": len(to_remove),
         "files_restored": len(to_restore),
+    }
+
+
+def alter_delta_lite(
+    spark: SparkSession,
+    table_path: str,
+    rename: dict[str, str] | None = None,
+    drop: list[str] | None = None,
+    add: dict[str, str] | None = None,
+) -> dict:
+    """``ALTER TABLE``: RENAME COLUMN / DROP COLUMN / ADD COLUMN as a
+    metadata-only commit — no data file is read or rewritten.
+
+    RENAME and DROP need column mapping (the files keep their physical
+    column names; only the logical schema changes), so the first such
+    ALTER upgrades the table to ``delta.columnMapping.mode=name``:
+    every existing column gets its current name as its physicalName
+    (existing files keep reading) and the protocol gains the
+    columnMapping feature. ADD appends a nullable column — with a
+    fresh ``col-<uuid>`` physical name on mapped tables, as a plain
+    field otherwise (old files read null either way). Top-level
+    columns only; partition columns may be renamed but not dropped.
+
+    ``add`` maps column name → SQL type string (e.g. ``"double"``,
+    ``"array<string>"``).
+
+    Returns ``{"renamed", "dropped", "added"}`` counts.
+    """
+    import time
+    import uuid as _uuid
+
+    rename = dict(rename or {})
+    drop = list(drop or [])
+    add = dict(add or {})
+    if not (rename or drop or add):
+        raise ValueError("alter: nothing to do")
+    _adds, meta = _replay(spark, table_path)
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    names = [f.name for f in schema.fields]
+    part_cols = meta.get("partitionColumns") or []
+    missing = [c for c in list(rename) + drop if c not in names]
+    if missing:
+        raise ValueError(f"alter: unknown columns {missing}")
+    bad_drop = [c for c in drop if c in part_cols]
+    if bad_drop:
+        raise ValueError(
+            f"alter: cannot drop partition columns {bad_drop}"
+        )
+    if set(drop) >= set(names):
+        raise ValueError("alter: cannot drop every column")
+    post_names = [
+        rename.get(n, n) for n in names if n not in drop
+    ] + list(add)
+    dupes = sorted(
+        {n for n in post_names if post_names.count(n) > 1}
+    )
+    if dupes:
+        raise ValueError(f"alter: resulting duplicate columns {dupes}")
+
+    cfg = dict(meta.get("configuration") or {})
+    mapped = cfg.get("delta.columnMapping.mode") in ("name", "id")
+    needs_mapping = bool(rename or drop)
+    upgraded = False
+    fields = list(schema.fields)
+    max_id = int(cfg.get("delta.columnMapping.maxColumnId", 0) or 0)
+    if needs_mapping and not mapped:
+        # first rename/drop: assign ids + physicalName=current-name so
+        # every existing file keeps reading under the mapping
+        upgraded = True
+        mapped = True
+        new_fields = []
+        for i, f in enumerate(fields, start=1):
+            md = dict(f.metadata or {})
+            md["delta.columnMapping.id"] = i
+            md["delta.columnMapping.physicalName"] = f.name
+            new_fields.append(
+                T.StructField(f.name, f.dataType, f.nullable, md)
+            )
+        fields = new_fields
+        max_id = len(fields)
+        cfg["delta.columnMapping.mode"] = "name"
+
+    out_fields: list[T.StructField] = []
+    for f in fields:
+        if f.name in drop:
+            continue
+        out_fields.append(
+            T.StructField(
+                rename.get(f.name, f.name), f.dataType, f.nullable,
+                f.metadata,
+            )
+        )
+    for cname, ctype in add.items():
+        dt = (
+            spark.range(0)
+            .selectExpr(f"CAST(NULL AS {ctype}) AS c")
+            .schema[0]
+            .dataType
+        )
+        md = {}
+        if mapped:
+            max_id += 1
+            md = {
+                "delta.columnMapping.id": max_id,
+                "delta.columnMapping.physicalName": f"col-{_uuid.uuid4().hex}",
+            }
+        out_fields.append(T.StructField(cname, dt, True, md))
+    if mapped:
+        cfg["delta.columnMapping.maxColumnId"] = str(max_id)
+
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = []
+    if upgraded:
+        proto = _current_protocol(spark, table_path)
+        if int(proto.get("minReaderVersion", 1)) >= 3:
+            actions.append(
+                {
+                    "protocol": {
+                        **proto,
+                        "readerFeatures": sorted(
+                            set(proto.get("readerFeatures") or [])
+                            | {"columnMapping"}
+                        ),
+                        "writerFeatures": sorted(
+                            set(proto.get("writerFeatures") or [])
+                            | {"columnMapping"}
+                        ),
+                    }
+                }
+            )
+        elif (
+            int(proto.get("minReaderVersion", 1)) < 2
+            or int(proto.get("minWriterVersion", 2)) < 5
+        ):
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": max(
+                            2, int(proto.get("minReaderVersion", 1))
+                        ),
+                        "minWriterVersion": max(
+                            5, int(proto.get("minWriterVersion", 2))
+                        ),
+                    }
+                }
+            )
+    actions.append(
+        {
+            "metaData": {
+                **meta,
+                "schemaString": T.StructType(out_fields).json(),
+                "partitionColumns": [
+                    rename.get(c, c) for c in part_cols
+                ],
+                "configuration": cfg,
+            }
+        }
+    )
+    op = "RENAME COLUMN" if rename else (
+        "DROP COLUMNS" if drop else "ADD COLUMNS"
+    )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": op,
+                "operationParameters": {
+                    "rename": json.dumps(rename),
+                    "drop": json.dumps(drop),
+                    "add": json.dumps(add),
+                },
+            }
+        }
+    )
+    _write_commit(spark, table_path, actions)
+    return {
+        "renamed": len(rename),
+        "dropped": len(drop),
+        "added": len(add),
     }
 
 

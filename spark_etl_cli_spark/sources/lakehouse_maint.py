@@ -297,6 +297,46 @@ def delta_restore_source(p: ParsedUri) -> DeltaRestoreSource:
     return DeltaRestoreSource(p)
 
 
+@dataclass
+class DeltaAlterSource:
+    """``rep+delta-alter:///path/tbl?rename.old=new&drop=a,b
+    &add.col=<type>`` — metadata-only ALTER TABLE (rename/drop upgrade
+    the table to column mapping; adds read null from old files)."""
+
+    uri: ParsedUri
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        from spark_etl_cli_spark.sources.delta_lite import alter_delta_lite
+
+        rename = {
+            k[len("rename."):]: v
+            for k, v in self.uri.params.items()
+            if k.startswith("rename.")
+        }
+        add = {
+            k[len("add."):]: v
+            for k, v in self.uri.params.items()
+            if k.startswith("add.")
+        }
+        drop = [
+            c for c in self.uri.params.get("drop", "").split(",") if c
+        ]
+        stats = alter_delta_lite(
+            spark, self.uri.path,
+            rename=rename or None, drop=drop or None, add=add or None,
+        )
+        return spark.createDataFrame(
+            [(self.uri.path, stats["renamed"], stats["dropped"],
+              stats["added"])],
+            "table string, renamed int, dropped int, added int",
+        )
+
+
+@register_source("delta-alter")
+def delta_alter_source(p: ParsedUri) -> DeltaAlterSource:
+    return DeltaAlterSource(p)
+
+
 @register_source("delta-optimize")
 def delta_optimize_source(p: ParsedUri) -> DeltaOptimizeSource:
     return DeltaOptimizeSource(p)

@@ -1339,3 +1339,102 @@ def test_restore_via_maintenance_uri(spark, tmp_path):
     row = src.read(spark).head()
     assert row["restored_to"] == 0
     assert {r["id"] for r in read_delta_lite(spark, path).collect()} == {1}
+
+
+# --- ALTER TABLE (rename / drop / add via column mapping) --------------------
+
+
+def test_alter_rename_column_keeps_data_readable(spark, tmp_path):
+    from spark_etl_cli_spark.sources.delta_lite import alter_delta_lite
+
+    path = str(tmp_path / "tbl")
+    write_delta_lite(
+        spark.createDataFrame([Row(id=1, v=1.0), Row(id=2, v=2.0)]), path
+    )
+    stats = alter_delta_lite(spark, path, rename={"v": "amount"})
+    assert stats == {"renamed": 1, "dropped": 0, "added": 0}
+    out = read_delta_lite(spark, path)
+    assert out.columns == ["id", "amount"]
+    assert {(r["id"], r["amount"]) for r in out.collect()} == {
+        (1, 1.0), (2, 2.0),
+    }
+    # metadata-only: no new data files
+    assert len(_data_files(path)) == len(_data_files(path))
+    # protocol upgraded for column mapping
+    log = os.path.join(path, "_delta_log")
+    protos = []
+    for fname in sorted(os.listdir(log)):
+        if fname.endswith(".json"):
+            with open(os.path.join(log, fname)) as fh:
+                for line in fh:
+                    a = json.loads(line)
+                    if "protocol" in a:
+                        protos.append(a["protocol"])
+    assert protos[-1]["minReaderVersion"] >= 2
+
+
+def test_alter_drop_and_add_columns(spark, tmp_path):
+    from spark_etl_cli_spark.sources.delta_lite import alter_delta_lite
+
+    path = str(tmp_path / "tbl")
+    write_delta_lite(
+        spark.createDataFrame([Row(id=1, v=1.0, k="a")]), path
+    )
+    alter_delta_lite(spark, path, drop=["k"], add={"score": "double"})
+    out = read_delta_lite(spark, path)
+    assert out.columns == ["id", "v", "score"]
+    row = out.head()
+    assert row["score"] is None  # old files read null for added cols
+
+
+def test_alter_then_append_writes_physical_names(spark, tmp_path):
+    from spark_etl_cli_spark.sources.delta_lite import alter_delta_lite
+
+    path = str(tmp_path / "tbl")
+    write_delta_lite(spark.createDataFrame([Row(id=1, v=1.0)]), path)
+    alter_delta_lite(spark, path, rename={"v": "amount"})
+    # append AFTER the rename: the new file must store the PHYSICAL
+    # name ('v'), not the logical one, or reads would null it out
+    write_delta_lite(
+        spark.createDataFrame([Row(id=2, amount=2.0)]), path, mode="append"
+    )
+    got = {(r["id"], r["amount"])
+           for r in read_delta_lite(spark, path).collect()}
+    assert got == {(1, 1.0), (2, 2.0)}
+    import pyarrow.parquet as _pq
+
+    newest = max(_data_files(path), key=os.path.getmtime)
+    assert "v" in {f.name for f in _pq.read_schema(newest)}
+
+
+def test_alter_rename_partition_column(spark, tmp_path):
+    from spark_etl_cli_spark.sources.delta_lite import alter_delta_lite
+
+    path = str(tmp_path / "tbl")
+    _mk_table(spark, path)  # partitioned by 'part'
+    alter_delta_lite(spark, path, rename={"part": "bucket"})
+    out = read_delta_lite(spark, path, where="bucket = 'a'")
+    assert out.count() > 0 and "bucket" in out.columns
+    # appends keep working, directories stay under the physical name
+    write_delta_lite(
+        spark.createDataFrame([Row(id=99, bucket="a", v=9.0)]),
+        path, mode="append", partition_by=["bucket"],
+    )
+    assert read_delta_lite(
+        spark, path, where="bucket = 'a' and id = 99"
+    ).count() == 1
+
+
+def test_alter_guards(spark, tmp_path):
+    from spark_etl_cli_spark.sources.delta_lite import alter_delta_lite
+
+    path = str(tmp_path / "tbl")
+    _mk_table(spark, path)
+    with pytest.raises(ValueError, match="unknown columns"):
+        alter_delta_lite(spark, path, rename={"nope": "x"})
+    with pytest.raises(ValueError, match="partition columns"):
+        alter_delta_lite(spark, path, drop=["part"])
+    with pytest.raises(ValueError, match="duplicate"):
+        alter_delta_lite(spark, path, rename={"v": "id"})
+    with pytest.raises(ValueError, match="nothing to do"):
+        alter_delta_lite(spark, path)
