@@ -1020,6 +1020,207 @@ def write_iceberg_lite(
 # --- maintenance: compaction + snapshot expiry ----------------------------
 
 
+def upsert_iceberg_lite(
+    df: DataFrame,
+    table_path: str,
+    on: str,
+) -> dict:
+    """Copy-on-write UPSERT (key-matched MERGE): incoming rows REPLACE
+    existing rows with the same key, the rest insert — committed as ONE
+    ``overwrite`` snapshot (survivors EXISTING, rewrites + incoming
+    ADDED, affected files absent), the shape Iceberg's own
+    copy-on-write MERGE produces.
+
+    Location is one distributed semi-join over the key column: only
+    files holding ≥1 matching key are rewritten (minus the matched
+    keys); unaffected files are never read past the probe. Incoming
+    keys must be unique and non-null (a target row matches at most one
+    source row). Same honest fences as the other COW ops: live delete
+    files and non-identity partition transforms refuse.
+
+    Returns ``{"files_rewritten", "files_added", "rows_updated",
+    "rows_inserted"}``.
+    """
+    import time as _time
+    import uuid as _uuid
+
+    spark = df.sparkSession
+    if not (
+        is_iceberg_table(table_path)
+        and _glob.glob(
+            os.path.join(table_path, "metadata", "*.metadata.json")
+        )
+    ):
+        # MERGE into a missing table is CREATE (hudi/delta convention)
+        write_iceberg_lite(df, table_path)
+        return {
+            "files_rewritten": 0,
+            "files_added": 1,
+            "rows_updated": 0,
+            "rows_inserted": df.count(),
+        }
+    meta = _load_metadata(table_path)
+    schema = _schema_to_spark(meta)
+    if [(f.name, f.dataType) for f in df.schema.fields] != [
+        (f.name, f.dataType) for f in schema.fields
+    ]:
+        raise ValueError(
+            f"iceberg upsert schema mismatch: table has "
+            f"{schema.simpleString()}, frame has "
+            f"{df.schema.simpleString()}"
+        )
+    if on not in df.columns:
+        raise ValueError(f"upsert key {on!r} not in the table schema")
+    bad = (
+        df.groupBy(on)
+        .count()
+        .filter((F.col("count") > 1) | F.col(on).isNull())
+        .head(1)
+    )
+    if bad:
+        raise ValueError(
+            f"iceberg upsert: incoming {on!r} values must be unique and "
+            f"non-null; first offender: {bad[0][0]!r}"
+        )
+    snap = _snapshot(meta, None)
+    live = [
+        e for e in _manifest_entries(table_path, snap) if e.get("status") != 2
+    ]
+    if any((e.get("data_file") or {}).get("content") in (1, 2) for e in live):
+        raise NotImplementedError(
+            "upsert_iceberg_lite: table has live delete files; "
+            "copy-on-write MERGE under deletes needs merge semantics — "
+            "apply/compact the deletes first"
+        )
+    part_fields = _identity_partition_fields(meta)
+    specs = meta.get("partition-specs")
+    spec_field_count = len(
+        (next(
+            (s for s in (specs or []) if s.get("spec-id") == meta.get("default-spec-id", 0)),
+            {"fields": meta.get("partition-spec") or []},
+        ) or {}).get("fields", [])
+    )
+    if any((e.get("data_file") or {}).get("partition") for e in live) and (
+        not part_fields or spec_field_count != len(part_fields)
+    ):
+        raise NotImplementedError(
+            "upsert_iceberg_lite: non-identity partition transforms need "
+            "the engine's partition-aware writer"
+        )
+    scan, grouped, union_scan = _cow_scan_tools(
+        spark, table_path, meta, part_fields
+    )
+    spark_schema = schema
+    pnames = {src for _, src, _ in part_fields}
+    data_schema = T.StructType(
+        [f for f in spark_schema.fields if f.name not in pnames]
+    )
+    keys = df.select(on).distinct()
+    by_path = {
+        _localize(e["data_file"]["file_path"], table_path): e for e in live
+    }
+    affected: list[dict] = []
+    n_updated = 0
+    if live:
+        counts = (
+            union_scan(live, with_file=True)
+            .join(keys, on)
+            .groupBy("__file")
+            .count()
+            .collect()
+        )
+        for r in counts:
+            e = by_path.get(r["__file"])
+            if e is None:
+                raise RuntimeError(
+                    f"upsert_iceberg_lite: scanned file {r['__file']!r} "
+                    "missing from the manifest file list — refusing to "
+                    "commit a partial merge"
+                )
+            affected.append(e)
+        n_updated = sum(r["count"] for r in counts)
+    affected_ids = {id(e) for e in affected}
+    untouched = [e for e in live if id(e) not in affected_ids]
+    n_inserted = df.count() - n_updated
+
+    snapshot_id = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
+    seq = int(meta.get("last-sequence-number") or 0) + 1
+    now_ms = int(_time.time() * 1000)
+    commit_uuid = _uuid.uuid4().hex
+
+    new_adds: list[tuple[str, dict]] = []
+    # rewrites: affected groups minus the incoming keys
+    for gidx, (key, group) in enumerate(
+        sorted(
+            grouped(affected).items(),
+            key=lambda kv: tuple(str(v) for _, v in kv[0]),
+        )
+    ):
+        recorded = any(v is not None for _, v in key)
+        out_schema = data_schema if recorded else spark_schema
+        kept = (
+            scan(group, key, with_file=False)
+            .join(keys, on, "left_anti")
+            .select(*[f.name for f in out_schema.fields])
+        )
+        gdir = os.path.join(
+            table_path, "data", f"upsert-{commit_uuid}-{gidx}"
+        )
+        kept.write.parquet(gdir)
+        pv = dict(key) if recorded else {}
+        for p in sorted(_glob.glob(os.path.join(gdir, "*.parquet"))):
+            if _parquet_row_count(p) == 0:
+                continue
+            new_adds.append((p, pv))
+    # the full incoming frame lands as new files, partition-split when
+    # the table records identity partitions
+    in_dir = os.path.join(table_path, "data", f"upsert-in-{commit_uuid}")
+    pcols = [src for _, src, _ in part_fields]
+    if pcols and any(
+        (e["data_file"].get("partition") or {}) for e in live
+    ):
+        writer = df.write.partitionBy(*pcols)
+        writer.parquet(in_dir)
+        for p in sorted(
+            _glob.glob(os.path.join(in_dir, "**", "*.parquet"), recursive=True)
+        ):
+            if _parquet_row_count(p) == 0:
+                continue
+            rel = os.path.relpath(os.path.dirname(p), in_dir)
+            raw = {}
+            for seg in ([] if rel == "." else rel.split(os.sep)):
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    raw[k] = v
+            pv = {
+                pn: _hive_value(raw.get(src), dt)
+                for pn, src, dt in part_fields
+            }
+            new_adds.append((p, pv))
+    else:
+        df.write.parquet(in_dir)
+        for p in sorted(_glob.glob(os.path.join(in_dir, "*.parquet"))):
+            if _parquet_row_count(p) == 0:
+                continue
+            new_adds.append((p, {}))
+
+    _commit_rewrite_snapshot(
+        table_path, meta, untouched, new_adds, part_fields,
+        snapshot_id=snapshot_id, seq=seq, now_ms=now_ms,
+        commit_uuid=commit_uuid, operation="overwrite",
+        files_removed=len(affected), files_added=len(new_adds),
+        removed_rows=sum(
+            e["data_file"].get("record_count") or 0 for e in affected
+        ),
+    )
+    return {
+        "files_rewritten": len(affected),
+        "files_added": len(new_adds),
+        "rows_updated": n_updated,
+        "rows_inserted": n_inserted,
+    }
+
+
 def compact_iceberg_lite(
     spark: SparkSession,
     table_path: str,
@@ -1582,6 +1783,79 @@ def _delete_iceberg_mor(
     }
 
 
+def _cow_scan_tools(
+    spark: SparkSession,
+    table_path: str,
+    meta: dict,
+    part_fields: list[tuple[str, str, T.DataType]],
+):
+    """(scan, grouped, union_scan) closures shared by the copy-on-write
+    row ops (DELETE, upsert): per-partition-group scans under the full
+    logical schema, with partition columns restored as typed literals
+    when the manifest records them."""
+    spark_schema = _schema_to_spark(meta)
+    pnames = {src for _, src, _ in part_fields}
+    data_schema = T.StructType(
+        [f for f in spark_schema.fields if f.name not in pnames]
+    )
+
+    def scan(entry_group: list[dict], key: tuple, with_file: bool) -> DataFrame:
+        """One partition group under the full logical schema (+ __file).
+        All-None keys follow compaction's convention: the files carry
+        the partition columns physically, read the full schema."""
+        paths = [
+            _localize(e["data_file"]["file_path"], table_path)
+            for e in entry_group
+        ]
+        recorded = any(v is not None for _, v in key)
+        schema = data_schema if recorded else spark_schema
+        df = spark.read.schema(schema).parquet(*paths)
+        cols = []
+        pv = dict(key)
+        for f in spark_schema.fields:
+            if recorded and f.name in pnames:
+                raw = pv.get(
+                    next(pn for pn, src, _ in part_fields if src == f.name)
+                )
+                cols.append(
+                    (F.lit(raw) if raw is not None else F.lit(None))
+                    .cast(f.dataType)
+                    .alias(f.name)
+                )
+            else:
+                cols.append(F.col(f.name))
+        if with_file:
+            cols.append(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ).alias("__file")
+            )
+        return df.select(*cols)
+
+    def grouped(entries_list: list[dict]) -> dict[tuple, list[dict]]:
+        gs: dict[tuple, list[dict]] = {}
+        for e in entries_list:
+            pv = e["data_file"].get("partition") or {}
+            key = tuple((pn, pv.get(pn)) for pn, _, _ in part_fields)
+            gs.setdefault(key, []).append(e)
+        return gs
+
+    def union_scan(entries_list: list[dict], with_file: bool) -> DataFrame:
+        parts = [
+            scan(g, key, with_file)
+            for key, g in sorted(
+                grouped(entries_list).items(),
+                key=lambda kv: tuple(str(v) for _, v in kv[0]),
+            )
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    return scan, grouped, union_scan
+
+
 def delete_iceberg_lite(
     spark: SparkSession,
     table_path: str,
@@ -1672,65 +1946,13 @@ def delete_iceberg_lite(
     if not candidates:
         return zero
 
+    tools = _cow_scan_tools(spark, table_path, meta, part_fields)
+    scan, grouped, union_scan = tools
     spark_schema = _schema_to_spark(meta)
     pnames = {src for _, src, _ in part_fields}
     data_schema = T.StructType(
         [f for f in spark_schema.fields if f.name not in pnames]
     )
-
-    def scan(entry_group: list[dict], key: tuple, with_file: bool) -> DataFrame:
-        """One partition group under the full logical schema (+ __file).
-        All-None keys follow compaction's convention: the files carry
-        the partition columns physically, read the full schema."""
-        paths = [
-            _localize(e["data_file"]["file_path"], table_path)
-            for e in entry_group
-        ]
-        recorded = any(v is not None for _, v in key)
-        schema = data_schema if recorded else spark_schema
-        df = spark.read.schema(schema).parquet(*paths)
-        cols = []
-        pv = dict(key)
-        for f in spark_schema.fields:
-            if recorded and f.name in pnames:
-                raw = pv.get(
-                    next(pn for pn, src, _ in part_fields if src == f.name)
-                )
-                cols.append(
-                    (F.lit(raw) if raw is not None else F.lit(None))
-                    .cast(f.dataType)
-                    .alias(f.name)
-                )
-            else:
-                cols.append(F.col(f.name))
-        if with_file:
-            cols.append(
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:/+", "/"
-                ).alias("__file")
-            )
-        return df.select(*cols)
-
-    def grouped(entries_list: list[dict]) -> dict[tuple, list[dict]]:
-        gs: dict[tuple, list[dict]] = {}
-        for e in entries_list:
-            pv = e["data_file"].get("partition") or {}
-            key = tuple((pn, pv.get(pn)) for pn, _, _ in part_fields)
-            gs.setdefault(key, []).append(e)
-        return gs
-
-    def union_scan(entries_list: list[dict], with_file: bool) -> DataFrame:
-        parts = [
-            scan(g, key, with_file)
-            for key, g in sorted(
-                grouped(entries_list).items(),
-                key=lambda kv: tuple(str(v) for _, v in kv[0]),
-            )
-        ]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
 
     pred = F.coalesce(F.expr(where), F.lit(False))
     counts = (

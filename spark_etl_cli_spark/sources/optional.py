@@ -865,17 +865,44 @@ class IcebergSink:
     def write(self, df: DataFrame) -> bool:
         from spark_etl_cli_spark.sources.iceberg_lite import write_iceberg_lite
 
+        mode = self.uri.params.get(
+            "mode", self.uri.params.get("write-mode", "append")
+        )
         if df.isStreaming:
             from spark_etl_cli_spark.sources.base import stream_via_foreach_batch
 
+            if mode == "upsert":
+                from spark_etl_cli_spark.sources.iceberg_lite import (
+                    upsert_iceberg_lite,
+                )
+
+                key = self.uri.params.get("merge-key")
+                if not key:
+                    raise ValueError(
+                        "iceberg mode=upsert needs ?merge-key=<column>"
+                    )
+                return stream_via_foreach_batch(
+                    df,
+                    lambda b: upsert_iceberg_lite(b, self.uri.path, on=key),
+                    self.uri,
+                )
             return stream_via_foreach_batch(
                 df,
                 lambda b: write_iceberg_lite(b, self.uri.path, mode="append"),
                 self.uri,
             )
-        mode = self.uri.params.get(
-            "mode", self.uri.params.get("write-mode", "append")
-        )
+        if mode == "upsert":
+            from spark_etl_cli_spark.sources.iceberg_lite import (
+                upsert_iceberg_lite,
+            )
+
+            key = self.uri.params.get("merge-key")
+            if not key:
+                raise ValueError(
+                    "iceberg mode=upsert needs ?merge-key=<column>"
+                )
+            upsert_iceberg_lite(df, self.uri.path, on=key)
+            return True
         parts = [
             c for c in self.uri.params.get("partitionCols", "").split(",") if c
         ]

@@ -1247,3 +1247,135 @@ def test_iceberg_merge_schema_cannot_retype_or_drop(spark, tmp_path):
             spark.createDataFrame([(2, 9.0)], "id long, extra double"),
             table, mode="append", merge_schema=True,
         )
+
+
+def test_iceberg_upsert_replaces_matched_inserts_new(spark, tmp_path):
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        read_iceberg_lite,
+        upsert_iceberg_lite,
+        write_iceberg_lite,
+    )
+
+    table = str(tmp_path / "ice_up")
+    write_iceberg_lite(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(5)], "id long, v double"
+        ),
+        table,
+    )
+    write_iceberg_lite(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(5, 10)], "id long, v double"
+        ),
+        table, mode="append",
+    )
+    stats = upsert_iceberg_lite(
+        spark.createDataFrame(
+            [(3, 300.0), (7, 700.0), (20, 20.0)], "id long, v double"
+        ),
+        table, on="id",
+    )
+    assert stats["rows_updated"] == 2 and stats["rows_inserted"] == 1
+    assert stats["files_rewritten"] == 2  # both groups held a key
+    got = {r["id"]: r["v"] for r in read_iceberg_lite(spark, table).collect()}
+    assert got == {
+        0: 0.0, 1: 1.0, 2: 2.0, 3: 300.0, 4: 4.0,
+        5: 5.0, 6: 6.0, 7: 700.0, 8: 8.0, 9: 9.0, 20: 20.0,
+    }
+    # time travel: the pre-merge snapshot is intact
+    meta_path = sorted(
+        __import__("glob").glob(
+            os.path.join(table, "metadata", "*.metadata.json")
+        )
+    )[-1]
+    snaps = sorted(
+        s["snapshot-id"]
+        for s in json.load(open(meta_path))["snapshots"]
+    )
+    prev = read_iceberg_lite(spark, table, snapshot_id=snaps[1])
+    assert {r["v"] for r in prev.filter("id = 3").collect()} == {3.0}
+
+
+def test_iceberg_upsert_untouched_groups_not_rewritten(spark, tmp_path):
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        resolve_iceberg_files,
+        upsert_iceberg_lite,
+        write_iceberg_lite,
+    )
+
+    table = str(tmp_path / "ice_up2")
+    write_iceberg_lite(
+        spark.createDataFrame([(1, 1.0)], "id long, v double"), table
+    )
+    write_iceberg_lite(
+        spark.createDataFrame([(2, 2.0)], "id long, v double"),
+        table, mode="append",
+    )
+    before, _, _, _ = resolve_iceberg_files(spark, table)
+    upsert_iceberg_lite(
+        spark.createDataFrame([(2, 20.0)], "id long, v double"),
+        table, on="id",
+    )
+    after, _, _, _ = resolve_iceberg_files(spark, table)
+    # id=1's file survives verbatim (EXISTING)
+    survivors = set(before) & set(after)
+    assert len(survivors) == 1
+
+
+def test_iceberg_upsert_partitioned_and_via_uri(spark, tmp_path):
+    from spark_etl_cli_spark.registry import resolve_sink
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        read_iceberg_lite,
+        write_iceberg_lite,
+    )
+
+    table = str(tmp_path / "ice_up3")
+    write_iceberg_lite(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)], "id long, part string, v double"
+        ),
+        table, partition_by=["part"],
+    )
+    _, sink = resolve_sink(
+        f"s+iceberg://{table}?mode=upsert&merge-key=id"
+    )
+    sink.write(
+        spark.createDataFrame(
+            [(2, "b", 20.0), (3, "a", 3.0)], "id long, part string, v double"
+        )
+    )
+    out = read_iceberg_lite(spark, table)
+    got = {(r["id"], r["part"], r["v"]) for r in out.collect()}
+    assert got == {(1, "a", 1.0), (2, "b", 20.0), (3, "a", 3.0)}
+    # partition pruning still binds after the merge
+    assert read_iceberg_lite(spark, table, where="part = 'a'").count() == 2
+
+
+def test_iceberg_upsert_guards(spark, tmp_path):
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        delete_iceberg_lite,
+        upsert_iceberg_lite,
+        write_iceberg_lite,
+    )
+
+    table = str(tmp_path / "ice_up4")
+    write_iceberg_lite(
+        spark.createDataFrame([(1, 1.0)], "id long, v double"), table
+    )
+    with pytest.raises(ValueError, match="unique"):
+        upsert_iceberg_lite(
+            spark.createDataFrame(
+                [(1, 1.0), (1, 2.0)], "id long, v double"
+            ),
+            table, on="id",
+        )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        upsert_iceberg_lite(
+            spark.createDataFrame([(1,)], "id long"), table, on="id"
+        )
+    delete_iceberg_lite(spark, table, "id = 1", mode="merge-on-read")
+    with pytest.raises(NotImplementedError, match="delete files"):
+        upsert_iceberg_lite(
+            spark.createDataFrame([(2, 2.0)], "id long, v double"),
+            table, on="id",
+        )
