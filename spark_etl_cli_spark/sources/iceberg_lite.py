@@ -1221,6 +1221,197 @@ def upsert_iceberg_lite(
     }
 
 
+def apply_changes_iceberg_lite(
+    changes: DataFrame,
+    table_path: str,
+    on: str,
+) -> dict:
+    """Apply a change feed (table columns + ``_change_type``
+    [+ ``_commit_version``]) to an Iceberg table — deletes delete,
+    updates update, inserts insert, latest change per key wins — as ONE
+    copy-on-write ``overwrite`` snapshot: affected files are rewritten
+    minus every changed key, and the non-delete survivors land as new
+    files. The iceberg face of delta's ``?mode=cdc`` sink; pairs with
+    ``delta-stream://?readChangeFeed=true`` for cross-format
+    replication. Fully distributed: no key lists on the driver.
+    """
+    from spark_etl_cli_spark.operators.cdc import apply_changes_snapshot
+
+    meta_cols = ("_commit_version", "_commit_timestamp")
+    data_cols = [
+        c
+        for c in changes.columns
+        if c != "_change_type" and c not in meta_cols
+    ]
+    latest = apply_changes_snapshot(
+        changes,
+        keys=[on],
+        sequence_cols=[
+            c for c in ("_commit_version",) if c in changes.columns
+        ]
+        or [on],
+        change_type_col="_change_type",
+        delete_values=(),  # keep deletes: their keys must purge below
+        ignore_values=("update_preimage",),
+    )
+    upserts = latest.filter(
+        F.col("_change_type") != "delete"
+    ).select(*data_cols)
+    if not (
+        is_iceberg_table(table_path)
+        and _glob.glob(
+            os.path.join(table_path, "metadata", "*.metadata.json")
+        )
+    ):
+        write_iceberg_lite(upserts, table_path)
+        return {
+            "files_rewritten": 0,
+            "files_added": 1,
+            "rows_upserted": upserts.count(),
+            "rows_matched": 0,
+        }
+    # One overwrite snapshot via the upsert machinery with an expanded
+    # purge set: EVERY changed key leaves the affected files; only
+    # non-delete survivors come back. Implemented as: delete-keyed rows
+    # are upserted too, then dropped — simplest is to run the COW
+    # rewrite directly here.
+    import time as _time
+    import uuid as _uuid
+
+    spark = changes.sparkSession
+    meta = _load_metadata(table_path)
+    schema = _schema_to_spark(meta)
+    if [(f.name, f.dataType) for f in upserts.schema.fields] != [
+        (f.name, f.dataType) for f in schema.fields
+    ]:
+        raise ValueError(
+            f"iceberg cdc apply schema mismatch: table has "
+            f"{schema.simpleString()}, changes carry "
+            f"{upserts.schema.simpleString()}"
+        )
+    snap = _snapshot(meta, None)
+    live = [
+        e for e in _manifest_entries(table_path, snap) if e.get("status") != 2
+    ]
+    if any((e.get("data_file") or {}).get("content") in (1, 2) for e in live):
+        raise NotImplementedError(
+            "apply_changes_iceberg_lite: table has live delete files; "
+            "apply/compact them first"
+        )
+    part_fields = _identity_partition_fields(meta)
+    scan, grouped, union_scan = _cow_scan_tools(
+        spark, table_path, meta, part_fields
+    )
+    pnames = {src for _, src, _ in part_fields}
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in pnames]
+    )
+    all_keys = latest.select(on).distinct()
+    by_path = {
+        _localize(e["data_file"]["file_path"], table_path): e for e in live
+    }
+    affected: list[dict] = []
+    n_matched = 0
+    if live:
+        counts = (
+            union_scan(live, with_file=True)
+            .join(all_keys, on)
+            .groupBy("__file")
+            .count()
+            .collect()
+        )
+        for r in counts:
+            e = by_path.get(r["__file"])
+            if e is None:
+                raise RuntimeError(
+                    "apply_changes_iceberg_lite: scanned file "
+                    f"{r['__file']!r} missing from the manifest list"
+                )
+            affected.append(e)
+        n_matched = sum(r["count"] for r in counts)
+    affected_ids = {id(e) for e in affected}
+    untouched = [e for e in live if id(e) not in affected_ids]
+
+    snapshot_id = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
+    seq = int(meta.get("last-sequence-number") or 0) + 1
+    now_ms = int(_time.time() * 1000)
+    commit_uuid = _uuid.uuid4().hex
+    new_adds: list[tuple[str, dict]] = []
+    for gidx, (key, group) in enumerate(
+        sorted(
+            grouped(affected).items(),
+            key=lambda kv: tuple(str(v) for _, v in kv[0]),
+        )
+    ):
+        recorded = any(v is not None for _, v in key)
+        out_schema = data_schema if recorded else schema
+        kept = (
+            scan(group, key, with_file=False)
+            .join(all_keys, on, "left_anti")
+            .select(*[f.name for f in out_schema.fields])
+        )
+        gdir = os.path.join(table_path, "data", f"cdc-{commit_uuid}-{gidx}")
+        kept.write.parquet(gdir)
+        pv = dict(key) if recorded else {}
+        for p in sorted(_glob.glob(os.path.join(gdir, "*.parquet"))):
+            if _parquet_row_count(p) == 0:
+                continue
+            new_adds.append((p, pv))
+    in_dir = os.path.join(table_path, "data", f"cdc-in-{commit_uuid}")
+    pcols = [src for _, src, _ in part_fields]
+    n_upserted = 0
+    if pcols and any(
+        (e["data_file"].get("partition") or {}) for e in live
+    ):
+        upserts.write.partitionBy(*pcols).parquet(in_dir)
+        for p in sorted(
+            _glob.glob(os.path.join(in_dir, "**", "*.parquet"), recursive=True)
+        ):
+            n = _parquet_row_count(p)
+            if n == 0:
+                continue
+            n_upserted += n
+            rel = os.path.relpath(os.path.dirname(p), in_dir)
+            raw = {}
+            for seg in ([] if rel == "." else rel.split(os.sep)):
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    raw[k] = v
+            new_adds.append(
+                (p, {
+                    pn: _hive_value(raw.get(src), dt)
+                    for pn, src, dt in part_fields
+                })
+            )
+    else:
+        upserts.write.parquet(in_dir)
+        for p in sorted(_glob.glob(os.path.join(in_dir, "*.parquet"))):
+            n = _parquet_row_count(p)
+            if n == 0:
+                continue
+            n_upserted += n
+            new_adds.append((p, {}))
+
+    _commit_rewrite_snapshot(
+        table_path, meta, untouched, new_adds, part_fields,
+        snapshot_id=snapshot_id, seq=seq, now_ms=now_ms,
+        commit_uuid=commit_uuid, operation="overwrite",
+        files_removed=len(affected), files_added=len(new_adds),
+        removed_rows=sum(
+            e["data_file"].get("record_count") or 0 for e in affected
+        ),
+    )
+    return {
+        "files_rewritten": len(affected),
+        "files_added": len(new_adds),
+        # rows written from the change set (updates + inserts), and
+        # pre-existing rows that matched a changed key (each was either
+        # replaced or deleted)
+        "rows_upserted": n_upserted,
+        "rows_matched": n_matched,
+    }
+
+
 def compact_iceberg_lite(
     spark: SparkSession,
     table_path: str,

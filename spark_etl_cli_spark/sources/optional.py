@@ -886,6 +886,21 @@ class IcebergSink:
                     lambda b: upsert_iceberg_lite(b, self.uri.path, on=key),
                     self.uri,
                 )
+            if mode == "cdc":
+                from spark_etl_cli_spark.sources.iceberg_lite import (
+                    apply_changes_iceberg_lite,
+                )
+
+                on = self.uri.params.get("on")
+                if not on:
+                    raise ValueError("iceberg mode=cdc needs ?on=<key>")
+                return stream_via_foreach_batch(
+                    df,
+                    lambda b: apply_changes_iceberg_lite(
+                        b, self.uri.path, on=on
+                    ),
+                    self.uri,
+                )
             return stream_via_foreach_batch(
                 df,
                 lambda b: write_iceberg_lite(b, self.uri.path, mode="append"),
@@ -902,6 +917,16 @@ class IcebergSink:
                     "iceberg mode=upsert needs ?merge-key=<column>"
                 )
             upsert_iceberg_lite(df, self.uri.path, on=key)
+            return True
+        if mode == "cdc":
+            from spark_etl_cli_spark.sources.iceberg_lite import (
+                apply_changes_iceberg_lite,
+            )
+
+            on = self.uri.params.get("on")
+            if not on:
+                raise ValueError("iceberg mode=cdc needs ?on=<key>")
+            apply_changes_iceberg_lite(df, self.uri.path, on=on)
             return True
         parts = [
             c for c in self.uri.params.get("partitionCols", "").split(",") if c

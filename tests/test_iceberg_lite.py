@@ -1379,3 +1379,90 @@ def test_iceberg_upsert_guards(spark, tmp_path):
             spark.createDataFrame([(2, 2.0)], "id long, v double"),
             table, on="id",
         )
+
+
+def test_iceberg_apply_changes_latest_per_key(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        apply_changes_iceberg_lite,
+        read_iceberg_lite,
+        write_iceberg_lite,
+    )
+
+    table = str(tmp_path / "ice_cdc")
+    write_iceberg_lite(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double"),
+        table,
+    )
+    changes = spark.createDataFrame(
+        [
+            Row(id=1, v=10.0, _change_type="update_postimage",
+                _commit_version=1),
+            Row(id=2, v=2.0, _change_type="delete", _commit_version=1),
+            Row(id=3, v=3.0, _change_type="insert", _commit_version=1),
+            # id=3 then updated in a later commit: latest wins
+            Row(id=3, v=30.0, _change_type="update_postimage",
+                _commit_version=2),
+        ]
+    )
+    stats = apply_changes_iceberg_lite(changes, table, on="id")
+    assert stats["rows_matched"] == 2  # ids 1 and 2 existed
+    got = {r["id"]: r["v"] for r in read_iceberg_lite(spark, table).collect()}
+    assert got == {1: 10.0, 3: 30.0}
+
+
+def test_cross_format_cdc_delta_to_iceberg(spark, tmp_path):
+    """delta CDF stream -> iceberg ?mode=cdc sink: the iceberg replica
+    tracks the delta source across incremental runs."""
+    from pyspark.sql import Row
+
+    from spark_etl_cli_spark.registry import resolve_sink, resolve_source
+    from spark_etl_cli_spark.sources.delta_lite import (
+        delete_delta_lite,
+        update_delta_lite,
+        write_delta_lite,
+    )
+    from spark_etl_cli_spark.sources.iceberg_lite import read_iceberg_lite
+
+    src_path = str(tmp_path / "delta_src")
+    rep_path = str(tmp_path / "ice_rep")
+    write_delta_lite(
+        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(4)]),
+        src_path, properties={"delta.enableChangeDataFeed": "true"},
+    )
+    update_delta_lite(spark, src_path, "id = 2", {"v": "200.0"})
+    delete_delta_lite(spark, src_path, "id = 1")
+
+    def replicate():
+        _, s = resolve_source(
+            f"c+delta-stream://{src_path}?readChangeFeed=true"
+        )
+        _, sink = resolve_sink(
+            f"r+iceberg://{rep_path}?mode=cdc&on=id"
+            f"&checkpointLocation={tmp_path}/ckpt"
+            "&trigger-interval=availableNow"
+        )
+        assert sink.write(s.read(spark)) is True
+        for q in spark.streams.active:
+            q.awaitTermination(180)
+
+    replicate()
+    from spark_etl_cli_spark.sources.delta_lite import read_delta_lite
+
+    def snap_delta():
+        return {(r["id"], r["v"])
+                for r in read_delta_lite(spark, src_path).collect()}
+
+    def snap_ice():
+        return {(r["id"], r["v"])
+                for r in read_iceberg_lite(spark, rep_path).collect()}
+
+    assert snap_ice() == snap_delta()
+    # incremental: more source changes, resume from the checkpoint
+    write_delta_lite(
+        spark.createDataFrame([Row(id=9, v=9.0)]), src_path, mode="append"
+    )
+    delete_delta_lite(spark, src_path, "id = 3")
+    replicate()
+    assert snap_ice() == snap_delta()
