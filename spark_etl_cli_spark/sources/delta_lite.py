@@ -831,6 +831,47 @@ def _last_txn_version(log_dir: str, app_id: str) -> int:
     return -1
 
 
+def _enforce_constraints(
+    df: DataFrame,
+    configuration: dict | None,
+    schema: T.StructType | None = None,
+) -> None:
+    """Writer-side enforcement of the protocol's CHECK constraints
+    (``delta.constraints.<name>`` table properties; PROTOCOL.md
+    "CHECK Constraints") and column NOT NULL invariants (non-nullable
+    schema fields). One distributed probe per write, short-circuited
+    at the first violating row; a violation raises BEFORE any file is
+    committed. SQL semantics: a CHECK passes on NULL, fails on FALSE.
+    """
+    cfg = configuration or {}
+    constraints = {
+        k[len("delta.constraints."):]: v
+        for k, v in cfg.items()
+        if k.startswith("delta.constraints.")
+    }
+    notnull = [
+        f.name
+        for f in (schema.fields if schema is not None else [])
+        if not f.nullable and f.name in df.columns
+    ]
+    if not constraints and not notnull:
+        return
+    viol = F.lit(False)
+    labels = []
+    for name, expr in sorted(constraints.items()):
+        viol = viol | (F.expr(expr) == F.lit(False))
+        labels.append(f"CHECK {name}: {expr}")
+    for c in notnull:
+        viol = viol | F.col(c).isNull()
+        labels.append(f"NOT NULL {c}")
+    bad = df.filter(viol).head(1)
+    if bad:
+        raise ValueError(
+            "delta constraint violation — write aborted; constraints: "
+            f"[{'; '.join(labels)}]; first violating row: {bad[0]}"
+        )
+
+
 def write_delta_lite(
     df: DataFrame,
     table_path: str,
@@ -943,6 +984,14 @@ def write_delta_lite(
         part_cols = list(partition_by or [])
         merged_schema = None
 
+    if exists:
+        _enforce_constraints(
+            df, meta.get("configuration"),
+            T.StructType.fromJson(json.loads(meta["schemaString"])),
+        )
+    else:
+        _enforce_constraints(df, properties, df.schema)
+
     phys_part_cols = list(part_cols)
     if exists:
         # column-mapped tables: data files (and partitionValues keys)
@@ -1006,8 +1055,12 @@ def write_delta_lite(
     now_ms = int(time.time() * 1000)
     actions: list[dict] = []
     if not exists:
+        # CHECK constraints are a writer-version-3 feature
+        writer_v = 3 if any(
+            k.startswith("delta.constraints.") for k in (properties or {})
+        ) else 2
         actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": writer_v}}
         )
         actions.append(
             {
@@ -2248,6 +2301,7 @@ def _upsert_delta_lite(
         out = remaining.unionByName(df.select(*table_cols))
     else:
         out = df.select(*table_cols)
+    _enforce_constraints(out, meta.get("configuration"), table_schema)
     new_adds = _rewrite_files(out, table_path, part_cols)
 
     actions = [_remove_action(a, now_ms) for a in affected]
@@ -2499,6 +2553,7 @@ def merge_delta_lite(
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)
+    _enforce_constraints(out, meta.get("configuration"), schema)
     new_adds = _rewrite_files(out, table_path, part_cols)
     actions = [_remove_action(a, now_ms) for a in affected]
     actions += [{"add": a} for a in new_adds]
@@ -2980,6 +3035,7 @@ def update_delta_lite(
     rewritten = _snapshot_scan(spark, table_path, affected, meta).select(
         *out_cols
     )
+    _enforce_constraints(rewritten, meta.get("configuration"), schema)
     new_adds = _rewrite_files(rewritten, table_path, part_cols)
     now_ms = int(time.time() * 1000)
     actions = [_remove_action(a, now_ms) for a in affected]

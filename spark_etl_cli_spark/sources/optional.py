@@ -354,6 +354,11 @@ class DeltaSink:
                 "enableChangeDataFeed", ""
             ).lower() in ("1", "true", "yes"):
                 props["delta.enableChangeDataFeed"] = "true"
+            # CHECK constraints: ?check.<name>=<expr> at creation;
+            # every writer path enforces them before committing
+            for k, v in self.uri.params.items():
+                if k.startswith("check."):
+                    props[f"delta.constraints.{k[len('check.'):]}"] = v
             write_delta_lite(
                 df, self.uri.path, mode=mode, partition_by=parts or None,
                 merge_schema=self.uri.params.get("mergeSchema", "").lower()

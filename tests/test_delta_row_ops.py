@@ -1438,3 +1438,91 @@ def test_alter_guards(spark, tmp_path):
         alter_delta_lite(spark, path, rename={"v": "id"})
     with pytest.raises(ValueError, match="nothing to do"):
         alter_delta_lite(spark, path)
+
+
+# --- CHECK constraints -------------------------------------------------------
+
+
+def _mk_constrained(spark, path):
+    write_delta_lite(
+        spark.createDataFrame([Row(id=1, v=1.0)]), path,
+        properties={"delta.constraints.v_positive": "v > 0"},
+    )
+
+
+def test_check_constraint_blocks_bad_appends(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _mk_constrained(spark, path)
+    with pytest.raises(ValueError, match="constraint violation"):
+        write_delta_lite(
+            spark.createDataFrame([Row(id=2, v=-2.0)]), path, mode="append"
+        )
+    # nothing was committed
+    assert read_delta_lite(spark, path).count() == 1
+    # satisfying rows (and NULLs — SQL CHECK passes on NULL) commit
+    write_delta_lite(
+        spark.createDataFrame(
+            [Row(id=3, v=3.0), Row(id=4, v=None)],
+            "id long, v double",
+        ),
+        path, mode="append",
+    )
+    assert read_delta_lite(spark, path).count() == 3
+    # constraint tables declare writer version 3
+    with open(os.path.join(path, "_delta_log",
+                           "00000000000000000000.json")) as fh:
+        protos = [json.loads(l)["protocol"]
+                  for l in fh if '"protocol"' in l]
+    assert protos[0]["minWriterVersion"] >= 3
+
+
+def test_check_constraint_blocks_bad_update_and_merge(spark, tmp_path):
+    from spark_etl_cli_spark.sources.delta_lite import (
+        merge_delta_lite,
+        update_delta_lite,
+    )
+
+    path = str(tmp_path / "tbl")
+    _mk_constrained(spark, path)
+    with pytest.raises(ValueError, match="constraint violation"):
+        update_delta_lite(spark, path, "id = 1", {"v": "-5.0"})
+    with pytest.raises(ValueError, match="constraint violation"):
+        merge_delta_lite(
+            spark.createDataFrame([Row(id=1, v=-9.0)]), path, on="id",
+            update_set={"v": "source.v"},
+        )
+    # the table is untouched after both refusals
+    assert {r["v"] for r in read_delta_lite(spark, path).collect()} == {1.0}
+
+
+def test_check_constraint_via_sink_uri(spark, tmp_path):
+    from spark_etl_cli_spark.registry import resolve_sink
+
+    path = str(tmp_path / "tbl")
+    _, sink = resolve_sink(f"s+delta://{path}?check.v_pos=v %3E 0")
+    sink.write(spark.createDataFrame([Row(id=1, v=1.0)]))
+    _, sink2 = resolve_sink(f"s+delta://{path}?mode=append")
+    with pytest.raises(ValueError, match="constraint violation"):
+        sink2.write(spark.createDataFrame([Row(id=2, v=-1.0)]))
+
+
+def test_not_null_invariant_enforced(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    path = str(tmp_path / "tbl")
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("v", T.DoubleType(), True),
+    ])
+    write_delta_lite(
+        spark.createDataFrame([(1, 1.0)], schema), path
+    )
+    nullable = T.StructType([
+        T.StructField("id", T.LongType(), True),
+        T.StructField("v", T.DoubleType(), True),
+    ])
+    with pytest.raises(ValueError, match="NOT NULL"):
+        write_delta_lite(
+            spark.createDataFrame([(None, 2.0)], nullable), path,
+            mode="append",
+        )
