@@ -1020,12 +1020,17 @@ def _mor_upsert_commit(
 
 
 def _mor_delete_commit(
-    spark: SparkSession, table_path: str, where: str
+    spark: SparkSession,
+    table_path: str,
+    where: str | None,
+    keys: DataFrame | None = None,
 ) -> dict:
     """MERGE_ON_READ DELETE: append DELETE blocks naming the matched
     record keys to the affected groups' log files — nothing rewritten,
     one deltacommit. Same single-writer-per-log discipline as
-    ``_mor_upsert_commit``; NULL-predicate rows are KEPT."""
+    ``_mor_upsert_commit``; NULL-predicate rows are KEPT. ``keys``
+    (one column, record-key values) deletes by key instead of by
+    predicate — the natural MOR shape, since delete blocks carry keys."""
     from pyspark.sql import functions as F
 
     record_key = _record_key_field(table_path)
@@ -1043,8 +1048,15 @@ def _mor_delete_commit(
         spark, table_path, groups, record_key, keep_fid=True
     )
     targets = _mor_log_targets(groups)
-    pred = F.coalesce(F.expr(where), F.lit(False))
-    victims = merged.filter(pred).select(
+    if keys is not None:
+        victims = merged.join(
+            keys.select(F.col(keys.columns[0]).alias(record_key)),
+            record_key,
+            "left_semi",
+        )
+    else:
+        victims = merged.filter(F.coalesce(F.expr(where), F.lit(False)))
+    victims = victims.select(
         F.col(record_key).cast("string").alias("__rk"), "__fid"
     )
 
@@ -1104,6 +1116,66 @@ def _mor_delete_commit(
         "files_added": len(seen),
         "rows_deleted": n_rows,
     }
+
+
+def apply_changes_hudi_lite(
+    changes: DataFrame,
+    table_path: str,
+    on: str,
+) -> dict:
+    """Apply a change feed (table columns + ``_change_type``
+    [+ ``_commit_version``]) to a Hudi table — the hudi face of
+    delta's ``?mode=cdc`` sink. Latest change per key wins
+    (operators/cdc.py); the survivors upsert through the record-key
+    writer (COW slice rewrites / MOR log blocks) and the deleted keys
+    go through the key-based DELETE (COW replacecommit / MOR delete
+    blocks) — two timeline instants, each individually atomic; a
+    reader between them sees the upserts without the deletes (the
+    multi-writer table-service gap Hudi itself has without a lock
+    provider).
+    """
+    from spark_etl_cli_spark.operators.cdc import apply_changes_snapshot
+    from pyspark.sql import functions as F
+
+    meta_cols = ("_commit_version", "_commit_timestamp")
+    data_cols = [
+        c
+        for c in changes.columns
+        if c != "_change_type" and c not in meta_cols
+    ]
+    latest = apply_changes_snapshot(
+        changes,
+        keys=[on],
+        sequence_cols=[
+            c for c in ("_commit_version",) if c in changes.columns
+        ]
+        or [on],
+        change_type_col="_change_type",
+        delete_values=(),
+        ignore_values=("update_preimage",),
+    )
+    upserts = latest.filter(
+        F.col("_change_type") != "delete"
+    ).select(*data_cols)
+    deletes = latest.filter(
+        F.col("_change_type") == "delete"
+    ).select(on)
+    stats = {"rows_upserted": 0, "rows_deleted": 0}
+    exists = is_hudi_table(table_path) and bool(
+        _completed_instants(table_path)
+    )
+    if not upserts.isEmpty():
+        stats["rows_upserted"] = upserts.count()
+        write_hudi_lite(
+            upserts, table_path,
+            mode="upsert" if exists else "append",
+            record_key=on,
+        )
+        exists = True
+    if exists and not deletes.isEmpty():
+        d = delete_hudi_lite(changes.sparkSession, table_path, keys=deletes)
+        stats["rows_deleted"] = d["rows_deleted"]
+    return stats
 
 
 def compact_hudi_mor_lite(spark: SparkSession, table_path: str) -> dict:
@@ -1216,9 +1288,13 @@ def compact_hudi_mor_lite(spark: SparkSession, table_path: str) -> dict:
 def delete_hudi_lite(
     spark: SparkSession,
     table_path: str,
-    where: str,
+    where: str | None = None,
+    keys: DataFrame | None = None,
 ) -> dict:
-    """Copy-on-write DELETE: remove rows matching ``where``.
+    """Copy-on-write DELETE: remove rows matching ``where``, OR —
+    with ``keys`` (a one-column frame of record-key values) — every
+    row whose record key appears in it (the CDC delete shape, fully
+    distributed: the key frame never reaches the driver).
 
     Committed as a ``replacecommit`` — the affected file groups are
     replaced wholesale by new groups holding only their surviving rows
@@ -1238,10 +1314,20 @@ def delete_hudi_lite(
 
     from pyspark.sql import functions as F
 
+    if (where is None) == (keys is None):
+        raise ValueError("delete: pass exactly one of where / keys")
+    rk = None
+    if keys is not None:
+        rk = _record_key_field(table_path)
+        if not rk:
+            raise ValueError(
+                "key-based delete needs hoodie.table.recordkey.fields"
+            )
+        keys = keys.select(F.col(keys.columns[0]).alias(rk)).distinct()
     ttype = _table_type(table_path)
     if ttype != "COPY_ON_WRITE":
         # MOR deletes ARE log-file appends — delegate to the log writer
-        return _mor_delete_commit(spark, table_path, where)
+        return _mor_delete_commit(spark, table_path, where, keys=keys)
     instants = _completed_instants(table_path)
     if not instants:
         raise ValueError(f"no completed Hudi commits under {table_path}/.hoodie")
@@ -1259,9 +1345,12 @@ def delete_hudi_lite(
             for st in stats:
                 slices[(part, st.get("fileId") or st["path"])] = st["path"]
     candidates = dict(slices)
-    kept_parts = _prune_partitions(spark, {p for p, _ in slices}, where)
-    if kept_parts is not None:
-        candidates = {k: v for k, v in slices.items() if k[0] in kept_parts}
+    if where is not None:
+        kept_parts = _prune_partitions(spark, {p for p, _ in slices}, where)
+        if kept_parts is not None:
+            candidates = {
+                k: v for k, v in slices.items() if k[0] in kept_parts
+            }
     zero = {"files_rewritten": 0, "files_added": 0, "rows_deleted": 0}
     if not candidates:
         return zero
@@ -1270,15 +1359,14 @@ def delete_hudi_lite(
     for (part, fid), rel in candidates.items():
         loc[os.path.abspath(os.path.join(table_path, rel))] = (part, fid)
     norm_path = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
-    pred = F.coalesce(F.expr(where), F.lit(False))
-    counts = (
-        spark.read.parquet(*sorted(loc))
-        .withColumn("__file", norm_path)
-        .filter(pred)
-        .groupBy("__file")
-        .count()
-        .collect()
-    )
+    base = spark.read.parquet(*sorted(loc)).withColumn("__file", norm_path)
+    if keys is not None:
+        victims = base.join(keys, rk)
+        pred = None
+    else:
+        pred = F.coalesce(F.expr(where), F.lit(False))
+        victims = base.filter(pred)
+    counts = victims.groupBy("__file").count().collect()
     if not counts:
         return zero
     affected: list[str] = []
@@ -1302,11 +1390,13 @@ def delete_hudi_lite(
     mapping = F.create_map(
         *[F.lit(x) for p in affected for x in (p, loc[p][1])]
     )
-    survivors = (
-        spark.read.parquet(*affected)
-        .withColumn("__fid", mapping[norm_path])
-        .filter(~pred)
+    survivors = spark.read.parquet(*affected).withColumn(
+        "__fid", mapping[norm_path]
     )
+    if keys is not None:
+        survivors = survivors.join(keys, rk, "left_anti")
+    else:
+        survivors = survivors.filter(~pred)
     tmp = tempfile.mkdtemp(prefix="hudi_lite_delete_")
     per_part: dict[str, list[dict]] = {}
     replaced: dict[str, list[str]] = {}

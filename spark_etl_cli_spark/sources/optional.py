@@ -1052,9 +1052,24 @@ class HudiSink:
             smode = self.uri.params.get(
                 "mode", self.uri.params.get("write-mode", "append")
             )
+            if smode == "cdc":
+                from spark_etl_cli_spark.sources.hudi_lite import (
+                    apply_changes_hudi_lite,
+                )
+
+                on = self.uri.params.get("on")
+                if not on:
+                    raise ValueError("hudi mode=cdc needs ?on=<key>")
+                return stream_via_foreach_batch(
+                    df,
+                    lambda b: apply_changes_hudi_lite(
+                        b, self.uri.path, on=on
+                    ),
+                    self.uri,
+                )
             if smode not in ("append", "upsert"):
                 raise ValueError(
-                    "streaming hudi sink supports mode=append|upsert, "
+                    "streaming hudi sink supports mode=append|upsert|cdc, "
                     f"got {smode!r}"
                 )
             rk = self.uri.params.get(
@@ -1077,6 +1092,16 @@ class HudiSink:
         mode = self.uri.params.get(
             "mode", self.uri.params.get("write-mode", "append")
         )
+        if mode == "cdc":
+            from spark_etl_cli_spark.sources.hudi_lite import (
+                apply_changes_hudi_lite,
+            )
+
+            on = self.uri.params.get("on")
+            if not on:
+                raise ValueError("hudi mode=cdc needs ?on=<key>")
+            apply_changes_hudi_lite(df, self.uri.path, on=on)
+            return True
         parts = [
             c for c in self.uri.params.get("partitionCols", "").split(",") if c
         ]

@@ -1137,3 +1137,99 @@ def test_hudi_streaming_sink_rejects_unknown_mode(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="append|upsert"):
         sink.write(stream)
+
+
+def test_hudi_delete_by_keys(spark, tmp_path):
+    from spark_etl_cli_spark.sources.hudi_lite import (
+        delete_hudi_lite,
+        read_hudi_lite,
+        write_hudi_lite,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_hudi_lite(
+        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(6)]),
+        path, record_key="id",
+    )
+    stats = delete_hudi_lite(
+        spark, path, keys=spark.createDataFrame([(1,), (4,)], "id long")
+    )
+    assert stats["rows_deleted"] == 2
+    assert sorted(
+        r["id"] for r in read_hudi_lite(spark, path).collect()
+    ) == [0, 2, 3, 5]
+    with pytest.raises(ValueError, match="exactly one"):
+        delete_hudi_lite(spark, path)
+
+
+def test_hudi_mor_delete_by_keys(spark, tmp_path):
+    from spark_etl_cli_spark.sources.hudi_lite import (
+        delete_hudi_lite,
+        read_hudi_lite,
+        write_hudi_lite,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_hudi_lite(
+        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(4)]),
+        path, record_key="id", table_type="MERGE_ON_READ",
+    )
+    stats = delete_hudi_lite(
+        spark, path, keys=spark.createDataFrame([(2,)], "id long")
+    )
+    assert stats["rows_deleted"] == 1
+    assert sorted(
+        r["id"] for r in read_hudi_lite(spark, path).collect()
+    ) == [0, 1, 3]
+
+
+def test_cross_format_cdc_delta_to_hudi(spark, tmp_path):
+    """delta CDF stream -> hudi ?mode=cdc sink: the hudi replica tracks
+    the delta source across incremental runs."""
+    from spark_etl_cli_spark.registry import resolve_sink, resolve_source
+    from spark_etl_cli_spark.sources.delta_lite import (
+        delete_delta_lite,
+        read_delta_lite,
+        update_delta_lite,
+        write_delta_lite,
+    )
+    from spark_etl_cli_spark.sources.hudi_lite import read_hudi_lite
+
+    src_path = str(tmp_path / "delta_src")
+    rep_path = str(tmp_path / "hudi_rep")
+    write_delta_lite(
+        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(4)]),
+        src_path, properties={"delta.enableChangeDataFeed": "true"},
+    )
+    update_delta_lite(spark, src_path, "id = 2", {"v": "200.0"})
+    delete_delta_lite(spark, src_path, "id = 1")
+
+    def replicate():
+        _, s = resolve_source(
+            f"c+delta-stream://{src_path}?readChangeFeed=true"
+        )
+        _, sink = resolve_sink(
+            f"r+hudi://{rep_path}?mode=cdc&on=id"
+            f"&checkpointLocation={tmp_path}/ckpt"
+            "&trigger-interval=availableNow"
+        )
+        assert sink.write(s.read(spark)) is True
+        for q in spark.streams.active:
+            q.awaitTermination(180)
+
+    def snap_delta():
+        return {(r["id"], r["v"])
+                for r in read_delta_lite(spark, src_path).collect()}
+
+    def snap_hudi():
+        return {(r["id"], r["v"])
+                for r in read_hudi_lite(spark, rep_path).collect()}
+
+    replicate()
+    assert snap_hudi() == snap_delta()
+    write_delta_lite(
+        spark.createDataFrame([Row(id=9, v=9.0)]), src_path, mode="append"
+    )
+    delete_delta_lite(spark, src_path, "id = 3")
+    replicate()
+    assert snap_hudi() == snap_delta()
