@@ -82,18 +82,31 @@ class _CdfStreamReader(DataSourceStreamReader):
             "startingVersion"
         )
         self.starting_version = int(sv) if sv is not None else 0
+        # steady-state backlog control, same contract as deltastream:
+        # ≤N commits per micro-batch while tailing; the first batch
+        # after a (re)start is uncapped (see deltastream.py)
+        self.max_commits = int(
+            options.get("max-commits-per-batch")
+            or options.get("maxcommitsperbatch")
+            or 0
+        )
+        self._pos: int | None = None
 
     def initialOffset(self) -> dict:
         return {"version": self.starting_version - 1}
 
     def latestOffset(self) -> dict:
         vs = _versions(self.path)
-        return {"version": vs[-1] if vs else self.starting_version - 1}
+        real = vs[-1] if vs else self.starting_version - 1
+        if self.max_commits and self._pos is not None:
+            real = min(real, self._pos + self.max_commits)
+        return {"version": real}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         from urllib.parse import unquote
 
         lo, hi = start.get("version", -1), end.get("version", -1)
+        self._pos = max(lo, hi, self._pos if self._pos is not None else -1)
         meta = _latest_meta(self.path) or {}
         schema_json = meta.get("schemaString", "")
         parts: list[_CdfPart] = []

@@ -84,16 +84,32 @@ class _DeltaLiteStreamReader(DataSourceStreamReader):
             options.get("skipchangecommits")
             or options.get("skipChangeCommits", "")
         ).lower() in ("1", "true", "yes")
+        # steady-state backlog control: at most N commits per
+        # micro-batch while TAILING. The first micro-batch after a
+        # (re)start is uncapped — Spark asks for latestOffset before
+        # the reader learns its position, and returning an offset
+        # behind a restart's checkpoint would rewind the stream — so
+        # the cap binds from the second batch on.
+        self.max_commits = int(
+            options.get("max-commits-per-batch")
+            or options.get("maxcommitsperbatch")
+            or 0
+        )
+        self._pos: int | None = None
 
     def initialOffset(self) -> dict:
         return {"version": -1}
 
     def latestOffset(self) -> dict:
         vs = _versions(self.path)
-        return {"version": vs[-1] if vs else -1}
+        real = vs[-1] if vs else -1
+        if self.max_commits and self._pos is not None:
+            real = min(real, self._pos + self.max_commits)
+        return {"version": real}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = start.get("version", -1), end.get("version", -1)
+        self._pos = max(lo, hi, self._pos if self._pos is not None else -1)
         meta = _latest_meta(self.path) or {}
         part_cols = meta.get("partitionColumns") or []
         schema_json = meta.get("schemaString", "")

@@ -83,6 +83,16 @@ class _HudiStreamReader(DataSourceStreamReader):
         self.skip_changes = str(
             options.get("skip-change-commits", "")
         ).lower() in ("1", "true", "yes")
+        # steady-state backlog control: ≤N instants per micro-batch
+        # while tailing (ordinal over the timeline — instants are
+        # timestamps, not dense); the first batch after a (re)start is
+        # uncapped (see deltastream.py for why)
+        self.max_commits = int(
+            options.get("max-commits-per-batch")
+            or options.get("maxcommitsperbatch")
+            or 0
+        )
+        self._pos: int | None = None
 
     def initialOffset(self) -> dict:
         return {"instant": 0}
@@ -93,7 +103,14 @@ class _HudiStreamReader(DataSourceStreamReader):
         )
 
         instants = _completed_instants(self.path)
-        return {"instant": int(instants[-1][0]) if instants else 0}
+        ts_list = sorted(int(i[0]) for i in instants)
+        real = ts_list[-1] if ts_list else 0
+        if self.max_commits and self._pos is not None:
+            ahead = [t for t in ts_list if t > self._pos][
+                : self.max_commits
+            ]
+            return {"instant": ahead[-1] if ahead else self._pos}
+        return {"instant": real}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         from spark_etl_cli_spark.sources.hudi_lite import (
@@ -101,6 +118,7 @@ class _HudiStreamReader(DataSourceStreamReader):
         )
 
         lo, hi = int(start.get("instant", 0)), int(end.get("instant", 0))
+        self._pos = max(lo, hi, self._pos if self._pos is not None else 0)
         if hi <= lo:
             return [_FilePart("")]
         files: list[str] = []

@@ -49,6 +49,16 @@ class _IcebergStreamReader(DataSourceStreamReader):
         self.skip_overwrites = str(
             options.get("skip-overwrite-snapshots", "")
         ).lower() in ("1", "true", "yes")
+        # steady-state backlog control: ≤N snapshots per micro-batch
+        # while tailing (ordinal over the snapshot list — ids are only
+        # monotone, not dense); the first batch after a (re)start is
+        # uncapped (see deltastream.py for why)
+        self.max_commits = int(
+            options.get("max-commits-per-batch")
+            or options.get("maxcommitsperbatch")
+            or 0
+        )
+        self._pos: int | None = None
 
     def _meta(self):
         from spark_etl_cli_spark.sources.iceberg_lite import _load_metadata
@@ -64,9 +74,19 @@ class _IcebergStreamReader(DataSourceStreamReader):
         except FileNotFoundError:
             return {"snapshot": -1}
         snaps = meta.get("snapshots") or []
-        return {"snapshot": max((s["snapshot-id"] for s in snaps), default=-1)}
+        ids = sorted(s["snapshot-id"] for s in snaps)
+        real = ids[-1] if ids else -1
+        if self.max_commits and self._pos is not None:
+            ahead = [i for i in ids if i > self._pos][: self.max_commits]
+            return {"snapshot": ahead[-1] if ahead else self._pos}
+        return {"snapshot": real}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        self._pos = max(
+            start.get("snapshot", -1),
+            end.get("snapshot", -1),
+            self._pos if self._pos is not None else -1,
+        )
         from spark_etl_cli_spark.sources.iceberg_lite import (
             _load_metadata,
             _localize,

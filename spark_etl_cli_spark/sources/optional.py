@@ -108,6 +108,12 @@ class DeltaSource:
                     reader = (
                         spark.readStream.format("deltalite-cdf-stream")
                         .option("path", self.uri.path)
+                        .option(
+                            "max-commits-per-batch",
+                            self.uri.params.get(
+                                "max-commits-per-batch", "0"
+                            ),
+                        )
                     )
                     sv = self.uri.params.get("startingVersion")
                     if sv is not None:
@@ -130,6 +136,10 @@ class DeltaSource:
                     .option(
                         "skipChangeCommits",
                         self.uri.params.get("skipChangeCommits", ""),
+                    )
+                    .option(
+                        "max-commits-per-batch",
+                        self.uri.params.get("max-commits-per-batch", "0"),
                     )
                     .load()
                 )
@@ -823,6 +833,10 @@ class IcebergSource:
                     "skip-overwrite-snapshots",
                     self.uri.params.get("skip-overwrite-snapshots", ""),
                 )
+                .option(
+                    "max-commits-per-batch",
+                    self.uri.params.get("max-commits-per-batch", "0"),
+                )
                 .load()
             )
             w = self.uri.params.get("where")
@@ -989,6 +1003,10 @@ class HudiSource:
                 .option(
                     "skip-change-commits",
                     self.uri.params.get("skip-change-commits", ""),
+                )
+                .option(
+                    "max-commits-per-batch",
+                    self.uri.params.get("max-commits-per-batch", "0"),
                 )
                 .load()
             )

@@ -1526,3 +1526,46 @@ def test_not_null_invariant_enforced(spark, tmp_path):
             spark.createDataFrame([(None, 2.0)], nullable), path,
             mode="append",
         )
+
+
+def test_stream_max_commits_per_batch_caps_tailing(spark, tmp_path):
+    """?max-commits-per-batch=1: while tailing, each micro-batch covers
+    at most one commit (steady-state backlog control; the first batch
+    after a (re)start is uncapped by design)."""
+    import time
+
+    from spark_etl_cli_spark.registry import resolve_source
+
+    path = str(tmp_path / "tbl")
+    write_delta_lite(spark.createDataFrame([Row(id=0, v=0.0)]), path)
+    _, src = resolve_source(
+        f"c+delta-stream://{path}?max-commits-per-batch=1"
+    )
+    q = (
+        src.read(spark)
+        .writeStream.format("memory")
+        .queryName("cap_t")
+        .trigger(processingTime="500 milliseconds")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while (time.time() < deadline
+               and spark.sql("select count(*) c from cap_t").head()["c"] < 1):
+            time.sleep(0.5)
+        for i in (1, 2, 3):
+            write_delta_lite(
+                spark.createDataFrame([Row(id=i, v=float(i))]), path,
+                mode="append",
+            )
+        while (time.time() < deadline
+               and spark.sql("select count(*) c from cap_t").head()["c"] < 4):
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert spark.sql("select count(*) c from cap_t").head()["c"] == 4
+    sizes = [p["numInputRows"] for p in q.recentProgress
+             if p["numInputRows"] > 0]
+    # the three tailed commits arrived one per batch
+    assert sizes[1:] == [1, 1, 1], sizes
