@@ -74,7 +74,30 @@ python -m spark_etl_cli_spark \
   --transform "now+checked+diff://expected?id=id&handleDifferences=fail" \
   --sink "checked+console://"
 
-# 5. RESTORE the source to version 1 (post-append snapshot: ids 1-5,
+# 5. CROSS-FORMAT replicas: the SAME change feed applied to an
+# ICEBERG and a HUDI table, each diffed against the delta source
+IREP="$WORK/ice_rep"
+HREP="$WORK/hudi_rep"
+python -m spark_etl_cli_spark \
+  --source "chg+delta-stream://$SRC?readChangeFeed=true" \
+  --sink "chg+iceberg://$IREP?mode=cdc&on=id&checkpointLocation=$WORK/ickpt&trigger-interval=availableNow" \
+  --await-termination 180
+python -m spark_etl_cli_spark \
+  --source "chg+delta-stream://$SRC?readChangeFeed=true" \
+  --sink "chg+hudi://$HREP?mode=cdc&on=id&checkpointLocation=$WORK/hckpt&trigger-interval=availableNow" \
+  --await-termination 180
+python -m spark_etl_cli_spark \
+  --source "now+iceberg://$IREP" \
+  --source "expected+delta://$SRC" \
+  --transform "now+checked+diff://expected?id=id&handleDifferences=fail" \
+  --sink "checked+console://"
+python -m spark_etl_cli_spark \
+  --source "now+hudi://$HREP" \
+  --source "expected+delta://$SRC" \
+  --transform "now+checked+diff://expected?id=id&handleDifferences=fail" \
+  --sink "checked+console://"
+
+# 6. RESTORE the source to version 1 (post-append snapshot: ids 1-5,
 # original values) and prove it row-for-row; the pre-restore head is
 # still reachable by time travel
 python -m spark_etl_cli_spark \
