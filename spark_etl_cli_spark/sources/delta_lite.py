@@ -2971,6 +2971,104 @@ def alter_delta_lite(
     }
 
 
+def clone_delta_lite(
+    spark: SparkSession,
+    source_path: str,
+    target_path: str,
+    version_as_of: int | None = None,
+    timestamp_as_of: int | str | None = None,
+) -> dict:
+    """SHALLOW CLONE: create ``target_path`` as a zero-copy view of the
+    source table's snapshot (optionally at an earlier version/
+    timestamp) — the clone's commit 0 carries the source's metaData
+    (fresh table id) plus add actions referencing the source's data
+    files by ABSOLUTE path, exactly the protocol's shallow-clone shape.
+    No data byte moves at any table size; the clone then evolves
+    independently (appends/deletes/optimize write under the clone's own
+    directory). VACUUM on the clone never reclaims source files (it
+    only scans the clone's directory); VACUUM on the SOURCE can break
+    clones — the same documented hazard real Delta shallow clones have.
+
+    Returns ``{"files_referenced", "version_cloned"}``.
+    """
+    import time
+
+    if os.path.isdir(_log_dir(target_path)) and os.listdir(
+        _log_dir(target_path)
+    ):
+        raise ValueError(
+            f"clone target {target_path} is already a delta table"
+        )
+    if timestamp_as_of is not None:
+        if version_as_of is not None:
+            raise ValueError(
+                "pass version_as_of OR timestamp_as_of, not both"
+            )
+        if isinstance(timestamp_as_of, str) and not timestamp_as_of.isdigit():
+            import datetime as _dt2
+
+            parsed = _dt2.datetime.fromisoformat(timestamp_as_of)
+            if parsed.tzinfo is None:
+                parsed = parsed.replace(tzinfo=_dt2.timezone.utc)
+            ts_ms = int(parsed.timestamp() * 1000)
+        else:
+            ts_ms = int(timestamp_as_of)
+        version_as_of = _version_at_timestamp(_log_dir(source_path), ts_ms)
+    adds, meta = _replay(spark, source_path, version_as_of=version_as_of)
+    dv_adds = [a for a in adds if a.get("deletionVector")]
+    if dv_adds:
+        # DV descriptors use table-relative storage ('u' pathOrInlineDv
+        # encodes a file under the TABLE dir) — a clone reading them
+        # from its own dir would miss the bitmap files
+        raise NotImplementedError(
+            "shallow clone of a deletion-vector table needs delta-spark "
+            f"({len(dv_adds)} adds carry DV descriptors); purge the DVs "
+            "first (OPTIMIZE rewrites them away)"
+        )
+    now_ms = int(time.time() * 1000)
+    import uuid as _uuid
+    from urllib.parse import quote
+
+    proto = _current_protocol(spark, source_path)
+    actions: list[dict] = [{"protocol": proto}]
+    actions.append(
+        {
+            "metaData": {
+                **meta,
+                "id": str(_uuid.uuid4()),
+                "createdTime": now_ms,
+            }
+        }
+    )
+    src_abs = os.path.abspath(source_path)
+    for a in adds:
+        add = dict(a)
+        # absolute file URI into the SOURCE table (protocol: add.path
+        # may be an absolute URI; readers use it verbatim)
+        add["path"] = quote(
+            os.path.join(src_abs, a["path"]), safe="/=:"
+        )
+        add["dataChange"] = True
+        actions.append({"add": add})
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "CLONE",
+                "operationParameters": {
+                    "source": src_abs,
+                    "version": version_as_of,
+                },
+            }
+        }
+    )
+    _write_commit(spark, target_path, actions, first=True)
+    return {
+        "files_referenced": len(adds),
+        "version_cloned": version_as_of,
+    }
+
+
 def update_delta_lite(
     spark: SparkSession,
     table_path: str,

@@ -337,6 +337,38 @@ def delta_alter_source(p: ParsedUri) -> DeltaAlterSource:
     return DeltaAlterSource(p)
 
 
+@dataclass
+class DeltaCloneSource:
+    """``rep+delta-clone:///path/target?source=/path/src[&version=N|
+    timestamp=...]`` — zero-copy SHALLOW CLONE: the target's commit 0
+    references the source snapshot's files by absolute path
+    (sources/delta_lite.py clone_delta_lite)."""
+
+    uri: ParsedUri
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        from spark_etl_cli_spark.sources.delta_lite import clone_delta_lite
+
+        src = self.uri.params.get("source")
+        if not src:
+            raise ValueError("delta-clone:// needs ?source=<table path>")
+        v = self.uri.params.get("version")
+        stats = clone_delta_lite(
+            spark, src, self.uri.path,
+            version_as_of=int(v) if v is not None else None,
+            timestamp_as_of=self.uri.params.get("timestamp"),
+        )
+        return spark.createDataFrame(
+            [(self.uri.path, src, stats["files_referenced"])],
+            "target string, source string, files_referenced int",
+        )
+
+
+@register_source("delta-clone")
+def delta_clone_source(p: ParsedUri) -> DeltaCloneSource:
+    return DeltaCloneSource(p)
+
+
 @register_source("delta-optimize")
 def delta_optimize_source(p: ParsedUri) -> DeltaOptimizeSource:
     return DeltaOptimizeSource(p)

@@ -1569,3 +1569,82 @@ def test_stream_max_commits_per_batch_caps_tailing(spark, tmp_path):
              if p["numInputRows"] > 0]
     # the three tailed commits arrived one per batch
     assert sizes[1:] == [1, 1, 1], sizes
+
+
+# --- SHALLOW CLONE -----------------------------------------------------------
+
+
+def test_shallow_clone_is_zero_copy_and_independent(spark, tmp_path):
+    from spark_etl_cli_spark.sources.delta_lite import clone_delta_lite
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    _mk_table(spark, src)  # 2 commits, partitioned
+    stats = clone_delta_lite(spark, src, tgt)
+    assert stats["files_referenced"] > 0
+    # zero-copy: no parquet under the clone
+    assert _data_files(tgt) == []
+    got = {(r["id"], r["v"]) for r in read_delta_lite(spark, tgt).collect()}
+    want = {(r["id"], r["v"]) for r in read_delta_lite(spark, src).collect()}
+    assert got == want
+    # independence: append + delete on the CLONE leave the source alone
+    write_delta_lite(
+        spark.createDataFrame([Row(id=99, part="a", v=99.0)]),
+        tgt, mode="append", partition_by=["part"],
+    )
+    delete_delta_lite(spark, tgt, "id = 0")
+    assert read_delta_lite(spark, tgt).count() == 20
+    assert read_delta_lite(spark, src).count() == 20
+    assert {r["id"] for r in read_delta_lite(spark, src).collect()} == set(
+        range(20)
+    )
+
+
+def test_shallow_clone_at_version_and_vacuum_safety(spark, tmp_path):
+    from spark_etl_cli_spark.sources.delta_lite import (
+        clone_delta_lite,
+        vacuum_delta_lite,
+    )
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    write_delta_lite(spark.createDataFrame([Row(id=1, v=1.0)]), src)
+    write_delta_lite(
+        spark.createDataFrame([Row(id=2, v=2.0)]), src, mode="append"
+    )
+    clone_delta_lite(spark, src, tgt, version_as_of=0)
+    assert {r["id"] for r in read_delta_lite(spark, tgt).collect()} == {1}
+    # VACUUM on the clone finds nothing to reclaim (source files live
+    # outside its directory)
+    paths = vacuum_delta_lite(spark, tgt, retention_hours=0, dry_run=False)
+    assert paths == []
+    assert read_delta_lite(spark, tgt).count() == 1
+    # a second clone into the same target refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already a delta table"):
+        clone_delta_lite(spark, src, tgt)
+
+
+def test_shallow_clone_refuses_dv_tables(spark, tmp_path):
+    from spark_etl_cli_spark.sources.delta_lite import clone_delta_lite
+
+    src = str(tmp_path / "src")
+    write_delta_lite(
+        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(5)]), src
+    )
+    delete_delta_lite(spark, src, "id = 1", deletion_vectors=True)
+    with pytest.raises(NotImplementedError, match="deletion-vector"):
+        clone_delta_lite(spark, src, str(tmp_path / "tgt"))
+
+
+def test_shallow_clone_via_uri(spark, tmp_path):
+    from spark_etl_cli_spark.registry import resolve_source
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    write_delta_lite(spark.createDataFrame([Row(id=1, v=1.0)]), src)
+    _, s = resolve_source(f"rep+delta-clone://{tgt}?source={src}")
+    row = s.read(spark).head()
+    assert row["files_referenced"] == 1
+    assert read_delta_lite(spark, tgt).count() == 1
