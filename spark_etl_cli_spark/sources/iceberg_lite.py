@@ -162,6 +162,62 @@ def _snapshot(meta: dict, snapshot_id: int | None) -> dict:
     raise ValueError(f"snapshot-id {snapshot_id} not found")
 
 
+def set_iceberg_ref(
+    table_path: str,
+    name: str,
+    snapshot_id: int | None = None,
+    ref_type: str = "tag",
+) -> int:
+    """Create or move a named ref (spec ``refs`` map): a ``tag`` pins a
+    snapshot forever (expiry keeps it), a ``branch`` names a line of
+    development. Metadata-only commit; defaults to the CURRENT
+    snapshot. Reads resolve refs via ``?ref=<name>``. Branch head
+    advancement on write needs an engine — here branches are readable
+    named pointers, documented as such."""
+    import time as _time
+
+    if ref_type not in ("tag", "branch"):
+        raise ValueError(f"ref type must be tag|branch, got {ref_type!r}")
+    meta = _load_metadata(table_path)
+    snap = _snapshot(meta, snapshot_id)
+    new_meta = dict(meta)
+    refs = dict(meta.get("refs") or {})
+    refs[name] = {
+        "snapshot-id": snap["snapshot-id"],
+        "type": ref_type,
+    }
+    new_meta["refs"] = refs
+    new_meta["last-updated-ms"] = int(_time.time() * 1000)
+    meta_dir = os.path.join(table_path, "metadata")
+    version = 1 + max(
+        int(re.match(r"v?(\d+)", os.path.basename(p)).group(1))
+        for p in _glob.glob(os.path.join(meta_dir, "*.metadata.json"))
+    )
+    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as fh:
+        json.dump(new_meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return snap["snapshot-id"]
+
+
+def resolve_iceberg_ref(meta: dict, name: str) -> int:
+    """Snapshot id a named ref points at; 'main' falls back to the
+    current snapshot when no explicit ref exists (the spec's default
+    branch)."""
+    refs = meta.get("refs") or {}
+    if name in refs:
+        return refs[name]["snapshot-id"]
+    if name == "main":
+        cur = meta.get("current-snapshot-id")
+        if cur is not None:
+            return cur
+    raise ValueError(
+        f"unknown iceberg ref {name!r}; known: {sorted(refs)}"
+    )
+
+
 def snapshot_id_at_timestamp(meta: dict, ts: int | str) -> int:
     """The snapshot current AS OF ``ts`` (epoch millis, or an ISO
     date/datetime string) — the newest snapshot whose ``timestamp-ms``
@@ -1001,6 +1057,10 @@ def write_iceberg_lite(
         "default-sort-order-id": 0,
         "snapshots": snapshots,
     }
+    if prior and prior.get("refs"):
+        # named refs survive commits (the writer otherwise rebuilds
+        # the metadata document)
+        meta["refs"] = prior["refs"]
     version = 1
     versions = [
         int(re.match(r"v?(\d+)", os.path.basename(p)).group(1))
@@ -1702,6 +1762,19 @@ def expire_iceberg_snapshots(
     if len(snaps) <= keep_last:
         return {"expired": 0, "files_deleted": 0}
     kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+    # named refs pin their snapshots: a tagged/branched snapshot never
+    # expires (the spec's retention contract for refs)
+    ref_ids = {
+        r.get("snapshot-id") for r in (meta.get("refs") or {}).values()
+    }
+    pinned = [s for s in expired if s["snapshot-id"] in ref_ids]
+    if pinned:
+        kept = sorted(
+            kept + pinned, key=lambda s: s["snapshot-id"]
+        )
+        expired = [s for s in expired if s["snapshot-id"] not in ref_ids]
+        if not expired:
+            return {"expired": 0, "files_deleted": 0}
     current = meta.get("current-snapshot-id")
     if current not in {s["snapshot-id"] for s in kept}:
         raise ValueError(

@@ -369,6 +369,38 @@ def delta_clone_source(p: ParsedUri) -> DeltaCloneSource:
     return DeltaCloneSource(p)
 
 
+@dataclass
+class IcebergTagSource:
+    """``rep+iceberg-tag:///path/tbl?name=v1[&snapshot-id=N
+    &type=tag|branch]`` — create/move a named ref (metadata-only;
+    tagged snapshots never expire). Reads resolve via
+    ``iceberg://...?ref=v1``."""
+
+    uri: ParsedUri
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        from spark_etl_cli_spark.sources.iceberg_lite import set_iceberg_ref
+
+        name = self.uri.params.get("name")
+        if not name:
+            raise ValueError("iceberg-tag:// needs ?name=<ref name>")
+        sid = self.uri.params.get("snapshot-id")
+        pinned = set_iceberg_ref(
+            self.uri.path, name,
+            snapshot_id=int(sid) if sid is not None else None,
+            ref_type=self.uri.params.get("type", "tag"),
+        )
+        return spark.createDataFrame(
+            [(self.uri.path, name, pinned)],
+            "table string, ref string, snapshot_id long",
+        )
+
+
+@register_source("iceberg-tag")
+def iceberg_tag_source(p: ParsedUri) -> IcebergTagSource:
+    return IcebergTagSource(p)
+
+
 @register_source("delta-optimize")
 def delta_optimize_source(p: ParsedUri) -> DeltaOptimizeSource:
     return DeltaOptimizeSource(p)

@@ -845,10 +845,19 @@ class IcebergSource:
             return apply_watermark(df, self.uri.params.get("watermark"))
         sid = self.uri.params.get("snapshot-id")
         as_of_ts = self.uri.params.get("as-of-timestamp")
-        if sid is not None and as_of_ts is not None:
+        ref = self.uri.params.get("ref")
+        if sum(x is not None for x in (sid, as_of_ts, ref)) > 1:
             raise ValueError(
-                "pass ?snapshot-id= OR ?as-of-timestamp=, not both"
+                "pass at most one of ?snapshot-id= / ?as-of-timestamp= "
+                "/ ?ref="
             )
+        if ref is not None:
+            from spark_etl_cli_spark.sources.iceberg_lite import (
+                _load_metadata,
+                resolve_iceberg_ref,
+            )
+
+            sid = resolve_iceberg_ref(_load_metadata(self.uri.path), ref)
         if as_of_ts is not None:
             from spark_etl_cli_spark.sources.iceberg_lite import (
                 _load_metadata,

@@ -1175,7 +1175,7 @@ def test_iceberg_as_of_timestamp_time_travel(spark, tmp_path):
     _, src2 = resolve_source(
         f"t+iceberg://{table}?as-of-timestamp={ts1}&snapshot-id=1"
     )
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most one"):
         src2.read(spark)
 
 
@@ -1466,3 +1466,53 @@ def test_cross_format_cdc_delta_to_iceberg(spark, tmp_path):
     delete_delta_lite(spark, src_path, "id = 3")
     replicate()
     assert snap_ice() == snap_delta()
+
+
+def test_iceberg_refs_tag_read_and_expiry_pin(spark, tmp_path):
+    from spark_etl_cli_spark.registry import resolve_source
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        expire_iceberg_snapshots,
+        read_iceberg_lite,
+        set_iceberg_ref,
+        write_iceberg_lite,
+    )
+
+    table = str(tmp_path / "ice_refs")
+    write_iceberg_lite(spark.range(3).selectExpr("id"), table)
+    set_iceberg_ref(table, "v1")  # tag the current snapshot
+    write_iceberg_lite(
+        spark.range(3, 6).selectExpr("id"), table, mode="append"
+    )
+    write_iceberg_lite(
+        spark.range(6, 9).selectExpr("id"), table, mode="append"
+    )
+    # read the tag
+    _, src = resolve_source(f"t+iceberg://{table}?ref=v1")
+    assert sorted(r.id for r in src.read(spark).collect()) == [0, 1, 2]
+    # 'main' resolves without an explicit ref
+    _, main = resolve_source(f"t+iceberg://{table}?ref=main")
+    assert main.read(spark).count() == 9
+    # expiry keeps the tagged snapshot alive
+    stats = expire_iceberg_snapshots(table, keep_last=1)
+    assert stats["expired"] == 1  # only the untagged middle snapshot
+    assert sorted(
+        r.id for r in src.read(spark).collect()
+    ) == [0, 1, 2]
+    assert read_iceberg_lite(spark, table).count() == 9
+    # unknown refs raise with the known list
+    _, bad = resolve_source(f"t+iceberg://{table}?ref=nope")
+    with pytest.raises(ValueError, match="unknown iceberg ref"):
+        bad.read(spark)
+
+
+def test_iceberg_tag_via_maintenance_uri(spark, tmp_path):
+    from spark_etl_cli_spark.registry import resolve_source
+    from spark_etl_cli_spark.sources.iceberg_lite import write_iceberg_lite
+
+    table = str(tmp_path / "ice_tag_uri")
+    write_iceberg_lite(spark.range(2).selectExpr("id"), table)
+    _, tag = resolve_source(f"rep+iceberg-tag://{table}?name=rel&type=branch")
+    row = tag.read(spark).head()
+    assert row["ref"] == "rel" and row["snapshot_id"] > 0
+    _, src = resolve_source(f"t+iceberg://{table}?ref=rel")
+    assert src.read(spark).count() == 2
