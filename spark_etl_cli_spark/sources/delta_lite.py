@@ -1686,21 +1686,31 @@ def _snapshot_scan(
     Deletion vectors are applied (a deleted row neither matches a
     DELETE predicate again nor gets resurrected by a rewrite);
     partition columns are restored as typed literals per file group,
-    exactly like the batch reader. Column-mapped tables are fenced:
-    their physical/logical name split would leak physical names into
-    rewritten files.
+    exactly like the batch reader. Column-mapped tables read their
+    files under PHYSICAL names and alias back to logical (nested
+    mapping stays fenced — a struct rebuild would be needed).
     """
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
-    _phys, mapped = _physical_schema(schema)
-    if mapped:
+    phys_schema, mapped = _physical_schema(schema)
+    if mapped and any(
+        f.dataType != pf.dataType
+        for f, pf in zip(schema.fields, phys_schema.fields)
+    ):
         raise NotImplementedError(
-            "delta-lite DELETE/upsert on column-mapped tables needs "
-            "delta-spark (physical column names would leak into the "
-            "rewritten files)"
+            "delta-lite row ops on tables with NESTED column mapping "
+            "need delta-spark"
         )
+    phys_of = {
+        f.name: pf.name for f, pf in zip(schema.fields, phys_schema.fields)
+    }
     part_cols = meta.get("partitionColumns") or []
+    part_keys = [phys_of[c] if mapped else c for c in part_cols]
     data_schema = T.StructType(
-        [f for f in schema.fields if f.name not in part_cols]
+        [
+            pf
+            for f, pf in zip(schema.fields, phys_schema.fields)
+            if f.name not in part_cols
+        ]
     )
     norm_file = F.regexp_replace(
         F.col("_metadata.file_path"), "^file:/+", "/"
@@ -1712,7 +1722,7 @@ def _snapshot_scan(
     groups: dict[tuple, list[tuple[str, dict | None]]] = {}
     for a in adds:
         pv = a.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in part_cols)
+        key = tuple(pv.get(c) for c in part_keys)
         groups.setdefault(key, []).append(
             (os.path.join(table_path, a["path"]), a.get("deletionVector"))
         )
@@ -1723,6 +1733,8 @@ def _snapshot_scan(
             if f.name in part_cols:
                 raw = key[part_cols.index(f.name)]
                 cols.append(F.lit(raw).cast(f.dataType).alias(f.name))
+            elif mapped:
+                cols.append(F.col(phys_of[f.name]).alias(f.name))
             else:
                 cols.append(F.col(f.name))
         return cols
@@ -2005,20 +2017,40 @@ def _remove_action(add: dict, now_ms: int) -> dict:
 
 
 def _rewrite_files(
-    df: DataFrame, table_path: str, part_cols: list[str]
+    df: DataFrame, table_path: str, part_cols: list[str],
+    meta: dict | None = None,
 ) -> list[dict]:
     """Write ``df`` (logical columns only) as new table data files and
-    return their add actions. One distributed job."""
+    return their add actions. One distributed job. With ``meta`` of a
+    column-mapped table, the frame is projected to PHYSICAL names
+    first (files and partitionValues keys speak physical)."""
     import shutil
     import tempfile
 
+    write_parts = list(part_cols)
+    if meta is not None:
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        phys_schema, mapped = _physical_schema(schema)
+        if mapped:
+            phys_of = {
+                f.name: pf.name
+                for f, pf in zip(schema.fields, phys_schema.fields)
+            }
+            df = df.select(
+                *[
+                    F.col(f.name).alias(phys_of[f.name])
+                    for f in schema.fields
+                    if f.name in df.columns
+                ]
+            )
+            write_parts = [phys_of[c] for c in part_cols]
     tmp_dir = tempfile.mkdtemp(prefix="delta_lite_rewrite_")
     try:
         writer = df.write.mode("overwrite")
-        if part_cols:
-            writer = writer.partitionBy(*part_cols)
+        if write_parts:
+            writer = writer.partitionBy(*write_parts)
         writer.parquet(tmp_dir)
-        return _collect_written_files(tmp_dir, table_path, part_cols)
+        return _collect_written_files(tmp_dir, table_path, write_parts)
     finally:
         shutil.rmtree(tmp_dir, ignore_errors=True)
 
@@ -2181,7 +2213,7 @@ def delete_delta_lite(
         .filter(~pred)
         .drop("__file")
     )
-    new_adds = _rewrite_files(kept, table_path, part_cols)
+    new_adds = _rewrite_files(kept, table_path, part_cols, meta)
     actions = [_remove_action(a, now_ms) for a in affected]
     actions += [{"add": a} for a in new_adds]
     actions.extend(_cdc_actions())
@@ -2302,7 +2334,7 @@ def _upsert_delta_lite(
     else:
         out = df.select(*table_cols)
     _enforce_constraints(out, meta.get("configuration"), table_schema)
-    new_adds = _rewrite_files(out, table_path, part_cols)
+    new_adds = _rewrite_files(out, table_path, part_cols, meta)
 
     actions = [_remove_action(a, now_ms) for a in affected]
     actions += [{"add": a} for a in new_adds]
@@ -2554,7 +2586,7 @@ def merge_delta_lite(
     for p in pieces[1:]:
         out = out.unionByName(p)
     _enforce_constraints(out, meta.get("configuration"), schema)
-    new_adds = _rewrite_files(out, table_path, part_cols)
+    new_adds = _rewrite_files(out, table_path, part_cols, meta)
     actions = [_remove_action(a, now_ms) for a in affected]
     actions += [{"add": a} for a in new_adds]
     if _cdf_enabled(meta):
@@ -3134,7 +3166,7 @@ def update_delta_lite(
         *out_cols
     )
     _enforce_constraints(rewritten, meta.get("configuration"), schema)
-    new_adds = _rewrite_files(rewritten, table_path, part_cols)
+    new_adds = _rewrite_files(rewritten, table_path, part_cols, meta)
     now_ms = int(time.time() * 1000)
     actions = [_remove_action(a, now_ms) for a in affected]
     actions += [{"add": a} for a in new_adds]

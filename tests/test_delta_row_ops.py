@@ -1648,3 +1648,51 @@ def test_shallow_clone_via_uri(spark, tmp_path):
     row = s.read(spark).head()
     assert row["files_referenced"] == 1
     assert read_delta_lite(spark, tgt).count() == 1
+
+
+def test_row_ops_on_column_mapped_tables(spark, tmp_path):
+    """ALTER rename (upgrades to column mapping) composes with the row
+    ops: DELETE, UPDATE, MERGE and DV deletes all keep working, and
+    rewritten files keep speaking PHYSICAL names."""
+    from spark_etl_cli_spark.sources.delta_lite import (
+        alter_delta_lite,
+        merge_delta_lite,
+        update_delta_lite,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_delta_lite(
+        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(8)]),
+        path,
+    )
+    alter_delta_lite(spark, path, rename={"v": "amount"})
+    update_delta_lite(spark, path, "id = 2", {"amount": "200.0"})
+    delete_delta_lite(spark, path, "id = 3")
+    merge_delta_lite(
+        spark.createDataFrame([Row(id=4, amount=400.0), Row(id=99, amount=99.0)]),
+        path, on="id", update_set={"amount": "source.amount"},
+    )
+    delete_delta_lite(spark, path, "id = 5", deletion_vectors=True)
+    got = {r["id"]: r["amount"]
+           for r in read_delta_lite(spark, path).collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 200.0, 4: 400.0, 6: 6.0,
+                   7: 7.0, 99: 99.0}
+    # rewritten data files carry the PHYSICAL column name ('v')
+    import pyarrow.parquet as _pq
+
+    names = set()
+    for p in _data_files(path):
+        names |= {f.name for f in _pq.read_schema(p)}
+    assert "v" in names and "amount" not in names
+
+
+def test_row_ops_on_mapped_partitioned_table(spark, tmp_path):
+    from spark_etl_cli_spark.sources.delta_lite import alter_delta_lite
+
+    path = str(tmp_path / "tbl")
+    _mk_table(spark, path)  # partitioned by 'part'
+    alter_delta_lite(spark, path, rename={"part": "bucket", "v": "amount"})
+    stats = delete_delta_lite(spark, path, "bucket = 'a' and id < 3")
+    assert stats["rows_deleted"] == 3
+    out = read_delta_lite(spark, path, where="bucket = 'a'")
+    assert sorted(r["id"] for r in out.collect()) == [3, 4, 10, 11, 12, 13, 14]
