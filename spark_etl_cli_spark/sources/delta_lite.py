@@ -2830,9 +2830,14 @@ def alter_delta_lite(
     rename: dict[str, str] | None = None,
     drop: list[str] | None = None,
     add: dict[str, str] | None = None,
+    add_check: dict[str, str] | None = None,
+    drop_check: list[str] | None = None,
 ) -> dict:
-    """``ALTER TABLE``: RENAME COLUMN / DROP COLUMN / ADD COLUMN as a
-    metadata-only commit — no data file is read or rewritten.
+    """``ALTER TABLE``: RENAME COLUMN / DROP COLUMN / ADD COLUMN /
+    ADD CONSTRAINT / DROP CONSTRAINT as a metadata-only commit — no
+    data file is rewritten. ``add_check`` maps constraint name → SQL
+    predicate and, like real Delta, VALIDATES every existing row first
+    (one distributed probe; a violating table refuses the constraint).
 
     RENAME and DROP need column mapping (the files keep their physical
     column names; only the logical schema changes), so the first such
@@ -2855,7 +2860,9 @@ def alter_delta_lite(
     rename = dict(rename or {})
     drop = list(drop or [])
     add = dict(add or {})
-    if not (rename or drop or add):
+    add_check = dict(add_check or {})
+    drop_check = list(drop_check or [])
+    if not (rename or drop or add or add_check or drop_check):
         raise ValueError("alter: nothing to do")
     _adds, meta = _replay(spark, table_path)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
@@ -2931,8 +2938,59 @@ def alter_delta_lite(
     if mapped:
         cfg["delta.columnMapping.maxColumnId"] = str(max_id)
 
+    # constraints: drops just leave the configuration; adds VALIDATE
+    # the whole existing table first (one distributed short-circuited
+    # probe over the post-ALTER logical view — added columns read null,
+    # so a CHECK over them passes per SQL semantics)
+    for cname in drop_check:
+        key = f"delta.constraints.{cname}"
+        if key not in cfg:
+            raise ValueError(f"alter: unknown constraint {cname!r}")
+        del cfg[key]
+    constraint_upgrade = False
+    if add_check:
+        post_view = _snapshot_scan(spark, table_path, _adds, meta).drop(
+            "__file"
+        )
+        sel = [
+            F.col(f.name).alias(rename.get(f.name, f.name))
+            for f in schema.fields
+            if f.name not in drop
+        ] + [
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in out_fields
+            if f.name in add
+        ]
+        post_view = post_view.select(*sel)
+        for cname, expr in sorted(add_check.items()):
+            bad = post_view.filter(F.expr(expr) == F.lit(False)).head(1)
+            if bad:
+                raise ValueError(
+                    f"alter: cannot add constraint {cname!r} ({expr}) — "
+                    f"existing rows violate it; first: {bad[0]}"
+                )
+            cfg[f"delta.constraints.{cname}"] = expr
+        constraint_upgrade = True
+
     now_ms = int(time.time() * 1000)
     actions: list[dict] = []
+    if constraint_upgrade and not upgraded:
+        proto = _current_protocol(spark, table_path)
+        if (
+            int(proto.get("minReaderVersion", 1)) < 3
+            and int(proto.get("minWriterVersion", 2)) < 3
+        ):
+            # CHECK constraints are a writer-version-3 feature
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": int(
+                            proto.get("minReaderVersion", 1)
+                        ),
+                        "minWriterVersion": 3,
+                    }
+                }
+            )
     if upgraded:
         proto = _current_protocol(spark, table_path)
         if int(proto.get("minReaderVersion", 1)) >= 3:
@@ -3000,6 +3058,8 @@ def alter_delta_lite(
         "renamed": len(rename),
         "dropped": len(drop),
         "added": len(add),
+        "checks_added": len(add_check),
+        "checks_dropped": len(drop_check),
     }
 
 

@@ -321,14 +321,26 @@ class DeltaAlterSource:
         drop = [
             c for c in self.uri.params.get("drop", "").split(",") if c
         ]
+        add_check = {
+            k[len("add-check."):]: v
+            for k, v in self.uri.params.items()
+            if k.startswith("add-check.")
+        }
+        drop_check = [
+            c for c in self.uri.params.get("drop-check", "").split(",")
+            if c
+        ]
         stats = alter_delta_lite(
             spark, self.uri.path,
             rename=rename or None, drop=drop or None, add=add or None,
+            add_check=add_check or None, drop_check=drop_check or None,
         )
         return spark.createDataFrame(
             [(self.uri.path, stats["renamed"], stats["dropped"],
-              stats["added"])],
-            "table string, renamed int, dropped int, added int",
+              stats["added"], stats["checks_added"],
+              stats["checks_dropped"])],
+            "table string, renamed int, dropped int, added int, "
+            "checks_added int, checks_dropped int",
         )
 
 

@@ -1696,3 +1696,47 @@ def test_row_ops_on_mapped_partitioned_table(spark, tmp_path):
     assert stats["rows_deleted"] == 3
     out = read_delta_lite(spark, path, where="bucket = 'a'")
     assert sorted(r["id"] for r in out.collect()) == [3, 4, 10, 11, 12, 13, 14]
+
+
+def test_alter_add_constraint_validates_existing_rows(spark, tmp_path):
+    from spark_etl_cli_spark.sources.delta_lite import alter_delta_lite
+
+    path = str(tmp_path / "tbl")
+    write_delta_lite(
+        spark.createDataFrame([Row(id=1, v=1.0), Row(id=2, v=-2.0)]), path
+    )
+    # a violated constraint refuses (and commits nothing)
+    with pytest.raises(ValueError, match="existing rows violate"):
+        alter_delta_lite(spark, path, add_check={"v_pos": "v > 0"})
+    write_delta_lite(spark.createDataFrame([Row(id=2, v=2.0)]), path,
+                     mode="upsert", merge_key="id")
+    stats = alter_delta_lite(spark, path, add_check={"v_pos": "v > 0"})
+    assert stats["checks_added"] == 1
+    # the constraint now gates writes
+    with pytest.raises(ValueError, match="constraint violation"):
+        write_delta_lite(
+            spark.createDataFrame([Row(id=3, v=-3.0)]), path, mode="append"
+        )
+    # and can be dropped again
+    alter_delta_lite(spark, path, drop_check=["v_pos"])
+    write_delta_lite(
+        spark.createDataFrame([Row(id=3, v=-3.0)]), path, mode="append"
+    )
+    assert read_delta_lite(spark, path).count() == 3
+    with pytest.raises(ValueError, match="unknown constraint"):
+        alter_delta_lite(spark, path, drop_check=["nope"])
+
+
+def test_alter_add_constraint_via_uri(spark, tmp_path):
+    from spark_etl_cli_spark.registry import resolve_source
+
+    path = str(tmp_path / "tbl")
+    write_delta_lite(spark.createDataFrame([Row(id=1, v=1.0)]), path)
+    _, s = resolve_source(
+        f"rep+delta-alter://{path}?add-check.v_pos=v %3E 0"
+    )
+    assert s.read(spark).head()["checks_added"] == 1
+    with pytest.raises(ValueError, match="constraint violation"):
+        write_delta_lite(
+            spark.createDataFrame([Row(id=2, v=-1.0)]), path, mode="append"
+        )
