@@ -1472,6 +1472,164 @@ def apply_changes_iceberg_lite(
     }
 
 
+def read_iceberg_changes(
+    spark: SparkSession,
+    table_path: str,
+    from_snapshot: int | None = None,
+    to_snapshot: int | None = None,
+) -> DataFrame:
+    """Changelog read (the shape of Iceberg's ``create_changelog_view``):
+    every row-level change between ``from_snapshot`` (exclusive;
+    None = table creation) and ``to_snapshot`` (inclusive; default
+    HEAD), as table columns + ``_change_type`` (insert | delete) +
+    ``_snapshot_id`` + ``_commit_timestamp``.
+
+    Derivation per snapshot, matching the engine's file-level
+    semantics: ``replace`` snapshots (compaction) contribute nothing;
+    files present only in the new snapshot yield inserts, files that
+    vanished yield deletes (a COW upsert therefore emits delete(old
+    file rows) + insert(new file rows) — the engine's changelog does
+    the same); NEW position/equality delete files resolve to delete
+    rows against the PRIOR snapshot's live view. Vanished files raise
+    loudly rather than dropping changes.
+    """
+    meta = _load_metadata(table_path)
+    snaps = sorted(
+        meta.get("snapshots") or [], key=lambda s: s["snapshot-id"]
+    )
+    if not snaps:
+        raise ValueError("iceberg table has no snapshots")
+    ids = [s["snapshot-id"] for s in snaps]
+    hi = to_snapshot if to_snapshot is not None else ids[-1]
+    lo = from_snapshot if from_snapshot is not None else 0
+    if from_snapshot is not None and from_snapshot not in ids:
+        raise ValueError(
+            f"from_snapshot {from_snapshot} not in table history {ids}"
+        )
+    in_range = [s for s in snaps if lo < s["snapshot-id"] <= hi]
+    spark_schema = _schema_to_spark(meta)
+    part_fields = _identity_partition_fields(meta)
+    scan, grouped, _union = _cow_scan_tools(
+        spark, table_path, meta, part_fields
+    )
+    out_schema = T.StructType(
+        list(spark_schema.fields)
+        + [
+            T.StructField("_change_type", T.StringType()),
+            T.StructField("_snapshot_id", T.LongType()),
+            T.StructField("_commit_timestamp", T.TimestampType()),
+        ]
+    )
+    if not in_range:
+        return spark.createDataFrame([], out_schema)
+
+    def entryify(pairs: list[tuple[str, dict]]) -> list[dict]:
+        return [
+            {"data_file": {"file_path": p, "partition": pv or {}}}
+            for p, pv in pairs
+        ]
+
+    def scan_pairs(pairs: list[tuple[str, dict]]) -> DataFrame:
+        missing = [p for p, _ in pairs if not os.path.exists(p)]
+        if missing:
+            raise FileNotFoundError(
+                f"changelog: data files expired away: {missing[:3]}"
+            )
+        parts = [
+            scan(g, key, with_file=False)
+            for key, g in sorted(
+                grouped(entryify(pairs)).items(),
+                key=lambda kv: tuple(str(v) for _, v in kv[0]),
+            )
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def resolve(sid: int | None):
+        if sid is None:
+            return [], [], []
+        data, pos, eq, _s, _m = _resolve_entries(spark, table_path, sid)
+        return (
+            [(p, pv) for p, pv, _seq in data],
+            [p for p, _seq in pos],
+            [p for p, _seq in eq],
+        )
+
+    prev_id = from_snapshot  # None = before the first snapshot
+    prev_data, prev_pos, prev_eq = resolve(prev_id)
+    pieces: list[DataFrame] = []
+    for snap in in_range:
+        sid = snap["snapshot-id"]
+        ts_ms = int(snap.get("timestamp-ms") or 0)
+        cur_data, cur_pos, cur_eq = resolve(sid)
+        stamps = [
+            F.lit("insert").alias("_change_type"),
+            F.lit(sid).cast("long").alias("_snapshot_id"),
+            F.timestamp_millis(F.lit(ts_ms)).alias("_commit_timestamp"),
+        ]
+        op = (snap.get("summary") or {}).get("operation")
+        if op == "replace":
+            prev_id, prev_data, prev_pos, prev_eq = (
+                sid, cur_data, cur_pos, cur_eq,
+            )
+            continue
+        prev_paths = {p for p, _ in prev_data}
+        cur_paths = {p for p, _ in cur_data}
+        added = [(p, pv) for p, pv in cur_data if p not in prev_paths]
+        removed = [(p, pv) for p, pv in prev_data if p not in cur_paths]
+        if added:
+            pieces.append(scan_pairs(added).select("*", *stamps))
+        del_stamps = [
+            F.lit("delete").alias("_change_type"),
+            F.lit(sid).cast("long").alias("_snapshot_id"),
+            F.timestamp_millis(F.lit(ts_ms)).alias("_commit_timestamp"),
+        ]
+        if removed:
+            pieces.append(scan_pairs(removed).select("*", *del_stamps))
+        new_pos = [p for p in cur_pos if p not in set(prev_pos)]
+        new_eq = [p for p in cur_eq if p not in set(prev_eq)]
+        if (new_pos or new_eq) and prev_id is not None:
+            prior = read_iceberg_lite(
+                spark, table_path, snapshot_id=prev_id,
+                with_provenance=True,
+            )
+            data_cols = [f.name for f in spark_schema.fields]
+            if new_pos:
+                norm = F.regexp_replace(
+                    F.col("file_path"), "^file:/+", "/"
+                )
+                pairs = (
+                    spark.read.parquet(*new_pos)
+                    .select(
+                        norm.alias("__dfile"),
+                        F.col("pos").cast("long").alias("__dpos"),
+                    )
+                )
+                pieces.append(
+                    prior.join(pairs, ["__dfile", "__dpos"], "left_semi")
+                    .select(*data_cols)
+                    .select("*", *del_stamps)
+                )
+            for eqf in new_eq:
+                keys = spark.read.parquet(eqf).distinct()
+                pieces.append(
+                    prior.join(keys, list(keys.columns), "left_semi")
+                    .select(*data_cols)
+                    .select("*", *del_stamps)
+                )
+        prev_id, prev_data, prev_pos, prev_eq = (
+            sid, cur_data, cur_pos, cur_eq,
+        )
+    if not pieces:
+        return spark.createDataFrame([], out_schema)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def compact_iceberg_lite(
     spark: SparkSession,
     table_path: str,

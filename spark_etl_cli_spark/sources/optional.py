@@ -843,6 +843,21 @@ class IcebergSource:
             if w:
                 df = df.filter(w)  # same ?where= contract as batch
             return apply_watermark(df, self.uri.params.get("watermark"))
+        if self.uri.params.get("changelog", "").lower() in (
+            "1", "true", "yes",
+        ):
+            # changelog read: row-level inserts/deletes per snapshot
+            from spark_etl_cli_spark.sources.iceberg_lite import (
+                read_iceberg_changes,
+            )
+
+            fs = self.uri.params.get("from-snapshot")
+            ts2 = self.uri.params.get("to-snapshot")
+            return read_iceberg_changes(
+                spark, self.uri.path,
+                from_snapshot=int(fs) if fs is not None else None,
+                to_snapshot=int(ts2) if ts2 is not None else None,
+            )
         sid = self.uri.params.get("snapshot-id")
         as_of_ts = self.uri.params.get("as-of-timestamp")
         ref = self.uri.params.get("ref")

@@ -1516,3 +1516,99 @@ def test_iceberg_tag_via_maintenance_uri(spark, tmp_path):
     assert row["ref"] == "rel" and row["snapshot_id"] > 0
     _, src = resolve_source(f"t+iceberg://{table}?ref=rel")
     assert src.read(spark).count() == 2
+
+
+def test_iceberg_changelog_appends_and_cow_delete(spark, tmp_path):
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        delete_iceberg_lite,
+        read_iceberg_changes,
+        write_iceberg_lite,
+    )
+
+    table = str(tmp_path / "ice_cl")
+    write_iceberg_lite(
+        spark.createDataFrame(
+            [(1, 1.0), (2, 2.0)], "id long, v double"
+        ).coalesce(1),  # one file, so the delete rewrites a survivor
+        table,
+    )
+    write_iceberg_lite(
+        spark.createDataFrame([(3, 3.0)], "id long, v double"),
+        table, mode="append",
+    )
+    ch = read_iceberg_changes(spark, table)
+    rows = {(r["id"], r["_change_type"]) for r in ch.collect()}
+    assert rows == {(1, "insert"), (2, "insert"), (3, "insert")}
+    assert {"_snapshot_id", "_commit_timestamp"} <= set(ch.columns)
+    # bounded range: only the second snapshot
+    meta_sids = sorted({r["_snapshot_id"] for r in ch.collect()})
+    ch1 = read_iceberg_changes(spark, table, from_snapshot=meta_sids[0])
+    assert {(r["id"], r["_change_type"]) for r in ch1.collect()} == {
+        (3, "insert")
+    }
+    # COW delete: file-level derivation (delete old file rows, insert
+    # survivors) — the engine's changelog shape
+    delete_iceberg_lite(spark, table, "id = 1")
+    ch2 = read_iceberg_changes(spark, table, from_snapshot=meta_sids[-1])
+    got = {(r["id"], r["_change_type"]) for r in ch2.collect()}
+    assert (1, "delete") in got
+    assert (2, "insert") in got and (2, "delete") in got  # survivor rewrite
+    assert (1, "insert") not in got
+
+
+def test_iceberg_changelog_mor_deletes_resolve_rows(spark, tmp_path):
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        compact_iceberg_lite,
+        delete_iceberg_lite,
+        read_iceberg_changes,
+        write_iceberg_lite,
+    )
+
+    table = str(tmp_path / "ice_cl_mor")
+    write_iceberg_lite(
+        spark.createDataFrame(
+            [(i, "k" + str(i % 2)) for i in range(6)], "id long, k string"
+        ),
+        table,
+    )
+    sids0 = sorted(
+        s["snapshot-id"]
+        for s in __import__("json").load(
+            open(sorted(__import__("glob").glob(
+                os.path.join(table, "metadata", "*.metadata.json")
+            ))[-1])
+        )["snapshots"]
+    )
+    delete_iceberg_lite(spark, table, "id in (1, 4)", mode="merge-on-read")
+    delete_iceberg_lite(
+        spark, table, "id = 0", mode="merge-on-read",
+        equality_columns=["k"],
+    )
+    ch = read_iceberg_changes(spark, table, from_snapshot=sids0[-1])
+    got = sorted(
+        (r["id"], r["_change_type"]) for r in ch.collect()
+    )
+    # pos delete removed 1 and 4; the equality delete (k='k0') removed
+    # the remaining even ids 0 and 2 (4 was already dead)
+    assert got == [(0, "delete"), (1, "delete"), (2, "delete"),
+                   (4, "delete")]
+
+
+def test_iceberg_changelog_skips_compaction_and_uri(spark, tmp_path):
+    from spark_etl_cli_spark.registry import resolve_source
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        compact_iceberg_lite,
+        write_iceberg_lite,
+    )
+
+    table = str(tmp_path / "ice_cl_c")
+    write_iceberg_lite(spark.range(2).selectExpr("id"), table)
+    write_iceberg_lite(
+        spark.range(2, 4).selectExpr("id"), table, mode="append"
+    )
+    compact_iceberg_lite(spark, table, min_files=2)
+    _, src = resolve_source(f"c+iceberg://{table}?changelog=true")
+    rows = [(r["id"], r["_change_type"]) for r in src.read(spark).collect()]
+    # compaction contributes NOTHING; each row appears exactly once
+    assert sorted(rows) == [(0, "insert"), (1, "insert"),
+                            (2, "insert"), (3, "insert")]
