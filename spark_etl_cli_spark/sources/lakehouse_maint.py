@@ -413,6 +413,32 @@ def iceberg_tag_source(p: ParsedUri) -> IcebergTagSource:
     return IcebergTagSource(p)
 
 
+@dataclass
+class DeltaUniformSource:
+    """``rep+delta-uniform:///path/tbl`` — write/refresh Iceberg
+    metadata for a delta table (UniForm interop, zero data copy):
+    afterwards ``iceberg://<same path>`` serves the identical rows
+    (sources/uniform.py)."""
+
+    uri: ParsedUri
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        from spark_etl_cli_spark.sources.uniform import (
+            export_delta_as_iceberg,
+        )
+
+        sid = export_delta_as_iceberg(spark, self.uri.path)
+        return spark.createDataFrame(
+            [(self.uri.path, sid)],
+            "table string, iceberg_snapshot_id long",
+        )
+
+
+@register_source("delta-uniform")
+def delta_uniform_source(p: ParsedUri) -> DeltaUniformSource:
+    return DeltaUniformSource(p)
+
+
 @register_source("delta-optimize")
 def delta_optimize_source(p: ParsedUri) -> DeltaOptimizeSource:
     return DeltaOptimizeSource(p)

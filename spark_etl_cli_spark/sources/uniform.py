@@ -1,0 +1,241 @@
+"""UniForm-style interop: expose a DELTA table as an ICEBERG table —
+zero data copy.
+
+Delta's UniForm feature writes Iceberg metadata alongside the Delta
+transaction log so Iceberg readers can consume the same parquet files.
+This module does the engine-free equivalent: ``export_delta_as_iceberg``
+replays the delta snapshot and commits an Iceberg ``metadata/`` tree
+(avro manifest + manifest list + ``vN.metadata.json``) whose data-file
+entries reference the delta table's OWN parquet files by absolute
+path. After the export, ``iceberg://<same path>`` (or any engine's
+Iceberg reader pointed at it) serves the identical rows; re-running
+the export after new delta commits refreshes the Iceberg view as a new
+snapshot (old snapshots stay time-travelable).
+
+Honest fences: deletion-vector adds (Iceberg can't express Delta DVs)
+and column-mapped tables (Iceberg readers resolve by field id; the
+physical-name indirection needs the real UniForm converter) refuse
+loudly. Reference surface: the reference's delta connector wraps
+engine jars (delta/.../DeltaUriParser.scala:13-60); format interop is
+beyond-reference, built on the two lite protocol writers.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+import re
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+
+def export_delta_as_iceberg(spark: SparkSession, table_path: str) -> int:
+    """Write/refresh Iceberg metadata for the delta table at
+    ``table_path``; returns the new Iceberg snapshot id. Metadata-only:
+    no data file is read (record counts come from the delta adds'
+    stats; a missing stat falls back to one footer read for that file).
+    """
+    import time as _time
+    import uuid as _uuid
+
+    from spark_etl_cli_spark.sources.avro_lite import (
+        read_container,
+        write_container,
+    )
+    from spark_etl_cli_spark.sources.delta_lite import (
+        _physical_schema,
+        _replay,
+    )
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        _MANIFEST_LIST_SCHEMA,
+        _hive_value,
+        _manifest_schema_for,
+        _max_field_id,
+        _parquet_row_count,
+        _part_avro_type,
+        _spark_to_iceberg_schema,
+    )
+
+    adds, meta = _replay(spark, table_path)
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    _phys, mapped = _physical_schema(schema)
+    if mapped:
+        raise NotImplementedError(
+            "uniform export of a column-mapped delta table needs the "
+            "engine converter (Iceberg readers resolve columns by field "
+            "id, not by the mapped physical names)"
+        )
+    dv = [a for a in adds if a.get("deletionVector")]
+    if dv:
+        raise NotImplementedError(
+            "uniform export cannot express Delta deletion vectors in "
+            f"Iceberg metadata ({len(dv)} files carry DVs); run a "
+            "copy-on-write rewrite (OPTIMIZE) first"
+        )
+    part_cols = meta.get("partitionColumns") or []
+    part_fields = [(c, schema[c].dataType) for c in part_cols]
+    for _n, _dt in part_fields:
+        _part_avro_type(_dt)  # validate up front
+    iceberg_schema = _spark_to_iceberg_schema(schema)
+    field_id_of = {
+        f["name"]: f["id"] for f in iceberg_schema.get("fields", [])
+    }
+
+    meta_dir = os.path.join(table_path, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    prior_versions = _glob.glob(os.path.join(meta_dir, "*.metadata.json"))
+    prior = None
+    if prior_versions:
+        from spark_etl_cli_spark.sources.iceberg_lite import _load_metadata
+
+        prior = _load_metadata(table_path)
+    snapshot_id = (
+        max(
+            (s["snapshot-id"] for s in (prior or {}).get("snapshots") or []),
+            default=0,
+        )
+        + 1
+    )
+    seq = int((prior or {}).get("last-sequence-number") or 0) + 1
+    now_ms = int(_time.time() * 1000)
+    commit_uuid = _uuid.uuid4().hex
+
+    abs_root = os.path.abspath(table_path)
+    entries = []
+    total_rows = 0
+    for a in adds:
+        p = os.path.join(abs_root, a["path"])
+        n = None
+        stats = a.get("stats")
+        if stats:
+            try:
+                n = int(json.loads(stats).get("numRecords"))
+            except (ValueError, TypeError):
+                n = None
+        if n is None:
+            n = _parquet_row_count(p)
+        total_rows += n
+        pv_raw = a.get("partitionValues") or {}
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,       # inherited (v2 spec)
+                "file_sequence_number": None,  # inherited
+                "data_file": {
+                    "content": 0,
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "partition": {
+                        name: _hive_value(pv_raw.get(name), dt)
+                        for name, dt in part_fields
+                    },
+                    "record_count": n,
+                    "file_size_in_bytes": a.get("size")
+                    or os.path.getsize(p),
+                },
+            }
+        )
+
+    manifest_path = os.path.join(
+        meta_dir, f"manifest-uniform-{commit_uuid}.avro"
+    )
+    write_container(
+        manifest_path,
+        _manifest_schema_for(part_fields),
+        iter(entries),
+        extra_meta={
+            "schema": json.dumps(iceberg_schema).encode(),
+            "schema-id": b"0",
+            "partition-spec": b"[]",
+            "partition-spec-id": b"0",
+            "format-version": b"2",
+            "content": b"data",
+        },
+    )
+    mlist_path = os.path.join(
+        meta_dir, f"snap-{snapshot_id}-{commit_uuid}.avro"
+    )
+    write_container(
+        mlist_path,
+        _MANIFEST_LIST_SCHEMA,
+        iter(
+            [
+                {
+                    "manifest_path": manifest_path,
+                    "manifest_length": os.path.getsize(manifest_path),
+                    "partition_spec_id": 0,
+                    "content": 0,
+                    "sequence_number": seq,
+                    "min_sequence_number": seq,
+                    "added_snapshot_id": snapshot_id,
+                    "added_files_count": len(entries),
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": total_rows,
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                }
+            ]
+        ),
+        extra_meta={"format-version": b"2"},
+    )
+    spec_fields = [
+        {
+            "name": name,
+            "transform": "identity",
+            "source-id": field_id_of[name],
+            "field-id": 1000 + i,
+        }
+        for i, (name, _dt) in enumerate(part_fields)
+    ]
+    snapshots = list((prior or {}).get("snapshots") or [])
+    snapshots.append(
+        {
+            "snapshot-id": snapshot_id,
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": mlist_path,
+            # each export REPLACES the iceberg view of the table: the
+            # snapshot's manifest list carries only its own manifest
+            "summary": {"operation": "overwrite", "uniform": "delta"},
+            "schema-id": 0,
+        }
+    )
+    new_meta = {
+        "format-version": 2,
+        "table-uuid": (prior or {}).get(
+            "table-uuid", str(_uuid.UUID(int=int(commit_uuid[:32], 16)))
+        ),
+        "location": table_path,
+        "last-sequence-number": seq,
+        "last-updated-ms": now_ms,
+        "last-column-id": _max_field_id(iceberg_schema),
+        "current-snapshot-id": snapshot_id,
+        "schemas": [iceberg_schema],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "default-spec-id": 0,
+        "last-partition-id": 999 + len(spec_fields),
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "snapshots": snapshots,
+    }
+    if prior and prior.get("refs"):
+        new_meta["refs"] = prior["refs"]
+    version = 1
+    versions = [
+        int(re.match(r"v?(\d+)", os.path.basename(p)).group(1))
+        for p in prior_versions
+    ]
+    if versions:
+        version = max(versions) + 1
+    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as fh:
+        json.dump(new_meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return snapshot_id

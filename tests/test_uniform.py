@@ -1,0 +1,105 @@
+"""UniForm interop: delta tables exposed as iceberg tables
+(sources/uniform.py) — zero data copy, metadata-only exports."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from spark_etl_cli_spark.sources.delta_lite import (
+    delete_delta_lite,
+    read_delta_lite,
+    write_delta_lite,
+)
+from spark_etl_cli_spark.sources.iceberg_lite import read_iceberg_lite
+from spark_etl_cli_spark.sources.uniform import export_delta_as_iceberg
+
+
+def _snap(df, cols=("id", "v")):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_uniform_export_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    write_delta_lite(
+        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(10)]),
+        path,
+    )
+    sid = export_delta_as_iceberg(spark, path)
+    assert sid == 1
+    assert _snap(read_iceberg_lite(spark, path)) == _snap(
+        read_delta_lite(spark, path)
+    )
+    # zero copy: the iceberg metadata references the delta parquet
+    # files; no new data file appeared
+    data_files = [
+        f
+        for root, _d, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet") and "_delta_log" not in root
+        and "metadata" not in root
+    ]
+    assert len(data_files) > 0
+
+
+def test_uniform_refresh_tracks_delta_commits(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    write_delta_lite(
+        spark.createDataFrame([Row(id=1, v=1.0), Row(id=2, v=2.0)]), path
+    )
+    export_delta_as_iceberg(spark, path)
+    write_delta_lite(
+        spark.createDataFrame([Row(id=3, v=3.0)]), path, mode="append"
+    )
+    delete_delta_lite(spark, path, "id = 1")
+    sid2 = export_delta_as_iceberg(spark, path)
+    assert sid2 == 2
+    assert _snap(read_iceberg_lite(spark, path)) == {(2, 2.0), (3, 3.0)}
+    # the previous iceberg snapshot still time-travels to the old view
+    assert _snap(read_iceberg_lite(spark, path, snapshot_id=1)) == {
+        (1, 1.0), (2, 2.0),
+    }
+
+
+def test_uniform_partitioned_tables_prune(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    write_delta_lite(
+        spark.createDataFrame(
+            [Row(id=i, part="a" if i < 3 else "b", v=float(i))
+             for i in range(6)]
+        ),
+        path, partition_by=["part"],
+    )
+    export_delta_as_iceberg(spark, path)
+    out = read_iceberg_lite(spark, path, where="part = 'a'")
+    assert sorted(r["id"] for r in out.collect()) == [0, 1, 2]
+
+
+def test_uniform_via_uri_and_iceberg_source(spark, tmp_path):
+    from spark_etl_cli_spark.registry import resolve_source
+
+    path = str(tmp_path / "tbl")
+    write_delta_lite(spark.createDataFrame([Row(id=1, v=1.0)]), path)
+    _, u = resolve_source(f"rep+delta-uniform://{path}")
+    assert u.read(spark).head()["iceberg_snapshot_id"] == 1
+    _, ice = resolve_source(f"t+iceberg://{path}")
+    assert _snap(ice.read(spark)) == {(1, 1.0)}
+
+
+def test_uniform_fences_dv_and_mapped_tables(spark, tmp_path):
+    from spark_etl_cli_spark.sources.delta_lite import alter_delta_lite
+
+    p1 = str(tmp_path / "dv")
+    write_delta_lite(
+        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(5)]), p1
+    )
+    delete_delta_lite(spark, p1, "id = 1", deletion_vectors=True)
+    with pytest.raises(NotImplementedError, match="deletion vectors"):
+        export_delta_as_iceberg(spark, p1)
+    p2 = str(tmp_path / "mapped")
+    write_delta_lite(spark.createDataFrame([Row(id=1, v=1.0)]), p2)
+    alter_delta_lite(spark, p2, rename={"v": "amount"})
+    with pytest.raises(NotImplementedError, match="column-mapped"):
+        export_delta_as_iceberg(spark, p2)
