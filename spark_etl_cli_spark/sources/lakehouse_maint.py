@@ -439,6 +439,31 @@ def delta_uniform_source(p: ParsedUri) -> DeltaUniformSource:
     return DeltaUniformSource(p)
 
 
+@dataclass
+class IcebergUniformSource:
+    """``rep+iceberg-uniform:///path/tbl`` — the reverse direction:
+    write/refresh a Delta transaction log for an iceberg table so
+    ``delta://<same path>`` serves identical rows, zero data copy."""
+
+    uri: ParsedUri
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        from spark_etl_cli_spark.sources.uniform import (
+            export_iceberg_as_delta,
+        )
+
+        v = export_iceberg_as_delta(spark, self.uri.path)
+        return spark.createDataFrame(
+            [(self.uri.path, v)],
+            "table string, delta_version long",
+        )
+
+
+@register_source("iceberg-uniform")
+def iceberg_uniform_source(p: ParsedUri) -> IcebergUniformSource:
+    return IcebergUniformSource(p)
+
+
 @register_source("delta-optimize")
 def delta_optimize_source(p: ParsedUri) -> DeltaOptimizeSource:
     return DeltaOptimizeSource(p)

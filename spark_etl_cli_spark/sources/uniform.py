@@ -31,6 +31,173 @@ from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
 
+def _delta_pv_str(v) -> str | None:
+    """Typed manifest partition value → delta's string partitionValues
+    encoding (hive-style: booleans lowercase, dates ISO, None null)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def export_iceberg_as_delta(spark: SparkSession, table_path: str) -> int:
+    """The reverse direction: write/refresh a Delta transaction log for
+    the ICEBERG table at ``table_path`` — afterwards ``delta://<same
+    path>`` (or any Delta reader) serves the identical rows, zero data
+    copy. Returns the delta version committed.
+
+    First export writes commit 0 (protocol + metaData + adds with
+    absolute paths); re-exports commit remove(gone files) + add(new
+    files), so the delta view tracks the iceberg snapshot history
+    version by version. Tables with live position/equality delete
+    files refuse (Delta cannot express them; compact first), as do
+    non-identity partition transforms.
+    """
+    import time as _time
+    import uuid as _uuid
+    from urllib.parse import quote
+
+    from spark_etl_cli_spark.sources.delta_lite import (
+        _log_dir,
+        _remove_action,
+        _replay,
+        _write_commit,
+        is_delta_table,
+    )
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        _identity_partition_fields,
+        _load_metadata,
+        _localize,
+        _manifest_entries,
+        _schema_to_spark,
+        _snapshot,
+    )
+
+    meta = _load_metadata(table_path)
+    snap = _snapshot(meta, None)
+    entries = [
+        e
+        for e in _manifest_entries(table_path, snap)
+        if e.get("status") != 2
+    ]
+    if any(
+        (e.get("data_file") or {}).get("content") in (1, 2) for e in entries
+    ):
+        raise NotImplementedError(
+            "delta export cannot express iceberg position/equality "
+            "delete files; compact/apply the deletes first"
+        )
+    part_fields = _identity_partition_fields(meta)
+    specs = meta.get("partition-specs")
+    spec_field_count = len(
+        (next(
+            (
+                s
+                for s in (specs or [])
+                if s.get("spec-id") == meta.get("default-spec-id", 0)
+            ),
+            {"fields": meta.get("partition-spec") or []},
+        ) or {}).get("fields", [])
+    )
+    if any(
+        (e.get("data_file") or {}).get("partition") for e in entries
+    ) and (not part_fields or spec_field_count != len(part_fields)):
+        raise NotImplementedError(
+            "delta export needs identity partition transforms"
+        )
+    schema = _schema_to_spark(meta)
+    part_cols = [pn for pn, _src, _dt in part_fields]
+    now_ms = int(_time.time() * 1000)
+    abs_root = os.path.abspath(table_path)
+
+    wanted: dict[str, dict] = {}
+    for e in entries:
+        d = e["data_file"]
+        p = os.path.abspath(_localize(d["file_path"], table_path))
+        pv = d.get("partition") or {}
+        wanted[p] = {
+            "path": quote(p, safe="/=:"),
+            "partitionValues": {
+                pn: _delta_pv_str(pv.get(pn)) for pn in part_cols
+            },
+            "size": d.get("file_size_in_bytes") or os.path.getsize(p),
+            "modificationTime": now_ms,
+            "dataChange": True,
+            "stats": json.dumps(
+                {"numRecords": d.get("record_count")}
+            )
+            if d.get("record_count") is not None
+            else None,
+        }
+    actions: list[dict] = []
+    first = not (
+        is_delta_table(table_path)
+        and os.listdir(_log_dir(table_path))
+    )
+    if first:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(_uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema.json(),
+                    "partitionColumns": part_cols,
+                    "configuration": {"uniform.source": "iceberg"},
+                    "createdTime": now_ms,
+                }
+            }
+        )
+        for a in wanted.values():
+            add = dict(a)
+            if add.get("stats") is None:
+                add.pop("stats", None)
+            actions.append({"add": add})
+    else:
+        cur_adds, cur_meta = _replay(spark, table_path)
+        cur_by = {
+            os.path.abspath(os.path.join(abs_root, a["path"])): a
+            for a in cur_adds
+        }
+        for p, a in cur_by.items():
+            if p not in wanted:
+                actions.append(_remove_action(a, now_ms))
+        for p, a in wanted.items():
+            if p not in cur_by:
+                add = dict(a)
+                if add.get("stats") is None:
+                    add.pop("stats", None)
+                actions.append({"add": add})
+        if cur_meta.get("schemaString") != schema.json():
+            actions.append(
+                {"metaData": {**cur_meta, "schemaString": schema.json()}}
+            )
+        if not actions:
+            # nothing changed since the last export
+            versions = sorted(
+                int(f[:20])
+                for f in os.listdir(_log_dir(table_path))
+                if f.endswith(".json") and f[:20].isdigit()
+            )
+            return versions[-1]
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "UNIFORM EXPORT",
+                "operationParameters": {
+                    "source": "iceberg",
+                    "snapshot-id": snap["snapshot-id"],
+                },
+            }
+        }
+    )
+    return _write_commit(spark, table_path, actions, first=first)
+
+
 def export_delta_as_iceberg(spark: SparkSession, table_path: str) -> int:
     """Write/refresh Iceberg metadata for the delta table at
     ``table_path``; returns the new Iceberg snapshot id. Metadata-only:

@@ -103,3 +103,89 @@ def test_uniform_fences_dv_and_mapped_tables(spark, tmp_path):
     alter_delta_lite(spark, p2, rename={"v": "amount"})
     with pytest.raises(NotImplementedError, match="column-mapped"):
         export_delta_as_iceberg(spark, p2)
+
+
+# --- reverse direction: iceberg exposed as delta -----------------------------
+
+
+def test_uniform_iceberg_to_delta_roundtrip(spark, tmp_path):
+    from spark_etl_cli_spark.sources.iceberg_lite import write_iceberg_lite
+    from spark_etl_cli_spark.sources.uniform import export_iceberg_as_delta
+
+    path = str(tmp_path / "tbl")
+    write_iceberg_lite(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(8)], "id long, v double"
+        ),
+        path,
+    )
+    v = export_iceberg_as_delta(spark, path)
+    assert v == 0
+    assert _snap(read_delta_lite(spark, path)) == _snap(
+        read_iceberg_lite(spark, path)
+    )
+
+
+def test_uniform_iceberg_to_delta_refresh_and_noop(spark, tmp_path):
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        delete_iceberg_lite,
+        write_iceberg_lite,
+    )
+    from spark_etl_cli_spark.sources.uniform import export_iceberg_as_delta
+
+    path = str(tmp_path / "tbl")
+    write_iceberg_lite(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double")
+        .coalesce(1),
+        path,
+    )
+    export_iceberg_as_delta(spark, path)
+    write_iceberg_lite(
+        spark.createDataFrame([(3, 3.0)], "id long, v double"),
+        path, mode="append",
+    )
+    delete_iceberg_lite(spark, path, "id = 1")
+    v = export_iceberg_as_delta(spark, path)
+    assert v >= 1
+    assert _snap(read_delta_lite(spark, path)) == {(2, 2.0), (3, 3.0)}
+    # delta time travel still sees the first export
+    assert _snap(read_delta_lite(spark, path, version_as_of=0)) == {
+        (1, 1.0), (2, 2.0),
+    }
+    # exporting again with no iceberg change is a commit-free no-op
+    import os as _os
+
+    log = _os.path.join(path, "_delta_log")
+    n_before = len(_os.listdir(log))
+    v2 = export_iceberg_as_delta(spark, path)
+    assert v2 == v and len(_os.listdir(log)) == n_before
+
+
+def test_uniform_iceberg_to_delta_partitioned(spark, tmp_path):
+    from spark_etl_cli_spark.sources.iceberg_lite import write_iceberg_lite
+    from spark_etl_cli_spark.sources.uniform import export_iceberg_as_delta
+
+    path = str(tmp_path / "tbl")
+    write_iceberg_lite(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)], "id long, part string, v double"
+        ),
+        path, partition_by=["part"],
+    )
+    export_iceberg_as_delta(spark, path)
+    out = read_delta_lite(spark, path, where="part = 'a'")
+    assert [(r["id"], r["part"]) for r in out.collect()] == [(1, "a")]
+
+
+def test_uniform_iceberg_to_delta_fences_delete_files(spark, tmp_path):
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        delete_iceberg_lite,
+        write_iceberg_lite,
+    )
+    from spark_etl_cli_spark.sources.uniform import export_iceberg_as_delta
+
+    path = str(tmp_path / "tbl")
+    write_iceberg_lite(spark.range(4).selectExpr("id"), path)
+    delete_iceberg_lite(spark, path, "id = 1", mode="merge-on-read")
+    with pytest.raises(NotImplementedError, match="delete files"):
+        export_iceberg_as_delta(spark, path)
