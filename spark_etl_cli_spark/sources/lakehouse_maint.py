@@ -464,6 +464,44 @@ def iceberg_uniform_source(p: ParsedUri) -> IcebergUniformSource:
     return IcebergUniformSource(p)
 
 
+@dataclass
+class HudiUniformSource:
+    """``rep+hudi-uniform:///path/tbl?as=delta|iceberg|both`` — expose
+    a compacted Hudi COW table as delta and/or iceberg, zero data
+    copy (sources/uniform.py)."""
+
+    uri: ParsedUri
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        from spark_etl_cli_spark.sources.uniform import (
+            export_hudi_as_delta,
+            export_hudi_as_iceberg,
+        )
+
+        target = self.uri.params.get("as", "both")
+        rows = []
+        if target in ("delta", "both"):
+            rows.append(
+                (self.uri.path, "delta",
+                 export_hudi_as_delta(spark, self.uri.path))
+            )
+        if target in ("iceberg", "both"):
+            rows.append(
+                (self.uri.path, "iceberg",
+                 export_hudi_as_iceberg(spark, self.uri.path))
+            )
+        if not rows:
+            raise ValueError("hudi-uniform ?as= must be delta|iceberg|both")
+        return spark.createDataFrame(
+            rows, "table string, format string, version long"
+        )
+
+
+@register_source("hudi-uniform")
+def hudi_uniform_source(p: ParsedUri) -> HudiUniformSource:
+    return HudiUniformSource(p)
+
+
 @register_source("delta-optimize")
 def delta_optimize_source(p: ParsedUri) -> DeltaOptimizeSource:
     return DeltaOptimizeSource(p)

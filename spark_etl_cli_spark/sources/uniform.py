@@ -198,6 +198,278 @@ def export_iceberg_as_delta(spark: SparkSession, table_path: str) -> int:
     return _write_commit(spark, table_path, actions, first=first)
 
 
+def _hudi_live_files(table_path: str) -> tuple[list[str], T.StructType]:
+    """(live COW base files, payload spark schema) for a hudi table;
+    raises for uncompacted MOR slices (log blocks can't be referenced
+    by delta/iceberg metadata — compact first)."""
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    import pyarrow.parquet as pq
+
+    from spark_etl_cli_spark.sources.hudi_lite import (
+        _completed_instants,
+        _live_file_slices,
+    )
+
+    instants = _completed_instants(table_path)
+    if not instants:
+        raise ValueError(
+            f"no completed Hudi commits under {table_path}/.hoodie"
+        )
+    groups = _live_file_slices(table_path, instants)
+    with_logs = [k for k, ent in groups.items() if ent["logs"]]
+    if with_logs:
+        raise NotImplementedError(
+            "uniform export needs compacted file slices; these groups "
+            f"have uncompacted log files: {with_logs[:3]} — run "
+            "rep+hudi-compact:// first"
+        )
+    files = sorted(
+        ent["base"] for ent in groups.values() if ent["base"]
+    )
+    if not files:
+        raise ValueError(f"hudi table {table_path} has no live base files")
+    arrow = pq.read_schema(files[-1])
+    keep = [n for n in arrow.names if not n.startswith("_hoodie_")]
+    schema = T.StructType(
+        [f for f in from_arrow_schema(arrow).fields if f.name in keep]
+    )
+    return files, schema
+
+
+def export_hudi_as_delta(spark: SparkSession, table_path: str) -> int:
+    """Expose a (compacted) Hudi COW table as a Delta table — zero data
+    copy; returns the delta version. The delta schema drops hoodie meta
+    columns (``_hoodie_commit_time`` etc. stay physically in the files;
+    schema-on-read ignores them). Declared unpartitioned: hudi base
+    files carry partition columns physically, so every reader sees them
+    as ordinary columns — correctness over partition pruning,
+    documented. Re-exports diff the live file set like the iceberg
+    exporter."""
+    import time as _time
+    import uuid as _uuid
+    from urllib.parse import quote
+
+    from spark_etl_cli_spark.sources.delta_lite import (
+        _log_dir,
+        _remove_action,
+        _replay,
+        _write_commit,
+        is_delta_table,
+    )
+    from spark_etl_cli_spark.sources.iceberg_lite import _parquet_row_count
+
+    files, schema = _hudi_live_files(table_path)
+    now_ms = int(_time.time() * 1000)
+    wanted = {
+        os.path.abspath(p): {
+            "path": quote(os.path.abspath(p), safe="/=:"),
+            "partitionValues": {},
+            "size": os.path.getsize(p),
+            "modificationTime": now_ms,
+            "dataChange": True,
+            "stats": json.dumps({"numRecords": _parquet_row_count(p)}),
+        }
+        for p in files
+    }
+    actions: list[dict] = []
+    first = not (
+        is_delta_table(table_path)
+        and os.listdir(_log_dir(table_path))
+    )
+    if first:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(_uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema.json(),
+                    "partitionColumns": [],
+                    "configuration": {"uniform.source": "hudi"},
+                    "createdTime": now_ms,
+                }
+            }
+        )
+        actions.extend({"add": a} for a in wanted.values())
+    else:
+        cur_adds, cur_meta = _replay(spark, table_path)
+        cur_by = {
+            os.path.abspath(os.path.join(table_path, a["path"])): a
+            for a in cur_adds
+        }
+        for p, a in cur_by.items():
+            if p not in wanted:
+                actions.append(_remove_action(a, now_ms))
+        actions.extend(
+            {"add": a} for p, a in wanted.items() if p not in cur_by
+        )
+        if not actions:
+            versions = sorted(
+                int(f[:20])
+                for f in os.listdir(_log_dir(table_path))
+                if f.endswith(".json") and f[:20].isdigit()
+            )
+            return versions[-1]
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "UNIFORM EXPORT",
+                "operationParameters": {"source": "hudi"},
+            }
+        }
+    )
+    return _write_commit(spark, table_path, actions, first=first)
+
+
+def export_hudi_as_iceberg(spark: SparkSession, table_path: str) -> int:
+    """Expose a (compacted) Hudi COW table as an Iceberg table — the
+    hudi live file set becomes one Iceberg snapshot (declared
+    unpartitioned; hoodie meta columns dropped from the schema, they
+    stay physically in the files and schema-on-read ignores them).
+    Mirrors ``export_delta_as_iceberg`` with the hudi timeline as the
+    file-list source. Returns the iceberg snapshot id."""
+    import time as _time
+    import uuid as _uuid
+
+    from spark_etl_cli_spark.sources.avro_lite import write_container
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        _MANIFEST_LIST_SCHEMA,
+        _manifest_schema_for,
+        _max_field_id,
+        _parquet_row_count,
+        _spark_to_iceberg_schema,
+    )
+
+    files, schema = _hudi_live_files(table_path)
+    iceberg_schema = _spark_to_iceberg_schema(schema)
+    meta_dir = os.path.join(table_path, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    prior_versions = _glob.glob(os.path.join(meta_dir, "*.metadata.json"))
+    prior = None
+    if prior_versions:
+        from spark_etl_cli_spark.sources.iceberg_lite import _load_metadata
+
+        prior = _load_metadata(table_path)
+    snapshot_id = (
+        max(
+            (s["snapshot-id"] for s in (prior or {}).get("snapshots") or []),
+            default=0,
+        )
+        + 1
+    )
+    seq = int((prior or {}).get("last-sequence-number") or 0) + 1
+    now_ms = int(_time.time() * 1000)
+    commit_uuid = _uuid.uuid4().hex
+    counts = {p: _parquet_row_count(p) for p in files}
+    manifest_path = os.path.join(
+        meta_dir, f"manifest-uniform-{commit_uuid}.avro"
+    )
+    write_container(
+        manifest_path,
+        _manifest_schema_for([]),
+        iter(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": os.path.abspath(p),
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": counts[p],
+                    "file_size_in_bytes": os.path.getsize(p),
+                },
+            }
+            for p in files
+        ),
+        extra_meta={
+            "schema": json.dumps(iceberg_schema).encode(),
+            "schema-id": b"0",
+            "partition-spec": b"[]",
+            "partition-spec-id": b"0",
+            "format-version": b"2",
+            "content": b"data",
+        },
+    )
+    mlist_path = os.path.join(
+        meta_dir, f"snap-{snapshot_id}-{commit_uuid}.avro"
+    )
+    write_container(
+        mlist_path,
+        _MANIFEST_LIST_SCHEMA,
+        iter(
+            [
+                {
+                    "manifest_path": manifest_path,
+                    "manifest_length": os.path.getsize(manifest_path),
+                    "partition_spec_id": 0,
+                    "content": 0,
+                    "sequence_number": seq,
+                    "min_sequence_number": seq,
+                    "added_snapshot_id": snapshot_id,
+                    "added_files_count": len(files),
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": sum(counts.values()),
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                }
+            ]
+        ),
+        extra_meta={"format-version": b"2"},
+    )
+    snapshots = list((prior or {}).get("snapshots") or [])
+    snapshots.append(
+        {
+            "snapshot-id": snapshot_id,
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": mlist_path,
+            "summary": {"operation": "overwrite", "uniform": "hudi"},
+            "schema-id": 0,
+        }
+    )
+    new_meta = {
+        "format-version": 2,
+        "table-uuid": (prior or {}).get(
+            "table-uuid", str(_uuid.UUID(int=int(commit_uuid[:32], 16)))
+        ),
+        "location": table_path,
+        "last-sequence-number": seq,
+        "last-updated-ms": now_ms,
+        "last-column-id": _max_field_id(iceberg_schema),
+        "current-snapshot-id": snapshot_id,
+        "schemas": [iceberg_schema],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "last-partition-id": 999,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "snapshots": snapshots,
+    }
+    version = 1
+    versions = [
+        int(re.match(r"v?(\d+)", os.path.basename(p)).group(1))
+        for p in prior_versions
+    ]
+    if versions:
+        version = max(versions) + 1
+    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as fh:
+        json.dump(new_meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return snapshot_id
+
+
 def export_delta_as_iceberg(spark: SparkSession, table_path: str) -> int:
     """Write/refresh Iceberg metadata for the delta table at
     ``table_path``; returns the new Iceberg snapshot id. Metadata-only:

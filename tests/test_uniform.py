@@ -189,3 +189,77 @@ def test_uniform_iceberg_to_delta_fences_delete_files(spark, tmp_path):
     delete_iceberg_lite(spark, path, "id = 1", mode="merge-on-read")
     with pytest.raises(NotImplementedError, match="delete files"):
         export_iceberg_as_delta(spark, path)
+
+
+# --- hudi exposed as delta / iceberg ------------------------------------------
+
+
+def test_uniform_hudi_to_delta_and_iceberg(spark, tmp_path):
+    from spark_etl_cli_spark.sources.hudi_lite import (
+        read_hudi_lite,
+        write_hudi_lite,
+    )
+    from spark_etl_cli_spark.sources.uniform import (
+        export_hudi_as_delta,
+        export_hudi_as_iceberg,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_hudi_lite(
+        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(6)]),
+        path, record_key="id",
+    )
+    write_hudi_lite(
+        spark.createDataFrame([Row(id=2, v=200.0), Row(id=9, v=9.0)]),
+        path, mode="upsert", record_key="id",
+    )
+    v = export_hudi_as_delta(spark, path)
+    sid = export_hudi_as_iceberg(spark, path)
+    hudi = _snap(read_hudi_lite(spark, path))
+    assert _snap(read_delta_lite(spark, path)) == hudi
+    assert _snap(read_iceberg_lite(spark, path)) == hudi
+    # hoodie meta columns never surface
+    assert not any(
+        c.startswith("_hoodie_")
+        for c in read_delta_lite(spark, path).columns
+    )
+    # refresh after another upsert tracks the new live set
+    write_hudi_lite(
+        spark.createDataFrame([Row(id=0, v=100.0)]), path,
+        mode="upsert", record_key="id",
+    )
+    assert export_hudi_as_delta(spark, path) > v
+    assert export_hudi_as_iceberg(spark, path) > sid
+    hudi2 = _snap(read_hudi_lite(spark, path))
+    assert _snap(read_delta_lite(spark, path)) == hudi2
+    assert _snap(read_iceberg_lite(spark, path)) == hudi2
+
+
+def test_uniform_hudi_fences_uncompacted_mor(spark, tmp_path):
+    from spark_etl_cli_spark.sources.hudi_lite import write_hudi_lite
+    from spark_etl_cli_spark.sources.uniform import export_hudi_as_delta
+
+    path = str(tmp_path / "tbl")
+    write_hudi_lite(
+        spark.createDataFrame([Row(id=1, v=1.0)]), path,
+        record_key="id", table_type="MERGE_ON_READ",
+    )
+    write_hudi_lite(
+        spark.createDataFrame([Row(id=1, v=11.0)]), path,
+        mode="upsert", record_key="id",
+    )
+    with pytest.raises(NotImplementedError, match="compact"):
+        export_hudi_as_delta(spark, path)
+
+
+def test_uniform_hudi_via_uri(spark, tmp_path):
+    from spark_etl_cli_spark.registry import resolve_source
+    from spark_etl_cli_spark.sources.hudi_lite import write_hudi_lite
+
+    path = str(tmp_path / "tbl")
+    write_hudi_lite(spark.createDataFrame([Row(id=1, v=1.0)]), path)
+    _, u = resolve_source(f"rep+hudi-uniform://{path}?as=both")
+    rows = {(r["format"], r["version"] >= 0) for r in u.read(spark).collect()}
+    assert rows == {("delta", True), ("iceberg", True)}
+    assert _snap(read_delta_lite(spark, path)) == {(1, 1.0)}
+    assert _snap(read_iceberg_lite(spark, path)) == {(1, 1.0)}
