@@ -550,3 +550,55 @@ def test_ewma_matches_python_fold(spark, series):
     for v in series[1:]:
         ref = (ref + v) / 2.0
     assert got["ewma"] == ref  # bit-exact: add + exponent shift only
+
+
+# --- CDC apply-changes: sequential-fold reference ---------------------------
+# apply_changes_snapshot must equal the naive per-key sequential fold
+# of the change log: replay changes in sequence order, keep a dict,
+# delete on tombstones. Randomized logs cover insert/update/delete
+# interleavings, preimage noise, and multi-key collisions.
+
+change_logs = st.lists(
+    st.tuples(
+        st.integers(0, 3),                       # key
+        st.sampled_from(
+            ["insert", "update_postimage", "update_preimage", "delete"]
+        ),
+        st.integers(0, 99),                      # payload
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@pytest.mark.slow
+@given(log=change_logs)
+@SET
+def test_cdc_apply_matches_sequential_fold(spark, log):
+    from spark_etl_cli_spark.operators.cdc import apply_changes_snapshot
+
+    rows = [
+        (k, t, float(p), i) for i, (k, t, p) in enumerate(log)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, _change_type string, v double, _commit_version long"
+    )
+    got = {
+        (r["id"], r["v"])
+        for r in apply_changes_snapshot(
+            df,
+            keys=["id"],
+            sequence_cols=["_commit_version"],
+            change_type_col="_change_type",
+        ).collect()
+    }
+    # reference: sequential fold, preimages are descriptive only
+    state: dict[int, float] = {}
+    for k, t, p in log:
+        if t == "update_preimage":
+            continue
+        if t == "delete":
+            state.pop(k, None)
+        else:
+            state[k] = float(p)
+    assert got == set(state.items())
