@@ -1145,21 +1145,49 @@ def _write_commit(
 ) -> int:
     """Claim the next log version and write one JSON commit.
 
-    O_EXCL: the commit either claims this version or fails loudly —
-    never silently overwrites a concurrent writer's commit. Emits a
-    parquet checkpoint on the interval to bound future replay cost.
+    O_EXCL: the commit either claims this version or fails — never
+    silently overwrites a concurrent writer's commit. BLIND APPENDS
+    (add/txn/commitInfo actions only — no removes, no metadata or
+    protocol changes) retry against the next version on a collision,
+    Delta's optimistic-concurrency rule: two appends can serialize in
+    either order without conflict. Anything that read table state
+    (row ops, ALTER, overwrite) raises on collision instead — its
+    snapshot is stale and the caller must re-run against the new HEAD.
+    Emits a parquet checkpoint on the interval to bound replay cost.
     """
     log_dir = _log_dir(table_path)
     os.makedirs(log_dir, exist_ok=True)
-    version = 0 if first else _next_version(log_dir)
-    commit_path = os.path.join(log_dir, f"{version:020d}.json")
-    fd = os.open(commit_path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
-    with os.fdopen(fd, "w") as fh:
-        for action in actions:
-            fh.write(json.dumps(action) + "\n")
-    if version > 0 and (version + 1) % CHECKPOINT_INTERVAL == 0:
-        write_checkpoint(spark, table_path)
-    return version
+    blind_append = not first and all(
+        set(a) <= {"add", "txn", "commitInfo"} for a in actions
+    )
+    attempts = 50 if blind_append else 1
+    last_err: OSError | None = None
+    for _ in range(attempts):
+        version = 0 if first else _next_version(log_dir)
+        commit_path = os.path.join(log_dir, f"{version:020d}.json")
+        try:
+            fd = os.open(
+                commit_path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644
+            )
+        except FileExistsError as e:
+            last_err = e
+            continue  # a concurrent writer won this version: rebase
+        with os.fdopen(fd, "w") as fh:
+            for action in actions:
+                fh.write(json.dumps(action) + "\n")
+        if version > 0 and (version + 1) % CHECKPOINT_INTERVAL == 0:
+            write_checkpoint(spark, table_path)
+        return version
+    if blind_append:
+        raise RuntimeError(
+            f"delta-lite: could not claim a commit version under "
+            f"{log_dir} after {attempts} attempts (concurrent writers)"
+        ) from last_err
+    raise RuntimeError(
+        "delta-lite: concurrent commit conflict — this operation read "
+        "table state that another writer changed; re-run it against "
+        f"the new HEAD of {log_dir}"
+    ) from last_err
 
 
 # --- checkpointing --------------------------------------------------------

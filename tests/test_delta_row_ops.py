@@ -1741,3 +1741,47 @@ def test_alter_add_constraint_via_uri(spark, tmp_path):
         write_delta_lite(
             spark.createDataFrame([Row(id=2, v=-1.0)]), path, mode="append"
         )
+
+
+# --- optimistic concurrency --------------------------------------------------
+
+
+def test_blind_append_retries_on_version_collision(spark, tmp_path):
+    """A concurrent writer claiming the same version makes a blind
+    append REBASE to the next version (Delta's appends-never-conflict
+    rule); a row op (which read table state) raises instead."""
+    path = str(tmp_path / "tbl")
+    write_delta_lite(spark.createDataFrame([Row(id=1, v=1.0)]), path)
+    # simulate a concurrent winner: pre-claim version 1
+    log = os.path.join(path, "_delta_log")
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"commitInfo": {"timestamp": 0}}) + "\n")
+    # the blind append lands as version 2 without error
+    write_delta_lite(
+        spark.createDataFrame([Row(id=2, v=2.0)]), path, mode="append"
+    )
+    assert os.path.exists(os.path.join(log, f"{2:020d}.json"))
+    assert read_delta_lite(spark, path).count() == 2
+
+
+def test_row_op_conflict_raises(spark, tmp_path, monkeypatch):
+    import spark_etl_cli_spark.sources.delta_lite as dl
+
+    path = str(tmp_path / "tbl")
+    write_delta_lite(
+        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(4)]),
+        path,
+    )
+    log = os.path.join(path, "_delta_log")
+    real_next = dl._next_version
+
+    def stale_next(log_dir):
+        v = real_next(log_dir)
+        # a concurrent writer claims the version right before us
+        with open(os.path.join(log_dir, f"{v:020d}.json"), "w") as fh:
+            fh.write(json.dumps({"commitInfo": {"timestamp": 0}}) + "\n")
+        return v
+
+    monkeypatch.setattr(dl, "_next_version", stale_next)
+    with pytest.raises(RuntimeError, match="concurrent commit conflict"):
+        delete_delta_lite(spark, path, "id = 1")
