@@ -60,6 +60,20 @@ def main() -> int:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    # Scan every input table once, untimed, so the session's first-scan
+    # cost (parquet footer reads, page-cache population, column-decoder
+    # codegen) never lands on whichever query happens to run first.
+    # r4/r5 both mis-attributed this cost to real queries (q152/q153 in
+    # r4, q01-q07 in r5 after the reorder); a full untimed sweep makes
+    # per-query history comparable round-over-round.
+    for tbl in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ):
+        p = Path(sf_dir) / f"{tbl}.parquet"
+        if p.exists():
+            spark.read.parquet(str(p)).count()
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
     agg.join(F.broadcast(agg.select("l_returnflag")), "l_returnflag").count()

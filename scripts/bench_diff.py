@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 
 
 def main() -> int:
@@ -33,6 +34,18 @@ def main() -> int:
         f"total: {old['value']}s ({len(oq)} queries) -> "
         f"{new['value']}s ({len(nq)} queries)"
     )
+    # The canonical round-over-round numbers (quote THESE in NOTES, not
+    # side-run figures): sum-ratio and geomean over the common query set.
+    common = sorted(set(oq) & set(nq))
+    if common:
+        so, sn = sum(oq[n] for n in common), sum(nq[n] for n in common)
+        lg = sum(
+            math.log(max(nq[n], 1e-3) / max(oq[n], 1e-3)) for n in common
+        )
+        print(
+            f"common-{len(common)} sum: {so:.1f}s -> {sn:.1f}s "
+            f"(ratio {sn / so:.3f}x), geomean {math.exp(lg / len(common)):.3f}x"
+        )
     added = sorted(set(nq) - set(oq))
     removed = sorted(set(oq) - set(nq))
     if added:

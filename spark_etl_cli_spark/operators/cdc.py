@@ -21,6 +21,58 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def resolve_cdc_sequence(
+    changes: DataFrame,
+    keys: list[str],
+    sequence_col: str | None = None,
+    change_type_col: str = "_change_type",
+    ignore_values: tuple[str, ...] = ("update_preimage",),
+) -> list[str]:
+    """Pick the sequence columns that order a CDC batch within a key —
+    and REFUSE to guess when none exist.
+
+    Resolution: an explicit ``sequence_col`` (comma-separable) wins;
+    else ``_commit_version`` when the frame carries it (CDF output);
+    else the batch must hold at most ONE applicable change per key —
+    verified with one distributed groupBy — because any tie-break
+    invented here (change-type order, the key itself) silently picks
+    wrong winners on real CDC exports (insert→delete in one batch
+    would resurrect the row). Returns the ordering columns, possibly
+    empty (single-change-per-key proven, no ordering needed).
+    """
+    if sequence_col:
+        cols = [c.strip() for c in sequence_col.split(",") if c.strip()]
+        missing = [c for c in cols if c not in changes.columns]
+        if missing:
+            raise ValueError(
+                f"cdc apply: sequence column(s) {missing} not in the "
+                f"change frame (columns: {changes.columns})"
+            )
+        return cols
+    if "_commit_version" in changes.columns:
+        return ["_commit_version"]
+    work = changes
+    if change_type_col in changes.columns and ignore_values:
+        work = work.filter(~F.col(change_type_col).isin(*ignore_values))
+    ambiguous = (
+        work.groupBy(*keys)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .count()
+    )
+    if ambiguous:
+        raise ValueError(
+            "cdc apply: the change batch has keys with multiple "
+            "applicable changes but no sequence to order them (no "
+            "_commit_version column and no explicit sequence given). "
+            "Pass ?sequence=<col> (sequence_col=) so 'latest per key' "
+            "is well-defined — guessing by change type or key order "
+            "silently produces wrong tables."
+        )
+    return []
+
+
 def apply_changes_snapshot(
     df: DataFrame,
     keys: list[str],
@@ -43,9 +95,15 @@ def apply_changes_snapshot(
         work = work.filter(
             ~F.col(change_type_col).isin(*ignore_values)
         )
-    w = Window.partitionBy(*keys).orderBy(
-        *[F.col(c).desc() for c in sequence_cols]
+    # an empty sequence means "no ordering needed" (caller proved each
+    # key carries at most one applicable change); a constant keeps the
+    # window legal without inventing an order
+    order = (
+        [F.col(c).desc() for c in sequence_cols]
+        if sequence_cols
+        else [F.lit(1)]
     )
+    w = Window.partitionBy(*keys).orderBy(*order)
     latest = (
         work.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

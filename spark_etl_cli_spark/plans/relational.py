@@ -1135,6 +1135,58 @@ def q86_analytic_windows(spark, sf_dir):
     )
 
 
+# --- q59: ordered string aggregation (LISTAGG / STRING_AGG shape) --------
+# Per nation, the top-3 customers by balance joined into ONE ordered
+# string — the grouped LISTAGG ... WITHIN GROUP (ORDER BY) idiom, which
+# Spark lacks as a single built-in. Expressed deterministically as
+# sort_array(collect_list(struct(rank, name))) + transform + concat_ws:
+# the struct's leading rank field makes the array order total, so the
+# result is identical regardless of partitioning/merge order — the
+# property a bare collect_list does NOT have, and the reason this shape
+# deserves its own registry slot. Scale: the window tops out at 3 rows
+# per nation before the agg, so each group's state is 3 short strings;
+# nation is broadcast.
+@query(
+    "q59_top_customer_roster",
+    oracle="""
+    WITH ranked AS (
+      SELECT n_name, c_name, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY n_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT n_name,
+           STRING_AGG(c_name, ',' ORDER BY rn) AS roster,
+           MAX(c_acctbal) AS top_bal,
+           CAST(COUNT(*) AS BIGINT) AS n_top
+    FROM ranked WHERE rn <= 3
+    GROUP BY n_name
+    """,
+)
+def q59_top_customer_roster(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    w = W.partitionBy("n_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    ranked = (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+    return ranked.groupBy("n_name").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "c_name"))),
+                lambda s: s["c_name"],
+            ),
+        ).alias("roster"),
+        F.max("c_acctbal").alias("top_bal"),
+        F.count(F.lit(1)).alias("n_top"),
+    )
+
+
 # --- q123: GROUPING() disambiguation over CUBE ---------------------------
 # Subtotal rows and genuine-NULL groups are indistinguishable without
 # GROUPING(); the gid is composed from individual GROUPING() bits

@@ -935,7 +935,12 @@ def write_delta_lite(
         )
     meta = None
     removes: list[dict] = []
+    read_version: int | None = None
     if exists:
+        # record the snapshot version this write's schema/constraint
+        # checks ran against; _write_commit refuses to serialize the
+        # append after any later metaData/protocol commit
+        read_version = _next_version(log_dir) - 1
         active, meta = _replay(spark, table_path)
         part_cols = meta.get("partitionColumns") or []
         if partition_by and list(partition_by) != list(part_cols):
@@ -1134,7 +1139,10 @@ def write_delta_lite(
         }
     )
 
-    _write_commit(spark, table_path, actions, first=not exists)
+    _write_commit(
+        spark, table_path, actions, first=not exists,
+        read_version=read_version,
+    )
 
 
 def _write_commit(
@@ -1142,6 +1150,7 @@ def _write_commit(
     table_path: str,
     actions: list[dict],
     first: bool = False,
+    read_version: int | None = None,
 ) -> int:
     """Claim the next log version and write one JSON commit.
 
@@ -1162,8 +1171,38 @@ def _write_commit(
     )
     attempts = 50 if blind_append else 1
     last_err: OSError | None = None
+    checked_to = read_version  # commits ≤ this are part of our snapshot
     for _ in range(attempts):
         version = 0 if first else _next_version(log_dir)
+        # A blind append may serialize after concurrent commits ONLY if
+        # none of them changed table configuration: real Delta fails
+        # appends that race with a metaData/protocol change, because the
+        # append's files were written under the old schema / physical
+        # column names and its constraint checks ran against the old
+        # configuration. Scan every commit between our read snapshot and
+        # the slot we are about to claim (covers both the O_EXCL-race
+        # path and a commit that landed before _next_version's rescan).
+        if blind_append and checked_to is not None:
+            for v in range(checked_to + 1, version):
+                won = os.path.join(log_dir, f"{v:020d}.json")
+                try:
+                    with open(won) as fh:
+                        keys = {
+                            k for line in fh if line.strip()
+                            for k in json.loads(line)
+                        }
+                except (OSError, ValueError):
+                    keys = {"metaData"}  # unreadable: be conservative
+                if keys & {"metaData", "protocol"}:
+                    raise RuntimeError(
+                        "delta-lite: concurrent metadata change — commit "
+                        f"{v} under {log_dir} altered the table's "
+                        "metaData/protocol after this append read its "
+                        "snapshot; the new files were prepared under the "
+                        "old configuration and cannot be rebased. Re-run "
+                        "against the new HEAD."
+                    )
+            checked_to = version - 1
         commit_path = os.path.join(log_dir, f"{version:020d}.json")
         try:
             fd = os.open(
@@ -1171,7 +1210,7 @@ def _write_commit(
             )
         except FileExistsError as e:
             last_err = e
-            continue  # a concurrent writer won this version: rebase
+            continue  # next attempt re-scans the winner before rebasing
         with os.fdopen(fd, "w") as fh:
             for action in actions:
                 fh.write(json.dumps(action) + "\n")
@@ -2701,16 +2740,20 @@ def apply_changes_delta_lite(
     on: str,
     txn_app_id: str | None = None,
     txn_version: int | None = None,
+    sequence_col: str | None = None,
 ) -> dict:
     """Apply a Change Data Feed frame (table columns + ``_change_type``
     [+ ``_commit_version`` / ``_commit_timestamp``]) to a delta table —
     the CDC-replication operator: ``CDF stream of table A`` piped into
     ``apply_changes`` on table B keeps B == A.
 
-    Per key the LATEST change wins (ordered by ``_commit_version`` when
-    present — one key can see insert → update → delete across a batch);
-    ``update_preimage`` rows are descriptive, not applicable, and are
-    dropped. The survivor set feeds ONE conditional MERGE:
+    Per key the LATEST change wins — ordered by ``sequence_col`` when
+    given, else ``_commit_version`` when present (one key can see
+    insert → update → delete across a batch); a batch with NEITHER must
+    hold at most one applicable change per key, or this raises rather
+    than guess (a change-type tie-break would resurrect an
+    insert→delete key). ``update_preimage`` rows are descriptive, not
+    applicable, and are dropped. The survivor set feeds ONE conditional MERGE:
     ``WHEN MATCHED AND source._change_type = 'delete' THEN DELETE,
     WHEN MATCHED THEN UPDATE SET *, WHEN NOT MATCHED AND _change_type
     <> 'delete' THEN INSERT *`` — fully distributed, no driver-side
@@ -2719,25 +2762,49 @@ def apply_changes_delta_lite(
     """
     from pyspark.sql import Window
 
+    from spark_etl_cli_spark.operators.cdc import resolve_cdc_sequence
+
     meta_cols = ("_commit_version", "_commit_timestamp")
+    seq_cols = resolve_cdc_sequence(
+        changes, [on], sequence_col, change_type_col=CDC_TYPE_COL
+    )
+    # an explicit sequence column is table DATA iff the target schema
+    # has it (ordering by an event-time column); otherwise it is
+    # transport metadata (Debezium ts_ms/lsn) and stays out of the rows
+    seq_meta: set[str] = set()
+    if sequence_col:
+        log_dir = _log_dir(table_path)
+        if os.path.isdir(log_dir):
+            _, tmeta = _replay(changes.sparkSession, table_path)
+            tbl_cols = {
+                f.name
+                for f in T.StructType.fromJson(
+                    json.loads(tmeta["schemaString"])
+                ).fields
+            }
+            seq_meta = {c for c in seq_cols if c not in tbl_cols}
     data_cols = [
         c
         for c in changes.columns
-        if c != CDC_TYPE_COL and c not in meta_cols
+        if c != CDC_TYPE_COL and c not in meta_cols and c not in seq_meta
     ]
     latest = changes.filter(F.col(CDC_TYPE_COL) != "update_preimage")
-    order = (
-        [F.col("_commit_version").desc()]
-        if "_commit_version" in changes.columns
-        else []
-    ) + [F.col(CDC_TYPE_COL).desc()]
+    # within one sequence value (one CDF commit) a key appears at most
+    # once as a net change; the change-type tiebreak only canonicalizes
+    # equal rows, it never decides between conflicting operations
+    order = [F.col(c).desc() for c in seq_cols] + [
+        F.col(CDC_TYPE_COL).desc()
+    ]
+    drop_cols = [c for c in meta_cols if c in changes.columns] + sorted(
+        seq_meta
+    )
     latest = (
         latest.withColumn(
             "__rn",
             F.row_number().over(Window.partitionBy(on).orderBy(*order)),
         )
         .filter(F.col("__rn") == 1)
-        .drop("__rn", *[c for c in meta_cols if c in changes.columns])
+        .drop("__rn", *drop_cols)
     )
     return merge_delta_lite(
         latest,

@@ -918,12 +918,6 @@ def _mor_upsert_commit(
 
     from spark_etl_cli_spark.sources.avro_lite import spark_to_avro_schema
 
-    if pcols:
-        raise NotImplementedError(
-            "hudi_lite MOR upsert on partitioned tables is not implemented "
-            "(append/overwrite/read/delete are); use a COPY_ON_WRITE table "
-            "or an unpartitioned MOR layout"
-        )
     spark = df.sparkSession
     instants = _completed_instants(table_path)
     groups = _live_file_slices(table_path, instants)
@@ -937,11 +931,33 @@ def _mor_upsert_commit(
             f"columns {table_cols}"
         )
     targets = _mor_log_targets(groups)
-    key_fid = (
-        merged.select(F.col(record_key).alias("__k"), "__fid").distinct()
-    )
+    # partitioned tables: partition columns live inside the rows, so a
+    # matched row's log block lands in its group's existing partition
+    # path with no extra routing; the only new hazard is an update that
+    # MOVES a key across partitions — its log row would be served under
+    # the OLD partition path and break ?where= pruning, so it is fenced
+    key_fid = merged.select(
+        F.col(record_key).alias("__k"),
+        "__fid",
+        *[F.col(c).alias(f"__old_{c}") for c in pcols],
+    ).distinct()
     incoming = df.withColumn("__k", F.col(record_key))
     matched = incoming.join(key_fid, "__k", "inner").drop("__k")
+    if pcols:
+        moved = matched.filter(
+            ~F.expr(
+                " AND ".join(
+                    f"(`{c}` <=> `__old_{c}`)" for c in pcols
+                )
+            )
+        ).head(1)
+        if moved:
+            raise NotImplementedError(
+                "hudi_lite MOR upsert cannot move a record key across "
+                f"partitions (key {moved[0][record_key]!r}); delete the "
+                "old row first, or use a COPY_ON_WRITE table"
+            )
+    matched = matched.drop(*[f"__old_{c}" for c in pcols])
     unmatched = incoming.join(key_fid.select("__k"), "__k", "left_anti").drop(
         "__k"
     )
@@ -992,11 +1008,34 @@ def _mor_upsert_commit(
             per_part.setdefault(r["part"], []).append(ent)
         ent["numWrites"] += r["rows"]
 
-    # unmatched rows: a new file group in the same deltacommit
+    # unmatched rows: new file groups in the same deltacommit, split
+    # hive-style per partition (same shadow-column convention as the
+    # COW writer: directories split, rows keep the real columns)
     import uuid as _uuid
 
     data_dir = os.path.join(table_path, f"data_{ts}_{commit_uuid[:8]}")
-    unmatched.write.parquet(data_dir)
+    if pcols:
+        from urllib.parse import unquote as _uq
+
+        shadow = {c: f"__hp_{c}" for c in pcols}
+        un2 = unmatched
+        for c, s in shadow.items():
+            un2 = un2.withColumn(s, F.col(c))
+        un2.write.partitionBy(*shadow.values()).parquet(data_dir)
+
+        def _part_key(path: str) -> str:
+            rel = os.path.relpath(os.path.dirname(path), data_dir)
+            raw = {}
+            for seg in ([] if rel == "." else rel.split(os.sep)):
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    raw[k.removeprefix("__hp_")] = _uq(v)
+            return "/".join(f"{c}={raw.get(c)}" for c in pcols)
+    else:
+        unmatched.write.parquet(data_dir)
+
+        def _part_key(path: str) -> str:
+            return ""
     import pyarrow.parquet as _pq
 
     for f in sorted(
@@ -1004,7 +1043,7 @@ def _mor_upsert_commit(
     ):
         if _pq.ParquetFile(f).metadata.num_rows == 0:
             continue
-        per_part.setdefault("", []).append({
+        per_part.setdefault(_part_key(f), []).append({
             "fileId": f"fg-{_uuid.uuid4().hex[:12]}",
             "path": os.path.relpath(f, table_path),
             "numWrites": None,
@@ -1122,6 +1161,7 @@ def apply_changes_hudi_lite(
     changes: DataFrame,
     table_path: str,
     on: str,
+    sequence_col: str | None = None,
 ) -> dict:
     """Apply a change feed (table columns + ``_change_type``
     [+ ``_commit_version``]) to a Hudi table — the hudi face of
@@ -1129,27 +1169,56 @@ def apply_changes_hudi_lite(
     (operators/cdc.py); the survivors upsert through the record-key
     writer (COW slice rewrites / MOR log blocks) and the deleted keys
     go through the key-based DELETE (COW replacecommit / MOR delete
-    blocks) — two timeline instants, each individually atomic; a
-    reader between them sees the upserts without the deletes (the
-    multi-writer table-service gap Hudi itself has without a lock
-    provider).
+    blocks) — two timeline instants, each individually atomic.
+
+    GUARANTEE (weaker than the delta cdc sink's exactly-once txn
+    contract, by design of Hudi's timeline): **at-least-once with
+    convergence**, not atomic-per-batch. A reader between the two
+    instants sees the upserts without the deletes (the multi-writer
+    table-service gap Hudi itself has without a lock provider); a
+    crash between them leaves the deletes unapplied until the
+    streaming restart replays the whole batch — both halves are
+    key-idempotent, so the replay converges to the correct snapshot,
+    but the intermediate (upserts-without-deletes) state was
+    reader-visible in the meantime. Callers needing an atomic
+    replica should target the delta ``?mode=cdc`` sink and export to
+    hudi afterwards.
     """
-    from spark_etl_cli_spark.operators.cdc import apply_changes_snapshot
+    from spark_etl_cli_spark.operators.cdc import (
+        apply_changes_snapshot,
+        resolve_cdc_sequence,
+    )
     from pyspark.sql import functions as F
 
     meta_cols = ("_commit_version", "_commit_timestamp")
+    # an explicit sequence column that is NOT a column of the existing
+    # table is transport metadata (Debezium ts_ms/lsn): order by it,
+    # keep it out of the written rows
+    seq_meta: set[str] = set()
+    if sequence_col and is_hudi_table(table_path) and _completed_instants(
+        table_path
+    ):
+        tbl_cols = set(
+            read_hudi_lite(changes.sparkSession, table_path).columns
+        )
+        seq_meta = {
+            c
+            for c in sequence_col.split(",")
+            if c.strip() and c.strip() not in tbl_cols
+        }
     data_cols = [
         c
         for c in changes.columns
         if c != "_change_type" and c not in meta_cols
+        and c not in seq_meta
     ]
+    # ordering: explicit sequence > _commit_version > proven
+    # single-change-per-key (resolve_cdc_sequence raises on ambiguous
+    # batches rather than invent a tie-break)
     latest = apply_changes_snapshot(
         changes,
         keys=[on],
-        sequence_cols=[
-            c for c in ("_commit_version",) if c in changes.columns
-        ]
-        or [on],
+        sequence_cols=resolve_cdc_sequence(changes, [on], sequence_col),
         change_type_col="_change_type",
         delete_values=(),
         ignore_values=("update_preimage",),

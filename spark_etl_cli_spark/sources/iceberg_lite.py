@@ -1201,7 +1201,18 @@ def upsert_iceberg_lite(
         n_updated = sum(r["count"] for r in counts)
     affected_ids = {id(e) for e in affected}
     untouched = [e for e in live if id(e) not in affected_ids]
-    n_inserted = df.count() - n_updated
+    # count inserts DIRECTLY (source keys absent from the target) —
+    # df.count() - n_updated is wrong when the target holds duplicate
+    # keys: one source row matching N target rows would make it
+    # negative. Matched keys live only in affected files, so the
+    # anti-join scans just those.
+    if affected:
+        tgt_keys = (
+            union_scan(affected, with_file=False).select(on).distinct()
+        )
+        n_inserted = df.join(tgt_keys, on, "left_anti").count()
+    else:
+        n_inserted = df.count()
 
     snapshot_id = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
     seq = int(meta.get("last-sequence-number") or 0) + 1
@@ -1285,6 +1296,7 @@ def apply_changes_iceberg_lite(
     changes: DataFrame,
     table_path: str,
     on: str,
+    sequence_col: str | None = None,
 ) -> dict:
     """Apply a change feed (table columns + ``_change_type``
     [+ ``_commit_version``]) to an Iceberg table — deletes delete,
@@ -1295,21 +1307,40 @@ def apply_changes_iceberg_lite(
     ``delta-stream://?readChangeFeed=true`` for cross-format
     replication. Fully distributed: no key lists on the driver.
     """
-    from spark_etl_cli_spark.operators.cdc import apply_changes_snapshot
+    from spark_etl_cli_spark.operators.cdc import (
+        apply_changes_snapshot,
+        resolve_cdc_sequence,
+    )
 
     meta_cols = ("_commit_version", "_commit_timestamp")
+    # an explicit sequence column that is NOT a table column is
+    # transport metadata (Debezium ts_ms/lsn): order by it, keep it
+    # out of the written rows
+    seq_meta: set[str] = set()
+    if sequence_col and is_iceberg_table(table_path) and _glob.glob(
+        os.path.join(table_path, "metadata", "*.metadata.json")
+    ):
+        tbl_cols = {
+            f.name for f in _schema_to_spark(_load_metadata(table_path)).fields
+        }
+        seq_meta = {
+            c
+            for c in sequence_col.split(",")
+            if c.strip() and c.strip() not in tbl_cols
+        }
     data_cols = [
         c
         for c in changes.columns
         if c != "_change_type" and c not in meta_cols
+        and c not in seq_meta
     ]
+    # ordering: explicit sequence > _commit_version > proven
+    # single-change-per-key (resolve_cdc_sequence raises on ambiguous
+    # batches rather than invent a tie-break)
     latest = apply_changes_snapshot(
         changes,
         keys=[on],
-        sequence_cols=[
-            c for c in ("_commit_version",) if c in changes.columns
-        ]
-        or [on],
+        sequence_cols=resolve_cdc_sequence(changes, [on], sequence_col),
         change_type_col="_change_type",
         delete_values=(),  # keep deletes: their keys must purge below
         ignore_values=("update_preimage",),

@@ -247,6 +247,7 @@ class DeltaSink:
                             b, self.uri.path, on=on,
                             txn_app_id=app_id,
                             txn_version=epoch if app_id else None,
+                            sequence_col=self.uri.params.get("sequence"),
                         ),
                         self.uri,
                         pass_epoch=True,
@@ -315,7 +316,10 @@ class DeltaSink:
                 on = self.uri.params.get("on")
                 if not on:
                     raise ValueError("delta mode=cdc needs ?on=<key>")
-                apply_changes_delta_lite(df, self.uri.path, on=on)
+                apply_changes_delta_lite(
+                    df, self.uri.path, on=on,
+                    sequence_col=self.uri.params.get("sequence"),
+                )
                 return True
             if mode == "merge":
                 # conditional MERGE: ?mode=merge&on=<key> with per-
@@ -940,7 +944,8 @@ class IcebergSink:
                 return stream_via_foreach_batch(
                     df,
                     lambda b: apply_changes_iceberg_lite(
-                        b, self.uri.path, on=on
+                        b, self.uri.path, on=on,
+                        sequence_col=self.uri.params.get("sequence"),
                     ),
                     self.uri,
                 )
@@ -969,7 +974,10 @@ class IcebergSink:
             on = self.uri.params.get("on")
             if not on:
                 raise ValueError("iceberg mode=cdc needs ?on=<key>")
-            apply_changes_iceberg_lite(df, self.uri.path, on=on)
+            apply_changes_iceberg_lite(
+                df, self.uri.path, on=on,
+                sequence_col=self.uri.params.get("sequence"),
+            )
             return True
         parts = [
             c for c in self.uri.params.get("partitionCols", "").split(",") if c
@@ -1105,7 +1113,8 @@ class HudiSink:
                 return stream_via_foreach_batch(
                     df,
                     lambda b: apply_changes_hudi_lite(
-                        b, self.uri.path, on=on
+                        b, self.uri.path, on=on,
+                        sequence_col=self.uri.params.get("sequence"),
                     ),
                     self.uri,
                 )
@@ -1142,7 +1151,10 @@ class HudiSink:
             on = self.uri.params.get("on")
             if not on:
                 raise ValueError("hudi mode=cdc needs ?on=<key>")
-            apply_changes_hudi_lite(df, self.uri.path, on=on)
+            apply_changes_hudi_lite(
+                df, self.uri.path, on=on,
+                sequence_col=self.uri.params.get("sequence"),
+            )
             return True
         parts = [
             c for c in self.uri.params.get("partitionCols", "").split(",") if c

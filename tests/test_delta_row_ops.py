@@ -1069,6 +1069,67 @@ def test_apply_changes_latest_per_key_wins(spark, tmp_path):
     assert got == {2: 20.0, 3: 30.0}
 
 
+def test_apply_changes_ambiguous_batch_without_sequence_raises(
+    spark, tmp_path
+):
+    """A batch with two applicable changes for one key and NO sequence
+    (no _commit_version, no ?sequence=) must raise — any invented
+    tie-break (change-type order) resurrects insert→delete keys."""
+    from spark_etl_cli_spark.sources.delta_lite import (
+        apply_changes_delta_lite,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_delta_lite(spark.createDataFrame([Row(id=1, v=1.0)]), path)
+    changes = spark.createDataFrame(
+        [
+            Row(id=1, v=10.0, _change_type="insert"),
+            Row(id=1, v=10.0, _change_type="delete"),
+        ]
+    )
+    with pytest.raises(ValueError, match="no sequence"):
+        apply_changes_delta_lite(changes, path, on="id")
+    # unambiguous batches (≤1 applicable change per key) still apply
+    ok = spark.createDataFrame(
+        [
+            Row(id=1, v=11.0, _change_type="update_postimage"),
+            Row(id=2, v=2.0, _change_type="insert"),
+        ]
+    )
+    apply_changes_delta_lite(ok, path, on="id")
+    got = {r["id"]: r["v"] for r in read_delta_lite(spark, path).collect()}
+    assert got == {1: 11.0, 2: 2.0}
+
+
+def test_apply_changes_explicit_sequence_col(spark, tmp_path):
+    """?sequence=<col> orders a sequence-bearing CDC export (Debezium
+    ts_ms style): the metadata column orders within key and stays out
+    of the written rows; insert→delete under it deletes."""
+    from spark_etl_cli_spark.sources.delta_lite import (
+        apply_changes_delta_lite,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_delta_lite(spark.createDataFrame([Row(id=1, v=1.0)]), path)
+    changes = spark.createDataFrame(
+        [
+            Row(id=1, v=10.0, _change_type="delete", ts_ms=200),
+            Row(id=1, v=10.0, _change_type="insert", ts_ms=100),
+            Row(id=2, v=2.0, _change_type="insert", ts_ms=100),
+            Row(id=2, v=22.0, _change_type="update_postimage", ts_ms=300),
+        ]
+    )
+    apply_changes_delta_lite(changes, path, on="id", sequence_col="ts_ms")
+    got = {r["id"]: r["v"] for r in read_delta_lite(spark, path).collect()}
+    assert got == {2: 22.0}
+    assert set(read_delta_lite(spark, path).columns) == {"id", "v"}
+    # an unknown sequence column is an explicit error
+    with pytest.raises(ValueError, match="sequence column"):
+        apply_changes_delta_lite(
+            changes.drop("ts_ms"), path, on="id", sequence_col="nope"
+        )
+
+
 def test_apply_changes_creates_missing_table(spark, tmp_path):
     from spark_etl_cli_spark.sources.delta_lite import (
         apply_changes_delta_lite,
@@ -1762,6 +1823,45 @@ def test_blind_append_retries_on_version_collision(spark, tmp_path):
     )
     assert os.path.exists(os.path.join(log, f"{2:020d}.json"))
     assert read_delta_lite(spark, path).count() == 2
+
+
+def test_blind_append_refuses_to_rebase_past_metadata_change(
+    spark, tmp_path, monkeypatch
+):
+    """An append racing with a metaData/protocol commit must FAIL, not
+    rebase: its files were written under the old schema/physical names
+    and its constraints were checked against the old configuration."""
+    import spark_etl_cli_spark.sources.delta_lite as dl
+
+    path = str(tmp_path / "tbl")
+    write_delta_lite(spark.createDataFrame([Row(id=1, v=1.0)]), path)
+    log = os.path.join(path, "_delta_log")
+    meta = json.loads(
+        open(os.path.join(log, f"{0:020d}.json")).read().splitlines()[1]
+    )["metaData"]
+    real_next = dl._next_version
+    calls = {"n": 0}
+
+    def racing_next(log_dir):
+        calls["n"] += 1
+        v = real_next(log_dir)
+        if calls["n"] == 2:
+            # a concurrent ALTER commits a metaData change between the
+            # append's snapshot read (call 1) and its commit claim
+            with open(os.path.join(log_dir, f"{v:020d}.json"), "w") as fh:
+                fh.write(json.dumps({"metaData": meta}) + "\n")
+                fh.write(json.dumps({"commitInfo": {"timestamp": 0}}) + "\n")
+            return real_next(log_dir)
+        return v
+
+    monkeypatch.setattr(dl, "_next_version", racing_next)
+    with pytest.raises(RuntimeError, match="concurrent metadata change"):
+        write_delta_lite(
+            spark.createDataFrame([Row(id=2, v=2.0)]), path, mode="append"
+        )
+    monkeypatch.setattr(dl, "_next_version", real_next)
+    # the table stays readable at its pre-append state
+    assert read_delta_lite(spark, path).count() == 1
 
 
 def test_row_op_conflict_raises(spark, tmp_path, monkeypatch):

@@ -1,6 +1,7 @@
 """Engine-free Hudi COW reader tests: tables hand-built per the public
 timeline spec (parquet base files + .hoodie commit JSONs)."""
 
+import glob
 import json
 import os
 
@@ -784,22 +785,75 @@ def test_hudi_mor_writer_via_uri(spark, tmp_path):
     assert got == {(1, "a"), (2, "B")}
 
 
-def test_hudi_mor_upsert_partitioned_is_fenced(spark, tmp_path):
-    from spark_etl_cli_spark.sources.hudi_lite import write_hudi_lite
+def test_hudi_mor_upsert_partitioned_round_trip(spark, tmp_path):
+    """Partitioned MOR upsert: matched rows append log blocks in their
+    group's partition path, unmatched rows start hive-partitioned file
+    groups, the snapshot merges correctly, partition pruning still
+    works, and compaction materializes per-partition base files."""
+    from spark_etl_cli_spark.sources.hudi_lite import (
+        compact_hudi_mor_lite,
+        read_hudi_lite,
+        write_hudi_lite,
+    )
 
     table = str(tmp_path / "mor_part")
     write_hudi_lite(
-        spark.createDataFrame([(1, "a", "p1")], "id long, v string, part string"),
+        spark.createDataFrame(
+            [(1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2")],
+            "id long, v string, part string",
+        ),
         table, record_key="id", table_type="MERGE_ON_READ",
         partition_by=["part"],
     )
-    with pytest.raises(NotImplementedError, match="partitioned"):
+    # update one key per partition + insert a new key into p2 and a
+    # key opening a brand-new partition p3
+    write_hudi_lite(
+        spark.createDataFrame(
+            [(1, "A", "p1"), (3, "C", "p2"), (4, "d", "p2"), (5, "e", "p3")],
+            "id long, v string, part string",
+        ),
+        table, mode="upsert", record_key="id",
+    )
+    expect = {(1, "A", "p1"), (2, "b", "p1"), (3, "C", "p2"),
+              (4, "d", "p2"), (5, "e", "p3")}
+    got = {(r.id, r.v, r.part)
+           for r in read_hudi_lite(spark, table).collect()}
+    assert got == expect
+    # the matched-row updates landed as log files under the partition
+    # dirs (zero base rewrites)
+    logs = glob.glob(os.path.join(table, "**", ".*.log.*"), recursive=True)
+    assert logs and all(
+        os.sep + "p" in l.replace("part=", "") or "part=" in l for l in logs
+    )
+    # partition pruning via ?where= still serves the right slices
+    p2 = read_hudi_lite(spark, table, where="part = 'p2'")
+    assert {(r.id, r.v) for r in p2.collect()} == {(3, "C"), (4, "d")}
+    # a partition-moving update is fenced, not silently mis-served
+    with pytest.raises(NotImplementedError, match="across"):
         write_hudi_lite(
             spark.createDataFrame(
-                [(1, "b", "p1")], "id long, v string, part string"
+                [(1, "moved", "p2")], "id long, v string, part string"
             ),
             table, mode="upsert", record_key="id",
         )
+    # compaction materializes merged per-partition base files; the
+    # snapshot is unchanged and the logs stop applying
+    stats = compact_hudi_mor_lite(spark, table)
+    assert stats["groups_compacted"] >= 2
+    got2 = {(r.id, r.v, r.part)
+            for r in read_hudi_lite(spark, table).collect()}
+    assert got2 == expect
+    # further upserts start a fresh slice on the compacted base
+    write_hudi_lite(
+        spark.createDataFrame(
+            [(2, "B2", "p1")], "id long, v string, part string"
+        ),
+        table, mode="upsert", record_key="id",
+    )
+    assert {(r.id, r.v, r.part)
+            for r in read_hudi_lite(spark, table).collect()} == (
+        expect - {(2, "b", "p1")} | {(2, "B2", "p1")}
+    )
 
 
 def test_hudi_mor_compaction_materializes_merged_base(spark, tmp_path):
@@ -1181,6 +1235,40 @@ def test_hudi_mor_delete_by_keys(spark, tmp_path):
     assert sorted(
         r["id"] for r in read_hudi_lite(spark, path).collect()
     ) == [0, 1, 3]
+
+
+def test_hudi_apply_changes_sequence_rules(spark, tmp_path):
+    """No-sequence ambiguous batches raise; an explicit transport
+    sequence column orders within key and stays out of the table."""
+    from spark_etl_cli_spark.sources.hudi_lite import (
+        apply_changes_hudi_lite,
+        read_hudi_lite,
+        write_hudi_lite,
+    )
+
+    path = str(tmp_path / "hudi_cdc_seq")
+    write_hudi_lite(
+        spark.createDataFrame([Row(id=1, v=1.0)]), path, record_key="id"
+    )
+    ambiguous = spark.createDataFrame(
+        [
+            Row(id=1, v=10.0, _change_type="insert"),
+            Row(id=1, v=10.0, _change_type="delete"),
+        ]
+    )
+    with pytest.raises(ValueError, match="no sequence"):
+        apply_changes_hudi_lite(ambiguous, path, on="id")
+    seq = spark.createDataFrame(
+        [
+            Row(id=1, v=10.0, _change_type="delete", ts_ms=200),
+            Row(id=1, v=10.0, _change_type="insert", ts_ms=100),
+            Row(id=2, v=2.0, _change_type="insert", ts_ms=100),
+        ]
+    )
+    apply_changes_hudi_lite(seq, path, on="id", sequence_col="ts_ms")
+    got = {r["id"]: r["v"] for r in read_hudi_lite(spark, path).collect()}
+    assert got == {2: 2.0}
+    assert "ts_ms" not in read_hudi_lite(spark, path).columns
 
 
 def test_cross_format_cdc_delta_to_hudi(spark, tmp_path):

@@ -1296,6 +1296,34 @@ def test_iceberg_upsert_replaces_matched_inserts_new(spark, tmp_path):
     assert {r["v"] for r in prev.filter("id = 3").collect()} == {3.0}
 
 
+def test_iceberg_upsert_stats_with_duplicate_target_keys(spark, tmp_path):
+    """rows_inserted is counted directly (source anti-join), not by
+    subtraction: a target with duplicate keys (legal — only the source
+    is validated unique) must not drive it negative."""
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        read_iceberg_lite,
+        upsert_iceberg_lite,
+        write_iceberg_lite,
+    )
+
+    table = str(tmp_path / "ice_dup")
+    # target holds id=1 three times
+    write_iceberg_lite(
+        spark.createDataFrame(
+            [(1, 1.0), (1, 1.1), (1, 1.2), (2, 2.0)], "id long, v double"
+        ),
+        table,
+    )
+    stats = upsert_iceberg_lite(
+        spark.createDataFrame([(1, 100.0), (9, 9.0)], "id long, v double"),
+        table, on="id",
+    )
+    assert stats["rows_inserted"] == 1  # only id=9 is new
+    assert stats["rows_updated"] == 3  # three target rows replaced
+    got = {(r["id"], r["v"]) for r in read_iceberg_lite(spark, table).collect()}
+    assert got == {(1, 100.0), (2, 2.0), (9, 9.0)}
+
+
 def test_iceberg_upsert_untouched_groups_not_rewritten(spark, tmp_path):
     from spark_etl_cli_spark.sources.iceberg_lite import (
         resolve_iceberg_files,
@@ -1410,6 +1438,42 @@ def test_iceberg_apply_changes_latest_per_key(spark, tmp_path):
     assert stats["rows_matched"] == 2  # ids 1 and 2 existed
     got = {r["id"]: r["v"] for r in read_iceberg_lite(spark, table).collect()}
     assert got == {1: 10.0, 3: 30.0}
+
+
+def test_iceberg_apply_changes_sequence_rules(spark, tmp_path):
+    """No-sequence ambiguous batches raise; an explicit transport
+    sequence column orders within key and stays out of the table."""
+    from pyspark.sql import Row
+
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        apply_changes_iceberg_lite,
+        read_iceberg_lite,
+        write_iceberg_lite,
+    )
+
+    table = str(tmp_path / "ice_cdc_seq")
+    write_iceberg_lite(
+        spark.createDataFrame([(1, 1.0)], "id long, v double"), table
+    )
+    ambiguous = spark.createDataFrame(
+        [
+            Row(id=1, v=10.0, _change_type="insert"),
+            Row(id=1, v=10.0, _change_type="delete"),
+        ]
+    )
+    with pytest.raises(ValueError, match="no sequence"):
+        apply_changes_iceberg_lite(ambiguous, table, on="id")
+    seq = spark.createDataFrame(
+        [
+            Row(id=1, v=10.0, _change_type="delete", ts_ms=200),
+            Row(id=1, v=10.0, _change_type="insert", ts_ms=100),
+            Row(id=2, v=2.0, _change_type="insert", ts_ms=100),
+        ]
+    )
+    apply_changes_iceberg_lite(seq, table, on="id", sequence_col="ts_ms")
+    got = {r["id"]: r["v"] for r in read_iceberg_lite(spark, table).collect()}
+    assert got == {2: 2.0}
+    assert set(read_iceberg_lite(spark, table).columns) == {"id", "v"}
 
 
 def test_cross_format_cdc_delta_to_iceberg(spark, tmp_path):
