@@ -2439,14 +2439,27 @@ def merge_delta_lite(
     delete_condition: str | None = None,
     insert_condition: str | None = None,
     insert_columns: list[str] | None = None,
+    not_matched_by_source: str | None = None,
+    not_matched_by_source_condition: str | None = None,
+    not_matched_by_source_set: dict[str, str] | None = None,
 ) -> dict:
     """Conditional MERGE: ``MERGE INTO target USING source ON
     target.on = source.on [WHEN MATCHED AND delete_condition THEN
     DELETE] WHEN MATCHED [AND matched_condition] THEN UPDATE SET
     col = expr, ... WHEN NOT MATCHED [AND insert_condition] THEN
-    INSERT *``. Clause order follows Delta's CDC idiom: the DELETE
-    clause is evaluated before the UPDATE clause, so a matched row
-    satisfying both conditions is deleted.
+    INSERT * [WHEN NOT MATCHED BY SOURCE [AND cond] THEN
+    DELETE | UPDATE SET ...]``. Clause order follows Delta's CDC
+    idiom: the DELETE clause is evaluated before the UPDATE clause,
+    so a matched row satisfying both conditions is deleted.
+
+    ``not_matched_by_source`` (``'delete'`` or ``'update'``) is the
+    third standard clause — the "full sync" idiom: TARGET rows whose
+    key is absent from the source are deleted (or updated through
+    ``not_matched_by_source_set``), optionally gated by
+    ``not_matched_by_source_condition``. Both the condition and the
+    SET expressions see only the target row (there IS no source match,
+    per the SQL standard), so they reference bare/``target.``-qualified
+    columns.
 
     ``update_set`` expressions may reference BOTH sides via the
     ``source.``/``target.`` qualifiers (e.g. ``target.v + source.v``);
@@ -2523,6 +2536,22 @@ def merge_delta_lite(
     unknown = [c for c in (update_set or {}) if c not in table_cols]
     if unknown:
         raise ValueError(f"MERGE SET of unknown columns {unknown}")
+    if not_matched_by_source not in (None, "delete", "update"):
+        raise ValueError(
+            "not_matched_by_source must be 'delete' or 'update', got "
+            f"{not_matched_by_source!r}"
+        )
+    if not_matched_by_source == "update" and not not_matched_by_source_set:
+        raise ValueError(
+            "not_matched_by_source='update' needs not_matched_by_source_set"
+        )
+    unknown = [
+        c for c in (not_matched_by_source_set or {}) if c not in table_cols
+    ]
+    if unknown:
+        raise ValueError(
+            f"NOT MATCHED BY SOURCE SET of unknown columns {unknown}"
+        )
     if insert:
         # INSERT * takes the TABLE's columns by name from the source;
         # extra source columns (a CDC frame's _change_type etc.) are
@@ -2570,13 +2599,31 @@ def merge_delta_lite(
     # a matched row lands in exactly one clause, DELETE checked first
     upd_mask = (match_cond & ~del_cond) if update_set else F.lit(False)
     touch_mask = del_cond | upd_mask
+    nmbs_cond = (
+        F.expr(not_matched_by_source_condition)
+        if not_matched_by_source_condition
+        else F.lit(True)
+    )
 
     affected: list[dict] = []
+    seen_paths: set[str] = set()
     n_updated = 0
     n_deleted = 0
+    by_path = _adds_by_abspath(table_path, adds) if adds else {}
+
+    def _take(file_path: str) -> None:
+        add = by_path.get(file_path)
+        if add is None:
+            raise RuntimeError(
+                f"delta-lite MERGE: scanned file {file_path!r} "
+                "missing from the snapshot file list"
+            )
+        if file_path not in seen_paths:
+            seen_paths.add(file_path)
+            affected.append(add)
+
     if adds and (update_set or delete_condition):
         scan = _snapshot_scan(spark, table_path, adds, meta)
-        by_path = _adds_by_abspath(table_path, adds)
         probe = (
             scan.alias("target")
             .join(
@@ -2590,15 +2637,25 @@ def merge_delta_lite(
             F.sum(F.when(del_cond, 0).otherwise(1)).alias("nupd"),
         ).collect()
         for r in counts:
-            add = by_path.get(r["__file"])
-            if add is None:
-                raise RuntimeError(
-                    f"delta-lite MERGE: scanned file {r['__file']!r} "
-                    "missing from the snapshot file list"
-                )
-            affected.append(add)
-        n_updated = sum(r["nupd"] for r in counts)
-        n_deleted = sum(r["ndel"] for r in counts)
+            _take(r["__file"])
+        n_updated += sum(r["nupd"] for r in counts)
+        n_deleted += sum(r["ndel"] for r in counts)
+    if adds and not_matched_by_source:
+        # probe for files holding ≥1 source-absent, condition-true
+        # target row — an anti-join on the (column-pruned) source key
+        scan = _snapshot_scan(spark, table_path, adds, meta)
+        probe_n = (
+            scan.alias("target")
+            .join(source.select(on).distinct(), on, "left_anti")
+            .filter(nmbs_cond)
+        )
+        counts_n = probe_n.groupBy("__file").count().collect()
+        for r in counts_n:
+            _take(r["__file"])
+        if not_matched_by_source == "delete":
+            n_deleted += sum(r["count"] for r in counts_n)
+        else:
+            n_updated += sum(r["count"] for r in counts_n)
 
     pieces: list[DataFrame] = []
     if affected:
@@ -2609,14 +2666,31 @@ def merge_delta_lite(
         # everything else survives unchanged.
         matched = F.col(f"source.{on}").isNotNull()
         upd = matched & upd_mask
-        out_cols = [
-            F.when(
-                upd, F.expr(update_set[f.name]).cast(f.dataType)
-            ).otherwise(F.col(f"target.{f.name}")).alias(f.name)
-            if update_set and f.name in update_set
-            else F.col(f"target.{f.name}").alias(f.name)
-            for f in schema.fields
-        ]
+        nmbs_del = (
+            (~matched & nmbs_cond)
+            if not_matched_by_source == "delete"
+            else F.lit(False)
+        )
+        nmbs_upd = (
+            (~matched & nmbs_cond)
+            if not_matched_by_source == "update"
+            else F.lit(False)
+        )
+
+        def _out_col(f):
+            col = F.col(f"target.{f.name}")
+            if not_matched_by_source_set and f.name in not_matched_by_source_set:
+                col = F.when(
+                    nmbs_upd,
+                    F.expr(not_matched_by_source_set[f.name]).cast(f.dataType),
+                ).otherwise(col)
+            if update_set and f.name in update_set:
+                col = F.when(
+                    upd, F.expr(update_set[f.name]).cast(f.dataType)
+                ).otherwise(col)
+            return col.alias(f.name)
+
+        out_cols = [_out_col(f) for f in schema.fields]
         pieces.append(
             _snapshot_scan(spark, table_path, affected, meta)
             .alias("target")
@@ -2625,7 +2699,7 @@ def merge_delta_lite(
                 F.col(f"target.{on}") == F.col(f"source.{on}"),
                 "left",
             )
-            .filter(~(matched & del_cond))
+            .filter(~(matched & del_cond) & ~nmbs_del)
             .select(*out_cols)
         )
 
@@ -2691,6 +2765,37 @@ def merge_delta_lite(
                     )
                     .withColumn(CDC_TYPE_COL, F.lit("delete"))
                 )
+            if not_matched_by_source:
+                nm_rows = (
+                    _snapshot_scan(spark, table_path, affected, meta)
+                    .alias("target")
+                    .join(source.select(on).distinct(), on, "left_anti")
+                    .filter(nmbs_cond)
+                )
+                if not_matched_by_source == "delete":
+                    change_pieces.append(
+                        nm_rows.select(*table_cols).withColumn(
+                            CDC_TYPE_COL, F.lit("delete")
+                        )
+                    )
+                else:
+                    change_pieces.append(
+                        nm_rows.select(*table_cols).withColumn(
+                            CDC_TYPE_COL, F.lit("update_preimage")
+                        )
+                    )
+                    change_pieces.append(
+                        nm_rows.select(
+                            *[
+                                F.expr(not_matched_by_source_set[f.name])
+                                .cast(f.dataType)
+                                .alias(f.name)
+                                if f.name in not_matched_by_source_set
+                                else F.col(f"target.{f.name}").alias(f.name)
+                                for f in schema.fields
+                            ]
+                        ).withColumn(CDC_TYPE_COL, F.lit("update_postimage"))
+                    )
         if inserted_rows is not None:
             change_pieces.append(
                 inserted_rows.select(*table_cols).withColumn(

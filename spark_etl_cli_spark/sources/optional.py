@@ -285,6 +285,19 @@ class DeltaSink:
                             insert=self.uri.params.get(
                                 "insert", "true"
                             ).lower() not in ("0", "false", "no"),
+                            not_matched_by_source=self.uri.params.get(
+                                "not-matched-by-source"
+                            ),
+                            not_matched_by_source_condition=(
+                                self.uri.params.get(
+                                    "not-matched-by-source-condition"
+                                )
+                            ),
+                            not_matched_by_source_set={
+                                k[len("nmbs-set."):]: v
+                                for k, v in self.uri.params.items()
+                                if k.startswith("nmbs-set.")
+                            } or None,
                             txn_app_id=app_id,
                             txn_version=epoch if app_id else None,
                         ),
@@ -327,8 +340,11 @@ class DeltaSink:
                 # (exprs may qualify source./target.), an optional
                 # matched-condition=<pred>, delete-condition=<pred>
                 # (WHEN MATCHED AND pred THEN DELETE, checked first),
-                # insert-condition=<pred>, and insert=false to turn
-                # off WHEN NOT MATCHED THEN INSERT *
+                # insert-condition=<pred>, insert=false to turn
+                # off WHEN NOT MATCHED THEN INSERT *, and the full-sync
+                # clause: not-matched-by-source=delete|update with
+                # not-matched-by-source-condition=<pred> and
+                # nmbs-set.<col>=<expr> params
                 from spark_etl_cli_spark.sources.delta_lite import (
                     merge_delta_lite,
                 )
@@ -355,6 +371,17 @@ class DeltaSink:
                     ),
                     insert=self.uri.params.get("insert", "true").lower()
                     not in ("0", "false", "no"),
+                    not_matched_by_source=self.uri.params.get(
+                        "not-matched-by-source"
+                    ),
+                    not_matched_by_source_condition=self.uri.params.get(
+                        "not-matched-by-source-condition"
+                    ),
+                    not_matched_by_source_set={
+                        k[len("nmbs-set."):]: v
+                        for k, v in self.uri.params.items()
+                        if k.startswith("nmbs-set.")
+                    } or None,
                 )
                 return True
             # table properties at creation: property.<name>=<value>

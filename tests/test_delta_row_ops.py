@@ -935,6 +935,101 @@ def test_cdf_via_uris(spark, tmp_path):
 # --- MERGE WHEN MATCHED THEN DELETE + CDC apply ------------------------------
 
 
+def test_merge_not_matched_by_source_delete_full_sync(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE — the full-sync idiom:
+    after the merge the table equals the source exactly (updates +
+    inserts + source-absent deletes in ONE commit)."""
+    from spark_etl_cli_spark.sources.delta_lite import merge_delta_lite
+
+    path = str(tmp_path / "tbl")
+    write_delta_lite(
+        spark.createDataFrame(
+            [Row(id=i, v=float(i)) for i in range(6)]
+        ),
+        path,
+    )
+    src = spark.createDataFrame(
+        [Row(id=1, v=10.0), Row(id=3, v=3.0), Row(id=9, v=9.0)]
+    )
+    stats = merge_delta_lite(
+        src, path, on="id",
+        update_set={"v": "source.v"},
+        not_matched_by_source="delete",
+    )
+    assert stats["rows_updated"] == 2
+    assert stats["rows_inserted"] == 1
+    assert stats["rows_deleted"] == 4  # ids 0,2,4,5
+    got = {r["id"]: r["v"] for r in read_delta_lite(spark, path).collect()}
+    assert got == {1: 10.0, 3: 3.0, 9: 9.0}
+
+
+def test_merge_not_matched_by_source_condition_and_update(spark, tmp_path):
+    """The clause's condition gates it (only condition-true source-
+    absent rows are touched), and the UPDATE variant rewrites instead
+    of deleting — both referencing target columns only."""
+    from spark_etl_cli_spark.sources.delta_lite import merge_delta_lite
+
+    path = str(tmp_path / "tbl")
+    write_delta_lite(
+        spark.createDataFrame(
+            [Row(id=i, v=float(i), stale=False) for i in range(4)]
+        ),
+        path,
+    )
+    src = spark.createDataFrame([Row(id=0, v=0.5, stale=False)])
+    # conditioned delete: only source-absent rows with v >= 2 go
+    stats = merge_delta_lite(
+        src, path, on="id",
+        update_set={"v": "source.v"},
+        not_matched_by_source="delete",
+        not_matched_by_source_condition="target.v >= 2.0",
+    )
+    assert stats["rows_deleted"] == 2  # ids 2,3
+    got = {r["id"]: r["v"] for r in read_delta_lite(spark, path).collect()}
+    assert got == {0: 0.5, 1: 1.0}
+    # UPDATE variant: source-absent rows get flagged, not deleted
+    stats = merge_delta_lite(
+        spark.createDataFrame([Row(id=0, v=0.7, stale=False)]),
+        path, on="id",
+        update_set={"v": "source.v"},
+        not_matched_by_source="update",
+        not_matched_by_source_set={"stale": "true"},
+    )
+    assert stats["rows_updated"] == 2  # id=0 matched, id=1 flagged
+    rows = {r["id"]: (r["v"], r["stale"])
+            for r in read_delta_lite(spark, path).collect()}
+    assert rows == {0: (0.7, False), 1: (1.0, True)}
+    # update variant without a SET is a contract error
+    with pytest.raises(ValueError, match="not_matched_by_source_set"):
+        merge_delta_lite(
+            src, path, on="id", not_matched_by_source="update",
+        )
+
+
+def test_merge_not_matched_by_source_via_uri_and_cdf(spark, tmp_path):
+    """?not-matched-by-source=delete on the merge sink URI; with CDF
+    enabled the clause's deletes land in the change feed."""
+    from spark_etl_cli_spark.registry import resolve_sink
+    from spark_etl_cli_spark.sources.delta_lite import read_delta_changes
+
+    path = str(tmp_path / "tbl")
+    write_delta_lite(
+        spark.createDataFrame([Row(id=1, v=1.0), Row(id=2, v=2.0)]),
+        path, properties={"delta.enableChangeDataFeed": "true"},
+    )
+    _, sink = resolve_sink(
+        f"s+delta://{path}?mode=merge&on=id&set.v=source.v"
+        "&not-matched-by-source=delete"
+    )
+    sink.write(spark.createDataFrame([Row(id=1, v=10.0)]))
+    got = {r["id"]: r["v"] for r in read_delta_lite(spark, path).collect()}
+    assert got == {1: 10.0}
+    cdf = read_delta_changes(spark, path, starting_version=1)
+    kinds = {(r["id"], r["_change_type"]) for r in cdf.collect()}
+    assert (2, "delete") in kinds
+    assert (1, "update_postimage") in kinds
+
+
 def test_merge_delete_clause_removes_matched_rows(spark, tmp_path):
     from spark_etl_cli_spark.sources.delta_lite import merge_delta_lite
 
