@@ -446,8 +446,58 @@ def read_iceberg_lite(
     norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
     track = bool(pos_deletes) or bool(eq_deletes) or with_provenance
 
+    # schema.name-mapping.default (spec): files without field ids in
+    # their footers resolve columns through this name→id mapping — the
+    # UniForm path, where delta-written parquet carries PHYSICAL
+    # (col-<uuid>) names for column-mapped tables. Read with the mapped
+    # file names, serve the logical ones.
+    file_name_of: dict[str, str] = {}
+    nm_raw = (meta.get("properties") or {}).get(
+        "schema.name-mapping.default"
+    )
+    if nm_raw:
+        id_to_file_name = {
+            e["field-id"]: e["names"][0]
+            for e in json.loads(nm_raw)
+            if e.get("names")
+        }
+        for f in _current_schema(meta).get("fields", []):
+            mapped = id_to_file_name.get(f["id"])
+            if mapped and mapped != f["name"]:
+                file_name_of[f["name"]] = mapped
+
     def scan(paths: list[str], schema: T.StructType, extra) -> DataFrame:
-        d = spark.read.schema(schema).parquet(*paths)
+        read_schema = (
+            T.StructType(
+                [
+                    T.StructField(
+                        file_name_of.get(f.name, f.name),
+                        f.dataType,
+                        f.nullable,
+                    )
+                    for f in schema.fields
+                ]
+            )
+            if file_name_of
+            else schema
+        )
+        d = spark.read.schema(read_schema).parquet(*paths)
+        if file_name_of:
+            # restore logical names (+ keep metadata cols reachable)
+            sel = [
+                F.col(rf.name).alias(f.name)
+                for rf, f in zip(read_schema.fields, schema.fields)
+            ]
+            if track:
+                sel += [
+                    norm(F.col("_metadata.file_path")).alias("__dfile"),
+                    F.col("_metadata.row_index").alias("__dpos"),
+                ]
+            d = d.select(*sel)
+            cols = list(extra) + (
+                [F.col("__dfile"), F.col("__dpos")] if track else []
+            )
+            return d.select(*cols)
         cols = list(extra) + (
             [
                 norm(F.col("_metadata.file_path")).alias("__dfile"),

@@ -12,10 +12,13 @@ Iceberg reader pointed at it) serves the identical rows; re-running
 the export after new delta commits refreshes the Iceberg view as a new
 snapshot (old snapshots stay time-travelable).
 
-Honest fences: deletion-vector adds (Iceberg can't express Delta DVs)
-and column-mapped tables (Iceberg readers resolve by field id; the
-physical-name indirection needs the real UniForm converter) refuse
-loudly. Reference surface: the reference's delta connector wraps
+Deletion-vector adds export as Iceberg POSITION DELETES (both formats
+express row-ordinal deletes), and column-mapped tables export with
+delta's stable mapping ids as the iceberg field ids plus a
+``schema.name-mapping.default`` property resolving the physical
+(col-<uuid>) file names — the same mechanism real UniForm uses.
+Remaining fence: column-mapped tables with NESTED types (nested
+field-id reconciliation) refuse loudly. Reference surface: the reference's delta connector wraps
 engine jars (delta/.../DeltaUriParser.scala:13-60); format interop is
 beyond-reference, built on the two lite protocol writers.
 """
@@ -452,6 +455,16 @@ def export_hudi_as_iceberg(spark: SparkSession, table_path: str) -> int:
         "last-partition-id": 999,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "default-sort-order-id": 0,
+        # name mapping: hudi-written parquet carries no iceberg field
+        # ids, so spec-compliant readers need name→id resolution
+        "properties": {
+            "schema.name-mapping.default": json.dumps(
+                [
+                    {"field-id": f["id"], "names": [f["name"]]}
+                    for f in iceberg_schema.get("fields", [])
+                ]
+            )
+        },
         "snapshots": snapshots,
     }
     version = 1
@@ -500,27 +513,55 @@ def export_delta_as_iceberg(spark: SparkSession, table_path: str) -> int:
     adds, meta = _replay(spark, table_path)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     _phys, mapped = _physical_schema(schema)
-    if mapped:
-        raise NotImplementedError(
-            "uniform export of a column-mapped delta table needs the "
-            "engine converter (Iceberg readers resolve columns by field "
-            "id, not by the mapped physical names)"
-        )
-    dv = [a for a in adds if a.get("deletionVector")]
-    if dv:
-        raise NotImplementedError(
-            "uniform export cannot express Delta deletion vectors in "
-            f"Iceberg metadata ({len(dv)} files carry DVs); run a "
-            "copy-on-write rewrite (OPTIMIZE) first"
-        )
     part_cols = meta.get("partitionColumns") or []
     part_fields = [(c, schema[c].dataType) for c in part_cols]
     for _n, _dt in part_fields:
         _part_avro_type(_dt)  # validate up front
     iceberg_schema = _spark_to_iceberg_schema(schema)
+    # Column-mapped delta tables: the parquet files carry PHYSICAL
+    # names (col-<uuid>) while the log keeps logical ones. Iceberg
+    # resolves by field id with a name-mapping fallback, so the export
+    # (a) reuses delta's stable per-column mapping ids as the iceberg
+    # field ids — a later rename re-export keeps the same id — and
+    # (b) emits schema.name-mapping.default below, mapping each
+    # PHYSICAL file-column name to its field id.
+    phys_name = {f.name: f.name for f in schema.fields}
+    if mapped:
+        if any(
+            isinstance(
+                f.dataType, (T.StructType, T.ArrayType, T.MapType)
+            )
+            for f in schema.fields
+        ):
+            raise NotImplementedError(
+                "uniform export of a column-mapped delta table with "
+                "nested types: nested field-id reconciliation needs "
+                "the engine converter"
+            )
+        for fld in iceberg_schema.get("fields", []):
+            md = schema[fld["name"]].metadata or {}
+            if md.get("delta.columnMapping.id") is not None:
+                fld["id"] = int(md["delta.columnMapping.id"])
+            if md.get("delta.columnMapping.physicalName"):
+                phys_name[fld["name"]] = md[
+                    "delta.columnMapping.physicalName"
+                ]
+        ids = [f["id"] for f in iceberg_schema["fields"]]
+        if len(set(ids)) != len(ids):
+            raise NotImplementedError(
+                "uniform export: delta column-mapping ids collide "
+                f"({ids}); the engine converter is needed"
+            )
     field_id_of = {
         f["name"]: f["id"] for f in iceberg_schema.get("fields", [])
     }
+    # name-mapping entries carry the PHYSICAL (file) column name only:
+    # a rename can make one column's logical name equal another's
+    # physical name, and a mapping listing both would turn ambiguous
+    name_mapping = [
+        {"field-id": f["id"], "names": [phys_name[f["name"]]]}
+        for f in iceberg_schema.get("fields", [])
+    ]
 
     meta_dir = os.path.join(table_path, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
@@ -578,6 +619,45 @@ def export_delta_as_iceberg(spark: SparkSession, table_path: str) -> int:
             }
         )
 
+    # Deletion vectors → Iceberg POSITION DELETES: both formats express
+    # "these row ordinals of that file are gone", so each DV'd add
+    # contributes (file_path, pos) rows to one sorted position-delete
+    # parquet, committed as a content=1 delete manifest at the SAME
+    # sequence number as the data (the spec applies position deletes to
+    # data files of the same commit or older). The decoded index set is
+    # driver-side but cardinality-bounded — the exact bound the delta
+    # reader itself pays when applying a DV.
+    dv_adds = [a for a in adds if a.get("deletionVector")]
+    pos_del_file = None
+    n_pos_deletes = 0
+    if dv_adds:
+        from spark_etl_cli_spark.sources.dv_lite import read_deletion_vector
+
+        pd_rows = sorted(
+            (os.path.join(abs_root, a["path"]), int(pos))
+            for a in dv_adds
+            for pos in read_deletion_vector(
+                table_path, a["deletionVector"]
+            )
+        )
+        n_pos_deletes = len(pd_rows)
+        if n_pos_deletes:
+            pd_dir = os.path.join(
+                table_path, "data", f"uniform-pos-del-{commit_uuid}"
+            )
+            spark.createDataFrame(
+                pd_rows, "file_path string, pos long"
+            ).coalesce(1).sortWithinPartitions(
+                "file_path", "pos"
+            ).write.parquet(pd_dir)
+            pos_del_file = next(
+                p
+                for p in sorted(
+                    _glob.glob(os.path.join(pd_dir, "*.parquet"))
+                )
+                if _parquet_row_count(p) > 0
+            )
+
     manifest_path = os.path.join(
         meta_dir, f"manifest-uniform-{commit_uuid}.avro"
     )
@@ -594,31 +674,83 @@ def export_delta_as_iceberg(spark: SparkSession, table_path: str) -> int:
             "content": b"data",
         },
     )
+    mlist_entries = [
+        {
+            "manifest_path": manifest_path,
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": total_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    ]
+    if pos_del_file:
+        del_manifest_path = os.path.join(
+            meta_dir, f"manifest-uniform-del-{commit_uuid}.avro"
+        )
+        write_container(
+            del_manifest_path,
+            _manifest_schema_for([]),
+            iter(
+                [
+                    {
+                        "status": 1,
+                        "snapshot_id": snapshot_id,
+                        "sequence_number": None,
+                        "file_sequence_number": None,
+                        "data_file": {
+                            "content": 1,  # position deletes
+                            "file_path": os.path.abspath(pos_del_file),
+                            "file_format": "PARQUET",
+                            "partition": {},
+                            "record_count": n_pos_deletes,
+                            "file_size_in_bytes": os.path.getsize(
+                                pos_del_file
+                            ),
+                        },
+                    }
+                ]
+            ),
+            extra_meta={
+                "schema": json.dumps(iceberg_schema).encode(),
+                "schema-id": b"0",
+                "partition-spec": b"[]",
+                "partition-spec-id": b"0",
+                "format-version": b"2",
+                "content": b"deletes",
+            },
+        )
+        mlist_entries.append(
+            {
+                "manifest_path": del_manifest_path,
+                "manifest_length": os.path.getsize(del_manifest_path),
+                "partition_spec_id": 0,
+                "content": 1,  # delete manifest
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": n_pos_deletes,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
     mlist_path = os.path.join(
         meta_dir, f"snap-{snapshot_id}-{commit_uuid}.avro"
     )
     write_container(
         mlist_path,
         _MANIFEST_LIST_SCHEMA,
-        iter(
-            [
-                {
-                    "manifest_path": manifest_path,
-                    "manifest_length": os.path.getsize(manifest_path),
-                    "partition_spec_id": 0,
-                    "content": 0,
-                    "sequence_number": seq,
-                    "min_sequence_number": seq,
-                    "added_snapshot_id": snapshot_id,
-                    "added_files_count": len(entries),
-                    "existing_files_count": 0,
-                    "deleted_files_count": 0,
-                    "added_rows_count": total_rows,
-                    "existing_rows_count": 0,
-                    "deleted_rows_count": 0,
-                }
-            ]
-        ),
+        iter(mlist_entries),
         extra_meta={"format-version": b"2"},
     )
     spec_fields = [
@@ -660,6 +792,13 @@ def export_delta_as_iceberg(spark: SparkSession, table_path: str) -> int:
         "last-partition-id": 999 + len(spec_fields),
         "sort-orders": [{"order-id": 0, "fields": []}],
         "default-sort-order-id": 0,
+        # spec-compliant readers resolve columns by field id and fall
+        # back to this mapping for files without ids in their footers
+        # (ours: the delta/hudi-written parquet) — real UniForm writes
+        # it for exactly this reason
+        "properties": {
+            "schema.name-mapping.default": json.dumps(name_mapping)
+        },
         "snapshots": snapshots,
     }
     if prior and prior.get("refs"):

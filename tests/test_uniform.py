@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import json
 import os
 
 import pytest
@@ -88,21 +89,93 @@ def test_uniform_via_uri_and_iceberg_source(spark, tmp_path):
     assert _snap(ice.read(spark)) == {(1, 1.0)}
 
 
-def test_uniform_fences_dv_and_mapped_tables(spark, tmp_path):
-    from spark_etl_cli_spark.sources.delta_lite import alter_delta_lite
-
+def test_uniform_dv_exports_as_position_deletes(spark, tmp_path):
+    """A DV-deleted delta table exports: the deletion vector becomes an
+    iceberg position-delete file and the iceberg reader returns the
+    post-delete rows — zero data copy, no rewrite."""
     p1 = str(tmp_path / "dv")
     write_delta_lite(
         spark.createDataFrame([Row(id=i, v=float(i)) for i in range(5)]), p1
     )
     delete_delta_lite(spark, p1, "id = 1", deletion_vectors=True)
-    with pytest.raises(NotImplementedError, match="deletion vectors"):
-        export_delta_as_iceberg(spark, p1)
+    export_delta_as_iceberg(spark, p1)
+    assert _snap(read_iceberg_lite(spark, p1)) == _snap(
+        read_delta_lite(spark, p1)
+    )
+    assert sorted(
+        r["id"] for r in read_iceberg_lite(spark, p1).collect()
+    ) == [0, 2, 3, 4]
+    # the export wrote a real content=1 position-delete parquet
+    import glob as g
+
+    pd_files = g.glob(os.path.join(p1, "data", "uniform-pos-del-*", "*.parquet"))
+    assert pd_files
+    rows = spark.read.parquet(pd_files[0]).collect()
+    assert len(rows) == 1 and rows[0]["pos"] >= 0
+
+
+def test_uniform_column_mapped_table_exports_with_name_mapping(
+    spark, tmp_path
+):
+    """Renaming a delta column (column-mapping upgrade) then
+    re-exporting: the iceberg reader serves the NEW logical name over
+    the SAME physical parquet, resolved via schema.name-mapping.default
+    and delta's stable mapping field ids."""
+    from spark_etl_cli_spark.sources.delta_lite import alter_delta_lite
+    from spark_etl_cli_spark.sources.iceberg_lite import _load_metadata
+
     p2 = str(tmp_path / "mapped")
-    write_delta_lite(spark.createDataFrame([Row(id=1, v=1.0)]), p2)
+    write_delta_lite(
+        spark.createDataFrame([Row(id=1, v=1.0), Row(id=2, v=2.0)]), p2
+    )
     alter_delta_lite(spark, p2, rename={"v": "amount"})
-    with pytest.raises(NotImplementedError, match="column-mapped"):
-        export_delta_as_iceberg(spark, p2)
+    export_delta_as_iceberg(spark, p2)
+    out = read_iceberg_lite(spark, p2)
+    assert set(out.columns) == {"id", "amount"}
+    assert {(r["id"], r["amount"]) for r in out.collect()} == {
+        (1, 1.0), (2, 2.0),
+    }
+    # the metadata carries the name mapping (physical file names → ids)
+    meta = _load_metadata(p2)
+    nm = json.loads(meta["properties"]["schema.name-mapping.default"])
+    assert {e["field-id"] for e in nm} == {
+        f["id"] for f in meta["schemas"][0]["fields"]
+    }
+    # a second rename re-export keeps the SAME field id for the column
+    fid_before = next(
+        f["id"]
+        for f in meta["schemas"][0]["fields"]
+        if f["name"] == "amount"
+    )
+    alter_delta_lite(spark, p2, rename={"amount": "price"})
+    export_delta_as_iceberg(spark, p2)
+    meta2 = _load_metadata(p2)
+    fid_after = next(
+        f["id"]
+        for f in meta2["schemas"][0]["fields"]
+        if f["name"] == "price"
+    )
+    assert fid_after == fid_before
+    out2 = read_iceberg_lite(spark, p2)
+    assert {(r["id"], r["price"]) for r in out2.collect()} == {
+        (1, 1.0), (2, 2.0),
+    }
+
+
+def test_uniform_fence_mapped_nested_types(spark, tmp_path):
+    from spark_etl_cli_spark.sources.delta_lite import alter_delta_lite
+
+    p = str(tmp_path / "nested")
+    write_delta_lite(
+        spark.createDataFrame(
+            [Row(id=1, v=1.0, tags=["a"])],
+            "id long, v double, tags array<string>",
+        ),
+        p,
+    )
+    alter_delta_lite(spark, p, rename={"v": "amount"})
+    with pytest.raises(NotImplementedError, match="nested"):
+        export_delta_as_iceberg(spark, p)
 
 
 # --- reverse direction: iceberg exposed as delta -----------------------------
