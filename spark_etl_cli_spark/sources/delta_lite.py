@@ -2427,10 +2427,18 @@ def _upsert_delta_lite(
     _write_commit(spark, table_path, actions)
 
 
+def _merge_key_cond(keys: list[str]):
+    """target/source alias equality over every merge key column."""
+    c = F.lit(True)
+    for k in keys:
+        c = c & (F.col(f"target.{k}") == F.col(f"source.{k}"))
+    return c
+
+
 def merge_delta_lite(
     source: DataFrame,
     table_path: str,
-    on: str,
+    on: str | list[str],
     update_set: dict[str, str] | None = None,
     matched_condition: str | None = None,
     insert: bool = True,
@@ -2444,8 +2452,8 @@ def merge_delta_lite(
     not_matched_by_source_set: dict[str, str] | None = None,
 ) -> dict:
     """Conditional MERGE: ``MERGE INTO target USING source ON
-    target.on = source.on [WHEN MATCHED AND delete_condition THEN
-    DELETE] WHEN MATCHED [AND matched_condition] THEN UPDATE SET
+    target.k = source.k [AND ...] [WHEN MATCHED AND delete_condition
+    THEN DELETE] WHEN MATCHED [AND matched_condition] THEN UPDATE SET
     col = expr, ... WHEN NOT MATCHED [AND insert_condition] THEN
     INSERT * [WHEN NOT MATCHED BY SOURCE [AND cond] THEN
     DELETE | UPDATE SET ...]``. Clause order follows Delta's CDC
@@ -2486,6 +2494,15 @@ def merge_delta_lite(
     """
     import time
 
+    # composite keys: ``on`` may be "a,b" or a list — every key column
+    # must match for a row to be MATCHED (standard multi-column MERGE)
+    keys = (
+        [c.strip() for c in on.split(",") if c.strip()]
+        if isinstance(on, str)
+        else list(on)
+    )
+    if not keys:
+        raise ValueError("merge: empty key list")
     spark = source.sparkSession
     if txn_app_id is not None:
         if txn_version is None:
@@ -2528,9 +2545,13 @@ def merge_delta_lite(
     part_cols = meta.get("partitionColumns") or []
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     table_cols = [f.name for f in schema.fields]
-    if on not in source.columns or on not in table_cols:
+    missing_keys = [
+        k for k in keys
+        if k not in source.columns or k not in table_cols
+    ]
+    if missing_keys:
         raise ValueError(
-            f"merge key {on!r} must exist on both sides "
+            f"merge key(s) {missing_keys} must exist on both sides "
             f"(source {source.columns}, table {table_cols})"
         )
     unknown = [c for c in (update_set or {}) if c not in table_cols]
@@ -2570,10 +2591,13 @@ def merge_delta_lite(
                 f"{bad} (source {source.schema.simpleString()}, table "
                 f"{schema.simpleString()})"
             )
+    all_keys_set = F.lit(True)
+    for k in keys:
+        all_keys_set = all_keys_set & F.col(k).isNotNull()
     stats_row = source.agg(
         F.count(F.lit(1)).alias("n"),
-        F.count(on).alias("nk"),
-        F.countDistinct(on).alias("nd"),
+        F.count(F.when(all_keys_set, 1)).alias("nk"),
+        F.countDistinct(*keys).alias("nd"),
     ).head()
     if stats_row["nk"] < stats_row["n"]:
         raise ValueError("merge: NULL keys in the source frame")
@@ -2626,10 +2650,7 @@ def merge_delta_lite(
         scan = _snapshot_scan(spark, table_path, adds, meta)
         probe = (
             scan.alias("target")
-            .join(
-                source.alias("source"),
-                F.col(f"target.{on}") == F.col(f"source.{on}"),
-            )
+            .join(source.alias("source"), _merge_key_cond(keys))
             .filter(touch_mask)
         )
         counts = probe.groupBy("__file").agg(
@@ -2646,7 +2667,7 @@ def merge_delta_lite(
         scan = _snapshot_scan(spark, table_path, adds, meta)
         probe_n = (
             scan.alias("target")
-            .join(source.select(on).distinct(), on, "left_anti")
+            .join(source.select(*keys).distinct(), keys, "left_anti")
             .filter(nmbs_cond)
         )
         counts_n = probe_n.groupBy("__file").count().collect()
@@ -2664,7 +2685,7 @@ def merge_delta_lite(
         # delete-clause rows are filtered OUT of the rewrite; matched
         # update-clause rows are projected through their SETs;
         # everything else survives unchanged.
-        matched = F.col(f"source.{on}").isNotNull()
+        matched = F.col(f"source.{keys[0]}").isNotNull()
         upd = matched & upd_mask
         nmbs_del = (
             (~matched & nmbs_cond)
@@ -2694,11 +2715,7 @@ def merge_delta_lite(
         pieces.append(
             _snapshot_scan(spark, table_path, affected, meta)
             .alias("target")
-            .join(
-                source.alias("source"),
-                F.col(f"target.{on}") == F.col(f"source.{on}"),
-                "left",
-            )
+            .join(source.alias("source"), _merge_key_cond(keys), "left")
             .filter(~(matched & del_cond) & ~nmbs_del)
             .select(*out_cols)
         )
@@ -2714,8 +2731,8 @@ def merge_delta_lite(
         if adds:
             existing_keys = _snapshot_scan(
                 spark, table_path, adds, meta
-            ).select(on).distinct()
-            new_rows = new_rows.join(existing_keys, on, "left_anti")
+            ).select(*keys).distinct()
+            new_rows = new_rows.join(existing_keys, keys, "left_anti")
         n_inserted = new_rows.count()
         if n_inserted:
             pieces.append(new_rows.select(*table_cols))
@@ -2738,10 +2755,7 @@ def merge_delta_lite(
             probe2 = (
                 _snapshot_scan(spark, table_path, affected, meta)
                 .alias("target")
-                .join(
-                    source.alias("source"),
-                    F.col(f"target.{on}") == F.col(f"source.{on}"),
-                )
+                .join(source.alias("source"), _merge_key_cond(keys))
             )
             if update_set:
                 upd_rows = probe2.filter(upd_mask)
@@ -2769,7 +2783,9 @@ def merge_delta_lite(
                 nm_rows = (
                     _snapshot_scan(spark, table_path, affected, meta)
                     .alias("target")
-                    .join(source.select(on).distinct(), on, "left_anti")
+                    .join(
+                        source.select(*keys).distinct(), keys, "left_anti"
+                    )
                     .filter(nmbs_cond)
                 )
                 if not_matched_by_source == "delete":
@@ -2823,7 +2839,9 @@ def merge_delta_lite(
                 "timestamp": now_ms,
                 "operation": "MERGE",
                 "operationParameters": {
-                    "predicate": f"target.{on} = source.{on}"
+                    "predicate": " AND ".join(
+                        f"target.{k} = source.{k}" for k in keys
+                    )
                     + (f" AND {matched_condition}" if matched_condition else ""),
                 },
             }

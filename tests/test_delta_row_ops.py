@@ -935,6 +935,57 @@ def test_cdf_via_uris(spark, tmp_path):
 # --- MERGE WHEN MATCHED THEN DELETE + CDC apply ------------------------------
 
 
+def test_merge_composite_key(spark, tmp_path):
+    """MERGE ON (k1, k2): a row matches only when EVERY key column
+    matches; ?on=a,b works on the sink URI; duplicate composite keys
+    in the source raise."""
+    from spark_etl_cli_spark.registry import resolve_sink
+    from spark_etl_cli_spark.sources.delta_lite import merge_delta_lite
+
+    path = str(tmp_path / "tbl")
+    write_delta_lite(
+        spark.createDataFrame(
+            [
+                Row(k1=1, k2="a", v=1.0),
+                Row(k1=1, k2="b", v=2.0),
+                Row(k1=2, k2="a", v=3.0),
+            ]
+        ),
+        path,
+    )
+    src = spark.createDataFrame(
+        [
+            Row(k1=1, k2="a", v=10.0),   # matches (1,a) only
+            Row(k1=2, k2="b", v=20.0),   # no match: inserts
+        ]
+    )
+    stats = merge_delta_lite(
+        src, path, on=["k1", "k2"], update_set={"v": "source.v"}
+    )
+    assert stats["rows_updated"] == 1 and stats["rows_inserted"] == 1
+    got = {(r["k1"], r["k2"]): r["v"]
+           for r in read_delta_lite(spark, path).collect()}
+    assert got == {(1, "a"): 10.0, (1, "b"): 2.0,
+                   (2, "a"): 3.0, (2, "b"): 20.0}
+    # URI form with comma keys + full-sync clause
+    _, sink = resolve_sink(
+        f"s+delta://{path}?mode=merge&on=k1,k2&set.v=source.v"
+        "&not-matched-by-source=delete"
+    )
+    sink.write(spark.createDataFrame([Row(k1=1, k2="b", v=200.0)]))
+    got = {(r["k1"], r["k2"]): r["v"]
+           for r in read_delta_lite(spark, path).collect()}
+    assert got == {(1, "b"): 200.0}
+    # duplicate COMPOSITE keys raise (distinct single columns are fine)
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_delta_lite(
+            spark.createDataFrame(
+                [Row(k1=1, k2="b", v=1.0), Row(k1=1, k2="b", v=2.0)]
+            ),
+            path, on="k1,k2", update_set={"v": "source.v"},
+        )
+
+
 def test_merge_not_matched_by_source_delete_full_sync(spark, tmp_path):
     """WHEN NOT MATCHED BY SOURCE THEN DELETE — the full-sync idiom:
     after the merge the table equals the source exactly (updates +
