@@ -2860,7 +2860,7 @@ def merge_delta_lite(
 def apply_changes_delta_lite(
     changes: DataFrame,
     table_path: str,
-    on: str,
+    on: str | list[str],
     txn_app_id: str | None = None,
     txn_version: int | None = None,
     sequence_col: str | None = None,
@@ -2887,9 +2887,14 @@ def apply_changes_delta_lite(
 
     from spark_etl_cli_spark.operators.cdc import resolve_cdc_sequence
 
+    keys = (
+        [c.strip() for c in on.split(",") if c.strip()]
+        if isinstance(on, str)
+        else list(on)
+    )
     meta_cols = ("_commit_version", "_commit_timestamp")
     seq_cols = resolve_cdc_sequence(
-        changes, [on], sequence_col, change_type_col=CDC_TYPE_COL
+        changes, keys, sequence_col, change_type_col=CDC_TYPE_COL
     )
     # an explicit sequence column is table DATA iff the target schema
     # has it (ordering by an event-time column); otherwise it is
@@ -2924,7 +2929,9 @@ def apply_changes_delta_lite(
     latest = (
         latest.withColumn(
             "__rn",
-            F.row_number().over(Window.partitionBy(on).orderBy(*order)),
+            F.row_number().over(
+                Window.partitionBy(*keys).orderBy(*order)
+            ),
         )
         .filter(F.col("__rn") == 1)
         .drop("__rn", *drop_cols)
@@ -2932,8 +2939,10 @@ def apply_changes_delta_lite(
     return merge_delta_lite(
         latest,
         table_path,
-        on=on,
-        update_set={c: f"source.{c}" for c in data_cols if c != on},
+        on=keys,
+        update_set={
+            c: f"source.{c}" for c in data_cols if c not in keys
+        },
         delete_condition=f"source.{CDC_TYPE_COL} = 'delete'",
         insert_condition=f"{CDC_TYPE_COL} <> 'delete'",
         insert_columns=data_cols,
