@@ -1130,6 +1130,100 @@ def write_iceberg_lite(
 # --- maintenance: compaction + snapshot expiry ----------------------------
 
 
+def _cow_keyed_rewrite_under_deletes(
+    spark: SparkSession,
+    table_path: str,
+    meta: dict,
+    live: list[dict],
+    purge_keys: DataFrame,
+    insert_df: DataFrame,
+    on: str,
+    prefix: str,
+    operation: str = "overwrite",
+) -> dict:
+    """COW key-purge rewrite for UNPARTITIONED tables carrying live
+    position/equality delete files — the path upsert/apply-changes take
+    when merge-on-read deletes precede them.
+
+    Affected files are re-read through the full delete-applying reader
+    (``read_iceberg_lite(with_provenance=True)``), so their survivors
+    come back post-delete AND key-purged as new files; untouched data
+    files stay EXISTING with the prior delete manifests CARRIED in the
+    new manifest list so their deletes keep applying. Rewritten/new
+    files take the commit's higher data sequence number and thereby
+    escape the old equality deletes — exactly what materializing them
+    means. Returns ``{"files_rewritten", "files_added", "rows_matched"}``.
+    """
+    import time as _time
+    import uuid as _uuid
+
+    schema = _schema_to_spark(meta)
+    data_entries = [
+        e for e in live if (e.get("data_file") or {}).get("content", 0) == 0
+    ]
+    by_path = {
+        os.path.abspath(_localize(e["data_file"]["file_path"], table_path)): e
+        for e in data_entries
+    }
+    live_df = read_iceberg_lite(spark, table_path, with_provenance=True)
+    counts = (
+        live_df.join(purge_keys, on).groupBy("__dfile").count().collect()
+    )
+    affected_paths: list[str] = []
+    affected: list[dict] = []
+    for r in counts:
+        e = by_path.get(os.path.abspath(r["__dfile"]))
+        if e is None:
+            raise RuntimeError(
+                f"iceberg keyed rewrite: scanned file {r['__dfile']!r} "
+                "missing from the manifest file list"
+            )
+        affected.append(e)
+        affected_paths.append(os.path.abspath(r["__dfile"]))
+    n_matched = sum(r["count"] for r in counts)
+    affected_ids = {id(e) for e in affected}
+    untouched = [e for e in data_entries if id(e) not in affected_ids]
+
+    snapshot_id = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
+    seq = int(meta.get("last-sequence-number") or 0) + 1
+    now_ms = int(_time.time() * 1000)
+    commit_uuid = _uuid.uuid4().hex
+    new_adds: list[tuple[str, dict]] = []
+    if affected_paths:
+        kept = (
+            live_df.filter(F.col("__dfile").isin(affected_paths))
+            .join(purge_keys, on, "left_anti")
+            .select(*[f.name for f in schema.fields])
+        )
+        gdir = os.path.join(table_path, "data", f"{prefix}-{commit_uuid}")
+        kept.write.parquet(gdir)
+        for p in sorted(_glob.glob(os.path.join(gdir, "*.parquet"))):
+            if _parquet_row_count(p) == 0:
+                continue
+            new_adds.append((p, {}))
+    in_dir = os.path.join(table_path, "data", f"{prefix}-in-{commit_uuid}")
+    insert_df.write.parquet(in_dir)
+    for p in sorted(_glob.glob(os.path.join(in_dir, "*.parquet"))):
+        if _parquet_row_count(p) == 0:
+            continue
+        new_adds.append((p, {}))
+    _commit_rewrite_snapshot(
+        table_path, meta, untouched, new_adds, [],
+        snapshot_id=snapshot_id, seq=seq, now_ms=now_ms,
+        commit_uuid=commit_uuid, operation=operation,
+        files_removed=len(affected), files_added=len(new_adds),
+        removed_rows=sum(
+            e["data_file"].get("record_count") or 0 for e in affected
+        ),
+        carry_delete_manifests=True,
+    )
+    return {
+        "files_rewritten": len(affected),
+        "files_added": len(new_adds),
+        "rows_matched": n_matched,
+    }
+
+
 def upsert_iceberg_lite(
     df: DataFrame,
     table_path: str,
@@ -1145,8 +1239,11 @@ def upsert_iceberg_lite(
     files holding ≥1 matching key are rewritten (minus the matched
     keys); unaffected files are never read past the probe. Incoming
     keys must be unique and non-null (a target row matches at most one
-    source row). Same honest fences as the other COW ops: live delete
-    files and non-identity partition transforms refuse.
+    source row). Tables with live position/equality delete files take
+    the delete-aware path (affected files re-read through the full
+    reader, prior delete manifests carried for untouched files);
+    remaining fences: partitioned-with-deletes and non-identity
+    partition transforms refuse.
 
     Returns ``{"files_rewritten", "files_added", "rows_updated",
     "rows_inserted"}``.
@@ -1196,12 +1293,33 @@ def upsert_iceberg_lite(
     live = [
         e for e in _manifest_entries(table_path, snap) if e.get("status") != 2
     ]
-    if any((e.get("data_file") or {}).get("content") in (1, 2) for e in live):
-        raise NotImplementedError(
-            "upsert_iceberg_lite: table has live delete files; "
-            "copy-on-write MERGE under deletes needs merge semantics — "
-            "apply/compact the deletes first"
+    has_deletes = any(
+        (e.get("data_file") or {}).get("content") in (1, 2) for e in live
+    )
+    if has_deletes:
+        # delete-aware path: affected files re-read through the full
+        # delete-applying reader, prior delete manifests carried for
+        # the untouched files (see _cow_keyed_rewrite_under_deletes)
+        if _identity_partition_fields(meta):
+            raise NotImplementedError(
+                "upsert_iceberg_lite: PARTITIONED table with live "
+                "delete files — compact the deletes first"
+            )
+        keys_df = df.select(on).distinct()
+        live_keys = read_iceberg_lite(
+            spark, table_path, with_provenance=True
+        ).select(on).distinct()
+        n_inserted = df.join(live_keys, on, "left_anti").count()
+        stats = _cow_keyed_rewrite_under_deletes(
+            spark, table_path, meta, live, keys_df, df, on,
+            prefix="upsert",
         )
+        return {
+            "files_rewritten": stats["files_rewritten"],
+            "files_added": stats["files_added"],
+            "rows_updated": stats["rows_matched"],
+            "rows_inserted": n_inserted,
+        }
     part_fields = _identity_partition_fields(meta)
     specs = meta.get("partition-specs")
     spec_field_count = len(
@@ -1435,10 +1553,23 @@ def apply_changes_iceberg_lite(
         e for e in _manifest_entries(table_path, snap) if e.get("status") != 2
     ]
     if any((e.get("data_file") or {}).get("content") in (1, 2) for e in live):
-        raise NotImplementedError(
-            "apply_changes_iceberg_lite: table has live delete files; "
-            "apply/compact them first"
+        # delete-aware path: purge EVERY changed key from the affected
+        # files (re-read post-delete), re-add only non-delete survivors
+        if _identity_partition_fields(meta):
+            raise NotImplementedError(
+                "apply_changes_iceberg_lite: PARTITIONED table with "
+                "live delete files — compact the deletes first"
+            )
+        stats = _cow_keyed_rewrite_under_deletes(
+            spark, table_path, meta, live,
+            latest.select(on).distinct(), upserts, on, prefix="cdc",
         )
+        return {
+            "files_rewritten": stats["files_rewritten"],
+            "files_added": stats["files_added"],
+            "rows_upserted": upserts.count(),
+            "rows_matched": stats["rows_matched"],
+        }
     part_fields = _identity_partition_fields(meta)
     scan, grouped, union_scan = _cow_scan_tools(
         spark, table_path, meta, part_fields
@@ -1851,14 +1982,25 @@ def _commit_rewrite_snapshot(
     files_removed: int,
     files_added: int,
     removed_rows: int = 0,
+    carry_delete_manifests: bool = False,
 ) -> None:
     """Commit a file-replacing snapshot: one manifest re-listing the
     surviving entries (EXISTING) plus the rewrite's outputs (ADDED),
     one manifest list, one new metadata version. Shared by compaction
     (``operation=replace`` — row set unchanged, streams skip it) and
     DELETE (``operation=overwrite`` — row set changed, streams must
-    fail or be told to skip)."""
-    from spark_etl_cli_spark.sources.avro_lite import write_container
+    fail or be told to skip).
+
+    ``carry_delete_manifests``: keep the prior snapshot's content=1
+    delete manifests (with their sequence numbers) in the new manifest
+    list — the delete-aware rewrite path, where untouched data files
+    still need their position/equality deletes applied while rewritten
+    files (new paths, new higher data seq) escape them.
+    """
+    from spark_etl_cli_spark.sources.avro_lite import (
+        read_container,
+        write_container,
+    )
 
     specs = meta.get("partition-specs")
     stats = {"files_removed": files_removed, "files_added": files_added}
@@ -1933,11 +2075,32 @@ def _commit_rewrite_snapshot(
     mlist_path = os.path.join(
         meta_dir, f"snap-{snapshot_id}-{commit_uuid}.avro"
     )
+    carried_deletes: list[dict] = []
+    if carry_delete_manifests:
+        cur = _snapshot(meta, None)
+        with open(_localize(cur["manifest-list"], table_path), "rb") as fh:
+            _, prior_entries = read_container(fh.read())
+        carried_deletes = [
+            {
+                "content": 1,
+                "sequence_number": 0,
+                "min_sequence_number": 0,
+                "added_files_count": 0,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": 0,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                **{k: v for k, v in c.items() if v is not None},
+            }
+            for c in prior_entries
+            if c.get("content") == 1
+        ]
     added_rows = sum(r["data_file"]["record_count"] for r in rows[len(untouched):])
     write_container(
         mlist_path,
         _MANIFEST_LIST_SCHEMA,
-        iter([{
+        iter(carried_deletes + [{
             "manifest_path": manifest_path,
             "manifest_length": os.path.getsize(manifest_path),
             "partition_spec_id": 0,

@@ -1382,6 +1382,7 @@ def test_iceberg_upsert_partitioned_and_via_uri(spark, tmp_path):
 def test_iceberg_upsert_guards(spark, tmp_path):
     from spark_etl_cli_spark.sources.iceberg_lite import (
         delete_iceberg_lite,
+        read_iceberg_lite,
         upsert_iceberg_lite,
         write_iceberg_lite,
     )
@@ -1401,12 +1402,14 @@ def test_iceberg_upsert_guards(spark, tmp_path):
         upsert_iceberg_lite(
             spark.createDataFrame([(1,)], "id long"), table, on="id"
         )
+    # live delete files are no longer a fence on unpartitioned tables:
+    # the delete-aware rewrite applies them (deleted id=1 stays gone)
     delete_iceberg_lite(spark, table, "id = 1", mode="merge-on-read")
-    with pytest.raises(NotImplementedError, match="delete files"):
-        upsert_iceberg_lite(
-            spark.createDataFrame([(2, 2.0)], "id long, v double"),
-            table, on="id",
-        )
+    upsert_iceberg_lite(
+        spark.createDataFrame([(2, 2.0)], "id long, v double"),
+        table, on="id",
+    )
+    assert {r["id"] for r in read_iceberg_lite(spark, table).collect()} == {2}
 
 
 def test_iceberg_apply_changes_latest_per_key(spark, tmp_path):
@@ -1438,6 +1441,94 @@ def test_iceberg_apply_changes_latest_per_key(spark, tmp_path):
     assert stats["rows_matched"] == 2  # ids 1 and 2 existed
     got = {r["id"]: r["v"] for r in read_iceberg_lite(spark, table).collect()}
     assert got == {1: 10.0, 3: 30.0}
+
+
+def test_iceberg_upsert_under_live_delete_files(spark, tmp_path):
+    """Upsert on a table carrying merge-on-read deletes: affected files
+    are re-read POST-delete (a DV'd-away row never resurrects), the
+    untouched files keep their deletes applying via carried delete
+    manifests, and a key deleted by an equality delete then upserted
+    again comes back."""
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        delete_iceberg_lite,
+        read_iceberg_lite,
+        upsert_iceberg_lite,
+        write_iceberg_lite,
+    )
+
+    table = str(tmp_path / "ice_mor_up")
+    write_iceberg_lite(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(4)], "id long, v double"
+        ),
+        table,
+    )
+    write_iceberg_lite(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(4, 8)], "id long, v double"
+        ),
+        table, mode="append",
+    )
+    # MoR position delete on file 1 (id=1), equality delete on id=5
+    delete_iceberg_lite(spark, table, "id = 1", mode="merge-on-read")
+    delete_iceberg_lite(
+        spark, table, "id = 5", mode="merge-on-read",
+        equality_columns=["id"],
+    )
+    assert sorted(
+        r["id"] for r in read_iceberg_lite(spark, table).collect()
+    ) == [0, 2, 3, 4, 6, 7]
+    # upsert touches file 1 (id=2 update) and re-inserts deleted id=5
+    stats = upsert_iceberg_lite(
+        spark.createDataFrame(
+            [(2, 200.0), (5, 500.0), (9, 9.0)], "id long, v double"
+        ),
+        table, on="id",
+    )
+    assert stats["rows_updated"] == 1  # only id=2 matched live rows
+    assert stats["rows_inserted"] == 2  # id=5 (deleted) and id=9 (new)
+    got = {r["id"]: r["v"] for r in read_iceberg_lite(spark, table).collect()}
+    assert got == {0: 0.0, 2: 200.0, 3: 3.0, 4: 4.0,
+                   5: 500.0, 6: 6.0, 7: 7.0, 9: 9.0}
+    # id=1 (position-deleted, in the REWRITTEN file) did not resurrect;
+    # the equality delete still applies to untouched older files but
+    # not to the new higher-sequence files carrying id=5
+    assert 1 not in got
+
+
+def test_iceberg_apply_changes_under_live_delete_files(spark, tmp_path):
+    """CDC apply on a table with live merge-on-read deletes: one
+    overwrite snapshot, deletes delete, updates update, inserts
+    insert, and previously-deleted rows stay gone."""
+    from pyspark.sql import Row
+
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        apply_changes_iceberg_lite,
+        delete_iceberg_lite,
+        read_iceberg_lite,
+        write_iceberg_lite,
+    )
+
+    table = str(tmp_path / "ice_mor_cdc")
+    write_iceberg_lite(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(5)], "id long, v double"
+        ),
+        table,
+    )
+    delete_iceberg_lite(spark, table, "id = 0", mode="merge-on-read")
+    changes = spark.createDataFrame(
+        [
+            Row(id=1, v=10.0, _change_type="update_postimage",
+                _commit_version=1),
+            Row(id=2, v=2.0, _change_type="delete", _commit_version=1),
+            Row(id=7, v=7.0, _change_type="insert", _commit_version=1),
+        ]
+    )
+    stats = apply_changes_iceberg_lite(changes, table, on="id")
+    assert stats["rows_matched"] == 2  # ids 1 and 2 live-matched
+    got = {r["id"]: r["v"] for r in read_iceberg_lite(spark, table).collect()}
+    assert got == {1: 10.0, 3: 3.0, 4: 4.0, 7: 7.0}
 
 
 def test_iceberg_apply_changes_sequence_rules(spark, tmp_path):
