@@ -1856,12 +1856,15 @@ def compact_iceberg_lite(
     it (no double-delivery). Old snapshots stay readable via
     ``?snapshot-id=``.
 
-    Honest fences: refuses tables with live delete files (compaction
-    under deletes is a merge, the engine's job) and non-identity
-    partition transforms (bucket/truncate/days need the transform to
-    reconstruct partition tuples). Identity-partitioned layouts
-    compact PER PARTITION — each partition's small-file set rewrites
-    as one distributed job; the loop over partitions is bookkeeping.
+    Tables with live position/equality delete files take the
+    delete-APPLYING path (unpartitioned): the whole live row set is
+    rewritten post-delete and the delete files drop from the new
+    snapshot — deletes materialized, row set unchanged. Remaining
+    fences: partitioned-with-deletes and non-identity partition
+    transforms (bucket/truncate/days need the transform to reconstruct
+    partition tuples). Identity-partitioned layouts compact PER
+    PARTITION — each partition's small-file set rewrites as one
+    distributed job; the loop over partitions is bookkeeping.
     """
     import math
     import shutil
@@ -1877,11 +1880,57 @@ def compact_iceberg_lite(
         e for e in _manifest_entries(table_path, snap) if e.get("status") != 2
     ]
     if any((e.get("data_file") or {}).get("content") in (1, 2) for e in entries):
-        raise NotImplementedError(
-            "compact_iceberg_lite: table has live delete files; compaction "
-            "under deletes needs merge semantics (compact after the "
-            "deletes are applied by an engine, or expire to a clean snapshot)"
+        # delete-APPLYING compaction (unpartitioned): rewrite the whole
+        # live row set post-delete through the full reader and commit a
+        # clean replace snapshot with NO carried delete manifests — the
+        # deletes are materialized, the row set is unchanged, and the
+        # downstream COW ops get the clean table the other fences point
+        # at. (Iceberg's rewrite_data_files with delete application.)
+        if _identity_partition_fields(meta):
+            raise NotImplementedError(
+                "compact_iceberg_lite: PARTITIONED table with live "
+                "delete files needs the engine's partition-aware "
+                "delete-applying rewrite"
+            )
+        data_entries = [
+            e
+            for e in entries
+            if (e.get("data_file") or {}).get("content", 0) == 0
+        ]
+        total = sum(
+            e["data_file"].get("file_size_in_bytes") or 0
+            for e in data_entries
         )
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        commit_uuid = _uuid.uuid4().hex
+        gdir = os.path.join(
+            table_path, "data", f"compact-del-{commit_uuid}"
+        )
+        read_iceberg_lite(spark, table_path).repartition(
+            n_out
+        ).write.parquet(gdir)
+        new_adds = [
+            (p, {})
+            for p in sorted(_glob.glob(os.path.join(gdir, "*.parquet")))
+            if _parquet_row_count(p) > 0
+        ]
+        _commit_rewrite_snapshot(
+            table_path, meta, [], new_adds, [],
+            snapshot_id=max(
+                s["snapshot-id"] for s in meta["snapshots"]
+            ) + 1,
+            seq=int(meta.get("last-sequence-number") or 0) + 1,
+            now_ms=int(_time.time() * 1000),
+            commit_uuid=commit_uuid, operation="replace",
+            files_removed=len(data_entries),
+            files_added=len(new_adds),
+            removed_rows=0,  # row set unchanged: deletes were already live
+        )
+        return {
+            "files_removed": len(data_entries),
+            "files_added": len(new_adds),
+            "deletes_applied": len(entries) - len(data_entries),
+        }
     part_fields = _identity_partition_fields(meta)
     specs = meta.get("partition-specs")
     spec_field_count = len(

@@ -1443,6 +1443,55 @@ def test_iceberg_apply_changes_latest_per_key(spark, tmp_path):
     assert got == {1: 10.0, 3: 30.0}
 
 
+def test_iceberg_compaction_applies_live_deletes(spark, tmp_path):
+    """Compaction on an unpartitioned table with live merge-on-read
+    deletes MATERIALIZES them: the new replace snapshot serves the same
+    rows with zero delete files, and the stream reader still skips it
+    (no double-delivery)."""
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        compact_iceberg_lite,
+        delete_iceberg_lite,
+        read_iceberg_lite,
+        resolve_iceberg_files,
+        write_iceberg_lite,
+    )
+
+    table = str(tmp_path / "ice_cd")
+    write_iceberg_lite(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(6)], "id long, v double"
+        ),
+        table,
+    )
+    delete_iceberg_lite(spark, table, "id = 1", mode="merge-on-read")
+    delete_iceberg_lite(
+        spark, table, "id = 4", mode="merge-on-read",
+        equality_columns=["id"],
+    )
+    before = {(r["id"], r["v"])
+              for r in read_iceberg_lite(spark, table).collect()}
+    stats = compact_iceberg_lite(spark, table)
+    assert stats["deletes_applied"] == 2
+    after = {(r["id"], r["v"])
+             for r in read_iceberg_lite(spark, table).collect()}
+    assert after == before == {(0, 0.0), (2, 2.0), (3, 3.0), (5, 5.0)}
+    # the new snapshot carries NO delete files
+    _, pos_dels, eq_dels, _ = resolve_iceberg_files(spark, table)
+    assert pos_dels == [] and eq_dels == []
+    # and the previously-fenced COW upsert now runs on the clean table
+    from spark_etl_cli_spark.sources.iceberg_lite import upsert_iceberg_lite
+
+    upsert_iceberg_lite(
+        spark.createDataFrame([(0, 100.0)], "id long, v double"),
+        table, on="id",
+    )
+    assert {
+        r["v"] for r in read_iceberg_lite(
+            spark, table
+        ).filter("id = 0").collect()
+    } == {100.0}
+
+
 def test_iceberg_upsert_under_live_delete_files(spark, tmp_path):
     """Upsert on a table carrying merge-on-read deletes: affected files
     are re-read POST-delete (a DV'd-away row never resurrects), the
