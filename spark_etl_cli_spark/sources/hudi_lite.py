@@ -421,16 +421,21 @@ def read_hudi_incremental(
     rewritten groups and pass whole for brand-new groups — never a
     silent wrong answer.
 
-    MERGE_ON_READ tables raise: their in-range changes live in log
-    blocks; use ``hudi-stream://`` or compact first.
+    MERGE_ON_READ tables resolve in-range changes from the LOG BLOCKS:
+    every data/delete block carries its instant in the HoodieLogFormat
+    header, so the changed-key set is (keys of in-range blocks) ∪
+    (rows of new file groups whose base deltacommit is in range); the
+    returned rows are the snapshot-as-of-``end_instant`` state of those
+    keys, stamped with the latest in-range instant that touched them.
+    Keys whose latest change is a delete vanish (the snapshot
+    semi-join drops them) — the same contract as COW. Compaction
+    commits contribute nothing (their rows are unchanged).
     """
     from pyspark.sql import functions as F
 
-    if _table_type(table_path) != "COPY_ON_WRITE":
-        raise NotImplementedError(
-            "hudi_lite incremental reads cover COPY_ON_WRITE tables; "
-            "MERGE_ON_READ changes live in log blocks — stream them "
-            "with hudi-stream:// or run compaction first"
+    if _table_type(table_path) == "MERGE_ON_READ":
+        return _read_hudi_incremental_mor(
+            spark, table_path, begin_instant, end_instant
         )
     instants = _completed_instants(table_path)
     if not instants:
@@ -515,6 +520,137 @@ def read_hudi_incremental(
     for p in pieces[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _read_hudi_incremental_mor(
+    spark: SparkSession,
+    table_path: str,
+    begin_instant: str,
+    end_instant: str | None = None,
+) -> DataFrame:
+    """MOR incremental query: changed keys from in-range log blocks
+    (header instants) + rows of new in-range deltacommit file groups,
+    served at their snapshot-as-of-``end_instant`` state. Distributed:
+    log decoding runs in ``mapInPandas`` over a path frame, the
+    changed-key set joins the snapshot on (fileId, key) — no key list
+    ever reaches the driver."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    record_key = _record_key_field(table_path)
+    if not record_key:
+        raise NotImplementedError(
+            "hudi_lite MOR incremental needs hoodie.table.recordkey.fields"
+        )
+    instants = _completed_instants(table_path)
+    if not instants:
+        raise ValueError(
+            f"no completed Hudi commits under {table_path}/.hoodie"
+        )
+    hi = str(end_instant) if end_instant is not None else instants[-1][0]
+    lo = str(begin_instant)
+    upto_end = [i for i in instants if i[0] <= hi]
+    action_of = {i[0]: i[1] for i in upto_end}
+    groups = _live_file_slices(table_path, upto_end)
+    live_begin = _live_file_slices(
+        table_path, [i for i in instants if i[0] <= lo]
+    )
+    snapshot = _mor_snapshot_df(
+        spark, table_path, groups, record_key, keep_fid=True
+    )
+    payload = [c for c in snapshot.columns if c != "__fid"]
+    empty = snapshot.select(
+        F.lit(None).cast("string").alias(_HOODIE_TS_COL), *payload
+    ).limit(0)
+
+    # (a) keys touched by in-range log blocks, with the block instant
+    logs = [
+        (os.path.abspath(lp), fid)
+        for (part, fid), ent in sorted(groups.items())
+        for lp in ent["logs"]
+    ]
+    key_pieces = []
+    if logs:
+        paths_df = spark.createDataFrame(logs, "path string, fid string")
+
+        def decode_keys(batches):
+            import pandas as pd
+
+            from spark_etl_cli_spark.sources.hudi_log import (
+                DELETE_BLOCK,
+                INSTANT_TIME,
+                read_log_blocks,
+            )
+
+            for pdf in batches:
+                rows = []
+                for path, fid in zip(pdf["path"], pdf["fid"]):
+                    with open(path, "rb") as fh:
+                        blocks = read_log_blocks(fh.read())
+                    for blk in blocks:
+                        ts = blk["header"].get(INSTANT_TIME) or ""
+                        if not (lo < ts <= hi):
+                            continue
+                        for rec in blk["records"]:
+                            key = (
+                                rec["recordKey"]
+                                if blk["type"] == DELETE_BLOCK
+                                else str(rec.get(record_key))
+                            )
+                            rows.append(
+                                {"__fid": fid, "__key": key,
+                                 "__instant": ts}
+                            )
+                if rows:
+                    yield pd.DataFrame.from_records(
+                        rows,
+                        columns=["__fid", "__key", "__instant"],
+                    )
+
+        key_pieces.append(
+            paths_df.repartition(min(len(logs), 64)).mapInPandas(
+                decode_keys,
+                "__fid string, __key string, __instant string",
+            )
+        )
+    # (b) rows of NEW file groups whose base deltacommit is in range
+    # (inserts; compaction commits rewrite unchanged rows and are
+    # excluded by the action check)
+    new_fids = {
+        fid: ent["base_ts"]
+        for (part, fid), ent in groups.items()
+        if ent["base"]
+        and lo < (ent["base_ts"] or "") <= hi
+        and (part, fid) not in live_begin
+        and action_of.get(ent["base_ts"]) == "deltacommit"
+    }
+    if new_fids:
+        fid_ts = spark.createDataFrame(
+            sorted(new_fids.items()), "__fid string, __instant string"
+        )
+        key_pieces.append(
+            snapshot.join(F.broadcast(fid_ts), "__fid")
+            .select(
+                "__fid",
+                F.col(record_key).cast("string").alias("__key"),
+                "__instant",
+            )
+        )
+    if not key_pieces:
+        return empty
+    changed = key_pieces[0]
+    for p in key_pieces[1:]:
+        changed = changed.unionByName(p)
+    changed = changed.groupBy("__fid", "__key").agg(
+        F.max("__instant").alias(_HOODIE_TS_COL)
+    )
+    return (
+        snapshot.withColumn(
+            "__key", F.col(record_key).cast("string")
+        )
+        .join(changed, ["__fid", "__key"])
+        .select(_HOODIE_TS_COL, *payload)
+    )
 
 
 # --- engine-free WRITER (COW) ---------------------------------------------

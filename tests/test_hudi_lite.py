@@ -1119,19 +1119,59 @@ def test_incremental_after_delete_excludes_survivors(spark, tmp_path):
     }
 
 
-def test_incremental_mor_is_fenced(spark, tmp_path):
+def test_incremental_mor_log_changes(spark, tmp_path):
+    """MOR incremental: log-block upserts/deletes resolve to the
+    snapshot state of the changed keys; compaction contributes
+    nothing; insert→delete within range never appears."""
     from spark_etl_cli_spark.sources.hudi_lite import (
+        compact_hudi_mor_lite,
+        delete_hudi_lite,
         read_hudi_incremental,
         write_hudi_lite,
     )
 
     path = str(tmp_path / "tbl")
-    write_hudi_lite(
-        spark.createDataFrame([Row(id=1, v=1.0)]), path,
-        record_key="id", table_type="MERGE_ON_READ",
+    ts0 = write_hudi_lite(
+        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(4)]),
+        path, record_key="id", table_type="MERGE_ON_READ",
     )
-    with pytest.raises(NotImplementedError, match="MERGE_ON_READ"):
-        read_hudi_incremental(spark, path, begin_instant="0")
+    # full pull from 0: every row inserted at ts0
+    inc0 = read_hudi_incremental(spark, path, begin_instant="0")
+    assert {(r["id"], r["_hoodie_commit_time"])
+            for r in inc0.collect()} == {(i, ts0) for i in range(4)}
+    # log-appending upsert: update id=1, insert id=9 (new file group)
+    ts1 = write_hudi_lite(
+        spark.createDataFrame([Row(id=1, v=100.0), Row(id=9, v=9.0)]),
+        path, mode="upsert", record_key="id",
+    )
+    inc1 = read_hudi_incremental(spark, path, begin_instant=ts0)
+    assert {(r["id"], r["v"]) for r in inc1.collect()} == {
+        (1, 100.0), (9, 9.0),
+    }
+    assert {r["_hoodie_commit_time"] for r in inc1.collect()} == {ts1}
+    # delete id=9 via log delete block: insert->delete in range -> gone
+    delete_hudi_lite(
+        spark, path, keys=spark.createDataFrame([(9,)], "id long")
+    )
+    inc2 = read_hudi_incremental(spark, path, begin_instant=ts0)
+    assert {(r["id"], r["v"]) for r in inc2.collect()} == {(1, 100.0)}
+    # compaction is not a data change: incremental past it is empty
+    ts3 = sorted(
+        f.split(".")[0]
+        for f in os.listdir(os.path.join(path, ".hoodie"))
+        if f.endswith((".commit", ".deltacommit"))
+    )[-1]
+    compact_hudi_mor_lite(spark, path)
+    assert read_hudi_incremental(
+        spark, path, begin_instant=ts3
+    ).count() == 0
+    # end_instant bounds the range: only ts1's changes
+    inc3 = read_hudi_incremental(
+        spark, path, begin_instant=ts0, end_instant=ts1
+    )
+    assert {(r["id"], r["v"]) for r in inc3.collect()} == {
+        (1, 100.0), (9, 9.0),
+    }
 
 
 def test_incremental_via_uri(spark, tmp_path):
