@@ -1158,9 +1158,19 @@ def _cow_keyed_rewrite_under_deletes(
     import uuid as _uuid
 
     schema = _schema_to_spark(meta)
+    part_fields = _identity_partition_fields(meta)
+    pcols = [src for _, src, _ in part_fields]
     data_entries = [
         e for e in live if (e.get("data_file") or {}).get("content", 0) == 0
     ]
+    if any(
+        (e["data_file"].get("partition") or {}) for e in data_entries
+    ) and not part_fields:
+        raise NotImplementedError(
+            "iceberg keyed rewrite under deletes: non-identity "
+            "partition transforms need the engine's partition-aware "
+            "writer"
+        )
     by_path = {
         os.path.abspath(_localize(e["data_file"]["file_path"], table_path)): e
         for e in data_entries
@@ -1188,6 +1198,48 @@ def _cow_keyed_rewrite_under_deletes(
     seq = int(meta.get("last-sequence-number") or 0) + 1
     now_ms = int(_time.time() * 1000)
     commit_uuid = _uuid.uuid4().hex
+    partitioned = bool(pcols) and any(
+        (e["data_file"].get("partition") or {}) for e in data_entries
+    )
+
+    def _write_split(frame: DataFrame, out_dir: str) -> list[tuple[str, dict]]:
+        """Write a frame as new data files, hive-split per partition
+        when the table records identity partitions (the reader
+        restored the partition columns, so they are in the rows)."""
+        adds: list[tuple[str, dict]] = []
+        if partitioned:
+            frame.write.partitionBy(*pcols).parquet(out_dir)
+            for p in sorted(
+                _glob.glob(
+                    os.path.join(out_dir, "**", "*.parquet"),
+                    recursive=True,
+                )
+            ):
+                if _parquet_row_count(p) == 0:
+                    continue
+                rel = os.path.relpath(os.path.dirname(p), out_dir)
+                raw = {}
+                for seg in ([] if rel == "." else rel.split(os.sep)):
+                    if "=" in seg:
+                        k, v = seg.split("=", 1)
+                        raw[k] = v
+                adds.append(
+                    (p, {
+                        pn: _hive_value(raw.get(src), dt)
+                        for pn, src, dt in part_fields
+                    })
+                )
+        else:
+            frame.write.parquet(out_dir)
+            adds.extend(
+                (p, {})
+                for p in sorted(
+                    _glob.glob(os.path.join(out_dir, "*.parquet"))
+                )
+                if _parquet_row_count(p) > 0
+            )
+        return adds
+
     new_adds: list[tuple[str, dict]] = []
     if affected_paths:
         kept = (
@@ -1195,20 +1247,16 @@ def _cow_keyed_rewrite_under_deletes(
             .join(purge_keys, on, "left_anti")
             .select(*[f.name for f in schema.fields])
         )
-        gdir = os.path.join(table_path, "data", f"{prefix}-{commit_uuid}")
-        kept.write.parquet(gdir)
-        for p in sorted(_glob.glob(os.path.join(gdir, "*.parquet"))):
-            if _parquet_row_count(p) == 0:
-                continue
-            new_adds.append((p, {}))
-    in_dir = os.path.join(table_path, "data", f"{prefix}-in-{commit_uuid}")
-    insert_df.write.parquet(in_dir)
-    for p in sorted(_glob.glob(os.path.join(in_dir, "*.parquet"))):
-        if _parquet_row_count(p) == 0:
-            continue
-        new_adds.append((p, {}))
+        new_adds += _write_split(
+            kept, os.path.join(table_path, "data", f"{prefix}-{commit_uuid}")
+        )
+    new_adds += _write_split(
+        insert_df,
+        os.path.join(table_path, "data", f"{prefix}-in-{commit_uuid}"),
+    )
     _commit_rewrite_snapshot(
-        table_path, meta, untouched, new_adds, [],
+        table_path, meta, untouched, new_adds,
+        part_fields if partitioned else [],
         snapshot_id=snapshot_id, seq=seq, now_ms=now_ms,
         commit_uuid=commit_uuid, operation=operation,
         files_removed=len(affected), files_added=len(new_adds),
@@ -1241,9 +1289,9 @@ def upsert_iceberg_lite(
     keys must be unique and non-null (a target row matches at most one
     source row). Tables with live position/equality delete files take
     the delete-aware path (affected files re-read through the full
-    reader, prior delete manifests carried for untouched files);
-    remaining fences: partitioned-with-deletes and non-identity
-    partition transforms refuse.
+    reader, prior delete manifests carried for untouched files;
+    identity-partitioned layouts split the rewrites per partition);
+    remaining fence: non-identity partition transforms refuse.
 
     Returns ``{"files_rewritten", "files_added", "rows_updated",
     "rows_inserted"}``.
@@ -1300,11 +1348,6 @@ def upsert_iceberg_lite(
         # delete-aware path: affected files re-read through the full
         # delete-applying reader, prior delete manifests carried for
         # the untouched files (see _cow_keyed_rewrite_under_deletes)
-        if _identity_partition_fields(meta):
-            raise NotImplementedError(
-                "upsert_iceberg_lite: PARTITIONED table with live "
-                "delete files — compact the deletes first"
-            )
         keys_df = df.select(on).distinct()
         live_keys = read_iceberg_lite(
             spark, table_path, with_provenance=True
@@ -1555,11 +1598,6 @@ def apply_changes_iceberg_lite(
     if any((e.get("data_file") or {}).get("content") in (1, 2) for e in live):
         # delete-aware path: purge EVERY changed key from the affected
         # files (re-read post-delete), re-add only non-delete survivors
-        if _identity_partition_fields(meta):
-            raise NotImplementedError(
-                "apply_changes_iceberg_lite: PARTITIONED table with "
-                "live delete files — compact the deletes first"
-            )
         stats = _cow_keyed_rewrite_under_deletes(
             spark, table_path, meta, live,
             latest.select(on).distinct(), upserts, on, prefix="cdc",
@@ -1857,12 +1895,12 @@ def compact_iceberg_lite(
     ``?snapshot-id=``.
 
     Tables with live position/equality delete files take the
-    delete-APPLYING path (unpartitioned): the whole live row set is
-    rewritten post-delete and the delete files drop from the new
-    snapshot — deletes materialized, row set unchanged. Remaining
-    fences: partitioned-with-deletes and non-identity partition
-    transforms (bucket/truncate/days need the transform to reconstruct
-    partition tuples). Identity-partitioned layouts compact PER
+    delete-APPLYING path: the whole live row set is rewritten
+    post-delete (hive-split per identity partition) and the delete
+    files drop from the new snapshot — deletes materialized, row set
+    unchanged. Remaining fence: non-identity partition transforms
+    (bucket/truncate/days need the transform to reconstruct partition
+    tuples). Identity-partitioned layouts compact PER
     PARTITION — each partition's small-file set rewrites as one
     distributed job; the loop over partitions is bookkeeping.
     """
@@ -1886,17 +1924,22 @@ def compact_iceberg_lite(
         # deletes are materialized, the row set is unchanged, and the
         # downstream COW ops get the clean table the other fences point
         # at. (Iceberg's rewrite_data_files with delete application.)
-        if _identity_partition_fields(meta):
-            raise NotImplementedError(
-                "compact_iceberg_lite: PARTITIONED table with live "
-                "delete files needs the engine's partition-aware "
-                "delete-applying rewrite"
-            )
+        pf_del = _identity_partition_fields(meta)
         data_entries = [
             e
             for e in entries
             if (e.get("data_file") or {}).get("content", 0) == 0
         ]
+        if any(
+            (e["data_file"].get("partition") or {}) for e in data_entries
+        ) and not pf_del:
+            raise NotImplementedError(
+                "compact_iceberg_lite: non-identity partition "
+                "transforms need the engine's partition-aware writer"
+            )
+        del_partitioned = bool(pf_del) and any(
+            (e["data_file"].get("partition") or {}) for e in data_entries
+        )
         total = sum(
             e["data_file"].get("file_size_in_bytes") or 0
             for e in data_entries
@@ -1906,16 +1949,42 @@ def compact_iceberg_lite(
         gdir = os.path.join(
             table_path, "data", f"compact-del-{commit_uuid}"
         )
-        read_iceberg_lite(spark, table_path).repartition(
-            n_out
-        ).write.parquet(gdir)
-        new_adds = [
-            (p, {})
-            for p in sorted(_glob.glob(os.path.join(gdir, "*.parquet")))
-            if _parquet_row_count(p) > 0
-        ]
+        full = read_iceberg_lite(spark, table_path).repartition(n_out)
+        new_adds: list[tuple[str, dict]] = []
+        if del_partitioned:
+            dpcols = [src for _, src, _ in pf_del]
+            full.write.partitionBy(*dpcols).parquet(gdir)
+            for p in sorted(
+                _glob.glob(
+                    os.path.join(gdir, "**", "*.parquet"), recursive=True
+                )
+            ):
+                if _parquet_row_count(p) == 0:
+                    continue
+                rel = os.path.relpath(os.path.dirname(p), gdir)
+                raw = {}
+                for seg in ([] if rel == "." else rel.split(os.sep)):
+                    if "=" in seg:
+                        k, v = seg.split("=", 1)
+                        raw[k] = v
+                new_adds.append(
+                    (p, {
+                        pn: _hive_value(raw.get(src), dt)
+                        for pn, src, dt in pf_del
+                    })
+                )
+        else:
+            full.write.parquet(gdir)
+            new_adds = [
+                (p, {})
+                for p in sorted(
+                    _glob.glob(os.path.join(gdir, "*.parquet"))
+                )
+                if _parquet_row_count(p) > 0
+            ]
         _commit_rewrite_snapshot(
-            table_path, meta, [], new_adds, [],
+            table_path, meta, [], new_adds,
+            pf_del if del_partitioned else [],
             snapshot_id=max(
                 s["snapshot-id"] for s in meta["snapshots"]
             ) + 1,

@@ -1545,6 +1545,62 @@ def test_iceberg_upsert_under_live_delete_files(spark, tmp_path):
     assert 1 not in got
 
 
+def test_iceberg_partitioned_upsert_and_compaction_under_deletes(
+    spark, tmp_path
+):
+    """The delete-aware paths work on identity-PARTITIONED tables:
+    rewrites split per partition (manifest partition values intact, so
+    ?where= pruning still works) and compaction materializes the
+    deletes partition-by-partition."""
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        compact_iceberg_lite,
+        delete_iceberg_lite,
+        read_iceberg_lite,
+        resolve_iceberg_files,
+        upsert_iceberg_lite,
+        write_iceberg_lite,
+    )
+
+    table = str(tmp_path / "ice_part_del")
+    write_iceberg_lite(
+        spark.createDataFrame(
+            [(i, "a" if i < 3 else "b", float(i)) for i in range(6)],
+            "id long, part string, v double",
+        ),
+        table, partition_by=["part"],
+    )
+    delete_iceberg_lite(spark, table, "id = 1", mode="merge-on-read")
+    stats = upsert_iceberg_lite(
+        spark.createDataFrame(
+            [(2, "a", 200.0), (9, "b", 9.0)], "id long, part string, v double"
+        ),
+        table, on="id",
+    )
+    assert stats["rows_updated"] == 1 and stats["rows_inserted"] == 1
+    got = {(r["id"], r["part"], r["v"])
+           for r in read_iceberg_lite(spark, table).collect()}
+    assert got == {(0, "a", 0.0), (2, "a", 200.0), (3, "b", 3.0),
+                   (4, "b", 4.0), (5, "b", 5.0), (9, "b", 9.0)}
+    # partition pruning still serves the right slices post-rewrite
+    only_a = read_iceberg_lite(spark, table, where="part = 'a'")
+    assert {r["id"] for r in only_a.collect()} == {0, 2}
+    # delete-applying compaction on the partitioned layout
+    delete_iceberg_lite(spark, table, "id = 4", mode="merge-on-read")
+    cstats = compact_iceberg_lite(spark, table)
+    assert cstats["deletes_applied"] >= 1
+    after = {(r["id"], r["part"])
+             for r in read_iceberg_lite(spark, table).collect()}
+    assert after == {(0, "a"), (2, "a"), (3, "b"), (5, "b"), (9, "b")}
+    _, pos_dels, eq_dels, _ = resolve_iceberg_files(spark, table)
+    assert pos_dels == [] and eq_dels == []
+    assert {
+        r["id"]
+        for r in read_iceberg_lite(
+            spark, table, where="part = 'b'"
+        ).collect()
+    } == {3, 5, 9}
+
+
 def test_iceberg_apply_changes_under_live_delete_files(spark, tmp_path):
     """CDC apply on a table with live merge-on-read deletes: one
     overwrite snapshot, deletes delete, updates update, inserts
