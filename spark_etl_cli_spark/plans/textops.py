@@ -775,3 +775,103 @@ def q152_bpe_train(spark, sf_dir):
     from spark_etl_cli_spark.operators.encoding import bpe_train
 
     return bpe_train(t(spark, sf_dir, "documents"), n_merges=12)
+
+
+# --- q155: duplicated-substring span share (exact n-gram islands) -------
+# The C4/RefinedWeb-style cleaning signal the fingerprint families
+# (q37-q39) approximate: per document, which token positions sit inside
+# an EXACT 3-gram that also appears in another document, merged into
+# maximal spans (gaps-and-islands). Scale shape: positional shingles
+# explode once, the duplicated-gram set is a groupBy with an early
+# HAVING (distinct-doc count >= 2), covered positions come back through
+# one equi-join on the gram, and the island merge is a per-doc window
+# over covered positions only — per-doc state is bounded by document
+# length, nothing quadratic, no self-join of the corpus.
+@query(
+    "q155_dup_span_share",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
+    g AS (
+      SELECT doc_id, i AS pos, array_to_string(tk[i:i+2], ' ') AS gr
+      FROM tk, UNNEST(generate_series(1, greatest(len(tk) - 2, 0))) AS u(i)
+    ),
+    dup AS (
+      SELECT gr FROM g GROUP BY gr HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    cov AS (
+      SELECT DISTINCT g.doc_id, g.pos + o.off AS p
+      FROM g JOIN dup USING (gr), UNNEST([0, 1, 2]) AS o(off)
+    ),
+    isl AS (
+      SELECT doc_id, p,
+             p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+      FROM cov
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_tokens,
+             CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_spans
+      FROM isl GROUP BY doc_id
+    )
+    SELECT d.doc_id, {SQL_NTOK} AS total_tokens,
+           COALESCE(dup_tokens, 0) AS dup_tokens,
+           CASE WHEN {SQL_NTOK} = 0 THEN 0.0
+                ELSE CAST(COALESCE(dup_tokens, 0) AS DOUBLE)
+                     / CAST({SQL_NTOK} AS DOUBLE) END AS dup_share,
+           COALESCE(n_spans, 0) AS n_spans
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+)
+def q155_dup_span_share(spark, sf_dir):
+    from spark_etl_cli_spark.functions.text import token_count, word_shingles
+    from pyspark.sql import Window as W
+
+    d = fan_out(t(spark, sf_dir, "documents"))
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            word_shingles(F.col("text"), 3, distinct=False)
+        ).alias("pos", "gr"),
+    )
+    dup = (
+        grams.groupBy("gr")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gr")
+    )
+    cov = (
+        grams.join(dup, "gr")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(2))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    isl = cov.withColumn(
+        "grp",
+        F.col("p")
+        - F.row_number().over(W.partitionBy("doc_id").orderBy("p")),
+    )
+    agg = isl.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dup_tokens"),
+        F.countDistinct("grp").cast("bigint").alias("n_spans"),
+    )
+    ntok = token_count(F.col("text"))
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", ntok.alias("total_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "total_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+            F.when(F.col("total_tokens") == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+                / F.col("total_tokens").cast("double")
+            )
+            .alias("dup_share"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+        )
+    )
