@@ -836,6 +836,22 @@ def test_hudi_mor_upsert_partitioned_round_trip(spark, tmp_path):
             ),
             table, mode="upsert", record_key="id",
         )
+    # file-level pruning proof: poison EVERY file under partition p1
+    # (base + logs); the pruned p2 read never opens them
+    import shutil as _sh
+
+    backup = str(tmp_path / "p1_backup")
+    _sh.copytree(os.path.join(table, "part=p1"), backup)
+    for f in glob.glob(
+        os.path.join(table, "part=p1", "**", "*"), recursive=True
+    ):
+        if os.path.isfile(f):
+            with open(f, "wb") as fh:
+                fh.write(b"poisoned")
+    p2b = read_hudi_lite(spark, table, where="part = 'p2'")
+    assert {(r.id, r.v) for r in p2b.collect()} == {(3, "C"), (4, "d")}
+    _sh.rmtree(os.path.join(table, "part=p1"))
+    _sh.copytree(backup, os.path.join(table, "part=p1"))
     # compaction materializes merged per-partition base files; the
     # snapshot is unchanged and the logs stop applying
     stats = compact_hudi_mor_lite(spark, table)

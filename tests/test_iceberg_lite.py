@@ -1584,6 +1584,25 @@ def test_iceberg_partitioned_upsert_and_compaction_under_deletes(
     # partition pruning still serves the right slices post-rewrite
     only_a = read_iceberg_lite(spark, table, where="part = 'a'")
     assert {r["id"] for r in only_a.collect()} == {0, 2}
+    # file-level proof: poison every data file the a-partition resolves
+    # to; the pruned b-read never opens them
+    a_files, _, _, _ = resolve_iceberg_files(
+        spark, table, where="part = 'a'"
+    )
+    backups = {}
+    for f in a_files:
+        backups[f] = open(f, "rb").read()
+        with open(f, "wb") as fh:
+            fh.write(b"poisoned")
+    assert {
+        r["id"]
+        for r in read_iceberg_lite(
+            spark, table, where="part = 'b'"
+        ).collect()
+    } == {3, 4, 5, 9}
+    for f, data in backups.items():
+        with open(f, "wb") as fh:
+            fh.write(data)
     # delete-applying compaction on the partitioned layout
     delete_iceberg_lite(spark, table, "id = 4", mode="merge-on-read")
     cstats = compact_iceberg_lite(spark, table)
