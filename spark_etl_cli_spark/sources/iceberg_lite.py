@@ -344,6 +344,110 @@ def _prune_file_entries(
     return out
 
 
+_LIT_RE = __import__("re").compile(
+    r"^\s*(\w+)\s*=\s*(?:(?:DATE|TIMESTAMP)\s*)?"
+    r"('(?:[^']*)'|-?\d+(?:\.\d+)?)\s*$",
+    __import__("re").IGNORECASE,
+)
+
+
+def _prune_transformed_entries(
+    entries: list[tuple[str, dict, int]],
+    meta: dict,
+    where: str,
+) -> list[tuple[str, dict, int]]:
+    """Manifest pruning over NON-identity partition transforms
+    (bucket/truncate/year/month/day/hour): for each top-level
+    ``col = literal`` conjunct of ``where`` whose column sources a
+    transformed partition field, drop the entries whose RECORDED
+    transformed value differs from ``transform(literal)``
+    (iceberg_transforms.py — spec hash, spec encodings). Strictly
+    sound: only removes files the row filter would empty anyway;
+    predicates that aren't a plain conjunction of equalities are left
+    to the identity pruner + row filter.
+    """
+    up = where.upper()
+    if "(" in where or " OR " in up or " NOT " in up or up.startswith("NOT "):
+        return entries
+    from spark_etl_cli_spark.sources.iceberg_transforms import (
+        apply_transform,
+    )
+
+    specs = meta.get("partition-specs")
+    if specs is not None:
+        spec = next(
+            (
+                s
+                for s in specs
+                if s.get("spec-id") == meta.get("default-spec-id", 0)
+            ),
+            specs[0] if specs else None,
+        )
+        fields = (spec or {}).get("fields", [])
+    else:
+        fields = meta.get("partition-spec") or []
+    by_id = {
+        f["id"]: (f["name"], f["type"])
+        for f in _current_schema(meta).get("fields", [])
+    }
+    # source column name -> [(partition field name, transform, type)]
+    transformed: dict[str, list[tuple[str, str, str]]] = {}
+    for pf in fields:
+        tr = pf.get("transform")
+        if tr in (None, "identity", "void"):
+            continue
+        src = by_id.get(pf.get("source-id"))
+        if src:
+            transformed.setdefault(src[0], []).append(
+                (pf["name"], tr, json_type_str(src[1]))
+            )
+    if not transformed:
+        return entries
+    import re as _re
+
+    expected: dict[str, object] = {}  # partition field -> required value
+    for conj in _re.split(r"\s+AND\s+", where, flags=_re.IGNORECASE):
+        m = _LIT_RE.match(conj)
+        if not m:
+            continue
+        col, raw = m.group(1), m.group(2)
+        lit: object = raw[1:-1] if raw.startswith("'") else (
+            float(raw) if "." in raw else int(raw)
+        )
+        for pname, tr, ityp in transformed.get(col, []):
+            try:
+                expected[pname] = apply_transform(tr, lit, ityp)
+            except (NotImplementedError, ValueError, ArithmeticError):
+                continue
+    if not expected:
+        return entries
+
+    def _norm(v):
+        from decimal import Decimal
+
+        if isinstance(v, (int, float, Decimal)):
+            return Decimal(str(v))
+        return str(v)
+
+    kept = []
+    for path, pvals, seq in entries:
+        drop = False
+        for pname, want in expected.items():
+            if pname in pvals and pvals[pname] is not None:
+                if _norm(pvals[pname]) != _norm(want):
+                    drop = True
+                    break
+        if not drop:
+            kept.append((path, pvals, seq))
+    return kept
+
+
+def json_type_str(t) -> str:
+    """Iceberg schema 'type' field (string or nested dict) → the
+    primitive type string the transforms consume."""
+    return t if isinstance(t, str) else str(t.get("type", t))
+
+
 def _resolve_entries(
     spark: SparkSession,
     table_path: str,
@@ -401,6 +505,9 @@ def _resolve_entries(
         if pruned is not None:
             kept = set(pruned)
             data_entries = [t for t in data_entries if t[0] in kept]
+        data_entries = _prune_transformed_entries(
+            data_entries, meta, where
+        )
     return data_entries, pos_deletes, eq_deletes, spark_schema, meta
 
 

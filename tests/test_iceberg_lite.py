@@ -1891,3 +1891,166 @@ def test_iceberg_changelog_skips_compaction_and_uri(spark, tmp_path):
     # compaction contributes NOTHING; each row appears exactly once
     assert sorted(rows) == [(0, "insert"), (1, "insert"),
                             (2, "insert"), (3, "insert")]
+
+
+def test_iceberg_bucket_transform_pruning(spark, tmp_path):
+    """?where= equality pruning over a NON-identity partition spec
+    (bucket[4] on id, truncate[2] on name): the reader evaluates the
+    spec transforms (murmur3 per the Iceberg spec) on the literal and
+    prunes the manifest entries — proven file-level by poisoning the
+    non-matching buckets' files."""
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        read_iceberg_lite,
+        resolve_iceberg_files,
+    )
+    from spark_etl_cli_spark.sources.iceberg_transforms import (
+        apply_transform,
+    )
+
+    table = str(tmp_path / "ice_bucketed")
+    os.makedirs(table)
+    meta_dir = os.path.join(table, "metadata")
+    os.makedirs(meta_dir)
+    # four data files, one per (bucket(id), truncate(name)) combo
+    rows = [(1, "alpha"), (2, "beta"), (34, "gamma"), (100, "delta")]
+    part_schema = {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {"name": "id_bucket", "type": ["null", "int"]},
+            {"name": "name_trunc", "type": ["null", "string"]},
+        ],
+    }
+    mschema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "data_file",
+                    "fields": [
+                        {"name": "content", "type": ["null", "int"]},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "partition", "type": part_schema},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ],
+                },
+            },
+        ],
+    }
+    entries = []
+    files_of = {}
+    for i, (rid, name) in enumerate(rows):
+        p = os.path.join(table, f"f{i}.parquet")
+        spark.createDataFrame([(rid, name)], "id long, name string") \
+            .coalesce(1).write.mode("overwrite").parquet(p + ".d")
+        import glob as g
+        import shutil
+
+        piece = next(
+            f for f in g.glob(os.path.join(p + ".d", "*.parquet"))
+        )
+        shutil.move(piece, p)
+        shutil.rmtree(p + ".d")
+        pv = {
+            "id_bucket": apply_transform("bucket[4]", rid, "long"),
+            "name_trunc": apply_transform("truncate[2]", name, "string"),
+        }
+        files_of[rid] = (p, pv)
+        entries.append({
+            "status": 1,
+            "snapshot_id": 1,
+            "data_file": {
+                "content": 0,
+                "file_path": p,
+                "file_format": "PARQUET",
+                "partition": pv,
+                "record_count": 1,
+                "file_size_in_bytes": os.path.getsize(p),
+            },
+        })
+    manifest = os.path.join(meta_dir, "manifest-1.avro")
+    write_container(manifest, mschema, iter(entries))
+    mlist = os.path.join(meta_dir, "snap-1.avro")
+    write_container(
+        mlist,
+        _MANIFEST_LIST_SCHEMA,
+        iter([{
+            "manifest_path": manifest,
+            "manifest_length": os.path.getsize(manifest),
+            "partition_spec_id": 0,
+            "content": 0,
+            "added_snapshot_id": 1,
+        }]),
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000102",
+        "location": table,
+        "current-snapshot-id": 1,
+        "schemas": [{
+            "schema-id": 0, "type": "struct",
+            "fields": [
+                {"id": 1, "name": "id", "required": False, "type": "long"},
+                {"id": 2, "name": "name", "required": False,
+                 "type": "string"},
+            ],
+        }],
+        "current-schema-id": 0,
+        "partition-specs": [{
+            "spec-id": 0,
+            "fields": [
+                {"name": "id_bucket", "transform": "bucket[4]",
+                 "source-id": 1, "field-id": 1000},
+                {"name": "name_trunc", "transform": "truncate[2]",
+                 "source-id": 2, "field-id": 1001},
+            ],
+        }],
+        "default-spec-id": 0,
+        "snapshots": [{
+            "snapshot-id": 1, "manifest-list": mlist, "timestamp-ms": 1,
+        }],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+
+    # the full read serves all rows (files carry the real columns)
+    assert {
+        (r["id"], r["name"])
+        for r in read_iceberg_lite(spark, table).collect()
+    } == set(rows)
+    # equality predicate prunes via BOTH transforms: only files whose
+    # recorded bucket(34) AND truncate('gamma') agree survive
+    kept, _, _, _ = resolve_iceberg_files(
+        spark, table, where="id = 34 AND name = 'gamma'"
+    )
+    assert files_of[34][0] in kept
+    assert all(
+        p == files_of[34][0]
+        or (files_of_pv := next(
+            pv for q, (fp, pv) in files_of.items() if fp == p
+        ))["id_bucket"] == files_of[34][1]["id_bucket"]
+        and files_of_pv["name_trunc"] == files_of[34][1]["name_trunc"]
+        for p in kept
+    )
+    # file-level poison proof on the definitely-pruned files
+    for rid, (p, pv) in files_of.items():
+        if p in kept:
+            continue
+        with open(p, "wb") as fh:
+            fh.write(b"poisoned")
+    got = read_iceberg_lite(
+        spark, table, where="id = 34 AND name = 'gamma'"
+    )
+    assert {(r["id"], r["name"]) for r in got.collect()} == {(34, "gamma")}
+    # a predicate shape the pruner must NOT touch (OR) keeps everything
+    kept_or, _, _, _ = resolve_iceberg_files(
+        spark, table, where="id = 34 OR id = 100"
+    )
+    assert len(kept_or) == len(rows)
