@@ -1,0 +1,70 @@
+"""Iceberg partition-transform unit pins — the verification vectors
+come straight from the Iceberg spec's Appendix B (32-bit hash
+requirements) and the transform definition table."""
+
+import datetime as dt
+from decimal import Decimal
+
+import pytest
+
+from spark_etl_cli_spark.sources.iceberg_transforms import (
+    apply_transform,
+    iceberg_hash,
+    murmur3_32,
+)
+
+
+def test_spec_appendix_b_hash_vectors():
+    assert iceberg_hash(34, "int") == 2017239379
+    assert iceberg_hash(34, "long") == 2017239379
+    assert iceberg_hash("2017-11-16", "date") == -653330422
+    assert iceberg_hash("2017-11-16T22:31:08", "timestamp") == -2047944441
+    assert iceberg_hash("iceberg", "string") == 1210000089
+    assert iceberg_hash("14.20", "decimal(9, 2)") == -500754589
+    # int and long of the same value hash identically (spec requirement
+    # so bucket partitioning survives int->long type promotion)
+    assert iceberg_hash(1, "int") == iceberg_hash(1, "long")
+
+
+def test_murmur3_tail_lengths():
+    # every tail length exercises a different switch arm
+    for data, n in [(b"", 0), (b"a", 1), (b"ab", 2), (b"abc", 3),
+                    (b"abcd", 4), (b"abcde", 5)]:
+        assert isinstance(murmur3_32(data), int)
+        assert -(2**31) <= murmur3_32(data) < 2**31
+        assert len(data) == n
+
+
+def test_bucket_and_truncate():
+    assert apply_transform("bucket[16]", 34, "long") == 2017239379 % 16
+    assert apply_transform("bucket[8]", "iceberg", "string") == (
+        1210000089 & (2**31 - 1)
+    ) % 8
+    # truncate floors toward -inf for ints (spec: v - (v %% W))
+    assert apply_transform("truncate[10]", 1, "int") == 0
+    assert apply_transform("truncate[10]", -1, "int") == -10
+    assert apply_transform("truncate[3]", "iceberg", "string") == "ice"
+    assert apply_transform(
+        "truncate[50]", "10.65", "decimal(9, 2)"
+    ) == Decimal("10.50")
+
+
+def test_temporal_transforms():
+    assert apply_transform("day", "2017-11-16", "date") == 17486
+    assert apply_transform("year", "2017-11-16", "date") == 47
+    assert apply_transform("month", "2017-11-16", "date") == (
+        (2017 - 1970) * 12 + 10
+    )
+    assert apply_transform(
+        "hour", "2017-11-16T22:31:08", "timestamp"
+    ) == 1510871468 // 3600
+    assert apply_transform(
+        "day", dt.date(1969, 12, 31), "date"
+    ) == -1  # pre-epoch floors correctly
+
+
+def test_null_and_void_and_unknown():
+    assert apply_transform("bucket[4]", None, "long") is None
+    assert apply_transform("void", 5, "long") is None
+    with pytest.raises(NotImplementedError):
+        apply_transform("zorder[2]", 5, "long")
