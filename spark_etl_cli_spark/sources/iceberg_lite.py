@@ -422,19 +422,26 @@ def _prune_transformed_entries(
     if not expected:
         return entries
 
-    def _norm(v):
-        from decimal import Decimal
+    def _mismatch(recorded, want) -> bool:
+        """True only when the recorded value PROVABLY differs from the
+        required one. A recorded value that cannot be coerced to the
+        expected type (stale metadata, foreign writer) keeps the file
+        — pruning must never be the component that loses rows."""
+        from decimal import Decimal, InvalidOperation
 
-        if isinstance(v, (int, float, Decimal)):
-            return Decimal(str(v))
-        return str(v)
+        if isinstance(want, (int, float, Decimal)):
+            try:
+                return Decimal(str(recorded)) != Decimal(str(want))
+            except (InvalidOperation, ValueError):
+                return False
+        return str(recorded) != str(want)
 
     kept = []
     for path, pvals, seq in entries:
         drop = False
         for pname, want in expected.items():
             if pname in pvals and pvals[pname] is not None:
-                if _norm(pvals[pname]) != _norm(want):
+                if _mismatch(pvals[pname], want):
                     drop = True
                     break
         if not drop:
@@ -1038,15 +1045,75 @@ def write_iceberg_lite(
     if missing:
         raise ValueError(f"partition_by columns not in frame: {missing}")
     part_fields = [(c, df.schema[c].dataType) for c in pcols]
+    # Transformed-spec append: the table's default spec carries
+    # non-identity fields — evaluate each transform per row
+    # (iceberg_transforms.spark_transform_column) so the new files land
+    # with PRUNABLE manifest partition values under the PRIOR spec,
+    # instead of the conservative unprunable empty tuple.
+    tr_spec: list[tuple[str, str, str, object]] | None = None
+    if prior is not None and not pcols:
+        specs0 = prior.get("partition-specs") or []
+        dspec = next(
+            (
+                sp
+                for sp in specs0
+                if sp.get("spec-id") == prior.get("default-spec-id", 0)
+            ),
+            specs0[0] if specs0 else None,
+        )
+        raw_fields = (dspec or {}).get("fields", [])
+        if raw_fields and any(
+            f.get("transform") != "identity" for f in raw_fields
+        ):
+            by_id = {
+                f["id"]: (f["name"], f["type"])
+                for f in _current_schema(prior).get("fields", [])
+            }
+            tr_spec = []
+            for pf in raw_fields:
+                src = by_id.get(pf.get("source-id"))
+                if src is None or src[0] not in df.columns:
+                    tr_spec = None  # dropped/unknown source: fall back
+                    break
+                tr_spec.append(
+                    (pf["name"], pf["transform"], src[0], src[1])
+                )
+            if tr_spec:
+                from spark_etl_cli_spark.sources.iceberg_transforms import (
+                    spark_transform_column,
+                )
+
+                def _value_dt(tr: str, ityp) -> T.DataType:
+                    if tr == "identity" or tr.startswith("truncate"):
+                        return _iceberg_type_to_spark(ityp)
+                    return T.IntegerType()  # bucket / temporal ordinals
+
+                part_fields = [
+                    (pname, _value_dt(tr, ityp))
+                    for pname, tr, _src, ityp in tr_spec
+                ]
     for _name, _dt in part_fields:
         _part_avro_type(_dt)  # validate up front
 
     # 1. data files — one distributed parquet write into a fresh subdir
     commit_uuid = _uuid.uuid4().hex
     data_dir = os.path.join(table_path, "data", commit_uuid)
-    writer = df.write
-    if pcols:
-        writer = writer.partitionBy(*pcols)
+    if tr_spec:
+        df2 = df
+        for pname, tr, src, _ityp in tr_spec:
+            df2 = df2.withColumn(
+                f"__ip_{pname}",
+                spark_transform_column(
+                    tr, F.col(src), df.schema[src].dataType
+                ),
+            )
+        writer = df2.write.partitionBy(
+            *[f"__ip_{pname}" for pname, _, _, _ in tr_spec]
+        )
+    else:
+        writer = df.write
+        if pcols:
+            writer = writer.partitionBy(*pcols)
     writer.parquet(data_dir)
     files = sorted(
         _glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
@@ -1060,7 +1127,7 @@ def write_iceberg_lite(
         for seg in segs:
             if "=" in seg:
                 k, v = seg.split("=", 1)
-                raw[k] = v
+                raw[k.removeprefix("__ip_")] = v
         for name, dt in part_fields:
             out[name] = _hive_value(raw.get(name), dt)
         return out
@@ -1084,15 +1151,20 @@ def write_iceberg_lite(
     field_id_of = {
         f["name"]: f["id"] for f in iceberg_schema.get("fields", [])
     }
-    spec_fields = [
-        {
-            "name": name,
-            "transform": "identity",
-            "source-id": field_id_of[name],
-            "field-id": 1000 + i,
-        }
-        for i, (name, _dt) in enumerate(part_fields)
-    ]
+    if tr_spec:
+        # the prior spec (with its transforms and field ids) carries
+        # over verbatim — this commit writes under it, not a new one
+        spec_fields = list(raw_fields)
+    else:
+        spec_fields = [
+            {
+                "name": name,
+                "transform": "identity",
+                "source-id": field_id_of[name],
+                "field-id": 1000 + i,
+            }
+            for i, (name, _dt) in enumerate(part_fields)
+        ]
     row_counts = {p: _parquet_row_count(p) for p in files}
     files = [p for p in files if row_counts[p] > 0]
     write_container(

@@ -181,3 +181,115 @@ def apply_transform(transform: str, value, iceberg_type: str):
     if t == "void":
         return None
     raise NotImplementedError(f"iceberg transform {t!r}")
+
+
+def spark_transform_column(transform: str, col, spark_dt):
+    """Evaluate ``transform`` as a Spark Column — the write-side twin
+    of ``apply_transform``, so new rows landing in a transformed-spec
+    table get per-row partition values. Truncate/temporal stay
+    JVM-side built-ins; ``bucket[N]`` runs the spec murmur3 in an
+    Arrow-batched pandas_udf (numpy-vectorized for the 8-byte-long
+    encodings, per-row only for strings)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    t = str(transform)
+    if t == "identity":
+        return col
+    if t == "void":
+        return F.lit(None)
+    if t.startswith("truncate[") and t.endswith("]"):
+        w = int(t[len("truncate["):-1])
+        if isinstance(spark_dt, T.StringType):
+            return F.substring(col, 1, w)
+        # floored modulo: v - (((v % W) + W) % W)
+        return (col - (((col % w) + w) % w)).cast(spark_dt)
+    if t in ("year", "years"):
+        return (F.year(col) - F.lit(1970)).cast("int")
+    if t in ("month", "months"):
+        return (
+            (F.year(col) - F.lit(1970)) * 12 + F.month(col) - F.lit(1)
+        ).cast("int")
+    if t in ("day", "days"):
+        if isinstance(spark_dt, T.DateType):
+            return F.datediff(col, F.lit("1970-01-01")).cast("int")
+        return F.floor(
+            F.unix_micros(col) / F.lit(86_400_000_000)
+        ).cast("int")
+    if t in ("hour", "hours"):
+        return F.floor(
+            F.unix_micros(col) / F.lit(3_600_000_000)
+        ).cast("int")
+    if t.startswith("bucket[") and t.endswith("]"):
+        n = int(t[len("bucket["):-1])
+        if isinstance(spark_dt, T.StringType):
+
+            @F.pandas_udf("int")
+            def _bucket_str(s):
+                return s.map(
+                    lambda v: None
+                    if v is None
+                    else (murmur3_32(str(v).encode("utf-8")) & _MAX_INT)
+                    % n
+                )
+
+            return _bucket_str(col)
+        # int/long/date/timestamp all hash as the 8-byte LE long
+        if isinstance(spark_dt, T.DateType):
+            as_long = F.datediff(col, F.lit("1970-01-01")).cast("long")
+        elif isinstance(spark_dt, T.TimestampType):
+            as_long = F.unix_micros(col)
+        else:
+            as_long = col.cast("long")
+
+        @F.pandas_udf("int")
+        def _bucket_long(s):
+            import numpy as np
+            import pandas as pd
+
+            mask = s.notna()
+            out = pd.Series([None] * len(s), dtype="object")
+            if mask.any():
+                v = s[mask].astype("int64").to_numpy().view(np.uint64)
+                h = _mm3_two_words_np(v)
+                out[mask] = ((h & np.uint32(_MAX_INT)) % np.uint32(n)).astype(
+                    "int64"
+                )
+            return out.astype("Int64")
+
+        return _bucket_long(as_long)
+    raise NotImplementedError(f"spark transform {t!r}")
+
+
+def _mm3_two_words_np(v):
+    """Vectorized murmur3_x86_32 over 8-byte little-endian longs
+    (numpy uint64 in, int32-range uint32 out) — the hot path for
+    bucket[] on int/long/date/timestamp columns."""
+    import numpy as np
+
+    old = np.seterr(over="ignore")
+    try:
+        c1 = np.uint32(0xCC9E2D51)
+        c2 = np.uint32(0x1B873593)
+        k1 = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        k2 = (v >> np.uint64(32)).astype(np.uint32)
+
+        def mix(k):
+            k = k * c1
+            k = (k << np.uint32(15)) | (k >> np.uint32(17))
+            return k * c2
+
+        h = np.zeros_like(k1)
+        for k in (k1, k2):
+            h = h ^ mix(k)
+            h = (h << np.uint32(13)) | (h >> np.uint32(19))
+            h = h * np.uint32(5) + np.uint32(0xE6546B64)
+        h = h ^ np.uint32(8)
+        h = h ^ (h >> np.uint32(16))
+        h = h * np.uint32(0x85EBCA6B)
+        h = h ^ (h >> np.uint32(13))
+        h = h * np.uint32(0xC2B2AE35)
+        h = h ^ (h >> np.uint32(16))
+        return h
+    finally:
+        np.seterr(**old)

@@ -207,8 +207,10 @@ def test_iceberg_where_prunes_data_files_via_manifest(spark, tmp_path):
     )
     assert pruned is not None and "f_legacy" in pruned and "f_a" not in pruned
 
-    # bucket-style transform would be skipped conservatively: pruning
-    # helper returns None when no identity fields exist
+    # a spec mutated to bucket[4] while the manifests still record the
+    # old STRING values: the transform pruner computes an int bucket,
+    # sees the recorded value cannot be coerced to it, and keeps every
+    # file — pruning must never be the component that loses rows
     meta["partition-specs"][0]["fields"][0]["transform"] = "bucket[4]"
     with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
         json.dump(meta, fh)
@@ -2054,3 +2056,85 @@ def test_iceberg_bucket_transform_pruning(spark, tmp_path):
         spark, table, where="id = 34 OR id = 100"
     )
     assert len(kept_or) == len(rows)
+
+
+def test_iceberg_append_into_transformed_spec_table(spark, tmp_path):
+    """Appending to a table whose default spec is bucket[4](id) +
+    truncate[2](name): the writer evaluates the transforms per row
+    (spec murmur3 via the vectorized pandas_udf) so the NEW files land
+    with prunable manifest partition values under the PRIOR spec."""
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        read_iceberg_lite,
+        resolve_iceberg_files,
+        write_iceberg_lite,
+    )
+    from spark_etl_cli_spark.sources.iceberg_transforms import (
+        apply_transform,
+    )
+
+    table = str(tmp_path / "ice_tr_append")
+    meta_dir = os.path.join(table, "metadata")
+    os.makedirs(meta_dir)
+    meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000103",
+        "location": table,
+        "current-snapshot-id": -1,
+        "last-sequence-number": 0,
+        "schemas": [{
+            "schema-id": 0, "type": "struct",
+            "fields": [
+                {"id": 1, "name": "id", "required": False, "type": "long"},
+                {"id": 2, "name": "name", "required": False,
+                 "type": "string"},
+            ],
+        }],
+        "current-schema-id": 0,
+        "partition-specs": [{
+            "spec-id": 0,
+            "fields": [
+                {"name": "id_bucket", "transform": "bucket[4]",
+                 "source-id": 1, "field-id": 1000},
+                {"name": "name_trunc", "transform": "truncate[2]",
+                 "source-id": 2, "field-id": 1001},
+            ],
+        }],
+        "default-spec-id": 0,
+        "snapshots": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    rows = [(1, "alpha"), (2, "beta"), (34, "gamma"), (100, "delta")]
+    write_iceberg_lite(
+        spark.createDataFrame(rows, "id long, name string"), table,
+        mode="append",
+    )
+    got = {(r["id"], r["name"])
+           for r in read_iceberg_lite(spark, table).collect()}
+    assert got == set(rows)
+    # the prior spec survived the commit verbatim
+    import glob as g
+
+    latest = sorted(g.glob(os.path.join(meta_dir, "*.metadata.json")))[-1]
+    m2 = json.load(open(latest))
+    assert m2["partition-specs"][0]["fields"][0]["transform"] == "bucket[4]"
+    # pruning works on the appended files: only bucket(34)+'ga' files
+    kept, _, _, _ = resolve_iceberg_files(
+        spark, table, where="id = 34 AND name = 'gamma'"
+    )
+    want_bucket = apply_transform("bucket[4]", 34, "long")
+    other_bucket_rows = [
+        (rid, n) for rid, n in rows
+        if apply_transform("bucket[4]", rid, "long") != want_bucket
+        or apply_transform("truncate[2]", n, "string") != "ga"
+    ]
+    assert other_bucket_rows  # the layout actually splits
+    # poison everything not kept; the pruned read still answers
+    all_files, _, _, _ = resolve_iceberg_files(spark, table)
+    for p in set(all_files) - set(kept):
+        with open(p, "wb") as fh:
+            fh.write(b"poisoned")
+    out = read_iceberg_lite(
+        spark, table, where="id = 34 AND name = 'gamma'"
+    )
+    assert {(r["id"], r["name"]) for r in out.collect()} == {(34, "gamma")}
