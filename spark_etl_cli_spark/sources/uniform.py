@@ -53,26 +53,34 @@ def export_iceberg_as_delta(spark: SparkSession, table_path: str) -> int:
     First export writes commit 0 (protocol + metaData + adds with
     absolute paths); re-exports commit remove(gone files) + add(new
     files), so the delta view tracks the iceberg snapshot history
-    version by version. Tables with live position/equality delete
-    files refuse (Delta cannot express them; compact first), as do
-    non-identity partition transforms.
+    version by version. Live POSITION deletes export as delta
+    DELETION VECTORS (sequence-scoped, protocol upgraded to reader
+    3/writer 7); equality deletes refuse — run the delete-applying
+    compaction first — as do non-identity partition transforms.
     """
     import time as _time
     import uuid as _uuid
     from urllib.parse import quote
 
     from spark_etl_cli_spark.sources.delta_lite import (
+        _current_protocol,
         _log_dir,
         _remove_action,
         _replay,
         _write_commit,
         is_delta_table,
     )
+    from spark_etl_cli_spark.sources.dv_lite import (
+        read_deletion_vector,
+        write_deletion_vector_file,
+        z85_encode,
+    )
     from spark_etl_cli_spark.sources.iceberg_lite import (
         _identity_partition_fields,
         _load_metadata,
         _localize,
         _manifest_entries,
+        _resolve_entries,
         _schema_to_spark,
         _snapshot,
     )
@@ -84,13 +92,44 @@ def export_iceberg_as_delta(spark: SparkSession, table_path: str) -> int:
         for e in _manifest_entries(table_path, snap)
         if e.get("status") != 2
     ]
-    if any(
-        (e.get("data_file") or {}).get("content") in (1, 2) for e in entries
-    ):
+    # Iceberg POSITION deletes translate to delta DELETION VECTORS
+    # (both are row ordinals per file, scoped by sequence number);
+    # equality deletes would need a content scan to locate positions —
+    # run the delete-applying compaction first (it materializes them).
+    data_seq_entries, pos_dels, eq_dels, _sch, _m = _resolve_entries(
+        spark, table_path, None, None
+    )
+    if eq_dels:
         raise NotImplementedError(
-            "delta export cannot express iceberg position/equality "
-            "delete files; compact/apply the deletes first"
+            "delta export cannot express iceberg EQUALITY deletes; "
+            "run compact_iceberg_lite first (it applies them)"
         )
+    entries = [
+        e
+        for e in entries
+        if (e.get("data_file") or {}).get("content", 0) == 0
+    ]
+    dv_positions: dict[str, list[int]] = {}
+    if pos_dels:
+        seq_of = {
+            os.path.abspath(p): (s if s is not None else 0)
+            for p, _pv, s in data_seq_entries
+        }
+        per_file: dict[str, set[int]] = {}
+        for pd_path, del_seq in pos_dels:
+            for r in (
+                spark.read.parquet(pd_path)
+                .select("file_path", "pos")
+                .collect()
+            ):
+                fp = os.path.abspath(
+                    re.sub(r"^file:/+", "/", str(r["file_path"]))
+                )
+                if del_seq >= seq_of.get(fp, 0):
+                    per_file.setdefault(fp, set()).add(int(r["pos"]))
+        dv_positions = {
+            fp: sorted(idx) for fp, idx in per_file.items() if idx
+        }
     part_fields = _identity_partition_fields(meta)
     specs = meta.get("partition-specs")
     spec_field_count = len(
@@ -133,15 +172,41 @@ def export_iceberg_as_delta(spark: SparkSession, table_path: str) -> int:
             if d.get("record_count") is not None
             else None,
         }
+    def _dv_fields(p: str) -> dict:
+        """Materialize the DV file for data file ``p`` (when it has
+        applicable position deletes) and return the add-action field."""
+        idx = dv_positions.get(p)
+        if not idx:
+            return {}
+        u = _uuid.uuid4()
+        dvf = os.path.join(abs_root, f"deletion_vector_{u}.bin")
+        desc = write_deletion_vector_file(dvf, idx)
+        desc.update(
+            {"storageType": "u", "pathOrInlineDv": z85_encode(u.bytes)}
+        )
+        return {"deletionVector": desc}
+
     actions: list[dict] = []
     first = not (
         is_delta_table(table_path)
         and os.listdir(_log_dir(table_path))
     )
     if first:
-        actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-        )
+        if dv_positions:
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["deletionVectors"],
+                        "writerFeatures": ["deletionVectors"],
+                    }
+                }
+            )
+        else:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
         actions.append(
             {
                 "metaData": {
@@ -154,8 +219,8 @@ def export_iceberg_as_delta(spark: SparkSession, table_path: str) -> int:
                 }
             }
         )
-        for a in wanted.values():
-            add = dict(a)
+        for p, a in wanted.items():
+            add = {**a, **_dv_fields(p)}
             if add.get("stats") is None:
                 add.pop("stats", None)
             actions.append({"add": add})
@@ -169,11 +234,45 @@ def export_iceberg_as_delta(spark: SparkSession, table_path: str) -> int:
             if p not in wanted:
                 actions.append(_remove_action(a, now_ms))
         for p, a in wanted.items():
-            if p not in cur_by:
-                add = dict(a)
-                if add.get("stats") is None:
-                    add.pop("stats", None)
-                actions.append({"add": add})
+            cur = cur_by.get(p)
+            if cur is not None:
+                # same file: refresh only if its DELETE set changed
+                cur_dv = cur.get("deletionVector")
+                cur_idx = (
+                    sorted(read_deletion_vector(table_path, cur_dv))
+                    if cur_dv
+                    else []
+                )
+                if cur_idx == dv_positions.get(p, []):
+                    continue
+                actions.append(_remove_action(cur, now_ms))
+            add = {**a, **_dv_fields(p)}
+            if add.get("stats") is None:
+                add.pop("stats", None)
+            actions.append({"add": add})
+        if dv_positions:
+            proto = _current_protocol(spark, table_path)
+            feats = set(proto.get("readerFeatures") or [])
+            if (
+                int(proto.get("minReaderVersion", 1)) < 3
+                or "deletionVectors" not in feats
+            ):
+                actions.insert(
+                    0,
+                    {
+                        "protocol": {
+                            "minReaderVersion": 3,
+                            "minWriterVersion": 7,
+                            "readerFeatures": sorted(
+                                feats | {"deletionVectors"}
+                            ),
+                            "writerFeatures": sorted(
+                                set(proto.get("writerFeatures") or [])
+                                | {"deletionVectors"}
+                            ),
+                        }
+                    },
+                )
         if cur_meta.get("schemaString") != schema.json():
             actions.append(
                 {"metaData": {**cur_meta, "schemaString": schema.json()}}

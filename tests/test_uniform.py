@@ -250,8 +250,12 @@ def test_uniform_iceberg_to_delta_partitioned(spark, tmp_path):
     assert [(r["id"], r["part"]) for r in out.collect()] == [(1, "a")]
 
 
-def test_uniform_iceberg_to_delta_fences_delete_files(spark, tmp_path):
+def test_uniform_iceberg_to_delta_fences_equality_deletes(spark, tmp_path):
+    """Position deletes now export as DVs (see the round-trip test);
+    the remaining fence is EQUALITY deletes, pointed at the
+    delete-applying compaction."""
     from spark_etl_cli_spark.sources.iceberg_lite import (
+        compact_iceberg_lite,
         delete_iceberg_lite,
         write_iceberg_lite,
     )
@@ -259,9 +263,18 @@ def test_uniform_iceberg_to_delta_fences_delete_files(spark, tmp_path):
 
     path = str(tmp_path / "tbl")
     write_iceberg_lite(spark.range(4).selectExpr("id"), path)
-    delete_iceberg_lite(spark, path, "id = 1", mode="merge-on-read")
-    with pytest.raises(NotImplementedError, match="delete files"):
+    delete_iceberg_lite(
+        spark, path, "id = 1", mode="merge-on-read",
+        equality_columns=["id"],
+    )
+    with pytest.raises(NotImplementedError, match="EQUALITY"):
         export_iceberg_as_delta(spark, path)
+    # the advertised remedy actually works end-to-end
+    compact_iceberg_lite(spark, path)
+    export_iceberg_as_delta(spark, path)
+    assert sorted(
+        r["id"] for r in read_delta_lite(spark, path).collect()
+    ) == [0, 2, 3]
 
 
 # --- hudi exposed as delta / iceberg ------------------------------------------
@@ -336,3 +349,67 @@ def test_uniform_hudi_via_uri(spark, tmp_path):
     assert rows == {("delta", True), ("iceberg", True)}
     assert _snap(read_delta_lite(spark, path)) == {(1, 1.0)}
     assert _snap(read_iceberg_lite(spark, path)) == {(1, 1.0)}
+
+
+def test_uniform_iceberg_position_deletes_export_as_dvs(spark, tmp_path):
+    """An iceberg table with live merge-on-read POSITION deletes
+    exports to delta: each affected file gets a deletion vector (the
+    dv_lite codec both writes and reads it), the delta reader returns
+    the post-delete rows, and a re-export after MORE deletes refreshes
+    the DV. Equality deletes still refuse toward compaction."""
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        delete_iceberg_lite,
+        write_iceberg_lite,
+    )
+    from spark_etl_cli_spark.sources.uniform import export_iceberg_as_delta
+
+    path = str(tmp_path / "ice_dv")
+    write_iceberg_lite(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(6)], "id long, v double"
+        ),
+        path,
+    )
+    delete_iceberg_lite(spark, path, "id = 1", mode="merge-on-read")
+    export_iceberg_as_delta(spark, path)
+    assert _snap(read_delta_lite(spark, path)) == _snap(
+        read_iceberg_lite(spark, path)
+    )
+    assert sorted(
+        r["id"] for r in read_delta_lite(spark, path).collect()
+    ) == [0, 2, 3, 4, 5]
+    # a real DV landed in the log and the protocol carries the feature
+    import glob as g
+
+    log = sorted(g.glob(os.path.join(path, "_delta_log", "*.json")))[-1]
+    acts = [json.loads(l) for l in open(log) if l.strip()]
+    assert any(
+        a.get("add", {}).get("deletionVector") for a in acts
+    )
+    protos = [
+        json.loads(l).get("protocol")
+        for f in sorted(g.glob(os.path.join(path, "_delta_log", "*.json")))
+        for l in open(f)
+        if l.strip() and json.loads(l).get("protocol")
+    ]
+    assert protos and protos[-1]["minReaderVersion"] == 3
+    assert "deletionVectors" in protos[-1]["readerFeatures"]
+    # more deletes stack; the re-export refreshes the DV
+    delete_iceberg_lite(spark, path, "id = 3", mode="merge-on-read")
+    export_iceberg_as_delta(spark, path)
+    assert sorted(
+        r["id"] for r in read_delta_lite(spark, path).collect()
+    ) == [0, 2, 4, 5]
+    # a no-change re-export is a no-op (no new version)
+    import spark_etl_cli_spark.sources.delta_lite as dl
+
+    before = sorted(os.listdir(os.path.join(path, "_delta_log")))
+    export_iceberg_as_delta(spark, path)
+    assert sorted(os.listdir(os.path.join(path, "_delta_log"))) == before
+    # equality deletes refuse toward the delete-applying compaction
+    delete_iceberg_lite(
+        spark, path, "id = 5", mode="merge-on-read",
+        equality_columns=["id"],
+    )
+    with pytest.raises(NotImplementedError, match="EQUALITY"):
+        export_iceberg_as_delta(spark, path)
