@@ -3334,16 +3334,33 @@ def clone_delta_lite(
             ts_ms = int(timestamp_as_of)
         version_as_of = _version_at_timestamp(_log_dir(source_path), ts_ms)
     adds, meta = _replay(spark, source_path, version_as_of=version_as_of)
-    dv_adds = [a for a in adds if a.get("deletionVector")]
-    if dv_adds:
-        # DV descriptors use table-relative storage ('u' pathOrInlineDv
-        # encodes a file under the TABLE dir) — a clone reading them
-        # from its own dir would miss the bitmap files
-        raise NotImplementedError(
-            "shallow clone of a deletion-vector table needs delta-spark "
-            f"({len(dv_adds)} adds carry DV descriptors); purge the DVs "
-            "first (OPTIMIZE rewrites them away)"
-        )
+    # DV descriptors use table-RELATIVE storage ('u' pathOrInlineDv
+    # encodes a file under the table dir), which a clone reading from
+    # its own dir would miss — so the clone rewrites each descriptor to
+    # absolute-path storage ('p', protocol-standard), pointing at the
+    # SOURCE's bitmap file. Zero copy, same hazard profile as the data
+    # files themselves (source VACUUM can break clones).
+    from spark_etl_cli_spark.sources.dv_lite import dv_file_path
+
+    abs_src = os.path.abspath(source_path)
+    rewritten = []
+    for a in adds:
+        dv = a.get("deletionVector")
+        if not dv:
+            rewritten.append(a)
+            continue
+        if dv.get("storageType") == "u":
+            abs_dv = dv_file_path(abs_src, dv["pathOrInlineDv"])
+            a = {
+                **a,
+                "deletionVector": {
+                    **dv,
+                    "storageType": "p",
+                    "pathOrInlineDv": abs_dv,
+                },
+            }
+        rewritten.append(a)
+    adds = rewritten
     now_ms = int(time.time() * 1000)
     import uuid as _uuid
     from urllib.parse import quote

@@ -1834,16 +1834,39 @@ def test_shallow_clone_at_version_and_vacuum_safety(spark, tmp_path):
         clone_delta_lite(spark, src, tgt)
 
 
-def test_shallow_clone_refuses_dv_tables(spark, tmp_path):
+def test_shallow_clone_of_dv_table(spark, tmp_path):
+    """Cloning a deletion-vector table: the clone's descriptors flip to
+    absolute-path storage ('p') pointing at the SOURCE's bitmap files —
+    zero copy, deleted rows stay deleted, and the two tables then
+    evolve independently."""
     from spark_etl_cli_spark.sources.delta_lite import clone_delta_lite
 
     src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
     write_delta_lite(
         spark.createDataFrame([Row(id=i, v=float(i)) for i in range(5)]), src
     )
     delete_delta_lite(spark, src, "id = 1", deletion_vectors=True)
-    with pytest.raises(NotImplementedError, match="deletion-vector"):
-        clone_delta_lite(spark, src, str(tmp_path / "tgt"))
+    clone_delta_lite(spark, src, tgt)
+    assert sorted(r["id"] for r in read_delta_lite(spark, tgt).collect()) \
+        == [0, 2, 3, 4]
+    # the clone's descriptor is absolute-path storage into the source
+    log = os.path.join(tgt, "_delta_log", f"{0:020d}.json")
+    dvs = [
+        json.loads(l)["add"]["deletionVector"]
+        for l in open(log)
+        if l.strip() and "deletionVector" in l
+        and json.loads(l).get("add", {}).get("deletionVector")
+    ]
+    assert dvs and all(d["storageType"] == "p" for d in dvs)
+    assert all(d["pathOrInlineDv"].startswith(os.path.abspath(src))
+               for d in dvs)
+    # independence: a DV delete on the clone leaves the source intact
+    delete_delta_lite(spark, tgt, "id = 2", deletion_vectors=True)
+    assert sorted(r["id"] for r in read_delta_lite(spark, tgt).collect()) \
+        == [0, 3, 4]
+    assert sorted(r["id"] for r in read_delta_lite(spark, src).collect()) \
+        == [0, 2, 3, 4]
 
 
 def test_shallow_clone_via_uri(spark, tmp_path):
