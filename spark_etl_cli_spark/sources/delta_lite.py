@@ -935,6 +935,8 @@ def write_delta_lite(
         )
     meta = None
     removes: list[dict] = []
+    merged_configuration: dict | None = None
+    overwrite_mapped_schema: T.StructType | None = None
     read_version: int | None = None
     if exists:
         # record the snapshot version this write's schema/constraint
@@ -998,6 +1000,15 @@ def write_delta_lite(
         _enforce_constraints(df, properties, df.schema)
 
     phys_part_cols = list(part_cols)
+    # capture the LOGICAL schema comparison BEFORE any physical-name
+    # projection: post-projection df.schema speaks physical names and
+    # must never be mistaken for a schema change (or leak into a
+    # metaData action)
+    logical_overwrite_changed = bool(
+        exists
+        and mode == "overwrite"
+        and df.schema.json() != meta["schemaString"]
+    )
     if exists:
         # column-mapped tables: data files (and partitionValues keys)
         # speak PHYSICAL names — project the frame to them before the
@@ -1019,30 +1030,101 @@ def write_delta_lite(
                     "mapping need delta-spark"
                 )
             if merged_schema is not None:
-                raise NotImplementedError(
-                    "mergeSchema on a column-mapped table needs mapped "
-                    "ids for the new columns — use alter_delta_lite("
-                    "add=...) instead"
+                # new columns join the mapping: fresh ids past
+                # maxColumnId + col-<uuid> physical names (exactly what
+                # alter_delta_lite(add=...) assigns), recorded in the
+                # same commit's metaData configuration
+                cfg_m = dict(meta.get("configuration") or {})
+                max_id_m = int(
+                    cfg_m.get("delta.columnMapping.maxColumnId", 0) or 0
                 )
+                tbl_names_m = {f.name for f in table_schema_m.fields}
+                mfields = []
+                for f in merged_schema.fields:
+                    if f.name in tbl_names_m:
+                        mfields.append(f)
+                        continue
+                    max_id_m += 1
+                    mfields.append(
+                        T.StructField(
+                            f.name, f.dataType, True,
+                            {
+                                "delta.columnMapping.id": max_id_m,
+                                "delta.columnMapping.physicalName":
+                                    f"col-{uuid.uuid4().hex}",
+                            },
+                        )
+                    )
+                merged_schema = T.StructType(mfields)
+                cfg_m["delta.columnMapping.maxColumnId"] = str(max_id_m)
+                merged_configuration = cfg_m
             if mode == "overwrite" and df.schema.json() != meta[
                 "schemaString"
             ]:
-                raise NotImplementedError(
-                    "schema-changing overwrite on a column-mapped "
-                    "table needs delta-spark (the replacement schema "
-                    "must re-assign mapping ids)"
+                # replacement schema keeps the mapping ids/physical
+                # names of same-named columns (their history reads on),
+                # new columns get fresh ids past maxColumnId
+                cfg_m = dict(meta.get("configuration") or {})
+                max_id_m = int(
+                    cfg_m.get("delta.columnMapping.maxColumnId", 0) or 0
                 )
+                by_name_m = {f.name: f for f in table_schema_m.fields}
+                ofields = []
+                for f in df.schema.fields:
+                    old_f = by_name_m.get(f.name)
+                    if old_f is not None:
+                        ofields.append(
+                            T.StructField(
+                                f.name, f.dataType, f.nullable,
+                                old_f.metadata,
+                            )
+                        )
+                        continue
+                    max_id_m += 1
+                    ofields.append(
+                        T.StructField(
+                            f.name, f.dataType, True,
+                            {
+                                "delta.columnMapping.id": max_id_m,
+                                "delta.columnMapping.physicalName":
+                                    f"col-{uuid.uuid4().hex}",
+                            },
+                        )
+                    )
+                cfg_m["delta.columnMapping.maxColumnId"] = str(max_id_m)
+                overwrite_mapped_schema = T.StructType(ofields)
+                merged_configuration = cfg_m
             phys_of_m = {
                 f.name: pf.name
                 for f, pf in zip(
                     table_schema_m.fields, phys_schema_m.fields
                 )
             }
+            phys_new_m = {
+                f.name: (f.metadata or {}).get(
+                    "delta.columnMapping.physicalName", f.name
+                )
+                for f in (
+                    merged_schema.fields
+                    if merged_schema is not None
+                    else (
+                        overwrite_mapped_schema.fields
+                        if overwrite_mapped_schema is not None
+                        else []
+                    )
+                )
+            }
             df = df.select(
                 *[
                     F.col(f.name).alias(phys_of_m[f.name])
                     for f in table_schema_m.fields
-                ]
+                    if f.name in df.columns
+                ],
+                *[
+                    F.col(c).alias(phys_new_m[c])
+                    for c in df.columns
+                    if c not in {f.name for f in table_schema_m.fields}
+                ],
             )
             phys_part_cols = [phys_of_m[c] for c in part_cols]
 
@@ -1081,27 +1163,45 @@ def write_delta_lite(
                 }
             }
         )
-    elif mode == "overwrite" and df.schema.json() != meta["schemaString"]:
+    elif mode == "overwrite" and (
+        overwrite_mapped_schema is not None or logical_overwrite_changed
+    ):
         # schema evolution on replace: new metaData (same table id) in
-        # the same commit as the remove+add set
+        # the same commit as the remove+add set; mapped tables keep
+        # same-named columns' mapping ids and bump maxColumnId
         actions.append(
             {
                 "metaData": {
                     **meta,
-                    "schemaString": df.schema.json(),
+                    "schemaString": (
+                        overwrite_mapped_schema.json()
+                        if overwrite_mapped_schema is not None
+                        else df.schema.json()
+                    ),
                     "partitionColumns": part_cols,
+                    **(
+                        {"configuration": merged_configuration}
+                        if merged_configuration is not None
+                        else {}
+                    ),
                 }
             }
         )
     elif merged_schema is not None:
         # mergeSchema append: the widened schema lands in the same
-        # commit as the new files
+        # commit as the new files (mapped tables also bump
+        # maxColumnId for the freshly-mapped columns)
         actions.append(
             {
                 "metaData": {
                     **meta,
                     "schemaString": merged_schema.json(),
                     "partitionColumns": part_cols,
+                    **(
+                        {"configuration": merged_configuration}
+                        if merged_configuration is not None
+                        else {}
+                    ),
                 }
             }
         )

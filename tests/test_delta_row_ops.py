@@ -2054,3 +2054,79 @@ def test_row_op_conflict_raises(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(dl, "_next_version", stale_next)
     with pytest.raises(RuntimeError, match="concurrent commit conflict"):
         delete_delta_lite(spark, path, "id = 1")
+
+
+def test_merge_schema_on_column_mapped_table(spark, tmp_path):
+    """mergeSchema append on a column-mapped table: the new column gets
+    a fresh mapping id + col-<uuid> physical name (maxColumnId bumped),
+    old rows read null for it, and a rename of the NEW column works."""
+    from spark_etl_cli_spark.sources.delta_lite import alter_delta_lite
+
+    path = str(tmp_path / "tbl")
+    write_delta_lite(spark.createDataFrame([Row(id=1, v=1.0)]), path)
+    alter_delta_lite(spark, path, rename={"v": "amount"})  # upgrades mapping
+    write_delta_lite(
+        spark.createDataFrame([Row(id=2, amount=2.0, tag="x")]),
+        path, mode="append", merge_schema=True,
+    )
+    got = {(r["id"], r["amount"], r["tag"])
+           for r in read_delta_lite(spark, path).collect()}
+    assert got == {(1, 1.0, None), (2, 2.0, "x")}
+    # the new column is mapped: physical col-<uuid>, id past the max
+    import spark_etl_cli_spark.sources.delta_lite as dl
+
+    _, meta = dl._replay(spark, path)
+    schema = dl.T.StructType.fromJson(json.loads(meta["schemaString"]))
+    md = schema["tag"].metadata
+    assert md["delta.columnMapping.physicalName"].startswith("col-")
+    assert int(meta["configuration"]["delta.columnMapping.maxColumnId"]) \
+        == md["delta.columnMapping.id"]
+    # the mapped new column renames like any other
+    alter_delta_lite(spark, path, rename={"tag": "label"})
+    assert {(r["id"], r["label"])
+            for r in read_delta_lite(spark, path).collect()} == {
+        (1, None), (2, "x"),
+    }
+
+
+def test_overwrite_on_column_mapped_table(spark, tmp_path):
+    """Overwrite on a column-mapped table: same-schema replace keeps
+    the mapping intact (no metaData action with physical names), and a
+    schema-CHANGING replace keeps same-named columns' mapping ids while
+    new columns get fresh ones."""
+    from spark_etl_cli_spark.sources.delta_lite import alter_delta_lite
+    import spark_etl_cli_spark.sources.delta_lite as dl
+
+    path = str(tmp_path / "tbl")
+    write_delta_lite(spark.createDataFrame([Row(id=1, v=1.0)]), path)
+    alter_delta_lite(spark, path, rename={"v": "amount"})
+    _, meta0 = dl._replay(spark, path)
+    sch0 = dl.T.StructType.fromJson(json.loads(meta0["schemaString"]))
+    id_of_amount = sch0["amount"].metadata["delta.columnMapping.id"]
+    # same-logical-schema overwrite: mapping untouched, reads fine
+    write_delta_lite(
+        spark.createDataFrame([Row(id=9, amount=9.0)]), path,
+        mode="overwrite",
+    )
+    _, meta1 = dl._replay(spark, path)
+    assert meta1["schemaString"] == meta0["schemaString"]
+    assert {(r["id"], r["amount"])
+            for r in read_delta_lite(spark, path).collect()} == {(9, 9.0)}
+    # schema-changing overwrite: 'amount' keeps its id, 'tag' is fresh
+    write_delta_lite(
+        spark.createDataFrame([Row(id=2, amount=2.0, tag="x")]),
+        path, mode="overwrite",
+    )
+    _, meta2 = dl._replay(spark, path)
+    sch2 = dl.T.StructType.fromJson(json.loads(meta2["schemaString"]))
+    assert sch2["amount"].metadata["delta.columnMapping.id"] == id_of_amount
+    assert sch2["tag"].metadata["delta.columnMapping.physicalName"] \
+        .startswith("col-")
+    assert {(r["id"], r["amount"], r["tag"])
+            for r in read_delta_lite(spark, path).collect()} == {
+        (2, 2.0, "x"),
+    }
+    # and the renamed-into existence column still renames onward
+    alter_delta_lite(spark, path, rename={"tag": "label"})
+    assert {r["label"] for r in read_delta_lite(spark, path).collect()} \
+        == {"x"}
