@@ -68,3 +68,53 @@ def test_null_and_void_and_unknown():
     assert apply_transform("void", 5, "long") is None
     with pytest.raises(NotImplementedError):
         apply_transform("zorder[2]", 5, "long")
+
+
+def test_spark_transform_parity_with_literal_transforms(spark):
+    """Property: spark_transform_column (the write path) agrees with
+    apply_transform (the pruning path) on every transform/type combo —
+    the invariant that makes write-side partition values prunable."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from spark_etl_cli_spark.sources.iceberg_transforms import (
+        spark_transform_column,
+    )
+
+    longs = [-(2**40), -17, -1, 0, 1, 34, 99, 2**40 + 7]
+    strs = ["", "a", "iceberg", "ZZ top", "naïve-utf8 ✓"]
+    dates = [dt.date(1969, 12, 31), dt.date(1970, 1, 1),
+             dt.date(2017, 11, 16), dt.date(2031, 2, 28)]
+    tss = [dt.datetime(2017, 11, 16, 22, 31, 8),
+           dt.datetime(1970, 1, 1, 0, 0, 1),
+           dt.datetime(1969, 12, 31, 23, 0, 0)]
+
+    cases = [
+        ("bucket[16]", longs, "long", T.LongType()),
+        ("bucket[7]", longs, "long", T.LongType()),
+        ("truncate[10]", longs, "long", T.LongType()),
+        ("truncate[3]", longs, "long", T.LongType()),
+        ("bucket[8]", strs, "string", T.StringType()),
+        ("truncate[4]", strs, "string", T.StringType()),
+        ("bucket[4]", dates, "date", T.DateType()),
+        ("day", dates, "date", T.DateType()),
+        ("month", dates, "date", T.DateType()),
+        ("year", dates, "date", T.DateType()),
+        ("bucket[4]", tss, "timestamp", T.TimestampType()),
+        ("hour", tss, "timestamp", T.TimestampType()),
+        ("day", tss, "timestamp", T.TimestampType()),
+    ]
+    for transform, values, ityp, sdt in cases:
+        df = spark.createDataFrame(
+            [(v,) for v in values], T.StructType([T.StructField("x", sdt)])
+        )
+        got = [
+            r["t"]
+            for r in df.select(
+                spark_transform_column(transform, F.col("x"), sdt).alias("t")
+            ).collect()
+        ]
+        want = [apply_transform(transform, v, ityp) for v in values]
+        assert got == want, (transform, ityp, got, want)
