@@ -2819,6 +2819,128 @@ def _cow_scan_tools(
     return scan, grouped, union_scan
 
 
+def _delete_cow_transformed(
+    spark: SparkSession,
+    table_path: str,
+    meta: dict,
+    live: list[dict],
+    where: str,
+) -> dict:
+    """Copy-on-write DELETE on a table whose default spec has
+    NON-identity transforms (bucket/truncate/temporal): candidate files
+    prune through the transform pruner, affected files group by their
+    RAW recorded partition tuple, and each group's survivors rewrite
+    back under the SAME tuple — sound because partition transforms are
+    deterministic functions of the source columns, which a row filter
+    never changes. Data files of transformed tables carry every column
+    physically (external writers and this module's transformed appends
+    both), so groups read under the full logical schema."""
+    import time as _time
+    import uuid as _uuid
+
+    zero = {"files_rewritten": 0, "files_added": 0, "rows_deleted": 0}
+    spark_schema = _schema_to_spark(meta)
+    entries3 = [
+        (
+            _localize(e["data_file"]["file_path"], table_path),
+            e["data_file"].get("partition") or {},
+            0,
+        )
+        for e in live
+    ]
+    by_path = {
+        os.path.abspath(p): e for (p, _pv, _s), e in zip(entries3, live)
+    }
+    candidates3 = _prune_transformed_entries(entries3, meta, where)
+    if not candidates3:
+        return zero
+    norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+    pred = F.coalesce(F.expr(where), F.lit(False))
+    probe = (
+        spark.read.schema(spark_schema)
+        .parquet(*[p for p, _pv, _s in candidates3])
+        .withColumn("__file", norm(F.col("_metadata.file_path")))
+    )
+    counts = probe.filter(pred).groupBy("__file").count().collect()
+    if not counts:
+        return zero
+    affected: list[dict] = []
+    for r in counts:
+        e = by_path.get(os.path.abspath(r["__file"]))
+        if e is None:
+            raise RuntimeError(
+                f"delete_iceberg_lite: scanned file {r['__file']!r} "
+                "missing from the manifest file list"
+            )
+        affected.append(e)
+    n_rows = sum(r["count"] for r in counts)
+    affected_ids = {id(e) for e in affected}
+    untouched = [e for e in live if id(e) not in affected_ids]
+
+    # group affected files by their raw recorded partition tuple
+    groups: dict[tuple, tuple[dict, list[str]]] = {}
+    for e in affected:
+        pv = e["data_file"].get("partition") or {}
+        key = tuple(sorted((k, str(v)) for k, v in pv.items()))
+        groups.setdefault(key, (pv, []))[1].append(
+            _localize(e["data_file"]["file_path"], table_path)
+        )
+
+    snapshot_id = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
+    seq = int(meta.get("last-sequence-number") or 0) + 1
+    now_ms = int(_time.time() * 1000)
+    commit_uuid = _uuid.uuid4().hex
+    new_adds: list[tuple[str, dict]] = []
+    for gidx, key in enumerate(sorted(groups)):
+        pv, paths = groups[key]
+        kept = (
+            spark.read.schema(spark_schema).parquet(*paths).filter(~pred)
+        )
+        gdir = os.path.join(
+            table_path, "data", f"delete-tr-{commit_uuid}-{gidx}"
+        )
+        kept.write.parquet(gdir)
+        for p in sorted(_glob.glob(os.path.join(gdir, "*.parquet"))):
+            if _parquet_row_count(p) == 0:
+                continue
+            new_adds.append((p, pv))
+
+    # the manifest partition record types come from the spec transforms
+    specs = meta.get("partition-specs") or []
+    dspec = next(
+        (
+            sp
+            for sp in specs
+            if sp.get("spec-id") == meta.get("default-spec-id", 0)
+        ),
+        specs[0] if specs else {"fields": []},
+    )
+    by_id = {
+        f["id"]: f["type"] for f in _current_schema(meta).get("fields", [])
+    }
+    pf_triples = []
+    for pf in dspec.get("fields", []):
+        tr = pf.get("transform", "identity")
+        ityp = by_id.get(pf.get("source-id"), "int")
+        if tr == "identity" or str(tr).startswith("truncate"):
+            vdt = _iceberg_type_to_spark(ityp)
+        else:
+            vdt = T.IntegerType()
+        pf_triples.append((pf["name"], pf["name"], vdt))
+    _commit_rewrite_snapshot(
+        table_path, meta, untouched, new_adds, pf_triples,
+        snapshot_id=snapshot_id, seq=seq, now_ms=now_ms,
+        commit_uuid=commit_uuid, operation="overwrite",
+        files_removed=len(affected), files_added=len(new_adds),
+        removed_rows=n_rows,
+    )
+    return {
+        "files_rewritten": len(affected),
+        "files_added": len(new_adds),
+        "rows_deleted": n_rows,
+    }
+
+
 def delete_iceberg_lite(
     spark: SparkSession,
     table_path: str,
@@ -2887,10 +3009,11 @@ def delete_iceberg_lite(
     if any((e.get("data_file") or {}).get("partition") for e in live) and (
         not part_fields or spec_field_count != len(part_fields)
     ):
-        raise NotImplementedError(
-            "delete_iceberg_lite: non-identity partition transforms need "
-            "the engine's partition-aware writer"
-        )
+        # non-identity spec: survivors keep their RECORDED partition
+        # tuple (transforms are deterministic on the source columns, so
+        # the tuple is unchanged by a row filter) — no transform
+        # evaluation needed for the rewrite, only raw-tuple grouping
+        return _delete_cow_transformed(spark, table_path, meta, live, where)
     zero = {"files_rewritten": 0, "files_added": 0, "rows_deleted": 0}
 
     # candidate pruning: manifest partition values vs the predicate

@@ -2138,3 +2138,80 @@ def test_iceberg_append_into_transformed_spec_table(spark, tmp_path):
         spark, table, where="id = 34 AND name = 'gamma'"
     )
     assert {(r["id"], r["name"]) for r in out.collect()} == {(34, "gamma")}
+
+
+def test_iceberg_cow_delete_on_transformed_spec(spark, tmp_path):
+    """Copy-on-write DELETE on a bucket[4]-partitioned table: affected
+    buckets rewrite under their RECORDED partition tuple (transforms
+    are deterministic on source columns, so the tuple can't change),
+    untouched buckets stay EXISTING, and equality pruning still works
+    after the rewrite."""
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        delete_iceberg_lite,
+        read_iceberg_lite,
+        resolve_iceberg_files,
+        write_iceberg_lite,
+    )
+    from spark_etl_cli_spark.sources.iceberg_transforms import (
+        apply_transform,
+    )
+
+    table = str(tmp_path / "ice_tr_del")
+    meta_dir = os.path.join(table, "metadata")
+    os.makedirs(meta_dir)
+    meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000104",
+        "location": table,
+        "current-snapshot-id": -1,
+        "last-sequence-number": 0,
+        "schemas": [{
+            "schema-id": 0, "type": "struct",
+            "fields": [
+                {"id": 1, "name": "id", "required": False, "type": "long"},
+                {"id": 2, "name": "v", "required": False, "type": "double"},
+            ],
+        }],
+        "current-schema-id": 0,
+        "partition-specs": [{
+            "spec-id": 0,
+            "fields": [
+                {"name": "id_bucket", "transform": "bucket[4]",
+                 "source-id": 1, "field-id": 1000},
+            ],
+        }],
+        "default-spec-id": 0,
+        "snapshots": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    rows = [(i, float(i)) for i in range(12)]
+    write_iceberg_lite(
+        spark.createDataFrame(rows, "id long, v double"), table,
+        mode="append",
+    )
+    files_before, _, _, _ = resolve_iceberg_files(spark, table)
+    # delete two specific ids (they live in specific buckets)
+    stats = delete_iceberg_lite(spark, table, "id IN (3, 7)")
+    assert stats["rows_deleted"] == 2
+    got = sorted(r["id"] for r in read_iceberg_lite(spark, table).collect())
+    assert got == [i for i in range(12) if i not in (3, 7)]
+    # untouched buckets kept their original files (EXISTING, no rewrite)
+    files_after, _, _, _ = resolve_iceberg_files(spark, table)
+    touched_buckets = {
+        apply_transform("bucket[4]", i, "long") for i in (3, 7)
+    }
+    untouched_before = [
+        p for p in files_before
+        if all(f"id_bucket={b}" not in p for b in touched_buckets)
+    ]
+    # every untouched original file is still live post-delete
+    assert set(untouched_before) <= set(files_after)
+    # pruning still evaluates the transform on the rewritten layout
+    kept, _, _, _ = resolve_iceberg_files(spark, table, where="id = 5")
+    b5 = apply_transform("bucket[4]", 5, "long")
+    all_pv = dict.fromkeys(files_after)
+    assert len(kept) < len(files_after)
+    assert {r["id"] for r in read_iceberg_lite(
+        spark, table, where="id = 5"
+    ).collect()} == {5}
