@@ -1451,6 +1451,200 @@ def _cow_keyed_rewrite_under_deletes(
     }
 
 
+def _transformed_spec_fields(meta: dict):
+    """[(pname, transform, source col, iceberg type, value spark type)]
+    for the default spec when it carries NON-identity fields, else
+    None. The value type is what the manifest partition record stores:
+    buckets/temporal ordinals are ints, truncate/identity keep the
+    source type."""
+    specs = meta.get("partition-specs") or []
+    dspec = next(
+        (
+            sp
+            for sp in specs
+            if sp.get("spec-id") == meta.get("default-spec-id", 0)
+        ),
+        specs[0] if specs else None,
+    )
+    raw_fields = (dspec or {}).get("fields", [])
+    if not raw_fields or all(
+        f.get("transform") == "identity" for f in raw_fields
+    ):
+        return None
+    by_id = {
+        f["id"]: (f["name"], f["type"])
+        for f in _current_schema(meta).get("fields", [])
+    }
+    out = []
+    for pf in raw_fields:
+        src = by_id.get(pf.get("source-id"))
+        if src is None:
+            return None
+        tr = pf.get("transform", "identity")
+        vdt = (
+            _iceberg_type_to_spark(src[1])
+            if tr == "identity" or str(tr).startswith("truncate")
+            else T.IntegerType()
+        )
+        out.append((pf["name"], tr, src[0], src[1], vdt))
+    return out
+
+
+def _transformed_split_write(
+    df: DataFrame, out_dir: str, tr_fields
+) -> list[tuple[str, dict]]:
+    """Write ``df`` hive-split by the spec's TRANSFORMED partition
+    values (shadow columns via spark_transform_column) and return the
+    (path, typed partition dict) adds — the insert path for every COW
+    op on a transformed-spec table."""
+    from urllib.parse import unquote as _uq
+
+    from spark_etl_cli_spark.sources.iceberg_transforms import (
+        spark_transform_column,
+    )
+
+    df2 = df
+    for pname, tr, src, _ityp, _vdt in tr_fields:
+        df2 = df2.withColumn(
+            f"__ip_{pname}",
+            spark_transform_column(tr, F.col(src), df.schema[src].dataType),
+        )
+    df2.write.partitionBy(
+        *[f"__ip_{pname}" for pname, _, _, _, _ in tr_fields]
+    ).parquet(out_dir)
+    adds: list[tuple[str, dict]] = []
+    for p in sorted(
+        _glob.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True)
+    ):
+        if _parquet_row_count(p) == 0:
+            continue
+        rel = os.path.relpath(os.path.dirname(p), out_dir)
+        raw = {}
+        for seg in ([] if rel == "." else rel.split(os.sep)):
+            if "=" in seg:
+                k, v = seg.split("=", 1)
+                raw[k.removeprefix("__ip_")] = _uq(v)
+        adds.append(
+            (p, {
+                pname: _hive_value(raw.get(pname), vdt)
+                for pname, _tr, _src, _ityp, vdt in tr_fields
+            })
+        )
+    return adds
+
+
+def _upsert_cow_transformed(
+    spark: SparkSession,
+    table_path: str,
+    meta: dict,
+    live: list[dict],
+    df: DataFrame,
+    on: str,
+) -> dict:
+    """Copy-on-write UPSERT on a transformed-spec table: matched files
+    rewrite under their RAW recorded partition tuple (transforms are
+    deterministic on the source columns), the incoming frame lands
+    hive-split by the evaluated transforms. Same one-overwrite-snapshot
+    shape as the identity path."""
+    import time as _time
+    import uuid as _uuid
+
+    tr_fields = _transformed_spec_fields(meta)
+    if tr_fields is None:
+        raise NotImplementedError(
+            "upsert_iceberg_lite: transformed spec references unknown "
+            "source columns — the engine's writer is needed"
+        )
+    schema = _schema_to_spark(meta)
+    keys = df.select(on).distinct()
+    norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+    paths = [
+        _localize(e["data_file"]["file_path"], table_path) for e in live
+    ]
+    by_path = {os.path.abspath(p): e for p, e in zip(paths, live)}
+    probe = (
+        spark.read.schema(schema)
+        .parquet(*paths)
+        .withColumn("__file", norm(F.col("_metadata.file_path")))
+    )
+    counts = probe.join(keys, on).groupBy("__file").count().collect()
+    affected: list[dict] = []
+    for r in counts:
+        e = by_path.get(os.path.abspath(r["__file"]))
+        if e is None:
+            raise RuntimeError(
+                f"upsert_iceberg_lite: scanned file {r['__file']!r} "
+                "missing from the manifest file list"
+            )
+        affected.append(e)
+    n_updated = sum(r["count"] for r in counts)
+    affected_ids = {id(e) for e in affected}
+    untouched = [e for e in live if id(e) not in affected_ids]
+    if affected:
+        aff_paths = [
+            _localize(e["data_file"]["file_path"], table_path)
+            for e in affected
+        ]
+        tgt_keys = (
+            spark.read.schema(schema)
+            .parquet(*aff_paths)
+            .select(on)
+            .distinct()
+        )
+        n_inserted = df.join(tgt_keys, on, "left_anti").count()
+    else:
+        n_inserted = df.count()
+
+    snapshot_id = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
+    seq = int(meta.get("last-sequence-number") or 0) + 1
+    now_ms = int(_time.time() * 1000)
+    commit_uuid = _uuid.uuid4().hex
+    new_adds: list[tuple[str, dict]] = []
+    groups: dict[tuple, tuple[dict, list[str]]] = {}
+    for e in affected:
+        pv = e["data_file"].get("partition") or {}
+        key = tuple(sorted((k, str(v)) for k, v in pv.items()))
+        groups.setdefault(key, (pv, []))[1].append(
+            _localize(e["data_file"]["file_path"], table_path)
+        )
+    for gidx, key in enumerate(sorted(groups)):
+        pv, gpaths = groups[key]
+        kept = (
+            spark.read.schema(schema)
+            .parquet(*gpaths)
+            .join(keys, on, "left_anti")
+        )
+        gdir = os.path.join(
+            table_path, "data", f"upsert-tr-{commit_uuid}-{gidx}"
+        )
+        kept.write.parquet(gdir)
+        for p in sorted(_glob.glob(os.path.join(gdir, "*.parquet"))):
+            if _parquet_row_count(p) == 0:
+                continue
+            new_adds.append((p, pv))
+    new_adds += _transformed_split_write(
+        df,
+        os.path.join(table_path, "data", f"upsert-tr-in-{commit_uuid}"),
+        tr_fields,
+    )
+    _commit_rewrite_snapshot(
+        table_path, meta, untouched, new_adds,
+        [(pname, pname, vdt) for pname, _t, _s, _i, vdt in tr_fields],
+        snapshot_id=snapshot_id, seq=seq, now_ms=now_ms,
+        commit_uuid=commit_uuid, operation="overwrite",
+        files_removed=len(affected), files_added=len(new_adds),
+        removed_rows=sum(
+            e["data_file"].get("record_count") or 0 for e in affected
+        ),
+    )
+    return {
+        "files_rewritten": len(affected),
+        "files_added": len(new_adds),
+        "rows_updated": n_updated,
+        "rows_inserted": n_inserted,
+    }
+
+
 def upsert_iceberg_lite(
     df: DataFrame,
     table_path: str,
@@ -1553,10 +1747,10 @@ def upsert_iceberg_lite(
     if any((e.get("data_file") or {}).get("partition") for e in live) and (
         not part_fields or spec_field_count != len(part_fields)
     ):
-        raise NotImplementedError(
-            "upsert_iceberg_lite: non-identity partition transforms need "
-            "the engine's partition-aware writer"
-        )
+        # non-identity spec: matched files rewrite under their raw
+        # recorded tuple, the incoming frame splits by the evaluated
+        # transforms (see _upsert_cow_transformed)
+        return _upsert_cow_transformed(spark, table_path, meta, live, df, on)
     scan, grouped, union_scan = _cow_scan_tools(
         spark, table_path, meta, part_fields
     )

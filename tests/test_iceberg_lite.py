@@ -2215,3 +2215,68 @@ def test_iceberg_cow_delete_on_transformed_spec(spark, tmp_path):
     assert {r["id"] for r in read_iceberg_lite(
         spark, table, where="id = 5"
     ).collect()} == {5}
+
+
+def test_iceberg_cow_upsert_on_transformed_spec(spark, tmp_path):
+    """UPSERT on a bucket[4]-partitioned table: matched buckets rewrite
+    under their recorded tuple, inserts split by the evaluated
+    transform, and the whole table stays prunable."""
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        read_iceberg_lite,
+        resolve_iceberg_files,
+        upsert_iceberg_lite,
+        write_iceberg_lite,
+    )
+
+    table = str(tmp_path / "ice_tr_up")
+    meta_dir = os.path.join(table, "metadata")
+    os.makedirs(meta_dir)
+    meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000105",
+        "location": table,
+        "current-snapshot-id": -1,
+        "last-sequence-number": 0,
+        "schemas": [{
+            "schema-id": 0, "type": "struct",
+            "fields": [
+                {"id": 1, "name": "id", "required": False, "type": "long"},
+                {"id": 2, "name": "v", "required": False, "type": "double"},
+            ],
+        }],
+        "current-schema-id": 0,
+        "partition-specs": [{
+            "spec-id": 0,
+            "fields": [
+                {"name": "id_bucket", "transform": "bucket[4]",
+                 "source-id": 1, "field-id": 1000},
+            ],
+        }],
+        "default-spec-id": 0,
+        "snapshots": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    write_iceberg_lite(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(8)], "id long, v double"
+        ),
+        table, mode="append",
+    )
+    stats = upsert_iceberg_lite(
+        spark.createDataFrame(
+            [(3, 300.0), (42, 42.0)], "id long, v double"
+        ),
+        table, on="id",
+    )
+    assert stats["rows_updated"] == 1 and stats["rows_inserted"] == 1
+    got = {r["id"]: r["v"] for r in read_iceberg_lite(spark, table).collect()}
+    assert got == {**{i: float(i) for i in range(8) if i != 3},
+                   3: 300.0, 42: 42.0}
+    # the inserted row is prunable by its bucket
+    kept, _, _, _ = resolve_iceberg_files(spark, table, where="id = 42")
+    all_files, _, _, _ = resolve_iceberg_files(spark, table)
+    assert len(kept) < len(all_files)
+    assert {r["id"] for r in read_iceberg_lite(
+        spark, table, where="id = 42"
+    ).collect()} == {42}
