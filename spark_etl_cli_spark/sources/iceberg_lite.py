@@ -2253,6 +2253,88 @@ def read_iceberg_changes(
     return out
 
 
+def _compact_transformed(
+    spark: SparkSession,
+    table_path: str,
+    meta: dict,
+    entries: list[dict],
+    target_file_bytes: int,
+    min_files: int,
+) -> dict:
+    """Bin-pack a transformed-spec table per RAW recorded partition
+    tuple: compaction never changes rows, so each group's survivors
+    rewrite back under the same tuple (replace snapshot, streams skip
+    it) — no transform evaluation needed."""
+    import math
+    import time as _time
+    import uuid as _uuid
+
+    tr_fields = _transformed_spec_fields(meta)
+    if tr_fields is None:
+        raise NotImplementedError(
+            "compact_iceberg_lite: transformed spec references unknown "
+            "source columns — the engine's writer is needed"
+        )
+    spark_schema = _schema_to_spark(meta)
+    groups: dict[tuple, tuple[dict, list[dict]]] = {}
+    for e in entries:
+        pv = e["data_file"].get("partition") or {}
+        key = tuple(sorted((k, str(v)) for k, v in pv.items()))
+        groups.setdefault(key, (pv, []))[1].append(e)
+
+    snapshot_id = max(sn["snapshot-id"] for sn in meta["snapshots"]) + 1
+    seq = int(meta.get("last-sequence-number") or 0) + 1
+    now_ms = int(_time.time() * 1000)
+    commit_uuid = _uuid.uuid4().hex
+    untouched: list[dict] = []
+    new_adds: list[tuple[str, dict]] = []
+    n_removed = 0
+    for gidx, key in enumerate(sorted(groups)):
+        pv, group = groups[key]
+        small = [
+            e for e in group
+            if (e["data_file"].get("file_size_in_bytes") or 0)
+            < target_file_bytes
+        ]
+        if len(small) < min_files:
+            untouched.extend(group)
+            continue
+        untouched.extend(e for e in group if e not in small)
+        paths = [
+            _localize(e["data_file"]["file_path"], table_path)
+            for e in small
+        ]
+        total = sum(
+            e["data_file"].get("file_size_in_bytes") or 0 for e in small
+        )
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        gdir = os.path.join(
+            table_path, "data", f"compact-tr-{commit_uuid}-{gidx}"
+        )
+        (
+            spark.read.schema(spark_schema)
+            .parquet(*paths)
+            .repartition(n_out)
+            .write.parquet(gdir)
+        )
+        for p in sorted(_glob.glob(os.path.join(gdir, "*.parquet"))):
+            if _parquet_row_count(p) == 0:
+                continue
+            new_adds.append((p, pv))
+        n_removed += len(small)
+    if n_removed == 0:
+        return {"files_removed": 0, "files_added": 0}
+    _commit_rewrite_snapshot(
+        table_path, meta, untouched, new_adds,
+        [(pname, pname, vdt) for pname, _t, _s, _i, vdt in tr_fields],
+        snapshot_id=snapshot_id, seq=seq, now_ms=now_ms,
+        commit_uuid=commit_uuid, operation="replace",
+        files_removed=n_removed, files_added=len(new_adds),
+        removed_rows=0,
+    )
+    return {"files_removed": n_removed, "files_added": len(new_adds)}
+
+
 def compact_iceberg_lite(
     spark: SparkSession,
     table_path: str,
@@ -2303,12 +2385,48 @@ def compact_iceberg_lite(
             for e in entries
             if (e.get("data_file") or {}).get("content", 0) == 0
         ]
+        tr_fields_del = _transformed_spec_fields(meta)
+        if any(
+            (e["data_file"].get("partition") or {}) for e in data_entries
+        ) and not pf_del and tr_fields_del is not None:
+            # transformed spec: rewrite the post-delete row set split
+            # by the evaluated transforms (prunability preserved)
+            commit_uuid = _uuid.uuid4().hex
+            new_adds = _transformed_split_write(
+                read_iceberg_lite(spark, table_path),
+                os.path.join(
+                    table_path, "data", f"compact-del-tr-{commit_uuid}"
+                ),
+                tr_fields_del,
+            )
+            _commit_rewrite_snapshot(
+                table_path, meta, [], new_adds,
+                [
+                    (pname, pname, vdt)
+                    for pname, _t, _s, _i, vdt in tr_fields_del
+                ],
+                snapshot_id=max(
+                    sn["snapshot-id"] for sn in meta["snapshots"]
+                ) + 1,
+                seq=int(meta.get("last-sequence-number") or 0) + 1,
+                now_ms=int(_time.time() * 1000),
+                commit_uuid=commit_uuid, operation="replace",
+                files_removed=len(data_entries),
+                files_added=len(new_adds),
+                removed_rows=0,
+            )
+            return {
+                "files_removed": len(data_entries),
+                "files_added": len(new_adds),
+                "deletes_applied": len(entries) - len(data_entries),
+            }
         if any(
             (e["data_file"].get("partition") or {}) for e in data_entries
         ) and not pf_del:
             raise NotImplementedError(
                 "compact_iceberg_lite: non-identity partition "
-                "transforms need the engine's partition-aware writer"
+                "transforms reference unknown source columns — the "
+                "engine's partition-aware writer is needed"
             )
         del_partitioned = bool(pf_del) and any(
             (e["data_file"].get("partition") or {}) for e in data_entries
@@ -2384,9 +2502,10 @@ def compact_iceberg_lite(
     if any((e.get("data_file") or {}).get("partition") for e in entries) and (
         not part_fields or spec_field_count != len(part_fields)
     ):
-        raise NotImplementedError(
-            "compact_iceberg_lite: non-identity partition transforms need "
-            "the engine's partition-aware writer"
+        # non-identity spec: bin-pack per RAW recorded partition tuple
+        # (compaction never changes rows, so tuples carry over verbatim)
+        return _compact_transformed(
+            spark, table_path, meta, entries, target_file_bytes, min_files
         )
     stats = {"files_removed": 0, "files_added": 0}
     spark_schema = _schema_to_spark(meta)

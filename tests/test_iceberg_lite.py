@@ -2280,3 +2280,73 @@ def test_iceberg_cow_upsert_on_transformed_spec(spark, tmp_path):
     assert {r["id"] for r in read_iceberg_lite(
         spark, table, where="id = 42"
     ).collect()} == {42}
+
+
+def test_iceberg_compaction_on_transformed_spec(spark, tmp_path):
+    """Compaction bin-packs a bucket-partitioned table per recorded
+    tuple; the row set is unchanged, pruning still works, and a
+    delete-applying compaction on the same layout also splits by the
+    evaluated transform."""
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        compact_iceberg_lite,
+        delete_iceberg_lite,
+        read_iceberg_lite,
+        resolve_iceberg_files,
+        write_iceberg_lite,
+    )
+
+    table = str(tmp_path / "ice_tr_comp")
+    meta_dir = os.path.join(table, "metadata")
+    os.makedirs(meta_dir)
+    meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000106",
+        "location": table,
+        "current-snapshot-id": -1,
+        "last-sequence-number": 0,
+        "schemas": [{
+            "schema-id": 0, "type": "struct",
+            "fields": [
+                {"id": 1, "name": "id", "required": False, "type": "long"},
+                {"id": 2, "name": "v", "required": False, "type": "double"},
+            ],
+        }],
+        "current-schema-id": 0,
+        "partition-specs": [{
+            "spec-id": 0,
+            "fields": [
+                {"name": "id_bucket", "transform": "bucket[2]",
+                 "source-id": 1, "field-id": 1000},
+            ],
+        }],
+        "default-spec-id": 0,
+        "snapshots": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    for batch in ([(i, float(i)) for i in range(4)],
+                  [(i, float(i)) for i in range(4, 8)]):
+        write_iceberg_lite(
+            spark.createDataFrame(batch, "id long, v double"), table,
+            mode="append",
+        )
+    before = {(r["id"], r["v"])
+              for r in read_iceberg_lite(spark, table).collect()}
+    files0, _, _, _ = resolve_iceberg_files(spark, table)
+    stats = compact_iceberg_lite(spark, table, min_files=2)
+    assert stats["files_removed"] >= 2
+    after = {(r["id"], r["v"])
+             for r in read_iceberg_lite(spark, table).collect()}
+    assert after == before
+    # pruning still works on the compacted layout
+    kept, _, _, _ = resolve_iceberg_files(spark, table, where="id = 3")
+    allf, _, _, _ = resolve_iceberg_files(spark, table)
+    assert len(kept) < len(allf)
+    # delete-applying compaction on the transformed layout
+    delete_iceberg_lite(spark, table, "id = 2", mode="merge-on-read")
+    cstats = compact_iceberg_lite(spark, table)
+    assert cstats["deletes_applied"] == 1
+    assert {r["id"] for r in read_iceberg_lite(spark, table).collect()} \
+        == {i for i in range(8) if i != 2}
+    _, pos_d, eq_d, _ = resolve_iceberg_files(spark, table)
+    assert pos_d == [] and eq_d == []
