@@ -1540,6 +1540,8 @@ def _upsert_cow_transformed(
     live: list[dict],
     df: DataFrame,
     on: str,
+    purge_keys: DataFrame | None = None,
+    insert_df: DataFrame | None = None,
 ) -> dict:
     """Copy-on-write UPSERT on a transformed-spec table: matched files
     rewrite under their RAW recorded partition tuple (transforms are
@@ -1556,7 +1558,10 @@ def _upsert_cow_transformed(
             "source columns — the engine's writer is needed"
         )
     schema = _schema_to_spark(meta)
-    keys = df.select(on).distinct()
+    keys = (
+        purge_keys if purge_keys is not None else df.select(on).distinct()
+    )
+    insert_frame = insert_df if insert_df is not None else df
     norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
     paths = [
         _localize(e["data_file"]["file_path"], table_path) for e in live
@@ -1591,9 +1596,9 @@ def _upsert_cow_transformed(
             .select(on)
             .distinct()
         )
-        n_inserted = df.join(tgt_keys, on, "left_anti").count()
+        n_inserted = insert_frame.join(tgt_keys, on, "left_anti").count()
     else:
-        n_inserted = df.count()
+        n_inserted = insert_frame.count()
 
     snapshot_id = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
     seq = int(meta.get("last-sequence-number") or 0) + 1
@@ -1623,7 +1628,7 @@ def _upsert_cow_transformed(
                 continue
             new_adds.append((p, pv))
     new_adds += _transformed_split_write(
-        df,
+        insert_frame,
         os.path.join(table_path, "data", f"upsert-tr-in-{commit_uuid}"),
         tr_fields,
     )
@@ -1794,9 +1799,9 @@ def upsert_iceberg_lite(
         tgt_keys = (
             union_scan(affected, with_file=False).select(on).distinct()
         )
-        n_inserted = df.join(tgt_keys, on, "left_anti").count()
+        n_inserted = insert_frame.join(tgt_keys, on, "left_anti").count()
     else:
-        n_inserted = df.count()
+        n_inserted = insert_frame.count()
 
     snapshot_id = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
     seq = int(meta.get("last-sequence-number") or 0) + 1
@@ -1982,6 +1987,23 @@ def apply_changes_iceberg_lite(
             "rows_matched": stats["rows_matched"],
         }
     part_fields = _identity_partition_fields(meta)
+    if any(
+        (e.get("data_file") or {}).get("partition") for e in live
+    ) and _transformed_spec_fields(meta) is not None:
+        # transformed spec: purge every changed key from the affected
+        # buckets (raw-tuple rewrites), re-insert only the non-delete
+        # survivors split by the evaluated transforms
+        stats = _upsert_cow_transformed(
+            spark, table_path, meta, live, upserts, on,
+            purge_keys=latest.select(on).distinct(),
+            insert_df=upserts,
+        )
+        return {
+            "files_rewritten": stats["files_rewritten"],
+            "files_added": stats["files_added"],
+            "rows_upserted": upserts.count(),
+            "rows_matched": stats["rows_updated"],
+        }
     scan, grouped, union_scan = _cow_scan_tools(
         spark, table_path, meta, part_fields
     )

@@ -2350,3 +2350,68 @@ def test_iceberg_compaction_on_transformed_spec(spark, tmp_path):
         == {i for i in range(8) if i != 2}
     _, pos_d, eq_d, _ = resolve_iceberg_files(spark, table)
     assert pos_d == [] and eq_d == []
+
+
+def test_iceberg_apply_changes_on_transformed_spec(spark, tmp_path):
+    """CDC apply on a bucket-partitioned table: deletes delete, updates
+    update, inserts insert — with the rewrites keeping the recorded
+    tuples and the inserts split by the evaluated transform."""
+    from pyspark.sql import Row
+
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        apply_changes_iceberg_lite,
+        read_iceberg_lite,
+        resolve_iceberg_files,
+        write_iceberg_lite,
+    )
+
+    table = str(tmp_path / "ice_tr_cdc")
+    meta_dir = os.path.join(table, "metadata")
+    os.makedirs(meta_dir)
+    meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000107",
+        "location": table,
+        "current-snapshot-id": -1,
+        "last-sequence-number": 0,
+        "schemas": [{
+            "schema-id": 0, "type": "struct",
+            "fields": [
+                {"id": 1, "name": "id", "required": False, "type": "long"},
+                {"id": 2, "name": "v", "required": False, "type": "double"},
+            ],
+        }],
+        "current-schema-id": 0,
+        "partition-specs": [{
+            "spec-id": 0,
+            "fields": [
+                {"name": "id_bucket", "transform": "bucket[2]",
+                 "source-id": 1, "field-id": 1000},
+            ],
+        }],
+        "default-spec-id": 0,
+        "snapshots": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    write_iceberg_lite(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(5)], "id long, v double"
+        ),
+        table, mode="append",
+    )
+    changes = spark.createDataFrame(
+        [
+            Row(id=1, v=10.0, _change_type="update_postimage",
+                _commit_version=1),
+            Row(id=2, v=2.0, _change_type="delete", _commit_version=1),
+            Row(id=9, v=9.0, _change_type="insert", _commit_version=1),
+        ]
+    )
+    apply_changes_iceberg_lite(changes, table, on="id")
+    got = {r["id"]: r["v"] for r in read_iceberg_lite(spark, table).collect()}
+    assert got == {0: 0.0, 1: 10.0, 3: 3.0, 4: 4.0, 9: 9.0}
+    # still prunable after the apply
+    kept, _, _, _ = resolve_iceberg_files(spark, table, where="id = 9")
+    allf, _, _, _ = resolve_iceberg_files(spark, table)
+    assert len(kept) < len(allf)
