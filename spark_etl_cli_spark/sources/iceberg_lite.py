@@ -1799,9 +1799,9 @@ def upsert_iceberg_lite(
         tgt_keys = (
             union_scan(affected, with_file=False).select(on).distinct()
         )
-        n_inserted = insert_frame.join(tgt_keys, on, "left_anti").count()
+        n_inserted = df.join(tgt_keys, on, "left_anti").count()
     else:
-        n_inserted = insert_frame.count()
+        n_inserted = df.count()
 
     snapshot_id = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
     seq = int(meta.get("last-sequence-number") or 0) + 1
