@@ -56,7 +56,9 @@ def export_iceberg_as_delta(spark: SparkSession, table_path: str) -> int:
     version by version. Live POSITION deletes export as delta
     DELETION VECTORS (sequence-scoped, protocol upgraded to reader
     3/writer 7); equality deletes refuse — run the delete-applying
-    compaction first — as do non-identity partition transforms.
+    compaction first. Non-identity partition specs export
+    UNPARTITIONED (delta can't express the transform; the files carry
+    every column physically, so only delta-side pruning is lost).
     """
     import time as _time
     import uuid as _uuid
@@ -145,9 +147,11 @@ def export_iceberg_as_delta(spark: SparkSession, table_path: str) -> int:
     if any(
         (e.get("data_file") or {}).get("partition") for e in entries
     ) and (not part_fields or spec_field_count != len(part_fields)):
-        raise NotImplementedError(
-            "delta export needs identity partition transforms"
-        )
+        # non-identity spec (bucket/truncate/temporal): delta cannot
+        # express the transform, but the data files carry every column
+        # physically, so the table exports UNPARTITIONED — correctness
+        # over delta-side partition pruning, documented
+        part_fields = []
     schema = _schema_to_spark(meta)
     part_cols = [pn for pn, _src, _dt in part_fields]
     now_ms = int(_time.time() * 1000)

@@ -413,3 +413,55 @@ def test_uniform_iceberg_position_deletes_export_as_dvs(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="EQUALITY"):
         export_iceberg_as_delta(spark, path)
+
+
+def test_uniform_transformed_iceberg_exports_as_unpartitioned_delta(
+    spark, tmp_path
+):
+    """A bucket-partitioned iceberg table exports to delta
+    UNPARTITIONED (delta can't express the transform; the files carry
+    every column physically) — identical rows, zero copy."""
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        write_iceberg_lite,
+    )
+    from spark_etl_cli_spark.sources.uniform import export_iceberg_as_delta
+
+    table = str(tmp_path / "ice_tr")
+    meta_dir = os.path.join(table, "metadata")
+    os.makedirs(meta_dir)
+    meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000108",
+        "location": table,
+        "current-snapshot-id": -1,
+        "last-sequence-number": 0,
+        "schemas": [{
+            "schema-id": 0, "type": "struct",
+            "fields": [
+                {"id": 1, "name": "id", "required": False, "type": "long"},
+                {"id": 2, "name": "v", "required": False, "type": "double"},
+            ],
+        }],
+        "current-schema-id": 0,
+        "partition-specs": [{
+            "spec-id": 0,
+            "fields": [
+                {"name": "id_bucket", "transform": "bucket[2]",
+                 "source-id": 1, "field-id": 1000},
+            ],
+        }],
+        "default-spec-id": 0,
+        "snapshots": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    write_iceberg_lite(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(6)], "id long, v double"
+        ),
+        table, mode="append",
+    )
+    export_iceberg_as_delta(spark, table)
+    assert _snap(read_delta_lite(spark, table)) == _snap(
+        read_iceberg_lite(spark, table)
+    )
