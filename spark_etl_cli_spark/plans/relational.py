@@ -1206,3 +1206,46 @@ _Q123_SQL = """
 def q123_grouping_id(spark, sf_dir):
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_Q123_SQL)
+
+
+# --- q156: bag-semantics set operations (INTERSECT ALL / EXCEPT ALL) ----
+# The multiset variants q21 doesn't cover: per duplicate-rich key,
+# INTERSECT ALL keeps min(count_a, count_b) copies and EXCEPT ALL keeps
+# count_a - count_b (clipped) — Spark's intersectAll/exceptAll, which
+# plan as aggregate+generate rather than joins. Output re-aggregated
+# per key so the result is small and order-free.
+@query(
+    "q156_bag_set_ops",
+    oracle="""
+    WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity < 10),
+         b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_discount > 0.05)
+    SELECT 'intersect_all' AS op, k, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+    GROUP BY k
+    UNION ALL
+    SELECT 'except_all' AS op, k, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+    GROUP BY k
+    """,
+)
+def q156_bag_set_ops(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") < 10).select(
+        F.col("l_suppkey").alias("k")
+    )
+    b = li.filter(F.col("l_discount") > 0.05).select(
+        F.col("l_suppkey").alias("k")
+    )
+    inter = (
+        a.intersectAll(b)
+        .groupBy("k")
+        .agg(bcount("n"))
+        .withColumn("op", F.lit("intersect_all"))
+    )
+    exc = (
+        a.exceptAll(b)
+        .groupBy("k")
+        .agg(bcount("n"))
+        .withColumn("op", F.lit("except_all"))
+    )
+    return inter.unionByName(exc).select("op", "k", "n")

@@ -875,3 +875,67 @@ def q155_dup_span_share(spark, sf_dir):
             F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
         )
     )
+
+
+# --- q157: cross-source contamination matrix ----------------------------
+# For every pair of sources, how many distinct 5-gram shingles they
+# SHARE — the decontamination-style overlap measure behind "is corpus B
+# already (partially) inside corpus A", computed before mixture
+# weighting. Scale: distinct (shingle, source) entries groupBy to
+# per-shingle source sets (bounded by #sources, not docs) with a
+# hot-shingle df-cap, pairs generate in-row, one count agg — never a
+# doc-level or shingle-level self-join. Integer-exact.
+_Q157_SH5 = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len(tk) - 4, 0)), "
+    "i -> array_to_string(tk[i:i+4], ' ')))"
+)
+
+
+@query(
+    "q157_cross_source_overlap",
+    oracle=f"""
+    WITH tk AS (SELECT source, {SQL_TOKENS} AS tk FROM documents),
+    ent AS (
+      SELECT DISTINCT source, u.s AS sh
+      FROM tk, UNNEST({_Q157_SH5}) AS u(s)
+    ),
+    sets AS (
+      SELECT sh, COUNT(DISTINCT source) AS ns FROM ent GROUP BY sh
+      HAVING COUNT(DISTINCT source) BETWEEN 2 AND 100
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_shingles
+    FROM ent a JOIN sets USING (sh) JOIN ent b
+      ON a.sh = b.sh AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def q157_cross_source_overlap(spark, sf_dir):
+    from spark_etl_cli_spark.functions.text import word_shingles
+
+    ent = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(word_shingles(F.col("text"), 5)).alias("sh"),
+        )
+        .distinct()
+    )
+    sets = (
+        ent.groupBy("sh")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .filter((F.size("srcs") >= 2) & (F.size("srcs") <= 100))
+    )
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(srcs, (a, i) -> "
+                "transform(slice(srcs, i + 2, size(srcs)), b -> "
+                "struct(a, b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(
+        F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("shared_shingles"))
