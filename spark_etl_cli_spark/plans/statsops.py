@@ -395,3 +395,70 @@ def q151_degree_powerlaw(spark, sf_dir):
     return group_regression(pts, "x", "y", ["g"]).select(
         F.col("n").alias("n_buckets"), "slope", "intercept", "r2"
     )
+
+
+# --- q158: MAD-based robust outliers ------------------------------------
+# Median-absolute-deviation outliers per language — the robust sibling
+# of q142's z-score (immune to the outliers it hunts). Entirely
+# INTEGER-exact: n_chars is a bigint, both medians are rank-SELECTED
+# (lower median at position (cnt+1)/2 under a value sort — the picked
+# VALUE is deterministic even with ties), deviations are integer abs.
+# Two per-group rank windows + two broadcast-size joins (one row per
+# language); no float accumulation anywhere.
+@query(
+    "q158_mad_outliers",
+    oracle="""
+    WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+    med AS (
+      SELECT lang, n_chars AS med FROM (
+        SELECT lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS cnt
+        FROM d
+      ) WHERE rn = (cnt + 1) // 2
+    ),
+    dev AS (
+      SELECT d.doc_id, d.lang, d.n_chars, med.med,
+             ABS(d.n_chars - med.med) AS adev
+      FROM d JOIN med USING (lang)
+    ),
+    mad AS (
+      SELECT lang, adev AS mad FROM (
+        SELECT lang, adev,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY adev) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS cnt
+        FROM dev
+      ) WHERE rn = (cnt + 1) // 2
+    )
+    SELECT doc_id, dev.lang, n_chars, dev.med, mad.mad
+    FROM dev JOIN mad USING (lang)
+    WHERE adev > 3 * mad.mad
+    """,
+)
+def q158_mad_outliers(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    wv = W.partitionBy("lang").orderBy("n_chars")
+    wall = W.partitionBy("lang")
+    med = (
+        d.withColumn("rn", F.row_number().over(wv))
+        .withColumn("cnt", F.count(F.lit(1)).over(wall))
+        .filter(F.col("rn") == F.floor((F.col("cnt") + 1) / F.lit(2)))
+        .select("lang", F.col("n_chars").alias("med"))
+    )
+    dev = d.join(F.broadcast(med), "lang").withColumn(
+        "adev", F.abs(F.col("n_chars") - F.col("med"))
+    )
+    wa = W.partitionBy("lang").orderBy("adev")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(wa))
+        .withColumn("cnt", F.count(F.lit(1)).over(wall))
+        .filter(F.col("rn") == F.floor((F.col("cnt") + 1) / F.lit(2)))
+        .select("lang", F.col("adev").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "lang")
+        .filter(F.col("adev") > 3 * F.col("mad"))
+        .select("doc_id", "lang", "n_chars", "med", "mad")
+    )
