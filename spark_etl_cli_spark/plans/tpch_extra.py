@@ -356,50 +356,31 @@ def q98_unpivot_measures(spark, sf_dir):
     )
 
 
-# --- q99: exact median without a percentile builtin ---------------------
-# Exact per-group median as the decimal mean of the middle one/two
-# order statistics (row_number over value, unique-key tie-break).
-# Engine-portable where percentile_cont interpolation is not
-# guaranteed bit-identical; one shuffle (window partition = group).
-# At 100 TB a full sort per group is the unavoidable cost of an
-# *exact* median; approx_percentile is the cheap alternative and
-# q75_sketch_aggregates covers it.
+# --- q99: exact per-group median ------------------------------------------
+# Exact median via the interpolating percentile AGGREGATE (Spark
+# percentile / DuckDB quantile_cont on double inputs — identical
+# lo + (hi - lo) * frac arithmetic, and l_quantity is integral 1..50 so
+# the interpolated value is k or k.5, exactly representable). r6
+# verdict #6: the previous rank-window form sorted every group through
+# ONE task; the aggregate form gets map-side partial aggregation —
+# partial buffers merge across executors, so a dominant group no longer
+# serializes. approx_percentile remains the cheap alternative
+# (q75_sketch_aggregates covers it).
 @query(
     "q99_exact_median",
     oracle="""
-    WITH ranked AS (
-      SELECT l_returnflag, CAST(l_quantity AS DECIMAL(18,4)) AS q,
-             ROW_NUMBER() OVER (
-               PARTITION BY l_returnflag
-               ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
-             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
-      FROM lineitem
-    )
     SELECT l_returnflag,
-           CAST(AVG(q) AS DOUBLE) AS median_qty,
-           CAST(MAX(n) AS BIGINT) AS n_rows
-    FROM ranked
-    WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS median_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
     GROUP BY l_returnflag
     """,
 )
 def q99_exact_median(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
-    w = W.partitionBy("l_returnflag").orderBy(
-        "l_quantity", "l_orderkey", "l_linenumber"
-    )
-    wn = W.partitionBy("l_returnflag")
-    ranked = li.select(
-        "l_returnflag",
-        dec(F.col("l_quantity"), 18, 4).alias("q"),
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
-    mid = ranked.filter(
-        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
-        | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
-    )
-    return mid.groupBy("l_returnflag").agg(
-        F.avg("q").cast("double").alias("median_qty"),
-        F.max("n").cast("bigint").alias("n_rows"),
+    return li.groupBy("l_returnflag").agg(
+        F.percentile(F.col("l_quantity").cast("double"), F.lit(0.5)).alias(
+            "median_qty"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
     )

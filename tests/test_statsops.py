@@ -481,3 +481,38 @@ def test_histogram_transform_rejects_degenerate_params():
         resolve_transform("a+b+histogram://?col=v&width=-2")
     with pytest.raises(ValueError, match="buckets >= 1"):
         resolve_transform("a+b+histogram://?col=v&width=5&buckets=0")
+
+
+def test_mad_outliers_nonvacuous_and_independent_reference(spark):
+    # r6 demerit: q158's oracle passed on a 0 = 0 multiset. Pin (a) the
+    # fixture yields rows at every gate scale, and (b) the values match
+    # an independent plain-Python MAD computation (interpolated median,
+    # same contract as Spark percentile / DuckDB quantile_cont).
+    rows = _rows(spark, "q158_mad_outliers")
+    assert len(rows) > 0, "q158 must not be vacuous at sf0.001"
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+        .collect()
+    )
+
+    def interp_median(vals):
+        s = sorted(vals)
+        n = len(s)
+        pos = 0.5 * (n - 1)
+        lo, hi = s[int(math.floor(pos))], s[int(math.ceil(pos))]
+        return lo + (hi - lo) * (pos - math.floor(pos))
+
+    by_lang = {}
+    for r in docs:
+        by_lang.setdefault(r["lang"], []).append(r)
+    expect = set()
+    for lang, rs in by_lang.items():
+        med = interp_median([r["n_chars"] for r in rs])
+        mad = interp_median([abs(r["n_chars"] - med) for r in rs])
+        for r in rs:
+            if abs(r["n_chars"] - med) > 2 * mad:
+                expect.add((r["doc_id"], lang, r["n_chars"], med, mad))
+    got = {(r["doc_id"], r["lang"], r["n_chars"], r["med"], r["mad"]) for r in rows}
+    assert got == expect
