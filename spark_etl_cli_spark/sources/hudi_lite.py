@@ -550,11 +550,7 @@ def _read_hudi_incremental_mor(
     hi = str(end_instant) if end_instant is not None else instants[-1][0]
     lo = str(begin_instant)
     upto_end = [i for i in instants if i[0] <= hi]
-    action_of = {i[0]: i[1] for i in upto_end}
     groups = _live_file_slices(table_path, upto_end)
-    live_begin = _live_file_slices(
-        table_path, [i for i in instants if i[0] <= lo]
-    )
     snapshot = _mor_snapshot_df(
         spark, table_path, groups, record_key, keep_fid=True
     )
@@ -563,12 +559,49 @@ def _read_hudi_incremental_mor(
         F.lit(None).cast("string").alias(_HOODIE_TS_COL), *payload
     ).limit(0)
 
+    # One timeline pass collecting, per live file group:
+    #   - log files RECORDED by an in-range deltacommit (every append
+    #     re-records its log path in that commit's write stats, so this
+    #     is exactly the set of files that can hold in-range blocks).
+    #     The LIVE slice's log list is the wrong source here: a
+    #     compaction inside (lo, hi] starts a new slice and RESETS the
+    #     accumulated logs, silently dropping pre-compaction in-range
+    #     changes (r6 ADVICE, high).
+    #   - the group's CREATION instant (first base file in the
+    #     timeline). The live slice's base_ts is the wrong source for
+    #     "new group in range": a compaction replaces it with the
+    #     compaction's own 'commit' instant, dropping groups that were
+    #     inserted and then compacted inside the range.
+    live_fids = {fid for (_part, fid) in groups}
+    log_set: set[tuple[str, str]] = set()
+    created: dict[tuple[str, str], tuple[str, str]] = {}
+    for c_ts, c_action, c_path in upto_end:
+        with open(c_path) as fh:
+            c_commit = json.load(fh)
+        for c_part, c_stats in (
+            c_commit.get("partitionToWriteStats") or {}
+        ).items():
+            for st in c_stats:
+                c_fid = st.get("fileId") or st["path"]
+                if ".log." in os.path.basename(st["path"]):
+                    if (
+                        c_action == "deltacommit"
+                        and lo < c_ts <= hi
+                        and c_fid in live_fids
+                    ):
+                        log_set.add((
+                            os.path.abspath(
+                                os.path.join(table_path, st["path"])
+                            ),
+                            c_fid,
+                        ))
+                else:
+                    created.setdefault((c_part, c_fid), (c_ts, c_action))
+
     # (a) keys touched by in-range log blocks, with the block instant
-    logs = [
-        (os.path.abspath(lp), fid)
-        for (part, fid), ent in sorted(groups.items())
-        for lp in ent["logs"]
-    ]
+    # (the block-header instant filter below selects the in-range rows
+    # out of files that also carry blocks from other instants)
+    logs = sorted(log_set)
     key_pieces = []
     if logs:
         paths_df = spark.createDataFrame(logs, "path string, fid string")
@@ -613,16 +646,18 @@ def _read_hudi_incremental_mor(
                 "__fid string, __key string, __instant string",
             )
         )
-    # (b) rows of NEW file groups whose base deltacommit is in range
-    # (inserts; compaction commits rewrite unchanged rows and are
-    # excluded by the action check)
+    # (b) rows of file groups CREATED by an in-range deltacommit
+    # (inserts; compaction/replace commits rewrite unchanged rows and
+    # are excluded by the creation-action check — and because creation
+    # is the FIRST base instant, a later in-range compaction cannot
+    # mask an in-range insert)
     new_fids = {
-        fid: ent["base_ts"]
+        fid: created[(part, fid)][0]
         for (part, fid), ent in groups.items()
         if ent["base"]
-        and lo < (ent["base_ts"] or "") <= hi
-        and (part, fid) not in live_begin
-        and action_of.get(ent["base_ts"]) == "deltacommit"
+        and (part, fid) in created
+        and lo < created[(part, fid)][0] <= hi
+        and created[(part, fid)][1] == "deltacommit"
     }
     if new_fids:
         fid_ts = spark.createDataFrame(

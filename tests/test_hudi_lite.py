@@ -1377,3 +1377,48 @@ def test_cross_format_cdc_delta_to_hudi(spark, tmp_path):
     delete_delta_lite(spark, src_path, "id = 3")
     replicate()
     assert snap_hudi() == snap_delta()
+
+
+def test_incremental_mor_survives_compaction_inside_range(spark, tmp_path):
+    """r6 ADVICE (high): a compaction landing INSIDE (begin, end] must
+    not hide changes — the pre-compaction log blocks vanish from the
+    live slice (new base resets the group's logs) and the compacted
+    group fails the old base-instant action check. Both paths must
+    still report the in-range changes at their snapshot state."""
+    from spark_etl_cli_spark.sources.hudi_lite import (
+        compact_hudi_mor_lite,
+        read_hudi_incremental,
+        write_hudi_lite,
+    )
+
+    path = str(tmp_path / "tbl")
+    ts0 = write_hudi_lite(
+        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(4)]),
+        path, record_key="id", table_type="MERGE_ON_READ",
+    )
+    # in-range change 1: log-block update of id=1, plus a NEW file
+    # group for id=9 (insert) in the same deltacommit
+    write_hudi_lite(
+        spark.createDataFrame([Row(id=1, v=100.0), Row(id=9, v=9.0)]),
+        path, mode="upsert", record_key="id",
+    )
+    # compaction lands INSIDE the queried range: new base files for
+    # every log-carrying group, logs reset
+    compact_hudi_mor_lite(spark, path)
+    inc = read_hudi_incremental(spark, path, begin_instant=ts0)
+    assert {(r["id"], r["v"]) for r in inc.collect()} == {
+        (1, 100.0), (9, 9.0),
+    }
+    # post-compaction log change in the same pull window still reports,
+    # served at the latest snapshot state
+    ts2 = write_hudi_lite(
+        spark.createDataFrame([Row(id=2, v=200.0)]),
+        path, mode="upsert", record_key="id",
+    )
+    inc2 = read_hudi_incremental(spark, path, begin_instant=ts0)
+    assert {(r["id"], r["v"]) for r in inc2.collect()} == {
+        (1, 100.0), (9, 9.0), (2, 200.0),
+    }
+    # and a range that starts AT the compaction still sees only ts2
+    got = read_hudi_incremental(spark, path, begin_instant=ts2)
+    assert got.count() == 0
