@@ -2714,17 +2714,27 @@ def merge_delta_lite(
         "rows_deleted": 0,
     }
     now_ms = int(time.time() * 1000)
+    # every clause condition coalesces to FALSE on NULL: the rewrite
+    # filters NEGATE these (survivor = ~(matched & del_cond) & ~nmbs_del)
+    # and a NULL propagating through ~ silently DELETES the row while
+    # the count probes (plain .filter) treat the same NULL as false —
+    # rows vanished and the stats undercounted (r6 ADVICE, medium; same
+    # pattern as _delete_cow_transformed).
     match_cond = (
-        F.expr(matched_condition) if matched_condition else F.lit(True)
+        F.coalesce(F.expr(matched_condition), F.lit(False))
+        if matched_condition
+        else F.lit(True)
     )
     del_cond = (
-        F.expr(delete_condition) if delete_condition else F.lit(False)
+        F.coalesce(F.expr(delete_condition), F.lit(False))
+        if delete_condition
+        else F.lit(False)
     )
     # a matched row lands in exactly one clause, DELETE checked first
     upd_mask = (match_cond & ~del_cond) if update_set else F.lit(False)
     touch_mask = del_cond | upd_mask
     nmbs_cond = (
-        F.expr(not_matched_by_source_condition)
+        F.coalesce(F.expr(not_matched_by_source_condition), F.lit(False))
         if not_matched_by_source_condition
         else F.lit(True)
     )

@@ -1372,8 +1372,10 @@ def apply_changes_hudi_lite(
         tbl_cols = set(
             read_hudi_lite(changes.sparkSession, table_path).columns
         )
+        # stripped names: '?sequence=a, ts_ms' must exclude 'ts_ms',
+        # not ' ts_ms' (r6 ADVICE, low — same fix as the iceberg apply)
         seq_meta = {
-            c
+            c.strip()
             for c in sequence_col.split(",")
             if c.strip() and c.strip() not in tbl_cols
         }

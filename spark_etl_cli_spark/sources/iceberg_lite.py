@@ -1523,7 +1523,11 @@ def _transformed_split_write(
         for seg in ([] if rel == "." else rel.split(os.sep)):
             if "=" in seg:
                 k, v = seg.split("=", 1)
-                raw[k.removeprefix("__ip_")] = _uq(v)
+                # keep the segment ENCODED: _hive_value does the single
+                # decode — decoding here too double-decoded values with
+                # %XX-looking sequences (a literal '%25') and corrupted
+                # the recorded manifest partition value (r6 ADVICE, low)
+                raw[k.removeprefix("__ip_")] = v
         adds.append(
             (p, {
                 pname: _hive_value(raw.get(pname), vdt)
@@ -1912,8 +1916,11 @@ def apply_changes_iceberg_lite(
         tbl_cols = {
             f.name for f in _schema_to_spark(_load_metadata(table_path)).fields
         }
+        # store the STRIPPED name: '?sequence=a, ts_ms' must exclude
+        # 'ts_ms', not ' ts_ms' which never matches a real column and
+        # leaked the transport column into the table (r6 ADVICE, low)
         seq_meta = {
-            c
+            c.strip()
             for c in sequence_col.split(",")
             if c.strip() and c.strip() not in tbl_cols
         }

@@ -204,11 +204,25 @@ def spark_transform_column(transform: str, col, spark_dt):
             return F.substring(col, 1, w)
         # floored modulo: v - (((v % W) + W) % W)
         return (col - (((col % w) + w) % w)).cast(spark_dt)
+    # year/month on TIMESTAMPS must come from UTC epoch micros, like
+    # day/hour below — F.year/F.month render in the SESSION timezone,
+    # so in a non-UTC session the recorded partition value would
+    # diverge from apply_transform's UTC ordinal and equality pruning
+    # could drop files that contain matching rows (r6 ADVICE, medium).
+    def _utc_date(c):
+        if isinstance(spark_dt, T.TimestampType):
+            return F.date_add(
+                F.lit("1970-01-01").cast("date"),
+                F.floor(F.unix_micros(c) / F.lit(86_400_000_000)).cast("int"),
+            )
+        return c
+
     if t in ("year", "years"):
-        return (F.year(col) - F.lit(1970)).cast("int")
+        return (F.year(_utc_date(col)) - F.lit(1970)).cast("int")
     if t in ("month", "months"):
+        d = _utc_date(col)
         return (
-            (F.year(col) - F.lit(1970)) * 12 + F.month(col) - F.lit(1)
+            (F.year(d) - F.lit(1970)) * 12 + F.month(d) - F.lit(1)
         ).cast("int")
     if t in ("day", "days"):
         if isinstance(spark_dt, T.DateType):

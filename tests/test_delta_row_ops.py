@@ -2130,3 +2130,45 @@ def test_overwrite_on_column_mapped_table(spark, tmp_path):
     alter_delta_lite(spark, path, rename={"tag": "label"})
     assert {r["label"] for r in read_delta_lite(spark, path).collect()} \
         == {"x"}
+
+
+def test_merge_null_conditions_leave_rows_untouched(spark, tmp_path):
+    """r6 ADVICE (medium): a clause condition that evaluates to NULL is
+    NOT satisfied — the row must survive unchanged. The rewrite filter
+    negates the conditions (~NULL = NULL = dropped = silently deleted)
+    while the count probes treated the same NULL as false, so rows
+    vanished without being counted. Covers both the NMBS delete
+    condition and the matched-DELETE condition."""
+    from spark_etl_cli_spark.sources.delta_lite import merge_delta_lite
+
+    path = str(tmp_path / "tbl")
+    write_delta_lite(
+        spark.createDataFrame(
+            [
+                Row(id=0, v=0.0, flag=True),
+                Row(id=1, v=1.0, flag=None),   # NULL: NMBS cond -> NULL
+                Row(id=2, v=2.0, flag=False),
+                Row(id=3, v=3.0, flag=None),   # NULL: matched-del cond -> NULL
+                Row(id=4, v=4.0, flag=True),
+            ]
+        ),
+        path,
+    )
+    src = spark.createDataFrame(
+        [Row(id=3, v=30.0, flag=None), Row(id=4, v=40.0, flag=True)]
+    )
+    stats = merge_delta_lite(
+        src, path, on="id",
+        update_set={"v": "source.v"},
+        delete_condition="target.flag",          # NULL for id=3
+        not_matched_by_source="delete",
+        not_matched_by_source_condition="target.flag",  # NULL for id=1
+    )
+    # id=4 matched + flag true -> deleted; id=3 matched + flag NULL ->
+    # condition not satisfied -> UPDATED (falls to the update clause);
+    # id=0 source-absent + flag true -> deleted; id=1 flag NULL and
+    # id=2 flag false -> survive untouched
+    assert stats["rows_deleted"] == 2
+    assert stats["rows_updated"] == 1
+    got = {r["id"]: r["v"] for r in read_delta_lite(spark, path).collect()}
+    assert got == {1: 1.0, 2: 2.0, 3: 30.0}

@@ -1422,3 +1422,31 @@ def test_incremental_mor_survives_compaction_inside_range(spark, tmp_path):
     # and a range that starts AT the compaction still sees only ts2
     got = read_hudi_incremental(spark, path, begin_instant=ts2)
     assert got.count() == 0
+
+
+def test_hudi_apply_changes_sequence_with_spaces_stays_out_of_table(
+    spark, tmp_path
+):
+    """r6 ADVICE (low): '?sequence=v, ts_ms' stored the unstripped
+    token ' ts_ms' in seq_meta, which never matched the real column —
+    the transport column leaked into the written rows."""
+    from spark_etl_cli_spark.sources.hudi_lite import (
+        apply_changes_hudi_lite,
+        read_hudi_lite,
+        write_hudi_lite,
+    )
+
+    path = str(tmp_path / "hudi_cdc_strip")
+    write_hudi_lite(
+        spark.createDataFrame([Row(id=1, v=1.0)]), path, record_key="id"
+    )
+    seq = spark.createDataFrame(
+        [
+            Row(id=1, v=10.0, _change_type="update_postimage", ts_ms=200),
+            Row(id=2, v=2.0, _change_type="insert", ts_ms=100),
+        ]
+    )
+    apply_changes_hudi_lite(seq, path, on="id", sequence_col="v, ts_ms")
+    out = read_hudi_lite(spark, path)
+    assert "ts_ms" not in out.columns
+    assert {r["id"]: r["v"] for r in out.collect()} == {1: 10.0, 2: 2.0}

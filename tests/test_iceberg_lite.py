@@ -2415,3 +2415,105 @@ def test_iceberg_apply_changes_on_transformed_spec(spark, tmp_path):
     kept, _, _, _ = resolve_iceberg_files(spark, table, where="id = 9")
     allf, _, _, _ = resolve_iceberg_files(spark, table)
     assert len(kept) < len(allf)
+
+
+def test_iceberg_apply_changes_sequence_with_spaces_stays_out_of_table(
+    spark, tmp_path
+):
+    """r6 ADVICE (low): seq_meta stored unstripped '?sequence=' tokens,
+    so ' ts_ms' never matched and the transport column leaked into the
+    written table rows."""
+    from pyspark.sql import Row
+
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        apply_changes_iceberg_lite,
+        read_iceberg_lite,
+        write_iceberg_lite,
+    )
+
+    table = str(tmp_path / "ice_cdc_strip")
+    write_iceberg_lite(
+        spark.createDataFrame([Row(id=1, v=1.0)]), table
+    )
+    seq = spark.createDataFrame(
+        [
+            Row(id=1, v=10.0, _change_type="update_postimage", ts_ms=200),
+            Row(id=2, v=2.0, _change_type="insert", ts_ms=100),
+        ]
+    )
+    apply_changes_iceberg_lite(seq, table, on="id", sequence_col="v, ts_ms")
+    out = read_iceberg_lite(spark, table)
+    assert "ts_ms" not in out.columns
+    assert {r["id"]: r["v"] for r in out.collect()} == {1: 10.0, 2: 2.0}
+
+
+def test_iceberg_transformed_insert_percent_values_stay_prunable(
+    spark, tmp_path
+):
+    """r6 ADVICE (low): _transformed_split_write URL-decoded the hive
+    dir segment and then _hive_value decoded AGAIN — a truncate value
+    that itself contains a %XX-looking sequence (literal '%254') was
+    double-decoded, corrupting the recorded manifest partition value
+    and breaking equality pruning for those files."""
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        read_iceberg_lite,
+        resolve_iceberg_files,
+        upsert_iceberg_lite,
+        write_iceberg_lite,
+    )
+
+    table = str(tmp_path / "ice_tr_pct")
+    meta_dir = os.path.join(table, "metadata")
+    os.makedirs(meta_dir)
+    meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000115",
+        "location": table,
+        "current-snapshot-id": -1,
+        "last-sequence-number": 0,
+        "schemas": [{
+            "schema-id": 0, "type": "struct",
+            "fields": [
+                {"id": 1, "name": "id", "required": False, "type": "long"},
+                {"id": 2, "name": "name", "required": False,
+                 "type": "string"},
+            ],
+        }],
+        "current-schema-id": 0,
+        "partition-specs": [{
+            "spec-id": 0,
+            "fields": [
+                {"name": "name_trunc", "transform": "truncate[4]",
+                 "source-id": 2, "field-id": 1000},
+            ],
+        }],
+        "default-spec-id": 0,
+        "snapshots": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    write_iceberg_lite(
+        spark.createDataFrame(
+            [(1, "alpha"), (2, "beta")], "id long, name string"
+        ),
+        table, mode="append",
+    )
+    # the INSERT path of upsert goes through _transformed_split_write;
+    # truncate[4]('%2541x') = '%254' — a valid %XX sequence post-decode
+    upsert_iceberg_lite(
+        spark.createDataFrame([(9, "%2541x")], "id long, name string"),
+        table, on="id",
+    )
+    # recorded manifest value must be '%254' (single decode), so the
+    # equality predicate keeps the new file and prunes the others —
+    # poison everything else to prove the kept set is sufficient
+    kept, _, _, _ = resolve_iceberg_files(
+        spark, table, where="name = '%2541x'"
+    )
+    all_files, _, _, _ = resolve_iceberg_files(spark, table)
+    assert len(kept) < len(all_files)
+    for p in set(all_files) - set(kept):
+        with open(p, "wb") as fh:
+            fh.write(b"poisoned")
+    out = read_iceberg_lite(spark, table, where="name = '%2541x'")
+    assert {(r["id"], r["name"]) for r in out.collect()} == {(9, "%2541x")}

@@ -105,6 +105,8 @@ def test_spark_transform_parity_with_literal_transforms(spark):
         ("bucket[4]", tss, "timestamp", T.TimestampType()),
         ("hour", tss, "timestamp", T.TimestampType()),
         ("day", tss, "timestamp", T.TimestampType()),
+        ("month", tss, "timestamp", T.TimestampType()),
+        ("year", tss, "timestamp", T.TimestampType()),
     ]
     for transform, values, ityp, sdt in cases:
         df = spark.createDataFrame(
@@ -118,3 +120,49 @@ def test_spark_transform_parity_with_literal_transforms(spark):
         ]
         want = [apply_transform(transform, v, ityp) for v in values]
         assert got == want, (transform, ityp, got, want)
+
+
+def test_temporal_transforms_are_utc_in_non_utc_session(spark):
+    """r6 ADVICE (medium): year/month on TIMESTAMPS must be computed
+    from UTC epoch micros like day/hour — F.year/F.month render in the
+    session timezone, so under a non-UTC session the write path's
+    recorded partition values diverged from apply_transform's UTC
+    ordinals and equality pruning could drop matching files. Pin parity
+    under a non-UTC session at instants that cross UTC year/month
+    boundaries when rendered in that zone."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from spark_etl_cli_spark.sources.iceberg_transforms import (
+        spark_transform_column,
+    )
+
+    # instants that flip year/month when rendered in LA (-8h): just
+    # after UTC midnight on year/month starts, plus pre-epoch ones
+    micros = [
+        30 * 60 * 1_000_000,                    # 1970-01-01 00:30 UTC
+        1_512_086_400_000_000 + 60_000_000,     # 2017-12-01 00:01 UTC
+        1_514_764_800_000_000 + 1,              # 2018-01-01 00:00 UTC
+        -3_600_000_000,                         # 1969-12-31 23:00 UTC
+    ]
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        df = spark.createDataFrame(
+            [(m,) for m in micros], "m long"
+        ).select(F.timestamp_micros(F.col("m")).alias("x"), "m")
+        for transform in ("year", "month", "day", "hour", "bucket[4]"):
+            got = [
+                r["t"]
+                for r in df.select(
+                    spark_transform_column(
+                        transform, F.col("x"), T.TimestampType()
+                    ).alias("t")
+                ).collect()
+            ]
+            want = [
+                apply_transform(transform, m, "timestamp") for m in micros
+            ]
+            assert got == want, (transform, got, want)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
