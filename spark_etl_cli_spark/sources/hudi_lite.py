@@ -1104,9 +1104,12 @@ def _mor_upsert_commit(
     targets = _mor_log_targets(groups)
     # partitioned tables: partition columns live inside the rows, so a
     # matched row's log block lands in its group's existing partition
-    # path with no extra routing; the only new hazard is an update that
-    # MOVES a key across partitions — its log row would be served under
-    # the OLD partition path and break ?where= pruning, so it is fenced
+    # path with no extra routing. An update that MOVES a key across
+    # partitions becomes delete-in-old-group (a DELETE log block) +
+    # insert-in-new-partition (a new file group), BOTH under this one
+    # deltacommit — the timeline instant is claimed O_EXCL after every
+    # file lands, so readers never see the half-applied state and a
+    # crashed writer leaves only orphan files outside the timeline.
     key_fid = merged.select(
         F.col(record_key).alias("__k"),
         "__fid",
@@ -1114,24 +1117,21 @@ def _mor_upsert_commit(
     ).distinct()
     incoming = df.withColumn("__k", F.col(record_key))
     matched = incoming.join(key_fid, "__k", "inner").drop("__k")
+    moved_rows = None
     if pcols:
-        moved = matched.filter(
-            ~F.expr(
-                " AND ".join(
-                    f"(`{c}` <=> `__old_{c}`)" for c in pcols
-                )
-            )
-        ).head(1)
-        if moved:
-            raise NotImplementedError(
-                "hudi_lite MOR upsert cannot move a record key across "
-                f"partitions (key {moved[0][record_key]!r}); delete the "
-                "old row first, or use a COPY_ON_WRITE table"
-            )
+        same_part = F.expr(
+            " AND ".join(f"(`{c}` <=> `__old_{c}`)" for c in pcols)
+        )
+        moved_rows = matched.filter(~same_part).select(*df.columns, "__fid")
+        matched = matched.filter(same_part)
     matched = matched.drop(*[f"__old_{c}" for c in pcols])
     unmatched = incoming.join(key_fid.select("__k"), "__k", "left_anti").drop(
         "__k"
     )
+    if moved_rows is not None:
+        # the moved rows' NEW versions insert like unmatched rows —
+        # they land hive-split under their new partition values
+        unmatched = unmatched.unionByName(moved_rows.select(*df.columns))
 
     avro_schema = spark_to_avro_schema(df.schema)
     schema_json = json.dumps(avro_schema)
@@ -1163,6 +1163,43 @@ def _mor_upsert_commit(
         .mapInPandas(append_blocks, "fid string, part string, rel string, rows long")
         .collect()
     )
+
+    if moved_rows is not None:
+        # DELETE blocks tombstone the moved keys in their OLD groups
+        # (same log files, same instant); runs AFTER the data-block job
+        # so the two single-writer-per-fid jobs never interleave on a
+        # shared log file, and file sizes are final at stats-merge time
+        def append_move_deletes(batches):
+            import pandas as pd
+
+            from spark_etl_cli_spark.sources.hudi_log import (
+                append_delete_block,
+            )
+
+            for pdf in batches:
+                for fid, g in pdf.groupby("__fid"):
+                    part, rel = targets[fid]
+                    path = os.path.join(table_path, rel)
+                    os.makedirs(os.path.dirname(path), exist_ok=True)
+                    dkeys = [(str(k), part or None) for k in g["__rk"]]
+                    append_delete_block(path, dkeys, ts)
+                    yield pd.DataFrame(
+                        [{"fid": fid, "part": part, "rel": rel,
+                          "rows": len(dkeys)}]
+                    )
+
+        stats += (
+            moved_rows.select(
+                F.col(record_key).cast("string").alias("__rk"), "__fid"
+            )
+            .repartition("__fid")
+            .mapInPandas(
+                append_move_deletes,
+                "fid string, part string, rel string, rows long",
+            )
+            .collect()
+        )
+
     per_part: dict[str, list[dict]] = {}
     seen: dict[str, dict] = {}
     for r in stats:

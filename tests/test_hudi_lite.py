@@ -828,14 +828,27 @@ def test_hudi_mor_upsert_partitioned_round_trip(spark, tmp_path):
     # partition pruning via ?where= still serves the right slices
     p2 = read_hudi_lite(spark, table, where="part = 'p2'")
     assert {(r.id, r.v) for r in p2.collect()} == {(3, "C"), (4, "d")}
-    # a partition-moving update is fenced, not silently mis-served
-    with pytest.raises(NotImplementedError, match="across"):
-        write_hudi_lite(
-            spark.createDataFrame(
-                [(1, "moved", "p2")], "id long, v string, part string"
-            ),
-            table, mode="upsert", record_key="id",
-        )
+    # a partition-moving update round-trips (r6 fence closed): the key
+    # tombstones in its old group via a DELETE log block and re-inserts
+    # as a new file group under the new partition, one deltacommit
+    write_hudi_lite(
+        spark.createDataFrame(
+            [(1, "moved", "p2")], "id long, v string, part string"
+        ),
+        table, mode="upsert", record_key="id",
+    )
+    expect = (expect - {(1, "A", "p1")}) | {(1, "moved", "p2")}
+    got_mv = {(r.id, r.v, r.part)
+              for r in read_hudi_lite(spark, table).collect()}
+    assert got_mv == expect
+    # the moved key is served under its NEW partition path, and the old
+    # partition no longer claims it
+    assert {(r.id, r.v) for r in read_hudi_lite(
+        spark, table, where="part = 'p2'"
+    ).collect()} == {(1, "moved"), (3, "C"), (4, "d")}
+    assert {(r.id, r.v) for r in read_hudi_lite(
+        spark, table, where="part = 'p1'"
+    ).collect()} == {(2, "b")}
     # file-level pruning proof: poison EVERY file under partition p1
     # (base + logs); the pruned p2 read never opens them
     import shutil as _sh
@@ -849,7 +862,8 @@ def test_hudi_mor_upsert_partitioned_round_trip(spark, tmp_path):
             with open(f, "wb") as fh:
                 fh.write(b"poisoned")
     p2b = read_hudi_lite(spark, table, where="part = 'p2'")
-    assert {(r.id, r.v) for r in p2b.collect()} == {(3, "C"), (4, "d")}
+    assert {(r.id, r.v) for r in p2b.collect()} == {
+        (1, "moved"), (3, "C"), (4, "d")}
     _sh.rmtree(os.path.join(table, "part=p1"))
     _sh.copytree(backup, os.path.join(table, "part=p1"))
     # compaction materializes merged per-partition base files; the
@@ -1450,3 +1464,32 @@ def test_hudi_apply_changes_sequence_with_spaces_stays_out_of_table(
     out = read_hudi_lite(spark, path)
     assert "ts_ms" not in out.columns
     assert {r["id"]: r["v"] for r in out.collect()} == {1: 10.0, 2: 2.0}
+
+
+def test_incremental_mor_partition_moving_upsert(spark, tmp_path):
+    """A partition-moving upsert shows up in the incremental pull as
+    the key's NEW row (new partition), exactly once."""
+    from spark_etl_cli_spark.sources.hudi_lite import (
+        read_hudi_incremental,
+        write_hudi_lite,
+    )
+
+    table = str(tmp_path / "mor_move_inc")
+    ts0 = write_hudi_lite(
+        spark.createDataFrame(
+            [(1, "a", "p1"), (2, "b", "p2")],
+            "id long, v string, part string",
+        ),
+        table, record_key="id", table_type="MERGE_ON_READ",
+        partition_by=["part"],
+    )
+    write_hudi_lite(
+        spark.createDataFrame(
+            [(1, "A", "p2")], "id long, v string, part string"
+        ),
+        table, mode="upsert", record_key="id",
+    )
+    inc = read_hudi_incremental(spark, table, begin_instant=ts0)
+    assert [(r["id"], r["v"], r["part"]) for r in inc.collect()] == [
+        (1, "A", "p2")
+    ]
