@@ -564,44 +564,82 @@ def read_iceberg_lite(
     # their footers resolve columns through this name→id mapping — the
     # UniForm path, where delta-written parquet carries PHYSICAL
     # (col-<uuid>) names for column-mapped tables. Read with the mapped
-    # file names, serve the logical ones.
-    file_name_of: dict[str, str] = {}
+    # file names, serve the logical ones. Mapping entries recurse
+    # through "fields", so NESTED struct fields rename too; the restore
+    # is a positional struct cast back to the logical datatype.
     nm_raw = (meta.get("properties") or {}).get(
         "schema.name-mapping.default"
     )
+    _phys_field = None
     if nm_raw:
-        id_to_file_name = {
-            e["field-id"]: e["names"][0]
-            for e in json.loads(nm_raw)
-            if e.get("names")
+        id_to_file_name: dict[int, str] = {}
+
+        def _nm_flat(entries) -> None:
+            for e in entries:
+                if e.get("names") and e.get("field-id") is not None:
+                    id_to_file_name[e["field-id"]] = e["names"][0]
+                if e.get("fields"):
+                    _nm_flat(e["fields"])
+
+        _nm_flat(json.loads(nm_raw))
+        ice_field_of = {
+            f["name"]: f for f in _current_schema(meta).get("fields", [])
         }
-        for f in _current_schema(meta).get("fields", []):
-            mapped = id_to_file_name.get(f["id"])
-            if mapped and mapped != f["name"]:
-                file_name_of[f["name"]] = mapped
+
+        def _phys_type(ice_t, dt):
+            if isinstance(dt, T.StructType) and isinstance(ice_t, dict) \
+                    and ice_t.get("type") == "struct":
+                return T.StructType([
+                    T.StructField(
+                        id_to_file_name.get(fe["id"], sf.name),
+                        _phys_type(fe["type"], sf.dataType),
+                        sf.nullable,
+                    )
+                    for fe, sf in zip(ice_t["fields"], dt.fields)
+                ])
+            if isinstance(dt, T.ArrayType) and isinstance(ice_t, dict) \
+                    and ice_t.get("type") == "list":
+                return T.ArrayType(
+                    _phys_type(ice_t["element"], dt.elementType),
+                    dt.containsNull,
+                )
+            if isinstance(dt, T.MapType) and isinstance(ice_t, dict) \
+                    and ice_t.get("type") == "map":
+                return T.MapType(
+                    _phys_type(ice_t["key"], dt.keyType),
+                    _phys_type(ice_t["value"], dt.valueType),
+                    dt.valueContainsNull,
+                )
+            return dt
+
+        def _phys_field(sf: T.StructField) -> T.StructField:
+            fe = ice_field_of.get(sf.name)
+            if fe is None:
+                return sf
+            return T.StructField(
+                id_to_file_name.get(fe["id"], sf.name),
+                _phys_type(fe["type"], sf.dataType),
+                sf.nullable,
+            )
 
     def scan(paths: list[str], schema: T.StructType, extra) -> DataFrame:
-        read_schema = (
-            T.StructType(
-                [
-                    T.StructField(
-                        file_name_of.get(f.name, f.name),
-                        f.dataType,
-                        f.nullable,
-                    )
-                    for f in schema.fields
-                ]
-            )
-            if file_name_of
-            else schema
+        read_fields = (
+            [_phys_field(f) for f in schema.fields]
+            if _phys_field
+            else list(schema.fields)
         )
+        renamed = read_fields != list(schema.fields)
+        read_schema = T.StructType(read_fields) if renamed else schema
         d = spark.read.schema(read_schema).parquet(*paths)
-        if file_name_of:
-            # restore logical names (+ keep metadata cols reachable)
-            sel = [
-                F.col(rf.name).alias(f.name)
-                for rf, f in zip(read_schema.fields, schema.fields)
-            ]
+        if renamed:
+            # restore logical names (+ keep metadata cols reachable);
+            # nested renames restore through a positional struct cast
+            sel = []
+            for rf, f in zip(read_schema.fields, schema.fields):
+                col = F.col(rf.name)
+                if rf.dataType != f.dataType:
+                    col = col.cast(f.dataType)
+                sel.append(col.alias(f.name))
             if track:
                 sel += [
                     norm(F.col("_metadata.file_path")).alias("__dfile"),

@@ -630,41 +630,121 @@ def export_delta_as_iceberg(spark: SparkSession, table_path: str) -> int:
     # PHYSICAL file-column name to its field id.
     phys_name = {f.name: f.name for f in schema.fields}
     if mapped:
-        if any(
-            isinstance(
-                f.dataType, (T.StructType, T.ArrayType, T.MapType)
-            )
-            for f in schema.fields
-        ):
-            raise NotImplementedError(
-                "uniform export of a column-mapped delta table with "
-                "nested types: nested field-id reconciliation needs "
-                "the engine converter"
-            )
+        # Recursive id reconciliation (r6 fence closed): every STRUCT
+        # field at any depth reuses its delta.columnMapping.id as the
+        # iceberg field id (stable across rename re-exports); iceberg's
+        # extra id slots delta has no counterpart for — list element,
+        # map key/value — get fresh ids ABOVE the highest mapping id.
+        # A colliding delta id (corrupt hand-written log) is reassigned
+        # above the max instead of fencing; data still resolves through
+        # the name mapping, which carries the authoritative ids.
+        all_ids: list[int] = []
+
+        def _collect_ids(dt) -> None:
+            if isinstance(dt, T.StructType):
+                for f in dt.fields:
+                    md = f.metadata or {}
+                    if md.get("delta.columnMapping.id") is not None:
+                        all_ids.append(int(md["delta.columnMapping.id"]))
+                    _collect_ids(f.dataType)
+            elif isinstance(dt, T.ArrayType):
+                _collect_ids(dt.elementType)
+            elif isinstance(dt, T.MapType):
+                _collect_ids(dt.keyType)
+                _collect_ids(dt.valueType)
+
+        _collect_ids(schema)
+        _ctr = [max(all_ids, default=0)]
+        _seen: set[int] = set()
+
+        def _fresh() -> int:
+            _ctr[0] += 1
+            while _ctr[0] in _seen:
+                _ctr[0] += 1
+            return _ctr[0]
+
+        def _assign(ice_t, dt) -> None:
+            if isinstance(dt, T.StructType):
+                for fe, sf in zip(ice_t["fields"], dt.fields):
+                    md = sf.metadata or {}
+                    did = md.get("delta.columnMapping.id")
+                    fid = int(did) if did is not None else _fresh()
+                    if fid in _seen:
+                        fid = _fresh()
+                    _seen.add(fid)
+                    fe["id"] = fid
+                    _assign(fe["type"], sf.dataType)
+            elif isinstance(dt, T.ArrayType):
+                ice_t["element-id"] = _fresh()
+                _seen.add(ice_t["element-id"])
+                _assign(ice_t["element"], dt.elementType)
+            elif isinstance(dt, T.MapType):
+                ice_t["key-id"] = _fresh()
+                _seen.add(ice_t["key-id"])
+                _assign(ice_t["key"], dt.keyType)
+                ice_t["value-id"] = _fresh()
+                _seen.add(ice_t["value-id"])
+                _assign(ice_t["value"], dt.valueType)
+
+        _assign(iceberg_schema, schema)
         for fld in iceberg_schema.get("fields", []):
             md = schema[fld["name"]].metadata or {}
-            if md.get("delta.columnMapping.id") is not None:
-                fld["id"] = int(md["delta.columnMapping.id"])
             if md.get("delta.columnMapping.physicalName"):
                 phys_name[fld["name"]] = md[
                     "delta.columnMapping.physicalName"
                 ]
-        ids = [f["id"] for f in iceberg_schema["fields"]]
-        if len(set(ids)) != len(ids):
-            raise NotImplementedError(
-                "uniform export: delta column-mapping ids collide "
-                f"({ids}); the engine converter is needed"
-            )
     field_id_of = {
         f["name"]: f["id"] for f in iceberg_schema.get("fields", [])
     }
     # name-mapping entries carry the PHYSICAL (file) column name only:
     # a rename can make one column's logical name equal another's
-    # physical name, and a mapping listing both would turn ambiguous
-    name_mapping = [
-        {"field-id": f["id"], "names": [phys_name[f["name"]]]}
-        for f in iceberg_schema.get("fields", [])
-    ]
+    # physical name, and a mapping listing both would turn ambiguous.
+    # Nested struct fields get nested entries (spec: a mapping entry's
+    # "fields" recurses); list/map id slots map their fixed parquet
+    # names ("element"/"key"/"value").
+    if mapped:
+
+        def _nm_children(ice_t, dt) -> list[dict]:
+            if isinstance(dt, T.StructType):
+                out = []
+                for fe, sf in zip(ice_t["fields"], dt.fields):
+                    md = sf.metadata or {}
+                    phys = (
+                        md.get("delta.columnMapping.physicalName")
+                        or sf.name
+                    )
+                    ent = {"field-id": fe["id"], "names": [phys]}
+                    sub = _nm_children(fe["type"], sf.dataType)
+                    if sub:
+                        ent["fields"] = sub
+                    out.append(ent)
+                return out
+            if isinstance(dt, T.ArrayType):
+                ent = {
+                    "field-id": ice_t["element-id"], "names": ["element"],
+                }
+                sub = _nm_children(ice_t["element"], dt.elementType)
+                if sub:
+                    ent["fields"] = sub
+                return [ent]
+            if isinstance(dt, T.MapType):
+                k = {"field-id": ice_t["key-id"], "names": ["key"]}
+                ks = _nm_children(ice_t["key"], dt.keyType)
+                if ks:
+                    k["fields"] = ks
+                v = {"field-id": ice_t["value-id"], "names": ["value"]}
+                vs = _nm_children(ice_t["value"], dt.valueType)
+                if vs:
+                    v["fields"] = vs
+                return [k, v]
+            return []
+
+        name_mapping = _nm_children(iceberg_schema, schema)
+    else:
+        name_mapping = [
+            {"field-id": f["id"], "names": [phys_name[f["name"]]]}
+            for f in iceberg_schema.get("fields", [])
+        ]
 
     meta_dir = os.path.join(table_path, "metadata")
     os.makedirs(meta_dir, exist_ok=True)

@@ -162,20 +162,80 @@ def test_uniform_column_mapped_table_exports_with_name_mapping(
     }
 
 
-def test_uniform_fence_mapped_nested_types(spark, tmp_path):
+def test_uniform_mapped_nested_types_roundtrip(spark, tmp_path):
+    """r6 fence closed: a column-mapped delta table with nested types
+    (struct/array/map) exports — struct fields at any depth reuse
+    delta's stable mapping ids, list/map id slots get fresh ids above
+    the max, and the name mapping recurses — and the lite iceberg
+    reader round-trips the values post-rename."""
     from spark_etl_cli_spark.sources.delta_lite import alter_delta_lite
+    from spark_etl_cli_spark.sources.iceberg_lite import _load_metadata
 
     p = str(tmp_path / "nested")
     write_delta_lite(
         spark.createDataFrame(
-            [Row(id=1, v=1.0, tags=["a"])],
-            "id long, v double, tags array<string>",
+            [
+                Row(id=1, v=1.0, tags=["a", "b"],
+                    info=Row(city="ber", zip=10115), m={"k": 7}),
+                Row(id=2, v=2.0, tags=[],
+                    info=Row(city="muc", zip=80331), m={}),
+            ],
+            "id long, v double, tags array<string>, "
+            "info struct<city string, zip int>, m map<string, int>",
         ),
         p,
     )
     alter_delta_lite(spark, p, rename={"v": "amount"})
-    with pytest.raises(NotImplementedError, match="nested"):
-        export_delta_as_iceberg(spark, p)
+    export_delta_as_iceberg(spark, p)
+    out = read_iceberg_lite(spark, p)
+    assert set(out.columns) == {"id", "amount", "tags", "info", "m"}
+    got = {
+        (r["id"], r["amount"], tuple(r["tags"]),
+         (r["info"]["city"], r["info"]["zip"]), tuple(sorted(r["m"].items())))
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 1.0, ("a", "b"), ("ber", 10115), (("k", 7),)),
+        (2, 2.0, (), ("muc", 80331), ()),
+    }
+    # ids are unique across the whole schema (incl. element/key/value
+    # slots) and the name mapping recurses into the struct
+    meta = _load_metadata(p)
+
+    def _walk_ids(node, acc):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k in ("id", "element-id", "key-id", "value-id"):
+                    acc.append(v)
+                else:
+                    _walk_ids(v, acc)
+        elif isinstance(node, list):
+            for v in node:
+                _walk_ids(v, acc)
+
+    ids: list[int] = []
+    _walk_ids(meta["schemas"][0], ids)
+    assert len(ids) == len(set(ids))
+    nm = json.loads(meta["properties"]["schema.name-mapping.default"])
+    info_ent = next(
+        e for e in nm
+        if any(f["name"] == "info" for f in meta["schemas"][0]["fields"]
+               if f["id"] == e["field-id"])
+    )
+    assert [c["names"][0] for c in info_ent["fields"]] == ["city", "zip"]
+    # a rename of the struct column itself re-exports with the same id
+    fid_before = next(
+        f["id"] for f in meta["schemas"][0]["fields"] if f["name"] == "info"
+    )
+    alter_delta_lite(spark, p, rename={"info": "address"})
+    export_delta_as_iceberg(spark, p)
+    meta2 = _load_metadata(p)
+    assert next(
+        f["id"] for f in meta2["schemas"][0]["fields"]
+        if f["name"] == "address"
+    ) == fid_before
+    out2 = read_iceberg_lite(spark, p)
+    assert {r["address"]["city"] for r in out2.collect()} == {"ber", "muc"}
 
 
 # --- reverse direction: iceberg exposed as delta -----------------------------
