@@ -1380,14 +1380,23 @@ def _cow_keyed_rewrite_under_deletes(
     data_entries = [
         e for e in live if (e.get("data_file") or {}).get("content", 0) == 0
     ]
+    tr_fields = None
     if any(
         (e["data_file"].get("partition") or {}) for e in data_entries
     ) and not part_fields:
-        raise NotImplementedError(
-            "iceberg keyed rewrite under deletes: non-identity "
-            "partition transforms need the engine's partition-aware "
-            "writer"
-        )
+        # transformed spec (r6 fence closed): survivors of affected
+        # files rewrite under their RAW recorded tuple — sound because
+        # transforms are deterministic functions of unchanged source
+        # columns — but are SOURCED from the delete-applying reader;
+        # inserts split by the evaluated transforms. Only a spec whose
+        # source columns can't be resolved still refuses.
+        tr_fields = _transformed_spec_fields(meta)
+        if tr_fields is None:
+            raise NotImplementedError(
+                "iceberg keyed rewrite under deletes: the partition "
+                "spec references unknown source columns — the "
+                "engine's writer is needed"
+            )
     by_path = {
         os.path.abspath(_localize(e["data_file"]["file_path"], table_path)): e
         for e in data_entries
@@ -1458,22 +1467,59 @@ def _cow_keyed_rewrite_under_deletes(
         return adds
 
     new_adds: list[tuple[str, dict]] = []
-    if affected_paths:
-        kept = (
-            live_df.filter(F.col("__dfile").isin(affected_paths))
-            .join(purge_keys, on, "left_anti")
-            .select(*[f.name for f in schema.fields])
+    if tr_fields:
+        # per recorded-tuple group: post-delete survivors minus the
+        # purged keys, re-added under the SAME raw tuple (pruning
+        # stays intact); the insert frame evaluates the transforms
+        groups: dict[tuple, tuple[dict, list[str]]] = {}
+        for e in affected:
+            pv = e["data_file"].get("partition") or {}
+            key = tuple(sorted((k, str(v)) for k, v in pv.items()))
+            ap = os.path.abspath(
+                _localize(e["data_file"]["file_path"], table_path)
+            )
+            groups.setdefault(key, (pv, []))[1].append(ap)
+        for gidx, gkey in enumerate(sorted(groups)):
+            pv, gpaths = groups[gkey]
+            kept = (
+                live_df.filter(F.col("__dfile").isin(gpaths))
+                .join(purge_keys, on, "left_anti")
+                .select(*[f.name for f in schema.fields])
+            )
+            gdir = os.path.join(
+                table_path, "data", f"{prefix}-{commit_uuid}-{gidx}"
+            )
+            kept.write.parquet(gdir)
+            for p in sorted(_glob.glob(os.path.join(gdir, "*.parquet"))):
+                if _parquet_row_count(p) > 0:
+                    new_adds.append((p, pv))
+        new_adds += _transformed_split_write(
+            insert_df,
+            os.path.join(table_path, "data", f"{prefix}-in-{commit_uuid}"),
+            tr_fields,
         )
+        commit_part_fields = [
+            (pn, pn, vdt) for pn, _t, _s, _i, vdt in tr_fields
+        ]
+    else:
+        if affected_paths:
+            kept = (
+                live_df.filter(F.col("__dfile").isin(affected_paths))
+                .join(purge_keys, on, "left_anti")
+                .select(*[f.name for f in schema.fields])
+            )
+            new_adds += _write_split(
+                kept,
+                os.path.join(table_path, "data", f"{prefix}-{commit_uuid}"),
+            )
         new_adds += _write_split(
-            kept, os.path.join(table_path, "data", f"{prefix}-{commit_uuid}")
+            insert_df,
+            os.path.join(table_path, "data", f"{prefix}-in-{commit_uuid}"),
         )
-    new_adds += _write_split(
-        insert_df,
-        os.path.join(table_path, "data", f"{prefix}-in-{commit_uuid}"),
-    )
+        commit_part_fields = part_fields if partitioned else []
     _commit_rewrite_snapshot(
         table_path, meta, untouched, new_adds,
-        part_fields if partitioned else [],
+        commit_part_fields,
         snapshot_id=snapshot_id, seq=seq, now_ms=now_ms,
         commit_uuid=commit_uuid, operation=operation,
         files_removed=len(affected), files_added=len(new_adds),

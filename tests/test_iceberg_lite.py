@@ -2517,3 +2517,101 @@ def test_iceberg_transformed_insert_percent_values_stay_prunable(
             fh.write(b"poisoned")
     out = read_iceberg_lite(spark, table, where="name = '%2541x'")
     assert {(r["id"], r["name"]) for r in out.collect()} == {(9, "%2541x")}
+
+
+def test_iceberg_transformed_upsert_and_cdc_under_live_deletes(
+    spark, tmp_path
+):
+    """r6 fence closed: keyed rewrites (UPSERT + CDC apply) on a
+    bucket-partitioned table carrying live position-delete files —
+    affected buckets re-read through the delete-applying reader and
+    rewrite under their raw recorded tuple, inserts split by the
+    evaluated transform, untouched files keep their delete manifests
+    carried, and pruning stays intact (poison-proven)."""
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        apply_changes_iceberg_lite,
+        delete_iceberg_lite,
+        read_iceberg_lite,
+        resolve_iceberg_files,
+        upsert_iceberg_lite,
+        write_iceberg_lite,
+    )
+
+    table = str(tmp_path / "ice_tr_del")
+    meta_dir = os.path.join(table, "metadata")
+    os.makedirs(meta_dir)
+    meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000125",
+        "location": table,
+        "current-snapshot-id": -1,
+        "last-sequence-number": 0,
+        "schemas": [{
+            "schema-id": 0, "type": "struct",
+            "fields": [
+                {"id": 1, "name": "id", "required": False, "type": "long"},
+                {"id": 2, "name": "v", "required": False, "type": "double"},
+            ],
+        }],
+        "current-schema-id": 0,
+        "partition-specs": [{
+            "spec-id": 0,
+            "fields": [
+                {"name": "id_bucket", "transform": "bucket[4]",
+                 "source-id": 1, "field-id": 1000},
+            ],
+        }],
+        "default-spec-id": 0,
+        "snapshots": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    write_iceberg_lite(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(8)], "id long, v double"
+        ),
+        table, mode="append",
+    )
+    # live position delete, then a keyed UPSERT on the same table
+    delete_iceberg_lite(spark, table, "id = 1", mode="merge-on-read")
+    stats = upsert_iceberg_lite(
+        spark.createDataFrame(
+            [(3, 300.0), (42, 42.0)], "id long, v double"
+        ),
+        table, on="id",
+    )
+    assert stats["rows_updated"] == 1 and stats["rows_inserted"] == 1
+    got = {r["id"]: r["v"] for r in read_iceberg_lite(spark, table).collect()}
+    assert got == {**{i: float(i) for i in range(8) if i not in (1, 3)},
+                   3: 300.0, 42: 42.0}
+    # the deleted key stays deleted (untouched files carry their
+    # delete manifests), and the insert is prunable by its bucket:
+    # poison everything the id=42 predicate prunes away
+    kept, _, _, _ = resolve_iceberg_files(spark, table, where="id = 42")
+    all_files, _, _, _ = resolve_iceberg_files(spark, table)
+    assert len(kept) < len(all_files)
+    backups = {}
+    for p in set(all_files) - set(kept):
+        backups[p] = open(p, "rb").read()
+        with open(p, "wb") as fh:
+            fh.write(b"poisoned")
+    assert {r["id"] for r in read_iceberg_lite(
+        spark, table, where="id = 42"
+    ).collect()} == {42}
+    for p, data in backups.items():
+        with open(p, "wb") as fh:
+            fh.write(data)
+    # CDC apply under a fresh live delete on the transformed layout
+    delete_iceberg_lite(spark, table, "id = 5", mode="merge-on-read")
+    changes = spark.createDataFrame(
+        [
+            (0, 0.5, "update_postimage", 1),
+            (2, None, "delete", 1),
+            (77, 77.0, "insert", 1),
+        ],
+        "id long, v double, _change_type string, _commit_version long",
+    )
+    apply_changes_iceberg_lite(changes, table, on="id")
+    after = {r["id"]: r["v"] for r in read_iceberg_lite(spark, table).collect()}
+    assert after == {0: 0.5, 3: 300.0, 4: 4.0, 6: 6.0, 7: 7.0,
+                     42: 42.0, 77: 77.0}
