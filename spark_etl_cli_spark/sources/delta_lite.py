@@ -2839,10 +2839,22 @@ def merge_delta_lite(
             else source
         )
         if adds:
-            existing_keys = _snapshot_scan(
-                spark, table_path, adds, meta
-            ).select(*keys).distinct()
-            new_rows = new_rows.join(existing_keys, keys, "left_anti")
+            # scale shape: never shuffle the TABLE's keys. The old
+            # `scan.select(keys).distinct()` anti-join shuffled every
+            # key in the table (measured ~table-sized shuffle at 10x);
+            # instead semi-join the scan against the (broadcast when
+            # small) SOURCE key set — the table side is only scanned —
+            # and anti-join the source against the tiny matched set.
+            src_keys = new_rows.select(*keys).distinct()
+            if stats_row["n"] <= 4_000_000:
+                src_keys = F.broadcast(src_keys)
+            matched_keys = (
+                _snapshot_scan(spark, table_path, adds, meta)
+                .join(src_keys, keys, "left_semi")
+                .select(*keys)
+                .distinct()
+            )
+            new_rows = new_rows.join(matched_keys, keys, "left_anti")
         n_inserted = new_rows.count()
         if n_inserted:
             pieces.append(new_rows.select(*table_cols))

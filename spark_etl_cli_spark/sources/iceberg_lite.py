@@ -1756,8 +1756,8 @@ def upsert_iceberg_lite(
     source row). Tables with live position/equality delete files take
     the delete-aware path (affected files re-read through the full
     reader, prior delete manifests carried for untouched files;
-    identity-partitioned layouts split the rewrites per partition);
-    remaining fence: non-identity partition transforms refuse.
+    identity-partitioned layouts split rewrites per partition and
+    transformed specs rewrite under their raw recorded tuples).
 
     Returns ``{"files_rewritten", "files_added", "rows_updated",
     "rows_inserted"}``.
