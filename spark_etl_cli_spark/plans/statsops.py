@@ -29,7 +29,7 @@ from spark_etl_cli_spark.operators.profiling import (
     zscore_outliers,
 )
 from spark_etl_cli_spark.plans.registry import query, t
-from spark_etl_cli_spark.plans.textops import SQL_TOKENS
+from spark_etl_cli_spark.plans.textops import SQL_NTOK, SQL_TOKENS
 
 # Exact integer encodings shared by the price queries: cents as BIGINT
 # (o_totalprice is a round(x, 2) double, so round(x*100) recovers the
@@ -444,4 +444,66 @@ def q158_mad_outliers(spark, sf_dir):
         dev.join(F.broadcast(mad), "lang")
         .filter(F.col("adev") > 2 * F.col("mad"))
         .select("doc_id", "lang", "n_chars", "med", "mad")
+    )
+
+
+# --- q161: weighted median ------------------------------------------------
+# Token-weighted lower median of document length per source: the
+# smallest n_chars value v whose cumulative token weight reaches half
+# the source's total — corpus reporting where long documents should
+# count by their token mass, not once each. No engine has an exact
+# weighted-median aggregate, so BOTH sides spell out the same rank
+# arithmetic: one cumulative-sum window ordered (v, doc_id) with an
+# explicit ROWS frame, crossing row selected by MIN(CASE...). The
+# selected VALUE is tie-order-immune (any order within equal v crosses
+# at the same v). Entirely integer: weights are bigint token counts.
+@query(
+    "q161_weighted_median",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, doc_id, n_chars AS v, {SQL_NTOK} AS w
+      FROM documents
+    ),
+    c AS (
+      SELECT source, v, w,
+             SUM(w) OVER (PARTITION BY source ORDER BY v, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(w) OVER (PARTITION BY source) AS tw
+      FROM d
+    )
+    SELECT source,
+           CAST(MIN(CASE WHEN 2 * cum >= tw THEN v END) AS BIGINT)
+             AS wmedian,
+           CAST(MAX(tw) AS BIGINT) AS total_w
+    FROM c GROUP BY source
+    """,
+)
+def q161_weighted_median(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from spark_etl_cli_spark.functions.text import token_count
+
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.col("n_chars").alias("v"),
+        token_count(F.col("text")).alias("w"),
+    )
+    wc = (
+        W.partitionBy("source")
+        .orderBy("v", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("source")
+    c = d.select(
+        "source",
+        "v",
+        F.sum("w").over(wc).alias("cum"),
+        F.sum("w").over(wall).alias("tw"),
+    )
+    return c.groupBy("source").agg(
+        F.min(F.when(2 * F.col("cum") >= F.col("tw"), F.col("v")))
+        .cast("bigint")
+        .alias("wmedian"),
+        F.max("tw").cast("bigint").alias("total_w"),
     )

@@ -939,3 +939,160 @@ def q157_cross_source_overlap(spark, sf_dir):
     return pairs.groupBy(
         F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("shared_shingles"))
+
+
+# --- q159: containment near-dup pairs (one-sided) -------------------------
+# Ordered pairs where ≥80% of doc A's distinct 4-gram shingles appear
+# in doc B — the RefinedWeb-style "document contained in another"
+# signal Jaccard misses (a quote or truncated mirror has low Jaccard
+# against its superset but high containment). Same at-scale mechanics
+# as q157: per-shingle doc SETS with a df-cap, ORDERED pairs generated
+# in-row, one count agg, never a doc- or shingle-level self-join; the
+# ratio test is integer cross-multiplication (inter*5 >= 4*size_a) —
+# no floats anywhere. Input derives contained copies inline (first
+# half of doc_id<100's tokens re-appended under +200000) so both
+# engines observe real containment.
+_Q159_SH4 = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len(tk) - 3, 0)), "
+    "i -> array_to_string(tk[i:i+3], ' ')))"
+)
+
+
+@query(
+    "q159_containment_pairs",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id,
+             array_to_string(tk[1:greatest(len(tk) // 2, 5)], ' ') AS text
+      FROM (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents
+            WHERE doc_id < 100)
+    ),
+    tk AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM base),
+    ent AS (
+      SELECT DISTINCT doc_id, u.s AS sh
+      FROM tk, UNNEST({_Q159_SH4}) AS u(s)
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS size_a
+              FROM ent GROUP BY doc_id),
+    caps AS (SELECT sh FROM ent GROUP BY sh
+             HAVING COUNT(*) BETWEEN 2 AND 100),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(COUNT(*) AS BIGINT) AS inter
+      FROM ent a JOIN caps USING (sh)
+      JOIN ent b ON a.sh = b.sh AND a.doc_id != b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a_id, b_id, inter, size_a
+    FROM inter JOIN sizes ON sizes.doc_id = inter.a_id
+    WHERE inter * 5 >= 4 * size_a
+    """,
+)
+def q159_containment_pairs(spark, sf_dir):
+    from spark_etl_cli_spark.functions.text import tokens, word_shingles
+
+    d = t(spark, sf_dir, "documents")
+    half = d.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                tokens(F.col("text")),
+                1,
+                F.greatest(
+                    F.floor(F.size(tokens(F.col("text"))) / 2), F.lit(5)
+                ).cast("int"),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    base = d.select("doc_id", "text").unionByName(half)
+    ent = base.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 4)).alias("sh")
+    ).distinct()
+    sizes = ent.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("size_a")
+    )
+    sets = (
+        ent.groupBy("sh")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= 100))
+    )
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, a -> "
+                "transform(filter(ds, x -> x != a), b -> struct(a, b))))"
+            )
+        ).alias("p")
+    )
+    inter = pairs.groupBy(
+        F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "a_id"), "a_id")
+        .filter(F.col("inter") * 5 >= 4 * F.col("size_a"))
+        .select("a_id", "b_id", "inter", "size_a")
+    )
+
+
+# --- q160: bigram collocation mining ---------------------------------------
+# Top-5 bigrams per language by total occurrence count with document
+# support >= 5 — the integer-exact collocation signal (PMI's count
+# numerator) corpus-analysis pipelines compute before vocabulary work.
+# Scale: one positional-shingle explode, ONE shuffle to (lang, bigram)
+# partial-aggregated counts, then a 5-rows-per-group rank window over
+# the already-aggregated (not raw) rows; ties break on the bigram
+# string so both engines pick identical rows.
+@query(
+    "q160_collocations",
+    oracle=f"""
+    WITH tk AS (SELECT lang, doc_id, {SQL_TOKENS} AS tk FROM documents),
+    bg AS (
+      SELECT lang, doc_id, u.s AS bigram
+      FROM tk, UNNEST(list_transform(
+        generate_series(1, greatest(len(tk) - 1, 0)),
+        i -> tk[i] || ' ' || tk[i+1])) AS u(s)
+    ),
+    agg AS (
+      SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS total_cnt,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_support
+      FROM bg GROUP BY lang, bigram
+      HAVING COUNT(DISTINCT doc_id) >= 5
+    )
+    SELECT lang, bigram, total_cnt, doc_support, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY lang ORDER BY total_cnt DESC, bigram) AS rnk
+      FROM agg
+    ) WHERE rnk <= 5
+    """,
+)
+def q160_collocations(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from spark_etl_cli_spark.functions.text import word_shingles
+
+    bg = t(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        F.explode(
+            word_shingles(F.col("text"), 2, distinct=False)
+        ).alias("bigram"),
+    )
+    agg = (
+        bg.groupBy("lang", "bigram")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("total_cnt"),
+            F.countDistinct("doc_id").cast("bigint").alias("doc_support"),
+        )
+        .filter(F.col("doc_support") >= 5)
+    )
+    w = W.partitionBy("lang").orderBy(F.col("total_cnt").desc(), "bigram")
+    return (
+        agg.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "bigram", "total_cnt", "doc_support", "rnk")
+    )
