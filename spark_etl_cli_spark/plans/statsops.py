@@ -507,3 +507,111 @@ def q161_weighted_median(spark, sf_dir):
         .alias("wmedian"),
         F.max("tw").cast("bigint").alias("total_w"),
     )
+
+
+# --- q162: decile profile via ntile ----------------------------------------
+# Customer account-balance deciles: ntile(10) over a DETERMINISTIC
+# total order (balance, custkey) — both engines define ntile
+# identically (equal buckets, earlier buckets take the remainder), so
+# bucket membership is bit-stable. Per-decile stats are min/max
+# (selection, not accumulation) and an exact integer cents sum; the
+# single global window ranks |customers| rows — the profiling cost an
+# analyst accepts for an exact decile table (approx_percentile is the
+# cheap path, q75).
+@query(
+    "q162_ntile_deciles",
+    oracle="""
+    WITH r AS (
+      SELECT c_acctbal,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+             ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+      FROM customer
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(c_acctbal) AS lo,
+           MAX(c_acctbal) AS hi,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM r GROUP BY decile
+    """,
+)
+def q162_ntile_deciles(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    r = t(spark, sf_dir, "customer").select(
+        "c_acctbal",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        F.ntile(10)
+        .over(W.orderBy("c_acctbal", "c_custkey"))
+        .cast("int")
+        .alias("decile"),
+    )
+    return r.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("c_acctbal").alias("lo"),
+        F.max("c_acctbal").alias("hi"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+
+
+# --- q163: token-distribution Gini coefficient ------------------------------
+# Corpus diversity per language: Gini over term frequencies, the
+# "is this source one template repeated?" signal. Exact-integer rank
+# formula G = (2*Σ(rank*cnt) - (n+1)*Σcnt) / (n*Σcnt) with ranks from
+# a deterministic (cnt, term) order; every accumulation is a bigint
+# sum over the |vocabulary|-sized term table (map-side combined), and
+# the single double division at the end is bit-identical on both
+# engines because its integer inputs are exact and < 2^53.
+@query(
+    "q163_token_gini",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, unnest({SQL_TOKENS}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY lang, term
+    ),
+    r AS (
+      SELECT lang, cnt,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt, term)
+               AS rnk
+      FROM tf
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+           CAST(2 * SUM(rnk * cnt) - (COUNT(*) + 1) * SUM(cnt) AS DOUBLE)
+             / CAST(COUNT(*) * SUM(cnt) AS DOUBLE) AS gini
+    FROM r GROUP BY lang
+    """,
+)
+def q163_token_gini(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from spark_etl_cli_spark.functions.text import tokens
+
+    tok = t(spark, sf_dir, "documents").select(
+        "lang", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    r = tf.select(
+        "lang",
+        "cnt",
+        F.row_number()
+        .over(W.partitionBy("lang").orderBy("cnt", "term"))
+        .alias("rnk"),
+    )
+    return r.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum("cnt").cast("bigint").alias("total_tokens"),
+        (
+            (
+                2 * F.sum(F.col("rnk") * F.col("cnt"))
+                - (F.count(F.lit(1)) + 1) * F.sum("cnt")
+            ).cast("double")
+            / (F.count(F.lit(1)) * F.sum("cnt")).cast("double")
+        ).alias("gini"),
+    )

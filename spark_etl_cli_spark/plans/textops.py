@@ -1096,3 +1096,40 @@ def q160_collocations(spark, sf_dir):
         .filter(F.col("rnk") <= 5)
         .select("lang", "bigram", "total_cnt", "doc_support", "rnk")
     )
+
+
+# --- q164: duplicate-cluster size histogram ---------------------------------
+# Distribution of exact-duplicate cluster sizes — the dedup AUDIT view
+# ("how much of the corpus is 2x-copied vs 1000x-copied?") that decides
+# whether near-dup passes are worth running. Two map-side-combined
+# hash aggs: corpus → |distinct fingerprints| → |distinct sizes|; the
+# second input is already cluster-sized, so the histogram costs nothing
+# beyond q33's fingerprint pass at any SF.
+@query(
+    "q164_dup_cluster_histogram",
+    oracle=f"""
+    WITH docs AS ({SQL_DOCS_WITH_DUPS}),
+    groups AS (
+      SELECT {SQL_FP} AS fp, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM docs GROUP BY 1
+    )
+    SELECT sz AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(sz) - COUNT(*) AS BIGINT) AS removable_docs
+    FROM groups GROUP BY sz
+    """,
+)
+def q164_dup_cluster_histogram(spark, sf_dir):
+    groups = (
+        docs_with_dups(spark, sf_dir)
+        .groupBy(fingerprint(F.col("text")).alias("fp"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    )
+    return groups.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("sz").cast("bigint").alias("n_docs"),
+        (F.sum("sz") - F.count(F.lit(1))).cast("bigint").alias(
+            "removable_docs"
+        ),
+    )
