@@ -344,3 +344,119 @@ def q150_ewma_smoothing(spark, sf_dir):
             lambda s, x: (s + x) / F.lit(2.0),
         ).alias("ewma"),
     )
+
+
+# --- q165: peak concurrent sessions (interval sweep line) -------------------
+# "What was the maximum number of simultaneously-open sessions, and
+# when was it first reached?" — capacity planning's one-liner. Sessions
+# are 30-minute-gap islands per user; each becomes a +1/-1 point pair
+# and a single running sum over the deterministic point order
+# (t, starts-before-ends, user, session) finds the peak. Exactness:
+# timestamps surface only as epoch-microsecond BIGINTs; with all +1
+# points ordered before -1 at equal t, touching sessions count as
+# concurrent and the running max is tie-order-independent. Scale: the
+# heavy work (sessionization) is user-partitioned windows + one agg to
+# |sessions| rows; only the 2x|sessions| POINT table crosses the final
+# unpartitioned window — the exact-sweep contract (a day-partitioned
+# sweep with carried offsets is the approximation at 100 TB).
+@query(
+    "q165_peak_concurrency",
+    oracle="""
+    WITH e AS (SELECT user_id, ts FROM events),
+    g AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                       > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    ),
+    sess AS (
+      SELECT user_id, sid,
+             epoch_us(MIN(ts)) AS s_us, epoch_us(MAX(ts)) AS e_us
+      FROM s GROUP BY user_id, sid
+    ),
+    pts AS (
+      SELECT s_us AS t, 1 AS delta, user_id, sid FROM sess
+      UNION ALL
+      SELECT e_us AS t, -1 AS delta, user_id, sid FROM sess
+    ),
+    run AS (
+      SELECT t,
+             SUM(delta) OVER (ORDER BY t, delta DESC, user_id, sid
+                              ROWS UNBOUNDED PRECEDING) AS conc
+      FROM pts
+    ),
+    m AS (SELECT t, conc, MAX(conc) OVER () AS mx, COUNT(*) OVER () AS np
+          FROM run)
+    SELECT CAST(MAX(conc) AS BIGINT) AS peak,
+           CAST(MIN(CASE WHEN conc = mx THEN t END) AS BIGINT)
+             AS peak_at_us,
+           CAST(MAX(np) / 2 AS BIGINT) AS n_sessions
+    FROM m
+    """,
+)
+def q165_peak_concurrency(spark, sf_dir):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    e = events(spark, sf_dir).select("user_id", "ts")
+    wu = W.partitionBy("user_id").orderBy("ts")
+    g = e.withColumn(
+        "brk",
+        F.when(
+            F.lag("ts").over(wu).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wu))
+                > 1_800_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    s = g.withColumn(
+        "sid",
+        F.sum("brk").over(
+            wu.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    sess = s.groupBy("user_id", "sid").agg(
+        F.unix_micros(F.min("ts")).alias("s_us"),
+        F.unix_micros(F.max("ts")).alias("e_us"),
+    )
+    pts = sess.select(
+        F.col("s_us").alias("t"), F.lit(1).alias("delta"), "user_id", "sid"
+    ).unionByName(
+        sess.select(
+            F.col("e_us").alias("t"),
+            F.lit(-1).alias("delta"),
+            "user_id",
+            "sid",
+        )
+    )
+    run = pts.withColumn(
+        "conc",
+        F.sum("delta").over(
+            W.orderBy(
+                "t", F.col("delta").desc(), "user_id", "sid"
+            ).rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    m = run.select(
+        "t",
+        "conc",
+        F.max("conc").over(W.partitionBy()).alias("mx"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("np"),
+    )
+    return m.agg(
+        F.max("conc").cast("bigint").alias("peak"),
+        F.min(F.when(F.col("conc") == F.col("mx"), F.col("t")))
+        .cast("bigint")
+        .alias("peak_at_us"),
+        (F.max("np") / 2).cast("bigint").alias("n_sessions"),
+    )
