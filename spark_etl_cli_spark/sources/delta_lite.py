@@ -956,12 +956,18 @@ def write_delta_lite(
         # merge_schema widens instead (Delta's mergeSchema semantics).
         table_schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
         merged_schema: T.StructType | None = None
+        # type equality is on simpleString: nested fields of a
+        # column-mapped table carry delta.columnMapping metadata the
+        # incoming frame never has, and raw dataType equality would
+        # reject a perfectly matching append over it
         if mode != "overwrite" and merge_schema:
             by_name = {f.name: f for f in table_schema.fields}
             conflicts = [
                 f.name
                 for f in df.schema.fields
-                if f.name in by_name and by_name[f.name].dataType != f.dataType
+                if f.name in by_name
+                and by_name[f.name].dataType.simpleString()
+                != f.dataType.simpleString()
             ]
             if conflicts:
                 raise ValueError(
@@ -977,8 +983,10 @@ def write_delta_lite(
                     list(table_schema.fields) + new_fields
                 )
         elif mode != "overwrite" and [
-            (f.name, f.dataType) for f in df.schema.fields
-        ] != [(f.name, f.dataType) for f in table_schema.fields]:
+            (f.name, f.dataType.simpleString()) for f in df.schema.fields
+        ] != [
+            (f.name, f.dataType.simpleString()) for f in table_schema.fields
+        ]:
             raise ValueError(
                 f"append schema {df.schema.simpleString()} does not match "
                 f"table schema {table_schema.simpleString()}; use "
@@ -1018,17 +1026,6 @@ def write_delta_lite(
         )
         phys_schema_m, mapped_m = _physical_schema(table_schema_m)
         if mapped_m:
-            nested_mapped = any(
-                f.dataType != pf.dataType
-                for f, pf in zip(
-                    table_schema_m.fields, phys_schema_m.fields
-                )
-            )
-            if nested_mapped:
-                raise NotImplementedError(
-                    "delta-lite writes to tables with NESTED column "
-                    "mapping need delta-spark"
-                )
             if merged_schema is not None:
                 # new columns join the mapping: fresh ids past
                 # maxColumnId + col-<uuid> physical names (exactly what
@@ -1100,32 +1097,30 @@ def write_delta_lite(
                     table_schema_m.fields, phys_schema_m.fields
                 )
             }
-            phys_new_m = {
-                f.name: (f.metadata or {}).get(
-                    "delta.columnMapping.physicalName", f.name
+            # project to the COMMIT schema's physical shape: nested
+            # struct fields rename through a positional cast to the
+            # physical datatype (the exact inverse of the reader's
+            # logical restore) — what the old top-level-only alias
+            # projection fenced as "NESTED column mapping"
+            commit_schema_m = (
+                merged_schema
+                if merged_schema is not None
+                else (
+                    overwrite_mapped_schema
+                    if overwrite_mapped_schema is not None
+                    else table_schema_m
                 )
-                for f in (
-                    merged_schema.fields
-                    if merged_schema is not None
-                    else (
-                        overwrite_mapped_schema.fields
-                        if overwrite_mapped_schema is not None
-                        else []
-                    )
-                )
-            }
-            df = df.select(
-                *[
-                    F.col(f.name).alias(phys_of_m[f.name])
-                    for f in table_schema_m.fields
-                    if f.name in df.columns
-                ],
-                *[
-                    F.col(c).alias(phys_new_m[c])
-                    for c in df.columns
-                    if c not in {f.name for f in table_schema_m.fields}
-                ],
             )
+            phys_commit_m, _ = _physical_schema(commit_schema_m)
+            proj = []
+            for f, pf in zip(commit_schema_m.fields, phys_commit_m.fields):
+                if f.name not in df.columns:
+                    continue
+                col = F.col(f.name)
+                if f.dataType != pf.dataType:
+                    col = col.cast(pf.dataType)
+                proj.append(col.alias(pf.name))
+            df = df.select(*proj)
             phys_part_cols = [phys_of_m[c] for c in part_cols]
 
     tmp_dir = tempfile.mkdtemp(prefix="delta_lite_write_")
@@ -1854,21 +1849,17 @@ def _snapshot_scan(
     DELETE predicate again nor gets resurrected by a rewrite);
     partition columns are restored as typed literals per file group,
     exactly like the batch reader. Column-mapped tables read their
-    files under PHYSICAL names and alias back to logical (nested
-    mapping stays fenced — a struct rebuild would be needed).
+    files under PHYSICAL names and cast/alias back to logical — a
+    positional struct cast restores NESTED mapped field names too.
     """
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     phys_schema, mapped = _physical_schema(schema)
-    if mapped and any(
-        f.dataType != pf.dataType
-        for f, pf in zip(schema.fields, phys_schema.fields)
-    ):
-        raise NotImplementedError(
-            "delta-lite row ops on tables with NESTED column mapping "
-            "need delta-spark"
-        )
     phys_of = {
         f.name: pf.name for f, pf in zip(schema.fields, phys_schema.fields)
+    }
+    phys_dt_of = {
+        f.name: pf.dataType
+        for f, pf in zip(schema.fields, phys_schema.fields)
     }
     part_cols = meta.get("partitionColumns") or []
     part_keys = [phys_of[c] if mapped else c for c in part_cols]
@@ -1901,7 +1892,12 @@ def _snapshot_scan(
                 raw = key[part_cols.index(f.name)]
                 cols.append(F.lit(raw).cast(f.dataType).alias(f.name))
             elif mapped:
-                cols.append(F.col(phys_of[f.name]).alias(f.name))
+                col = F.col(phys_of[f.name])
+                if phys_dt_of[f.name] != f.dataType:
+                    # nested mapping: a positional struct cast restores
+                    # the logical nested field names (reader pattern)
+                    col = col.cast(f.dataType)
+                cols.append(col.alias(f.name))
             else:
                 cols.append(F.col(f.name))
         return cols
@@ -2203,13 +2199,18 @@ def _rewrite_files(
                 f.name: pf.name
                 for f, pf in zip(schema.fields, phys_schema.fields)
             }
-            df = df.select(
-                *[
-                    F.col(f.name).alias(phys_of[f.name])
-                    for f in schema.fields
-                    if f.name in df.columns
-                ]
-            )
+            # positional struct cast renames NESTED mapped fields too
+            # (without it, rewritten files carried logical nested names
+            # that the physical-schema reader then served as NULLs)
+            proj = []
+            for f, pf in zip(schema.fields, phys_schema.fields):
+                if f.name not in df.columns:
+                    continue
+                col = F.col(f.name)
+                if f.dataType != pf.dataType:
+                    col = col.cast(pf.dataType)
+                proj.append(col.alias(pf.name))
+            df = df.select(*proj)
             write_parts = [phys_of[c] for c in part_cols]
     tmp_dir = tempfile.mkdtemp(prefix="delta_lite_rewrite_")
     try:
@@ -2678,11 +2679,15 @@ def merge_delta_lite(
         # extra source columns (a CDC frame's _change_type etc.) are
         # legal and ignored, but a missing or mistyped table column is
         # a contract violation
-        src_types = {f.name: f.dataType for f in source.schema.fields}
+        # simpleString comparison: nested fields of column-mapped
+        # tables carry delta.columnMapping metadata the source never has
+        src_types = {
+            f.name: f.dataType.simpleString() for f in source.schema.fields
+        }
         bad = [
             f.name
             for f in schema.fields
-            if src_types.get(f.name) != f.dataType
+            if src_types.get(f.name) != f.dataType.simpleString()
         ]
         if bad:
             raise ValueError(

@@ -2172,3 +2172,135 @@ def test_merge_null_conditions_leave_rows_untouched(spark, tmp_path):
     assert stats["rows_updated"] == 1
     got = {r["id"]: r["v"] for r in read_delta_lite(spark, path).collect()}
     assert got == {1: 1.0, 2: 2.0, 3: 30.0}
+
+
+def _make_nested_mapped_table(spark, table):
+    """Hand-built delta table with NESTED column mapping: the parquet
+    files carry col-<n> physical names at BOTH levels (what a real
+    mapped writer produces)."""
+    import json as _json
+
+    log_dir = os.path.join(table, "_delta_log")
+    os.makedirs(log_dir)
+    spark.createDataFrame(
+        [(1, ("ber", 10115)), (2, ("muc", 80331))],
+        "`col-1111` long, `col-2222` struct<`col-3333` string, `col-4444` int>",
+    ).coalesce(1).write.parquet(os.path.join(table, "part0"))
+    data_file = [
+        f"part0/{f}"
+        for f in os.listdir(os.path.join(table, "part0"))
+        if f.endswith(".parquet")
+    ][0]
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-1111"}},
+            {"name": "info", "nullable": True,
+             "type": {"type": "struct", "fields": [
+                 {"name": "city", "type": "string", "nullable": True,
+                  "metadata": {
+                      "delta.columnMapping.id": 3,
+                      "delta.columnMapping.physicalName": "col-3333"}},
+                 {"name": "zip", "type": "integer", "nullable": True,
+                  "metadata": {
+                      "delta.columnMapping.id": 4,
+                      "delta.columnMapping.physicalName": "col-4444"}},
+             ]},
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-2222"}},
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "tn1", "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "4"},
+        }},
+        {"add": {
+            "path": data_file, "partitionValues": {},
+            "size": 1, "modificationTime": 0, "dataChange": True,
+        }},
+    ]
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(_json.dumps(a) for a in actions))
+
+
+def test_nested_column_mapped_writes_and_row_ops(spark, tmp_path):
+    """r6 fences closed: APPEND, UPDATE, DELETE, and MERGE on a table
+    with NESTED column mapping — the write path projects to the
+    physical shape via positional struct casts and _snapshot_scan
+    restores the logical one, so row ops round-trip."""
+    from pyspark.sql import Row
+
+    from spark_etl_cli_spark.sources.delta_lite import (
+        delete_delta_lite,
+        merge_delta_lite,
+        update_delta_lite,
+    )
+
+    table = str(tmp_path / "nested_cm")
+    _make_nested_mapped_table(spark, table)
+    got = {r["id"]: (r["info"]["city"], r["info"]["zip"])
+           for r in read_delta_lite(spark, table).collect()}
+    assert got == {1: ("ber", 10115), 2: ("muc", 80331)}
+
+    # append writes PHYSICAL nested names (old + new files both read)
+    write_delta_lite(
+        spark.createDataFrame(
+            [Row(id=3, info=Row(city="ham", zip=20095))],
+            "id long, info struct<city string, zip int>",
+        ),
+        table, mode="append",
+    )
+    got = {r["id"]: r["info"]["city"]
+           for r in read_delta_lite(spark, table).collect()}
+    assert got == {1: "ber", 2: "muc", 3: "ham"}
+    # the new file really carries physical names
+    import glob as _g
+
+    import pyarrow.parquet as _pq
+
+    newest = max(
+        _g.glob(os.path.join(table, "*.parquet"))
+        + _g.glob(os.path.join(table, "part-*.parquet")),
+        key=os.path.getmtime,
+        default=None,
+    )
+    if newest:
+        names = _pq.ParquetFile(newest).schema_arrow.names
+        assert "col-1111" in names and "col-2222" in names, names
+
+    # UPDATE touching a nested field's parent column
+    update_delta_lite(
+        spark, table, "id = 2",
+        {"info": "named_struct('city', 'MUC', 'zip', info.zip)"},
+    )
+    got = {r["id"]: r["info"]["city"]
+           for r in read_delta_lite(spark, table).collect()}
+    assert got == {1: "ber", 2: "MUC", 3: "ham"}
+
+    # DELETE by a nested predicate
+    delete_delta_lite(spark, table, "info.zip = 10115")
+    assert {r["id"] for r in read_delta_lite(spark, table).collect()} == {
+        2, 3,
+    }
+
+    # MERGE: update one nested row, insert another
+    stats = merge_delta_lite(
+        spark.createDataFrame(
+            [Row(id=3, info=Row(city="HAM", zip=20095)),
+             Row(id=9, info=Row(city="cgn", zip=50667))],
+            "id long, info struct<city string, zip int>",
+        ),
+        table, on="id", update_set={"info": "source.info"},
+    )
+    assert stats["rows_updated"] == 1 and stats["rows_inserted"] == 1
+    got = {r["id"]: (r["info"]["city"], r["info"]["zip"])
+           for r in read_delta_lite(spark, table).collect()}
+    assert got == {2: ("MUC", 80331), 3: ("HAM", 20095),
+                   9: ("cgn", 50667)}
