@@ -153,9 +153,10 @@ def _live_file_slices(
 
 
 def _record_key_field(table_path: str) -> str | None:
-    """The table's record key column from ``hoodie.properties``
+    """The table's record key column(s) from ``hoodie.properties``
     (``hoodie.table.recordkey.fields``); None when absent. Composite
-    keys are fenced — the lite merge joins on one typed column."""
+    keys return as the comma-joined field list — every keyed path
+    joins on the canonical STRING key from :func:`_rk_expr`."""
     props = os.path.join(table_path, ".hoodie", "hoodie.properties")
     if os.path.exists(props):
         with open(props) as fh:
@@ -163,15 +164,46 @@ def _record_key_field(table_path: str) -> str | None:
                 line = line.strip()
                 if line.startswith("hoodie.table.recordkey.fields="):
                     fields = [
-                        c for c in line.split("=", 1)[1].split(",") if c
+                        c.strip()
+                        for c in line.split("=", 1)[1].split(",")
+                        if c.strip()
                     ]
-                    if len(fields) > 1:
-                        raise NotImplementedError(
-                            "hudi_lite MOR snapshot merge supports a "
-                            f"single record-key field; got {fields}"
-                        )
-                    return fields[0] if fields else None
+                    return ",".join(fields) if fields else None
     return None
+
+
+def _rk_fields(record_key: str) -> list[str]:
+    """Record-key field list ('a' -> ['a'], 'a,b' -> ['a', 'b'])."""
+    return [c.strip() for c in str(record_key).split(",") if c.strip()]
+
+
+def _rk_expr(record_key: str):
+    """Canonical STRING form of a row's record key — Hudi's HoodieKey:
+    the raw value for a single key field, 'f1:v1,f2:v2' for composite
+    keys (ComplexKeyGenerator convention). Delete log blocks store
+    exactly this string, so the snapshot merge, the delete path, and
+    the incremental decoder all agree. NULL if ANY key field is NULL
+    (concat_ws would silently drop the null component otherwise)."""
+    from pyspark.sql import functions as F
+
+    fields = _rk_fields(record_key)
+    if len(fields) == 1:
+        return F.col(fields[0]).cast("string")
+    any_null = F.lit(False)
+    for f in fields:
+        any_null = any_null | F.col(f).isNull()
+    return F.when(~any_null, F.concat_ws(
+        ",",
+        *[F.concat(F.lit(f + ":"), F.col(f).cast("string")) for f in fields],
+    ))
+
+
+def _rk_py(record_key: str, rec: dict) -> str:
+    """Python twin of :func:`_rk_expr` for decoded log records."""
+    fields = _rk_fields(record_key)
+    if len(fields) == 1:
+        return str(rec.get(fields[0]))
+    return ",".join(f"{f}:{rec.get(f)}" for f in fields)
 
 
 def _mor_snapshot_df(
@@ -249,9 +281,11 @@ def _mor_snapshot_df(
             "__fid", F.lit(None).cast("string")
         )
     cols = table_schema.names
-    if key_field not in cols:
+    missing_keys = [f for f in _rk_fields(key_field) if f not in cols]
+    if missing_keys:
         raise ValueError(
-            f"record key {key_field!r} not in table columns {cols}"
+            f"record key field(s) {missing_keys} not in table "
+            f"columns {cols}"
         )
     out_cols = cols + (["__fid"] if keep_fid else [])
     if not logs:
@@ -312,7 +346,7 @@ def _mor_snapshot_df(
     # strings (HoodieKey.recordKey), so the string form is canonical
     keyed = log_df.withColumn(
         "__key",
-        F.coalesce(F.col(key_field).cast("string"), F.col("__rk")),
+        F.coalesce(_rk_expr(key_field), F.col("__rk")),
     )
     w = Window.partitionBy("__fid", "__key").orderBy(
         F.desc("__ford"), F.desc("__bidx"), F.desc("__ridx")
@@ -323,7 +357,7 @@ def _mor_snapshot_df(
     )
     superseded = latest.select("__fid", "__key")
     survivors = base_df.withColumn(
-        "__key", F.col(key_field).cast("string")
+        "__key", _rk_expr(key_field)
     ).join(superseded, ["__fid", "__key"], "left_anti")
     upserts = latest.filter(~F.col("__del"))
     return survivors.select(*out_cols).unionByName(
@@ -628,7 +662,7 @@ def _read_hudi_incremental_mor(
                             key = (
                                 rec["recordKey"]
                                 if blk["type"] == DELETE_BLOCK
-                                else str(rec.get(record_key))
+                                else _rk_py(record_key, rec)
                             )
                             rows.append(
                                 {"__fid": fid, "__key": key,
@@ -667,7 +701,7 @@ def _read_hudi_incremental_mor(
             snapshot.join(F.broadcast(fid_ts), "__fid")
             .select(
                 "__fid",
-                F.col(record_key).cast("string").alias("__key"),
+                _rk_expr(record_key).alias("__key"),
                 "__instant",
             )
         )
@@ -680,9 +714,7 @@ def _read_hudi_incremental_mor(
         F.max("__instant").alias(_HOODIE_TS_COL)
     )
     return (
-        snapshot.withColumn(
-            "__key", F.col(record_key).cast("string")
-        )
+        snapshot.withColumn("__key", _rk_expr(record_key))
         .join(changed, ["__fid", "__key"])
         .select(_HOODIE_TS_COL, *payload)
     )
@@ -731,9 +763,9 @@ def _upsert_rewrites(
     norm_path = F.regexp_replace(
         F.col("_metadata.file_path"), "^file:/+", "/"
     )
-    keys = df.select(F.col(record_key).alias("__k")).distinct()
+    keys = df.select(_rk_expr(record_key).alias("__k")).distinct()
     base = spark.read.parquet(*sorted(loc)).select(
-        F.col(record_key).alias("__k"), norm_path.alias("__path")
+        _rk_expr(record_key).alias("__k"), norm_path.alias("__path")
     )
     affected = sorted(
         r["__path"]
@@ -752,7 +784,9 @@ def _upsert_rewrites(
         spark.read.option("mergeSchema", "true")
         .parquet(*affected)
         .withColumn("__fid", mapping[norm_path])
-        .join(keys.withColumnRenamed("__k", record_key), record_key, "left_anti")
+        .withColumn("__k", _rk_expr(record_key))
+        .join(keys, "__k", "left_anti")
+        .drop("__k")
     )
     # survivors keep their ORIGINAL _hoodie_commit_time (they did not
     # change in this commit); files predating the meta column read null
@@ -887,12 +921,14 @@ def write_hudi_lite(
     if mode == "upsert":
         from pyspark.sql import functions as F
 
+        rk_fields = _rk_fields(record_key)
+        any_null = F.lit(False)
+        for f in rk_fields:
+            any_null = any_null | F.col(f).isNull()
         bad = (
-            df.groupBy(record_key)
+            df.groupBy(*rk_fields)
             .count()
-            .filter(
-                (F.col("count") > 1) | F.col(record_key).isNull()
-            )
+            .filter((F.col("count") > 1) | any_null)
             .head(1)
         )
         if bad:
@@ -1111,11 +1147,11 @@ def _mor_upsert_commit(
     # file lands, so readers never see the half-applied state and a
     # crashed writer leaves only orphan files outside the timeline.
     key_fid = merged.select(
-        F.col(record_key).alias("__k"),
+        _rk_expr(record_key).alias("__k"),
         "__fid",
         *[F.col(c).alias(f"__old_{c}") for c in pcols],
     ).distinct()
-    incoming = df.withColumn("__k", F.col(record_key))
+    incoming = df.withColumn("__k", _rk_expr(record_key))
     matched = incoming.join(key_fid, "__k", "inner").drop("__k")
     moved_rows = None
     if pcols:
@@ -1190,7 +1226,7 @@ def _mor_upsert_commit(
 
         stats += (
             moved_rows.select(
-                F.col(record_key).cast("string").alias("__rk"), "__fid"
+                _rk_expr(record_key).alias("__rk"), "__fid"
             )
             .repartition("__fid")
             .mapInPandas(
@@ -1295,16 +1331,28 @@ def _mor_delete_commit(
         spark, table_path, groups, record_key, keep_fid=True
     )
     targets = _mor_log_targets(groups)
+    rk_fields = _rk_fields(record_key)
     if keys is not None:
-        victims = merged.join(
-            keys.select(F.col(keys.columns[0]).alias(record_key)),
-            record_key,
-            "left_semi",
-        )
+        if len(rk_fields) == 1:
+            victims = merged.join(
+                keys.select(F.col(keys.columns[0]).alias(rk_fields[0])),
+                rk_fields[0],
+                "left_semi",
+            )
+        else:
+            missing = [f for f in rk_fields if f not in keys.columns]
+            if missing:
+                raise ValueError(
+                    "hudi_lite delete by keys on a composite record key "
+                    f"needs columns {rk_fields}; missing {missing}"
+                )
+            victims = merged.join(
+                keys.select(*rk_fields).distinct(), rk_fields, "left_semi"
+            )
     else:
         victims = merged.filter(F.coalesce(F.expr(where), F.lit(False)))
     victims = victims.select(
-        F.col(record_key).cast("string").alias("__rk"), "__fid"
+        _rk_expr(record_key).alias("__rk"), "__fid"
     )
 
     def append_deletes(batches):
@@ -1596,13 +1644,25 @@ def delete_hudi_lite(
     if (where is None) == (keys is None):
         raise ValueError("delete: pass exactly one of where / keys")
     rk = None
+    rk_join = None
     if keys is not None:
         rk = _record_key_field(table_path)
         if not rk:
             raise ValueError(
                 "key-based delete needs hoodie.table.recordkey.fields"
             )
-        keys = keys.select(F.col(keys.columns[0]).alias(rk)).distinct()
+        rkf = _rk_fields(rk)
+        if len(rkf) == 1:
+            keys = keys.select(F.col(keys.columns[0]).alias(rkf[0])).distinct()
+        else:
+            missing = [f for f in rkf if f not in keys.columns]
+            if missing:
+                raise ValueError(
+                    "hudi_lite delete by keys on a composite record key "
+                    f"needs columns {rkf}; missing {missing}"
+                )
+            keys = keys.select(*rkf).distinct()
+        rk_join = rkf if len(rkf) > 1 else rkf[0]
     ttype = _table_type(table_path)
     if ttype != "COPY_ON_WRITE":
         # MOR deletes ARE log-file appends — delegate to the log writer
@@ -1640,7 +1700,7 @@ def delete_hudi_lite(
     norm_path = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
     base = spark.read.parquet(*sorted(loc)).withColumn("__file", norm_path)
     if keys is not None:
-        victims = base.join(keys, rk)
+        victims = base.join(keys, rk_join)
         pred = None
     else:
         pred = F.coalesce(F.expr(where), F.lit(False))
@@ -1673,7 +1733,7 @@ def delete_hudi_lite(
         "__fid", mapping[norm_path]
     )
     if keys is not None:
-        survivors = survivors.join(keys, rk, "left_anti")
+        survivors = survivors.join(keys, rk_join, "left_anti")
     else:
         survivors = survivors.filter(~pred)
     tmp = tempfile.mkdtemp(prefix="hudi_lite_delete_")

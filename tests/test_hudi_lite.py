@@ -1493,3 +1493,89 @@ def test_incremental_mor_partition_moving_upsert(spark, tmp_path):
     assert [(r["id"], r["v"], r["part"]) for r in inc.collect()] == [
         (1, "A", "p2")
     ]
+
+
+def test_hudi_composite_record_keys_mor_and_cow(spark, tmp_path):
+    """Composite record keys (hoodie.table.recordkey.fields=k1,k2, the
+    ComplexKeyGenerator shape) work across the keyed surface: MOR
+    upsert (log blocks), key-based delete, compaction, incremental
+    pull, and the COW upsert/delete paths. The canonical string key
+    'k1:v1,k2:v2' keeps delete blocks and the snapshot merge agreeing."""
+    from spark_etl_cli_spark.sources.hudi_lite import (
+        compact_hudi_mor_lite,
+        delete_hudi_lite,
+        read_hudi_incremental,
+        read_hudi_lite,
+        write_hudi_lite,
+    )
+
+    # --- MOR ---
+    mor = str(tmp_path / "mor_ck")
+    ts0 = write_hudi_lite(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (1, "b", 2.0), (2, "a", 3.0)],
+            "k1 long, k2 string, v double",
+        ),
+        mor, record_key="k1,k2", table_type="MERGE_ON_READ",
+    )
+    # update (1,'a'), insert (9,'z'); (1,'b') must stay untouched —
+    # a single-field key would collide the two k1=1 rows
+    write_hudi_lite(
+        spark.createDataFrame(
+            [(1, "a", 100.0), (9, "z", 9.0)], "k1 long, k2 string, v double"
+        ),
+        mor, mode="upsert", record_key="k1,k2",
+    )
+    got = {(r.k1, r.k2): r.v for r in read_hudi_lite(spark, mor).collect()}
+    assert got == {(1, "a"): 100.0, (1, "b"): 2.0, (2, "a"): 3.0,
+                   (9, "z"): 9.0}
+    inc = {(r.k1, r.k2, r.v) for r in read_hudi_incremental(
+        spark, mor, begin_instant=ts0).collect()}
+    assert inc == {(1, "a", 100.0), (9, "z", 9.0)}
+    # key-based delete needs BOTH key columns
+    delete_hudi_lite(
+        spark, mor,
+        keys=spark.createDataFrame([(1, "b")], "k1 long, k2 string"),
+    )
+    got = {(r.k1, r.k2) for r in read_hudi_lite(spark, mor).collect()}
+    assert got == {(1, "a"), (2, "a"), (9, "z")}
+    # a keys frame missing a key column refuses
+    with pytest.raises(ValueError, match="composite"):
+        delete_hudi_lite(
+            spark, mor, keys=spark.createDataFrame([(1,)], "k1 long")
+        )
+    # compaction preserves the merged state
+    compact_hudi_mor_lite(spark, mor)
+    got2 = {(r.k1, r.k2): r.v for r in read_hudi_lite(spark, mor).collect()}
+    assert got2 == {(1, "a"): 100.0, (2, "a"): 3.0, (9, "z"): 9.0}
+
+    # --- COW ---
+    cow = str(tmp_path / "cow_ck")
+    write_hudi_lite(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (1, "b", 2.0)], "k1 long, k2 string, v double"
+        ),
+        cow, record_key="k1,k2",
+    )
+    write_hudi_lite(
+        spark.createDataFrame(
+            [(1, "b", 20.0), (3, "c", 3.0)], "k1 long, k2 string, v double"
+        ),
+        cow, mode="upsert", record_key="k1,k2",
+    )
+    got = {(r.k1, r.k2): r.v for r in read_hudi_lite(spark, cow).collect()}
+    assert got == {(1, "a"): 1.0, (1, "b"): 20.0, (3, "c"): 3.0}
+    delete_hudi_lite(
+        spark, cow,
+        keys=spark.createDataFrame([(1, "a")], "k1 long, k2 string"),
+    )
+    got = {(r.k1, r.k2) for r in read_hudi_lite(spark, cow).collect()}
+    assert got == {(1, "b"), (3, "c")}
+    # duplicate composite keys in an upsert batch refuse
+    with pytest.raises(ValueError, match="unique"):
+        write_hudi_lite(
+            spark.createDataFrame(
+                [(5, "x", 1.0), (5, "x", 2.0)], "k1 long, k2 string, v double"
+            ),
+            cow, mode="upsert", record_key="k1,k2",
+        )
