@@ -460,3 +460,130 @@ def q165_peak_concurrency(spark, sf_dir):
         .alias("peak_at_us"),
         (F.max("np") / 2).cast("bigint").alias("n_sessions"),
     )
+
+
+# --- q166: rolling 7-day distinct users (exact) ----------------------------
+# Exact rolling MAU/DAU-style reach: for every active day, how many
+# DISTINCT users were active in the 7-day window ending that day.
+# Window functions cannot do DISTINCT over a frame, so each (user, day)
+# pair is replicated to the ≤7 window-end days it contributes to
+# (explode of a 0..6 day-offset sequence — linear ×7 blowup of the
+# already-deduplicated per-day activity, NOT of raw events) and one
+# countDistinct per window-end day finishes it. Integer day ordinals,
+# bigint counts; windows whose end day saw no activity are not emitted
+# (both engines agree on that contract).
+@query(
+    "q166_rolling_dau",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM act),
+    contrib AS (
+      SELECT a.user_id, a.d + o.o AS wend
+      FROM act a, UNNEST(generate_series(0, 6)) AS o(o)
+    )
+    SELECT wend AS day_ordinal,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_7d
+    FROM contrib JOIN days ON days.d = contrib.wend
+    GROUP BY wend
+    """,
+)
+def q166_rolling_dau(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    act = (
+        events(spark, sf_dir)
+        .select(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+        .distinct()
+    )
+    days = act.select("d").distinct()
+    contrib = act.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+        "d",
+    ).select("user_id", (F.col("d") + F.col("o")).alias("wend"))
+    return (
+        contrib.join(
+            F.broadcast(days.withColumnRenamed("d", "wend")), "wend"
+        )
+        .groupBy(F.col("wend").alias("day_ordinal"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("users_7d"))
+    )
+
+
+# --- q167: day-over-day change detection ------------------------------------
+# Daily event volume with the previous ACTIVE day's count and an
+# integer-exact spike flag (count more than doubled or halved against
+# a prior day at most 3 days back) — the freshness/volume monitor every
+# ingest pipeline alerts on. One groupBy to |days| rows, one global
+# LAG window over that tiny aggregate; the flag is pure integer
+# cross-multiplication, no float ratios.
+@query(
+    "q167_dod_change",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT d, n,
+             LAG(d) OVER (ORDER BY d) AS prev_d,
+             LAG(n) OVER (ORDER BY d) AS prev_n
+      FROM daily
+    )
+    SELECT d AS day_ordinal, n, prev_n,
+           CAST(
+             prev_n IS NOT NULL AND d - prev_d <= 3
+             AND (n > 2 * prev_n OR 2 * n < prev_n)
+             AS BOOLEAN) AS spike
+    FROM w
+    """,
+)
+def q167_dod_change(spark, sf_dir):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    daily = (
+        events(spark, sf_dir)
+        .groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = W.orderBy("d")
+    out = daily.select(
+        "d",
+        "n",
+        F.lag("d").over(w).alias("prev_d"),
+        F.lag("n").over(w).alias("prev_n"),
+    )
+    return out.select(
+        F.col("d").alias("day_ordinal"),
+        "n",
+        "prev_n",
+        (
+            F.col("prev_n").isNotNull()
+            & (F.col("d") - F.col("prev_d") <= 3)
+            & (
+                (F.col("n") > 2 * F.col("prev_n"))
+                | (2 * F.col("n") < F.col("prev_n"))
+            )
+        )
+        .cast("boolean")
+        .alias("spike"),
+    )
