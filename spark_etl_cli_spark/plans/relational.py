@@ -244,18 +244,28 @@ def q06_forecast_revenue(spark, sf_dir):
 
 
 # --- q07: NOT EXISTS → left-anti join ----------------------------------
+# Customers without any URGENT order: the anti-join's build side is the
+# FILTERED orders scan (the predicate pushes below the join). The
+# original "without any order at all" variant was VACUOUS on the
+# fixture (0 rows at sf0.001/0.01 — every customer has orders), so its
+# oracle pass proved nothing; the filtered form yields rows at every
+# gate scale (18/203/1986).
 @query(
     "q07_customers_without_orders",
     oracle="""
     SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
     GROUP BY c_nationkey
     """,
 )
 def q07_customers_without_orders(spark, sf_dir):
     c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return (
         c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy("c_nationkey")
