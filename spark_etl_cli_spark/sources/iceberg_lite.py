@@ -1352,11 +1352,12 @@ def _cow_keyed_rewrite_under_deletes(
     table_path: str,
     meta: dict,
     live: list[dict],
-    purge_keys: DataFrame,
-    insert_df: DataFrame,
-    on: str,
+    purge_keys: DataFrame | None,
+    insert_df: DataFrame | None,
+    on: str | None,
     prefix: str,
     operation: str = "overwrite",
+    purge_where: str | None = None,
 ) -> dict:
     """COW key-purge rewrite for UNPARTITIONED tables carrying live
     position/equality delete files — the path upsert/apply-changes take
@@ -1402,9 +1403,19 @@ def _cow_keyed_rewrite_under_deletes(
         for e in data_entries
     }
     live_df = read_iceberg_lite(spark, table_path, with_provenance=True)
-    counts = (
-        live_df.join(purge_keys, on).groupBy("__dfile").count().collect()
+    # purge set: a key join (upsert/CDC) or a predicate (DELETE ...
+    # WHERE) — NULL-predicate rows are KEPT per SQL DELETE semantics
+    pred = (
+        F.coalesce(F.expr(purge_where), F.lit(False))
+        if purge_where is not None
+        else None
     )
+    matches = (
+        live_df.filter(pred)
+        if pred is not None
+        else live_df.join(purge_keys, on)
+    )
+    counts = matches.groupBy("__dfile").count().collect()
     affected_paths: list[str] = []
     affected: list[dict] = []
     for r in counts:
@@ -1417,6 +1428,9 @@ def _cow_keyed_rewrite_under_deletes(
         affected.append(e)
         affected_paths.append(os.path.abspath(r["__dfile"]))
     n_matched = sum(r["count"] for r in counts)
+    if not affected and insert_df is None:
+        # a predicate delete that matched nothing commits nothing
+        return {"files_rewritten": 0, "files_added": 0, "rows_matched": 0}
     affected_ids = {id(e) for e in affected}
     untouched = [e for e in data_entries if id(e) not in affected_ids]
 
@@ -1481,11 +1495,12 @@ def _cow_keyed_rewrite_under_deletes(
             groups.setdefault(key, (pv, []))[1].append(ap)
         for gidx, gkey in enumerate(sorted(groups)):
             pv, gpaths = groups[gkey]
+            kept_src = live_df.filter(F.col("__dfile").isin(gpaths))
             kept = (
-                live_df.filter(F.col("__dfile").isin(gpaths))
-                .join(purge_keys, on, "left_anti")
-                .select(*[f.name for f in schema.fields])
-            )
+                kept_src.filter(~pred)
+                if pred is not None
+                else kept_src.join(purge_keys, on, "left_anti")
+            ).select(*[f.name for f in schema.fields])
             gdir = os.path.join(
                 table_path, "data", f"{prefix}-{commit_uuid}-{gidx}"
             )
@@ -1493,29 +1508,36 @@ def _cow_keyed_rewrite_under_deletes(
             for p in sorted(_glob.glob(os.path.join(gdir, "*.parquet"))):
                 if _parquet_row_count(p) > 0:
                     new_adds.append((p, pv))
-        new_adds += _transformed_split_write(
-            insert_df,
-            os.path.join(table_path, "data", f"{prefix}-in-{commit_uuid}"),
-            tr_fields,
-        )
+        if insert_df is not None:
+            new_adds += _transformed_split_write(
+                insert_df,
+                os.path.join(
+                    table_path, "data", f"{prefix}-in-{commit_uuid}"
+                ),
+                tr_fields,
+            )
         commit_part_fields = [
             (pn, pn, vdt) for pn, _t, _s, _i, vdt in tr_fields
         ]
     else:
         if affected_paths:
+            kept_src = live_df.filter(F.col("__dfile").isin(affected_paths))
             kept = (
-                live_df.filter(F.col("__dfile").isin(affected_paths))
-                .join(purge_keys, on, "left_anti")
-                .select(*[f.name for f in schema.fields])
-            )
+                kept_src.filter(~pred)
+                if pred is not None
+                else kept_src.join(purge_keys, on, "left_anti")
+            ).select(*[f.name for f in schema.fields])
             new_adds += _write_split(
                 kept,
                 os.path.join(table_path, "data", f"{prefix}-{commit_uuid}"),
             )
-        new_adds += _write_split(
-            insert_df,
-            os.path.join(table_path, "data", f"{prefix}-in-{commit_uuid}"),
-        )
+        if insert_df is not None:
+            new_adds += _write_split(
+                insert_df,
+                os.path.join(
+                    table_path, "data", f"{prefix}-in-{commit_uuid}"
+                ),
+            )
         commit_part_fields = part_fields if partitioned else []
     _commit_rewrite_snapshot(
         table_path, meta, untouched, new_adds,
@@ -3389,10 +3411,11 @@ def delete_iceberg_lite(
     for write-heavy tables, correct under the reader's
     sequence-number scoping.
 
-    Honest fences for copy-on-write (same as compaction): tables with
-    live position/equality delete files need merge semantics — use
-    mode='merge-on-read', which stacks; non-identity partition
-    transforms need the transform to reconstruct partition tuples.
+    Tables with live position/equality delete files take the
+    delete-aware rewrite path (affected files re-read through the
+    delete-applying reader; untouched files keep their delete
+    manifests carried), so COW DELETE composes with prior
+    merge-on-read deletes on identity and transformed specs alike.
 
     Returns ``{"files_rewritten", "files_added", "rows_deleted"}``.
     """
@@ -3419,11 +3442,21 @@ def delete_iceberg_lite(
         e for e in _manifest_entries(table_path, snap) if e.get("status") != 2
     ]
     if any((e.get("data_file") or {}).get("content") in (1, 2) for e in live):
-        raise NotImplementedError(
-            "delete_iceberg_lite: table has live delete files; "
-            "copy-on-write DELETE under deletes needs merge semantics — "
-            "use mode='merge-on-read', which stacks delete files"
+        # live delete files (r7 fence closed): the delete-aware rewrite
+        # path — affected files re-read through the delete-applying
+        # reader so already-deleted rows neither match again nor get
+        # resurrected; untouched files keep their delete manifests
+        # CARRIED; transformed specs rewrite under raw recorded tuples
+        stats = _cow_keyed_rewrite_under_deletes(
+            spark, table_path, meta, live,
+            purge_keys=None, insert_df=None, on=None,
+            prefix="delete", purge_where=where,
         )
+        return {
+            "files_rewritten": stats["files_rewritten"],
+            "files_added": stats["files_added"],
+            "rows_deleted": stats["rows_matched"],
+        }
     part_fields = _identity_partition_fields(meta)
     specs = meta.get("partition-specs")
     spec_field_count = len(

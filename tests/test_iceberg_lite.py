@@ -1017,9 +1017,14 @@ def test_iceberg_mor_delete_writes_position_deletes(spark, tmp_path):
     v0 = read_iceberg_lite(spark, table, snapshot_id=meta_snaps[1])
     assert v0.count() == 10
 
-    # copy-on-write DELETE under live delete files points at MOR mode
-    with pytest.raises(NotImplementedError, match="merge-on-read"):
-        delete_iceberg_lite(spark, table, "id = 3")
+    # copy-on-write DELETE composes with the live delete files
+    # (r7 fence closed): the MOR-deleted rows stay deleted through the
+    # rewrite and the predicate rows go
+    stats = delete_iceberg_lite(spark, table, "id = 3")
+    assert stats["rows_deleted"] == 1
+    assert sorted(
+        r["id"] for r in read_iceberg_lite(spark, table).collect()
+    ) == [0, 1, 4, 5, 6, 8, 9]
 
 
 def test_iceberg_mor_delete_via_uri(spark, tmp_path):
@@ -2615,3 +2620,102 @@ def test_iceberg_transformed_upsert_and_cdc_under_live_deletes(
     after = {r["id"]: r["v"] for r in read_iceberg_lite(spark, table).collect()}
     assert after == {0: 0.5, 3: 300.0, 4: 4.0, 6: 6.0, 7: 7.0,
                      42: 42.0, 77: 77.0}
+
+
+def test_iceberg_cow_delete_under_live_delete_files(spark, tmp_path):
+    """r7 fence closed: copy-on-write DELETE on a table carrying live
+    position-delete files — already-MOR-deleted rows neither match the
+    predicate again nor resurrect, untouched files keep their delete
+    manifests carried, and a no-match predicate commits nothing."""
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        delete_iceberg_lite,
+        read_iceberg_lite,
+        write_iceberg_lite,
+    )
+
+    table = str(tmp_path / "ice_cow_del_under")
+    write_iceberg_lite(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(8)], "id long, v double"
+        ),
+        table,
+    )
+    # live MOR delete of id=1, then a COW predicate delete of ids >= 6
+    delete_iceberg_lite(spark, table, "id = 1", mode="merge-on-read")
+    stats = delete_iceberg_lite(spark, table, "id >= 6")
+    assert stats["rows_deleted"] == 2
+    got = {r["id"] for r in read_iceberg_lite(spark, table).collect()}
+    assert got == {0, 2, 3, 4, 5}
+    # the MOR-deleted row stayed deleted through the rewrite and a
+    # no-match COW delete commits nothing
+    v0 = stats
+    zero = delete_iceberg_lite(spark, table, "id = 999")
+    assert zero == {"files_rewritten": 0, "files_added": 0,
+                    "rows_deleted": 0}
+    # NULL-predicate rows are KEPT (SQL DELETE semantics)
+    write_iceberg_lite(
+        spark.createDataFrame([(None, 99.0)], "id long, v double"),
+        table, mode="append",
+    )
+    delete_iceberg_lite(spark, table, "id = 0")
+    got = {r["v"] for r in read_iceberg_lite(spark, table).collect()}
+    assert 99.0 in got and 0.0 not in got
+
+
+def test_iceberg_cow_delete_under_deletes_transformed_spec(spark, tmp_path):
+    """Same composition on a bucket[4] spec: survivors rewrite under
+    their raw recorded tuples and pruning stays intact."""
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        delete_iceberg_lite,
+        read_iceberg_lite,
+        resolve_iceberg_files,
+        write_iceberg_lite,
+    )
+
+    table = str(tmp_path / "ice_cow_del_tr")
+    meta_dir = os.path.join(table, "metadata")
+    os.makedirs(meta_dir)
+    meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000135",
+        "location": table,
+        "current-snapshot-id": -1,
+        "last-sequence-number": 0,
+        "schemas": [{
+            "schema-id": 0, "type": "struct",
+            "fields": [
+                {"id": 1, "name": "id", "required": False, "type": "long"},
+                {"id": 2, "name": "v", "required": False, "type": "double"},
+            ],
+        }],
+        "current-schema-id": 0,
+        "partition-specs": [{
+            "spec-id": 0,
+            "fields": [
+                {"name": "id_bucket", "transform": "bucket[4]",
+                 "source-id": 1, "field-id": 1000},
+            ],
+        }],
+        "default-spec-id": 0,
+        "snapshots": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    write_iceberg_lite(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(8)], "id long, v double"
+        ),
+        table, mode="append",
+    )
+    delete_iceberg_lite(spark, table, "id = 2", mode="merge-on-read")
+    stats = delete_iceberg_lite(spark, table, "v >= 6.0")
+    assert stats["rows_deleted"] == 2
+    got = {r["id"] for r in read_iceberg_lite(spark, table).collect()}
+    assert got == {0, 1, 3, 4, 5}
+    # equality pruning still works on the rewritten layout
+    kept, _, _, _ = resolve_iceberg_files(spark, table, where="id = 4")
+    allf, _, _, _ = resolve_iceberg_files(spark, table)
+    assert len(kept) < len(allf)
+    assert {r["id"] for r in read_iceberg_lite(
+        spark, table, where="id = 4"
+    ).collect()} == {4}
