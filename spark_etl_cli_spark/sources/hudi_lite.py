@@ -970,6 +970,15 @@ def write_hudi_lite(
         raise ValueError(f"partition_by columns not in frame: {missing_cols}")
 
     prior = _completed_instants(table_path)
+    if mode == "upsert" and prior:
+        # a mismatched key silently merges on the WRONG column (and MOR
+        # delete blocks store the TABLE key's string form) — refuse
+        tbl_rk = _record_key_field(table_path)
+        if tbl_rk and _rk_fields(tbl_rk) != _rk_fields(record_key):
+            raise ValueError(
+                f"hudi_lite upsert record_key={record_key!r} != the "
+                f"table's hoodie.table.recordkey.fields={tbl_rk!r}"
+            )
     # instants are ordered timestamps; derive the next one from the
     # prior tail so commits stay monotonic without wall-clock reads
     ts = f"{int(prior[-1][0]) + 1:014d}" if prior else f"{10**13:014d}"

@@ -1579,3 +1579,23 @@ def test_hudi_composite_record_keys_mor_and_cow(spark, tmp_path):
             ),
             cow, mode="upsert", record_key="k1,k2",
         )
+
+
+def test_hudi_upsert_refuses_mismatched_record_key(spark, tmp_path):
+    """An upsert keyed differently from the table's recordkey.fields
+    would merge on the wrong column (and MOR delete blocks store the
+    TABLE key's string form) — it must refuse, not silently diverge."""
+    from spark_etl_cli_spark.sources.hudi_lite import write_hudi_lite
+
+    table = str(tmp_path / "rk_guard")
+    write_hudi_lite(
+        spark.createDataFrame([(1, "a", 1.0)], "k1 long, k2 string, v double"),
+        table, record_key="k1,k2",
+    )
+    with pytest.raises(ValueError, match="recordkey"):
+        write_hudi_lite(
+            spark.createDataFrame(
+                [(1, "a", 2.0)], "k1 long, k2 string, v double"
+            ),
+            table, mode="upsert", record_key="k1",
+        )
