@@ -553,6 +553,27 @@ def _physical_schema(schema: T.StructType) -> tuple[T.StructType, bool]:
     return conv(schema), found
 
 
+def _project_positional(
+    df: DataFrame,
+    from_fields: list[T.StructField],
+    to_fields: list[T.StructField],
+) -> DataFrame:
+    """Project ``df`` from one schema shape to another by POSITION:
+    rename each top-level column and, where the datatypes differ only
+    in (nested) field names, restore them with a positional struct
+    cast. The single implementation behind every logical↔physical
+    column-mapping projection (writer, rewrite, and their inverse)."""
+    proj = []
+    for f, pf in zip(from_fields, to_fields):
+        if f.name not in df.columns:
+            continue
+        col = F.col(f.name)
+        if f.dataType != pf.dataType:
+            col = col.cast(pf.dataType)
+        proj.append(col.alias(pf.name))
+    return df.select(*proj)
+
+
 def _version_at_timestamp(log_dir: str, ts_ms: int) -> int:
     """Latest version whose commit timestamp ≤ ``ts_ms`` — Delta's
     ``timestampAsOf`` resolution rule. Uses commitInfo.timestamp when
@@ -1112,15 +1133,9 @@ def write_delta_lite(
                 )
             )
             phys_commit_m, _ = _physical_schema(commit_schema_m)
-            proj = []
-            for f, pf in zip(commit_schema_m.fields, phys_commit_m.fields):
-                if f.name not in df.columns:
-                    continue
-                col = F.col(f.name)
-                if f.dataType != pf.dataType:
-                    col = col.cast(pf.dataType)
-                proj.append(col.alias(pf.name))
-            df = df.select(*proj)
+            df = _project_positional(
+                df, list(commit_schema_m.fields), list(phys_commit_m.fields)
+            )
             phys_part_cols = [phys_of_m[c] for c in part_cols]
 
     tmp_dir = tempfile.mkdtemp(prefix="delta_lite_write_")
@@ -2202,15 +2217,9 @@ def _rewrite_files(
             # positional struct cast renames NESTED mapped fields too
             # (without it, rewritten files carried logical nested names
             # that the physical-schema reader then served as NULLs)
-            proj = []
-            for f, pf in zip(schema.fields, phys_schema.fields):
-                if f.name not in df.columns:
-                    continue
-                col = F.col(f.name)
-                if f.dataType != pf.dataType:
-                    col = col.cast(pf.dataType)
-                proj.append(col.alias(pf.name))
-            df = df.select(*proj)
+            df = _project_positional(
+                df, list(schema.fields), list(phys_schema.fields)
+            )
             write_parts = [phys_of[c] for c in part_cols]
     tmp_dir = tempfile.mkdtemp(prefix="delta_lite_rewrite_")
     try:
@@ -2847,12 +2856,14 @@ def merge_delta_lite(
             # scale shape: never shuffle the TABLE's keys. The old
             # `scan.select(keys).distinct()` anti-join shuffled every
             # key in the table (measured ~table-sized shuffle at 10x);
-            # instead semi-join the scan against the (broadcast when
-            # small) SOURCE key set — the table side is only scanned —
-            # and anti-join the source against the tiny matched set.
+            # instead semi-join the scan against the SOURCE key set —
+            # AQE sizes the small side after its (cheap) shuffle and
+            # converts to broadcast, so the table side is only scanned.
+            # No forced broadcast hint: a row-count gate can't see the
+            # BYTES of a wide composite key set, and a mis-sized forced
+            # broadcast fails where AQE's byte-sized decision degrades
+            # gracefully to a shuffle of just the key columns.
             src_keys = new_rows.select(*keys).distinct()
-            if stats_row["n"] <= 4_000_000:
-                src_keys = F.broadcast(src_keys)
             matched_keys = (
                 _snapshot_scan(spark, table_path, adds, meta)
                 .join(src_keys, keys, "left_semi")

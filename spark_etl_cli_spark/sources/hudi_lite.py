@@ -117,19 +117,32 @@ def _prune_partitions(
         return None
 
 
+def _load_commit_bodies(
+    instants: list[tuple[str, str, str]],
+) -> list[tuple[str, str, dict]]:
+    """[(ts, action, parsed commit body)] — parse each timeline JSON
+    exactly once so multi-pass readers (slices + incremental stats)
+    share the I/O."""
+    out = []
+    for ts, action, path in instants:
+        with open(path) as fh:
+            out.append((ts, action, json.load(fh)))
+    return out
+
+
 def _live_file_slices(
-    table_path: str, instants: list[tuple[str, str, str]]
+    table_path: str,
+    instants: list[tuple[str, str, str]],
+    bodies: list[tuple[str, str, dict]] | None = None,
 ) -> dict[tuple[str, str], dict]:
     """Latest file slice per (partition, fileId) after timeline replay:
     ``{(part, fid): {"base": path|None, "base_ts": ts|None,
     "logs": [paths]}}``. Replacecommits drop whole file groups
     (clustering / insert_overwrite); a new BASE file for a fileId
     starts a new slice (compaction), so its accumulated log files
-    reset."""
+    reset. Pass pre-parsed ``bodies`` to share the JSON parse."""
     groups: dict[tuple[str, str], dict] = {}
-    for ts, action, path in instants:
-        with open(path) as fh:
-            commit = json.load(fh)
+    for ts, action, commit in (bodies or _load_commit_bodies(instants)):
         if action == "replacecommit":
             for part, fids in (
                 commit.get("partitionToReplaceFileIds") or {}
@@ -584,10 +597,33 @@ def _read_hudi_incremental_mor(
     hi = str(end_instant) if end_instant is not None else instants[-1][0]
     lo = str(begin_instant)
     upto_end = [i for i in instants if i[0] <= hi]
-    groups = _live_file_slices(table_path, upto_end)
+    bodies = _load_commit_bodies(upto_end)
+    groups = _live_file_slices(table_path, upto_end, bodies=bodies)
     snapshot = _mor_snapshot_df(
         spark, table_path, groups, record_key, keep_fid=True
     )
+    # the data-block decoder renders keys in PYTHON (_rk_py) and joins
+    # them against Spark-rendered keys (_rk_expr); the two string forms
+    # agree only for string/integral key fields (str(datetime) carries
+    # trailing-zero microseconds Spark's cast drops, str(True) != 'true',
+    # large doubles differ in exponent form) — refuse anything else
+    # rather than silently dropping changed rows from the pull
+    bad_key_types = [
+        (f.name, f.dataType.simpleString())
+        for f in snapshot.schema.fields
+        if f.name in set(_rk_fields(record_key))
+        and not isinstance(
+            f.dataType,
+            (T.StringType, T.ByteType, T.ShortType,
+             T.IntegerType, T.LongType),
+        )
+    ]
+    if bad_key_types:
+        raise NotImplementedError(
+            "hudi_lite MOR incremental needs string/integer record-key "
+            f"fields; got {bad_key_types} (python and Spark string "
+            "renderings diverge for these types)"
+        )
     payload = [c for c in snapshot.columns if c != "__fid"]
     empty = snapshot.select(
         F.lit(None).cast("string").alias(_HOODIE_TS_COL), *payload
@@ -609,9 +645,7 @@ def _read_hudi_incremental_mor(
     live_fids = {fid for (_part, fid) in groups}
     log_set: set[tuple[str, str]] = set()
     created: dict[tuple[str, str], tuple[str, str]] = {}
-    for c_ts, c_action, c_path in upto_end:
-        with open(c_path) as fh:
-            c_commit = json.load(fh)
+    for c_ts, c_action, c_commit in bodies:
         for c_part, c_stats in (
             c_commit.get("partitionToWriteStats") or {}
         ).items():

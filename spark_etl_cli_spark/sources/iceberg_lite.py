@@ -1088,8 +1088,12 @@ def write_iceberg_lite(
     # (iceberg_transforms.spark_transform_column) so the new files land
     # with PRUNABLE manifest partition values under the PRIOR spec,
     # instead of the conservative unprunable empty tuple.
+    # MIXED specs (identity + transformed fields) take this path too:
+    # gating it on "no identity partition columns" routed them to the
+    # identity-only hive split, recording PARTIAL partition tuples
+    # (the transformed fields missing) — their pruning silently lost.
     tr_spec: list[tuple[str, str, str, object]] | None = None
-    if prior is not None and not pcols:
+    if prior is not None:
         specs0 = prior.get("partition-specs") or []
         dspec = next(
             (
@@ -1382,17 +1386,21 @@ def _cow_keyed_rewrite_under_deletes(
         e for e in live if (e.get("data_file") or {}).get("content", 0) == 0
     ]
     tr_fields = None
-    if any(
-        (e["data_file"].get("partition") or {}) for e in data_entries
-    ) and not part_fields:
+    if any((e["data_file"].get("partition") or {}) for e in data_entries):
         # transformed spec (r6 fence closed): survivors of affected
         # files rewrite under their RAW recorded tuple — sound because
         # transforms are deterministic functions of unchanged source
         # columns — but are SOURCED from the delete-applying reader;
-        # inserts split by the evaluated transforms. Only a spec whose
-        # source columns can't be resolved still refuses.
+        # inserts split by the evaluated transforms. MIXED specs
+        # (identity + bucket/truncate/temporal) take this path too:
+        # _transformed_spec_fields returns EVERY spec field, so the
+        # committed partition records carry the full tuple — routing
+        # them to the identity branch would silently drop the
+        # transformed fields from rewritten files' manifests and lose
+        # their pruning. Only a spec whose source columns can't be
+        # resolved still refuses (when not purely identity).
         tr_fields = _transformed_spec_fields(meta)
-        if tr_fields is None:
+        if tr_fields is None and not part_fields:
             raise NotImplementedError(
                 "iceberg keyed rewrite under deletes: the partition "
                 "spec references unknown source columns — the "
@@ -2523,9 +2531,12 @@ def compact_iceberg_lite(
         tr_fields_del = _transformed_spec_fields(meta)
         if any(
             (e["data_file"].get("partition") or {}) for e in data_entries
-        ) and not pf_del and tr_fields_del is not None:
-            # transformed spec: rewrite the post-delete row set split
-            # by the evaluated transforms (prunability preserved)
+        ) and tr_fields_del is not None:
+            # transformed (incl. MIXED identity+transform) spec:
+            # rewrite the post-delete row set split by the evaluated
+            # transforms (full-tuple prunability preserved — the old
+            # "not pf_del" gate sent mixed specs to the identity path,
+            # recording partial tuples)
             commit_uuid = _uuid.uuid4().hex
             new_adds = _transformed_split_write(
                 read_iceberg_lite(spark, table_path),

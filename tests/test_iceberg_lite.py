@@ -2719,3 +2719,91 @@ def test_iceberg_cow_delete_under_deletes_transformed_spec(spark, tmp_path):
     assert {r["id"] for r in read_iceberg_lite(
         spark, table, where="id = 4"
     ).collect()} == {4}
+
+
+def test_iceberg_mixed_spec_rewrite_under_deletes_keeps_full_tuple(
+    spark, tmp_path
+):
+    """Review finding (r7): a MIXED spec [identity(part), bucket[4](id)]
+    with live delete files used to route to the identity-only branch,
+    committing rewritten files with partition records MISSING the
+    bucket field — pruning silently lost. The transformed path now
+    takes every spec with any non-identity field; both tuple components
+    must survive the rewrite (poison-proven for each dimension)."""
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        delete_iceberg_lite,
+        read_iceberg_lite,
+        resolve_iceberg_files,
+        upsert_iceberg_lite,
+        write_iceberg_lite,
+    )
+
+    table = str(tmp_path / "ice_mixed_spec")
+    meta_dir = os.path.join(table, "metadata")
+    os.makedirs(meta_dir)
+    meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000145",
+        "location": table,
+        "current-snapshot-id": -1,
+        "last-sequence-number": 0,
+        "schemas": [{
+            "schema-id": 0, "type": "struct",
+            "fields": [
+                {"id": 1, "name": "id", "required": False, "type": "long"},
+                {"id": 2, "name": "part", "required": False,
+                 "type": "string"},
+                {"id": 3, "name": "v", "required": False, "type": "double"},
+            ],
+        }],
+        "current-schema-id": 0,
+        "partition-specs": [{
+            "spec-id": 0,
+            "fields": [
+                {"name": "part", "transform": "identity",
+                 "source-id": 2, "field-id": 1000},
+                {"name": "id_bucket", "transform": "bucket[4]",
+                 "source-id": 1, "field-id": 1001},
+            ],
+        }],
+        "default-spec-id": 0,
+        "snapshots": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    write_iceberg_lite(
+        spark.createDataFrame(
+            [(i, "a" if i < 4 else "b", float(i)) for i in range(8)],
+            "id long, part string, v double",
+        ),
+        table, mode="append",
+    )
+    delete_iceberg_lite(spark, table, "id = 0", mode="merge-on-read")
+    stats = upsert_iceberg_lite(
+        spark.createDataFrame(
+            [(2, "a", 200.0), (42, "b", 42.0)], "id long, part string, v double"
+        ),
+        table, on="id",
+    )
+    assert stats["rows_updated"] == 1 and stats["rows_inserted"] == 1
+    got = {r["id"]: r["v"] for r in read_iceberg_lite(spark, table).collect()}
+    assert got == {**{i: float(i) for i in range(1, 8) if i != 2},
+                   2: 200.0, 42: 42.0}
+    # BOTH tuple dimensions still prune: the identity part AND the
+    # bucket — poison everything outside each predicate's kept set
+    for where, want in [("part = 'a' AND id = 2", {2}),
+                        ("id = 42", {42})]:
+        kept, _, _, _ = resolve_iceberg_files(spark, table, where=where)
+        allf, _, _, _ = resolve_iceberg_files(spark, table)
+        assert len(kept) < len(allf), where
+        backups = {}
+        for p in set(allf) - set(kept):
+            backups[p] = open(p, "rb").read()
+            with open(p, "wb") as fh:
+                fh.write(b"poisoned")
+        assert {r["id"] for r in read_iceberg_lite(
+            spark, table, where=where
+        ).collect()} == want, where
+        for p, data in backups.items():
+            with open(p, "wb") as fh:
+                fh.write(data)
