@@ -464,24 +464,34 @@ def _resolve_entries(
     list[tuple[str, dict, int]],
     list[tuple[str, int]],
     list[tuple[str, int]],
+    list[tuple[str, int, int, str, int]],
     T.StructType,
     dict,
 ]:
     """(data entries (path, partition dict, data sequence number),
-    position deletes (path, seq), equality deletes (path, seq), spark
-    schema, table metadata) for a snapshot, with ``where`` pruning the
-    data entries via manifest partition values."""
+    position deletes (path, seq), equality deletes (path, seq),
+    deletion vectors (puffin path, content offset, content size,
+    referenced data file abs path, seq), spark schema, table metadata)
+    for a snapshot, with ``where`` pruning the data entries via
+    manifest partition values.
+
+    Deletion vectors (format v3, spec "Deletion Vectors") are position
+    deletes stored as ``deletion-vector-v1`` blobs in Puffin files,
+    recognized by their manifest entry's ``referenced_data_file`` /
+    ``content_offset`` / ``content_size_in_bytes`` fields (spec ids
+    143/144/145)."""
     meta = _load_metadata(table_path)
     fv = int(meta.get("format-version", 1))
-    if fv > 2:
+    if fv > 3:
         raise NotImplementedError(
-            f"iceberg_lite reads format v1/v2 tables, got v{fv}"
+            f"iceberg_lite reads format v1/v2/v3 tables, got v{fv}"
         )
     spark_schema = _schema_to_spark(meta)
     snap = _snapshot(meta, snapshot_id)
     data_entries: list[tuple[str, dict, int]] = []
     pos_deletes: list[tuple[str, int]] = []
     eq_deletes: list[tuple[str, int]] = []
+    dv_entries: list[tuple[str, int, int, str, int]] = []
     for e in _manifest_entries(table_path, snap):
         if e.get("status") == 2:  # DELETED entry
             continue
@@ -499,7 +509,19 @@ def _resolve_entries(
             # a delete file with no sequence number applies to ALL
             # current data (pre-sequencing metadata); scoping kicks in
             # only when the table actually records sequence numbers
-            pos_deletes.append((path, seq if seq is not None else 2**62))
+            if dfile.get("content_offset") is not None or (
+                str(dfile.get("file_format") or "")).upper() == "PUFFIN":
+                dv_entries.append((
+                    path,
+                    int(dfile["content_offset"]),
+                    int(dfile["content_size_in_bytes"]),
+                    os.path.abspath(_localize(
+                        dfile["referenced_data_file"], table_path
+                    )),
+                    seq if seq is not None else 2**62,
+                ))
+            else:
+                pos_deletes.append((path, seq if seq is not None else 2**62))
         elif content == 2:
             eq_deletes.append((path, seq if seq is not None else 2**62))
     if where and data_entries:
@@ -515,7 +537,7 @@ def _resolve_entries(
         data_entries = _prune_transformed_entries(
             data_entries, meta, where
         )
-    return data_entries, pos_deletes, eq_deletes, spark_schema, meta
+    return data_entries, pos_deletes, eq_deletes, dv_entries, spark_schema, meta
 
 
 def resolve_iceberg_files(
@@ -527,13 +549,15 @@ def resolve_iceberg_files(
     """(data_files, position_delete_files, equality_delete_files,
     spark_schema) for a snapshot, with ``where`` pruning the DATA file
     list via manifest-entry partition values — at a 10^6-file table this
-    is what keeps a one-partition query from opening every footer."""
-    entries, pos_deletes, eq_deletes, spark_schema, _meta = _resolve_entries(
-        spark, table_path, snapshot_id, where
+    is what keeps a one-partition query from opening every footer.
+    Deletion-vector Puffin files (v3) are listed with the position
+    deletes (they ARE position deletes, differently framed)."""
+    entries, pos_deletes, eq_deletes, dv_entries, spark_schema, _meta = (
+        _resolve_entries(spark, table_path, snapshot_id, where)
     )
     return (
         [p for p, _, _ in entries],
-        [p for p, _ in pos_deletes],
+        [p for p, _ in pos_deletes] + sorted({p for p, *_ in dv_entries}),
         [p for p, _ in eq_deletes],
         spark_schema,
     )
@@ -551,14 +575,17 @@ def read_iceberg_lite(
     (row position) on the result — the merge-on-read DELETE writer
     consumes them to emit position-delete rows for exactly the LIVE
     rows a predicate matches."""
-    entries, pos_deletes, eq_deletes, spark_schema, meta = _resolve_entries(
-        spark, table_path, snapshot_id, where
+    entries, pos_deletes, eq_deletes, dv_entries, spark_schema, meta = (
+        _resolve_entries(spark, table_path, snapshot_id, where)
     )
     if not entries:
         empty = spark.createDataFrame([], spark_schema)
         return empty.filter(where) if where else empty
     norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
-    track = bool(pos_deletes) or bool(eq_deletes) or with_provenance
+    track = (
+        bool(pos_deletes) or bool(eq_deletes) or bool(dv_entries)
+        or with_provenance
+    )
 
     # schema.name-mapping.default (spec): files without field ids in
     # their footers resolve columns through this name→id mapping — the
@@ -712,32 +739,56 @@ def read_iceberg_lite(
             )
         )
         df = df.join(seq_df, "__dfile", "left")
-    if pos_deletes:
+    if pos_deletes or dv_entries:
         # position-delete files: (file_path, pos[, row]) — drop the
         # (file, row ordinal) pairs they name, matching on normalized
         # paths since writers disagree about the file:// prefix; a
         # delete row applies only to data files whose sequence number
         # is <= the delete file's (spec: "Position delete files must
         # be applied to data files from the same commit [or older]")
-        dels = (
-            spark.read.parquet(*[p for p, _ in pos_deletes])
-            .withColumn("__delfile", norm(F.col("_metadata.file_path")))
-            .select(
-                norm(F.col("file_path")).alias("__pdfile"),
-                F.col("pos").cast("long").alias("__pdpos"),
-                "__delfile",
+        del_parts: list[DataFrame] = []
+        if pos_deletes:
+            del_parts.append(
+                spark.read.parquet(*[p for p, _ in pos_deletes])
+                .withColumn("__delfile", norm(F.col("_metadata.file_path")))
+                .select(
+                    norm(F.col("file_path")).alias("__pdfile"),
+                    F.col("pos").cast("long").alias("__pdpos"),
+                    "__delfile",
+                )
+                .join(
+                    F.broadcast(
+                        spark.createDataFrame(
+                            [(os.path.abspath(p), s) for p, s in pos_deletes],
+                            "__delfile string, __delseq long",
+                        )
+                    ),
+                    "__delfile",
+                )
+                .select("__pdfile", "__pdpos", "__delseq")
             )
-            .join(
-                F.broadcast(
-                    spark.createDataFrame(
-                        [(os.path.abspath(p), s) for p, s in pos_deletes],
-                        "__delfile string, __delseq long",
-                    )
-                ),
-                "__delfile",
+        if dv_entries:
+            # v3 deletion vectors: decode each referenced file's
+            # bitmap driver-side (bounded by DV cardinality — the
+            # same order the broadcast below materializes anyway) and
+            # feed the identical anti-join
+            from spark_etl_cli_spark.sources.puffin_lite import read_dv
+
+            dv_rows = [
+                (ref, int(pos), seq)
+                for ppath, off, size, ref, seq in dv_entries
+                for pos in read_dv(ppath, off, size)
+            ]
+            del_parts.append(
+                spark.createDataFrame(
+                    dv_rows, "__pdfile string, __pdpos long, __delseq long"
+                )
             )
-            .groupBy("__pdfile", "__pdpos")
-            .agg(F.max("__delseq").alias("__delseq"))
+        dels = del_parts[0]
+        for extra in del_parts[1:]:
+            dels = dels.unionByName(extra)
+        dels = dels.groupBy("__pdfile", "__pdpos").agg(
+            F.max("__delseq").alias("__delseq")
         )
         df = df.join(
             F.broadcast(dels),
@@ -2315,21 +2366,23 @@ def read_iceberg_changes(
 
     def resolve(sid: int | None):
         if sid is None:
-            return [], [], []
-        data, pos, eq, _s, _m = _resolve_entries(spark, table_path, sid)
+            return [], [], [], {}
+        data, pos, eq, dvs, _s, _m = _resolve_entries(spark, table_path, sid)
         return (
             [(p, pv) for p, pv, _seq in data],
             [p for p, _seq in pos],
             [p for p, _seq in eq],
+            # one live DV per referenced data file (v3 invariant)
+            {ref: (p, off, size) for p, off, size, ref, _seq in dvs},
         )
 
     prev_id = from_snapshot  # None = before the first snapshot
-    prev_data, prev_pos, prev_eq = resolve(prev_id)
+    prev_data, prev_pos, prev_eq, prev_dv = resolve(prev_id)
     pieces: list[DataFrame] = []
     for snap in in_range:
         sid = snap["snapshot-id"]
         ts_ms = int(snap.get("timestamp-ms") or 0)
-        cur_data, cur_pos, cur_eq = resolve(sid)
+        cur_data, cur_pos, cur_eq, cur_dv = resolve(sid)
         stamps = [
             F.lit("insert").alias("_change_type"),
             F.lit(sid).cast("long").alias("_snapshot_id"),
@@ -2337,8 +2390,8 @@ def read_iceberg_changes(
         ]
         op = (snap.get("summary") or {}).get("operation")
         if op == "replace":
-            prev_id, prev_data, prev_pos, prev_eq = (
-                sid, cur_data, cur_pos, cur_eq,
+            prev_id, prev_data, prev_pos, prev_eq, prev_dv = (
+                sid, cur_data, cur_pos, cur_eq, cur_dv,
             )
             continue
         prev_paths = {p for p, _ in prev_data}
@@ -2356,7 +2409,20 @@ def read_iceberg_changes(
             pieces.append(scan_pairs(removed).select("*", *del_stamps))
         new_pos = [p for p in cur_pos if p not in set(prev_pos)]
         new_eq = [p for p in cur_eq if p not in set(prev_eq)]
-        if (new_pos or new_eq) and prev_id is not None:
+        # a commit's merged DV REPLACES the file's previous DV and is a
+        # superset of it (v3 spec) — the snapshot's newly-deleted rows
+        # are exactly the positions the new bitmap adds over the old
+        new_dv_pairs: list[tuple[str, int]] = []
+        for ref, coords in cur_dv.items():
+            if prev_dv.get(ref) == coords:
+                continue
+            from spark_etl_cli_spark.sources.puffin_lite import read_dv
+
+            fresh = set(read_dv(*coords))
+            if ref in prev_dv:
+                fresh -= set(read_dv(*prev_dv[ref]))
+            new_dv_pairs.extend((ref, int(p)) for p in sorted(fresh))
+        if (new_pos or new_eq or new_dv_pairs) and prev_id is not None:
             prior = read_iceberg_lite(
                 spark, table_path, snapshot_id=prev_id,
                 with_provenance=True,
@@ -2378,6 +2444,17 @@ def read_iceberg_changes(
                     .select(*data_cols)
                     .select("*", *del_stamps)
                 )
+            if new_dv_pairs:
+                dv_pairs_df = spark.createDataFrame(
+                    new_dv_pairs, "__dfile string, __dpos long"
+                )
+                pieces.append(
+                    prior.join(
+                        dv_pairs_df, ["__dfile", "__dpos"], "left_semi"
+                    )
+                    .select(*data_cols)
+                    .select("*", *del_stamps)
+                )
             for eqf in new_eq:
                 keys = spark.read.parquet(eqf).distinct()
                 pieces.append(
@@ -2385,8 +2462,8 @@ def read_iceberg_changes(
                     .select(*data_cols)
                     .select("*", *del_stamps)
                 )
-        prev_id, prev_data, prev_pos, prev_eq = (
-            sid, cur_data, cur_pos, cur_eq,
+        prev_id, prev_data, prev_pos, prev_eq, prev_dv = (
+            sid, cur_data, cur_pos, cur_eq, cur_dv,
         )
     if not pieces:
         return spark.createDataFrame([], out_schema)
@@ -2972,6 +3049,513 @@ def expire_iceberg_snapshots(
     return {"expired": len(expired), "files_deleted": deleted}
 
 
+def upgrade_iceberg_format(
+    spark: SparkSession, table_path: str, to_version: int = 3
+) -> dict:
+    """Upgrade a v1/v2 table to format-version 3 (spec "Version 3").
+
+    v3 forbids position-delete FILES, so the upgrade converts every
+    live one into deletion vectors: the delete rows are decoded,
+    grouped per referenced data file (respecting sequence-number
+    scoping — a delete row only folds into a file's DV if it applied
+    to that file), written as one Puffin file with a
+    ``deletion-vector-v1`` blob per file, and committed as a
+    ``replace`` snapshot (row set unchanged; streams skip it) whose
+    carried delete manifests drop the converted position-delete
+    entries. Equality deletes stay as-is (still legal in v3). Data
+    manifests are carried verbatim.
+
+    Returns ``{"upgraded": bool, "dvs_written": n, "pos_delete_files_
+    converted": n}``.
+    """
+    import time as _time
+    import uuid as _uuid
+
+    from spark_etl_cli_spark.sources.avro_lite import write_container
+    from spark_etl_cli_spark.sources.puffin_lite import (
+        DV_BLOB_TYPE,
+        dv_blob_bytes,
+        write_puffin,
+    )
+
+    meta = _load_metadata(table_path)
+    fv = int(meta.get("format-version", 1))
+    if to_version != 3:
+        raise ValueError(f"upgrade target must be 3, got {to_version}")
+    if fv >= 3:
+        return {
+            "upgraded": False,
+            "dvs_written": 0,
+            "pos_delete_files_converted": 0,
+        }
+    data_entries, pos_dels, _eq, _dvs, _sch, _m = _resolve_entries(
+        spark, table_path
+    )
+    meta_dir = os.path.join(table_path, "metadata")
+    snapshot_id = (
+        max((s["snapshot-id"] for s in meta.get("snapshots") or []), default=0)
+        + 1
+    )
+    seq = int(meta.get("last-sequence-number") or 0) + 1
+    now_ms = int(_time.time() * 1000)
+    commit_uuid = _uuid.uuid4().hex
+
+    new_delete_ml: list[dict] = []
+    n_dvs = 0
+    if pos_dels:
+        seq_of = {
+            os.path.abspath(p): (s if s is not None else 0)
+            for p, _pv, s in data_entries
+        }
+        per_file: dict[str, set[int]] = {}
+        for pd_path, del_seq in pos_dels:
+            for r in (
+                spark.read.parquet(pd_path)
+                .select("file_path", "pos")
+                .collect()
+            ):
+                fp = os.path.abspath(
+                    re.sub(r"^file:/+", "/", str(r["file_path"]))
+                )
+                if fp in seq_of and del_seq >= seq_of[fp]:
+                    per_file.setdefault(fp, set()).add(int(r["pos"]))
+        per_file = {fp: v for fp, v in per_file.items() if v}
+        if per_file:
+            refs = sorted(per_file)
+            del_dir = os.path.join(table_path, "data")
+            os.makedirs(del_dir, exist_ok=True)
+            puffin_path = os.path.join(del_dir, f"dv-{commit_uuid}.puffin")
+            blob_metas = write_puffin(
+                puffin_path,
+                [
+                    {
+                        "type": DV_BLOB_TYPE,
+                        "data": dv_blob_bytes(sorted(per_file[ref])),
+                        "snapshot-id": snapshot_id,
+                        "sequence-number": seq,
+                        "properties": {
+                            "referenced-data-file": ref,
+                            "cardinality": str(len(per_file[ref])),
+                        },
+                    }
+                    for ref in refs
+                ],
+            )
+            psize = os.path.getsize(puffin_path)
+            manifest_path = os.path.join(
+                meta_dir, f"manifest-dv-{commit_uuid}.avro"
+            )
+            write_container(
+                manifest_path,
+                _delete_manifest_schema(),
+                iter(
+                    {
+                        "status": 1,
+                        "snapshot_id": snapshot_id,
+                        "sequence_number": None,
+                        "file_sequence_number": None,
+                        "data_file": {
+                            "content": 1,
+                            "file_path": puffin_path,
+                            "file_format": "PUFFIN",
+                            "partition": {},
+                            "record_count": len(per_file[ref]),
+                            "file_size_in_bytes": psize,
+                            "referenced_data_file": ref,
+                            "content_offset": bm["offset"],
+                            "content_size_in_bytes": bm["length"],
+                        },
+                    }
+                    for ref, bm in zip(refs, blob_metas)
+                ),
+                extra_meta={
+                    "schema": json.dumps(_current_schema(meta)).encode(),
+                    "schema-id": b"0",
+                    "partition-spec": b"[]",
+                    "partition-spec-id": b"0",
+                    "format-version": b"3",
+                    "content": b"deletes",
+                },
+            )
+            n_dvs = len(refs)
+            new_delete_ml.append(
+                {
+                    "manifest_path": manifest_path,
+                    "manifest_length": os.path.getsize(manifest_path),
+                    "partition_spec_id": 0,
+                    "content": 1,
+                    "sequence_number": seq,
+                    "min_sequence_number": seq,
+                    "added_snapshot_id": snapshot_id,
+                    "added_files_count": n_dvs,
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": sum(
+                        len(v) for v in per_file.values()
+                    ),
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                }
+            )
+
+    carried = _carry_manifests_superseding_dvs(
+        table_path, meta, set(), commit_uuid, drop_pos_deletes=True
+    )
+    mlist_path = os.path.join(meta_dir, f"snap-{snapshot_id}-{commit_uuid}.avro")
+    write_container(
+        mlist_path,
+        _MANIFEST_LIST_SCHEMA,
+        iter(carried + new_delete_ml),
+        extra_meta={"format-version": b"3"},
+    )
+    new_meta = dict(meta)
+    new_meta["format-version"] = 3
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["current-snapshot-id"] = snapshot_id
+    new_meta["snapshots"] = list(meta.get("snapshots") or []) + [{
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": mlist_path,
+        "summary": {"operation": "replace"},
+        "schema-id": 0,
+    }]
+    version = 1 + max(
+        int(re.match(r"v?(\d+)", os.path.basename(p)).group(1))
+        for p in _glob.glob(os.path.join(meta_dir, "*.metadata.json"))
+    )
+    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as fh:
+        json.dump(new_meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return {
+        "upgraded": True,
+        "dvs_written": n_dvs,
+        "pos_delete_files_converted": len(pos_dels),
+    }
+
+
+def _delete_manifest_schema() -> dict:
+    """Manifest schema for delete files with every optional delete
+    field nullable: ``equality_ids`` (spec ids 135/136),
+    ``referenced_data_file``/``content_offset``/
+    ``content_size_in_bytes`` (spec ids 143/144/145 — the v3
+    deletion-vector coordinates). Entries lacking a field write null."""
+    schema = _manifest_schema_for([])
+    for f in schema["fields"]:
+        if f["name"] == "data_file":
+            f["type"]["fields"] += [
+                {
+                    "name": "equality_ids",
+                    "field-id": 135,
+                    "type": [
+                        "null",
+                        {"type": "array", "items": "int", "element-id": 136},
+                    ],
+                },
+                {
+                    "name": "referenced_data_file",
+                    "field-id": 143,
+                    "type": ["null", "string"],
+                },
+                {
+                    "name": "content_offset",
+                    "field-id": 144,
+                    "type": ["null", "long"],
+                },
+                {
+                    "name": "content_size_in_bytes",
+                    "field-id": 145,
+                    "type": ["null", "long"],
+                },
+            ]
+    return schema
+
+
+def _carry_manifests_superseding_dvs(
+    table_path: str,
+    meta: dict,
+    replaced_refs: set[str],
+    commit_uuid: str,
+    drop_pos_deletes: bool = False,
+) -> list[dict]:
+    """Manifest-list entries carrying the current snapshot's manifests
+    forward, with delete manifests REWRITTEN to drop (a) deletion-
+    vector entries whose referenced data file just received a new
+    merged DV (v3 spec: "an added DV replaces all previous DVs for its
+    data file") and, when ``drop_pos_deletes`` (the v2→v3 upgrade,
+    which converts them), (b) position-delete parquet entries. Kept
+    entries become EXISTING with their resolved sequence numbers
+    explicit; a manifest left empty drops from the list entirely."""
+    from spark_etl_cli_spark.sources.avro_lite import (
+        read_container,
+        write_container,
+    )
+
+    fv = int(meta.get("format-version", 1))
+    cur = _snapshot(meta, None)
+    with open(_localize(cur["manifest-list"], table_path), "rb") as fh:
+        _, prior = read_container(fh.read())
+    defaults = {
+        "content": 0,
+        "sequence_number": 0,
+        "min_sequence_number": 0,
+        "added_files_count": 0,
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": 0,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    meta_dir = os.path.join(table_path, "metadata")
+    out: list[dict] = []
+    for i, ml in enumerate(prior):
+        ml = {**defaults, **{k: v for k, v in ml.items() if v is not None}}
+        if ml.get("content") != 1:
+            out.append(ml)
+            continue
+        mp = _localize(ml["manifest_path"], table_path)
+        with open(mp, "rb") as fh:
+            _, recs = read_container(fh.read())
+        kept: list[dict] = []
+        dropped = 0
+        for e in recs:
+            if e.get("status") == 2:
+                continue
+            d = e.get("data_file") or {}
+            is_dv = d.get("content_offset") is not None
+            superseded = is_dv and (
+                os.path.abspath(
+                    _localize(d["referenced_data_file"], table_path)
+                )
+                in replaced_refs
+            )
+            if drop_pos_deletes and not is_dv and (d.get("content") == 1):
+                superseded = True
+            if superseded:
+                dropped += 1
+                continue
+            seq_no = e.get("sequence_number")
+            if seq_no is None:
+                seq_no = ml.get("sequence_number")
+            kept.append(
+                {
+                    "status": 0,  # EXISTING, explicit sequence number
+                    "snapshot_id": e.get("snapshot_id"),
+                    "sequence_number": seq_no,
+                    "file_sequence_number": e.get("file_sequence_number"),
+                    "data_file": d,
+                }
+            )
+        if not dropped:
+            out.append(ml)
+            continue
+        if not kept:
+            continue  # every entry superseded — manifest drops
+        new_mp = os.path.join(
+            meta_dir, f"manifest-delcarry-{commit_uuid}-{i}.avro"
+        )
+        write_container(
+            new_mp,
+            _delete_manifest_schema(),
+            iter(kept),
+            extra_meta={
+                "schema": json.dumps(_current_schema(meta)).encode(),
+                "schema-id": b"0",
+                "partition-spec": b"[]",
+                "partition-spec-id": b"0",
+                "format-version": str(fv).encode(),
+                "content": b"deletes",
+            },
+        )
+        out.append(
+            {
+                **ml,
+                "manifest_path": new_mp,
+                "manifest_length": os.path.getsize(new_mp),
+                "added_files_count": 0,
+                "existing_files_count": len(kept),
+                "deleted_files_count": dropped,
+                "added_rows_count": 0,
+                "existing_rows_count": sum(
+                    (k["data_file"].get("record_count") or 0) for k in kept
+                ),
+                "min_sequence_number": min(
+                    (k["sequence_number"] or 0) for k in kept
+                ),
+            }
+        )
+    return out
+
+
+def _delete_iceberg_mor_dv(
+    spark: SparkSession, table_path: str, where: str, meta: dict
+) -> dict:
+    """Format-v3 merge-on-read DELETE: matched row positions land in
+    DELETION VECTORS — one ``deletion-vector-v1`` blob per affected
+    data file inside a single Puffin file — committed as a
+    fast-append ``delete`` snapshot. A file that already carries a DV
+    gets a MERGED one (old ∪ new positions) and the old entry is
+    dropped from the carried delete manifest, per the v3 spec's
+    one-DV-per-file replacement rule. Only per-file index lists cross
+    the driver (bounded by DV cardinality, the same order the reader
+    materializes). Returns the `_delete_iceberg_mor` stats shape."""
+    import time as _time
+    import uuid as _uuid
+
+    from spark_etl_cli_spark.sources.avro_lite import write_container
+    from spark_etl_cli_spark.sources.puffin_lite import (
+        DV_BLOB_TYPE,
+        dv_blob_bytes,
+        read_dv,
+        write_puffin,
+    )
+
+    zero = {"files_rewritten": 0, "files_added": 0, "rows_deleted": 0}
+    live = read_iceberg_lite(
+        spark, table_path, where=where, with_provenance=True
+    )
+    if "__dfile" not in live.columns:
+        return zero
+    per_file = live.groupBy("__dfile").agg(
+        F.sort_array(F.collect_list("__dpos")).alias("idx")
+    )
+    _data, _pos, _eq, cur_dvs, _sch, _m = _resolve_entries(spark, table_path)
+    dv_by_ref = {ref: (p, off, sz) for p, off, sz, ref, _s in cur_dvs}
+
+    snapshot_id = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
+    seq = int(meta.get("last-sequence-number") or 0) + 1
+    now_ms = int(_time.time() * 1000)
+    commit_uuid = _uuid.uuid4().hex
+    meta_dir = os.path.join(table_path, "metadata")
+    del_dir = os.path.join(table_path, "data")
+    os.makedirs(del_dir, exist_ok=True)
+
+    blobs: list[dict] = []
+    refs: list[str] = []
+    cards: list[int] = []
+    n_rows = 0
+    for row in per_file.toLocalIterator():
+        ref = os.path.abspath(row["__dfile"])
+        idx = [int(i) for i in row["idx"]]
+        n_rows += len(idx)
+        old = dv_by_ref.get(ref)
+        if old:
+            idx = sorted(set(idx) | set(read_dv(*old)))
+        blobs.append(
+            {
+                "type": DV_BLOB_TYPE,
+                "data": dv_blob_bytes(idx),
+                "snapshot-id": snapshot_id,
+                "sequence-number": seq,
+                "properties": {
+                    "referenced-data-file": ref,
+                    "cardinality": str(len(idx)),
+                },
+            }
+        )
+        refs.append(ref)
+        cards.append(len(idx))
+    if n_rows == 0:
+        return zero
+
+    puffin_path = os.path.join(del_dir, f"dv-{commit_uuid}.puffin")
+    blob_metas = write_puffin(puffin_path, blobs)
+    psize = os.path.getsize(puffin_path)
+    manifest_path = os.path.join(meta_dir, f"manifest-dv-{commit_uuid}.avro")
+    write_container(
+        manifest_path,
+        _delete_manifest_schema(),
+        iter(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,       # inherited (v2+ spec)
+                "file_sequence_number": None,  # inherited
+                "data_file": {
+                    "content": 1,
+                    "file_path": puffin_path,
+                    "file_format": "PUFFIN",
+                    "partition": {},
+                    "record_count": card,
+                    "file_size_in_bytes": psize,
+                    "referenced_data_file": ref,
+                    "content_offset": bm["offset"],
+                    "content_size_in_bytes": bm["length"],
+                },
+            }
+            for ref, card, bm in zip(refs, cards, blob_metas)
+        ),
+        extra_meta={
+            "schema": json.dumps(_current_schema(meta)).encode(),
+            "schema-id": b"0",
+            "partition-spec": b"[]",
+            "partition-spec-id": b"0",
+            "format-version": b"3",
+            "content": b"deletes",
+        },
+    )
+    carried = _carry_manifests_superseding_dvs(
+        table_path, meta, set(refs), commit_uuid
+    )
+    mlist_path = os.path.join(meta_dir, f"snap-{snapshot_id}-{commit_uuid}.avro")
+    write_container(
+        mlist_path,
+        _MANIFEST_LIST_SCHEMA,
+        iter(
+            carried
+            + [
+                {
+                    "manifest_path": manifest_path,
+                    "manifest_length": os.path.getsize(manifest_path),
+                    "partition_spec_id": 0,
+                    "content": 1,
+                    "sequence_number": seq,
+                    "min_sequence_number": seq,
+                    "added_snapshot_id": snapshot_id,
+                    "added_files_count": len(refs),
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": sum(cards),
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                }
+            ]
+        ),
+        extra_meta={"format-version": b"3"},
+    )
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["current-snapshot-id"] = snapshot_id
+    new_meta["snapshots"] = list(meta.get("snapshots") or []) + [{
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": mlist_path,
+        "summary": {"operation": "delete"},
+        "schema-id": 0,
+    }]
+    version = 1 + max(
+        int(re.match(r"v?(\d+)", os.path.basename(p)).group(1))
+        for p in _glob.glob(os.path.join(meta_dir, "*.metadata.json"))
+    )
+    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as fh:
+        json.dump(new_meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return {
+        "files_rewritten": 0,
+        "files_added": 1,
+        "rows_deleted": n_rows,
+    }
+
+
 def _delete_iceberg_mor(
     spark: SparkSession,
     table_path: str,
@@ -3009,6 +3593,13 @@ def _delete_iceberg_mor(
     )
 
     meta = _load_metadata(table_path)
+    if (
+        int(meta.get("format-version", 1)) >= 3
+        and not equality_columns
+    ):
+        # v3 forbids adding position-delete FILES — row-level deletes
+        # go through deletion vectors (spec "Deletion Vectors")
+        return _delete_iceberg_mor_dv(spark, table_path, where, meta)
     zero = {"files_rewritten": 0, "files_added": 0, "rows_deleted": 0}
     del_dir = os.path.join(table_path, "data")
     os.makedirs(del_dir, exist_ok=True)

