@@ -569,22 +569,37 @@ def read_iceberg_lite(
     snapshot_id: int | None = None,
     where: str | None = None,
     with_provenance: bool = False,
+    with_row_id: bool = False,
 ) -> DataFrame:
     """Snapshot read. ``with_provenance`` keeps the service columns
     ``__dfile`` (manifest-normalized data-file path) and ``__dpos``
     (row position) on the result — the merge-on-read DELETE writer
     consumes them to emit position-delete rows for exactly the LIVE
-    rows a predicate matches."""
+    rows a predicate matches.
+
+    ``with_row_id`` (format v3 only) appends the spec's ``_row_id``
+    metadata column, derived per the Row Lineage rules as
+    ``first_row_id + position`` (this writer never materializes row
+    ids into files, so the inheritance path is always the right one).
+    Files with unassigned lineage (pre-upgrade files, lite COW
+    rewrites) raise rather than serve nulls."""
     entries, pos_deletes, eq_deletes, dv_entries, spark_schema, meta = (
         _resolve_entries(spark, table_path, snapshot_id, where)
     )
+    if with_row_id and int(meta.get("format-version", 1)) < 3:
+        raise ValueError(
+            "with_row_id needs a format-version 3 table (row lineage); "
+            "run upgrade_iceberg_format first"
+        )
     if not entries:
         empty = spark.createDataFrame([], spark_schema)
+        if with_row_id:
+            empty = empty.withColumn("_row_id", F.lit(None).cast("long"))
         return empty.filter(where) if where else empty
     norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
     track = (
         bool(pos_deletes) or bool(eq_deletes) or bool(dv_entries)
-        or with_provenance
+        or with_provenance or with_row_id
     )
 
     # schema.name-mapping.default (spec): files without field ids in
@@ -809,6 +824,38 @@ def read_iceberg_lite(
             *[F.col(c).alias(f"__eq_{c}") for c in eq.columns]
         )
         df = df.join(F.broadcast(eq_renamed), cond, "left_anti")
+    if with_row_id:
+        frid_of: dict[str, object] = {}
+        for e in _manifest_entries(table_path, _snapshot(meta, snapshot_id)):
+            if e.get("status") == 2:
+                continue
+            d = e.get("data_file") or {}
+            if (d.get("content") or 0) != 0:
+                continue
+            pth = os.path.abspath(_localize(d["file_path"], table_path))
+            frid_of[pth] = d.get("first_row_id")
+        scanned = {os.path.abspath(p) for p, _pv, _s in entries}
+        unassigned = sorted(
+            p for p in scanned if frid_of.get(p) is None
+        )
+        if unassigned:
+            raise NotImplementedError(
+                "with_row_id: these files have unassigned row lineage "
+                f"(pre-upgrade or lite-rewritten): {unassigned[:3]} — "
+                "a real engine materializes _row_id on rewrite; "
+                "re-append the data or read without row ids"
+            )
+        frid_df = F.broadcast(
+            spark.createDataFrame(
+                [(p, int(frid_of[p])) for p in sorted(scanned)],
+                "__dfile string, __frid long",
+            )
+        )
+        df = (
+            df.join(frid_df, "__dfile", "left")
+            .withColumn("_row_id", F.col("__frid") + F.col("__dpos"))
+            .drop("__frid")
+        )
     if track and not with_provenance:
         df = df.drop("__dfile", "__dpos", "__dseq")
     elif with_provenance:
@@ -1033,10 +1080,25 @@ def _hive_value(raw: str | None, dt: T.DataType):
     return raw
 
 
-def _manifest_schema_for(part_fields: list[tuple[str, T.DataType]]) -> dict:
+def _manifest_schema_for(
+    part_fields: list[tuple[str, T.DataType]],
+    with_lineage: bool = False,
+) -> dict:
     """_MANIFEST_SCHEMA with a typed partition record (spec field ids
-    from 1000, matching the partition spec)."""
+    from 1000, matching the partition spec). ``with_lineage`` adds the
+    v3 row-lineage field ``first_row_id`` (spec id 142) to the
+    data_file record."""
     schema = json.loads(json.dumps(_MANIFEST_SCHEMA))  # deep copy
+    if with_lineage:
+        for f in schema["fields"]:
+            if f["name"] == "data_file":
+                f["type"]["fields"].append(
+                    {
+                        "name": "first_row_id",
+                        "field-id": 142,
+                        "type": ["null", "long"],
+                    }
+                )
     if part_fields:
         pf = [
             {
@@ -1060,8 +1122,20 @@ def write_iceberg_lite(
     mode: str = "append",
     partition_by: list[str] | None = None,
     merge_schema: bool = False,
+    format_version: int | None = None,
 ) -> int:
     """Commit ``df`` to an Iceberg table; returns the new snapshot id.
+
+    ``format_version``: 2 (default) or 3 on table CREATION; an existing
+    table keeps its version (use ``upgrade_iceberg_format`` to move to
+    3). v3 tables get ROW LINEAGE (spec "Row Lineage"): every added
+    data file records ``first_row_id`` (spec field 142) assigned from
+    the table's ``next-row-id``, the snapshot records ``first-row-id``,
+    and ``read_iceberg_lite(with_row_id=True)`` serves the derived
+    ``_row_id`` column. DV deletes keep lineage stable (no file is
+    rewritten); COW rewrites in this lite writer leave rewritten files'
+    lineage unassigned (a real engine materializes ``_row_id`` into the
+    rewritten files), and ``with_row_id`` reads fence on them loudly.
 
     ``mode``: append | overwrite (overwrite starts a snapshot whose
     manifest list contains only the new manifest; old snapshots stay
@@ -1084,12 +1158,30 @@ def write_iceberg_lite(
 
     if mode not in ("append", "overwrite"):
         raise ValueError(f"iceberg_lite mode must be append|overwrite, got {mode!r}")
+    if format_version not in (None, 2, 3):
+        raise ValueError(
+            f"iceberg_lite writes format-version 2 or 3, got {format_version}"
+        )
     meta_dir = os.path.join(table_path, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     existing = is_iceberg_table(table_path) and bool(
         _glob.glob(os.path.join(meta_dir, "*.metadata.json"))
     )
     prior = _load_metadata(table_path) if existing else None
+    fv = (
+        int(prior.get("format-version", 2))
+        if prior is not None
+        else int(format_version or 2)
+    )
+    if (
+        prior is not None
+        and format_version is not None
+        and format_version != fv
+    ):
+        raise ValueError(
+            f"table is format-version {fv}; use upgrade_iceberg_format "
+            "to change it, not a write option"
+        )
     if prior is not None:
         prior_schema = _schema_to_spark(prior)
         prior_names = [f.name for f in prior_schema.fields]
@@ -1260,9 +1352,20 @@ def write_iceberg_lite(
         ]
     row_counts = {p: _parquet_row_count(p) for p in files}
     files = [p for p in files if row_counts[p] > 0]
+    # v3 row lineage: each added file's rows get the id range
+    # [first_row_id, first_row_id + record_count) off the table's
+    # next-row-id counter (spec "Row Lineage" / "First Row ID
+    # Inheritance")
+    first_row_of: dict[str, int] = {}
+    lineage_start = int((prior or {}).get("next-row-id") or 0)
+    if fv == 3:
+        rid = lineage_start
+        for p in files:
+            first_row_of[p] = rid
+            rid += row_counts[p]
     write_container(
         manifest_path,
-        _manifest_schema_for(part_fields),
+        _manifest_schema_for(part_fields, with_lineage=(fv == 3)),
         iter(
             {
                 "status": 1,  # ADDED
@@ -1276,6 +1379,11 @@ def write_iceberg_lite(
                     "partition": _partition_of(p),
                     "record_count": row_counts[p],
                     "file_size_in_bytes": os.path.getsize(p),
+                    **(
+                        {"first_row_id": first_row_of[p]}
+                        if fv == 3
+                        else {}
+                    ),
                 },
             }
             for p in files
@@ -1287,7 +1395,7 @@ def write_iceberg_lite(
             "schema-id": b"0",
             "partition-spec": json.dumps(spec_fields).encode(),
             "partition-spec-id": b"0",
-            "format-version": b"2",
+            "format-version": str(fv).encode(),
             "content": b"data",
         },
     )
@@ -1340,7 +1448,7 @@ def write_iceberg_lite(
                 }
             ]
         ),
-        extra_meta={"format-version": b"2"},
+        extra_meta={"format-version": str(fv).encode()},
     )
 
     # 4. new metadata version, O_EXCL-claimed. The field set is the
@@ -1356,10 +1464,11 @@ def write_iceberg_lite(
             "manifest-list": mlist_path,
             "summary": {"operation": "append" if mode == "append" else "overwrite"},
             "schema-id": 0,
+            **({"first-row-id": lineage_start} if fv == 3 else {}),
         }
     )
     meta = {
-        "format-version": 2,
+        "format-version": fv,
         "table-uuid": (prior or {}).get(
             "table-uuid", str(_uuid.UUID(int=int(commit_uuid[:32], 16)))
         ),
@@ -1379,6 +1488,14 @@ def write_iceberg_lite(
         "default-sort-order-id": 0,
         "snapshots": snapshots,
     }
+    if fv == 3:
+        meta["next-row-id"] = lineage_start + sum(
+            row_counts[p] for p in files
+        )
+    if prior and prior.get("properties"):
+        # table properties survive commits (the writer otherwise
+        # rebuilds the metadata document)
+        meta["properties"] = prior["properties"]
     if prior and prior.get("refs"):
         # named refs survive commits (the writer otherwise rebuilds
         # the metadata document)
@@ -2836,6 +2953,7 @@ def _commit_rewrite_snapshot(
     )
 
     specs = meta.get("partition-specs")
+    fv = int(meta.get("format-version", 2))
     stats = {"files_removed": files_removed, "files_added": files_added}
     meta_dir = os.path.join(table_path, "metadata")
     manifest_path = os.path.join(meta_dir, f"manifest-{commit_uuid}.avro")
@@ -2862,6 +2980,15 @@ def _commit_rewrite_snapshot(
                 "partition": d.get("partition") or {},
                 "record_count": d.get("record_count") or 0,
                 "file_size_in_bytes": d.get("file_size_in_bytes") or 0,
+                # v3 row lineage: carried files KEEP their id range;
+                # rewritten (ADDED) files stay unassigned in this lite
+                # writer (a real engine materializes _row_id into the
+                # rewritten files) — with_row_id reads fence on them
+                **(
+                    {"first_row_id": d.get("first_row_id")}
+                    if fv == 3
+                    else {}
+                ),
             },
         }
 
@@ -2894,14 +3021,14 @@ def _commit_rewrite_snapshot(
     )
     write_container(
         manifest_path,
-        _manifest_schema_for(pf_typed),
+        _manifest_schema_for(pf_typed, with_lineage=(fv == 3)),
         iter(rows),
         extra_meta={
             "schema": json.dumps(iceberg_schema).encode(),
             "schema-id": b"0",
             "partition-spec": spec_json.encode(),
             "partition-spec-id": b"0",
-            "format-version": b"2",
+            "format-version": str(fv).encode(),
             "content": b"data",
         },
     )
@@ -2952,7 +3079,7 @@ def _commit_rewrite_snapshot(
             # deletes no rows) — engines plan from these counts
             "deleted_rows_count": removed_rows,
         }]),
-        extra_meta={"format-version": b"2"},
+        extra_meta={"format-version": str(fv).encode()},
     )
     new_meta = dict(meta)
     new_meta["last-sequence-number"] = seq
@@ -2965,6 +3092,11 @@ def _commit_rewrite_snapshot(
         "manifest-list": mlist_path,
         "summary": {"operation": operation},
         "schema-id": 0,
+        **(
+            {"first-row-id": int(meta.get("next-row-id") or 0)}
+            if fv == 3
+            else {}
+        ),
     }]
     version = 1 + max(
         int(re.match(r"v?(\d+)", os.path.basename(p)).group(1))
@@ -3210,6 +3342,10 @@ def upgrade_iceberg_format(
     )
     new_meta = dict(meta)
     new_meta["format-version"] = 3
+    # row lineage starts counting from the upgrade: pre-existing files
+    # keep UNASSIGNED lineage (with_row_id reads fence on them);
+    # post-upgrade appends assign from this counter
+    new_meta["next-row-id"] = int(meta.get("next-row-id") or 0)
     new_meta["last-sequence-number"] = seq
     new_meta["last-updated-ms"] = now_ms
     new_meta["current-snapshot-id"] = snapshot_id
@@ -3538,6 +3674,7 @@ def _delete_iceberg_mor_dv(
         "manifest-list": mlist_path,
         "summary": {"operation": "delete"},
         "schema-id": 0,
+        "first-row-id": int(meta.get("next-row-id") or 0),
     }]
     version = 1 + max(
         int(re.match(r"v?(\d+)", os.path.basename(p)).group(1))

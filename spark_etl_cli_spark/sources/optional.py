@@ -918,6 +918,9 @@ class IcebergSource:
             snapshot_id=int(sid) if sid is not None else None,
             # manifest-level FILE pruning on identity partition columns
             where=self.uri.params.get("where"),
+            # v3 row lineage: ?with-row-id=true appends _row_id
+            with_row_id=self.uri.params.get("with-row-id", "")
+            .lower() == "true",
         )
 
 
@@ -1009,10 +1012,14 @@ class IcebergSink:
         parts = [
             c for c in self.uri.params.get("partitionCols", "").split(",") if c
         ]
+        fvp = self.uri.params.get("format-version")
         write_iceberg_lite(
             df, self.uri.path, mode=mode, partition_by=parts or None,
             merge_schema=self.uri.params.get("mergeSchema", "").lower()
             in ("1", "true", "yes"),
+            # ?format-version=3 creates a v3 table (row lineage + DV
+            # deletes); existing tables keep their version
+            format_version=int(fvp) if fvp else None,
         )
         return True
 

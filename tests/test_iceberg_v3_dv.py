@@ -296,6 +296,76 @@ def test_v3_expire_cleans_orphaned_puffins(spark, tmp_path):
     ) == [0, 1, 3, 4, 5]
 
 
+def test_v3_row_lineage_assignment_and_read(spark, tmp_path):
+    """Row lineage (v3 spec): files record first_row_id off next-row-id;
+    _row_id = first_row_id + position; DV deletes keep ids stable."""
+    table = str(tmp_path / "ice_lineage")
+    write_iceberg_lite(
+        spark.range(5).selectExpr("id"), table, format_version=3
+    )
+    meta = _load_metadata(table)
+    assert meta["format-version"] == 3
+    assert meta["next-row-id"] == 5
+    write_iceberg_lite(
+        spark.range(100, 103).selectExpr("id"), table, mode="append"
+    )
+    assert _load_metadata(table)["next-row-id"] == 8
+
+    base = {
+        r.id: r._row_id
+        for r in read_iceberg_lite(spark, table, with_row_id=True).collect()
+    }
+    assert sorted(base.values()) == list(range(8))
+
+    # a DV delete rewrites no file -> surviving rows keep their ids
+    delete_iceberg_lite(spark, table, "id = 2", mode="merge-on-read")
+    after = {
+        r.id: r._row_id
+        for r in read_iceberg_lite(spark, table, with_row_id=True).collect()
+    }
+    assert 2 not in after
+    assert all(base[k] == v for k, v in after.items())
+
+    # ?with-row-id=true through the URI surface
+    from spark_etl_cli_spark.registry import resolve_source
+
+    _, src = resolve_source(f"rep+iceberg://{table}?with-row-id=true")
+    assert "_row_id" in src.read(spark).columns
+
+
+def test_v3_row_lineage_fences(spark, tmp_path):
+    # v2 table: with_row_id is a ValueError
+    t2 = str(tmp_path / "ice_v2")
+    write_iceberg_lite(spark.range(3).selectExpr("id"), t2)
+    with pytest.raises(ValueError, match="format-version 3"):
+        read_iceberg_lite(spark, t2, with_row_id=True)
+    # upgraded table: pre-upgrade files have unassigned lineage
+    upgrade_iceberg_format(spark, t2)
+    with pytest.raises(NotImplementedError, match="unassigned row lineage"):
+        read_iceberg_lite(spark, t2, with_row_id=True)
+    # changing the version via a write option is refused
+    with pytest.raises(ValueError, match="upgrade_iceberg_format"):
+        write_iceberg_lite(
+            spark.range(3).selectExpr("id"), t2, mode="append",
+            format_version=2,
+        )
+    # a lite COW rewrite leaves the rewritten file unassigned -> fence
+    t3 = str(tmp_path / "ice_v3_rw")
+    write_iceberg_lite(
+        spark.createDataFrame([(i, i) for i in range(4)], "id long, x long"),
+        t3, format_version=3,
+    )
+    upsert_iceberg_lite(
+        spark.createDataFrame([(1, 99)], "id long, x long"), t3, on="id"
+    )
+    with pytest.raises(NotImplementedError, match="unassigned row lineage"):
+        read_iceberg_lite(spark, t3, with_row_id=True)
+    # ...but the plain read is untouched
+    assert sorted(
+        (r.id, r.x) for r in read_iceberg_lite(spark, t3).collect()
+    ) == [(0, 0), (1, 99), (2, 2), (3, 3)]
+
+
 def test_uniform_export_v3_dv_to_delta(spark, tmp_path):
     from spark_etl_cli_spark.sources.delta_lite import read_delta_lite
     from spark_etl_cli_spark.sources.uniform import export_iceberg_as_delta
