@@ -196,3 +196,59 @@ def triangle_count(
         "n_wedges",
         "n_triangles",
     )
+
+
+def min_label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src_col: str = "u",
+    dst_col: str = "v",
+) -> DataFrame:
+    """``rounds`` synchronous sweeps of min-label propagation over an
+    undirected graph — each node's label becomes the minimum of its
+    own and its neighbors' previous-round labels, seeded with the node
+    id. Returns ``(x, lbl)`` per node.
+
+    After r rounds every node holds the minimum id within r hops, so
+    connected regions of diameter <= r are fully merged — the bounded-
+    depth workhorse behind community seeding and near-dup cluster
+    growth when a full connected-components fixpoint (q47's
+    alternating-star loop) is more iterations than the data needs.
+
+    Scale shape: one symmetric edge list reused every round (cached by
+    lineage, shuffled on the SAME key each time so AQE reuses the
+    exchange layout), per round one shuffle-join + one map-side-
+    combined min agg; labels are ids (longs), never strings. State per
+    round is |V| rows — no per-node adjacency materialization. The
+    deterministic fixseed (label = id) makes the result replayable in
+    any engine, which is what the DuckDB oracles key on.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).unionByName(
+        edges.select(
+            F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+        )
+    )
+    labels = (
+        sym.select(F.col("src").alias("x"))
+        .distinct()
+        .withColumn("lbl", F.col("x"))
+    )
+    for _ in range(rounds):
+        neigh = (
+            sym.join(labels, sym["src"] == labels["x"])
+            .groupBy(F.col("dst").alias("x"))
+            .agg(F.min("lbl").alias("__nmin"))
+        )
+        labels = (
+            labels.join(neigh, "x", "left")
+            .select(
+                "x",
+                F.least(
+                    F.col("lbl"), F.coalesce("__nmin", F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels

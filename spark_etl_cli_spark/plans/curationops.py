@@ -284,3 +284,75 @@ def q136_triangle_count(spark, sf_dir):
     # the same edge set would be pure waste
     edges = pairs.select("e.u", "e.v")
     return triangle_count(edges)
+
+
+# --- q171: bounded-depth min-label propagation ------------------------------
+_LP_EDGES = """
+    ok AS (SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING COUNT(*) = 2),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+      WHERE a.l_orderkey IN (SELECT l_orderkey FROM ok)),
+    sym AS (SELECT u AS src, v AS dst FROM edges
+            UNION ALL SELECT v, u FROM edges),
+    l0 AS (SELECT DISTINCT src AS x, src AS lbl FROM sym)
+"""
+_LP_ROUND = """
+    {nxt} AS (
+      SELECT n.x, least(n.lbl, coalesce(m.mn, n.lbl)) AS lbl
+      FROM {cur} n
+      LEFT JOIN (
+        SELECT s.dst AS x, MIN(l.lbl) AS mn
+        FROM sym s JOIN {cur} l ON l.x = s.src GROUP BY 1
+      ) m ON m.x = n.x)
+"""
+
+
+# Three synchronous sweeps of min-label propagation over the SPARSE
+# co-purchase graph — parts bought together in two-line orders, the
+# strongest pairwise signal (q136's <=6-line graph is 3-hop connected
+# at every SF: one row, no information) —
+# (operators/graph.py:min_label_propagation):
+# after round r every node holds the minimum part id within r hops, so
+# the cluster histogram below reads "how much of the graph merges at
+# diameter <= 3" — the bounded-depth community seeding that answers
+# whether a full connected-components fixpoint is worth running. The
+# oracle unrolls the three rounds as CTEs (same integer min algebra,
+# so the match is exact, not approximate). Output is the label-group
+# size histogram — O(distinct sizes) rows at any graph scale.
+@query(
+    "q171_label_propagation",
+    oracle=f"""
+    WITH {_LP_EDGES},
+    {_LP_ROUND.format(nxt="l1", cur="l0")},
+    {_LP_ROUND.format(nxt="l2", cur="l1")},
+    {_LP_ROUND.format(nxt="l3", cur="l2")}
+    SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS sz FROM l3 GROUP BY 1)
+    GROUP BY 1
+    """,
+)
+def q171_label_propagation(spark, sf_dir):
+    from spark_etl_cli_spark.operators.graph import min_label_propagation
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    parts = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_list("l_partkey").alias("__ps"))
+        .filter(F.size("__ps") == 2)
+        .select(F.array_distinct("__ps").alias("ps"))
+        .filter(F.size("ps") == 2)
+    )
+    edges = parts.select(
+        F.least(F.element_at("ps", 1), F.element_at("ps", 2)).alias("u"),
+        F.greatest(F.element_at("ps", 1), F.element_at("ps", 2)).alias("v"),
+    ).distinct()
+    labels = min_label_propagation(edges, rounds=3)
+    return (
+        labels.groupBy("lbl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+        .groupBy(F.col("sz").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+    )

@@ -587,3 +587,60 @@ def q167_dod_change(spark, sf_dir):
         .cast("boolean")
         .alias("spike"),
     )
+
+
+# --- q170: frequent 3-step event paths --------------------------------------
+# Sequence mining at depth 3 (the order-2 extension of q129's
+# first-order transition matrix): per user, order events by
+# (ts, event_id) — a TOTAL order, so simultaneous events can't make
+# the answer run-dependent — and slide a window of two leads; count
+# each (e1 -> e2 -> e3) path corpus-wide and keep the ones with
+# above-average support (a RELATIVE floor, so it separates hot paths
+# from cold at every scale — a fixed count can't). Plan: one window
+# (partitioned per user, bounded state) + one map-side-combined hash
+# agg + a broadcast scalar; no top-k sort — the support floor replaces
+# LIMIT so the result is tie-stable for hashing. At 100 TB the window
+# state is per-user-bounded and the path-count agg carries at most
+# |event_types|^3 groups out of the shuffle.
+@query(
+    "q170_event_paths",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+      SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS support
+      FROM ordered WHERE e3 IS NOT NULL GROUP BY 1, 2, 3
+    )
+    SELECT e1, e2, e3, support FROM paths
+    WHERE CAST(support AS DOUBLE)
+          >= (SELECT AVG(CAST(support AS DOUBLE)) FROM paths)
+    """,
+)
+def q170_event_paths(spark, sf_dir):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events(spark, sf_dir).select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    paths = (
+        ordered.filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+    )
+    floor = paths.agg(
+        F.avg(F.col("support").cast("double")).alias("__floor")
+    )
+    return (
+        paths.join(F.broadcast(floor))
+        .filter(F.col("support").cast("double") >= F.col("__floor"))
+        .select("e1", "e2", "e3", "support")
+    )

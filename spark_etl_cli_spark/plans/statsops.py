@@ -615,3 +615,38 @@ def q163_token_gini(spark, sf_dir):
             / (F.count(F.lit(1)) * F.sum("cnt")).cast("double")
         ).alias("gini"),
     )
+
+
+# --- q169: l-diversity audit ---------------------------------------------
+# k-anonymity's blind spot: a group can be large (k-safe) yet carry ONE
+# sensitive value — membership alone leaks it (Machanavajjhala et al.
+# ICDE'06). The audit reports every quasi-identifier group whose
+# sensitive-attribute diversity l = |distinct sensitive| falls below
+# the policy floor, with its size (big k + small l = the dangerous
+# quadrant). Sensitive attribute here: the customer's account-balance
+# band. One hash aggregation with a partial-merge distinct — the same
+# map-side-combined shape as q144, no joins, linear at any corpus
+# size; groups stream out, never a per-group sort.
+@query(
+    "q169_l_diversity",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 2000.0) AS BIGINT))
+                AS BIGINT) AS l_distinct
+    FROM customer
+    GROUP BY 1, 2
+    HAVING COUNT(DISTINCT CAST(floor(c_acctbal / 2000.0) AS BIGINT)) < 4
+    """,
+)
+def q169_l_diversity(spark, sf_dir):
+    band = F.floor(F.col("c_acctbal") / 2000.0).cast("bigint")
+    return (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("group_size"),
+            F.countDistinct(band).cast("bigint").alias("l_distinct"),
+        )
+        .filter(F.col("l_distinct") < 4)
+    )

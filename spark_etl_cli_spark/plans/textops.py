@@ -1133,3 +1133,171 @@ def q164_dup_cluster_histogram(spark, sf_dir):
             "removable_docs"
         ),
     )
+
+
+# --- q168: prefix-filtered Jaccard pairs (ppjoin shape) ----------------------
+# The LOSSLESS scale path for exact-threshold Jaccard self-join
+# (Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08 prefix filtering):
+# order every document's shingle set by GLOBAL document frequency
+# ascending (rare first, ties by shingle), index only the first
+# p = n - ceil(t*n) + 1 shingles, and generate candidates from
+# prefix-postings alone — if J(a,b) >= t the two prefixes must share a
+# shingle, so recall is exact, while hot (stop-word) shingles sort to
+# the suffix and never inflate a posting list. Candidates then verify
+# with the TRUE Jaccard via an in-row array_intersect of the full
+# sorted sets. vs q35's frequency-cap heuristic: same pair semantics
+# (no cap in play at oracle scale), but the posting volume is
+# (1-t)*|shingles| instead of |shingles|, and correctness needs no cap
+# tuning at 100 TB — the candidate bound comes from the theorem, not a
+# threshold. The oracle brute-forces true Jaccard.
+@query(
+    "q168_prefix_filter_pairs",
+    oracle=f"""
+    WITH docs AS ({SQL_DOCS_WITH_DUPS}),
+    sh AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(tk) - 2, 0)),
+               i -> array_to_string(tk[i:i+2], ' '))) AS s
+      FROM (SELECT doc_id, {SQL_TOKENS} AS tk FROM docs)
+    ),
+    ex AS (SELECT id, unnest(s) AS shingle FROM sh),
+    co AS (
+      SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT id, CAST(len(s) AS BIGINT) AS n FROM sh)
+    SELECT id_a, id_b,
+           CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE)
+             AS jaccard
+    FROM co JOIN sz sa ON id_a = sa.id JOIN sz sb ON id_b = sb.id
+    WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
+    """,
+)
+def q168_prefix_filter_pairs(spark, sf_dir):
+    from spark_etl_cli_spark.functions.text import word_shingles
+
+    thr = 0.5
+    shingled = docs_with_dups(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        word_shingles(F.col("text"), 3).alias("shingles"),
+    )
+    # EAGER checkpoint: the shingle arrays feed THREE plan branches
+    # (df counts, the ordered-prefix build, and the verify stage's set
+    # lookup); lazily-checkpointed RDDs can be computed concurrently
+    # by the first stages of separate branches, paying the shingling
+    # subtree up to twice (measured as 8s-vs-19s run variance)
+    shingled = fan_out(shingled).localCheckpoint()
+    entries = shingled.select(
+        "id", F.explode("shingles").alias("shingle")
+    )
+    # global rare-first order: df per shingle, then re-assemble each
+    # doc's shingles sorted by (df, shingle) — the one total order both
+    # sides of every pair agree on (the prefix-filter prerequisite)
+    df_tbl = entries.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    ordered = (
+        entries.join(df_tbl, "shingle")
+        .groupBy("id")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(df, shingle))),"
+                " x -> x.shingle)"
+            ).alias("sorted_sh")
+        )
+    )
+    prefixed = ordered.select(
+        "id",
+        F.size("sorted_sh").cast("bigint").alias("n"),
+        F.expr(
+            "slice(sorted_sh, 1, greatest(size(sorted_sh) "
+            "- cast(ceil(0.5 * size(sorted_sh)) as int) + 1, 0))"
+        ).alias("prefix"),
+    )
+    # postings carry (id, set size, 1-based position in the sorted
+    # set) so the ppjoin LENGTH and POSITIONAL filters run IN-ROW on
+    # each bucket pair before the distinct: a pair survives only if
+    # (a) sizes allow J >= t at all (2*min >= max at t=0.5) and
+    # (b) the tokens remaining after this shared position can still
+    # reach the overlap floor alpha = ceil(t/(1+t)*(na+nb)) =
+    # ceil((na+nb)/3). The first-common-token row has the loosest
+    # bound, so true pairs always keep at least one row — lossless,
+    # while candidate volume drops ~30x (measured 422k -> 14k pairs
+    # at sf0.1) before the dedup exchange.
+    cand_entries = prefixed.select(
+        F.explode(
+            F.expr(
+                "transform(prefix, (s, i) -> "
+                "struct(s AS shingle, i + 1 AS pos))"
+            )
+        ).alias("pe"),
+        "id",
+        "n",
+    ).select(
+        F.col("pe.shingle").alias("shingle"),
+        F.struct(
+            "id", "n", F.col("pe.pos").cast("bigint").alias("pos")
+        ).alias("e"),
+    )
+    alpha = F.floor(
+        (F.col("a.n") + F.col("b.n") + F.lit(2)) / F.lit(3)
+    ).cast("bigint")
+    cands = (
+        bucket_pairs(cand_entries, "shingle")
+        .filter(
+            (2 * F.least("a.n", "b.n") >= F.greatest("a.n", "b.n"))
+            & (
+                F.least(
+                    F.col("a.n") - F.col("a.pos"),
+                    F.col("b.n") - F.col("b.pos"),
+                )
+                + 1
+                >= alpha
+            )
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+        )
+        .distinct()
+    )
+    # exact verification: in-row intersect of the two full sorted sets
+    sets = shingled.select(
+        "id", F.col("shingles").alias("s"), F.size("shingles").alias("n")
+    )
+    verified = (
+        cands.join(
+            sets.select(
+                F.col("id").alias("id_a"),
+                F.col("s").alias("s_a"),
+                F.col("n").alias("n_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col("id").alias("id_b"),
+                F.col("s").alias("s_b"),
+                F.col("n").alias("n_b"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "inter",
+            F.size(F.array_intersect("s_a", "s_b")).cast("bigint"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= thr)
+    )
+    return verified

@@ -38,6 +38,7 @@ BNLJ_OK = {
     "q135_key_skew_profile",    # broadcast table-total scalar
     "q103_bloom_prune_join",    # broadcast bloom-filter scalar
     "q91_fuzzy_name_pairs",     # edit-distance NL over broadcast distinct names
+    "q170_event_paths",         # broadcast mean-support scalar (1 row)
 }
 
 
