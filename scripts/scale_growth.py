@@ -181,6 +181,12 @@ def main() -> int:
             base_hash=md5_long28,
         ),
         "q41_ann_lsh": lambda d: queries["q41_ann_lsh"](spark, d),
+        # the LOSSLESS exact-Jaccard path: prefix postings + ppjoin
+        # length/positional filters — growth here is the evidence the
+        # theorem-backed pruning stays subquadratic without a cap knob
+        "q168_prefix_filter_pairs": lambda d: queries[
+            "q168_prefix_filter_pairs"
+        ](spark, d),
     }
     results = {}
     for name, fn in cases.items():
