@@ -602,3 +602,72 @@ def test_cdc_apply_matches_sequential_fold(spark, log):
         else:
             state[k] = float(p)
     assert got == set(state.items())
+
+
+# --- puffin / deletion-vector codec ------------------------------------
+
+
+@given(
+    idx=st.lists(
+        st.integers(min_value=0, max_value=2**40),
+        max_size=300,
+    ),
+    split=st.integers(min_value=0, max_value=300),
+)
+@settings(max_examples=60, deadline=None)
+def test_dv_blob_roundtrip_and_merge(tmp_path_factory, idx, split):
+    """deletion-vector-v1 blobs round-trip arbitrary position sets
+    (array + run + bitmap container shapes), and merging two blobs'
+    position sets equals the union — the v3 DELETE merge invariant."""
+    import os
+
+    from spark_etl_cli_spark.sources.puffin_lite import (
+        DV_BLOB_TYPE,
+        dv_blob_bytes,
+        parse_dv_blob,
+        read_dv,
+        write_puffin,
+    )
+
+    want = sorted(set(idx))
+    blob = dv_blob_bytes(want)
+    assert parse_dv_blob(blob) == want
+    a, b = sorted(set(idx[:split])), sorted(set(idx[split:]))
+    merged = sorted(set(a) | set(b))
+    assert parse_dv_blob(dv_blob_bytes(merged)) == merged
+    # through the file framing too
+    d = tmp_path_factory.mktemp("dvprop")
+    path = os.path.join(str(d), "t.puffin")
+    metas = write_puffin(
+        path,
+        [
+            {"type": DV_BLOB_TYPE, "data": dv_blob_bytes(want)},
+            {"type": DV_BLOB_TYPE, "data": dv_blob_bytes(merged)},
+        ],
+    )
+    assert read_dv(path, metas[0]["offset"], metas[0]["length"]) == want
+    assert read_dv(path, metas[1]["offset"], metas[1]["length"]) == merged
+
+
+@given(
+    vals=st.lists(
+        # small domain: 5000 draws over 70k values force >4096-card
+        # containers, crossing the array->bitmap container switch
+        st.integers(min_value=0, max_value=70_000),
+        max_size=5000,
+    ),
+    offset=st.sampled_from([0, 2**16, 2**31]),
+)
+@settings(max_examples=30, deadline=None)
+def test_roaring32_dense_container_roundtrip(vals, offset):
+    """serialize_roaring32 -> parse_roaring32 is identity on sorted
+    sets across array and bitmap container encodings and container
+    key offsets."""
+    from spark_etl_cli_spark.sources.dv_lite import (
+        parse_roaring32,
+        serialize_roaring32,
+    )
+
+    want = sorted({v + offset for v in vals})
+    got, _pos = parse_roaring32(serialize_roaring32(want))
+    assert got == want
