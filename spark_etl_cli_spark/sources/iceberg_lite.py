@@ -300,6 +300,33 @@ def _identity_partition_fields(meta: dict) -> list[tuple[str, str, T.DataType]]:
     return out
 
 
+def _identity_fields_all_specs(
+    meta: dict,
+) -> list[tuple[str, str, T.DataType]]:
+    """Union of IDENTITY-transform partition fields across EVERY spec
+    the table has ever had (partition evolution) — the read side's
+    view: an entry written under an old spec restores/prunes on the
+    fields ITS spec recorded, found here by name."""
+    specs = meta.get("partition-specs")
+    if specs is None:
+        legacy = meta.get("partition-spec") or []
+        specs = [{"fields": legacy}]
+    by_id: dict[int, tuple[str, T.DataType]] = {}
+    for f in _current_schema(meta).get("fields", []):
+        by_id[f["id"]] = (f["name"], _iceberg_type_to_spark(f["type"]))
+    out: list[tuple[str, str, T.DataType]] = []
+    seen: set[str] = set()
+    for spec in specs:
+        for pf in spec.get("fields", []):
+            if pf.get("transform") != "identity":
+                continue
+            src = by_id.get(pf.get("source-id"))
+            if src and pf["name"] not in seen:
+                seen.add(pf["name"])
+                out.append((pf["name"], src[0], src[1]))
+    return out
+
+
 def _prune_file_entries(
     spark: SparkSession,
     entries: list[tuple[str, dict]],
@@ -310,37 +337,57 @@ def _prune_file_entries(
     so predicate semantics match the engine exactly) and return the
     kept file paths — or None when the predicate doesn't bind to the
     identity partition columns (caller keeps everything and row-filters).
+
+    Entries are pruned per PRESENT-field subset: a file written under
+    an old spec (partition evolution) records only its own spec's
+    fields, so its predicate evaluation sees exactly those columns —
+    never a NULL standing in for "not recorded", which would wrongly
+    drop the file. A subset the predicate can't bind to is kept whole.
     """
     if not part_fields:
         return None
-    tuples: dict[tuple, list[str]] = {}
+    by_subset: dict[frozenset, dict[tuple, list[str]]] = {}
     unprunable: list[str] = []
     for path, pvals in entries:
-        if not any(pname in pvals for pname, _, _ in part_fields):
+        present = frozenset(
+            pname for pname, _, _ in part_fields if pname in pvals
+        )
+        if not present:
             # no value RECORDED for any identity field (spec evolution,
             # a pre-partitioning commit, another writer's layout):
             # conservatively keep — distinct from a recorded NULL
             # partition value, which IS prunable via IS NULL
             unprunable.append(path)
             continue
-        key = tuple(pvals.get(pname) for pname, _, _ in part_fields)
-        tuples.setdefault(key, []).append(path)
-    if not tuples:
-        return None
-    schema = T.StructType(
-        [T.StructField(src, dt, True) for _, src, dt in part_fields]
-    )
-    try:
-        tdf = spark.createDataFrame(list(tuples), schema)
-        kept_df = tdf.filter(F.expr(where))
-        kept_df.columns  # force analysis: does `where` bind here?
-        kept = {tuple(r) for r in kept_df.collect()}
-    except Exception:
+        key = tuple(pvals.get(pname) for pname, _, _ in part_fields
+                    if pname in present)
+        by_subset.setdefault(present, {}).setdefault(key, []).append(path)
+    if not by_subset:
         return None
     out: list[str] = list(unprunable)
-    for key, paths in tuples.items():
-        if key in kept:
-            out.extend(paths)
+    any_bound = False
+    for present, tuples in by_subset.items():
+        fields = [pf for pf in part_fields if pf[0] in present]
+        schema = T.StructType(
+            [T.StructField(src, dt, True) for _, src, dt in fields]
+        )
+        try:
+            tdf = spark.createDataFrame(list(tuples), schema)
+            kept_df = tdf.filter(F.expr(where))
+            kept_df.columns  # force analysis: does `where` bind here?
+            kept = {tuple(r) for r in kept_df.collect()}
+        except Exception:
+            # predicate references columns this subset's spec didn't
+            # record — keep the subset whole
+            for paths in tuples.values():
+                out.extend(paths)
+            continue
+        any_bound = True
+        for key, paths in tuples.items():
+            if key in kept:
+                out.extend(paths)
+    if not any_bound:
+        return None
     return out
 
 
@@ -528,7 +575,9 @@ def _resolve_entries(
         pruned = _prune_file_entries(
             spark,
             [(p, pv) for p, pv, _ in data_entries],
-            _identity_partition_fields(meta),
+            # all specs: evolved-away identity fields still prune the
+            # files that recorded them
+            _identity_fields_all_specs(meta),
             where,
         )
         if pruned is not None:
@@ -708,29 +757,39 @@ def read_iceberg_lite(
     # restore them as typed literals per partition group, exactly like
     # the delta reader. Files whose manifest entries carry no values
     # (pre-partitioning commits, other writers) read the full schema.
-    part_fields = _identity_partition_fields(meta)
-    pnames = {src for _, src, _ in part_fields}
-    data_schema = T.StructType(
-        [f for f in spark_schema.fields if f.name not in pnames]
-    )
+    # PRESENCE-aware under partition evolution: an entry restores only
+    # the identity fields ITS spec recorded — a file written before a
+    # column became (or after it stopped being) a partition field
+    # carries that column physically and must read it, not get a NULL
+    # literal from a spec it was never written under.
+    part_fields = _identity_fields_all_specs(meta)
     groups: dict[tuple, list[str]] = {}
     for path, pv, _seq in entries:
-        key = tuple(pv.get(pname) for pname, _, _ in part_fields)
+        key = tuple(
+            (pname in pv, pv.get(pname)) for pname, _, _ in part_fields
+        )
         groups.setdefault(key, []).append(path)
     parts: list[DataFrame] = []
     for key, paths in sorted(
         groups.items(),
-        key=lambda kv: tuple((v is None, str(v)) for v in kv[0]),
+        key=lambda kv: tuple(
+            (not present, v is None, str(v)) for present, v in kv[0]
+        ),
     ):
-        if part_fields and any(v is not None for v in key):
-            lit_of = {
-                src: key[i] for i, (_, src, _) in enumerate(part_fields)
-            }
+        restored = {
+            src: key[i][1]
+            for i, (pname, src, _) in enumerate(part_fields)
+            if key[i][0]
+        }
+        if restored and any(v is not None for v in restored.values()):
+            data_schema = T.StructType(
+                [f for f in spark_schema.fields if f.name not in restored]
+            )
             cols = []
             for f in spark_schema.fields:
-                if f.name in lit_of:
+                if f.name in restored:
                     cols.append(
-                        F.lit(lit_of[f.name]).cast(f.dataType).alias(f.name)
+                        F.lit(restored[f.name]).cast(f.dataType).alias(f.name)
                     )
                 else:
                     cols.append(F.col(f.name))
@@ -1336,10 +1395,27 @@ def write_iceberg_lite(
     field_id_of = {
         f["name"]: f["id"] for f in iceberg_schema.get("fields", [])
     }
+    prior_specs = None
+    prior_default_id = 0
+    if prior is not None and prior.get("partition-specs") is not None:
+        prior_specs = prior["partition-specs"]
+        prior_default_id = int(prior.get("default-spec-id", 0))
     if tr_spec:
         # the prior spec (with its transforms and field ids) carries
         # over verbatim — this commit writes under it, not a new one
         spec_fields = list(raw_fields)
+    elif prior_specs is not None and mode == "append":
+        # append under the prior DEFAULT spec verbatim (partition
+        # evolution: its field ids are stable table history, never
+        # recomputed)
+        spec_fields = next(
+            (
+                sp.get("fields", [])
+                for sp in prior_specs
+                if sp.get("spec-id") == prior_default_id
+            ),
+            [],
+        )
     else:
         spec_fields = [
             {
@@ -1350,6 +1426,54 @@ def write_iceberg_lite(
             }
             for i, (name, _dt) in enumerate(part_fields)
         ]
+    # partition evolution: a prior table's spec HISTORY survives the
+    # metadata rebuild (old snapshots' manifests reference old specs);
+    # an overwrite that CHANGES the partitioning appends a fresh spec
+    # with collision-free field ids instead of clobbering spec 0
+    spec_history: dict = {}
+    if prior_specs is not None:
+        default_fields = next(
+            (
+                sp.get("fields", [])
+                for sp in prior_specs
+                if sp.get("spec-id") == prior_default_id
+            ),
+            [],
+        )
+        if spec_fields == default_fields:
+            spec_history = {
+                "partition-specs": prior_specs,
+                "default-spec-id": prior_default_id,
+                "last-partition-id": int(
+                    prior.get("last-partition-id")
+                    or (999 + len(spec_fields))
+                ),
+            }
+        else:
+            reuse = {
+                (pf["source-id"], pf["transform"]): pf["field-id"]
+                for sp in prior_specs
+                for pf in sp.get("fields", [])
+            }
+            last_pid = int(prior.get("last-partition-id") or 999)
+            rebuilt = []
+            for pf in spec_fields:
+                fid = reuse.get((pf["source-id"], pf["transform"]))
+                if fid is None:
+                    last_pid += 1
+                    fid = last_pid
+                rebuilt.append({**pf, "field-id": fid})
+            spec_fields = rebuilt
+            new_id = max(sp.get("spec-id", 0) for sp in prior_specs) + 1
+            spec_history = {
+                "partition-specs": list(prior_specs)
+                + [{"spec-id": new_id, "fields": spec_fields}],
+                "default-spec-id": new_id,
+                "last-partition-id": last_pid,
+            }
+    eff_spec_id = (
+        int(spec_history["default-spec-id"]) if spec_history else 0
+    )
     row_counts = {p: _parquet_row_count(p) for p in files}
     files = [p for p in files if row_counts[p] > 0]
     # v3 row lineage: each added file's rows get the id range
@@ -1394,7 +1518,7 @@ def write_iceberg_lite(
             "schema": json.dumps(iceberg_schema).encode(),
             "schema-id": b"0",
             "partition-spec": json.dumps(spec_fields).encode(),
-            "partition-spec-id": b"0",
+            "partition-spec-id": str(eff_spec_id).encode(),
             "format-version": str(fv).encode(),
             "content": b"data",
         },
@@ -1434,7 +1558,7 @@ def write_iceberg_lite(
                 {
                     "manifest_path": manifest_path,
                     "manifest_length": os.path.getsize(manifest_path),
-                    "partition_spec_id": 0,
+                    "partition_spec_id": eff_spec_id,
                     "content": 0,
                     "sequence_number": seq,
                     "min_sequence_number": seq,
@@ -1484,6 +1608,7 @@ def write_iceberg_lite(
         # no partition fields assigned yet: the spec reserves ids from
         # 1000, so "highest assigned" is 999
         "last-partition-id": 999 + len(spec_fields),
+        **spec_history,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "default-sort-order-id": 0,
         "snapshots": snapshots,
@@ -2709,7 +2834,19 @@ def compact_iceberg_lite(
     entries = [
         e for e in _manifest_entries(table_path, snap) if e.get("status") != 2
     ]
-    if any((e.get("data_file") or {}).get("content") in (1, 2) for e in entries):
+    # partition evolution: entries written under DIFFERENT specs record
+    # different partition key sets; a bin-pack that carries them into
+    # one consolidated manifest would lose the old specs' values, so an
+    # evolved table compacts as a FULL rewrite under the current spec —
+    # exactly Iceberg's own rewrite_data_files migration story.
+    _dkeysets = {
+        frozenset((e["data_file"].get("partition") or {}))
+        for e in entries
+        if (e.get("data_file") or {}).get("content", 0) == 0
+    }
+    if len(_dkeysets) > 1 or any(
+        (e.get("data_file") or {}).get("content") in (1, 2) for e in entries
+    ):
         # delete-APPLYING compaction (unpartitioned): rewrite the whole
         # live row set post-delete through the full reader and commit a
         # clean replace snapshot with NO carried delete manifests — the
@@ -2960,6 +3097,19 @@ def _commit_rewrite_snapshot(
     iceberg_schema = _current_schema(meta)
     pf_typed = [(pname, dt) for pname, _src, dt in part_fields]
 
+    expected_keys = {pname for pname, _dt in pf_typed}
+    for e in untouched:
+        got = set((e["data_file"].get("partition") or {}))
+        if got and got != expected_keys:
+            raise NotImplementedError(
+                "rewrite would consolidate manifest entries recorded "
+                f"under a different partition spec (entry fields {sorted(got)} "
+                f"vs current spec {sorted(expected_keys)}) into one "
+                "manifest, losing the old spec's recorded values — run "
+                "compact_iceberg_lite first (it fully rewrites an "
+                "evolved table under the current spec)"
+            )
+
     def entry_row(e, status, sid):
         d = e["data_file"]
         # EXISTING entries must carry their sequence number EXPLICITLY
@@ -3179,6 +3329,96 @@ def expire_iceberg_snapshots(
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
         fh.write(str(version))
     return {"expired": len(expired), "files_deleted": deleted}
+
+
+_EVOLVE_FIELD_RE = re.compile(
+    r"^\s*(?:(bucket|truncate)\[(\d+)\]|(year|month|day|hour))?"
+    r"\s*\(?\s*(\w+)\s*\)?\s*$"
+)
+
+
+def evolve_iceberg_spec(table_path: str, fields: list[str]) -> dict:
+    """Partition evolution (spec "Partition Evolution"): install a NEW
+    default partition spec without touching any data or manifest —
+    a metadata-only commit. Old files keep their old spec's recorded
+    values (the reader restores/prunes per entry-recorded fields; see
+    ``_identity_fields_all_specs``); new writes land under the new
+    spec; rewrites migrate rows to it.
+
+    ``fields``: each ``"col"`` (identity), ``"bucket[N](col)"``,
+    ``"truncate[N](col)"``, or ``"year(col)"``/``month``/``day``/
+    ``hour``. ``fields=[]`` evolves to UNPARTITIONED. A field with the
+    same (source column, transform) as one in ANY earlier spec keeps
+    its field id, per the spec's id-stability rule.
+
+    Returns ``{"spec_id": new default spec id, "fields": n}``.
+    """
+    meta = _load_metadata(table_path)
+    schema_ids = {
+        f["name"]: f["id"] for f in _current_schema(meta).get("fields", [])
+    }
+    specs = meta.get("partition-specs")
+    if specs is None:
+        specs = [{"spec-id": 0, "fields": meta.get("partition-spec") or []}]
+    last_pid = int(meta.get("last-partition-id") or 999)
+    prior_ids: dict[tuple[int, str], int] = {}
+    for sp in specs:
+        for pf in sp.get("fields", []):
+            prior_ids[(pf["source-id"], pf["transform"])] = pf["field-id"]
+
+    new_fields: list[dict] = []
+    for raw in fields:
+        m = _EVOLVE_FIELD_RE.match(raw)
+        if not m:
+            raise ValueError(f"cannot parse partition field {raw!r}")
+        sized, n, temporal, col = m.groups()
+        if col not in schema_ids:
+            raise ValueError(f"partition source column {col!r} not in schema")
+        if sized:
+            transform, suffix = f"{sized}[{n}]", (
+                "bucket" if sized == "bucket" else "trunc"
+            )
+            name = f"{col}_{suffix}"
+        elif temporal:
+            transform, name = temporal, f"{col}_{temporal}"
+        else:
+            transform, name = "identity", col
+        key = (schema_ids[col], transform)
+        fid = prior_ids.get(key)
+        if fid is None:
+            last_pid += 1
+            fid = last_pid
+        new_fields.append(
+            {
+                "name": name,
+                "transform": transform,
+                "source-id": schema_ids[col],
+                "field-id": fid,
+            }
+        )
+    spec_id = max((sp.get("spec-id", 0) for sp in specs), default=-1) + 1
+    new_meta = dict(meta)
+    new_meta["partition-specs"] = list(specs) + [
+        {"spec-id": spec_id, "fields": new_fields}
+    ]
+    new_meta["default-spec-id"] = spec_id
+    new_meta["last-partition-id"] = last_pid
+    new_meta.pop("partition-spec", None)  # retire the v1 legacy form
+    import time as _time
+
+    new_meta["last-updated-ms"] = int(_time.time() * 1000)
+    meta_dir = os.path.join(table_path, "metadata")
+    version = 1 + max(
+        int(re.match(r"v?(\d+)", os.path.basename(p)).group(1))
+        for p in _glob.glob(os.path.join(meta_dir, "*.metadata.json"))
+    )
+    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as fh:
+        json.dump(new_meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return {"spec_id": spec_id, "fields": len(new_fields)}
 
 
 def upgrade_iceberg_format(

@@ -570,6 +570,37 @@ def iceberg_upgrade_source(p: ParsedUri) -> IcebergUpgradeSource:
 
 
 @dataclass
+class IcebergEvolveSource:
+    """``rep+iceberg-evolve:///path/tbl?fields=region,bucket[4](id)`` —
+    partition evolution: install a new default partition spec
+    (metadata-only; no data moves). ``fields=`` is a comma-separated
+    list of ``col`` / ``bucket[N](col)`` / ``truncate[N](col)`` /
+    ``year(col)`` / ``month(col)`` / ``day(col)`` / ``hour(col)``;
+    empty evolves to unpartitioned."""
+
+    uri: ParsedUri
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        from spark_etl_cli_spark.sources.iceberg_lite import (
+            evolve_iceberg_spec,
+        )
+
+        fields = [
+            f for f in self.uri.params.get("fields", "").split(",") if f
+        ]
+        stats = evolve_iceberg_spec(self.uri.path, fields)
+        return spark.createDataFrame(
+            [(self.uri.path, stats["spec_id"], stats["fields"])],
+            "table string, spec_id int, n_fields int",
+        )
+
+
+@register_source("iceberg-evolve")
+def iceberg_evolve_source(p: ParsedUri) -> IcebergEvolveSource:
+    return IcebergEvolveSource(p)
+
+
+@dataclass
 class HudiCompactSource:
     """``rep+hudi-compact:///path/tbl`` — MOR compaction: each
     log-carrying file group's merged state materializes as a new base

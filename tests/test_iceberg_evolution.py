@@ -1,0 +1,193 @@
+"""Iceberg partition evolution (spec "Partition Evolution").
+
+evolve_iceberg_spec installs a new default spec as a metadata-only
+commit; these tests pin the whole composition story: old files keep
+their old spec's recorded values (restored per entry presence, never
+NULL-overwritten), both generations prune on THEIR OWN partition
+columns, appends land under the new spec with stable field ids,
+rewrites refuse to consolidate mixed-spec manifests, and compaction
+fully rewrites an evolved table under the current spec."""
+
+import glob as g
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_etl_cli_spark.sources.iceberg_lite import (
+    _load_metadata,
+    compact_iceberg_lite,
+    evolve_iceberg_spec,
+    read_iceberg_lite,
+    resolve_iceberg_files,
+    upsert_iceberg_lite,
+    write_iceberg_lite,
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        rows, "id long, region string, day string, v long"
+    )
+
+
+def test_evolve_identity_to_identity(spark, tmp_path):
+    table = str(tmp_path / "ice_evo")
+    write_iceberg_lite(
+        _mk(spark, [(1, "eu", "d1", 10), (2, "us", "d1", 20)]),
+        table,
+        partition_by=["region"],
+    )
+    st = evolve_iceberg_spec(table, ["day"])
+    assert st == {"spec_id": 1, "fields": 1}
+    meta = _load_metadata(table)
+    assert meta["default-spec-id"] == 1
+    assert len(meta["partition-specs"]) == 2
+
+    # append lands under the NEW spec (hive dirs by day)
+    write_iceberg_lite(
+        _mk(spark, [(3, "eu", "d2", 30), (4, "ap", "d2", 40)]),
+        table,
+        mode="append",
+    )
+    assert g.glob(os.path.join(table, "data", "**", "day=d2", "*.parquet"),
+                  recursive=True)
+
+    # ALL columns come back intact on both generations: the old files'
+    # region restores from their spec, their day reads physically;
+    # the new files' day restores, their region reads physically
+    got = {
+        (r.id, r.region, r.day, r.v)
+        for r in read_iceberg_lite(spark, table).collect()
+    }
+    assert got == {
+        (1, "eu", "d1", 10), (2, "us", "d1", 20),
+        (3, "eu", "d2", 30), (4, "ap", "d2", 40),
+    }
+
+
+def test_evolve_pruning_each_generation_on_its_own_fields(spark, tmp_path):
+    table = str(tmp_path / "ice_evo_prune")
+    write_iceberg_lite(
+        _mk(spark, [(1, "eu", "d1", 10), (2, "us", "d1", 20)]),
+        table,
+        partition_by=["region"],
+    )
+    evolve_iceberg_spec(table, ["day"])
+    write_iceberg_lite(
+        _mk(spark, [(3, "eu", "d2", 30), (4, "ap", "d3", 40)]),
+        table,
+        mode="append",
+    )
+    all_files = resolve_iceberg_files(spark, table)[0]
+    # prune on the NEW spec's field: new-gen non-matching files drop,
+    # old-gen files conservatively kept
+    d2_files = resolve_iceberg_files(spark, table, where="day = 'd2'")[0]
+    assert len(d2_files) < len(all_files)
+    assert {r.id for r in read_iceberg_lite(
+        spark, table, where="day = 'd2'").collect()} == {3}
+    # prune on the OLD spec's field: old-gen non-matching files drop
+    eu_files = resolve_iceberg_files(spark, table, where="region = 'eu'")[0]
+    assert len(eu_files) < len(all_files)
+    assert {r.id for r in read_iceberg_lite(
+        spark, table, where="region = 'eu'").collect()} == {1, 3}
+
+    # POISON proof: matching rows behind pruned-away files stay gone
+    victims = set(all_files) - set(d2_files)
+    assert victims
+    for p in victims:
+        os.rename(p, p + ".poisoned")
+    assert {r.id for r in read_iceberg_lite(
+        spark, table, where="day = 'd2'").collect()} == {3}
+    for p in victims:
+        os.rename(p + ".poisoned", p)
+
+
+def test_evolve_to_bucket_spec_appends_prunable(spark, tmp_path):
+    table = str(tmp_path / "ice_evo_bucket")
+    write_iceberg_lite(
+        _mk(spark, [(1, "eu", "d1", 10), (2, "us", "d1", 20)]),
+        table,
+        partition_by=["region"],
+    )
+    st = evolve_iceberg_spec(table, ["bucket[4](id)"])
+    assert st["spec_id"] == 1
+    write_iceberg_lite(
+        _mk(spark, [(10 + i, "xx", "d9", i) for i in range(8)]),
+        table,
+        mode="append",
+    )
+    got = {r.id for r in read_iceberg_lite(spark, table).collect()}
+    assert got == {1, 2} | {10 + i for i in range(8)}
+    # bucket pruning binds for the new generation
+    all_files = resolve_iceberg_files(spark, table)[0]
+    kept = resolve_iceberg_files(spark, table, where="id = 13")[0]
+    assert len(kept) < len(all_files)
+    assert {r.id for r in read_iceberg_lite(
+        spark, table, where="id = 13").collect()} == {13}
+
+
+def test_evolve_field_id_stability_and_reuse(spark, tmp_path):
+    table = str(tmp_path / "ice_evo_ids")
+    write_iceberg_lite(
+        _mk(spark, [(1, "eu", "d1", 10)]), table, partition_by=["region"]
+    )
+    evolve_iceberg_spec(table, ["day"])
+    evolve_iceberg_spec(table, ["region", "day"])
+    meta = _load_metadata(table)
+    specs = {sp["spec-id"]: sp["fields"] for sp in meta["partition-specs"]}
+    fid = {
+        (pf["source-id"], pf["transform"]): pf["field-id"]
+        for sp in specs.values()
+        for pf in sp
+    }
+    # (region, identity) and (day, identity) each map to ONE id across
+    # all three specs — the spec's id-stability rule
+    ids = [pf["field-id"] for sp in specs.values() for pf in sp]
+    assert len(fid) == len(set(fid.values()))
+    assert sorted(set(ids)) == sorted(fid.values())
+
+
+def test_evolved_rewrite_fences_then_compaction_unlocks(spark, tmp_path):
+    table = str(tmp_path / "ice_evo_rw")
+    write_iceberg_lite(
+        _mk(spark, [(1, "eu", "d1", 10), (2, "us", "d1", 20)]),
+        table,
+        partition_by=["region"],
+    )
+    evolve_iceberg_spec(table, ["day"])
+    write_iceberg_lite(
+        _mk(spark, [(3, "eu", "d2", 30)]), table, mode="append"
+    )
+    # keyed rewrite across generations refuses to consolidate specs
+    with pytest.raises(NotImplementedError, match="partition spec"):
+        upsert_iceberg_lite(
+            _mk(spark, [(1, "eu", "d1", 99)]), table, on="id"
+        )
+    # full-rewrite compaction migrates everything to the current spec
+    stats = compact_iceberg_lite(spark, table)
+    assert stats["files_added"] >= 1
+    got = {(r.id, r.v) for r in read_iceberg_lite(spark, table).collect()}
+    assert got == {(1, 10), (2, 20), (3, 30)}
+    # now the upsert works, under the new spec
+    upsert_iceberg_lite(_mk(spark, [(1, "eu", "d1", 99)]), table, on="id")
+    got = {(r.id, r.v) for r in read_iceberg_lite(spark, table).collect()}
+    assert got == {(1, 99), (2, 20), (3, 30)}
+    # and day= pruning now binds for every row
+    assert {r.id for r in read_iceberg_lite(
+        spark, table, where="day = 'd1'").collect()} == {1, 2}
+
+
+def test_evolve_via_uri(spark, tmp_path):
+    from spark_etl_cli_spark.registry import resolve_source
+
+    table = str(tmp_path / "ice_evo_uri")
+    write_iceberg_lite(
+        _mk(spark, [(1, "eu", "d1", 10)]), table, partition_by=["region"]
+    )
+    _, src = resolve_source(f"rep+iceberg-evolve://{table}?fields=day")
+    rep = src.read(spark).collect()[0]
+    assert rep.spec_id == 1 and rep.n_fields == 1
+    # unknown column refuses
+    with pytest.raises(ValueError, match="not in schema"):
+        evolve_iceberg_spec(table, ["nope"])
