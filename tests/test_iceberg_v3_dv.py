@@ -366,6 +366,48 @@ def test_v3_row_lineage_fences(spark, tmp_path):
     ) == [(0, 0), (1, 99), (2, 2), (3, 3)]
 
 
+def test_v3_stream_fences_dv_deletes_and_skips_upgrade(spark, tmp_path):
+    """The incremental stream: the v2->v3 upgrade is a ``replace``
+    snapshot (skipped whole, row set unchanged), a DV delete is a
+    ``delete`` snapshot (loud failure without the explicit
+    skip-overwrite-snapshots opt-in — never a silent skip), and puffin
+    delete entries are never streamed as data."""
+    from spark_etl_cli_spark.registry import resolve_source
+
+    table = str(tmp_path / "ice_v3_stream")
+    write_iceberg_lite(spark.range(3).selectExpr("id"), table)
+    upgrade_iceberg_format(spark, table)
+    delete_iceberg_lite(spark, table, "id = 1", mode="merge-on-read")
+    write_iceberg_lite(
+        spark.range(10, 12).selectExpr("id"), table, mode="append"
+    )
+
+    def run(uri, out, ckpt):
+        _, src = resolve_source(uri)
+        q = (
+            src.read(spark)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    with pytest.raises(Exception, match="skip-overwrite-snapshots"):
+        run(
+            f"s+iceberg-stream://{table}",
+            str(tmp_path / "o1"), str(tmp_path / "c1"),
+        )
+    out = str(tmp_path / "o2")
+    run(
+        f"s+iceberg-stream://{table}?skip-overwrite-snapshots=true",
+        out, str(tmp_path / "c2"),
+    )
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == [0, 1, 2, 10, 11]
+
+
 def test_uniform_export_v3_dv_to_delta(spark, tmp_path):
     from spark_etl_cli_spark.sources.delta_lite import read_delta_lite
     from spark_etl_cli_spark.sources.uniform import export_iceberg_as_delta
