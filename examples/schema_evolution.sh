@@ -78,4 +78,31 @@ python -m spark_etl_cli_spark \
   --transform "flat+checked+diff://expected?id=id&handleDifferences=fail" \
   --sink "checked+console://"
 
+# --- iceberg PARTITION evolution --------------------------------------
+# a region-partitioned table evolves to day-partitioning (metadata
+# only); the post-evolution append lands under the new spec, and BOTH
+# generations read back with every column intact — old files restore
+# region from their own spec while new files carry it physically
+PT="$WORK/ice_partevo"
+python -m spark_etl_cli_spark \
+  --source "v+values://?header=id:long,region,day&values=1,eu,d1;2,us,d1" \
+  --sink "v+iceberg://$PT?partitionCols=region"
+python -m spark_etl_cli_spark \
+  --source "e+iceberg-evolve://$PT?fields=day" \
+  --sink "e+console://"
+python -m spark_etl_cli_spark \
+  --source "v+values://?header=id:long,region,day&values=3,ap,d2" \
+  --sink "v+iceberg://$PT?mode=append"
+python -m spark_etl_cli_spark \
+  --source "now+iceberg://$PT" \
+  --source "expected+values://?header=id:long,region,day&values=1,eu,d1;2,us,d1;3,ap,d2" \
+  --transform "now+checked+diff://expected?id=id&handleDifferences=fail" \
+  --sink "checked+console://"
+# pruning binds on the NEW spec's field for the new generation
+python -m spark_etl_cli_spark \
+  --source "new+iceberg://$PT?where=day = 'd2'" \
+  --source "expected+values://?header=id:long,region,day&values=3,ap,d2" \
+  --transform "new+checked+diff://expected?id=id&handleDifferences=fail" \
+  --sink "checked+console://"
+
 echo "schema_evolution: ALL CHECKS PASSED"
