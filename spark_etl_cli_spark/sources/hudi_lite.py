@@ -1851,3 +1851,67 @@ def delete_hudi_lite(
         "files_added": sum(len(v) for v in per_part.values()),
         "rows_deleted": n_rows,
     }
+
+
+def clean_hudi_lite(
+    table_path: str, retain_commits: int = 1
+) -> dict:
+    """Hudi's cleaner, KEEP_LATEST_COMMITS shape: delete data files no
+    file-slice view of the last ``retain_commits`` completed instants
+    can reach. For each retained instant the timeline is replayed up
+    to it (``_live_file_slices``) and that view's base + log files are
+    pinned; everything else the timeline ever wrote is deleted from
+    disk. Snapshot/RO/incremental reads WITHIN the retained window are
+    untouched; ``as_of`` time travel behind the horizon fails loudly
+    on the missing files — exactly the retention trade every engine's
+    cleaner makes (delta VACUUM, iceberg expire_snapshots).
+
+    Driver-side bookkeeping only (the timeline is KB-sized); no data
+    is read. A ``<ts>.clean`` JSON marker records what was removed —
+    the replayer globs only commit/replacecommit/deltacommit, so the
+    marker never perturbs reads. Returns ``{"files_deleted": n,
+    "retained_instants": [...]}``.
+    """
+    import json as _json
+    import time as _time
+
+    if retain_commits < 1:
+        raise ValueError("retain_commits must be >= 1")
+    instants = _completed_instants(table_path)
+    if not instants:
+        return {"files_deleted": 0, "retained_instants": []}
+    bodies = _load_commit_bodies(instants)
+    all_written: set[str] = set()
+    for _ts, _action, commit in bodies:
+        for _part, stats in (commit.get("partitionToWriteStats") or {}).items():
+            for st in stats:
+                all_written.add(os.path.join(table_path, st["path"]))
+    retained = [ts for ts, _a, _p in instants][-retain_commits:]
+    needed: set[str] = set()
+    for keep_ts in retained:
+        upto = [b for b in bodies if b[0] <= keep_ts]
+        for ent in _live_file_slices(table_path, [], bodies=upto).values():
+            if ent["base"]:
+                needed.add(ent["base"])
+            needed.update(ent["logs"])
+    victims = sorted(all_written - needed)
+    deleted = []
+    for p in victims:
+        if os.path.exists(p):
+            os.remove(p)
+            deleted.append(os.path.relpath(p, table_path))
+    ts = _time.strftime("%Y%m%d%H%M%S") + f"{int(_time.time()*1000)%1000:03d}"
+    tdir = os.path.join(table_path, ".hoodie")
+    if os.path.isdir(os.path.join(tdir, "timeline")):
+        tdir = os.path.join(tdir, "timeline")
+    with open(os.path.join(tdir, f"{ts}.clean"), "w") as fh:
+        _json.dump(
+            {
+                "policy": "KEEP_LATEST_COMMITS",
+                "retain_commits": retain_commits,
+                "earliestInstantToRetain": retained[0],
+                "deletedFiles": deleted,
+            },
+            fh,
+        )
+    return {"files_deleted": len(deleted), "retained_instants": retained}

@@ -601,6 +601,37 @@ def iceberg_evolve_source(p: ParsedUri) -> IcebergEvolveSource:
 
 
 @dataclass
+class HudiCleanSource:
+    """``rep+hudi-clean:///path/tbl?retain-commits=N`` — Hudi's
+    cleaner (KEEP_LATEST_COMMITS): drop data files unreachable from
+    the last N completed instants' file-slice views. The retention
+    counterpart of ``rep+delta-vacuum://`` / ``rep+iceberg-expire://``."""
+
+    uri: ParsedUri
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        from spark_etl_cli_spark.sources.hudi_lite import clean_hudi_lite
+
+        stats = clean_hudi_lite(
+            self.uri.path,
+            retain_commits=int(self.uri.params.get("retain-commits", 1)),
+        )
+        return spark.createDataFrame(
+            [(
+                self.uri.path,
+                stats["files_deleted"],
+                ",".join(stats["retained_instants"]),
+            )],
+            "table string, files_deleted int, retained_instants string",
+        )
+
+
+@register_source("hudi-clean")
+def hudi_clean_source(p: ParsedUri) -> HudiCleanSource:
+    return HudiCleanSource(p)
+
+
+@dataclass
 class HudiCompactSource:
     """``rep+hudi-compact:///path/tbl`` — MOR compaction: each
     log-carrying file group's merged state materializes as a new base

@@ -1599,3 +1599,98 @@ def test_hudi_upsert_refuses_mismatched_record_key(spark, tmp_path):
             ),
             table, mode="upsert", record_key="k1",
         )
+
+
+# --- cleaner (KEEP_LATEST_COMMITS) ------------------------------------------
+
+
+def test_hudi_clean_cow_drops_unreachable_slices(spark, tmp_path):
+    """COW upserts stack file slices; clean(retain=1) deletes every
+    base file the LATEST view can't reach, the snapshot is unchanged,
+    and time travel behind the horizon fails loudly instead of
+    serving partial data."""
+    import glob as g
+
+    from spark_etl_cli_spark.sources.hudi_lite import (
+        clean_hudi_lite,
+        read_hudi_lite,
+        write_hudi_lite,
+    )
+
+    table = str(tmp_path / "hudi_clean_cow")
+    ts0 = write_hudi_lite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        table, record_key="id",
+    )
+    write_hudi_lite(
+        spark.createDataFrame([(1, "A2")], "id long, v string"),
+        table, mode="upsert", record_key="id",
+    )
+    write_hudi_lite(
+        spark.createDataFrame([(2, "B3")], "id long, v string"),
+        table, mode="upsert", record_key="id",
+    )
+    n_before = len(
+        g.glob(os.path.join(table, "**", "*.parquet"), recursive=True)
+    )
+    stats = clean_hudi_lite(table, retain_commits=1)
+    assert stats["files_deleted"] >= 1
+    n_after = len(
+        g.glob(os.path.join(table, "**", "*.parquet"), recursive=True)
+    )
+    assert n_after == n_before - stats["files_deleted"]
+    got = {(r.id, r.v) for r in read_hudi_lite(spark, table).collect()}
+    assert got == {(1, "A2"), (2, "B3")}
+    # behind-the-horizon time travel: loud failure, not silent rows
+    with pytest.raises(Exception):
+        read_hudi_lite(spark, table, as_of=ts0).collect()
+    # idempotent: nothing left to clean
+    assert clean_hudi_lite(table, retain_commits=1)["files_deleted"] == 0
+
+
+def test_hudi_clean_mor_keeps_window_and_incremental(spark, tmp_path):
+    """MOR: compaction starts new slices; clean(retain=2) keeps both
+    retained views servable — snapshot, RO view, and an incremental
+    pull INSIDE the window all still work; the pre-compaction logs
+    outside the window are gone."""
+    from spark_etl_cli_spark.registry import resolve_source
+    from spark_etl_cli_spark.sources.hudi_lite import (
+        compact_hudi_mor_lite,
+        read_hudi_incremental,
+        read_hudi_lite,
+        write_hudi_lite,
+    )
+
+    table = str(tmp_path / "hudi_clean_mor")
+    write_hudi_lite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        table, record_key="id", table_type="MERGE_ON_READ",
+    )
+    write_hudi_lite(
+        spark.createDataFrame([(1, "a2")], "id long, v string"),
+        table, mode="upsert", record_key="id",
+    )
+    compact_hudi_mor_lite(spark, table)
+    ts3 = write_hudi_lite(
+        spark.createDataFrame([(2, "b4")], "id long, v string"),
+        table, mode="upsert", record_key="id",
+    )
+    import glob as g
+
+    logs_before = g.glob(os.path.join(table, "**", "*.log.*"),
+                         recursive=True)
+    _, src = resolve_source(f"rep+hudi-clean://{table}?retain-commits=2")
+    rep = src.read(spark).collect()[0]
+    assert rep.files_deleted >= 1
+    got = {(r.id, r.v) for r in read_hudi_lite(spark, table).collect()}
+    assert got == {(1, "a2"), (2, "b4")}
+    ro = {(r.id, r.v) for r in read_hudi_lite(
+        spark, table, view="read_optimized").collect()}
+    assert ro == {(1, "a2"), (2, "b")}
+    # incremental inside the retained window still serves ts3's change
+    inc = read_hudi_incremental(
+        spark, table, begin_instant=str(int(ts3) - 1)
+    )
+    assert {(r.id, r.v) for r in inc.select("id", "v").collect()} == {
+        (2, "b4")
+    }
