@@ -644,3 +644,117 @@ def q170_event_paths(spark, sf_dir):
         .filter(F.col("support").cast("double") >= F.col("__floor"))
         .select("e1", "e2", "e3", "support")
     )
+
+
+# --- q176: event-type co-occurrence (market-basket pairs) -------------------
+# Which behaviors travel together: for every UNORDERED pair of event
+# types, how many users exhibit both, and what share of the user base
+# that is. The itemset universe is |event_types|², tiny and bounded, so
+# pair generation happens IN-ROW from each user's sorted distinct-type
+# set (the q159 pattern — no user×user or event×event join exists
+# anywhere in the plan). Plan: distinct → per-user set (bounded by
+# |event_types|) → in-row ordered pairs → map-side-combined count; the
+# user-base denominator is a broadcast 1-row scalar. Support is exact
+# integers until one correctly-rounded division.
+@query(
+    "q176_event_cooccurrence",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE)
+             AS support
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def q176_event_cooccurrence(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    ev = events(spark, sf_dir)
+    ut = ev.select("user_id", "event_type").distinct()
+    sets = ut.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("ts")
+    )
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ts, (a, i) -> "
+                "transform(slice(ts, i + 2, size(ts) - i - 1), "
+                "b -> struct(a, b))))"
+            )
+        ).alias("p")
+    )
+    tot = ev.select(
+        F.countDistinct("user_id").cast("bigint").alias("n")
+    )
+    counted = pairs.groupBy(
+        F.col("p.a").alias("type_a"), F.col("p.b").alias("type_b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    return counted.crossJoin(F.broadcast(tot)).select(
+        "type_a",
+        "type_b",
+        "n_users",
+        (F.col("n_users").cast("double") / F.col("n").cast("double")).alias(
+            "support"
+        ),
+    )
+
+
+# --- q177: churn-return (reactivation) by month -----------------------------
+# Users coming back after a silence longer than the fixture's
+# typical cadence (>2 inactive days; the threshold is a knob), counted per RETURN day
+# ordinal — the lifecycle metric between q125's fixed cohort
+# retention and q166's rolling DAU. Per-user LAG over a TOTAL order
+# (ts, event_id) — ties can't reorder the answer; gaps are exact
+# integer day ordinals. Plan: one per-user window (key-partitioned,
+# bounded state) over events already projected to (user, day) distinct
+# — at 100 TB the window input is per-user ACTIVE DAYS, not raw events
+# — then a map-side-combined per-day rollup of |active days| rows max.
+@query(
+    "q177_reactivation",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, d,
+             LAG(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d
+      FROM act
+    )
+    SELECT d AS return_day,
+           CAST(COUNT(*) AS BIGINT) AS n_reactivations,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM w
+    WHERE prev_d IS NOT NULL AND d - prev_d > 2
+    GROUP BY 1
+    """,
+)
+def q177_reactivation(spark, sf_dir):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    act = (
+        events(spark, sf_dir)
+        .select(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("user_id").orderBy("d")
+    re = act.select(
+        "user_id", "d", F.lag("d").over(w).alias("prev_d")
+    ).filter(F.col("prev_d").isNotNull() & (F.col("d") - F.col("prev_d") > 2))
+    return re.groupBy(F.col("d").alias("return_day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reactivations"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )

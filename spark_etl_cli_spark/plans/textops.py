@@ -1301,3 +1301,166 @@ def q168_prefix_filter_pairs(spark, sf_dir):
         .filter(F.col("jaccard") >= thr)
     )
     return verified
+
+
+# --- q172: character-diversity quality score ----------------------------
+# Simpson collision index over the letter distribution of each doc —
+# the zero-libm stand-in for character entropy (entropy needs ln, whose
+# last-ulp rounding is libm-dependent; the collision probability
+# Σ n_c² / n² is exact integers until ONE correctly-rounded division).
+# Low diversity (high collision index) flags keyboard-mash / repeated-
+# char spam the token-level gates miss. Plan: 26 replace/length
+# expression pairs per row — pure codegen projection, NO explode and NO
+# shuffle beyond the final nothing (per-doc output). At 100 TB this is
+# a scan-rate map; the alternative (explode chars → groupBy doc,char)
+# would shuffle one row per CHARACTER of the corpus.
+_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+_SQL_LCNT = {
+    c: f"(length(lower(text)) - length(replace(lower(text), '{c}', '')))"
+    for c in _LETTERS
+}
+_SQL_NLET = "(" + " + ".join(_SQL_LCNT[c] for c in _LETTERS) + ")"
+_SQL_SUMSQ = (
+    "("
+    + " + ".join(f"({_SQL_LCNT[c]} * {_SQL_LCNT[c]})" for c in _LETTERS)
+    + ")"
+)
+_SQL_NDIST = (
+    "("
+    + " + ".join(f"CASE WHEN {_SQL_LCNT[c]} > 0 THEN 1 ELSE 0 END" for c in _LETTERS)
+    + ")"
+)
+
+
+@query(
+    "q172_char_diversity",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_SQL_NLET} AS BIGINT) AS n_letters,
+           CAST({_SQL_NDIST} AS BIGINT) AS n_distinct_letters,
+           CASE WHEN {_SQL_NLET} = 0 THEN 0.0
+                ELSE CAST({_SQL_SUMSQ} AS DOUBLE)
+                     / CAST({_SQL_NLET} * {_SQL_NLET} AS DOUBLE)
+           END AS collision_index
+    FROM documents
+    """,
+)
+def q172_char_diversity(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    cnt = {
+        c: F.length(low) - F.length(F.replace(low, F.lit(c), F.lit("")))
+        for c in _LETTERS
+    }
+    n_let = None
+    sum_sq = None
+    n_dist = None
+    for c in _LETTERS:
+        n_let = cnt[c] if n_let is None else n_let + cnt[c]
+        sq = cnt[c] * cnt[c]
+        sum_sq = sq if sum_sq is None else sum_sq + sq
+        d1 = F.when(cnt[c] > 0, 1).otherwise(0)
+        n_dist = d1 if n_dist is None else n_dist + d1
+    return d.select(
+        "doc_id",
+        n_let.cast("bigint").alias("n_letters"),
+        n_dist.cast("bigint").alias("n_distinct_letters"),
+        F.when(n_let == 0, F.lit(0.0))
+        .otherwise(sum_sq.cast("double") / (n_let * n_let).cast("double"))
+        .alias("collision_index"),
+    )
+
+
+# --- q173: truncation-duplicate groups ----------------------------------
+# Docs sharing an exact 64-char PREFIX but differing in full body —
+# the truncated-recrawl / cut-off-generation dup shape that whole-text
+# fingerprints (q33) are blind to by construction. The dup-bearing
+# input re-appends docs under id+300000 cut to their first 200 chars
+# (mirrored in SQL). Plan: one md5-of-prefix groupBy — 32-byte shuffle
+# payloads exactly like exact dedup; prefix groups that are all
+# byte-identical in full (COUNT(DISTINCT full_fp) = 1) are real exact
+# dups, not truncations, and are excluded.
+@query(
+    "q173_truncation_dups",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 300000 AS doc_id, substr(text, 1, 200) AS text
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT md5(substr(text, 1, 64)) AS prefix_fp,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_variants
+    FROM base
+    GROUP BY 1
+    HAVING COUNT(*) > 1 AND COUNT(DISTINCT md5(text)) > 1
+    """,
+)
+def q173_truncation_dups(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    cut = d.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.substring("text", 1, 200).alias("text"),
+    )
+    base = d.select("doc_id", "text").unionByName(cut)
+    return (
+        base.groupBy(F.md5(F.substring("text", 1, 64)).alias("prefix_fp"))
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_id"),
+            bcount("n_docs"),
+            F.countDistinct(F.md5("text")).cast("bigint").alias("n_variants"),
+        )
+        .filter((F.col("n_docs") > 1) & (F.col("n_variants") > 1))
+    )
+
+
+# --- q174: aggressive-normalization (soft) dedup -------------------------
+# Groups that collide only after stripping ALL non-alphanumerics — the
+# tier between exact dedup (q33's fingerprint already folds case and
+# whitespace) and MinHash: punctuation-noise copies ('a, b' vs 'a b')
+# slip past q33's fp but collapse here. Dup-bearing input: docs under
+# id+400000 with every space turned into comma-space. Plan: identical
+# to exact dedup — md5-of-normalized groupBy, 32-byte shuffle payloads;
+# the HAVING keeps only groups the EXACT fingerprint still considers
+# distinct (soft dups, the new information this tier adds).
+@query(
+    "q174_normalized_dedup",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 400000 AS doc_id, replace(text, ' ', ', ') AS text
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+             AS norm_fp,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT {SQL_FP}) AS BIGINT) AS n_exact_variants
+    FROM base
+    GROUP BY 1
+    HAVING COUNT(*) > 1 AND COUNT(DISTINCT {SQL_FP}) > 1
+    """,
+)
+def q174_normalized_dedup(spark, sf_dir):
+    from spark_etl_cli_spark.functions.text import normalize_ws
+
+    d = t(spark, sf_dir, "documents")
+    noisy = d.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.replace(F.col("text"), F.lit(" "), F.lit(", ")).alias("text"),
+    )
+    base = d.select("doc_id", "text").unionByName(noisy)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    exact_fp = F.md5(F.lower(normalize_ws(F.col("text"))))
+    return (
+        base.groupBy(F.md5(norm).alias("norm_fp"))
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_id"),
+            bcount("n_docs"),
+            F.countDistinct(exact_fp).cast("bigint").alias("n_exact_variants"),
+        )
+        .filter((F.col("n_docs") > 1) & (F.col("n_exact_variants") > 1))
+    )

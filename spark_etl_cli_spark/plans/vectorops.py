@@ -425,3 +425,90 @@ def q127_semantic_dedup(spark, sf_dir):
     return semantic_dedup(
         t(spark, sf_dir, "embeddings"), threshold=0.3, n_clusters=16
     ).withColumnRenamed("id", "vec_id")
+
+
+# --- q175: per-label embedding cohesion ------------------------------------
+# Embedding-QA pass before training a classifier / probing a retrieval
+# index: how tight is each label's cluster? Centroid = spherical mean
+# of the label's UNIT vectors, cohesion = cosine(unit vector, unit
+# centroid). Cross-engine determinism uses the q119/q63 micro-unit
+# trick twice: centroid dims are exact BIGINT sums of floor(u_d * 1e6)
+# (order-independent), and the per-label mean cosine is an exact BIGINT
+# sum of floor(cos * 1e6); the only float steps are correctly-rounded
+# divisions and the per-row left-fold dot both engines replay. Plan:
+# one posexplode→(label, dim) agg (k×dim rows), centroids broadcast
+# back, one linear cosine pass, one map-side-combined final agg —
+# nothing quadratic, rows never shuffle by vector.
+@query(
+    "q175_label_cohesion",
+    oracle=f"""
+    WITH pts AS (
+      SELECT vec_id, label, {_sql_unit("embedding")} AS u FROM embeddings
+    ),
+    dims AS (
+      SELECT label, i AS d,
+             SUM(CAST(floor((u[i]) * 1000000) AS BIGINT)) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM pts, range(1, {DIM} + 1) r(i)
+      GROUP BY label, i
+    ),
+    cents AS (
+      SELECT label,
+             list((CAST(s AS DOUBLE) / n) / 1000000 ORDER BY d) AS c
+      FROM dims GROUP BY label
+    ),
+    cos AS (
+      SELECT p.label, p.vec_id,
+             {_sql_dotn("p.u", _sql_unit("c.c"))} AS cs
+      FROM pts p JOIN cents c ON p.label = c.label
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CAST(floor(cs * 1000000) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) / 1000000 AS avg_cohesion,
+           MIN(cs) AS min_cohesion
+    FROM cos GROUP BY label
+    """,
+)
+def q175_label_cohesion(spark, sf_dir):
+    from spark_etl_cli_spark.functions.vectors import dot, unit
+
+    pts = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", unit(F.col("embedding")).alias("u")
+    )
+    dims = (
+        pts.select("label", F.posexplode("u").alias("d0", "x"))
+        .groupBy("label", "d0")
+        .agg(
+            F.sum(F.floor(F.col("x") * 1000000).cast("bigint"))
+            .cast("bigint")
+            .alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    cents = (
+        dims.select(
+            "label",
+            F.struct(
+                "d0", ((F.col("s").cast("double") / F.col("n")) / 1000000).alias("c")
+            ).alias("dc"),
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("dc")), lambda s: s["c"]
+            ).alias("c")
+        )
+    )
+    cos = pts.join(F.broadcast(cents), "label").select(
+        "label", dot(F.col("u"), unit(F.col("c"))).alias("cs")
+    )
+    return cos.groupBy("label").agg(
+        bcount("n_vecs"),
+        (
+            F.sum(F.floor(F.col("cs") * 1000000).cast("bigint")).cast("double")
+            / F.count(F.lit(1))
+            / 1000000
+        ).alias("avg_cohesion"),
+        F.min("cs").alias("min_cohesion"),
+    )
