@@ -205,3 +205,53 @@ def expectations(
     for r in results[1:]:
         out = out.unionByName(r)
     return out
+
+
+def apply_agg_deltas(
+    mv: DataFrame,
+    deltas: DataFrame,
+    keys: list[str],
+    count_col: str,
+    sum_cols: list[str],
+    *,
+    broadcast_deltas: bool = True,
+) -> DataFrame:
+    """Incremental (delta) maintenance of a COUNT/SUM aggregate view.
+
+    ``mv`` holds the current materialized state (one row per key group:
+    ``count_col`` + exact-integer ``sum_cols``); ``deltas`` holds the
+    same columns as SIGNED contributions already reduced per key
+    (insert → (+1, +value), update → (0, new−old), delete →
+    (−1, −old)). The merged view is a full-outer coalesce-add; groups
+    whose count reaches zero drop out, exactly like a re-aggregation
+    over the changed base would.
+
+    Scale shape: the MV is never re-derived from the fact table — the
+    work is |MV| ⊕ |affected keys|, and the delta side of the join is
+    broadcast (a CDC batch reduces to at most |touched keys| rows), so
+    maintaining a 10⁹-group view against a 10⁴-row batch moves 10⁴
+    rows, not the 100 TB of facts behind the view. Sums must be exact
+    (integer/decimal) — float sums are not associative enough to
+    guarantee maintained == recomputed.
+    """
+    zero = F.lit(0).cast("long")
+    mvr = mv.select(
+        *keys,
+        *[F.col(c).alias(c + "__mv") for c in [count_col, *sum_cols]],
+    )
+    dr = deltas.select(
+        *keys,
+        *[F.col(c).alias(c + "__d") for c in [count_col, *sum_cols]],
+    )
+    dd = F.broadcast(dr) if broadcast_deltas else dr
+    merged = mvr.join(dd, keys, "full_outer")
+    proj = [
+        (
+            F.coalesce(F.col(c + "__mv"), zero)
+            + F.coalesce(F.col(c + "__d"), zero)
+        )
+        .cast("long")
+        .alias(c)
+        for c in [count_col, *sum_cols]
+    ]
+    return merged.select(*keys, *proj).filter(F.col(count_col) > 0)

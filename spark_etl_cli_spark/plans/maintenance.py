@@ -248,3 +248,83 @@ def q128_state_merge_rollup(spark, sf_dir):
         F.col("m_min").cast("double").alias("min_price"),
         F.col("m_max").cast("double").alias("max_price"),
     )
+
+
+# --- q178: incremental aggregate-view maintenance ---------------------------
+# The materialized-view delta-algebra test: a per-customer COUNT/SUM
+# view is maintained INCREMENTALLY from a synthesized CDC batch
+# (signed contributions: insert (+1,+v), update (0, new−old), delete
+# (−1,−old)) — while the ORACLE recomputes the view from the post-
+# change base outright. Equality proves the maintenance algebra, the
+# exact-integer sums make it bit-checkable, and the plan shape is the
+# 100 TB point: the fact table is scanned once to seed the view (in
+# production that state is stored), then the merge is |MV| ⊕ a
+# BROADCAST |touched keys| delta — no re-aggregation of facts. The
+# three change predicates are disjoint by construction (%97 updates,
+# %89∖%97 deletes, %101 inserts under fresh keys).
+_CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
+
+
+@query(
+    "q178_incremental_agg",
+    oracle=f"""
+    WITH eff AS (
+      SELECT o_custkey, {_CENTS} AS cents FROM orders
+      WHERE o_orderkey % 97 != 0 AND NOT
+            (o_orderkey % 89 = 0 AND o_orderkey % 97 != 0)
+      UNION ALL
+      SELECT o_custkey, {_CENTS} + 10000 AS cents FROM orders
+      WHERE o_orderkey % 97 = 0
+      UNION ALL
+      SELECT o_custkey, CAST(5000 AS BIGINT) AS cents FROM orders
+      WHERE o_orderkey % 101 = 0
+    )
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM eff GROUP BY 1
+    """,
+)
+def q178_incremental_agg(spark, sf_dir):
+    from spark_etl_cli_spark.operators.maintenance import apply_agg_deltas
+
+    o = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    key = F.col("o_orderkey")
+    is_upd = key % 97 == 0
+    is_del = (key % 89 == 0) & ~is_upd
+    is_ins = key % 101 == 0
+
+    mv = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(cents).cast("long").alias("total_cents"),
+    )
+    # signed CDC contributions, reduced per key BEFORE the merge
+    upd = o.filter(is_upd).select(
+        "o_custkey", F.lit(0).cast("long").alias("dn"),
+        F.lit(10000).cast("long").alias("dc"),
+    )
+    dele = o.filter(is_del).select(
+        "o_custkey", F.lit(-1).cast("long").alias("dn"),
+        (-cents).alias("dc"),
+    )
+    ins = o.filter(is_ins).select(
+        "o_custkey", F.lit(1).cast("long").alias("dn"),
+        F.lit(5000).cast("long").alias("dc"),
+    )
+    deltas = (
+        upd.unionByName(dele).unionByName(ins)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("dn").cast("long").alias("n_orders"),
+            F.sum("dc").cast("long").alias("total_cents"),
+        )
+    )
+    out = apply_agg_deltas(
+        mv, deltas, ["o_custkey"], "n_orders", ["total_cents"]
+    )
+    return out.select(
+        "o_custkey",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("total_cents").cast("bigint").alias("total_cents"),
+    )
