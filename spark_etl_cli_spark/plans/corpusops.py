@@ -506,3 +506,71 @@ def q118_boilerplate_chunks(spark, sf_dir):
             .alias("n_boilerplate"),
         )
     )
+
+
+# --- q179: top-p (nucleus) vocabulary truncation ----------------------------
+# Tokenizer-sizing curve, per source: how many distinct tokens does it
+# take to cover ≥90% of that source's token OCCURRENCES? The companion
+# to q141's fixed-vocab coverage — this one derives the vocab size from
+# a coverage target. All-integer: per-(source, token) counts, a
+# per-source rank/cumsum window ordered by (count DESC, token) — a
+# TOTAL order, so ties can't flip ranks — and the 90% gate is the
+# cross-multiplied ``cum * 10 >= total * 9`` (no float division until
+# the reported coverage share). Plan: the corpus collapses to
+# |source|×|vocab| counted rows before the window; the window
+# partitions by source (parallel across sources, vocab-bounded state).
+@query(
+    "q179_top_p_vocab",
+    oracle=f"""
+    WITH tc AS (
+      SELECT source, u.tok AS tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT source, {SQL_TOKENS} AS tk FROM documents),
+           UNNEST(tk) AS u(tok)
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT source, c,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY c DESC, tok) AS rn,
+             SUM(c) OVER (
+               PARTITION BY source ORDER BY c DESC, tok
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c) OVER (PARTITION BY source) AS total,
+             COUNT(*) OVER (PARTITION BY source) AS vocab
+      FROM tc
+    )
+    SELECT source,
+           CAST(MIN(vocab) AS BIGINT) AS vocab_size,
+           CAST(MIN(rn) AS BIGINT) AS top_p_tokens,
+           CAST(MIN(total) AS BIGINT) AS total_occurrences
+    FROM w
+    WHERE cum * 10 >= total * 9
+    GROUP BY source
+    """,
+)
+def q179_top_p_vocab(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tc = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    ordw = Window.partitionBy("source").orderBy(F.col("c").desc(), "tok")
+    allw = Window.partitionBy("source")
+    w = tc.select(
+        "source",
+        "c",
+        F.row_number().over(ordw).alias("rn"),
+        F.sum("c").over(ordw.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("c").over(allw).alias("total"),
+        F.count(F.lit(1)).over(allw).alias("vocab"),
+    )
+    return (
+        w.filter(F.col("cum") * 10 >= F.col("total") * 9)
+        .groupBy("source")
+        .agg(
+            F.min("vocab").cast("bigint").alias("vocab_size"),
+            F.min("rn").cast("bigint").alias("top_p_tokens"),
+            F.min("total").cast("bigint").alias("total_occurrences"),
+        )
+    )

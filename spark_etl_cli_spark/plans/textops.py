@@ -1464,3 +1464,92 @@ def q174_normalized_dedup(spark, sf_dir):
         )
         .filter((F.col("n_docs") > 1) & (F.col("n_exact_variants") > 1))
     )
+
+
+# --- q180: bag-of-words (token-multiset) dedup ------------------------------
+# The dedup tier between normalization (q174) and MinHash (q36):
+# fingerprint the SORTED token multiset, catching reordered /
+# shuffled-paragraph copies that every sequential fingerprint misses
+# while staying a pure 32-byte-payload groupBy (no pair join at all).
+# Dup-bearing input: docs under id+500000 with their token order
+# REVERSED (mirrored in SQL). The HAVING keeps only groups the
+# sequential fingerprint still tells apart — the new catches.
+@query(
+    "q180_bow_dedup",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 500000 AS doc_id,
+             array_to_string(list_reverse({SQL_TOKENS}), ' ') AS text
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT md5(array_to_string(list_sort({SQL_TOKENS}), ' ')) AS bow_fp,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT {SQL_FP}) AS BIGINT) AS n_seq_variants
+    FROM base
+    GROUP BY 1
+    HAVING COUNT(*) > 1 AND COUNT(DISTINCT {SQL_FP}) > 1
+    """,
+)
+def q180_bow_dedup(spark, sf_dir):
+    from spark_etl_cli_spark.functions.text import normalize_ws, tokens
+
+    d = t(spark, sf_dir, "documents")
+    rev = d.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.array_join(F.reverse(tokens(F.col("text"))), " ").alias("text"),
+    )
+    base = d.select("doc_id", "text").unionByName(rev)
+    bow_fp = F.md5(F.array_join(F.array_sort(tokens(F.col("text"))), " "))
+    seq_fp = F.md5(F.lower(normalize_ws(F.col("text"))))
+    return (
+        base.groupBy(bow_fp.alias("bow_fp"))
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_id"),
+            bcount("n_docs"),
+            F.countDistinct(seq_fp).cast("bigint").alias("n_seq_variants"),
+        )
+        .filter((F.col("n_docs") > 1) & (F.col("n_seq_variants") > 1))
+    )
+
+
+# --- q181: dedup-aware sampling weights -------------------------------------
+# The repetition-control knob for training mixtures: every doc gets
+# weight 1/|its exact-dup cluster| so a text seen k times contributes
+# the same total mass as one seen once (the "count-based downweighting"
+# used alongside fuzzy dedup). Weight is the exact integer
+# floor(1e6 / k) — no float until nothing. Plan: one window COUNT
+# partitioned by the 16-byte fingerprint — same shuffle as exact dedup,
+# clusters are tiny so per-partition state is bounded.
+@query(
+    "q181_dedup_weights",
+    oracle=f"""
+    WITH docs AS ({SQL_DOCS_WITH_DUPS}),
+    k AS (
+      SELECT doc_id, source,
+             COUNT(*) OVER (PARTITION BY {SQL_FP}) AS csize
+      FROM docs
+    )
+    SELECT doc_id, source,
+           CAST(csize AS BIGINT) AS cluster_size,
+           CAST(1000000 // csize AS BIGINT) AS weight_micro
+    FROM k
+    """,
+)
+def q181_dedup_weights(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from spark_etl_cli_spark.functions.text import fingerprint
+
+    d = docs_with_dups(spark, sf_dir)
+    w = W.partitionBy(fingerprint(F.col("text")))
+    return d.select(
+        "doc_id",
+        "source",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
+        F.floor(F.lit(1000000) / F.count(F.lit(1)).over(w))
+        .cast("bigint")
+        .alias("weight_micro"),
+    )
