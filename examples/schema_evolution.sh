@@ -105,4 +105,36 @@ python -m spark_etl_cli_spark \
   --transform "new+checked+diff://expected?id=id&handleDifferences=fail" \
   --sink "checked+console://"
 
+# --- iceberg WRITE-AUDIT-PUBLISH ---------------------------------------
+# stage an append onto a named branch: main readers see nothing until
+# the audited stage is published with a strict fast-forward
+WT="$WORK/ice_wap"
+python -m spark_etl_cli_spark \
+  --source "v+values://?header=id:long,v&values=1,a;2,b" \
+  --sink "v+iceberg://$WT"
+python -m spark_etl_cli_spark \
+  --source "v+values://?header=id:long,v&values=3,c" \
+  --sink "v+iceberg://$WT?branch=audit"
+# main is still the pre-stage table...
+python -m spark_etl_cli_spark \
+  --source "main+iceberg://$WT" \
+  --source "expected+values://?header=id:long,v&values=1,a;2,b" \
+  --transform "main+checked+diff://expected?id=id&handleDifferences=fail" \
+  --sink "checked+console://"
+# ...the audit read sees the staged rows...
+python -m spark_etl_cli_spark \
+  --source "stage+iceberg://$WT?ref=audit" \
+  --source "expected+values://?header=id:long,v&values=1,a;2,b;3,c" \
+  --transform "stage+checked+diff://expected?id=id&handleDifferences=fail" \
+  --sink "checked+console://"
+# ...publish fast-forwards main onto the branch head
+python -m spark_etl_cli_spark \
+  --source "pub+iceberg-publish://$WT?branch=audit" \
+  --sink "pub+console://"
+python -m spark_etl_cli_spark \
+  --source "main+iceberg://$WT" \
+  --source "expected+values://?header=id:long,v&values=1,a;2,b;3,c" \
+  --transform "main+checked+diff://expected?id=id&handleDifferences=fail" \
+  --sink "checked+console://"
+
 echo "schema_evolution: ALL CHECKS PASSED"

@@ -171,9 +171,9 @@ def set_iceberg_ref(
     """Create or move a named ref (spec ``refs`` map): a ``tag`` pins a
     snapshot forever (expiry keeps it), a ``branch`` names a line of
     development. Metadata-only commit; defaults to the CURRENT
-    snapshot. Reads resolve refs via ``?ref=<name>``. Branch head
-    advancement on write needs an engine — here branches are readable
-    named pointers, documented as such."""
+    snapshot. Reads resolve refs via ``?ref=<name>``. Branch heads
+    advance on write via ``write_iceberg_lite(..., branch=)`` and
+    publish to main via :func:`fast_forward_iceberg_ref` (WAP)."""
     import time as _time
 
     if ref_type not in ("tag", "branch"):
@@ -200,6 +200,78 @@ def set_iceberg_ref(
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
         fh.write(str(version))
     return snap["snapshot-id"]
+
+
+def fast_forward_iceberg_ref(
+    table_path: str, branch: str, to: str = "main"
+) -> int:
+    """PUBLISH a staged branch: fast-forward ``to`` (default the main
+    line, i.e. ``current-snapshot-id``) onto ``branch``'s head — the
+    final step of write-audit-publish after ``?ref=<branch>`` reads
+    audited the staged snapshots. Metadata-only commit.
+
+    Strictly a FAST-FORWARD: the publish target's current snapshot must
+    be an ancestor (via ``parent-snapshot-id``) of the branch head,
+    otherwise the lines diverged — someone committed to the target
+    after the fork — and silently adopting the branch head would DROP
+    those commits; that case raises and needs a real engine's
+    cherry-pick/merge. Returns the published snapshot id.
+    """
+    import time as _time
+
+    meta = _load_metadata(table_path)
+    refs = dict(meta.get("refs") or {})
+    if branch not in refs:
+        raise ValueError(
+            f"unknown iceberg branch {branch!r}; known refs: {sorted(refs)}"
+        )
+    if refs[branch].get("type") != "branch":
+        raise ValueError(f"iceberg ref {branch!r} is a tag, not a branch")
+    head = refs[branch]["snapshot-id"]
+
+    by_id = {
+        s["snapshot-id"]: s for s in (meta.get("snapshots") or [])
+    }
+    ancestors = set()
+    walk = head
+    while walk is not None and walk not in ancestors:
+        ancestors.add(walk)
+        walk = by_id.get(walk, {}).get("parent-snapshot-id")
+
+    if to == "main":
+        target_head = meta.get("current-snapshot-id")
+    else:
+        if to not in refs or refs[to].get("type") != "branch":
+            raise ValueError(f"publish target {to!r} is not a branch")
+        target_head = refs[to]["snapshot-id"]
+    if target_head is not None and target_head not in ancestors:
+        raise ValueError(
+            f"not a fast-forward: {to!r} (snapshot {target_head}) is not "
+            f"an ancestor of branch {branch!r} (head {head}) — the lines "
+            "diverged; rebase/cherry-pick needs an engine writer"
+        )
+
+    new_meta = dict(meta)
+    if to == "main":
+        new_meta["current-snapshot-id"] = head
+        if "main" in refs:
+            refs["main"] = {"snapshot-id": head, "type": "branch"}
+    else:
+        refs[to] = {"snapshot-id": head, "type": "branch"}
+    new_meta["refs"] = refs
+    new_meta["last-updated-ms"] = int(_time.time() * 1000)
+    meta_dir = os.path.join(table_path, "metadata")
+    version = 1 + max(
+        int(re.match(r"v?(\d+)", os.path.basename(p)).group(1))
+        for p in _glob.glob(os.path.join(meta_dir, "*.metadata.json"))
+    )
+    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as fh:
+        json.dump(new_meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return head
 
 
 def resolve_iceberg_ref(meta: dict, name: str) -> int:
@@ -1182,6 +1254,7 @@ def write_iceberg_lite(
     partition_by: list[str] | None = None,
     merge_schema: bool = False,
     format_version: int | None = None,
+    branch: str | None = None,
 ) -> int:
     """Commit ``df`` to an Iceberg table; returns the new snapshot id.
 
@@ -1207,6 +1280,15 @@ def write_iceberg_lite(
     manifest entries and the partition spec into the metadata, which is
     exactly what makes ``?where=`` manifest-level file pruning work on
     read. Appends must keep the table's partitioning.
+
+    ``branch``: commit to a NAMED BRANCH (spec ``refs``) instead of
+    main — the write-audit-publish staging path. The new snapshot's
+    parent (and the manifests an append carries) is the branch head —
+    auto-created from the current snapshot on first use — and the
+    commit advances ONLY ``refs[branch]``; ``current-snapshot-id``
+    (main) is untouched, so downstream readers never see unaudited
+    rows. Read the stage with ``?ref=<branch>``, then publish with
+    :func:`fast_forward_iceberg_ref`.
     """
     import uuid as _uuid
 
@@ -1387,6 +1469,29 @@ def write_iceberg_lite(
     seq = int((prior or {}).get("last-sequence-number") or 0) + 1
     now_ms = int(_time.time() * 1000)
 
+    # the snapshot this commit builds on: the branch head for branch
+    # commits (auto-created from current on first use), else main
+    if branch is not None and not (prior and prior.get("snapshots")):
+        raise ValueError(
+            "iceberg branch write needs an existing table (the branch "
+            "forks from the current snapshot); create the table first"
+        )
+    base_sid = None
+    if prior and prior.get("snapshots"):
+        if branch is not None:
+            prior_refs = prior.get("refs") or {}
+            if branch in prior_refs:
+                if prior_refs[branch].get("type") != "branch":
+                    raise ValueError(
+                        f"iceberg ref {branch!r} is a tag; tags are "
+                        "immutable — writes need a branch"
+                    )
+                base_sid = prior_refs[branch]["snapshot-id"]
+            else:
+                base_sid = prior.get("current-snapshot-id")
+        else:
+            base_sid = prior.get("current-snapshot-id")
+
     # 2. one manifest for the new files. Zero-row part files (Spark
     # writes one per task, empty partitions included) are dropped —
     # committing them bloats every manifest for no rows.
@@ -1527,7 +1632,7 @@ def write_iceberg_lite(
     # 3. manifest list: append reuses the prior snapshot's manifests
     carried: list[dict] = []
     if mode == "append" and prior and prior.get("snapshots"):
-        cur = _snapshot(prior, prior.get("current-snapshot-id"))
+        cur = _snapshot(prior, base_sid)
         ml = _localize(cur["manifest-list"], table_path)
         with open(ml, "rb") as fh:
             _, carried = read_container(fh.read())
@@ -1588,6 +1693,7 @@ def write_iceberg_lite(
             "manifest-list": mlist_path,
             "summary": {"operation": "append" if mode == "append" else "overwrite"},
             "schema-id": 0,
+            **({"parent-snapshot-id": base_sid} if base_sid is not None else {}),
             **({"first-row-id": lineage_start} if fv == 3 else {}),
         }
     )
@@ -1625,6 +1731,13 @@ def write_iceberg_lite(
         # named refs survive commits (the writer otherwise rebuilds
         # the metadata document)
         meta["refs"] = prior["refs"]
+    if branch is not None:
+        # branch commit: advance ONLY the branch ref; main stays where
+        # it was (that's the whole point of write-audit-publish)
+        refs = dict(meta.get("refs") or {})
+        refs[branch] = {"snapshot-id": snapshot_id, "type": "branch"}
+        meta["refs"] = refs
+        meta["current-snapshot-id"] = prior.get("current-snapshot-id")
     version = 1
     versions = [
         int(re.match(r"v?(\d+)", os.path.basename(p)).group(1))

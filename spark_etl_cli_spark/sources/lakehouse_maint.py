@@ -415,6 +415,37 @@ def iceberg_tag_source(p: ParsedUri) -> IcebergTagSource:
 
 
 @dataclass
+class IcebergPublishSource:
+    """``rep+iceberg-publish:///path/tbl?branch=audit[&to=main]`` —
+    fast-forward the publish target onto a staged branch's head: the
+    PUBLISH step of write-audit-publish (stage with
+    ``iceberg://...?branch=audit``, audit via ``?ref=audit`` reads).
+    Metadata-only; refuses diverged lines (not a fast-forward)."""
+
+    uri: ParsedUri
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        from spark_etl_cli_spark.sources.iceberg_lite import (
+            fast_forward_iceberg_ref,
+        )
+
+        branch = self.uri.params.get("branch")
+        if not branch:
+            raise ValueError("iceberg-publish:// needs ?branch=<name>")
+        to = self.uri.params.get("to", "main")
+        sid = fast_forward_iceberg_ref(self.uri.path, branch, to=to)
+        return spark.createDataFrame(
+            [(self.uri.path, branch, to, sid)],
+            "table string, branch string, published_to string, snapshot_id long",
+        )
+
+
+@register_source("iceberg-publish")
+def iceberg_publish_source(p: ParsedUri) -> IcebergPublishSource:
+    return IcebergPublishSource(p)
+
+
+@dataclass
 class DeltaUniformSource:
     """``rep+delta-uniform:///path/tbl`` — write/refresh Iceberg
     metadata for a delta table (UniForm interop, zero data copy):

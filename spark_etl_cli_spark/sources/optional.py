@@ -1020,6 +1020,9 @@ class IcebergSink:
             # ?format-version=3 creates a v3 table (row lineage + DV
             # deletes); existing tables keep their version
             format_version=int(fvp) if fvp else None,
+            # ?branch=<name>: stage onto a named branch (WAP) — main
+            # readers see nothing until iceberg-publish://
+            branch=self.uri.params.get("branch"),
         )
         return True
 

@@ -1,0 +1,118 @@
+"""Iceberg branches + write-audit-publish (spec ``refs``).
+
+Stage commits onto a named branch (write_iceberg_lite(branch=...)),
+audit them via ?ref= reads while main stays untouched, publish with a
+strict fast-forward — and refuse diverged lines, tag writes, and
+branch writes to nonexistent tables."""
+
+import pytest
+
+from spark_etl_cli_spark.sources.iceberg_lite import (
+    _load_metadata,
+    fast_forward_iceberg_ref,
+    read_iceberg_lite,
+    set_iceberg_ref,
+    write_iceberg_lite,
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "id long, v string")
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_wap_stage_audit_publish(spark, tmp_path):
+    table = str(tmp_path / "wap")
+    write_iceberg_lite(_mk(spark, [(1, "a"), (2, "b")]), table)
+
+    # stage two commits onto the branch (auto-created from current)
+    write_iceberg_lite(_mk(spark, [(3, "c")]), table, branch="audit")
+    write_iceberg_lite(_mk(spark, [(4, "d")]), table, branch="audit")
+
+    # main readers see NOTHING staged; ?ref=audit sees the full stage
+    assert _ids(read_iceberg_lite(spark, table)) == [1, 2]
+    meta = _load_metadata(table)
+    head = meta["refs"]["audit"]["snapshot-id"]
+    assert _ids(read_iceberg_lite(spark, table, snapshot_id=head)) == [
+        1, 2, 3, 4,
+    ]
+    # branch chain records parents back to the fork
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    assert by_id[head]["parent-snapshot-id"] == head - 1
+    assert by_id[head - 1]["parent-snapshot-id"] == meta[
+        "current-snapshot-id"
+    ]
+
+    # publish: main fast-forwards to the branch head
+    published = fast_forward_iceberg_ref(table, "audit")
+    assert published == head
+    assert _ids(read_iceberg_lite(spark, table)) == [1, 2, 3, 4]
+    # publishing again is a no-op fast-forward (main == head ∈ ancestry)
+    assert fast_forward_iceberg_ref(table, "audit") == head
+
+
+def test_wap_publish_refuses_diverged_main(spark, tmp_path):
+    table = str(tmp_path / "wap_div")
+    write_iceberg_lite(_mk(spark, [(1, "a")]), table)
+    write_iceberg_lite(_mk(spark, [(2, "b")]), table, branch="audit")
+    # someone commits to MAIN after the fork → lines diverge
+    write_iceberg_lite(_mk(spark, [(9, "z")]), table)
+    with pytest.raises(ValueError, match="not a fast-forward"):
+        fast_forward_iceberg_ref(table, "audit")
+    # main kept its own line
+    assert _ids(read_iceberg_lite(spark, table)) == [1, 9]
+
+
+def test_wap_guards(spark, tmp_path):
+    table = str(tmp_path / "wap_g")
+    # branch write needs an existing table
+    with pytest.raises(ValueError, match="existing table"):
+        write_iceberg_lite(_mk(spark, [(1, "a")]), table, branch="b")
+    write_iceberg_lite(_mk(spark, [(1, "a")]), table)
+    # tags are immutable: writes refuse them
+    set_iceberg_ref(table, "v1", ref_type="tag")
+    with pytest.raises(ValueError, match="is a tag"):
+        write_iceberg_lite(_mk(spark, [(2, "b")]), table, branch="v1")
+    with pytest.raises(ValueError, match="is a tag"):
+        fast_forward_iceberg_ref(table, "v1")
+    with pytest.raises(ValueError, match="unknown iceberg branch"):
+        fast_forward_iceberg_ref(table, "nope")
+
+
+def test_wap_branch_isolation_from_overwrite(spark, tmp_path):
+    # an overwrite staged on the branch must not disturb main either
+    table = str(tmp_path / "wap_ow")
+    write_iceberg_lite(_mk(spark, [(1, "a"), (2, "b")]), table)
+    write_iceberg_lite(
+        _mk(spark, [(7, "x")]), table, mode="overwrite", branch="audit"
+    )
+    assert _ids(read_iceberg_lite(spark, table)) == [1, 2]
+    meta = _load_metadata(table)
+    head = meta["refs"]["audit"]["snapshot-id"]
+    assert _ids(read_iceberg_lite(spark, table, snapshot_id=head)) == [7]
+    fast_forward_iceberg_ref(table, "audit")
+    assert _ids(read_iceberg_lite(spark, table)) == [7]
+
+
+def test_wap_via_uri_pipeline(spark, tmp_path):
+    # the CLI shape: stage with ?branch=, audit with ?ref=, publish
+    # with rep+iceberg-publish://
+    from spark_etl_cli_spark.pipeline import run_pipeline
+
+    table = str(tmp_path / "wap_uri")
+    write_iceberg_lite(_mk(spark, [(1, "a")]), table)
+    run_pipeline(
+        spark,
+        sources=["s+values://?header=id:long,v:string&values=3,c"],
+        sinks=[f"s+iceberg://{table}?branch=audit"],
+    )
+    assert _ids(read_iceberg_lite(spark, table)) == [1]
+    run_pipeline(
+        spark,
+        sources=[f"p+iceberg-publish://{table}?branch=audit"],
+        sinks=["p+console://"],
+    )
+    assert _ids(read_iceberg_lite(spark, table)) == [1, 3]
