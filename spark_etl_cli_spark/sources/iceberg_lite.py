@@ -202,6 +202,38 @@ def set_iceberg_ref(
     return snap["snapshot-id"]
 
 
+def rollback_iceberg_lite(table_path: str, snapshot_id: int) -> int:
+    """Roll the main line back to an EARLIER snapshot (the engines'
+    ``rollback_to_snapshot`` procedure): metadata-only commit that
+    moves ``current-snapshot-id`` (and a ``main`` ref if present) to
+    ``snapshot_id``. Nothing is deleted — the abandoned snapshots stay
+    readable via ``?snapshot-id=`` until expiry, exactly like the
+    engine's. The target must be an existing snapshot."""
+    import time as _time
+
+    meta = _load_metadata(table_path)
+    _snapshot(meta, snapshot_id)  # raises if unknown
+    new_meta = dict(meta)
+    new_meta["current-snapshot-id"] = snapshot_id
+    refs = dict(meta.get("refs") or {})
+    if "main" in refs:
+        refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+        new_meta["refs"] = refs
+    new_meta["last-updated-ms"] = int(_time.time() * 1000)
+    meta_dir = os.path.join(table_path, "metadata")
+    version = 1 + max(
+        int(re.match(r"v?(\d+)", os.path.basename(p)).group(1))
+        for p in _glob.glob(os.path.join(meta_dir, "*.metadata.json"))
+    )
+    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as fh:
+        json.dump(new_meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return snapshot_id
+
+
 def fast_forward_iceberg_ref(
     table_path: str, branch: str, to: str = "main"
 ) -> int:

@@ -446,6 +446,34 @@ def iceberg_publish_source(p: ParsedUri) -> IcebergPublishSource:
 
 
 @dataclass
+class IcebergRollbackSource:
+    """``rep+iceberg-rollback:///path/tbl?snapshot-id=N`` — move the
+    main line back to snapshot N (the engines' ``rollback_to_snapshot``
+    procedure; delta's RESTORE twin). Metadata-only; abandoned
+    snapshots stay readable via ``?snapshot-id=`` until expiry."""
+
+    uri: ParsedUri
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        from spark_etl_cli_spark.sources.iceberg_lite import (
+            rollback_iceberg_lite,
+        )
+
+        sid = self.uri.params.get("snapshot-id")
+        if not sid:
+            raise ValueError("iceberg-rollback:// needs ?snapshot-id=N")
+        out = rollback_iceberg_lite(self.uri.path, int(sid))
+        return spark.createDataFrame(
+            [(self.uri.path, out)], "table string, snapshot_id long"
+        )
+
+
+@register_source("iceberg-rollback")
+def iceberg_rollback_source(p: ParsedUri) -> IcebergRollbackSource:
+    return IcebergRollbackSource(p)
+
+
+@dataclass
 class DeltaUniformSource:
     """``rep+delta-uniform:///path/tbl`` — write/refresh Iceberg
     metadata for a delta table (UniForm interop, zero data copy):

@@ -116,3 +116,36 @@ def test_wap_via_uri_pipeline(spark, tmp_path):
         sinks=["p+console://"],
     )
     assert _ids(read_iceberg_lite(spark, table)) == [1, 3]
+
+
+def test_rollback_to_snapshot(spark, tmp_path):
+    table = str(tmp_path / "rb")
+    s1 = write_iceberg_lite(_mk(spark, [(1, "a")]), table)
+    s2 = write_iceberg_lite(_mk(spark, [(2, "b")]), table)
+    assert _ids(read_iceberg_lite(spark, table)) == [1, 2]
+
+    from spark_etl_cli_spark.sources.iceberg_lite import rollback_iceberg_lite
+
+    assert rollback_iceberg_lite(table, s1) == s1
+    assert _ids(read_iceberg_lite(spark, table)) == [1]
+    # the abandoned snapshot stays readable by id (nothing deleted)
+    assert _ids(read_iceberg_lite(spark, table, snapshot_id=s2)) == [1, 2]
+    # the next append builds on the rolled-back state
+    write_iceberg_lite(_mk(spark, [(3, "c")]), table)
+    assert _ids(read_iceberg_lite(spark, table)) == [1, 3]
+    with pytest.raises(ValueError, match="not found"):
+        rollback_iceberg_lite(table, 99)
+
+
+def test_rollback_via_uri(spark, tmp_path):
+    from spark_etl_cli_spark.pipeline import run_pipeline
+
+    table = str(tmp_path / "rb_uri")
+    s1 = write_iceberg_lite(_mk(spark, [(1, "a")]), table)
+    write_iceberg_lite(_mk(spark, [(2, "b")]), table)
+    run_pipeline(
+        spark,
+        sources=[f"r+iceberg-rollback://{table}?snapshot-id={s1}"],
+        sinks=["r+console://"],
+    )
+    assert _ids(read_iceberg_lite(spark, table)) == [1]
