@@ -1915,3 +1915,88 @@ def clean_hudi_lite(
             fh,
         )
     return {"files_deleted": len(deleted), "retained_instants": retained}
+
+
+def restore_hudi_lite(table_path: str, instant: str) -> dict:
+    """Hudi RESTORE: physically roll the table back to ``instant`` —
+    every file recorded by the write stats of LATER instants is
+    deleted, those timeline instants are removed, and a ``.restore``
+    marker records the rollback (hudi-cli ``savepoint rollback`` /
+    ``RESTORE TABLE ... TO`` shape; delta's RESTORE and the lite
+    iceberg rollback are the sibling surfaces).
+
+    Safe by construction in this writer: every commit writes FRESH
+    files (MOR log rollover per commit — ``_mor_log_targets``), so a
+    later instant's files never contain earlier data, and replaced
+    file groups come back automatically because replacecommits don't
+    delete what they replace. The one genuinely unrecoverable shape is
+    a CLEANER run after the restore point — its deletions may include
+    files the restored view needs — so that raises loudly instead of
+    restoring a hole ("never a silent wrong answer").
+    """
+    import json as _json
+    import time as _time
+
+    instants = _completed_instants(table_path)
+    known = [ts for ts, _a, _p in instants]
+    if instant not in known:
+        raise ValueError(
+            f"restore_hudi_lite: unknown instant {instant!r}; "
+            f"timeline has {known}"
+        )
+    # a cleaner run after the restore point may have deleted files the
+    # restored view needs (retention horizon moved past it)
+    for sub in ("", "timeline"):
+        tdir = os.path.join(table_path, ".hoodie", sub)
+        for p in _glob.glob(os.path.join(tdir, "*.clean")):
+            cts = os.path.basename(p).split(".")[0].split("_")[0]
+            if cts > instant:
+                with open(p) as fh:
+                    body = _json.load(fh)
+                if body.get("deletedFiles"):
+                    raise ValueError(
+                        f"restore_hudi_lite: cleaner instant {cts} ran "
+                        f"after {instant} and deleted "
+                        f"{len(body['deletedFiles'])} files the restored "
+                        "view may need; restore is only safe to points "
+                        "inside the retained window"
+                    )
+    later = [(ts, a, p) for ts, a, p in instants if ts > instant]
+    if not later:
+        return {
+            "restored_to": instant,
+            "instants_rolled_back": 0,
+            "files_deleted": 0,
+        }
+    victims: set[str] = set()
+    for _ts, _a, commit in _load_commit_bodies(later):
+        for _part, stats in (
+            commit.get("partitionToWriteStats") or {}
+        ).items():
+            for st in stats:
+                victims.add(os.path.join(table_path, st["path"]))
+    deleted = []
+    for p in sorted(victims):
+        if os.path.exists(p):
+            os.remove(p)
+            deleted.append(os.path.relpath(p, table_path))
+    for _ts, _a, p in later:
+        os.remove(p)
+    ts = _time.strftime("%Y%m%d%H%M%S") + f"{int(_time.time()*1000)%1000:03d}"
+    tdir = os.path.join(table_path, ".hoodie")
+    if os.path.isdir(os.path.join(tdir, "timeline")):
+        tdir = os.path.join(tdir, "timeline")
+    with open(os.path.join(tdir, f"{ts}.restore"), "w") as fh:
+        _json.dump(
+            {
+                "restoredTo": instant,
+                "rolledBackInstants": [t for t, _a, _p in later],
+                "deletedFiles": deleted,
+            },
+            fh,
+        )
+    return {
+        "restored_to": instant,
+        "instants_rolled_back": len(later),
+        "files_deleted": len(deleted),
+    }

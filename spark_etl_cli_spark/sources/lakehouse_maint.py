@@ -691,6 +691,40 @@ def hudi_clean_source(p: ParsedUri) -> HudiCleanSource:
 
 
 @dataclass
+class HudiRestoreSource:
+    """``rep+hudi-restore:///path/tbl?instant=TS`` — Hudi RESTORE:
+    physically roll the table back to instant TS (later instants'
+    files deleted, timeline truncated). The sibling of
+    ``rep+delta-restore://`` and ``rep+iceberg-rollback://``; refuses
+    restore points behind a cleaner horizon."""
+
+    uri: ParsedUri
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        from spark_etl_cli_spark.sources.hudi_lite import restore_hudi_lite
+
+        instant = self.uri.params.get("instant")
+        if not instant:
+            raise ValueError("hudi-restore:// needs ?instant=<timeline ts>")
+        stats = restore_hudi_lite(self.uri.path, instant)
+        return spark.createDataFrame(
+            [(
+                self.uri.path,
+                stats["restored_to"],
+                stats["instants_rolled_back"],
+                stats["files_deleted"],
+            )],
+            "table string, restored_to string, "
+            "instants_rolled_back int, files_deleted int",
+        )
+
+
+@register_source("hudi-restore")
+def hudi_restore_source(p: ParsedUri) -> HudiRestoreSource:
+    return HudiRestoreSource(p)
+
+
+@dataclass
 class HudiCompactSource:
     """``rep+hudi-compact:///path/tbl`` — MOR compaction: each
     log-carrying file group's merged state materializes as a new base

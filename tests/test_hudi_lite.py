@@ -1694,3 +1694,140 @@ def test_hudi_clean_mor_keeps_window_and_incremental(spark, tmp_path):
     assert {(r.id, r.v) for r in inc.select("id", "v").collect()} == {
         (2, "b4")
     }
+
+
+# --- RESTORE (rollback to instant) ------------------------------------------
+
+
+def test_hudi_restore_cow_rolls_back_upserts(spark, tmp_path):
+    """Three COW commits; restore to the second physically drops the
+    third's files and timeline entry — snapshot, time travel, and a
+    follow-up write all behave as if it never happened."""
+    from spark_etl_cli_spark.sources.hudi_lite import (
+        _completed_instants,
+        read_hudi_lite,
+        restore_hudi_lite,
+        write_hudi_lite,
+    )
+
+    table = str(tmp_path / "hudi_restore_cow")
+    write_hudi_lite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        table, record_key="id",
+    )
+    ts2 = write_hudi_lite(
+        spark.createDataFrame([(1, "A2")], "id long, v string"),
+        table, mode="upsert", record_key="id",
+    )
+    write_hudi_lite(
+        spark.createDataFrame([(2, "B3")], "id long, v string"),
+        table, mode="upsert", record_key="id",
+    )
+    assert {(r.id, r.v) for r in read_hudi_lite(spark, table).collect()} == {
+        (1, "A2"), (2, "B3"),
+    }
+
+    stats = restore_hudi_lite(table, ts2)
+    assert stats["instants_rolled_back"] == 1
+    assert stats["files_deleted"] >= 1
+    assert {(r.id, r.v) for r in read_hudi_lite(spark, table).collect()} == {
+        (1, "A2"), (2, "b"),
+    }
+    assert [t for t, _a, _p in _completed_instants(table)][-1] == ts2
+    # restoring to the (new) head is a no-op
+    assert restore_hudi_lite(table, ts2)["instants_rolled_back"] == 0
+    # the table keeps working after restore
+    write_hudi_lite(
+        spark.createDataFrame([(3, "c")], "id long, v string"),
+        table, mode="upsert", record_key="id",
+    )
+    assert {r.id for r in read_hudi_lite(spark, table).collect()} == {1, 2, 3}
+    with pytest.raises(ValueError, match="unknown instant"):
+        restore_hudi_lite(table, "19700101000000000")
+
+
+def test_hudi_restore_mor_drops_log_blocks(spark, tmp_path):
+    """MOR: the rolled-back deltacommit's fresh log file disappears;
+    snapshot and incremental agree with the truncated timeline."""
+    from spark_etl_cli_spark.sources.hudi_lite import (
+        read_hudi_incremental,
+        read_hudi_lite,
+        restore_hudi_lite,
+        write_hudi_lite,
+    )
+
+    table = str(tmp_path / "hudi_restore_mor")
+    ts1 = write_hudi_lite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        table, record_key="id", table_type="MERGE_ON_READ",
+    )
+    ts2 = write_hudi_lite(
+        spark.createDataFrame([(1, "a2")], "id long, v string"),
+        table, mode="upsert", record_key="id",
+    )
+    write_hudi_lite(
+        spark.createDataFrame([(2, "b3")], "id long, v string"),
+        table, mode="upsert", record_key="id",
+    )
+    restore_hudi_lite(table, ts2)
+    assert {(r.id, r.v) for r in read_hudi_lite(spark, table).collect()} == {
+        (1, "a2"), (2, "b"),
+    }
+    inc = read_hudi_incremental(spark, table, begin_instant=ts1)
+    assert {(r.id, r.v) for r in inc.select("id", "v").collect()} == {
+        (1, "a2"),
+    }
+
+
+def test_hudi_restore_refuses_cleaned_horizon(spark, tmp_path):
+    """A cleaner run after the restore point deleted files the
+    restored view may need — restore raises instead of serving a
+    hole."""
+    from spark_etl_cli_spark.sources.hudi_lite import (
+        clean_hudi_lite,
+        restore_hudi_lite,
+        write_hudi_lite,
+    )
+
+    table = str(tmp_path / "hudi_restore_clean")
+    write_hudi_lite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        table, record_key="id",
+    )
+    ts2 = write_hudi_lite(
+        spark.createDataFrame([(1, "A2")], "id long, v string"),
+        table, mode="upsert", record_key="id",
+    )
+    write_hudi_lite(
+        spark.createDataFrame([(2, "B3")], "id long, v string"),
+        table, mode="upsert", record_key="id",
+    )
+    assert clean_hudi_lite(table, retain_commits=1)["files_deleted"] >= 1
+    with pytest.raises(ValueError, match="cleaner instant"):
+        restore_hudi_lite(table, ts2)
+
+
+def test_hudi_restore_via_uri(spark, tmp_path):
+    from spark_etl_cli_spark.pipeline import run_pipeline
+    from spark_etl_cli_spark.sources.hudi_lite import (
+        read_hudi_lite,
+        write_hudi_lite,
+    )
+
+    table = str(tmp_path / "hudi_restore_uri")
+    ts1 = write_hudi_lite(
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        table, record_key="id",
+    )
+    write_hudi_lite(
+        spark.createDataFrame([(1, "A2")], "id long, v string"),
+        table, mode="upsert", record_key="id",
+    )
+    run_pipeline(
+        spark,
+        sources=[f"r+hudi-restore://{table}?instant={ts1}"],
+        sinks=["r+console://"],
+    )
+    assert {(r.id, r.v) for r in read_hudi_lite(spark, table).collect()} == {
+        (1, "a"),
+    }
