@@ -650,3 +650,120 @@ def q169_l_diversity(spark, sf_dir):
         )
         .filter(F.col("l_distinct") < 4)
     )
+
+
+# --- q183: one-vs-rest KS drift per source ------------------------------
+# Distribution-drift monitor: for each source, the exact two-sample
+# Kolmogorov–Smirnov statistic of its doc-length (n_chars)
+# distribution against the REST of the corpus — the alarm that a
+# crawler/feed started emitting structurally different documents.
+# Exact integer arithmetic throughout: at every observed length x the
+# step functions' gap is |cum_s·n_rest − cum_rest·n_s| (cross-
+# multiplied, no division), maxed per source, divided once at the end.
+# Plan: the corpus collapses to |distinct lengths| × |sources| grid
+# rows (both factors bounded: lengths are data-bounded ints, sources
+# are an enumerable dimension); the grid is |lengths| BROADCAST-
+# expanded by the tiny source list — no row-level shuffle survives
+# the first aggregation. The per-source cumulative runs partitioned
+# by source; the global cumulative runs over |lengths| rows.
+@query(
+    "q183_ks_drift",
+    oracle="""
+    WITH cnt AS (
+      SELECT source, n_chars AS x, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    xs AS (SELECT DISTINCT x FROM cnt),
+    srcs AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s
+             FROM cnt GROUP BY 1),
+    gx AS (
+      SELECT x, CAST(SUM(c) AS BIGINT) AS cx FROM cnt GROUP BY 1
+    ),
+    gcum AS (
+      SELECT x, SUM(cx) OVER (ORDER BY x
+               ROWS UNBOUNDED PRECEDING) AS cum_g
+      FROM gx
+    ),
+    grid AS (
+      SELECT s.source, s.n_s, xs.x, COALESCE(cnt.c, 0) AS c
+      FROM srcs s CROSS JOIN xs
+      LEFT JOIN cnt ON cnt.source = s.source AND cnt.x = xs.x
+    ),
+    scum AS (
+      SELECT source, n_s, x,
+             SUM(c) OVER (PARTITION BY source ORDER BY x
+                  ROWS UNBOUNDED PRECEDING) AS cum_s
+      FROM grid
+    ),
+    gaps AS (
+      SELECT s.source, s.n_s,
+             (SELECT MAX(cum_g) FROM gcum) AS n_tot,
+             abs(s.cum_s * ((SELECT MAX(cum_g) FROM gcum) - s.n_s)
+                 - (g.cum_g - s.cum_s) * s.n_s) AS num
+      FROM scum s JOIN gcum g ON s.x = g.x
+    )
+    SELECT source,
+           CAST(MIN(n_s) AS BIGINT) AS n_docs,
+           CAST(MAX(num) AS BIGINT) AS ks_numerator,
+           CAST(MAX(num) AS DOUBLE)
+             / CAST(MIN(n_s) * (MIN(n_tot) - MIN(n_s)) AS DOUBLE) AS ks
+    FROM gaps GROUP BY source
+    """,
+)
+def q183_ks_drift(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    cnt = (
+        d.groupBy("source", F.col("n_chars").alias("x"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    xs = cnt.select("x").distinct()
+    srcs = cnt.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_s")
+    )
+    gx = cnt.groupBy("x").agg(F.sum("c").cast("bigint").alias("cx"))
+    gcum = gx.select(
+        "x",
+        F.sum("cx")
+        .over(W.orderBy("x").rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum_g"),
+    )
+    grid = (
+        xs.crossJoin(F.broadcast(srcs))
+        .join(cnt, ["source", "x"], "left")
+        .select("source", "n_s", "x", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    scum = grid.select(
+        "source",
+        "n_s",
+        "x",
+        F.sum("c")
+        .over(
+            W.partitionBy("source").orderBy("x")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        .alias("cum_s"),
+    )
+    n_tot = gcum.agg(F.max("cum_g").cast("bigint").alias("n_tot"))
+    gaps = (
+        scum.join(gcum, "x")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "source",
+            "n_s",
+            "n_tot",
+            F.abs(
+                F.col("cum_s") * (F.col("n_tot") - F.col("n_s"))
+                - (F.col("cum_g") - F.col("cum_s")) * F.col("n_s")
+            ).alias("num"),
+        )
+    )
+    return gaps.groupBy("source").agg(
+        F.min("n_s").cast("bigint").alias("n_docs"),
+        F.max("num").cast("bigint").alias("ks_numerator"),
+        (
+            F.max("num").cast("double")
+            / (F.min("n_s") * (F.min("n_tot") - F.min("n_s"))).cast("double")
+        ).alias("ks"),
+    )

@@ -1553,3 +1553,61 @@ def q181_dedup_weights(spark, sf_dir):
         .cast("bigint")
         .alias("weight_micro"),
     )
+
+
+# --- q182: distinct-n n-gram diversity ---------------------------------
+# The distinct-1/2/3 metric from the text-generation literature, per
+# source: unique n-grams over total n-gram instances — low values
+# flag template/boilerplate-heavy (or model-generated, mode-collapsed)
+# corpora before they reach training. All-integer until the final
+# ratio; uniqueness counts hash 16-hex md5 prefixes (64-bit) so the
+# distinct shuffle carries fixed-width keys, not n-gram text — the
+# oracle applies the identical transformation, so the comparison is
+# exact whatever the (vanishing) collision odds do. Plan: one explode
+# per n over POSITIONAL (non-distinct) shingles, map-side-combined
+# per-(source, n) aggregation.
+@query(
+    "q182_distinct_ngrams",
+    oracle=f"""
+    WITH tk AS (SELECT source, {SQL_TOKENS} AS tk FROM documents),
+    grams AS (
+      SELECT source, n, substr(md5(g), 1, 16) AS h
+      FROM tk, (SELECT unnest([1, 2, 3]) AS n) ns,
+           UNNEST(list_transform(
+             generate_series(1, greatest(len(tk) - n + 1, 0)),
+             i -> array_to_string(tk[i:i+n-1], ' '))) AS u(g)
+    )
+    SELECT source, CAST(n AS INT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS distinct_ngrams,
+           CAST(COUNT(DISTINCT h) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS distinct_ratio
+    FROM grams GROUP BY 1, 2
+    """,
+)
+def q182_distinct_ngrams(spark, sf_dir):
+    from spark_etl_cli_spark.functions.text import word_shingles
+
+    d = t(spark, sf_dir, "documents")
+    parts = []
+    for n in (1, 2, 3):
+        parts.append(
+            d.select(
+                "source",
+                F.lit(n).cast("int").alias("n"),
+                F.explode(
+                    word_shingles(F.col("text"), n, distinct=False)
+                ).alias("g"),
+            )
+        )
+    grams = parts[0].unionByName(parts[1]).unionByName(parts[2]).select(
+        "source", "n", F.substring(F.md5("g"), 1, 16).alias("h")
+    )
+    return grams.groupBy("source", "n").agg(
+        bcount("total_ngrams"),
+        F.countDistinct("h").cast("bigint").alias("distinct_ngrams"),
+        (
+            F.countDistinct("h").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("distinct_ratio"),
+    )

@@ -40,6 +40,7 @@ BNLJ_OK = {
     "q91_fuzzy_name_pairs",     # edit-distance NL over broadcast distinct names
     "q170_event_paths",         # broadcast mean-support scalar (1 row)
     "q176_event_cooccurrence",  # broadcast user-base scalar (1 row)
+    "q183_ks_drift",            # broadcast source-dim grid + N scalar
 }
 
 
