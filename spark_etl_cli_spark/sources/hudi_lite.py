@@ -1886,7 +1886,12 @@ def clean_hudi_lite(
         for _part, stats in (commit.get("partitionToWriteStats") or {}).items():
             for st in stats:
                 all_written.add(os.path.join(table_path, st["path"]))
-    retained = [ts for ts, _a, _p in instants][-retain_commits:]
+    all_ts = [ts for ts, _a, _p in instants]
+    retained = all_ts[-retain_commits:]
+    # savepointed views are pinned regardless of the retention window
+    retained = sorted(
+        set(retained) | (_savepointed_instants(table_path) & set(all_ts))
+    )
     needed: set[str] = set()
     for keep_ts in retained:
         upto = [b for b in bodies if b[0] <= keep_ts]
@@ -1945,22 +1950,22 @@ def restore_hudi_lite(table_path: str, instant: str) -> dict:
             f"timeline has {known}"
         )
     # a cleaner run after the restore point may have deleted files the
-    # restored view needs (retention horizon moved past it)
-    for sub in ("", "timeline"):
-        tdir = os.path.join(table_path, ".hoodie", sub)
-        for p in _glob.glob(os.path.join(tdir, "*.clean")):
-            cts = os.path.basename(p).split(".")[0].split("_")[0]
-            if cts > instant:
-                with open(p) as fh:
-                    body = _json.load(fh)
-                if body.get("deletedFiles"):
-                    raise ValueError(
-                        f"restore_hudi_lite: cleaner instant {cts} ran "
-                        f"after {instant} and deleted "
-                        f"{len(body['deletedFiles'])} files the restored "
-                        "view may need; restore is only safe to points "
-                        "inside the retained window"
-                    )
+    # restored view needs — verify the view is fully materialized on
+    # disk (a savepointed instant survives cleaning and passes here)
+    upto = [(ts, a, p) for ts, a, p in instants if ts <= instant]
+    needed: set[str] = set()
+    for ent in _live_file_slices(table_path, upto).values():
+        if ent["base"]:
+            needed.add(ent["base"])
+        needed.update(ent["logs"])
+    missing = sorted(p for p in needed if not os.path.exists(p))
+    if missing:
+        raise ValueError(
+            f"restore_hudi_lite: the view at {instant} needs "
+            f"{len(missing)} files a cleaner already deleted (first: "
+            f"{os.path.relpath(missing[0], table_path)}); savepoint "
+            "instants before cleaning to keep them restorable"
+        )
     later = [(ts, a, p) for ts, a, p in instants if ts > instant]
     if not later:
         return {
@@ -1982,6 +1987,13 @@ def restore_hudi_lite(table_path: str, instant: str) -> dict:
             deleted.append(os.path.relpath(p, table_path))
     for _ts, _a, p in later:
         os.remove(p)
+    # savepoints of rolled-back instants are dangling now
+    for sub in ("", "timeline"):
+        sdir = os.path.join(table_path, ".hoodie", sub)
+        for p in _glob.glob(os.path.join(sdir, "*.savepoint")):
+            with open(p) as fh:
+                if _json.load(fh)["savepointedInstant"] > instant:
+                    os.remove(p)
     ts = _time.strftime("%Y%m%d%H%M%S") + f"{int(_time.time()*1000)%1000:03d}"
     tdir = os.path.join(table_path, ".hoodie")
     if os.path.isdir(os.path.join(tdir, "timeline")):
@@ -2000,3 +2012,51 @@ def restore_hudi_lite(table_path: str, instant: str) -> dict:
         "instants_rolled_back": len(later),
         "files_deleted": len(deleted),
     }
+
+
+def savepoint_hudi_lite(
+    table_path: str, instant: str | None = None, name: str | None = None
+) -> dict:
+    """Hudi SAVEPOINT: pin an instant's file-slice view so the cleaner
+    retains it and RESTORE can always return to it (hudi-cli
+    ``savepoint create``). A ``<ts>.savepoint`` JSON marker records the
+    pinned instant; ``clean_hudi_lite`` adds every savepointed view to
+    its retained set, and ``restore_hudi_lite``'s materialization check
+    then passes for it by construction. Defaults to the latest
+    completed instant."""
+    import json as _json
+    import time as _time
+
+    instants = _completed_instants(table_path)
+    if not instants:
+        raise ValueError(f"no completed Hudi commits under {table_path}")
+    known = [ts for ts, _a, _p in instants]
+    pin = instant or known[-1]
+    if pin not in known:
+        raise ValueError(
+            f"savepoint_hudi_lite: unknown instant {pin!r}; "
+            f"timeline has {known}"
+        )
+    ts = _time.strftime("%Y%m%d%H%M%S") + f"{int(_time.time()*1000)%1000:03d}"
+    tdir = os.path.join(table_path, ".hoodie")
+    if os.path.isdir(os.path.join(tdir, "timeline")):
+        tdir = os.path.join(tdir, "timeline")
+    with open(os.path.join(tdir, f"{ts}.savepoint"), "w") as fh:
+        _json.dump(
+            {"savepointedInstant": pin, "name": name or pin}, fh
+        )
+    return {"savepointed": pin, "name": name or pin}
+
+
+def _savepointed_instants(table_path: str) -> set[str]:
+    """Instants pinned by ``.savepoint`` markers (unknown ones — e.g.
+    rolled back by a restore — are ignored by callers)."""
+    import json as _json
+
+    out: set[str] = set()
+    for sub in ("", "timeline"):
+        tdir = os.path.join(table_path, ".hoodie", sub)
+        for p in _glob.glob(os.path.join(tdir, "*.savepoint")):
+            with open(p) as fh:
+                out.add(_json.load(fh)["savepointedInstant"])
+    return out

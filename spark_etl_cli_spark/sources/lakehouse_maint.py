@@ -725,6 +725,34 @@ def hudi_restore_source(p: ParsedUri) -> HudiRestoreSource:
 
 
 @dataclass
+class HudiSavepointSource:
+    """``rep+hudi-savepoint:///path/tbl[?instant=TS&name=X]`` — pin an
+    instant's file-slice view (default: latest): the cleaner retains
+    it and ``rep+hudi-restore://`` can always return to it. The
+    timeline twin of an iceberg tag."""
+
+    uri: ParsedUri
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        from spark_etl_cli_spark.sources.hudi_lite import savepoint_hudi_lite
+
+        stats = savepoint_hudi_lite(
+            self.uri.path,
+            instant=self.uri.params.get("instant"),
+            name=self.uri.params.get("name"),
+        )
+        return spark.createDataFrame(
+            [(self.uri.path, stats["savepointed"], stats["name"])],
+            "table string, savepointed string, name string",
+        )
+
+
+@register_source("hudi-savepoint")
+def hudi_savepoint_source(p: ParsedUri) -> HudiSavepointSource:
+    return HudiSavepointSource(p)
+
+
+@dataclass
 class HudiCompactSource:
     """``rep+hudi-compact:///path/tbl`` — MOR compaction: each
     log-carrying file group's merged state materializes as a new base

@@ -1803,7 +1803,7 @@ def test_hudi_restore_refuses_cleaned_horizon(spark, tmp_path):
         table, mode="upsert", record_key="id",
     )
     assert clean_hudi_lite(table, retain_commits=1)["files_deleted"] >= 1
-    with pytest.raises(ValueError, match="cleaner instant"):
+    with pytest.raises(ValueError, match="cleaner already deleted"):
         restore_hudi_lite(table, ts2)
 
 
@@ -1831,3 +1831,74 @@ def test_hudi_restore_via_uri(spark, tmp_path):
     assert {(r.id, r.v) for r in read_hudi_lite(spark, table).collect()} == {
         (1, "a"),
     }
+
+
+def test_hudi_savepoint_pins_through_clean_and_restores(spark, tmp_path):
+    """Savepoint an early instant, stack more commits, clean(retain=1):
+    the savepointed view survives (time travel works), restore returns
+    to it — while a NON-savepointed cleaned instant stays unrestorable."""
+    from spark_etl_cli_spark.sources.hudi_lite import (
+        clean_hudi_lite,
+        read_hudi_lite,
+        restore_hudi_lite,
+        savepoint_hudi_lite,
+        write_hudi_lite,
+    )
+
+    table = str(tmp_path / "hudi_sp")
+    write_hudi_lite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        table, record_key="id",
+    )
+    ts2 = write_hudi_lite(
+        spark.createDataFrame([(1, "A2")], "id long, v string"),
+        table, mode="upsert", record_key="id",
+    )
+    assert savepoint_hudi_lite(table, name="audited")["savepointed"] == ts2
+    ts3 = write_hudi_lite(
+        spark.createDataFrame([(1, "A3")], "id long, v string"),
+        table, mode="upsert", record_key="id",
+    )
+    write_hudi_lite(
+        spark.createDataFrame([(1, "A4")], "id long, v string"),
+        table, mode="upsert", record_key="id",
+    )
+    stats = clean_hudi_lite(table, retain_commits=1)
+    # the savepointed view is retained alongside the latest
+    assert ts2 in stats["retained_instants"]
+    assert {(r.id, r.v) for r in
+            read_hudi_lite(spark, table, as_of=ts2).collect()} == {
+        (1, "A2"), (2, "b"),
+    }
+    # ts3 was NOT savepointed: its files are gone, restore refuses
+    with pytest.raises(ValueError, match="cleaner already deleted"):
+        restore_hudi_lite(table, ts3)
+    # restore to the savepoint works and serves the pinned view
+    restore_hudi_lite(table, ts2)
+    assert {(r.id, r.v) for r in read_hudi_lite(spark, table).collect()} == {
+        (1, "A2"), (2, "b"),
+    }
+    # ts3's savepoint-less siblings were rolled back with it: the
+    # timeline head is the savepoint now
+    from spark_etl_cli_spark.sources.hudi_lite import _completed_instants
+    assert [t for t, _a, _p in _completed_instants(table)][-1] == ts2
+
+
+def test_hudi_savepoint_via_uri(spark, tmp_path):
+    from spark_etl_cli_spark.pipeline import run_pipeline
+    from spark_etl_cli_spark.sources.hudi_lite import (
+        _savepointed_instants,
+        write_hudi_lite,
+    )
+
+    table = str(tmp_path / "hudi_sp_uri")
+    ts1 = write_hudi_lite(
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        table, record_key="id",
+    )
+    run_pipeline(
+        spark,
+        sources=[f"s+hudi-savepoint://{table}?name=rel1"],
+        sinks=["s+console://"],
+    )
+    assert _savepointed_instants(table) == {ts1}
