@@ -53,4 +53,54 @@ python -m spark_etl_cli_spark \
   --source "rep+iceberg-expire://$ITBL?keep-last=1&delete-orphans=true" \
   --sink "rep+console://"
 
+# 5. hudi: upsert x3 -> savepoint the audited state -> clean ->
+# restore back to the savepoint (the cleaner kept its files)
+HTBL="$WORK/hudi_tbl"
+python -m spark_etl_cli_spark \
+  --source "v+values://?header=id:long,v&values=1,a;2,b" \
+  --sink "v+hudi://$HTBL?record-key=id"
+python -m spark_etl_cli_spark \
+  --source "v+values://?header=id:long,v&values=1,a2" \
+  --sink "v+hudi://$HTBL?mode=upsert&record-key=id"
+python -m spark_etl_cli_spark \
+  --source "sp+hudi-savepoint://$HTBL?name=audited" \
+  --sink "sp+console://"
+python -m spark_etl_cli_spark \
+  --source "v+values://?header=id:long,v&values=1,a3" \
+  --sink "v+hudi://$HTBL?mode=upsert&record-key=id"
+python -m spark_etl_cli_spark \
+  --source "rep+hudi-clean://$HTBL?retain-commits=1" \
+  --sink "rep+console://"
+SP=$(python - "$HTBL" <<'PY'
+import sys
+from spark_etl_cli_spark.sources.hudi_lite import _savepointed_instants
+print(sorted(_savepointed_instants(sys.argv[1]))[0])
+PY
+)
+python -m spark_etl_cli_spark \
+  --source "rep+hudi-restore://$HTBL?instant=$SP" \
+  --sink "rep+console://"
+python -m spark_etl_cli_spark \
+  --source "now+hudi://$HTBL" \
+  --source "expected+values://?header=id:long,v&values=1,a2;2,b" \
+  --transform "now+checked+diff://expected?id=id&handleDifferences=fail" \
+  --sink "checked+console://"
+
+# 6. iceberg rollback: undo the last append, metadata-only
+RTBL="$WORK/ice_rb"
+python -m spark_etl_cli_spark \
+  --source "v+values://?header=id:long&values=1" \
+  --sink "v+iceberg://$RTBL"
+python -m spark_etl_cli_spark \
+  --source "v+values://?header=id:long&values=2" \
+  --sink "v+iceberg://$RTBL?mode=append"
+python -m spark_etl_cli_spark \
+  --source "rb+iceberg-rollback://$RTBL?snapshot-id=1" \
+  --sink "rb+console://"
+python -m spark_etl_cli_spark \
+  --source "now+iceberg://$RTBL" \
+  --source "expected+values://?header=id:long&values=1" \
+  --transform "now+checked+diff://expected?id=id&handleDifferences=fail" \
+  --sink "checked+console://"
+
 echo "lakehouse maintenance pipeline OK"
