@@ -8,8 +8,10 @@ tables whose row-level deletes are stored as deletion vectors:
 
 - Puffin framing: ``Magic(PFA1) Blob... Footer`` where Footer =
   ``Magic FooterPayload(JSON) FooterPayloadSize(int32 LE) Flags(4B)
-  Magic``; we always write uncompressed payloads (flags = 0) and
-  refuse compressed ones on read (lz4 isn't in this container).
+  Magic``; we always write uncompressed payloads (flags = 0), and on
+  read decompress lz4-FRAME footers and lz4/zstd blobs (the spec's
+  ``compression-codec`` blob property) via pyarrow's bundled codecs —
+  engine-written Puffin files read back without the engine.
 - FileMetadata JSON: ``{"blobs": [BlobMetadata...], "properties": {}}``
   with the spec's BlobMetadata fields (type, fields, snapshot-id,
   sequence-number, offset, length, properties).
@@ -91,19 +93,38 @@ def read_puffin_metadata(path: str) -> dict:
             raise ValueError(f"not a Puffin file (bad trailing magic): {path}")
         (payload_size,) = struct.unpack_from("<i", tail, 0)
         flags = tail[4:8]
-        if flags[0] & 0x01:
-            raise NotImplementedError(
-                "Puffin footer payload is lz4-compressed; this reader "
-                "handles uncompressed footers only"
-            )
         fh.seek(-(12 + payload_size + 4), 2)
         if fh.read(4) != MAGIC:
             raise ValueError(f"corrupt Puffin footer (bad footer magic): {path}")
         payload = fh.read(payload_size)
+    if flags[0] & 0x01:
+        # spec flag bit 0: footer payload is a single lz4 FRAME
+        payload = _decompress("lz4", bytes(payload))
     return json.loads(payload.decode("utf-8"))
 
 
-def read_puffin_blob(path: str, offset: int, length: int) -> bytes:
+def _decompress(codec: str, data: bytes) -> bytes:
+    """lz4(frame)/zstd via pyarrow's bundled codecs, import-gated."""
+    try:
+        import pyarrow as pa
+
+        # streaming decompression: Puffin doesn't record decompressed
+        # sizes, and pyarrow's one-shot Codec.decompress requires one
+        with pa.CompressedInputStream(pa.BufferReader(data), codec) as st:
+            return st.read()
+    except ImportError as exc:  # pragma: no cover - pyarrow is baked in
+        raise NotImplementedError(
+            f"Puffin payload is {codec}-compressed and pyarrow is not "
+            "importable to decompress it"
+        ) from exc
+
+
+def read_puffin_blob(
+    path: str, offset: int, length: int, codec: str | None = None
+) -> bytes:
+    """Raw blob bytes; ``codec`` is the BlobMetadata
+    ``compression-codec`` property (None/"" = uncompressed, else
+    lz4 frame or zstd per the spec)."""
     with open(path, "rb") as fh:
         fh.seek(offset)
         data = fh.read(length)
@@ -112,6 +133,13 @@ def read_puffin_blob(path: str, offset: int, length: int) -> bytes:
             f"Puffin blob truncated: wanted {length} bytes at {offset}, "
             f"got {len(data)} ({path})"
         )
+    if codec:
+        if codec not in ("lz4", "zstd"):
+            raise NotImplementedError(
+                f"Puffin blob compression-codec {codec!r} (spec allows "
+                "lz4/zstd)"
+            )
+        data = _decompress(codec, data)
     return data
 
 

@@ -425,3 +425,58 @@ def test_uniform_export_v3_dv_to_delta(spark, tmp_path):
     export_iceberg_as_delta(spark, table)
     got = sorted(r.id for r in read_delta_lite(spark, table).collect())
     assert got == [0, 1, 3, 4, 5, 7]
+
+
+def test_puffin_reads_compressed_footer_and_blobs(tmp_path):
+    """Engine-written Puffin files may lz4-frame the footer (flags bit
+    0) and compress non-DV blobs (BlobMetadata compression-codec);
+    the lite reader decompresses both via pyarrow's bundled codecs."""
+    import json
+    import struct
+
+    import pyarrow as pa
+
+    from spark_etl_cli_spark.sources.puffin_lite import (
+        MAGIC,
+        read_puffin_blob,
+        read_puffin_metadata,
+    )
+
+    p = str(tmp_path / "c.puffin")
+    sketch = b"\x07" * 257  # a fake stats blob payload
+    zblob = pa.Codec("zstd").compress(sketch).to_pybytes()
+    metas = [
+        {
+            "type": "apache-datasketches-theta-v1",
+            "fields": [1],
+            "snapshot-id": 7,
+            "sequence-number": 1,
+            "offset": 4,
+            "length": len(zblob),
+            "properties": {"compression-codec": "zstd"},
+        }
+    ]
+    payload = json.dumps({"blobs": metas, "properties": {}}).encode()
+    cpayload = pa.Codec("lz4").compress(payload).to_pybytes()
+    with open(p, "wb") as fh:
+        fh.write(MAGIC)
+        fh.write(zblob)
+        fh.write(MAGIC)
+        fh.write(cpayload)
+        fh.write(struct.pack("<i", len(cpayload)))
+        fh.write(b"\x01\x00\x00\x00")  # flags: footer lz4-compressed
+        fh.write(MAGIC)
+
+    meta = read_puffin_metadata(p)
+    blob = meta["blobs"][0]
+    assert blob["type"] == "apache-datasketches-theta-v1"
+    got = read_puffin_blob(
+        p, blob["offset"], blob["length"],
+        codec=blob["properties"]["compression-codec"],
+    )
+    assert got == sketch
+    # unknown codecs stay a loud fence
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="compression-codec"):
+        read_puffin_blob(p, blob["offset"], blob["length"], codec="snappy")
