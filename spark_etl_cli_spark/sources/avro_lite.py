@@ -27,7 +27,9 @@ null/boolean/int/long/float/double/bytes/string, record, array, map,
 union (nullable = ["null", T]), fixed, enum (decoded to string), and
 the logical types date (int), timestamp-micros/millis (long),
 decimal (bytes; decoded to string to stay exact). Codecs: ``null``
-and ``deflate`` (raw DEFLATE per spec); snappy raises clearly.
+``deflate`` (raw DEFLATE per spec), ``snappy`` (raw block + the
+spec's big-endian CRC32-of-uncompressed suffix), and ``zstandard`` —
+the latter two via pyarrow's bundled codecs, import-gated.
 """
 
 from __future__ import annotations
@@ -386,6 +388,10 @@ def read_container(data: bytes) -> tuple[Any, list[Any]]:
         block = r.read(size)
         if codec == "deflate":
             block = zlib.decompress(block, -15)
+        elif codec == "snappy":
+            block = _snappy_block_decompress(block)
+        elif codec == "zstandard":
+            block = _zstd(block, compress=False)
         elif codec != "null":
             raise ValueError(f"avro_lite: unsupported codec {codec!r}")
         br = Reader(block)
@@ -447,6 +453,10 @@ def write_container(
             if codec == "deflate":
                 co = zlib.compressobj(wbits=-15)
                 raw = co.compress(raw) + co.flush()
+            elif codec == "snappy":
+                raw = _snappy_block_compress(raw)
+            elif codec == "zstandard":
+                raw = _zstd(raw, compress=True)
             elif codec != "null":
                 raise ValueError(f"avro_lite: unsupported codec {codec!r}")
             block = io.BytesIO()
@@ -586,10 +596,13 @@ def avro_to_spark_type(schema: Any):
 # --------------------------------------------------------------------------
 
 
-def write_avro_lite(df, path: str, mode: str = "overwrite") -> None:
+def write_avro_lite(
+    df, path: str, mode: str = "overwrite", codec: str = "deflate"
+) -> None:
     """Distributed container write: one ``part-*.avro`` per partition,
     encoded executor-side (``foreachPartition``); nothing is collected.
-    ``mode``: overwrite | append | error (mirrors DataFrameWriter)."""
+    ``mode``: overwrite | append | error (mirrors DataFrameWriter).
+    ``codec``: null | deflate | snappy | zstandard."""
     import shutil
 
     if os.path.exists(path):
@@ -611,13 +624,14 @@ def write_avro_lite(df, path: str, mode: str = "overwrite") -> None:
             r.asDict(recursive=True)
             for r in itertools.chain([first], rows)
         )
-        write_container(part, schema, as_dicts)
+        write_container(part, schema, as_dicts, codec=codec)
 
     df.foreachPartition(write_partition)
     # empty frame: still leave a readable (schema-bearing) file behind
     if not os.listdir(path):
         write_container(
-            os.path.join(path, f"part-{uuid.uuid4().hex}.avro"), schema, iter(())
+            os.path.join(path, f"part-{uuid.uuid4().hex}.avro"),
+            schema, iter(()), codec=codec,
         )
 
 
@@ -677,3 +691,51 @@ def _header_span(data: bytes) -> int:
             r.read_bytes()
     r.read(16)
     return r.pos
+
+
+# --- optional block codecs (avro spec "Required"/"Optional" codecs) -----
+def _zstd(data: bytes, *, compress: bool) -> bytes:
+    """zstandard via pyarrow (streaming decompress: avro blocks do not
+    record their decompressed size)."""
+    try:
+        import pyarrow as pa
+    except ImportError as exc:  # pragma: no cover - pyarrow is baked in
+        raise ValueError(
+            "avro_lite: zstandard codec needs pyarrow"
+        ) from exc
+    if compress:
+        return bytes(pa.Codec("zstd").compress(data))
+    with pa.CompressedInputStream(pa.BufferReader(data), "zstd") as st:
+        return st.read()
+
+
+def _snappy_block_decompress(block: bytes) -> bytes:
+    """Avro snappy block: raw-snappy payload + 4-byte big-endian CRC32
+    of the UNCOMPRESSED bytes. Raw snappy's uvarint preamble carries
+    the decompressed size pyarrow's one-shot API requires."""
+    try:
+        import pyarrow as pa
+    except ImportError as exc:  # pragma: no cover
+        raise ValueError("avro_lite: snappy codec needs pyarrow") from exc
+    comp, crc = block[:-4], block[-4:]
+    n = 0
+    shift = 0
+    for b in comp:
+        n |= (b & 0x7F) << shift
+        shift += 7
+        if not b & 0x80:
+            break
+    data = bytes(pa.Codec("snappy").decompress(comp, decompressed_size=n))
+    if zlib.crc32(data) & 0xFFFFFFFF != int.from_bytes(crc, "big"):
+        raise ValueError("avro_lite: snappy block CRC mismatch (corrupt)")
+    return data
+
+
+def _snappy_block_compress(raw: bytes) -> bytes:
+    try:
+        import pyarrow as pa
+    except ImportError as exc:  # pragma: no cover
+        raise ValueError("avro_lite: snappy codec needs pyarrow") from exc
+    return bytes(pa.Codec("snappy").compress(raw)) + (
+        zlib.crc32(raw) & 0xFFFFFFFF
+    ).to_bytes(4, "big")

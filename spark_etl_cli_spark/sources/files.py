@@ -138,7 +138,11 @@ class AvroSink:
         mode = self.uri.params.get(
             "mode", self.uri.params.get("write-mode", "overwrite")
         )
-        write_avro_lite(df, self.uri.path, mode=mode)
+        write_avro_lite(
+            df, self.uri.path, mode=mode,
+            # ?codec=null|deflate|snappy|zstandard (spec block codecs)
+            codec=self.uri.params.get("codec", "deflate"),
+        )
         return True
 
 

@@ -448,7 +448,7 @@ def test_avro_unsupported_codec_raises():
     # hand-write a header claiming snappy
     buf.write(MAGIC)
     meta = {"avro.schema": __import__("json").dumps(schema).encode(),
-            "avro.codec": b"snappy"}
+            "avro.codec": b"bzip2"}
     write_long(buf, len(meta))
     for k, v in meta.items():
         kb = k.encode()
@@ -462,5 +462,39 @@ def test_avro_unsupported_codec_raises():
     write_long(buf, len(comp))
     buf.write(comp)
     buf.write(b"S" * 16)
-    with pytest.raises(ValueError, match="snappy"):
+    with pytest.raises(ValueError, match="bzip2"):
         read_container(buf.getvalue())
+
+
+def test_avro_lite_optional_block_codecs(spark, tmp_path):
+    """snappy (raw block + BE CRC32 suffix) and zstandard containers
+    round-trip through the jar-less writer/reader; a corrupted snappy
+    CRC fails loudly."""
+    import glob
+    import os
+
+    from spark_etl_cli_spark.sources.avro_lite import (
+        read_avro_lite,
+        write_avro_lite,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "v" * (i % 7)) for i in range(100)], "id long, v string"
+    )
+    for codec in ("snappy", "zstandard"):
+        path = str(tmp_path / f"avro_{codec}")
+        write_avro_lite(df.repartition(2), path, codec=codec)
+        got = read_avro_lite(spark, path)
+        assert sorted((r.id, r.v) for r in got.collect()) == sorted(
+            (r.id, r.v) for r in df.collect()
+        )
+
+    # flip a byte inside a snappy block: CRC check must scream
+    part = sorted(glob.glob(str(tmp_path / "avro_snappy" / "*.avro")))[0]
+    raw = bytearray(open(part, "rb").read())
+    raw[-30] ^= 0xFF
+    open(part, "wb").write(bytes(raw))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="CRC|corrupt|snappy"):
+        read_avro_lite(spark, str(tmp_path / "avro_snappy")).collect()
