@@ -1611,3 +1611,118 @@ def q182_distinct_ngrams(spark, sf_dir):
             / F.count(F.lit(1)).cast("double")
         ).alias("distinct_ratio"),
     )
+
+
+# --- q184: LSH candidate-set calibration (precision/recall) -------------
+# The dedup-QA meta-query every threshold choice needs: how do the
+# MinHash-LSH candidates (q36's exact plan) compare against exact
+# shingle-Jaccard pairs (q35's exact plan) at the same τ=0.5? One full
+# outer join of two pair sets → a single confusion row with exact
+# counts; precision/recall are the only divisions. Both legs reuse
+# the production operators unchanged, so this measures the REAL plans
+# — at scale it's the recurring audit that licenses running LSH
+# instead of the quadratic truth on the other 99.99% of the corpus.
+@query(
+    "q184_lsh_calibration",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
+    sh AS (SELECT doc_id AS id, {_SQL_SH3} AS s FROM tk),
+    hb AS (
+      SELECT id, list_transform(s, x -> {_SQL_BASE28}) AS hb
+      FROM sh WHERE len(s) > 0
+    ),
+    sig AS (
+      SELECT id,
+             list_transform(generate_series(1, 32),
+               i -> list_min(list_transform(hb,
+                 h -> ({_SQL_MH_A}[i] * h + {_SQL_MH_B}[i]) % {_MH_P}))) AS sig
+      FROM hb
+    ),
+    cand0 AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(len(list_filter(generate_series(1, 32),
+                      i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 32.0
+               AS est_jaccard,
+             len(list_filter(generate_series(0, 7),
+                 bb -> a.sig[bb*4+1:bb*4+4] = b.sig[bb*4+1:bb*4+4])) > 0
+               AS band_hit
+      FROM sig a JOIN sig b ON a.id < b.id
+    ),
+    cands AS (
+      SELECT id_a, id_b FROM cand0 WHERE band_hit AND est_jaccard >= 0.5
+    ),
+    ex0 AS (SELECT id, unnest(s) AS shingle FROM sh),
+    freq AS (SELECT shingle, COUNT(*) AS df FROM ex0 GROUP BY 1),
+    ex AS (SELECT id, ex0.shingle FROM ex0
+           JOIN freq ON ex0.shingle = freq.shingle AND freq.df <= 1000),
+    co AS (
+      SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT id, CAST(len(s) AS BIGINT) AS n FROM sh),
+    truth AS (
+      SELECT id_a, id_b
+      FROM co JOIN sz sa ON id_a = sa.id JOIN sz sb ON id_b = sb.id
+      WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE)
+            >= 0.5
+    ),
+    u AS (
+      SELECT (c.id_a IS NOT NULL) AS in_cand,
+             (t.id_a IS NOT NULL) AS in_truth
+      FROM cands c FULL JOIN truth t
+        ON c.id_a = t.id_a AND c.id_b = t.id_b
+    )
+    SELECT CAST(SUM(CASE WHEN in_cand THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_candidates,
+           CAST(SUM(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true,
+           CAST(SUM(CASE WHEN in_cand AND in_truth THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           CASE WHEN SUM(CASE WHEN in_cand THEN 1 ELSE 0 END) = 0 THEN 0.0
+                ELSE CAST(SUM(CASE WHEN in_cand AND in_truth THEN 1 ELSE 0
+                     END) AS DOUBLE)
+                   / CAST(SUM(CASE WHEN in_cand THEN 1 ELSE 0 END) AS DOUBLE)
+           END AS precision,
+           CASE WHEN SUM(CASE WHEN in_truth THEN 1 ELSE 0 END) = 0 THEN 0.0
+                ELSE CAST(SUM(CASE WHEN in_cand AND in_truth THEN 1 ELSE 0
+                     END) AS DOUBLE)
+                   / CAST(SUM(CASE WHEN in_truth THEN 1 ELSE 0 END) AS DOUBLE)
+           END AS recall
+    FROM u
+    """,
+)
+def q184_lsh_calibration(spark, sf_dir):
+    from spark_etl_cli_spark.functions.text import md5_long28
+
+    docs = t(spark, sf_dir, "documents")
+    cands = (
+        minhash_lsh_pairs(
+            docs, num_hashes=32, bands=8, shingle_k=3, base_hash=md5_long28
+        )
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("id_a", "id_b", F.lit(True).alias("in_cand"))
+    )
+    truth = shingle_pairs_jaccard(
+        docs, k=3, threshold=0.5, max_shingle_freq=1000
+    ).select("id_a", "id_b", F.lit(True).alias("in_truth"))
+    u = cands.join(truth, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce("in_cand", F.lit(False)).alias("in_cand"),
+        F.coalesce("in_truth", F.lit(False)).alias("in_truth"),
+    )
+    n_cand = F.sum(F.when(F.col("in_cand"), 1).otherwise(0)).cast("bigint")
+    n_true = F.sum(F.when(F.col("in_truth"), 1).otherwise(0)).cast("bigint")
+    n_hit = F.sum(
+        F.when(F.col("in_cand") & F.col("in_truth"), 1).otherwise(0)
+    ).cast("bigint")
+    return u.agg(
+        n_cand.alias("n_candidates"),
+        n_true.alias("n_true"),
+        n_hit.alias("n_hit"),
+        F.when(n_cand == 0, F.lit(0.0))
+        .otherwise(n_hit.cast("double") / n_cand.cast("double"))
+        .alias("precision"),
+        F.when(n_true == 0, F.lit(0.0))
+        .otherwise(n_hit.cast("double") / n_true.cast("double"))
+        .alias("recall"),
+    )
