@@ -893,6 +893,59 @@ def _enforce_constraints(
         )
 
 
+def _generation_exprs(schema: T.StructType) -> dict[str, str]:
+    """``{column: SQL expr}`` for fields carrying the protocol's
+    ``delta.generationExpression`` metadata (PROTOCOL.md "Generated
+    Columns" / writer feature ``generatedColumns``)."""
+    out: dict[str, str] = {}
+    for f in schema.fields:
+        md = f.metadata or {}
+        if "delta.generationExpression" in md:
+            out[f.name] = md["delta.generationExpression"]
+    return out
+
+
+def _apply_generated(df: DataFrame, gen: dict[str, str]) -> DataFrame:
+    """The protocol's writer requirement for generated columns: ABSENT
+    columns are computed from their expression; PROVIDED columns must
+    equal it (null-safe) — a mismatch aborts before anything commits.
+    One combined distributed probe for all validations."""
+    if not gen:
+        return df
+    for c, expr in gen.items():
+        if c not in df.columns:
+            df = df.withColumn(c, F.expr(expr))
+    viol = F.lit(False)
+    labels = []
+    for c, expr in sorted(gen.items()):
+        viol = viol | ~F.col(c).eqNullSafe(F.expr(expr))
+        labels.append(f"{c} <- {expr}")
+    bad = df.filter(viol).head(1)
+    if bad:
+        raise ValueError(
+            "delta generated-column mismatch — write aborted; "
+            f"generation: [{'; '.join(labels)}]; first violating row: "
+            f"{bad[0]}"
+        )
+    return df
+
+
+def _inject_generation_metadata(
+    df: DataFrame, gen: dict[str, str]
+) -> DataFrame:
+    """Stamp ``delta.generationExpression`` into the frame's schema
+    field metadata so ``schemaString`` records it."""
+    cols = []
+    for f in df.schema.fields:
+        if f.name in gen:
+            md = dict(f.metadata or {})
+            md["delta.generationExpression"] = gen[f.name]
+            cols.append(F.col(f.name).alias(f.name, metadata=md))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
 def write_delta_lite(
     df: DataFrame,
     table_path: str,
@@ -903,6 +956,7 @@ def write_delta_lite(
     merge_schema: bool = False,
     merge_key: str | None = None,
     properties: dict[str, str] | None = None,
+    generated: dict[str, str] | None = None,
 ) -> None:
     """Engine-free Delta write: parquet data files + one JSON commit.
 
@@ -976,6 +1030,27 @@ def write_delta_lite(
         # the new metaData action in the same commit replaces the old.
         # merge_schema widens instead (Delta's mergeSchema semantics).
         table_schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        # generated columns (writer feature): appends compute absent
+        # generated columns and validate provided ones against the
+        # TABLE's recorded expressions; overwrite re-records them
+        # (explicit ``generated`` wins, else inherited for columns the
+        # new frame still has)
+        table_gen = _generation_exprs(table_schema)
+        if mode == "overwrite":
+            eff_gen = dict(generated or {}) or {
+                c: e for c, e in table_gen.items() if c in df.columns
+            }
+        else:
+            if generated and dict(generated) != table_gen:
+                raise ValueError(
+                    f"generated={generated} disagrees with the table's "
+                    f"recorded generation expressions {table_gen}; ALTER "
+                    "is not supported — recreate via mode='overwrite'"
+                )
+            eff_gen = table_gen
+        if eff_gen:
+            df = _apply_generated(df, eff_gen)
+            df = _inject_generation_metadata(df, eff_gen)
         merged_schema: T.StructType | None = None
         # type equality is on simpleString: nested fields of a
         # column-mapped table carry delta.columnMapping metadata the
@@ -1019,6 +1094,9 @@ def write_delta_lite(
     else:
         part_cols = list(partition_by or [])
         merged_schema = None
+        if generated:
+            df = _apply_generated(df, dict(generated))
+            df = _inject_generation_metadata(df, dict(generated))
 
     if exists:
         _enforce_constraints(
@@ -1152,10 +1230,15 @@ def write_delta_lite(
     now_ms = int(time.time() * 1000)
     actions: list[dict] = []
     if not exists:
-        # CHECK constraints are a writer-version-3 feature
-        writer_v = 3 if any(
+        # CHECK constraints are a writer-version-3 feature; generated
+        # columns a writer-version-4 one
+        writer_v = 2
+        if any(
             k.startswith("delta.constraints.") for k in (properties or {})
-        ) else 2
+        ):
+            writer_v = 3
+        if generated:
+            writer_v = 4
         actions.append(
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": writer_v}}
         )
@@ -2457,6 +2540,9 @@ def _upsert_delta_lite(
     adds, meta = _replay(spark, table_path)
     part_cols = meta.get("partitionColumns") or []
     table_schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    # generated columns: MERGE sources must satisfy the recorded
+    # expressions too (absent ones are computed before the shape check)
+    df = _apply_generated(df, _generation_exprs(table_schema))
     if [(f.name, f.dataType) for f in df.schema.fields] != [
         (f.name, f.dataType) for f in table_schema.fields
     ]:

@@ -400,6 +400,17 @@ class DeltaSink:
             for k, v in self.uri.params.items():
                 if k.startswith("check."):
                     props[f"delta.constraints.{k[len('check.'):]}"] = v
+            # generated columns: ?generated=col:expr;col2:expr at
+            # creation/overwrite (exprs URL-encoded); appends compute/
+            # validate against the table's recorded expressions
+            gen_raw = self.uri.params.get("generated")
+            gen = None
+            if gen_raw:
+                gen = {}
+                for seg in gen_raw.split(";"):
+                    if seg:
+                        c, _, e = seg.partition(":")
+                        gen[c.strip()] = e
             write_delta_lite(
                 df, self.uri.path, mode=mode, partition_by=parts or None,
                 merge_schema=self.uri.params.get("mergeSchema", "").lower()
@@ -408,6 +419,7 @@ class DeltaSink:
                 # insert-new), same URI shape as hudi's upsert
                 merge_key=self.uri.params.get("merge-key"),
                 properties=props or None,
+                generated=gen,
             )
             return True
         if df.isStreaming:

@@ -2304,3 +2304,97 @@ def test_nested_column_mapped_writes_and_row_ops(spark, tmp_path):
            for r in read_delta_lite(spark, table).collect()}
     assert got == {2: ("MUC", 80331), 3: ("HAM", 20095),
                    9: ("cgn", 50667)}
+
+
+# --- generated columns (writer feature, PROTOCOL.md "Generated Columns") ----
+
+
+def test_generated_columns_create_append_validate(spark, tmp_path):
+    """CREATE with a generation expression: the absent column is
+    computed, the expression lands in schema metadata, the protocol
+    bumps to writer v4. Appends compute absent / validate provided;
+    a mismatching provided value aborts before commit."""
+    import json
+
+    from spark_etl_cli_spark.sources.delta_lite import (
+        read_delta_lite,
+        write_delta_lite,
+    )
+
+    table = str(tmp_path / "gen")
+    df = spark.createDataFrame(
+        [(1, "2024-03-01 10:00:00"), (2, "2024-03-02 11:30:00")],
+        "id long, ts string",
+    )
+    write_delta_lite(
+        df, table, generated={"day": "CAST(substr(ts, 1, 10) AS DATE)"}
+    )
+    got = {
+        (r.id, str(r.day))
+        for r in read_delta_lite(spark, table).collect()
+    }
+    assert got == {(1, "2024-03-01"), (2, "2024-03-02")}
+    # expression recorded in schemaString; protocol is writer v4
+    log = sorted(
+        __import__("glob").glob(f"{table}/_delta_log/*.json")
+    )[0]
+    actions = [json.loads(line) for line in open(log)]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto["minWriterVersion"] == 4
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    fields = {
+        f["name"]: f for f in json.loads(meta["schemaString"])["fields"]
+    }
+    assert (
+        fields["day"]["metadata"]["delta.generationExpression"]
+        == "CAST(substr(ts, 1, 10) AS DATE)"
+    )
+
+    # append WITHOUT the generated column: computed
+    write_delta_lite(
+        spark.createDataFrame([(3, "2024-03-03 09:00:00")],
+                              "id long, ts string"),
+        table, mode="append",
+    )
+    assert (str((read_delta_lite(spark, table)
+                 .filter("id = 3").collect())[0].day)
+            == "2024-03-03")
+    # append WITH a correct provided value: accepted
+    ok = spark.createDataFrame(
+        [(4, "2024-03-04 08:00:00")], "id long, ts string"
+    ).selectExpr("id", "ts", "CAST(substr(ts, 1, 10) AS DATE) AS day")
+    write_delta_lite(ok, table, mode="append")
+    # append WITH a wrong provided value: loud abort
+    bad = spark.createDataFrame(
+        [(5, "2024-03-05 08:00:00")], "id long, ts string"
+    ).selectExpr("id", "ts", "CAST('1999-01-01' AS DATE) AS day")
+    with pytest.raises(ValueError, match="generated-column mismatch"):
+        write_delta_lite(bad, table, mode="append")
+    assert read_delta_lite(spark, table).count() == 4
+
+
+def test_generated_columns_upsert_and_uri(spark, tmp_path):
+    from spark_etl_cli_spark.pipeline import run_pipeline
+    from spark_etl_cli_spark.sources.delta_lite import (
+        read_delta_lite,
+        write_delta_lite,
+    )
+
+    table = str(tmp_path / "gen_uri")
+    run_pipeline(
+        spark,
+        sources=["v+values://?header=id:long,amount:long&values=1,250;2,90"],
+        sinks=[
+            f"v+delta://{table}?generated=tier:CASE WHEN amount >= 100 "
+            "THEN 'big' ELSE 'small' END"
+        ],
+    )
+    got = {(r.id, r.tier) for r in read_delta_lite(spark, table).collect()}
+    assert got == {(1, "big"), (2, "small")}
+    # upsert computes the generated column for the source rows too
+    write_delta_lite(
+        spark.createDataFrame([(2, 500)], "id long, amount long"),
+        table, mode="upsert", merge_key="id",
+    )
+    got = {(r.id, r.tier) for r in read_delta_lite(spark, table).collect()}
+    assert got == {(1, "big"), (2, "big")}
