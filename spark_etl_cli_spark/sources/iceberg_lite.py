@@ -1279,6 +1279,38 @@ def _manifest_schema_for(
     return schema
 
 
+def _sort_order_meta(
+    prior: dict | None, sort_by: list[str] | None, field_id_of: dict
+) -> dict:
+    """``sort-orders`` + ``default-sort-order-id`` for a commit: prior
+    orders carry over; ``sort_by`` records (or reuses) an identity
+    asc/nulls-first order and makes it the default (spec "Sort
+    Orders")."""
+    orders = [{"order-id": 0, "fields": []}]
+    default_id = 0
+    if prior and prior.get("sort-orders"):
+        orders = list(prior["sort-orders"])
+        default_id = int(prior.get("default-sort-order-id", 0))
+    if sort_by:
+        fields = [
+            {
+                "transform": "identity",
+                "source-id": field_id_of[c],
+                "direction": "asc",
+                "null-order": "nulls-first",
+            }
+            for c in sort_by
+        ]
+        match = next(
+            (o["order-id"] for o in orders if o["fields"] == fields), None
+        )
+        if match is None:
+            match = max(o["order-id"] for o in orders) + 1
+            orders.append({"order-id": match, "fields": fields})
+        default_id = match
+    return {"sort-orders": orders, "default-sort-order-id": default_id}
+
+
 def write_iceberg_lite(
     df: DataFrame,
     table_path: str,
@@ -1287,6 +1319,7 @@ def write_iceberg_lite(
     merge_schema: bool = False,
     format_version: int | None = None,
     branch: str | None = None,
+    sort_by: list[str] | None = None,
 ) -> int:
     """Commit ``df`` to an Iceberg table; returns the new snapshot id.
 
@@ -1454,6 +1487,15 @@ def write_iceberg_lite(
         _part_avro_type(_dt)  # validate up front
 
     # 1. data files — one distributed parquet write into a fresh subdir
+    if sort_by:
+        # spec "Sort Orders": cluster rows inside every written file so
+        # min/max column stats become selective (the same locality win
+        # zorder gives delta). sortWithinPartitions = no extra shuffle;
+        # DataFrameWriter preserves task row order per partition file.
+        missing = [c for c in sort_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"sort_by columns not in frame: {missing}")
+        df = df.sortWithinPartitions(*sort_by)
     commit_uuid = _uuid.uuid4().hex
     data_dir = os.path.join(table_path, "data", commit_uuid)
     if tr_spec:
@@ -1747,8 +1789,7 @@ def write_iceberg_lite(
         # 1000, so "highest assigned" is 999
         "last-partition-id": 999 + len(spec_fields),
         **spec_history,
-        "sort-orders": [{"order-id": 0, "fields": []}],
-        "default-sort-order-id": 0,
+        **_sort_order_meta(prior, sort_by, field_id_of),
         "snapshots": snapshots,
     }
     if fv == 3:

@@ -1035,6 +1035,12 @@ class IcebergSink:
             # ?branch=<name>: stage onto a named branch (WAP) — main
             # readers see nothing until iceberg-publish://
             branch=self.uri.params.get("branch"),
+            # ?sortBy=col[,col]: cluster rows in-file + record the
+            # spec's sort order (stats-selectivity, like delta ZORDER)
+            sort_by=[
+                c for c in self.uri.params.get("sortBy", "").split(",") if c
+            ]
+            or None,
         )
         return True
 

@@ -149,3 +149,44 @@ def test_rollback_via_uri(spark, tmp_path):
         sinks=["r+console://"],
     )
     assert _ids(read_iceberg_lite(spark, table)) == [1]
+
+
+def test_sorted_write_records_order_and_clusters_rows(spark, tmp_path):
+    """?sortBy= writes in-file-sorted data and records the spec's sort
+    order (identity asc, nulls-first) as the default; unsorted appends
+    keep the recorded orders."""
+    import glob
+
+    from spark_etl_cli_spark.pipeline import run_pipeline
+
+    table = str(tmp_path / "sorted")
+    df = spark.createDataFrame(
+        [(i * 37 % 100, f"v{i}") for i in range(100)], "k long, v string"
+    ).repartition(2)
+    write_iceberg_lite(df, table, sort_by=["k"])
+    meta = _load_metadata(table)
+    assert meta["default-sort-order-id"] == 1
+    order = next(
+        o for o in meta["sort-orders"] if o["order-id"] == 1
+    )
+    assert [f["direction"] for f in order["fields"]] == ["asc"]
+    assert [f["transform"] for f in order["fields"]] == ["identity"]
+    # every data file is internally sorted on k
+    for p in glob.glob(f"{table}/data/**/*.parquet", recursive=True):
+        ks = [r.k for r in spark.read.parquet(p).collect()]
+        assert ks == sorted(ks), p
+    # an unsorted append keeps the recorded orders (and the default)
+    write_iceberg_lite(
+        spark.createDataFrame([(1, "x")], "k long, v string"), table
+    )
+    meta = _load_metadata(table)
+    assert meta["default-sort-order-id"] == 1
+    assert len(meta["sort-orders"]) == 2
+    # URI surface
+    t2 = str(tmp_path / "sorted_uri")
+    run_pipeline(
+        spark,
+        sources=["s+values://?header=k:long&values=3;1;2"],
+        sinks=[f"s+iceberg://{t2}?sortBy=k"],
+    )
+    assert _load_metadata(t2)["default-sort-order-id"] == 1
