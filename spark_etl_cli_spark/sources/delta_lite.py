@@ -946,6 +946,80 @@ def _inject_generation_metadata(
     return df.select(*cols)
 
 
+def _identity_specs(schema: T.StructType) -> dict[str, dict]:
+    """``{col: {start, step, hwm}}`` for fields carrying the protocol's
+    ``delta.identity.*`` metadata (PROTOCOL.md "Identity Columns")."""
+    out: dict[str, dict] = {}
+    for f in schema.fields:
+        md = f.metadata or {}
+        if "delta.identity.start" in md:
+            out[f.name] = {
+                "start": int(md["delta.identity.start"]),
+                "step": int(md["delta.identity.step"]),
+                "hwm": (
+                    int(md["delta.identity.highWaterMark"])
+                    if "delta.identity.highWaterMark" in md
+                    else None
+                ),
+            }
+    return out
+
+
+def _assign_identity(
+    df: DataFrame, specs: dict[str, dict]
+) -> tuple[DataFrame, dict[str, int | None]]:
+    """Generate identity values for the (absent) columns in ``specs``:
+    ``base + monotonically_increasing_id() * step`` — unique, step-
+    aligned (≡ start mod step), GAPS ALLOWED (exactly the protocol's
+    contract; density would need a global ordering pass, see
+    operators/ids.py). The frame is localCheckpoint-pinned so the
+    high-water-mark aggregation and the data write see the SAME
+    values (mono ids are plan-dependent otherwise). Returns the new
+    high-water marks (None for an empty batch)."""
+    for c, sp in specs.items():
+        base = (
+            sp["hwm"] + sp["step"]
+            if sp["hwm"] is not None
+            else sp["start"]
+        )
+        df = df.withColumn(
+            c,
+            (
+                F.lit(base)
+                + F.monotonically_increasing_id() * F.lit(sp["step"])
+            ).cast("long"),
+        )
+    df = df.localCheckpoint()
+    hwms = df.agg(
+        *[F.max(c).alias(c) for c in specs]
+    ).first()
+    return df, {c: hwms[c] for c in specs}
+
+
+def _inject_identity_metadata(
+    schema: T.StructType, specs: dict[str, dict], hwms: dict[str, int | None]
+) -> T.StructType:
+    """Schema with ``delta.identity.*`` metadata (re)stamped, high-water
+    marks updated where a batch produced values."""
+    fields = []
+    for f in schema.fields:
+        if f.name in specs:
+            sp = specs[f.name]
+            md = dict(f.metadata or {})
+            md["delta.identity.start"] = sp["start"]
+            md["delta.identity.step"] = sp["step"]
+            md["delta.identity.allowExplicitInsert"] = False
+            new_hwm = hwms.get(f.name)
+            if new_hwm is None:
+                new_hwm = sp.get("hwm")
+            if new_hwm is not None:
+                md["delta.identity.highWaterMark"] = int(new_hwm)
+            fields.append(T.StructField(f.name, f.dataType, f.nullable, md))
+        else:
+            fields.append(f)
+    return T.StructType(fields)
+
+
 def write_delta_lite(
     df: DataFrame,
     table_path: str,
@@ -957,6 +1031,7 @@ def write_delta_lite(
     merge_key: str | None = None,
     properties: dict[str, str] | None = None,
     generated: dict[str, str] | None = None,
+    identity: dict[str, tuple[int, int]] | None = None,
 ) -> None:
     """Engine-free Delta write: parquet data files + one JSON commit.
 
@@ -1051,6 +1126,44 @@ def write_delta_lite(
         if eff_gen:
             df = _apply_generated(df, eff_gen)
             df = _inject_generation_metadata(df, eff_gen)
+        # identity columns (writer feature): values are ALWAYS engine-
+        # assigned from the recorded high-water mark
+        # (allowExplicitInsert=false); the same commit's metaData
+        # action records the advanced mark
+        if identity:
+            raise ValueError(
+                "identity columns are declared at table CREATION; an "
+                "existing table uses its recorded delta.identity specs"
+            )
+        table_idy = _identity_specs(table_schema)
+        idy_hwms: dict[str, int | None] = {}
+        if table_idy:
+            if mode == "overwrite":
+                raise NotImplementedError(
+                    "overwrite of a table with identity columns would "
+                    "reset the high-water mark; drop and recreate the "
+                    "table instead"
+                )
+            if _physical_schema(table_schema)[1]:
+                raise NotImplementedError(
+                    "identity columns on column-mapped tables need "
+                    "delta-spark"
+                )
+            provided = [c for c in table_idy if c in df.columns]
+            if provided:
+                raise ValueError(
+                    f"identity columns {provided} are engine-assigned "
+                    "(allowExplicitInsert=false); drop them from the "
+                    "incoming frame"
+                )
+            df, idy_hwms = _assign_identity(df, table_idy)
+            # withColumn appended the identity column last; the append
+            # shape check (and the data files) follow table order
+            tbl_names = [f.name for f in table_schema.fields]
+            df = df.select(
+                *[n for n in tbl_names if n in df.columns],
+                *[c for c in df.columns if c not in set(tbl_names)],
+            )
         merged_schema: T.StructType | None = None
         # type equality is on simpleString: nested fields of a
         # column-mapped table carry delta.columnMapping metadata the
@@ -1089,6 +1202,11 @@ def write_delta_lite(
                 "mode='overwrite' to replace the table, or "
                 "merge_schema=True (?mergeSchema=true) to widen it"
             )
+        if table_idy and any(v is not None for v in idy_hwms.values()):
+            # advance the high-water mark in this commit's metaData
+            merged_schema = _inject_identity_metadata(
+                merged_schema or table_schema, table_idy, idy_hwms
+            )
         if mode == "overwrite":
             removes = [a["path"] for a in active]
     else:
@@ -1097,6 +1215,22 @@ def write_delta_lite(
         if generated:
             df = _apply_generated(df, dict(generated))
             df = _inject_generation_metadata(df, dict(generated))
+        if identity:
+            specs0 = {
+                c: {"start": int(s), "step": int(st), "hwm": None}
+                for c, (s, st) in identity.items()
+            }
+            bad_step = [c for c, sp in specs0.items() if sp["step"] == 0]
+            if bad_step:
+                raise ValueError(f"identity step must be nonzero: {bad_step}")
+            provided0 = [c for c in specs0 if c in df.columns]
+            if provided0:
+                raise ValueError(
+                    f"identity columns {provided0} are engine-assigned; "
+                    "drop them from the incoming frame"
+                )
+            df, hwms0 = _assign_identity(df, specs0)
+            create_idy = (specs0, hwms0)
 
     if exists:
         _enforce_constraints(
@@ -1231,7 +1365,7 @@ def write_delta_lite(
     actions: list[dict] = []
     if not exists:
         # CHECK constraints are a writer-version-3 feature; generated
-        # columns a writer-version-4 one
+        # columns a writer-version-4 one; identity columns writer v6
         writer_v = 2
         if any(
             k.startswith("delta.constraints.") for k in (properties or {})
@@ -1239,6 +1373,8 @@ def write_delta_lite(
             writer_v = 3
         if generated:
             writer_v = 4
+        if identity:
+            writer_v = 6
         actions.append(
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": writer_v}}
         )
@@ -1247,7 +1383,13 @@ def write_delta_lite(
                 "metaData": {
                     "id": str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": df.schema.json(),
+                    "schemaString": (
+                        _inject_identity_metadata(
+                            df.schema, create_idy[0], create_idy[1]
+                        ).json()
+                        if identity
+                        else df.schema.json()
+                    ),
                     "partitionColumns": part_cols,
                     # table properties (e.g. delta.enableChangeDataFeed)
                     # land in the protocol's configuration map

@@ -411,6 +411,16 @@ class DeltaSink:
                     if seg:
                         c, _, e = seg.partition(":")
                         gen[c.strip()] = e
+            # identity columns: ?identity=col:start:step[;...] at
+            # creation; appends auto-assign from the high-water mark
+            idy_raw = self.uri.params.get("identity")
+            idy = None
+            if idy_raw:
+                idy = {}
+                for seg in idy_raw.split(";"):
+                    if seg:
+                        c, start, step = (seg.split(":") + ["1"])[:3]
+                        idy[c.strip()] = (int(start or 1), int(step or 1))
             write_delta_lite(
                 df, self.uri.path, mode=mode, partition_by=parts or None,
                 merge_schema=self.uri.params.get("mergeSchema", "").lower()
@@ -420,6 +430,7 @@ class DeltaSink:
                 merge_key=self.uri.params.get("merge-key"),
                 properties=props or None,
                 generated=gen,
+                identity=idy,
             )
             return True
         if df.isStreaming:

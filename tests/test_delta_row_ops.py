@@ -2398,3 +2398,88 @@ def test_generated_columns_upsert_and_uri(spark, tmp_path):
     )
     got = {(r.id, r.tier) for r in read_delta_lite(spark, table).collect()}
     assert got == {(1, "big"), (2, "big")}
+
+
+# --- identity columns (writer feature, PROTOCOL.md "Identity Columns") ------
+
+
+def test_identity_columns_assign_and_advance_hwm(spark, tmp_path):
+    """CREATE with an identity spec: values are engine-assigned
+    (start + k·step, gaps allowed), the high-water mark advances in
+    each commit's metaData, appends never collide with earlier ids,
+    and providing the column explicitly is refused."""
+    import json
+
+    from spark_etl_cli_spark.sources.delta_lite import (
+        _identity_specs,
+        read_delta_lite,
+        write_delta_lite,
+    )
+    from pyspark.sql import types as T
+
+    table = str(tmp_path / "idy")
+    write_delta_lite(
+        spark.createDataFrame([("a",), ("b",), ("c",)], "v string"),
+        table, identity={"id": (100, 10)},
+    )
+    first = read_delta_lite(spark, table).collect()
+    ids1 = sorted(r.id for r in first)
+    assert len(set(ids1)) == 3
+    assert all(i >= 100 and (i - 100) % 10 == 0 for i in ids1)
+
+    # protocol is writer v6; metadata records spec + high-water mark
+    log0 = sorted(__import__("glob").glob(f"{table}/_delta_log/*.json"))[0]
+    acts = [json.loads(line) for line in open(log0)]
+    assert next(a["protocol"] for a in acts if "protocol" in a)[
+        "minWriterVersion"
+    ] == 6
+    schema = T.StructType.fromJson(json.loads(
+        next(a["metaData"] for a in acts if "metaData" in a)["schemaString"]
+    ))
+    spec = _identity_specs(schema)["id"]
+    assert spec["start"] == 100 and spec["step"] == 10
+    assert spec["hwm"] == max(ids1)
+
+    # append: new ids strictly beyond the recorded mark
+    write_delta_lite(
+        spark.createDataFrame([("d",), ("e",)], "v string"),
+        table, mode="append",
+    )
+    allrows = read_delta_lite(spark, table).collect()
+    ids2 = sorted(r.id for r in allrows)
+    assert len(ids2) == 5 and len(set(ids2)) == 5
+    assert min(set(ids2) - set(ids1)) > max(ids1)
+    assert all((i - 100) % 10 == 0 for i in ids2)
+
+    # explicit values are refused (allowExplicitInsert = false)
+    with pytest.raises(ValueError, match="engine-assigned"):
+        write_delta_lite(
+            spark.createDataFrame([(999, "x")], "id long, v string"),
+            table, mode="append",
+        )
+    # overwrite would reset the mark: loud fence
+    with pytest.raises(NotImplementedError, match="high-water mark"):
+        write_delta_lite(
+            spark.createDataFrame([("z",)], "v string"),
+            table, mode="overwrite",
+        )
+
+
+def test_identity_columns_via_uri(spark, tmp_path):
+    from spark_etl_cli_spark.pipeline import run_pipeline
+    from spark_etl_cli_spark.sources.delta_lite import read_delta_lite
+
+    table = str(tmp_path / "idy_uri")
+    run_pipeline(
+        spark,
+        sources=["v+values://?header=v&values=a;b"],
+        sinks=[f"v+delta://{table}?identity=doc_id:1:1"],
+    )
+    run_pipeline(
+        spark,
+        sources=["v+values://?header=v&values=c"],
+        sinks=[f"v+delta://{table}?mode=append"],
+    )
+    rows = read_delta_lite(spark, table).collect()
+    assert len({r.doc_id for r in rows}) == 3
+    assert all(r.doc_id >= 1 for r in rows)
