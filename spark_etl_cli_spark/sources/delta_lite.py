@@ -98,6 +98,11 @@ _ADD_SCHEMA = T.StructType(
         T.StructField("size", T.LongType()),
         T.StructField("modificationTime", T.LongType()),
         T.StructField("deletionVector", _DV_STRUCT),
+        # row tracking fields must survive the checkpoint projection
+        # or _row_id reads fence after a checkpoint
+        T.StructField("stats", T.StringType()),
+        T.StructField("baseRowId", T.LongType()),
+        T.StructField("defaultRowCommitVersion", T.LongType()),
     ]
 )
 
@@ -608,6 +613,7 @@ def read_delta_lite(
     version_as_of: int | None = None,
     where: str | None = None,
     timestamp_as_of: int | str | None = None,
+    with_row_id: bool = False,
 ) -> DataFrame:
     """Batch read of a Delta table snapshot via log replay; pass
     ``version_as_of`` for time travel to an earlier version, or
@@ -619,6 +625,13 @@ def read_delta_lite(
     (no data file of a non-matching partition is ever opened); it is
     additionally applied as a row filter, so mixed/non-partition
     predicates stay correct (they just don't prune files).
+
+    ``with_row_id`` appends the protocol's derived ``_row_id`` column
+    (row tracking: add.baseRowId + position in file — the delta twin
+    of iceberg v3 row lineage). DV-deleted rows keep survivors' ids
+    stable (positions don't shift). Files without a baseRowId
+    (pre-feature, or rewritten by the lite row ops, which don't
+    materialize row ids) fence loudly.
     """
     if timestamp_as_of is not None:
         if version_as_of is not None:
@@ -656,7 +669,24 @@ def read_delta_lite(
     )
     if not adds:
         empty = spark.createDataFrame([], full_schema)
+        if with_row_id:
+            empty = empty.withColumn("_row_id", F.lit(None).cast("long"))
         return empty.filter(where) if where else empty
+    base_of: dict[str, int] = {}
+    if with_row_id:
+        missing = [a["path"] for a in adds if a.get("baseRowId") is None]
+        if missing:
+            raise NotImplementedError(
+                f"with_row_id: {len(missing)} files have no baseRowId "
+                f"(pre-feature or lite-rewritten): {missing[:3]} — a "
+                "real engine materializes row ids into rewritten files"
+            )
+        # keyed by FILENAME (part-<uuid> — unique per table): the
+        # map literal stays expression-sized under the reader's
+        # _max_files cap; an engine-scale reader would join instead
+        base_of = {
+            os.path.basename(a["path"]): int(a["baseRowId"]) for a in adds
+        }
 
     # group files by partition tuple; restore partition columns as typed
     # literals (they are NOT stored in the data files). Each entry keeps
@@ -698,15 +728,40 @@ def read_delta_lite(
         clean = [p for p, dv in entries if not dv]
         if clean:
             df = spark.read.schema(data_schema).parquet(*clean)
-            parts.append(df.select(*logical_cols()))
+            if with_row_id:
+                mapping = F.create_map(
+                    *[
+                        x
+                        for k, v in base_of.items()
+                        for x in (F.lit(k), F.lit(v))
+                    ]
+                )
+                rid = (
+                    mapping[
+                        F.element_at(
+                            F.split(F.col("_metadata.file_path"), "/"), -1
+                        )
+                    ]
+                    + F.col("_metadata.row_index")
+                ).cast("long")
+                parts.append(
+                    df.select(*logical_cols(), rid.alias("_row_id"))
+                )
+            else:
+                parts.append(df.select(*logical_cols()))
         for path, dv in entries:
             if not dv:
                 continue
-            parts.append(
-                _apply_deletion_vector(
-                    spark, table_path, path, dv, data_schema
-                ).select(*logical_cols())
+            dv_df = _apply_deletion_vector(
+                spark, table_path, path, dv, data_schema,
+                row_id_base=(
+                    base_of[os.path.basename(path)] if with_row_id else None
+                ),
             )
+            sel = list(logical_cols()) + (
+                ["_row_id"] if with_row_id else []
+            )
+            parts.append(dv_df.select(*sel))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -722,6 +777,7 @@ def _apply_deletion_vector(
     file_path: str,
     dv: dict,
     data_schema: T.StructType,
+    row_id_base: int | None = None,
 ):
     """One data file minus its deleted rows.
 
@@ -746,6 +802,11 @@ def _apply_deletion_vector(
             ((int(i),) for i in deleted), "__ridx bigint"
         )
         kept = df.join(F.broadcast(del_df), "__ridx", "left_anti")
+    if row_id_base is not None:
+        # row tracking: survivors keep their positional ids
+        kept = kept.withColumn(
+            "_row_id", (F.lit(row_id_base) + F.col("__ridx")).cast("long")
+        )
     return kept.drop("__ridx")
 
 
@@ -795,9 +856,10 @@ def _collect_written_files(
             # check (no data read).
             import pyarrow.parquet as _pq
 
-            if _pq.ParquetFile(
+            num_rows = _pq.ParquetFile(
                 os.path.join(root, fname)
-            ).metadata.num_rows == 0:
+            ).metadata.num_rows
+            if num_rows == 0:
                 continue
             new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
             rel_path = os.path.join(*segs, new_name) if segs else new_name
@@ -816,6 +878,10 @@ def _collect_written_files(
                     "size": os.path.getsize(dst),
                     "modificationTime": int(os.path.getmtime(dst) * 1000),
                     "dataChange": True,
+                    # per-file row count from the footer already read
+                    # for the zero-row check (row tracking needs it;
+                    # engines record it the same way)
+                    "stats": json.dumps({"numRecords": num_rows}),
                 }
             )
     return adds
@@ -850,6 +916,66 @@ def _last_txn_version(log_dir: str, app_id: str) -> int:
         if found >= 0:
             return found
     return -1
+
+
+def _row_tracking_enabled(configuration: dict | None) -> bool:
+    return (configuration or {}).get(
+        "delta.enableRowTracking", ""
+    ).lower() == "true"
+
+
+def _row_id_hwm(log_dir: str) -> int:
+    """Current rowIdHighWaterMark from the newest ``domainMetadata``
+    action for the ``delta.rowTracking`` domain (PROTOCOL.md "Row
+    Tracking" / "Domain Metadata"); -1 when the table has never minted
+    a row id. Newest-first scan, same bounded pattern as
+    ``_last_txn_version`` (commit JSONs are never vacuumed here)."""
+    if not os.path.isdir(log_dir):
+        return -1
+    commits = sorted(
+        (f for f in os.listdir(log_dir)
+         if f.endswith(".json") and f[:20].isdigit()),
+        reverse=True,
+    )
+    for fname in commits:
+        found = None
+        with open(os.path.join(log_dir, fname)) as fh:
+            for line in fh:
+                if '"domainMetadata"' not in line:
+                    continue
+                dm = json.loads(line).get("domainMetadata") or {}
+                if dm.get("domain") == "delta.rowTracking" and not dm.get(
+                    "removed"
+                ):
+                    cfg = json.loads(dm.get("configuration") or "{}")
+                    found = int(cfg.get("rowIdHighWaterMark", -1))
+        if found is not None:
+            return found
+    return -1
+
+
+def _num_records(add: dict) -> int:
+    stats = add.get("stats")
+    if not stats:
+        raise ValueError(
+            f"row tracking needs per-file numRecords stats; add action "
+            f"for {add.get('path')!r} has none"
+        )
+    return int(json.loads(stats)["numRecords"])
+
+
+def _assign_base_row_ids(
+    adds: list[dict], hwm: int, commit_version: int
+) -> int:
+    """Stamp contiguous ``baseRowId`` blocks (file row i ⇒ baseRowId+i)
+    and ``defaultRowCommitVersion`` onto fresh add actions; returns the
+    advanced high-water mark. Deterministic path order."""
+    next_id = hwm + 1
+    for a in sorted(adds, key=lambda a: a["path"]):
+        a["baseRowId"] = next_id
+        a["defaultRowCommitVersion"] = commit_version
+        next_id += _num_records(a)
+    return next_id - 1
 
 
 def _enforce_constraints(
@@ -1361,11 +1487,28 @@ def write_delta_lite(
     finally:
         shutil.rmtree(tmp_dir, ignore_errors=True)
 
+    # row tracking (writer feature): every fresh file gets a contiguous
+    # baseRowId block and the commit advances the rowIdHighWaterMark
+    # domain metadata (PROTOCOL.md "Row Tracking")
+    rt_cfg = (meta.get("configuration") if exists and meta else properties) or {}
+    rt_on = _row_tracking_enabled(rt_cfg)
+    rt_hwm_new: int | None = None
+    if rt_on and adds:
+        # non-blind commits never retry onto another version, so the
+        # claimed version is the one computed here
+        rt_hwm_new = _assign_base_row_ids(
+            adds,
+            _row_id_hwm(log_dir) if exists else -1,
+            _next_version(log_dir) if exists else 0,
+        )
+
     now_ms = int(time.time() * 1000)
     actions: list[dict] = []
     if not exists:
         # CHECK constraints are a writer-version-3 feature; generated
-        # columns a writer-version-4 one; identity columns writer v6
+        # columns a writer-version-4 one; identity columns writer v6;
+        # row tracking needs the table-features protocol (writer v7,
+        # active features listed explicitly)
         writer_v = 2
         if any(
             k.startswith("delta.constraints.") for k in (properties or {})
@@ -1375,9 +1518,25 @@ def write_delta_lite(
             writer_v = 4
         if identity:
             writer_v = 6
-        actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": writer_v}}
-        )
+        proto: dict = {"minReaderVersion": 1, "minWriterVersion": writer_v}
+        if rt_on:
+            feats = ["domainMetadata", "rowTracking"]
+            if writer_v >= 3:
+                feats.append("checkConstraints")
+            if generated:
+                feats.append("generatedColumns")
+            if identity:
+                feats.append("identityColumns")
+            if (properties or {}).get(
+                "delta.enableChangeDataFeed", ""
+            ).lower() == "true":
+                feats.append("changeDataFeed")
+            proto = {
+                "minReaderVersion": 1,
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(feats),
+            }
+        actions.append({"protocol": proto})
         actions.append(
             {
                 "metaData": {
@@ -1454,6 +1613,18 @@ def write_delta_lite(
         )
     for add in adds:
         actions.append({"add": add})
+    if rt_hwm_new is not None:
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": "delta.rowTracking",
+                    "configuration": json.dumps(
+                        {"rowIdHighWaterMark": rt_hwm_new}
+                    ),
+                    "removed": False,
+                }
+            }
+        )
     if txn_app_id is not None:
         actions.append(
             {
@@ -1589,6 +1760,11 @@ def _checkpoint_schema(_: None = None) -> T.StructType:
             # checkpoint that drops the descriptor resurrects every
             # DV-deleted row for readers that resume from it
             T.StructField("deletionVector", _DV_STRUCT),
+            # row tracking: baseRowId + stats (numRecords) must survive
+            # checkpointing or _row_id reads fence after a checkpoint
+            T.StructField("stats", T.StringType()),
+            T.StructField("baseRowId", T.LongType()),
+            T.StructField("defaultRowCommitVersion", T.LongType()),
         ]
     )
     return T.StructType(
@@ -1771,6 +1947,11 @@ def write_checkpoint(spark: SparkSession, table_path: str) -> int:
                     "size": a.get("size"),
                     "modificationTime": a.get("modificationTime"),
                     "dataChange": False,
+                    "stats": a.get("stats"),
+                    "baseRowId": a.get("baseRowId"),
+                    "defaultRowCommitVersion": a.get(
+                        "defaultRowCommitVersion"
+                    ),
                     "deletionVector": (
                         {
                             k: dv.get(k)
@@ -2642,13 +2823,19 @@ def _readd_fields(add: dict) -> dict:
     size, mtime — dataChange=true because visible rows changed."""
     from urllib.parse import quote
 
-    return {
+    out = {
         "path": quote(add["path"], safe="/="),
         "partitionValues": add.get("partitionValues") or {},
         "size": add.get("size"),
         "modificationTime": add.get("modificationTime"),
         "dataChange": True,
     }
+    # row tracking: a DV change keeps the file's row ids (positions
+    # don't shift), so the re-add carries them forward verbatim
+    for k in ("stats", "baseRowId", "defaultRowCommitVersion"):
+        if add.get(k) is not None:
+            out[k] = add[k]
+    return out
 
 
 def _upsert_delta_lite(

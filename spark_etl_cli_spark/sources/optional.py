@@ -175,6 +175,9 @@ class DeltaSource:
                 where=self.uri.params.get("where"),
                 # time travel by commit time (epoch ms or ISO string)
                 timestamp_as_of=self.uri.params.get("timestampAsOf"),
+                # row tracking: ?with-row-id=true appends _row_id
+                with_row_id=self.uri.params.get("with-row-id", "")
+                .lower() == "true",
             )
         return FileSource(self.uri, "delta").read(spark)
 
@@ -395,6 +398,10 @@ class DeltaSink:
                 "enableChangeDataFeed", ""
             ).lower() in ("1", "true", "yes"):
                 props["delta.enableChangeDataFeed"] = "true"
+            if self.uri.params.get(
+                "enableRowTracking", ""
+            ).lower() in ("1", "true", "yes"):
+                props["delta.enableRowTracking"] = "true"
             # CHECK constraints: ?check.<name>=<expr> at creation;
             # every writer path enforces them before committing
             for k, v in self.uri.params.items():

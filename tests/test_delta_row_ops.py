@@ -2483,3 +2483,109 @@ def test_identity_columns_via_uri(spark, tmp_path):
     rows = read_delta_lite(spark, table).collect()
     assert len({r.doc_id for r in rows}) == 3
     assert all(r.doc_id >= 1 for r in rows)
+
+
+# --- row tracking (writer feature, PROTOCOL.md "Row Tracking") --------------
+
+
+def test_row_tracking_assigns_and_survives_checkpoint(spark, tmp_path):
+    """delta.enableRowTracking=true: fresh files get contiguous
+    baseRowId blocks, the rowIdHighWaterMark domain metadata advances
+    per commit, _row_id reads derive base+position, and both survive a
+    checkpoint."""
+    import glob
+    import json
+
+    from spark_etl_cli_spark.sources.delta_lite import (
+        _row_id_hwm,
+        read_delta_lite,
+        write_checkpoint,
+        write_delta_lite,
+    )
+
+    table = str(tmp_path / "rt")
+    write_delta_lite(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "id long, v string"
+        ).repartition(3),
+        table, properties={"delta.enableRowTracking": "true"},
+    )
+    got = read_delta_lite(spark, table, with_row_id=True)
+    assert sorted(r._row_id for r in got.collect()) == list(range(10))
+    assert _row_id_hwm(f"{table}/_delta_log") == 9
+
+    # protocol: table features with rowTracking + domainMetadata listed
+    log0 = sorted(glob.glob(f"{table}/_delta_log/*.json"))[0]
+    acts = [json.loads(line) for line in open(log0)]
+    proto = next(a["protocol"] for a in acts if "protocol" in a)
+    assert proto["minWriterVersion"] == 7
+    assert {"rowTracking", "domainMetadata"} <= set(proto["writerFeatures"])
+    dm = next(a["domainMetadata"] for a in acts if "domainMetadata" in a)
+    assert dm["domain"] == "delta.rowTracking"
+    assert json.loads(dm["configuration"])["rowIdHighWaterMark"] == 9
+
+    # appends continue beyond the mark; a checkpoint keeps everything
+    write_delta_lite(
+        spark.createDataFrame([(100, "x"), (101, "y")], "id long, v string"),
+        table, mode="append",
+    )
+    write_checkpoint(spark, table)
+    write_delta_lite(
+        spark.createDataFrame([(200, "z")], "id long, v string"),
+        table, mode="append",
+    )
+    ids = sorted(
+        r._row_id
+        for r in read_delta_lite(spark, table, with_row_id=True).collect()
+    )
+    assert ids == list(range(13))
+
+
+def test_row_tracking_dv_delete_keeps_ids_cow_fences(spark, tmp_path):
+    """A DV delete keeps survivors' row ids stable (positions don't
+    shift); a COW rewrite does NOT materialize row ids in this lite
+    writer, so _row_id reads fence loudly afterwards — never a silent
+    renumbering."""
+    from spark_etl_cli_spark.sources.delta_lite import (
+        delete_delta_lite,
+        read_delta_lite,
+        write_delta_lite,
+    )
+
+    table = str(tmp_path / "rt_dv")
+    write_delta_lite(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "id long, v string"
+        ).coalesce(1),
+        table, properties={"delta.enableRowTracking": "true"},
+    )
+    delete_delta_lite(spark, table, "id IN (3, 7)", deletion_vectors=True)
+    got = sorted(
+        (r.id, r._row_id)
+        for r in read_delta_lite(spark, table, with_row_id=True).collect()
+    )
+    assert got == [(i, i) for i in range(10) if i not in (3, 7)]
+
+    # a COW rewrite drops baseRowId for the rewritten file -> fence
+    delete_delta_lite(spark, table, "id = 9", deletion_vectors=False)
+    assert read_delta_lite(spark, table).count() == 7  # plain reads fine
+    with pytest.raises(NotImplementedError, match="baseRowId"):
+        read_delta_lite(spark, table, with_row_id=True).collect()
+
+
+def test_row_tracking_via_uri(spark, tmp_path):
+    from spark_etl_cli_spark.pipeline import run_pipeline
+
+    table = str(tmp_path / "rt_uri")
+    run_pipeline(
+        spark,
+        sources=["v+values://?header=id:long&values=1;2;3"],
+        sinks=[f"v+delta://{table}?enableRowTracking=true"],
+    )
+    run_pipeline(
+        spark,
+        sources=[f"r+delta://{table}?with-row-id=true"],
+        sinks=["r+memory://rt_back"],
+    )
+    rows = spark.table("rt_back").collect()
+    assert sorted(r._row_id for r in rows) == [0, 1, 2]
