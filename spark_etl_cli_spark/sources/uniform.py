@@ -626,6 +626,26 @@ def export_delta_as_iceberg(spark: SparkSession, table_path: str) -> int:
 
     adds, meta = _replay(spark, table_path)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    # row-tracked delta tables export as iceberg FORMAT V3 with row
+    # lineage: delta's add.baseRowId and iceberg's data-file
+    # first_row_id share the same model (per-file base + position in
+    # file), so the ids cross formats VERBATIM — _row_id on one side
+    # equals _row_id on the other
+    from spark_etl_cli_spark.sources.delta_lite import (
+        _num_records,
+        _row_tracking_enabled,
+    )
+
+    rt_export = (
+        bool(adds)
+        and _row_tracking_enabled(meta.get("configuration"))
+        and all(a.get("baseRowId") is not None for a in adds)
+    )
+    next_row_id = (
+        max(int(a["baseRowId"]) + _num_records(a) for a in adds)
+        if rt_export
+        else None
+    )
     _phys, mapped = _physical_schema(schema)
     part_cols = meta.get("partitionColumns") or []
     part_fields = [(c, schema[c].dataType) for c in part_cols]
@@ -809,6 +829,11 @@ def export_delta_as_iceberg(spark: SparkSession, table_path: str) -> int:
                     "record_count": n,
                     "file_size_in_bytes": a.get("size")
                     or os.path.getsize(p),
+                    **(
+                        {"first_row_id": int(a["baseRowId"])}
+                        if rt_export
+                        else {}
+                    ),
                 },
             }
         )
@@ -822,6 +847,13 @@ def export_delta_as_iceberg(spark: SparkSession, table_path: str) -> int:
     # driver-side but cardinality-bounded — the exact bound the delta
     # reader itself pays when applying a DV.
     dv_adds = [a for a in adds if a.get("deletionVector")]
+    if rt_export and dv_adds:
+        raise NotImplementedError(
+            "row-tracked delta table with live deletion vectors: an "
+            "iceberg v3 export must emit Puffin DVs (parquet position "
+            "deletes are v2-only) — OPTIMIZE the delta table to apply "
+            "its DVs first, then re-export"
+        )
     pos_del_file = None
     n_pos_deletes = 0
     if dv_adds:
@@ -855,16 +887,17 @@ def export_delta_as_iceberg(spark: SparkSession, table_path: str) -> int:
     manifest_path = os.path.join(
         meta_dir, f"manifest-uniform-{commit_uuid}.avro"
     )
+    fv_exp = 3 if rt_export else 2
     write_container(
         manifest_path,
-        _manifest_schema_for(part_fields),
+        _manifest_schema_for(part_fields, with_lineage=rt_export),
         iter(entries),
         extra_meta={
             "schema": json.dumps(iceberg_schema).encode(),
             "schema-id": b"0",
             "partition-spec": b"[]",
             "partition-spec-id": b"0",
-            "format-version": b"2",
+            "format-version": str(fv_exp).encode(),
             "content": b"data",
         },
     )
@@ -967,10 +1000,11 @@ def export_delta_as_iceberg(spark: SparkSession, table_path: str) -> int:
             # snapshot's manifest list carries only its own manifest
             "summary": {"operation": "overwrite", "uniform": "delta"},
             "schema-id": 0,
+            **({"first-row-id": 0} if rt_export else {}),
         }
     )
     new_meta = {
-        "format-version": 2,
+        "format-version": fv_exp,
         "table-uuid": (prior or {}).get(
             "table-uuid", str(_uuid.UUID(int=int(commit_uuid[:32], 16)))
         ),
@@ -994,6 +1028,7 @@ def export_delta_as_iceberg(spark: SparkSession, table_path: str) -> int:
             "schema.name-mapping.default": json.dumps(name_mapping)
         },
         "snapshots": snapshots,
+        **({"next-row-id": next_row_id} if rt_export else {}),
     }
     if prior and prior.get("refs"):
         new_meta["refs"] = prior["refs"]

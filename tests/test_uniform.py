@@ -525,3 +525,53 @@ def test_uniform_transformed_iceberg_exports_as_unpartitioned_delta(
     assert _snap(read_delta_lite(spark, table)) == _snap(
         read_iceberg_lite(spark, table)
     )
+
+
+def test_rowtracked_delta_exports_iceberg_v3_row_lineage(spark, tmp_path):
+    """delta row tracking ↔ iceberg v3 row lineage share one model
+    (per-file base id + position), so a row-tracked delta table
+    exports as iceberg FORMAT V3 and ``_row_id`` matches VERBATIM on
+    both sides; live DVs fence (v3 would need Puffin DV emission)."""
+    import pytest as _pytest
+
+    from spark_etl_cli_spark.sources.delta_lite import (
+        delete_delta_lite,
+        read_delta_lite,
+        write_delta_lite,
+    )
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        _load_metadata,
+        read_iceberg_lite,
+    )
+    from spark_etl_cli_spark.sources.uniform import export_delta_as_iceberg
+
+    t = str(tmp_path / "rt_uniform")
+    write_delta_lite(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "id long, v string"
+        ).repartition(3),
+        t, properties={"delta.enableRowTracking": "true"},
+    )
+    write_delta_lite(
+        spark.createDataFrame([(100, "x")], "id long, v string"),
+        t, mode="append",
+    )
+    export_delta_as_iceberg(spark, t)
+    meta = _load_metadata(t)
+    assert meta["format-version"] == 3
+    assert meta["next-row-id"] == 11
+    ice = sorted(
+        (r.id, r._row_id)
+        for r in read_iceberg_lite(spark, t, with_row_id=True).collect()
+    )
+    dl = sorted(
+        (r.id, r._row_id)
+        for r in read_delta_lite(spark, t, with_row_id=True).collect()
+    )
+    assert ice == dl and len(ice) == 11
+
+    # live DVs: v3 export fences loudly instead of writing v2-only
+    # parquet position deletes into a v3 table
+    delete_delta_lite(spark, t, "id = 4", deletion_vectors=True)
+    with _pytest.raises(NotImplementedError, match="Puffin"):
+        export_delta_as_iceberg(spark, t)
