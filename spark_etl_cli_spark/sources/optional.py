@@ -1011,7 +1011,12 @@ class IcebergSink:
                 )
             return stream_via_foreach_batch(
                 df,
-                lambda b: write_iceberg_lite(b, self.uri.path, mode="append"),
+                # ?branch= stages every micro-batch onto the branch
+                # (streaming WAP: audit the stage, then iceberg-publish)
+                lambda b: write_iceberg_lite(
+                    b, self.uri.path, mode="append",
+                    branch=self.uri.params.get("branch"),
+                ),
                 self.uri,
             )
         if mode == "upsert":

@@ -190,3 +190,29 @@ def test_sorted_write_records_order_and_clusters_rows(spark, tmp_path):
         sinks=[f"s+iceberg://{t2}?sortBy=k"],
     )
     assert _load_metadata(t2)["default-sort-order-id"] == 1
+
+
+def test_wap_streaming_sink_stages_on_branch(spark, tmp_path):
+    """A streaming iceberg sink with ?branch= stages every micro-batch
+    onto the branch; main stays untouched until publish."""
+    from spark_etl_cli_spark.pipeline import run_pipeline
+
+    table = str(tmp_path / "wap_stream")
+    write_iceberg_lite(_mk(spark, [(1, "a")]), table)
+    src_dir = str(tmp_path / "in")
+    spark.createDataFrame([(2, "b"), (3, "c")], "id long, v string").write.json(
+        src_dir
+    )
+    run_pipeline(
+        spark,
+        sources=[
+            f"s+json-stream://{src_dir}?schema=id long, v string"
+        ],
+        sinks=[
+            f"s+iceberg://{table}?branch=audit&trigger=availableNow"
+            f"&checkpointLocation={tmp_path}/cp"
+        ],
+    )
+    assert _ids(read_iceberg_lite(spark, table)) == [1]
+    fast_forward_iceberg_ref(table, "audit")
+    assert _ids(read_iceberg_lite(spark, table)) == [1, 2, 3]
