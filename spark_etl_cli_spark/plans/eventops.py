@@ -758,3 +758,66 @@ def q177_reactivation(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_reactivations"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+# --- q185: traffic concentration (pareto point) per event type --------------
+# How many of the most-active users does it take to cover 80% of each
+# event type's volume — the load-skew diagnostic behind partitioning
+# and rate-limit decisions. q179's top-p math on the BEHAVIORAL axis:
+# per-(type, user) counts (map-side combined), a per-type rank/cumsum
+# window over the per-user aggregate (bounded by |users|), integer
+# cross-multiplied 80% gate, one final min per type.
+@query(
+    "q185_user_pareto",
+    oracle="""
+    WITH uc AS (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, c,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY c DESC, user_id) AS rn,
+             SUM(c) OVER (
+               PARTITION BY event_type ORDER BY c DESC, user_id
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS total,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_users
+      FROM uc
+    )
+    SELECT event_type,
+           CAST(MIN(n_users) AS BIGINT) AS n_users,
+           CAST(MIN(rn) AS BIGINT) AS users_for_80pct,
+           CAST(MIN(total) AS BIGINT) AS total_events
+    FROM w
+    WHERE cum * 10 >= total * 8
+    GROUP BY event_type
+    """,
+)
+def q185_user_pareto(spark, sf_dir):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    uc = (
+        events(spark, sf_dir)
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    ordw = W.partitionBy("event_type").orderBy(F.col("c").desc(), "user_id")
+    allw = W.partitionBy("event_type")
+    w = uc.select(
+        "event_type",
+        F.row_number().over(ordw).alias("rn"),
+        F.sum("c").over(ordw.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+        F.sum("c").over(allw).alias("total"),
+        F.count(F.lit(1)).over(allw).alias("n_users"),
+    )
+    return (
+        w.filter(F.col("cum") * 10 >= F.col("total") * 8)
+        .groupBy("event_type")
+        .agg(
+            F.min("n_users").cast("bigint").alias("n_users"),
+            F.min("rn").cast("bigint").alias("users_for_80pct"),
+            F.min("total").cast("bigint").alias("total_events"),
+        )
+    )

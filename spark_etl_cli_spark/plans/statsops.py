@@ -767,3 +767,76 @@ def q183_ks_drift(spark, sf_dir):
             / (F.min("n_s") * (F.min("n_tot") - F.min("n_s"))).cast("double")
         ).alias("ks"),
     )
+
+
+# --- q187: corpus-balance chi-square (lang × source) --------------------
+# Is language independent of source, or do some feeds skew? The χ²
+# statistic over the lang×source contingency table via the
+# zero-cell-free identity χ² = n·(Σ o²⁄(r·c) − 1) — absent cells
+# contribute 0, so ONLY observed cells are enumerated (no grid
+# expansion, no scalar crossJoin: n = Σo inside the same final
+# aggregate). Each cell's o², r·c are exact BIGINTs; the single
+# correctly-rounded division is floored to micro-units before the
+# exact integer sum, so the statistic is bit-identical across engines
+# and row orders. Plan: one groupBy to |cells| rows, two broadcast
+# marginal joins, one 1-row aggregate.
+@query(
+    "q187_chi2_balance",
+    oracle="""
+    WITH obs AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY 1, 2
+    ),
+    r AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rt FROM obs GROUP BY 1),
+    c AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ct FROM obs GROUP BY 1),
+    cells AS (
+      SELECT obs.o,
+             CAST(floor(CAST(obs.o * obs.o AS DOUBLE) * 1000000
+                        / CAST(r.rt * c.ct AS DOUBLE)) AS BIGINT) AS term,
+             obs.lang, obs.source
+      FROM obs JOIN r USING (lang) JOIN c USING (source)
+    )
+    SELECT CAST(SUM(o) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST((COUNT(DISTINCT lang) - 1)
+                * (COUNT(DISTINCT source) - 1) AS BIGINT) AS dof,
+           CAST(SUM(o) * (SUM(term) - 1000000) AS BIGINT) AS chi2_micro
+    FROM cells
+    """,
+)
+def q187_chi2_balance(spark, sf_dir):
+    obs = (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    r = obs.groupBy("lang").agg(F.sum("o").cast("bigint").alias("rt"))
+    c = obs.groupBy("source").agg(F.sum("o").cast("bigint").alias("ct"))
+    cells = (
+        obs.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .select(
+            "lang",
+            "source",
+            "o",
+            F.floor(
+                (F.col("o") * F.col("o")).cast("double")
+                * 1000000
+                / (F.col("rt") * F.col("ct")).cast("double")
+            )
+            .cast("bigint")
+            .alias("term"),
+        )
+    )
+    return cells.agg(
+        F.sum("o").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        (
+            (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+        )
+        .cast("bigint")
+        .alias("dof"),
+        (F.sum("o") * (F.sum("term") - 1000000)).cast("bigint").alias(
+            "chi2_micro"
+        ),
+    )

@@ -1726,3 +1726,129 @@ def q184_lsh_calibration(spark, sf_dir):
         .otherwise(n_hit.cast("double") / n_true.cast("double"))
         .alias("recall"),
     )
+
+
+# --- q186: dedup-tier waterfall ----------------------------------------
+# The q49-style funnel for DEDUP: per source, how many docs does each
+# successive tier remove — exact fingerprint (q33's), then aggressive
+# normalization (q174's), then bag-of-words (q180's)? A doc is charged
+# to the FIRST tier that sees it as a duplicate (not the group's
+# min-id keeper). Input: documents + all three noise variants
+# (whitespace, punctuation, token-reversal). Plan: three md5
+# fingerprints computed in ONE projection, three COUNT windows each
+# partitioned by its fingerprint (32-byte shuffle keys), one final
+# per-source aggregation — no joins at all.
+@query(
+    "q186_dedup_waterfall",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, regexp_replace(text, ' ', chr(9) || ' ', 'g'),
+             'wsdup' FROM documents WHERE doc_id < 100
+      UNION ALL
+      SELECT doc_id + 400000, replace(text, ' ', ', '), 'punctdup'
+      FROM documents WHERE doc_id < 100
+      UNION ALL
+      SELECT doc_id + 500000,
+             array_to_string(list_reverse({SQL_TOKENS}), ' '), 'bowdup'
+      FROM documents WHERE doc_id < 100
+    ),
+    fp AS (
+      SELECT source, doc_id,
+             {SQL_FP} AS f1,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS f2,
+             md5(array_to_string(list_sort({SQL_TOKENS}), ' ')) AS f3
+      FROM base
+    ),
+    marked AS (
+      SELECT source,
+             ROW_NUMBER() OVER (PARTITION BY f1 ORDER BY doc_id) > 1
+               AS d1,
+             ROW_NUMBER() OVER (PARTITION BY f2 ORDER BY doc_id) > 1
+               AS d2,
+             ROW_NUMBER() OVER (PARTITION BY f3 ORDER BY doc_id) > 1
+               AS d3
+      FROM fp
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN d1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS removed_exact,
+           CAST(SUM(CASE WHEN NOT d1 AND d2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS removed_normalized,
+           CAST(SUM(CASE WHEN NOT d1 AND NOT d2 AND d3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS removed_bow,
+           CAST(SUM(CASE WHEN NOT d1 AND NOT d2 AND NOT d3 THEN 1 ELSE 0
+                END) AS BIGINT) AS survivors
+    FROM marked GROUP BY source
+    """,
+)
+def q186_dedup_waterfall(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from spark_etl_cli_spark.functions.text import normalize_ws, tokens
+
+    d = t(spark, sf_dir, "documents")
+    lt100 = d.filter(F.col("doc_id") < 100)
+    base = (
+        d.select("doc_id", "text", "source")
+        .unionByName(
+            lt100.select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.regexp_replace("text", " ", "\t ").alias("text"),
+                F.lit("wsdup").alias("source"),
+            )
+        )
+        .unionByName(
+            lt100.select(
+                (F.col("doc_id") + 400000).alias("doc_id"),
+                F.replace(F.col("text"), F.lit(" "), F.lit(", ")).alias(
+                    "text"
+                ),
+                F.lit("punctdup").alias("source"),
+            )
+        )
+        .unionByName(
+            lt100.select(
+                (F.col("doc_id") + 500000).alias("doc_id"),
+                F.array_join(F.reverse(tokens(F.col("text"))), " ").alias(
+                    "text"
+                ),
+                F.lit("bowdup").alias("source"),
+            )
+        )
+    )
+    fp = base.select(
+        "source",
+        "doc_id",
+        F.md5(F.lower(normalize_ws(F.col("text")))).alias("f1"),
+        F.md5(
+            F.trim(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+            )
+        ).alias("f2"),
+        F.md5(F.array_join(F.array_sort(tokens(F.col("text"))), " ")).alias(
+            "f3"
+        ),
+    )
+    dup = lambda c: (  # noqa: E731
+        F.row_number().over(W.partitionBy(c).orderBy("doc_id")) > 1
+    )
+    marked = fp.select(
+        "source",
+        dup("f1").alias("d1"),
+        dup("f2").alias("d2"),
+        dup("f3").alias("d3"),
+    )
+    flag = lambda c, a: F.sum(  # noqa: E731
+        F.when(c, 1).otherwise(0)
+    ).cast("bigint").alias(a)
+    return marked.groupBy("source").agg(
+        bcount("n_docs"),
+        flag(F.col("d1"), "removed_exact"),
+        flag(~F.col("d1") & F.col("d2"), "removed_normalized"),
+        flag(~F.col("d1") & ~F.col("d2") & F.col("d3"), "removed_bow"),
+        flag(~F.col("d1") & ~F.col("d2") & ~F.col("d3"), "survivors"),
+    )

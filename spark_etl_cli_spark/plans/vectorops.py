@@ -512,3 +512,59 @@ def q175_label_cohesion(spark, sf_dir):
         ).alias("avg_cohesion"),
         F.min("cs").alias("min_cohesion"),
     )
+
+
+# --- q188: int8 quantization reconstruction-error profile ------------------
+# The QA companion to q64: quantize (max-abs scale, floor to int8),
+# reconstruct (q·scale/127), and profile the per-vector MAX absolute
+# error as a milli-unit histogram — the go/no-go check before shipping
+# a quantized ANN index. Every step is the per-element double pipeline
+# q64 already pins cross-engine (floor/div/mul are correctly rounded),
+# the max over elements is order-free, and the histogram bucket is
+# floor(err·1000) — exact BIGINTs into a map-side-combined count.
+@query(
+    "q188_quantization_error",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                      e -> abs(CAST(e AS DOUBLE)))) AS maxabs
+      FROM embeddings
+    ),
+    err AS (
+      SELECT vec_id,
+             CASE WHEN maxabs = 0 THEN 0.0
+                  ELSE list_max(list_transform(embedding,
+                    e -> abs(CAST(e AS DOUBLE)
+                         - CAST(floor(CAST(e AS DOUBLE) / maxabs * 127)
+                                AS BIGINT) * maxabs / 127)))
+             END AS max_err
+      FROM s
+    )
+    SELECT CAST(floor(max_err * 1000) AS BIGINT) AS err_milli_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM err GROUP BY 1
+    """,
+)
+def q188_quantization_error(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    maxabs = F.array_max(
+        F.transform(F.col("embedding"), lambda v: F.abs(v.cast("double")))
+    )
+    s = e.select("vec_id", "embedding", maxabs.alias("maxabs"))
+    err_el = lambda v: F.abs(  # noqa: E731
+        v.cast("double")
+        - F.floor(v.cast("double") / F.col("maxabs") * 127).cast("bigint")
+        * F.col("maxabs")
+        / 127
+    )
+    max_err = F.when(F.col("maxabs") == 0, F.lit(0.0)).otherwise(
+        F.array_max(F.transform(F.col("embedding"), err_el))
+    )
+    return (
+        s.select(F.floor(max_err * 1000).cast("bigint").alias(
+            "err_milli_bucket"
+        ))
+        .groupBy("err_milli_bucket")
+        .agg(bcount("n_vectors"))
+    )
