@@ -147,6 +147,14 @@ class DeltaSource:
                 if w:
                     df = df.filter(w)  # same ?where= contract as batch
                 return apply_watermark(df, self.uri.params.get("watermark"))
+            mk = self.uri.params.get("meta")
+            if mk:
+                # metadata tables: DESCRIBE HISTORY / file inventory
+                from spark_etl_cli_spark.sources.meta_tables import (
+                    delta_meta_df,
+                )
+
+                return delta_meta_df(spark, self.uri.path, mk)
             if self.uri.params.get("readChangeFeed", "").lower() in (
                 "1", "true", "yes",
             ):
@@ -878,6 +886,14 @@ class IcebergSource:
                 "iceberg", f"an Iceberg table at {self.uri.path} (no "
                 "metadata/*.metadata.json found) or the iceberg-spark jar"
             )
+        mk = self.uri.params.get("meta")
+        if mk:
+            # metadata tables: the engines' SELECT * FROM tbl.snapshots
+            from spark_etl_cli_spark.sources.meta_tables import (
+                iceberg_meta_df,
+            )
+
+            return iceberg_meta_df(spark, self.uri.path, mk)
         if self.uri.is_stream:
             # incremental snapshot reads via the Python DataSource
             # micro-batch reader (sources/icebergstream.py)

@@ -68,3 +68,72 @@ def test_iceberg_compact_and_expire_sources(spark, tmp_path):
     erep = esrc.read(spark).collect()[0]
     assert erep.snapshots_expired == 3  # three appends + compaction kept
     assert read_iceberg_lite(spark, table).count() == 3
+
+
+def test_metadata_tables(spark, tmp_path):
+    """?meta= serves the engines' metadata-table surface jar-less:
+    iceberg snapshots/refs/history/files, delta history/files."""
+    from spark_etl_cli_spark.pipeline import run_pipeline
+    from spark_etl_cli_spark.sources.delta_lite import write_delta_lite
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        set_iceberg_ref,
+        write_iceberg_lite,
+    )
+    from spark_etl_cli_spark.sources.meta_tables import (
+        delta_meta_df,
+        iceberg_meta_df,
+    )
+
+    it = str(tmp_path / "imeta")
+    s1 = write_iceberg_lite(
+        spark.createDataFrame([(1, "a")], "id long, v string"), it
+    )
+    write_iceberg_lite(
+        spark.createDataFrame([(2, "b")], "id long, v string"), it
+    )
+    set_iceberg_ref(it, "v1", snapshot_id=s1, ref_type="tag")
+
+    snaps = iceberg_meta_df(spark, it, "snapshots").collect()
+    assert [r.snapshot_id for r in snaps] == [1, 2]
+    assert snaps[1].parent_id == 1 and snaps[1].operation == "append"
+    refs = {(r.name, r.type, r.snapshot_id)
+            for r in iceberg_meta_df(spark, it, "refs").collect()}
+    assert ("v1", "tag", 1) in refs and ("main", "branch", 2) in refs
+    hist = {r.snapshot_id: r.is_current_ancestor
+            for r in iceberg_meta_df(spark, it, "history").collect()}
+    assert hist == {1: True, 2: True}
+    files = iceberg_meta_df(spark, it, "files").collect()
+    assert len(files) == 2
+    assert all(r.record_count == 1 for r in files)
+
+    dt = str(tmp_path / "dmeta")
+    write_delta_lite(
+        spark.createDataFrame([(1, "a")], "id long, v string"), dt
+    )
+    write_delta_lite(
+        spark.createDataFrame([(2, "b")], "id long, v string"),
+        dt, mode="append",
+    )
+    h = delta_meta_df(spark, dt, "history").collect()
+    assert [r.version for r in h] == [0, 1]
+    assert all(r.operation == "WRITE" and r.num_added_files >= 1 for r in h)
+    f = delta_meta_df(spark, dt, "files").collect()
+    assert len(f) == 2 and all(not r.has_deletion_vector for r in f)
+
+    # URI surface
+    run_pipeline(
+        spark,
+        sources=[f"m+iceberg://{it}?meta=snapshots"],
+        sinks=["m+memory://imeta_snaps"],
+    )
+    assert spark.table("imeta_snaps").count() == 2
+    run_pipeline(
+        spark,
+        sources=[f"m+delta://{dt}?meta=history"],
+        sinks=["m+memory://dmeta_hist"],
+    )
+    assert spark.table("dmeta_hist").count() == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="meta"):
+        iceberg_meta_df(spark, it, "bogus")
