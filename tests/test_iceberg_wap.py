@@ -209,10 +209,20 @@ def test_wap_streaming_sink_stages_on_branch(spark, tmp_path):
             f"s+json-stream://{src_dir}?schema=id long, v string"
         ],
         sinks=[
-            f"s+iceberg://{table}?branch=audit&trigger=availableNow"
+            f"s+iceberg://{table}?branch=audit"
+            f"&trigger-interval=availableNow"
             f"&checkpointLocation={tmp_path}/cp"
         ],
     )
+    # availableNow terminates on its own; wait so no active query
+    # leaks into later tests
+    import time
+
+    deadline = time.monotonic() + 120
+    while any(q.isActive for q in spark.streams.active):
+        assert time.monotonic() < deadline, "stream still active"
+        for q in spark.streams.active:
+            q.awaitTermination(5)
     assert _ids(read_iceberg_lite(spark, table)) == [1]
     fast_forward_iceberg_ref(table, "audit")
     assert _ids(read_iceberg_lite(spark, table)) == [1, 2, 3]
