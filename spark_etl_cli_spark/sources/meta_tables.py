@@ -168,3 +168,59 @@ def delta_meta_df(spark: SparkSession, table_path: str, kind: str) -> DataFrame:
     raise ValueError(
         f"delta ?meta= must be one of {DELTA_META_KINDS}, got {kind!r}"
     )
+
+
+HUDI_META_KINDS = ("timeline", "files")
+
+
+def hudi_meta_df(spark: SparkSession, table_path: str, kind: str) -> DataFrame:
+    from spark_etl_cli_spark.sources.hudi_lite import (
+        _completed_instants,
+        _live_file_slices,
+        _load_commit_bodies,
+    )
+
+    instants = _completed_instants(table_path)
+    if kind == "timeline":
+        rows = []
+        for ts, action, commit in _load_commit_bodies(instants):
+            n_files = sum(
+                len(st)
+                for st in (commit.get("partitionToWriteStats") or {}).values()
+            )
+            n_replaced = sum(
+                len(f)
+                for f in (
+                    commit.get("partitionToReplaceFileIds") or {}
+                ).values()
+            )
+            rows.append((ts, action, n_files, n_replaced))
+        return spark.createDataFrame(
+            rows,
+            "instant string, action string, num_files_written long, "
+            "num_file_groups_replaced long",
+        )
+    if kind == "files":
+        rows = []
+        for (part, fid), ent in sorted(
+            _live_file_slices(table_path, instants).items()
+        ):
+            rows.append(
+                (
+                    part,
+                    fid,
+                    os.path.relpath(ent["base"], table_path)
+                    if ent["base"]
+                    else None,
+                    ent.get("base_ts"),
+                    len(ent["logs"]),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "partition string, file_id string, base_file string, "
+            "base_instant string, num_log_files long",
+        )
+    raise ValueError(
+        f"hudi ?meta= must be one of {HUDI_META_KINDS}, got {kind!r}"
+    )

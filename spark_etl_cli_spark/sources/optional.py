@@ -1114,6 +1114,12 @@ class HudiSource:
                 "hudi", f"a Hudi table at {self.uri.path} (no .hoodie/ "
                 "timeline found) or the hudi-spark bundle jar"
             )
+        mk = self.uri.params.get("meta")
+        if mk:
+            # metadata tables: timeline / live file-slice inventory
+            from spark_etl_cli_spark.sources.meta_tables import hudi_meta_df
+
+            return hudi_meta_df(spark, self.uri.path, mk)
         if self.uri.is_stream:
             # incremental instant reads via the Python DataSource
             # micro-batch reader (sources/hudistream.py)

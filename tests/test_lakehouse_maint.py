@@ -133,7 +133,33 @@ def test_metadata_tables(spark, tmp_path):
         sinks=["m+memory://dmeta_hist"],
     )
     assert spark.table("dmeta_hist").count() == 2
+    # hudi: timeline + live file-slice inventory
+    from spark_etl_cli_spark.sources.hudi_lite import write_hudi_lite
+    from spark_etl_cli_spark.sources.meta_tables import hudi_meta_df
+
+    ht = str(tmp_path / "hmeta")
+    write_hudi_lite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        ht, record_key="id", table_type="MERGE_ON_READ",
+    )
+    write_hudi_lite(
+        spark.createDataFrame([(1, "a2")], "id long, v string"),
+        ht, mode="upsert", record_key="id",
+    )
+    tl = hudi_meta_df(spark, ht, "timeline").collect()
+    assert [r.action for r in tl] == ["deltacommit", "deltacommit"]
+    fs = hudi_meta_df(spark, ht, "files").collect()
+    assert len(fs) >= 1 and any(r.num_log_files == 1 for r in fs)
+    run_pipeline(
+        spark,
+        sources=[f"m+hudi://{ht}?meta=timeline"],
+        sinks=["m+memory://hmeta_tl"],
+    )
+    assert spark.table("hmeta_tl").count() == 2
+
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="meta"):
         iceberg_meta_df(spark, it, "bogus")
+    with _pytest.raises(ValueError, match="meta"):
+        hudi_meta_df(spark, ht, "bogus")
