@@ -103,4 +103,16 @@ python -m spark_etl_cli_spark \
   --transform "now+checked+diff://expected?id=id&handleDifferences=fail" \
   --sink "checked+console://"
 
+# 7. metadata tables: the engines' tbl.snapshots / DESCRIBE HISTORY
+# surface, jar-less — inspect what the maintenance above actually did
+python -m spark_etl_cli_spark \
+  --source "m+iceberg://$ITBL?meta=snapshots" \
+  --sink "m+console://"
+python -m spark_etl_cli_spark \
+  --source "m+delta://$DTBL?meta=history" \
+  --sink "m+console://"
+python -m spark_etl_cli_spark \
+  --source "m+hudi://$HTBL?meta=timeline" \
+  --sink "m+console://"
+
 echo "lakehouse maintenance pipeline OK"
