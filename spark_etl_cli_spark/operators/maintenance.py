@@ -227,31 +227,59 @@ def apply_agg_deltas(
     over the changed base would.
 
     Scale shape: the MV is never re-derived from the fact table — the
-    work is |MV| ⊕ |affected keys|, and the delta side of the join is
-    broadcast (a CDC batch reduces to at most |touched keys| rows), so
-    maintaining a 10⁹-group view against a 10⁴-row batch moves 10⁴
-    rows, not the 100 TB of facts behind the view. Sums must be exact
+    work is |MV| ⊕ |affected keys| and the MV side NEVER shuffles. A
+    single full-outer coalesce-add would be the obvious spelling, but
+    Spark cannot broadcast either side of a FULL OUTER join: the hint
+    is silently dropped and the whole view sort-merge-shuffles every
+    batch. So the merge is split into three joins that each broadcast
+    only the delta-sized side:
+
+    1. **updates** — ``mv ⟕ broadcast(deltas)`` (broadcast-right IS
+       honored for LEFT OUTER): every MV row streams once, matched
+       keys get the signed contribution coalesce-added.
+    2. **touched-key probe** — ``mv_keys ⋉ broadcast(delta_keys)``
+       (broadcast LEFT SEMI): at most |deltas| rows survive, so the
+       result itself is broadcastable regardless of |MV|.
+    3. **inserts** — ``deltas ▷ broadcast(touched)`` (broadcast LEFT
+       ANTI): delta keys absent from the view enter as fresh groups.
+
+    Maintaining a 10⁹-group view against a 10⁴-row batch therefore
+    moves 10⁴ rows — two exchange-free MV scans (the probe scan is
+    key-column-pruned), zero MV shuffles. Sums must be exact
     (integer/decimal) — float sums are not associative enough to
     guarantee maintained == recomputed.
     """
     zero = F.lit(0).cast("long")
+    vals = [count_col, *sum_cols]
     mvr = mv.select(
         *keys,
-        *[F.col(c).alias(c + "__mv") for c in [count_col, *sum_cols]],
+        *[F.col(c).alias(c + "__mv") for c in vals],
     )
     dr = deltas.select(
         *keys,
-        *[F.col(c).alias(c + "__d") for c in [count_col, *sum_cols]],
+        *[F.col(c).alias(c + "__d") for c in vals],
     )
-    dd = F.broadcast(dr) if broadcast_deltas else dr
-    merged = mvr.join(dd, keys, "full_outer")
-    proj = [
-        (
-            F.coalesce(F.col(c + "__mv"), zero)
-            + F.coalesce(F.col(c + "__d"), zero)
-        )
-        .cast("long")
-        .alias(c)
-        for c in [count_col, *sum_cols]
-    ]
-    return merged.select(*keys, *proj).filter(F.col(count_col) > 0)
+    hint = F.broadcast if broadcast_deltas else (lambda df: df)
+    updated = mvr.join(hint(dr), keys, "left_outer").select(
+        *keys,
+        *[
+            (
+                F.coalesce(F.col(c + "__mv"), zero)
+                + F.coalesce(F.col(c + "__d"), zero)
+            )
+            .cast("long")
+            .alias(c)
+            for c in vals
+        ],
+    )
+    touched = mv.select(*keys).join(
+        hint(deltas.select(*keys)), keys, "left_semi"
+    )
+    inserted = dr.join(hint(touched), keys, "left_anti").select(
+        *keys,
+        *[
+            F.coalesce(F.col(c + "__d"), zero).cast("long").alias(c)
+            for c in vals
+        ],
+    )
+    return updated.unionByName(inserted).filter(F.col(count_col) > 0)

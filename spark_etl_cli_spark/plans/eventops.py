@@ -356,9 +356,10 @@ def q150_ewma_smoothing(spark, sf_dir):
 # points ordered before -1 at equal t, touching sessions count as
 # concurrent and the running max is tie-order-independent. Scale: the
 # heavy work (sessionization) is user-partitioned windows + one agg to
-# |sessions| rows; only the 2x|sessions| POINT table crosses the final
-# unpartitioned window — the exact-sweep contract (a day-partitioned
-# sweep with carried offsets is the approximation at 100 TB).
+# |sessions| rows; the sweep itself is a TWO-PHASE distributed prefix
+# sum (per-day delta totals → broadcast day offsets → day-partitioned
+# running sums), so no table-sized input ever crosses an unpartitioned
+# window — the oracle spells the same sweep as one literal running sum.
 @query(
     "q165_peak_concurrency",
     oracle="""
@@ -439,26 +440,37 @@ def q165_peak_concurrency(spark, sf_dir):
             "sid",
         )
     )
-    run = pts.withColumn(
-        "conc",
-        F.sum("delta").over(
-            W.orderBy(
-                "t", F.col("delta").desc(), "user_id", "sid"
-            ).rowsBetween(W.unboundedPreceding, W.currentRow)
-        ),
+    # Distributed prefix sum over the breakpoint stream. A naive
+    # SUM(delta) OVER (ORDER BY t, ...) serializes EVERY session
+    # boundary through one window task — sessions scale with the
+    # corpus, so at 100× that task is the job. Two-phase instead:
+    # coarse-bucket breakpoints by DAY (the events table spans a fixed
+    # time DOMAIN, so bucket count is calendar-bounded, not
+    # corpus-bounded), per-day delta totals → exclusive prefix offsets
+    # via one window over the tiny day table, then the running sum
+    # PARTITIONED by day resumes from the broadcast day offset.
+    day = (F.col("t") / F.lit(86_400_000_000)).cast("long")
+    ptsd = pts.withColumn("dy", day)
+    dtot = ptsd.groupBy("dy").agg(F.sum("delta").cast("long").alias("dsum"))
+    wpre = W.orderBy("dy").rowsBetween(W.unboundedPreceding, -1)
+    offs = dtot.select(
+        "dy", F.coalesce(F.sum("dsum").over(wpre), F.lit(0)).alias("doff")
     )
-    m = run.select(
-        "t",
-        "conc",
-        F.max("conc").over(W.partitionBy()).alias("mx"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("np"),
+    win = W.partitionBy("dy").orderBy(
+        "t", F.col("delta").desc(), "user_id", "sid"
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    run = ptsd.join(F.broadcast(offs), "dy").select(
+        "t", (F.col("doff") + F.sum("delta").over(win)).alias("conc")
     )
-    return m.agg(
-        F.max("conc").cast("bigint").alias("peak"),
-        F.min(F.when(F.col("conc") == F.col("mx"), F.col("t")))
-        .cast("bigint")
-        .alias("peak_at_us"),
-        (F.max("np") / 2).cast("bigint").alias("n_sessions"),
+    # peak + argmin-t-at-peak in ONE map-side-combinable aggregation:
+    # max over (conc, -t) structs is lexicographic, so it picks the
+    # highest concurrency and, among ties, the earliest instant — no
+    # MAX() OVER () global window, no second pass.
+    best = F.max(F.struct(F.col("conc").alias("c"), (-F.col("t")).alias("nt")))
+    return run.agg(
+        best.getField("c").cast("bigint").alias("peak"),
+        (-best.getField("nt")).cast("bigint").alias("peak_at_us"),
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_sessions"),
     )
 
 

@@ -472,9 +472,13 @@ def q15_top_supplier(spark, sf_dir):
     rev = li.groupBy("l_suppkey").agg(
         xsum(rev_col(), "total_rev")
     )
-    # scalar max via an unpartitioned max window on the (small) aggregate
-    ranked = rev.withColumn("__mx", F.max("total_rev").over(W.partitionBy()))
-    best = ranked.filter(F.col("total_rev") == F.col("__mx")).drop("__mx")
+    # scalar max as a 1-row aggregate broadcast back as an EQUI semi
+    # join on the value — |suppliers| scales with the corpus, so an
+    # unpartitioned MAX() OVER () window here would drag every
+    # supplier aggregate through one task; the semi join plans as a
+    # distributed BroadcastHashJoin instead
+    mx = rev.agg(F.max("total_rev").alias("total_rev"))
+    best = rev.join(F.broadcast(mx), "total_rev", "left_semi")
     s = t(spark, sf_dir, "supplier")
     return best.join(s, F.col("s_suppkey") == F.col("l_suppkey")).select(
         "s_suppkey", "s_name", "total_rev"

@@ -513,11 +513,27 @@ def q161_weighted_median(spark, sf_dir):
 # Customer account-balance deciles: ntile(10) over a DETERMINISTIC
 # total order (balance, custkey) — both engines define ntile
 # identically (equal buckets, earlier buckets take the remainder), so
-# bucket membership is bit-stable. Per-decile stats are min/max
-# (selection, not accumulation) and an exact integer cents sum; the
-# single global window ranks |customers| rows — the profiling cost an
-# analyst accepts for an exact decile table (approx_percentile is the
-# cheap path, q75).
+# bucket membership is bit-stable. The ORACLE spells it as a literal
+# ntile window; the Spark plan computes the SAME bucket membership via
+# a two-phase distributed rank (a naive ntile here would sort the
+# entire customer table through ONE window task — Spark's "No
+# Partition Defined" warning, the q99 single-task shape):
+#   1. coarse-bucket each row by floor(c_acctbal) — account balances
+#      live in a fixed value DOMAIN (TPC-H: [-999.99, 9999.99]), so
+#      there are ≤11k coarse buckets regardless of row count;
+#   2. per-bucket counts → exclusive prefix offsets + the grand total
+#      via one window over the ≤11k-row bucket table (the only
+#      unpartitioned window, domain-bounded — plan-invariant
+#      whitelisted as a bounded collapse);
+#   3. global rank = broadcast-joined bucket offset + row_number
+#      PARTITIONED by bucket (distributed; TPC-H balances are uniform
+#      so buckets are even — a skewed domain would want finer coarse
+#      keys);
+#   4. decile from the closed-form ntile formula on (rank, n): with
+#      q = n div 10, r = n mod 10 the first r buckets take q+1 rows.
+# Net: one hash shuffle on the coarse key instead of a global sort
+# through a single task; survives 100× because every per-bucket
+# partition stays ~n/11k.
 @query(
     "q162_ntile_deciles",
     oracle="""
@@ -538,11 +554,41 @@ def q161_weighted_median(spark, sf_dir):
 def q162_ntile_deciles(spark, sf_dir):
     from pyspark.sql import Window as W
 
-    r = t(spark, sf_dir, "customer").select(
+    c = t(spark, sf_dir, "customer").select(
         "c_acctbal",
         F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
-        F.ntile(10)
-        .over(W.orderBy("c_acctbal", "c_custkey"))
+        "c_custkey",
+        F.floor("c_acctbal").cast("long").alias("coarse"),
+    )
+    ctot = c.groupBy("coarse").agg(
+        F.count(F.lit(1)).cast("long").alias("ccnt")
+    )
+    wpre = W.orderBy("coarse").rowsBetween(W.unboundedPreceding, -1)
+    wall = W.orderBy("coarse").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    offs = ctot.select(
+        "coarse",
+        F.coalesce(F.sum("ccnt").over(wpre), F.lit(0)).alias("coff"),
+        F.sum("ccnt").over(wall).alias("n_total"),
+    )
+    wb = W.partitionBy("coarse").orderBy("c_acctbal", "c_custkey")
+    ranked = c.join(F.broadcast(offs), "coarse").select(
+        "c_acctbal",
+        "cents",
+        (F.col("coff") + F.row_number().over(wb)).alias("rk"),
+        "n_total",
+    )
+    n = F.col("n_total")
+    q10 = F.floor(n / 10)
+    r10 = n % 10
+    rk = F.col("rk")
+    fat = r10 * (q10 + 1)  # rows covered by the first r (larger) buckets
+    r = ranked.select(
+        "c_acctbal",
+        "cents",
+        F.when(rk <= fat, F.floor((rk - 1) / (q10 + 1)) + 1)
+        .otherwise(r10 + F.floor((rk - fat - 1) / q10) + 1)
         .cast("int")
         .alias("decile"),
     )

@@ -1116,8 +1116,16 @@ def _assign_identity(
             ).cast("long"),
         )
     df = df.localCheckpoint()
+    # the high-water mark follows the STEP DIRECTION (Delta protocol:
+    # "the highest value ... in the direction of step"): max for
+    # ascending, MIN for descending — tracking max under a negative
+    # step would restart the next batch above already-issued values
+    # and silently collide.
     hwms = df.agg(
-        *[F.max(c).alias(c) for c in specs]
+        *[
+            (F.min(c) if specs[c]["step"] < 0 else F.max(c)).alias(c)
+            for c in specs
+        ]
     ).first()
     return df, {c: hwms[c] for c in specs}
 

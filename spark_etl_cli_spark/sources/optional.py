@@ -434,7 +434,13 @@ class DeltaSink:
                 idy = {}
                 for seg in idy_raw.split(";"):
                     if seg:
-                        c, start, step = (seg.split(":") + ["1"])[:3]
+                        parts_ = seg.split(":")
+                        if len(parts_) > 3 or not parts_[0].strip():
+                            raise ValueError(
+                                "?identity= expects col[:start[:step]] "
+                                f"segments; got {seg!r}"
+                            )
+                        c, start, step = (parts_ + ["1", "1"])[:3]
                         idy[c.strip()] = (int(start or 1), int(step or 1))
             write_delta_lite(
                 df, self.uri.path, mode=mode, partition_by=parts or None,

