@@ -673,19 +673,26 @@ def read_delta_lite(
             empty = empty.withColumn("_row_id", F.lit(None).cast("long"))
         return empty.filter(where) if where else empty
     base_of: dict[str, int] = {}
+    rid_mat_col: str | None = None
     if with_row_id:
+        rid_mat_col = _materialized_row_id_col(meta.get("configuration"))
         missing = [a["path"] for a in adds if a.get("baseRowId") is None]
-        if missing:
+        if missing and rid_mat_col is None:
             raise NotImplementedError(
                 f"with_row_id: {len(missing)} files have no baseRowId "
-                f"(pre-feature or lite-rewritten): {missing[:3]} — a "
-                "real engine materializes row ids into rewritten files"
+                f"(pre-feature files on a table without a materialized "
+                f"row-id column): {missing[:3]}"
             )
         # keyed by FILENAME (part-<uuid> — unique per table): the
         # map literal stays expression-sized under the reader's
-        # _max_files cap; an engine-scale reader would join instead
+        # _max_files cap; an engine-scale reader would join instead.
+        # Files lacking baseRowId (none after this writer's rewrites,
+        # which always re-assign) resolve through the materialized
+        # column alone.
         base_of = {
-            os.path.basename(a["path"]): int(a["baseRowId"]) for a in adds
+            os.path.basename(a["path"]): int(a["baseRowId"])
+            for a in adds
+            if a.get("baseRowId") is not None
         }
 
     # group files by partition tuple; restore partition columns as typed
@@ -726,24 +733,20 @@ def read_delta_lite(
             return cols
 
         clean = [p for p, dv in entries if not dv]
+        rid_read_schema = data_schema
+        if rid_mat_col and rid_mat_col not in [
+            f.name for f in data_schema.fields
+        ]:
+            rid_read_schema = T.StructType(
+                list(data_schema.fields)
+                + [T.StructField(rid_mat_col, T.LongType())]
+            )
         if clean:
-            df = spark.read.schema(data_schema).parquet(*clean)
+            df = spark.read.schema(rid_read_schema).parquet(*clean)
             if with_row_id:
-                mapping = F.create_map(
-                    *[
-                        x
-                        for k, v in base_of.items()
-                        for x in (F.lit(k), F.lit(v))
-                    ]
+                rid = _row_id_read_expr(
+                    rid_mat_col, base_of, F.col("_metadata.row_index")
                 )
-                rid = (
-                    mapping[
-                        F.element_at(
-                            F.split(F.col("_metadata.file_path"), "/"), -1
-                        )
-                    ]
-                    + F.col("_metadata.row_index")
-                ).cast("long")
                 parts.append(
                     df.select(*logical_cols(), rid.alias("_row_id"))
                 )
@@ -753,10 +756,14 @@ def read_delta_lite(
             if not dv:
                 continue
             dv_df = _apply_deletion_vector(
-                spark, table_path, path, dv, data_schema,
+                spark, table_path, path, dv, rid_read_schema,
                 row_id_base=(
-                    base_of[os.path.basename(path)] if with_row_id else None
+                    base_of.get(os.path.basename(path))
+                    if with_row_id
+                    else None
                 ),
+                mat_col=rid_mat_col if with_row_id else None,
+                want_row_id=with_row_id,
             )
             sel = list(logical_cols()) + (
                 ["_row_id"] if with_row_id else []
@@ -778,6 +785,8 @@ def _apply_deletion_vector(
     dv: dict,
     data_schema: T.StructType,
     row_id_base: int | None = None,
+    mat_col: str | None = None,
+    want_row_id: bool = False,
 ):
     """One data file minus its deleted rows.
 
@@ -802,11 +811,23 @@ def _apply_deletion_vector(
             ((int(i),) for i in deleted), "__ridx bigint"
         )
         kept = df.join(F.broadcast(del_df), "__ridx", "left_anti")
-    if row_id_base is not None:
-        # row tracking: survivors keep their positional ids
-        kept = kept.withColumn(
-            "_row_id", (F.lit(row_id_base) + F.col("__ridx")).cast("long")
+    if want_row_id:
+        # row tracking: survivors keep their ids (materialized column
+        # wins where present, else the file base + position; DV'd
+        # positions don't shift, so derived ids stay stable)
+        pieces = []
+        if mat_col is not None and mat_col in kept.columns:
+            pieces.append(F.col(mat_col).cast("long"))
+        if row_id_base is not None:
+            pieces.append(
+                (F.lit(row_id_base) + F.col("__ridx")).cast("long")
+            )
+        rid = (
+            F.coalesce(*pieces)
+            if len(pieces) > 1
+            else (pieces[0] if pieces else F.lit(None).cast("long"))
         )
+        kept = kept.withColumn("_row_id", rid)
     return kept.drop("__ridx")
 
 
@@ -976,6 +997,81 @@ def _assign_base_row_ids(
         a["defaultRowCommitVersion"] = commit_version
         next_id += _num_records(a)
     return next_id - 1
+
+
+_MAT_ROW_ID_KEY = "delta.rowTracking.materializedRowIdColumnName"
+
+
+def _materialized_row_id_col(configuration: dict | None) -> str | None:
+    """Physical column name rewritten files materialize row ids under
+    (PROTOCOL.md "Row Tracking": preserved row ids are stored in a
+    hidden column whose randomized name lives in the table
+    configuration, so it can never collide with a user column)."""
+    return (configuration or {}).get(_MAT_ROW_ID_KEY)
+
+
+def _rt_rewrite_begin(meta: dict) -> tuple[str | None, list[dict]]:
+    """Start-of-rewrite row-tracking context: ``(materialized column
+    name, extra commit actions)``. ``None`` when the table doesn't
+    track rows. Tables created before materialization existed get a
+    name minted here and recorded via a same-commit metaData update —
+    the protocol's lazy-registration pattern."""
+    cfg = meta.get("configuration") or {}
+    if not _row_tracking_enabled(cfg):
+        return None, []
+    name = cfg.get(_MAT_ROW_ID_KEY)
+    if name:
+        return name, []
+    import uuid as _uuid
+
+    name = f"_row-id-col-{_uuid.uuid4().hex}"
+    new_cfg = dict(cfg)
+    new_cfg[_MAT_ROW_ID_KEY] = name
+    return name, [{"metaData": {**meta, "configuration": new_cfg}}]
+
+
+def _rt_rewrite_finish(log_dir: str, new_adds: list[dict]) -> list[dict]:
+    """End-of-rewrite row-tracking bookkeeping: every rewritten file
+    still gets a fresh ``baseRowId`` block (rows whose materialized id
+    is NULL — e.g. MERGE inserts — derive from it; preserved rows win
+    through the materialized column), and the advanced high-water mark
+    is committed as domainMetadata."""
+    hwm = _assign_base_row_ids(
+        new_adds, _row_id_hwm(log_dir), _next_version(log_dir)
+    )
+    return [
+        {
+            "domainMetadata": {
+                "domain": "delta.rowTracking",
+                "configuration": json.dumps({"rowIdHighWaterMark": hwm}),
+                "removed": False,
+            }
+        }
+    ]
+
+
+def _row_id_read_expr(
+    mat_col: str | None,
+    base_of: dict[str, int],
+    pos_col,
+):
+    """``coalesce(materialized id, file base + position)`` — the
+    protocol's reader derivation. ``pos_col`` is the row-position
+    column expression (``_metadata.row_index`` or ``__ridx``)."""
+    pieces = []
+    if mat_col is not None:
+        pieces.append(F.col(mat_col).cast("long"))
+    if base_of:
+        mapping = F.create_map(
+            *[x for k, v in base_of.items() for x in (F.lit(k), F.lit(v))]
+        )
+        fname = F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1
+        )
+        pieces.append((mapping[fname] + pos_col).cast("long"))
+    if not pieces:
+        return F.lit(None).cast("long")
+    return F.coalesce(*pieces) if len(pieces) > 1 else pieces[0]
 
 
 def _enforce_constraints(
@@ -1559,8 +1655,22 @@ def write_delta_lite(
                     ),
                     "partitionColumns": part_cols,
                     # table properties (e.g. delta.enableChangeDataFeed)
-                    # land in the protocol's configuration map
-                    "configuration": dict(properties or {}),
+                    # land in the protocol's configuration map; row
+                    # tracking also registers the randomized column
+                    # name rewrites materialize row ids under
+                    "configuration": {
+                        **(properties or {}),
+                        **(
+                            {
+                                _MAT_ROW_ID_KEY: (
+                                    f"_row-id-col-{uuid.uuid4().hex}"
+                                )
+                            }
+                            if rt_on
+                            and _MAT_ROW_ID_KEY not in (properties or {})
+                            else {}
+                        ),
+                    },
                     "createdTime": now_ms,
                 }
             }
@@ -2070,6 +2180,13 @@ def optimize_delta_lite(
                 f"ZORDER BY partition columns {party} is pointless — they "
                 "are constant within every file group"
             )
+    mat_col, rt_actions = _rt_rewrite_begin(meta)
+    opt_read_schema = data_schema
+    if mat_col and mat_col not in [f.name for f in data_schema.fields]:
+        opt_read_schema = T.StructType(
+            list(data_schema.fields)
+            + [T.StructField(mat_col, T.LongType())]
+        )
     groups: dict[tuple, list[dict]] = {}
     for a in adds:
         if a.get("deletionVector"):
@@ -2099,7 +2216,23 @@ def optimize_delta_lite(
         pv = small[0].get("partitionValues") or {}
         tmp = tempfile.mkdtemp(prefix="delta_lite_opt_")
         try:
-            scan = spark.read.schema(data_schema).parquet(*paths)
+            scan = spark.read.schema(opt_read_schema).parquet(*paths)
+            if mat_col is not None:
+                # compaction preserves every row: materialize each
+                # row's tracked id (existing materialized value, else
+                # old-file base + position) so ?with-row-id= reads
+                # survive the rewrite
+                base_of_g = {
+                    os.path.basename(a["path"]): int(a["baseRowId"])
+                    for a in small
+                    if a.get("baseRowId") is not None
+                }
+                scan = scan.withColumn(
+                    mat_col,
+                    _row_id_read_expr(
+                        mat_col, base_of_g, F.col("_metadata.row_index")
+                    ),
+                )
             if zorder_by:
                 from spark_etl_cli_spark.operators.zorder import zorder_sort
 
@@ -2117,6 +2250,9 @@ def optimize_delta_lite(
                 new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
                 dst = os.path.join(table_path, new_name)
                 shutil.move(os.path.join(tmp, fname), dst)
+                import pyarrow.parquet as _pq
+
+                n_rows_f = _pq.ParquetFile(dst).metadata.num_rows
                 new_adds.append(
                     {
                         "path": new_name,
@@ -2124,6 +2260,7 @@ def optimize_delta_lite(
                         "size": os.path.getsize(dst),
                         "modificationTime": int(os.path.getmtime(dst) * 1000),
                         "dataChange": False,
+                        "stats": json.dumps({"numRecords": n_rows_f}),
                     }
                 )
                 stats["files_added"] += 1
@@ -2134,6 +2271,8 @@ def optimize_delta_lite(
         stats["partitions_compacted"] += 1
     if not removes:
         return stats
+    if mat_col is not None and new_adds:
+        rt_actions += _rt_rewrite_finish(_log_dir(table_path), new_adds)
     now_ms = int(time.time() * 1000)
     actions: list[dict] = []
     for path in removes:
@@ -2150,6 +2289,7 @@ def optimize_delta_lite(
         add = dict(add)
         add["path"] = quote(add["path"], safe="/=")
         actions.append({"add": add})
+    actions.extend(rt_actions)
     actions.append(
         {
             "commitInfo": {
@@ -2269,10 +2409,14 @@ def _snapshot_scan(
     adds: list[dict],
     meta: dict,
     with_pos: bool = False,
+    with_row_id: bool = False,
 ) -> DataFrame:
     """Rows of ``adds`` under the LOGICAL schema plus service columns:
-    ``__file`` (absolute data-file path) and, with ``with_pos``,
-    ``__ridx`` (row position in the file, ``_metadata.row_index``).
+    ``__file`` (absolute data-file path), with ``with_pos``
+    ``__ridx`` (row position in the file, ``_metadata.row_index``),
+    and with ``with_row_id`` the tracked ``__row_id`` (materialized
+    column if present, else add.baseRowId + position — NULL where
+    neither exists, e.g. pre-feature files).
 
     Deletion vectors are applied (a deleted row neither matches a
     DELETE predicate again nor gets resurrected by a rewrite);
@@ -2302,9 +2446,35 @@ def _snapshot_scan(
     norm_file = F.regexp_replace(
         F.col("_metadata.file_path"), "^file:/+", "/"
     ).alias("__file")
+    mat_col = (
+        _materialized_row_id_col(meta.get("configuration"))
+        if with_row_id
+        else None
+    )
+    read_schema = data_schema
+    if mat_col and mat_col not in [f.name for f in data_schema.fields]:
+        read_schema = T.StructType(
+            list(data_schema.fields)
+            + [T.StructField(mat_col, T.LongType())]
+        )
+    base_of = (
+        {
+            os.path.basename(a["path"]): int(a["baseRowId"])
+            for a in adds
+            if a.get("baseRowId") is not None
+        }
+        if with_row_id
+        else {}
+    )
     service = [norm_file] + (
         [F.col("_metadata.row_index").alias("__ridx")] if with_pos else []
     )
+    if with_row_id:
+        service.append(
+            _row_id_read_expr(
+                mat_col, base_of, F.col("_metadata.row_index")
+            ).alias("__row_id")
+        )
 
     groups: dict[tuple, list[tuple[str, dict | None]]] = {}
     for a in adds:
@@ -2340,7 +2510,7 @@ def _snapshot_scan(
         clean = [p for p, dv in entries if not dv]
         if clean:
             parts.append(
-                spark.read.schema(data_schema)
+                spark.read.schema(read_schema)
                 .parquet(*clean)
                 .select(*logical_cols(key), *service)
             )
@@ -2349,12 +2519,23 @@ def _snapshot_scan(
                 continue
             deleted = read_deletion_vector(table_path, dv)
             df = (
-                spark.read.schema(data_schema)
+                spark.read.schema(read_schema)
                 .parquet(path)
                 .select(
                     *logical_cols(key),
                     norm_file,
                     F.col("_metadata.row_index").alias("__ridx"),
+                    *(
+                        [
+                            _row_id_read_expr(
+                                mat_col,
+                                base_of,
+                                F.col("_metadata.row_index"),
+                            ).alias("__row_id")
+                        ]
+                        if with_row_id
+                        else []
+                    ),
                 )
             )
             if len(deleted) <= 1000:
@@ -2370,6 +2551,11 @@ def _snapshot_scan(
             list(schema.fields)
             + [T.StructField("__file", T.StringType())]
             + ([T.StructField("__ridx", T.LongType())] if with_pos else [])
+            + (
+                [T.StructField("__row_id", T.LongType())]
+                if with_row_id
+                else []
+            )
         )
         return spark.createDataFrame([], empty_schema)
     out = parts[0]
@@ -2611,13 +2797,26 @@ def _remove_action(add: dict, now_ms: int) -> dict:
 def _rewrite_files(
     df: DataFrame, table_path: str, part_cols: list[str],
     meta: dict | None = None,
+    mat_col: str | None = None,
 ) -> list[dict]:
     """Write ``df`` (logical columns only) as new table data files and
     return their add actions. One distributed job. With ``meta`` of a
     column-mapped table, the frame is projected to PHYSICAL names
-    first (files and partitionValues keys speak physical)."""
+    first (files and partitionValues keys speak physical). With
+    ``mat_col`` (row tracking), a ``__row_id`` service column on ``df``
+    is materialized into the files under that physical name —
+    preserved rows keep their ids across the rewrite; rows whose
+    ``__row_id`` is NULL (inserts) derive from the new add's fresh
+    baseRowId at read time."""
     import shutil
     import tempfile
+
+    extra_fields: list[T.StructField] = []
+    if mat_col is not None and "__row_id" in df.columns:
+        df = df.withColumnRenamed("__row_id", mat_col)
+        extra_fields = [T.StructField(mat_col, T.LongType())]
+    elif "__row_id" in df.columns:
+        df = df.drop("__row_id")
 
     write_parts = list(part_cols)
     if meta is not None:
@@ -2630,9 +2829,12 @@ def _rewrite_files(
             }
             # positional struct cast renames NESTED mapped fields too
             # (without it, rewritten files carried logical nested names
-            # that the physical-schema reader then served as NULLs)
+            # that the physical-schema reader then served as NULLs);
+            # the materialized row-id column passes through unrenamed
             df = _project_positional(
-                df, list(schema.fields), list(phys_schema.fields)
+                df,
+                list(schema.fields) + extra_fields,
+                list(phys_schema.fields) + extra_fields,
             )
             write_parts = [phys_of[c] for c in part_cols]
     tmp_dir = tempfile.mkdtemp(prefix="delta_lite_rewrite_")
@@ -2799,14 +3001,23 @@ def delete_delta_lite(
             )
         affected.append(add)
     n_rows = sum(r["count"] for r in counts)
+    mat_col, rt_actions = _rt_rewrite_begin(meta)
     kept = (
-        _snapshot_scan(spark, table_path, affected, meta)
+        _snapshot_scan(
+            spark, table_path, affected, meta,
+            with_row_id=mat_col is not None,
+        )
         .filter(~pred)
         .drop("__file")
     )
-    new_adds = _rewrite_files(kept, table_path, part_cols, meta)
+    new_adds = _rewrite_files(
+        kept, table_path, part_cols, meta, mat_col=mat_col
+    )
+    if mat_col is not None:
+        rt_actions += _rt_rewrite_finish(_log_dir(table_path), new_adds)
     actions = [_remove_action(a, now_ms) for a in affected]
     actions += [{"add": a} for a in new_adds]
+    actions.extend(rt_actions)
     actions.extend(_cdc_actions())
     actions.append(
         {
@@ -2924,20 +3135,49 @@ def _upsert_delta_lite(
                 )
             affected.append(add)
 
+    mat_col, rt_actions = _rt_rewrite_begin(meta)
+    rid_cols = ["__row_id"] if mat_col is not None else []
+    incoming = df.select(*table_cols)
+    if mat_col is not None:
+        if affected:
+            # an update keeps its row id (the protocol's stability
+            # contract): matched incoming rows inherit the replaced
+            # key's id; unmatched ones stay NULL and derive a fresh id
+            # from the new file's baseRowId
+            old_ids = (
+                _snapshot_scan(
+                    spark, table_path, affected, meta, with_row_id=True
+                )
+                .groupBy(merge_key)
+                .agg(F.min("__row_id").alias("__row_id"))
+            )
+            incoming = incoming.join(old_ids, merge_key, "left")
+        else:
+            incoming = incoming.withColumn(
+                "__row_id", F.lit(None).cast("long")
+            )
     if affected:
         remaining = (
-            _snapshot_scan(spark, table_path, affected, meta)
+            _snapshot_scan(
+                spark, table_path, affected, meta,
+                with_row_id=mat_col is not None,
+            )
             .join(keys, merge_key, "left_anti")
-            .select(*table_cols)
+            .select(*table_cols, *rid_cols)
         )
-        out = remaining.unionByName(df.select(*table_cols))
+        out = remaining.unionByName(incoming)
     else:
-        out = df.select(*table_cols)
+        out = incoming
     _enforce_constraints(out, meta.get("configuration"), table_schema)
-    new_adds = _rewrite_files(out, table_path, part_cols, meta)
+    new_adds = _rewrite_files(
+        out, table_path, part_cols, meta, mat_col=mat_col
+    )
+    if mat_col is not None:
+        rt_actions += _rt_rewrite_finish(_log_dir(table_path), new_adds)
 
     actions = [_remove_action(a, now_ms) for a in affected]
     actions += [{"add": a} for a in new_adds]
+    actions.extend(rt_actions)
     if txn_app_id is not None:
         actions.append(
             {
@@ -3225,6 +3465,7 @@ def merge_delta_lite(
         else:
             n_updated += sum(r["count"] for r in counts_n)
 
+    mat_col, rt_actions = _rt_rewrite_begin(meta)
     pieces: list[DataFrame] = []
     if affected:
         # one left join, one projection: every SET expression sees the
@@ -3259,8 +3500,16 @@ def merge_delta_lite(
             return col.alias(f.name)
 
         out_cols = [_out_col(f) for f in schema.fields]
+        if mat_col is not None:
+            # an UPDATEd row keeps its tracked id (stability contract)
+            out_cols = out_cols + [
+                F.col("target.__row_id").alias("__row_id")
+            ]
         pieces.append(
-            _snapshot_scan(spark, table_path, affected, meta)
+            _snapshot_scan(
+                spark, table_path, affected, meta,
+                with_row_id=mat_col is not None,
+            )
             .alias("target")
             .join(source.alias("source"), _merge_key_cond(keys), "left")
             .filter(~(matched & del_cond) & ~nmbs_del)
@@ -3296,7 +3545,12 @@ def merge_delta_lite(
             new_rows = new_rows.join(matched_keys, keys, "left_anti")
         n_inserted = new_rows.count()
         if n_inserted:
-            pieces.append(new_rows.select(*table_cols))
+            ins = new_rows.select(*table_cols)
+            if mat_col is not None:
+                # inserts derive fresh ids from the new file's
+                # baseRowId (materialized NULL)
+                ins = ins.withColumn("__row_id", F.lit(None).cast("long"))
+            pieces.append(ins)
             inserted_rows = new_rows
 
     if not pieces:
@@ -3305,9 +3559,14 @@ def merge_delta_lite(
     for p in pieces[1:]:
         out = out.unionByName(p)
     _enforce_constraints(out, meta.get("configuration"), schema)
-    new_adds = _rewrite_files(out, table_path, part_cols, meta)
+    new_adds = _rewrite_files(
+        out, table_path, part_cols, meta, mat_col=mat_col
+    )
+    if mat_col is not None:
+        rt_actions += _rt_rewrite_finish(_log_dir(table_path), new_adds)
     actions = [_remove_action(a, now_ms) for a in affected]
     actions += [{"add": a} for a in new_adds]
+    actions.extend(rt_actions)
     if _cdf_enabled(meta):
         # CDF: pre/post-image per updated row, delete per deleted row,
         # insert per new row
@@ -4027,14 +4286,23 @@ def update_delta_lite(
         else F.col(f.name)
         for f in schema.fields
     ]
-    rewritten = _snapshot_scan(spark, table_path, affected, meta).select(
-        *out_cols
-    )
+    mat_col, rt_actions = _rt_rewrite_begin(meta)
+    if mat_col is not None:
+        # updated rows keep their tracked ids (stability contract)
+        out_cols = out_cols + [F.col("__row_id")]
+    rewritten = _snapshot_scan(
+        spark, table_path, affected, meta, with_row_id=mat_col is not None
+    ).select(*out_cols)
     _enforce_constraints(rewritten, meta.get("configuration"), schema)
-    new_adds = _rewrite_files(rewritten, table_path, part_cols, meta)
+    new_adds = _rewrite_files(
+        rewritten, table_path, part_cols, meta, mat_col=mat_col
+    )
+    if mat_col is not None:
+        rt_actions += _rt_rewrite_finish(_log_dir(table_path), new_adds)
     now_ms = int(time.time() * 1000)
     actions = [_remove_action(a, now_ms) for a in affected]
     actions += [{"add": a} for a in new_adds]
+    actions.extend(rt_actions)
     if _cdf_enabled(meta):
         # CDF: pre- and post-image of every matched row
         table_cols = [f.name for f in schema.fields]

@@ -39,6 +39,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# spec v3 reserved field id for the MATERIALIZED row-lineage column
+# rewritten data files carry (name-mapping entries under this id name
+# the physical column; fresh files derive first_row_id + position)
+_ROW_ID_FIELD_ID = 2147483546
+
 
 def is_iceberg_table(table_path: str) -> bool:
     return bool(
@@ -766,6 +771,7 @@ def read_iceberg_lite(
         "schema.name-mapping.default"
     )
     _phys_field = None
+    rid_mat_col: str | None = None
     if nm_raw:
         id_to_file_name: dict[int, str] = {}
 
@@ -777,6 +783,10 @@ def read_iceberg_lite(
                     _nm_flat(e["fields"])
 
         _nm_flat(json.loads(nm_raw))
+        # spec reserved field 2147483546: the MATERIALIZED ``_row_id``
+        # column rewritten data files carry (row lineage survives
+        # rewrites through it; fresh files derive first_row_id + pos)
+        rid_mat_col = id_to_file_name.pop(_ROW_ID_FIELD_ID, None)
         ice_field_of = {
             f["name"]: f for f in _current_schema(meta).get("fields", [])
         }
@@ -817,6 +827,8 @@ def read_iceberg_lite(
                 sf.nullable,
             )
 
+    want_mrid = with_row_id and rid_mat_col is not None
+
     def scan(paths: list[str], schema: T.StructType, extra) -> DataFrame:
         read_fields = (
             [_phys_field(f) for f in schema.fields]
@@ -824,8 +836,22 @@ def read_iceberg_lite(
             else list(schema.fields)
         )
         renamed = read_fields != list(schema.fields)
-        read_schema = T.StructType(read_fields) if renamed else schema
+        if want_mrid:
+            # files predating the materialized column just read NULLs
+            read_fields = read_fields + [
+                T.StructField(rid_mat_col, T.LongType())
+            ]
+        read_schema = (
+            T.StructType(read_fields)
+            if (renamed or want_mrid)
+            else schema
+        )
         d = spark.read.schema(read_schema).parquet(*paths)
+        mrid = (
+            [F.col(rid_mat_col).cast("long").alias("__mrid")]
+            if want_mrid
+            else []
+        )
         if renamed:
             # restore logical names (+ keep metadata cols reachable);
             # nested renames restore through a positional struct cast
@@ -835,6 +861,7 @@ def read_iceberg_lite(
                 if rf.dataType != f.dataType:
                     col = col.cast(f.dataType)
                 sel.append(col.alias(f.name))
+            sel += mrid
             if track:
                 sel += [
                     norm(F.col("_metadata.file_path")).alias("__dfile"),
@@ -842,10 +869,10 @@ def read_iceberg_lite(
                 ]
             d = d.select(*sel)
             cols = list(extra) + (
-                [F.col("__dfile"), F.col("__dpos")] if track else []
-            )
+                [F.col("__mrid")] if want_mrid else []
+            ) + ([F.col("__dfile"), F.col("__dpos")] if track else [])
             return d.select(*cols)
-        cols = list(extra) + (
+        cols = list(extra) + mrid + (
             [
                 norm(F.col("_metadata.file_path")).alias("__dfile"),
                 F.col("_metadata.row_index").alias("__dpos"),
@@ -1014,11 +1041,18 @@ def read_iceberg_lite(
                 "__dfile string, __frid long",
             )
         )
+        rid = F.col("__frid") + F.col("__dpos")
+        if "__mrid" in df.columns:
+            # a rewritten file's materialized id wins over the derived
+            # first_row_id + position (spec row-lineage precedence)
+            rid = F.coalesce(F.col("__mrid"), rid)
         df = (
             df.join(frid_df, "__dfile", "left")
-            .withColumn("_row_id", F.col("__frid") + F.col("__dpos"))
+            .withColumn("_row_id", rid)
             .drop("__frid")
         )
+    if "__mrid" in df.columns:
+        df = df.drop("__mrid")
     if track and not with_provenance:
         df = df.drop("__dfile", "__dpos", "__dseq")
     elif with_provenance:

@@ -796,6 +796,25 @@ def export_delta_as_iceberg(spark: SparkSession, table_path: str) -> int:
             {"field-id": f["id"], "names": [phys_name[f["name"]]]}
             for f in iceberg_schema.get("fields", [])
         ]
+    if rt_export:
+        # delta rewrites materialize surviving rows' ids into a hidden
+        # physical column; iceberg v3 models the same thing as the
+        # reserved MATERIALIZED ``_row_id`` field (id 2147483546) —
+        # mapping the delta physical name onto that reserved id lets
+        # any conforming v3 reader honor rewrite-preserved lineage
+        # (fresh files read NULL and fall back to first_row_id + pos)
+        from spark_etl_cli_spark.sources.delta_lite import (
+            _materialized_row_id_col,
+        )
+        from spark_etl_cli_spark.sources.iceberg_lite import (
+            _ROW_ID_FIELD_ID,
+        )
+
+        rid_mat = _materialized_row_id_col(meta.get("configuration"))
+        if rid_mat:
+            name_mapping = name_mapping + [
+                {"field-id": _ROW_ID_FIELD_ID, "names": [rid_mat]}
+            ]
 
     meta_dir = os.path.join(table_path, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
@@ -867,16 +886,66 @@ def export_delta_as_iceberg(spark: SparkSession, table_path: str) -> int:
     # driver-side but cardinality-bounded — the exact bound the delta
     # reader itself pays when applying a DV.
     dv_adds = [a for a in adds if a.get("deletionVector")]
+    puffin_dv: tuple[str, list[str], list[dict], dict[str, int]] | None = None
     if rt_export and dv_adds:
-        raise NotImplementedError(
-            "row-tracked delta table with live deletion vectors: an "
-            "iceberg v3 export must emit Puffin DVs (parquet position "
-            "deletes are v2-only) — OPTIMIZE the delta table to apply "
-            "its DVs first, then re-export"
+        # v3 export path: delta's live DVs become iceberg deletion
+        # vectors — ``deletion-vector-v1`` blobs in one Puffin file,
+        # referenced from a content=1 delete manifest by
+        # (referenced_data_file, content_offset, content_size). The
+        # position sets are identical on both sides (row ordinals in
+        # the same parquet file), so survivors' _row_id parity holds:
+        # base + position skips the same ordinals under either reader.
+        from spark_etl_cli_spark.sources.dv_lite import (
+            read_deletion_vector,
         )
+        from spark_etl_cli_spark.sources.puffin_lite import (
+            DV_BLOB_TYPE,
+            dv_blob_bytes,
+            write_puffin,
+        )
+
+        per_file: dict[str, list[int]] = {}
+        for a in dv_adds:
+            idx = sorted(
+                int(i)
+                for i in read_deletion_vector(
+                    table_path, a["deletionVector"]
+                )
+            )
+            if idx:
+                per_file[os.path.join(abs_root, a["path"])] = idx
+        if per_file:
+            refs = sorted(per_file)
+            dv_data_dir = os.path.join(abs_root, "data")
+            os.makedirs(dv_data_dir, exist_ok=True)
+            puffin_path = os.path.join(
+                dv_data_dir, f"uniform-dv-{commit_uuid}.puffin"
+            )
+            blob_metas = write_puffin(
+                puffin_path,
+                [
+                    {
+                        "type": DV_BLOB_TYPE,
+                        "data": dv_blob_bytes(per_file[ref]),
+                        "snapshot-id": snapshot_id,
+                        "sequence-number": seq,
+                        "properties": {
+                            "referenced-data-file": ref,
+                            "cardinality": str(len(per_file[ref])),
+                        },
+                    }
+                    for ref in refs
+                ],
+            )
+            puffin_dv = (
+                puffin_path,
+                refs,
+                blob_metas,
+                {ref: len(per_file[ref]) for ref in refs},
+            )
     pos_del_file = None
     n_pos_deletes = 0
-    if dv_adds:
+    if dv_adds and not rt_export:
         from spark_etl_cli_spark.sources.dv_lite import read_deletion_vector
 
         pd_rows = sorted(
@@ -987,6 +1056,65 @@ def export_delta_as_iceberg(spark: SparkSession, table_path: str) -> int:
                 "existing_files_count": 0,
                 "deleted_files_count": 0,
                 "added_rows_count": n_pos_deletes,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
+    if puffin_dv is not None:
+        from spark_etl_cli_spark.sources.iceberg_lite import (
+            _delete_manifest_schema,
+        )
+
+        puffin_path, refs, blob_metas, card_of = puffin_dv
+        psize = os.path.getsize(puffin_path)
+        dv_manifest_path = os.path.join(
+            meta_dir, f"manifest-uniform-dv-{commit_uuid}.avro"
+        )
+        write_container(
+            dv_manifest_path,
+            _delete_manifest_schema(),
+            iter(
+                {
+                    "status": 1,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": None,
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": 1,
+                        "file_path": puffin_path,
+                        "file_format": "PUFFIN",
+                        "partition": {},
+                        "record_count": card_of[ref],
+                        "file_size_in_bytes": psize,
+                        "referenced_data_file": ref,
+                        "content_offset": bm["offset"],
+                        "content_size_in_bytes": bm["length"],
+                    },
+                }
+                for ref, bm in zip(refs, blob_metas)
+            ),
+            extra_meta={
+                "schema": json.dumps(iceberg_schema).encode(),
+                "schema-id": b"0",
+                "partition-spec": b"[]",
+                "partition-spec-id": b"0",
+                "format-version": b"3",
+                "content": b"deletes",
+            },
+        )
+        mlist_entries.append(
+            {
+                "manifest_path": dv_manifest_path,
+                "manifest_length": os.path.getsize(dv_manifest_path),
+                "partition_spec_id": 0,
+                "content": 1,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(refs),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(card_of.values()),
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
             }

@@ -2595,11 +2595,13 @@ def test_row_tracking_assigns_and_survives_checkpoint(spark, tmp_path):
     assert ids == list(range(13))
 
 
-def test_row_tracking_dv_delete_keeps_ids_cow_fences(spark, tmp_path):
+def test_row_tracking_dv_delete_keeps_ids_and_cow_materializes(
+    spark, tmp_path
+):
     """A DV delete keeps survivors' row ids stable (positions don't
-    shift); a COW rewrite does NOT materialize row ids in this lite
-    writer, so _row_id reads fence loudly afterwards — never a silent
-    renumbering."""
+    shift); a COW rewrite MATERIALIZES survivors' ids into the new
+    files (the protocol's materialized row-id column), so _row_id
+    reads keep working — ids stable across routine maintenance."""
     from spark_etl_cli_spark.sources.delta_lite import (
         delete_delta_lite,
         read_delta_lite,
@@ -2620,11 +2622,75 @@ def test_row_tracking_dv_delete_keeps_ids_cow_fences(spark, tmp_path):
     )
     assert got == [(i, i) for i in range(10) if i not in (3, 7)]
 
-    # a COW rewrite drops baseRowId for the rewritten file -> fence
+    # a COW rewrite materializes survivors' ids -> reads still work,
+    # ids unchanged for the 7 surviving rows
     delete_delta_lite(spark, table, "id = 9", deletion_vectors=False)
-    assert read_delta_lite(spark, table).count() == 7  # plain reads fine
-    with pytest.raises(NotImplementedError, match="baseRowId"):
-        read_delta_lite(spark, table, with_row_id=True).collect()
+    got2 = sorted(
+        (r.id, r._row_id)
+        for r in read_delta_lite(spark, table, with_row_id=True).collect()
+    )
+    assert got2 == [(i, i) for i in range(10) if i not in (3, 7, 9)]
+
+
+def test_row_tracking_survives_update_merge_optimize(spark, tmp_path):
+    """Round-trip across the full maintenance surface: UPDATE keeps
+    the updated row's id, upsert-MERGE keeps replaced keys' ids and
+    mints fresh ids only for inserts, OPTIMIZE compaction preserves
+    every id — exactly the protocol's stability contract."""
+    from spark_etl_cli_spark.sources.delta_lite import (
+        _upsert_delta_lite,
+        optimize_delta_lite,
+        read_delta_lite,
+        update_delta_lite,
+        write_delta_lite,
+    )
+
+    table = str(tmp_path / "rt_maint")
+    write_delta_lite(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8)], "id long, v string"
+        ).coalesce(1),
+        table, properties={"delta.enableRowTracking": "true"},
+    )
+    base = {
+        r.id: r._row_id
+        for r in read_delta_lite(spark, table, with_row_id=True).collect()
+    }
+
+    update_delta_lite(spark, table, "id = 2", {"v": "'patched'"})
+    after_upd = {
+        r.id: (r.v, r._row_id)
+        for r in read_delta_lite(spark, table, with_row_id=True).collect()
+    }
+    assert after_upd[2] == ("patched", base[2])
+    assert {k: rid for k, (_, rid) in after_upd.items()} == base
+
+    # upsert: replace id=5, insert id=100
+    _upsert_delta_lite(
+        spark.createDataFrame(
+            [(5, "five2"), (100, "hundred")], "id long, v string"
+        ),
+        table, "id",
+    )
+    after_ups = {
+        r.id: (r.v, r._row_id)
+        for r in read_delta_lite(spark, table, with_row_id=True).collect()
+    }
+    assert after_ups[5] == ("five2", base[5])  # replaced key keeps id
+    assert after_ups[100][1] not in base.values()  # insert = fresh id
+    assert len({rid for _, rid in after_ups.values()}) == len(after_ups)
+
+    # compaction: ids identical before/after
+    before_opt = {
+        r.id: r._row_id
+        for r in read_delta_lite(spark, table, with_row_id=True).collect()
+    }
+    optimize_delta_lite(spark, table, target_file_bytes=1 << 30, min_files=2)
+    after_opt = {
+        r.id: r._row_id
+        for r in read_delta_lite(spark, table, with_row_id=True).collect()
+    }
+    assert after_opt == before_opt
 
 
 def test_row_tracking_via_uri(spark, tmp_path):

@@ -531,9 +531,8 @@ def test_rowtracked_delta_exports_iceberg_v3_row_lineage(spark, tmp_path):
     """delta row tracking ↔ iceberg v3 row lineage share one model
     (per-file base id + position), so a row-tracked delta table
     exports as iceberg FORMAT V3 and ``_row_id`` matches VERBATIM on
-    both sides; live DVs fence (v3 would need Puffin DV emission)."""
-    import pytest as _pytest
-
+    both sides; live DVs export as PUFFIN deletion-vector blobs and
+    parity still holds for the survivors."""
     from spark_etl_cli_spark.sources.delta_lite import (
         delete_delta_lite,
         read_delta_lite,
@@ -570,8 +569,41 @@ def test_rowtracked_delta_exports_iceberg_v3_row_lineage(spark, tmp_path):
     )
     assert ice == dl and len(ice) == 11
 
-    # live DVs: v3 export fences loudly instead of writing v2-only
-    # parquet position deletes into a v3 table
+    # live DVs: the v3 export re-wraps the deleted-position bitmaps as
+    # PUFFIN deletion-vector-v1 blobs (parquet position deletes are
+    # v2-only); the iceberg reader applies them and _row_id parity
+    # holds for every surviving row
+    import glob as _glob2
+
     delete_delta_lite(spark, t, "id = 4", deletion_vectors=True)
-    with _pytest.raises(NotImplementedError, match="Puffin"):
-        export_delta_as_iceberg(spark, t)
+    export_delta_as_iceberg(spark, t)
+    assert _glob2.glob(os.path.join(t, "data", "uniform-dv-*.puffin"))
+    ice2 = sorted(
+        (r.id, r._row_id)
+        for r in read_iceberg_lite(spark, t, with_row_id=True).collect()
+    )
+    dl2 = sorted(
+        (r.id, r._row_id)
+        for r in read_delta_lite(spark, t, with_row_id=True).collect()
+    )
+    assert ice2 == dl2 and len(ice2) == 10
+    assert all(i != 4 for i, _rid in ice2)
+    # survivors keep the ids they had before the delete
+    assert set(ice2) <= set(ice)
+
+    # COW rewrite: delta materializes survivors' ids into the new
+    # files; the export maps that column onto iceberg v3's reserved
+    # materialized _row_id field (name mapping, id 2147483546) so
+    # parity STILL holds after routine maintenance
+    delete_delta_lite(spark, t, "id = 7", deletion_vectors=False)
+    export_delta_as_iceberg(spark, t)
+    ice3 = sorted(
+        (r.id, r._row_id)
+        for r in read_iceberg_lite(spark, t, with_row_id=True).collect()
+    )
+    dl3 = sorted(
+        (r.id, r._row_id)
+        for r in read_delta_lite(spark, t, with_row_id=True).collect()
+    )
+    assert ice3 == dl3 and len(ice3) == 9
+    assert set(ice3) <= set(ice2)  # rewrite preserved surviving ids
