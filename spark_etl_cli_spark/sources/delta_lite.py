@@ -1374,11 +1374,6 @@ def write_delta_lite(
                     "reset the high-water mark; drop and recreate the "
                     "table instead"
                 )
-            if _physical_schema(table_schema)[1]:
-                raise NotImplementedError(
-                    "identity columns on column-mapped tables need "
-                    "delta-spark"
-                )
             provided = [c for c in table_idy if c in df.columns]
             if provided:
                 raise ValueError(

@@ -829,7 +829,61 @@ def read_iceberg_lite(
 
     want_mrid = with_row_id and rid_mat_col is not None
 
+    # v3 initial-defaults (spec "Default values"): a file written
+    # before a defaulted column was added physically lacks it and must
+    # read the default, while a file that HAS the column serves its
+    # stored values (including genuine NULLs) verbatim — so scans
+    # group per file VINTAGE (footer presence of the column, a
+    # driver-side check bounded by file count like the manifests).
+    init_dflt = {
+        f["name"]: f["initial-default"]
+        for f in _current_schema(meta).get("fields", [])
+        if f.get("initial-default") is not None
+    }
+
     def scan(paths: list[str], schema: T.StructType, extra) -> DataFrame:
+        relevant = {
+            f.name: init_dflt[f.name]
+            for f in schema.fields
+            if f.name in init_dflt
+        }
+        if not relevant:
+            return _scan_one(paths, schema, extra, {})
+        read_name_of = {
+            f.name: (_phys_field(f).name if _phys_field else f.name)
+            for f in schema.fields
+            if f.name in relevant
+        }
+        import pyarrow.parquet as _pq
+
+        groups_v: dict[frozenset, list[str]] = {}
+        for p in paths:
+            present = set(_pq.ParquetFile(p).schema_arrow.names)
+            missing = frozenset(
+                nm
+                for nm, rn in read_name_of.items()
+                if rn not in present
+            )
+            groups_v.setdefault(missing, []).append(p)
+        pieces_v = [
+            _scan_one(
+                ps, schema, extra, {nm: relevant[nm] for nm in miss}
+            )
+            for miss, ps in sorted(
+                groups_v.items(), key=lambda kv: sorted(kv[0])
+            )
+        ]
+        out_v = pieces_v[0]
+        for pc in pieces_v[1:]:
+            out_v = out_v.unionByName(pc)
+        return out_v
+
+    def _scan_one(
+        paths: list[str],
+        schema: T.StructType,
+        extra,
+        fill: dict[str, object],
+    ) -> DataFrame:
         read_fields = (
             [_phys_field(f) for f in schema.fields]
             if _phys_field
@@ -847,6 +901,16 @@ def read_iceberg_lite(
             else schema
         )
         d = spark.read.schema(read_schema).parquet(*paths)
+        if fill:
+            by_name_s = {f.name: f for f in schema.fields}
+            for rf, f in zip(read_fields, schema.fields):
+                if f.name in fill:
+                    d = d.withColumn(
+                        rf.name,
+                        F.lit(fill[f.name]).cast(
+                            by_name_s[f.name].dataType
+                        ),
+                    )
         mrid = (
             [F.col(rid_mat_col).cast("long").alias("__mrid")]
             if want_mrid
@@ -1354,8 +1418,18 @@ def write_iceberg_lite(
     format_version: int | None = None,
     branch: str | None = None,
     sort_by: list[str] | None = None,
+    column_defaults: dict[str, object] | None = None,
 ) -> int:
     """Commit ``df`` to an Iceberg table; returns the new snapshot id.
+
+    ``column_defaults`` (format v3, spec "Default values"): primitive
+    per-column defaults recorded as ``initial-default`` +
+    ``write-default`` on the schema field. Only legal for columns
+    introduced by THIS commit (table creation or a merge_schema
+    add-column) — ``initial-default`` is fixed at add time by spec.
+    Readers serve the initial-default for files that physically lack
+    the column (older vintages); writers fill an omitted column with
+    its write-default instead of erroring.
 
     ``format_version``: 2 (default) or 3 on table CREATION; an existing
     table keeps its version (use ``upgrade_iceberg_format`` to move to
@@ -1422,14 +1496,38 @@ def write_iceberg_lite(
             f"table is format-version {fv}; use upgrade_iceberg_format "
             "to change it, not a write option"
         )
+    evolved_new_cols: list[str] = []
     if prior is not None:
         prior_schema = _schema_to_spark(prior)
         prior_names = [f.name for f in prior_schema.fields]
         if prior_names != list(df.columns):
             new_cols = [c for c in df.columns if c not in prior_names]
             absent = [c for c in prior_names if c not in df.columns]
-            if not (merge_schema and mode == "append" and new_cols
-                    and not absent):
+            # v3 write-defaults: an omitted column whose schema records
+            # write-default is filled by the WRITER (spec "Default
+            # values") instead of failing the shape check
+            pf_json = {
+                f["name"]: f
+                for f in _current_schema(prior).get("fields", [])
+            }
+            fill = [
+                c
+                for c in absent
+                if pf_json.get(c, {}).get("write-default") is not None
+            ]
+            if fill and mode == "append":
+                for c in fill:
+                    df = df.withColumn(
+                        c,
+                        F.lit(pf_json[c]["write-default"]).cast(
+                            prior_schema[c].dataType
+                        ),
+                    )
+                absent = [c for c in absent if c not in fill]
+            if (absent or new_cols) and not (
+                merge_schema and mode == "append" and new_cols
+                and not absent
+            ):
                 raise ValueError(
                     "iceberg_lite append schema mismatch: table has "
                     f"{prior_names}, frame has {list(df.columns)}"
@@ -1437,6 +1535,7 @@ def write_iceberg_lite(
                        " (pass merge_schema=True / ?mergeSchema=true "
                        "to ADD columns on append)")
                 )
+            evolved_new_cols = new_cols
             # schema evolution: prior columns keep their POSITIONS (and
             # therefore their deterministic field ids), new columns
             # append at the tail with fresh tail ids. Old data files
@@ -1605,6 +1704,49 @@ def write_iceberg_lite(
     # committing them bloats every manifest for no rows.
     manifest_path = os.path.join(meta_dir, f"manifest-{commit_uuid}.avro")
     iceberg_schema = _spark_to_iceberg_schema(df.schema)
+    if prior is not None:
+        # carry persisted v3 column defaults forward — the schema is
+        # regenerated from the frame each commit, which would silently
+        # drop initial-default/write-default otherwise
+        prior_dflt = {
+            f["name"]: {
+                k: f[k]
+                for k in ("initial-default", "write-default")
+                if k in f
+            }
+            for f in _current_schema(prior).get("fields", [])
+        }
+        for f in iceberg_schema.get("fields", []):
+            f.update(prior_dflt.get(f["name"], {}))
+    if column_defaults:
+        if fv != 3:
+            raise ValueError(
+                "column defaults (initial-default/write-default) are a "
+                f"format-version 3 feature; table is v{fv}"
+            )
+        addable = (
+            set(evolved_new_cols)
+            if prior is not None
+            else set(df.columns)
+        )
+        bad = [c for c in column_defaults if c not in addable]
+        if bad:
+            raise ValueError(
+                f"column_defaults for {bad}: initial-default is fixed "
+                "at ADD time (spec) — only columns introduced by this "
+                f"commit qualify ({sorted(addable)})"
+            )
+        by_name_d = {
+            f["name"]: f for f in iceberg_schema.get("fields", [])
+        }
+        for c, v in column_defaults.items():
+            if isinstance(v, (dict, list, tuple)) or v is None:
+                raise NotImplementedError(
+                    f"column_defaults[{c!r}]: primitive defaults only "
+                    "(int/float/str/bool/ISO date string)"
+                )
+            by_name_d[c]["initial-default"] = v
+            by_name_d[c]["write-default"] = v
     field_id_of = {
         f["name"]: f["id"] for f in iceberg_schema.get("fields", [])
     }

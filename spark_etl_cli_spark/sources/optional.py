@@ -1070,6 +1070,24 @@ class IcebergSink:
             c for c in self.uri.params.get("partitionCols", "").split(",") if c
         ]
         fvp = self.uri.params.get("format-version")
+        # ?defaults=col:json;... — v3 column defaults for columns this
+        # commit introduces (JSON scalar values: 7, "x", true)
+        dflt_raw = self.uri.params.get("defaults")
+        dflts = None
+        if dflt_raw:
+            import json as _json
+
+            dflts = {}
+            for seg in dflt_raw.split(";"):
+                if not seg:
+                    continue
+                c, _, v = seg.partition(":")
+                if not c or not v:
+                    raise ValueError(
+                        "?defaults= expects col:<json-scalar> segments; "
+                        f"got {seg!r}"
+                    )
+                dflts[c.strip()] = _json.loads(v)
         write_iceberg_lite(
             df, self.uri.path, mode=mode, partition_by=parts or None,
             merge_schema=self.uri.params.get("mergeSchema", "").lower()
@@ -1086,6 +1104,7 @@ class IcebergSink:
                 c for c in self.uri.params.get("sortBy", "").split(",") if c
             ]
             or None,
+            column_defaults=dflts,
         )
         return True
 

@@ -2485,6 +2485,52 @@ def test_identity_columns_via_uri(spark, tmp_path):
     assert all(r.doc_id >= 1 for r in rows)
 
 
+def test_identity_columns_on_column_mapped_table(spark, tmp_path):
+    """Identity assignment works through column mapping: the table is
+    upgraded to mapping mode (physical col-<uuid> file names), appends
+    still engine-assign the identity column and advance the high-water
+    mark — the logical→physical projection covers identity like any
+    other column."""
+    from spark_etl_cli_spark.sources.delta_lite import (
+        _identity_specs,
+        _physical_schema,
+        alter_delta_lite,
+        read_delta_lite,
+        write_delta_lite,
+    )
+    from pyspark.sql import types as T
+    import json as _json
+
+    table = str(tmp_path / "idy_mapped")
+    write_delta_lite(
+        spark.createDataFrame([("a",), ("b",)], "v string"),
+        table, identity={"id": (1, 1)},
+    )
+    # upgrade to column mapping via a rename (ALTER assigns mapping ids)
+    alter_delta_lite(spark, table, rename={"v": "val"})
+    from spark_etl_cli_spark.sources.delta_lite import _replay
+
+    _adds, meta = _replay(spark, table)
+    schema = T.StructType.fromJson(_json.loads(meta["schemaString"]))
+    assert _physical_schema(schema)[1], "table should be column-mapped now"
+
+    ids1 = sorted(r.id for r in read_delta_lite(spark, table).collect())
+    write_delta_lite(
+        spark.createDataFrame([("c",), ("d",)], "val string"),
+        table, mode="append",
+    )
+    rows = read_delta_lite(spark, table).collect()
+    ids2 = sorted(r.id for r in rows)
+    assert len(ids2) == 4 and len(set(ids2)) == 4
+    assert min(set(ids2) - set(ids1)) > max(ids1)  # hwm advanced
+    assert {r.val for r in rows} == {"a", "b", "c", "d"}
+    _adds2, meta2 = _replay(spark, table)
+    schema2 = T.StructType.fromJson(_json.loads(meta2["schemaString"]))
+    spec = _identity_specs(schema2)["id"]
+    assert spec["hwm"] == max(ids2)
+    assert _physical_schema(schema2)[1]  # mapping survived the append
+
+
 def test_identity_negative_step_descends_without_collision(spark, tmp_path):
     """A DESCENDING identity (step < 0) tracks its high-water mark in
     the step direction (min, not max): the second batch starts BELOW

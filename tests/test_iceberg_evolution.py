@@ -191,3 +191,83 @@ def test_evolve_via_uri(spark, tmp_path):
     # unknown column refuses
     with pytest.raises(ValueError, match="not in schema"):
         evolve_iceberg_spec(table, ["nope"])
+
+
+# --- v3 default column values (spec "Default values") ----------------------
+
+
+def test_v3_initial_default_per_file_vintage(spark, tmp_path):
+    """Add-column evolution with a default: files written BEFORE the
+    column was added read the initial-default; files written after
+    serve stored values — including genuine NULLs (a default must
+    never paper over a stored NULL)."""
+    table = str(tmp_path / "ice_dflt")
+    write_iceberg_lite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        table, format_version=3,
+    )
+    # evolution commit: new column with a default
+    write_iceberg_lite(
+        spark.createDataFrame(
+            [(3, "c", 99), (4, "d", None)], "id long, v string, score long"
+        ),
+        table, merge_schema=True, column_defaults={"score": 7},
+    )
+    got = {
+        r.id: r.score for r in read_iceberg_lite(spark, table).collect()
+    }
+    assert got == {1: 7, 2: 7, 3: 99, 4: None}
+
+    # defaults persist across further commits (schema regeneration
+    # must not drop them)
+    write_iceberg_lite(
+        spark.createDataFrame(
+            [(5, "e", 55)], "id long, v string, score long"
+        ),
+        table,
+    )
+    got2 = {
+        r.id: r.score for r in read_iceberg_lite(spark, table).collect()
+    }
+    assert got2 == {1: 7, 2: 7, 3: 99, 4: None, 5: 55}
+
+
+def test_v3_write_default_fills_omitted_column(spark, tmp_path):
+    """A writer omitting a defaulted column gets it filled with the
+    write-default instead of a schema-mismatch error."""
+    table = str(tmp_path / "ice_wd")
+    write_iceberg_lite(
+        spark.createDataFrame(
+            [(1, "a", 10)], "id long, v string, score long"
+        ),
+        table, format_version=3, column_defaults={"score": 7},
+    )
+    write_iceberg_lite(
+        spark.createDataFrame([(2, "b")], "id long, v string"),
+        table, mode="append",
+    )
+    got = {
+        r.id: r.score for r in read_iceberg_lite(spark, table).collect()
+    }
+    assert got == {1: 10, 2: 7}
+
+
+def test_column_defaults_guarded(spark, tmp_path):
+    """Defaults are v3-only, and initial-default is fixed at ADD time:
+    a default for a pre-existing column refuses."""
+    t2 = str(tmp_path / "ice_dflt_v2")
+    with pytest.raises(ValueError, match="format-version 3"):
+        write_iceberg_lite(
+            spark.createDataFrame([(1,)], "id long"),
+            t2, column_defaults={"id": 0},
+        )
+    t3 = str(tmp_path / "ice_dflt_old")
+    write_iceberg_lite(
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        t3, format_version=3,
+    )
+    with pytest.raises(ValueError, match="ADD time"):
+        write_iceberg_lite(
+            spark.createDataFrame([(2, "b")], "id long, v string"),
+            t3, column_defaults={"v": "x"},
+        )
