@@ -574,3 +574,173 @@ def q179_top_p_vocab(spark, sf_dir):
             F.min("total").cast("bigint").alias("total_occurrences"),
         )
     )
+
+
+# --- q189: temperature-scaled mixture weights -------------------------------
+# The multilingual/multi-source sampling recipe (mT5/XLM-R style):
+# source i is sampled with probability n_i^alpha / sum n_j^alpha,
+# alpha=0.5 — upweights small sources without drowning big ones.
+# Determinism: sqrt is IEEE-correctly-rounded in BOTH engines, so
+# floor(sqrt(n)*1e6) is a bit-stable BIGINT; the weight is then one
+# exact-integer ratio evaluated as a single final double division.
+# Scale: the corpus collapses to |sources| rows at the first agg;
+# the normalizing window runs over that bounded grid only.
+@query(
+    "q189_mixture_temperature",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, CAST(len({SQL_TOKENS}) AS BIGINT) AS ntok
+      FROM documents
+    ),
+    s AS (
+      SELECT source, CAST(SUM(ntok) AS BIGINT) AS n_tokens
+      FROM tok GROUP BY 1
+    ),
+    w AS (
+      SELECT source, n_tokens,
+             CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+               AS sqrt_mu
+      FROM s
+    )
+    SELECT source, n_tokens, sqrt_mu,
+           CAST(sqrt_mu AS DOUBLE) / CAST(SUM(sqrt_mu) OVER () AS DOUBLE)
+             AS weight
+    FROM w
+    """,
+)
+def q189_mixture_temperature(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    s = d.select(
+        "source", F.size(tokens(F.col("text"))).cast("long").alias("ntok")
+    ).groupBy("source").agg(
+        F.sum("ntok").cast("bigint").alias("n_tokens")
+    )
+    w = s.select(
+        "source",
+        "n_tokens",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1e6)
+        .cast("bigint")
+        .alias("sqrt_mu"),
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return w.select(
+        "source",
+        "n_tokens",
+        "sqrt_mu",
+        (
+            F.col("sqrt_mu").cast("double")
+            / F.sum("sqrt_mu").over(wall).cast("double")
+        ).alias("weight"),
+    )
+
+
+# --- q190: waterfilling token-budget allocation ------------------------------
+# "Spend a 30% token budget across sources, capping the big ones":
+# the exact waterfill level t satisfies sum(min(n_i, t)) = B, found
+# closed-form on the ASCENDING-sorted source table — the first row
+# where taking every smaller source whole and capping the rest at its
+# size covers the budget. Every step is BIGINT arithmetic (floor-div
+# level, exact prefix sums), so the oracle hash-matches bit-for-bit.
+# Scale: all windows run over the |sources| grid (corpus already
+# collapsed); nothing table-sized crosses an unpartitioned window.
+@query(
+    "q190_waterfill_budget",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, CAST(len({SQL_TOKENS}) AS BIGINT) AS ntok
+      FROM documents
+    ),
+    s AS (
+      SELECT source, CAST(SUM(ntok) AS BIGINT) AS n_tokens
+      FROM tok GROUP BY 1
+    ),
+    r AS (
+      SELECT source, n_tokens,
+             ROW_NUMBER() OVER w AS idx,
+             COALESCE(SUM(n_tokens) OVER (w ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING), 0) AS prefix_prev,
+             COUNT(*) OVER () AS m,
+             (SUM(n_tokens) OVER () * 3) // 10 AS b
+      FROM s WINDOW w AS (ORDER BY n_tokens, source)
+    ),
+    f AS (
+      SELECT *,
+             CASE WHEN prefix_prev + (m - idx + 1) * n_tokens >= b
+                  THEN idx END AS feas_idx,
+             CASE WHEN prefix_prev + (m - idx + 1) * n_tokens >= b
+                  THEN (b - prefix_prev) // (m - idx + 1) END AS t_here
+      FROM r
+    ),
+    lvl AS (
+      SELECT *,
+             MIN(feas_idx) OVER () AS first_idx,
+             CAST(b AS BIGINT) AS budget
+      FROM f
+    )
+    SELECT source, n_tokens,
+           CAST(LEAST(n_tokens, COALESCE(
+             MAX(CASE WHEN idx = first_idx THEN t_here END) OVER (),
+             n_tokens)) AS BIGINT) AS alloc,
+           budget
+    FROM lvl
+    """,
+)
+def q190_waterfill_budget(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    s = d.select(
+        "source", F.size(tokens(F.col("text"))).cast("long").alias("ntok")
+    ).groupBy("source").agg(
+        F.sum("ntok").cast("bigint").alias("n_tokens")
+    )
+    w = Window.orderBy("n_tokens", "source")
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = s.select(
+        "source",
+        "n_tokens",
+        F.row_number().over(w).alias("idx"),
+        F.coalesce(
+            F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("prefix_prev"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+        F.sum("n_tokens").over(wall).alias("total"),
+    ).withColumn(
+        # integer floor-division (Spark / is float division and would
+        # lose exactness past 2^53)
+        "b", F.expr("(total * 3) div 10").cast("long")
+    )
+    feasible = (
+        F.col("prefix_prev")
+        + (F.col("m") - F.col("idx") + 1) * F.col("n_tokens")
+        >= F.col("b")
+    )
+    f = r.select(
+        "*",
+        F.when(feasible, F.col("idx")).alias("feas_idx"),
+        F.when(
+            feasible,
+            F.expr("(b - prefix_prev) div (m - idx + 1)").cast("long"),
+        ).alias("t_here"),
+    )
+    lvl = f.select(
+        "*",
+        F.min("feas_idx").over(wall).alias("first_idx"),
+        F.col("b").cast("bigint").alias("budget"),
+    )
+    tcap = F.max(
+        F.when(F.col("idx") == F.col("first_idx"), F.col("t_here"))
+    ).over(wall)
+    return lvl.select(
+        "source",
+        "n_tokens",
+        F.least(F.col("n_tokens"), F.coalesce(tcap, F.col("n_tokens")))
+        .cast("bigint")
+        .alias("alloc"),
+        "budget",
+    )

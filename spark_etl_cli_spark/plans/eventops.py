@@ -833,3 +833,81 @@ def q185_user_pareto(spark, sf_dir):
             F.min("total").cast("bigint").alias("total_events"),
         )
     )
+
+
+# --- q191: inter-event burstiness (exact CV² per event type) ----------------
+# "Is this event type steady or bursty?" — the squared coefficient of
+# variation of inter-event gaps per (user, type) stream, aggregated
+# per type. CV² = (n·Σg² − (Σg)²) / (Σg)²: every accumulation is an
+# exact DECIMAL(38,0) sum of SECOND-granularity integer gaps (micros
+# would square past 128 bits at corpus scale; seconds keep Σg² under
+# 10²² even at 10⁹ gaps), so both engines compute the identical
+# rational and the single final double cast is bit-stable. Scale: one
+# user-partitioned lag window + one map-side-combinable agg.
+@query(
+    "q191_interevent_cv",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, ts, event_id FROM events),
+    g AS (
+      SELECT event_type,
+             (epoch_us(ts) - epoch_us(LAG(ts) OVER w)) // 1000000 AS gap_s
+      FROM e WINDOW w AS (PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id)
+    ),
+    a AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             CAST(SUM(CAST(gap_s AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS sg,
+             CAST(SUM(CAST(gap_s AS DECIMAL(38,0))
+                      * CAST(gap_s AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS sg2
+      FROM g WHERE gap_s IS NOT NULL GROUP BY 1
+    )
+    SELECT event_type, n_gaps,
+           CAST(sg AS BIGINT) AS sum_gap_s,
+           CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_s,
+           CAST(n_gaps * sg2 - sg * sg AS DOUBLE)
+             / CAST(sg * sg AS DOUBLE) AS cv2
+    FROM a
+    """,
+)
+def q191_interevent_cv(spark, sf_dir):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    e = events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = e.select(
+        "event_type",
+        F.expr(
+            "(unix_micros(ts) - unix_micros(lag(ts) over (partition by "
+            "user_id, event_type order by ts, event_id))) div 1000000"
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    dec38 = T.DecimalType(38, 0)
+    a = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum(F.col("gap_s").cast(dec38)).cast(dec38).alias("sg"),
+        F.sum(F.col("gap_s").cast(dec38) * F.col("gap_s").cast(dec38))
+        .cast(dec38)
+        .alias("sg2"),
+    )
+    return a.select(
+        "event_type",
+        "n_gaps",
+        F.col("sg").cast("bigint").alias("sum_gap_s"),
+        (F.col("sg").cast("double") / F.col("n_gaps").cast("double")).alias(
+            "mean_gap_s"
+        ),
+        (
+            (
+                F.col("n_gaps").cast(dec38) * F.col("sg2")
+                - F.col("sg") * F.col("sg")
+            ).cast("double")
+            / (F.col("sg") * F.col("sg")).cast("double")
+        ).alias("cv2"),
+    )

@@ -30,6 +30,7 @@ from spark_etl_cli_spark.functions.text import (
     lang_id,
     quality_score,
     token_count,
+    tokens,
 )
 from spark_etl_cli_spark.operators.dedup import (
     bucket_pairs,
@@ -1851,4 +1852,72 @@ def q186_dedup_waterfall(spark, sf_dir):
         flag(~F.col("d1") & F.col("d2"), "removed_normalized"),
         flag(~F.col("d1") & ~F.col("d2") & F.col("d3"), "removed_bow"),
         flag(~F.col("d1") & ~F.col("d2") & ~F.col("d3"), "survivors"),
+    )
+
+
+# --- q193: cross-document n-gram duplication rate ----------------------------
+# The memorization-risk audit: what fraction of each source's distinct
+# 5-gram word shingles also appear in at least one OTHER document?
+# High cross-doc shingle overlap marks boilerplate/template sources
+# that inflate memorization without adding signal. Exact (no MinHash):
+# the count never generates pairs — an inverted index of distinct
+# (doc, gram) postings, per-gram document frequency, one join back,
+# exact integer counts with a single final double division. Scale:
+# the explode is linear (~|tokens| postings), every shuffle key is a
+# gram/doc hash, the gram-df groupBy combines map-side, and the join
+# back reuses the gram partitioning — no window, nothing quadratic.
+@query(
+    "q193_crossdoc_ngram_dup",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, {SQL_TOKENS} AS tk FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id, source,
+             array_to_string(tk[CAST(i AS BIGINT):CAST(i + 4 AS BIGINT)],
+                             ' ') AS gram
+      FROM tok, UNNEST(range(1, len(tk) - 3)) AS u(i)
+      WHERE len(tk) >= 5
+    ),
+    df AS (
+      SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS gdf
+      FROM g GROUP BY 1
+    )
+    SELECT g.source,
+           CAST(COUNT(DISTINCT g.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_postings,
+           CAST(SUM(CASE WHEN df.gdf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_postings,
+           CAST(SUM(CASE WHEN df.gdf >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
+    FROM g JOIN df USING (gram)
+    GROUP BY 1
+    """,
+)
+def q193_crossdoc_ngram_dup(spark, sf_dir):
+    d = fan_out(t(spark, sf_dir, "documents"))
+    tk = tokens(F.col("text"))
+    grams = F.when(
+        F.size(tk) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 4),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, 5)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = (
+        d.select("doc_id", "source", F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    gdf = g.groupBy("gram").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("gdf")
+    )
+    j = g.join(gdf, "gram")
+    dup = F.sum(F.when(F.col("gdf") >= 2, 1).otherwise(0))
+    return j.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_postings"),
+        dup.cast("bigint").alias("dup_postings"),
+        (dup.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "dup_ratio"
+        ),
     )

@@ -568,3 +568,57 @@ def q188_quantization_error(spark, sf_dir):
         .groupBy("err_milli_bucket")
         .agg(bcount("n_vectors"))
     )
+
+
+# --- q192: embedding norm profile (exact micro-unit L2) ----------------------
+# Embedding-store hygiene: per label, the distribution of squared L2
+# norms — near-zero or exploding norms flag bad encoder batches before
+# they poison ANN recall. Exactness: each element contributes
+# floor(x²·10¹²) (identical IEEE multiply+floor in both engines), the
+# per-vector sum is a fixed left-to-right in-row fold, and cross-row
+# aggregation is DECIMAL(38,0) — so min/max/mean hash-match exactly.
+# Scale: in-row arithmetic + one map-side-combinable groupBy on label;
+# nothing quadratic, no windows.
+@query(
+    "q192_embedding_norm_profile",
+    oracle="""
+    WITH n AS (
+      SELECT label,
+             CAST(list_sum(list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                               * 1e12) AS BIGINT))) AS BIGINT)
+               AS norm2_mu
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(norm2_mu) AS BIGINT) AS min_norm2_mu,
+           CAST(MAX(norm2_mu) AS BIGINT) AS max_norm2_mu,
+           CAST(SUM(CAST(norm2_mu AS DECIMAL(38,0))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mean_norm2_mu
+    FROM n GROUP BY 1
+    """,
+)
+def q192_embedding_norm_profile(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    e = t(spark, sf_dir, "embeddings")
+    norm2 = F.aggregate(
+        "embedding",
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.floor(x.cast("double") * x.cast("double") * F.lit(1e12)).cast(
+            "long"
+        ),
+    ).alias("norm2_mu")
+    n = e.select("label", norm2)
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.min("norm2_mu").cast("bigint").alias("min_norm2_mu"),
+        F.max("norm2_mu").cast("bigint").alias("max_norm2_mu"),
+        (
+            F.sum(F.col("norm2_mu").cast(T.DecimalType(38, 0)))
+            .cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_norm2_mu"),
+    )

@@ -69,6 +69,8 @@ GLOBAL_WINDOW_OK = {
     "q183_ks_drift",         # |lengths|x|sources| grid (domain bounded)
     "q162_ntile_deciles",    # floor(acctbal) coarse buckets (<=11k, domain)
     "q165_peak_concurrency", # per-day sweep offsets (calendar bounded)
+    "q189_mixture_temperature",  # normalizer over the |sources| grid
+    "q190_waterfill_budget",     # waterfill level over the |sources| grid
 }
 
 
