@@ -736,11 +736,13 @@ def read_iceberg_lite(
     rows a predicate matches.
 
     ``with_row_id`` (format v3 only) appends the spec's ``_row_id``
-    metadata column, derived per the Row Lineage rules as
-    ``first_row_id + position`` (this writer never materializes row
-    ids into files, so the inheritance path is always the right one).
-    Files with unassigned lineage (pre-upgrade files, lite COW
-    rewrites) raise rather than serve nulls."""
+    metadata column per the Row Lineage rules:
+    ``coalesce(materialized _row_id, first_row_id + position)`` — COW
+    rewrites materialize preserved ids into their files (registered
+    via the reserved name-mapping field 2147483546), fresh files
+    derive from their first_row_id block. Files with unassigned
+    lineage (pre-upgrade, or rewrites that couldn't recover it) raise
+    rather than serve nulls."""
     entries, pos_deletes, eq_deletes, dv_entries, spark_schema, meta = (
         _resolve_entries(spark, table_path, snapshot_id, where)
     )
@@ -1438,9 +1440,14 @@ def write_iceberg_lite(
     the table's ``next-row-id``, the snapshot records ``first-row-id``,
     and ``read_iceberg_lite(with_row_id=True)`` serves the derived
     ``_row_id`` column. DV deletes keep lineage stable (no file is
-    rewritten); COW rewrites in this lite writer leave rewritten files'
-    lineage unassigned (a real engine materializes ``_row_id`` into the
-    rewritten files), and ``with_row_id`` reads fence on them loudly.
+    rewritten); COW rewrites (compaction, upsert, DELETE) MATERIALIZE
+    every surviving row's id into the new files as the reserved
+    ``_row_id`` column (name-mapping field 2147483546) — updates keep
+    their ids, inserts derive fresh ones from the new file's
+    first_row_id block. Rewrite paths that cannot recover lineage
+    (pre-upgrade files with neither first_row_id nor a materialized
+    column) leave it unassigned, and ``with_row_id`` reads fence on
+    them loudly instead of silently renumbering.
 
     ``mode``: append | overwrite (overwrite starts a snapshot whose
     manifest list contains only the new manifest; old snapshots stay
@@ -2581,6 +2588,34 @@ def upsert_iceberg_lite(
     now_ms = int(_time.time() * 1000)
     commit_uuid = _uuid.uuid4().hex
 
+    # v3 row lineage through the rewrite: survivors carry their tracked
+    # ids as the materialized _row_id column, matched incoming rows
+    # INHERIT the replaced key's id (update keeps its id — the
+    # stability contract), unmatched incoming rows stay NULL and derive
+    # fresh ids from the new file's first_row_id block
+    fv3 = int(meta.get("format-version", 2)) == 3
+    lineage = fv3 and (
+        not affected
+        or _lineage_rewrite_col(affected, table_path) is not None
+    )
+    df_w = df
+    if lineage:
+        if affected:
+            olds = None
+            for k2, g2 in sorted(
+                grouped(affected).items(),
+                key=lambda kv: tuple(str(v) for _, v in kv[0]),
+            ):
+                s2 = scan(g2, k2, with_file=False, with_lineage=True)
+                s2 = s2.select(on, "_row_id")
+                olds = s2 if olds is None else olds.unionByName(s2)
+            old_ids = olds.groupBy(on).agg(
+                F.min("_row_id").alias("_row_id")
+            )
+            df_w = df.join(old_ids, on, "left")
+        else:
+            df_w = df.withColumn("_row_id", F.lit(None).cast("long"))
+
     new_adds: list[tuple[str, dict]] = []
     # rewrites: affected groups minus the incoming keys
     for gidx, (key, group) in enumerate(
@@ -2592,9 +2627,12 @@ def upsert_iceberg_lite(
         recorded = any(v is not None for _, v in key)
         out_schema = data_schema if recorded else spark_schema
         kept = (
-            scan(group, key, with_file=False)
+            scan(group, key, with_file=False, with_lineage=lineage)
             .join(keys, on, "left_anti")
-            .select(*[f.name for f in out_schema.fields])
+            .select(
+                *[f.name for f in out_schema.fields],
+                *(["_row_id"] if lineage else []),
+            )
         )
         gdir = os.path.join(
             table_path, "data", f"upsert-{commit_uuid}-{gidx}"
@@ -2612,7 +2650,7 @@ def upsert_iceberg_lite(
     if pcols and any(
         (e["data_file"].get("partition") or {}) for e in live
     ):
-        writer = df.write.partitionBy(*pcols)
+        writer = df_w.write.partitionBy(*pcols)
         writer.parquet(in_dir)
         for p in sorted(
             _glob.glob(os.path.join(in_dir, "**", "*.parquet"), recursive=True)
@@ -2631,7 +2669,7 @@ def upsert_iceberg_lite(
             }
             new_adds.append((p, pv))
     else:
-        df.write.parquet(in_dir)
+        df_w.write.parquet(in_dir)
         for p in sorted(_glob.glob(os.path.join(in_dir, "*.parquet"))):
             if _parquet_row_count(p) == 0:
                 continue
@@ -3392,12 +3430,22 @@ def compact_iceberg_lite(
             table_path, "data", f"compact-{commit_uuid}-{gidx}"
         )
         read_schema = data_schema if any(v is not None for _, v in key) else spark_schema
-        (
-            spark.read.schema(read_schema)
-            .parquet(*small_paths)
-            .repartition(n_out)
-            .write.parquet(gdir)
+        # v3: carry every row's tracked id into the compacted files as
+        # the materialized _row_id column (preserved ids survive the
+        # bin-pack; _commit_rewrite_snapshot assigns the fresh block)
+        rid_col = (
+            _lineage_rewrite_col(small, table_path)
+            if int(meta.get("format-version", 2)) == 3
+            else None
         )
+        scan_g = spark.read.schema(
+            _with_lineage_field(read_schema)
+            if rid_col is not None
+            else read_schema
+        ).parquet(*small_paths)
+        if rid_col is not None:
+            scan_g = scan_g.withColumn("_row_id", rid_col)
+        scan_g.repartition(n_out).write.parquet(gdir)
         pv = dict(key)
         for p in sorted(_glob.glob(os.path.join(gdir, "*.parquet"))):
             if _parquet_row_count(p) == 0:
@@ -3415,6 +3463,46 @@ def compact_iceberg_lite(
         files_added=stats["files_added"],
     )
     return stats
+
+
+def _lineage_rewrite_col(entries: list[dict], table_path: str):
+    """Row-id expression for a rewrite scanning exactly these data
+    files: ``coalesce(materialized _row_id, first_row_id +
+    _metadata.row_index)``. Returns None when lineage is UNRECOVERABLE
+    for some file (no first_row_id and no materialized column) — the
+    caller must then skip materialization so reads keep fencing
+    instead of silently renumbering. The scan must read with the
+    ``_row_id`` long column appended to its schema (absent in old
+    files → NULL → the derived branch serves them)."""
+    import pyarrow.parquet as _pq
+
+    base_of: dict[str, int] = {}
+    for e in entries:
+        d = e["data_file"]
+        p = _localize(d["file_path"], table_path)
+        frid = d.get("first_row_id")
+        if frid is not None:
+            base_of[os.path.basename(p)] = int(frid)
+        elif "_row_id" not in _pq.ParquetFile(p).schema_arrow.names:
+            return None
+    pieces = [F.col("_row_id").cast("long")]
+    if base_of:
+        mapping = F.create_map(
+            *[x for k, v in base_of.items() for x in (F.lit(k), F.lit(v))]
+        )
+        fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+        pieces.append(
+            (mapping[fname] + F.col("_metadata.row_index")).cast("long")
+        )
+    return F.coalesce(*pieces) if len(pieces) > 1 else pieces[0]
+
+
+def _with_lineage_field(schema: T.StructType) -> T.StructType:
+    if "_row_id" in [f.name for f in schema.fields]:
+        return schema
+    return T.StructType(
+        list(schema.fields) + [T.StructField("_row_id", T.LongType())]
+    )
 
 
 def _commit_rewrite_snapshot(
@@ -3504,12 +3592,31 @@ def _commit_rewrite_snapshot(
             },
         }
 
-    rows = [
-        # EXISTING: carried forward with their original snapshot ids —
-        # the stream reader's carried-entry filter keys on this
-        entry_row(e, 0, e.get("snapshot_id")) for e in untouched
-    ] + [
-        {
+    # v3 row lineage for ADDED files: a rewritten file gets a fresh
+    # first_row_id block ONLY when it physically carries the
+    # materialized ``_row_id`` column (then preserved rows keep their
+    # ids through the column and the fresh block serves NULL slots);
+    # a rewrite that did NOT materialize stays unassigned, so
+    # with_row_id reads keep fencing loudly instead of silently
+    # renumbering.
+    next_row_id = int(meta.get("next-row-id") or 0) if fv == 3 else None
+    assign_lineage = False
+    if fv == 3 and new_adds:
+        import pyarrow.parquet as _pq
+
+        assign_lineage = all(
+            "_row_id" in _pq.ParquetFile(p).schema_arrow.names
+            for p, _pv in new_adds
+        )
+
+    def added_row(p, pv):
+        nonlocal next_row_id
+        rc = _parquet_row_count(p)
+        lineage = {}
+        if fv == 3 and assign_lineage:
+            lineage = {"first_row_id": next_row_id}
+            next_row_id += rc
+        return {
             "status": 1,
             "snapshot_id": snapshot_id,
             "sequence_number": None,
@@ -3519,12 +3626,17 @@ def _commit_rewrite_snapshot(
                 "file_path": p,
                 "file_format": "PARQUET",
                 "partition": pv,
-                "record_count": _parquet_row_count(p),
+                "record_count": rc,
                 "file_size_in_bytes": os.path.getsize(p),
+                **lineage,
             },
         }
-        for p, pv in new_adds
-    ]
+
+    rows = [
+        # EXISTING: carried forward with their original snapshot ids —
+        # the stream reader's carried-entry filter keys on this
+        entry_row(e, 0, e.get("snapshot_id")) for e in untouched
+    ] + [added_row(p, pv) for p, pv in new_adds]
     spec_json = json.dumps(
         next(
             (s for s in (specs or []) if s.get("spec-id") == meta.get("default-spec-id", 0)),
@@ -3597,6 +3709,18 @@ def _commit_rewrite_snapshot(
     new_meta["last-sequence-number"] = seq
     new_meta["last-updated-ms"] = now_ms
     new_meta["current-snapshot-id"] = snapshot_id
+    if fv == 3 and assign_lineage:
+        new_meta["next-row-id"] = next_row_id
+        # register the reserved materialized-column mapping so readers
+        # (ours and conforming engines) resolve the in-file _row_id
+        props = dict(new_meta.get("properties") or {})
+        nm = json.loads(props.get("schema.name-mapping.default", "[]"))
+        if not any(e.get("field-id") == _ROW_ID_FIELD_ID for e in nm):
+            nm.append(
+                {"field-id": _ROW_ID_FIELD_ID, "names": ["_row_id"]}
+            )
+            props["schema.name-mapping.default"] = json.dumps(nm)
+            new_meta["properties"] = props
     new_meta["snapshots"] = list(meta.get("snapshots") or []) + [{
         "snapshot-id": snapshot_id,
         "sequence-number": seq,
@@ -4551,8 +4675,15 @@ def _cow_scan_tools(
         [f for f in spark_schema.fields if f.name not in pnames]
     )
 
-    def scan(entry_group: list[dict], key: tuple, with_file: bool) -> DataFrame:
-        """One partition group under the full logical schema (+ __file).
+    def scan(
+        entry_group: list[dict],
+        key: tuple,
+        with_file: bool,
+        with_lineage: bool = False,
+    ) -> DataFrame:
+        """One partition group under the full logical schema (+ __file;
+        + the tracked ``_row_id`` when ``with_lineage`` and the group's
+        lineage is recoverable — materialized column or first_row_id).
         All-None keys follow compaction's convention: the files carry
         the partition columns physically, read the full schema."""
         paths = [
@@ -4560,7 +4691,14 @@ def _cow_scan_tools(
             for e in entry_group
         ]
         recorded = any(v is not None for _, v in key)
+        rid = (
+            _lineage_rewrite_col(entry_group, table_path)
+            if with_lineage
+            else None
+        )
         schema = data_schema if recorded else spark_schema
+        if rid is not None:
+            schema = _with_lineage_field(schema)
         df = spark.read.schema(schema).parquet(*paths)
         cols = []
         pv = dict(key)
@@ -4582,6 +4720,8 @@ def _cow_scan_tools(
                     F.col("_metadata.file_path"), "^file:/+", "/"
                 ).alias("__file")
             )
+        if rid is not None:
+            cols.append(rid.alias("_row_id"))
         return df.select(*cols)
 
     def grouped(entries_list: list[dict]) -> dict[tuple, list[dict]]:
@@ -4870,7 +5010,12 @@ def delete_iceberg_lite(
     commit_uuid = _uuid.uuid4().hex
 
     # rewrite per partition group so outputs land with the right
-    # recorded partition tuple (and physical columns for unrecorded)
+    # recorded partition tuple (and physical columns for unrecorded);
+    # v3 row lineage: survivors carry their tracked ids into the new
+    # files (materialized _row_id, same as compaction/upsert)
+    lineage = int(meta.get("format-version", 2)) == 3 and (
+        _lineage_rewrite_col(affected, table_path) is not None
+    )
     new_adds: list[tuple[str, dict]] = []
     for gidx, (key, group) in enumerate(
         sorted(
@@ -4881,9 +5026,12 @@ def delete_iceberg_lite(
         recorded = any(v is not None for _, v in key)
         out_schema = data_schema if recorded else spark_schema
         kept = (
-            scan(group, key, with_file=False)
+            scan(group, key, with_file=False, with_lineage=lineage)
             .filter(~pred)
-            .select(*[f.name for f in out_schema.fields])
+            .select(
+                *[f.name for f in out_schema.fields],
+                *(["_row_id"] if lineage else []),
+            )
         )
         gdir = os.path.join(table_path, "data", f"delete-{commit_uuid}-{gidx}")
         kept.write.parquet(gdir)

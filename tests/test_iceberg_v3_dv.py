@@ -349,18 +349,26 @@ def test_v3_row_lineage_fences(spark, tmp_path):
             spark.range(3).selectExpr("id"), t2, mode="append",
             format_version=2,
         )
-    # a lite COW rewrite leaves the rewritten file unassigned -> fence
+    # a lite COW rewrite MATERIALIZES the tracked ids into the new
+    # files (reserved _row_id column + name mapping): the replaced key
+    # keeps its id, the survivors keep theirs
     t3 = str(tmp_path / "ice_v3_rw")
     write_iceberg_lite(
         spark.createDataFrame([(i, i) for i in range(4)], "id long, x long"),
         t3, format_version=3,
     )
+    pre = {
+        r.id: r._row_id
+        for r in read_iceberg_lite(spark, t3, with_row_id=True).collect()
+    }
     upsert_iceberg_lite(
         spark.createDataFrame([(1, 99)], "id long, x long"), t3, on="id"
     )
-    with pytest.raises(NotImplementedError, match="unassigned row lineage"):
-        read_iceberg_lite(spark, t3, with_row_id=True)
-    # ...but the plain read is untouched
+    post = {
+        r.id: r._row_id
+        for r in read_iceberg_lite(spark, t3, with_row_id=True).collect()
+    }
+    assert post == pre  # every key (incl. the replaced one) keeps its id
     assert sorted(
         (r.id, r.x) for r in read_iceberg_lite(spark, t3).collect()
     ) == [(0, 0), (1, 99), (2, 2), (3, 3)]
@@ -480,3 +488,52 @@ def test_puffin_reads_compressed_footer_and_blobs(tmp_path):
 
     with _pytest.raises(NotImplementedError, match="compression-codec"):
         read_puffin_blob(p, blob["offset"], blob["length"], codec="snappy")
+
+
+def test_v3_row_lineage_survives_compaction_and_inserts(spark, tmp_path):
+    """The full maintenance round trip: appends assign blocks,
+    compaction bin-packs while every row KEEPS its id (materialized
+    _row_id column), a later upsert inherits replaced ids and mints
+    fresh ones only for inserts, and next-row-id advances monotonically."""
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        compact_iceberg_lite,
+    )
+
+    table = str(tmp_path / "ice_lineage_maint")
+    for lo in (0, 10, 20):
+        write_iceberg_lite(
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(lo, lo + 5)],
+                "id long, v string",
+            ).coalesce(1),
+            table,
+            **({"format_version": 3} if lo == 0 else {"mode": "append"}),
+        )
+    base = {
+        r.id: r._row_id
+        for r in read_iceberg_lite(spark, table, with_row_id=True).collect()
+    }
+    assert sorted(base.values()) == list(range(15))
+
+    st = compact_iceberg_lite(spark, table, target_file_bytes=1 << 30)
+    assert st["files_removed"] == 3 and st["files_added"] >= 1
+    after = {
+        r.id: r._row_id
+        for r in read_iceberg_lite(spark, table, with_row_id=True).collect()
+    }
+    assert after == base  # compaction preserved every id
+
+    upsert_iceberg_lite(
+        spark.createDataFrame(
+            [(3, "three2"), (100, "hundred")], "id long, v string"
+        ),
+        table, on="id",
+    )
+    final = {
+        r.id: r._row_id
+        for r in read_iceberg_lite(spark, table, with_row_id=True).collect()
+    }
+    assert final[3] == base[3]  # replaced key keeps its id
+    assert final[100] not in base.values()  # insert = fresh id
+    assert len(set(final.values())) == len(final)
+    assert {k: v for k, v in final.items() if k != 100} == base
