@@ -2072,7 +2072,21 @@ def _cow_keyed_rewrite_under_deletes(
         os.path.abspath(_localize(e["data_file"]["file_path"], table_path)): e
         for e in data_entries
     }
-    live_df = read_iceberg_lite(spark, table_path, with_provenance=True)
+    # v3 row lineage: source the rewrite from the row-id-bearing reader
+    # so survivors carry their tracked ids into the new files; tables
+    # with unrecoverable lineage fall back (reads keep fencing)
+    lineage = False
+    live_df = None
+    if int(meta.get("format-version", 2)) == 3:
+        try:
+            live_df = read_iceberg_lite(
+                spark, table_path, with_provenance=True, with_row_id=True
+            )
+            lineage = True
+        except NotImplementedError:
+            live_df = None
+    if live_df is None:
+        live_df = read_iceberg_lite(spark, table_path, with_provenance=True)
     # purge set: a key join (upsert/CDC) or a predicate (DELETE ...
     # WHERE) — NULL-predicate rows are KEPT per SQL DELETE semantics
     pred = (
@@ -2111,6 +2125,20 @@ def _cow_keyed_rewrite_under_deletes(
     partitioned = bool(pcols) and any(
         (e["data_file"].get("partition") or {}) for e in data_entries
     )
+    rid_cols = ["_row_id"] if lineage else []
+    if lineage and insert_df is not None:
+        # keyed replace: incoming rows matching a live key INHERIT that
+        # key's id (update keeps its id); fresh keys stay NULL and
+        # derive from the new file's first_row_id block
+        if on is not None and affected:
+            old_ids = matches.groupBy(on).agg(
+                F.min("_row_id").alias("_row_id")
+            )
+            insert_df = insert_df.join(old_ids, on, "left")
+        else:
+            insert_df = insert_df.withColumn(
+                "_row_id", F.lit(None).cast("long")
+            )
 
     def _write_split(frame: DataFrame, out_dir: str) -> list[tuple[str, dict]]:
         """Write a frame as new data files, hive-split per partition
@@ -2170,7 +2198,7 @@ def _cow_keyed_rewrite_under_deletes(
                 kept_src.filter(~pred)
                 if pred is not None
                 else kept_src.join(purge_keys, on, "left_anti")
-            ).select(*[f.name for f in schema.fields])
+            ).select(*[f.name for f in schema.fields], *rid_cols)
             gdir = os.path.join(
                 table_path, "data", f"{prefix}-{commit_uuid}-{gidx}"
             )
@@ -2196,7 +2224,7 @@ def _cow_keyed_rewrite_under_deletes(
                 kept_src.filter(~pred)
                 if pred is not None
                 else kept_src.join(purge_keys, on, "left_anti")
-            ).select(*[f.name for f in schema.fields])
+            ).select(*[f.name for f in schema.fields], *rid_cols)
             new_adds += _write_split(
                 kept,
                 os.path.join(table_path, "data", f"{prefix}-{commit_uuid}"),
@@ -2384,21 +2412,53 @@ def _upsert_cow_transformed(
     seq = int(meta.get("last-sequence-number") or 0) + 1
     now_ms = int(_time.time() * 1000)
     commit_uuid = _uuid.uuid4().hex
+    # v3 row lineage through the transformed rewrite: survivors carry
+    # their tracked ids (materialized _row_id), matched incoming keys
+    # inherit the replaced id, fresh keys derive from the new block
+    lineage = int(meta.get("format-version", 2)) == 3 and (
+        not affected
+        or _lineage_rewrite_col(affected, table_path) is not None
+    )
+    if lineage:
+        if affected:
+            aff_paths2 = [
+                _localize(e["data_file"]["file_path"], table_path)
+                for e in affected
+            ]
+            rid_aff = _lineage_rewrite_col(affected, table_path)
+            old_ids = (
+                spark.read.schema(_with_lineage_field(schema))
+                .parquet(*aff_paths2)
+                .withColumn("_row_id", rid_aff)
+                .groupBy(on)
+                .agg(F.min("_row_id").alias("_row_id"))
+            )
+            insert_frame = insert_frame.join(old_ids, on, "left")
+        else:
+            insert_frame = insert_frame.withColumn(
+                "_row_id", F.lit(None).cast("long")
+            )
     new_adds: list[tuple[str, dict]] = []
-    groups: dict[tuple, tuple[dict, list[str]]] = {}
+    groups: dict[tuple, tuple[dict, list[dict]]] = {}
     for e in affected:
         pv = e["data_file"].get("partition") or {}
         key = tuple(sorted((k, str(v)) for k, v in pv.items()))
-        groups.setdefault(key, (pv, []))[1].append(
-            _localize(e["data_file"]["file_path"], table_path)
-        )
+        groups.setdefault(key, (pv, []))[1].append(e)
     for gidx, key in enumerate(sorted(groups)):
-        pv, gpaths = groups[key]
-        kept = (
-            spark.read.schema(schema)
-            .parquet(*gpaths)
-            .join(keys, on, "left_anti")
+        pv, gents = groups[key]
+        gpaths = [
+            _localize(e["data_file"]["file_path"], table_path)
+            for e in gents
+        ]
+        rid_g = (
+            _lineage_rewrite_col(gents, table_path) if lineage else None
         )
+        kept = spark.read.schema(
+            _with_lineage_field(schema) if rid_g is not None else schema
+        ).parquet(*gpaths)
+        if rid_g is not None:
+            kept = kept.withColumn("_row_id", rid_g)
+        kept = kept.join(keys, on, "left_anti")
         gdir = os.path.join(
             table_path, "data", f"upsert-tr-{commit_uuid}-{gidx}"
         )
@@ -3173,12 +3233,20 @@ def _compact_transformed(
         gdir = os.path.join(
             table_path, "data", f"compact-tr-{commit_uuid}-{gidx}"
         )
-        (
-            spark.read.schema(spark_schema)
-            .parquet(*paths)
-            .repartition(n_out)
-            .write.parquet(gdir)
+        # v3: materialize the group's tracked ids through the bin-pack
+        rid_g = (
+            _lineage_rewrite_col(small, table_path)
+            if int(meta.get("format-version", 2)) == 3
+            else None
         )
+        scan_g = spark.read.schema(
+            _with_lineage_field(spark_schema)
+            if rid_g is not None
+            else spark_schema
+        ).parquet(*paths)
+        if rid_g is not None:
+            scan_g = scan_g.withColumn("_row_id", rid_g)
+        scan_g.repartition(n_out).write.parquet(gdir)
         for p in sorted(_glob.glob(os.path.join(gdir, "*.parquet"))):
             if _parquet_row_count(p) == 0:
                 continue
@@ -3270,7 +3338,7 @@ def compact_iceberg_lite(
             # recording partial tuples)
             commit_uuid = _uuid.uuid4().hex
             new_adds = _transformed_split_write(
-                read_iceberg_lite(spark, table_path),
+                _read_for_rewrite(spark, table_path, meta),
                 os.path.join(
                     table_path, "data", f"compact-del-tr-{commit_uuid}"
                 ),
@@ -3317,7 +3385,7 @@ def compact_iceberg_lite(
         gdir = os.path.join(
             table_path, "data", f"compact-del-{commit_uuid}"
         )
-        full = read_iceberg_lite(spark, table_path).repartition(n_out)
+        full = _read_for_rewrite(spark, table_path, meta).repartition(n_out)
         new_adds: list[tuple[str, dict]] = []
         if del_partitioned:
             dpcols = [src for _, src, _ in pf_del]
@@ -3463,6 +3531,22 @@ def compact_iceberg_lite(
         files_added=stats["files_added"],
     )
     return stats
+
+
+def _read_for_rewrite(
+    spark: SparkSession, table_path: str, meta: dict
+) -> DataFrame:
+    """Full-table read for a delete-APPLYING rewrite: on a v3 table
+    whose lineage is recoverable, the frame carries ``_row_id`` so the
+    rewritten files materialize every surviving row's id; otherwise the
+    plain read (lineage stays unassigned and with_row_id reads keep
+    fencing)."""
+    if int(meta.get("format-version", 2)) == 3:
+        try:
+            return read_iceberg_lite(spark, table_path, with_row_id=True)
+        except NotImplementedError:
+            pass
+    return read_iceberg_lite(spark, table_path)
 
 
 def _lineage_rewrite_col(entries: list[dict], table_path: str):

@@ -537,3 +537,77 @@ def test_v3_row_lineage_survives_compaction_and_inserts(spark, tmp_path):
     assert final[100] not in base.values()  # insert = fresh id
     assert len(set(final.values())) == len(final)
     assert {k: v for k, v in final.items() if k != 100} == base
+
+
+def test_v3_lineage_through_keyed_rewrite_under_live_dvs(spark, tmp_path):
+    """The composed path: a v3 table carrying LIVE deletion vectors
+    takes the delete-aware keyed rewrite on upsert — survivors keep
+    their row ids (materialized through the rewrite), the replaced key
+    keeps its id, DV-deleted rows stay gone."""
+    table = str(tmp_path / "ice_rt_dv_upsert")
+    write_iceberg_lite(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8)], "id long, v string"
+        ).coalesce(1),
+        table, format_version=3,
+    )
+    delete_iceberg_lite(spark, table, "id = 2", mode="merge-on-read")
+    base = {
+        r.id: r._row_id
+        for r in read_iceberg_lite(spark, table, with_row_id=True).collect()
+    }
+    assert 2 not in base and len(base) == 7
+
+    upsert_iceberg_lite(
+        spark.createDataFrame(
+            [(5, "five2"), (50, "fifty")], "id long, v string"
+        ),
+        table, on="id",
+    )
+    after = {
+        r.id: r._row_id
+        for r in read_iceberg_lite(spark, table, with_row_id=True).collect()
+    }
+    assert after[5] == base[5]  # replaced key keeps its id
+    assert after[50] not in base.values()
+    assert {k: v for k, v in after.items() if k != 50} == base
+    vals = {
+        r.id: r.v for r in read_iceberg_lite(spark, table).collect()
+    }
+    assert vals[5] == "five2" and 2 not in vals
+
+
+def test_v3_lineage_through_transformed_compaction(spark, tmp_path):
+    """bucket[4]-partitioned v3 table: per-raw-tuple compaction
+    materializes row ids — every id survives the bin-pack."""
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        compact_iceberg_lite,
+        evolve_iceberg_spec,
+    )
+
+    table = str(tmp_path / "ice_rt_tr")
+    write_iceberg_lite(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(6)], "id long, v string"
+        ).coalesce(1),
+        table, format_version=3, partition_by=["id"],
+    )
+    evolve_iceberg_spec(table, ["bucket[4](id)"])
+    write_iceberg_lite(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10, 16)], "id long, v string"
+        ).coalesce(1),
+        table, mode="append",
+    )
+    base = {
+        r.id: r._row_id
+        for r in read_iceberg_lite(spark, table, with_row_id=True).collect()
+    }
+    assert len(base) == 12
+    st = compact_iceberg_lite(spark, table, target_file_bytes=1 << 30)
+    assert st["files_removed"] >= 2
+    after = {
+        r.id: r._row_id
+        for r in read_iceberg_lite(spark, table, with_row_id=True).collect()
+    }
+    assert after == base
