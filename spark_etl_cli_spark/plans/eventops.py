@@ -911,3 +911,193 @@ def q191_interevent_cv(spark, sf_dir):
             / (F.col("sg") * F.col("sg")).cast("double")
         ).alias("cv2"),
     )
+
+
+# --- q194: audience overlap between event types ------------------------------
+# "Do clickers also purchase?" — pairwise Jaccard of the distinct-user
+# audiences of every event-type pair. Pair-free at user level: each
+# user's type set collapses to ONE row (bounded by |event types|, not
+# activity), pairs generate IN-ROW from the sorted set, and the final
+# agg runs over ≤ C(|types|,2) groups. Exact integer intersection /
+# union counts, one final double division. The oracle spells the same
+# thing as a distinct self-join.
+@query(
+    "q194_event_audience_overlap",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM ut GROUP BY 1
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           ta.n_users AS n_a, tb.n_users AS n_b,
+           CAST(p.n_both AS DOUBLE)
+             / CAST(ta.n_users + tb.n_users - p.n_both AS DOUBLE)
+             AS jaccard
+    FROM pairs p
+    JOIN tot ta ON ta.event_type = p.type_a
+    JOIN tot tb ON tb.event_type = p.type_b
+    """,
+)
+def q194_event_audience_overlap(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    ut = events(spark, sf_dir).select("user_id", "event_type").distinct()
+    sets = ut.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("ts")
+    )
+    # in-row ordered pairs: bounded by C(|types|,2) per user
+    pair = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ts"),
+                lambda a: F.transform(
+                    F.col("ts"), lambda b: F.struct(a.alias("a"), b.alias("b"))
+                ),
+            )
+        ),
+        lambda p: p["a"] < p["b"],
+    )
+    pairs = (
+        sets.select(F.explode(pair).alias("p"))
+        .groupBy(
+            F.col("p.a").alias("type_a"), F.col("p.b").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    tot = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    ta = tot.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")
+    )
+    tb = tot.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a", "type_b", "n_both", "n_a", "n_b",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --- q195: weekday seasonality (chi-square vs uniform) ----------------------
+# "Is this event type weekday-driven?" — per type, the chi-square
+# statistic of its weekday profile against a uniform 1/7 expectation.
+# Weekday indices use the 1970-01-05 epoch-Monday arithmetic (q125's
+# trick: engine-independent, locale-free), and the statistic uses the
+# zero-cell-free identity chi2 = 7·Σo²/n − n (absent weekdays
+# contribute exactly their (0−n/7)²/(n/7) share without ever
+# materializing) — exact integers until one final double division.
+@query(
+    "q195_weekday_seasonality",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST((CAST(ts AS DATE) - DATE '1970-01-05') % 7 AS BIGINT)
+               AS wd
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, wd, CAST(COUNT(*) AS BIGINT) AS o
+      FROM d GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(SUM(o) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS weekdays_active,
+           CAST(7 * SUM(o * o) - SUM(o) * SUM(o) AS DOUBLE)
+             / CAST(SUM(o) AS DOUBLE) AS chi2
+    FROM c GROUP BY 1
+    """,
+)
+def q195_weekday_seasonality(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    d = events(spark, sf_dir).select(
+        "event_type",
+        (
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-05").cast("date"))
+            % 7
+        ).cast("long").alias("wd"),
+    )
+    c = d.groupBy("event_type", "wd").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    return c.groupBy("event_type").agg(
+        F.sum("o").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("weekdays_active"),
+        (
+            (
+                7 * F.sum(F.col("o") * F.col("o"))
+                - F.sum("o") * F.sum("o")
+            ).cast("double")
+            / F.sum("o").cast("double")
+        ).alias("chi2"),
+    )
+
+
+# --- q196: new vs returning users per day -----------------------------------
+# The growth-accounting daily split: how many of a day's active users
+# were seen for the FIRST time that day? One distinct (user, day)
+# collapse, a per-user min-day aggregate joined back on user (both
+# sides already user-partitioned from their aggs), exact counts and a
+# single final ratio division.
+@query(
+    "q196_new_vs_returning",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    fs AS (
+      SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY 1
+    )
+    SELECT ud.day,
+           CAST(COUNT(*) AS BIGINT) AS active_users,
+           CAST(SUM(CASE WHEN ud.day = fs.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN ud.day = fs.first_day THEN 0 ELSE 1 END)
+                AS BIGINT) AS returning_users,
+           CAST(SUM(CASE WHEN ud.day = fs.first_day THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS new_ratio
+    FROM ud JOIN fs USING (user_id)
+    GROUP BY 1
+    """,
+)
+def q196_new_vs_returning(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    ud = (
+        events(spark, sf_dir)
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    fs = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    new_flag = F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+    return (
+        ud.join(fs, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("active_users"),
+            F.sum(new_flag).cast("bigint").alias("new_users"),
+            F.sum(1 - new_flag).cast("bigint").alias("returning_users"),
+            (
+                F.sum(new_flag).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("new_ratio"),
+        )
+    )

@@ -384,3 +384,124 @@ def q99_exact_median(spark, sf_dir):
         ),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# --- q197: fulfillment lead-time percentile profile --------------------------
+# Supply-chain SLA view: order->ship latency per order priority at
+# exact p50/p90/p99 via Spark's interpolating `percentile` aggregate —
+# the scale-safe shape the r7 round installed for the median family
+# (map-side partial_percentile partials, zero windows, |priorities|
+# output rows). Day differences are exact integers; the interpolated
+# percentiles are identical rationals in both engines. The join
+# shuffles both sides on the order key once (AQE may broadcast the
+# smaller at low SF).
+@query(
+    "q197_leadtime_percentiles",
+    oracle="""
+    WITH d AS (
+      SELECT o.o_orderpriority,
+             CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+                  AS BIGINT) AS lead_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_cont(CAST(lead_days AS DOUBLE), 0.5) AS p50,
+           quantile_cont(CAST(lead_days AS DOUBLE), 0.9) AS p90,
+           quantile_cont(CAST(lead_days AS DOUBLE), 0.99) AS p99,
+           CAST(MAX(lead_days) AS BIGINT) AS worst
+    FROM d GROUP BY 1
+    """,
+)
+def q197_leadtime_percentiles(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    d = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).cast("long").alias("lead_days"),
+    )
+    ld = F.col("lead_days").cast("double")
+    return d.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.percentile(ld, F.lit(0.5)).alias("p50"),
+        F.percentile(ld, F.lit(0.9)).alias("p90"),
+        F.percentile(ld, F.lit(0.99)).alias("p99"),
+        F.max("lead_days").cast("bigint").alias("worst"),
+    )
+
+
+# --- q198: revenue by discount band ------------------------------------------
+# The pricing-analyst banding: integer cent-bands of l_discount (0-1%,
+# 2-3%, ...), exact decimal revenue and forgone-discount sums per
+# band. Banding is integer arithmetic on round(discount*100) — exact
+# on both engines (discounts are 2-decimal doubles) — and the sums go
+# through DECIMAL(18,4); ratios are single final double divisions.
+@query(
+    "q198_discount_bands",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(round(l_discount * 100) AS BIGINT) // 2 AS band,
+             CAST(l_extendedprice AS DECIMAL(10,2)) AS px,
+             CAST(l_discount AS DECIMAL(4,2)) AS disc
+      FROM lineitem
+    )
+    SELECT band * 2 AS band_lo_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(px * (1 - disc)) AS DOUBLE) AS revenue,
+           CAST(SUM(px * disc) AS DOUBLE) AS discount_given,
+           CAST(SUM(px * disc) AS DOUBLE) / CAST(SUM(px) AS DOUBLE)
+             AS effective_discount
+    FROM b GROUP BY 1
+    """,
+)
+def q198_discount_bands(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    px = dec(F.col("l_extendedprice"))
+    disc = dec(F.col("l_discount"), 4, 2)
+    band = F.expr("CAST(round(l_discount * 100) AS BIGINT) div 2")
+    b = li.select(band.alias("band"), px.alias("px"), disc.alias("disc"))
+    return b.groupBy(
+        (F.col("band") * 2).cast("bigint").alias("band_lo_pct")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.col("px") * (1 - F.col("disc"))).cast("double").alias(
+            "revenue"
+        ),
+        F.sum(F.col("px") * F.col("disc")).cast("double").alias(
+            "discount_given"
+        ),
+        (
+            F.sum(F.col("px") * F.col("disc")).cast("double")
+            / F.sum("px").cast("double")
+        ).alias("effective_discount"),
+    )
+
+
+# --- q199: order-size histogram (double aggregation) -------------------------
+# "How many orders have k line items?" — the classic double
+# aggregation (TPC-H Q13's shape, here without the join): lineitem
+# collapses to per-order counts, then the counts histogram. Two
+# map-side-combinable shuffles, |distinct k| output rows, all BIGINT.
+@query(
+    "q199_order_size_histogram",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1
+    )
+    SELECT n_lines,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM per_order GROUP BY 1
+    """,
+)
+def q199_order_size_histogram(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    )
+    return per_order.groupBy("n_lines").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
