@@ -614,6 +614,7 @@ def read_delta_lite(
     where: str | None = None,
     timestamp_as_of: int | str | None = None,
     with_row_id: bool = False,
+    with_row_commit_version: bool = False,
 ) -> DataFrame:
     """Batch read of a Delta table snapshot via log replay; pass
     ``version_as_of`` for time travel to an earlier version, or
@@ -626,12 +627,18 @@ def read_delta_lite(
     additionally applied as a row filter, so mixed/non-partition
     predicates stay correct (they just don't prune files).
 
-    ``with_row_id`` appends the protocol's derived ``_row_id`` column
-    (row tracking: add.baseRowId + position in file — the delta twin
-    of iceberg v3 row lineage). DV-deleted rows keep survivors' ids
-    stable (positions don't shift). Files without a baseRowId
-    (pre-feature, or rewritten by the lite row ops, which don't
-    materialize row ids) fence loudly.
+    ``with_row_id`` appends the protocol's ``_row_id`` column (row
+    tracking: ``coalesce(materialized id, add.baseRowId + position)``
+    — the delta twin of iceberg v3 row lineage; COW rewrites
+    materialize survivors' ids so the column survives maintenance).
+    ``with_row_commit_version`` appends ``_row_commit_version`` — the
+    version each row was last inserted/updated at
+    (``coalesce(materialized, add.defaultRowCommitVersion)``; UPDATE/
+    MERGE store NULL for the rows they touch so those derive the
+    rewrite commit's own version). DV-deleted rows keep survivors'
+    values stable (positions don't shift). Pre-feature files without
+    the add fields on a table without materialized columns fence
+    loudly.
     """
     if timestamp_as_of is not None:
         if version_as_of is not None:
@@ -671,9 +678,37 @@ def read_delta_lite(
         empty = spark.createDataFrame([], full_schema)
         if with_row_id:
             empty = empty.withColumn("_row_id", F.lit(None).cast("long"))
+        if with_row_commit_version:
+            empty = empty.withColumn(
+                "_row_commit_version", F.lit(None).cast("long")
+            )
         return empty.filter(where) if where else empty
     base_of: dict[str, int] = {}
     rid_mat_col: str | None = None
+    rcv_mat_col: str | None = None
+    rcv_of: dict[str, int] = {}
+    if with_row_commit_version:
+        if not _row_tracking_enabled(meta.get("configuration")):
+            raise ValueError(
+                "with_row_commit_version needs delta.enableRowTracking"
+            )
+        rcv_mat_col = _materialized_rcv_col(meta.get("configuration"))
+        rcv_of = {
+            os.path.basename(a["path"]): int(a["defaultRowCommitVersion"])
+            for a in adds
+            if a.get("defaultRowCommitVersion") is not None
+        }
+        rcv_missing = [
+            a["path"]
+            for a in adds
+            if a.get("defaultRowCommitVersion") is None
+        ]
+        if rcv_missing and rcv_mat_col is None:
+            raise NotImplementedError(
+                f"with_row_commit_version: {len(rcv_missing)} files have "
+                f"no defaultRowCommitVersion (pre-feature files on a "
+                f"table without a materialized column): {rcv_missing[:3]}"
+            )
     if with_row_id:
         rid_mat_col = _materialized_row_id_col(meta.get("configuration"))
         missing = [a["path"] for a in adds if a.get("baseRowId") is None]
@@ -734,24 +769,32 @@ def read_delta_lite(
 
         clean = [p for p, dv in entries if not dv]
         rid_read_schema = data_schema
-        if rid_mat_col and rid_mat_col not in [
-            f.name for f in data_schema.fields
-        ]:
+        mat_extra = [
+            c
+            for c in (rid_mat_col, rcv_mat_col)
+            if c and c not in [f.name for f in data_schema.fields]
+        ]
+        if mat_extra:
             rid_read_schema = T.StructType(
                 list(data_schema.fields)
-                + [T.StructField(rid_mat_col, T.LongType())]
+                + [T.StructField(c, T.LongType()) for c in mat_extra]
             )
         if clean:
             df = spark.read.schema(rid_read_schema).parquet(*clean)
+            svc = []
             if with_row_id:
-                rid = _row_id_read_expr(
-                    rid_mat_col, base_of, F.col("_metadata.row_index")
+                svc.append(
+                    _row_id_read_expr(
+                        rid_mat_col, base_of, F.col("_metadata.row_index")
+                    ).alias("_row_id")
                 )
-                parts.append(
-                    df.select(*logical_cols(), rid.alias("_row_id"))
+            if with_row_commit_version:
+                svc.append(
+                    _rcv_read_expr(rcv_mat_col, rcv_of).alias(
+                        "_row_commit_version"
+                    )
                 )
-            else:
-                parts.append(df.select(*logical_cols()))
+            parts.append(df.select(*logical_cols(), *svc))
         for path, dv in entries:
             if not dv:
                 continue
@@ -764,9 +807,22 @@ def read_delta_lite(
                 ),
                 mat_col=rid_mat_col if with_row_id else None,
                 want_row_id=with_row_id,
+                rcv_col=rcv_mat_col if with_row_commit_version else None,
+                rcv_default=(
+                    rcv_of.get(os.path.basename(path))
+                    if with_row_commit_version
+                    else None
+                ),
+                want_rcv=with_row_commit_version,
             )
-            sel = list(logical_cols()) + (
-                ["_row_id"] if with_row_id else []
+            sel = (
+                list(logical_cols())
+                + (["_row_id"] if with_row_id else [])
+                + (
+                    ["_row_commit_version"]
+                    if with_row_commit_version
+                    else []
+                )
             )
             parts.append(dv_df.select(*sel))
     out = parts[0]
@@ -787,6 +843,9 @@ def _apply_deletion_vector(
     row_id_base: int | None = None,
     mat_col: str | None = None,
     want_row_id: bool = False,
+    rcv_col: str | None = None,
+    rcv_default: int | None = None,
+    want_rcv: bool = False,
 ):
     """One data file minus its deleted rows.
 
@@ -828,6 +887,18 @@ def _apply_deletion_vector(
             else (pieces[0] if pieces else F.lit(None).cast("long"))
         )
         kept = kept.withColumn("_row_id", rid)
+    if want_rcv:
+        rps = []
+        if rcv_col is not None and rcv_col in kept.columns:
+            rps.append(F.col(rcv_col).cast("long"))
+        if rcv_default is not None:
+            rps.append(F.lit(rcv_default).cast("long"))
+        rcv = (
+            F.coalesce(*rps)
+            if len(rps) > 1
+            else (rps[0] if rps else F.lit(None).cast("long"))
+        )
+        kept = kept.withColumn("_row_commit_version", rcv)
     return kept.drop("__ridx")
 
 
@@ -1000,6 +1071,7 @@ def _assign_base_row_ids(
 
 
 _MAT_ROW_ID_KEY = "delta.rowTracking.materializedRowIdColumnName"
+_MAT_RCV_KEY = "delta.rowTracking.materializedRowCommitVersionColumnName"
 
 
 def _materialized_row_id_col(configuration: dict | None) -> str | None:
@@ -1010,24 +1082,40 @@ def _materialized_row_id_col(configuration: dict | None) -> str | None:
     return (configuration or {}).get(_MAT_ROW_ID_KEY)
 
 
-def _rt_rewrite_begin(meta: dict) -> tuple[str | None, list[dict]]:
-    """Start-of-rewrite row-tracking context: ``(materialized column
-    name, extra commit actions)``. ``None`` when the table doesn't
-    track rows. Tables created before materialization existed get a
-    name minted here and recorded via a same-commit metaData update —
-    the protocol's lazy-registration pattern."""
+def _materialized_rcv_col(configuration: dict | None) -> str | None:
+    """Physical column name for materialized row COMMIT VERSIONS (the
+    version a row was last inserted/updated at): rewrites carry
+    untouched survivors' versions in it; rows the rewrite MODIFIED
+    store NULL and derive the rewrite commit's own version through the
+    new add's defaultRowCommitVersion — the same null-fallback model
+    as row ids."""
+    return (configuration or {}).get(_MAT_RCV_KEY)
+
+
+def _rt_rewrite_begin(meta: dict) -> tuple[str | None, str | None, list[dict]]:
+    """Start-of-rewrite row-tracking context: ``(materialized row-id
+    column, materialized commit-version column, extra commit
+    actions)``. ``(None, None, [])`` when the table doesn't track
+    rows. Tables created before materialization existed get names
+    minted here and recorded via a same-commit metaData update — the
+    protocol's lazy-registration pattern."""
     cfg = meta.get("configuration") or {}
     if not _row_tracking_enabled(cfg):
-        return None, []
-    name = cfg.get(_MAT_ROW_ID_KEY)
-    if name:
-        return name, []
+        return None, None, []
     import uuid as _uuid
 
-    name = f"_row-id-col-{_uuid.uuid4().hex}"
     new_cfg = dict(cfg)
-    new_cfg[_MAT_ROW_ID_KEY] = name
-    return name, [{"metaData": {**meta, "configuration": new_cfg}}]
+    name = cfg.get(_MAT_ROW_ID_KEY)
+    if not name:
+        name = f"_row-id-col-{_uuid.uuid4().hex}"
+        new_cfg[_MAT_ROW_ID_KEY] = name
+    rcv = cfg.get(_MAT_RCV_KEY)
+    if not rcv:
+        rcv = f"_row-commit-version-col-{_uuid.uuid4().hex}"
+        new_cfg[_MAT_RCV_KEY] = rcv
+    if new_cfg == cfg:
+        return name, rcv, []
+    return name, rcv, [{"metaData": {**meta, "configuration": new_cfg}}]
 
 
 def _rt_rewrite_finish(log_dir: str, new_adds: list[dict]) -> list[dict]:
@@ -1069,6 +1157,25 @@ def _row_id_read_expr(
             F.split(F.col("_metadata.file_path"), "/"), -1
         )
         pieces.append((mapping[fname] + pos_col).cast("long"))
+    if not pieces:
+        return F.lit(None).cast("long")
+    return F.coalesce(*pieces) if len(pieces) > 1 else pieces[0]
+
+
+def _rcv_read_expr(rcv_col: str | None, rcv_of: dict[str, int]):
+    """``coalesce(materialized commit version, file default)`` — the
+    version each row was last inserted/updated at."""
+    pieces = []
+    if rcv_col is not None:
+        pieces.append(F.col(rcv_col).cast("long"))
+    if rcv_of:
+        mapping = F.create_map(
+            *[x for k, v in rcv_of.items() for x in (F.lit(k), F.lit(v))]
+        )
+        fname = F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1
+        )
+        pieces.append(mapping[fname].cast("long"))
     if not pieces:
         return F.lit(None).cast("long")
     return F.coalesce(*pieces) if len(pieces) > 1 else pieces[0]
@@ -1665,6 +1772,17 @@ def write_delta_lite(
                             and _MAT_ROW_ID_KEY not in (properties or {})
                             else {}
                         ),
+                        **(
+                            {
+                                _MAT_RCV_KEY: (
+                                    "_row-commit-version-col-"
+                                    f"{uuid.uuid4().hex}"
+                                )
+                            }
+                            if rt_on
+                            and _MAT_RCV_KEY not in (properties or {})
+                            else {}
+                        ),
                     },
                     "createdTime": now_ms,
                 }
@@ -2175,12 +2293,17 @@ def optimize_delta_lite(
                 f"ZORDER BY partition columns {party} is pointless — they "
                 "are constant within every file group"
             )
-    mat_col, rt_actions = _rt_rewrite_begin(meta)
+    mat_col, rcv_col, rt_actions = _rt_rewrite_begin(meta)
     opt_read_schema = data_schema
-    if mat_col and mat_col not in [f.name for f in data_schema.fields]:
+    opt_extra = [
+        c
+        for c in (mat_col, rcv_col)
+        if c and c not in [f.name for f in data_schema.fields]
+    ]
+    if opt_extra:
         opt_read_schema = T.StructType(
             list(data_schema.fields)
-            + [T.StructField(mat_col, T.LongType())]
+            + [T.StructField(c, T.LongType()) for c in opt_extra]
         )
     groups: dict[tuple, list[dict]] = {}
     for a in adds:
@@ -2215,18 +2338,28 @@ def optimize_delta_lite(
             if mat_col is not None:
                 # compaction preserves every row: materialize each
                 # row's tracked id (existing materialized value, else
-                # old-file base + position) so ?with-row-id= reads
-                # survive the rewrite
+                # old-file base + position) AND its last-modified
+                # commit version so ?with-row-id= reads survive the
+                # rewrite
                 base_of_g = {
                     os.path.basename(a["path"]): int(a["baseRowId"])
                     for a in small
                     if a.get("baseRowId") is not None
+                }
+                rcv_of_g = {
+                    os.path.basename(a["path"]): int(
+                        a["defaultRowCommitVersion"]
+                    )
+                    for a in small
+                    if a.get("defaultRowCommitVersion") is not None
                 }
                 scan = scan.withColumn(
                     mat_col,
                     _row_id_read_expr(
                         mat_col, base_of_g, F.col("_metadata.row_index")
                     ),
+                ).withColumn(
+                    rcv_col, _rcv_read_expr(rcv_col, rcv_of_g)
                 )
             if zorder_by:
                 from spark_etl_cli_spark.operators.zorder import zorder_sort
@@ -2446,17 +2579,36 @@ def _snapshot_scan(
         if with_row_id
         else None
     )
+    rcv_col = (
+        _materialized_rcv_col(meta.get("configuration"))
+        if with_row_id
+        else None
+    )
     read_schema = data_schema
-    if mat_col and mat_col not in [f.name for f in data_schema.fields]:
+    extra_read = [
+        c
+        for c in (mat_col, rcv_col)
+        if c and c not in [f.name for f in data_schema.fields]
+    ]
+    if extra_read:
         read_schema = T.StructType(
             list(data_schema.fields)
-            + [T.StructField(mat_col, T.LongType())]
+            + [T.StructField(c, T.LongType()) for c in extra_read]
         )
     base_of = (
         {
             os.path.basename(a["path"]): int(a["baseRowId"])
             for a in adds
             if a.get("baseRowId") is not None
+        }
+        if with_row_id
+        else {}
+    )
+    rcv_of = (
+        {
+            os.path.basename(a["path"]): int(a["defaultRowCommitVersion"])
+            for a in adds
+            if a.get("defaultRowCommitVersion") is not None
         }
         if with_row_id
         else {}
@@ -2469,6 +2621,9 @@ def _snapshot_scan(
             _row_id_read_expr(
                 mat_col, base_of, F.col("_metadata.row_index")
             ).alias("__row_id")
+        )
+        service.append(
+            _rcv_read_expr(rcv_col, rcv_of).alias("__rcv")
         )
 
     groups: dict[tuple, list[tuple[str, dict | None]]] = {}
@@ -2526,7 +2681,8 @@ def _snapshot_scan(
                                 mat_col,
                                 base_of,
                                 F.col("_metadata.row_index"),
-                            ).alias("__row_id")
+                            ).alias("__row_id"),
+                            _rcv_read_expr(rcv_col, rcv_of).alias("__rcv"),
                         ]
                         if with_row_id
                         else []
@@ -2547,7 +2703,10 @@ def _snapshot_scan(
             + [T.StructField("__file", T.StringType())]
             + ([T.StructField("__ridx", T.LongType())] if with_pos else [])
             + (
-                [T.StructField("__row_id", T.LongType())]
+                [
+                    T.StructField("__row_id", T.LongType()),
+                    T.StructField("__rcv", T.LongType()),
+                ]
                 if with_row_id
                 else []
             )
@@ -2793,6 +2952,7 @@ def _rewrite_files(
     df: DataFrame, table_path: str, part_cols: list[str],
     meta: dict | None = None,
     mat_col: str | None = None,
+    rcv_col: str | None = None,
 ) -> list[dict]:
     """Write ``df`` (logical columns only) as new table data files and
     return their add actions. One distributed job. With ``meta`` of a
@@ -2809,9 +2969,14 @@ def _rewrite_files(
     extra_fields: list[T.StructField] = []
     if mat_col is not None and "__row_id" in df.columns:
         df = df.withColumnRenamed("__row_id", mat_col)
-        extra_fields = [T.StructField(mat_col, T.LongType())]
+        extra_fields.append(T.StructField(mat_col, T.LongType()))
     elif "__row_id" in df.columns:
         df = df.drop("__row_id")
+    if rcv_col is not None and "__rcv" in df.columns:
+        df = df.withColumnRenamed("__rcv", rcv_col)
+        extra_fields.append(T.StructField(rcv_col, T.LongType()))
+    elif "__rcv" in df.columns:
+        df = df.drop("__rcv")
 
     write_parts = list(part_cols)
     if meta is not None:
@@ -2996,7 +3161,7 @@ def delete_delta_lite(
             )
         affected.append(add)
     n_rows = sum(r["count"] for r in counts)
-    mat_col, rt_actions = _rt_rewrite_begin(meta)
+    mat_col, rcv_col, rt_actions = _rt_rewrite_begin(meta)
     kept = (
         _snapshot_scan(
             spark, table_path, affected, meta,
@@ -3006,7 +3171,7 @@ def delete_delta_lite(
         .drop("__file")
     )
     new_adds = _rewrite_files(
-        kept, table_path, part_cols, meta, mat_col=mat_col
+        kept, table_path, part_cols, meta, mat_col=mat_col, rcv_col=rcv_col
     )
     if mat_col is not None:
         rt_actions += _rt_rewrite_finish(_log_dir(table_path), new_adds)
@@ -3130,15 +3295,17 @@ def _upsert_delta_lite(
                 )
             affected.append(add)
 
-    mat_col, rt_actions = _rt_rewrite_begin(meta)
-    rid_cols = ["__row_id"] if mat_col is not None else []
+    mat_col, rcv_col, rt_actions = _rt_rewrite_begin(meta)
+    rid_cols = ["__row_id", "__rcv"] if mat_col is not None else []
     incoming = df.select(*table_cols)
     if mat_col is not None:
         if affected:
             # an update keeps its row id (the protocol's stability
             # contract): matched incoming rows inherit the replaced
             # key's id; unmatched ones stay NULL and derive a fresh id
-            # from the new file's baseRowId
+            # from the new file's baseRowId. The commit VERSION is NULL
+            # either way — a replacement IS an update at this commit,
+            # so both derive the new add's defaultRowCommitVersion.
             old_ids = (
                 _snapshot_scan(
                     spark, table_path, affected, meta, with_row_id=True
@@ -3151,6 +3318,7 @@ def _upsert_delta_lite(
             incoming = incoming.withColumn(
                 "__row_id", F.lit(None).cast("long")
             )
+        incoming = incoming.withColumn("__rcv", F.lit(None).cast("long"))
     if affected:
         remaining = (
             _snapshot_scan(
@@ -3165,7 +3333,7 @@ def _upsert_delta_lite(
         out = incoming
     _enforce_constraints(out, meta.get("configuration"), table_schema)
     new_adds = _rewrite_files(
-        out, table_path, part_cols, meta, mat_col=mat_col
+        out, table_path, part_cols, meta, mat_col=mat_col, rcv_col=rcv_col
     )
     if mat_col is not None:
         rt_actions += _rt_rewrite_finish(_log_dir(table_path), new_adds)
@@ -3460,7 +3628,7 @@ def merge_delta_lite(
         else:
             n_updated += sum(r["count"] for r in counts_n)
 
-    mat_col, rt_actions = _rt_rewrite_begin(meta)
+    mat_col, rcv_col, rt_actions = _rt_rewrite_begin(meta)
     pieces: list[DataFrame] = []
     if affected:
         # one left join, one projection: every SET expression sees the
@@ -3497,8 +3665,14 @@ def merge_delta_lite(
         out_cols = [_out_col(f) for f in schema.fields]
         if mat_col is not None:
             # an UPDATEd row keeps its tracked id (stability contract)
+            # but its commit version becomes THIS commit (NULL
+            # materialized → derives the new add's default); untouched
+            # survivors carry their old version forward
             out_cols = out_cols + [
-                F.col("target.__row_id").alias("__row_id")
+                F.col("target.__row_id").alias("__row_id"),
+                F.when(
+                    upd | nmbs_upd, F.lit(None).cast("long")
+                ).otherwise(F.col("target.__rcv")).alias("__rcv"),
             ]
         pieces.append(
             _snapshot_scan(
@@ -3543,8 +3717,11 @@ def merge_delta_lite(
             ins = new_rows.select(*table_cols)
             if mat_col is not None:
                 # inserts derive fresh ids from the new file's
-                # baseRowId (materialized NULL)
-                ins = ins.withColumn("__row_id", F.lit(None).cast("long"))
+                # baseRowId and its defaultRowCommitVersion
+                # (both materialized NULL)
+                ins = ins.withColumn(
+                    "__row_id", F.lit(None).cast("long")
+                ).withColumn("__rcv", F.lit(None).cast("long"))
             pieces.append(ins)
             inserted_rows = new_rows
 
@@ -3555,7 +3732,7 @@ def merge_delta_lite(
         out = out.unionByName(p)
     _enforce_constraints(out, meta.get("configuration"), schema)
     new_adds = _rewrite_files(
-        out, table_path, part_cols, meta, mat_col=mat_col
+        out, table_path, part_cols, meta, mat_col=mat_col, rcv_col=rcv_col
     )
     if mat_col is not None:
         rt_actions += _rt_rewrite_finish(_log_dir(table_path), new_adds)
@@ -4281,16 +4458,25 @@ def update_delta_lite(
         else F.col(f.name)
         for f in schema.fields
     ]
-    mat_col, rt_actions = _rt_rewrite_begin(meta)
+    mat_col, rcv_col, rt_actions = _rt_rewrite_begin(meta)
     if mat_col is not None:
-        # updated rows keep their tracked ids (stability contract)
-        out_cols = out_cols + [F.col("__row_id")]
+        # updated rows keep their tracked ids (stability contract) but
+        # take THIS commit as their version (NULL materialized →
+        # derives the new add's default); untouched survivors carry
+        # their old version forward
+        out_cols = out_cols + [
+            F.col("__row_id"),
+            F.when(pred, F.lit(None).cast("long"))
+            .otherwise(F.col("__rcv"))
+            .alias("__rcv"),
+        ]
     rewritten = _snapshot_scan(
         spark, table_path, affected, meta, with_row_id=mat_col is not None
     ).select(*out_cols)
     _enforce_constraints(rewritten, meta.get("configuration"), schema)
     new_adds = _rewrite_files(
-        rewritten, table_path, part_cols, meta, mat_col=mat_col
+        rewritten, table_path, part_cols, meta, mat_col=mat_col,
+        rcv_col=rcv_col,
     )
     if mat_col is not None:
         rt_actions += _rt_rewrite_finish(_log_dir(table_path), new_adds)

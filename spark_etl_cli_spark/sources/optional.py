@@ -183,9 +183,14 @@ class DeltaSource:
                 where=self.uri.params.get("where"),
                 # time travel by commit time (epoch ms or ISO string)
                 timestamp_as_of=self.uri.params.get("timestampAsOf"),
-                # row tracking: ?with-row-id=true appends _row_id
+                # row tracking: ?with-row-id=true appends _row_id,
+                # ?with-row-commit-version=true the last-modified
+                # commit version
                 with_row_id=self.uri.params.get("with-row-id", "")
                 .lower() == "true",
+                with_row_commit_version=self.uri.params.get(
+                    "with-row-commit-version", ""
+                ).lower() == "true",
             )
         return FileSource(self.uri, "delta").read(spark)
 

@@ -2755,3 +2755,69 @@ def test_row_tracking_via_uri(spark, tmp_path):
     )
     rows = spark.table("rt_back").collect()
     assert sorted(r._row_id for r in rows) == [0, 1, 2]
+
+
+def test_row_commit_version_tracks_last_modification(spark, tmp_path):
+    """_row_commit_version = the commit a row was last inserted or
+    updated at: appends stamp their own version, an UPDATE bumps only
+    the matched rows (survivors keep their old version through the
+    rewrite's materialized column), MERGE bumps replaced keys and
+    stamps inserts, OPTIMIZE preserves everything."""
+    from spark_etl_cli_spark.sources.delta_lite import (
+        _upsert_delta_lite,
+        optimize_delta_lite,
+        read_delta_lite,
+        update_delta_lite,
+        write_delta_lite,
+    )
+
+    table = str(tmp_path / "rt_rcv")
+    write_delta_lite(                                        # version 0
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(4)], "id long, v string"
+        ).coalesce(1),
+        table, properties={"delta.enableRowTracking": "true"},
+    )
+    write_delta_lite(                                        # version 1
+        spark.createDataFrame([(10, "ten")], "id long, v string"),
+        table, mode="append",
+    )
+
+    def rcv(path):
+        return {
+            r.id: r._row_commit_version
+            for r in read_delta_lite(
+                spark, path, with_row_commit_version=True
+            ).collect()
+        }
+
+    v = rcv(table)
+    assert v == {0: 0, 1: 0, 2: 0, 3: 0, 10: 1}
+
+    update_delta_lite(spark, table, "id = 2", {"v": "'x'"})  # version 2
+    v = rcv(table)
+    assert v[2] == 2
+    assert {k: x for k, x in v.items() if k != 2} == {
+        0: 0, 1: 0, 3: 0, 10: 1
+    }
+
+    _upsert_delta_lite(                                      # version 3
+        spark.createDataFrame(
+            [(3, "three2"), (99, "new")], "id long, v string"
+        ),
+        table, "id",
+    )
+    v = rcv(table)
+    assert v[3] == 3 and v[99] == 3
+    assert v[0] == 0 and v[2] == 2 and v[10] == 1
+
+    before = rcv(table)
+    optimize_delta_lite(spark, table, target_file_bytes=1 << 30)
+    assert rcv(table) == before  # compaction modifies nothing
+
+    # ids still stable through all of it
+    ids = {
+        r.id: r._row_id
+        for r in read_delta_lite(spark, table, with_row_id=True).collect()
+    }
+    assert len(set(ids.values())) == len(ids)
