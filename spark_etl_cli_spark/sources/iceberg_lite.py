@@ -39,10 +39,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# spec v3 reserved field id for the MATERIALIZED row-lineage column
-# rewritten data files carry (name-mapping entries under this id name
-# the physical column; fresh files derive first_row_id + position)
+# spec v3 reserved field ids for the MATERIALIZED row-lineage columns
+# rewritten data files carry (name-mapping entries under these ids name
+# the physical columns; fresh files derive first_row_id + position
+# resp. inherit the file's data sequence number)
 _ROW_ID_FIELD_ID = 2147483546
+_LAST_SEQ_FIELD_ID = 2147483545
 
 
 def is_iceberg_table(table_path: str) -> bool:
@@ -728,6 +730,7 @@ def read_iceberg_lite(
     where: str | None = None,
     with_provenance: bool = False,
     with_row_id: bool = False,
+    with_last_updated_seq: bool = False,
 ) -> DataFrame:
     """Snapshot read. ``with_provenance`` keeps the service columns
     ``__dfile`` (manifest-normalized data-file path) and ``__dpos``
@@ -742,7 +745,13 @@ def read_iceberg_lite(
     via the reserved name-mapping field 2147483546), fresh files
     derive from their first_row_id block. Files with unassigned
     lineage (pre-upgrade, or rewrites that couldn't recover it) raise
-    rather than serve nulls."""
+    rather than serve nulls.
+
+    ``with_last_updated_seq`` (format v3 only) appends
+    ``_last_updated_sequence_number``: ``coalesce(materialized column
+    [reserved field 2147483545], the file's data sequence number)`` —
+    rows inherit their file's sequence unless a rewrite carried their
+    original one forward."""
     entries, pos_deletes, eq_deletes, dv_entries, spark_schema, meta = (
         _resolve_entries(spark, table_path, snapshot_id, where)
     )
@@ -751,15 +760,23 @@ def read_iceberg_lite(
             "with_row_id needs a format-version 3 table (row lineage); "
             "run upgrade_iceberg_format first"
         )
+    if with_last_updated_seq and int(meta.get("format-version", 1)) < 3:
+        raise ValueError(
+            "with_last_updated_seq needs a format-version 3 table"
+        )
     if not entries:
         empty = spark.createDataFrame([], spark_schema)
         if with_row_id:
             empty = empty.withColumn("_row_id", F.lit(None).cast("long"))
+        if with_last_updated_seq:
+            empty = empty.withColumn(
+                "_last_updated_sequence_number", F.lit(None).cast("long")
+            )
         return empty.filter(where) if where else empty
     norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
     track = (
         bool(pos_deletes) or bool(eq_deletes) or bool(dv_entries)
-        or with_provenance or with_row_id
+        or with_provenance or with_row_id or with_last_updated_seq
     )
 
     # schema.name-mapping.default (spec): files without field ids in
@@ -774,6 +791,7 @@ def read_iceberg_lite(
     )
     _phys_field = None
     rid_mat_col: str | None = None
+    seq_mat_col: str | None = None
     if nm_raw:
         id_to_file_name: dict[int, str] = {}
 
@@ -787,8 +805,10 @@ def read_iceberg_lite(
         _nm_flat(json.loads(nm_raw))
         # spec reserved field 2147483546: the MATERIALIZED ``_row_id``
         # column rewritten data files carry (row lineage survives
-        # rewrites through it; fresh files derive first_row_id + pos)
+        # rewrites through it; fresh files derive first_row_id + pos);
+        # 2147483545 is its last-updated-sequence-number sibling
         rid_mat_col = id_to_file_name.pop(_ROW_ID_FIELD_ID, None)
+        seq_mat_col = id_to_file_name.pop(_LAST_SEQ_FIELD_ID, None)
         ice_field_of = {
             f["name"]: f for f in _current_schema(meta).get("fields", [])
         }
@@ -830,6 +850,7 @@ def read_iceberg_lite(
             )
 
     want_mrid = with_row_id and rid_mat_col is not None
+    want_mseq = with_last_updated_seq and seq_mat_col is not None
 
     # v3 initial-defaults (spec "Default values"): a file written
     # before a defaulted column was added physically lacks it and must
@@ -897,9 +918,13 @@ def read_iceberg_lite(
             read_fields = read_fields + [
                 T.StructField(rid_mat_col, T.LongType())
             ]
+        if want_mseq:
+            read_fields = read_fields + [
+                T.StructField(seq_mat_col, T.LongType())
+            ]
         read_schema = (
             T.StructType(read_fields)
-            if (renamed or want_mrid)
+            if (renamed or want_mrid or want_mseq)
             else schema
         )
         d = spark.read.schema(read_schema).parquet(*paths)
@@ -916,6 +941,10 @@ def read_iceberg_lite(
         mrid = (
             [F.col(rid_mat_col).cast("long").alias("__mrid")]
             if want_mrid
+            else []
+        ) + (
+            [F.col(seq_mat_col).cast("long").alias("__mseq")]
+            if want_mseq
             else []
         )
         if renamed:
@@ -936,6 +965,8 @@ def read_iceberg_lite(
             d = d.select(*sel)
             cols = list(extra) + (
                 [F.col("__mrid")] if want_mrid else []
+            ) + (
+                [F.col("__mseq")] if want_mseq else []
             ) + ([F.col("__dfile"), F.col("__dpos")] if track else [])
             return d.select(*cols)
         cols = list(extra) + mrid + (
@@ -1119,6 +1150,17 @@ def read_iceberg_lite(
         )
     if "__mrid" in df.columns:
         df = df.drop("__mrid")
+    if with_last_updated_seq:
+        if int(meta.get("format-version", 1)) < 3:
+            raise ValueError(
+                "with_last_updated_seq needs a format-version 3 table"
+            )
+        seq_expr = F.col("__dseq").cast("long")
+        if "__mseq" in df.columns:
+            seq_expr = F.coalesce(F.col("__mseq").cast("long"), seq_expr)
+        df = df.withColumn("_last_updated_sequence_number", seq_expr)
+    if "__mseq" in df.columns:
+        df = df.drop("__mseq")
     if track and not with_provenance:
         df = df.drop("__dfile", "__dpos", "__dseq")
     elif with_provenance:
@@ -2080,7 +2122,8 @@ def _cow_keyed_rewrite_under_deletes(
     if int(meta.get("format-version", 2)) == 3:
         try:
             live_df = read_iceberg_lite(
-                spark, table_path, with_provenance=True, with_row_id=True
+                spark, table_path, with_provenance=True, with_row_id=True,
+                with_last_updated_seq=True,
             )
             lineage = True
         except NotImplementedError:
@@ -2125,7 +2168,9 @@ def _cow_keyed_rewrite_under_deletes(
     partitioned = bool(pcols) and any(
         (e["data_file"].get("partition") or {}) for e in data_entries
     )
-    rid_cols = ["_row_id"] if lineage else []
+    rid_cols = (
+        ["_row_id", "_last_updated_sequence_number"] if lineage else []
+    )
     if lineage and insert_df is not None:
         # keyed replace: incoming rows matching a live key INHERIT that
         # key's id (update keeps its id); fresh keys stay NULL and
@@ -2139,6 +2184,9 @@ def _cow_keyed_rewrite_under_deletes(
             insert_df = insert_df.withColumn(
                 "_row_id", F.lit(None).cast("long")
             )
+        insert_df = insert_df.withColumn(
+            "_last_updated_sequence_number", F.lit(None).cast("long")
+        )
 
     def _write_split(frame: DataFrame, out_dir: str) -> list[tuple[str, dict]]:
         """Write a frame as new data files, hive-split per partition
@@ -2438,6 +2486,9 @@ def _upsert_cow_transformed(
             insert_frame = insert_frame.withColumn(
                 "_row_id", F.lit(None).cast("long")
             )
+        insert_frame = insert_frame.withColumn(
+            "_last_updated_sequence_number", F.lit(None).cast("long")
+        )
     new_adds: list[tuple[str, dict]] = []
     groups: dict[tuple, tuple[dict, list[dict]]] = {}
     for e in affected:
@@ -2457,7 +2508,10 @@ def _upsert_cow_transformed(
             _with_lineage_field(schema) if rid_g is not None else schema
         ).parquet(*gpaths)
         if rid_g is not None:
-            kept = kept.withColumn("_row_id", rid_g)
+            kept = kept.withColumn("_row_id", rid_g).withColumn(
+                "_last_updated_sequence_number",
+                _seq_rewrite_col(gents, table_path),
+            )
         kept = kept.join(keys, on, "left_anti")
         gdir = os.path.join(
             table_path, "data", f"upsert-tr-{commit_uuid}-{gidx}"
@@ -2675,6 +2729,11 @@ def upsert_iceberg_lite(
             df_w = df.join(old_ids, on, "left")
         else:
             df_w = df.withColumn("_row_id", F.lit(None).cast("long"))
+        # incoming rows (replacements AND inserts) are updated at THIS
+        # commit: NULL inherits the new file's sequence
+        df_w = df_w.withColumn(
+            "_last_updated_sequence_number", F.lit(None).cast("long")
+        )
 
     new_adds: list[tuple[str, dict]] = []
     # rewrites: affected groups minus the incoming keys
@@ -2691,7 +2750,11 @@ def upsert_iceberg_lite(
             .join(keys, on, "left_anti")
             .select(
                 *[f.name for f in out_schema.fields],
-                *(["_row_id"] if lineage else []),
+                *(
+                    ["_row_id", "_last_updated_sequence_number"]
+                    if lineage
+                    else []
+                ),
             )
         )
         gdir = os.path.join(
@@ -3245,7 +3308,10 @@ def _compact_transformed(
             else spark_schema
         ).parquet(*paths)
         if rid_g is not None:
-            scan_g = scan_g.withColumn("_row_id", rid_g)
+            scan_g = scan_g.withColumn("_row_id", rid_g).withColumn(
+                "_last_updated_sequence_number",
+                _seq_rewrite_col(small, table_path),
+            )
         scan_g.repartition(n_out).write.parquet(gdir)
         for p in sorted(_glob.glob(os.path.join(gdir, "*.parquet"))):
             if _parquet_row_count(p) == 0:
@@ -3512,7 +3578,10 @@ def compact_iceberg_lite(
             else read_schema
         ).parquet(*small_paths)
         if rid_col is not None:
-            scan_g = scan_g.withColumn("_row_id", rid_col)
+            scan_g = scan_g.withColumn("_row_id", rid_col).withColumn(
+                "_last_updated_sequence_number",
+                _seq_rewrite_col(small, table_path),
+            )
         scan_g.repartition(n_out).write.parquet(gdir)
         pv = dict(key)
         for p in sorted(_glob.glob(os.path.join(gdir, "*.parquet"))):
@@ -3543,7 +3612,10 @@ def _read_for_rewrite(
     fencing)."""
     if int(meta.get("format-version", 2)) == 3:
         try:
-            return read_iceberg_lite(spark, table_path, with_row_id=True)
+            return read_iceberg_lite(
+                spark, table_path, with_row_id=True,
+                with_last_updated_seq=True,
+            )
         except NotImplementedError:
             pass
     return read_iceberg_lite(spark, table_path)
@@ -3582,11 +3654,37 @@ def _lineage_rewrite_col(entries: list[dict], table_path: str):
 
 
 def _with_lineage_field(schema: T.StructType) -> T.StructType:
-    if "_row_id" in [f.name for f in schema.fields]:
-        return schema
-    return T.StructType(
-        list(schema.fields) + [T.StructField("_row_id", T.LongType())]
-    )
+    out = list(schema.fields)
+    names = {f.name for f in out}
+    for c in ("_row_id", "_last_updated_sequence_number"):
+        if c not in names:
+            out.append(T.StructField(c, T.LongType()))
+    return T.StructType(out)
+
+
+def _seq_rewrite_col(entries: list[dict], table_path: str):
+    """``coalesce(materialized _last_updated_sequence_number, the
+    file's data sequence number)`` for a rewrite scanning exactly
+    these data files — untouched survivors keep their last-update
+    sequence through the rewrite; rows a rewrite MODIFIES should be
+    written NULL so they inherit the new file's sequence."""
+    seq_of: dict[str, int] = {}
+    for e in entries:
+        d = e["data_file"]
+        p = _localize(d["file_path"], table_path)
+        s = e.get("sequence_number")
+        if s is None:
+            s = e.get("__data_seq")
+        if s is not None:
+            seq_of[os.path.basename(p)] = int(s)
+    pieces = [F.col("_last_updated_sequence_number").cast("long")]
+    if seq_of:
+        mapping = F.create_map(
+            *[x for k, v in seq_of.items() for x in (F.lit(k), F.lit(v))]
+        )
+        fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+        pieces.append(mapping[fname].cast("long"))
+    return F.coalesce(*pieces) if len(pieces) > 1 else pieces[0]
 
 
 def _commit_rewrite_snapshot(
@@ -3795,14 +3893,20 @@ def _commit_rewrite_snapshot(
     new_meta["current-snapshot-id"] = snapshot_id
     if fv == 3 and assign_lineage:
         new_meta["next-row-id"] = next_row_id
-        # register the reserved materialized-column mapping so readers
-        # (ours and conforming engines) resolve the in-file _row_id
+        # register the reserved materialized-column mappings so readers
+        # (ours and conforming engines) resolve the in-file _row_id and
+        # _last_updated_sequence_number columns
         props = dict(new_meta.get("properties") or {})
         nm = json.loads(props.get("schema.name-mapping.default", "[]"))
-        if not any(e.get("field-id") == _ROW_ID_FIELD_ID for e in nm):
-            nm.append(
-                {"field-id": _ROW_ID_FIELD_ID, "names": ["_row_id"]}
-            )
+        changed = False
+        for fid, cname in (
+            (_ROW_ID_FIELD_ID, "_row_id"),
+            (_LAST_SEQ_FIELD_ID, "_last_updated_sequence_number"),
+        ):
+            if not any(e.get("field-id") == fid for e in nm):
+                nm.append({"field-id": fid, "names": [cname]})
+                changed = True
+        if changed:
             props["schema.name-mapping.default"] = json.dumps(nm)
             new_meta["properties"] = props
     new_meta["snapshots"] = list(meta.get("snapshots") or []) + [{
@@ -4806,6 +4910,11 @@ def _cow_scan_tools(
             )
         if rid is not None:
             cols.append(rid.alias("_row_id"))
+            cols.append(
+                _seq_rewrite_col(entry_group, table_path).alias(
+                    "_last_updated_sequence_number"
+                )
+            )
         return df.select(*cols)
 
     def grouped(entries_list: list[dict]) -> dict[tuple, list[dict]]:
@@ -5114,7 +5223,11 @@ def delete_iceberg_lite(
             .filter(~pred)
             .select(
                 *[f.name for f in out_schema.fields],
-                *(["_row_id"] if lineage else []),
+                *(
+                    ["_row_id", "_last_updated_sequence_number"]
+                    if lineage
+                    else []
+                ),
             )
         )
         gdir = os.path.join(table_path, "data", f"delete-{commit_uuid}-{gidx}")

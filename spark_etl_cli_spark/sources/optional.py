@@ -975,9 +975,13 @@ class IcebergSource:
             snapshot_id=int(sid) if sid is not None else None,
             # manifest-level FILE pruning on identity partition columns
             where=self.uri.params.get("where"),
-            # v3 row lineage: ?with-row-id=true appends _row_id
+            # v3 row lineage: ?with-row-id=true appends _row_id,
+            # ?with-last-updated-seq=true the last-update sequence
             with_row_id=self.uri.params.get("with-row-id", "")
             .lower() == "true",
+            with_last_updated_seq=self.uri.params.get(
+                "with-last-updated-seq", ""
+            ).lower() == "true",
         )
 
 

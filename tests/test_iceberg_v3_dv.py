@@ -611,3 +611,49 @@ def test_v3_lineage_through_transformed_compaction(spark, tmp_path):
         for r in read_iceberg_lite(spark, table, with_row_id=True).collect()
     }
     assert after == base
+
+
+def test_v3_last_updated_sequence_number(spark, tmp_path):
+    """_last_updated_sequence_number: rows inherit their file's data
+    sequence; an upsert bumps only the rows it replaced/inserted
+    (survivors carry their sequence through the rewrite's materialized
+    column); compaction preserves everything."""
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        compact_iceberg_lite,
+    )
+
+    table = str(tmp_path / "ice_seq")
+    write_iceberg_lite(                                     # seq 1
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(4)], "id long, v string"
+        ).coalesce(1),
+        table, format_version=3,
+    )
+    write_iceberg_lite(                                     # seq 2
+        spark.createDataFrame([(10, "ten")], "id long, v string"),
+        table, mode="append",
+    )
+
+    def seqs():
+        return {
+            r.id: r._last_updated_sequence_number
+            for r in read_iceberg_lite(
+                spark, table, with_last_updated_seq=True
+            ).collect()
+        }
+
+    assert seqs() == {0: 1, 1: 1, 2: 1, 3: 1, 10: 2}
+
+    upsert_iceberg_lite(                                    # seq 3
+        spark.createDataFrame(
+            [(2, "two2"), (99, "new")], "id long, v string"
+        ),
+        table, on="id",
+    )
+    s = seqs()
+    assert s[2] == 3 and s[99] == 3
+    assert s[0] == 1 and s[1] == 1 and s[3] == 1 and s[10] == 2
+
+    before = seqs()
+    compact_iceberg_lite(spark, table, target_file_bytes=1 << 30)
+    assert seqs() == before  # compaction modifies no row
