@@ -159,6 +159,33 @@ got = {r.id: r.score for r in read_iceberg_lite(spark, t4).collect()}
 assert got == {1: 7, 2: 7, 3: 99, 4: None, 5: 7}, got
 print("check 4 OK: initial-default by file vintage, write-default fill")
 
+# --- 3b: iceberg _last_updated_sequence_number through the same ops -------
+seqs = {
+    r.id: r._last_updated_sequence_number
+    for r in read_iceberg_lite(
+        spark, t3, with_last_updated_seq=True
+    ).collect()
+}
+# the upserted key and the insert carry the upsert commit's sequence;
+# every other row kept its ORIGINAL append sequence through the
+# compaction + upsert rewrites (materialized column)
+assert seqs[4] == seqs[77], seqs
+assert len({v for k, v in seqs.items() if k not in (4, 77)}) == 2, seqs
+assert all(v < seqs[4] for k, v in seqs.items() if k not in (4, 77)), seqs
+print("check 3b OK: last-updated sequences preserved through maintenance")
+
+# --- 4b: delta _row_commit_version through the same gauntlet ---------------
+rcv = {
+    r.id: r._row_commit_version
+    for r in read_delta_lite(
+        spark, t1, with_row_commit_version=True
+    ).collect()
+}
+assert rcv[7] > rcv[0], rcv      # UPDATEd row bumped
+assert rcv[9] == rcv[100], rcv   # replaced key and insert share the MERGE commit
+assert rcv[0] == rcv[1] == 0, rcv  # untouched rows keep their insert commit
+print("check 4b OK: delta row commit versions track last modification")
+
 # --- 5: descending identity on a column-mapped delta table ----------------
 from spark_etl_cli_spark.sources.delta_lite import alter_delta_lite
 
