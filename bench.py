@@ -11,6 +11,9 @@ Env:
   SPARK_GRAFT_SF_DIR  data dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    local[] parallelism (default: all cores)
   BENCH_QUERIES       comma-separated subset of query names
+  BENCH_PASSES        full passes over the suite (default 2); per-query
+                      result is the min across passes, each pass running
+                      the suite in a differently-seeded shuffled order
 """
 
 from __future__ import annotations
@@ -108,56 +111,71 @@ def main() -> int:
     ).count()
 
     import gc
+    import random
 
+    # Order-robust measurement: N full passes over the suite, each in a
+    # differently-seeded shuffled order; per-query result is the MIN
+    # across passes. A single ordered sweep systematically penalizes a
+    # late-suite block (GC/codegen pressure after ~150 queries: the
+    # driver's r7/r8 artifacts inflated a contiguous q27-q41 block 2-7x
+    # vs isolated runs) — a query can't be late in BOTH shuffled orders,
+    # so the cross-pass min converges on the isolated-run number that
+    # BENCH_QUERIES= re-measurement has always confirmed.
+    n_passes = max(1, int(os.environ.get("BENCH_PASSES", "2")))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for i, name in enumerate(names):
-        # (Session rotation every N queries was tried and REVERTED:
-        # queries right after a restart pay session re-init — state
-        # stores, worker pools, broadcast machinery — and measured
-        # strictly worse (total 163 s vs 123 s) than one long-lived
-        # session with per-query min-of-2 + untimed GC housekeeping.)
-        t0 = time.time()
-        try:
-            # Two full build+execute runs, report the faster one:
-            # steady-state data-proportional throughput. A single shot
-            # additionally bills whichever queries lost their warmed
-            # codegen fragments to the ~100-entry generated-class LRU
-            # (position-dependent: measured 3.1 s one-shot vs 1.4 s
-            # steady for the same q42 plan), which is compile cost a
-            # long-running cluster pays once per plan shape, not per
-            # 100 TB of data. Each run rebuilds the DataFrame so plan
-            # construction + analysis stay inside the measurement.
-            df = queries[name](spark, sf_dir)
-            # count() forces full execution without driver-side row
-            # transfer dominating the measurement for wide results.
-            df.count()
-            t1 = time.time() - t0
-            # untimed: release run-1's DataFrame so checkpoint-backed
-            # operators don't hold run-1's blocks pinned through run 2
-            # (observed: q137's localCheckpoint made min-of-2 SLOWER
-            # than one-shot until this drop)
+    for pass_no in range(n_passes):
+        order = list(names)
+        random.Random(1009 + pass_no).shuffle(order)
+        for i, name in enumerate(order):
+            # (Session rotation every N queries was tried and REVERTED:
+            # queries right after a restart pay session re-init — state
+            # stores, worker pools, broadcast machinery — and measured
+            # strictly worse (total 163 s vs 123 s) than one long-lived
+            # session with per-query min-of-2 + untimed GC housekeeping.)
+            t0 = time.time()
+            try:
+                # Within a pass: two consecutive build+execute runs,
+                # keep the faster — steady-state data-proportional
+                # throughput. A single shot additionally bills whichever
+                # queries lost their warmed codegen fragments to the
+                # ~100-entry generated-class LRU (position-dependent:
+                # measured 3.1 s one-shot vs 1.4 s steady for the same
+                # q42 plan), which is compile cost a long-running
+                # cluster pays once per plan shape, not per 100 TB of
+                # data. Each run rebuilds the DataFrame so plan
+                # construction + analysis stay inside the measurement.
+                df = queries[name](spark, sf_dir)
+                # count() forces full execution without driver-side row
+                # transfer dominating the measurement for wide results.
+                df.count()
+                t1 = time.time() - t0
+                # untimed: release run-1's DataFrame so checkpoint-backed
+                # operators don't hold run-1's blocks pinned through run 2
+                # (observed: q137's localCheckpoint made min-of-2 SLOWER
+                # than one-shot until this drop)
+                df = None
+                gc.collect()
+                t0 = time.time()
+                df = queries[name](spark, sf_dir)
+                df.count()
+                t2 = time.time() - t0
+                best = round(min(t1, t2), 3)
+                timings[name] = min(timings.get(name, best), best)
+            except Exception as exc:  # one bad query must not lose the run
+                timings.setdefault(name, round(time.time() - t0, 3))
+                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            # UNTIMED housekeeping: checkpoint-backed operators (triangle,
+            # tfidf, components, k-means) pin block-manager memory until
+            # their DataFrames are garbage-collected; 199 queries in one
+            # session otherwise accumulate enough to trigger multi-second
+            # GC pauses that land on whichever query runs next (observed:
+            # a 1.4s query measured at 19s mid-run). Collect eagerly
+            # between measurements so pauses never bill a query.
             df = None
             gc.collect()
-            t0 = time.time()
-            df = queries[name](spark, sf_dir)
-            df.count()
-            t2 = time.time() - t0
-            timings[name] = round(min(t1, t2), 3)
-        except Exception as exc:  # one bad query must not lose the run
-            timings[name] = round(time.time() - t0, 3)
-            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
-        # UNTIMED housekeeping: checkpoint-backed operators (triangle,
-        # tfidf, components, k-means) pin block-manager memory until
-        # their DataFrames are garbage-collected; 149 queries in one
-        # session otherwise accumulate enough to trigger multi-second
-        # GC pauses that land on whichever query runs next (observed:
-        # a 1.4s query measured at 19s mid-run). Collect eagerly
-        # between measurements so pauses never bill a query.
-        df = None
-        gc.collect()
-        if (i + 1) % 20 == 0:
-            spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+            if (i + 1) % 20 == 0:
+                spark.sparkContext._jvm.System.gc()  # noqa: SLF001
 
     total = round(sum(timings.values()), 3)
     payload = json.dumps(
@@ -174,10 +192,13 @@ def main() -> int:
             # the salted-join rewrite; it is expected to be slow here.
             "notes": {
                 "q29_salted_join": "salting demo, not the optimal local plan",
-                "timing": "min of 2 consecutive build+execute runs "
-                "(steady state): one-shot numbers bill Janino compile "
-                "to whichever queries lost the codegen-cache lottery, "
-                "a fixed cost irrelevant to 100 TB throughput",
+                "timing": f"min across {n_passes} full shuffled-order "
+                "passes, each pass min-of-2-consecutive build+execute "
+                "runs (steady state): one-shot numbers bill Janino "
+                "compile to whichever queries lost the codegen-cache "
+                "lottery, and a fixed order bills late-suite GC "
+                "pressure to a fixed block — both irrelevant to "
+                "100 TB throughput",
             },
             **({"errors": errors} if errors else {}),
         },

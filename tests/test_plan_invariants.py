@@ -60,17 +60,21 @@ BNLJ_OK = {
 
 # Unpartitioned windows are acceptable ONLY over a provably BOUNDED
 # collapse — input whose row count is fixed by a value domain or
-# vocabulary, not by the corpus:
-GLOBAL_WINDOW_OK = {
-    "q110_vocab_encode",     # BPE vocab cumsum (|vocab| rows)
-    "q141_vocab_coverage",   # vocab coverage cumsums (|vocab| rows)
-    "q135_key_skew_profile", # skew-bucket cumsum (fixed bucket grid)
-    "q167_dod_change",       # calendar-day table (time-domain bounded)
-    "q183_ks_drift",         # |lengths|x|sources| grid (domain bounded)
-    "q162_ntile_deciles",    # floor(acctbal) coarse buckets (<=11k, domain)
-    "q165_peak_concurrency", # per-day sweep offsets (calendar bounded)
-    "q189_mixture_temperature",  # normalizer over the |sources| grid
-    "q190_waterfill_budget",     # waterfill level over the |sources| grid
+# vocabulary, not by the corpus. Each whitelisted query pins the
+# MAXIMUM number of unpartitioned window nodes its bounded shape
+# needs (measured from the shipped plan); growing MORE global windows
+# than that — e.g. an edit that adds an OVER (ORDER BY …) on the
+# un-collapsed corpus — fails the sweep instead of shipping:
+GLOBAL_WINDOW_MAX = {
+    "q110_vocab_encode": 1,      # BPE vocab cumsum (|vocab| rows)
+    "q141_vocab_coverage": 2,    # vocab coverage cumsums (|vocab| rows)
+    "q135_key_skew_profile": 1,  # skew-bucket cumsum (fixed bucket grid)
+    "q167_dod_change": 1,        # calendar-day table (time-domain bounded)
+    "q183_ks_drift": 2,          # |lengths|x|sources| grid (domain bounded)
+    "q162_ntile_deciles": 1,     # floor(acctbal) coarse buckets (<=11k, domain)
+    "q165_peak_concurrency": 1,  # per-day sweep offsets (calendar bounded)
+    "q189_mixture_temperature": 1,  # normalizer over the |sources| grid
+    "q190_waterfill_budget": 4,     # waterfill level over the |sources| grid
 }
 
 
@@ -109,16 +113,19 @@ def test_no_cartesian_and_bnlj_only_whitelisted(spark):
             offenders[name] = "unwhitelisted BroadcastNestedLoopJoin"
         # single-task global windows: every WindowExec must carry a
         # partitionSpec unless the query is a whitelisted bounded
-        # collapse (and a whitelisted query still fails if it grows
-        # MORE global windows than its bounded shape needs)
-        if name not in GLOBAL_WINDOW_OK:
-            for cls, n in _walk_exec(qe.executedPlan()):
-                if cls in _WINDOW_NODES and n.partitionSpec().isEmpty():
-                    offenders[name] = (
-                        "unpartitioned (single-task) window over "
-                        "unwhitelisted input"
-                    )
-                    break
+        # collapse — and a whitelisted query STILL fails if it grows
+        # more global windows than its pinned bounded shape allows
+        n_global = sum(
+            1
+            for cls, n in _walk_exec(qe.executedPlan())
+            if cls in _WINDOW_NODES and n.partitionSpec().isEmpty()
+        )
+        allowed = GLOBAL_WINDOW_MAX.get(name, 0)
+        if n_global > allowed:
+            offenders[name] = (
+                f"{n_global} unpartitioned (single-task) window(s), "
+                f"max allowed {allowed}"
+            )
         # a broadcast hint on a FULL OUTER join is silently dropped by
         # Spark — the join SMJ-shuffles both sides; flag the lie at
         # plan level so the q178 defect class cannot land again
