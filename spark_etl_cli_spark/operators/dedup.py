@@ -266,6 +266,141 @@ def minhash_signatures(
     )
 
 
+def minhash_band_entries(
+    sigs: DataFrame, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """(id, signature) → one ``(band, bucket, e{id, signature})`` row
+    per band: the LSH posting entries every banded operator keys on.
+    Pure per-row arithmetic on the stored signature (an in-row explode
+    of ``bands`` structs — no shuffle, no re-shingling), which is what
+    makes signatures worth PERSISTING: a probe against a signature
+    table re-derives its band keys map-side from 32 stored longs
+    instead of re-hashing the corpus text."""
+    rows_per_band = num_hashes // bands
+    return sigs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("signature")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+        F.struct("id", "signature").alias("e"),
+    ).select("bb.band", "bb.bucket", "e")
+
+
+def sig_agreement(a_sig, b_sig, num_hashes: int):
+    """Estimated Jaccard = fraction of agreeing signature components
+    (in-row ``zip_with``; no join back to the text)."""
+    return (
+        F.size(
+            F.filter(
+                F.zip_with(a_sig, b_sig, lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+
+
+def incremental_minhash_dedup(
+    batch_sigs: DataFrame,
+    state_sigs: DataFrame | None,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dedup a NEW batch against the EXISTING corpus without
+    recomputing the corpus: probe the batch's LSH bands against a
+    PERSISTED signature table (``state_sigs``: ``(id, signature)``,
+    e.g. a delta table the pipeline appends each round's signatures
+    to) plus the batch's own smaller ids.
+
+    Returns one decision row per batch doc:
+    ``(id, dup_of, est_jaccard)`` — ``dup_of`` NULL means survivor,
+    else the smallest-id near-duplicate neighbor (band collision and
+    signature agreement >= ``threshold``) with that pair's agreement.
+
+    **Equivalence contract** (pytest + examples/incremental_dedup.sh
+    pin it): with the monotone rule "a doc is a duplicate iff SOME
+    smaller-id doc collides above threshold", processing a corpus in
+    id-ordered batches — appending EVERY batch's signatures to the
+    state, survivors and duplicates alike (32 longs/doc; duplicate
+    signatures must stay probeable or transitive near-dup chains
+    re-enter through a deleted middle doc) — yields decisions
+    IDENTICAL to one full recompute over the whole corpus. Batch ids
+    must therefore sort after state ids (monotone doc ids are the
+    pipeline's contract; use assign-ids:// otherwise).
+
+    100 TB shape: the state is only SCANNED, never shuffled — its
+    band keys re-derive map-side from the stored signature
+    (:func:`minhash_band_entries`) and the join BROADCASTS the
+    batch's entries, so shuffle traffic is batch-sized regardless of
+    corpus size. Candidate filtering happens in-row on the carried
+    signatures; the only aggregation is per-batch-doc min over its
+    matches (batch-sized).
+    """
+    batch_entries = minhash_band_entries(batch_sigs, num_hashes, bands)
+    probe = F.broadcast(
+        batch_entries.select(
+            "band", "bucket", F.col("e").alias("b")
+        )
+    )
+    sides = [batch_entries]
+    if state_sigs is not None:
+        sides.append(
+            minhash_band_entries(state_sigs, num_hashes, bands)
+        )
+    cand = None
+    for i, side in enumerate(sides):
+        hits = (
+            side.select("band", "bucket", F.col("e").alias("a"))
+            .join(
+                probe,
+                ["band", "bucket"],
+            )
+            # batch-internal neighbors need a.id < b.id; EVERY state
+            # doc precedes the batch by arrival (ids disjoint by the
+            # pipeline contract), so the state side takes no id gate
+            .filter(
+                F.lit(i == 1) | (F.col("a.id") < F.col("b.id"))
+            )
+            .select(
+                F.col("b.id").alias("id"),
+                F.col("a.id").alias("nid"),
+                sig_agreement(
+                    F.col("a.signature"),
+                    F.col("b.signature"),
+                    num_hashes,
+                ).alias("est"),
+            )
+        )
+        cand = hits if cand is None else cand.unionByName(hits)
+    matches = (
+        cand.filter(F.col("est") >= F.lit(threshold))
+        .groupBy("id")
+        .agg(F.min(F.struct("nid", "est")).alias("m"))
+    )
+    return (
+        batch_sigs.select("id")
+        .join(matches, "id", "left")
+        .select(
+            "id",
+            F.col("m.nid").alias("dup_of"),
+            F.col("m.est").alias("est_jaccard"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -301,25 +436,7 @@ def minhash_lsh_pairs(
         df, text_col, id_col, num_hashes, shingle_k,
         hash_fn=hash_fn, base_hash=base_hash, hash_family=hash_family,
     )
-    entries = sigs.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("signature")[b * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-        F.struct("id", "signature").alias("e"),
-    ).select("bb.band", "bb.bucket", "e")
+    entries = minhash_band_entries(sigs, num_hashes, bands)
 
     def band_agrees(bb):
         return F.slice(F.col("a.signature"), bb * rows_per_band + 1, rows_per_band) == F.slice(

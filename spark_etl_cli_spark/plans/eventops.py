@@ -449,7 +449,10 @@ def q165_peak_concurrency(spark, sf_dir):
     # corpus-bounded), per-day delta totals → exclusive prefix offsets
     # via one window over the tiny day table, then the running sum
     # PARTITIONED by day resumes from the broadcast day offset.
-    day = (F.col("t") / F.lit(86_400_000_000)).cast("long")
+    # exact integer floor-div (matching q190's b/t_here expressions):
+    # float division + cast-to-long truncation is only accidentally
+    # correct here and can land boundary micros in the adjacent day.
+    day = F.expr("t div 86400000000")
     ptsd = pts.withColumn("dy", day)
     dtot = ptsd.groupBy("dy").agg(F.sum("delta").cast("long").alias("dsum"))
     wpre = W.orderBy("dy").rowsBetween(W.unboundedPreceding, -1)

@@ -319,6 +319,81 @@ def q36_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
+# --- q200: INCREMENTAL dedup — a new batch against persisted state ------
+# The production loop (examples/incremental_dedup.sh) persists each
+# round's minhash signatures in a delta table and dedups every new
+# batch by probing ONLY its own bands against that state — nothing
+# corpus-sized shuffles (incremental_minhash_dedup broadcasts the
+# batch's band entries against a scanned, never-shuffled state). This
+# query pins the DECISION semantics relationally: the corpus splits
+# into a simulated state (even doc_ids) and a new batch (odd doc_ids);
+# a batch doc is a duplicate iff some state doc OR some smaller-id
+# batch doc collides on a band with signature agreement >= 0.5, and
+# dup_of is the smallest such neighbor (with that pair's agreement).
+# Signatures are the q36 affine family on an md5 base so DuckDB
+# replays them exactly. Equivalence of batch-by-batch processing to
+# one full recompute is pinned in pytest (monotone-id batches) — the
+# oracle here proves the per-batch decision rule itself.
+@query(
+    "q200_incremental_dedup",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
+    sh AS (SELECT doc_id AS id, {_SQL_SH3} AS s FROM tk),
+    hb AS (
+      SELECT id, list_transform(s, x -> {_SQL_BASE28}) AS hb
+      FROM sh WHERE len(s) > 0
+    ),
+    sig AS (
+      SELECT id,
+             list_transform(generate_series(1, 32),
+               i -> list_min(list_transform(hb,
+                 h -> ({_SQL_MH_A}[i] * h + {_SQL_MH_B}[i]) % {_MH_P}))) AS sig
+      FROM hb
+    ),
+    cand AS (
+      SELECT b.id AS id, a.id AS nid,
+             CAST(len(list_filter(generate_series(1, 32),
+                      i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 32.0 AS est,
+             len(list_filter(generate_series(0, 7),
+                 bb -> a.sig[bb*4+1:bb*4+4] = b.sig[bb*4+1:bb*4+4])) > 0
+               AS band_hit
+      FROM sig b JOIN sig a
+        ON b.id % 2 = 1
+       AND (a.id % 2 = 0 OR a.id < b.id)
+    ),
+    hits AS (
+      SELECT id, min(nid) AS dup_of, arg_min(est, nid) AS est_jaccard
+      FROM cand WHERE band_hit AND est >= 0.5 GROUP BY id
+    )
+    SELECT d.doc_id, h.dup_of, h.est_jaccard
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.id
+    WHERE d.doc_id % 2 = 1
+    """,
+)
+def q200_incremental_dedup(spark, sf_dir):
+    from spark_etl_cli_spark.functions.text import md5_long28
+    from spark_etl_cli_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, base_hash=md5_long28)
+    state_sigs = sigs.filter(F.col("id") % 2 == 0)
+    batch_sigs = sigs.filter(F.col("id") % 2 == 1)
+    dec = incremental_minhash_dedup(batch_sigs, state_sigs)
+    # decisions cover docs with >=1 shingle; empty-text batch docs are
+    # trivial survivors — restore them through the batch roster
+    return (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id")
+        .join(
+            dec.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+        )
+        .select("doc_id", "dup_of", "est_jaccard")
+    )
+
+
 # --- q37: SimHash near-dup pairs (md5-replayable oracle) ----------------
 # Fingerprints → 4x16-bit band buckets → hamming<=8 confirm. Pair
 # generation via bucket_pairs: the fingerprint computation (token

@@ -718,6 +718,25 @@ def read_delta_lite(
                 f"(pre-feature files on a table without a materialized "
                 f"row-id column): {missing[:3]}"
             )
+        if missing and rid_mat_col is not None:
+            # A file with no baseRowId resolves through the
+            # materialized column ALONE — nothing guarantees a foreign
+            # writer populated it, and a NULL there surfaces as
+            # _row_id NULL with no signal. Mirror the
+            # with_row_commit_version rcv_missing fence's loudness
+            # (warn, not raise: this writer's own rewrites always
+            # re-assign baseRowId, so the state only arises from
+            # foreign log entries and the ids may well be present).
+            import warnings
+
+            warnings.warn(
+                f"with_row_id: {len(missing)}/{len(adds)} files have "
+                f"no baseRowId and resolve through the materialized "
+                f"column '{rid_mat_col}' alone — rows a foreign "
+                f"writer left unpopulated there will read _row_id "
+                f"NULL: {missing[:3]}",
+                stacklevel=2,
+            )
         # keyed by FILENAME (part-<uuid> — unique per table): the
         # map literal stays expression-sized under the reader's
         # _max_files cap; an engine-scale reader would join instead.
@@ -1475,12 +1494,6 @@ def write_delta_lite(
         table_idy = _identity_specs(table_schema)
         idy_hwms: dict[str, int | None] = {}
         if table_idy:
-            if mode == "overwrite":
-                raise NotImplementedError(
-                    "overwrite of a table with identity columns would "
-                    "reset the high-water mark; drop and recreate the "
-                    "table instead"
-                )
             provided = [c for c in table_idy if c in df.columns]
             if provided:
                 raise ValueError(
@@ -1488,6 +1501,11 @@ def write_delta_lite(
                     "(allowExplicitInsert=false); drop them from the "
                     "incoming frame"
                 )
+            # overwrite INCLUDED: the carried high-water mark seeds
+            # _assign_identity, so replacement rows continue beyond
+            # (ascending) / below (descending) every pre-overwrite
+            # value — the protocol's hwm never resets, and ids issued
+            # before the overwrite can never be re-issued after it
             df, idy_hwms = _assign_identity(df, table_idy)
             # withColumn appended the identity column last; the append
             # shape check (and the data files) follow table order
@@ -1496,6 +1514,18 @@ def write_delta_lite(
                 *[n for n in tbl_names if n in df.columns],
                 *[c for c in df.columns if c not in set(tbl_names)],
             )
+            if mode == "overwrite":
+                # the identity spec must survive the replace-table
+                # metaData (which is built from df.schema): stamp
+                # delta.identity.* with the ADVANCED hwm onto the
+                # frame's fields, so both the unmapped and the
+                # column-mapped overwrite paths carry it forward
+                stamped = _inject_identity_metadata(
+                    df.schema, table_idy, idy_hwms
+                )
+                for f in stamped.fields:
+                    if f.name in table_idy:
+                        df = df.withMetadata(f.name, f.metadata)
         merged_schema: T.StructType | None = None
         # type equality is on simpleString: nested fields of a
         # column-mapped table carry delta.columnMapping metadata the
@@ -1635,10 +1665,21 @@ def write_delta_lite(
                 for f in df.schema.fields:
                     old_f = by_name_m.get(f.name)
                     if old_f is not None:
+                        # keep the mapping id/physicalName, but let the
+                        # frame's ADVANCED delta.identity.* (stamped by
+                        # the overwrite path above) win over the stale
+                        # recorded high-water mark
+                        md_m = {
+                            **dict(old_f.metadata or {}),
+                            **{
+                                k: v
+                                for k, v in dict(f.metadata or {}).items()
+                                if k.startswith("delta.identity.")
+                            },
+                        }
                         ofields.append(
                             T.StructField(
-                                f.name, f.dataType, f.nullable,
-                                old_f.metadata,
+                                f.name, f.dataType, f.nullable, md_m,
                             )
                         )
                         continue
@@ -2293,6 +2334,10 @@ def optimize_delta_lite(
                 f"ZORDER BY partition columns {party} is pointless — they "
                 "are constant within every file group"
             )
+    # hoisted out of the per-output-file loop (footer reads stay
+    # driver-side and bounded by the _max_files cap)
+    import pyarrow.parquet as _pq
+
     mat_col, rcv_col, rt_actions = _rt_rewrite_begin(meta)
     opt_read_schema = data_schema
     opt_extra = [
@@ -2378,8 +2423,6 @@ def optimize_delta_lite(
                 new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
                 dst = os.path.join(table_path, new_name)
                 shutil.move(os.path.join(tmp, fname), dst)
-                import pyarrow.parquet as _pq
-
                 n_rows_f = _pq.ParquetFile(dst).metadata.num_rows
                 new_adds.append(
                     {

@@ -157,6 +157,173 @@ def _schema_to_spark(meta: dict) -> T.StructType:
     return _iceberg_type_to_spark(_current_schema(meta))
 
 
+def _sv_to_column(value, ice_type):
+    """Spec "single-value serialization" (JSON) → a typed Spark literal
+    Column. Composites recurse: a struct default is a JSON object keyed
+    by FIELD ID (as a string), a list is a JSON array of element
+    values, a map is ``{"keys": [...], "values": [...]}``; decimal is
+    serialized as a JSON string, fixed/binary as hexadecimal."""
+    spark_t = _iceberg_type_to_spark(ice_type)
+    if value is None:
+        return F.lit(None).cast(spark_t)
+    if isinstance(ice_type, dict):
+        # the final .cast(spark_t) is positional for structs and
+        # aligns nullability with the logical schema (literals come
+        # out non-nullable, which would read as a type change)
+        kind = ice_type["type"]
+        if kind == "struct":
+            return F.struct(
+                *[
+                    _sv_to_column(
+                        value.get(str(f["id"])), f["type"]
+                    ).alias(f["name"])
+                    for f in ice_type["fields"]
+                ]
+            ).cast(spark_t)
+        if kind == "list":
+            if not value:
+                return F.array().cast(spark_t)
+            return F.array(
+                *[_sv_to_column(e, ice_type["element"]) for e in value]
+            ).cast(spark_t)
+        if kind == "map":
+            keys, vals = value.get("keys", []), value.get("values", [])
+            if not keys:
+                return F.map_from_arrays(
+                    F.array(), F.array()
+                ).cast(spark_t)
+            return F.map_from_arrays(
+                F.array(*[_sv_to_column(k, ice_type["key"]) for k in keys]),
+                F.array(
+                    *[_sv_to_column(v, ice_type["value"]) for v in vals]
+                ),
+            ).cast(spark_t)
+        raise ValueError(f"iceberg_lite: unknown nested type {ice_type!r}")
+    if ice_type.startswith("decimal"):
+        return F.lit(str(value)).cast(spark_t)
+    if ice_type.startswith("fixed") or ice_type == "binary":
+        return F.lit(bytes.fromhex(value)).cast(spark_t)
+    return F.lit(value).cast(spark_t)
+
+
+def _normalize_default(value, ice_type, path: str = ""):
+    """Validate a user-supplied default and canonicalize it into the
+    spec's single-value JSON serialization for ``initial-default`` /
+    ``write-default``. Struct values accept field NAMES as keys (the
+    ergonomic form) or field-id strings (the spec form) and are stored
+    id-keyed; map values accept a plain JSON object when the key type
+    is string, canonicalized to the keys/values arrays; decimal
+    accepts int/float/str and stores the string form."""
+    where = f" at {path}" if path else ""
+    if value is None:
+        raise ValueError(
+            f"column default{where}: null is not a default — omit the "
+            "field instead (readers serve NULL for absent defaults)"
+        )
+    if isinstance(ice_type, dict):
+        kind = ice_type["type"]
+        if kind == "struct":
+            if not isinstance(value, dict):
+                raise ValueError(
+                    f"struct default{where} needs a JSON object, "
+                    f"got {value!r}"
+                )
+            by_id = {str(f["id"]): f for f in ice_type["fields"]}
+            by_name = {f["name"]: f for f in ice_type["fields"]}
+            out = {}
+            for k, v in value.items():
+                fld = by_id.get(str(k)) or by_name.get(k)
+                if fld is None:
+                    raise ValueError(
+                        f"struct default{where}: {k!r} matches no "
+                        f"field (names {sorted(by_name)})"
+                    )
+                out[str(fld["id"])] = _normalize_default(
+                    v, fld["type"], f"{path}.{fld['name']}"
+                )
+            return out
+        if kind == "list":
+            if not isinstance(value, (list, tuple)):
+                raise ValueError(
+                    f"list default{where} needs a JSON array, "
+                    f"got {value!r}"
+                )
+            return [
+                _normalize_default(e, ice_type["element"], f"{path}[{i}]")
+                for i, e in enumerate(value)
+            ]
+        if kind == "map":
+            if (
+                isinstance(value, dict)
+                and set(value) == {"keys", "values"}
+                and isinstance(value.get("keys"), list)
+            ):
+                keys, vals = value["keys"], value["values"]
+            elif isinstance(value, dict) and ice_type["key"] == "string":
+                keys, vals = list(value.keys()), list(value.values())
+            else:
+                raise ValueError(
+                    f"map default{where} needs "
+                    '{"keys": [...], "values": [...]} (or a plain '
+                    "object for string keys)"
+                )
+            if len(keys) != len(vals):
+                raise ValueError(
+                    f"map default{where}: {len(keys)} keys vs "
+                    f"{len(vals)} values"
+                )
+            return {
+                "keys": [
+                    _normalize_default(
+                        k, ice_type["key"], f"{path}.keys[{i}]"
+                    )
+                    for i, k in enumerate(keys)
+                ],
+                "values": [
+                    _normalize_default(
+                        v, ice_type["value"], f"{path}.values[{i}]"
+                    )
+                    for i, v in enumerate(vals)
+                ],
+            }
+        raise ValueError(f"iceberg_lite: unknown nested type {ice_type!r}")
+    if ice_type.startswith("decimal"):
+        if not isinstance(value, (int, float, str)):
+            raise ValueError(
+                f"decimal default{where} needs a number or string, "
+                f"got {value!r}"
+            )
+        return str(value)
+    if ice_type.startswith("fixed") or ice_type == "binary":
+        if not isinstance(value, str):
+            raise ValueError(
+                f"binary default{where} is a hexadecimal string (spec)"
+            )
+        bytes.fromhex(value)  # raises on malformed hex
+        return value.lower()
+    expect = {
+        "boolean": bool,
+        "int": int,
+        "long": int,
+        "float": (int, float),
+        "double": (int, float),
+        "string": str,
+        "uuid": str,
+        "date": str,
+        "time": (int, str),
+        "timestamp": str,
+        "timestamptz": str,
+    }.get(ice_type)
+    if expect is not None and (
+        not isinstance(value, expect)
+        or (expect is int and isinstance(value, bool))
+    ):
+        raise ValueError(
+            f"default{where} for {ice_type} column: got {value!r}"
+        )
+    return value
+
+
 def _snapshot(meta: dict, snapshot_id: int | None) -> dict:
     snaps = meta.get("snapshots") or []
     if not snaps:
@@ -859,7 +1026,7 @@ def read_iceberg_lite(
     # group per file VINTAGE (footer presence of the column, a
     # driver-side check bounded by file count like the manifests).
     init_dflt = {
-        f["name"]: f["initial-default"]
+        f["name"]: (f["initial-default"], f["type"])
         for f in _current_schema(meta).get("fields", [])
         if f.get("initial-default") is not None
     }
@@ -929,15 +1096,10 @@ def read_iceberg_lite(
         )
         d = spark.read.schema(read_schema).parquet(*paths)
         if fill:
-            by_name_s = {f.name: f for f in schema.fields}
             for rf, f in zip(read_fields, schema.fields):
                 if f.name in fill:
-                    d = d.withColumn(
-                        rf.name,
-                        F.lit(fill[f.name]).cast(
-                            by_name_s[f.name].dataType
-                        ),
-                    )
+                    v, itype = fill[f.name]
+                    d = d.withColumn(rf.name, _sv_to_column(v, itype))
         mrid = (
             [F.col(rid_mat_col).cast("long").alias("__mrid")]
             if want_mrid
@@ -1466,11 +1628,18 @@ def write_iceberg_lite(
 ) -> int:
     """Commit ``df`` to an Iceberg table; returns the new snapshot id.
 
-    ``column_defaults`` (format v3, spec "Default values"): primitive
-    per-column defaults recorded as ``initial-default`` +
-    ``write-default`` on the schema field. Only legal for columns
-    introduced by THIS commit (table creation or a merge_schema
-    add-column) — ``initial-default`` is fixed at add time by spec.
+    ``column_defaults`` (format v3, spec "Default values"): per-column
+    defaults recorded as ``initial-default`` + ``write-default`` on
+    the schema field, stored in the spec's single-value JSON
+    serialization — primitives, decimal (stored as a string),
+    binary/fixed (hexadecimal string), and composites: struct (a JSON
+    object accepted keyed by field NAME or field-id string, stored
+    id-keyed), list (a JSON array), map (``{"keys": [...], "values":
+    [...]}``, or a plain object for string keys). Only legal for
+    columns introduced by THIS commit (table creation, a merge_schema
+    add-column, or ``mode='overwrite'`` — which replaces the schema
+    and data files, so its columns are newly introduced in spec
+    terms) — ``initial-default`` is fixed at add time by spec.
     Readers serve the initial-default for files that physically lack
     the column (older vintages); writers fill an omitted column with
     its write-default instead of erroring.
@@ -1568,8 +1737,9 @@ def write_iceberg_lite(
                 for c in fill:
                     df = df.withColumn(
                         c,
-                        F.lit(pf_json[c]["write-default"]).cast(
-                            prior_schema[c].dataType
+                        _sv_to_column(
+                            pf_json[c]["write-default"],
+                            pf_json[c]["type"],
                         ),
                     )
                 absent = [c for c in absent if c not in fill]
@@ -1773,9 +1943,12 @@ def write_iceberg_lite(
                 "column defaults (initial-default/write-default) are a "
                 f"format-version 3 feature; table is v{fv}"
             )
+        # an overwrite REPLACES the schema and its data files, so every
+        # column is newly introduced in spec terms — treat it like
+        # creation for the addable set
         addable = (
             set(evolved_new_cols)
-            if prior is not None
+            if prior is not None and mode != "overwrite"
             else set(df.columns)
         )
         bad = [c for c in column_defaults if c not in addable]
@@ -1789,13 +1962,13 @@ def write_iceberg_lite(
             f["name"]: f for f in iceberg_schema.get("fields", [])
         }
         for c, v in column_defaults.items():
-            if isinstance(v, (dict, list, tuple)) or v is None:
-                raise NotImplementedError(
-                    f"column_defaults[{c!r}]: primitive defaults only "
-                    "(int/float/str/bool/ISO date string)"
-                )
-            by_name_d[c]["initial-default"] = v
-            by_name_d[c]["write-default"] = v
+            # spec "Default values" + "single-value serialization":
+            # composites (struct/list/map) and decimal included —
+            # normalized to the spec JSON form (struct keyed by field
+            # id, map as keys/values arrays, decimal as string)
+            norm_v = _normalize_default(v, by_name_d[c]["type"], c)
+            by_name_d[c]["initial-default"] = norm_v
+            by_name_d[c]["write-default"] = norm_v
     field_id_of = {
         f["name"]: f["id"] for f in iceberg_schema.get("fields", [])
     }

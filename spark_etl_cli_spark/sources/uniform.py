@@ -56,8 +56,12 @@ def export_iceberg_as_delta(spark: SparkSession, table_path: str) -> int:
     files), so the delta view tracks the iceberg snapshot history
     version by version. Live POSITION deletes export as delta
     DELETION VECTORS (sequence-scoped, protocol upgraded to reader
-    3/writer 7); equality deletes refuse — run the delete-applying
-    compaction first. Non-identity partition specs export
+    3/writer 7); live EQUALITY deletes translate to DVs too, via a
+    bounded content scan of the strictly-older files (reader-exact
+    null-safe key semantics; refused only when a key column is
+    missing from the current schema or carries a vintage-dependent
+    v3 initial-default — compact first in those cases).
+    Non-identity partition specs export
     UNPARTITIONED (delta can't express the transform; the files carry
     every column physically, so only delta-side pruning is lost).
     """
@@ -96,29 +100,133 @@ def export_iceberg_as_delta(spark: SparkSession, table_path: str) -> int:
         if e.get("status") != 2
     ]
     # Iceberg POSITION deletes translate to delta DELETION VECTORS
-    # (both are row ordinals per file, scoped by sequence number);
-    # equality deletes would need a content scan to locate positions —
-    # run the delete-applying compaction first (it materializes them).
+    # (both are row ordinals per file, scoped by sequence number).
+    # EQUALITY deletes have no delta equivalent either, so they
+    # translate the only way delta can express them — as positions,
+    # located by a bounded content scan of the strictly-older data
+    # files (the same file set the export already enumerates; the
+    # delete keys broadcast). Semantics mirror the lite reader
+    # exactly (iceberg_lite.py eq_deletes loop): a row dies when its
+    # file's data sequence < the delete's sequence and every delete
+    # column matches NULL-SAFE.
     data_seq_entries, pos_dels, eq_dels, ice_dvs, _sch, _m = _resolve_entries(
         spark, table_path, None, None
     )
+    eq_positions: dict[str, set[int]] = {}
     if eq_dels:
-        raise NotImplementedError(
-            "delta export cannot express iceberg EQUALITY deletes; "
-            "run compact_iceberg_lite first (it applies them)"
+        from pyspark.sql import functions as F
+
+        from spark_etl_cli_spark.sources.iceberg_lite import _current_schema
+
+        seq_of_eq = {
+            os.path.abspath(p): (s if s is not None else 0)
+            for p, _pv, s in data_seq_entries
+        }
+        cur_fields = _current_schema(meta).get("fields", [])
+        dflt_cols = {
+            f["name"]
+            for f in cur_fields
+            if f.get("initial-default") is not None
+        }
+        # column-mapped tables (schema.name-mapping.default): data
+        # files speak physical names — scan those, alias back
+        nm_raw = (meta.get("properties") or {}).get(
+            "schema.name-mapping.default"
         )
+        phys_of: dict[str, str] = {}
+        if nm_raw:
+            id2file: dict[int, str] = {}
+
+            def _nm_flat(nm_entries) -> None:
+                for e in nm_entries:
+                    if e.get("names") and e.get("field-id") is not None:
+                        id2file[e["field-id"]] = e["names"][0]
+                    if e.get("fields"):
+                        _nm_flat(e["fields"])
+
+            _nm_flat(json.loads(nm_raw))
+            phys_of = {
+                f["name"]: id2file.get(f["id"], f["name"])
+                for f in cur_fields
+            }
+        ice_spark_schema = _schema_to_spark(meta)
+        for dpath, dseq in eq_dels:
+            older = sorted(
+                p for p, s in seq_of_eq.items() if s < dseq
+            )
+            if not older:
+                continue
+            eq = spark.read.parquet(dpath).distinct()
+            key_cols = list(eq.columns)
+            bad_keys = [
+                c for c in key_cols if c not in ice_spark_schema.names
+            ]
+            if bad_keys:
+                raise NotImplementedError(
+                    f"equality-delete columns {bad_keys} not in the "
+                    "current table schema; run compact_iceberg_lite "
+                    "first (it applies the deletes)"
+                )
+            dflt_keys = [c for c in key_cols if c in dflt_cols]
+            if dflt_keys:
+                # a missing column reads its initial-default per file
+                # VINTAGE on the iceberg side; this flat scan would
+                # read NULL instead — refuse rather than diverge
+                raise NotImplementedError(
+                    f"equality-delete columns {dflt_keys} carry v3 "
+                    "initial-defaults (vintage-dependent values); run "
+                    "compact_iceberg_lite first (it applies them)"
+                )
+            scan = (
+                spark.read.schema(
+                    T.StructType(
+                        [
+                            T.StructField(
+                                phys_of.get(c, c),
+                                ice_spark_schema[c].dataType,
+                            )
+                            for c in key_cols
+                        ]
+                    )
+                )
+                .parquet(*older)
+                .select(
+                    F.col("_metadata.file_path").alias("__fp"),
+                    F.col("_metadata.row_index").alias("__pos"),
+                    *[
+                        F.col(phys_of.get(c, c)).alias(c)
+                        for c in key_cols
+                    ],
+                )
+            )
+            eqr = eq.select(
+                *[F.col(c).alias(f"__eq_{c}") for c in key_cols]
+            )
+            cond = None
+            for c in key_cols:
+                e = F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+                cond = e if cond is None else (cond & e)
+            hits = scan.join(F.broadcast(eqr), cond, "left_semi")
+            for r in hits.select("__fp", "__pos").collect():
+                fp = os.path.abspath(
+                    re.sub(r"^file:/+", "/", str(r["__fp"]))
+                )
+                eq_positions.setdefault(fp, set()).add(int(r["__pos"]))
     entries = [
         e
         for e in entries
         if (e.get("data_file") or {}).get("content", 0) == 0
     ]
     dv_positions: dict[str, list[int]] = {}
-    if pos_dels or ice_dvs:
+    if pos_dels or ice_dvs or eq_positions:
         seq_of = {
             os.path.abspath(p): (s if s is not None else 0)
             for p, _pv, s in data_seq_entries
         }
-        per_file: dict[str, set[int]] = {}
+        # equality-delete positions (translated above) seed the DV set
+        per_file: dict[str, set[int]] = {
+            fp: set(v) for fp, v in eq_positions.items()
+        }
         for pd_path, del_seq in pos_dels:
             for r in (
                 spark.read.parquet(pd_path)

@@ -2457,12 +2457,27 @@ def test_identity_columns_assign_and_advance_hwm(spark, tmp_path):
             spark.createDataFrame([(999, "x")], "id long, v string"),
             table, mode="append",
         )
-    # overwrite would reset the mark: loud fence
-    with pytest.raises(NotImplementedError, match="high-water mark"):
-        write_delta_lite(
-            spark.createDataFrame([("z",)], "v string"),
-            table, mode="overwrite",
-        )
+    # overwrite carries the high-water mark forward: replacement rows
+    # continue beyond every pre-overwrite id (protocol: hwm never
+    # resets), and the replacement metaData keeps the identity spec
+    pre_max = max(ids2)
+    write_delta_lite(
+        spark.createDataFrame([("z",), ("w",)], "v string"),
+        table, mode="overwrite",
+    )
+    post = read_delta_lite(spark, table).collect()
+    ids3 = sorted(r.id for r in post)
+    assert {r.v for r in post} == {"z", "w"}
+    assert len(set(ids3)) == 2 and min(ids3) > pre_max
+    assert all((i - 100) % 10 == 0 for i in ids3)
+    # next append continues above the overwrite's ids — spec survived
+    write_delta_lite(
+        spark.createDataFrame([("q",)], "v string"), table, mode="append",
+    )
+    ids4 = sorted(
+        r.id for r in read_delta_lite(spark, table).collect()
+    )
+    assert len(set(ids4)) == 3 and max(ids4) > max(ids3)
 
 
 def test_identity_columns_via_uri(spark, tmp_path):
@@ -2557,6 +2572,76 @@ def test_identity_negative_step_descends_without_collision(spark, tmp_path):
         f"descending identity collided: {ids2}"
     )
     assert max(set(ids2) - set(ids1)) < min(ids1)
+
+
+def test_identity_overwrite_preserves_hwm_descending_and_mapped(
+    spark, tmp_path
+):
+    """The collision regression extends to the OVERWRITE path: a
+    descending identity's replacement batch starts below every
+    pre-overwrite id (hwm is direction-correct through the replace),
+    and on a column-mapped table the replacement metaData keeps BOTH
+    the mapping ids and the advanced identity mark."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from spark_etl_cli_spark.sources.delta_lite import (
+        _identity_specs,
+        _physical_schema,
+        _replay,
+        alter_delta_lite,
+        read_delta_lite,
+        write_delta_lite,
+    )
+
+    # descending: overwrite continues BELOW the pre-overwrite minimum
+    t1 = str(tmp_path / "idy_neg_ow")
+    write_delta_lite(
+        spark.createDataFrame([("a",), ("b",)], "v string"),
+        t1, identity={"id": (10, -1)},
+    )
+    ids1 = sorted(r.id for r in read_delta_lite(spark, t1).collect())
+    write_delta_lite(
+        spark.createDataFrame([("z",), ("w",)], "v string"),
+        t1, mode="overwrite",
+    )
+    ids_ow = sorted(r.id for r in read_delta_lite(spark, t1).collect())
+    assert len(set(ids_ow)) == 2 and max(ids_ow) < min(ids1), (
+        f"descending overwrite collided: pre={ids1} post={ids_ow}"
+    )
+    write_delta_lite(
+        spark.createDataFrame([("q",)], "v string"), t1, mode="append",
+    )
+    ids_all = sorted(r.id for r in read_delta_lite(spark, t1).collect())
+    assert len(set(ids_all)) == 3 and min(ids_all) < min(ids_ow)
+
+    # column-mapped: mapping ids AND advanced hwm both survive
+    t2 = str(tmp_path / "idy_map_ow")
+    write_delta_lite(
+        spark.createDataFrame([("a",), ("b",)], "v string"),
+        t2, identity={"id": (1, 1)},
+    )
+    alter_delta_lite(spark, t2, rename={"v": "val"})
+    pre = sorted(r.id for r in read_delta_lite(spark, t2).collect())
+    write_delta_lite(
+        spark.createDataFrame([("c",), ("d",)], "val string"),
+        t2, mode="overwrite",
+    )
+    rows = read_delta_lite(spark, t2).collect()
+    assert {r.val for r in rows} == {"c", "d"}
+    ids_m = sorted(r.id for r in rows)
+    assert min(ids_m) > max(pre)
+    _adds, meta = _replay(spark, t2)
+    schema = T.StructType.fromJson(_json.loads(meta["schemaString"]))
+    assert _physical_schema(schema)[1], "mapping lost through overwrite"
+    spec = _identity_specs(schema)["id"]
+    assert spec["hwm"] == max(ids_m)
+    write_delta_lite(
+        spark.createDataFrame([("e",)], "val string"), t2, mode="append",
+    )
+    ids_m2 = sorted(r.id for r in read_delta_lite(spark, t2).collect())
+    assert len(set(ids_m2)) == 3 and max(ids_m2) > max(ids_m)
 
 
 def test_identity_uri_segment_without_colon_is_clear_error(spark, tmp_path):

@@ -271,3 +271,120 @@ def test_column_defaults_guarded(spark, tmp_path):
             spark.createDataFrame([(2, "b")], "id long, v string"),
             t3, column_defaults={"v": "x"},
         )
+
+
+def test_v3_composite_defaults_roundtrip(spark, tmp_path):
+    """Spec "Default values" single-value serialization covers
+    COMPOSITES: struct/list/map/decimal defaults round-trip — old
+    vintages serve the default, new files serve stored values, and the
+    stored form is the spec's (struct keyed by field id, decimal as a
+    string)."""
+    import json as _json
+
+    table = str(tmp_path / "ice_cdflt")
+    write_iceberg_lite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        table, format_version=3,
+    )
+    from decimal import Decimal
+
+    evolved = spark.createDataFrame(
+        [(3, "c", (9.0, -9.5), ["x"], {"k": 5}, Decimal("1.25"))],
+        "id long, v string, loc struct<lat: double, lon: double>, "
+        "tags array<string>, attrs map<string, long>, "
+        "price decimal(10,2)",
+    )
+    write_iceberg_lite(
+        evolved, table, merge_schema=True,
+        column_defaults={
+            "loc": {"lat": 1.5, "lon": -2.5},       # name-keyed struct
+            "tags": ["a", "b"],
+            "attrs": {"keys": ["x", "y"], "values": [1, 2]},
+            "price": "14.20",
+        },
+    )
+    rows = {r.id: r for r in read_iceberg_lite(spark, table).collect()}
+    assert rows[1].loc.lat == 1.5 and rows[1].loc.lon == -2.5
+    assert rows[1].tags == ["a", "b"]
+    assert rows[1].attrs == {"x": 1, "y": 2}
+    assert str(rows[1].price) == "14.20"
+    # new-vintage file serves its stored values, not the default
+    assert rows[3].loc.lat == 9.0 and rows[3].tags == ["x"]
+    assert rows[3].attrs == {"k": 5} and str(rows[3].price) == "1.25"
+    # stored form is the spec serialization: struct keyed by FIELD ID
+    meta = _load_metadata(table)
+    schemas = meta.get("schemas") or [meta["schema"]]
+    cur = next(
+        s for s in schemas
+        if s.get("schema-id") == meta.get("current-schema-id", 0)
+    )
+    loc_f = next(f for f in cur["fields"] if f["name"] == "loc")
+    ids = {str(sf["id"]) for sf in loc_f["type"]["fields"]}
+    assert set(loc_f["initial-default"]) == ids
+    assert _json.dumps(loc_f["initial-default"])  # JSON-serializable
+    price_f = next(f for f in cur["fields"] if f["name"] == "price")
+    assert price_f["initial-default"] == "14.20"
+
+
+def test_v3_composite_write_default_fills_omitted(spark, tmp_path):
+    """A writer omitting a composite-defaulted column gets the
+    write-default filled instead of a schema-mismatch error."""
+    table = str(tmp_path / "ice_cwd")
+    write_iceberg_lite(
+        spark.createDataFrame(
+            [(1, (0.0, 0.0))],
+            "id long, loc struct<lat: double, lon: double>",
+        ),
+        table, format_version=3,
+        column_defaults={"loc": {"lat": 1.5, "lon": -2.5}},
+    )
+    write_iceberg_lite(
+        spark.createDataFrame([(2,)], "id long"), table, mode="append",
+    )
+    rows = {r.id: r for r in read_iceberg_lite(spark, table).collect()}
+    assert rows[1].loc.lat == 0.0
+    assert rows[2].loc == (1.5, -2.5) or (
+        rows[2].loc.lat == 1.5 and rows[2].loc.lon == -2.5
+    )
+
+
+def test_column_defaults_on_overwrite(spark, tmp_path):
+    """mode='overwrite' replaces the schema and every data file, so its
+    columns are newly introduced in spec terms — defaults are legal
+    (previously refused: addable derived only from merge-schema adds)."""
+    table = str(tmp_path / "ice_odflt")
+    write_iceberg_lite(
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        table, format_version=3,
+    )
+    write_iceberg_lite(
+        spark.createDataFrame([(2, "b")], "id long, v string"),
+        table, mode="overwrite", column_defaults={"v": "zz"},
+    )
+    # later vintage-less appends (omitting v) fill the write-default
+    write_iceberg_lite(
+        spark.createDataFrame([(3,)], "id long"), table, mode="append",
+    )
+    got = {r.id: r.v for r in read_iceberg_lite(spark, table).collect()}
+    assert got == {2: "b", 3: "zz"}
+
+
+def test_composite_default_validation(spark, tmp_path):
+    """Malformed composite defaults fail LOUDLY at write time with the
+    offending path, not at read time."""
+    table = str(tmp_path / "ice_badd")
+    base = spark.createDataFrame(
+        [(1, (0.0, 0.0))],
+        "id long, loc struct<lat: double, lon: double>",
+    )
+    with pytest.raises(ValueError, match="matches no field"):
+        write_iceberg_lite(
+            base, table, format_version=3,
+            column_defaults={"loc": {"latitude": 1.0}},
+        )
+    with pytest.raises(ValueError, match="needs a JSON array"):
+        write_iceberg_lite(
+            base.withColumn("tags", F.array(F.lit("x"))),
+            str(tmp_path / "ice_badd2"), format_version=3,
+            column_defaults={"tags": "oops"},
+        )

@@ -310,13 +310,15 @@ def test_uniform_iceberg_to_delta_partitioned(spark, tmp_path):
     assert [(r["id"], r["part"]) for r in out.collect()] == [(1, "a")]
 
 
-def test_uniform_iceberg_to_delta_fences_equality_deletes(spark, tmp_path):
-    """Position deletes now export as DVs (see the round-trip test);
-    the remaining fence is EQUALITY deletes, pointed at the
-    delete-applying compaction."""
+def test_uniform_iceberg_to_delta_exports_equality_deletes(spark, tmp_path):
+    """LIVE equality deletes export: the keys translate to positions
+    via a bounded content scan of the strictly-older files and ride
+    the same DV path position deletes use — both readers agree
+    row-for-row with the deletes still live (no compaction needed)."""
     from spark_etl_cli_spark.sources.iceberg_lite import (
         compact_iceberg_lite,
         delete_iceberg_lite,
+        read_iceberg_lite,
         write_iceberg_lite,
     )
     from spark_etl_cli_spark.sources.uniform import export_iceberg_as_delta
@@ -327,14 +329,26 @@ def test_uniform_iceberg_to_delta_fences_equality_deletes(spark, tmp_path):
         spark, path, "id = 1", mode="merge-on-read",
         equality_columns=["id"],
     )
-    with pytest.raises(NotImplementedError, match="EQUALITY"):
-        export_iceberg_as_delta(spark, path)
-    # the advertised remedy actually works end-to-end
+    export_iceberg_as_delta(spark, path)
+    ice = sorted(r["id"] for r in read_iceberg_lite(spark, path).collect())
+    dl_rows = sorted(r["id"] for r in read_delta_lite(spark, path).collect())
+    assert ice == dl_rows == [0, 2, 3]
+    # a row RE-ADDED after the delete survives (strictly-older scoping:
+    # the new file's sequence >= the delete's, so the key must not
+    # re-match it) — the reader-parity edge that matters
+    write_iceberg_lite(
+        spark.createDataFrame([(1,)], "id long"), path, mode="append",
+    )
+    export_iceberg_as_delta(spark, path)
+    ice2 = sorted(r["id"] for r in read_iceberg_lite(spark, path).collect())
+    dl2 = sorted(r["id"] for r in read_delta_lite(spark, path).collect())
+    assert ice2 == dl2 == [0, 1, 2, 3]
+    # compaction afterwards still round-trips
     compact_iceberg_lite(spark, path)
     export_iceberg_as_delta(spark, path)
     assert sorted(
         r["id"] for r in read_delta_lite(spark, path).collect()
-    ) == [0, 2, 3]
+    ) == [0, 1, 2, 3]
 
 
 # --- hudi exposed as delta / iceberg ------------------------------------------
@@ -466,13 +480,15 @@ def test_uniform_iceberg_position_deletes_export_as_dvs(spark, tmp_path):
     before = sorted(os.listdir(os.path.join(path, "_delta_log")))
     export_iceberg_as_delta(spark, path)
     assert sorted(os.listdir(os.path.join(path, "_delta_log"))) == before
-    # equality deletes refuse toward the delete-applying compaction
+    # equality deletes STACK onto the DV like the position deletes did
     delete_iceberg_lite(
         spark, path, "id = 5", mode="merge-on-read",
         equality_columns=["id"],
     )
-    with pytest.raises(NotImplementedError, match="EQUALITY"):
-        export_iceberg_as_delta(spark, path)
+    export_iceberg_as_delta(spark, path)
+    assert sorted(
+        r["id"] for r in read_delta_lite(spark, path).collect()
+    ) == [0, 2, 4]
 
 
 def test_uniform_transformed_iceberg_exports_as_unpartitioned_delta(
