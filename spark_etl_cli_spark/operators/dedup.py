@@ -401,6 +401,39 @@ def incremental_minhash_dedup(
     )
 
 
+def incremental_exact_dedup(
+    batch_fps: DataFrame, state_fps: DataFrame | None
+) -> DataFrame:
+    """The EXACT tier of the incremental loop: dedup a new batch's
+    fingerprints (``(id, fp)``, e.g. :func:`fingerprint` md5s) against
+    a persisted fingerprint table plus the batch's own smaller ids.
+    Returns ``(id, dup_of)`` per batch row — NULL dup_of = survivor,
+    else the smallest matching id.
+
+    Same 100 TB shape as :func:`incremental_minhash_dedup`: the state
+    is scanned, never shuffled — the equi-join on ``fp`` broadcasts
+    the batch side, and the only aggregation is per-batch-id min
+    (batch-sized). 32 bytes/row of state, no text rereads.
+    """
+    probe = F.broadcast(
+        batch_fps.select("fp", F.col("id").alias("bid"))
+    )
+    sides = [batch_fps]
+    if state_fps is not None:
+        sides.append(state_fps)
+    cand = None
+    for i, side in enumerate(sides):
+        hits = (
+            side.select("fp", F.col("id").alias("nid"))
+            .join(probe, "fp")
+            .filter(F.lit(i == 1) | (F.col("nid") < F.col("bid")))
+            .select(F.col("bid").alias("id"), "nid")
+        )
+        cand = hits if cand is None else cand.unionByName(hits)
+    matches = cand.groupBy("id").agg(F.min("nid").alias("dup_of"))
+    return batch_fps.select("id").join(matches, "id", "left")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",

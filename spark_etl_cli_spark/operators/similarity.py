@@ -329,6 +329,90 @@ def cosine_dup_pairs(
     )
 
 
+def incremental_cosine_dedup(
+    batch: DataFrame,
+    state: DataFrame | None,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    bands: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """The EMBEDDING tier of the incremental loop (SemDeDup-style):
+    dedup a new batch of vectors against a persisted corpus without
+    recomputing it. A batch vector is a duplicate iff it collides in
+    some hyperplane-LSH band with a state vector OR a smaller-id batch
+    vector whose exact cosine is >= ``threshold``; ``dup_of`` is the
+    smallest such neighbor (with that pair's cosine). Returns
+    ``(id, dup_of, cosine_sim)`` per batch row.
+
+    100 TB shape, mirroring ``dedup.incremental_minhash_dedup``: the
+    state is scanned ONCE and never shuffled — its band keys derive
+    map-side from its stored signature-carrying rows, and the bucket
+    equi-join BROADCASTS the batch's banded entries. Unlike
+    :func:`cosine_dup_pairs` (whose candidate set is corpus-sized, so
+    it joins vectors back by id), the candidate set here is
+    batch-bounded, so each side carries its unit vector through the
+    explode — ``bands``x vector bytes streamed, zero shuffles, no
+    second state scan. Exact cosine confirms in-row.
+    """
+    rows_per_band = num_planes // bands
+    if dim is None:
+        first = batch.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = first["d"] if first else 0
+
+    def banded(df: DataFrame) -> DataFrame:
+        sig = rp_signature(
+            df.select(
+                F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+            ),
+            "vec",
+            num_planes,
+            dim,
+        ).withColumn("vec", unit(F.col("vec")))
+        return _explode_bands(sig, bands, rows_per_band, ["id", "vec"])
+
+    batch_banded = banded(batch)
+    probe = F.broadcast(
+        batch_banded.select(
+            "band",
+            "bucket",
+            F.col("id").alias("bid"),
+            F.col("vec").alias("bvec"),
+        )
+    )
+    sides = [batch_banded]
+    if state is not None:
+        sides.append(banded(state))
+    cand = None
+    for i, side in enumerate(sides):
+        hits = (
+            side.join(probe, ["band", "bucket"])
+            .filter(F.lit(i == 1) | (F.col("id") < F.col("bid")))
+            .select(
+                F.col("bid").alias("id"),
+                F.col("id").alias("nid"),
+                _dot_unit(F.col("vec"), F.col("bvec")).alias("cos"),
+            )
+        )
+        cand = hits if cand is None else cand.unionByName(hits)
+    matches = (
+        cand.filter(F.col("cos") >= F.lit(threshold))
+        .groupBy("id")
+        .agg(F.min(F.struct("nid", "cos")).alias("m"))
+    )
+    return (
+        batch.select(F.col(id_col).alias("id"))
+        .join(matches, "id", "left")
+        .select(
+            "id",
+            F.col("m.nid").alias("dup_of"),
+            F.col("m.cos").alias("cosine_sim"),
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

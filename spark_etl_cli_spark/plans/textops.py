@@ -394,6 +394,47 @@ def q200_incremental_dedup(spark, sf_dir):
     )
 
 
+# --- q201: the EXACT tier of the incremental loop -----------------------
+# Same state/batch split as q200, on md5 fingerprints over the planted-
+# duplicate corpus (raw documents have no exact dups): a batch doc is a
+# duplicate iff its normalized-text fingerprint matches a state doc or
+# a smaller-id batch doc. The fp equi-join broadcasts the batch side;
+# state is scanned, never shuffled; 32 bytes/row of persisted state.
+@query(
+    "q201_incremental_exact_dedup",
+    oracle=f"""
+    WITH docs AS ({SQL_DOCS_WITH_DUPS}),
+    fp AS (SELECT doc_id AS id, {SQL_FP} AS fp FROM docs),
+    hits AS (
+      SELECT b.id AS id, min(a.id) AS dup_of
+      FROM fp b JOIN fp a
+        ON a.fp = b.fp
+       AND b.id % 2 = 1
+       AND (a.id % 2 = 0 OR a.id < b.id)
+      GROUP BY b.id
+    )
+    SELECT f.id AS doc_id, h.dup_of
+    FROM fp f LEFT JOIN hits h ON f.id = h.id
+    WHERE f.id % 2 = 1
+    """,
+)
+def q201_incremental_exact_dedup(spark, sf_dir):
+    from spark_etl_cli_spark.functions.text import fingerprint
+    from spark_etl_cli_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    fps = docs_with_dups(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    dec = incremental_exact_dedup(
+        fps.filter(F.col("id") % 2 == 1),
+        fps.filter(F.col("id") % 2 == 0),
+    )
+    return dec.select(F.col("id").alias("doc_id"), "dup_of")
+
+
 # --- q37: SimHash near-dup pairs (md5-replayable oracle) ----------------
 # Fingerprints → 4x16-bit band buckets → hamming<=8 confirm. Pair
 # generation via bucket_pairs: the fingerprint computation (token

@@ -183,6 +183,56 @@ def q42_cosine_dup_pairs(spark, sf_dir):
     )
 
 
+# --- q202: the EMBEDDING tier of the incremental loop -------------------
+# SemDeDup incrementally: a new batch of vectors (odd vec_ids) dedups
+# against a persisted corpus (even vec_ids) — hyperplane-LSH band
+# probe with the BATCH side broadcast, state scanned never shuffled,
+# exact cosine confirming in-row. A batch vector is a duplicate iff a
+# state vector or a smaller-id batch vector collides in some band with
+# cosine >= 0.3; dup_of = the smallest such neighbor. Completes the
+# q200 (minhash) / q201 (exact) incremental family across all three
+# dedup tiers.
+@query(
+    "q202_incremental_cosine_dedup",
+    oracle=f"""
+    WITH c0 AS (SELECT vec_id AS id, {_sql_unit("embedding")} AS v,
+                       {_sql_sig("embedding", 16)} AS sig FROM embeddings),
+         cb AS ({_sql_banded("c0", "id", 16, 4)}),
+         cand AS (
+           SELECT DISTINCT b.id AS id, a.id AS nid, a.v AS av, b.v AS bv
+           FROM cb b JOIN cb a
+             ON a.band = b.band AND a.bucket = b.bucket
+          WHERE b.id % 2 = 1 AND (a.id % 2 = 0 OR a.id < b.id)
+         ),
+         s AS (SELECT id, nid, {_sql_dotn("av", "bv")} AS cos FROM cand),
+         hits AS (
+           SELECT id, min(nid) AS dup_of, arg_min(cos, nid) AS cosine_sim
+           FROM s WHERE cos >= 0.3 GROUP BY id
+         )
+    SELECT e.vec_id, h.dup_of, h.cosine_sim
+    FROM embeddings e LEFT JOIN hits h ON e.vec_id = h.id
+    WHERE e.vec_id % 2 = 1
+    """,
+)
+def q202_incremental_cosine_dedup(spark, sf_dir):
+    from spark_etl_cli_spark.operators.similarity import (
+        incremental_cosine_dedup,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    dec = incremental_cosine_dedup(
+        e.filter(F.col("vec_id") % 2 == 1),
+        e.filter(F.col("vec_id") % 2 == 0),
+        threshold=0.3,
+        num_planes=16,
+        bands=4,
+        dim=DIM,
+    )
+    return dec.select(
+        F.col("id").alias("vec_id"), "dup_of", "cosine_sim"
+    )
+
+
 # --- q43: kNN label vote (classification shape) -------------------------
 # Top-5 exact neighbors per query, majority label with smallest-label
 # tie-break — the standard "label my new data by similarity" pipeline.

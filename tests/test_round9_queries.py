@@ -142,3 +142,57 @@ def test_incremental_dedup_probe_plan_is_broadcast(spark, doc_sigs):
             assert not streamed_has_exchange(ch.apply(i)), (
                 "probe join shuffles its streamed (state) side"
             )
+
+
+def test_incremental_exact_and_cosine_tiers_equal_full(spark):
+    """The q201 (exact) and q202 (embedding) tiers obey the same
+    batch-composition contract as the minhash tier: id-ordered batches
+    against accumulated state == one full recompute."""
+    from pyspark.sql import functions as F
+
+    from spark_etl_cli_spark.functions.text import fingerprint
+    from spark_etl_cli_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+    from spark_etl_cli_spark.operators.similarity import (
+        incremental_cosine_dedup,
+    )
+    from spark_etl_cli_spark.plans.textops import docs_with_dups
+
+    fps = docs_with_dups(spark, SF_DIR).select(
+        F.col("doc_id").alias("id"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).cache()
+    mid = fps.agg(F.expr("percentile_approx(id, 0.5)")).first()[0]
+    f1, f2 = fps.filter(F.col("id") <= mid), fps.filter(F.col("id") > mid)
+    inc = {r.id: r.dup_of for r in incremental_exact_dedup(f1, None).collect()}
+    inc.update(
+        {r.id: r.dup_of for r in incremental_exact_dedup(f2, f1).collect()}
+    )
+    full = {
+        r.id: r.dup_of
+        for r in incremental_exact_dedup(fps, None).collect()
+    }
+    assert inc == full
+    assert any(v is not None for v in full.values())
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    emid = emb.agg(F.expr("percentile_approx(vec_id, 0.5)")).first()[0]
+    e1 = emb.filter(F.col("vec_id") <= emid)
+    e2 = emb.filter(F.col("vec_id") > emid)
+    cinc = {
+        r.id: (r.dup_of, r.cosine_sim)
+        for r in incremental_cosine_dedup(e1, None).collect()
+    }
+    cinc.update(
+        {
+            r.id: (r.dup_of, r.cosine_sim)
+            for r in incremental_cosine_dedup(e2, e1).collect()
+        }
+    )
+    cfull = {
+        r.id: (r.dup_of, r.cosine_sim)
+        for r in incremental_cosine_dedup(emb, None).collect()
+    }
+    assert cinc == cfull
+    assert any(v[0] is not None for v in cfull.values())
