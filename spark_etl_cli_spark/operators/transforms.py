@@ -110,9 +110,109 @@ def dedup_transform(p: ParsedUri) -> TransformFn:
                 vec_col=p.params.get("vec-col", "embedding"),
                 n_clusters=int(p.params.get("clusters", "16")),
             )
+        if mode == "incremental":
+            return _incremental_dedup_run(p, spark, df, text_col, id_col)
         raise ValueError(f"unknown dedup mode {mode!r}")
 
     return run
+
+
+def _incremental_state(spark: SparkSession, path: str | None):
+    """Load a persisted dedup state table (delta preferred, plain
+    parquet accepted); None when absent — the first batch."""
+    import os
+
+    if not path:
+        return None
+    if os.path.isdir(os.path.join(path, "_delta_log")):
+        from spark_etl_cli_spark.sources.delta_lite import read_delta_lite
+
+        return read_delta_lite(spark, path)
+    if os.path.exists(path):
+        return spark.read.parquet(path)
+    return None
+
+
+def _incremental_dedup_run(
+    p: ParsedUri, spark: SparkSession, df: DataFrame, text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """``dedup://?mode=incremental&tier=minhash|exact|cosine&state=<path>``
+    — the batch-vs-persisted-corpus loop (operators/dedup.py
+    ``incremental_*`` family, examples/incremental_dedup.sh) as a
+    pipeline surface. Output = the input rows + the decision columns
+    (``dup_of`` NULL = survivor, plus ``est_jaccard``/``cosine_sim``)
+    + the probe column (``signature``/``fp``) so ONE pipeline can sink
+    survivors and append the state table:
+
+        --transform "docs+dec+dedup://?mode=incremental&state=$STATE"
+        --transform "dec+surv+sql://SELECT * FROM dec WHERE dup_of IS NULL"
+        --transform "dec+sig+sql://SELECT doc_id AS id, signature FROM dec"
+        --sink "surv+delta://$CORPUS?mode=append"
+        --sink "sig+delta://$STATE?mode=append"
+
+    ``state`` is a delta table (or plain parquet) of prior batches'
+    probe rows; absent = first batch. Decisions equal a full recompute
+    when batches arrive id-ordered and EVERY batch's probe rows are
+    appended (tests/test_round9_queries.py pins the contract).
+    """
+    tier = p.params.get("tier", "minhash")
+    state = _incremental_state(spark, p.params.get("state"))
+    from pyspark.sql import functions as F
+
+    if tier == "minhash":
+        from spark_etl_cli_spark.operators.dedup import (
+            incremental_minhash_dedup,
+            minhash_signatures,
+        )
+
+        sigs = minhash_signatures(
+            df,
+            text_col,
+            id_col,
+            num_hashes=int(p.params.get("num-hashes", "32")),
+            shingle_k=int(p.params.get("shingle-k", "3")),
+            hash_family=p.params.get("hash-family", "fast"),
+        )
+        dec = incremental_minhash_dedup(
+            sigs,
+            state,
+            num_hashes=int(p.params.get("num-hashes", "32")),
+            bands=int(p.params.get("bands", "8")),
+            threshold=float(p.params.get("threshold", "0.5")),
+        )
+        probe = sigs.join(dec, "id").withColumnRenamed("id", id_col)
+        return df.join(probe, id_col)
+    if tier == "exact":
+        from spark_etl_cli_spark.functions.text import fingerprint
+        from spark_etl_cli_spark.operators.dedup import (
+            incremental_exact_dedup,
+        )
+
+        fps = df.select(
+            F.col(id_col).alias("id"),
+            fingerprint(F.col(text_col)).alias("fp"),
+        )
+        dec = incremental_exact_dedup(fps, state)
+        probe = fps.join(dec, "id").withColumnRenamed("id", id_col)
+        return df.join(probe, id_col)
+    if tier == "cosine":
+        from spark_etl_cli_spark.operators.similarity import (
+            incremental_cosine_dedup,
+        )
+
+        vid = p.params.get("id-col", "vec_id") if id_col == "doc_id" else id_col
+        dec = incremental_cosine_dedup(
+            df,
+            state,
+            threshold=float(p.params.get("threshold", "0.3")),
+            id_col=vid,
+            vec_col=p.params.get("vec-col", "embedding"),
+            num_planes=int(p.params.get("planes", "16")),
+            bands=int(p.params.get("bands", "4")),
+        )
+        return df.join(dec.withColumnRenamed("id", vid), vid)
+    raise ValueError(f"unknown incremental dedup tier {tier!r}")
 
 
 @register_transform("cdc-apply")

@@ -148,3 +148,50 @@ def test_cdc_apply_transform_requires_key_and_sequence(spark):
 
     with pytest.raises(ValueError, match="key"):
         resolve_transform("a+b+cdc-apply://?sequence=v")
+
+
+def test_incremental_dedup_transform_uri_loop(spark, tmp_path):
+    """dedup://?mode=incremental as a PIPELINE surface: two id-ordered
+    batches through the full URI loop (probe state -> sink survivors ->
+    append probe rows to the delta state) produce exactly the full-
+    recompute survivor set, and the state accumulates every row."""
+    from spark_etl_cli_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+    )
+    from spark_etl_cli_spark.pipeline import run_pipeline
+    from spark_etl_cli_spark.sources.delta_lite import read_delta_lite
+
+    from tests.conftest import SF_DIR
+
+    state = str(tmp_path / "state")
+    corpus = str(tmp_path / "corpus")
+    for pred in ("doc_id <= 249", "doc_id > 249"):
+        run_pipeline(
+            spark,
+            sources=[
+                f"docs+parquet://{SF_DIR}/documents.parquet?where={pred}"
+            ],
+            transforms=[
+                "docs+dec+dedup://?mode=incremental&tier=minhash"
+                f"&state={state}&hash-family=fast",
+                "dec+surv+sql://SELECT doc_id, text, source FROM dec "
+                "WHERE dup_of IS NULL",
+                "dec+sig+sql://SELECT doc_id AS id, signature FROM dec",
+            ],
+            sinks=[
+                f"surv+delta://{corpus}?mode=append",
+                f"sig+delta://{state}?mode=append",
+            ],
+        )
+    surv = {r.doc_id for r in read_delta_lite(spark, corpus).collect()}
+    full = incremental_minhash_dedup(
+        minhash_signatures(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet"),
+            hash_family="fast",
+        ),
+        None,
+    )
+    full_surv = {r.id for r in full.collect() if r.dup_of is None}
+    assert surv == full_surv
+    assert read_delta_lite(spark, state).count() == 500
