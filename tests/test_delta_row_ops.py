@@ -2906,3 +2906,46 @@ def test_row_commit_version_tracks_last_modification(spark, tmp_path):
         for r in read_delta_lite(spark, table, with_row_id=True).collect()
     }
     assert len(set(ids.values())) == len(ids)
+
+
+def test_with_row_id_warns_on_foreign_file_without_base_row_id(
+    spark, tmp_path
+):
+    """A file lacking baseRowId on a table WITH a materialized row-id
+    column resolves through that column alone — nothing guarantees a
+    foreign writer populated it, so the read warns loudly (mirroring
+    the with_row_commit_version rcv_missing fence) instead of serving
+    possibly-NULL _row_id silently."""
+    import glob as _glob
+    import json as _json
+    import warnings
+
+    from spark_etl_cli_spark.sources.delta_lite import (
+        read_delta_lite,
+        write_delta_lite,
+    )
+
+    table = str(tmp_path / "rt_foreign")
+    write_delta_lite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        table, properties={"delta.enableRowTracking": "true"},
+    )
+    # simulate a foreign writer: strip baseRowId from the add action
+    commit0 = sorted(_glob.glob(f"{table}/_delta_log/*.json"))[0]
+    lines = []
+    for line in open(commit0):
+        a = _json.loads(line)
+        if "add" in a:
+            a["add"].pop("baseRowId", None)
+        lines.append(_json.dumps(a))
+    with open(commit0, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        rows = read_delta_lite(spark, table, with_row_id=True).collect()
+    assert len(rows) == 2
+    msgs = [str(w.message) for w in caught]
+    assert any(
+        "materialized column" in m and "baseRowId" in m for m in msgs
+    ), msgs
