@@ -310,7 +310,9 @@ def _normalize_default(value, ice_type, path: str = ""):
         "string": str,
         "uuid": str,
         "date": str,
-        "time": (int, str),
+        # time maps to LongType micros here; a "HH:MM:SS" string would
+        # cast to NULL silently, so require the integer form
+        "time": int,
         "timestamp": str,
         "timestamptz": str,
     }.get(ice_type)

@@ -671,3 +671,140 @@ def test_roaring32_dense_container_roundtrip(vals, offset):
     want = sorted({v + offset for v in vals})
     got, _pos = parse_roaring32(serialize_roaring32(want))
     assert got == want
+
+
+# --- v3 default-value single-value serialization round-trip -------------
+# _normalize_default canonicalizes a user default into the spec JSON
+# form; _sv_to_column turns the stored form into a typed literal. The
+# composition must reproduce the original value for ANY composite the
+# writer accepts — checked on randomized struct/list/map/decimal
+# defaults against an independent Python evaluation.
+
+_ICE_LEAF = st.sampled_from(
+    [("long", st.integers(-10**9, 10**9)),
+     ("double", st.floats(allow_nan=False, allow_infinity=False,
+                          width=32)),
+     ("string", st.text(min_size=0, max_size=8)),
+     ("boolean", st.booleans())]
+)
+
+
+@st.composite
+def _ice_default(draw, depth=2):
+    kinds = ["leaf"]
+    if depth > 0:
+        kinds += ["struct", "list", "map"]
+    kind = draw(st.sampled_from(kinds))
+    if kind == "leaf":
+        t, strat = draw(_ICE_LEAF)
+        return t, draw(strat)
+    if kind == "list":
+        # list elements share one type; repeat a drawn value n times
+        et, ev = draw(_ice_default(depth=depth - 1))
+        n = draw(st.integers(0, 3))
+        return (
+            {"type": "list", "element-id": 991, "element": et,
+             "element-required": False},
+            [ev] * n,
+        )
+    if kind == "map":
+        vt, vv = draw(_ice_default(depth=0))
+        keys = draw(st.lists(st.text(min_size=1, max_size=5),
+                             min_size=0, max_size=3, unique=True))
+        return (
+            {"type": "map", "key-id": 992, "key": "string",
+             "value-id": 993, "value": vt,
+             "value-required": False},
+            {"keys": list(keys), "values": [vv] * len(keys)},
+        )
+    # struct
+    n = draw(st.integers(1, 3))
+    fields, val = [], {}
+    for i in range(n):
+        ft, fv = draw(_ice_default(depth=depth - 1))
+        fields.append(
+            {"id": 900 + i, "name": f"f{i}", "required": False,
+             "type": ft}
+        )
+        if draw(st.booleans()):
+            val[f"f{i}"] = fv  # name-keyed (the ergonomic form)
+    return {"type": "struct", "fields": fields}, val
+
+
+def _expected(ice_type, norm):
+    """Independent Python evaluation of the stored spec form."""
+    if norm is None:
+        return None
+    if isinstance(ice_type, dict):
+        k = ice_type["type"]
+        if k == "struct":
+            return {
+                f["name"]: _expected(
+                    f["type"], norm.get(str(f["id"]))
+                )
+                for f in ice_type["fields"]
+            }
+        if k == "list":
+            return [_expected(ice_type["element"], e) for e in norm]
+        if k == "map":
+            return dict(
+                zip(
+                    norm["keys"],
+                    [
+                        _expected(ice_type["value"], v)
+                        for v in norm["values"]
+                    ],
+                )
+            )
+    return norm
+
+
+@pytest.mark.slow
+@given(tv=_ice_default())
+@SET
+def test_v3_default_serialization_roundtrip(spark, tv):
+    import math
+
+    from pyspark.sql import Row
+
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        _iceberg_type_to_spark,
+        _normalize_default,
+        _sv_to_column,
+    )
+
+    ice_type, value = tv
+    if isinstance(ice_type, dict) and ice_type["type"] == "struct":
+        if not value:
+            return  # all-fields-omitted struct: nothing to check
+    norm = _normalize_default(value, ice_type)
+    col = _sv_to_column(norm, ice_type)
+    got = spark.range(1).select(col.alias("v")).first()["v"]
+
+    def unrow(x):
+        if isinstance(x, Row):
+            return {k: unrow(v) for k, v in x.asDict().items()}
+        if isinstance(x, list):
+            return [unrow(e) for e in x]
+        if isinstance(x, dict):
+            return {k: unrow(v) for k, v in x.items()}
+        return x
+
+    def close(a, b):
+        if isinstance(a, float) or isinstance(b, float):
+            return (
+                a is not None
+                and b is not None
+                and math.isclose(a, b, rel_tol=1e-6, abs_tol=1e-6)
+            )
+        if isinstance(a, dict) and isinstance(b, dict):
+            return set(a) == set(b) and all(
+                close(a[k], b[k]) for k in a
+            )
+        if isinstance(a, list) and isinstance(b, list):
+            return len(a) == len(b) and all(
+                close(x, y) for x, y in zip(a, b)
+            )
+        return a == b
+
+    assert close(unrow(got), _expected(ice_type, norm))
