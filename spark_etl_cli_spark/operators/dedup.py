@@ -329,6 +329,8 @@ def incremental_minhash_dedup(
     ``(id, dup_of, est_jaccard)`` — ``dup_of`` NULL means survivor,
     else the smallest-id near-duplicate neighbor (band collision and
     signature agreement >= ``threshold``) with that pair's agreement.
+    A neighbor qualifies when it is ANY state doc (state precedes the
+    batch by arrival, whatever its id) or a smaller-id batch doc.
 
     **Equivalence contract** (pytest + examples/incremental_dedup.sh
     pin it): with the monotone rule "a doc is a duplicate iff SOME
