@@ -182,7 +182,9 @@ def _incremental_dedup_run(
             threshold=float(p.params.get("threshold", "0.5")),
         )
         probe = sigs.join(dec, "id").withColumnRenamed("id", id_col)
-        return df.join(probe, id_col)
+        # LEFT: rows with no shingles (empty text) still flow through,
+        # as trivial survivors with NULL probe columns
+        return df.join(probe, id_col, "left")
     if tier == "exact":
         from spark_etl_cli_spark.functions.text import fingerprint
         from spark_etl_cli_spark.operators.dedup import (
@@ -195,7 +197,7 @@ def _incremental_dedup_run(
         )
         dec = incremental_exact_dedup(fps, state)
         probe = fps.join(dec, "id").withColumnRenamed("id", id_col)
-        return df.join(probe, id_col)
+        return df.join(probe, id_col, "left")
     if tier == "cosine":
         from spark_etl_cli_spark.operators.similarity import (
             incremental_cosine_dedup,
@@ -211,7 +213,7 @@ def _incremental_dedup_run(
             num_planes=int(p.params.get("planes", "16")),
             bands=int(p.params.get("bands", "4")),
         )
-        return df.join(dec.withColumnRenamed("id", vid), vid)
+        return df.join(dec.withColumnRenamed("id", vid), vid, "left")
     raise ValueError(f"unknown incremental dedup tier {tier!r}")
 
 
