@@ -312,6 +312,39 @@ def sig_agreement(a_sig, b_sig, num_hashes: int):
     )
 
 
+def check_monotone_ids(
+    batch: DataFrame, state: DataFrame | None, id_col: str = "id"
+) -> None:
+    """Validate the arrival-order contract every ``incremental_*``
+    operator depends on: EVERY state id must precede every batch id
+    (``max(state.id) < min(batch.id)``), because the neighbor rule
+    treats "smaller id" as "arrived earlier". Violating it silently
+    flips survivor decisions — a state doc with a LARGER id than a
+    batch doc would still be treated as its predecessor.
+
+    Runs two single-row aggregations (eager, id column only — a
+    metadata-sized scan even against a 100 TB state table since the
+    probe prunes to one column) and raises ``ValueError`` with the
+    ``assign-ids://`` remedy on violation. The dedup transform layer
+    calls this by default (``validate-ids=false`` to opt out).
+    """
+    if state is None:
+        return
+    hi = state.agg(F.max(F.col(id_col)).alias("m")).head()["m"]
+    lo = batch.agg(F.min(F.col(id_col)).alias("m")).head()["m"]
+    if hi is None or lo is None:
+        return  # empty side: contract trivially holds
+    if hi >= lo:
+        raise ValueError(
+            "incremental dedup: monotone-id contract violated — "
+            f"max(state.{id_col}) = {hi!r} >= min(batch.{id_col}) = "
+            f"{lo!r}. Batch ids must sort after all state ids (arrival "
+            "order == id order). Re-key the pipeline with monotone ids "
+            "(assign-ids:// emits them) or dedup out of order at your "
+            "own risk with validate-ids=false."
+        )
+
+
 def incremental_minhash_dedup(
     batch_sigs: DataFrame,
     state_sigs: DataFrame | None,
@@ -351,11 +384,26 @@ def incremental_minhash_dedup(
     signatures; the only aggregation is per-batch-doc min over its
     matches (batch-sized).
     """
+    rows_per_band = num_hashes // bands
     batch_entries = minhash_band_entries(batch_sigs, num_hashes, bands)
     probe = F.broadcast(
         batch_entries.select(
             "band", "bucket", F.col("e").alias("b")
         )
+    )
+    # exact sub-signature equality confirm after the 64-bit bucket
+    # join — the same rule minhash_lsh_pairs applies and the oracle
+    # encodes, so a 2^-64 xxhash bucket collision between unequal
+    # bands cannot admit a spurious candidate (slice start is a
+    # column because `band` varies per row)
+    band_agrees = F.slice(
+        F.col("a.signature"),
+        F.col("band") * rows_per_band + 1,
+        rows_per_band,
+    ) == F.slice(
+        F.col("b.signature"),
+        F.col("band") * rows_per_band + 1,
+        rows_per_band,
     )
     sides = [batch_entries]
     if state_sigs is not None:
@@ -370,6 +418,7 @@ def incremental_minhash_dedup(
                 probe,
                 ["band", "bucket"],
             )
+            .filter(band_agrees)
             # batch-internal neighbors need a.id < b.id; EVERY state
             # doc precedes the batch by arrival (ids disjoint by the
             # pipeline contract), so the state side takes no id gate

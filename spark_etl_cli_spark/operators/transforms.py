@@ -117,10 +117,27 @@ def dedup_transform(p: ParsedUri) -> TransformFn:
     return run
 
 
-def _incremental_state(spark: SparkSession, path: str | None):
+def _incremental_state(
+    spark: SparkSession,
+    path: str | None,
+    *,
+    first_batch: bool = False,
+    require_state: bool = False,
+):
     """Load a persisted dedup state table (delta preferred, plain
-    parquet accepted); None when absent — the first batch."""
+    parquet accepted); None when absent — the first batch.
+
+    A ``state=`` that resolves to NOTHING is ambiguous: the genuine
+    first batch of a loop looks identical to a typo'd path, and the
+    latter silently dedups every batch only against itself. So when
+    the path is set but absent this warns loudly by default,
+    ``first_batch=True`` (URI: ``first-batch=true``) declares the
+    miss expected and silences it, and ``require_state=True`` (URI:
+    ``require-state=true``) escalates to ``ValueError`` for steady-
+    state pipelines where the state table must already exist.
+    """
     import os
+    import warnings
 
     if not path:
         return None
@@ -130,6 +147,22 @@ def _incremental_state(spark: SparkSession, path: str | None):
         return read_delta_lite(spark, path)
     if os.path.exists(path):
         return spark.read.parquet(path)
+    if require_state:
+        raise ValueError(
+            f"incremental dedup: require-state=true but state path "
+            f"{path!r} resolves to no delta table or parquet file. "
+            "Fix the path, or drop require-state for the first batch."
+        )
+    if not first_batch:
+        warnings.warn(
+            f"incremental dedup: state={path!r} resolves to NOTHING — "
+            "treating this as the first batch (dedup against the batch "
+            "alone). If this IS the first batch, pass first-batch=true "
+            "to silence this; if not, the path is wrong and every "
+            "survivor decision will ignore the existing corpus "
+            "(require-state=true makes that an error).",
+            stacklevel=2,
+        )
     return None
 
 
@@ -155,10 +188,26 @@ def _incremental_dedup_run(
     probe rows; absent = first batch. Decisions equal a full recompute
     when batches arrive id-ordered and EVERY batch's probe rows are
     appended (tests/test_round9_queries.py pins the contract).
+
+    Guardrails: the arrival-order contract (every state id < every
+    batch id) is VALIDATED per batch — two single-column aggregations
+    — and violations raise with the ``assign-ids://`` remedy
+    (``validate-ids=false`` opts out). A ``state=`` that resolves to
+    nothing warns loudly (first batch and typo'd path are otherwise
+    indistinguishable); ``first-batch=true`` declares it expected,
+    ``require-state=true`` makes it an error.
     """
     tier = p.params.get("tier", "minhash")
-    state = _incremental_state(spark, p.params.get("state"))
+    state = _incremental_state(
+        spark,
+        p.params.get("state"),
+        first_batch=p.params.get("first-batch", "").lower() == "true",
+        require_state=p.params.get("require-state", "").lower() == "true",
+    )
+    validate_ids = p.params.get("validate-ids", "true").lower() != "false"
     from pyspark.sql import functions as F
+
+    from spark_etl_cli_spark.operators.dedup import check_monotone_ids
 
     if tier == "minhash":
         from spark_etl_cli_spark.operators.dedup import (
@@ -166,6 +215,10 @@ def _incremental_dedup_run(
             minhash_signatures,
         )
 
+        if validate_ids:
+            check_monotone_ids(
+                df.select(F.col(id_col).alias("id")), state
+            )
         sigs = minhash_signatures(
             df,
             text_col,
@@ -191,6 +244,10 @@ def _incremental_dedup_run(
             incremental_exact_dedup,
         )
 
+        if validate_ids:
+            check_monotone_ids(
+                df.select(F.col(id_col).alias("id")), state
+            )
         fps = df.select(
             F.col(id_col).alias("id"),
             fingerprint(F.col(text_col)).alias("fp"),
@@ -204,6 +261,8 @@ def _incremental_dedup_run(
         )
 
         vid = p.params.get("id-col", "vec_id") if id_col == "doc_id" else id_col
+        if validate_ids:
+            check_monotone_ids(df, state, id_col=vid)
         dec = incremental_cosine_dedup(
             df,
             state,

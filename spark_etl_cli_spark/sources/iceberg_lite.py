@@ -203,7 +203,43 @@ def _sv_to_column(value, ice_type):
         return F.lit(str(value)).cast(spark_t)
     if ice_type.startswith("fixed") or ice_type == "binary":
         return F.lit(bytes.fromhex(value)).cast(spark_t)
+    if ice_type == "time":
+        # spec single-value serialization is an ISO string
+        # 'hh:mm:ss.ffffff'; the logical Spark type here is LongType
+        # micros, and a bare string→long cast would silently serve
+        # NULL — parse explicitly. Integer micros (the pre-spec form
+        # older tables stored) stay readable as-is.
+        if isinstance(value, str):
+            return F.lit(_time_str_to_micros(value)).cast(spark_t)
+        return F.lit(int(value)).cast(spark_t)
     return F.lit(value).cast(spark_t)
+
+
+def _time_str_to_micros(s: str) -> int:
+    """Spec time single-value 'hh:mm:ss.ffffff' → microseconds-from-
+    midnight long (the physical representation time columns read as)."""
+    m = re.match(r"^(\d{1,2}):(\d{2}):(\d{2})(?:\.(\d{1,6}))?$", s)
+    if not m:
+        raise ValueError(
+            f"time default {s!r}: expected 'hh:mm:ss[.ffffff]' (spec "
+            "single-value serialization)"
+        )
+    hh, mm, ss = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if hh > 23 or mm > 59 or ss > 59:
+        raise ValueError(f"time default {s!r}: out-of-range component")
+    frac = int((m.group(4) or "").ljust(6, "0") or 0)
+    return ((hh * 60 + mm) * 60 + ss) * 1_000_000 + frac
+
+
+def _micros_to_time_str(us: int) -> str:
+    """Microseconds-from-midnight → the spec's 'hh:mm:ss.ffffff' form
+    (how time defaults are STORED in table metadata)."""
+    if not 0 <= us < 86_400_000_000:
+        raise ValueError(f"time default {us!r} micros: not within a day")
+    sec, frac = divmod(us, 1_000_000)
+    h, rem = divmod(sec, 3600)
+    mnt, s = divmod(rem, 60)
+    return f"{h:02d}:{mnt:02d}:{s:02d}.{frac:06d}"
 
 
 def _normalize_default(value, ice_type, path: str = ""):
@@ -301,6 +337,19 @@ def _normalize_default(value, ice_type, path: str = ""):
             )
         bytes.fromhex(value)  # raises on malformed hex
         return value.lower()
+    if ice_type == "time":
+        # stored per spec as the ISO string 'hh:mm:ss.ffffff'; integer
+        # micros are accepted ergonomically and canonicalized — both
+        # validate through the explicit parsers (never a bare cast)
+        if isinstance(value, bool) or not isinstance(value, (int, str)):
+            raise ValueError(
+                f"default{where} for time column: got {value!r} "
+                "(want 'hh:mm:ss.ffffff' or integer micros)"
+            )
+        if isinstance(value, int):
+            return _micros_to_time_str(value)
+        _time_str_to_micros(value)  # validate
+        return value
     expect = {
         "boolean": bool,
         "int": int,
@@ -310,15 +359,15 @@ def _normalize_default(value, ice_type, path: str = ""):
         "string": str,
         "uuid": str,
         "date": str,
-        # time maps to LongType micros here; a "HH:MM:SS" string would
-        # cast to NULL silently, so require the integer form
-        "time": int,
         "timestamp": str,
         "timestamptz": str,
     }.get(ice_type)
     if expect is not None and (
         not isinstance(value, expect)
-        or (expect is int and isinstance(value, bool))
+        # bool is an int subclass: reject it everywhere the expected
+        # type isn't boolean itself (True on a double column would
+        # store JSON true and silently read back 1.0)
+        or (expect is not bool and isinstance(value, bool))
     ):
         raise ValueError(
             f"default{where} for {ice_type} column: got {value!r}"

@@ -388,3 +388,89 @@ def test_composite_default_validation(spark, tmp_path):
             str(tmp_path / "ice_badd2"), format_version=3,
             column_defaults={"tags": "oops"},
         )
+
+
+def test_time_default_spec_string_form(spark, tmp_path):
+    """Iceberg v3 `time` defaults use the spec's single-value JSON
+    serialization — an ISO 'hh:mm:ss.ffffff' STRING — even though the
+    logical Spark type is LongType micros. Storage normalizes either
+    accepted input form (ISO string or integer micros) to the spec
+    string, and the reader parses it explicitly (a bare string→long
+    cast would silently serve NULL)."""
+    import json as _json
+
+    from spark_etl_cli_spark.sources.iceberg_lite import (
+        _normalize_default,
+        _time_str_to_micros,
+    )
+
+    # unit: both accepted forms normalize to the spec string
+    assert _normalize_default("01:02:03.000004", "time") == "01:02:03.000004"
+    assert _normalize_default(3723000004, "time") == "01:02:03.000004"
+    assert _time_str_to_micros("23:59:59.999999") == 86_399_999_999
+    with pytest.raises(ValueError, match="out-of-range"):
+        _normalize_default("25:00:00", "time")
+    with pytest.raises(ValueError, match="hh:mm:ss"):
+        _normalize_default("not-a-time", "time")
+    with pytest.raises(ValueError, match="time"):
+        _normalize_default(1.5, "time")
+
+    # end-to-end: a foreign v3 table whose time column carries the
+    # spec-string default — older-vintage files (lacking the column)
+    # must serve the parsed micros, not NULL
+    table = str(tmp_path / "ice_timedflt")
+    write_iceberg_lite(
+        spark.createDataFrame([(1,)], "id long"), table, format_version=3,
+    )
+    write_iceberg_lite(
+        spark.createDataFrame([(2, 5_000_000)], "id long, t long"),
+        table, merge_schema=True, column_defaults={"t": 0},
+    )
+    # flip the field to the foreign writer's true `time` type with the
+    # spec's STRING-form default — reads map it to LongType micros and
+    # must parse the string explicitly (a bare cast would serve NULL)
+    import glob as _g
+    import os as _os
+
+    for mp in _g.glob(_os.path.join(table, "metadata", "*.metadata.json")):
+        with open(mp) as fh:
+            m = _json.load(fh)
+        for sch in m.get("schemas", []):
+            for f in sch["fields"]:
+                if f["name"] == "t":
+                    f["type"] = "time"
+                    if "initial-default" in f:
+                        f["initial-default"] = "01:02:03.000004"
+        with open(mp, "w") as fh:
+            _json.dump(m, fh)
+    got = {r.id: r.t for r in read_iceberg_lite(spark, table).collect()}
+    assert got == {1: 3_723_000_004, 2: 5_000_000}
+
+
+def test_bool_default_rejected_on_numeric_columns(spark, tmp_path):
+    """bool is an int subclass: column_defaults={'x': True} on a
+    double (or long) column must refuse loudly instead of storing JSON
+    true and silently reading back 1.0."""
+    base = spark.createDataFrame([(1, 2.5)], "id long, x double")
+    with pytest.raises(ValueError, match="got True"):
+        write_iceberg_lite(
+            base, str(tmp_path / "ice_booldflt"), format_version=3,
+            column_defaults={"x": True},
+        )
+    with pytest.raises(ValueError, match="got False"):
+        write_iceberg_lite(
+            spark.createDataFrame([(1, 2)], "id long, x long"),
+            str(tmp_path / "ice_booldflt2"), format_version=3,
+            column_defaults={"x": False},
+        )
+    # bool on a boolean column stays legal
+    t3 = str(tmp_path / "ice_booldflt3")
+    write_iceberg_lite(
+        spark.createDataFrame([(1,)], "id long"), t3, format_version=3,
+    )
+    write_iceberg_lite(
+        spark.createDataFrame([(2, True)], "id long, flag boolean"),
+        t3, merge_schema=True, column_defaults={"flag": True},
+    )
+    got = {r.id: r.flag for r in read_iceberg_lite(spark, t3).collect()}
+    assert got == {1: True, 2: True}

@@ -195,3 +195,75 @@ def test_incremental_dedup_transform_uri_loop(spark, tmp_path):
     full_surv = {r.id for r in full.collect() if r.dup_of is None}
     assert surv == full_surv
     assert read_delta_lite(spark, state).count() == 500
+
+
+def test_incremental_dedup_monotone_id_contract(spark, tmp_path):
+    """The incremental tiers' correctness depends on arrival order ==
+    id order (smaller id == earlier). The URI layer VALIDATES that by
+    default — feeding a batch whose ids do not all sort after the
+    state fails loudly with the assign-ids:// remedy — and
+    validate-ids=false opts out for callers who accept the risk."""
+    import pytest
+
+    from spark_etl_cli_spark.pipeline import run_pipeline
+    from tests.conftest import SF_DIR
+
+    state = str(tmp_path / "state")
+
+    def run(pred, extra=""):
+        run_pipeline(
+            spark,
+            sources=[
+                f"docs+parquet://{SF_DIR}/documents.parquet?where={pred}"
+            ],
+            transforms=[
+                "docs+dec+dedup://?mode=incremental&tier=minhash"
+                f"&state={state}&hash-family=fast&first-batch=true{extra}",
+                "dec+sig+sql://SELECT doc_id AS id, signature FROM dec",
+            ],
+            sinks=[f"sig+delta://{state}?mode=append"],
+        )
+
+    run("doc_id > 249")  # state now holds ids 250..499
+    with pytest.raises(ValueError, match="assign-ids"):
+        run("doc_id <= 249")  # out-of-order batch: must fail loudly
+    run("doc_id <= 249", extra="&validate-ids=false")  # explicit opt-out
+
+
+def test_incremental_dedup_missing_state_signals(spark, tmp_path):
+    """state= resolving to NOTHING is ambiguous (first batch vs typo):
+    default warns loudly, first-batch=true silences, require-state=true
+    raises."""
+    import warnings
+
+    import pytest
+
+    from spark_etl_cli_spark.registry import resolve_transform
+    from tests.conftest import SF_DIR
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(5)
+    missing = str(tmp_path / "nope")
+
+    _, fn = resolve_transform(
+        f"a+b+dedup://?mode=incremental&tier=exact&state={missing}"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        fn(spark, df)
+        assert any("resolves to NOTHING" in str(x.message) for x in w)
+
+    _, fn_fb = resolve_transform(
+        f"a+b+dedup://?mode=incremental&tier=exact&state={missing}"
+        "&first-batch=true"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        fn_fb(spark, df)
+        assert not any("resolves to NOTHING" in str(x.message) for x in w)
+
+    _, fn_req = resolve_transform(
+        f"a+b+dedup://?mode=incremental&tier=exact&state={missing}"
+        "&require-state=true"
+    )
+    with pytest.raises(ValueError, match="require-state"):
+        fn_req(spark, df)
