@@ -1,0 +1,309 @@
+"""Exact-substring (suffix-array-style) deduplication.
+
+The dedup tier every production LLM-corpus pipeline runs that whole-doc
+tiers (exact md5, MinHash, SimHash, embedding) cannot express:
+cross-document duplication of any shared span of >= k consecutive
+tokens — boilerplate headers, license blocks, quoted paragraphs —
+detected at token-window granularity and removable span-by-span while
+the rest of the document survives. The classic implementation is a
+suffix array over the concatenated corpus (Lee et al., "Deduplicating
+Training Data Makes Language Models Better", ACL 2022); a suffix array
+is a fundamentally sequential, single-address-space structure, so the
+Spark-shaped equivalent here reaches the same answer with distributed
+primitives:
+
+    1. explode each document into its k-token rolling windows
+       (one posting per window occurrence),
+    2. group postings by window into posting lists and generate
+       cross-document candidate pairs IN-ROW (:func:`bucket_pairs` —
+       one shuffle, no self-join),
+    3. merge adjacent matched windows into MAXIMAL shared spans with
+       a gaps-and-islands pass: windows of a pair sharing a diagonal
+       (a_pos - b_pos) and consecutive a_pos belong to one span,
+    4. decide/scrub: a document duplicating >= min_span consecutive
+       tokens of an earlier (smaller-id) document is a dup (or has
+       exactly those token ranges removed, earliest occurrence kept).
+
+Reference capability anchor: the reference's `sql://` surface
+(etl/src/main/scala/dev/mauch/spark/dfio/SqlTransform inventory in
+SURVEY.md §2b) has no operator family for this; it completes the
+dedup waterfall (exact -> simhash -> minhash -> embedding ->
+substring) exposed at `dedup://?mode=substring`.
+
+100 TB shape: the only corpus-sized shuffle is the posting groupBy
+(step 2) — ``k`` tokens of payload per posting under ``key='text'``
+(bit-exact, the DuckDB-oracle rule) or a fixed 8-byte xxhash64 key
+under ``key='hash'`` (the scale switch; collisions are possible at
+~2^-64 per colliding pair, and ``verify=True`` re-slices both
+documents' tokens at SPAN grain — spans are rare — and raises on any
+mismatch rather than silently serving a hash artifact). Pair
+generation never self-joins; spans/islands shuffle only the matched
+pairs, which are corpus-duplication-sized, not corpus-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_etl_cli_spark.operators.dedup import bucket_pairs
+
+__all__ = [
+    "token_windows",
+    "substring_dup_spans",
+    "substring_dedup",
+    "substring_scrub",
+]
+
+
+def _tokens(text_col: str):
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def token_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """One row per k-token rolling window occurrence:
+    ``(id, pos, win)`` — ``pos`` is the 0-based token offset, ``win``
+    the space-joined window text. Documents shorter than ``k`` tokens
+    emit nothing. Pure per-row explode; no shuffle."""
+    toks = _tokens(text_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            # sequence(0, n) with n < 0 would COUNT DOWN — guard short
+            # docs with an empty array instead
+            F.when(
+                F.size(toks) >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - k),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.array_join(
+                            F.slice(toks, i + 1, k), " "
+                        ).alias("win"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("w"),
+    ).select("id", "w.pos", "w.win")
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    key: str = "text",
+    verify: bool = True,
+    max_df: int | None = None,
+) -> DataFrame:
+    """MAXIMAL cross-document shared token spans:
+    ``(doc_a, doc_b, a_start, b_start, span_len)`` with
+    ``doc_a < doc_b``, token offsets 0-based, ``span_len >= k`` in
+    tokens. A span is maximal per alignment: matched k-windows of a
+    pair on one diagonal (``a_pos - b_pos``) with consecutive
+    positions merge into one row.
+
+    ``key='text'`` buckets postings by the window text itself —
+    bit-exact, identical to the DuckDB oracle rule, shuffling ~k
+    tokens per posting. ``key='hash'`` buckets by ``xxhash64(win)``
+    (8-byte shuffle key, the 100 TB switch); with ``verify=True``
+    (default) every resulting span is confirmed by re-slicing both
+    documents' token arrays — span-grain work, spans are rare — and a
+    mismatch RAISES (hash collision: rerun with key='text') instead
+    of silently emitting a false span.
+
+    ``max_df`` drops windows occurring in more than ``max_df``
+    postings (stop-phrase boilerplate cap) — EXACTNESS TRADE: spans
+    supported only by capped windows disappear. None (default) = no
+    cap.
+    """
+    if key not in ("text", "hash"):
+        raise ValueError(f"substring dedup: key must be text|hash, got {key!r}")
+    w = token_windows(df, text_col, id_col, k)
+    entries = w.select(
+        (F.col("win") if key == "text" else F.xxhash64("win")).alias(
+            "bucket"
+        ),
+        F.struct("id", "pos").alias("e"),
+    )
+    pairs = (
+        bucket_pairs(entries, "bucket", max_bucket_size=max_df)
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.pos").alias("a_pos"),
+            F.col("b.pos").alias("b_pos"),
+        )
+    )
+    diag = (F.col("a_pos") - F.col("b_pos")).alias("diag")
+    isl = (
+        F.col("a_pos")
+        - F.row_number().over(
+            Window.partitionBy("doc_a", "doc_b", diag).orderBy("a_pos")
+        )
+    ).alias("isl")
+    spans = (
+        pairs.select("doc_a", "doc_b", "a_pos", "b_pos", diag, isl)
+        .groupBy("doc_a", "doc_b", "diag", "isl")
+        .agg(
+            F.min("a_pos").alias("a_start"),
+            F.min("b_pos").alias("b_start"),
+            (F.max("a_pos") - F.min("a_pos") + k).alias("span_len"),
+        )
+        .select("doc_a", "doc_b", "a_start", "b_start", "span_len")
+    )
+    if key == "hash" and verify:
+        spans = _verify_spans(spans, df, text_col, id_col)
+    return spans
+
+
+def _verify_spans(
+    spans: DataFrame, df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Confirm every hash-keyed span by comparing the actual token
+    slices of both documents; raise on the first mismatch (a 2^-64
+    xxhash64 bucket collision) so key='hash' is exact-or-loud, never
+    silently wrong. Span-grain: two shuffles of the (small) span set,
+    one extra scan of the doc tokens."""
+    toks = df.select(
+        F.col(id_col).alias("_vid"), _tokens(text_col).alias("_vt")
+    )
+    both = (
+        spans.join(toks, spans["doc_a"] == toks["_vid"])
+        .withColumnRenamed("_vt", "_ta")
+        .drop("_vid")
+        .join(toks, spans["doc_b"] == toks["_vid"])
+        .withColumnRenamed("_vt", "_tb")
+        .drop("_vid")
+    )
+    checked = both.withColumn(
+        "_ok",
+        F.slice(F.col("_ta"), F.col("a_start") + 1, F.col("span_len"))
+        == F.slice(F.col("_tb"), F.col("b_start") + 1, F.col("span_len")),
+    )
+    bad = checked.filter(~F.col("_ok")).limit(1).collect()
+    if bad:
+        r = bad[0]
+        raise ValueError(
+            "substring_dup_spans(key='hash'): span verification failed "
+            f"for docs ({r['doc_a']}, {r['doc_b']}) at "
+            f"({r['a_start']}, {r['b_start']}) len {r['span_len']} — "
+            "an xxhash64 window collision; rerun with key='text'."
+        )
+    return checked.select(
+        "doc_a", "doc_b", "a_start", "b_start", "span_len"
+    )
+
+
+def substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_span: int = 12,
+    key: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Whole-document decision on top of :func:`substring_dup_spans`:
+    a document sharing a span of >= ``min_span`` tokens with ANY
+    smaller-id (earlier) document is a duplicate. One row per input
+    document: ``(id, dup_of, shared_span)`` — ``dup_of`` NULL =
+    survivor, else the SMALLEST qualifying earlier doc id;
+    ``shared_span`` = the longest span shared with any earlier doc
+    (NULL when none). Decision aggregation is span-sized, the doc
+    join id-keyed."""
+    spans = substring_dup_spans(
+        df, text_col, id_col, k=k, key=key, max_df=max_df
+    )
+    dec = (
+        spans.filter(F.col("span_len") >= min_span)
+        .groupBy(F.col("doc_b").alias("id"))
+        .agg(
+            F.min("doc_a").alias("dup_of"),
+            F.max("span_len").alias("shared_span"),
+        )
+    )
+    return df.select(F.col(id_col).alias("id")).join(dec, "id", "left")
+
+
+def substring_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_span: int = 12,
+    key: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Span REMOVAL — the surgical alternative to dropping whole
+    documents: from every document, delete exactly the token ranges
+    duplicating >= ``min_span`` consecutive tokens of an earlier
+    (smaller-id) document; the earliest occurrence always survives.
+    Returns one row per input document:
+    ``(id, text_clean, removed_tokens)`` with ``text_clean`` the
+    surviving tokens space-joined (whitespace-normalized) and
+    ``removed_tokens`` the count of deleted tokens (0 for untouched
+    docs).
+
+    Overlapping qualifying spans union before removal (standard
+    gaps-and-islands interval merge per document, span-sized), so a
+    token is never double-counted and the removal set is
+    order-independent. Everything after the span computation is
+    span-grain + one id-keyed join against the documents."""
+    spans = substring_dup_spans(
+        df, text_col, id_col, k=k, key=key, max_df=max_df
+    )
+    iv = spans.filter(F.col("span_len") >= min_span).select(
+        F.col("doc_b").alias("id"),
+        F.col("b_start").alias("s"),
+        (F.col("b_start") + F.col("span_len")).alias("e"),
+    )
+    prev_end = F.max("e").over(
+        Window.partitionBy("id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        prev_end.isNull() | (F.col("s") > prev_end), 1
+    ).otherwise(0)
+    isl = F.sum(brk).over(
+        Window.partitionBy("id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = (
+        iv.withColumn("isl", isl)
+        .groupBy("id", "isl")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy("id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("cut"))
+    )
+    toks = _tokens(text_col)
+    out = df.select(F.col(id_col).alias("id"), toks.alias("t")).join(
+        merged, "id", "left"
+    )
+    pos_t = F.transform(
+        F.col("t"), lambda tk, i: F.struct(tk.alias("tk"), i.alias("i"))
+    )
+    kept = F.when(F.col("cut").isNull(), pos_t).otherwise(
+        F.filter(
+            pos_t,
+            lambda x: ~F.exists(
+                F.col("cut"),
+                lambda v: (x["i"] >= v["s"]) & (x["i"] < v["e"]),
+            ),
+        )
+    )
+    return out.select(
+        "id",
+        F.array_join(
+            F.transform(kept, lambda x: x["tk"]), " "
+        ).alias("text_clean"),
+        (F.size("t") - F.size(kept)).alias("removed_tokens"),
+    )

@@ -69,12 +69,22 @@ def _csv_param(p: ParsedUri, key: str, default: str = "") -> list[str]:
 
 @register_transform("dedup")
 def dedup_transform(p: ParsedUri) -> TransformFn:
-    """``in+out+dedup://?mode=exact|minhash|simhash|jaccard&text-col=text&id-col=doc_id``.
+    """``in+out+dedup://?mode=exact|minhash|simhash|jaccard|semdedup|incremental|substring&text-col=text&id-col=doc_id``.
 
     North-star operator surface (SURVEY.md §2d): ``exact`` keeps one row
     per normalized text; the other modes emit candidate near-dup pairs.
+    ``mode=substring`` (alias ``tier=substring``) is the suffix-array-
+    style tier — cross-doc shared spans of >= ``k`` tokens
+    (operators/substring.py) — with ``emit=spans`` (default, maximal
+    shared spans), ``emit=decisions`` (per-doc dup_of vs any earlier
+    doc sharing >= ``min-span`` tokens), or ``emit=scrub`` (remove
+    exactly the duplicated ranges, earliest occurrence kept);
+    ``key=text|hash`` picks bit-exact window keys or the 8-byte-hash
+    100 TB shuffle with span-grain verification.
     """
     mode = p.params.get("mode", "exact")
+    if "mode" not in p.params and p.params.get("tier") == "substring":
+        mode = "substring"  # dedup://?tier=substring shorthand
     text_col = p.params.get("text-col", "text")
     id_col = p.params.get("id-col", "doc_id")
 
@@ -112,6 +122,33 @@ def dedup_transform(p: ParsedUri) -> TransformFn:
             )
         if mode == "incremental":
             return _incremental_dedup_run(p, spark, df, text_col, id_col)
+        if mode == "substring":
+            from spark_etl_cli_spark.operators import substring as S
+
+            k = int(p.params.get("k", "8"))
+            key = p.params.get("key", "text")
+            max_df_s = p.params.get("max-df")
+            max_df = int(max_df_s) if max_df_s else None
+            min_span = int(p.params.get("min-span", str(k + 4)))
+            emit = p.params.get("emit", "spans")
+            if emit == "spans":
+                return S.substring_dup_spans(
+                    df, text_col, id_col, k=k, key=key, max_df=max_df
+                )
+            if emit == "decisions":
+                return S.substring_dedup(
+                    df, text_col, id_col,
+                    k=k, min_span=min_span, key=key, max_df=max_df,
+                )
+            if emit == "scrub":
+                return S.substring_scrub(
+                    df, text_col, id_col,
+                    k=k, min_span=min_span, key=key, max_df=max_df,
+                )
+            raise ValueError(
+                f"dedup substring: emit must be spans|decisions|scrub,"
+                f" got {emit!r}"
+            )
         raise ValueError(f"unknown dedup mode {mode!r}")
 
     return run

@@ -2037,3 +2037,125 @@ def q193_crossdoc_ngram_dup(spark, sf_dir):
             "dup_ratio"
         ),
     )
+
+
+# --- q203-q205: EXACT-SUBSTRING dedup (suffix-array-style) --------------
+# The dedup tier whole-doc tiers can't express: cross-document shared
+# spans of >= k consecutive tokens, found suffix-array-style (Lee et
+# al., ACL 2022) but Spark-shaped — k-token rolling-window postings,
+# in-row pair generation per posting list (bucket_pairs: ONE shuffle,
+# no self-join), then a gaps-and-islands merge of diagonal-consecutive
+# matched windows into maximal spans (operators/substring.py). The
+# DuckDB oracle replays the identical construction with a window-text
+# self-join + the same islands grouping, so operator and oracle rules
+# are ONE rule. key='text' (registered here) is bit-exact; key='hash'
+# is the 8-byte-shuffle-key 100 TB switch with span-grain verification
+# (raises on any xxhash64 collision rather than silently diverging).
+_SUBSTR_K = 8
+
+
+def _sql_substr_spans(k: int) -> str:
+    """Shared oracle CTE chain: documents -> k-token windows ->
+    cross-doc matched windows -> maximal spans per (pair, diagonal)."""
+    return f"""
+    toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+             FROM documents),
+    pos_t AS (SELECT doc_id, t,
+                     unnest(generate_series(0, greatest(len(t)-{k}, -1)))
+                       AS pos
+              FROM toks),
+    w AS (SELECT doc_id, pos,
+                 array_to_string(t[pos+1:pos+{k}], ' ') AS win
+          FROM pos_t),
+    p AS (SELECT a.doc_id doc_a, b.doc_id doc_b, a.pos a_pos, b.pos b_pos
+          FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id),
+    runs AS (SELECT *, a_pos - b_pos AS diag,
+                    a_pos - ROW_NUMBER() OVER (
+                      PARTITION BY doc_a, doc_b, a_pos - b_pos
+                      ORDER BY a_pos) AS isl
+             FROM p),
+    spans AS (SELECT doc_a, doc_b, MIN(a_pos) AS a_start,
+                     MIN(b_pos) AS b_start,
+                     MAX(a_pos) - MIN(a_pos) + {k} AS span_len
+              FROM runs GROUP BY doc_a, doc_b, diag, isl)
+    """
+
+
+@query(
+    "q203_substring_dup_spans",
+    oracle=f"""
+    WITH {_sql_substr_spans(_SUBSTR_K)}
+    SELECT doc_a, doc_b, a_start, b_start, span_len FROM spans
+    """,
+)
+def q203_substring_dup_spans(spark, sf_dir):
+    from spark_etl_cli_spark.operators.substring import (
+        substring_dup_spans,
+    )
+
+    return substring_dup_spans(
+        t(spark, sf_dir, "documents"), k=_SUBSTR_K
+    )
+
+
+@query(
+    "q204_substring_dedup",
+    oracle=f"""
+    WITH {_sql_substr_spans(_SUBSTR_K)},
+    dec AS (SELECT doc_b AS id, MIN(doc_a) AS dup_of,
+                   MAX(span_len) AS shared_span
+            FROM spans WHERE span_len >= 12 GROUP BY doc_b)
+    SELECT d.doc_id AS id, dec.dup_of, dec.shared_span
+    FROM documents d LEFT JOIN dec ON d.doc_id = dec.id
+    """,
+)
+def q204_substring_dedup(spark, sf_dir):
+    from spark_etl_cli_spark.operators.substring import substring_dedup
+
+    return substring_dedup(
+        t(spark, sf_dir, "documents"), k=_SUBSTR_K, min_span=12
+    )
+
+
+@query(
+    "q205_substring_scrub",
+    oracle=f"""
+    WITH {_sql_substr_spans(_SUBSTR_K)},
+    iv AS (SELECT doc_b AS id, b_start AS s, b_start + span_len AS e
+           FROM spans WHERE span_len >= 12),
+    m1 AS (SELECT id, s, e,
+                  CASE WHEN s > coalesce(MAX(e) OVER (
+                         PARTITION BY id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), -1)
+                       THEN 1 ELSE 0 END AS brk
+           FROM iv),
+    m2 AS (SELECT id, s, e, SUM(brk) OVER (
+             PARTITION BY id ORDER BY s, e ROWS UNBOUNDED PRECEDING)
+             AS isl
+           FROM m1),
+    merged AS (SELECT id, MIN(s) AS s, MAX(e) AS e
+               FROM m2 GROUP BY id, isl),
+    pos_tok AS (SELECT doc_id, pos, t[pos+1] AS tok
+                FROM (SELECT doc_id, t,
+                             unnest(generate_series(0, len(t)-1)) AS pos
+                      FROM toks)),
+    kept AS (SELECT p.* FROM pos_tok p
+             WHERE NOT EXISTS (SELECT 1 FROM merged m
+                               WHERE m.id = p.doc_id
+                                 AND p.pos >= m.s AND p.pos < m.e)),
+    rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id),
+    toklen AS (SELECT doc_id, len(t) AS n FROM toks)
+    SELECT tl.doc_id AS id, coalesce(r.txt, '') AS text_clean,
+           tl.n - coalesce(r.n_kept, 0) AS removed_tokens
+    FROM toklen tl LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def q205_substring_scrub(spark, sf_dir):
+    from spark_etl_cli_spark.operators.substring import substring_scrub
+
+    return substring_scrub(
+        t(spark, sf_dir, "documents"), k=_SUBSTR_K, min_span=12
+    )
