@@ -2011,31 +2011,61 @@ def q186_dedup_waterfall(spark, sf_dir):
     """,
 )
 def q193_crossdoc_ngram_dup(spark, sf_dir):
+    # Aggregate-grain plan: per-doc grams dedup IN-ROW (array_distinct
+    # before the explode), so postings are (doc, gram)-unique by
+    # construction and the ONLY posting-grain shuffle is the map-side-
+    # combining groupBy to (gram, source, cnt). Each doc has exactly
+    # one source, so per-gram document frequency = sum(cnt) over that
+    # gram's sources — computed as a gram-partitioned window SUM over
+    # the aggregate, which keeps ONE explode subtree (a join of two
+    # aggregates would re-scan and re-explode the corpus per side —
+    # measured 2.7-3.5 s vs 1.6-2.1 s at sf0.1) and shuffles only
+    # aggregate-grain rows. n_docs comes straight from the doc table
+    # (a doc bears postings iff it has >= 5 tokens). At 100 TB this
+    # replaces the old posting-grain distinct + posting-to-df
+    # full-width join with one partial-aggregated posting shuffle +
+    # one aggregate-grain exchange.
+    from pyspark.sql import Window
+
     d = fan_out(t(spark, sf_dir, "documents"))
     tk = tokens(F.col("text"))
     grams = F.when(
         F.size(tk) >= 5,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tk) - 4),
-            lambda i: F.concat_ws(" ", F.slice(tk, i, 5)),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 4),
+                lambda i: F.concat_ws(" ", F.slice(tk, i, 5)),
+            )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    g = (
-        d.select("doc_id", "source", F.explode(grams).alias("gram"))
-        .distinct()
+    gs = (
+        d.select("source", F.explode(grams).alias("gram"))
+        .groupBy("gram", "source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    gdf = g.groupBy("gram").agg(
-        F.countDistinct("doc_id").cast("bigint").alias("gdf")
+    j = gs.withColumn(
+        "gdf", F.sum("cnt").over(Window.partitionBy("gram"))
     )
-    j = g.join(gdf, "gram")
-    dup = F.sum(F.when(F.col("gdf") >= 2, 1).otherwise(0))
-    return j.groupBy("source").agg(
-        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
-        F.count(F.lit(1)).cast("bigint").alias("n_postings"),
-        dup.cast("bigint").alias("dup_postings"),
-        (dup.cast("double") / F.count(F.lit(1)).cast("double")).alias(
-            "dup_ratio"
-        ),
+    per_source = j.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_postings"),
+        F.sum(F.when(F.col("gdf") >= 2, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("dup_postings"),
+    )
+    n_docs = (
+        d.filter(F.size(tk) >= 5)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    return n_docs.join(per_source, "source").select(
+        "source",
+        "n_docs",
+        "n_postings",
+        "dup_postings",
+        (
+            F.col("dup_postings").cast("double")
+            / F.col("n_postings").cast("double")
+        ).alias("dup_ratio"),
     )
 
 
