@@ -113,6 +113,31 @@ def main() -> int:
     import gc
     import random
 
+    # Contention sentinel: a fixed ~0.5 s canary measured immediately
+    # before the first pass and again after the last. The two numbers
+    # land in the artifact; a >2x disagreement means the box's capacity
+    # changed mid-run (another tenant, thermal throttling, a background
+    # build) and the artifact flags ITSELF invalid instead of requiring
+    # an adjudication re-run (r8: a 2-7x block; r9: q193 5.53 vs 1.83 —
+    # both were box noise that cost a judge re-measure).
+    def _canary_sec() -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            (
+                spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+                .groupBy("l_suppkey")
+                .agg(
+                    F.sum("l_extendedprice").alias("s"),
+                    F.avg("l_discount").alias("a"),
+                )
+                .count()
+            )
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    canary_first = _canary_sec()
+
     # Order-robust measurement: N full passes over the suite, each in a
     # differently-seeded shuffled order; per-query result is the MIN
     # across passes. A single ordered sweep systematically penalizes a
@@ -177,12 +202,30 @@ def main() -> int:
             if (i + 1) % 20 == 0:
                 spark.sparkContext._jvm.System.gc()  # noqa: SLF001
 
+    # untimed housekeeping first: the sentinel must measure BOX state,
+    # not end-of-suite heap pressure
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+    canary_last = _canary_sec()
+    canary_ratio = round(
+        max(canary_first, canary_last) / max(min(canary_first, canary_last), 1e-9),
+        3,
+    )
     total = round(sum(timings.values()), 3)
     payload = json.dumps(
         {
             "metric": "total_query_sec",
             "value": total,
             "unit": "sec",
+            # Box-contention sentinel: the same fixed ~0.5 s query timed
+            # right before the first pass and right after the last. A
+            # canary_ratio > 2 means capacity changed mid-run — treat
+            # every per-query number in this artifact as suspect and
+            # re-run on an idle box rather than adjudicating divergences.
+            "canary_first_sec": canary_first,
+            "canary_last_sec": canary_last,
+            "canary_ratio": canary_ratio,
+            "self_invalidating": canary_ratio > 2.0,
             "queries": timings,
             # numeric scale factor parsed from the dir name ("sf0.1"),
             # with the dir itself alongside for traceability
