@@ -615,6 +615,7 @@ def read_delta_lite(
     timestamp_as_of: int | str | None = None,
     with_row_id: bool = False,
     with_row_commit_version: bool = False,
+    strict_row_id: bool = False,
 ) -> DataFrame:
     """Batch read of a Delta table snapshot via log replay; pass
     ``version_as_of`` for time travel to an earlier version, or
@@ -722,11 +723,25 @@ def read_delta_lite(
             # A file with no baseRowId resolves through the
             # materialized column ALONE — nothing guarantees a foreign
             # writer populated it, and a NULL there surfaces as
-            # _row_id NULL with no signal. Mirror the
+            # _row_id NULL with no signal. Default mirrors the
             # with_row_commit_version rcv_missing fence's loudness
             # (warn, not raise: this writer's own rewrites always
             # re-assign baseRowId, so the state only arises from
-            # foreign log entries and the ids may well be present).
+            # foreign log entries and the ids may well be present);
+            # strict_row_id=True (URI: ?strict-row-id=true) escalates
+            # to an error, mirroring the iceberg side's
+            # unassigned-lineage raise for pipelines where a NULL
+            # _row_id must never flow downstream silently.
+            if strict_row_id:
+                raise ValueError(
+                    f"with_row_id (strict): {len(missing)}/{len(adds)} "
+                    f"files have no baseRowId and would resolve through "
+                    f"the materialized column '{rid_mat_col}' alone — a "
+                    f"foreign writer may have left it NULL. Rewrite the "
+                    f"files (OPTIMIZE/compaction re-assigns baseRowId) "
+                    f"or read without strict-row-id to accept possible "
+                    f"NULL _row_id: {missing[:3]}"
+                )
             import warnings
 
             warnings.warn(

@@ -191,6 +191,11 @@ class DeltaSource:
                 with_row_commit_version=self.uri.params.get(
                     "with-row-commit-version", ""
                 ).lower() == "true",
+                # ?strict-row-id=true: error (not warn) when a file
+                # lacking baseRowId would serve _row_id from the
+                # materialized column alone
+                strict_row_id=self.uri.params.get("strict-row-id", "")
+                .lower() == "true",
             )
         return FileSource(self.uri, "delta").read(spark)
 

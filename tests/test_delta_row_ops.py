@@ -2949,3 +2949,50 @@ def test_with_row_id_warns_on_foreign_file_without_base_row_id(
     assert any(
         "materialized column" in m and "baseRowId" in m for m in msgs
     ), msgs
+
+
+def test_with_row_id_strict_raises_on_foreign_file(spark, tmp_path):
+    """?strict-row-id=true escalates the foreign-file warning to an
+    error (mirroring the iceberg side's unassigned-lineage raise):
+    a file lacking baseRowId that would resolve through the
+    materialized column alone refuses instead of possibly serving
+    NULL _row_id. Default (non-strict) keeps reading."""
+    import glob as _glob
+    import json as _json
+
+    import pytest
+
+    from spark_etl_cli_spark.registry import resolve_source
+    from spark_etl_cli_spark.sources.delta_lite import (
+        read_delta_lite,
+        write_delta_lite,
+    )
+
+    table = str(tmp_path / "rt_strict")
+    write_delta_lite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        table, properties={"delta.enableRowTracking": "true"},
+    )
+    commit0 = sorted(_glob.glob(f"{table}/_delta_log/*.json"))[0]
+    lines = []
+    for line in open(commit0):
+        a = _json.loads(line)
+        if "add" in a:
+            a["add"].pop("baseRowId", None)
+        lines.append(_json.dumps(a))
+    with open(commit0, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    with pytest.raises(ValueError, match="strict"):
+        read_delta_lite(
+            spark, table, with_row_id=True, strict_row_id=True
+        )
+    # non-strict still reads (2 rows), and the URI surface wires both
+    assert (
+        read_delta_lite(spark, table, with_row_id=True).count() == 2
+    )
+    _, src = resolve_source(
+        f"t+delta://{table}?with-row-id=true&strict-row-id=true"
+    )
+    with pytest.raises(ValueError, match="strict"):
+        src.read(spark)
