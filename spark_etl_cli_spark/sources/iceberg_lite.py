@@ -2463,6 +2463,8 @@ def _cow_keyed_rewrite_under_deletes(
                 _localize(e["data_file"]["file_path"], table_path)
             )
             groups.setdefault(key, (pv, []))[1].append(ap)
+        dropped = _spec_sources_dropped(tr_fields)
+        landed_total = 0
         for gidx, gkey in enumerate(sorted(groups)):
             pv, gpaths = groups[gkey]
             kept_src = live_df.filter(F.col("__dfile").isin(gpaths))
@@ -2478,14 +2480,61 @@ def _cow_keyed_rewrite_under_deletes(
             for p in sorted(_glob.glob(os.path.join(gdir, "*.parquet"))):
                 if _parquet_row_count(p) > 0:
                     new_adds.append((p, pv))
+            if dropped and insert_df is not None and on is not None:
+                # dropped spec source: matched incoming keys inherit
+                # their group's recorded tuple (the source column no
+                # longer exists to change the transform value)
+                land = insert_df.join(
+                    kept_src.select(on).distinct(), on, "left_semi"
+                )
+                n_land = land.count()
+                if n_land:
+                    landed_total += n_land
+                    gdir2 = os.path.join(
+                        table_path,
+                        "data",
+                        f"{prefix}-inh-{commit_uuid}-{gidx}",
+                    )
+                    land.write.parquet(gdir2)
+                    for p in sorted(
+                        _glob.glob(os.path.join(gdir2, "*.parquet"))
+                    ):
+                        if _parquet_row_count(p) > 0:
+                            new_adds.append((p, pv))
         if insert_df is not None:
-            new_adds += _transformed_split_write(
-                insert_df,
-                os.path.join(
-                    table_path, "data", f"{prefix}-in-{commit_uuid}"
-                ),
-                tr_fields,
-            )
+            if dropped:
+                if on is None:
+                    raise NotImplementedError(
+                        "iceberg keyed rewrite: the partition spec's "
+                        "source column was dropped and the insert frame "
+                        "has no key to inherit a recorded tuple "
+                        "through — evolve the spec first"
+                    )
+                n_total = insert_df.count()
+                if landed_total < n_total:
+                    raise NotImplementedError(
+                        f"iceberg keyed rewrite: {n_total - landed_total}"
+                        " incoming rows carry NEW keys, but the "
+                        "partition spec's source column was dropped — "
+                        "their partition values cannot be derived. "
+                        "Evolve the spec away from the dropped column "
+                        "first (evolve_iceberg_spec)."
+                    )
+                if landed_total > n_total:
+                    raise RuntimeError(
+                        "iceberg keyed rewrite: a key matched files in "
+                        "more than one partition tuple (duplicate keys)"
+                        " — the dropped-source landing would "
+                        "double-write; deduplicate the table first."
+                    )
+            else:
+                new_adds += _transformed_split_write(
+                    insert_df,
+                    os.path.join(
+                        table_path, "data", f"{prefix}-in-{commit_uuid}"
+                    ),
+                    tr_fields,
+                )
         commit_part_fields = [
             (pn, pn, vdt) for pn, _t, _s, _i, vdt in tr_fields
         ]
@@ -2532,7 +2581,16 @@ def _transformed_spec_fields(meta: dict):
     for the default spec when it carries NON-identity fields, else
     None. The value type is what the manifest partition record stores:
     buckets/temporal ordinals are ints, truncate/identity keep the
-    source type."""
+    source type.
+
+    A spec field whose source column was DROPPED from the current
+    schema resolves its TYPE through the historical schemas the
+    metadata retains (every schema ever current is kept, keyed by
+    field id) and carries ``source col = None``: rewrite-shaped ops
+    (compaction, raw-tuple file rewrites, matched-key landings) never
+    evaluate the transform, so they proceed; only paths that must
+    EVALUATE it on new rows check for the None and refuse. None is
+    returned only when the source-id appears in NO schema at all."""
     specs = meta.get("partition-specs") or []
     dspec = next(
         (
@@ -2551,19 +2609,36 @@ def _transformed_spec_fields(meta: dict):
         f["id"]: (f["name"], f["type"])
         for f in _current_schema(meta).get("fields", [])
     }
+    hist: dict[int, tuple] = {}
+    for sch in meta.get("schemas") or []:
+        for f in sch.get("fields", []):
+            hist.setdefault(f["id"], (f["name"], f["type"]))
+    if meta.get("schema"):
+        for f in meta["schema"].get("fields", []):
+            hist.setdefault(f["id"], (f["name"], f["type"]))
     out = []
     for pf in raw_fields:
         src = by_id.get(pf.get("source-id"))
-        if src is None:
-            return None
+        dropped = src is None
+        if dropped:
+            src = hist.get(pf.get("source-id"))
+            if src is None:
+                return None
         tr = pf.get("transform", "identity")
         vdt = (
             _iceberg_type_to_spark(src[1])
             if tr == "identity" or str(tr).startswith("truncate")
             else T.IntegerType()
         )
-        out.append((pf["name"], tr, src[0], src[1], vdt))
+        out.append((pf["name"], tr, None if dropped else src[0], src[1], vdt))
     return out
+
+
+def _spec_sources_dropped(tr_fields) -> bool:
+    """True when any spec field's source column is absent from the
+    CURRENT schema (type recovered from a historical schema) — the
+    transform can no longer be evaluated on new rows."""
+    return any(src is None for _pn, _tr, src, _it, _vd in tr_fields)
 
 
 def _transformed_split_write(
@@ -2719,6 +2794,8 @@ def _upsert_cow_transformed(
         pv = e["data_file"].get("partition") or {}
         key = tuple(sorted((k, str(v)) for k, v in pv.items()))
         groups.setdefault(key, (pv, []))[1].append(e)
+    dropped = _spec_sources_dropped(tr_fields)
+    landed_total = 0
     for gidx, key in enumerate(sorted(groups)):
         pv, gents = groups[key]
         gpaths = [
@@ -2728,15 +2805,15 @@ def _upsert_cow_transformed(
         rid_g = (
             _lineage_rewrite_col(gents, table_path) if lineage else None
         )
-        kept = spark.read.schema(
+        kept_all = spark.read.schema(
             _with_lineage_field(schema) if rid_g is not None else schema
         ).parquet(*gpaths)
         if rid_g is not None:
-            kept = kept.withColumn("_row_id", rid_g).withColumn(
+            kept_all = kept_all.withColumn("_row_id", rid_g).withColumn(
                 "_last_updated_sequence_number",
                 _seq_rewrite_col(gents, table_path),
             )
-        kept = kept.join(keys, on, "left_anti")
+        kept = kept_all.join(keys, on, "left_anti")
         gdir = os.path.join(
             table_path, "data", f"upsert-tr-{commit_uuid}-{gidx}"
         )
@@ -2745,11 +2822,53 @@ def _upsert_cow_transformed(
             if _parquet_row_count(p) == 0:
                 continue
             new_adds.append((p, pv))
-    new_adds += _transformed_split_write(
-        insert_frame,
-        os.path.join(table_path, "data", f"upsert-tr-in-{commit_uuid}"),
-        tr_fields,
-    )
+        if dropped:
+            # the spec's source column is DROPPED: incoming rows can't
+            # be transform-evaluated, but a matched key's partition
+            # value cannot have changed (the source column no longer
+            # exists to change) — land it under ITS group's recorded
+            # tuple
+            land = insert_frame.join(
+                kept_all.select(on).distinct(), on, "left_semi"
+            )
+            n_land = land.count()
+            if n_land:
+                landed_total += n_land
+                gdir2 = os.path.join(
+                    table_path,
+                    "data",
+                    f"upsert-tr-inh-{commit_uuid}-{gidx}",
+                )
+                land.write.parquet(gdir2)
+                for p in sorted(
+                    _glob.glob(os.path.join(gdir2, "*.parquet"))
+                ):
+                    if _parquet_row_count(p) > 0:
+                        new_adds.append((p, pv))
+    if dropped:
+        n_total = insert_frame.count()
+        if landed_total < n_total:
+            raise NotImplementedError(
+                f"upsert_iceberg_lite: {n_total - landed_total} incoming "
+                "rows carry NEW keys, but the partition spec's source "
+                "column was dropped from the schema, so their partition "
+                "values cannot be derived. Evolve the spec away from "
+                "the dropped column first (evolve_iceberg_spec), or "
+                "restrict the frame to existing keys."
+            )
+        if landed_total > n_total:
+            raise RuntimeError(
+                "upsert_iceberg_lite: a key matched files in more than "
+                "one partition tuple (duplicate keys in the table) — "
+                "the dropped-source landing would double-write; "
+                "deduplicate the table first."
+            )
+    else:
+        new_adds += _transformed_split_write(
+            insert_frame,
+            os.path.join(table_path, "data", f"upsert-tr-in-{commit_uuid}"),
+            tr_fields,
+        )
     _commit_rewrite_snapshot(
         table_path, meta, untouched, new_adds,
         [(pname, pname, vdt) for pname, _t, _s, _i, vdt in tr_fields],
@@ -3627,13 +3746,64 @@ def compact_iceberg_lite(
             # "not pf_del" gate sent mixed specs to the identity path,
             # recording partial tuples)
             commit_uuid = _uuid.uuid4().hex
-            new_adds = _transformed_split_write(
-                _read_for_rewrite(spark, table_path, meta),
-                os.path.join(
-                    table_path, "data", f"compact-del-tr-{commit_uuid}"
-                ),
-                tr_fields_del,
-            )
+            if _spec_sources_dropped(tr_fields_del):
+                # dropped spec source: transforms can't re-evaluate,
+                # but deletes never move a row across tuples — rewrite
+                # each recorded-tuple GROUP through the delete-applying
+                # provenance reader and land it under its own tuple
+                new_adds = []
+                grp: dict[tuple, tuple[dict, list[str]]] = {}
+                for e in data_entries:
+                    pv = e["data_file"].get("partition") or {}
+                    gk = tuple(sorted((k, str(v)) for k, v in pv.items()))
+                    grp.setdefault(gk, (pv, []))[1].append(
+                        os.path.abspath(
+                            _localize(
+                                e["data_file"]["file_path"], table_path
+                            )
+                        )
+                    )
+                live_prov = None
+                if int(meta.get("format-version", 2)) == 3:
+                    try:  # carry lineage through the rewrite (v3)
+                        live_prov = read_iceberg_lite(
+                            spark, table_path, with_provenance=True,
+                            with_row_id=True, with_last_updated_seq=True,
+                        )
+                    except NotImplementedError:
+                        live_prov = None
+                if live_prov is None:
+                    live_prov = read_iceberg_lite(
+                        spark, table_path, with_provenance=True
+                    )
+                out_cols = [
+                    c for c in live_prov.columns
+                    if not c.startswith("__d")
+                ]
+                for gidx, gk in enumerate(sorted(grp)):
+                    pv, gpaths = grp[gk]
+                    part = live_prov.filter(
+                        F.col("__dfile").isin(gpaths)
+                    ).select(*out_cols)
+                    gdir0 = os.path.join(
+                        table_path,
+                        "data",
+                        f"compact-del-tr-{commit_uuid}-g{gidx}",
+                    )
+                    part.write.parquet(gdir0)
+                    for p in sorted(
+                        _glob.glob(os.path.join(gdir0, "*.parquet"))
+                    ):
+                        if _parquet_row_count(p) > 0:
+                            new_adds.append((p, pv))
+            else:
+                new_adds = _transformed_split_write(
+                    _read_for_rewrite(spark, table_path, meta),
+                    os.path.join(
+                        table_path, "data", f"compact-del-tr-{commit_uuid}"
+                    ),
+                    tr_fields_del,
+                )
             _commit_rewrite_snapshot(
                 table_path, meta, [], new_adds,
                 [
