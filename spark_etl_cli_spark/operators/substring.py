@@ -53,6 +53,8 @@ __all__ = [
     "substring_dup_spans",
     "substring_dedup",
     "substring_scrub",
+    "substring_contamination_spans",
+    "substring_decontaminate",
 ]
 
 
@@ -141,44 +143,64 @@ def substring_dup_spans(
             F.col("b.pos").alias("b_pos"),
         )
     )
+    spans = _islands_to_spans(pairs, k, "doc_a", "doc_b")
+    if key == "hash" and verify:
+        spans = _verify_spans(spans, df, df, text_col, id_col, text_col, id_col)
+    return spans
+
+
+def _islands_to_spans(
+    pairs: DataFrame, k: int, id_a: str, id_b: str
+) -> DataFrame:
+    """Matched (a_pos, b_pos) windows of a pair -> MAXIMAL spans: the
+    gaps-and-islands merge of diagonal-consecutive windows. Pair-sized
+    work (one exchange on (pair, diagonal))."""
     diag = (F.col("a_pos") - F.col("b_pos")).alias("diag")
     isl = (
         F.col("a_pos")
         - F.row_number().over(
-            Window.partitionBy("doc_a", "doc_b", diag).orderBy("a_pos")
+            Window.partitionBy(id_a, id_b, diag).orderBy("a_pos")
         )
     ).alias("isl")
-    spans = (
-        pairs.select("doc_a", "doc_b", "a_pos", "b_pos", diag, isl)
-        .groupBy("doc_a", "doc_b", "diag", "isl")
+    return (
+        pairs.select(id_a, id_b, "a_pos", "b_pos", diag, isl)
+        .groupBy(id_a, id_b, "diag", "isl")
         .agg(
             F.min("a_pos").alias("a_start"),
             F.min("b_pos").alias("b_start"),
             (F.max("a_pos") - F.min("a_pos") + k).alias("span_len"),
         )
-        .select("doc_a", "doc_b", "a_start", "b_start", "span_len")
+        .select(id_a, id_b, "a_start", "b_start", "span_len")
     )
-    if key == "hash" and verify:
-        spans = _verify_spans(spans, df, text_col, id_col)
-    return spans
 
 
 def _verify_spans(
-    spans: DataFrame, df: DataFrame, text_col: str, id_col: str
+    spans: DataFrame,
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_a: str,
+    id_a_src: str,
+    text_b: str,
+    id_b_src: str,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
 ) -> DataFrame:
     """Confirm every hash-keyed span by comparing the actual token
     slices of both documents; raise on the first mismatch (a 2^-64
     xxhash64 bucket collision) so key='hash' is exact-or-loud, never
     silently wrong. Span-grain: two shuffles of the (small) span set,
     one extra scan of the doc tokens."""
-    toks = df.select(
-        F.col(id_col).alias("_vid"), _tokens(text_col).alias("_vt")
+    toks_a = df_a.select(
+        F.col(id_a_src).alias("_vid"), _tokens(text_a).alias("_vt")
+    )
+    toks_b = df_b.select(
+        F.col(id_b_src).alias("_vid"), _tokens(text_b).alias("_vt")
     )
     both = (
-        spans.join(toks, spans["doc_a"] == toks["_vid"])
+        spans.join(toks_a, spans[id_a] == toks_a["_vid"])
         .withColumnRenamed("_vt", "_ta")
         .drop("_vid")
-        .join(toks, spans["doc_b"] == toks["_vid"])
+        .join(toks_b, spans[id_b] == toks_b["_vid"])
         .withColumnRenamed("_vt", "_tb")
         .drop("_vid")
     )
@@ -191,14 +213,12 @@ def _verify_spans(
     if bad:
         r = bad[0]
         raise ValueError(
-            "substring_dup_spans(key='hash'): span verification failed "
-            f"for docs ({r['doc_a']}, {r['doc_b']}) at "
+            "substring spans (key='hash'): span verification failed "
+            f"for docs ({r[id_a]}, {r[id_b]}) at "
             f"({r['a_start']}, {r['b_start']}) len {r['span_len']} — "
             "an xxhash64 window collision; rerun with key='text'."
         )
-    return checked.select(
-        "doc_a", "doc_b", "a_start", "b_start", "span_len"
-    )
+    return checked.select(id_a, id_b, "a_start", "b_start", "span_len")
 
 
 def substring_dedup(
@@ -264,6 +284,16 @@ def substring_scrub(
         F.col("b_start").alias("s"),
         (F.col("b_start") + F.col("span_len")).alias("e"),
     )
+    return _remove_intervals(df, iv, text_col, id_col)
+
+
+def _remove_intervals(
+    df: DataFrame, iv: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Delete token ranges ``iv`` = (id, s, e) from each document:
+    standard gaps-and-islands interval UNION per doc (span-sized), one
+    id-keyed join back, in-row token filtering. Returns
+    ``(id, text_clean, removed_tokens)`` for every input doc."""
     prev_end = F.max("e").over(
         Window.partitionBy("id")
         .orderBy("s", "e")
@@ -306,4 +336,122 @@ def substring_scrub(
             F.transform(kept, lambda x: x["tk"]), " "
         ).alias("text_clean"),
         (F.size("t") - F.size(kept)).alias("removed_tokens"),
+    )
+
+
+def substring_contamination_spans(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+    k: int = 8,
+    key: str = "text",
+    verify: bool = True,
+) -> DataFrame:
+    """Train/benchmark CONTAMINATION at substring grain — the
+    GPT-3/PaLM-style decontamination rule (a training doc is
+    contaminated when it contains a >= k-token verbatim span of a
+    benchmark doc), strictly stronger evidence than shared-n-gram
+    COUNTS (``decontaminate://``'s default rule), which fire on
+    reordered or coincidental n-grams.
+
+    Returns maximal shared spans
+    ``(train_doc_id, bench_doc_id, t_start, b_start, span_len)``.
+
+    100 TB shape: the benchmark side is benchmark-suite-sized, so its
+    window postings BROADCAST — the corpus-sized train postings stream
+    map-side through the join and never shuffle; only matched windows
+    (contamination-sized) reach the islands exchange. ``key='hash'``
+    joins on the 8-byte xxhash64 of the window with span-grain
+    verification (raises on a collision), ``key='text'`` is the
+    bit-exact oracle rule.
+    """
+    if key not in ("text", "hash"):
+        raise ValueError(
+            f"substring contamination: key must be text|hash, got {key!r}"
+        )
+    b_text = bench_text_col or text_col
+    b_id = bench_id_col or id_col
+    tw = token_windows(train, text_col, id_col, k)
+    bw = token_windows(bench, b_text, b_id, k)
+    jk = (lambda c: F.col(c)) if key == "text" else (
+        lambda c: F.xxhash64(c)
+    )
+    matched = tw.alias("t").join(
+        F.broadcast(bw.alias("b")),
+        jk("t.win") == jk("b.win") if key == "hash"
+        else F.col("t.win") == F.col("b.win"),
+    )
+    if key == "hash":
+        # in-row confirm is free here (both window strings are in the
+        # row); the span-grain _verify_spans below additionally guards
+        # the (astronomically unlikely) case of a collision that this
+        # filter already removed — kept for parity with dup_spans
+        matched = matched.filter(F.col("t.win") == F.col("b.win"))
+    pairs = matched.select(
+        F.col("t.id").alias("train_doc_id"),
+        F.col("b.id").alias("bench_doc_id"),
+        F.col("t.pos").alias("a_pos"),
+        F.col("b.pos").alias("b_pos"),
+    )
+    spans = _islands_to_spans(pairs, k, "train_doc_id", "bench_doc_id")
+    spans = spans.select(
+        "train_doc_id",
+        "bench_doc_id",
+        F.col("a_start").alias("t_start"),
+        F.col("b_start").alias("b_start"),
+        "span_len",
+    )
+    if key == "hash" and verify:
+        spans = _verify_spans(
+            spans.withColumnRenamed("t_start", "a_start"),
+            train, bench, text_col, id_col, b_text, b_id,
+            id_a="train_doc_id", id_b="bench_doc_id",
+        ).withColumnRenamed("a_start", "t_start")
+    return spans
+
+
+def substring_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_span: int = 12,
+    key: str = "text",
+    action: str = "drop",
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+) -> DataFrame:
+    """Apply the substring contamination rule to the training set.
+
+    ``action='drop'``: remove every training doc sharing a span of
+    >= ``min_span`` tokens with any benchmark doc (anti-join against
+    the contaminated-id set; train schema passes through).
+    ``action='scrub'``: keep the docs but delete exactly the
+    contaminated token ranges (interval union per doc, same machinery
+    as :func:`substring_scrub`) — returns
+    ``(id, text_clean, removed_tokens)`` for every training doc.
+    """
+    spans = substring_contamination_spans(
+        train, bench, text_col, id_col,
+        bench_text_col=bench_text_col, bench_id_col=bench_id_col,
+        k=k, key=key,
+    ).filter(F.col("span_len") >= min_span)
+    if action == "drop":
+        hits = spans.select(
+            F.col("train_doc_id").alias(id_col)
+        ).distinct()
+        return train.join(hits, id_col, "left_anti")
+    if action == "scrub":
+        iv = spans.select(
+            F.col("train_doc_id").alias("id"),
+            F.col("t_start").alias("s"),
+            (F.col("t_start") + F.col("span_len")).alias("e"),
+        )
+        return _remove_intervals(train, iv, text_col, id_col)
+    raise ValueError(
+        f"substring decontaminate: action must be drop|scrub, got {action!r}"
     )

@@ -952,12 +952,19 @@ def encode_transform(p: ParsedUri) -> TransformFn:
 @register_transform("decontaminate")
 def decontaminate_transform(p: ParsedUri) -> TransformFn:
     """``in+out+decontaminate://benchView?n=8&min-shared=1&id-col=doc_id
-    &text-col=text[&pairs=true]``.
+    &text-col=text[&pairs=true][&mode=substring&min-span=12
+    &action=drop|scrub|spans&key=text|hash]``.
 
     Drops input docs sharing >= ``min-shared`` word n-grams with any doc
     in the benchmark view (operators/retrieval.py) — the train/test
     contamination scrub. With ``pairs=true`` it instead emits the
     (train_doc_id, bench_doc_id, n_shared) collision report for audit.
+
+    ``mode=substring`` applies the GPT-3/PaLM-style SPAN rule instead
+    (operators/substring.py): contamination = a verbatim >= ``n``-token
+    window chain reaching ``min-span`` tokens; ``action=drop`` removes
+    contaminated docs, ``action=scrub`` deletes exactly the
+    contaminated ranges, ``action=spans`` emits the span report.
     """
     bench_view = p.path.lstrip("/") or p.authority
     n = int(p.params.get("n", "8"))
@@ -965,14 +972,34 @@ def decontaminate_transform(p: ParsedUri) -> TransformFn:
     id_col = p.params.get("id-col", "doc_id")
     text_col = p.params.get("text-col", "text")
     pairs = p.params.get("pairs", "false").lower() == "true"
+    mode = p.params.get("mode", "ngram")
 
     def run(spark: SparkSession, df: DataFrame) -> DataFrame:
+        bench = spark.table(bench_view)
+        if mode == "substring":
+            from spark_etl_cli_spark.operators.substring import (
+                substring_contamination_spans,
+                substring_decontaminate,
+            )
+
+            action = p.params.get("action", "drop")
+            key = p.params.get("key", "text")
+            if action == "spans" or pairs:
+                return substring_contamination_spans(
+                    df, bench, text_col, id_col, k=n, key=key
+                )
+            return substring_decontaminate(
+                df, bench, text_col, id_col,
+                k=n,
+                min_span=int(p.params.get("min-span", str(n + 4))),
+                key=key,
+                action=action,
+            )
         from spark_etl_cli_spark.operators.retrieval import (
             contamination_pairs,
             decontaminate,
         )
 
-        bench = spark.table(bench_view)
         if pairs:
             return contamination_pairs(
                 df, bench, n=n, id_col=id_col, text_col=text_col

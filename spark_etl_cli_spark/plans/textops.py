@@ -2189,3 +2189,188 @@ def q205_substring_scrub(spark, sf_dir):
     return substring_scrub(
         t(spark, sf_dir, "documents"), k=_SUBSTR_K, min_span=12
     )
+
+
+# --- q206: per-source substring duplication profile ---------------------
+# The corpus-audit rollup the substring tier exists to feed: per
+# source, how many documents duplicate >= 12 consecutive tokens of an
+# earlier document, and what fraction of the source's tokens is
+# removable duplication (the scrub's interval-union token count over
+# the source's total tokens). Built on the q205 machinery: spans ->
+# qualifying intervals -> per-doc interval union -> source rollup —
+# everything after the posting shuffle is duplication-sized.
+@query(
+    "q206_substring_dup_profile",
+    oracle=f"""
+    WITH {_sql_substr_spans(_SUBSTR_K)},
+    iv AS (SELECT doc_b AS id, b_start AS s, b_start + span_len AS e
+           FROM spans WHERE span_len >= 12),
+    m1 AS (SELECT id, s, e,
+                  CASE WHEN s > coalesce(MAX(e) OVER (
+                         PARTITION BY id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), -1)
+                       THEN 1 ELSE 0 END AS brk
+           FROM iv),
+    m2 AS (SELECT id, s, e, SUM(brk) OVER (
+             PARTITION BY id ORDER BY s, e ROWS UNBOUNDED PRECEDING)
+             AS isl
+           FROM m1),
+    merged AS (SELECT id, MIN(s) AS s, MAX(e) AS e
+               FROM m2 GROUP BY id, isl),
+    per_doc AS (SELECT id, SUM(e - s) AS cut FROM merged GROUP BY id),
+    dl AS (SELECT d.doc_id, d.source, len(tk.t) AS n
+           FROM documents d JOIN toks tk ON d.doc_id = tk.doc_id)
+    SELECT dl.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN p.cut IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS dup_docs,
+           CAST(SUM(coalesce(p.cut, 0)) AS BIGINT) AS dup_tokens,
+           CAST(SUM(dl.n) AS BIGINT) AS total_tokens,
+           CAST(SUM(coalesce(p.cut, 0)) AS DOUBLE)
+             / CAST(SUM(dl.n) AS DOUBLE) AS dup_token_ratio
+    FROM dl LEFT JOIN per_doc p ON dl.doc_id = p.id
+    GROUP BY dl.source
+    """,
+)
+def q206_substring_dup_profile(spark, sf_dir):
+    from spark_etl_cli_spark.operators.substring import substring_scrub
+
+    d = t(spark, sf_dir, "documents")
+    sc = substring_scrub(d, k=_SUBSTR_K, min_span=12)
+    dl = d.select(
+        F.col("doc_id").alias("id"),
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n"),
+    )
+    return (
+        dl.join(sc.select("id", "removed_tokens"), "id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("removed_tokens") > 0).cast("int"))
+            .cast("bigint")
+            .alias("dup_docs"),
+            F.sum("removed_tokens").cast("bigint").alias("dup_tokens"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
+            (
+                F.sum("removed_tokens").cast("double")
+                / F.sum("n").cast("double")
+            ).alias("dup_token_ratio"),
+        )
+    )
+
+
+# --- q207/q208: substring-grain train/benchmark decontamination ---------
+# The GPT-3/PaLM decontamination rule at span grain: a training doc is
+# contaminated when it contains a >= k-token VERBATIM span of a
+# benchmark doc (stronger evidence than decontaminate://'s shared-
+# n-gram counts). Here source 'src0' plays the benchmark suite and the
+# rest of the corpus the training set. The benchmark side BROADCASTS
+# (benchmark-suite-sized), so the corpus-side postings never shuffle —
+# the contamination probe is map-side at any corpus scale.
+def _sql_contam_spans(k: int) -> str:
+    return f"""
+    tr AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+           FROM documents WHERE source <> 'src0'),
+    be AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+           FROM documents WHERE source = 'src0'),
+    trw AS (SELECT doc_id, pos,
+                   array_to_string(t[pos+1:pos+{k}], ' ') AS win
+            FROM (SELECT doc_id, t,
+                         unnest(generate_series(0, greatest(len(t)-{k},
+                                                            -1))) AS pos
+                  FROM tr)),
+    bew AS (SELECT doc_id, pos,
+                   array_to_string(t[pos+1:pos+{k}], ' ') AS win
+            FROM (SELECT doc_id, t,
+                         unnest(generate_series(0, greatest(len(t)-{k},
+                                                            -1))) AS pos
+                  FROM be)),
+    p AS (SELECT a.doc_id train_doc_id, b.doc_id bench_doc_id,
+                 a.pos a_pos, b.pos b_pos
+          FROM trw a JOIN bew b ON a.win = b.win),
+    runs AS (SELECT *, a_pos - b_pos AS diag,
+                    a_pos - ROW_NUMBER() OVER (
+                      PARTITION BY train_doc_id, bench_doc_id,
+                                   a_pos - b_pos
+                      ORDER BY a_pos) AS isl
+             FROM p),
+    spans AS (SELECT train_doc_id, bench_doc_id,
+                     MIN(a_pos) AS t_start, MIN(b_pos) AS b_start,
+                     MAX(a_pos) - MIN(a_pos) + {k} AS span_len
+              FROM runs GROUP BY train_doc_id, bench_doc_id, diag, isl)
+    """
+
+
+@query(
+    "q207_substring_contamination",
+    oracle=f"""
+    WITH {_sql_contam_spans(_SUBSTR_K)}
+    SELECT train_doc_id, bench_doc_id, t_start, b_start, span_len
+    FROM spans
+    """,
+)
+def q207_substring_contamination(spark, sf_dir):
+    from spark_etl_cli_spark.operators.substring import (
+        substring_contamination_spans,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    return substring_contamination_spans(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        k=_SUBSTR_K,
+    )
+
+
+@query(
+    "q208_substring_decontaminate",
+    oracle=f"""
+    WITH {_sql_contam_spans(_SUBSTR_K)},
+    iv AS (SELECT train_doc_id AS id, t_start AS s,
+                  t_start + span_len AS e
+           FROM spans WHERE span_len >= 12),
+    m1 AS (SELECT id, s, e,
+                  CASE WHEN s > coalesce(MAX(e) OVER (
+                         PARTITION BY id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), -1)
+                       THEN 1 ELSE 0 END AS brk
+           FROM iv),
+    m2 AS (SELECT id, s, e, SUM(brk) OVER (
+             PARTITION BY id ORDER BY s, e ROWS UNBOUNDED PRECEDING)
+             AS isl
+           FROM m1),
+    merged AS (SELECT id, MIN(s) AS s, MAX(e) AS e
+               FROM m2 GROUP BY id, isl),
+    pos_tok AS (SELECT doc_id, pos, t[pos+1] AS tok
+                FROM (SELECT doc_id, t,
+                             unnest(generate_series(0, len(t)-1)) AS pos
+                      FROM tr)),
+    kept AS (SELECT p.* FROM pos_tok p
+             WHERE NOT EXISTS (SELECT 1 FROM merged m
+                               WHERE m.id = p.doc_id
+                                 AND p.pos >= m.s AND p.pos < m.e)),
+    rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id),
+    toklen AS (SELECT doc_id, len(t) AS n FROM tr)
+    SELECT tl.doc_id AS id, coalesce(r.txt, '') AS text_clean,
+           tl.n - coalesce(r.n_kept, 0) AS removed_tokens
+    FROM toklen tl LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def q208_substring_decontaminate(spark, sf_dir):
+    from spark_etl_cli_spark.operators.substring import (
+        substring_decontaminate,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    return substring_decontaminate(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        k=_SUBSTR_K,
+        min_span=12,
+        action="scrub",
+    )

@@ -146,3 +146,102 @@ def test_substring_uri_surface(spark):
     out = scrub_fn(spark, df)
     assert out.count() == 100
     assert set(out.columns) == {"id", "text_clean", "removed_tokens"}
+
+
+def test_contamination_spans_cross_tables_only(spark):
+    """Contamination spans pair TRAIN x BENCH only (no train-train or
+    bench-bench pairs), with positions relative to each side."""
+    from spark_etl_cli_spark.operators.substring import (
+        substring_contamination_spans,
+    )
+
+    leak = " ".join(f"q{i}" for i in range(8))
+    train = _docs(
+        spark,
+        [
+            (1, "t1 t2 " + leak + " t3"),
+            (2, "t4 t5 t6 " + leak),
+            (3, "clean doc nothing shared here at all ok"),
+        ],
+    )
+    bench = _docs(spark, [(100, leak + " b1 b2")])
+    got = sorted(
+        tuple(r)
+        for r in substring_contamination_spans(
+            train, bench, k=8
+        ).collect()
+    )
+    assert got == [(1, 100, 2, 0, 8), (2, 100, 3, 0, 8)]
+    # hash key (verified) agrees
+    got_h = sorted(
+        tuple(r)
+        for r in substring_contamination_spans(
+            train, bench, k=8, key="hash"
+        ).collect()
+    )
+    assert got_h == got
+
+
+def test_substring_decontaminate_drop_and_scrub(spark):
+    from spark_etl_cli_spark.operators.substring import (
+        substring_decontaminate,
+    )
+
+    leak = " ".join(f"q{i}" for i in range(12))
+    train = _docs(
+        spark,
+        [
+            (1, "t1 t2 " + leak),
+            (2, "clean doc nothing shared here at all ok"),
+        ],
+    )
+    bench = _docs(spark, [(100, leak)])
+    kept = substring_decontaminate(
+        train, bench, k=8, min_span=12, action="drop"
+    )
+    assert [r.doc_id for r in kept.collect()] == [2]
+    scrubbed = {
+        r.id: (r.text_clean, r.removed_tokens)
+        for r in substring_decontaminate(
+            train, bench, k=8, min_span=12, action="scrub"
+        ).collect()
+    }
+    assert scrubbed[1] == ("t1 t2", 12)
+    assert scrubbed[2][1] == 0
+
+
+def test_contamination_probe_broadcasts_bench(spark):
+    """The 100 TB shape: the benchmark side is broadcast, so the
+    corpus-side postings stream map-side — no shuffle on the train
+    posting path before the join."""
+    from spark_etl_cli_spark.operators.substring import (
+        substring_contamination_spans,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    spans = substring_contamination_spans(
+        d.filter("source <> 'src0'"), d.filter("source = 'src0'"), k=8
+    )
+    plan = spans._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_decontaminate_substring_uri(spark):
+    from spark_etl_cli_spark.registry import resolve_transform
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d.filter("source = 'src0'").createOrReplaceTempView("bench_docs")
+    _, fn = resolve_transform(
+        "a+b+decontaminate://bench_docs?mode=substring&n=8"
+        "&min-span=12&action=scrub"
+    )
+    out = fn(spark, d.filter("source <> 'src0'"))
+    assert set(out.columns) == {"id", "text_clean", "removed_tokens"}
+    assert out.filter("removed_tokens > 0").count() >= 1
+    _, fn2 = resolve_transform(
+        "a+b+decontaminate://bench_docs?mode=substring&n=8&action=spans"
+    )
+    spans = fn2(spark, d.filter("source <> 'src0'"))
+    assert spans.count() >= 1 and "train_doc_id" in spans.columns
