@@ -2,7 +2,10 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
 Runs every registered query once (warm session), times each end-to-end
-(plan + execute + collect-to-count), and prints ONE JSON line:
+(plan + execute + FULL materialization through the noop sink — count()
+would let Catalyst prune final projections and eliminate unique-key
+left joins, under-measuring whole query classes), and prints ONE JSON
+line:
 
   {"metric": "total_query_sec", "value": N, "unit": "sec",
    "queries": {"q01_pricing_summary": sec, ...}, "sf": "..."}
@@ -147,6 +150,21 @@ def main() -> int:
     # so the cross-pass min converges on the isolated-run number that
     # BENCH_QUERIES= re-measurement has always confirmed.
     n_passes = max(1, int(os.environ.get("BENCH_PASSES", "2")))
+
+    def _force(df) -> None:
+        """Materialize the FULL result. count() is NOT that: Catalyst
+        prunes every column count() doesn't need — dropping expensive
+        final projections — and (Spark 3.3+ distinct-keys propagation)
+        ELIMINATES a left join whose build side has provably-unique
+        keys, so a docs-LEFT-JOIN-decisions query benched as a
+        constant-time scan (measured: q205 0.7 s under count() vs
+        9 s materialized). The noop sink executes the complete plan,
+        every column, with no driver transfer and no disk."""
+        try:
+            df.write.mode("overwrite").format("noop").save()
+        except Exception:
+            df.count()  # some frames (e.g. views) may refuse a writer
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for pass_no in range(n_passes):
@@ -171,9 +189,7 @@ def main() -> int:
                 # data. Each run rebuilds the DataFrame so plan
                 # construction + analysis stay inside the measurement.
                 df = queries[name](spark, sf_dir)
-                # count() forces full execution without driver-side row
-                # transfer dominating the measurement for wide results.
-                df.count()
+                _force(df)
                 t1 = time.time() - t0
                 # untimed: release run-1's DataFrame so checkpoint-backed
                 # operators don't hold run-1's blocks pinned through run 2
@@ -183,7 +199,7 @@ def main() -> int:
                 gc.collect()
                 t0 = time.time()
                 df = queries[name](spark, sf_dir)
-                df.count()
+                _force(df)
                 t2 = time.time() - t0
                 best = round(min(t1, t2), 3)
                 timings[name] = min(timings.get(name, best), best)

@@ -2069,7 +2069,7 @@ def q193_crossdoc_ngram_dup(spark, sf_dir):
     )
 
 
-# --- q203-q205: EXACT-SUBSTRING dedup (suffix-array-style) --------------
+# --- q203: EXACT-SUBSTRING dedup spans (suffix-array-style) -------------
 # The dedup tier whole-doc tiers can't express: cross-document shared
 # spans of >= k consecutive tokens, found suffix-array-style (Lee et
 # al., ACL 2022) but Spark-shaped — k-token rolling-window postings,
@@ -2111,6 +2111,7 @@ def _sql_substr_spans(k: int) -> str:
     """
 
 
+# --- q203: maximal cross-doc shared substring spans ---------------------
 @query(
     "q203_substring_dup_spans",
     oracle=f"""
@@ -2128,6 +2129,10 @@ def q203_substring_dup_spans(spark, sf_dir):
     )
 
 
+# --- q204: substring-tier whole-doc dedup decisions ---------------------
+# A doc duplicating >= min_span consecutive tokens of ANY earlier doc
+# is a dup; dup_of = the smallest such neighbor (span-sized rollup on
+# top of the q203 machinery).
 @query(
     "q204_substring_dedup",
     oracle=f"""
@@ -2147,6 +2152,10 @@ def q204_substring_dedup(spark, sf_dir):
     )
 
 
+# --- q205: substring span REMOVAL (surgical scrub) ----------------------
+# Delete exactly the token ranges duplicating >= min_span tokens of an
+# earlier doc (interval union per doc, earliest occurrence survives) —
+# the Lee et al. remedy that keeps the rest of the document.
 @query(
     "q205_substring_scrub",
     oracle=f"""
@@ -2303,6 +2312,7 @@ def _sql_contam_spans(k: int) -> str:
     """
 
 
+# --- q207: substring contamination span report --------------------------
 @query(
     "q207_substring_contamination",
     oracle=f"""
@@ -2324,6 +2334,7 @@ def q207_substring_contamination(spark, sf_dir):
     )
 
 
+# --- q208: substring decontamination scrub of the training set ----------
 @query(
     "q208_substring_decontaminate",
     oracle=f"""
