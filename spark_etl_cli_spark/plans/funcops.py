@@ -180,18 +180,38 @@ def q74_udtf_token_explode(spark, sf_dir):
     """,
 )
 def q75_sketch_aggregates(spark, sf_dir):
+    # The exact distinct count runs as its OWN two-stage aggregation
+    # and joins back (5 rows a side). Mixing countDistinct with the
+    # sketch aggregates in one agg makes Spark's one-distinct plan
+    # carry every sketch buffer (KB-sized HLL++/percentile digests)
+    # per DISTINCT KEY through the expand shuffle — measured 16.8 s
+    # for the combined plan vs 0.4 s for the sketches alone at sf0.1.
+    # Exact percentiles share one buffer via the array form.
     o = t(spark, sf_dir, "orders")
-    exact = F.countDistinct("o_custkey").cast("bigint")
-    approx = F.approx_count_distinct("o_custkey")
-    p_approx = F.percentile_approx("o_totalprice", 0.5)
-    p40 = F.expr("percentile(o_totalprice, 0.40)")
-    p60 = F.expr("percentile(o_totalprice, 0.60)")
-    return o.groupBy("o_orderpriority").agg(
-        exact.alias("n_exact"),
+    exact = (
+        o.select("o_orderpriority", "o_custkey")
+        .distinct()
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    )
+    sk = o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey").alias("__approx"),
+        F.percentile_approx("o_totalprice", 0.5).alias("__pa"),
+        F.expr(
+            "percentile(o_totalprice, array(0.40, 0.60))"
+        ).alias("__p"),
+    )
+    return exact.join(sk, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_exact",
         (
-            F.abs(approx - exact) <= exact * F.lit(0.15)
+            F.abs(F.col("__approx") - F.col("n_exact"))
+            <= F.col("n_exact") * F.lit(0.15)
         ).alias("approx_within_15pct"),
-        ((p_approx >= p40) & (p_approx <= p60)).alias("p50_within_band"),
+        (
+            (F.col("__pa") >= F.col("__p")[0])
+            & (F.col("__pa") <= F.col("__p")[1])
+        ).alias("p50_within_band"),
     )
 
 
