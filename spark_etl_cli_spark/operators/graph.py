@@ -177,10 +177,18 @@ def triangle_count(
     ideg = oriented.groupBy(F.col("dst").alias("x")).agg(
         F.count(F.lit(1)).cast("bigint").alias("idg")
     )
-    n_wedges = odeg.join(ideg, "x").agg(
-        F.coalesce(F.sum(F.col("od") * F.col("idg")), F.lit(0))
-        .cast("bigint")
-        .alias("n_wedges")
+    # single scalar off the checkpointed list — control-plane, like
+    # n_e above; keeping it a DataFrame would need a 1x1 cross join
+    # against the closure aggregate (a CartesianProduct node the plan
+    # gate rightly rejects)
+    n_w = (
+        odeg.join(ideg, "x")
+        .agg(
+            F.coalesce(F.sum(F.col("od") * F.col("idg")), F.lit(0))
+            .cast("bigint")
+            .alias("w")
+        )
+        .head()["w"]
     )
     # triangles by ADJACENCY INTERSECTION: for oriented edge (s, t),
     # every common out-neighbor closes exactly one triangle, and the
@@ -210,13 +218,10 @@ def triangle_count(
             .alias("n_triangles")
         )
     )
-    return (
-        n_wedges.crossJoin(closed)
-        .select(
-            F.lit(n_e).cast("bigint").alias("n_edges"),
-            "n_wedges",
-            "n_triangles",
-        )
+    return closed.select(
+        F.lit(n_e).cast("bigint").alias("n_edges"),
+        F.lit(n_w).cast("bigint").alias("n_wedges"),
+        "n_triangles",
     )
 
 
