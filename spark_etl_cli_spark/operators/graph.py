@@ -50,10 +50,15 @@ def pagerank(
         F.col(weight_col).cast("double").alias("w"),
     )
     outs = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    # verts feeds the count() below AND one join per iteration; the
+    # distinct leaves it hash-partitioned on v, which every per-round
+    # left join reuses once the result is checkpointed (otherwise the
+    # edge-build subtree re-executes per iteration).
     verts = (
         edges.select(F.col("src").alias("v"))
         .union(edges.select(F.col("dst").alias("v")))
         .distinct()
+        .localCheckpoint()
     )
     n = verts.count()
     if n == 0:
@@ -62,9 +67,15 @@ def pagerank(
         )
     base = (1.0 - damping) / n
 
-    # transition probability per edge: (w / out-strength of src)
-    trans = edges.join(outs, "src").select(
-        "src", "dst", (F.col("w") / F.col("wout")).alias("p")
+    # transition probability per edge: (w / out-strength of src) —
+    # referenced once per iteration, so materialize it ONCE pre-hashed
+    # on src: each round's contribution join then reuses the stored
+    # partitioning and only the rank side (|V| rows) moves.
+    trans = (
+        edges.join(outs, "src")
+        .select("src", "dst", (F.col("w") / F.col("wout")).alias("p"))
+        .repartition("src")
+        .localCheckpoint()
     )
 
     ranks = verts.select("v", F.lit(1.0 / n).alias("r"))
@@ -250,12 +261,24 @@ def min_label_propagation(
     deterministic fixseed (label = id) makes the result replayable in
     any engine, which is what the DuckDB oracles key on.
     """
-    sym = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).unionByName(
+    # The symmetric edge list feeds every round's join PLUS the label
+    # seed: without materialization the whole upstream edge build (for
+    # q171 a lineitem groupBy + explode + distinct) re-executes once
+    # per reference — rounds+1 times. Checkpoint it ONCE, pre-hashed on
+    # the join key, so each round's join reuses the stored partitioning
+    # instead of re-shuffling the edge side (guide §2.4: two operations
+    # keyed the same way share one exchange).
+    sym = (
         edges.select(
-            F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
         )
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+            )
+        )
+        .repartition("src")
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("src").alias("x"))

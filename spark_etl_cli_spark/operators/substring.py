@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from spark_etl_cli_spark.operators.dedup import bucket_pairs
+from spark_etl_cli_spark.operators.util import fan_out
 
 __all__ = [
     "token_windows",
@@ -67,12 +68,21 @@ def token_windows(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 8,
+    key: str = "text",
 ) -> DataFrame:
     """One row per k-token rolling window occurrence:
     ``(id, pos, win)`` — ``pos`` is the 0-based token offset, ``win``
-    the space-joined window text. Documents shorter than ``k`` tokens
-    emit nothing. Pure per-row explode; no shuffle."""
+    the space-joined window text (``key='text'``) or the ``xxhash64``
+    of the k-token slice (``key='hash'``: the window string is never
+    built — tokens cannot contain whitespace, so token-array equality
+    is exactly joined-text equality — and downstream shuffles carry an
+    8-byte key instead of ~k tokens of text). Documents shorter than
+    ``k`` tokens emit nothing. Pure per-row explode; no shuffle."""
     toks = _tokens(text_col)
+    if key == "hash":
+        win = lambda i: F.xxhash64(F.slice(toks, i + 1, k))  # noqa: E731
+    else:
+        win = lambda i: F.array_join(F.slice(toks, i + 1, k), " ")  # noqa: E731
     return df.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -83,10 +93,7 @@ def token_windows(
                 F.transform(
                     F.sequence(F.lit(0), F.size(toks) - k),
                     lambda i: F.struct(
-                        i.alias("pos"),
-                        F.array_join(
-                            F.slice(toks, i + 1, k), " "
-                        ).alias("win"),
+                        i.alias("pos"), win(i).alias("win")
                     ),
                 ),
             ).otherwise(F.array())
@@ -126,11 +133,12 @@ def substring_dup_spans(
     """
     if key not in ("text", "hash"):
         raise ValueError(f"substring dedup: key must be text|hash, got {key!r}")
-    w = token_windows(df, text_col, id_col, k)
+    # documents are compute-dense and often arrive in one byte-split
+    # file partition; tokenize/window across the cluster, not one core
+    df = fan_out(df)
+    w = token_windows(df, text_col, id_col, k, key=key)
     entries = w.select(
-        (F.col("win") if key == "text" else F.xxhash64("win")).alias(
-            "bucket"
-        ),
+        F.col("win").alias("bucket"),
         F.struct("id", "pos").alias("e"),
     )
     pairs = (
@@ -145,6 +153,10 @@ def substring_dup_spans(
     )
     spans = _islands_to_spans(pairs, k, "doc_a", "doc_b")
     if key == "hash" and verify:
+        # materialize the (rare) span set once so the verification pass
+        # and every downstream consumer read it back instead of
+        # re-executing the corpus-sized posting shuffle
+        spans = spans.localCheckpoint()
         spans = _verify_spans(spans, df, df, text_col, id_col, text_col, id_col)
     return spans
 
@@ -188,8 +200,22 @@ def _verify_spans(
     """Confirm every hash-keyed span by comparing the actual token
     slices of both documents; raise on the first mismatch (a 2^-64
     xxhash64 bucket collision) so key='hash' is exact-or-loud, never
-    silently wrong. Span-grain: two shuffles of the (small) span set,
-    one extra scan of the doc tokens."""
+    silently wrong. Span-grain: ``spans`` arrives materialized
+    (checkpointed by the callers), so its doc ids are collected first
+    and pushed into the token scans as id filters — the check then
+    re-tokenizes only the (rare) documents that actually appear in a
+    span instead of both full corpora."""
+    _ID_PUSHDOWN_CAP = 50_000  # InSet stays O(1)/row; plans stay small
+
+    def _ids(col: str) -> list | None:
+        vals = [r[0] for r in spans.select(col).distinct().collect()]
+        return vals if len(vals) <= _ID_PUSHDOWN_CAP else None
+
+    a_ids, b_ids = _ids(id_a), _ids(id_b)
+    if a_ids is not None:
+        df_a = df_a.filter(F.col(id_a_src).isin(a_ids))
+    if b_ids is not None:
+        df_b = df_b.filter(F.col(id_b_src).isin(b_ids))
     toks_a = df_a.select(
         F.col(id_a_src).alias("_vid"), _tokens(text_a).alias("_vt")
     )
@@ -204,12 +230,11 @@ def _verify_spans(
         .withColumnRenamed("_vt", "_tb")
         .drop("_vid")
     )
-    checked = both.withColumn(
-        "_ok",
+    mismatch = ~(
         F.slice(F.col("_ta"), F.col("a_start") + 1, F.col("span_len"))
-        == F.slice(F.col("_tb"), F.col("b_start") + 1, F.col("span_len")),
+        == F.slice(F.col("_tb"), F.col("b_start") + 1, F.col("span_len"))
     )
-    bad = checked.filter(~F.col("_ok")).limit(1).collect()
+    bad = both.filter(mismatch).limit(1).collect()
     if bad:
         r = bad[0]
         raise ValueError(
@@ -218,7 +243,10 @@ def _verify_spans(
             f"({r['a_start']}, {r['b_start']}) len {r['span_len']} — "
             "an xxhash64 window collision; rerun with key='text'."
         )
-    return checked.select(id_a, id_b, "a_start", "b_start", "span_len")
+    # every span just verified equal — the (checkpointed) input frame
+    # IS the result; re-deriving it through the token joins on the
+    # returned plan would only repeat the check downstream
+    return spans
 
 
 def substring_dedup(
@@ -294,6 +322,7 @@ def _remove_intervals(
     standard gaps-and-islands interval UNION per doc (span-sized), one
     id-keyed join back, in-row token filtering. Returns
     ``(id, text_clean, removed_tokens)`` for every input doc."""
+    df = fan_out(df)  # full-corpus re-tokenization below: spread it
     prev_end = F.max("e").over(
         Window.partitionBy("id")
         .orderBy("s", "e")
@@ -374,22 +403,17 @@ def substring_contamination_spans(
         )
     b_text = bench_text_col or text_col
     b_id = bench_id_col or id_col
-    tw = token_windows(train, text_col, id_col, k)
-    bw = token_windows(bench, b_text, b_id, k)
-    jk = (lambda c: F.col(c)) if key == "text" else (
-        lambda c: F.xxhash64(c)
-    )
+    # key='hash': both sides emit 8-byte window hashes — the corpus
+    # side never builds a window string at all (token_windows hashes
+    # the token slice in-row); a hash collision is caught by the
+    # span-grain _verify_spans below, which raises rather than emit a
+    # false span.
+    train = fan_out(train)  # corpus-side windows: full-width, not 1 task
+    tw = token_windows(train, text_col, id_col, k, key=key)
+    bw = token_windows(bench, b_text, b_id, k, key=key)
     matched = tw.alias("t").join(
-        F.broadcast(bw.alias("b")),
-        jk("t.win") == jk("b.win") if key == "hash"
-        else F.col("t.win") == F.col("b.win"),
+        F.broadcast(bw.alias("b")), F.col("t.win") == F.col("b.win")
     )
-    if key == "hash":
-        # in-row confirm is free here (both window strings are in the
-        # row); the span-grain _verify_spans below additionally guards
-        # the (astronomically unlikely) case of a collision that this
-        # filter already removed — kept for parity with dup_spans
-        matched = matched.filter(F.col("t.win") == F.col("b.win"))
     pairs = matched.select(
         F.col("t.id").alias("train_doc_id"),
         F.col("b.id").alias("bench_doc_id"),
@@ -405,6 +429,9 @@ def substring_contamination_spans(
         "span_len",
     )
     if key == "hash" and verify:
+        # contamination spans are rarer still — checkpoint before the
+        # verification collect so the posting join runs exactly once
+        spans = spans.localCheckpoint()
         spans = _verify_spans(
             spans.withColumnRenamed("t_start", "a_start"),
             train, bench, text_col, id_col, b_text, b_id,

@@ -826,56 +826,85 @@ def q126_repetition_signals(spark, sf_dir):
 
     d = fan_out(t(spark, sf_dir, "documents"))
     tk = d.select("doc_id", tokens(F.col("text")).alias("tk"))
-    tok = tk.select(
+
+    # Per-doc n-gram repetition is a PER-ROW property: sort the doc's
+    # own gram array and read run lengths off adjacent equality — no
+    # explode, no (doc, gram) exchange. The previous plan shuffled
+    # every bigram and trigram occurrence through two
+    # groupBy(doc_id, g) aggregations only to roll them straight back
+    # up to doc grain (guide §2.4: remove shuffles outright — this one
+    # carried corpus-gram-sized bytes for doc-sized answers). Run
+    # lengths over the sorted array give the same per-gram counts the
+    # groupBy produced, so every output value is bit-identical.
+    #
+    # Every intermediate array is STAGED AS A COLUMN before a lambda
+    # touches it: Spark does no common-subexpression elimination inside
+    # lambda bodies, so `element_at(array_sort(...), i)` in a filter
+    # predicate would re-sort the gram array PER ELEMENT — measured
+    # 227 s vs 1.3 s for the identical computation over attributes.
+    staged = tk
+    for col, n in (("bi", 2), ("tri", 3)):
+        staged = staged.withColumn(
+            col, F.array_sort(_spark_grams(F.col("tk"), n))
+        )
+    for col in ("bi", "tri"):
+        # boundary indices: positions where a new run starts
+        sorted_g = F.col(col)
+        staged = staged.withColumn(
+            f"{col}_b",
+            F.filter(
+                F.transform(sorted_g, lambda _g, i: i),
+                lambda i: (i == 0)
+                | (F.element_at(sorted_g, i + 1)
+                   != F.element_at(sorted_g, i)),
+            ),
+        )
+    for col in ("bi", "tri"):
+        # run length = next boundary (or array end) - this boundary
+        bounds = F.col(f"{col}_b")
+        staged = staged.withColumn(
+            f"{col}_r",
+            F.when(
+                F.size(bounds) > 0,
+                F.zip_with(
+                    bounds,
+                    F.concat(
+                        F.slice(
+                            bounds,
+                            2,
+                            F.greatest(F.size(bounds) - 1, F.lit(0)),
+                        ),
+                        F.array(F.size(F.col(col))),
+                    ),
+                    lambda s, e: e - s,
+                ),
+            ).otherwise(F.array().cast("array<int>")),
+        )
+
+    bi, tri = F.col("bi_r"), F.col("tri_r")
+    return staged.select(
         "doc_id",
         F.size("tk").cast("bigint").alias("n_tokens"),
-        F.size(F.array_distinct("tk")).cast("bigint").alias("n_distinct"),
-    )
-
-    def gram_stats(n: int, aggs):
-        return (
-            tk.select(
-                "doc_id", F.explode(_spark_grams(F.col("tk"), n)).alias("g")
-            )
-            .groupBy("doc_id", "g")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-            .groupBy("doc_id")
-            .agg(*aggs)
-        )
-
-    bid = gram_stats(
-        2, [F.max("c").alias("top_bi"), F.sum("c").alias("n_bi")]
-    )
-    trid = gram_stats(
-        3,
-        [
-            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
-                "dup_tri"
-            ),
-            F.sum("c").alias("n_tri"),
-        ],
-    )
-    return (
-        tok.join(bid, "doc_id", "left")
-        .join(trid, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            (
-                F.col("n_distinct").cast("double")
-                / F.col("n_tokens").cast("double")
-            ).alias("distinct_ratio"),
-            (
-                F.coalesce(F.col("top_bi"), F.lit(0)).cast("double")
-                / F.greatest(F.coalesce(F.col("n_bi"), F.lit(0)), F.lit(1))
-                .cast("double")
-            ).alias("top_bigram_frac"),
-            (
-                F.coalesce(F.col("dup_tri"), F.lit(0)).cast("double")
-                / F.greatest(F.coalesce(F.col("n_tri"), F.lit(0)), F.lit(1))
-                .cast("double")
-            ).alias("dup_trigram_frac"),
-        )
+        (
+            F.size(F.array_distinct("tk")).cast("double")
+            / F.size("tk").cast("double")
+        ).alias("distinct_ratio"),
+        (
+            F.coalesce(F.array_max(bi), F.lit(0)).cast("double")
+            / F.greatest(
+                F.aggregate(bi, F.lit(0), lambda a, x: a + x), F.lit(1)
+            ).cast("double")
+        ).alias("top_bigram_frac"),
+        (
+            F.aggregate(
+                tri,
+                F.lit(0),
+                lambda a, x: a + F.when(x > 1, x).otherwise(0),
+            ).cast("double")
+            / F.greatest(
+                F.aggregate(tri, F.lit(0), lambda a, x: a + x), F.lit(1)
+            ).cast("double")
+        ).alias("dup_trigram_frac"),
     )
 
 
@@ -2125,7 +2154,7 @@ def q203_substring_dup_spans(spark, sf_dir):
     )
 
     return substring_dup_spans(
-        t(spark, sf_dir, "documents"), k=_SUBSTR_K
+        t(spark, sf_dir, "documents"), k=_SUBSTR_K, key="hash"
     )
 
 
@@ -2148,7 +2177,8 @@ def q204_substring_dedup(spark, sf_dir):
     from spark_etl_cli_spark.operators.substring import substring_dedup
 
     return substring_dedup(
-        t(spark, sf_dir, "documents"), k=_SUBSTR_K, min_span=12
+        t(spark, sf_dir, "documents"), k=_SUBSTR_K, min_span=12,
+        key="hash",
     )
 
 
@@ -2196,7 +2226,8 @@ def q205_substring_scrub(spark, sf_dir):
     from spark_etl_cli_spark.operators.substring import substring_scrub
 
     return substring_scrub(
-        t(spark, sf_dir, "documents"), k=_SUBSTR_K, min_span=12
+        t(spark, sf_dir, "documents"), k=_SUBSTR_K, min_span=12,
+        key="hash",
     )
 
 
@@ -2246,7 +2277,7 @@ def q206_substring_dup_profile(spark, sf_dir):
     from spark_etl_cli_spark.operators.substring import substring_scrub
 
     d = t(spark, sf_dir, "documents")
-    sc = substring_scrub(d, k=_SUBSTR_K, min_span=12)
+    sc = substring_scrub(d, k=_SUBSTR_K, min_span=12, key="hash")
     dl = d.select(
         F.col("doc_id").alias("id"),
         "source",
@@ -2331,6 +2362,7 @@ def q207_substring_contamination(spark, sf_dir):
         d.filter(F.col("source") != "src0"),
         d.filter(F.col("source") == "src0"),
         k=_SUBSTR_K,
+        key="hash",
     )
 
 
@@ -2384,4 +2416,5 @@ def q208_substring_decontaminate(spark, sf_dir):
         k=_SUBSTR_K,
         min_span=12,
         action="scrub",
+        key="hash",
     )
