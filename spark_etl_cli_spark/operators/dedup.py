@@ -385,7 +385,11 @@ def incremental_minhash_dedup(
     matches (batch-sized).
     """
     rows_per_band = num_hashes // bands
-    batch_entries = minhash_band_entries(batch_sigs, num_hashes, bands)
+    # referenced by the probe broadcast AND the union leg: materialize
+    # the (batch-sized) banded entries once
+    batch_entries = minhash_band_entries(
+        batch_sigs, num_hashes, bands
+    ).localCheckpoint()
     probe = F.broadcast(
         batch_entries.select(
             "band", "bucket", F.col("e").alias("b")
@@ -405,37 +409,39 @@ def incremental_minhash_dedup(
         F.col("band") * rows_per_band + 1,
         rows_per_band,
     )
-    sides = [batch_entries]
+    # ONE probe join over the UNION of both sides (state rows flagged
+    # ``__st``) instead of a join per side: identical hit set (union
+    # distributes over the join), one fewer join + broadcast reuse in
+    # a single stage — the state leg remains a pure scan.
+    ent = batch_entries.select(
+        "band", "bucket", F.col("e").alias("a"), F.lit(False).alias("__st")
+    )
     if state_sigs is not None:
-        sides.append(
-            minhash_band_entries(state_sigs, num_hashes, bands)
-        )
-    cand = None
-    for i, side in enumerate(sides):
-        hits = (
-            side.select("band", "bucket", F.col("e").alias("a"))
-            .join(
-                probe,
-                ["band", "bucket"],
-            )
-            .filter(band_agrees)
-            # batch-internal neighbors need a.id < b.id; EVERY state
-            # doc precedes the batch by arrival (ids disjoint by the
-            # pipeline contract), so the state side takes no id gate
-            .filter(
-                F.lit(i == 1) | (F.col("a.id") < F.col("b.id"))
-            )
-            .select(
-                F.col("b.id").alias("id"),
-                F.col("a.id").alias("nid"),
-                sig_agreement(
-                    F.col("a.signature"),
-                    F.col("b.signature"),
-                    num_hashes,
-                ).alias("est"),
+        ent = ent.unionByName(
+            minhash_band_entries(state_sigs, num_hashes, bands).select(
+                "band",
+                "bucket",
+                F.col("e").alias("a"),
+                F.lit(True).alias("__st"),
             )
         )
-        cand = hits if cand is None else cand.unionByName(hits)
+    cand = (
+        ent.join(probe, ["band", "bucket"])
+        .filter(band_agrees)
+        # batch-internal neighbors need a.id < b.id; EVERY state doc
+        # precedes the batch by arrival (ids disjoint by the pipeline
+        # contract), so the state side takes no id gate
+        .filter(F.col("__st") | (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("b.id").alias("id"),
+            F.col("a.id").alias("nid"),
+            sig_agreement(
+                F.col("a.signature"),
+                F.col("b.signature"),
+                num_hashes,
+            ).alias("est"),
+        )
+    )
     matches = (
         cand.filter(F.col("est") >= F.lit(threshold))
         .groupBy("id")

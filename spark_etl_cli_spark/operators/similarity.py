@@ -300,7 +300,15 @@ def cosine_dup_pairs(
         num_planes,
         dim,
     )
-    banded = _explode_bands(sig, bands, rows_per_band, ["id"], carry_buckets=True)
+    # banded is self-joined below: without materialization the whole
+    # signature subtree (plane-literal folds) is duplicated into BOTH
+    # join sides — double execution and a plan the optimizer chews on
+    # for seconds (guide §3.3: materialize to truncate large plans).
+    # Narrow rows: (id, band, bucket, buckets) — metadata, never the
+    # vector.
+    banded = _explode_bands(
+        sig, bands, rows_per_band, ["id"], carry_buckets=True
+    ).localCheckpoint()
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -373,7 +381,11 @@ def incremental_cosine_dedup(
         ).withColumn("vec", unit(F.col("vec")))
         return _explode_bands(sig, bands, rows_per_band, ["id", "vec"])
 
-    batch_banded = banded(batch)
+    # the batch's banded entries feed the probe broadcast AND the
+    # batch-self side: materialize once (batch-sized) so the signature
+    # trees aren't re-planned/re-executed per reference; the STATE side
+    # stays a lazy scan — never shuffled, never materialized.
+    batch_banded = banded(batch).localCheckpoint()
     probe = F.broadcast(
         batch_banded.select(
             "band",
@@ -382,21 +394,21 @@ def incremental_cosine_dedup(
             F.col("vec").alias("bvec"),
         )
     )
-    sides = [batch_banded]
+    # ONE probe join over the UNION of both sides (state rows flagged
+    # ``__st``): identical hit set, one fewer join; the state leg is
+    # still a pure map-side scan under the broadcast.
+    ent = batch_banded.withColumn("__st", F.lit(False))
     if state is not None:
-        sides.append(banded(state))
-    cand = None
-    for i, side in enumerate(sides):
-        hits = (
-            side.join(probe, ["band", "bucket"])
-            .filter(F.lit(i == 1) | (F.col("id") < F.col("bid")))
-            .select(
-                F.col("bid").alias("id"),
-                F.col("id").alias("nid"),
-                _dot_unit(F.col("vec"), F.col("bvec")).alias("cos"),
-            )
+        ent = ent.unionByName(banded(state).withColumn("__st", F.lit(True)))
+    cand = (
+        ent.join(probe, ["band", "bucket"])
+        .filter(F.col("__st") | (F.col("id") < F.col("bid")))
+        .select(
+            F.col("bid").alias("id"),
+            F.col("id").alias("nid"),
+            _dot_unit(F.col("vec"), F.col("bvec")).alias("cos"),
         )
-        cand = hits if cand is None else cand.unionByName(hits)
+    )
     matches = (
         cand.filter(F.col("cos") >= F.lit(threshold))
         .groupBy("id")
@@ -546,6 +558,10 @@ def semantic_dedup(
         ).alias("cid"),
         F.first("__v").alias("__v"),  # identical across the k rows
     )
+    # asn feeds the self-join (twice) and the final verdict join:
+    # materialize once instead of running the centroid-scoring subtree
+    # three times. (id, cid, unit vec) — corpus rows, one copy.
+    asn = asn.localCheckpoint()
     a, b = asn.alias("a"), asn.alias("b")
     dups = (
         a.join(
