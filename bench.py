@@ -140,6 +140,7 @@ def main() -> int:
         return round(best, 3)
 
     canary_first = _canary_sec()
+    canary_mid = None  # set after pass 1 (JIT-warm, like-for-like with last)
 
     # Order-robust measurement: N full passes over the suite, each in a
     # differently-seeded shuffled order; per-query result is the MIN
@@ -220,14 +221,27 @@ def main() -> int:
             gc.collect()
             if (i + 1) % 20 == 0:
                 spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+        if pass_no == 0:
+            # like-for-like sentinel point: by the end of pass 1 the
+            # JVM is fully JIT-warm, so canary_mid vs canary_last
+            # isolates BOX capacity change from session warm-up.
+            # (canary_first, taken pre-pass-1, systematically reads
+            # 2.5-3.5x canary_last on a completely idle box — C2
+            # compilation of the agg/shuffle paths is still in flight
+            # however much the warm-up section runs — so a ratio
+            # against it self-invalidated every artifact, r10 included.)
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+            canary_mid = _canary_sec()
 
     # untimed housekeeping first: the sentinel must measure BOX state,
     # not end-of-suite heap pressure
     gc.collect()
     spark.sparkContext._jvm.System.gc()  # noqa: SLF001
     canary_last = _canary_sec()
+    canary_base = canary_mid if canary_mid is not None else canary_first
     canary_ratio = round(
-        max(canary_first, canary_last) / max(min(canary_first, canary_last), 1e-9),
+        max(canary_base, canary_last) / max(min(canary_base, canary_last), 1e-9),
         3,
     )
     total = round(sum(timings.values()), 3)
@@ -237,11 +251,15 @@ def main() -> int:
             "value": total,
             "unit": "sec",
             # Box-contention sentinel: the same fixed ~0.5 s query timed
-            # right before the first pass and right after the last. A
-            # canary_ratio > 2 means capacity changed mid-run — treat
-            # every per-query number in this artifact as suspect and
-            # re-run on an idle box rather than adjudicating divergences.
+            # before pass 1 (cold-ish; kept for history), after pass 1
+            # (JIT-warm), and after the last pass. canary_ratio compares
+            # the two WARM points (mid vs last) — a ratio > 2 means box
+            # capacity changed mid-run: treat every per-query number in
+            # this artifact as suspect and re-run on an idle box rather
+            # than adjudicating divergences. (first vs last crossed
+            # warm-up states and flagged every artifact.)
             "canary_first_sec": canary_first,
+            "canary_mid_sec": canary_mid,
             "canary_last_sec": canary_last,
             "canary_ratio": canary_ratio,
             "self_invalidating": canary_ratio > 2.0,
