@@ -229,10 +229,20 @@ def ngram_novelty(
     At 100 TB, key the join on xxhash64(shingle) to shrink payloads;
     the raw string is kept here so the DuckDB oracle replays exactly.
     """
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(word_shingles(F.col(text_col), k=k)).alias("__shingle"),
+    from spark_etl_cli_spark.operators.util import fan_out
+
+    # shingle once into doc-grain arrays, fanned out and checkpointed:
+    # `sh` feeds two branches (first-seen aggregate + the join back),
+    # which otherwise re-run the tokenize+shingle subtree per branch
+    arrays = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            word_shingles(F.col(text_col), k=k).alias("__sh"),
+        )
+        .localCheckpoint()
     )
+    sh = arrays.select("__id", F.explode("__sh").alias("__shingle"))
     first = sh.groupBy("__shingle").agg(F.min("__id").alias("__first"))
     return (
         sh.join(first, "__shingle")

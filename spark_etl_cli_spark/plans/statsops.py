@@ -28,6 +28,7 @@ from spark_etl_cli_spark.operators.profiling import (
     vocab_coverage,
     zscore_outliers,
 )
+from spark_etl_cli_spark.operators.util import fan_out
 from spark_etl_cli_spark.plans.registry import query, t
 from spark_etl_cli_spark.plans.textops import SQL_NTOK, SQL_TOKENS
 
@@ -320,7 +321,7 @@ def q145_cms_heavy_hitters(spark, sf_dir):
     # candidates); materialize the tokenize+explode once instead of
     # re-scanning the corpus per branch (same reuse rationale as the
     # triangle-count edge checkpoint)
-    tok = t(spark, sf_dir, "documents").select(
+    tok = fan_out(t(spark, sf_dir, "documents")).select(
         F.explode(tokens(F.col("text"))).alias("term")
     ).localCheckpoint()
     sketch = count_min_sketch(tok, "term", depth=4, width=1024)

@@ -1060,13 +1060,12 @@ _Q157_SH5 = (
 def q157_cross_source_overlap(spark, sf_dir):
     from spark_etl_cli_spark.functions.text import word_shingles
 
-    ent = (
-        t(spark, sf_dir, "documents")
-        .select(
-            "source",
-            F.explode(word_shingles(F.col("text"), 5)).alias("sh"),
-        )
-        .distinct()
+    # no pre-distinct: collect_set dedupes (source, sh) pairs itself,
+    # and partial aggregation bounds map-side state at <= |sources|
+    # entries per shingle — one exchange instead of two
+    ent = fan_out(t(spark, sf_dir, "documents")).select(
+        "source",
+        F.explode(word_shingles(F.col("text"), 5)).alias("sh"),
     )
     sets = (
         ent.groupBy("sh")
@@ -1155,11 +1154,21 @@ def q159_containment_pairs(spark, sf_dir):
         ).alias("text"),
     )
     base = d.select("doc_id", "text").unionByName(half)
-    ent = base.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), 4)).alias("sh")
-    ).distinct()
-    sizes = ent.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("size_a")
+    # shingle ONCE into doc-grain DISTINCT arrays (word_shingles
+    # default) and checkpoint: sizes read off array length (no
+    # aggregation), the explode is already unique per doc (the old
+    # post-explode .distinct() exchange was a no-op), and both
+    # branches reuse one tokenize pass, fanned out across the cluster
+    arrays = (
+        fan_out(base)
+        .select(
+            "doc_id", word_shingles(F.col("text"), 4).alias("__sh")
+        )
+        .localCheckpoint()
+    )
+    ent = arrays.select("doc_id", F.explode("__sh").alias("sh"))
+    sizes = arrays.select(
+        "doc_id", F.size("__sh").cast("bigint").alias("size_a")
     )
     sets = (
         ent.groupBy("sh")
@@ -1221,7 +1230,7 @@ def q160_collocations(spark, sf_dir):
 
     from spark_etl_cli_spark.functions.text import word_shingles
 
-    bg = t(spark, sf_dir, "documents").select(
+    bg = fan_out(t(spark, sf_dir, "documents")).select(
         "lang",
         "doc_id",
         F.explode(
@@ -1325,6 +1334,15 @@ def q168_prefix_filter_pairs(spark, sf_dir):
     from spark_etl_cli_spark.functions.text import word_shingles
 
     thr = 0.5
+    # Every downstream stage works on xxhash64(shingle) LONGS, not the
+    # shingle strings: posting shuffles carry 8-byte keys, the
+    # rare-first sort compares longs, and the verify stage intersects
+    # long arrays (measured 5.5 s -> ~1.5 s for the 129k-candidate
+    # intersect at sf0.1). EXACT-OR-LOUD: the df aggregation below
+    # doubles as a corpus-wide injectivity gate — within every hash
+    # bucket min(text) must equal max(text); any collision raises
+    # before a single pair is emitted, so hash-based intersection
+    # counts are PROVABLY the text counts whenever the query returns.
     shingled = docs_with_dups(spark, sf_dir).select(
         F.col("doc_id").alias("id"),
         word_shingles(F.col("text"), 3).alias("shingles"),
@@ -1334,23 +1352,43 @@ def q168_prefix_filter_pairs(spark, sf_dir):
     # lookup); lazily-checkpointed RDDs can be computed concurrently
     # by the first stages of separate branches, paying the shingling
     # subtree up to twice (measured as 8s-vs-19s run variance)
-    shingled = fan_out(shingled).localCheckpoint()
-    entries = shingled.select(
-        "id", F.explode("shingles").alias("shingle")
+    shingled = (
+        fan_out(shingled)
+        .withColumn(
+            "hs", F.transform("shingles", lambda x: F.xxhash64(x))
+        )
+        .localCheckpoint()
     )
-    # global rare-first order: df per shingle, then re-assemble each
-    # doc's shingles sorted by (df, shingle) — the one total order both
-    # sides of every pair agree on (the prefix-filter prerequisite)
-    df_tbl = entries.groupBy("shingle").agg(
-        F.count(F.lit(1)).cast("bigint").alias("df")
+    entries_ht = shingled.select(
+        F.explode(F.arrays_zip("hs", "shingles")).alias("z")
+    ).select(F.col("z.hs").alias("h"), F.col("z.shingles").alias("s"))
+    # global rare-first order: df per shingle hash, then re-assemble
+    # each doc's hashes sorted by (df, h) — the one total order both
+    # sides of every pair agree on (the prefix-filter prerequisite).
+    # min/max(s) piggy-back the collision gate on the same partial
+    # aggregation.
+    df_tbl = (
+        entries_ht.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            (F.min("s") != F.max("s")).alias("bad"),
+        )
+        .localCheckpoint()
     )
+    if df_tbl.filter("bad").limit(1).count() > 0:
+        raise ValueError(
+            "q168: xxhash64 collision between distinct shingles — "
+            "hash-based intersection would be inexact; re-run with "
+            "text keys."
+        )
+    entries = shingled.select("id", F.explode("hs").alias("h"))
     ordered = (
-        entries.join(df_tbl, "shingle")
+        entries.join(df_tbl.select("h", "df"), "h")
         .groupBy("id")
         .agg(
             F.expr(
-                "transform(sort_array(collect_list(struct(df, shingle))),"
-                " x -> x.shingle)"
+                "transform(sort_array(collect_list(struct(df, h))),"
+                " x -> x.h)"
             ).alias("sorted_sh")
         )
     )
@@ -1409,9 +1447,11 @@ def q168_prefix_filter_pairs(spark, sf_dir):
         )
         .distinct()
     )
-    # exact verification: in-row intersect of the two full sorted sets
+    # exact verification: in-row intersect of the two full hash sets —
+    # long-array intersection, equal to the text intersection by the
+    # injectivity gate above
     sets = shingled.select(
-        "id", F.col("shingles").alias("s"), F.size("shingles").alias("n")
+        "id", F.col("hs").alias("s"), F.size("hs").alias("n")
     )
     verified = (
         cands.join(
@@ -1734,20 +1774,25 @@ def q181_dedup_weights(spark, sf_dir):
 def q182_distinct_ngrams(spark, sf_dir):
     from spark_etl_cli_spark.functions.text import word_shingles
 
-    d = t(spark, sf_dir, "documents")
-    parts = []
-    for n in (1, 2, 3):
-        parts.append(
-            d.select(
-                "source",
-                F.lit(n).cast("int").alias("n"),
-                F.explode(
-                    word_shingles(F.col("text"), n, distinct=False)
-                ).alias("g"),
-            )
+    # ONE tokenize+explode pass over all three gram sizes (tagged with
+    # n in-row) instead of a 3-leg union that re-scanned and
+    # re-tokenized the corpus per n
+    d = fan_out(t(spark, sf_dir, "documents"))
+    def _leg(n: int):
+        # single-arg lambda: a second parameter would be read by
+        # F.transform as the (element, index) form
+        return F.transform(
+            word_shingles(F.col("text"), n, distinct=False),
+            lambda g: F.struct(
+                F.lit(n).cast("int").alias("n"), g.alias("g")
+            ),
         )
-    grams = parts[0].unionByName(parts[1]).unionByName(parts[2]).select(
-        "source", "n", F.substring(F.md5("g"), 1, 16).alias("h")
+
+    tagged = F.flatten(F.array(*[_leg(n) for n in (1, 2, 3)]))
+    grams = d.select("source", F.explode(tagged).alias("t")).select(
+        "source",
+        F.col("t.n").alias("n"),
+        F.substring(F.md5(F.col("t.g")), 1, 16).alias("h"),
     )
     return grams.groupBy("source", "n").agg(
         bcount("total_ngrams"),
