@@ -286,7 +286,11 @@ def test_q126_repetition_no_python(spark):
     plan = plan_of(spark, "q126_repetition_signals", execute=True)
     # pure built-in pipeline: no Python evaluation anywhere
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "partial_count" in plan or "partial_sum" in plan
+    # per-doc repetition is computed IN-ROW (sorted-gram run lengths):
+    # the old (doc_id, gram) groupBy pair — and with it every
+    # hash-partitioned exchange — is gone; the only allowed exchange is
+    # fan_out's round-robin spread of the document scan
+    assert "Exchange hashpartitioning" not in plan
 
 
 def test_q127_semantic_dedup_broadcasts_centroids(spark):
