@@ -668,27 +668,26 @@ def simhash(
     (Charikar simhash as deployed in Manku et al., WWW'07) hash
     shingles, not bags of words.
 
-    Shape: explode distinct shingles → one hash column → ``groupBy(id)``
-    with ``bits`` conditional-sum vote counters + a feature count —
-    all inside whole-stage codegen (HashAggregateExec over longs), with
-    map-side partial aggregation collapsing the exchange to ~one
-    64-long partial row per (doc, partition). The fingerprint is then
-    packed from the vote counts in a scalar projection. (``h & 2^i
-    != 0`` avoids variable shifts, which Spark's shift functions don't
-    take as columns.)
+    Shape: the whole fingerprint is a PER-DOCUMENT property, so it is
+    computed per row — shingle hashes stay an in-row array (hashing is
+    JVM built-ins) and the ``bits`` bit-votes + majority + packing run
+    in ONE ``mapInArrow`` stage on numpy int64 batches (guide §4.2:
+    hand whole batches to vectorized native code). No explode, no
+    exchange, no wide aggregate anywhere: the plan is scan →
+    project(hash array) → ArrowEval, embarrassingly parallel at any
+    corpus size. Only ``(id, hashes)`` crosses the Python boundary —
+    never the text.
 
-    A previous formulation kept everything per-row with scalar
-    ``aggregate`` folds over the hash array to avoid the exchange —
-    but Spark evaluates HOF lambdas interpreted, per element: 64 bits
-    x ~100 shingles measured ~11s for 5k docs at sf0.1 vs well under
-    1s for this shape. Partial aggregation means the exchange carries
-    vote vectors, not shingles, so the trade holds at corpus scale.
-    Bit 63's power is Long.MIN_VALUE, so packing wraps exactly like
-    ``shiftleft(1L, 63)`` arithmetic — fingerprints are bit-identical
-    across both formulations.
+    Two prior formulations, both measured slower at sf0.1:
+    per-bit HOF folds over the hash array (interpreted lambda per
+    element: ~11 s), and explode + ``groupBy(id)`` with 64
+    conditional-sum vote counters (the 65-aggregate HashAggregate +
+    its exchange: ~3 s of the q37/q153 runtime; this shape ~1 s).
+    Integer votes, integer majorities, and two's-complement packing
+    (bit 63 wraps to Long.MIN_VALUE via the uint64→int64 view) make
+    the fingerprints bit-identical across all three formulations —
+    pinned by the q37 DuckDB oracle.
     """
-    powers = [(1 << i) if i < 63 else -(1 << 63) for i in range(bits)]
-    zero = F.lit(0).cast("long")
     if hash_family is not None:
         from spark_etl_cli_spark.functions.text import md5_long
 
@@ -702,29 +701,50 @@ def simhash(
             )
     if hash_fn is None:
         hash_fn = F.xxhash64
-    exploded = fan_out(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), k=shingle_k)).alias("s"),
+    id_type = df.schema[id_col].dataType.simpleString()
+    hashed = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                word_shingles(F.col(text_col), k=shingle_k),
+                lambda s: hash_fn(s),
+            ).alias("hs"),
+        )
+        # feature-less docs emit no fingerprint (the explode-based
+        # formulations' contract, preserved)
+        .filter(F.size("hs") > 0)
     )
-    hashed = exploded.select("id", hash_fn(F.col("s")).alias("h"))
-    votes = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(p)) != 0, F.lit(1)).otherwise(
-                F.lit(0)
+    n_bits = bits
+
+    def _fingerprint_batches(it):
+        import numpy as np
+        import pyarrow as pa
+
+        shifts = np.arange(n_bits, dtype=np.uint64)
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            hs = batch.column(1)
+            vals = hs.values.to_numpy(zero_copy_only=False).view(np.uint64)
+            offs = hs.offsets.to_numpy()
+            out = np.empty(batch.num_rows, dtype=np.uint64)
+            for r in range(batch.num_rows):
+                h = vals[offs[r] : offs[r + 1]]
+                # vote per bit position, exact integer counts
+                votes = ((h[:, None] >> shifts) & 1).sum(
+                    0, dtype=np.int64
+                )
+                maj = (votes * 2 > h.shape[0]).astype(np.uint64)
+                out[r] = (maj << shifts).sum(dtype=np.uint64)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pa.array(out.view(np.int64))],
+                ["id", "simhash"],
             )
-        ).alias(f"v{i}")
-        for i, p in enumerate(powers)
-    ]
-    counted = hashed.groupBy("id").agg(F.count("*").alias("n"), *votes)
-    terms = [
-        F.when(
-            F.col(f"v{i}") * 2 > F.col("n"), F.lit(p).cast("long")
-        ).otherwise(zero)
-        for i, p in enumerate(powers)
-    ]
-    packed = reduce(lambda a, b: a + b, terms)
-    # explode drops feature-less docs, preserving the prior contract
-    return counted.select("id", packed.alias("simhash"))
+
+    return hashed.mapInArrow(
+        _fingerprint_batches, f"id {id_type}, simhash long"
+    )
 
 
 def connected_components_star(
