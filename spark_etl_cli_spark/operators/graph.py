@@ -177,30 +177,6 @@ def triangle_count(
     n_e = oriented.count()  # materialized → cheap; drives the join gate
     small = n_e <= broadcast_edge_limit
 
-    # n_wedges = |{(e1, e2) : e1.dst = e2.src}| = Σ_x indeg(x)·outdeg(x)
-    # — a pure DEGREE aggregate: the 19.5M-row wedge set at sf0.1 never
-    # materializes (it used to flow through the closure probe; counting
-    # it from degrees + intersecting adjacency below cut the operator
-    # from ~9.7 s to ~3.6 s at sf0.1 under full materialization).
-    odeg = oriented.groupBy(F.col("src").alias("x")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("od")
-    )
-    ideg = oriented.groupBy(F.col("dst").alias("x")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("idg")
-    )
-    # single scalar off the checkpointed list — control-plane, like
-    # n_e above; keeping it a DataFrame would need a 1x1 cross join
-    # against the closure aggregate (a CartesianProduct node the plan
-    # gate rightly rejects)
-    n_w = (
-        odeg.join(ideg, "x")
-        .agg(
-            F.coalesce(F.sum(F.col("od") * F.col("idg")), F.lit(0))
-            .cast("bigint")
-            .alias("w")
-        )
-        .head()["w"]
-    )
     # triangles by ADJACENCY INTERSECTION: for oriented edge (s, t),
     # every common out-neighbor closes exactly one triangle, and the
     # degree orientation bounds |out(x)| by O(sqrt(|E|)) so the in-row
@@ -208,6 +184,16 @@ def triangle_count(
     # the edge list against the (vertex, sorted out-list) relation —
     # broadcast under the same adaptive gate as before, shuffle-join
     # fallback past it — replace the wedge-materializing join pair.
+    #
+    # n_wedges rides the SAME aggregate: |{(e1, e2): e1.dst = e2.src}|
+    # = Σ over oriented edges (s, t) of outdeg(t), and outdeg(t) is
+    # exactly |__at| of the adjacency row the closure pass already
+    # joined on dst (0 where the left join found none). The previous
+    # formulation computed it as Σ_x indeg(x)·outdeg(x) through a
+    # separate odeg⋈ideg join + its own aggregate + a driver head() —
+    # one full job with two exchanges, removed outright (guide §2.4).
+    # The wedge set itself (19.5M rows at sf0.1) still never
+    # materializes.
     adj = oriented.groupBy(F.col("src").alias("x")).agg(
         F.sort_array(F.collect_list("dst")).alias("adj")
     )
@@ -220,18 +206,28 @@ def triangle_count(
             F.coalesce(
                 F.sum(
                     F.when(F.col("__at").isNull(), 0).otherwise(
+                        F.size("__at")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_wedges"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("__at").isNull(), 0).otherwise(
                         F.size(F.array_intersect("__as", "__at"))
                     )
                 ),
                 F.lit(0),
             )
             .cast("bigint")
-            .alias("n_triangles")
+            .alias("n_triangles"),
         )
     )
     return closed.select(
         F.lit(n_e).cast("bigint").alias("n_edges"),
-        F.lit(n_w).cast("bigint").alias("n_wedges"),
+        "n_wedges",
         "n_triangles",
     )
 
