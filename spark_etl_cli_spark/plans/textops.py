@@ -969,39 +969,70 @@ def q152_bpe_train(spark, sf_dir):
 )
 def q155_dup_span_share(spark, sf_dir):
     from spark_etl_cli_spark.functions.text import token_count, word_shingles
-    from pyspark.sql import Window as W
 
-    d = fan_out(t(spark, sf_dir, "documents"))
-    grams = d.select(
-        "doc_id",
-        F.posexplode(
-            word_shingles(F.col("text"), 3, distinct=False)
-        ).alias("pos", "gr"),
-    )
-    dup = (
-        grams.groupBy("gr")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gr")
-    )
-    cov = (
-        grams.join(dup, "gr")
+    # Tokenize ONCE into doc-grain shingle arrays and materialize them:
+    # both consumers (the dup-gram aggregate and the coverage join leg)
+    # re-explode from the checkpoint instead of re-running the
+    # regex-tokenize + slice pipeline per branch (same pattern as q143).
+    docg = (
+        fan_out(t(spark, sf_dir, "documents"))
         .select(
             "doc_id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(2))
-            ).alias("p"),
+            word_shingles(F.col("text"), 3, distinct=False).alias("grs"),
         )
-        .distinct()
+        .localCheckpoint(eager=False)
     )
-    isl = cov.withColumn(
-        "grp",
-        F.col("p")
-        - F.row_number().over(W.partitionBy("doc_id").orderBy("p")),
+    grams = docg.select(
+        "doc_id", F.posexplode("grs").alias("pos", "gr")
     )
-    agg = isl.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("dup_tokens"),
-        F.countDistinct("grp").cast("bigint").alias("n_spans"),
+    # "gram appears in >= 2 distinct docs" == min(doc) != max(doc) per
+    # gram: a plain min/max aggregate with map-side partials replaces
+    # countDistinct's Expand + two-exchange distinct-aggregate plan.
+    # Kept as aggregate + equi-join (not a window flag) so hot grams
+    # stay AQE-skew-splittable and duplicate grams collapse map-side.
+    dup = (
+        grams.groupBy("gr")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("gr")
+    )
+    covered_starts = (
+        grams.join(dup, "gr")
+        # Per-doc island merge, in-row: each surviving gram covers token
+        # positions [pos, pos+2]; sorted distinct start positions are
+        # enough to reconstruct the union exactly (covered-position
+        # count and island count via one integer interval sweep), so
+        # the 3x position explode + (doc, p) DISTINCT exchange + doc
+        # window sort + countDistinct(grp) aggregate all collapse into
+        # one collect_set and a fold over <= doc-length integers.
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("pos")).alias("starts"))
+    )
+    sweep = F.aggregate(
+        F.col("starts"),
+        F.struct(
+            F.lit(0).cast("bigint").alias("covered"),
+            F.lit(-(2**62)).cast("bigint").alias("end"),
+            F.lit(0).cast("bigint").alias("spans"),
+        ),
+        lambda acc, s: F.struct(
+            (
+                acc["covered"]
+                + F.least(F.lit(3).cast("bigint"), s + 2 - acc["end"])
+            ).alias("covered"),
+            (s + 2).cast("bigint").alias("end"),
+            (
+                acc["spans"]
+                + F.when(s.cast("bigint") > acc["end"] + 1, 1).otherwise(0)
+            ).alias("spans"),
+        ),
+    )
+    agg = covered_starts.select(
+        "doc_id", sweep.alias("__sw")
+    ).select(
+        "doc_id",
+        F.col("__sw.covered").alias("dup_tokens"),
+        F.col("__sw.spans").alias("n_spans"),
     )
     ntok = token_count(F.col("text"))
     return (
