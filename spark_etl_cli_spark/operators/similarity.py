@@ -139,6 +139,104 @@ def rp_signature(
     return df.withColumn("__sig", sig)
 
 
+def arrow_unit_sig(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_planes: int,
+    dim: int,
+    out_id: str = "id",
+    out_vec: str = "vec",
+) -> DataFrame:
+    """``(out_id, out_vec = unit(vec), __sig)`` in ONE Arrow stage.
+
+    The vectorized twin of ``unit()`` + ``rp_signature()`` (guide §4.2:
+    hand whole batches to numpy instead of per-element interpreted
+    lambdas — Spark does not codegen higher-order-function bodies, so
+    the fold costs an interpreter dispatch per element, and projection
+    collapse can additionally inline the signature fold once per
+    downstream reference). Bit-identical by construction: float32
+    elements widen to float64 exactly, and every accumulation runs in
+    the same element order as the JVM left-folds — for each dimension
+    step one IEEE multiply then one IEEE add, no FMA in either engine —
+    so signs, norms and unit components match the HOF results (and the
+    DuckDB oracle twins) bit for bit. NaN plane-dots sign as 1,
+    matching Spark's ``NaN >= 0 = true`` comparison semantics.
+
+    Only ``(id, vec)`` crosses the Python boundary; output rows carry
+    the unit vector and the ``num_planes`` sign bits. Raises on NULL or
+    ragged vectors — the similarity operators' input contract.
+    """
+    id_type = df.schema[id_col].dataType.simpleString()
+    n_planes, d_dim = num_planes, dim
+
+    def _batches(it):
+        import numpy as np
+        import pyarrow as pa
+
+        # (dim, planes): row d holds every plane's d-th component, so
+        # the d-loop below is one contiguous broadcast multiply-add
+        pt = np.array(
+            [_hyperplane(d_dim, p) for p in range(n_planes)],
+            dtype=np.float64,
+        ).T
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            col = batch.column(1)
+            if col.null_count:
+                raise ValueError(
+                    "arrow_unit_sig: NULL vectors are not supported"
+                )
+            offs = col.offsets.to_numpy()
+            if n and not (np.diff(offs) == d_dim).all():
+                raise ValueError(
+                    f"arrow_unit_sig: ragged vectors (expected dim={d_dim})"
+                )
+            vals = col.values.to_numpy(zero_copy_only=False)
+            v = (
+                vals[offs[0] : offs[-1]]
+                .astype(np.float64, copy=False)
+                .reshape(n, d_dim)
+            )
+            acc = np.zeros((n, n_planes))
+            nacc = np.zeros(n)
+            for d in range(d_dim):
+                vd = v[:, d]
+                acc += vd[:, None] * pt[d]
+                nacc += vd * vd
+            sig = np.where(np.isnan(acc), True, acc >= 0.0).astype(np.int32)
+            if (nacc == 0.0).any():
+                # mirror ANSI-mode unit(): x / 0.0 is DIVIDE_BY_ZERO,
+                # not a silent NaN vector
+                raise ValueError(
+                    "arrow_unit_sig: zero-norm vector (division by zero)"
+                )
+            un = v / np.sqrt(nacc)[:, None]
+            lo = np.arange(0, (n + 1) * d_dim, d_dim, dtype=np.int32)
+            so = np.arange(0, (n + 1) * n_planes, n_planes, dtype=np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pa.ListArray.from_arrays(
+                        pa.array(lo), pa.array(un.ravel())
+                    ),
+                    pa.ListArray.from_arrays(
+                        pa.array(so), pa.array(sig.ravel())
+                    ),
+                ],
+                [out_id, out_vec, "__sig"],
+            )
+
+    return df.select(
+        F.col(id_col).alias(out_id), F.col(vec_col).alias("__v")
+    ).mapInArrow(
+        _batches,
+        f"{out_id} {id_type}, {out_vec} array<double>, __sig array<int>",
+    )
+
+
 def _band_bucket(b: int, rows_per_band: int):
     """Integer bucket key for band ``b``: the band's sign bits packed
     into a long (bit r = sig[b*rpb + r]). Exactly as collision-uniform
@@ -215,14 +313,12 @@ def lsh_topk(
     corpus = fan_out(corpus)
 
     def banded(df: DataFrame, side: str) -> DataFrame:
-        # signatures from the RAW vector (what the oracle replicates);
-        # the carried vector is normalized so the re-rank is one fold
-        sig = rp_signature(
-            df.select(F.col(id_col).alias(f"{side}_id"), F.col(vec_col).alias(f"__{side}vec")),
-            f"__{side}vec",
-            num_planes,
-            dim,
-        ).withColumn(f"__{side}vec", unit(F.col(f"__{side}vec")))
+        # one Arrow stage computes the raw-vector signatures (what the
+        # oracle replicates) AND the unit vector for the one-fold re-rank
+        sig = arrow_unit_sig(
+            df, id_col, vec_col, num_planes, dim,
+            out_id=f"{side}_id", out_vec=f"__{side}vec",
+        )
         return _explode_bands(
             sig, bands, rows_per_band, [f"{side}_id", f"__{side}vec"],
             carry_buckets=True,
@@ -293,22 +389,20 @@ def cosine_dup_pairs(
         first = df.select(F.size(F.col(vec_col)).alias("d")).first()
         dim = first["d"] if first else 0
     df = fan_out(df)
-    vecs = df.select(F.col(id_col).alias("id"), unit(F.col(vec_col)).alias("vec"))
-    sig = rp_signature(
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
-        "vec",
-        num_planes,
-        dim,
-    )
-    # banded is self-joined below: without materialization the whole
-    # signature subtree (plane-literal folds) is duplicated into BOTH
-    # join sides — double execution and a plan the optimizer chews on
-    # for seconds (guide §3.3: materialize to truncate large plans).
-    # Narrow rows: (id, band, bucket, buckets) — metadata, never the
-    # vector.
-    banded = _explode_bands(
-        sig, bands, rows_per_band, ["id"], carry_buckets=True
+    # ONE Arrow stage computes unit vectors + signatures, materialized
+    # once: the banded self-join (both sides) and both vector-fetch
+    # joins all read it back instead of re-running the signature
+    # subtree (guide §3.3: materialize to truncate large plans; §4.2:
+    # batch the per-element math in numpy, not interpreted HOF folds).
+    # Narrow rows: (id, 64 doubles, 16 ints).
+    base = arrow_unit_sig(
+        df, id_col, vec_col, num_planes, dim
     ).localCheckpoint()
+    vecs = base.select("id", "vec")
+    banded = _explode_bands(
+        base.select("id", "__sig"), bands, rows_per_band, ["id"],
+        carry_buckets=True,
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -371,14 +465,9 @@ def incremental_cosine_dedup(
         dim = first["d"] if first else 0
 
     def banded(df: DataFrame) -> DataFrame:
-        sig = rp_signature(
-            df.select(
-                F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-            ),
-            "vec",
-            num_planes,
-            dim,
-        ).withColumn("vec", unit(F.col("vec")))
+        # one Arrow stage for unit vector + signature; stays a pure
+        # map-side scan on the state leg (no exchange introduced)
+        sig = arrow_unit_sig(df, id_col, vec_col, num_planes, dim)
         return _explode_bands(sig, bands, rows_per_band, ["id", "vec"])
 
     # the batch's banded entries feed the probe broadcast AND the

@@ -358,3 +358,68 @@ def test_star_components_thousand_link_chain_olog_rounds(spark):
     out = _cc_dict(connected_components_star(chain, max_iter=15))
     assert set(out.values()) == {0}
     assert len(out) == n + 1
+
+
+def test_arrow_unit_sig_bit_identical_to_hof_folds(spark):
+    # the Arrow path must reproduce unit() + rp_signature() BIT FOR BIT
+    # (the LSH DuckDB oracles replay the HOF arithmetic): float32 widens
+    # exactly, and each accumulation is one IEEE multiply + add per
+    # dimension in the same order. Compare raw double bytes, not ==.
+    import math
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from spark_etl_cli_spark.functions.vectors import unit
+    from spark_etl_cli_spark.operators.similarity import (
+        arrow_unit_sig,
+        rp_signature,
+    )
+
+    dim, planes = 8, 8
+    rows = [
+        (i, [math.sin(i * dim + d) * 10 ** ((i + d) % 5 - 2) for d in range(dim)])
+        for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<float>")
+
+    hof = (
+        rp_signature(
+            df.select("id", F.col("v").alias("vec")), "vec", planes, dim
+        )
+        .select("id", unit(F.col("vec")).alias("u"), "__sig")
+        .collect()
+    )
+    arw = arrow_unit_sig(df, "id", "v", planes, dim).collect()
+    h = {r["id"]: (r["u"], r["__sig"]) for r in hof}
+    a = {r["id"]: (r["vec"], r["__sig"]) for r in arw}
+    assert set(h) == set(a)
+    for i in h:
+        assert h[i][1] == a[i][1], f"signature mismatch for id {i}"
+        hb = b"".join(struct.pack("d", x) for x in h[i][0])
+        ab = b"".join(struct.pack("d", x) for x in a[i][0])
+        assert hb == ab, f"unit-vector byte mismatch for id {i}"
+
+
+def test_arrow_unit_sig_rejects_ragged_null_and_zero(spark):
+    # exact-or-loud: the Arrow path must REFUSE inputs the HOF path
+    # would error on (ANSI divide-by-zero) or silently mis-shape
+    import pytest
+
+    from spark_etl_cli_spark.operators.similarity import arrow_unit_sig
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0])], "id long, v array<float>"
+    )
+    with pytest.raises(Exception, match="ragged"):
+        arrow_unit_sig(ragged, "id", "v", 4, 2).collect()
+    nulls = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None)], "id long, v array<float>"
+    )
+    with pytest.raises(Exception, match="NULL vectors"):
+        arrow_unit_sig(nulls, "id", "v", 4, 2).collect()
+    zero = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [0.0, 0.0])], "id long, v array<float>"
+    )
+    with pytest.raises(Exception, match="zero-norm"):
+        arrow_unit_sig(zero, "id", "v", 4, 2).collect()
