@@ -1,11 +1,12 @@
 """Deterministic fixed-iteration Lloyd k-means over embedding columns.
 
 The classic Spark clustering shape: centroids are tiny (k x dim
-doubles) and live on the driver; each Lloyd round is one distributed
-assignment pass (distance to k broadcast centroid literals — pure
-``zip_with``/``aggregate`` fold, no UDF) plus one per-(cluster, dim)
-aggregation. Rows never shuffle by vector — only (cluster, dim,
-micro-sum) triples cross the wire, k*dim rows total.
+doubles) and live on the driver; each Lloyd round is ONE Arrow stage
+(assignment against the k centroids + per-batch partial micro-unit
+update sums — guide §4.2) plus a k*dim-row final aggregation. Rows
+never shuffle by vector — only (cluster, dim, micro-sum) partials
+cross the wire. ``_dist2``/``_assign`` keep the JVM-expression twin of
+the assignment for the bit-equality regression test.
 
 Cross-engine determinism (the reason this k-means can be
 oracle-verified at all, unlike Spark ML's):
@@ -45,6 +46,98 @@ def _assign(vec_col: Column, cents: dict[int, list[float]]) -> Column:
     return expr
 
 
+def _assign_update_arrow(pts: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
+    """One Lloyd round — assignment + per-batch partial update — in ONE
+    Arrow stage, then a k*dim-row final aggregation.
+
+    The vectorized twin of ``_assign`` + the posexplode/groupBy update
+    (guide §4.2: Spark does not codegen higher-order-function bodies, so
+    the k×dim distance folds cost an interpreter dispatch per element —
+    the dominant term of the assignment pass — and the 64× posexplode
+    multiplies the exchange input). Bit-identical by construction:
+
+    - distances accumulate in the exact element order of the JVM left
+      fold — per dimension one IEEE subtract, multiply, add, no FMA;
+    - the argmin scans cluster ids ascending and keeps the FIRST
+      minimum, matching ``_assign``'s CASE scan (NaN distances raise:
+      the operator's inputs are finite by contract, and silently
+      diverging from the CASE semantics would be worse than failing);
+    - update partials are exact integer micro-unit sums
+      (``floor(x * 1e6)`` per element), so per-batch partial summation
+      is order-independent and the final k*dim-row ``groupBy`` merge is
+      exact.
+
+    Only ``__v`` crosses the Python boundary (the assignment needs no
+    id); each batch yields at most k*dim partial rows, so the exchange
+    carries partials, not points."""
+    ordered = sorted(cents.items())
+    keys = [cl for cl, _ in ordered]
+    cmat = [cv for _, cv in ordered]
+
+    def _batches(it):
+        import numpy as np
+        import pyarrow as pa
+
+        c = np.array(cmat, dtype=np.float64)  # (k, dim)
+        kk, dim = c.shape
+        key_arr = np.array(keys, dtype=np.int64)
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            col = batch.column(0)
+            if col.null_count:
+                raise ValueError("kmeans_lloyd: NULL vectors unsupported")
+            offs = col.offsets.to_numpy()
+            if not (np.diff(offs) == dim).all():
+                raise ValueError(
+                    f"kmeans_lloyd: ragged vectors (expected dim={dim})"
+                )
+            v = (
+                col.values.to_numpy(zero_copy_only=False)[offs[0]: offs[-1]]
+                .astype(np.float64, copy=False)
+                .reshape(n, dim)
+            )
+            dist = np.zeros((n, kk))
+            for d in range(dim):
+                diff = v[:, d, None] - c[None, :, d]
+                dist += diff * diff
+            if np.isnan(dist).any():
+                raise ValueError(
+                    "kmeans_lloyd: NaN distance (non-finite input vector)"
+                )
+            asn = np.argmin(dist, axis=1)  # first min = lowest cluster id
+            micros = np.floor(v * float(MICRO)).astype(np.int64)
+            cls_out, d_out, s_out, n_out = [], [], [], []
+            for ci in np.unique(asn):
+                mask = asn == ci
+                cls_out.append(np.full(dim, key_arr[ci], dtype=np.int64))
+                d_out.append(np.arange(dim, dtype=np.int32))
+                s_out.append(micros[mask].sum(axis=0, dtype=np.int64))
+                n_out.append(
+                    np.full(dim, int(mask.sum()), dtype=np.int64)
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(cls_out)),
+                    pa.array(np.concatenate(d_out)),
+                    pa.array(np.concatenate(s_out)),
+                    pa.array(np.concatenate(n_out)),
+                ],
+                ["cl", "d", "s", "n"],
+            )
+
+    return (
+        pts.select("__v")
+        .mapInArrow(_batches, "cl bigint, d int, s bigint, n bigint")
+        .groupBy("cl", "d")
+        .agg(
+            F.sum("s").cast("bigint").alias("s"),
+            F.sum("n").cast("bigint").alias("n"),
+        )
+    )
+
+
 def kmeans_lloyd(
     df: DataFrame,
     *,
@@ -68,21 +161,8 @@ def kmeans_lloyd(
     if not cents:
         raise ValueError("kmeans_lloyd: input has no vectors to seed from")
 
-    def update(assigned: DataFrame) -> DataFrame:
-        return (
-            assigned.select("cl", F.posexplode("__v").alias("d", "x"))
-            .groupBy("cl", "d")
-            .agg(
-                F.sum(F.floor(F.col("x") * MICRO).cast("bigint"))
-                .cast("bigint")
-                .alias("s"),
-                F.count(F.lit(1)).cast("bigint").alias("n"),
-            )
-        )
-
     for it in range(iters):
-        assigned = pts.withColumn("cl", _assign(F.col("__v"), cents))
-        m = update(assigned)
+        m = _assign_update_arrow(pts, cents)
         if it == iters - 1:
             return m.select(
                 F.col("cl").cast("int").alias("cluster_id"),

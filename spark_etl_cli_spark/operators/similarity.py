@@ -608,68 +608,174 @@ def semantic_dedup(
 
     Shapes, by stage:
 
-    - **assignment** — broadcast the ``n_clusters`` centroid set (the
-      lowest-id vectors: deterministic, training-free, same coarse
-      quantizer as :func:`ivf_topk`) against unit-normalized vectors,
-      then ``max_by`` per id. The cross-join emits each id's k centroid
-      rows contiguously in one partition, so partial aggregation
-      collapses them map-side — the exchange carries ONE row per
-      vector, not k.
-    - **pairs** — self-join on cluster id with ``id_a < id_b`` (the
-      vector-payload trade argued at :func:`cosine_dup_pairs`: posting
-      lists would materialize O(cluster² * dim) in a row). Each vector
-      is in exactly one cluster, so no cross-bucket dedup is needed.
-    - **verdict** — distinct higher-id endpoints of threshold-passing
-      pairs, left-joined back (ids only — vectors never shuffle twice).
+    - **assignment** — the ``n_clusters`` centroids (the low-id
+      vectors: deterministic, training-free, same coarse quantizer as
+      :func:`ivf_topk`) are k x dim driver-side doubles, like
+      kmeans_lloyd's; ONE Arrow stage unit-normalizes each vector and
+      assigns it to its best centroid in-row (bit-identical to the
+      former ``unit()`` + broadcast crossJoin + ``max_by`` plan: same
+      left-fold order per dot, NaN-largest and lowest-cid tie rules).
+    - **pairs + verdict** — clusters are disjoint, so one exchange of
+      ``(id, unit vec)`` by cluster id and a per-group blocked
+      pairwise-dot pass emits every member's ``is_dup`` verdict
+      directly: the former cid self-join, pair-grain threshold filter,
+      distinct, and verdict join collapse into one stage, and vectors
+      cross the Python boundary once per row, never per candidate
+      pair.
 
     Cluster population is data-dependent; pathological corpora
     (everything in one cell) degrade toward all-pairs, which is a
     property of the algorithm, not the plan — production deployments
     size ``n_clusters`` ~ sqrt(corpus) to bound cells.
     """
-    cents = df.filter(F.col(id_col) < n_clusters).select(
-        F.col(id_col).alias("cid"), unit(F.col(vec_col)).alias("__cent")
+    id_type = df.schema[id_col].dataType.simpleString()
+    # Centroids are k x dim doubles — the same driver-side control
+    # plane as kmeans_lloyd's. Normalized in Python with the exact
+    # left-fold order of unit() (Python floats ARE IEEE doubles), so
+    # the Arrow assignment below is bit-identical to the former
+    # crossJoin + max_by plan.
+    cent_rows = (
+        df.filter(F.col(id_col) < n_clusters)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("v"))
+        .collect()
     )
-    scored = (
+    cents = []
+    for r in sorted(cent_rows, key=lambda r: r["cid"]):
+        vec = [float(x) for x in r["v"]]
+        acc = 0.0
+        for x in vec:
+            acc = acc + x * x
+        nrm = acc ** 0.5
+        if nrm == 0.0:
+            raise ValueError(
+                "semantic_dedup: zero-norm centroid (division by zero)"
+            )
+        cents.append((int(r["cid"]), [x / nrm for x in vec]))
+    if not cents:
+        # no centroids -> the old crossJoin produced no assignments
+        return (
+            df.limit(0)
+            .select(
+                F.col(id_col).alias("id"),
+                F.lit(None).cast("bigint").alias("cluster_id"),
+                F.lit(False).alias("is_dup"),
+            )
+        )
+    keys = [cid for cid, _ in cents]
+    cmat = [cv for _, cv in cents]
+    dim = len(cmat[0])
+    thr = float(threshold)
+
+    def _assign_batches(it):
+        import numpy as np
+        import pyarrow as pa
+
+        cu = np.array(cmat, dtype=np.float64)  # (k, dim), unit rows
+        key_arr = np.array(keys, dtype=np.int64)
+        kk = cu.shape[0]
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            col = batch.column(1)
+            if col.null_count:
+                raise ValueError(
+                    "semantic_dedup: NULL vectors are not supported"
+                )
+            offs = col.offsets.to_numpy()
+            if not (np.diff(offs) == dim).all():
+                raise ValueError(
+                    f"semantic_dedup: ragged vectors (expected dim={dim})"
+                )
+            v = (
+                col.values.to_numpy(zero_copy_only=False)[offs[0]: offs[-1]]
+                .astype(np.float64, copy=False)
+                .reshape(n, dim)
+            )
+            nacc = np.zeros(n)
+            for d in range(dim):
+                nacc += v[:, d] * v[:, d]
+            if (nacc == 0.0).any():
+                raise ValueError(
+                    "semantic_dedup: zero-norm vector (division by zero)"
+                )
+            un = v / np.sqrt(nacc)[:, None]
+            sim = np.zeros((n, kk))
+            for d in range(dim):
+                sim += un[:, d, None] * cu[None, :, d]
+            # max_by(cid, struct(csim, -cid)): max sim, ties -> lowest
+            # cid; Spark orders NaN above every double, so a NaN sim
+            # wins (first NaN = lowest cid among NaNs)
+            nan = np.isnan(sim)
+            has_nan = nan.any(axis=1)
+            idx = np.where(
+                has_nan, np.argmax(nan, axis=1), np.argmax(sim, axis=1)
+            )
+            lo = np.arange(0, (n + 1) * dim, dim, dtype=np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pa.ListArray.from_arrays(pa.array(lo), pa.array(un.ravel())),
+                    pa.array(key_arr[idx]),
+                ],
+                ["id", "__v", "cid"],
+            )
+
+    # assignment: per-row work, ONE Arrow stage, no exchange at all —
+    # replaces the broadcast crossJoin + k-row-per-id max_by aggregate
+    # (guide §4.2; the k interpreted dot folds per row were the
+    # dominant assignment cost).
+    asn = (
         fan_out(df)
-        .select(F.col(id_col).alias("id"), unit(F.col(vec_col)).alias("__v"))
-        .crossJoin(F.broadcast(cents))
-        .select(
-            "id",
-            "__v",
-            "cid",
-            _dot_unit(F.col("__v"), F.col("__cent")).alias("__csim"),
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+        .mapInArrow(
+            _assign_batches,
+            f"id {id_type}, __v array<double>, cid bigint",
         )
     )
-    asn = scored.groupBy("id").agg(
-        F.max_by(
-            F.col("cid"), F.struct(F.col("__csim"), (-F.col("cid")).alias("t"))
-        ).alias("cid"),
-        F.first("__v").alias("__v"),  # identical across the k rows
-    )
-    # asn feeds the self-join (twice) and the final verdict join:
-    # materialize once instead of running the centroid-scoring subtree
-    # three times. (id, cid, unit vec) — corpus rows, one copy.
-    asn = asn.localCheckpoint()
-    a, b = asn.alias("a"), asn.alias("b")
-    dups = (
-        a.join(
-            b,
-            (F.col("a.cid") == F.col("b.cid"))
-            & (F.col("a.id") < F.col("b.id")),
+
+    def _cluster_verdicts(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("id", kind="mergesort")
+        m = len(pdf)
+        is_dup = np.zeros(m, dtype=bool)
+        if m >= 2:
+            u = np.array(
+                [np.asarray(x, dtype=np.float64) for x in pdf["__v"]]
+            )
+            # blocked pairwise dots, fold order preserved per pair (one
+            # IEEE multiply + add per dimension, ascending d) — memory
+            # bounded at m x bs regardless of cluster size
+            bs = max(1, min(m, (1 << 22) // m))
+            row_idx = np.arange(m)
+            for j0 in range(0, m, bs):
+                j1 = min(j0 + bs, m)
+                acc = np.zeros((m, j1 - j0))
+                for d in range(u.shape[1]):
+                    acc += u[:, d, None] * u[None, j0:j1, d]
+                # Spark compares NaN >= thr as true (NaN sorts above
+                # every double)
+                hit = (acc >= thr) | np.isnan(acc)
+                hit &= row_idx[:, None] < (j0 + np.arange(j1 - j0))[None, :]
+                is_dup[j0:j1] |= hit.any(axis=0)
+        return pd.DataFrame(
+            {
+                "id": pdf["id"].to_numpy(),
+                "cluster_id": pdf["cid"].to_numpy(),
+                "is_dup": is_dup,
+            }
         )
-        .filter(
-            _dot_unit(F.col("a.__v"), F.col("b.__v")) >= F.lit(threshold)
-        )
-        .select(F.col("b.id").alias("id"))
-        .distinct()
-        .withColumn("__dup", F.lit(True))
-    )
-    return (
-        asn.join(dups, "id", "left")
-        .select(
-            F.col("id"),
-            F.col("cid").cast("bigint").alias("cluster_id"),
-            F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
-        )
+
+    # verdicts: clusters are disjoint and every row carries its cluster,
+    # so ONE exchange of (id, unit vec) by cid + one per-group pass
+    # replaces the cid self-join, the pair-grain threshold filter, the
+    # distinct AND the verdict join back (guide §2.3 "decide with small
+    # rows": the vectors cross the boundary once per ROW, never once
+    # per candidate pair, and the group emits every member's verdict
+    # directly).
+    return asn.groupBy("cid").applyInPandas(
+        _cluster_verdicts,
+        f"id {id_type}, cluster_id bigint, is_dup boolean",
     )

@@ -293,12 +293,17 @@ def test_q126_repetition_no_python(spark):
     assert "Exchange hashpartitioning" not in plan
 
 
-def test_q127_semantic_dedup_broadcasts_centroids(spark):
+def test_q127_semantic_dedup_single_cluster_exchange(spark):
     plan = plan_of(spark, "q127_semantic_dedup", execute=True)
-    # the only nested-loop join is the centroid broadcast (k rows);
-    # cluster-scoped pair generation must be a hash/merge equi-join
+    # r10: assignment is ONE Arrow stage (no centroid crossJoin, no
+    # per-id aggregate) and the pair verdict is a per-cluster group
+    # pass — the only hash exchange left is the (id, unit vec) spread
+    # by cluster id; no join of any kind survives in the plan
     assert "CartesianProduct" not in plan
-    assert "BroadcastExchange" in plan
+    assert "Join" not in plan
+    assert "MapInArrow" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 def test_q128_state_merge_two_codegen_agg_levels(spark):

@@ -200,6 +200,55 @@ def test_kmeans_seeds_from_lowest_ids_any_domain(spark):
     assert n_by_cluster == {1000: 2, 1001: 2}
 
 
+def test_kmeans_arrow_round_bit_identical_to_jvm_twin(spark):
+    """r10: the Arrow assignment+partial-update stage must reproduce
+    the JVM `_assign` + posexplode/groupBy update EXACTLY — same
+    left-fold distance order, same first-minimum tie rule, same
+    floor(x*1e6) integer micro-units. Awkward magnitudes + exact ties
+    included."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from spark_etl_cli_spark.operators.clustering import (
+        MICRO,
+        _assign,
+        _assign_update_arrow,
+    )
+
+    dim = 5
+    rows = [
+        (i, [math.sin(i * dim + d) * 10 ** ((i + d) % 5 - 2) for d in range(dim)])
+        for i in range(64)
+    ]
+    # exact-tie rows: equidistant from centroids 0 and 1 -> cluster 0
+    rows += [(100 + j, [float(j)] * dim) for j in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pts = df.select(
+        F.col("vec_id").alias("__id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("__v"),
+    )
+    cents = {
+        0: [0.5] * dim,
+        3: [-0.5] * dim,
+        7: [0.001, 10.0, -3.0, 0.25, 1e-4],
+    }
+    jvm = (
+        pts.withColumn("cl", _assign(F.col("__v"), cents))
+        .select("cl", F.posexplode("__v").alias("d", "x"))
+        .groupBy("cl", "d")
+        .agg(
+            F.sum(F.floor(F.col("x") * MICRO).cast("bigint")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    arw = _assign_update_arrow(pts, cents).collect()
+    j = {(r["cl"], r["d"]): (r["s"], r["n"]) for r in jvm}
+    a = {(int(r["cl"]), r["d"]): (r["s"], r["n"]) for r in arw}
+    assert j == a
+
+
 def test_kmeans_empty_input_raises_clearly(spark):
     import pytest
 
