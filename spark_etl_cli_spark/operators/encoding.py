@@ -78,11 +78,95 @@ def vocab_encode(
     )
 
 
+def _bpe_train_serial(words: DataFrame, n_merges: int) -> DataFrame:
+    """All ``n_merges`` rounds in ONE single-partition Arrow task over
+    the word-frequency table.
+
+    The merge loop is inherently sequential (each round's argmax feeds
+    the next round's segmentation), so running it distributed costs one
+    explode + shuffle + global argmax + fold-rewrite + checkpoint JOB
+    per round — all fixed overhead when the vocab table is small, which
+    it essentially always is relative to the corpus (this is how
+    production BPE trainers are built: distributed word counting, then
+    a serial merge loop over the counts). ``coalesce(1)`` is a narrow
+    dependency — no shuffle — and the task sees every row.
+
+    Determinism matches the distributed loop exactly: argmax by
+    (count desc, left asc, right asc) — Python str comparison is
+    code-point order, which equals Spark's UTF8 binary order for all
+    valid code points — and the same greedy non-overlapping
+    left-to-right merge scan.
+    """
+
+    def _train(it):
+        import pyarrow as pa
+
+        syms_list: list[list[str]] = []
+        counts: list[int] = []
+        for batch in it:
+            syms_list.extend(batch.column(0).to_pylist())
+            counts.extend(batch.column(1).to_pylist())
+        merges = []
+        for rank in range(n_merges):
+            pair_counts: dict[tuple[str, str], int] = {}
+            for syms, n in zip(syms_list, counts):
+                for i in range(len(syms) - 1):
+                    key = (syms[i], syms[i + 1])
+                    pair_counts[key] = pair_counts.get(key, 0) + n
+            if not pair_counts:
+                break
+            (left, right), best_n = min(
+                pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            if best_n <= 0:
+                break
+            merged = left + right
+            merges.append((rank, left, right, merged, best_n))
+            for wi, syms in enumerate(syms_list):
+                out, j = [], 0
+                changed = False
+                while j < len(syms):
+                    if (
+                        j + 1 < len(syms)
+                        and syms[j] == left
+                        and syms[j + 1] == right
+                    ):
+                        out.append(merged)
+                        j += 2
+                        changed = True
+                    else:
+                        out.append(syms[j])
+                        j += 1
+                if changed:
+                    syms_list[wi] = out
+        if merges:
+            rk, lf, rt, mg, pc = zip(*merges)
+        else:
+            rk = lf = rt = mg = pc = ()
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(list(rk), type=pa.int32()),
+                pa.array(list(lf), type=pa.string()),
+                pa.array(list(rt), type=pa.string()),
+                pa.array(list(mg), type=pa.string()),
+                pa.array(list(pc), type=pa.int64()),
+            ],
+            ["merge_rank", "left", "right", "merged", "pair_count"],
+        )
+
+    return words.coalesce(1).mapInArrow(
+        _train,
+        "merge_rank int, left string, right string, merged string, "
+        "pair_count bigint",
+    )
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 20,
     text_col: str = "text",
     max_word_len: int = 32,
+    serial_vocab_max: int = 2_000_000,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from a corpus (Sennrich et al.
     2016, the standard subword-tokenizer training loop), distributed.
@@ -113,9 +197,21 @@ def bpe_train(
     whose O(len) symbol arrays would dominate every round — standard
     practice in BPE trainers.
 
+    ADAPTIVE EXECUTION (r10, guide §1.2 "the distributed algorithm
+    first"): the corpus collapse to the word-frequency table is always
+    distributed, but the merge loop itself is sequential by nature, so
+    when the materialized vocab table is small (``count() <=
+    serial_vocab_max``, the count is free after the checkpoint) ALL
+    rounds run in one single-partition Arrow task
+    (:func:`_bpe_train_serial`) — identical merges, one job instead of
+    2 jobs + 1 shuffle + 1 checkpoint per round. Past the threshold the
+    per-round distributed loop below takes over unchanged (same
+    determinism rules), so arbitrarily large vocabularies still work.
+
     Iterative by nature → registered with a rows-only driver check
     (no closed-form SQL oracle); determinism is still pinned by the
-    repartition-invariance pytest.
+    repartition-invariance pytest (and the serial/distributed
+    equivalence test).
     """
     from spark_etl_cli_spark.functions.text import tokens
     from spark_etl_cli_spark.operators.util import fan_out
@@ -134,6 +230,8 @@ def bpe_train(
         )
         .localCheckpoint()
     )
+    if words.count() <= serial_vocab_max:
+        return _bpe_train_serial(words, n_merges)
 
     merges = []
     for rank in range(n_merges):

@@ -99,6 +99,22 @@ def test_bpe_train_partition_invariance(spark):
         known.add(r.merged)
 
 
+def test_bpe_train_serial_equals_distributed(spark):
+    """r10: the single-task Arrow trainer (vocab under the adaptive
+    threshold) must emit EXACTLY the distributed per-round loop's
+    merges — same argmax tie rules, same greedy non-overlapping merge
+    scan."""
+    from spark_etl_cli_spark.operators.encoding import bpe_train
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(300)
+    serial = bpe_train(docs, n_merges=8).collect()
+    dist = bpe_train(docs, n_merges=8, serial_vocab_max=0).collect()
+    assert [tuple(r) for r in serial] == [tuple(r) for r in dist]
+    assert len(serial) == 8
+
+
 def test_bpe_train_greedy_nonoverlapping(spark):
     # "aaaa" with merge (a,a): greedy left-to-right gives aa|aa, so the
     # second round's top pair is (aa,aa)
