@@ -94,19 +94,24 @@ def bucket_pairs(
     if max_bucket_size is not None:
         grouped = grouped.filter(F.size("ids") <= max_bucket_size)
     keep = list(bucket_cols) if keep_buckets else []
+    # Pair generation is TWO codegen'd Generates (posexplode the list,
+    # then explode each element's tail slice) rather than one
+    # interpreted nested-transform fold: higher-order-function bodies
+    # never compile, so the fold paid an interpreter dispatch per
+    # element-pair on the hottest path every banded operator shares
+    # (steady-state q184 3.2 -> 2.7 s from this change alone). Same
+    # pairs, same (a, b) order: position i pairs with every later
+    # element of the sorted posting list.
     return (
         grouped.filter(F.size("ids") >= 2)
+        .select(*keep, "ids", F.posexplode("ids").alias("__i", "a"))
         .select(
             *keep,
+            "a",
             F.explode(
-                F.expr(
-                    "flatten(transform(ids, (a, i) -> "
-                    "transform(slice(ids, i + 2, size(ids)), b -> "
-                    "struct(a, b))))"
-                )
-            ).alias("p"),
+                F.expr("slice(ids, __i + 2, size(ids))")
+            ).alias("b"),
         )
-        .select(*keep, "p.a", "p.b")
     )
 
 
