@@ -122,6 +122,7 @@ def shingle_pairs_jaccard(
     k: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int | None = 1000,
+    shingles_col: str | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs by exact Jaccard over k-word shingles.
 
@@ -141,11 +142,23 @@ def shingle_pairs_jaccard(
     by a pre-pass that broadcasts the (tiny) set of over-frequent
     shingles and anti-joins them out before collecting; same semantics,
     one extra count shuffle.
+
+    ``shingles_col`` names an ALREADY-SHINGLED array column (the
+    ``word_shingles(text, k)`` distinct set) — callers that feed the
+    same corpus to several shingle-keyed operators (q184 runs this AND
+    the LSH plan) materialize the shingle pass once and skip the
+    per-operator tokenize + fan_out here.
     """
-    shingled = fan_out(df).select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), k).alias("shingles"),
-    )
+    if shingles_col is not None:
+        shingled = df.select(
+            F.col(id_col).alias("id"),
+            F.col(shingles_col).alias("shingles"),
+        )
+    else:
+        shingled = fan_out(df).select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), k).alias("shingles"),
+        )
     entries = shingled.select(
         F.explode("shingles").alias("shingle"),
         F.struct(
@@ -181,8 +194,11 @@ def minhash_signatures(
     hash_fn=None,
     base_hash=None,
     hash_family: str | None = None,
+    shingles_col: str | None = None,
 ) -> DataFrame:
     """(id, array<long> minhash signature): explode + codegen min-aggs.
+    ``shingles_col`` — see :func:`shingle_pairs_jaccard`: skip the
+    tokenize + fan_out and explode a pre-shingled array column.
 
     ``hash_family`` is the one-line production switch SCALE.md
     promises: ``'oracle'`` = md5-prefix base (DuckDB-replayable, the
@@ -237,10 +253,16 @@ def minhash_signatures(
             )
     if hash_fn is None:
         hash_fn = F.xxhash64
-    exploded = fan_out(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("s"),
-    )
+    if shingles_col is not None:
+        exploded = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.col(shingles_col)).alias("s"),
+        )
+    else:
+        exploded = fan_out(df).select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(F.col(text_col), shingle_k)).alias("s"),
+        )
     if base_hash is not None:
         from spark_etl_cli_spark.functions.text import affine_minhash_constants
 
@@ -506,9 +528,11 @@ def minhash_lsh_pairs(
     hash_fn=None,
     base_hash=None,
     hash_family: str | None = None,
+    shingles_col: str | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
-    ``hash_family='oracle'|'fast'`` — see :func:`minhash_signatures`.
+    ``hash_family='oracle'|'fast'`` and ``shingles_col`` — see
+    :func:`minhash_signatures`.
 
     rows-per-band = num_hashes/bands; two docs collide when any band's
     sub-signature matches exactly. Bucket key is (band_idx, band_hash)
@@ -530,6 +554,7 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_k,
         hash_fn=hash_fn, base_hash=base_hash, hash_family=hash_family,
+        shingles_col=shingles_col,
     )
     entries = minhash_band_entries(sigs, num_hashes, bands)
 

@@ -217,11 +217,14 @@ def q107_table_checksum(spark, sf_dir):
 )
 def q109_column_profile(spark, sf_dir):
     from spark_etl_cli_spark.operators.profile import profile_columns
+    from spark_etl_cli_spark.operators.util import fan_out
 
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    # the profile is one Expand x(cols+1) + distinct aggregate: spread
+    # it when the scan arrives single-partition (see q01)
     return profile_columns(
-        t(spark, sf_dir, "orders"),
-        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-         "o_orderdate", "o_orderpriority"],
+        fan_out(t(spark, sf_dir, "orders").select(*cols)), cols
     )
 
 

@@ -43,7 +43,13 @@ DEC = T.DecimalType(18, 4)
 # --- q01: TPC-H Q1-style pricing summary (flagship) -------------------
 # One scan + one partial-agg/final-agg pair; 6 output groups. At 100 TB
 # the map-side combine reduces each partition to ≤6 rows before the
-# shuffle — the canonical "aggregate early" plan.
+# shuffle — the canonical "aggregate early" plan. The shipdate filter
+# stays at the scan (PushedFilters); fan_out AFTER it spreads the
+# decimal-heavy partial aggregation when the input arrives in fewer
+# partitions than cores (the single-row-group local file serialized
+# the whole 8-sum decimal pipeline onto one task — measured 2.5 s ->
+# 1.0 s), and is a no-op on any scan that is already wide; only the 6
+# aggregation inputs cross the spread exchange (guide §2.3).
 @query(
     "q01_pricing_summary",
     oracle=f"""
@@ -62,8 +68,17 @@ DEC = T.DecimalType(18, 4)
     """,
 )
 def q01_pricing_summary(spark, sf_dir):
-    li = t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp")
+    from spark_etl_cli_spark.operators.util import fan_out
+
+    li = fan_out(
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp")
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+        )
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -375,7 +390,15 @@ def q10_returned_item_reporting(spark, sf_dir):
     """,
 )
 def q11_rollup(spark, sf_dir):
-    li = t(spark, sf_dir, "lineitem")
+    from spark_etl_cli_spark.operators.util import fan_out
+
+    # rollup = Expand x3 before the partial agg; spread it when the
+    # scan arrives single-partition (see q01)
+    li = fan_out(
+        t(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_linestatus", "l_quantity"
+        )
+    )
     return li.rollup("l_returnflag", "l_linestatus").agg(
         bcount("n"), dsum(F.col("l_quantity"), "sum_qty")
     )
@@ -433,7 +456,15 @@ def q13_grouping_sets(spark, sf_dir):
     """,
 )
 def q14_conditional_agg(spark, sf_dir):
-    li = t(spark, sf_dir, "lineitem")
+    from spark_etl_cli_spark.operators.util import fan_out
+
+    # part broadcasts; spread the lineitem side (3 needed columns) so
+    # the broadcast join + decimal partials parallelize — see q01
+    li = fan_out(
+        t(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_extendedprice", "l_discount"
+        )
+    )
     p = t(spark, sf_dir, "part")
     rev = rev_col()
     return li.join(p, F.col("l_partkey") == F.col("p_partkey")).agg(

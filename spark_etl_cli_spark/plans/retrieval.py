@@ -133,11 +133,18 @@ def q112_bm25_topk(spark, sf_dir):
     """,
 )
 def q113_corr_stats(spark, sf_dir):
+    from spark_etl_cli_spark.operators.util import fan_out
+
     li = t(spark, sf_dir, "lineitem")
-    c = li.select(
-        "l_returnflag",
-        (dec(F.col("l_quantity")) * 100).cast("long").alias("qc"),
-        (dec(F.col("l_extendedprice")) * 100).cast("long").alias("pc"),
+    # 5 decimal(38) product-sums per row: spread the partial
+    # aggregation when the scan arrives single-partition (see q01);
+    # only the 3 narrow aggregation inputs cross the exchange
+    c = fan_out(
+        li.select(
+            "l_returnflag",
+            (dec(F.col("l_quantity")) * 100).cast("long").alias("qc"),
+            (dec(F.col("l_extendedprice")) * 100).cast("long").alias("pc"),
+        )
     )
 
     def isum(expr, alias):

@@ -1915,18 +1915,31 @@ def q182_distinct_ngrams(spark, sf_dir):
     """,
 )
 def q184_lsh_calibration(spark, sf_dir):
-    from spark_etl_cli_spark.functions.text import md5_long28
+    from spark_etl_cli_spark.functions.text import md5_long28, word_shingles
 
     docs = t(spark, sf_dir, "documents")
+    # both calibration legs key on the SAME distinct 3-shingle sets:
+    # tokenize + shingle once into a checkpointed doc-grain frame and
+    # feed it to both operators (shingles_col=), instead of each leg
+    # re-running the interpreted tokenize/shingle pipeline over the
+    # corpus (guide §2.4: don't compute the same thing twice)
+    sh = (
+        fan_out(docs)
+        .select(
+            "doc_id", word_shingles(F.col("text"), 3).alias("__sh")
+        )
+        .localCheckpoint()
+    )
     cands = (
         minhash_lsh_pairs(
-            docs, num_hashes=32, bands=8, shingle_k=3, base_hash=md5_long28
+            sh, num_hashes=32, bands=8, shingle_k=3, base_hash=md5_long28,
+            shingles_col="__sh",
         )
         .filter(F.col("est_jaccard") >= 0.5)
         .select("id_a", "id_b", F.lit(True).alias("in_cand"))
     )
     truth = shingle_pairs_jaccard(
-        docs, k=3, threshold=0.5, max_shingle_freq=1000
+        sh, k=3, threshold=0.5, max_shingle_freq=1000, shingles_col="__sh"
     ).select("id_a", "id_b", F.lit(True).alias("in_truth"))
     u = cands.join(truth, ["id_a", "id_b"], "full_outer").select(
         F.coalesce("in_cand", F.lit(False)).alias("in_cand"),

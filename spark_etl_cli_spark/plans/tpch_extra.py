@@ -337,10 +337,18 @@ def q69_excess_suppliers(spark, sf_dir):
     """,
 )
 def q98_unpivot_measures(spark, sf_dir):
+    from spark_etl_cli_spark.operators.util import fan_out
     from spark_etl_cli_spark.plans.registry import dsum
 
     agg = (
-        t(spark, sf_dir, "lineitem")
+        # spread the decimal partial aggregation when the scan arrives
+        # in fewer partitions than cores (single-row-group local file);
+        # no-op on a wide scan — see q01
+        fan_out(
+            t(spark, sf_dir, "lineitem").select(
+                "l_linestatus", "l_quantity", "l_extendedprice"
+            )
+        )
         .groupBy("l_linestatus")
         .agg(
             dsum(F.col("l_quantity"), "sum_qty"),
@@ -414,7 +422,14 @@ def q99_exact_median(spark, sf_dir):
     """,
 )
 def q197_leadtime_percentiles(spark, sf_dir):
-    li = t(spark, sf_dir, "lineitem")
+    from spark_etl_cli_spark.operators.util import fan_out
+
+    # orders broadcasts; the lineitem side is projected to the 2 join/
+    # measure columns and spread so the broadcast join + 3 percentile
+    # partials don't serialize onto a single-partition scan (see q01)
+    li = fan_out(
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    )
     o = t(spark, sf_dir, "orders")
     d = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
         "o_orderpriority",

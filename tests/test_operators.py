@@ -88,6 +88,28 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
     assert (1, 3) not in pairs
 
 
+def test_shingles_col_equals_inline_shingling(spark, docs):
+    """r10: passing a pre-shingled array column (shingles_col=) must
+    give EXACTLY the inline tokenize path's results for both the
+    posting operator and the LSH operator — it's how q184 shares one
+    shingle pass between its two legs."""
+    from pyspark.sql import functions as F
+
+    from spark_etl_cli_spark.functions.text import word_shingles
+
+    sh = docs.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("__sh")
+    )
+    a = shingle_pairs_jaccard(docs, k=3, threshold=0.5).collect()
+    b = shingle_pairs_jaccard(
+        sh, k=3, threshold=0.5, shingles_col="__sh"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    c = minhash_lsh_pairs(docs).collect()
+    d = minhash_lsh_pairs(sh, shingles_col="__sh").collect()
+    assert sorted(map(tuple, c)) == sorted(map(tuple, d))
+
+
 def test_simhash_properties(spark, docs):
     fps = {r.id: r.simhash for r in simhash(docs).collect()}
     assert fps[1] == fps[2]  # same token set -> same fingerprint
