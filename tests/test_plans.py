@@ -298,12 +298,15 @@ def test_q127_semantic_dedup_single_cluster_exchange(spark):
     # r10: assignment is ONE Arrow stage (no centroid crossJoin, no
     # per-id aggregate) and the pair verdict is a per-cluster group
     # pass — the only hash exchange left is the (id, unit vec) spread
-    # by cluster id; no join of any kind survives in the plan
+    # by cluster id; no join of any kind survives in the plan.
+    # (an executed AQE plan prints "== Final Plan ==" AND
+    # "== Initial Plan ==" — count exchanges in the final section only)
+    final = plan.split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in plan
     assert "Join" not in plan
     assert "MapInArrow" in plan
     assert "FlatMapGroupsInPandas" in plan
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert final.count("Exchange hashpartitioning") == 1
 
 
 def test_q128_state_merge_two_codegen_agg_levels(spark):
