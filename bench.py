@@ -222,6 +222,7 @@ def main() -> int:
             # strictly worse (total 163 s vs 123 s) than one long-lived
             # session with per-query min-of-2 + untimed GC housekeeping.)
             t0 = time.time()
+            runs: list[tuple[float, bool]] = []
             try:
                 # Within a pass: two consecutive build+execute runs,
                 # keep the faster — steady-state data-proportional
@@ -235,7 +236,6 @@ def main() -> int:
                 # construction + analysis stay inside the measurement.
                 # Runs whose window saw host CPU steal above the limit
                 # are retried; see the steal note above.
-                runs: list[tuple[float, bool]] = []
                 attempts = 0
                 extra = min(steal_retries, max(steal_budget, 0))
                 while attempts < 2 + extra:
@@ -265,7 +265,13 @@ def main() -> int:
                 best = round(min(clean if clean else [s for s, _ in runs]), 3)
                 timings[name] = min(timings.get(name, best), best)
             except Exception as exc:  # one bad query must not lose the run
-                timings.setdefault(name, round(time.time() - t0, 3))
+                # an exception on a RETRY attempt must not discard the
+                # completed runs before it: fall back to the best run
+                # already collected (clean preferred), and only use the
+                # failing attempt's wall time when no run completed
+                done = [s for s, d in runs if not d] or [s for s, _ in runs]
+                fallback = round(min(done) if done else time.time() - t0, 3)
+                timings[name] = min(timings.get(name, fallback), fallback)
                 errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             # UNTIMED housekeeping: checkpoint-backed operators (triangle,
             # tfidf, components, k-means) pin block-manager memory until

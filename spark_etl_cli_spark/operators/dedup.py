@@ -27,7 +27,13 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from spark_etl_cli_spark.functions.text import fingerprint, word_shingles
+from spark_etl_cli_spark.functions.text import fingerprint
+from spark_etl_cli_spark.functions.text import md5_long as _MD5_LONG
+from spark_etl_cli_spark.functions.text import md5_long28 as _MD5_LONG28
+from spark_etl_cli_spark.operators.arrowtext import (
+    with_shingle_md5_longs,
+    with_word_shingles,
+)
 from spark_etl_cli_spark.operators.util import fan_out
 
 
@@ -155,9 +161,14 @@ def shingle_pairs_jaccard(
             F.col(shingles_col).alias("shingles"),
         )
     else:
-        shingled = fan_out(df).select(
-            F.col(id_col).alias("id"),
-            word_shingles(F.col(text_col), k).alias("shingles"),
+        # Arrow shingle stage (guide §4.2): byte-identical to
+        # word_shingles(text, k) but vectorized — the HOF shingle loop
+        # ran interpreted per position (see operators/arrowtext.py).
+        shingled = with_word_shingles(
+            fan_out(df),
+            text_col,
+            k,
+            keep=[F.col(id_col).alias("id")],
         )
     entries = shingled.select(
         F.explode("shingles").alias("shingle"),
@@ -253,22 +264,45 @@ def minhash_signatures(
             )
     if hash_fn is None:
         hash_fn = F.xxhash64
-    if shingles_col is not None:
+    fused_md5 = shingles_col is None and base_hash is _MD5_LONG28
+    if fused_md5:
+        exploded = None  # the fused Arrow stage below replaces it
+    elif shingles_col is not None:
         exploded = df.select(
             F.col(id_col).alias("id"),
             F.explode(F.col(shingles_col)).alias("s"),
         )
     else:
-        exploded = fan_out(df).select(
-            F.col(id_col).alias("id"),
-            F.explode(word_shingles(F.col(text_col), shingle_k)).alias("s"),
-        )
+        # Arrow shingle stage — byte-identical shingles, vectorized
+        # (operators/arrowtext.py); the explode stays a codegen'd
+        # Generate over the returned array.
+        exploded = with_word_shingles(
+            fan_out(df),
+            text_col,
+            shingle_k,
+            keep=[F.col(id_col).alias("id")],
+        ).select("id", F.explode("shingles").alias("s"))
     if base_hash is not None:
         from spark_etl_cli_spark.functions.text import affine_minhash_constants
 
         ca, cb, p = affine_minhash_constants(num_hashes)
         mod = F.lit(p).cast("long")
-        hashed = exploded.select("id", base_hash(F.col("s")).alias("h"))
+        if fused_md5:
+            # oracle family fast path: shingle + 28-bit md5 base fused
+            # in ONE Arrow stage (guide §4.2) — 8 bytes/shingle cross
+            # the boundary instead of the shingle string, and the
+            # per-shingle md5 runs in OpenSSL instead of one codegen'd
+            # md5+conv per exploded row. Bit-identical hashes (md5 of
+            # the same UTF-8 bytes), pinned by the q36/q200 oracles.
+            hashed = with_shingle_md5_longs(
+                fan_out(df),
+                text_col,
+                shingle_k,
+                hex_chars=7,
+                keep=[F.col(id_col).alias("id")],
+            ).select("id", F.explode("hs").alias("h"))
+        else:
+            hashed = exploded.select("id", base_hash(F.col("s")).alias("h"))
         mins = [
             F.min(
                 (F.lit(int(ca[i])) * F.col("h") + F.lit(int(cb[i]))) % mod
@@ -732,19 +766,37 @@ def simhash(
     if hash_fn is None:
         hash_fn = F.xxhash64
     id_type = df.schema[id_col].dataType.simpleString()
-    hashed = (
-        fan_out(df)
-        .select(
-            F.col(id_col).alias("id"),
-            F.transform(
-                word_shingles(F.col(text_col), k=shingle_k),
-                lambda s: hash_fn(s),
-            ).alias("hs"),
+    if hash_fn is _MD5_LONG:
+        # oracle family fast path: shingle + 60-bit md5 hash fused in
+        # ONE Arrow stage — the per-shingle md5+conv otherwise runs
+        # INTERPRETED inside the transform lambda, and the shingle
+        # strings would cross the boundary just to be hashed. 8
+        # bytes/shingle, OpenSSL md5, bit-identical values (pinned by
+        # the q37 oracle).
+        shingled = with_shingle_md5_longs(
+            fan_out(df),
+            text_col,
+            shingle_k,
+            hex_chars=15,
+            keep=[F.col(id_col).alias("id")],
+            out_col="hs",
         )
-        # feature-less docs emit no fingerprint (the explode-based
-        # formulations' contract, preserved)
-        .filter(F.size("hs") > 0)
-    )
+    else:
+        # Arrow shingle stage — byte-identical to word_shingles
+        # (operators/arrowtext.py); only the per-shingle hash transform
+        # stays a JVM HOF (its body is one hash expression).
+        shingled = with_word_shingles(
+            fan_out(df),
+            text_col,
+            shingle_k,
+            keep=[F.col(id_col).alias("id")],
+        ).select(
+            "id",
+            F.transform("shingles", lambda s: hash_fn(s)).alias("hs"),
+        )
+    # feature-less docs emit no fingerprint (the explode-based
+    # formulations' contract, preserved)
+    hashed = shingled.filter(F.size("hs") > 0)
     n_bits = bits
 
     def _fingerprint_batches(it):

@@ -166,7 +166,7 @@ def bpe_train(
     n_merges: int = 20,
     text_col: str = "text",
     max_word_len: int = 32,
-    serial_vocab_max: int = 2_000_000,
+    serial_symbols_max: int = 30_000_000,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from a corpus (Sennrich et al.
     2016, the standard subword-tokenizer training loop), distributed.
@@ -200,13 +200,27 @@ def bpe_train(
     ADAPTIVE EXECUTION (r10, guide §1.2 "the distributed algorithm
     first"): the corpus collapse to the word-frequency table is always
     distributed, but the merge loop itself is sequential by nature, so
-    when the materialized vocab table is small (``count() <=
-    serial_vocab_max``, the count is free after the checkpoint) ALL
-    rounds run in one single-partition Arrow task
-    (:func:`_bpe_train_serial`) — identical merges, one job instead of
-    2 jobs + 1 shuffle + 1 checkpoint per round. Past the threshold the
-    per-round distributed loop below takes over unchanged (same
-    determinism rules), so arbitrarily large vocabularies still work.
+    when the vocab table is small ALL rounds run in one
+    single-partition Arrow task (:func:`_bpe_train_serial`) —
+    identical merges, one job instead of 2 jobs + 1 shuffle +
+    1 checkpoint per round. Past the threshold the per-round
+    distributed loop below takes over unchanged (same determinism
+    rules), so arbitrarily large vocabularies still work.
+
+    The gate is ``sum(size(syms)) <= serial_symbols_max`` — TOTAL
+    SYMBOLS, not rows (r10 ADVICE): the serial loop rescans every
+    symbol each round, so symbols are the quantity that bounds it; the
+    aggregate is one cheap job over the already-materialized
+    checkpoint. The default threshold is measured, not assumed
+    (``scripts/bpe_crossover.py``, table in SCALE.md): at ~3.7M
+    symbols (500k words) the serial loop beats the 20-round
+    distributed loop ~17x (1.3 s vs 22 s), and extrapolating the
+    serial loop's linear per-symbol cost (~0.23 s per merge round per
+    10M symbols) it still beats the distributed loop's fixed ~1 s+
+    per-round overhead until roughly 30M symbols on this box — past
+    that, per-round distributed work amortizes and memory for the
+    one-task word list (~2 bytes/symbol in Python strings... more
+    realistically ~50) becomes the binding constraint anyway.
 
     Iterative by nature → registered with a rows-only driver check
     (no closed-form SQL oracle); determinism is still pinned by the
@@ -230,7 +244,11 @@ def bpe_train(
         )
         .localCheckpoint()
     )
-    if words.count() <= serial_vocab_max:
+    total_symbols = (
+        words.agg(F.coalesce(F.sum(F.size("syms")), F.lit(0)).alias("s"))
+        .head()["s"]
+    )
+    if total_symbols <= serial_symbols_max:
         return _bpe_train_serial(words, n_merges)
 
     merges = []

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from spark_etl_cli_spark.functions.text import tokens, word_shingles
+from spark_etl_cli_spark.functions.text import tokens
 
 
 _DEC = "decimal(38,0)"
@@ -229,11 +229,17 @@ def ngram_novelty(
     At 100 TB, key the join on xxhash64(shingle) to shrink payloads;
     the raw string is kept here so the DuckDB oracle replays exactly.
     """
+    from spark_etl_cli_spark.functions.text import word_shingles
     from spark_etl_cli_spark.operators.util import fan_out
 
     # shingle once into doc-grain arrays, fanned out and checkpointed:
     # `sh` feeds two branches (first-seen aggregate + the join back),
-    # which otherwise re-run the tokenize+shingle subtree per branch
+    # which otherwise re-run the tokenize+shingle subtree per branch.
+    # (Measured r11: the Arrow shingle stage is a small LOSS here —
+    # the shingle STRINGS are the join keys both branches need, so
+    # they cross the Python boundary at full width and the interpreted
+    # HOF it replaces is cheaper than the round trip; 0.88x/0.99x in
+    # two matched windows. Kept JVM-side.)
     arrays = (
         fan_out(df)
         .select(

@@ -30,17 +30,28 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from spark_etl_cli_spark.functions.text import token_count, tokens, word_shingles
+from spark_etl_cli_spark.functions.text import token_count, tokens
+from spark_etl_cli_spark.operators.arrowtext import (
+    with_shingle_md5_hexes,
+    with_word_shingles,
+)
 
 
 def _gram_hashes(
     df: DataFrame, id_col: str, text_col: str, n: int, out_id: str
 ) -> DataFrame:
-    """(doc id, 64-bit hash) per *distinct* word n-gram of each doc."""
-    return df.select(
-        F.col(id_col).alias(out_id),
-        F.explode(word_shingles(F.col(text_col), n)).alias("__ng"),
-    ).select(out_id, F.substring(F.md5("__ng"), 1, 16).alias("__h"))
+    """(doc id, 64-bit hash) per *distinct* word n-gram of each doc.
+    Shingle + md5-prefix fused in one Arrow stage: 16 hex chars cross
+    the boundary per 8-word gram instead of the gram text (guide §4.2;
+    byte-identical values, pinned by the q111 oracle)."""
+    return with_shingle_md5_hexes(
+        df,
+        text_col,
+        n,
+        hex_chars=16,
+        out_col="__ng",
+        keep=[F.col(id_col).alias(out_id)],
+    ).select(out_id, F.explode("__ng").alias("__h"))
 
 
 def contamination_pairs(
@@ -260,11 +271,18 @@ def sparse_cosine_topk(
 
     from spark_etl_cli_spark.operators.util import fan_out
 
-    # NON-distinct n-gram shingles: tf counts occurrences
-    grams = word_shingles(F.col(text_col), k=ngram, distinct=False)
+    # NON-distinct n-gram shingles: tf counts occurrences. Shingling
+    # is the Arrow stage (byte-identical, vectorized).
     tf = (
-        fan_out(docs)
-        .select(F.col(id_col).alias("id"), F.explode(grams).alias("term"))
+        with_word_shingles(
+            fan_out(docs),
+            text_col,
+            ngram,
+            distinct=False,
+            out_col="__grams",
+            keep=[F.col(id_col).alias("id")],
+        )
+        .select("id", F.explode("__grams").alias("term"))
         .groupBy("id", "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )

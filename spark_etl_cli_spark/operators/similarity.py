@@ -624,9 +624,25 @@ def semantic_dedup(
       pair.
 
     Cluster population is data-dependent; pathological corpora
-    (everything in one cell) degrade toward all-pairs, which is a
-    property of the algorithm, not the plan — production deployments
-    size ``n_clusters`` ~ sqrt(corpus) to bound cells.
+    (everything in one cell) degrade toward all-pairs COMPUTE, which is
+    a property of the algorithm, not the plan — production deployments
+    size ``n_clusters`` ~ sqrt(corpus) to bound cells. Per-task MEMORY
+    is bounded regardless (r11): the verdict pass streams each
+    cluster's rows in id order through ``mapInArrow`` instead of
+    materializing the whole group in pandas; the accumulated
+    unit-vector buffer is spilled to a task-local temp file past
+    ``spark.python.semanticDedup.bufferBytes`` (env
+    ``SEMANTIC_DEDUP_BUFFER_BYTES``, default 256 MiB), so a hot cluster
+    costs disk and time, never an executor OOM. Pair verdicts compare
+    ids EXPLICITLY (``other.id < row.id``), so equal-id rows are never
+    compared — matching the original pair-join's ``a.id < b.id``
+    predicate even on corpora with duplicate ids.
+
+    INPUT CONTRACT (raises ``ValueError``, eagerly for centroids at
+    plan-build time, per-batch for the rest): vectors must be non-NULL,
+    of uniform dimension, and have non-zero norm — a zero-norm or NULL
+    embedding has no direction, so "semantic similarity" is undefined
+    for it; failing loudly beats emitting NaN-driven verdicts.
     """
     id_type = df.schema[id_col].dataType.simpleString()
     # Centroids are k x dim doubles — the same driver-side control
@@ -734,48 +750,160 @@ def semantic_dedup(
         )
     )
 
-    def _cluster_verdicts(pdf):
-        import numpy as np
-        import pandas as pd
+    import os
 
-        pdf = pdf.sort_values("id", kind="mergesort")
-        m = len(pdf)
-        is_dup = np.zeros(m, dtype=bool)
-        if m >= 2:
-            u = np.array(
-                [np.asarray(x, dtype=np.float64) for x in pdf["__v"]]
+    buffer_bytes = int(
+        os.environ.get("SEMANTIC_DEDUP_BUFFER_BYTES", str(256 << 20))
+    )
+
+    def _verdict_stream(it):
+        """Rows arrive sorted by (cid, id) within the partition; a
+        cluster never spans partitions (hash exchange on cid). A row's
+        verdict depends only on STRICTLY-SMALLER-id rows of its
+        cluster, so verdicts stream out batch by batch while the
+        cluster's unit vectors accumulate in a buffer — in RAM up to
+        ``buffer_bytes``, then in a task-local temp file (np.memmap
+        reads), so resident memory is bounded by the RAM buffer plus
+        one pair block no matter how hot the cluster is."""
+        import tempfile
+
+        import numpy as np
+        import pyarrow as pa
+
+        cur_cid = None
+        ram_rows_cap = None
+        ram: list = []  # list of np row-blocks while small
+        ram_rows = 0
+        spill_f = None
+        spill_rows = 0
+        buf_ids: list = []  # ascending ids of ALL buffered rows
+
+        def _reset():
+            nonlocal ram, ram_rows, spill_f, spill_rows, buf_ids
+            ram = []
+            ram_rows = 0
+            if spill_f is not None:
+                spill_f.close()
+            spill_f = None
+            spill_rows = 0
+            buf_ids = []
+
+        def _hits_block(blk, seg, bounds, base):
+            """OR into out: hit(j, i) for buffered rows j in ``blk``
+            (global offsets base..base+len) vs segment rows i, masked
+            to j < bounds[i]. Fold order per pair: one IEEE multiply +
+            add per dimension, ascending d (bit-identical to the
+            former pandas group pass and the pre-r10 join plan)."""
+            acc = np.zeros((blk.shape[0], seg.shape[0]))
+            for d in range(blk.shape[1]):
+                acc += blk[:, d, None] * seg[None, :, d]
+            # Spark compares NaN >= thr as true (NaN sorts above all)
+            hit = (acc >= thr) | np.isnan(acc)
+            gidx = base + np.arange(blk.shape[0])
+            hit &= gidx[:, None] < bounds[None, :]
+            return hit.any(axis=0)
+
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids_arr = batch.column(0)
+            vecs = batch.column(1)
+            cids = batch.column(2).to_numpy(zero_copy_only=False)
+            offs = vecs.offsets.to_numpy()
+            flat = vecs.values.to_numpy(zero_copy_only=False).astype(
+                np.float64, copy=False
             )
-            # blocked pairwise dots, fold order preserved per pair (one
-            # IEEE multiply + add per dimension, ascending d) — memory
-            # bounded at m x bs regardless of cluster size
-            bs = max(1, min(m, (1 << 22) // m))
-            row_idx = np.arange(m)
-            for j0 in range(0, m, bs):
-                j1 = min(j0 + bs, m)
-                acc = np.zeros((m, j1 - j0))
-                for d in range(u.shape[1]):
-                    acc += u[:, d, None] * u[None, j0:j1, d]
-                # Spark compares NaN >= thr as true (NaN sorts above
-                # every double)
-                hit = (acc >= thr) | np.isnan(acc)
-                hit &= row_idx[:, None] < (j0 + np.arange(j1 - j0))[None, :]
-                is_dup[j0:j1] |= hit.any(axis=0)
-        return pd.DataFrame(
-            {
-                "id": pdf["id"].to_numpy(),
-                "cluster_id": pdf["cid"].to_numpy(),
-                "is_dup": is_dup,
-            }
-        )
+            seg_dim = dim
+            v = flat[offs[0] : offs[-1]].reshape(n, seg_dim)
+            ids_np = ids_arr.to_numpy(zero_copy_only=False)
+            is_dup = np.zeros(n, dtype=bool)
+            if ram_rows_cap is None:
+                ram_rows_cap = max(1024, buffer_bytes // (8 * seg_dim))
+            # process runs of equal cid (sorted, so runs are contiguous)
+            starts = [0] + list(
+                np.flatnonzero(cids[1:] != cids[:-1]) + 1
+            ) + [n]
+            for s0, s1 in zip(starts[:-1], starts[1:]):
+                if cids[s0] != cur_cid:
+                    cur_cid = cids[s0]
+                    _reset()
+                seg = v[s0:s1]
+                seg_ids = ids_np[s0:s1]
+                ns = s1 - s0
+                # strictly-smaller-id row counts (ids ascending within
+                # the cluster): for segment row i, buffer rows with
+                # index < b_buf[i] (resp. segment rows < b_seg[i]) are
+                # exactly the rows with id < seg_ids[i] — equal-id rows
+                # are EXCLUDED, matching the original a.id < b.id join
+                b_buf = (
+                    np.searchsorted(np.asarray(buf_ids), seg_ids, side="left")
+                    if buf_ids
+                    else np.zeros(ns, dtype=np.int64)
+                )
+                b_seg = np.searchsorted(seg_ids, seg_ids, side="left")
+                m_blk = max(1, (1 << 22) // max(ns, 1))
+                # vs spilled rows (global offsets 0..spill_rows)
+                if spill_rows:
+                    mm = np.memmap(
+                        spill_f,
+                        dtype=np.float64,
+                        mode="r",
+                        shape=(spill_rows, seg_dim),
+                    )
+                    for j0 in range(0, spill_rows, m_blk):
+                        j1 = min(j0 + m_blk, spill_rows)
+                        is_dup[s0:s1] |= _hits_block(
+                            np.asarray(mm[j0:j1]), seg, b_buf, j0
+                        )
+                    del mm
+                # vs RAM rows (global offsets spill_rows..)
+                if ram_rows:
+                    rbuf = ram[0] if len(ram) == 1 else np.vstack(ram)
+                    ram[:] = [rbuf]
+                    for j0 in range(0, ram_rows, m_blk):
+                        j1 = min(j0 + m_blk, ram_rows)
+                        is_dup[s0:s1] |= _hits_block(
+                            rbuf[j0:j1], seg, b_buf, spill_rows + j0
+                        )
+                # within the segment itself (bounds and base are both
+                # LOCAL segment indices)
+                for j0 in range(0, ns, m_blk):
+                    j1 = min(j0 + m_blk, ns)
+                    is_dup[s0:s1] |= _hits_block(seg[j0:j1], seg, b_seg, j0)
+                # append the segment to the buffer; spill past the cap
+                ram.append(np.array(seg))
+                ram_rows += ns
+                buf_ids.extend(seg_ids.tolist())
+                if ram_rows > ram_rows_cap:
+                    if spill_f is None:
+                        spill_f = tempfile.TemporaryFile()
+                    blob = ram[0] if len(ram) == 1 else np.vstack(ram)
+                    spill_f.seek(0, 2)
+                    spill_f.write(np.ascontiguousarray(blob).tobytes())
+                    spill_rows += ram_rows
+                    ram = []
+                    ram_rows = 0
+            yield pa.RecordBatch.from_arrays(
+                [ids_arr, batch.column(2), pa.array(is_dup)],
+                ["id", "cluster_id", "is_dup"],
+            )
+        if spill_f is not None:
+            spill_f.close()
 
     # verdicts: clusters are disjoint and every row carries its cluster,
-    # so ONE exchange of (id, unit vec) by cid + one per-group pass
-    # replaces the cid self-join, the pair-grain threshold filter, the
-    # distinct AND the verdict join back (guide §2.3 "decide with small
-    # rows": the vectors cross the boundary once per ROW, never once
-    # per candidate pair, and the group emits every member's verdict
-    # directly).
-    return asn.groupBy("cid").applyInPandas(
-        _cluster_verdicts,
-        f"id {id_type}, cluster_id bigint, is_dup boolean",
+    # so ONE exchange of (id, unit vec) by cid + a sorted STREAMING
+    # pass replaces the cid self-join, the pair-grain threshold filter,
+    # the distinct AND the verdict join back (guide §2.3 "decide with
+    # small rows"); vectors cross the boundary once per ROW, never once
+    # per candidate pair, and — unlike a grouped pandas pass, which
+    # materializes the whole cluster in one worker — resident memory is
+    # bounded by the spill cap (guide §5).
+    return (
+        asn.repartition("cid")
+        .sortWithinPartitions("cid", "id")
+        .mapInArrow(
+            _verdict_stream,
+            f"id {id_type}, cluster_id bigint, is_dup boolean",
+        )
     )

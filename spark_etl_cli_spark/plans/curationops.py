@@ -259,30 +259,22 @@ def q136_triangle_count(spark, sf_dir):
         li.groupBy("l_orderkey")
         .agg(F.collect_list("l_partkey").alias("__ps"))
         .filter(F.size("__ps") <= 6)
-        .select(F.array_distinct("__ps").alias("ps"))
+        .select(F.sort_array(F.array_distinct("__ps")).alias("ps"))
     )
-    pairs = parts.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ps"),
-                    lambda x: F.filter(
-                        F.transform(
-                            F.col("ps"),
-                            lambda y: F.when(
-                                x < y, F.struct(x.alias("u"), y.alias("v"))
-                            ),
-                        ),
-                        lambda s: s.isNotNull(),
-                    ),
-                )
-            )
-        ).alias("e")
+    # u < v pairs as TWO codegen'd Generates over the sorted part list
+    # (posexplode + tail-slice explode — the bucket_pairs shape) rather
+    # than a nested transform/filter fold: HOF lambda bodies never
+    # compile, so the old shape paid an interpreter dispatch per
+    # candidate pair (O(|ps|²) per order). Same pair set: position i of
+    # the sorted distinct list pairs with every later element.
+    edges = (
+        parts.filter(F.size("ps") >= 2)
+        .select("ps", F.posexplode("ps").alias("__i", "u"))
+        .select("u", F.explode(F.expr("slice(ps, __i + 2, size(ps))")).alias("v"))
     )
     # no .distinct() here: triangle_count canonicalizes + dedups its
     # input itself (multigraph enforcement), so a second exchange on
     # the same edge set would be pure waste
-    edges = pairs.select("e.u", "e.v")
     return triangle_count(edges)
 
 

@@ -40,6 +40,7 @@ from spark_etl_cli_spark.operators.dedup import (
     shingle_pairs_jaccard,
     simhash,
 )
+from spark_etl_cli_spark.operators.arrowtext import with_word_shingles
 from spark_etl_cli_spark.operators.util import fan_out
 from spark_etl_cli_spark.plans.registry import SQL_DAVG, bcount, query, t
 
@@ -968,20 +969,21 @@ def q152_bpe_train(spark, sf_dir):
     """,
 )
 def q155_dup_span_share(spark, sf_dir):
-    from spark_etl_cli_spark.functions.text import token_count, word_shingles
+    from spark_etl_cli_spark.functions.text import token_count
 
     # Tokenize ONCE into doc-grain shingle arrays and materialize them:
     # both consumers (the dup-gram aggregate and the coverage join leg)
     # re-explode from the checkpoint instead of re-running the
     # regex-tokenize + slice pipeline per branch (same pattern as q143).
-    docg = (
-        fan_out(t(spark, sf_dir, "documents"))
-        .select(
-            "doc_id",
-            word_shingles(F.col("text"), 3, distinct=False).alias("grs"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    # The shingle pass is the Arrow stage (byte-identical, vectorized).
+    docg = with_word_shingles(
+        fan_out(t(spark, sf_dir, "documents")),
+        "text",
+        3,
+        distinct=False,
+        out_col="grs",
+        keep=["doc_id"],
+    ).localCheckpoint(eager=False)
     grams = docg.select(
         "doc_id", F.posexplode("grs").alias("pos", "gr")
     )
@@ -1089,15 +1091,16 @@ _Q157_SH5 = (
     """,
 )
 def q157_cross_source_overlap(spark, sf_dir):
-    from spark_etl_cli_spark.functions.text import word_shingles
-
     # no pre-distinct: collect_set dedupes (source, sh) pairs itself,
     # and partial aggregation bounds map-side state at <= |sources|
     # entries per shingle — one exchange instead of two
-    ent = fan_out(t(spark, sf_dir, "documents")).select(
-        "source",
-        F.explode(word_shingles(F.col("text"), 5)).alias("sh"),
-    )
+    ent = with_word_shingles(
+        fan_out(t(spark, sf_dir, "documents")),
+        "text",
+        5,
+        out_col="__sh",
+        keep=["source"],
+    ).select("source", F.explode("__sh").alias("sh"))
     sets = (
         ent.groupBy("sh")
         .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
@@ -1168,7 +1171,7 @@ _Q159_SH4 = (
     """,
 )
 def q159_containment_pairs(spark, sf_dir):
-    from spark_etl_cli_spark.functions.text import tokens, word_shingles
+    from spark_etl_cli_spark.functions.text import tokens
 
     d = t(spark, sf_dir, "documents")
     half = d.filter(F.col("doc_id") < 100).select(
@@ -1189,14 +1192,11 @@ def q159_containment_pairs(spark, sf_dir):
     # default) and checkpoint: sizes read off array length (no
     # aggregation), the explode is already unique per doc (the old
     # post-explode .distinct() exchange was a no-op), and both
-    # branches reuse one tokenize pass, fanned out across the cluster
-    arrays = (
-        fan_out(base)
-        .select(
-            "doc_id", word_shingles(F.col("text"), 4).alias("__sh")
-        )
-        .localCheckpoint()
-    )
+    # branches reuse one tokenize pass, fanned out across the cluster.
+    # Shingling is the Arrow stage (byte-identical, vectorized).
+    arrays = with_word_shingles(
+        fan_out(base), "text", 4, out_col="__sh", keep=["doc_id"]
+    ).localCheckpoint()
     ent = arrays.select("doc_id", F.explode("__sh").alias("sh"))
     sizes = arrays.select(
         "doc_id", F.size("__sh").cast("bigint").alias("size_a")
@@ -1259,15 +1259,14 @@ def q159_containment_pairs(spark, sf_dir):
 def q160_collocations(spark, sf_dir):
     from pyspark.sql import Window as W
 
-    from spark_etl_cli_spark.functions.text import word_shingles
-
-    bg = fan_out(t(spark, sf_dir, "documents")).select(
-        "lang",
-        "doc_id",
-        F.explode(
-            word_shingles(F.col("text"), 2, distinct=False)
-        ).alias("bigram"),
-    )
+    bg = with_word_shingles(
+        fan_out(t(spark, sf_dir, "documents")),
+        "text",
+        2,
+        distinct=False,
+        out_col="__bg",
+        keep=["lang", "doc_id"],
+    ).select("lang", "doc_id", F.explode("__bg").alias("bigram"))
     agg = (
         bg.groupBy("lang", "bigram")
         .agg(
@@ -1362,8 +1361,6 @@ def q164_dup_cluster_histogram(spark, sf_dir):
     """,
 )
 def q168_prefix_filter_pairs(spark, sf_dir):
-    from spark_etl_cli_spark.functions.text import word_shingles
-
     thr = 0.5
     # Every downstream stage works on xxhash64(shingle) LONGS, not the
     # shingle strings: posting shuffles carry 8-byte keys, the
@@ -1374,17 +1371,21 @@ def q168_prefix_filter_pairs(spark, sf_dir):
     # bucket min(text) must equal max(text); any collision raises
     # before a single pair is emitted, so hash-based intersection
     # counts are PROVABLY the text counts whenever the query returns.
-    shingled = docs_with_dups(spark, sf_dir).select(
-        F.col("doc_id").alias("id"),
-        word_shingles(F.col("text"), 3).alias("shingles"),
-    )
+    # Shingling is the Arrow stage (byte-identical, vectorized);
+    # fan_out FIRST so the opaque Python stage runs cluster-wide.
     # EAGER checkpoint: the shingle arrays feed THREE plan branches
     # (df counts, the ordered-prefix build, and the verify stage's set
     # lookup); lazily-checkpointed RDDs can be computed concurrently
     # by the first stages of separate branches, paying the shingling
     # subtree up to twice (measured as 8s-vs-19s run variance)
     shingled = (
-        fan_out(shingled)
+        with_word_shingles(
+            fan_out(docs_with_dups(spark, sf_dir)),
+            "text",
+            3,
+            out_col="shingles",
+            keep=[F.col("doc_id").alias("id")],
+        )
         .withColumn(
             "hs", F.transform("shingles", lambda x: F.xxhash64(x))
         )
@@ -1803,24 +1804,23 @@ def q181_dedup_weights(spark, sf_dir):
     """,
 )
 def q182_distinct_ngrams(spark, sf_dir):
-    from spark_etl_cli_spark.functions.text import word_shingles
+    from spark_etl_cli_spark.operators.arrowtext import with_tagged_ngrams
 
-    # ONE tokenize+explode pass over all three gram sizes (tagged with
-    # n in-row) instead of a 3-leg union that re-scanned and
-    # re-tokenized the corpus per n
-    d = fan_out(t(spark, sf_dir, "documents"))
-    def _leg(n: int):
-        # single-arg lambda: a second parameter would be read by
-        # F.transform as the (element, index) form
-        return F.transform(
-            word_shingles(F.col("text"), n, distinct=False),
-            lambda g: F.struct(
-                F.lit(n).cast("int").alias("n"), g.alias("g")
-            ),
-        )
-
-    tagged = F.flatten(F.array(*[_leg(n) for n in (1, 2, 3)]))
-    grams = d.select("source", F.explode(tagged).alias("t")).select(
+    # ONE tokenize pass over all three gram sizes (tagged with n
+    # in-row, Arrow stage) instead of a 3-leg union that re-scanned
+    # and re-tokenized the corpus per n — and instead of three
+    # interpreted shingle HOFs plus a per-element struct transform
+    grams = with_tagged_ngrams(
+        fan_out(t(spark, sf_dir, "documents")),
+        "text",
+        (1, 2, 3),
+        distinct=False,
+        out_col="__t",
+        keep=["source"],
+    ).select(
+        "source",
+        F.explode("__t").alias("t"),
+    ).select(
         "source",
         F.col("t.n").alias("n"),
         F.substring(F.md5(F.col("t.g")), 1, 16).alias("h"),
@@ -1915,7 +1915,7 @@ def q182_distinct_ngrams(spark, sf_dir):
     """,
 )
 def q184_lsh_calibration(spark, sf_dir):
-    from spark_etl_cli_spark.functions.text import md5_long28, word_shingles
+    from spark_etl_cli_spark.functions.text import md5_long28
 
     docs = t(spark, sf_dir, "documents")
     # both calibration legs key on the SAME distinct 3-shingle sets:
@@ -1923,13 +1923,9 @@ def q184_lsh_calibration(spark, sf_dir):
     # feed it to both operators (shingles_col=), instead of each leg
     # re-running the interpreted tokenize/shingle pipeline over the
     # corpus (guide §2.4: don't compute the same thing twice)
-    sh = (
-        fan_out(docs)
-        .select(
-            "doc_id", word_shingles(F.col("text"), 3).alias("__sh")
-        )
-        .localCheckpoint()
-    )
+    sh = with_word_shingles(
+        fan_out(docs), "text", 3, out_col="__sh", keep=["doc_id"]
+    ).localCheckpoint()
     cands = (
         minhash_lsh_pairs(
             sh, num_hashes=32, bands=8, shingle_k=3, base_hash=md5_long28,
@@ -2147,17 +2143,11 @@ def q193_crossdoc_ngram_dup(spark, sf_dir):
 
     d = fan_out(t(spark, sf_dir, "documents"))
     tk = tokens(F.col("text"))
-    grams = F.when(
-        F.size(tk) >= 5,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(tk) - 4),
-                lambda i: F.concat_ws(" ", F.slice(tk, i, 5)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # per-doc distinct 5-grams == word_shingles(text, 5): the Arrow
+    # shingle stage computes them byte-identically, vectorized
     gs = (
-        d.select("source", F.explode(grams).alias("gram"))
+        with_word_shingles(d, "text", 5, out_col="__g", keep=["source"])
+        .select("source", F.explode("__g").alias("gram"))
         .groupBy("gram", "source")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -367,6 +367,82 @@ def test_semantic_dedup_threshold_gates_pairs(spark):
     assert out[5] is False  # within cluster but below threshold
 
 
+def test_semantic_dedup_skewed_cluster_spills_identical_verdicts(
+    spark, monkeypatch
+):
+    """One cluster ≫ the others must complete with BOUNDED resident
+    memory (the unit-vector buffer spills to disk past the cap) and
+    emit exactly the verdicts the unbounded pass would: every vector
+    here lands in cluster 0 and is within threshold of id 0, so all
+    but the minimum id are dups."""
+    import numpy as np
+
+    from spark_etl_cli_spark.operators import similarity as S
+
+    # force the spill path: cap the RAM buffer far below the cluster
+    # (the operator reads the env at plan-build time)
+    monkeypatch.setenv("SEMANTIC_DEDUP_BUFFER_BYTES", "1")
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(400):
+        v = np.array([1.0, 0.0, 0.0]) + rng.normal(0, 1e-3, 3)
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    # one lonely far-away vector seeds centroid 1 so n_clusters=2 has
+    # two real cells (id 1 re-pointed toward y)
+    rows[1] = Row(vec_id=1, embedding=[0.0, 1.0, 0.0])
+    vecs = spark.createDataFrame(rows)
+    out = {
+        r.id: (r.cluster_id, r.is_dup)
+        for r in S.semantic_dedup(vecs, threshold=0.99, n_clusters=2).collect()
+    }
+    assert len(out) == 400
+    assert out[0] == (0, False)  # lowest id in the hot cluster survives
+    assert out[1] == (1, False)  # alone in its cluster
+    hot = [i for i in out if i not in (0, 1)]
+    assert all(out[i] == (0, True) for i in hot)
+
+
+def test_semantic_dedup_equal_ids_never_compared(spark):
+    """Duplicate ids within a cluster: the original pair join compared
+    a.id < b.id STRICTLY, so two rows with the same id must not flag
+    each other (ADVICE r10: positional order after sort was a silent
+    divergence)."""
+    from spark_etl_cli_spark.operators.similarity import semantic_dedup
+
+    vecs = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0]),
+            Row(vec_id=1, embedding=[0.0, 1.0]),
+            # two rows with the SAME id, nearly identical vectors, and
+            # no smaller-id neighbor in their cluster within threshold
+            Row(vec_id=7, embedding=[0.99, 0.141]),
+            Row(vec_id=7, embedding=[0.99, 0.141]),
+        ]
+    )
+    out = semantic_dedup(vecs, threshold=0.999, n_clusters=2).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.id, []).append(r.is_dup)
+    # neither id-7 row may be flagged by the other (id 0 is below the
+    # 0.999 threshold: cos([1,0],[0.99,0.141]) ≈ 0.99)
+    assert by_id[7] == [False, False]
+
+
+def test_semantic_dedup_zero_norm_raises(spark):
+    """Pinned input contract (r10 ADVICE): zero-norm vectors raise
+    loudly — at plan-build time when the offender is a centroid row."""
+    from spark_etl_cli_spark.operators.similarity import semantic_dedup
+
+    vecs = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[0.0, 0.0]),
+            Row(vec_id=1, embedding=[0.0, 1.0]),
+        ]
+    )
+    with pytest.raises(ValueError, match="zero-norm"):
+        semantic_dedup(vecs, threshold=0.5, n_clusters=2)
+
+
 def test_star_components_thousand_link_chain_olog_rounds(spark):
     # the adversarial-depth gate from the round-2 review: a 1000-edge
     # chain has diameter 1000 (min-label would need ~1000 rounds); the

@@ -296,16 +296,18 @@ def test_q126_repetition_no_python(spark):
 def test_q127_semantic_dedup_single_cluster_exchange(spark):
     plan = plan_of(spark, "q127_semantic_dedup", execute=True)
     # r10: assignment is ONE Arrow stage (no centroid crossJoin, no
-    # per-id aggregate) and the pair verdict is a per-cluster group
-    # pass — the only hash exchange left is the (id, unit vec) spread
-    # by cluster id; no join of any kind survives in the plan.
+    # per-id aggregate); r11: the pair verdict STREAMS each cluster in
+    # id order through a second Arrow stage (bounded memory — no
+    # grouped pandas pass materializing whole clusters). The only hash
+    # exchange left is the (id, unit vec) spread by cluster id; no
+    # join of any kind survives in the plan.
     # (an executed AQE plan prints "== Final Plan ==" AND
     # "== Initial Plan ==" — count exchanges in the final section only)
     final = plan.split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in plan
     assert "Join" not in plan
-    assert "MapInArrow" in plan
-    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("MapInArrow") >= 2  # assignment + verdict stream
+    assert "FlatMapGroupsInPandas" not in plan
     assert final.count("Exchange hashpartitioning") == 1
 
 

@@ -396,7 +396,7 @@ def test_correctness_history_survives_malformed_artifact(tmp_path, monkeypatch):
             return tmp_path
 
     monkeypatch.setattr(entry, "Path", _FakePath)
-    green, red, rows_only = entry._correctness_history()  # must not raise
+    green, red, rows_only, _ = entry._correctness_history()  # must not raise
     assert "q01_pricing_summary" in green
     assert not red
     assert not rows_only
@@ -433,7 +433,8 @@ def test_correctness_history_rows_only_bucket_sorts_last(tmp_path, monkeypatch):
             return tmp_path
 
     monkeypatch.setattr(entry, "Path", _FakePath)
-    green, red, rows_only = entry._correctness_history()
+    green, red, rows_only, green_round = entry._correctness_history()
+    assert green_round["q01_pricing_summary"] == 1
     assert "q01_pricing_summary" in green
     assert "q02_filter_pushdown" in red
     assert rows_only == frozenset({"q152_bpe_train"})
@@ -443,6 +444,53 @@ def test_correctness_history_rows_only_bucket_sorts_last(tmp_path, monkeypatch):
     assert ordered[0] == "q02_filter_pushdown"
     assert ordered[-1] == "q152_bpe_train"
     assert ordered.index("q01_pricing_summary") < ordered.index("q152_bpe_train")
+
+
+def test_recheck_marker_outranks_proven_green(tmp_path, monkeypatch):
+    """A query rewritten in round >= its last driver-green round must
+    sort ahead of plain green queries (r10 VERDICT: q200/q202 were
+    rewritten and rotated out of the sample in the same round); once a
+    LATER round's green row lands, the marker self-ages out."""
+    import json
+
+    import __spark_entry__ as entry
+
+    (tmp_path / "CORRECTNESS_r09.json").write_text(
+        json.dumps(
+            {
+                "q01_pricing_summary": {"hash_match": True, "err": None},
+                "q200_incremental_dedup": {"hash_match": True, "err": None},
+            }
+        )
+    )
+    (tmp_path / "RECHECK.json").write_text(
+        json.dumps({"q200_incremental_dedup": 10})
+    )
+
+    class _FakePath:
+        def __init__(self, *_a, **_k):
+            pass
+
+        def resolve(self):
+            return self
+
+        @property
+        def parent(self):
+            return tmp_path
+
+    monkeypatch.setattr(entry, "Path", _FakePath)
+    ordered = list(entry.queries())
+    assert ordered.index("q200_incremental_dedup") < ordered.index(
+        "q01_pricing_summary"
+    )
+    # a green row from a LATER round supersedes the marker
+    (tmp_path / "CORRECTNESS_r11.json").write_text(
+        json.dumps({"q200_incremental_dedup": {"hash_match": True, "err": None}})
+    )
+    ordered = list(entry.queries())
+    assert ordered.index("q01_pricing_summary") < ordered.index(
+        "q200_incremental_dedup"
+    )
 
 
 def test_cms_estimate_survives_caller_counter_column(spark):
