@@ -212,15 +212,22 @@ def bpe_train(
     symbol each round, so symbols are the quantity that bounds it; the
     aggregate is one cheap job over the already-materialized
     checkpoint. The default threshold is measured, not assumed
-    (``scripts/bpe_crossover.py``, table in SCALE.md): at ~3.7M
-    symbols (500k words) the serial loop beats the 20-round
-    distributed loop ~17x (1.3 s vs 22 s), and extrapolating the
-    serial loop's linear per-symbol cost (~0.23 s per merge round per
-    10M symbols) it still beats the distributed loop's fixed ~1 s+
-    per-round overhead until roughly 30M symbols on this box — past
-    that, per-round distributed work amortizes and memory for the
-    one-task word list (~2 bytes/symbol in Python strings... more
-    realistically ~50) becomes the binding constraint anyway.
+    (``scripts/bpe_crossover.py``, 20 merges on local[32], end-to-end
+    including the shared corpus collapse — table in SCALE.md):
+
+        symbols   serial    distributed
+        1.1M      24.5 s    48.8 s   (2.0x)
+        4.6M      34.0 s    65.9 s   (1.9x)
+        11.5M     100.8 s   679.6 s  (6.7x)
+
+    Serial wins at every measured size and the gap WIDENS — the
+    distributed loop pays 20 rounds of explode + shuffle + global
+    argmax + HOF fold-rewrite + checkpoint, each of which grows with
+    vocab size too. The binding constraint on the serial path is the
+    one-task word list (roughly 50-100 bytes/symbol as Python strings:
+    ~2-3 GB at 30M symbols), which sets the 30M default; past it the
+    distributed loop is the only shape that completes, not the faster
+    one.
 
     Iterative by nature → registered with a rows-only driver check
     (no closed-form SQL oracle); determinism is still pinned by the

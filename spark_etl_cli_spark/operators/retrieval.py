@@ -30,28 +30,29 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from spark_etl_cli_spark.functions.text import token_count, tokens
-from spark_etl_cli_spark.operators.arrowtext import (
-    with_shingle_md5_hexes,
-    with_word_shingles,
+from spark_etl_cli_spark.functions.text import (
+    token_count,
+    tokens,
+    word_shingles,
 )
+from spark_etl_cli_spark.operators.arrowtext import with_word_shingles
 
 
 def _gram_hashes(
     df: DataFrame, id_col: str, text_col: str, n: int, out_id: str
 ) -> DataFrame:
     """(doc id, 64-bit hash) per *distinct* word n-gram of each doc.
-    Shingle + md5-prefix fused in one Arrow stage: 16 hex chars cross
-    the boundary per 8-word gram instead of the gram text (guide §4.2;
-    byte-identical values, pinned by the q111 oracle)."""
-    return with_shingle_md5_hexes(
-        df,
-        text_col,
-        n,
-        hex_chars=16,
-        out_col="__ng",
-        keep=[F.col(id_col).alias(out_id)],
-    ).select(out_id, F.explode("__ng").alias("__h"))
+
+    Deliberately JVM-side (r11 measurement): both the Arrow shingle
+    stage and the fused shingle+md5-hex stage measured SLOWER here in
+    matched windows (0.88x, then 0.59x/~0.75x drift-adjusted) — at
+    n=8 the gram count per doc is small, the post-explode md5+substring
+    is codegen'd, and the Python round trip has nothing to amortize.
+    """
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.explode(word_shingles(F.col(text_col), n)).alias("__ng"),
+    ).select(out_id, F.substring(F.md5("__ng"), 1, 16).alias("__h"))
 
 
 def contamination_pairs(

@@ -110,7 +110,7 @@ def test_bpe_train_serial_equals_distributed(spark):
         "/root/testdata/sf0.001/documents.parquet"
     ).limit(300)
     serial = bpe_train(docs, n_merges=8).collect()
-    dist = bpe_train(docs, n_merges=8, serial_vocab_max=0).collect()
+    dist = bpe_train(docs, n_merges=8, serial_symbols_max=0).collect()
     assert [tuple(r) for r in serial] == [tuple(r) for r in dist]
     assert len(serial) == 8
 
