@@ -51,6 +51,9 @@ def _cpu_ticks():
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/tmp/scale_anchor_sf1")
+    subset = os.environ.get("ANCHOR_QUERIES")
+    if subset:
+        HEAVY[:] = [n for n in subset.split(",") if n]
     import __spark_entry__ as entrymod
     from spark_etl_cli_spark.session import get_spark
 

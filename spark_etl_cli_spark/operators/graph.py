@@ -110,6 +110,7 @@ def triangle_count(
     u_col: str = "u",
     v_col: str = "v",
     broadcast_edge_limit: int = 2_000_000,
+    edges_per_task: int = 250_000,
 ) -> DataFrame:
     """Exact global triangle count over undirected edges.
 
@@ -194,14 +195,48 @@ def triangle_count(
     # one full job with two exchanges, removed outright (guide §2.4).
     # The wedge set itself (19.5M rows at sf0.1) still never
     # materializes.
-    adj = oriented.groupBy(F.col("src").alias("x")).agg(
+    # Past the broadcast gate the adjacency stages carry ARRAY payloads
+    # whose decompressed size is many times their shuffle bytes, so
+    # AQE's byte-based coalescing (64 MB advisory) packs them into a
+    # handful of fat partitions whose per-task hash state then thrashes
+    # execution memory — measured r11 on the 30x anchor corpus
+    # (22.6M edges): 233 s at 32 cores vs 42 s at 8 (more concurrent
+    # tasks = less memory each = spill churn); 16 MB advisory or the
+    # explicit sizing below brings 32 cores to ~30 s (SCALE.md). The
+    # partition count is derived from the MEASURED edge count (already
+    # materialized for the gate) — scale-adaptive, not tuned to a core
+    # count: ~edges_per_task edges per task bounds per-task array
+    # state regardless of cluster width (guide §2.5, §5).
+    if small:
+        grouped = oriented
+    else:
+        n_parts = max(
+            oriented.sparkSession.sparkContext.defaultParallelism,
+            n_e // edges_per_task + 1,
+        )
+        grouped = oriented.repartition(n_parts, "src")
+    adj = grouped.groupBy(F.col("src").alias("x")).agg(
         F.sort_array(F.collect_list("dst")).alias("adj")
     )
     a_s = adj.select(F.col("x").alias("src"), F.col("adj").alias("__as"))
     a_t = adj.select(F.col("x").alias("dst"), F.col("adj").alias("__at"))
+    if small:
+        left = oriented
+    else:
+        # both closure joins get explicitly-sized exchanges on their
+        # join keys (user-specified partitioning is exempt from AQE
+        # coalescing), so per-task array state stays bounded
+        left = oriented.repartition(n_parts, "src")
+        a_t = a_t.repartition(n_parts, "dst")
     closed = (
-        oriented.join(F.broadcast(a_s) if small else a_s, "src")
-        .join(F.broadcast(a_t) if small else a_t, "dst", "left")
+        left.join(F.broadcast(a_s) if small else a_s, "src")
+        .join(
+            F.broadcast(a_t)
+            if small
+            else a_t,
+            "dst",
+            "left",
+        )
         .agg(
             F.coalesce(
                 F.sum(
